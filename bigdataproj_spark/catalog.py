@@ -1,0 +1,73 @@
+"""Table catalog: loading the driver fixtures (TESTDATA.md).
+
+At cluster scale these would be external catalog tables (partitioned
+parquet / Iceberg); here they are plain parquet directories. Reads go
+through ``spark.read.parquet`` so Catalyst gets predicate pushdown and
+column pruning for free (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampType
+
+from .schemas import FIXTURE_SCHEMAS
+
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _ensure_session_conf(spark: SparkSession) -> None:
+    """Make an externally-created SparkSession safe for the engine.
+
+    The driver calls ``entry(spark)``/``queries()`` with its own session,
+    which may lack the engine's build-time configs; both of these are
+    runtime-settable SQLConfs.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    # An untuned session shuffles tiny test tables into 200 partitions;
+    # only lower it if the caller left the stock default.
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table from a scale-factor directory."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    _ensure_session_conf(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # TIMESTAMP(NANOS) parquet columns arrive as INT64 nanos (see
+    # session.py nanosAsLong); truncate to µs timestamps, matching
+    # DuckDB's ns→µs read behavior. Integer `div` — nanos exceed the
+    # 2^53 double range, so a float path would corrupt values.
+    expected = FIXTURE_SCHEMAS[name]
+    cols = []
+    for f_read in df.schema.fields:
+        want = expected[f_read.name].dataType if f_read.name in expected.fieldNames() else None
+        if isinstance(want, TimestampType) and isinstance(f_read.dataType, LongType):
+            cols.append(
+                F.timestamp_micros(F.expr(f"{f_read.name} div 1000")).alias(f_read.name)
+            )
+        else:
+            cols.append(F.col(f_read.name))
+    return df.select(*cols)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view (for spark.sql paths)."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,103 @@
+"""Deterministic expression helpers (SURVEY.md §2.4) + vector math.
+
+The core trick for cross-engine bit-exact aggregates: double summation
+order differs between Spark and DuckDB, so SUM/AVG over DOUBLE columns
+is computed in exact DECIMAL arithmetic (order-independent) and cast to
+DOUBLE only at the end. Input casts (double → DECIMAL(p,2)) are exact
+for the fixture data (2-decimal money values, TESTDATA seed=42) and
+well-defined rounding otherwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dec(c: Column | str, precision: int = 12, scale: int = 2) -> Column:
+    """Cast to an exact decimal for order-independent arithmetic."""
+    c = F.col(c) if isinstance(c, str) else c
+    return c.cast(f"decimal({precision},{scale})")
+
+
+def dsum(c: Column | str, precision: int = 12, scale: int = 2) -> Column:
+    """Order-independent SUM over a double column → DOUBLE.
+
+    Oracle twin: ``CAST(SUM(CAST(x AS DECIMAL(p,s))) AS DOUBLE)``.
+    """
+    return F.sum(dec(c, precision, scale)).cast("double")
+
+
+def dsum_expr(c: Column) -> Column:
+    """Order-independent SUM over an already-decimal expression → DOUBLE."""
+    return F.sum(c).cast("double")
+
+
+def davg(c: Column | str, precision: int = 12, scale: int = 2) -> Column:
+    """Deterministic AVG: exact decimal sum cast to double, then IEEE
+    double division by the count — bit-identical across engines.
+
+    Oracle twin:
+    ``CAST(SUM(CAST(x AS DECIMAL(p,s))) AS DOUBLE) / COUNT(x)``.
+    """
+    cc = F.col(c) if isinstance(c, str) else c
+    return dsum(cc, precision, scale) / F.count(cc)
+
+
+def fmt_ts(c: Column | str) -> Column:
+    """Serialize a timestamp as a UTC ISO string (determinism rule 3).
+
+    Oracle twin: ``strftime(ts, '%Y-%m-%dT%H:%M:%S')``.
+    """
+    c = F.col(c) if isinstance(c, str) else c
+    return F.date_format(c, "yyyy-MM-dd'T'HH:mm:ss")
+
+
+def round6(c: Column | str) -> Column:
+    c = F.col(c) if isinstance(c, str) else c
+    return F.round(c, 6)
+
+
+# ---------------------------------------------------------------------------
+# Vector math over ARRAY<FLOAT>/ARRAY<DOUBLE> columns — native higher-order
+# functions, fully JVM-side (no UDF). Used by similarity/embedding ops.
+# ---------------------------------------------------------------------------
+
+
+def vec_dot(a: Column | str, b: Column | str) -> Column:
+    """Dot product of two array columns via zip_with + aggregate."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def vec_norm(a: Column | str) -> Column:
+    """L2 norm of an array column."""
+    a = F.col(a) if isinstance(a, str) else a
+    return F.sqrt(
+        F.aggregate(
+            a,
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+
+
+def cosine_similarity(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity of two array columns (JVM-side, no UDF)."""
+    return vec_dot(a, b) / (vec_norm(a) * vec_norm(b))
+
+
+def vec_scale(a: Column | str, s: Column) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    return F.transform(a, lambda x: x.cast("double") * s)
+
+
+def vec_add(a: Column | str, b: Column | str) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.zip_with(a, b, lambda x, y: x.cast("double") + y.cast("double"))

@@ -1,0 +1,276 @@
+"""Join operators (SURVEY.md §2.2 rows J1-J7).
+
+The reference declares no joins of its own — its query layer was
+delegated to Elasticsearch (reference README.md:102-104). This module
+provides the native join surface, with the scale rules of SURVEY.md §4:
+dimension tables broadcast explicitly (J4), fact-fact joins shuffle on
+their keys and lean on AQE for skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions import dec, dsum, dsum_expr
+from ..registry import query
+
+# ---------------------------------------------------------------------------
+# J1 inner equi-join + J4 broadcast — star-schema revenue rollup.
+# ---------------------------------------------------------------------------
+
+_Q30_ORACLE = """
+SELECT
+  r_name,
+  n_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+    AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+@query("q30_star_join_revenue", oracle=_Q30_ORACLE, tags=("bench", "J1", "J4", "A1"))
+def q30_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per region/nation across the full star schema.
+
+    Plan shape at scale: lineitem⋈orders is the only shuffle join (both
+    facts, keyed on orderkey); customer/nation/region broadcast, so the
+    star arm adds zero exchanges. Aggregation is partial+final on the
+    (region, nation) key.
+    """
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    revenue = dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(4,2)") - dec("l_discount", 4, 2)
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(dsum_expr(revenue).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+        .orderBy("r_name", "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2 left outer join — customers with (possibly zero) orders.
+# ---------------------------------------------------------------------------
+
+_Q31_ORACLE = """
+SELECT
+  c.c_custkey,
+  COUNT(o.o_orderkey) AS n_orders,
+  CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))), 0) AS DOUBLE) AS sum_total
+FROM customer c
+LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_custkey
+ORDER BY c.c_custkey
+"""
+
+
+@query("q31_left_outer_join", oracle=_Q31_ORACLE, tags=("J2", "A1"))
+def q31_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with no orders."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum(dec("o_totalprice")), F.lit(0).cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_total"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2 full outer join — nation coverage of customers vs suppliers.
+# ---------------------------------------------------------------------------
+
+_Q32_ORACLE = """
+WITH cn AS (SELECT c_nationkey AS k, COUNT(*) AS n_cust FROM customer GROUP BY 1),
+     sn AS (SELECT s_nationkey AS k, COUNT(*) AS n_supp FROM supplier GROUP BY 1)
+SELECT
+  COALESCE(cn.k, sn.k) AS nationkey,
+  COALESCE(n_cust, 0) AS n_cust,
+  COALESCE(n_supp, 0) AS n_supp
+FROM cn
+FULL OUTER JOIN sn ON cn.k = sn.k
+ORDER BY nationkey
+"""
+
+
+@query("q32_full_outer_join", oracle=_Q32_ORACLE, tags=("J2",))
+def q32_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two pre-aggregated sides."""
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    cn = c.groupBy(F.col("c_nationkey").alias("k")).agg(F.count(F.lit(1)).alias("n_cust"))
+    sn = s.groupBy(F.col("s_nationkey").alias("k")).agg(F.count(F.lit(1)).alias("n_supp"))
+    return (
+        cn.join(sn, "k", "full")
+        .select(
+            F.col("k").alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3 left semi / left anti joins.
+# ---------------------------------------------------------------------------
+
+_Q33_ORACLE = """
+SELECT c_custkey, c_mktsegment
+FROM customer
+SEMI JOIN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') o
+  ON c_custkey = o.o_custkey
+ORDER BY c_custkey
+"""
+
+
+@query("q33_semi_join", oracle=_Q33_ORACLE, tags=("J3",))
+def q33_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with at least one urgent order (left semi)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+_Q34_ORACLE = """
+SELECT c_custkey, c_mktsegment
+FROM customer
+ANTI JOIN orders ON c_custkey = o_custkey
+ORDER BY c_custkey
+"""
+
+
+@query("q34_anti_join", oracle=_Q34_ORACLE, tags=("J3",))
+def q34_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders at all (left anti)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5 theta join (equi key + non-equi predicate).
+# ---------------------------------------------------------------------------
+
+_Q35_ORACLE = """
+SELECT s.s_suppkey, COUNT(*) AS n_richer
+FROM supplier s
+JOIN customer c
+  ON s.s_nationkey = c.c_nationkey AND s.s_acctbal > c.c_acctbal
+GROUP BY s.s_suppkey
+ORDER BY s.s_suppkey
+"""
+
+
+@query("q35_theta_join", oracle=_Q35_ORACLE, tags=("J5",))
+def q35_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per supplier: same-nation customers with a smaller balance.
+
+    The equi key keeps this a hash join; the inequality rides along as
+    a post-join predicate (Catalyst extracts it automatically).
+    """
+    s = table(spark, sf_dir, "supplier")
+    c = table(spark, sf_dir, "customer")
+    return (
+        s.join(
+            c,
+            (s.s_nationkey == c.c_nationkey) & (s.s_acctbal > c.c_acctbal),
+        )
+        .groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_richer"))
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J6 cross join.
+# ---------------------------------------------------------------------------
+
+_Q36_ORACLE = """
+SELECT r_name, seg
+FROM region
+CROSS JOIN (SELECT DISTINCT c_mktsegment AS seg FROM customer)
+ORDER BY r_name, seg
+"""
+
+
+@query("q36_cross_join", oracle=_Q36_ORACLE, tags=("J6",))
+def q36_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of two small dimension projections."""
+    r = table(spark, sf_dir, "region")
+    segs = (
+        table(spark, sf_dir, "customer")
+        .select(F.col("c_mktsegment").alias("seg"))
+        .distinct()
+    )
+    return r.crossJoin(segs).select("r_name", "seg").orderBy("r_name", "seg")
+
+
+# ---------------------------------------------------------------------------
+# J7 range / interval join.
+# ---------------------------------------------------------------------------
+
+_Q37_ORACLE = """
+SELECT e1.user_id, COUNT(*) AS n_pairs
+FROM events e1
+JOIN events e2
+  ON e1.user_id = e2.user_id
+ AND e2.ts > e1.ts
+ AND e2.ts <= e1.ts + INTERVAL 5 MINUTE
+GROUP BY e1.user_id
+ORDER BY e1.user_id
+"""
+
+
+@query("q37_range_join", oracle=_Q37_ORACLE, tags=("J7",))
+def q37_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event pairs within a 5-minute forward window per user.
+
+    Equi key (user_id) bounds the blow-up; at 100 TB this would add a
+    coarse time-bucket equi key to keep per-task pair counts bounded.
+    """
+    e1 = table(spark, sf_dir, "events").alias("e1")
+    e2 = table(spark, sf_dir, "events").alias("e2")
+    return (
+        e1.join(
+            e2,
+            (F.col("e1.user_id") == F.col("e2.user_id"))
+            & (F.col("e2.ts") > F.col("e1.ts"))
+            & (F.col("e2.ts") <= F.col("e1.ts") + F.expr("INTERVAL 5 MINUTES")),
+        )
+        .groupBy(F.col("e1.user_id").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("user_id")
+    )

@@ -1,0 +1,491 @@
+"""Relational core: scan → filter → project → aggregate → sort → limit.
+
+Covers SURVEY.md §2.2 rows S1, P1-P3, A1-A8, O1-O3, Q1. The reference
+delegates all of its analytics to Elasticsearch (reference
+README.md:102-104); this module provides that query layer natively on
+Catalyst. Every query follows the determinism contract (§2.4): exact
+DECIMAL arithmetic for double aggregates, total-order ORDER BY,
+identical aliases in Spark and oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import register_views, table
+from ..functions import davg, dec, dsum, dsum_expr, fmt_ts
+from ..registry import query
+
+# ---------------------------------------------------------------------------
+# A1 hash aggregate / P2 filter / S1 scan / O1 sort — the flagship query.
+# ---------------------------------------------------------------------------
+
+_Q01_ORACLE = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+    AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+           * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE)
+    AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_extendedprice)
+    AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@query("q01_pricing_summary", oracle=_Q01_ORACLE, tags=("bench", "A1", "P2", "S1", "O1"))
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped pricing summary (SURVEY.md §7 M1).
+
+    Plan shape at scale: parquet scan with pushed timestamp filter →
+    partial hash aggregate (map-side combine) → single shuffle on the
+    2-value group key → final aggregate. No other exchange.
+    """
+    l = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp")
+    )
+    one = F.lit(1).cast("decimal(4,2)")
+    disc_price = dec("l_extendedprice") * (one - dec("l_discount", 4, 2))
+    charge = disc_price * (one + dec("l_tax", 4, 2))
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum_expr(disc_price).alias("sum_disc_price"),
+            dsum_expr(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount", 4, 2).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3 global aggregate (no grouping keys).
+# ---------------------------------------------------------------------------
+
+_Q02_ORACLE = """
+SELECT
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_total,
+  MIN(o_totalprice) AS min_total,
+  MAX(o_totalprice) AS max_total,
+  COUNT(DISTINCT o_custkey) AS n_customers
+FROM orders
+"""
+
+
+@query("q02_global_agg", oracle=_Q02_ORACLE, tags=("A3",))
+def q02_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (grouping-key-free) aggregate; partial+final automatic."""
+    o = table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("sum_total"),
+        F.min("o_totalprice").alias("min_total"),
+        F.max("o_totalprice").alias("max_total"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2 distinct aggregates.
+# ---------------------------------------------------------------------------
+
+_Q03_ORACLE = """
+SELECT
+  o_orderstatus,
+  COUNT(DISTINCT o_custkey) AS n_customers,
+  CAST(SUM(DISTINCT CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_distinct_total,
+  COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@query("q03_distinct_agg", oracle=_Q03_ORACLE, tags=("A2",))
+def q03_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) and SUM(DISTINCT) per group (Expand-based plan)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.sum_distinct(dec("o_totalprice")).cast("double").alias("sum_distinct_total"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4 grouping sets: rollup & cube.
+# ---------------------------------------------------------------------------
+
+_Q04_ORACLE = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+  COUNT(*) AS n_items
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+
+@query("q04_rollup_agg", oracle=_Q04_ORACLE, tags=("A4",))
+def q04_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus) with explicit null ordering."""
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(dsum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n_items"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+_Q05_ORACLE = """
+SELECT
+  o_orderstatus,
+  o_orderpriority,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
+
+
+@query("q05_cube_agg", oracle=_Q05_ORACLE, tags=("A4",))
+def q05_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (orderstatus, orderpriority)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("sum_total"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5 dedup: distinct projection + deterministic keyed dedup.
+# ---------------------------------------------------------------------------
+
+_Q06_ORACLE = """
+SELECT DISTINCT c_nationkey, c_mktsegment
+FROM customer
+ORDER BY c_nationkey, c_mktsegment
+"""
+
+
+@query("q06_distinct_dedup", oracle=_Q06_ORACLE, tags=("A5",))
+def q06_distinct_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over a full projection (dropDuplicates == DISTINCT)."""
+    c = table(spark, sf_dir, "customer")
+    return (
+        c.select("c_nationkey", "c_mktsegment")
+        .dropDuplicates()
+        .orderBy("c_nationkey", "c_mktsegment")
+    )
+
+
+_Q07_ORACLE = """
+SELECT event_id, user_id, event_type, strftime(ts, '%Y-%m-%dT%H:%M:%S') AS ts_iso
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts, event_id) AS rn
+  FROM events
+)
+WHERE rn = 1
+ORDER BY user_id, event_type
+"""
+
+
+@query("q07_first_per_key", oracle=_Q07_ORACLE, tags=("A5", "O3"))
+def q07_first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic keyed dedup: first event per (user, type).
+
+    ``dropDuplicates(keys)`` keeps an *arbitrary* row; the engine's
+    deterministic form is row_number over a total order = 1. At scale
+    this is one shuffle on the partition keys.
+    """
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", fmt_ts("ts").alias("ts_iso"))
+        .orderBy("user_id", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A7 percentiles (exact; approx is bounds-checked in pytest, never hashed).
+# ---------------------------------------------------------------------------
+
+_Q08_ORACLE = """
+SELECT
+  l_returnflag,
+  list_transform(quantile_cont(l_quantity, [0.25, 0.5, 0.75]), x -> round(x, 6))
+    AS qty_quartiles,
+  round(median(l_quantity), 6) AS qty_median
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@query("q08_percentiles", oracle=_Q08_ORACLE, tags=("A7",))
+def q08_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation) + median, round-6 guarded."""
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.transform(
+                F.percentile("l_quantity", F.lit([0.25, 0.5, 0.75])),
+                lambda x: F.round(x, 6),
+            ).alias("qty_quartiles"),
+            F.round(F.median("l_quantity"), 6).alias("qty_median"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A8 collect_list / collect_set (order-normalized per §2.4 rule 4).
+# ---------------------------------------------------------------------------
+
+_Q09_ORACLE = """
+SELECT
+  c_nationkey,
+  list_sort(list(DISTINCT c_mktsegment)) AS segments,
+  list_sort(list(c_custkey)) AS custkeys,
+  COUNT(*) AS n_customers
+FROM customer
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+@query("q09_collect_list_set", oracle=_Q09_ORACLE, tags=("A8",))
+def q09_collect_list_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set / collect_list with array_sort normalization."""
+    c = table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey")
+        .agg(
+            F.array_sort(F.collect_set("c_mktsegment")).alias("segments"),
+            F.array_sort(F.collect_list("c_custkey")).alias("custkeys"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# O1/O2 global sort + limit/offset.
+# ---------------------------------------------------------------------------
+
+_Q10_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20 OFFSET 100
+"""
+
+
+@query("q10_limit_offset", oracle=_Q10_ORACLE, tags=("O1", "O2"))
+def q10_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global multi-key sort with LIMIT/OFFSET pagination.
+
+    Plan: Spark turns global sort+limit into TakeOrderedAndProject —
+    per-partition top-(offset+limit), then a single-driver merge of k
+    rows, never a full global sort.
+    """
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .offset(100)
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# P1/P2 projection, computed/renamed columns, null-safe predicates.
+# ---------------------------------------------------------------------------
+
+_Q11_ORACLE = """
+SELECT
+  c_custkey,
+  upper(c_name) AS name_upper,
+  c_acctbal + 100.0 AS bal_plus,
+  (c_mktsegment IS NOT DISTINCT FROM 'BUILDING') AS is_building
+FROM customer
+WHERE (c_acctbal > 5000.0 OR c_mktsegment = 'MACHINERY') AND c_nationkey IS NOT NULL
+ORDER BY c_custkey
+"""
+
+
+@query("q11_proj_filter", oracle=_Q11_ORACLE, tags=("P1", "P2"))
+def q11_proj_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection/rename/computed columns + disjunctive & null-safe filter."""
+    c = table(spark, sf_dir, "customer")
+    return (
+        c.filter(
+            ((F.col("c_acctbal") > 5000.0) | (F.col("c_mktsegment") == "MACHINERY"))
+            & F.col("c_nationkey").isNotNull()
+        )
+        .select(
+            "c_custkey",
+            F.upper("c_name").alias("name_upper"),
+            (F.col("c_acctbal") + F.lit(100.0)).alias("bal_plus"),
+            F.col("c_mktsegment").eqNullSafe("BUILDING").alias("is_building"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P3 struct build + nested access (reference `Space` object surface,
+# README.md:84-86 — plain structs, no custom type; SURVEY.md §1.2).
+# ---------------------------------------------------------------------------
+
+_Q12_ORACLE = """
+WITH s AS (
+  SELECT struct_pack(name := c_name, bal := c_acctbal, seg := c_mktsegment) AS info,
+         c_custkey
+  FROM customer
+)
+SELECT
+  c_custkey,
+  struct_extract(info, 'name') AS info_name,
+  struct_extract(info, 'bal') AS info_bal,
+  struct_extract(info, 'seg') AS info_seg
+FROM s
+ORDER BY c_custkey
+"""
+
+
+@query("q12_struct_nested", oracle=_Q12_ORACLE, tags=("P3",))
+def q12_struct_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a struct column, then project nested fields back out."""
+    c = table(spark, sf_dir, "customer")
+    s = c.select(
+        "c_custkey",
+        F.struct(
+            F.col("c_name").alias("name"),
+            F.col("c_acctbal").alias("bal"),
+            F.col("c_mktsegment").alias("seg"),
+        ).alias("info"),
+    )
+    return s.select(
+        "c_custkey",
+        F.col("info.name").alias("info_name"),
+        F.col("info.bal").alias("info_bal"),
+        F.col("info.seg").alias("info_seg"),
+    ).orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# Q1 subqueries (scalar + correlated EXISTS) through the SQL entry point.
+# ---------------------------------------------------------------------------
+
+_Q13_ORACLE = """
+SELECT c_custkey, c_acctbal
+FROM customer
+WHERE c_acctbal > (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) FROM customer
+)
+ORDER BY c_custkey
+"""
+
+
+@query("q13_scalar_subquery", oracle=_Q13_ORACLE, tags=("Q1",))
+def q13_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery (above-average account balance); E1 SQL entry point."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_acctbal
+        FROM customer
+        WHERE c_acctbal > (
+          SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+          FROM customer
+        )
+        ORDER BY c_custkey
+        """
+    )
+
+
+_Q14_ORACLE = """
+SELECT o.o_orderkey, o.o_orderpriority
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49.0
+)
+AND o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+ORDER BY o.o_orderkey
+"""
+
+
+@query("q14_exists_subquery", oracle=_Q14_ORACLE, tags=("Q1",))
+def q14_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS + IN list; Catalyst decorrelates to a semi join."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_orderpriority
+        FROM orders o
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49.0
+        )
+        AND o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        ORDER BY o.o_orderkey
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6 approx_count_distinct — never hash-compared (different sketch impls);
+# driver records rows-only, pytest bounds-checks vs the exact count.
+# ---------------------------------------------------------------------------
+
+
+@query("q15_approx_count_distinct", oracle=None, tags=("A6", "approx"))
+def q15_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct count per event_type."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
+        .orderBy("event_type")
+    )
