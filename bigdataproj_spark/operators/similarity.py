@@ -1,0 +1,243 @@
+"""Similarity search & embedding operators (SURVEY.md §2.3 L3/L4).
+
+Serves the reference's embedding surface (GloVe vectors, reference
+README.md:59,92) generalized to the training-pipeline ANN use case:
+brute-force cosine top-k as the exact baseline, sign-random-projection
+LSH as the scale path.
+
+Determinism: dot products and squared norms accumulate per-element
+DECIMAL casts of double products (order-independent), then all scalar
+math (sqrt, divide) happens in IEEE double — bit-identical to the
+DuckDB oracle's unnest+SUM formulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import table
+from ..registry import query
+
+_DEC = "decimal(30,15)"
+
+
+def _dec_fold(products: Column) -> Column:
+    """Order-independent sum of an array of doubles via DECIMAL casts."""
+    zero = F.lit(0).cast(_DEC)
+    return F.aggregate(
+        products,
+        zero,
+        lambda acc, x: (acc + x.cast(_DEC)).cast(_DEC),
+    ).cast("double")
+
+
+def dot_exact(a: Column | str, b: Column | str) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return _dec_fold(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")))
+
+
+def sq_norm_exact(a: Column | str) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    return _dec_fold(F.transform(a, lambda x: x.cast("double") * x.cast("double")))
+
+
+# ---------------------------------------------------------------------------
+# L3 brute-force cosine top-k (exact baseline).
+# ---------------------------------------------------------------------------
+
+_N_PROBES = 5
+_TOP_K = 5
+
+_Q65_ORACLE = f"""
+WITH el AS (
+  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) idx
+),
+norms AS (
+  SELECT vec_id, CAST(SUM(CAST(v * v AS DECIMAL(30,15))) AS DOUBLE) AS nsq
+  FROM el GROUP BY vec_id
+),
+dots AS (
+  SELECT a.vec_id AS probe_id, b.vec_id AS cand_id,
+         CAST(SUM(CAST(a.v * b.v AS DECIMAL(30,15))) AS DOUBLE) AS dot
+  FROM el a
+  JOIN el b ON a.i = b.i AND b.vec_id <> a.vec_id
+  WHERE a.vec_id < {_N_PROBES}
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT probe_id, cand_id, d.dot / (sqrt(na.nsq) * sqrt(nb.nsq)) AS cos
+  FROM dots d
+  JOIN norms na ON d.probe_id = na.vec_id
+  JOIN norms nb ON d.cand_id = nb.vec_id
+)
+SELECT probe_id, cand_id, rank, round(cos, 6) AS cos_sim
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rank
+  FROM scored
+)
+WHERE rank <= {_TOP_K}
+ORDER BY probe_id, rank
+"""
+
+
+@query("q65_cosine_topk", oracle=_Q65_ORACLE, tags=("L3", "bench", "similarity"))
+def q65_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for 5 probe vectors (brute force).
+
+    The JVM-side zip_with/aggregate kernel is the baseline; q67 is the
+    LSH-bucketed scale path. The probe side is tiny, so Spark
+    broadcasts it and the scan of the candidate side streams through
+    one task wave with no shuffle of the big side.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    probes = F.broadcast(
+        e.filter(F.col("vec_id") < _N_PROBES).select(
+            F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+        )
+    )
+    cands = e.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("ce"))
+    pairs = probes.crossJoin(cands).filter(F.col("probe_id") != F.col("cand_id"))
+    scored = pairs.select(
+        "probe_id",
+        "cand_id",
+        (
+            dot_exact("pe", "ce")
+            / (F.sqrt(sq_norm_exact("pe")) * F.sqrt(sq_norm_exact("ce")))
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("probe_id", "cand_id", "rank", F.round("cos", 6).alias("cos_sim"))
+        .orderBy("probe_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L4 embedding pooling: element-wise mean vector per label.
+# ---------------------------------------------------------------------------
+
+_Q66_ORACLE = """
+SELECT
+  label,
+  pos - 1 AS pos,
+  CAST(SUM(CAST(floor(CAST(embedding[pos] AS DOUBLE) * 1048576) AS BIGINT)) AS DOUBLE)
+    / 1048576 / COUNT(*) AS avg_val
+FROM embeddings, (SELECT unnest(range(1, 65)) AS pos) idx
+GROUP BY label, pos
+ORDER BY label, pos
+"""
+
+
+@query("q66_embedding_pool", oracle=_Q66_ORACLE, tags=("L4", "similarity"))
+def q66_embedding_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-pooled embedding per label, emitted as (label, pos, value)
+    rows (the reference's GloVe average-pooling surface, README.md:92).
+
+    posexplode → partial+final agg on the bounded (label, pos) key.
+    Floats are quantized to Q20 binary fixed-point (floor(v * 2^20) —
+    an EXACT IEEE op, unlike decimal rounding whose tie-breaks differ
+    between engines), summed as exact int64, divided back in double.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    q20 = F.floor(F.col("v").cast("double") * 1048576).cast("long")
+    return (
+        e.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(
+            (F.sum(q20).cast("double") / 1048576 / F.count(F.lit(1))).alias("avg_val")
+        )
+        .orderBy("label", "pos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN scale path: sign-random-projection LSH buckets + exact re-rank.
+# Hyperplanes are derived from xxhash64 (deterministic, seedable, no
+# stored model) — no DuckDB twin, so the driver records rows-only and
+# tests/test_similarity.py checks recall against q65's exact answer.
+# ---------------------------------------------------------------------------
+
+_N_PLANES = 8
+
+
+def _bucket(vec: Column | str) -> Column:
+    """LSH bucket id: sign bit of <v, h_j> for 8 pseudo-random planes.
+
+    Plane j's component i is a deterministic hash-derived value in
+    [-1, 1): pmod(xxhash64(j, i), 1000)/500 - 1.
+    """
+    vec = F.col(vec) if isinstance(vec, str) else vec
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(_N_PLANES - 1)),
+        lambda j: F.when(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(63)),
+                        lambda i: F.pmod(F.xxhash64(j, i), F.lit(1000)).cast("double")
+                        / 500.0
+                        - 1.0,
+                    ),
+                    lambda x, h: x.cast("double") * h,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            >= 0,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    # Big-endian bit fold: bucket = sum(bit_j * 2^j) via acc*2 + bit
+    # (shiftleft needs a literal shift amount, so fold instead).
+    return F.aggregate(F.reverse(bits), F.lit(0), lambda acc, b: acc * 2 + b)
+
+
+@query("q67_ann_lsh", oracle=None, tags=("L3", "similarity"))
+def q67_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-3 neighbors via LSH bucket prefilter + exact
+    cosine re-rank inside the bucket.
+
+    At 100 TB: candidates only meet probes sharing their 8-bit bucket
+    (a 256-way partition of the corpus), so the crossJoin of q65
+    becomes an equi-join on the bucket key — shuffle-partitionable,
+    no quadratic blow-up. Recall is tested against q65 in pytest.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    withb = e.select("vec_id", "embedding", _bucket("embedding").alias("bucket"))
+    probes = F.broadcast(
+        withb.filter(F.col("vec_id") < _N_PROBES).select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("pe"),
+            F.col("bucket").alias("pb"),
+        )
+    )
+    cands = withb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("ce"),
+        F.col("bucket").alias("cb"),
+    )
+    pairs = probes.join(cands, F.col("pb") == F.col("cb")).filter(
+        F.col("probe_id") != F.col("cand_id")
+    )
+    scored = pairs.select(
+        "probe_id",
+        "cand_id",
+        (
+            dot_exact("pe", "ce")
+            / (F.sqrt(sq_norm_exact("pe")) * F.sqrt(sq_norm_exact("ce")))
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("probe_id", "cand_id", "rank", F.round("cos", 6).alias("cos_sim"))
+        .orderBy("probe_id", "rank")
+    )

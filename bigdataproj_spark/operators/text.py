@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import table
 from ..registry import query
@@ -94,6 +95,32 @@ GROUP BY tag
 ORDER BY n DESC, tag
 """
 
+# Deterministic lexicons (SURVEY.md §7 "sentiment/NER parity"): fixed
+# constants, not learned models — the oracle re-declares the same VALUES.
+SENTIMENT_LEXICON: tuple[tuple[str, int], ...] = (
+    ("fast", 2),
+    ("big", 1),
+    ("value", 1),
+    ("small", -1),
+    ("slow", -2),
+)
+
+GAZETTEER: tuple[tuple[str, str], ...] = (
+    ("spark", "TECH"),
+    ("table", "OBJECT"),
+    ("window", "OBJECT"),
+    ("customer", "ROLE"),
+)
+
+STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "to", "in", "is", "on")
+
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and"),
+    "de": ("der", "die", "das", "und"),
+    "es": ("el", "los", "que", "de"),
+    "fr": ("le", "les", "et", "une"),
+}
+
 
 @query("q21_hashtag_counts", oracle=_Q21_ORACLE, tags=("R3", "F-S2", "text"))
 def q21_hashtag_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -106,3 +133,275 @@ def q21_hashtag_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), "tag")
     )
+
+
+# ---------------------------------------------------------------------------
+# L5 text stats / quality scoring — all exact-integer or IEEE-division
+# arithmetic, so no rounding is needed anywhere.
+# ---------------------------------------------------------------------------
+
+_STOP_SQL = "'" + "','".join(STOPWORDS) + "'"
+
+_Q22_ORACLE = f"""
+WITH t AS (SELECT doc_id, text, {TOKENS_SQL} AS toks FROM documents)
+SELECT
+  doc_id,
+  len(toks) AS n_tokens,
+  length(text) AS n_chars_measured,
+  CAST(length(array_to_string(toks, '')) AS DOUBLE) / len(toks) AS avg_token_len,
+  CAST(len(list_filter(toks, x -> x IN ({_STOP_SQL}))) AS DOUBLE) / len(toks)
+    AS stopword_ratio,
+  CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+    / length(text) AS punct_ratio,
+  len(toks) BETWEEN 20 AND 1000 AS len_ok
+FROM t
+ORDER BY doc_id
+"""
+
+
+@query("q22_doc_stats", oracle=_Q22_ORACLE, tags=("L5", "text"))
+def q22_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality stats: token count, average token length,
+    stopword ratio, punctuation ratio, length-band flag.
+
+    The quality-filter recipe of large text-corpus pipelines; every
+    ratio is exact-int / exact-int in IEEE double, bit-stable.
+    """
+    d = table(spark, sf_dir, "documents")
+    t = d.select("doc_id", "text", tokens("text").alias("toks"))
+    n_toks = F.size("toks")
+    return t.select(
+        "doc_id",
+        n_toks.alias("n_tokens"),
+        F.length("text").alias("n_chars_measured"),
+        (F.length(F.concat_ws("", F.col("toks"))).cast("double") / n_toks).alias(
+            "avg_token_len"
+        ),
+        (
+            F.size(F.filter("toks", lambda x: x.isin(*STOPWORDS))).cast("double")
+            / n_toks
+        ).alias("stopword_ratio"),
+        (
+            (
+                F.length("text")
+                - F.length(F.regexp_replace("text", r"[^a-z0-9 ]", ""))
+            ).cast("double")
+            / F.length("text")
+        ).alias("punct_ratio"),
+        n_toks.between(20, 1000).alias("len_ok"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# L6 / R8 sentiment: deterministic lexicon scorer (broadcast join).
+# ---------------------------------------------------------------------------
+
+_LEX_SQL = ", ".join(f"('{w}', {s})" for w, s in SENTIMENT_LEXICON)
+
+_Q23_ORACLE = f"""
+WITH lex(token, weight) AS (VALUES {_LEX_SQL}),
+toks AS (SELECT doc_id, unnest({TOKENS_SQL}) AS token FROM documents),
+scores AS (
+  SELECT t.doc_id, CAST(SUM(l.weight) AS BIGINT) AS s
+  FROM toks t JOIN lex l ON t.token = l.token
+  GROUP BY t.doc_id
+)
+SELECT
+  d.doc_id,
+  COALESCE(s.s, 0) AS sentiment_score,
+  CASE WHEN COALESCE(s.s, 0) > 0 THEN 'positive'
+       WHEN COALESCE(s.s, 0) < 0 THEN 'negative'
+       ELSE 'neutral' END AS sentiment
+FROM documents d
+LEFT JOIN scores s ON d.doc_id = s.doc_id
+ORDER BY d.doc_id
+"""
+
+
+@query("q23_sentiment", oracle=_Q23_ORACLE, tags=("L6", "R8", "text"))
+def q23_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentiment label per document (reference R8, README.md:61,87-88,
+    re-expressed as a deterministic lexicon scorer per SURVEY.md §7).
+
+    Plan: explode → broadcast-join the 5-row lexicon → partial+final
+    sum on doc_id → left join back to keep zero-hit documents.
+    """
+    d = table(spark, sf_dir, "documents")
+    lex = F.broadcast(
+        spark.createDataFrame(list(SENTIMENT_LEXICON), "token string, weight int")
+    )
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("token"))
+    scores = (
+        toks.join(lex, "token")
+        .groupBy("doc_id")
+        .agg(F.sum("weight").cast("long").alias("s"))
+    )
+    return (
+        d.join(scores, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("s", F.lit(0)).alias("sentiment_score"),
+            F.when(F.coalesce("s", F.lit(0)) > 0, "positive")
+            .when(F.coalesce("s", F.lit(0)) < 0, "negative")
+            .otherwise("neutral")
+            .alias("sentiment"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L7 / R7 NER-lite: gazetteer entity tagging (broadcast join).
+# ---------------------------------------------------------------------------
+
+_GAZ_SQL = ", ".join(f"('{w}', '{t}')" for w, t in GAZETTEER)
+
+_Q24_ORACLE = f"""
+WITH gaz(token, etype) AS (VALUES {_GAZ_SQL}),
+toks AS (SELECT doc_id, unnest({TOKENS_SQL}) AS token FROM documents),
+ents AS (
+  SELECT t.doc_id, list_sort(list(DISTINCT g.etype || ':' || t.token)) AS entities
+  FROM toks t JOIN gaz g ON t.token = g.token
+  GROUP BY t.doc_id
+)
+SELECT
+  d.doc_id,
+  COALESCE(e.entities, []) AS entities,
+  len(COALESCE(e.entities, [])) AS n_entities
+FROM documents d
+LEFT JOIN ents e ON d.doc_id = e.doc_id
+ORDER BY d.doc_id
+"""
+
+
+@query("q24_ner_lite", oracle=_Q24_ORACLE, tags=("L7", "R7", "text"))
+def q24_ner_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity tags per document (reference R7, README.md:60,93 —
+    locations/organizations/persons — as a deterministic gazetteer
+    match per SURVEY.md §7)."""
+    d = table(spark, sf_dir, "documents")
+    gaz = F.broadcast(
+        spark.createDataFrame(list(GAZETTEER), "token string, etype string")
+    )
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("token"))
+    ents = (
+        toks.join(gaz, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_set(F.concat_ws(":", "etype", "token"))
+            ).alias("entities")
+        )
+    )
+    empty = F.array().cast("array<string>")
+    return (
+        d.join(ents, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("entities", empty).alias("entities"),
+            F.size(F.coalesce("entities", empty)).alias("n_entities"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID: n-gram/stopword-marker heuristic with a fixed priority
+# order for ties (en > de > es > fr).
+# ---------------------------------------------------------------------------
+
+
+def _marker_sql(lang: str) -> str:
+    words = "'" + "','".join(LANG_MARKERS[lang]) + "'"
+    return f"len(list_filter(toks, x -> x IN ({words})))"
+
+
+_Q25_ORACLE = f"""
+WITH t AS (SELECT doc_id, lang, {TOKENS_SQL} AS toks FROM documents),
+s AS (
+  SELECT doc_id, lang,
+    {_marker_sql('en')} AS s_en,
+    {_marker_sql('de')} AS s_de,
+    {_marker_sql('es')} AS s_es,
+    {_marker_sql('fr')} AS s_fr
+  FROM t
+)
+SELECT doc_id, lang, s_en, s_de, s_es, s_fr,
+  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+       WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+       WHEN s_es >= s_fr THEN 'es'
+       ELSE 'fr' END AS predicted_lang
+FROM s
+ORDER BY doc_id
+"""
+
+
+@query("q25_lang_id", oracle=_Q25_ORACLE, tags=("L5", "text"))
+def q25_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language identification with deterministic
+    tie-break priority (en > de > es > fr)."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select("doc_id", "lang", tokens("text").alias("toks"))
+
+    def marker_count(lg: str) -> Column:
+        # Closure factory (not a default-arg lambda: a 2-param lambda
+        # would make F.filter pass the element *index* as the 2nd arg).
+        markers = LANG_MARKERS[lg]
+        return F.size(F.filter("toks", lambda x: x.isin(*markers)))
+
+    scores = t.select(
+        "doc_id",
+        "lang",
+        *[marker_count(lg).alias(f"s_{lg}") for lg in ("en", "de", "es", "fr")],
+    )
+    en, de, es, fr = (F.col(f"s_{lg}") for lg in ("en", "de", "es", "fr"))
+    return scores.select(
+        "doc_id",
+        "lang",
+        "s_en",
+        "s_de",
+        "s_es",
+        "s_fr",
+        F.when((en >= de) & (en >= es) & (en >= fr), "en")
+        .when((de >= es) & (de >= fr), "de")
+        .when(es >= fr, "es")
+        .otherwise("fr")
+        .alias("predicted_lang"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting: md5 over whitespace-normalized text (shared
+# by exact dedup L1 — see operators/dedup.py).
+# ---------------------------------------------------------------------------
+
+FINGERPRINT_SQL = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Stable content fingerprint: lower → collapse whitespace → md5.
+
+    md5 (not xxhash64) because DuckDB has a bit-identical twin.
+    """
+    text = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")))
+
+
+_Q26_ORACLE = f"""
+WITH fp AS (SELECT doc_id, {FINGERPRINT_SQL} AS fingerprint FROM documents)
+SELECT doc_id, fingerprint,
+  COUNT(*) OVER (PARTITION BY fingerprint) AS n_same
+FROM fp
+ORDER BY doc_id
+"""
+
+
+@query("q26_fingerprint", oracle=_Q26_ORACLE, tags=("L1", "text"))
+def q26_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint per document + same-content group size."""
+    d = table(spark, sf_dir, "documents")
+    fp = d.select("doc_id", fingerprint("text").alias("fingerprint"))
+    w = Window.partitionBy("fingerprint")
+    return fp.select(
+        "doc_id", "fingerprint", F.count(F.lit(1)).over(w).alias("n_same")
+    ).orderBy("doc_id")
