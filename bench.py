@@ -1,0 +1,69 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries (registry tag ``bench``) at
+``$SPARK_GRAFT_SF_DIR`` (default ``/root/testdata/sf0.1``) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Timing = logical-plan build + full execution drained through the noop
+sink (no driver-side materialization — the 100 TB-honest measurement);
+one untimed warm-up run first so JVM/codegen startup isn't billed to
+the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bigdataproj_spark.registry import load_all  # noqa: E402
+from bigdataproj_spark.session import get_spark  # noqa: E402
+
+
+def sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.0
+
+
+def run_query(q, spark, sf_dir: str) -> float:
+    t0 = time.perf_counter()
+    q.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bigdataproj-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    bench = {n: q for n, q in load_all().items() if "bench" in q.tags}
+
+    # Warm-up: run the cheapest headline query once, untimed.
+    first = next(iter(bench.values()))
+    first.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    times: dict[str, float] = {}
+    for name, q in bench.items():
+        times[name] = round(run_query(q, spark, sf_dir), 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_wall",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf_of(sf_dir),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

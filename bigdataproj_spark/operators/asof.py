@@ -77,7 +77,7 @@ ORDER BY p.event_id
 """
 
 
-@query("q48_asof_join", oracle=_Q48_ORACLE, tags=("J8",))
+@query("q48_asof_join", oracle=_Q48_ORACLE, tags=("J8", "bench"))
 def q48_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Attribution: each purchase joined to the user's latest prior
     (or simultaneous) click; oracle is DuckDB's native ASOF JOIN."""

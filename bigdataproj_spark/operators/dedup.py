@@ -35,7 +35,7 @@ ORDER BY doc_id
 """
 
 
-@query("q60_exact_dedup", oracle=_Q60_ORACLE, tags=("L1", "dedup"))
+@query("q60_exact_dedup", oracle=_Q60_ORACLE, tags=("L1", "dedup", "bench"))
 def q60_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: every document mapped to the smallest doc_id
     sharing its content fingerprint (survivor), flagged if duplicate.
@@ -160,31 +160,24 @@ ROWS_PER_BAND = N_HASHES // N_BANDS
 def minhash_signatures(sh: DataFrame) -> DataFrame:
     """doc_id → fixed-length MinHash signature array.
 
-    Input: (doc_id, shingle) exploded pairs. One shuffle (groupBy
-    doc_id); the per-seed min-hashes are computed map-side via
-    partial aggregation.
+    Input: (doc_id, shingle) exploded pairs. ONE shuffle: the N_HASHES
+    per-seed minima are independent literal-seeded ``min(xxhash64(...))``
+    aggregates in a single groupBy — no 16× row explosion, no second
+    shuffle, fully inside whole-stage codegen with map-side partial
+    aggregation (an earlier explode+double-groupBy formulation was ~40×
+    slower at sf0.1).
     """
-    seeded = sh.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(N_HASHES - 1)),
-                lambda s: F.struct(
-                    s.alias("seed"), F.xxhash64("shingle", s).alias("h")
-                ),
-            )
-        ).alias("sh"),
-    ).select("doc_id", F.col("sh.seed").alias("seed"), F.col("sh.h").alias("h"))
-    per_seed = seeded.groupBy("doc_id", "seed").agg(F.min("h").alias("mh"))
-    return per_seed.groupBy("doc_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("seed", "mh"))),
-            lambda x: x.getField("mh"),
-        ).alias("sig")
+    mins = [
+        F.min(F.xxhash64("shingle", F.lit(s))).alias(f"mh{s}")
+        for s in range(N_HASHES)
+    ]
+    per_doc = sh.groupBy("doc_id").agg(*mins)
+    return per_doc.select(
+        "doc_id", F.array(*[f"mh{s}" for s in range(N_HASHES)]).alias("sig")
     )
 
 
-@query("q62_minhash_lsh", oracle=None, tags=("L2", "dedup"))
+@query("q62_minhash_lsh", oracle=None, tags=("L2", "dedup", "bench"))
 def q62_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates with signature-estimated Jaccard.
 

@@ -159,7 +159,7 @@ ORDER BY doc_id
 """
 
 
-@query("q22_doc_stats", oracle=_Q22_ORACLE, tags=("L5", "text"))
+@query("q22_doc_stats", oracle=_Q22_ORACLE, tags=("L5", "text", "bench"))
 def q22_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality stats: token count, average token length,
     stopword ratio, punctuation ratio, length-band flag.

@@ -115,7 +115,7 @@ ORDER BY event_id
 """
 
 
-@query("q42_running_agg", oracle=_Q42_ORACLE, tags=("W3", "W4"))
+@query("q42_running_agg", oracle=_Q42_ORACLE, tags=("W3", "W4", "bench"))
 def q42_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running sum + 4-row moving average per user (ROWS frames),
     decimal-exact so frame summation order cannot matter."""
