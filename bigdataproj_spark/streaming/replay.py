@@ -1,0 +1,236 @@
+"""Deterministic micro-batch replay of the ``events`` fixture through
+REAL Structured Streaming operators (SURVEY.md §2.3 ST4-ST6, §5.2
+item 2).
+
+The reference's stream is a Kafka topic of JSON tweets (reference
+README.md:48-49, 100-101); no broker exists in tests, so the harness
+replays the bounded ``events`` table as a sequence of parquet files in
+event-time order — the same micro-batch boundaries every run — and
+drives ``readStream`` with watermarks, windowed aggregation, stateful
+dedup, and arbitrary state. Results are golden-checked (streaming
+semantics have no DuckDB twin).
+
+Kafka wiring at deployment is one-line swaps:
+``spark.readStream.format("kafka")…`` for the file source and
+``writeStream.format("kafka")`` for the sink — the transformation
+graph in between is exactly what runs here.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import table
+
+EVENTS_DDL = (
+    "event_id long, ts timestamp, user_id long, "
+    "event_type string, value double, props string"
+)
+
+
+def stage_microbatches(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    n_batches: int = 8,
+    shuffle_within_batch: bool = True,
+) -> list[str]:
+    """Split events into n deterministic micro-batch parquet files.
+
+    Batches are event-time-ordered *between* batches but (optionally)
+    scrambled *within* a batch by a hash of event_id — so watermark
+    tests see genuinely out-of-order data inside each micro-batch,
+    deterministically.
+    """
+    e = table(spark, sf_dir, "events").withColumn(
+        "_b", F.ntile(n_batches).over(Window.orderBy("ts", "event_id"))
+    )
+    pdf = e.toPandas()
+    paths = []
+    for b in range(1, n_batches + 1):
+        part = pdf[pdf["_b"] == b].drop(columns=["_b"])
+        if shuffle_within_batch:
+            part = part.sort_values(
+                by="event_id", key=lambda s: (s * 2654435761) % 97
+            )
+        path = os.path.join(out_dir, f"batch_{b:03d}.parquet")
+        # µs timestamps: pandas defaults to TIMESTAMP(NANOS), which the
+        # streaming reader's explicit schema won't coerce.
+        part.to_parquet(
+            path, index=False, coerce_timestamps="us", allow_truncated_timestamps=True
+        )
+        paths.append(path)
+    return paths
+
+
+def run_file_stream(
+    spark: SparkSession,
+    batch_paths: list[str],
+    transform,
+    output_mode: str = "append",
+) -> pd.DataFrame:
+    """Drive a Structured Streaming query over staged micro-batches.
+
+    Copies batch files one at a time into a watched source directory,
+    processing each with ``processAllAvailable`` so micro-batch
+    boundaries are exactly the staged ones. ``transform`` maps the
+    streaming DataFrame to its result; output accumulates through a
+    memory sink and the final table is returned.
+    """
+    src = tempfile.mkdtemp(prefix="stream_src_")
+    ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
+    sink_name = f"sink_{abs(hash(tuple(batch_paths))) % 10**8}"
+    try:
+        stream = (
+            spark.readStream.schema(EVENTS_DDL)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            transform(stream)
+            .writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            for p in batch_paths:
+                shutil.copy(p, src)
+                q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.table(sink_name).toPandas()
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# ST4: watermarked tumbling aggregation (late data dropped).
+# ---------------------------------------------------------------------------
+
+
+def tumbling_stream(delay: str = "2 hours"):
+    """Watermarked 1-hour tumbling counts — the streaming twin of
+    batch q85. Windows finalize once the watermark (max event time -
+    delay) passes their end; later-arriving rows for a finalized
+    window are dropped (ST4)."""
+
+    def transform(stream: DataFrame) -> DataFrame:
+        return (
+            stream.withWatermark("ts", delay)
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_value"),
+            )
+            .select(
+                F.date_format("w.start", "yyyy-MM-dd'T'HH:mm:ss").alias("w_start"),
+                "event_type",
+                "n_events",
+                "sum_value",
+            )
+        )
+
+    return transform
+
+
+# ---------------------------------------------------------------------------
+# ST5: stateful stream dedup within watermark.
+# ---------------------------------------------------------------------------
+
+
+def dedup_stream(delay: str = "2 hours"):
+    """Drop duplicate (user_id, event_type) pairs arriving within the
+    watermark horizon (ST5) — the streaming form of exact dedup where
+    state for old keys is reclaimed as the watermark advances (bounded
+    state at 100 TB/day input)."""
+
+    def transform(stream: DataFrame) -> DataFrame:
+        return (
+            stream.withWatermark("ts", delay)
+            .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+            .select("event_id", "user_id", "event_type")
+        )
+
+    return transform
+
+
+# ---------------------------------------------------------------------------
+# ST6: arbitrary stateful operator via applyInPandasWithState —
+# running per-user event counter + cumulative value.
+# ---------------------------------------------------------------------------
+
+STATE_DDL = "n long, cents long"
+OUT_DDL = "user_id long, n long, total double"
+
+
+def running_totals_stream(delay: str = "2 hours"):
+    """Per-user running (count, exact-cents total) maintained as
+    explicit state across micro-batches (ST6). State is keyed by
+    user_id — partitioned, no global coordination — and emits one
+    updated row per user per micro-batch."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        n, cents = state.get if state.exists else (0, 0)
+        # A key's state can surface as existing-but-null fields; treat
+        # null as zero.
+        n, cents = n or 0, cents or 0
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int(round(float(pdf["value"].sum()) * 100))
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n": [n], "total": [cents / 100.0]}
+        )
+
+    def transform(stream: DataFrame) -> DataFrame:
+        return (
+            stream.withWatermark("ts", delay)
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                update,
+                outputStructType=OUT_DDL,
+                stateStructType=STATE_DDL,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+
+    return transform
+
+
+# ---------------------------------------------------------------------------
+# ST7: stream-static enrichment join (streaming twin of batch q88).
+# ---------------------------------------------------------------------------
+
+
+def enriched_stream(spark: SparkSession, sf_dir: str):
+    """Join the event stream against static customer/nation dims —
+    broadcast per micro-batch, so the unbounded side never shuffles."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    dim = F.broadcast(
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+            "c_custkey", "c_name", F.col("n_name").alias("nation")
+        )
+    )
+
+    def transform(stream: DataFrame) -> DataFrame:
+        return stream.join(dim, stream.user_id == dim.c_custkey).select(
+            "event_id", "event_type", "c_name", "nation"
+        )
+
+    return transform

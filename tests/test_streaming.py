@@ -1,0 +1,148 @@
+"""Golden replay tests for the real Structured Streaming operators
+(SURVEY.md §5.2 item 2: ST4-ST7 have no DuckDB twin — semantics are
+asserted against batch twins and invariants instead).
+
+Runs at sf0.001 (events ≈1k rows) for speed; the replay harness stages
+8 deterministic micro-batches, so every run sees the same batch
+boundaries and the same late-data pattern.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from bigdataproj_spark.catalog import table
+from bigdataproj_spark.streaming import replay
+
+
+@pytest.fixture(scope="module")
+def batches(spark, sf_dir):
+    with tempfile.TemporaryDirectory(prefix="stage_") as d:
+        yield replay.stage_microbatches(spark, sf_dir, d, n_batches=8)
+
+
+def test_tumbling_watermark_matches_batch(spark, sf_dir, batches):
+    """ST4: with in-order batches (late data only *within* each
+    micro-batch, far under the 2h watermark), the streamed windowed
+    counts must equal the batch twin exactly."""
+    got = replay.run_file_stream(
+        spark, batches, replay.tumbling_stream("2 hours"), output_mode="append"
+    )
+    e = table(spark, sf_dir, "events")
+    want = (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd'T'HH:mm:ss").alias("w_start"),
+            "event_type",
+            "n_events",
+        )
+        .toPandas()
+    )
+    # Append mode only emits windows finalized by the watermark; the
+    # last windows (within 2h+1h of max ts) are still open when the
+    # stream ends. Every emitted window must match batch exactly.
+    got_idx = got.set_index(["w_start", "event_type"])["n_events"].sort_index()
+    want_idx = want.set_index(["w_start", "event_type"])["n_events"].sort_index()
+    assert len(got_idx) > 0
+    joined = got_idx.to_frame("got").join(want_idx.to_frame("want"))
+    assert (joined["got"] == joined["want"]).all(), joined[
+        joined["got"] != joined["want"]
+    ]
+    # and the stream must have finalized (nearly) all windows
+    assert len(got_idx) >= len(want_idx) * 0.8
+
+
+def test_watermark_drops_late_rows(spark, sf_dir, batches):
+    """ST4 negative: replaying the batches with one very-late batch
+    (the chronologically-first batch delivered LAST) under a short
+    watermark must drop those rows from finalized windows."""
+    reordered = batches[1:] + batches[:1]
+    got = replay.run_file_stream(
+        spark, reordered, replay.tumbling_stream("30 minutes"), output_mode="append"
+    )
+    e = table(spark, sf_dir, "events")
+    full = (
+        e.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.date_format("w.start", "yyyy-MM-dd'T'HH:mm:ss").alias("w_start"), "n")
+        .toPandas()
+        .set_index("w_start")["n"]
+    )
+    got_by_w = got.groupby("w_start")["n_events"].sum()
+    # The earliest windows were finalized before their data arrived →
+    # either absent from the stream output or undercounted.
+    first_w = full.index.min()
+    assert first_w not in got_by_w.index or got_by_w[first_w] < full[first_w]
+
+
+def test_stream_dedup_within_watermark(spark, sf_dir, batches):
+    """ST5: dropDuplicatesWithinWatermark keeps at most one row per
+    (user_id, event_type) key within the watermark horizon, and never
+    fewer keys than the batch distinct."""
+    got = replay.run_file_stream(
+        spark, batches, replay.dedup_stream("2 hours"), output_mode="append"
+    )
+    e = table(spark, sf_dir, "events")
+    n_keys = e.select("user_id", "event_type").distinct().count()
+    n_rows = e.count()
+    # All distinct keys survive; total kept rows in [n_keys, n_rows).
+    assert got[["user_id", "event_type"]].drop_duplicates().shape[0] == n_keys
+    assert n_keys <= len(got) < n_rows
+    # Within any 1-hour span no duplicate key should appear twice
+    # (fixture spans 30 days ≫ watermark, duplicates in one batch are
+    # always deduped): spot-check global per-key multiplicity is small.
+    per_key = got.groupby(["user_id", "event_type"]).size()
+    assert per_key.max() <= len(batches)
+
+
+def test_stateful_running_totals(spark, sf_dir, batches):
+    """ST6: applyInPandasWithState running totals — the LAST emitted
+    row per user must equal the batch count/sum exactly (exact-cents
+    arithmetic, so equality is bitwise)."""
+    got = replay.run_file_stream(
+        spark, batches, replay.running_totals_stream("2 hours"), output_mode="append"
+    )
+    last = got.groupby("user_id").last()
+    e = table(spark, sf_dir, "events")
+    want = (
+        e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0
+            ).alias("total"),
+        )
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    assert (last["n"].sort_index() == want["n"]).all()
+    pd.testing.assert_series_equal(
+        last["total"].sort_index(), want["total"], check_names=False
+    )
+
+
+def test_stream_static_join(spark, sf_dir, batches):
+    """ST7: per-micro-batch stream-static enrichment equals the batch
+    join row-for-row."""
+    got = replay.run_file_stream(
+        spark, batches, replay.enriched_stream(spark, sf_dir), output_mode="append"
+    )
+    e = table(spark, sf_dir, "events")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    want = (
+        e.join(c, e.user_id == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .select("event_id", "event_type", "c_name", F.col("n_name").alias("nation"))
+        .toPandas()
+    )
+    got_s = got.sort_values("event_id").reset_index(drop=True)
+    want_s = want.sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_s, want_s, check_dtype=False)
