@@ -1,0 +1,129 @@
+"""S2 JSON scan and S3 CSV scan — schema-on-read file sources.
+
+The reference's batch path reads tweets from a JSON-lines file
+(reference README.md:105-107: "Tweets can also be read from a JSON
+file … processed in batches"). The engine's contract: every file scan
+declares an explicit schema (``spark.read.schema(s)``) — inference is
+never on a production path (SURVEY.md §1.2).
+
+The oracle strategy: the query builder first EXPORTS a fixture table
+to JSONL/CSV with the engine's own (distributed) writer, then reads it
+back through the schema-on-read scan and aggregates; the oracle runs
+the same aggregate on the original parquet. A hash match therefore
+proves the full write→scan round-trip is lossless, covering both the
+source and the serialization.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+from ..schemas import CUSTOMER, ORDERS
+
+_EXPORT_ROOT = os.path.join(tempfile.gettempdir(), "bigdataproj_exports")
+
+
+def _export_dir(sf_dir: str, kind: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return os.path.join(_EXPORT_ROOT, tag, kind)
+
+
+def write_json_copy(df: DataFrame, path: str) -> None:
+    """Export a DataFrame as JSON-lines (R10 serialization surface,
+    one JSON object per line, ISO-8601 timestamps — Spark's default
+    JSON timestamp format round-trips losslessly with the default
+    reader; a custom pattern on one side only would not)."""
+    df.write.mode("overwrite").json(path)
+
+
+def write_csv_copy(df: DataFrame, path: str) -> None:
+    """Export a DataFrame as headered CSV (quoted strings)."""
+    df.write.mode("overwrite").option("header", True).csv(path)
+
+
+def json_scan(spark: SparkSession, path: str, schema) -> DataFrame:
+    """S2: JSONL scan with explicit schema (never inferred)."""
+    return spark.read.schema(schema).json(path)
+
+
+def csv_scan(spark: SparkSession, path: str, schema) -> DataFrame:
+    """S3: headered CSV scan with explicit schema."""
+    return spark.read.schema(schema).option("header", True).csv(path)
+
+
+_Q90_ORACLE = """
+SELECT
+  o_orderpriority,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+    AS total_price,
+  strftime(MIN(o_orderdate), '%Y-%m-%dT%H:%M:%S') AS first_order
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@query("q90_json_scan", oracle=_Q90_ORACLE, tags=("S2", "sources"))
+def q90_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL round-trip: orders → distributed JSON export → schema-on-
+    read scan (S2) → aggregate. Matching the parquet-side oracle proves
+    the JSON boundary preserves longs, doubles, strings, timestamps."""
+    out = _export_dir(sf_dir, "orders_json")
+    write_json_copy(table(spark, sf_dir, "orders"), out)
+    o = json_scan(spark, out, ORDERS)
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).cast("double")
+                / 100.0
+            ).alias("total_price"),
+            F.date_format(F.min("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss").alias(
+                "first_order"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_Q91_ORACLE = """
+SELECT
+  c_mktsegment,
+  COUNT(*) AS n_customers,
+  CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0
+    AS total_acctbal,
+  MIN(c_name) AS first_name
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@query("q91_csv_scan", oracle=_Q91_ORACLE, tags=("S3", "sources"))
+def q91_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV round-trip: customer → headered CSV export → schema-on-read
+    scan (S3) → aggregate (covers quoting, null round-trip, numeric
+    parsing)."""
+    out = _export_dir(sf_dir, "customer_csv")
+    write_csv_copy(table(spark, sf_dir, "customer"), out)
+    c = csv_scan(spark, out, CUSTOMER)
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (
+                F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).cast("double")
+                / 100.0
+            ).alias("total_acctbal"),
+            F.min("c_name").alias("first_name"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -1,0 +1,150 @@
+"""S4 partitioned parquet sink + R13 query layer.
+
+The reference indexes enriched tweets into Elasticsearch and queries
+them "by hashtags, sentiment, or user information" (reference
+README.md:102-104). The engine's stand-in at 100 TB scale is a parquet
+table PARTITIONED BY the hot query key: partition pruning turns a
+query-by-sentiment into a scan of one directory, the same access-path
+win the ES index provided (SURVEY.md §2.2 S4, R13→Q-group mapping).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+from ..operators.text import SENTIMENT_LEXICON, tokens
+
+_SINK_ROOT = os.path.join(tempfile.gettempdir(), "bigdataproj_sink")
+
+
+def partitioned_sink(df: DataFrame, path: str, partition_cols: list[str]) -> None:
+    """S4: write a DataFrame as parquet partitioned by query keys."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def query_index(spark: SparkSession, path: str) -> DataFrame:
+    """R13: open the partitioned index for predicate queries; filters
+    on partition columns prune directories before any IO."""
+    return spark.read.parquet(path)
+
+
+def _enriched_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents + sentiment label (the L6 lexicon scorer) — the
+    engine's analog of the reference's enriched-tweet record."""
+    d = table(spark, sf_dir, "documents")
+    lex = F.broadcast(
+        spark.createDataFrame(list(SENTIMENT_LEXICON), "token string, weight int")
+    )
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("token"))
+    scores = (
+        toks.join(lex, "token")
+        .groupBy("doc_id")
+        .agg(F.sum("weight").cast("long").alias("s"))
+    )
+    return d.join(scores, "doc_id", "left").select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.when(F.coalesce("s", F.lit(0)) > 0, "positive")
+        .when(F.coalesce("s", F.lit(0)) < 0, "negative")
+        .otherwise("neutral")
+        .alias("sentiment"),
+    )
+
+
+_ENRICHED_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+    unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> ''))
+      AS token
+  FROM documents
+),
+lex(token, weight) AS (VALUES {lex}),
+scores AS (
+  SELECT t.doc_id, CAST(SUM(l.weight) AS BIGINT) AS s
+  FROM toks t JOIN lex l ON t.token = l.token GROUP BY t.doc_id
+),
+enriched AS (
+  SELECT d.doc_id, d.lang, d.source, d.n_chars,
+    CASE WHEN COALESCE(s.s, 0) > 0 THEN 'positive'
+         WHEN COALESCE(s.s, 0) < 0 THEN 'negative'
+         ELSE 'neutral' END AS sentiment
+  FROM documents d LEFT JOIN scores s ON d.doc_id = s.doc_id
+)
+"""
+
+_LEX_VALUES = ", ".join(f"('{w}', {s})" for w, s in SENTIMENT_LEXICON)
+
+
+_Q92_ORACLE = (
+    _ENRICHED_SQL.format(lex=_LEX_VALUES)
+    + """
+SELECT sentiment, lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM enriched
+GROUP BY sentiment, lang
+ORDER BY sentiment, lang
+"""
+)
+
+
+@query("q92_partitioned_sink", oracle=_Q92_ORACLE, tags=("S4", "sources"))
+def q92_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 round-trip: enriched documents → parquet partitioned by
+    (sentiment, lang) → re-open → aggregate per partition key.
+
+    Matching the oracle proves partition-column values survive the
+    directory encoding (hive-style key=value paths) and that the
+    re-opened index returns exactly the written rows.
+    """
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = os.path.join(_SINK_ROOT, tag, "doc_index")
+    partitioned_sink(_enriched_documents(spark, sf_dir), out, ["sentiment", "lang"])
+    idx = query_index(spark, out)
+    return (
+        idx.groupBy("sentiment", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("sentiment", "lang")
+    )
+
+
+_Q93_ORACLE = (
+    _ENRICHED_SQL.format(lex=_LEX_VALUES)
+    + """
+SELECT doc_id, lang, source, n_chars
+FROM enriched
+WHERE sentiment = 'negative' AND lang = 'en'
+ORDER BY doc_id
+"""
+)
+
+
+@query("q93_query_index", oracle=_Q93_ORACLE, tags=("R13", "sources"))
+def q93_query_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R13 predicate query against the partitioned index: fetch all
+    negative-sentiment English documents.
+
+    Both predicates hit partition columns, so the physical plan prunes
+    to the single ``sentiment=negative/lang=en`` directory — verified
+    in tests/test_plans.py (PartitionFilters, no full scan) — the
+    ES-query capability of the reference re-expressed as partition
+    pruning.
+    """
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    out = os.path.join(_SINK_ROOT, tag, "doc_index")
+    partitioned_sink(_enriched_documents(spark, sf_dir), out, ["sentiment", "lang"])
+    idx = query_index(spark, out)
+    return (
+        idx.filter((F.col("sentiment") == "negative") & (F.col("lang") == "en"))
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )

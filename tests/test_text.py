@@ -1,0 +1,84 @@
+"""Unit tests for the text operators, including the reference's single
+worked example (reference README.md:83: hashtag extraction on
+"Happy #New Year" yields #New) — the only executable spec the
+reference contains (SURVEY.md §5.1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdataproj_spark.operators.pipeline import (
+    TWEETS,
+    add_sentiment,
+    extract_metadata,
+    ingest_tweets,
+    standardize,
+)
+from bigdataproj_spark.operators.text import fingerprint, hashtags, tokens
+
+
+def test_reference_hashtag_example(spark):
+    """The README.md:83 worked example, verbatim."""
+    df = spark.createDataFrame([("Happy #New Year",)], "text string")
+    got = df.select(hashtags("text").alias("tags")).first()["tags"]
+    assert got == ["#New"]
+
+
+def test_hashtag_edge_cases(spark):
+    cases = [
+        ("no tags here", []),
+        ("#a #b #a", ["#a", "#b", "#a"]),  # duplicates preserved at extract
+        ("trailing#notag", ["#notag"]),  # \w+ boundary only
+        # \w is ASCII in both Java regex and DuckDB's RE2 — non-ASCII
+        # tag chars don't match, consistently on both engines.
+        ("unicode #Üben ok", []),
+        ("", []),
+    ]
+    df = spark.createDataFrame(cases, "text string, want array<string>")
+    rows = df.select(hashtags("text").alias("got"), "want").collect()
+    for r in rows:
+        assert r["got"] == r["want"]
+
+
+def test_tokenizer_empties_and_unicode(spark):
+    df = spark.createDataFrame(
+        [("  Many   spaces\t and\nnewlines  ",), ("",), ("Üben GROSS klein",)],
+        "text string",
+    )
+    got = [r[0] for r in df.select(tokens("text")).collect()]
+    assert got[0] == ["many", "spaces", "and", "newlines"]
+    assert got[1] == []
+    assert got[2] == ["üben", "gross", "klein"]
+
+
+def test_fingerprint_whitespace_invariance(spark):
+    df = spark.createDataFrame(
+        [("a  b\tc",), ("A B C",), ("a b d",)], "text string"
+    )
+    fps = [r[0] for r in df.select(fingerprint("text")).collect()]
+    assert fps[0] == fps[1]  # case + whitespace normalized
+    assert fps[0] != fps[2]
+
+
+def test_pipeline_sentiment_labels(spark):
+    """Lexicon scorer on the inline fixture: 'fast'(+2) beats
+    'slow'(-2); mixed 'slow but steady' is negative; no hits →
+    neutral."""
+    df = add_sentiment(extract_metadata(ingest_tweets(spark)))
+    by_id = {r["tweet_id"]: r for r in df.collect()}
+    assert by_id[2]["sentiment"] == "positive"  # "flood was fast"
+    assert by_id[8]["sentiment"] == "negative"  # "such a slow day"
+    assert by_id[4]["sentiment"] == "neutral"  # "stay safe everyone"
+
+
+def test_standardized_output_shape(spark):
+    """R9: the standardized record carries the fields the reference
+    declares (sentiment, hashtags, geo, user — README.md:95-97)."""
+    df = standardize(add_sentiment(extract_metadata(ingest_tweets(spark))))
+    names = set(df.schema.fieldNames())
+    assert {"tweet_id", "sentiment_info", "hashtags", "geo_info", "user"} <= names
+    row = df.filter(F.col("tweet_id") == 1).first()
+    assert row["hashtags"] == ["#new"]
+    assert row["geo_info"]["is_geotagged"] is True
+    assert row["user"]["name"] == "alice"
