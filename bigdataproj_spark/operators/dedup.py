@@ -248,3 +248,159 @@ def q62_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.select("doc_a", "doc_b", est.alias("est_jaccard"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# L2 SimHash near-dup: 60-bit weighted fingerprint + banded candidate
+# join + Hamming-distance filter. Fully oracle-checked: the per-token
+# hash is the first 15 hex digits of md5 (bit-identical in DuckDB via
+# CAST('0x'||… AS BIGINT)), unlike xxhash64-based MinHash.
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 60
+SIMHASH_BANDS = 4
+_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 15
+_HAMMING_MAX = 12
+
+
+def _hex_hash(col: Column) -> Column:
+    """60-bit integer hash: md5 hex prefix → BIGINT (engine-portable)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def simhash(doc_tokens: DataFrame) -> DataFrame:
+    """(doc_id, token) rows → (doc_id, simhash).
+
+    Classic Charikar construction: each token votes +count/-count on
+    every bit of its hash; the fingerprint keeps the sign of each bit
+    sum. One shuffle (groupBy doc_id) with 60 independent JVM-side
+    SUM aggregates — map-side partial agg keeps it one pass at scale.
+    """
+    weighted = doc_tokens.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    h = _hex_hash(F.col("token"))
+    votes = [
+        F.sum(
+            F.col("cnt")
+            * F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    per_doc = weighted.groupBy("doc_id").agg(*votes)
+    packed = sum(
+        [
+            F.when(F.col(f"s{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+            for j in range(SIMHASH_BITS)
+        ],
+        F.lit(0),
+    ).cast("long")
+    return per_doc.select("doc_id", packed.alias("simhash"))
+
+
+def _simhash_sql() -> str:
+    """DuckDB twin of the simhash construction over `documents`."""
+    votes = ",\n    ".join(
+        f"SUM(cnt * CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    packed = " + ".join(
+        f"CASE WHEN s{j} >= 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""
+toks AS (
+  SELECT doc_id, unnest({TOKENS_SQL}) AS token FROM documents
+),
+weighted AS (
+  SELECT doc_id, token, COUNT(*) AS cnt,
+    CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) AS h
+  FROM toks GROUP BY doc_id, token
+),
+votes AS (
+  SELECT doc_id,
+    {votes}
+  FROM weighted GROUP BY doc_id
+),
+sims AS (
+  SELECT doc_id, CAST({packed} AS BIGINT) AS simhash FROM votes
+)
+"""
+
+
+_Q63_ORACLE = f"""
+WITH {_simhash_sql()},
+bands AS (
+  SELECT doc_id, simhash, b,
+    (simhash >> (b * {_BAND_BITS})) & {(1 << _BAND_BITS) - 1} AS band_val
+  FROM sims, (SELECT unnest(range(0, {SIMHASH_BANDS})) AS b) bb
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sim_a, b.simhash AS sim_b
+  FROM bands a
+  JOIN bands b ON a.b = b.b AND a.band_val = b.band_val
+              AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+  bit_count(xor(sim_a, sim_b)) AS hamming
+FROM cand
+WHERE bit_count(xor(sim_a, sim_b)) <= {_HAMMING_MAX}
+ORDER BY doc_a, doc_b
+"""
+
+
+@query("q63_simhash", oracle=_Q63_ORACLE, tags=("L2", "dedup"))
+def q63_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: banded candidate join + Hamming ≤ 12.
+
+    Same LSH scaling property as MinHash banding: a pair only
+    materializes when one of the 4 15-bit bands matches exactly, so
+    candidate generation is an equi-join on (band, band_val) — never
+    an all-pairs product. The Hamming filter then runs on the bounded
+    candidate set (bit_count(xor) — one instruction per pair).
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("token"))
+    sims = simhash(toks)
+
+    mask = (1 << _BAND_BITS) - 1
+    bands = sims.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        F.shiftright("simhash", b * _BAND_BITS)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_val"),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", F.col("bb.b").alias("b"), F.col("bb.band_val").alias("band_val"))
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    hamming = F.bit_count(F.expr("sim_a ^ sim_b"))
+    return (
+        a.join(
+            b,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(hamming <= _HAMMING_MAX)
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .orderBy("doc_a", "doc_b")
+    )

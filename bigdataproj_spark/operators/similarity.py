@@ -241,3 +241,67 @@ def q67_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("probe_id", "cand_id", "rank", F.round("cos", 6).alias("cos_sim"))
         .orderBy("probe_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# L2/L3 embedding-cosine near-duplicate pairs (oracle-checked).
+# ---------------------------------------------------------------------------
+
+_NEAR_DUP_COS = 0.5
+_NEAR_DUP_MAX_ID = 400
+
+_Q68_ORACLE = f"""
+WITH sub AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_NEAR_DUP_MAX_ID}
+),
+el AS (
+  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+  FROM sub, (SELECT unnest(range(1, 65)) AS i) idx
+),
+norms AS (
+  SELECT vec_id, CAST(SUM(CAST(v * v AS DECIMAL(30,15))) AS DOUBLE) AS nsq
+  FROM el GROUP BY vec_id
+),
+dots AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         CAST(SUM(CAST(a.v * b.v AS DECIMAL(30,15))) AS DOUBLE) AS dot
+  FROM el a
+  JOIN el b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)
+SELECT vec_a, vec_b,
+  round(d.dot / (sqrt(na.nsq) * sqrt(nb.nsq)), 6) AS cos_sim
+FROM dots d
+JOIN norms na ON d.vec_a = na.vec_id
+JOIN norms nb ON d.vec_b = nb.vec_id
+WHERE d.dot / (sqrt(na.nsq) * sqrt(nb.nsq)) >= {_NEAR_DUP_COS}
+ORDER BY vec_a, vec_b
+"""
+
+
+@query("q68_embedding_near_dup", oracle=_Q68_ORACLE, tags=("L2", "L3", "similarity"))
+def q68_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine ≥ 0.5) over a
+    bounded id range — the exact reference semantics for semantic
+    dedup of a training corpus.
+
+    This is the oracle-checked exact form; the 100 TB path is the
+    same computation gated by the q67 LSH bucket join (candidates
+    only meet inside a bucket) — exact re-rank inside buckets means
+    the two paths agree wherever the bucket recall allows.
+    """
+    e = table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _NEAR_DUP_MAX_ID
+    )
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    cos = dot_exact("ea", "eb") / (
+        F.sqrt(sq_norm_exact("ea")) * F.sqrt(sq_norm_exact("eb"))
+    )
+    return (
+        pairs.select("vec_a", "vec_b", cos.alias("cos"))
+        .filter(F.col("cos") >= _NEAR_DUP_COS)
+        .select("vec_a", "vec_b", F.round("cos", 6).alias("cos_sim"))
+        .orderBy("vec_a", "vec_b")
+    )

@@ -405,3 +405,92 @@ def q26_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fp.select(
         "doc_id", "fingerprint", F.count(F.lit(1)).over(w).alias("n_same")
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish token counting: subword-granularity counts from a GPT-2-style
+# pre-tokenizer regex (letters runs / digit runs / punctuation singles).
+# ---------------------------------------------------------------------------
+
+_BPE_REGEX = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+_Q27_ORACLE = f"""
+SELECT
+  doc_id,
+  len(regexp_extract_all(lower(text), '{_BPE_REGEX}')) AS n_bpe_tokens,
+  len(list_filter(regexp_extract_all(lower(text), '{_BPE_REGEX}'),
+      t -> t ~ '^[0-9]+$')) AS n_number_tokens,
+  len(list_distinct(regexp_extract_all(lower(text), '{_BPE_REGEX}')))
+    AS n_unique_tokens
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@query("q27_bpe_token_counts", oracle=_Q27_ORACLE, tags=("L5", "R5", "text"))
+def q27_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count statistics with a BPE-style pre-tokenizer (the
+    letter-run / digit-run / punctuation split GPT-2's BPE applies
+    before merges) — the cost estimator of LLM data pipelines.
+
+    Pure regexp_extract_all + array ops: one scan, no shuffle except
+    the final sort.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower("text"), F.lit(_BPE_REGEX), 0)
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.filter(toks, lambda t: t.rlike("^[0-9]+$"))).alias(
+            "n_number_tokens"
+        ),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Rolling-hash document fingerprint: polynomial hash over the token
+# stream (base 31, mod 2^31-1) — exact integer arithmetic, portable.
+# ---------------------------------------------------------------------------
+
+_ROLL_MOD = (1 << 31) - 1  # Mersenne prime keeps the fold in int64 range
+
+
+def rolling_hash(toks: Column | str) -> Column:
+    """acc = (acc * 31 + token_hash) mod (2^31-1) folded over tokens;
+    token_hash is the portable 60-bit md5-prefix hash reduced mod the
+    prime. Order-sensitive (unlike the md5-of-whole-text fingerprint):
+    detects reordered-content docs as different."""
+    toks = F.col(toks) if isinstance(toks, str) else toks
+    tok_h = lambda t: F.pmod(  # noqa: E731
+        F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"), F.lit(_ROLL_MOD)
+    )
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: F.pmod(acc * 31 + tok_h(t), F.lit(_ROLL_MOD)),
+    )
+
+
+_Q28_ORACLE = f"""
+WITH t AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM documents)
+SELECT doc_id,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(toks,
+        t -> CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) % {_ROLL_MOD})),
+    (acc, h) -> (acc * 31 + h) % {_ROLL_MOD}) AS roll_hash
+FROM t
+ORDER BY doc_id
+"""
+
+
+@query("q28_rolling_fingerprint", oracle=_Q28_ORACLE, tags=("L1", "L5", "text"))
+def q28_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash fingerprint per document (companion
+    to the order-insensitive md5 fingerprint of q26)."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokens("text").alias("toks"))
+    return t.select("doc_id", rolling_hash("toks").alias("roll_hash")).orderBy(
+        "doc_id"
+    )
