@@ -1,0 +1,101 @@
+"""Skew handling: salting helpers for hot keys (SURVEY.md §7 "100 TB
+posture" — AQE's OptimizeSkewedJoin is the first line of defense; the
+salting pattern is for when a single key exceeds what one task can
+hold even after AQE splits).
+
+Both helpers are pure DataFrame compositions; the salted aggregation
+is oracle-checked against the plain aggregation (same result by
+construction — salting is a physical rewrite, not a semantic one).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions import dsum
+from ..registry import query
+
+DEFAULT_SALT_BUCKETS = 16
+
+
+def salted(df: DataFrame, n: int = DEFAULT_SALT_BUCKETS) -> DataFrame:
+    """Add a deterministic salt column (hash of the whole row's
+    monotonically-varying key is unnecessary — spark_partition_id
+    spreads rows without any data dependency)."""
+    return df.withColumn("_salt", F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(n)))
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, Column],
+    n: int = DEFAULT_SALT_BUCKETS,
+) -> DataFrame:
+    """Two-stage aggregation over (keys + salt) then (keys).
+
+    Stage 1 shuffles on (key, salt) — a hot key's rows spread over n
+    reducers; stage 2 combines the n partials per key. Only works for
+    algebraic aggregates (sum/count/min/max); the caller passes stage-1
+    aggregate expressions and the helper re-aggregates them with the
+    matching combiner.
+    """
+    stage1 = salted(df, n).groupBy(*keys, "_salt").agg(
+        *[c.alias(f"_p_{name}") for name, c in aggs.items()]
+    )
+    combiners = []
+    for name, c in aggs.items():
+        # sum/count partials re-combine with SUM; min/max with themselves.
+        op = c._jc.toString().lower()
+        if op.startswith("min"):
+            combiners.append(F.min(f"_p_{name}").alias(name))
+        elif op.startswith("max"):
+            combiners.append(F.max(f"_p_{name}").alias(name))
+        else:
+            combiners.append(F.sum(f"_p_{name}").alias(name))
+    return stage1.groupBy(*keys).agg(*combiners)
+
+
+_Q16_ORACLE = """
+SELECT
+  l_returnflag,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+  MIN(l_orderkey) AS min_key,
+  MAX(l_orderkey) AS max_key
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@query("q16_salted_agg", oracle=_Q16_ORACLE, tags=("A1", "skew"))
+def q16_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe aggregation on a 3-value key (l_returnflag — maximal
+    skew: every row is one of three keys).
+
+    The salted two-stage plan must produce EXACTLY the plain groupBy
+    answer — the oracle is the plain SQL aggregate, so the hash match
+    proves salting is semantics-preserving. The decimal partial sums
+    re-combine exactly (decimal addition is associative, unlike
+    double).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        li,
+        ["l_returnflag"],
+        {
+            "n": F.count(F.lit(1)),
+            "sum_qty_dec": F.sum(F.col("l_quantity").cast("decimal(12,2)")),
+            "min_key": F.min("l_orderkey"),
+            "max_key": F.max("l_orderkey"),
+        },
+    )
+    return out.select(
+        "l_returnflag",
+        "n",
+        F.col("sum_qty_dec").cast("double").alias("sum_qty"),
+        "min_key",
+        "max_key",
+    ).orderBy("l_returnflag")

@@ -494,3 +494,90 @@ def q28_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.select("doc_id", rolling_hash("toks").alias("roll_hash")).orderBy(
         "doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# R6 word embeddings: broadcast-join tokens against a vocabulary
+# lookup table, mean-pool per document (the reference's GloVe stage,
+# README.md:59,92). The vocabulary is hash-derived (md5-prefix ints,
+# engine-portable) so the whole lookup-join + pooling path is
+# oracle-checked without shipping a model file.
+# ---------------------------------------------------------------------------
+
+_EMB_DIMS = 8
+
+
+def vocab_embeddings(doc_tokens: DataFrame) -> DataFrame:
+    """(doc_id, token) → distinct-token vocabulary with deterministic
+    8-dim integer vectors: dim i of token t is
+    hex60(md5(t || '|' || i)) % 2000 - 1000 ∈ [-1000, 1000)."""
+    vocab = doc_tokens.select("token").distinct()
+    dims = [
+        (
+            F.conv(
+                F.substring(F.md5(F.concat("token", F.lit(f"|{i}"))), 1, 15), 16, 10
+            ).cast("long")
+            % 2000
+            - 1000
+        ).alias(f"c{i}")
+        for i in range(_EMB_DIMS)
+    ]
+    return vocab.select("token", *dims)
+
+
+_Q29_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKENS_SQL}) AS token FROM documents
+),
+vocab AS (
+  SELECT DISTINCT token,
+    {', '.join(f"CAST(('0x' || substr(md5(token || '|{i}'), 1, 15)) AS BIGINT) % 2000 - 1000 AS c{i}" for i in range(_EMB_DIMS))}
+  FROM toks
+),
+joined AS (
+  SELECT t.doc_id, {', '.join(f"v.c{i}" for i in range(_EMB_DIMS))}
+  FROM toks t JOIN vocab v ON t.token = v.token
+),
+pooled AS (
+  SELECT doc_id, COUNT(*) AS n,
+    {', '.join(f"CAST(SUM(c{i}) AS BIGINT) AS s{i}" for i in range(_EMB_DIMS))}
+  FROM joined GROUP BY doc_id
+),
+long_form AS (
+  SELECT doc_id, pos, CASE pos {' '.join(f"WHEN {i} THEN s{i}" for i in range(_EMB_DIMS))} END AS s, n
+  FROM pooled, (SELECT unnest(range(0, {_EMB_DIMS})) AS pos) p
+)
+SELECT doc_id, pos, CAST(s AS DOUBLE) / n / 1000 AS emb_val
+FROM long_form
+ORDER BY doc_id, pos
+"""
+
+
+@query("q29_token_embeddings", oracle=_Q29_ORACLE, tags=("R6", "L4", "text"))
+def q29_token_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document embeddings via vocabulary broadcast-join + mean pool
+    (reference R6: tokens → pretrained vectors → document vector).
+
+    Plan shape at 100 TB: the vocabulary is dimension-sized →
+    broadcast; the token stream never shuffles for the lookup, and the
+    only shuffle is the bounded groupBy(doc_id) pooling with exact
+    integer partial sums.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("token"))
+    vocab = F.broadcast(vocab_embeddings(toks))
+    joined = toks.join(vocab, "token")
+    pooled = joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(f"c{i}").cast("long").alias(f"s{i}") for i in range(_EMB_DIMS)],
+    )
+    long_form = pooled.select(
+        "doc_id",
+        "n",
+        F.posexplode(F.array(*[f"s{i}" for i in range(_EMB_DIMS)])).alias("pos", "s"),
+    )
+    return long_form.select(
+        "doc_id",
+        "pos",
+        (F.col("s").cast("double") / F.col("n") / 1000).alias("emb_val"),
+    ).orderBy("doc_id", "pos")

@@ -51,6 +51,7 @@ _QUERY_MODULES = (
     "bigdataproj_spark.operators.scalar_functions",
     "bigdataproj_spark.operators.pipeline",
     "bigdataproj_spark.operators.udx",
+    "bigdataproj_spark.operators.skew",
     "bigdataproj_spark.streaming.batch_twins",
     "bigdataproj_spark.sources.filescan",
     "bigdataproj_spark.sources.sink",
