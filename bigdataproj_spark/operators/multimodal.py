@@ -124,3 +124,128 @@ def q71_media_meta_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     b = d.select("doc_id", F.encode("text", "UTF-8").alias("blob"))
     return extract_media_meta(b).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Frame sampling: one output row per sampled frame (video → frames is
+# the canonical 1-to-N multimodal op). Decode is the deterministic
+# fake (frame i = a text slice); the mapInPandas fan-out, schema, and
+# batch shape are the real contract.
+# ---------------------------------------------------------------------------
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_md5 string"
+_FRAME_STRIDE = 2
+
+
+def sample_frames(df: DataFrame, stride: int = _FRAME_STRIDE) -> DataFrame:
+    """Sample every ``stride``-th frame of each blob via mapInPandas.
+
+    Arrow ships (doc_id, text, blob) batches in; each input row fans
+    out to n_frames/stride output rows — the Python side yields one
+    frame table per batch, keeping memory proportional to batch size
+    (at scale, repartition bounds rows per batch).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_md5": []}
+            for doc_id, text, blob in zip(pdf["doc_id"], pdf["text"], pdf["blob"]):
+                n_frames = fake_media_meta(blob)[2]
+                for i in range(0, n_frames, stride):
+                    frame = text[i * 17 : i * 17 + 32]  # fake decode: slice
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_md5"].append(
+                        hashlib.md5(frame.encode("utf-8")).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, FRAME_SCHEMA)
+
+
+_Q72_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id, text, octet_length(encode(text)) % 16 AS n_frames
+  FROM documents
+),
+frames AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+    md5(substr(text, i * 17 + 1, 32)) AS frame_md5
+  FROM b, (SELECT unnest(range(0, 16, {_FRAME_STRIDE})) AS i) idx
+  WHERE i < n_frames
+)
+SELECT doc_id, frame_idx, frame_md5
+FROM frames
+ORDER BY doc_id, frame_idx
+"""
+
+
+@query("q72_frame_sample", oracle=_Q72_ORACLE, tags=("L8", "multimodal"))
+def q72_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-2nd-frame sampling over binary media blobs: a 1-to-N
+    Arrow-batched fan-out whose Python slice stands in for a real
+    frame decoder (swap the slice for ffmpeg in deployment — the
+    Spark plumbing is identical)."""
+    d = table(spark, sf_dir, "documents")
+    b = d.select("doc_id", "text", F.encode("text", "UTF-8").alias("blob"))
+    return sample_frames(b).orderBy("doc_id", "frame_idx")
+
+
+# ---------------------------------------------------------------------------
+# Resize: deterministic dimension/byte arithmetic standing in for a
+# pixel resampler, over the same mapInPandas plumbing.
+# ---------------------------------------------------------------------------
+
+RESIZE_SCHEMA = "doc_id long, out_w int, out_h int, out_bytes long"
+_TARGET_BOX = 64
+
+
+def resize_media(df: DataFrame, target: int = _TARGET_BOX) -> DataFrame:
+    """Fit each media item into a target×target box (aspect-free fake:
+    clamp each dimension; output byte count scales by the area ratio
+    in exact integer arithmetic)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "out_w": [], "out_h": [], "out_bytes": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                w, h, _ = fake_media_meta(blob)
+                ow, oh = min(w, target), min(h, target)
+                area, oarea = max(w * h, 1), ow * oh
+                out["doc_id"].append(doc_id)
+                out["out_w"].append(ow)
+                out["out_h"].append(oh)
+                out["out_bytes"].append(len(blob) * oarea // area)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, RESIZE_SCHEMA)
+
+
+_Q73_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id,
+    octet_length(encode(text)) AS n,
+    octet_length(encode(text)) % 640 AS w,
+    (octet_length(encode(text)) * 7) % 480 AS h
+  FROM documents
+)
+SELECT doc_id,
+  CAST(least(w, {_TARGET_BOX}) AS INTEGER) AS out_w,
+  CAST(least(h, {_TARGET_BOX}) AS INTEGER) AS out_h,
+  CAST(n * (least(w, {_TARGET_BOX}) * least(h, {_TARGET_BOX}))
+         // greatest(w * h, 1) AS BIGINT) AS out_bytes
+FROM m
+ORDER BY doc_id
+"""
+
+
+@query("q73_media_resize", oracle=_Q73_ORACLE, tags=("L8", "multimodal"))
+def q73_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize-to-box over binary media with exact integer byte-count
+    arithmetic (the pixel resampler is the stub; the distributed
+    plumbing and the metadata math are the tested contract)."""
+    d = table(spark, sf_dir, "documents")
+    b = d.select("doc_id", F.encode("text", "UTF-8").alias("blob"))
+    return resize_media(b).orderBy("doc_id")

@@ -17,15 +17,13 @@ import pytest
 from pyspark.sql import functions as F
 
 from bigdataproj_spark.catalog import table
+from bigdataproj_spark.plans import (
+    has_pushed_filter,
+    join_kinds,
+    physical_plan as plan_of,
+    read_schema_of,
+)
 from bigdataproj_spark.registry import load_all
-
-
-def plan_of(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
-
-
-def optimized_of(df) -> str:
-    return df._jdf.queryExecution().optimizedPlan().toString()
 
 
 def test_filter_pushdown_to_parquet(spark, sf_dir):
@@ -34,8 +32,7 @@ def test_filter_pushdown_to_parquet(spark, sf_dir):
     reading 100 TB and reading 2 TB)."""
     li = table(spark, sf_dir, "lineitem")
     df = li.filter(F.col("l_quantity") <= 24).select("l_orderkey", "l_quantity")
-    plan = plan_of(df)
-    assert "PushedFilters: [" in plan and "LessThanOrEqual(l_quantity" in plan, plan
+    assert has_pushed_filter(df, "LessThanOrEqual(l_quantity"), plan_of(df)
 
 
 def test_column_pruning_read_schema(spark, sf_dir):
@@ -43,17 +40,16 @@ def test_column_pruning_read_schema(spark, sf_dir):
     pruning is the point of parquet at rest)."""
     li = table(spark, sf_dir, "lineitem")
     df = li.select("l_orderkey", "l_quantity")
-    plan = plan_of(df)
-    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan, plan
+    assert read_schema_of(df) == "struct<l_orderkey:bigint,l_quantity:double>", plan_of(df)
 
 
 def test_star_join_broadcasts_dimensions(spark, sf_dir):
     """q30's dimension joins must be broadcast (no shuffle of the fact
     table against nation/region at any scale)."""
     df = load_all()["q30_star_join_revenue"].build(spark, sf_dir)
-    plan = plan_of(df)
-    assert "BroadcastHashJoin" in plan, plan
-    assert "SortMergeJoin" not in plan, plan
+    kinds = set(join_kinds(df))
+    assert "BroadcastHashJoin" in kinds, plan_of(df)
+    assert "SortMergeJoin" not in kinds, plan_of(df)
 
 
 def test_partition_pruning_on_sink_index(spark, sf_dir):
