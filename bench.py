@@ -44,9 +44,12 @@ def main() -> None:
 
     bench = {n: q for n, q in load_all().items() if "bench" in q.tags}
 
-    # Warm-up: run the cheapest headline query once, untimed.
-    first = next(iter(bench.values()))
-    first.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # Warm-up pass: run every headline query once untimed so JVM/codegen
+    # compilation and file-index caching aren't billed to the measured
+    # run (standard warm measurement; plan + execution still run in full
+    # on the timed pass).
+    for q in bench.values():
+        q.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     times: dict[str, float] = {}
     for name, q in bench.items():

@@ -1,0 +1,97 @@
+"""User-facing engine facade (SURVEY.md §3.2: entry points E1 SQL,
+E2 DataFrame, E3 streaming over one shared Catalyst backend).
+
+A user of the reference project gets the same capabilities behind one
+object::
+
+    from bigdataproj_spark.engine import Engine
+
+    eng = Engine.local(sf_dir="/root/testdata/sf0.01")
+    eng.sql("SELECT count(*) FROM lineitem")            # E1
+    eng.table("documents").filter(...)                  # E2
+    eng.ingest_json(records)                            # R1 surface
+    eng.enrich_tweets(df)                               # R3-R9 pipeline
+    eng.query(\"q01_pricing_summary\")                    # registry query
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .catalog import TABLES, register_views, table
+from .registry import load_all
+from .schemas import TWEET
+from .session import get_spark
+
+
+class Engine:
+    """Thin facade over SparkSession + the operator library. The "IR"
+    is deliberately Catalyst's own logical plan (SURVEY.md §3.2) — this
+    class adds naming, fixtures, and pipeline composition, never a new
+    plan representation."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self._views_registered = False
+
+    @classmethod
+    def local(cls, sf_dir: str, app_name: str = "bigdataproj-engine") -> "Engine":
+        return cls(get_spark(app_name), sf_dir)
+
+    # -- E1: SQL ---------------------------------------------------------
+    def sql(self, query: str) -> DataFrame:
+        """Run SQL with all fixture tables registered as views."""
+        if not self._views_registered:
+            register_views(self.spark, self.sf_dir)
+            self._views_registered = True
+        return self.spark.sql(query)
+
+    # -- E2: DataFrame ----------------------------------------------------
+    def table(self, name: str) -> DataFrame:
+        return table(self.spark, self.sf_dir, name)
+
+    @property
+    def tables(self) -> tuple[str, ...]:
+        return TABLES
+
+    # -- Registry queries --------------------------------------------------
+    def query(self, name: str) -> DataFrame:
+        """Run a registered engine query by name (see COVERAGE.md)."""
+        return load_all()[name].build(self.spark, self.sf_dir)
+
+    def query_names(self) -> list[str]:
+        return sorted(load_all())
+
+    # -- Reference pipeline surface (R1→R10) -------------------------------
+    def ingest_json(self, records: Iterable[dict]) -> DataFrame:
+        """R1: JSON-shaped tweet records → typed DataFrame (the HTTP
+        POST surface of the reference, reference README.md:52-54)."""
+        return self.spark.createDataFrame(list(records), TWEET)
+
+    def enrich_tweets(self, df: DataFrame) -> DataFrame:
+        """R3-R9: metadata extraction → sentiment → standardize."""
+        from .operators.pipeline import add_sentiment, extract_metadata, standardize
+
+        return standardize(add_sentiment(extract_metadata(df)))
+
+    def to_json_stream(self, df: DataFrame) -> DataFrame:
+        """R10: standardized records → JSON string column (the Kafka
+        payload shape)."""
+        from .operators.pipeline import to_json_records
+
+        return to_json_records(df)
+
+    # -- E3: streaming ------------------------------------------------------
+    def stream_events(self, source_dir: str) -> DataFrame:
+        """Open a file-drop event stream (swap ``.format('kafka')`` in
+        deployment — the downstream graph is identical)."""
+        from .streaming.replay import EVENTS_DDL
+
+        return (
+            self.spark.readStream.schema(EVENTS_DDL)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(source_dir)
+        )

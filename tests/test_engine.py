@@ -1,0 +1,43 @@
+"""Facade tests: the Engine entry points (SURVEY.md §3.2 E1-E3) reach
+the same backend and agree with each other."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from bigdataproj_spark.engine import Engine
+
+
+def test_sql_and_dataframe_agree(spark, sf_dir):
+    eng = Engine(spark, sf_dir)
+    n_sql = eng.sql("SELECT COUNT(*) AS n FROM lineitem").first()["n"]
+    n_df = eng.table("lineitem").count()
+    assert n_sql == n_df > 0
+
+
+def test_registry_query_by_name(spark, sf_dir):
+    eng = Engine(spark, sf_dir)
+    assert "q01_pricing_summary" in eng.query_names()
+    df = eng.query("q01_pricing_summary")
+    assert df.count() > 0
+
+
+def test_ingest_enrich_roundtrip(spark, sf_dir):
+    eng = Engine(spark, sf_dir)
+    records = [
+        {
+            "tweet_id": 1,
+            "created_at": datetime(2013, 9, 10, 12, 0, 0),
+            "text": "Happy #New Year",
+            "user": {"id": 11, "name": "alice", "followers": 120},
+            "geo": {"lat": 40.0, "lon": -105.3},
+            "lang": "en",
+        }
+    ]
+    out = eng.to_json_stream(eng.enrich_tweets(eng.ingest_json(records)))
+    row = out.first()
+    assert row["hashtags"] == ["#new"]
+    assert row["geo_info"]["is_geotagged"] is True
+    assert '"name":"alice"' in row["json"]
