@@ -404,3 +404,106 @@ def q63_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", hamming.alias("hamming"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# L2 dedup clusters: connected components over the near-dup pair graph
+# (SURVEY.md §2.3 L2 "connected components via iterative small-join").
+# Each document maps to the min doc_id of its similarity cluster — the
+# survivor-selection step a real dedup pipeline runs after pair mining.
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """(src, dst) undirected edges → (doc_id, cluster_id = min reachable).
+
+    Iterative min-label propagation: each round every vertex takes the
+    min of its own label and its neighbors' labels; converges in
+    O(cluster diameter) rounds. The loop is a driver-side CONTROL
+    decision only — per round the data path is one shuffle join +
+    aggregate, and the convergence check is a count on a labels-changed
+    filter (near-dup clusters have tiny diameters, so this terminates
+    in a few rounds at any corpus size).
+    """
+    both = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = both.select(F.col("src").alias("doc_id")).distinct().select(
+        "doc_id", F.col("doc_id").alias("lbl")
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            both.join(labels, both.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.localCheckpoint(eager=True)  # cut lineage per round
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("lbl").alias("cluster_id"))
+
+
+_Q64_ORACLE = f"""
+WITH RECURSIVE t AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
+           WHERE len({TOKENS_SQL}) >= {SHINGLE_SIZE}),
+sh AS (SELECT doc_id, unnest({SHINGLES_SQL}) AS shingle FROM t),
+counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst
+  FROM pairs JOIN counts ca ON doc_a = ca.doc_id
+             JOIN counts cb ON doc_b = cb.doc_id
+  WHERE CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) >= {_JACCARD_THRESHOLD}
+),
+und AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+reach AS (
+  SELECT src AS doc_id, src AS r FROM und
+  UNION
+  SELECT r.doc_id, u.dst AS r
+  FROM reach r JOIN und u ON r.r = u.src
+)
+SELECT doc_id, MIN(r) AS cluster_id
+FROM reach
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@query("q64_dedup_clusters", oracle=_Q64_ORACLE, tags=("L2", "dedup"))
+def q64_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity clusters over the n-gram-Jaccard pair graph: every
+    paired document labeled with the min doc_id reachable through
+    near-dup edges (transitive closure — A~B, B~C puts A,C in one
+    cluster even if never directly compared).
+
+    Spark side: iterative min-label propagation (bounded small joins);
+    oracle side: DuckDB recursive CTE transitive closure — two very
+    different algorithms that must produce identical clusters.
+    """
+    pairs = q61_ngram_jaccard(spark, sf_dir)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    return connected_components(edges).orderBy("doc_id")

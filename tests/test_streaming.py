@@ -146,3 +146,45 @@ def test_stream_static_join(spark, sf_dir, batches):
     got_s = got.sort_values("event_id").reset_index(drop=True)
     want_s = want.sort_values("event_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got_s, want_s, check_dtype=False)
+
+
+def test_session_window_stream_matches_batch(spark, sf_dir, batches):
+    """ST3 streamed: watermarked session windows replayed through the
+    real streaming path must equal the batch twin for every finalized
+    session (sessions still open at stream end are absent from append
+    output)."""
+    from pyspark.sql import functions as F
+
+    def transform(stream):
+        return (
+            stream.withWatermark("ts", "2 hours")
+            .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.date_format("w.start", "yyyy-MM-dd'T'HH:mm:ss").alias("s_start"),
+                "n_events",
+            )
+        )
+
+    got = replay.run_file_stream(spark, batches, transform, output_mode="append")
+    e = table(spark, sf_dir, "events")
+    want = (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd'T'HH:mm:ss").alias("s_start"),
+            "n_events",
+        )
+        .toPandas()
+    )
+    got_idx = got.set_index(["user_id", "s_start"])["n_events"].sort_index()
+    want_idx = want.set_index(["user_id", "s_start"])["n_events"].sort_index()
+    assert len(got_idx) > 0
+    joined = got_idx.to_frame("got").join(want_idx.to_frame("want"))
+    assert (joined["got"] == joined["want"]).all(), joined[
+        joined["got"] != joined["want"]
+    ]
+    # nearly all sessions finalize (30-day fixture ≫ 2h watermark)
+    assert len(got_idx) >= len(want_idx) * 0.9
