@@ -146,45 +146,95 @@ def q61_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# L2 MinHash + LSH banding. Signature hash is xxhash64 (native, fast,
-# no DuckDB twin) → rows-only driver check; the semantics are pinned by
-# tests/test_dedup.py: every pair found by q61 with jaccard ≥ 0.5 must
-# surface as an LSH candidate, and estimates must track true Jaccard.
+# L2 MinHash + LSH banding — fully oracle-checked. The hash family is
+# the textbook affine family over a 31-bit base hash: h_i = (A_i*h +
+# B_i) mod (2^31-1), one md5 per shingle, per-i constants A_i/B_i fixed
+# below (NOT h1 + i*h2 — a linear family shares its minimizer across
+# all i, collapsing the estimator). Every operation is bit-identical in
+# DuckDB ('0x'||hex → BIGINT). tests/test_dedup.py additionally pins
+# recall: every q61 pair with jaccard ≥ 0.5 must surface here.
 # ---------------------------------------------------------------------------
 
 N_HASHES = 16
 N_BANDS = 4
 ROWS_PER_BAND = N_HASHES // N_BANDS
+_MH_P = (1 << 31) - 1  # Mersenne prime; A_i*h stays inside int64
+# Deterministic per-function constants (Knuth multiplicative + LCG
+# increments, reduced mod p; A_i forced odd and nonzero).
+MINHASH_A = tuple((i * 2654435761 + 1) % _MH_P | 1 for i in range(N_HASHES))
+MINHASH_B = tuple((i * 40503 + 12345) % _MH_P for i in range(N_HASHES))
 
 
 def minhash_signatures(sh: DataFrame) -> DataFrame:
     """doc_id → fixed-length MinHash signature array.
 
     Input: (doc_id, shingle) exploded pairs. ONE shuffle: the N_HASHES
-    per-seed minima are independent literal-seeded ``min(xxhash64(...))``
+    per-function minima are independent ``min((A_i*h + B_i) mod p)``
     aggregates in a single groupBy — no 16× row explosion, no second
-    shuffle, fully inside whole-stage codegen with map-side partial
-    aggregation (an earlier explode+double-groupBy formulation was ~40×
-    slower at sf0.1).
+    shuffle, map-side partial aggregation (an earlier explode+double-
+    groupBy formulation was ~40× slower at sf0.1). One md5 per shingle
+    feeds all 16 functions.
     """
+    h = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long") % _MH_P
+    hashed = sh.select("doc_id", h.alias("h"))
     mins = [
-        F.min(F.xxhash64("shingle", F.lit(s))).alias(f"mh{s}")
+        F.min((MINHASH_A[s] * F.col("h") + MINHASH_B[s]) % _MH_P).alias(f"mh{s}")
         for s in range(N_HASHES)
     ]
-    per_doc = sh.groupBy("doc_id").agg(*mins)
+    per_doc = hashed.groupBy("doc_id").agg(*mins)
     return per_doc.select(
         "doc_id", F.array(*[f"mh{s}" for s in range(N_HASHES)]).alias("sig")
     )
 
 
-@query("q62_minhash_lsh", oracle=None, tags=("L2", "dedup", "bench"))
+_MINHASH_SIG_SQL = f"""
+t AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
+      WHERE len({TOKENS_SQL}) >= {SHINGLE_SIZE}),
+sh AS (SELECT doc_id, unnest({SHINGLES_SQL}) AS shingle FROM t),
+hashed AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % {_MH_P} AS h
+  FROM sh
+),
+sigs AS (
+  SELECT doc_id,
+    [{', '.join(f'MIN(({MINHASH_A[s]} * h + {MINHASH_B[s]}) % {_MH_P})' for s in range(N_HASHES))}] AS sig
+  FROM hashed GROUP BY doc_id
+)
+"""
+
+_Q62_ORACLE = f"""
+WITH {_MINHASH_SIG_SQL},
+bands AS (
+  SELECT doc_id, sig, b,
+    md5(array_to_string(sig[b * {ROWS_PER_BAND} + 1 : (b + 1) * {ROWS_PER_BAND}], ','))
+      AS bh
+  FROM sigs, (SELECT unnest(range(0, {N_BANDS})) AS b) bb
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.sig AS sig_a, b.sig AS sig_b
+  FROM bands a
+  JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+  CAST(len(list_filter(range(1, {N_HASHES} + 1), i -> sig_a[i] = sig_b[i]))
+       AS DOUBLE) / {N_HASHES} AS est_jaccard
+FROM cand
+ORDER BY doc_a, doc_b
+"""
+
+
+@query("q62_minhash_lsh", oracle=_Q62_ORACLE, tags=("L2", "dedup", "bench"))
 def q62_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates with signature-estimated Jaccard.
 
     16 hashes, 4 bands × 4 rows (candidate threshold ≈ 0.5 Jaccard).
     Candidates come from an equi-join on (band, band_hash) — documents
     only ever meet inside an LSH bucket, which is the property that
-    scales this to 100 TB corpora.
+    scales this to 100 TB corpora. Hash-matched against a DuckDB
+    re-implementation of the full pipeline (same md5-derived universal
+    hash family, same banding).
     """
     d = table(spark, sf_dir, "documents")
     t = d.select("doc_id", tokens("text").alias("toks")).filter(
@@ -201,15 +251,18 @@ def q62_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
                 lambda b: F.struct(
                     b.alias("band"),
-                    F.xxhash64(
+                    F.md5(
                         F.concat_ws(
                             ",",
                             F.transform(
-                                F.slice("sig", b * ROWS_PER_BAND + 1, ROWS_PER_BAND),
+                                F.slice(
+                                    "sig",
+                                    b * ROWS_PER_BAND + 1,
+                                    F.lit(ROWS_PER_BAND),
+                                ),
                                 lambda x: x.cast("string"),
                             ),
-                        ),
-                        b,
+                        )
                     ).alias("bh"),
                 ),
             )

@@ -13,7 +13,11 @@ from pyspark.sql import functions as F
 
 from bigdataproj_spark.registry import load_all
 
-HIGH_SIM = 0.5  # 4 bands × 4 rows → ~(1-(1-s^4)^4); s=0.5 → p≈0.23/band → .66
+# 4 bands × 4 rows → P(candidate) = 1-(1-s^4)^4. At s=0.93 that's
+# ≈ 0.997; below ~0.9 a few-percent miss rate is *correct* LSH
+# behavior (and deterministic here — fixed hash constants), so the
+# recall gate only covers the near-certain regime.
+HIGH_SIM = 0.93
 
 
 @pytest.fixture(scope="module")
