@@ -204,48 +204,105 @@ def q66_embedding_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # ANN scale path: sign-random-projection LSH buckets + exact re-rank.
-# Hyperplanes are derived from xxhash64 (deterministic, seedable, no
-# stored model) — no DuckDB twin, so the driver records rows-only and
-# tests/test_similarity.py checks recall against q65's exact answer.
+# Hyperplane components are md5-derived integer CONSTANTS computed at
+# import (deterministic, no stored model, no runtime hashing): plane
+# j's component i is hex60(md5('p|j|i')) % 2001 - 1000 ∈ [-1000,1000].
+# Buckets run over the Q20-quantized vector in exact int64 arithmetic,
+# so the full ANN pipeline has a bit-identical DuckDB twin.
 # ---------------------------------------------------------------------------
 
 _N_PLANES = 8
+_DIMS = 64
 
 
-def _bucket(vec: Column | str) -> Column:
-    """LSH bucket id: sign bit of <v, h_j> for 8 pseudo-random planes.
+def _plane_component(j: int, i: int) -> int:
+    import hashlib
 
-    Plane j's component i is a deterministic hash-derived value in
-    [-1, 1): pmod(xxhash64(j, i), 1000)/500 - 1.
-    """
-    vec = F.col(vec) if isinstance(vec, str) else vec
-    bits = F.transform(
-        F.sequence(F.lit(0), F.lit(_N_PLANES - 1)),
-        lambda j: F.when(
-            F.aggregate(
-                F.zip_with(
-                    vec,
-                    F.transform(
-                        F.sequence(F.lit(0), F.lit(63)),
-                        lambda i: F.pmod(F.xxhash64(j, i), F.lit(1000)).cast("double")
-                        / 500.0
-                        - 1.0,
-                    ),
-                    lambda x, h: x.cast("double") * h,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+    h = int(hashlib.md5(f"p|{j}|{i}".encode()).hexdigest()[:15], 16)
+    return h % 2001 - 1000
+
+
+PLANES: tuple[tuple[int, ...], ...] = tuple(
+    tuple(_plane_component(j, i) for i in range(_DIMS)) for j in range(_N_PLANES)
+)
+
+
+def _bucket(qvec: Column | str) -> Column:
+    """LSH bucket id of a Q20-quantized vector: sign bit of the exact
+    int64 dot <q, plane_j> for each of the 8 constant planes, packed
+    little-endian. |q| ≤ 2^21, |c| ≤ 1000, 64 terms → |dot| < 2^37."""
+    qvec = F.col(qvec) if isinstance(qvec, str) else qvec
+    bucket: Column = F.lit(0)
+    for j, plane in enumerate(PLANES):
+        dot = _int_fold(
+            F.zip_with(
+                qvec,
+                F.array(*[F.lit(c).cast("long") for c in plane]),
+                lambda x, c: x * c,
             )
-            >= 0,
-            F.lit(1),
-        ).otherwise(F.lit(0)),
+        )
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket
+
+
+def _planes_values_sql() -> str:
+    """(j, i, c) VALUES rows for the oracle's plane table."""
+    return ", ".join(
+        f"({j}, {i}, {c})"
+        for j, plane in enumerate(PLANES)
+        for i, c in enumerate(plane)
     )
-    # Big-endian bit fold: bucket = sum(bit_j * 2^j) via acc*2 + bit
-    # (shiftleft needs a literal shift amount, so fold instead).
-    return F.aggregate(F.reverse(bits), F.lit(0), lambda acc, b: acc * 2 + b)
 
 
-@query("q67_ann_lsh", oracle=None, tags=("L3", "similarity"))
+_Q67_ORACLE = f"""
+WITH planes(j, i, c) AS (VALUES {_planes_values_sql()}),
+el AS (
+  SELECT vec_id, i - 1 AS i,
+    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT) AS q
+  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) idx
+),
+dots AS (
+  SELECT e.vec_id, p.j, CAST(SUM(e.q * p.c) AS BIGINT) AS dot
+  FROM el e JOIN planes p ON e.i = p.i
+  GROUP BY e.vec_id, p.j
+),
+buckets AS (
+  SELECT vec_id,
+    CAST(SUM(CASE WHEN dot >= 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id
+),
+norms AS (
+  SELECT vec_id, CAST(SUM(q * q) AS BIGINT) AS nsq FROM el GROUP BY vec_id
+),
+pair_dots AS (
+  SELECT a.vec_id AS probe_id, b.vec_id AS cand_id,
+         CAST(SUM(a.q * b.q) AS BIGINT) AS dot
+  FROM el a
+  JOIN buckets ba ON a.vec_id = ba.vec_id
+  JOIN buckets bb ON ba.bucket = bb.bucket
+  JOIN el b ON b.vec_id = bb.vec_id AND a.i = b.i AND b.vec_id <> a.vec_id
+  WHERE a.vec_id < {_N_PROBES}
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT probe_id, cand_id,
+    CAST(d.dot AS DOUBLE)
+      / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))) AS cos
+  FROM pair_dots d
+  JOIN norms na ON d.probe_id = na.vec_id
+  JOIN norms nb ON d.cand_id = nb.vec_id
+)
+SELECT probe_id, cand_id, rank, round(cos, 6) AS cos_sim
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rank
+  FROM scored
+)
+WHERE rank <= 3
+ORDER BY probe_id, rank
+"""
+
+
+@query("q67_ann_lsh", oracle=_Q67_ORACLE, tags=("L3", "similarity"))
 def q67_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-3 neighbors via LSH bucket prefilter + exact
     cosine re-rank inside the bucket.
@@ -256,14 +313,10 @@ def q67_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     no quadratic blow-up. Recall is tested against q65 in pytest.
     """
     e = table(spark, sf_dir, "embeddings")
-    withb = e.select(
+    withb = e.select("vec_id", quantize_q20("embedding").alias("qe")).select(
         "vec_id",
-        _bucket("embedding").alias("bucket"),
-        quantize_q20("embedding").alias("qe"),
-    ).select(
-        "vec_id",
-        "bucket",
         "qe",
+        _bucket("qe").alias("bucket"),
         F.sqrt(dot_q20("qe", "qe").cast("double")).alias("norm"),
     )
     probes = F.broadcast(

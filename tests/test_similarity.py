@@ -51,7 +51,7 @@ def test_identical_vectors_share_bucket(spark):
     vectors hash to the same bucket — the property that makes bucketed
     ANN find true near-duplicates at 100 TB. Random unrelated vectors
     (the fixture's cos≈0.4 pairs) carry NO such guarantee, by design."""
-    from bigdataproj_spark.operators.similarity import _bucket
+    from bigdataproj_spark.operators.similarity import _bucket, quantize_q20
 
     base = [0.1 * (i % 7) - 0.3 for i in range(64)]
     near = list(base)
@@ -59,8 +59,8 @@ def test_identical_vectors_share_bucket(spark):
     flipped = [-x for x in base]
     df = spark.createDataFrame(
         [(1, base), (2, near), (3, flipped)], "vec_id long, v array<float>"
-    )
-    rows = {r["vec_id"]: r["b"] for r in df.select("vec_id", _bucket("v").alias("b")).collect()}
+    ).select("vec_id", quantize_q20("v").alias("q"))
+    rows = {r["vec_id"]: r["b"] for r in df.select("vec_id", _bucket("q").alias("b")).collect()}
     assert rows[1] == rows[2]
     # A sign-flipped vector flips every plane: all 8 bits invert.
     assert rows[1] == 255 - rows[3]
