@@ -489,3 +489,89 @@ def q15_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"))
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# A9 pivot / unpivot (wide ↔ long reshaping). The reference's dashboard
+# layer renders per-sentiment counts in wide form (reference
+# README.md:102-104, Kibana); pivot is the engine-native equivalent.
+# ---------------------------------------------------------------------------
+
+_Q17_ORACLE = """
+SELECT
+  l_returnflag,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) FILTER (l_linestatus = 'F') AS DOUBLE)
+    AS qty_F,
+  COUNT(*) FILTER (l_linestatus = 'F') AS n_F,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) FILTER (l_linestatus = 'O') AS DOUBLE)
+    AS qty_O,
+  COUNT(*) FILTER (l_linestatus = 'O') AS n_O
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@query("q17_pivot", oracle=_Q17_ORACLE, tags=("A9",))
+def q17_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot linestatus into columns (wide form), two measures per value.
+
+    The pivot value list is explicit — at scale this skips the extra
+    distinct-values job AND keeps the output schema static; the plan
+    is a single hash aggregate on l_returnflag (no Expand, no second
+    shuffle).
+    """
+    l = table(spark, sf_dir, "lineitem")
+    wide = (
+        l.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            dsum("l_quantity").alias("qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return wide.select(
+        "l_returnflag",
+        F.col("F_qty").alias("qty_F"),
+        F.col("F_n").alias("n_F"),
+        F.col("O_qty").alias("qty_O"),
+        F.col("O_n").alias("n_O"),
+    ).orderBy("l_returnflag")
+
+
+_Q18_ORACLE = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+WHERE l_linestatus IN ('F', 'O')
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@query("q18_unpivot", oracle=_Q18_ORACLE, tags=("A9",))
+def q18_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) the wide pivot back to long form.
+
+    Round-trips q17's wide frame through ``DataFrame.unpivot``; the
+    oracle is the direct two-key GROUP BY the round-trip must equal.
+    Unpivot is a zero-shuffle Expand over the (tiny) aggregated frame.
+    """
+    l = table(spark, sf_dir, "lineitem")
+    wide = (
+        l.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(dsum("l_quantity").alias("qty"))
+    )
+    return (
+        wide.unpivot(
+            ids=["l_returnflag"],
+            values=["F", "O"],
+            variableColumnName="l_linestatus",
+            valueColumnName="sum_qty",
+        )
+        .filter(F.col("sum_qty").isNotNull())
+        .orderBy("l_returnflag", "l_linestatus")
+    )

@@ -52,6 +52,8 @@ _QUERY_MODULES = (
     "bigdataproj_spark.operators.pipeline",
     "bigdataproj_spark.operators.udx",
     "bigdataproj_spark.operators.skew",
+    "bigdataproj_spark.operators.sampling",
+    "bigdataproj_spark.operators.profiling",
     "bigdataproj_spark.streaming.batch_twins",
     "bigdataproj_spark.sources.filescan",
     "bigdataproj_spark.sources.sink",
