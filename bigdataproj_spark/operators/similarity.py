@@ -429,3 +429,175 @@ def q68_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", F.round("cos", 6).alias("cos_sim"))
         .orderBy("vec_a", "vec_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN scale path #2: IVF (inverted-file) cells + exact re-rank.
+# The coarse quantizer is K deterministic seed vectors (vec_ids
+# [_IVF_CENT_LO, _IVF_CENT_LO + K) — sample-init without Lloyd
+# iterations, so both engines derive identical centroids straight from
+# the table). The quantizer is a driver-held MODEL (like any IVF
+# index): assignment folds the K collected centroids into literal
+# expressions → a map-only pass, NO shuffle, no N×K join. Probes scan
+# the _IVF_NPROBE nearest cells; candidates live in exactly one cell.
+# ---------------------------------------------------------------------------
+
+_IVF_CENT_LO = 100
+_IVF_K = 8
+_IVF_NPROBE = 2
+
+
+def _ivf_centroids(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[int], float]]:
+    """Collect the K Q20-quantized seed centroids: (cid, qvec, norm).
+
+    The ONLY collect in the module — K rows, the IVF 'train' step; the
+    result ships to executors as plan literals (model broadcast).
+    """
+    import math
+
+    e = table(spark, sf_dir, "embeddings")
+    rows = (
+        e.filter(
+            (F.col("vec_id") >= _IVF_CENT_LO)
+            & (F.col("vec_id") < _IVF_CENT_LO + _IVF_K)
+        )
+        .select("vec_id", quantize_q20("embedding").alias("qe"))
+        .collect()
+    )
+    return [
+        (r["vec_id"], list(r["qe"]), math.sqrt(sum(q * q for q in r["qe"])))
+        for r in sorted(rows, key=lambda r: r["vec_id"])
+    ]
+
+
+def _cell_struct_array(cents) -> Column:
+    """Per-row array<struct<c: cos-to-centroid, nj: -cid>>; array_max /
+    sort_array over it realize argmax with the (cos DESC, cid ASC)
+    tie-break, matching the oracle's ROW_NUMBER order exactly."""
+    elems = []
+    for cid, qvec, cnorm in cents:
+        dot = _int_fold(
+            F.zip_with(
+                F.col("qe"),
+                F.array(*[F.lit(int(q)).cast("long") for q in qvec]),
+                lambda x, c: x * c,
+            )
+        )
+        cos = dot.cast("double") / (F.col("norm") * F.lit(cnorm))
+        elems.append(F.struct(cos.alias("c"), F.lit(-cid).cast("int").alias("nj")))
+    return F.array(*elems)
+
+
+_Q69_ORACLE = f"""
+WITH el AS (
+  SELECT vec_id, i,
+    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT) AS q
+  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) idx
+),
+norms AS (
+  SELECT vec_id, CAST(SUM(q * q) AS BIGINT) AS nsq FROM el GROUP BY vec_id
+),
+cel AS (
+  SELECT vec_id AS cid, i, q AS cq FROM el
+  WHERE vec_id >= {_IVF_CENT_LO} AND vec_id < {_IVF_CENT_LO + _IVF_K}
+),
+cnorms AS (
+  SELECT cid, CAST(SUM(cq * cq) AS BIGINT) AS cnsq FROM cel GROUP BY cid
+),
+cdot AS (
+  SELECT e.vec_id, c.cid, CAST(SUM(e.q * c.cq) AS BIGINT) AS dot
+  FROM el e JOIN cel c ON e.i = c.i
+  GROUP BY 1, 2
+),
+assign AS (
+  SELECT d.vec_id, d.cid,
+    ROW_NUMBER() OVER (
+      PARTITION BY d.vec_id
+      ORDER BY CAST(d.dot AS DOUBLE)
+               / (sqrt(CAST(n.nsq AS DOUBLE)) * sqrt(CAST(cn.cnsq AS DOUBLE))) DESC,
+               d.cid
+    ) AS rn
+  FROM cdot d
+  JOIN norms n ON d.vec_id = n.vec_id
+  JOIN cnorms cn ON d.cid = cn.cid
+),
+cand AS (SELECT vec_id, cid FROM assign WHERE rn = 1),
+probes AS (SELECT vec_id, cid FROM assign WHERE vec_id < {_N_PROBES} AND rn <= {_IVF_NPROBE}),
+pair_dots AS (
+  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+         CAST(SUM(a.q * b.q) AS BIGINT) AS dot
+  FROM probes p
+  JOIN cand c ON p.cid = c.cid AND c.vec_id <> p.vec_id
+  JOIN el a ON a.vec_id = p.vec_id
+  JOIN el b ON b.vec_id = c.vec_id AND a.i = b.i
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT probe_id, cand_id,
+    CAST(d.dot AS DOUBLE)
+      / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))) AS cos
+  FROM pair_dots d
+  JOIN norms na ON d.probe_id = na.vec_id
+  JOIN norms nb ON d.cand_id = nb.vec_id
+)
+SELECT probe_id, cand_id, rank, round(cos, 6) AS cos_sim
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) AS rank
+  FROM scored
+)
+WHERE rank <= 3
+ORDER BY probe_id, rank
+"""
+
+
+@query("q69_ann_ivf", oracle=_Q69_ORACLE, tags=("L3", "similarity"))
+def q69_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-3 neighbors via IVF cells + exact cosine re-rank.
+
+    Complements q67's LSH path with the other standard ANN index
+    shape: a coarse quantizer partitions the corpus into K cells;
+    probes search their _IVF_NPROBE nearest cells only. At 100 TB the
+    assignment is a map-only scan (centroids are plan literals — no
+    join, no shuffle), the corpus shuffles once on its cell id, and
+    per-cell work is corpus/K — the crossJoin of q65 never happens.
+    Recall vs exact q65 is pinned in tests/test_similarity.py.
+    """
+    cents = _ivf_centroids(spark, sf_dir)
+    e = table(spark, sf_dir, "embeddings")
+    q = (
+        e.select("vec_id", quantize_q20("embedding").alias("qe"))
+        .select("vec_id", "qe", F.sqrt(dot_q20("qe", "qe").cast("double")).alias("norm"))
+        .withColumn("cells", F.sort_array(_cell_struct_array(cents), asc=False))
+    )
+    cands = q.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("qe").alias("ce"),
+        F.col("norm").alias("cnorm"),
+        (-F.col("cells")[0]["nj"]).alias("cell"),
+    )
+    probes = F.broadcast(
+        q.filter(F.col("vec_id") < _N_PROBES)
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("qe").alias("pe"),
+            F.col("norm").alias("pnorm"),
+            F.explode(
+                F.transform(F.slice("cells", 1, _IVF_NPROBE), lambda s: -s["nj"])
+            ).alias("cell"),
+        )
+    )
+    pairs = probes.join(cands, "cell").filter(F.col("probe_id") != F.col("cand_id"))
+    scored = pairs.select(
+        "probe_id",
+        "cand_id",
+        (dot_q20("pe", "ce").cast("double") / (F.col("pnorm") * F.col("cnorm"))).alias(
+            "cos"
+        ),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("probe_id", "cand_id", "rank", F.round("cos", 6).alias("cos_sim"))
+        .orderBy("probe_id", "rank")
+    )

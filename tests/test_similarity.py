@@ -64,3 +64,48 @@ def test_identical_vectors_share_bucket(spark):
     assert rows[1] == rows[2]
     # A sign-flipped vector flips every plane: all 8 bits invert.
     assert rows[1] == 255 - rows[3]
+
+
+def test_ivf_hits_have_exact_cosines(spark, sf_dir):
+    """Same contract as the LSH path: every IVF hit is exactly
+    re-ranked, so wherever it overlaps q65's exact top-k the cosine
+    must be identical; and every probe must surface candidates."""
+    exact = load_all()["q65_cosine_topk"].build(spark, sf_dir).collect()
+    ivf = load_all()["q69_ann_ivf"].build(spark, sf_dir).collect()
+    assert ivf, "IVF ANN should return candidates on the fixture"
+    assert len({r["probe_id"] for r in ivf}) == 5
+    exact_cos = {(r["probe_id"], r["cand_id"]): r["cos_sim"] for r in exact}
+    for r in ivf:
+        key = (r["probe_id"], r["cand_id"])
+        if key in exact_cos:
+            assert r["cos_sim"] == pytest.approx(exact_cos[key], abs=1e-6)
+
+
+def test_ivf_cell_assignment_is_nearest_centroid(spark, sf_dir):
+    """A centroid vector's own cell must be itself (cos=1 to itself)."""
+    from bigdataproj_spark.operators.similarity import (
+        _IVF_CENT_LO,
+        _IVF_K,
+        _cell_struct_array,
+        _ivf_centroids,
+        dot_q20,
+        quantize_q20,
+    )
+
+    cents = _ivf_centroids(spark, sf_dir)
+    e = load_all()  # noqa: F841  (registry warm; table read below)
+    from bigdataproj_spark.catalog import table
+
+    q = (
+        table(spark, sf_dir, "embeddings")
+        .filter(
+            (F.col("vec_id") >= _IVF_CENT_LO)
+            & (F.col("vec_id") < _IVF_CENT_LO + _IVF_K)
+        )
+        .select("vec_id", quantize_q20("embedding").alias("qe"))
+        .select("vec_id", "qe", F.sqrt(dot_q20("qe", "qe").cast("double")).alias("norm"))
+        .withColumn("cells", F.sort_array(_cell_struct_array(cents), asc=False))
+        .select("vec_id", (-F.col("cells")[0]["nj"]).alias("cell"))
+    )
+    for r in q.collect():
+        assert r["cell"] == r["vec_id"]
