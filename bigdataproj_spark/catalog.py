@@ -33,8 +33,12 @@ def _ensure_session_conf(spark: SparkSession) -> None:
 
     The driver calls ``entry(spark)``/``queries()`` with its own session,
     which may lack the engine's build-time configs; both of these are
-    runtime-settable SQLConfs.
+    runtime-settable SQLConfs. Applied once per session (each conf.set
+    is a Py4J round trip; table() runs on every query build).
     """
+    if spark.__dict__.get("_bdp_conf_done"):
+        return
+    spark.__dict__["_bdp_conf_done"] = True
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -45,10 +49,23 @@ def _ensure_session_conf(spark: SparkSession) -> None:
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table from a scale-factor directory."""
+    """Load one fixture table from a scale-factor directory.
+
+    Loaded DataFrames are memoized per session (they are immutable
+    plan handles, so reuse is safe): re-building the read + the
+    nanos-conversion projection costs dozens of Py4J round trips per
+    table, which dominates sub-second queries' wall clock. The memo
+    lives on the session object and dies with it.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     _ensure_session_conf(spark)
+    cache: dict[tuple[str, str], DataFrame] = spark.__dict__.setdefault(
+        "_bdp_table_cache", {}
+    )
+    cached = cache.get((sf_dir, name))
+    if cached is not None:
+        return cached
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     # TIMESTAMP(NANOS) parquet columns arrive as INT64 nanos (see
     # session.py nanosAsLong); truncate to µs timestamps, matching
@@ -64,7 +81,9 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             )
         else:
             cols.append(F.col(f_read.name))
-    return df.select(*cols)
+    out = df.select(*cols)
+    cache[(sf_dir, name)] = out
+    return out
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -44,6 +44,45 @@ def davg(c: Column | str, precision: int = 12, scale: int = 2) -> Column:
     return dsum(cc, precision, scale) / F.count(cc)
 
 
+def cents(c: Column | str, scale: int = 100) -> Column:
+    """Fixed-point int64 view of a 2-decimal money double: round(x*100).
+
+    Exact for the fixture data (values ARE 2-decimal, so x*100 lands
+    within 1e-10 of an integer and round-to-nearest recovers it
+    exactly; round half-up == half-away for the non-negative inputs).
+    Unlike the DECIMAL path this stays inside whole-stage codegen's
+    primitive long arithmetic — ~3x faster per aggregate at sf0.1.
+    """
+    c = F.col(c) if isinstance(c, str) else c
+    return F.round(c * scale).cast("long")
+
+
+def isum(c: Column | str, scale: int = 100) -> Column:
+    """Order-independent money SUM via int64 fixed-point → DOUBLE.
+
+    Bit-identical to the DECIMAL oracle twin
+    ``CAST(SUM(CAST(x AS DECIMAL(p,2))) AS DOUBLE)`` while the int64
+    sum stays ≤ 2^53 (exact-double range): double(intsum) is exact and
+    the /scale division is correctly rounded, which equals the nearest
+    double of the exact rational — the same value the decimal cast
+    produces. (Beyond 2^53 — ~9e13 in money units — the two paths can
+    differ by 1 ulp; the correctness gate's scale factors sit far
+    below that.)
+    """
+    return F.sum(cents(c, scale)).cast("double") / scale
+
+
+def isum_expr(c: Column, denom: int) -> Column:
+    """SUM of a pre-scaled int64 fixed-point expression → DOUBLE / denom."""
+    return F.sum(c).cast("double") / denom
+
+
+def iavg(c: Column | str, scale: int = 100) -> Column:
+    """Deterministic AVG on the int64 fixed-point path (see isum)."""
+    cc = F.col(c) if isinstance(c, str) else c
+    return isum(cc, scale) / F.count(cc)
+
+
 def fmt_ts(c: Column | str) -> Column:
     """Serialize a timestamp as a UTC ISO string (determinism rule 3).
 

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..functions import dec, dsum, dsum_expr
+from ..functions import cents, dec, dsum, dsum_expr, isum_expr
 from ..registry import query
 
 # ---------------------------------------------------------------------------
@@ -52,16 +52,17 @@ def q30_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer")
     n = table(spark, sf_dir, "nation")
     r = table(spark, sf_dir, "region")
-    revenue = dec("l_extendedprice") * (
-        F.lit(1).cast("decimal(4,2)") - dec("l_discount", 4, 2)
-    )
+    # int64 fixed-point revenue (see functions.isum): exact 4-decimal
+    # integer per row, codegen'd primitive arithmetic, bit-equal to the
+    # DECIMAL-formulated oracle.
+    revenue = cents("l_extendedprice") * (100 - cents("l_discount"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
-        .agg(dsum_expr(revenue).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
+        .agg(isum_expr(revenue, 10_000).alias("revenue"), F.count(F.lit(1)).alias("n_items"))
         .orderBy("r_name", "n_name")
     )
 
