@@ -224,3 +224,63 @@ def q88_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# ST8 stream-stream join: click→purchase attribution within 1 hour.
+# ---------------------------------------------------------------------------
+
+_Q89_ORACLE = f"""
+SELECT
+  p.event_id AS purchase_id,
+  c.event_id AS click_id,
+  p.user_id,
+  strftime(p.ts, '{_TS_FMT_DUCK}') AS purchase_ts,
+  strftime(c.ts, '{_TS_FMT_DUCK}') AS click_ts
+FROM events p
+JOIN events c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL '1 hour'
+ AND c.ts <= p.ts
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+ORDER BY purchase_id, click_id
+"""
+
+
+@query("q89_stream_stream_join", oracle=_Q89_ORACLE, tags=("ST8", "streaming"))
+def q89_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join, batch twin (ST8): every purchase
+    matched to the same user's clicks in the preceding hour — the
+    classic attribution join.
+
+    The identical join graph runs under readStream on BOTH sides (see
+    replay.attribution_stream): watermarks on each side plus the
+    two-sided time bound let Spark reclaim join state — the condition
+    that makes an unbounded stream-stream join feasible. Plan at
+    scale: one shuffle per side on user_id; state per key is bounded
+    by the 1-hour window + watermark delay.
+    """
+    e = table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    joined = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    )
+    return joined.select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        _iso("p_ts", "purchase_ts"),
+        _iso("c_ts", "click_ts"),
+    ).orderBy("purchase_id", "click_id")

@@ -234,3 +234,50 @@ def enriched_stream(spark: SparkSession, sf_dir: str):
         )
 
     return transform
+
+
+# ---------------------------------------------------------------------------
+# ST8: stream-stream interval join (click→purchase attribution).
+# ---------------------------------------------------------------------------
+
+
+def attribution_stream(delay: str = "2 hours"):
+    """readStream twin of q89_stream_stream_join: both join sides are
+    the same watched file stream (a supported streaming self-join),
+    each with its own watermark; the two-sided time bound on ts lets
+    Spark expire click state once the purchase-side watermark passes
+    click.ts + 1 hour — bounded state on unbounded input (ST8)."""
+
+    def transform(stream: DataFrame) -> DataFrame:
+        p = (
+            stream.filter(F.col("event_type") == "purchase")
+            .withWatermark("ts", delay)
+            .select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id"),
+                F.col("ts").alias("p_ts"),
+            )
+        )
+        c = (
+            stream.filter(F.col("event_type") == "click")
+            .withWatermark("ts", delay)
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"),
+            )
+        )
+        return p.join(
+            c,
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("c_ts") <= F.col("p_ts")),
+        ).select(
+            "purchase_id",
+            "click_id",
+            "user_id",
+            F.date_format("p_ts", "yyyy-MM-dd'T'HH:mm:ss").alias("purchase_ts"),
+            F.date_format("c_ts", "yyyy-MM-dd'T'HH:mm:ss").alias("click_ts"),
+        )
+
+    return transform

@@ -188,3 +188,21 @@ def test_session_window_stream_matches_batch(spark, sf_dir, batches):
     ]
     # nearly all sessions finalize (30-day fixture ≫ 2h watermark)
     assert len(got_idx) >= len(want_idx) * 0.9
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, batches):
+    """ST8: the streamed attribution self-join (watermarks both sides,
+    two-sided time bound) must emit exactly the batch twin's pairs —
+    inner stream-stream joins emit matches as they arrive, and with
+    in-order batches no pair falls past the watermark."""
+    from bigdataproj_spark.registry import load_all
+
+    got = replay.run_file_stream(
+        spark, batches, replay.attribution_stream("2 hours"), output_mode="append"
+    )
+    want = load_all()["q89_stream_stream_join"].build(spark, sf_dir).toPandas()
+    assert len(want) > 0, "fixture should contain click->purchase pairs"
+    key = ["purchase_id", "click_id"]
+    got_s = got.sort_values(key).reset_index(drop=True)[want.columns]
+    want_s = want.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_s, want_s, check_dtype=False)
