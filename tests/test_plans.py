@@ -115,3 +115,33 @@ def test_no_cartesian_in_lsh_candidates(spark, sf_dir):
     df = load_all()["q62_minhash_lsh"].build(spark, sf_dir)
     plan = plan_of(df)
     assert "CartesianProduct" not in plan, plan
+
+
+def test_ivf_join_is_broadcast_on_cell(spark, sf_dir):
+    """q69's probe-candidate meeting must be a broadcast join on the
+    cell id (the corpus side never shuffles for the probe set), and
+    cell assignment must be plan literals — no extra join for the
+    centroids."""
+    df = load_all()["q69_ann_ivf"].build(spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_hash_split_is_shuffle_free(spark, sf_dir):
+    """q57's split assignment must add zero exchanges beyond the final
+    presentation sort — membership is a pure per-row function."""
+    from bigdataproj_spark.operators.sampling import hash_split
+
+    d = table(spark, sf_dir, "documents")
+    df = hash_split(d, F.col("doc_id").cast("string"))
+    plan = plan_of(df)
+    assert "Exchange" not in plan, plan
+
+
+def test_profile_is_single_scan(spark, sf_dir):
+    """q95 must profile all five columns in ONE pass: exactly one
+    parquet scan in the plan, however many statistics are computed."""
+    df = load_all()["q95_column_profile"].build(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("Scan parquet") == 1, plan
