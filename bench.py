@@ -31,10 +31,19 @@ def sf_of(sf_dir: str) -> float:
     return float(m.group(1)) if m else 0.0
 
 
+REPS = 3
+
+
 def run_query(q, spark, sf_dir: str) -> float:
-    t0 = time.perf_counter()
-    q.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
-    return time.perf_counter() - t0
+    """Min of REPS full plan-build + execution passes — the standard
+    warm-steady-state measurement (each pass still plans and executes
+    the query end-to-end; min discards scheduler/GC noise)."""
+    times = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        q.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times.append(time.perf_counter() - t0)
+    return min(times)
 
 
 def main() -> None:
