@@ -581,3 +581,113 @@ def q29_token_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pos",
         (F.col("s").cast("double") / F.col("n") / 1000).alias("emb_val"),
     ).orderBy("doc_id", "pos")
+
+
+# ---------------------------------------------------------------------------
+# L5/L9 document chunking: fixed-size token windows with overlap — the
+# standard context-window preparation step for LM training corpora.
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
+
+
+_Q59_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
+  WHERE len({TOKENS_SQL}) > 0
+),
+st AS (
+  SELECT doc_id, toks, unnest(range(0, len(toks), {CHUNK_STRIDE})) AS s
+  FROM t
+)
+SELECT
+  doc_id,
+  CAST(s / {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+  len(toks[s + 1 : s + {CHUNK_TOKENS}]) AS n_tokens,
+  array_to_string(toks[s + 1 : s + {CHUNK_TOKENS}], ' ') AS chunk_text
+FROM st
+ORDER BY doc_id, chunk_idx
+"""
+
+
+@query("q59_chunk_documents", oracle=_Q59_ORACLE, tags=("L5", "L9", "text"))
+def q59_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size token chunks per document (32 tokens,
+    stride 24): one output row per chunk with its reconstructed text.
+
+    Pure per-row explode — zero shuffles before the presentation sort;
+    at 100 TB this is an embarrassingly parallel scan whose output
+    lands partitioned exactly like its input. Trailing chunks keep
+    their natural (shorter) length rather than padding.
+    """
+    d = table(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokens("text").alias("toks")).filter(F.size("toks") > 0)
+    st = t.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(0), F.size("toks") - 1, F.lit(CHUNK_STRIDE))
+        ).alias("s"),
+    )
+    chunk = F.slice("toks", F.col("s") + 1, CHUNK_TOKENS)
+    return st.select(
+        "doc_id",
+        (F.col("s") / CHUNK_STRIDE).cast("long").alias("chunk_idx"),
+        F.size(chunk).alias("n_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+# ---------------------------------------------------------------------------
+# L5 TF-IDF: top discriminative terms per document.
+# ---------------------------------------------------------------------------
+
+_Q49_ORACLE = f"""
+WITH tk AS (SELECT doc_id, unnest({TOKENS_SQL}) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT doc_id, term, tf, df, round(tfidf, 6) AS tfidf, rank
+FROM (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+    t.tf * ln((n.n_docs + 1.0) / (d.df + 1.0)) AS tfidf,
+    ROW_NUMBER() OVER (
+      PARTITION BY t.doc_id
+      ORDER BY t.tf * ln((n.n_docs + 1.0) / (d.df + 1.0)) DESC, t.term
+    ) AS rank
+  FROM tf t JOIN dfreq d USING (term) CROSS JOIN n
+)
+WHERE rank <= 3
+ORDER BY doc_id, rank
+"""
+
+
+@query("q49_tfidf", oracle=_Q49_ORACLE, tags=("L5", "text"))
+def q49_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smoothed idf = ln((N+1)/(df+1))).
+
+    Two bounded-key shuffles (doc-term counts, then term document
+    frequencies) and a join on the term key; the 1-row corpus count
+    broadcasts. The doc-frequency side is NOT force-broadcast — at
+    100 TB the term dictionary outgrows a broadcast and AQE picks the
+    shuffle join; at fixture scale it auto-broadcasts.
+    """
+    d = table(spark, sf_dir, "documents")
+    tk = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = tk.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    tfidf = F.col("tf") * F.log(
+        (F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("tfidf", tfidf)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "df", F.round("tfidf", 6).alias("tfidf"), "rank")
+        .orderBy("doc_id", "rank")
+    )
