@@ -560,3 +560,67 @@ def q64_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = q61_ngram_jaccard(spark, sf_dir)
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     return connected_components(edges).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# L2 edit-distance fuzzy matching: blocked Levenshtein pairs.
+# ---------------------------------------------------------------------------
+
+_LEV_MAX = 3
+
+
+_Q97_ORACLE = f"""
+SELECT
+  a.p_partkey AS key_a,
+  b.p_partkey AS key_b,
+  a.p_name AS name_a,
+  b.p_name AS name_b,
+  levenshtein(a.p_name, b.p_name) AS edit_dist
+FROM part a
+JOIN part b
+  ON a.p_type = b.p_type
+ AND a.p_size = b.p_size
+ AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= {_LEV_MAX}
+  AND a.p_name <> b.p_name
+ORDER BY key_a, key_b
+"""
+
+
+@query("q97_fuzzy_pairs", oracle=_Q97_ORACLE, tags=("L2", "dedup"))
+def q97_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-identical part names by Levenshtein distance ≤ 3 (typo-level
+    variants), blocked on (p_type, p_size).
+
+    The blocking key turns the quadratic all-pairs distance scan into
+    an equi-join whose per-bucket cost is bounded — the same
+    structural guarantee as the LSH/shingle joins (at 100 TB the
+    block key would extend with a length band or first-character
+    class; recall trades off explicitly). Both engines implement
+    plain Levenshtein, so the filter is oracle-exact.
+    """
+    p = table(spark, sf_dir, "part")
+    a = p.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+        "p_type",
+        "p_size",
+    )
+    b = p.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+        F.col("p_type").alias("t2"),
+        F.col("p_size").alias("s2"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("p_type") == F.col("t2"))
+        & (F.col("p_size") == F.col("s2"))
+        & (F.col("key_a") < F.col("key_b")),
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        pairs.select("key_a", "key_b", "name_a", "name_b", dist.alias("edit_dist"))
+        .filter((F.col("edit_dist") <= _LEV_MAX) & (F.col("name_a") != F.col("name_b")))
+        .orderBy("key_a", "key_b")
+    )

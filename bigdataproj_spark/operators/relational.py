@@ -581,3 +581,43 @@ def q18_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sum_qty").isNotNull())
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# A4 arbitrary grouping sets (beyond rollup/cube) + GROUPING() markers.
+# ---------------------------------------------------------------------------
+
+_Q19_ORACLE = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  GROUPING(l_returnflag) AS g_rf,
+  GROUPING(l_linestatus) AS g_ls,
+  COUNT(*) AS n_items,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+
+@query("q19_grouping_sets", oracle=_Q19_ORACLE, tags=("A4",))
+def q19_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS with GROUPING() null-vs-group markers —
+    the grouping-set shapes rollup/cube can't express (two disjoint
+    single-column sets + grand total, one Expand pass, one shuffle)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT
+          l_returnflag,
+          l_linestatus,
+          GROUPING(l_returnflag) AS g_rf,
+          GROUPING(l_linestatus) AS g_ls,
+          COUNT(*) AS n_items,
+          CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+        """
+    )

@@ -54,6 +54,7 @@ _QUERY_MODULES = (
     "bigdataproj_spark.operators.skew",
     "bigdataproj_spark.operators.sampling",
     "bigdataproj_spark.operators.profiling",
+    "bigdataproj_spark.operators.cleaning",
     "bigdataproj_spark.streaming.batch_twins",
     "bigdataproj_spark.sources.filescan",
     "bigdataproj_spark.sources.sink",
