@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import register_views, table
-from ..functions import cents, davg, dec, dsum, dsum_expr, fmt_ts, iavg, isum, isum_expr
+from ..functions import cents, dec, dsum, fmt_ts, iavg, isum, isum_expr
 from ..registry import query
 
 # ---------------------------------------------------------------------------

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import table
-from ..functions import cents, dec, fmt_ts
+from ..functions import cents, fmt_ts
 from ..registry import query
 
 # ---------------------------------------------------------------------------

@@ -206,3 +206,58 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, batches):
     got_s = got.sort_values(key).reset_index(drop=True)[want.columns]
     want_s = want.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(got_s, want_s, check_dtype=False)
+
+
+def test_checkpoint_recovery_exactly_once(spark, sf_dir, batches):
+    """Kill the stream mid-corpus and restart from the same checkpoint:
+    the union of outputs across the two runs must contain every
+    finalized window exactly once (offsets + state recover; nothing is
+    re-emitted, nothing is lost) and equal a single uninterrupted run."""
+    import os
+    import shutil
+
+    src = tempfile.mkdtemp(prefix="ckpt_src_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_ckpt_")
+    transform = replay.tumbling_stream("2 hours")
+    emitted = []
+
+    def sink(batch_df, batch_id):
+        emitted.append(batch_df.toPandas())
+
+    def run_phase(paths):
+        stream = (
+            spark.readStream.schema(replay.EVENTS_DDL)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            transform(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            for p in paths:
+                shutil.copy(p, src)
+                q.processAllAvailable()
+        finally:
+            q.stop()
+
+    try:
+        run_phase(batches[:4])   # crash point: stop after 4 of 8 batches
+        run_phase(batches[4:])   # restart from the same checkpoint
+        got = pd.concat([e for e in emitted if len(e)], ignore_index=True)
+        # exactly-once: every finalized (window, type) key appears once
+        keys = got[["w_start", "event_type"]]
+        assert not keys.duplicated().any(), got[keys.duplicated(keep=False)]
+        # completeness: equals one uninterrupted run over all batches
+        want = replay.run_file_stream(
+            spark, batches, transform, output_mode="append"
+        )
+        got_s = got.sort_values(["w_start", "event_type"]).reset_index(drop=True)
+        want_s = want.sort_values(["w_start", "event_type"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got_s[want.columns], want_s, check_dtype=False)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
