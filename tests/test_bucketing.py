@@ -1,0 +1,100 @@
+"""Bucketed-table co-located join (SURVEY.md §4 / 100 TB posture).
+
+The biggest repeated cost in a fact-fact pipeline is re-shuffling the
+same table on the same key for every join. Bucketing pre-partitions
+the data at rest; a join of two tables bucketed on the join key runs
+with ZERO exchanges. This is the deploy-time answer for the
+lineitem⋈orders spine every TPC-H-shaped query pays for — asserted
+here on real saved tables, not claimed in prose.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from bigdataproj_spark.catalog import table
+from bigdataproj_spark.plans import physical_plan
+
+
+@pytest.fixture(scope="module")
+def bucketed(spark, sf_dir, tmp_path_factory):
+    wh = tmp_path_factory.mktemp("bucketed_wh")
+    n = 8
+    (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_extendedprice")
+        .write.bucketBy(n, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", str(wh / "lineitem_b"))  # external table: data in tmp
+        .mode("overwrite")
+        .saveAsTable("lineitem_b")
+    )
+    (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.bucketBy(n, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", str(wh / "orders_b"))
+        .mode("overwrite")
+        .saveAsTable("orders_b")
+    )
+    yield "lineitem_b", "orders_b"
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    """Force the shuffle-join path (at fixture scale everything
+    broadcasts, which would bypass bucketing — at 100 TB neither fact
+    side fits a broadcast, which is the case bucketing exists for)."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_join_has_no_shuffle(spark, bucketed, no_broadcast):
+    """A fact-fact join of two tables bucketed on the join key must
+    read the buckets as-is: sort-merge join with NO shuffle exchange —
+    the shuffle happened once, at rest."""
+    li, od = bucketed
+    df = spark.table(li).join(
+        spark.table(od), F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    plan = physical_plan(df)
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Bucketed: true" in plan, plan
+    assert df.count() > 0
+
+
+def test_bucketed_agg_has_no_shuffle(spark, bucketed, no_broadcast):
+    """Aggregating a bucketed table on its bucket key also skips the
+    exchange (the at-rest partitioning satisfies the distribution)."""
+    li, _ = bucketed
+    df = spark.table(li).groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n"))
+    plan = physical_plan(df)
+    assert "Exchange" not in plan, plan
+
+
+def test_bucketed_join_matches_unbucketed(spark, sf_dir, bucketed):
+    """Bucketing is a physical property only: the joined row count
+    must equal the plain shuffle join's."""
+    li, od = bucketed
+    bucketed_n = (
+        spark.table(li)
+        .join(spark.table(od), F.col("l_orderkey") == F.col("o_orderkey"))
+        .count()
+    )
+    plain_n = (
+        table(spark, sf_dir, "lineitem")
+        .join(
+            table(spark, sf_dir, "orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .count()
+    )
+    assert bucketed_n == plain_n
