@@ -200,3 +200,127 @@ def q80_tweet_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "$.user.name",
         ).alias("name_roundtrip"),
     ).orderBy("tweet_id")
+
+
+# ---------------------------------------------------------------------------
+# Capstone: the full corpus-curation pipeline as ONE composed query —
+# quality gate → exact dedup → train split → context-window chunking.
+# The stages are the registered operators (q22/q60/q57/q59) composed
+# end-to-end; the oracle replays the entire chain in a single CTE
+# pipeline, so the *composition* is oracle-checked, not just the parts.
+# ---------------------------------------------------------------------------
+
+from ..catalog import table as _table
+from .dedup import SHINGLE_SIZE as _SS  # noqa: F401  (doc: same corpus ops)
+from .sampling import _SALT as _SPLIT_SALT
+from .sampling import N_BUCKETS as _NB
+from .sampling import TRAIN_LT as _TRAIN_LT
+from .text import FINGERPRINT_SQL as _FP_SQL
+from .text import STOPWORDS as _STOP
+from .text import TOKENS_SQL as _TOK_SQL
+from .text import fingerprint as _fingerprint
+
+_MIN_TOKENS = 20
+_MIN_STOP_RATIO = 0.05
+_PIPE_CHUNK = 32
+_PIPE_STRIDE = 24
+
+_STOP_LIST_SQL = "'" + "','".join(_STOP) + "'"
+
+_Q99_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, text, {_TOK_SQL} AS toks FROM documents
+),
+gate AS (
+  SELECT doc_id, text, toks
+  FROM t
+  WHERE len(toks) >= {_MIN_TOKENS}
+    AND CAST(len(list_filter(toks, x -> x IN ({_STOP_LIST_SQL}))) AS DOUBLE)
+        / len(toks) >= {_MIN_STOP_RATIO}
+),
+fp AS (
+  SELECT doc_id, toks, {_FP_SQL} AS f FROM gate
+),
+dedup AS (
+  SELECT doc_id, toks
+  FROM (SELECT *, MIN(doc_id) OVER (PARTITION BY f) AS canonical FROM fp)
+  WHERE doc_id = canonical
+),
+split AS (
+  SELECT doc_id, toks
+  FROM dedup
+  WHERE CAST(('0x' || substr(md5('{_SPLIT_SALT}' || CAST(doc_id AS VARCHAR)), 1, 15))
+             AS BIGINT) % {_NB} < {_TRAIN_LT}
+),
+st AS (
+  SELECT doc_id, toks, unnest(range(0, len(toks), {_PIPE_STRIDE})) AS s
+  FROM split
+)
+SELECT
+  doc_id,
+  CAST(s / {_PIPE_STRIDE} AS BIGINT) AS chunk_idx,
+  len(toks[s + 1 : s + {_PIPE_CHUNK}]) AS n_tokens,
+  array_to_string(toks[s + 1 : s + {_PIPE_CHUNK}], ' ') AS chunk_text
+FROM st
+ORDER BY doc_id, chunk_idx
+"""
+
+
+@query("q99_corpus_pipeline", oracle=_Q99_ORACLE, tags=("L1", "L5", "L9", "pipeline", "bench"))
+def q99_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → training chunks, end to end: quality gate (token
+    count + stopword ratio), exact dedup (min-id survivor per content
+    fingerprint), deterministic train-split membership, overlapping
+    context-window chunking.
+
+    Plan at scale: one map-only pass to the gate, ONE shuffle for the
+    fingerprint dedup window, then map-only split + chunk explode —
+    the whole curation pipeline costs a single exchange. This is the
+    engine's answer to the reference's ingest→standardize→serialize
+    chain (reference README.md:48-76), aimed at LM corpus prep.
+    """
+    from pyspark.sql.window import Window as _W
+
+    d = _table(spark, sf_dir, "documents")
+    t = d.select("doc_id", "text", tokens("text").alias("toks"))
+    gate = t.filter(
+        (F.size("toks") >= _MIN_TOKENS)
+        & (
+            F.size(F.filter("toks", lambda x: x.isin(*_STOP))).cast("double")
+            / F.size("toks")
+            >= _MIN_STOP_RATIO
+        )
+    )
+    fp = gate.select("doc_id", "toks", _fingerprint("text").alias("f"))
+    dedup = (
+        fp.withColumn("canonical", F.min("doc_id").over(_W.partitionBy("f")))
+        .filter(F.col("doc_id") == F.col("canonical"))
+        .select("doc_id", "toks")
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(_SPLIT_SALT), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _NB
+    )
+    split = dedup.filter(bucket < _TRAIN_LT)
+    st = split.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(0), F.size("toks") - 1, F.lit(_PIPE_STRIDE))
+        ).alias("s"),
+    )
+    chunk = F.slice("toks", F.col("s") + 1, _PIPE_CHUNK)
+    return st.select(
+        "doc_id",
+        (F.col("s") / _PIPE_STRIDE).cast("long").alias("chunk_idx"),
+        F.size(chunk).alias("n_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    ).orderBy("doc_id", "chunk_idx")
