@@ -205,3 +205,38 @@ def q44_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
         .orderBy("o_orderpriority", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# W1 distribution functions: percent_rank / cume_dist.
+# ---------------------------------------------------------------------------
+
+_Q39_ORACLE = """
+SELECT
+  o_orderkey,
+  o_orderpriority,
+  round(PERCENT_RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice), 6)
+    AS pct_rank,
+  round(CUME_DIST() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice), 6)
+    AS cume,
+FROM orders
+ORDER BY o_orderkey
+"""
+
+
+@query("q39_distribution_functions", oracle=_Q39_ORACLE, tags=("W1",))
+def q39_distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist per priority by price.
+
+    Both are rank-based ((rank-1)/(n-1), peers_≤/n): integer-derived
+    IEEE divisions, so round-6 is bit-stable across engines. Ties
+    share values by definition — no unique-order extension needed.
+    """
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    ).orderBy("o_orderkey")
