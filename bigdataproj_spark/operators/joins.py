@@ -275,3 +275,47 @@ def q37_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# J9 / Q1 LATERAL correlated subquery join (per-row top-k lookup).
+# ---------------------------------------------------------------------------
+
+_Q38_ORACLE = """
+SELECT n.n_name, t.o_orderkey, t.o_totalprice
+FROM nation n,
+LATERAL (
+  SELECT o.o_orderkey, o.o_totalprice
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY o.o_totalprice DESC, o.o_orderkey
+  LIMIT 2
+) t
+ORDER BY n.n_name, t.o_totalprice DESC, t.o_orderkey
+"""
+
+
+@query("q38_lateral_topk", oracle=_Q38_ORACLE, tags=("Q1", "J9", "O3"))
+def q38_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 orders per nation via a LATERAL correlated subquery —
+    the per-row-subquery surface (Spark 3.4+ SQL). Catalyst
+    decorrelates it into the same window-rank plan as q44; the SQL
+    form is what users port from warehouse dialects.
+    """
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name, t.o_orderkey, t.o_totalprice
+        FROM nation n,
+        LATERAL (
+          SELECT o.o_orderkey, o.o_totalprice
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY o.o_totalprice DESC, o.o_orderkey
+          LIMIT 2
+        ) t
+        ORDER BY n.n_name, t.o_totalprice DESC, t.o_orderkey
+        """
+    )
