@@ -319,3 +319,69 @@ def q38_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY n.n_name, t.o_totalprice DESC, t.o_orderkey
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# M1 upsert / merge (SCD-1): base ⟗ changes → new snapshot.
+# ---------------------------------------------------------------------------
+
+_Q98_ORACLE = """
+WITH changes AS (
+  SELECT o_orderkey, o_custkey, o_totalprice + 100.0 AS o_totalprice, 'updated' AS op
+  FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_custkey, o_totalprice, 'inserted' AS op
+  FROM orders WHERE o_orderkey % 1000 = 0
+)
+SELECT
+  COALESCE(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+  COALESCE(c.o_custkey, b.o_custkey) AS o_custkey,
+  COALESCE(c.o_totalprice, b.o_totalprice) AS o_totalprice,
+  COALESCE(c.op, 'unchanged') AS op
+FROM orders b
+FULL OUTER JOIN changes c ON b.o_orderkey = c.o_orderkey
+ORDER BY o_orderkey
+"""
+
+
+@query("q98_upsert_merge", oracle=_Q98_ORACLE, tags=("M1", "J2"))
+def q98_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert semantics on plain parquet (SCD type 1): a change
+    set (updates to existing keys + inserts of new keys) merged into
+    the base by full outer join + change-side-wins coalesce.
+
+    This is the table-format-free form of ``MERGE INTO``: at scale
+    both sides shuffle once on the merge key (or zero times if the
+    base is bucketed on it — tests/test_bucketing.py), and the output
+    is the next immutable snapshot. The change set here is derived
+    deterministically from the base itself so the oracle can replay
+    it.
+    """
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    updates = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.col("o_totalprice") + 100.0).alias("o_totalprice"),
+        F.lit("updated").alias("op"),
+    )
+    inserts = o.filter(F.col("o_orderkey") % 1000 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_custkey",
+        "o_totalprice",
+        F.lit("inserted").alias("op"),
+    )
+    changes = updates.unionByName(inserts)
+    b = o.alias("b")
+    c = changes.alias("c")
+    return (
+        b.join(c, F.col("b.o_orderkey") == F.col("c.o_orderkey"), "full_outer")
+        .select(
+            F.coalesce("c.o_orderkey", "b.o_orderkey").alias("o_orderkey"),
+            F.coalesce("c.o_custkey", "b.o_custkey").alias("o_custkey"),
+            F.coalesce("c.o_totalprice", "b.o_totalprice").alias("o_totalprice"),
+            F.coalesce("c.op", F.lit("unchanged")).alias("op"),
+        )
+        .orderBy("o_orderkey")
+    )
