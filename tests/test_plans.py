@@ -145,3 +145,16 @@ def test_profile_is_single_scan(spark, sf_dir):
     df = load_all()["q95_column_profile"].build(spark, sf_dir)
     plan = plan_of(df)
     assert plan.count("Scan parquet") == 1, plan
+
+
+def test_no_query_plans_a_cartesian_product(spark, sf_dir):
+    """Fleet-wide invariant: NO registered query — including the
+    intentional cross joins, which must ride broadcast-nested-loop on
+    a bounded side — ever plans a CartesianProduct. At 100 TB a
+    cartesian is always a bug."""
+    offenders = []
+    for name, q in sorted(load_all().items()):
+        plan = plan_of(q.build(spark, sf_dir))
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
