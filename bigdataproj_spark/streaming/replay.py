@@ -281,3 +281,60 @@ def attribution_stream(delay: str = "2 hours"):
         )
 
     return transform
+
+
+# ---------------------------------------------------------------------------
+# ST6 on the Spark-4-native API: transformWithStateInPandas.
+# Same semantics as running_totals_stream (per-user count + exact-cents
+# total), expressed as a StatefulProcessor — the current-generation
+# stateful surface (typed ValueState, RocksDB-backed on a cluster,
+# supports state TTL and schema evolution where the legacy
+# applyInPandasWithState does not).
+# ---------------------------------------------------------------------------
+
+
+def running_totals_tws_stream():
+    """transformWithStateInPandas twin of running_totals_stream."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            schema = StructType(
+                [
+                    StructField("n", LongType()),
+                    StructField("cents", LongType()),
+                ]
+            )
+            self._state = handle.getValueState("totals", schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, cents = (self._state.get() or (0, 0)) if self._state.exists() else (0, 0)
+            n, cents = n or 0, cents or 0
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(round(float(pdf["value"].sum()) * 100))
+            self._state.update((n, cents))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n": [n], "total": [cents / 100.0]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    def transform(stream: DataFrame) -> DataFrame:
+        return stream.groupBy("user_id").transformWithStateInPandas(
+            RunningTotals(),
+            outputStructType=OUT_DDL,
+            outputMode="append",
+            timeMode="none",
+        )
+
+    return transform

@@ -261,3 +261,58 @@ def test_checkpoint_recovery_exactly_once(spark, sf_dir, batches):
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def _protobuf_available() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_available(),
+    reason="transformWithStateInPandas' Python worker needs google.protobuf, "
+    "not present in this container (no network installs); the operator is "
+    "implemented in replay.running_totals_tws_stream and this test runs "
+    "wherever protobuf exists",
+)
+def test_stateful_running_totals_tws(spark, sf_dir, batches):
+    """ST6 on the Spark-4-native transformWithStateInPandas API: same
+    contract as the applyInPandasWithState test — the last emitted row
+    per user equals the batch count/sum bitwise."""
+    # transformWithState requires the RocksDB state store provider.
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        got = replay.run_file_stream(
+            spark, batches, replay.running_totals_tws_stream(), output_mode="append"
+        )
+    finally:
+        if old:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    last = got.groupby("user_id").last()
+    e = table(spark, sf_dir, "events")
+    want = (
+        e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0
+            ).alias("total"),
+        )
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    assert (last["n"].sort_index() == want["n"]).all()
+    pd.testing.assert_series_equal(
+        last["total"].sort_index(), want["total"], check_names=False
+    )
