@@ -1,8 +1,8 @@
 """Data-cleaning operators: null handling and imputation.
 
 Every real ingestion pipeline cleans before it aggregates; the
-reference's `standardize` stage (reference README.md:63-66) is this
-in miniature. The fixtures are null-free by construction, so the
+reference's standardization step ("transformed into a standardized
+structure", reference README.md:96) is this in miniature. The fixtures are null-free by construction, so the
 query first *synthesizes* missingness deterministically (event_id
 modulo masks — identical in both engines), then applies the standard
 cleaning battery:
