@@ -158,3 +158,38 @@ def test_no_query_plans_a_cartesian_product(spark, sf_dir):
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_parquet_aggregate_pushdown_metadata_only(spark, sf_dir):
+    """With the V2 parquet source, COUNT/MIN/MAX compile to a
+    PushedAggregation scan answered from parquet footer statistics —
+    at 100 TB this is the difference between reading footers and
+    reading the table. (The engine default stays on V1 for its richer
+    bucketing/filter paths; this pins that the metadata-only path is
+    one conf away and correct.)"""
+    old_v1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try:
+        df = spark.read.parquet(f"{sf_dir}/orders.parquet").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("mn"),
+            F.max("o_totalprice").alias("mx"),
+        )
+        row = df.collect()[0]
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PushedAggregation: [COUNT(*)" in plan, plan
+        # and it answers correctly vs the ordinary scan
+        want = (
+            table(spark, sf_dir, "orders")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("o_totalprice").alias("mn"),
+                F.max("o_totalprice").alias("mx"),
+            )
+            .collect()[0]
+        )
+        assert (row["n"], row["mn"], row["mx"]) == (want["n"], want["mn"], want["mx"])
+    finally:
+        spark.conf.set("spark.sql.sources.useV1SourceList", old_v1)
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
