@@ -105,3 +105,90 @@ def q48_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "secs_since_click"
         ),
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap-fill: densify to a daily grid per key, carry the last
+# observation forward (LOCF). The standard resample step before any
+# window/trend computation on irregular event data.
+# ---------------------------------------------------------------------------
+
+_Q81_ORACLE = """
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS day_value
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT date_trunc('day', MIN(ts)) AS gmin, date_trunc('day', MAX(ts)) AS gmax
+  FROM events
+),
+grid AS (
+  SELECT u.user_id, g.day
+  FROM (SELECT DISTINCT user_id FROM events) u
+  CROSS JOIN (SELECT unnest(generate_series(gmin, gmax, INTERVAL 1 DAY)) AS day
+              FROM bounds) g
+),
+joined AS (
+  SELECT grid.user_id, grid.day, daily.day_value
+  FROM grid LEFT JOIN daily USING (user_id, day)
+)
+SELECT
+  user_id,
+  strftime(day, '%Y-%m-%dT%H:%M:%S') AS day_iso,
+  COALESCE(
+    last_value(day_value IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY day
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    0.0) AS filled_value,
+  (day_value IS NULL) AS is_filled
+FROM joined
+ORDER BY user_id, day
+"""
+
+
+@query("q81_gap_fill", oracle=_Q81_ORACLE, tags=("TS1", "asof"))
+def q81_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily resample per user with LOCF (last observation carried
+    forward) and zero-fill before the first observation, flagging
+    synthesized rows.
+
+    Scale shape: the daily aggregate is one shuffle on (user, day);
+    the dense grid is users × explode(global day range) — the range
+    is a broadcast 1-row bound, so densification is map-only; LOCF is
+    one window over the (bounded) per-user day span. Grid size is
+    keys × days, independent of event volume.
+    """
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        (F.sum(F.round(F.col("value") * 100).cast("long")).cast("double") / 100).alias(
+            "day_value"
+        )
+    )
+    bounds = e.agg(
+        F.date_trunc("day", F.min("ts")).alias("gmin"),
+        F.date_trunc("day", F.max("ts")).alias("gmax"),
+    )
+    users = e.select("user_id").distinct()
+    grid = users.crossJoin(F.broadcast(bounds)).select(
+        "user_id",
+        F.explode(
+            F.sequence("gmin", "gmax", F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    joined = grid.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd'T'HH:mm:ss").alias("day_iso"),
+        F.coalesce(
+            F.last("day_value", ignorenulls=True).over(w), F.lit(0.0)
+        ).alias("filled_value"),
+        F.col("day_value").isNull().alias("is_filled"),
+    ).orderBy("user_id", "day")

@@ -41,3 +41,22 @@ def test_ingest_enrich_roundtrip(spark, sf_dir):
     assert row["hashtags"] == ["#new"]
     assert row["geo_info"]["is_geotagged"] is True
     assert '"name":"alice"' in row["json"]
+
+
+def test_orc_sink_source_roundtrip(spark, sf_dir, tmp_path):
+    """S-coverage beyond parquet/JSON/CSV: ORC write → read round-trips
+    schema and values exactly (Spark's other native columnar format —
+    format choice is a one-line swap on the same plans)."""
+    import pandas as pd
+
+    from bigdataproj_spark.catalog import table
+
+    src = table(spark, sf_dir, "nation")
+    path = str(tmp_path / "nation_orc")
+    src.write.format("orc").mode("overwrite").save(path)
+    back = spark.read.format("orc").load(path)
+    assert back.schema == src.schema
+    pd.testing.assert_frame_equal(
+        back.orderBy("n_nationkey").toPandas(),
+        src.orderBy("n_nationkey").toPandas(),
+    )
