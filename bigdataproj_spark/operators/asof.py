@@ -80,31 +80,58 @@ ORDER BY p.event_id
 @query("q48_asof_join", oracle=_Q48_ORACLE, tags=("J8", "bench"))
 def q48_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Attribution: each purchase joined to the user's latest prior
-    (or simultaneous) click; oracle is DuckDB's native ASOF JOIN."""
-    e = table(spark, sf_dir, "events")
-    purchases = e.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts"
+    (or simultaneous) click; oracle is DuckDB's native ASOF JOIN.
+
+    Both as-of sides come from the SAME table, so the generic
+    tagged-union plan (``asof_join``) collapses to a single scan: one
+    pushed ``event_type IN`` filter, one shuffle on the window key,
+    one ordered pass. At equal timestamps the click row sorts before
+    the purchase (ASOF ``>=`` semantics), and among equal-timestamp
+    clicks the largest event_id wins — identical tiebreaks to the
+    generic composition, minus a scan and a union.
+    """
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
     )
-    clicks = e.filter(F.col("event_type") == "click")
-    joined = asof_join(
-        purchases,
-        clicks,
-        on="user_id",
-        left_ts="ts",
-        right_ts="ts",
-        right_cols={"event_id": "click_id", "value": "click_value", "ts": "click_ts"},
-        tiebreak="event_id",
-    )
-    return joined.select(
+    is_click = F.col("event_type") == "click"
+    tagged = e.select(
         "event_id",
         "user_id",
-        fmt_ts("ts").alias("purchase_ts"),
-        "click_id",
-        "click_value",
-        F.expr("(unix_micros(ts) - unix_micros(click_ts)) div 1000000").alias(
-            "secs_since_click"
-        ),
-    ).orderBy("event_id")
+        "ts",
+        "event_type",
+        F.when(is_click, F.lit(0)).otherwise(F.lit(1)).alias("__side"),
+        F.when(is_click, F.col("event_id")).alias("__click_id"),
+        F.when(is_click, F.col("value")).alias("__click_value"),
+        F.when(is_click, F.col("ts")).alias("__click_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "__side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = tagged.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "__side",
+        F.last("__click_id", ignorenulls=True).over(w).alias("click_id"),
+        F.last("__click_value", ignorenulls=True).over(w).alias("click_value"),
+        F.last("__click_ts", ignorenulls=True).over(w).alias("click_ts"),
+    )
+    return (
+        filled.filter(F.col("__side") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            fmt_ts("ts").alias("purchase_ts"),
+            "click_id",
+            "click_value",
+            F.expr("(unix_micros(ts) - unix_micros(click_ts)) div 1000000").alias(
+                "secs_since_click"
+            ),
+        )
+        .orderBy("event_id")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -60,3 +60,42 @@ def test_orc_sink_source_roundtrip(spark, sf_dir, tmp_path):
         back.orderBy("n_nationkey").toPandas(),
         src.orderBy("n_nationkey").toPandas(),
     )
+
+
+def test_generic_asof_join_two_sources(spark):
+    """The generic two-source asof_join: latest right row with
+    right.ts <= left.ts per key, NULLs when no earlier row exists,
+    ASOF >= at equal timestamps, tiebreak on the given column."""
+    from bigdataproj_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [
+            (1, "u1", datetime(2024, 1, 1, 10, 0, 0)),
+            (2, "u1", datetime(2024, 1, 1, 12, 0, 0)),
+            (3, "u2", datetime(2024, 1, 1, 9, 0, 0)),
+        ],
+        "pid INT, uid STRING, ts TIMESTAMP",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, "u1", datetime(2024, 1, 1, 10, 0, 0), 1.0),
+            (11, "u1", datetime(2024, 1, 1, 10, 0, 0), 2.0),
+            (12, "u1", datetime(2024, 1, 1, 11, 0, 0), 3.0),
+            (13, "u2", datetime(2024, 1, 1, 9, 30, 0), 4.0),
+        ],
+        "rid BIGINT, uid STRING, ts TIMESTAMP, v DOUBLE",
+    )
+    out = asof_join(
+        left,
+        right,
+        on="uid",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols={"rid": "match_id", "v": "match_v"},
+        tiebreak="rid",
+    )
+    got = {r["pid"]: (r["match_id"], r["match_v"]) for r in out.collect()}
+    # pid=1: equal-timestamp rows 10/11 both eligible (>= semantics);
+    # larger tiebreak rid=11 wins.  pid=2: latest earlier row is 12.
+    # pid=3: u2's only right row is later -> no match.
+    assert got == {1: (11, 2.0), 2: (12, 3.0), 3: (None, None)}
