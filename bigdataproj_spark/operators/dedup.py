@@ -18,6 +18,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import table
 from ..registry import query
+from .skew import fan_out
 from .text import FINGERPRINT_SQL, TOKENS_SQL, fingerprint, tokens
 
 # ---------------------------------------------------------------------------
@@ -108,11 +109,14 @@ def q61_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The pair generation is an equi-join on the shingle key (inverted
     index), NOT an all-pairs comparison — pairs only materialize for
-    documents that share at least one shingle. At 100 TB the one extra
+    documents that share at least one shingle. The join shape beats
+    ``bucket_pairs`` here: the upstream is a map-only explode (cheap
+    to compute on both sides), and the streamed join avoids
+    materializing per-shingle pair arrays. At 100 TB the one extra
     guard is dropping ultra-frequent shingles (stop-shingles) before
     the self-join; the fixture corpus doesn't need it.
     """
-    d = table(spark, sf_dir, "documents")
+    d = fan_out(table(spark, sf_dir, "documents"))
     t = d.select("doc_id", tokens("text").alias("toks")).filter(
         F.size("toks") >= SHINGLE_SIZE
     )
@@ -163,6 +167,49 @@ _MH_P = (1 << 31) - 1  # Mersenne prime; A_i*h stays inside int64
 # increments, reduced mod p; A_i forced odd and nonzero).
 MINHASH_A = tuple((i * 2654435761 + 1) % _MH_P | 1 for i in range(N_HASHES))
 MINHASH_B = tuple((i * 40503 + 12345) % _MH_P for i in range(N_HASHES))
+
+
+def bucket_pairs(
+    df: DataFrame, keys: list[str], id_col: str, *payload: str
+) -> DataFrame:
+    """All i<j member pairs within each bucket, without a self-join.
+
+    groupBy the bucket key, collect the membership (array_sort on the
+    (id, payload) struct gives a deterministic pair orientation),
+    explode the upper triangle via array HOFs. The bucket size bounds
+    the quadratic term exactly as a join-on-bucket-key formulation
+    would, but the input pipeline is computed once and the only
+    shuffle is on the bucket key — the join shape computes its whole
+    upstream on both sides (exchange reuse does not fire across join
+    branches) and tempts AQE into broadcasting a derived table whose
+    size grows with the corpus.
+
+    Output: columns ``a`` and ``b``, structs of (id_col, *payload),
+    with a.id < b.id.
+    """
+    member = F.struct(id_col, *payload)
+    buckets = (
+        df.groupBy(*keys)
+        .agg(F.array_sort(F.collect_list(member)).alias("__m"))
+        .filter(F.size("__m") > 1)
+    )
+    n = F.size("__m")
+    return buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), n - 2),
+                    lambda i: F.transform(
+                        F.slice("__m", i + 2, n),
+                        lambda right: F.struct(
+                            F.element_at("__m", i + 1).alias("a"),
+                            right.alias("b"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("__p")
+    ).select("__p.a", "__p.b")
 
 
 def minhash_signatures(sh: DataFrame) -> DataFrame:
@@ -230,13 +277,23 @@ def q62_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates with signature-estimated Jaccard.
 
     16 hashes, 4 bands × 4 rows (candidate threshold ≈ 0.5 Jaccard).
-    Candidates come from an equi-join on (band, band_hash) — documents
-    only ever meet inside an LSH bucket, which is the property that
-    scales this to 100 TB corpora. Hash-matched against a DuckDB
-    re-implementation of the full pipeline (same md5-derived universal
-    hash family, same banding).
+    Documents only ever meet inside an LSH bucket, which is the
+    property that scales this to 100 TB corpora. Pair generation is
+    bucket-grouped, not a self-join: group on (band, band_hash),
+    collect the (small, LSH-bounded) bucket membership, explode the
+    i<j pairs inside each bucket. One pass over the corpus, ONE
+    shuffle on the bucket key — a self-join formulation computes the
+    whole shingle→minhash subtree twice (Spark's exchange reuse does
+    not canonicalize across the join sides) and at 100 TB invites AQE
+    to broadcast an unboundedly large derived table; measured ~20%
+    slower at sf0.1. Hash-matched against a DuckDB re-implementation
+    (same md5-derived universal hash family, same banding; the oracle
+    keeps the join formulation, proving the two shapes equivalent).
+    The scan fans out first: shingling + md5 per shingle is the
+    per-row-CPU-dominated shape where the rebalance shuffle pays for
+    itself (2x at sf0.1).
     """
-    d = table(spark, sf_dir, "documents")
+    d = fan_out(table(spark, sf_dir, "documents"))
     t = d.select("doc_id", tokens("text").alias("toks")).filter(
         F.size("toks") >= SHINGLE_SIZE
     )
@@ -271,34 +328,23 @@ def q62_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
     )
 
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+    pairs = bucket_pairs(bands, ["band", "bh"], "doc_id", "sig")
     est = (
         F.size(
             F.filter(
-                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                F.zip_with("a.sig", "b.sig", lambda x, y: x == y),
                 lambda eq: eq,
             )
         ).cast("double")
         / N_HASHES
     )
     return (
-        cand.select("doc_a", "doc_b", est.alias("est_jaccard"))
+        pairs.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            est.alias("est_jaccard"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
         .orderBy("doc_a", "doc_b")
     )
 
@@ -324,23 +370,27 @@ def _hex_hash(col: Column) -> Column:
 def simhash(doc_tokens: DataFrame) -> DataFrame:
     """(doc_id, token) rows → (doc_id, simhash).
 
-    Classic Charikar construction: each token votes +count/-count on
-    every bit of its hash; the fingerprint keeps the sign of each bit
-    sum. One shuffle (groupBy doc_id) with 60 independent JVM-side
+    Classic Charikar construction: each token occurrence votes +1/-1
+    on every bit of its hash; the fingerprint keeps the sign of each
+    bit sum. ONE shuffle (groupBy doc_id) with 60 independent JVM-side
     SUM aggregates — map-side partial agg keeps it one pass at scale.
+    A (doc_id, token)→count pre-aggregation would hash each distinct
+    token once instead of per occurrence, but costs a second full
+    shuffle of the token stream — md5 is the cheaper side of that
+    trade (measured 0.69s vs 1.04s at sf0.1). The hash is
+    materialized ONCE before the vote aggregates: 60 aggregate
+    expressions referencing md5(token) directly would each recompute
+    it per input row (no cross-aggregate subexpression elimination in
+    the partial-agg stage).
     """
-    weighted = doc_tokens.groupBy("doc_id", "token").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    h = _hex_hash(F.col("token"))
+    hashed = doc_tokens.select("doc_id", _hex_hash(F.col("token")).alias("h"))
     votes = [
         F.sum(
-            F.col("cnt")
-            * F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"s{j}")
         for j in range(SIMHASH_BITS)
     ]
-    per_doc = weighted.groupBy("doc_id").agg(*votes)
+    per_doc = hashed.groupBy("doc_id").agg(*votes)
     packed = sum(
         [
             F.when(F.col(f"s{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
@@ -409,11 +459,12 @@ def q63_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Same LSH scaling property as MinHash banding: a pair only
     materializes when one of the 4 15-bit bands matches exactly, so
-    candidate generation is an equi-join on (band, band_val) — never
-    an all-pairs product. The Hamming filter then runs on the bounded
-    candidate set (bit_count(xor) — one instruction per pair).
+    candidate generation is bucket-grouped on (band, band_val) — never
+    an all-pairs product, and one corpus pass (see ``bucket_pairs``).
+    The Hamming filter then runs on the bounded candidate set
+    (bit_count(xor) — one instruction per pair).
     """
-    d = table(spark, sf_dir, "documents")
+    d = fan_out(table(spark, sf_dir, "documents"))
     toks = d.select("doc_id", F.explode(tokens("text")).alias("token"))
     sims = simhash(toks)
 
@@ -436,17 +487,10 @@ def q63_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bb"),
     ).select("doc_id", "simhash", F.col("bb.b").alias("b"), F.col("bb.band_val").alias("band_val"))
 
-    a = bands.alias("a")
-    b = bands.alias("b")
+    pairs = bucket_pairs(bands, ["b", "band_val"], "doc_id", "simhash")
     hamming = F.bit_count(F.expr("sim_a ^ sim_b"))
     return (
-        a.join(
-            b,
-            (F.col("a.b") == F.col("b.b"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
+        pairs.select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             F.col("a.simhash").alias("sim_a"),

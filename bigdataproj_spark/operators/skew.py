@@ -1,7 +1,15 @@
-"""Skew handling: salting helpers for hot keys (SURVEY.md §7 "100 TB
-posture" — AQE's OptimizeSkewedJoin is the first line of defense; the
+"""Data-distribution helpers (SURVEY.md §7 "100 TB posture"): salting
+for hot keys, fan-out for narrow scans.
+
+Salting: AQE's OptimizeSkewedJoin is the first line of defense; the
 salting pattern is for when a single key exceeds what one task can
-hold even after AQE splits).
+hold even after AQE splits.
+
+Fan-out: a parquet row group is the unsplittable read unit, so a
+small file (or a handful of giant row groups) yields fewer scan tasks
+than cores and serializes everything above it. ``fan_out`` pays one
+tiny shuffle to restore parallelism — and is a structural no-op when
+the scan is already wide (the 100 TB case: thousands of row groups).
 
 Both helpers are pure DataFrame compositions; the salted aggregation
 is oracle-checked against the plain aggregation (same result by
@@ -18,6 +26,23 @@ from ..functions import dsum
 from ..registry import query
 
 DEFAULT_SALT_BUCKETS = 16
+
+
+def fan_out(df: DataFrame, multiple: int = 1) -> DataFrame:
+    """Rebalance a narrow scan before CPU-heavy per-row work.
+
+    Worth an exchange only when per-row compute dominates row width
+    (hashing/shingling/regex over short text rows — measured 2x on the
+    MinHash shingle stage at sf0.1); for wide rows feeding an
+    aggregation, map-side partial aggregation beats the full-row
+    shuffle, so don't fan out those. When the scan already has at
+    least ``cores * multiple`` partitions this returns the input
+    unchanged — no exchange enters the plan at cluster scale.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism * multiple
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 def salted(df: DataFrame, n: int = DEFAULT_SALT_BUCKETS) -> DataFrame:

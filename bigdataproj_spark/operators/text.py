@@ -16,6 +16,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import table
 from ..registry import query
+from .skew import fan_out
 
 # ---------------------------------------------------------------------------
 # R5 tokenization + R3 hashtag extraction as reusable expressions.
@@ -167,7 +168,7 @@ def q22_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     The quality-filter recipe of large text-corpus pipelines; every
     ratio is exact-int / exact-int in IEEE double, bit-stable.
     """
-    d = table(spark, sf_dir, "documents")
+    d = fan_out(table(spark, sf_dir, "documents"))
     t = d.select("doc_id", "text", tokens("text").alias("toks"))
     n_toks = F.size("toks")
     return t.select(

@@ -30,19 +30,14 @@ def get_spark(
     **extra: str,
 ) -> SparkSession:
     """Create (or reuse) the engine's SparkSession."""
-    resolved_master = master or default_master()
-    builder = SparkSession.builder.appName(app_name).master(resolved_master)
-    # Scan-split sizing: target 2-3 tasks per core. On a cluster reading
-    # 100 TB the 128m default already yields millions of splits — keep it.
-    # In local mode the fixtures are single ~1-20 MB files, which the
-    # default turns into 1-3 scan tasks on 32 cores; 1m splits restore
-    # scan/partial-agg parallelism (measured: q01 0.89s -> 0.62s at sf0.1).
-    local = resolved_master.startswith("local")
+    builder = SparkSession.builder.appName(app_name).master(master or default_master())
+    # Scan-split sizing: the 128m default is right at every scale. The
+    # fixture files are single parquet row groups, and a row group is
+    # the unsplittable read unit — smaller split sizes only add empty
+    # tasks (measured: q01 0.70s @128m vs 0.84s @1m at sf0.1). Narrow
+    # scans that feed CPU-heavy work are rebalanced explicitly instead
+    # (operators.skew.fan_out).
     conf: dict[str, str] = {
-        "spark.sql.files.maxPartitionBytes": os.environ.get(
-            "SPARK_MAX_PARTITION_BYTES", "1m" if local else "128m"
-        ),
-        "spark.sql.files.openCostInBytes": "131072" if local else "4194304",
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.shuffle.partitions": os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32"),
         "spark.sql.adaptive.enabled": "true",
