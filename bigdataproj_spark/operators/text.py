@@ -692,3 +692,135 @@ def q49_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", "tf", "df", F.round("tfidf", 6).alias("tfidf"), "rank")
         .orderBy("doc_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# R13/L5 full-text search: BM25-ranked retrieval over a postings list.
+# The ES surface the reference delegates search to (reference
+# README.md:102-104) re-expressed as an inverted index: tf IS the
+# postings table (term -> doc, tf); at rest it would be written
+# partitioned/bucketed by term so a query touches only its terms'
+# buckets.
+# ---------------------------------------------------------------------------
+
+_FT_TERMS = ("spark", "join", "window")
+_FT_TOP = 15
+# BM25 constants k1=1.2, b=0.75 as exact rationals: the tf-norm
+# num/den are scaled by 10*sumdl so both are exact int64:
+#   num = 22*sumdl*tf            (= 2.2*tf * 10*sumdl)
+#   den = 10*sumdl*tf + 3*sumdl + 9*dl*N
+# idf = ln((N+1)/(df+0.5)) = ln((2N+2)/(2df+1)), floor-quantized to
+# Q20; the per-term score floor(idf_q20 * num/den) is an int64, so the
+# per-doc SUM is order-independent and bit-identical to the oracle.
+
+_Q94_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKENS_SQL}) AS term FROM documents
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n_docs, COUNT(*) AS sumdl
+  FROM toks
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+  WHERE term IN {_FT_TERMS!r}
+  GROUP BY doc_id, term
+),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT t.doc_id,
+    CAST(floor(
+      CAST(CAST(floor(
+        ln(CAST(2*s.n_docs + 2 AS DOUBLE) / CAST(2*d.df + 1 AS DOUBLE))
+        * 1048576) AS BIGINT) AS DOUBLE)
+      * (CAST(22*s.sumdl*t.tf AS DOUBLE)
+         / CAST(10*s.sumdl*t.tf + 3*s.sumdl + 9*l.dl*s.n_docs AS DOUBLE))
+    ) AS BIGINT) AS term_score_q20
+  FROM tf t
+  JOIN dl l USING (doc_id)
+  JOIN df d USING (term)
+  CROSS JOIN stats s
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_terms,
+         CAST(SUM(term_score_q20) AS BIGINT) AS sq
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_terms, rank, round(CAST(sq AS DOUBLE) / 1048576, 6) AS bm25
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY sq DESC, doc_id) AS rank FROM agg
+)
+WHERE rank <= {_FT_TOP}
+ORDER BY rank
+"""
+
+
+@query("q94_fulltext_bm25", oracle=_Q94_ORACLE, tags=("R13", "L5", "text"))
+def q94_fulltext_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-15 documents for a 3-term OR query (k1=1.2, b=0.75).
+
+    The search capability the reference hands to Elasticsearch
+    (reference README.md:102-104), native: postings (doc, term, tf)
+    are built by one explode + (doc_id, term) shuffle, document
+    frequencies reduce FROM the term-filtered postings (df is only
+    computed for query terms), and the 1-row corpus stats broadcast.
+    At 100 TB the postings table is precomputed and bucketed by term,
+    so a query scans only its terms' buckets — the doc-length join is
+    the single data-sized shuffle, and ranking is an int64 sort.
+
+    Scoring is exact: idf floor-quantized to Q20, tf-norm as a ratio
+    of exact int64s (scaled by 10*sumdl), per-term scores summed as
+    int64 — order-independent, so ranks tie-break deterministically.
+    """
+    d = table(spark, sf_dir, "documents")
+    tk = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    dl = tk.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = (
+        tk.agg(F.count(F.lit(1)).alias("sumdl"))
+        .crossJoin(d.agg(F.count(F.lit(1)).alias("n_docs")))
+    )
+    tf = (
+        tk.filter(F.col("term").isin(*_FT_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    idf_q20 = F.floor(
+        F.log(
+            (2 * F.col("n_docs") + 2).cast("double")
+            / (2 * F.col("df") + 1).cast("double")
+        )
+        * 1048576
+    ).cast("long")
+    num = (22 * F.col("sumdl") * F.col("tf")).cast("long").cast("double")
+    den = (
+        10 * F.col("sumdl") * F.col("tf")
+        + 3 * F.col("sumdl")
+        + 9 * F.col("dl") * F.col("n_docs")
+    ).cast("long").cast("double")
+    term_score = F.floor(idf_q20.cast("double") * (num / den)).cast("long")
+
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", term_score.alias("term_score_q20"))
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("term_score_q20").alias("sq"),
+    )
+    w = Window.orderBy(F.col("sq").desc(), "doc_id")
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _FT_TOP)
+        .select(
+            "doc_id",
+            "n_terms",
+            "rank",
+            F.round(F.col("sq").cast("double") / 1048576, 6).alias("bm25"),
+        )
+        .orderBy("rank")
+    )
