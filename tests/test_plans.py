@@ -193,3 +193,31 @@ def test_parquet_aggregate_pushdown_metadata_only(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.sources.useV1SourceList", old_v1)
         spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
+
+
+def test_fulltext_scan_prunes_to_doc_and_text(spark, sf_dir):
+    """q94's postings build must scan only (doc_id, text) — the
+    documents table's other columns never leave the parquet footer."""
+    df = load_all()["q94_fulltext_bm25"].build(spark, sf_dir)
+    plan = plan_of(df)
+    assert "struct<doc_id:bigint,text:string>" in plan, plan
+
+
+def test_funnel_pushes_event_type_to_scan(spark, sf_dir):
+    """q83's per-step type filters must reach the events scan as
+    pushed filters (each step reads one event type's row groups, not
+    the whole log)."""
+    df = load_all()["q83_funnel_conversion"].build(spark, sf_dir)
+    plan = plan_of(df)
+    for etype in ("view", "click", "purchase"):
+        assert f"EqualTo(event_type,{etype})" in plan, plan
+
+
+def test_scd2_is_single_shuffle_before_sort(spark, sf_dir):
+    """q84 must shuffle once on the window key (plus the presentation
+    sort's range exchange) — log-to-dimension compaction is one
+    exchange, no join."""
+    from bigdataproj_spark.plans import shuffle_count
+
+    df = load_all()["q84_scd2_intervals"].build(spark, sf_dir)
+    assert shuffle_count(df) <= 2, plan_of(df)
