@@ -324,3 +324,66 @@ def q99_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).alias("n_tokens"),
         F.concat_ws(" ", chunk).alias("chunk_text"),
     ).orderBy("doc_id", "chunk_idx")
+
+
+# ---------------------------------------------------------------------------
+# R4/R13 geo grid aggregation — the Elasticsearch geohash_grid
+# analytics the reference's ES index would serve (reference
+# README.md:84-86 geo extraction, README.md:102-104 ES analytics),
+# as a plain bounded-key aggregate: cell = floor(coord * 100)
+# (0.01° ≈ 1.1 km grid), centroids in exact Q20 fixed point.
+# ---------------------------------------------------------------------------
+
+_Q74_ORACLE = f"""
+WITH tweets(tweet_id, created_at, text, user_name, followers, lat, lon) AS (
+  VALUES
+    {_values_sql()}
+)
+SELECT
+  CAST(floor(lat * 100) AS BIGINT) AS cell_lat,
+  CAST(floor(lon * 100) AS BIGINT) AS cell_lon,
+  COUNT(*) AS n_tweets,
+  COUNT(DISTINCT user_name) AS n_users,
+  round(CAST(SUM(CAST(floor(lat * 1048576) AS BIGINT)) AS DOUBLE)
+        / 1048576 / COUNT(*), 6) AS centroid_lat,
+  round(CAST(SUM(CAST(floor(lon * 1048576) AS BIGINT)) AS DOUBLE)
+        / 1048576 / COUNT(*), 6) AS centroid_lon
+FROM tweets
+WHERE lat IS NOT NULL
+GROUP BY 1, 2
+ORDER BY cell_lat, cell_lon
+"""
+
+
+@query("q74_geo_grid", oracle=_Q74_ORACLE, tags=("R4", "R13", "pipeline"))
+def q74_geo_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo grid-cell rollup of geotagged tweets: tweet/user counts and
+    the cell centroid per 0.01° cell.
+
+    The ES geohash_grid aggregation as a native groupBy: the cell id
+    is a pure per-row function (no spatial index needed for gridding),
+    so at 100 TB this is one shuffle on a bounded key with map-side
+    partial aggregation — and a spatial *join* against cells is an
+    equi-join on the same key. Centroids sum Q20-quantized int64s, so
+    they are order-independent and bit-identical to the oracle.
+    """
+    g = ingest_tweets(spark).filter(F.col("geo").isNotNull())
+    q20 = 1048576
+    cnt = F.count(F.lit(1))
+    return (
+        g.select(
+            F.floor(F.col("geo.lat") * 100).alias("cell_lat"),
+            F.floor(F.col("geo.lon") * 100).alias("cell_lon"),
+            F.col("user.name").alias("user_name"),
+            F.floor(F.col("geo.lat") * q20).cast("long").alias("qlat"),
+            F.floor(F.col("geo.lon") * q20).cast("long").alias("qlon"),
+        )
+        .groupBy("cell_lat", "cell_lon")
+        .agg(
+            cnt.alias("n_tweets"),
+            F.countDistinct("user_name").alias("n_users"),
+            F.round(F.sum("qlat").cast("double") / q20 / cnt, 6).alias("centroid_lat"),
+            F.round(F.sum("qlon").cast("double") / q20 / cnt, 6).alias("centroid_lon"),
+        )
+        .orderBy("cell_lat", "cell_lon")
+    )
