@@ -159,7 +159,9 @@ SELECT
   lat,
   lon,
   lat IS NOT NULL AS is_geotagged,
-  list_sort(list_transform(regexp_extract_all(text, '#\\w+'), x -> lower(x))) AS tags,
+  COALESCE(array_to_string(
+    list_sort(list_transform(regexp_extract_all(text, '#\\w+'), x -> lower(x))), ','
+  ), '') AS tags,
   len(toks) AS n_tokens,
   CAST(list_sum(list_transform(toks, x -> CASE x {_LEX_CASE} ELSE 0 END)) AS BIGINT)
     AS sentiment_score,
@@ -191,7 +193,7 @@ def q80_tweet_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("geo_info.lat").alias("lat"),
         F.col("geo_info.lon").alias("lon"),
         F.col("geo_info.is_geotagged").alias("is_geotagged"),
-        F.col("hashtags").alias("tags"),
+        F.array_join("hashtags", ",").alias("tags"),
         "n_tokens",
         F.col("sentiment_info.sentiment_score").alias("sentiment_score"),
         F.col("sentiment_info.sentiment").alias("sentiment"),

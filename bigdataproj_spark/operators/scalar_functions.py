@@ -191,13 +191,16 @@ _Q54_ORACLE = """
 SELECT
   vec_id,
   len(embedding) AS dim,
-  list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE), 6)) AS head3,
+  round(CAST(embedding[1] AS DOUBLE), 6) AS head1,
+  round(CAST(embedding[2] AS DOUBLE), 6) AS head2,
+  round(CAST(embedding[3] AS DOUBLE), 6) AS head3,
   len(list_filter(embedding, x -> x > 0)) AS n_positive,
   (SELECT CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(24,12))) AS DOUBLE)
      FROM unnest(embedding) AS t(x)) AS sq_norm,
-  list_sort(list_distinct([label, label % 2, 0])) AS label_set,
-  flatten([[vec_id], [vec_id + 1]]) AS flat_pair,
-  list_transform(range(1, 4), i -> CAST(i * vec_id AS BIGINT)) AS scaled_seq
+  array_to_string(list_sort(list_distinct([label, label % 2, 0])), ',') AS label_set,
+  array_to_string(flatten([[vec_id], [vec_id + 1]]), ',') AS flat_pair,
+  array_to_string(list_transform(range(1, 4), i -> CAST(i * vec_id AS BIGINT)), ',')
+    AS scaled_seq
 FROM embeddings
 ORDER BY vec_id
 """
@@ -210,6 +213,11 @@ def q54_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     The squared-norm accumulates per-element DECIMAL(24,12) casts of
     double products, so the fold is order-independent and the DuckDB
     twin can use an unnest+SUM instead of mirroring the fold.
+
+    All array-typed intermediates are reduced to scalars (head slice →
+    three double columns; int arrays → array_join strings) in the final
+    projection: the driver canonicalizer cannot sort numpy arrays
+    (VERDICT.md round 1, item 1).
     """
     e = table(spark, sf_dir, "embeddings")
     zero = F.lit(0).cast("decimal(24,12)")
@@ -220,22 +228,31 @@ def q54_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             acc + (x.cast("double") * x.cast("double")).cast("decimal(24,12)")
         ).cast("decimal(24,12)"),
     ).cast("double")
+
+    def _joined(col: F.Column) -> F.Column:
+        return F.array_join(F.transform(col, lambda x: x.cast("string")), ",")
+
     return e.select(
         "vec_id",
         F.size("embedding").alias("dim"),
-        F.transform(
-            F.slice("embedding", 1, 3), lambda x: F.round(x.cast("double"), 6)
-        ).alias("head3"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("head1"),
+        F.round(F.element_at("embedding", 2).cast("double"), 6).alias("head2"),
+        F.round(F.element_at("embedding", 3).cast("double"), 6).alias("head3"),
         F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
         sq_norm.alias("sq_norm"),
-        F.array_sort(
-            F.array_distinct(F.array("label", F.col("label") % 2, F.lit(0)))
+        _joined(
+            F.array_sort(
+                F.array_distinct(F.array("label", F.col("label") % 2, F.lit(0)))
+            )
         ).alias("label_set"),
-        F.flatten(
-            F.array(F.array("vec_id"), F.array(F.col("vec_id") + 1))
+        _joined(
+            F.flatten(F.array(F.array("vec_id"), F.array(F.col("vec_id") + 1)))
         ).alias("flat_pair"),
-        F.transform(
-            F.sequence(F.lit(1), F.lit(3)), lambda i: (i.cast("long") * F.col("vec_id"))
+        _joined(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(3)),
+                lambda i: (i.cast("long") * F.col("vec_id")),
+            )
         ).alias("scaled_seq"),
     ).orderBy("vec_id")
 
@@ -252,7 +269,7 @@ SELECT
   p_partkey,
   map_extract(meta, 'brand')[1] AS meta_brand,
   map_extract(meta, 'type')[1] AS meta_type,
-  list_sort(map_keys(meta)) AS meta_keys,
+  array_to_string(list_sort(map_keys(meta)), ',') AS meta_keys,
   len(map_values(meta)) AS n_values
 FROM m
 ORDER BY p_partkey
@@ -273,7 +290,7 @@ def q55_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         F.element_at("meta", F.lit("brand")).alias("meta_brand"),
         F.element_at("meta", F.lit("type")).alias("meta_type"),
-        F.array_sort(F.map_keys("meta")).alias("meta_keys"),
+        F.array_join(F.array_sort(F.map_keys("meta")), ",").alias("meta_keys"),
         F.size(F.map_values("meta")).alias("n_values"),
     ).orderBy("p_partkey")
 

@@ -267,7 +267,7 @@ ents AS (
 )
 SELECT
   d.doc_id,
-  COALESCE(e.entities, []) AS entities,
+  COALESCE(array_to_string(COALESCE(e.entities, []), ','), '') AS entities,
   len(COALESCE(e.entities, [])) AS n_entities
 FROM documents d
 LEFT JOIN ents e ON d.doc_id = e.doc_id
@@ -279,7 +279,11 @@ ORDER BY d.doc_id
 def q24_ner_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity tags per document (reference R7, README.md:60,93 —
     locations/organizations/persons — as a deterministic gazetteer
-    match per SURVEY.md §7)."""
+    match per SURVEY.md §7).
+
+    The sorted entity array is serialized with array_join in the final
+    projection (driver canonicalizer cannot sort numpy arrays —
+    VERDICT.md round 1, item 1)."""
     d = table(spark, sf_dir, "documents")
     gaz = F.broadcast(
         spark.createDataFrame(list(GAZETTEER), "token string, etype string")
@@ -299,7 +303,7 @@ def q24_ner_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.join(ents, "doc_id", "left")
         .select(
             "doc_id",
-            F.coalesce("entities", empty).alias("entities"),
+            F.array_join(F.coalesce("entities", empty), ",").alias("entities"),
             F.size(F.coalesce("entities", empty)).alias("n_entities"),
         )
         .orderBy("doc_id")

@@ -26,14 +26,22 @@ def _canon_cell(v: Any) -> Any:
 
 
 def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
-    """Sort columns by name, normalize cells, sort rows by all columns."""
+    """Sort columns by name, then sort rows via pandas ``sort_values``.
+
+    This deliberately replicates the DRIVER's ``_canon`` (round-1 traceback:
+    ``df.sort_values`` over raw columns). In particular it must CRASH with
+    ``TypeError: unhashable type`` when a column holds numpy arrays, exactly
+    as the driver does — round 1 shipped three queries that passed a more
+    tolerant local sort and then failed the gate (VERDICT.md item 2). Do not
+    re-add pre-sort cell normalization here; queries must not emit
+    array/map/struct columns in their final projection.
+    """
     df = df.reindex(sorted(df.columns), axis=1).copy()
+    if len(df) and len(df.columns):
+        df = df.sort_values(by=list(df.columns), kind="stable")
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].map(_canon_cell)
-    if len(df) and len(df.columns):
-        key = df.apply(lambda row: tuple(repr(v) for v in row), axis=1)
-        df = df.iloc[np.argsort(key.to_numpy(), kind="stable")]
     return df.reset_index(drop=True)
 
 
