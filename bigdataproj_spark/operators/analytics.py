@@ -22,7 +22,7 @@ from ..registry import query
 # cohort return on day offset k.
 # ---------------------------------------------------------------------------
 
-_Q82_ORACLE = """
+_Q33_ORACLE = """
 WITH acts AS (
   SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
 ),
@@ -39,8 +39,8 @@ ORDER BY cohort_day, day_offset
 """
 
 
-@query("q82_cohort_retention", oracle=_Q82_ORACLE, tags=("A1", "J1", "analytics"))
-def q82_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q33_cohort_retention", oracle=_Q33_ORACLE, tags=("A1", "J1", "analytics"))
+def q33_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily cohort retention matrix: (cohort first-active day, day
     offset) → distinct active users.
 
@@ -72,7 +72,7 @@ def q82_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per user; count users surviving each step.
 # ---------------------------------------------------------------------------
 
-_Q83_ORACLE = """
+_Q34_ORACLE = """
 WITH s1 AS (
   SELECT user_id, MIN(ts) AS t1 FROM events
   WHERE event_type = 'view' GROUP BY user_id
@@ -100,8 +100,8 @@ ORDER BY step
 """
 
 
-@query("q83_funnel_conversion", oracle=_Q83_ORACLE, tags=("A1", "J1", "analytics"))
-def q83_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q34_funnel_conversion", oracle=_Q34_ORACLE, tags=("A1", "J1", "analytics"))
+def q34_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-sequence funnel: first view → click within 12h →
     purchase within 12h of that click; survivor count per step.
 
@@ -145,12 +145,12 @@ def q83_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # SCD-2 interval build: turn a per-key changelog into validity
 # intervals [valid_from, valid_to) with a current-row flag — the
-# history-preserving counterpart of q98's SCD-1 merge.
+# history-preserving counterpart of q49's SCD-1 merge.
 # ---------------------------------------------------------------------------
 
 _SCD2_OPEN_END = "9999-12-31T00:00:00"
 
-_Q84_ORACLE = f"""
+_Q35_ORACLE = f"""
 SELECT
   user_id,
   event_id,
@@ -169,8 +169,8 @@ ORDER BY user_id, event_id
 """
 
 
-@query("q84_scd2_intervals", oracle=_Q84_ORACLE, tags=("W2", "M1", "analytics"))
-def q84_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q35_scd2_intervals", oracle=_Q35_ORACLE, tags=("W2", "M1", "analytics"))
+def q35_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD-2 (type-2 slowly-changing dimension) history from a
     changelog: each purchase sets the user's value; LEAD closes the
     previous version's validity interval, the open row is flagged

@@ -62,7 +62,7 @@ def asof_join(
     return filled.filter(F.col("__side") == 1).select(*out_cols)
 
 
-_Q48_ORACLE = """
+_Q95_ORACLE = """
 SELECT
   p.event_id,
   p.user_id,
@@ -77,8 +77,8 @@ ORDER BY p.event_id
 """
 
 
-@query("q48_asof_join", oracle=_Q48_ORACLE, tags=("J8", "bench"))
-def q48_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q95_asof_join", oracle=_Q95_ORACLE, tags=("J8", "bench"))
+def q95_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Attribution: each purchase joined to the user's latest prior
     (or simultaneous) click; oracle is DuckDB's native ASOF JOIN.
 
@@ -140,7 +140,7 @@ def q48_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # window/trend computation on irregular event data.
 # ---------------------------------------------------------------------------
 
-_Q81_ORACLE = """
+_Q32_ORACLE = """
 WITH daily AS (
   SELECT user_id, date_trunc('day', ts) AS day,
     CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS day_value
@@ -174,8 +174,8 @@ ORDER BY user_id, day
 """
 
 
-@query("q81_gap_fill", oracle=_Q81_ORACLE, tags=("TS1", "asof"))
-def q81_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q32_gap_fill", oracle=_Q32_ORACLE, tags=("TS1", "asof"))
+def q32_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily resample per user with LOCF (last observation carried
     forward) and zero-fill before the first observation, flagging
     synthesized rows.

@@ -30,7 +30,7 @@ _DROP_MOD = 11   # event_id % 11 == 0 → event_type "missing" → row dropped
 _NULL_MOD = 7    # event_id % 7 == 0  → value missing → mean-imputed
 _FILL_MOD = 5    # event_id % 5 == 0  → props missing → sentinel-filled
 
-_Q96_ORACLE = f"""
+_Q47_ORACLE = f"""
 WITH masked AS (
   SELECT
     event_id,
@@ -56,8 +56,8 @@ ORDER BY event_id
 """
 
 
-@query("q96_null_clean", oracle=_Q96_ORACLE, tags=("L11", "cleaning"))
-def q96_null_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q47_null_clean", oracle=_Q47_ORACLE, tags=("L11", "cleaning"))
+def q47_null_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Null-handling battery: drop on missing key, exact-mean
     imputation with an imputed flag, sentinel fill for categoricals.
 

@@ -25,7 +25,7 @@ from .text import FINGERPRINT_SQL, TOKENS_SQL, fingerprint, tokens
 # L1 exact dedup: canonical-id assignment by content fingerprint.
 # ---------------------------------------------------------------------------
 
-_Q60_ORACLE = f"""
+_Q13_ORACLE = f"""
 WITH fp AS (SELECT doc_id, {FINGERPRINT_SQL} AS f FROM documents)
 SELECT
   doc_id,
@@ -36,8 +36,8 @@ ORDER BY doc_id
 """
 
 
-@query("q60_exact_dedup", oracle=_Q60_ORACLE, tags=("L1", "dedup", "bench"))
-def q60_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q13_exact_dedup", oracle=_Q13_ORACLE, tags=("L1", "dedup", "bench"))
+def q13_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: every document mapped to the smallest doc_id
     sharing its content fingerprint (survivor), flagged if duplicate.
 
@@ -83,7 +83,7 @@ SHINGLES_SQL = (
 
 _JACCARD_THRESHOLD = 0.2
 
-_Q61_ORACLE = f"""
+_Q14_ORACLE = f"""
 WITH t AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
            WHERE len({TOKENS_SQL}) >= {SHINGLE_SIZE}),
 sh AS (SELECT doc_id, unnest({SHINGLES_SQL}) AS shingle FROM t),
@@ -103,8 +103,8 @@ ORDER BY doc_a, doc_b
 """
 
 
-@query("q61_ngram_jaccard", oracle=_Q61_ORACLE, tags=("L2", "dedup"))
-def q61_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q14_ngram_jaccard", oracle=_Q14_ORACLE, tags=("L2", "dedup"))
+def q14_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs by word-3-gram Jaccard similarity ≥ 0.2.
 
     The pair generation is an equi-join on the shingle key (inverted
@@ -156,7 +156,7 @@ def q61_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # below (NOT h1 + i*h2 — a linear family shares its minimizer across
 # all i, collapsing the estimator). Every operation is bit-identical in
 # DuckDB ('0x'||hex → BIGINT). tests/test_dedup.py additionally pins
-# recall: every q61 pair with jaccard ≥ 0.5 must surface here.
+# recall: every q14 pair with jaccard ≥ 0.5 must surface here.
 # ---------------------------------------------------------------------------
 
 N_HASHES = 16
@@ -250,7 +250,7 @@ sigs AS (
 )
 """
 
-_Q62_ORACLE = f"""
+_Q15_ORACLE = f"""
 WITH {_MINHASH_SIG_SQL},
 bands AS (
   SELECT doc_id, sig, b,
@@ -272,8 +272,8 @@ ORDER BY doc_a, doc_b
 """
 
 
-@query("q62_minhash_lsh", oracle=_Q62_ORACLE, tags=("L2", "dedup", "bench"))
-def q62_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q15_minhash_lsh", oracle=_Q15_ORACLE, tags=("L2", "dedup", "bench"))
+def q15_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates with signature-estimated Jaccard.
 
     16 hashes, 4 bands × 4 rows (candidate threshold ≈ 0.5 Jaccard).
@@ -431,7 +431,7 @@ sims AS (
 """
 
 
-_Q63_ORACLE = f"""
+_Q16_ORACLE = f"""
 WITH {_simhash_sql()},
 bands AS (
   SELECT doc_id, simhash, b,
@@ -453,8 +453,8 @@ ORDER BY doc_a, doc_b
 """
 
 
-@query("q63_simhash", oracle=_Q63_ORACLE, tags=("L2", "dedup"))
-def q63_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q16_simhash", oracle=_Q16_ORACLE, tags=("L2", "dedup"))
+def q16_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: banded candidate join + Hamming ≤ 12.
 
     Same LSH scaling property as MinHash banding: a pair only
@@ -558,7 +558,7 @@ def connected_components(
     return labels.select("doc_id", F.col("lbl").alias("cluster_id"))
 
 
-_Q64_ORACLE = f"""
+_Q17_ORACLE = f"""
 WITH RECURSIVE t AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
            WHERE len({TOKENS_SQL}) >= {SHINGLE_SIZE}),
 sh AS (SELECT doc_id, unnest({SHINGLES_SQL}) AS shingle FROM t),
@@ -590,8 +590,8 @@ ORDER BY doc_id
 """
 
 
-@query("q64_dedup_clusters", oracle=_Q64_ORACLE, tags=("L2", "dedup"))
-def q64_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q17_dedup_clusters", oracle=_Q17_ORACLE, tags=("L2", "dedup"))
+def q17_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity clusters over the n-gram-Jaccard pair graph: every
     paired document labeled with the min doc_id reachable through
     near-dup edges (transitive closure — A~B, B~C puts A,C in one
@@ -601,7 +601,7 @@ def q64_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle side: DuckDB recursive CTE transitive closure — two very
     different algorithms that must produce identical clusters.
     """
-    pairs = q61_ngram_jaccard(spark, sf_dir)
+    pairs = q14_ngram_jaccard(spark, sf_dir)
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     return connected_components(edges).orderBy("doc_id")
 
@@ -613,7 +613,7 @@ def q64_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LEV_MAX = 3
 
 
-_Q97_ORACLE = f"""
+_Q48_ORACLE = f"""
 SELECT
   a.p_partkey AS key_a,
   b.p_partkey AS key_b,
@@ -631,8 +631,8 @@ ORDER BY key_a, key_b
 """
 
 
-@query("q97_fuzzy_pairs", oracle=_Q97_ORACLE, tags=("L2", "dedup"))
-def q97_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q48_fuzzy_pairs", oracle=_Q48_ORACLE, tags=("L2", "dedup"))
+def q48_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-identical part names by Levenshtein distance ≤ 3 (typo-level
     variants), blocked on (p_type, p_size).
 

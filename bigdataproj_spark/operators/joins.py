@@ -20,7 +20,7 @@ from ..registry import query
 # J1 inner equi-join + J4 broadcast — star-schema revenue rollup.
 # ---------------------------------------------------------------------------
 
-_Q30_ORACLE = """
+_Q77_ORACLE = """
 SELECT
   r_name,
   n_name,
@@ -38,8 +38,8 @@ ORDER BY r_name, n_name
 """
 
 
-@query("q30_star_join_revenue", oracle=_Q30_ORACLE, tags=("bench", "J1", "J4", "A1"))
-def q30_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q77_star_join_revenue", oracle=_Q77_ORACLE, tags=("bench", "J1", "J4", "A1"))
+def q77_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue per region/nation across the full star schema.
 
     Plan shape at scale: lineitem⋈orders is the only shuffle join (both
@@ -71,7 +71,7 @@ def q30_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # J2 left outer join — customers with (possibly zero) orders.
 # ---------------------------------------------------------------------------
 
-_Q31_ORACLE = """
+_Q78_ORACLE = """
 SELECT
   c.c_custkey,
   COUNT(o.o_orderkey) AS n_orders,
@@ -83,8 +83,8 @@ ORDER BY c.c_custkey
 """
 
 
-@query("q31_left_outer_join", oracle=_Q31_ORACLE, tags=("J2", "A1"))
-def q31_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q78_left_outer_join", oracle=_Q78_ORACLE, tags=("J2", "A1"))
+def q78_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left outer join preserving customers with no orders."""
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
@@ -105,7 +105,7 @@ def q31_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # J2 full outer join — nation coverage of customers vs suppliers.
 # ---------------------------------------------------------------------------
 
-_Q32_ORACLE = """
+_Q79_ORACLE = """
 WITH cn AS (SELECT c_nationkey AS k, COUNT(*) AS n_cust FROM customer GROUP BY 1),
      sn AS (SELECT s_nationkey AS k, COUNT(*) AS n_supp FROM supplier GROUP BY 1)
 SELECT
@@ -118,8 +118,8 @@ ORDER BY nationkey
 """
 
 
-@query("q32_full_outer_join", oracle=_Q32_ORACLE, tags=("J2",))
-def q32_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q79_full_outer_join", oracle=_Q79_ORACLE, tags=("J2",))
+def q79_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full outer join of two pre-aggregated sides."""
     c = table(spark, sf_dir, "customer")
     s = table(spark, sf_dir, "supplier")
@@ -140,7 +140,7 @@ def q32_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # J3 left semi / left anti joins.
 # ---------------------------------------------------------------------------
 
-_Q33_ORACLE = """
+_Q80_ORACLE = """
 SELECT c_custkey, c_mktsegment
 FROM customer
 SEMI JOIN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') o
@@ -149,8 +149,8 @@ ORDER BY c_custkey
 """
 
 
-@query("q33_semi_join", oracle=_Q33_ORACLE, tags=("J3",))
-def q33_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q80_semi_join", oracle=_Q80_ORACLE, tags=("J3",))
+def q80_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customers with at least one urgent order (left semi)."""
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
@@ -161,7 +161,7 @@ def q33_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q34_ORACLE = """
+_Q81_ORACLE = """
 SELECT c_custkey, c_mktsegment
 FROM customer
 ANTI JOIN orders ON c_custkey = o_custkey
@@ -169,8 +169,8 @@ ORDER BY c_custkey
 """
 
 
-@query("q34_anti_join", oracle=_Q34_ORACLE, tags=("J3",))
-def q34_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q81_anti_join", oracle=_Q81_ORACLE, tags=("J3",))
+def q81_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customers with no orders at all (left anti)."""
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
@@ -185,7 +185,7 @@ def q34_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # J5 theta join (equi key + non-equi predicate).
 # ---------------------------------------------------------------------------
 
-_Q35_ORACLE = """
+_Q82_ORACLE = """
 SELECT s.s_suppkey, COUNT(*) AS n_richer
 FROM supplier s
 JOIN customer c
@@ -195,8 +195,8 @@ ORDER BY s.s_suppkey
 """
 
 
-@query("q35_theta_join", oracle=_Q35_ORACLE, tags=("J5",))
-def q35_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q82_theta_join", oracle=_Q82_ORACLE, tags=("J5",))
+def q82_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per supplier: same-nation customers with a smaller balance.
 
     The equi key keeps this a hash join; the inequality rides along as
@@ -219,7 +219,7 @@ def q35_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # J6 cross join.
 # ---------------------------------------------------------------------------
 
-_Q36_ORACLE = """
+_Q83_ORACLE = """
 SELECT r_name, seg
 FROM region
 CROSS JOIN (SELECT DISTINCT c_mktsegment AS seg FROM customer)
@@ -227,8 +227,8 @@ ORDER BY r_name, seg
 """
 
 
-@query("q36_cross_join", oracle=_Q36_ORACLE, tags=("J6",))
-def q36_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q83_cross_join", oracle=_Q83_ORACLE, tags=("J6",))
+def q83_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cartesian product of two small dimension projections."""
     r = table(spark, sf_dir, "region")
     segs = (
@@ -243,7 +243,7 @@ def q36_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # J7 range / interval join.
 # ---------------------------------------------------------------------------
 
-_Q37_ORACLE = """
+_Q84_ORACLE = """
 SELECT e1.user_id, COUNT(*) AS n_pairs
 FROM events e1
 JOIN events e2
@@ -255,8 +255,8 @@ ORDER BY e1.user_id
 """
 
 
-@query("q37_range_join", oracle=_Q37_ORACLE, tags=("J7",))
-def q37_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q84_range_join", oracle=_Q84_ORACLE, tags=("J7",))
+def q84_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event pairs within a 5-minute forward window per user.
 
     Equi key (user_id) bounds the blow-up; at 100 TB this would add a
@@ -281,7 +281,7 @@ def q37_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # J9 / Q1 LATERAL correlated subquery join (per-row top-k lookup).
 # ---------------------------------------------------------------------------
 
-_Q38_ORACLE = """
+_Q85_ORACLE = """
 SELECT n.n_name, t.o_orderkey, t.o_totalprice
 FROM nation n,
 LATERAL (
@@ -295,11 +295,11 @@ ORDER BY n.n_name, t.o_totalprice DESC, t.o_orderkey
 """
 
 
-@query("q38_lateral_topk", oracle=_Q38_ORACLE, tags=("Q1", "J9", "O3"))
-def q38_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q85_lateral_topk", oracle=_Q85_ORACLE, tags=("Q1", "J9", "O3"))
+def q85_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-2 orders per nation via a LATERAL correlated subquery —
     the per-row-subquery surface (Spark 3.4+ SQL). Catalyst
-    decorrelates it into the same window-rank plan as q44; the SQL
+    decorrelates it into the same window-rank plan as q91; the SQL
     form is what users port from warehouse dialects.
     """
     from ..catalog import register_views
@@ -325,7 +325,7 @@ def q38_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # M1 upsert / merge (SCD-1): base ⟗ changes → new snapshot.
 # ---------------------------------------------------------------------------
 
-_Q98_ORACLE = """
+_Q49_ORACLE = """
 WITH changes AS (
   SELECT o_orderkey, o_custkey, o_totalprice + 100.0 AS o_totalprice, 'updated' AS op
   FROM orders WHERE o_orderkey % 10 = 0
@@ -344,8 +344,8 @@ ORDER BY o_orderkey
 """
 
 
-@query("q98_upsert_merge", oracle=_Q98_ORACLE, tags=("M1", "J2"))
-def q98_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q49_upsert_merge", oracle=_Q49_ORACLE, tags=("M1", "J2"))
+def q49_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE/upsert semantics on plain parquet (SCD type 1): a change
     set (updates to existing keys + inserts of new keys) merged into
     the base by full outer join + change-side-wins coalesce.

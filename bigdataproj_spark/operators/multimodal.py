@@ -23,7 +23,7 @@ from ..registry import query
 # L8 binary expression ops (JVM-side, oracle-checked).
 # ---------------------------------------------------------------------------
 
-_Q70_ORACLE = """
+_Q23_ORACLE = """
 WITH b AS (SELECT doc_id, text, encode(text) AS blob FROM documents)
 SELECT
   doc_id,
@@ -37,8 +37,8 @@ ORDER BY doc_id
 """
 
 
-@query("q70_binary_ops", oracle=_Q70_ORACLE, tags=("L8", "multimodal"))
-def q70_binary_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q23_binary_ops", oracle=_Q23_ORACLE, tags=("L8", "multimodal"))
+def q23_binary_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary column fundamentals: byte length, content hashes,
     encode/decode round-trip, mime tag. Blob compare happens via
     hashes, never raw bytes (SURVEY.md §2.3 L8)."""
@@ -103,7 +103,7 @@ def extract_media_meta(df: DataFrame, blob_col: str = "blob") -> DataFrame:
     return df.mapInPandas(run, MEDIA_META_SCHEMA)
 
 
-_Q71_ORACLE = """
+_Q24_ORACLE = """
 WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
 SELECT
   doc_id,
@@ -116,8 +116,8 @@ ORDER BY doc_id
 """
 
 
-@query("q71_media_meta_extract", oracle=_Q71_ORACLE, tags=("L8", "U3", "multimodal"))
-def q71_media_meta_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q24_media_meta_extract", oracle=_Q24_ORACLE, tags=("L8", "U3", "multimodal"))
+def q24_media_meta_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched metadata extraction over binary blobs (the decode
     step is the deterministic fake, making the full mapInPandas
     pipeline oracle-checkable)."""
@@ -165,7 +165,7 @@ def sample_frames(df: DataFrame, stride: int = _FRAME_STRIDE) -> DataFrame:
     return df.mapInPandas(run, FRAME_SCHEMA)
 
 
-_Q72_ORACLE = f"""
+_Q98_ORACLE = f"""
 WITH b AS (
   SELECT doc_id, text, octet_length(encode(text)) % 16 AS n_frames
   FROM documents
@@ -182,8 +182,8 @@ ORDER BY doc_id, frame_idx
 """
 
 
-@query("q72_frame_sample", oracle=_Q72_ORACLE, tags=("L8", "multimodal"))
-def q72_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q98_frame_sample", oracle=_Q98_ORACLE, tags=("L8", "multimodal"))
+def q98_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every-2nd-frame sampling over binary media blobs: a 1-to-N
     Arrow-batched fan-out whose Python slice stands in for a real
     frame decoder (swap the slice for ffmpeg in deployment — the
@@ -223,7 +223,7 @@ def resize_media(df: DataFrame, target: int = _TARGET_BOX) -> DataFrame:
     return df.mapInPandas(run, RESIZE_SCHEMA)
 
 
-_Q73_ORACLE = f"""
+_Q99_ORACLE = f"""
 WITH m AS (
   SELECT doc_id,
     octet_length(encode(text)) AS n,
@@ -241,8 +241,8 @@ ORDER BY doc_id
 """
 
 
-@query("q73_media_resize", oracle=_Q73_ORACLE, tags=("L8", "multimodal"))
-def q73_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q99_media_resize", oracle=_Q99_ORACLE, tags=("L8", "multimodal"))
+def q99_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize-to-box over binary media with exact integer byte-count
     arithmetic (the pixel resampler is the stub; the distributed
     plumbing and the metadata math are the tested contract)."""

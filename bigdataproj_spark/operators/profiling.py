@@ -93,14 +93,14 @@ def _oracle_block(name: str, kind: str) -> str:
   FROM lineitem"""
 
 
-_Q95_ORACLE = (
+_Q46_ORACLE = (
     "\nUNION ALL BY NAME\n".join(_oracle_block(n, k) for n, k in _PROFILE_COLS)
     + "\nORDER BY col_name"
 )
 
 
-@query("q95_column_profile", oracle=_Q95_ORACLE, tags=("L10", "profiling"))
-def q95_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q46_column_profile", oracle=_Q46_ORACLE, tags=("L10", "profiling"))
+def q46_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass lineitem profile: rows/nulls/distincts/min/max per column.
 
     The DuckDB oracle is written as per-column UNION ALL for clarity;

@@ -22,7 +22,7 @@ from ..registry import query
 # A1 hash aggregate / P2 filter / S1 scan / O1 sort — the flagship query.
 # ---------------------------------------------------------------------------
 
-_Q01_ORACLE = """
+_Q51_ORACLE = """
 SELECT
   l_returnflag,
   l_linestatus,
@@ -47,8 +47,8 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
-@query("q01_pricing_summary", oracle=_Q01_ORACLE, tags=("bench", "A1", "P2", "S1", "O1"))
-def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q51_pricing_summary", oracle=_Q51_ORACLE, tags=("bench", "A1", "P2", "S1", "O1"))
+def q51_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q1-shaped pricing summary (SURVEY.md §7 M1).
 
     Plan shape at scale: parquet scan with pushed timestamp filter →
@@ -87,7 +87,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # A3 global aggregate (no grouping keys).
 # ---------------------------------------------------------------------------
 
-_Q02_ORACLE = """
+_Q52_ORACLE = """
 SELECT
   COUNT(*) AS n_orders,
   CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_total,
@@ -98,8 +98,8 @@ FROM orders
 """
 
 
-@query("q02_global_agg", oracle=_Q02_ORACLE, tags=("A3",))
-def q02_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q52_global_agg", oracle=_Q52_ORACLE, tags=("A3",))
+def q52_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global (grouping-key-free) aggregate; partial+final automatic."""
     o = table(spark, sf_dir, "orders")
     return o.agg(
@@ -115,7 +115,7 @@ def q02_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # A2 distinct aggregates.
 # ---------------------------------------------------------------------------
 
-_Q03_ORACLE = """
+_Q53_ORACLE = """
 SELECT
   o_orderstatus,
   COUNT(DISTINCT o_custkey) AS n_customers,
@@ -127,8 +127,8 @@ ORDER BY o_orderstatus
 """
 
 
-@query("q03_distinct_agg", oracle=_Q03_ORACLE, tags=("A2",))
-def q03_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q53_distinct_agg", oracle=_Q53_ORACLE, tags=("A2",))
+def q53_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COUNT(DISTINCT) and SUM(DISTINCT) per group (Expand-based plan)."""
     o = table(spark, sf_dir, "orders")
     return (
@@ -146,7 +146,7 @@ def q03_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # A4 grouping sets: rollup & cube.
 # ---------------------------------------------------------------------------
 
-_Q04_ORACLE = """
+_Q54_ORACLE = """
 SELECT
   l_returnflag,
   l_linestatus,
@@ -158,8 +158,8 @@ ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
 """
 
 
-@query("q04_rollup_agg", oracle=_Q04_ORACLE, tags=("A4",))
-def q04_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q54_rollup_agg", oracle=_Q54_ORACLE, tags=("A4",))
+def q54_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP over (returnflag, linestatus) with explicit null ordering."""
     l = table(spark, sf_dir, "lineitem")
     return (
@@ -172,7 +172,7 @@ def q04_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q05_ORACLE = """
+_Q55_ORACLE = """
 SELECT
   o_orderstatus,
   o_orderpriority,
@@ -184,8 +184,8 @@ ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
 """
 
 
-@query("q05_cube_agg", oracle=_Q05_ORACLE, tags=("A4",))
-def q05_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q55_cube_agg", oracle=_Q55_ORACLE, tags=("A4",))
+def q55_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (orderstatus, orderpriority)."""
     o = table(spark, sf_dir, "orders")
     return (
@@ -202,15 +202,15 @@ def q05_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # A5 dedup: distinct projection + deterministic keyed dedup.
 # ---------------------------------------------------------------------------
 
-_Q06_ORACLE = """
+_Q56_ORACLE = """
 SELECT DISTINCT c_nationkey, c_mktsegment
 FROM customer
 ORDER BY c_nationkey, c_mktsegment
 """
 
 
-@query("q06_distinct_dedup", oracle=_Q06_ORACLE, tags=("A5",))
-def q06_distinct_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q56_distinct_dedup", oracle=_Q56_ORACLE, tags=("A5",))
+def q56_distinct_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup over a full projection (dropDuplicates == DISTINCT)."""
     c = table(spark, sf_dir, "customer")
     return (
@@ -220,7 +220,7 @@ def q06_distinct_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q07_ORACLE = """
+_Q57_ORACLE = """
 SELECT event_id, user_id, event_type, strftime(ts, '%Y-%m-%dT%H:%M:%S') AS ts_iso
 FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
@@ -232,8 +232,8 @@ ORDER BY user_id, event_type
 """
 
 
-@query("q07_first_per_key", oracle=_Q07_ORACLE, tags=("A5", "O3"))
-def q07_first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q57_first_per_key", oracle=_Q57_ORACLE, tags=("A5", "O3"))
+def q57_first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic keyed dedup: first event per (user, type).
 
     ``dropDuplicates(keys)`` keeps an *arbitrary* row; the engine's
@@ -254,7 +254,7 @@ def q07_first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 # A7 percentiles (exact; approx is bounds-checked in pytest, never hashed).
 # ---------------------------------------------------------------------------
 
-_Q08_ORACLE = """
+_Q01_ORACLE = """
 SELECT
   l_returnflag,
   round(quantile_cont(l_quantity, 0.25), 6) AS qty_q25,
@@ -267,8 +267,8 @@ ORDER BY l_returnflag
 """
 
 
-@query("q08_percentiles", oracle=_Q08_ORACLE, tags=("A7",))
-def q08_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q01_percentiles", oracle=_Q01_ORACLE, tags=("A7",))
+def q01_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles (linear interpolation) + median, round-6 guarded.
 
     Quartiles are emitted as three scalar columns (not an array) so the
@@ -292,7 +292,7 @@ def q08_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # A8 collect_list / collect_set (order-normalized per §2.4 rule 4).
 # ---------------------------------------------------------------------------
 
-_Q09_ORACLE = """
+_Q02_ORACLE = """
 SELECT
   c_nationkey,
   array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments,
@@ -304,8 +304,8 @@ ORDER BY c_nationkey
 """
 
 
-@query("q09_collect_list_set", oracle=_Q09_ORACLE, tags=("A8",))
-def q09_collect_list_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q02_collect_list_set", oracle=_Q02_ORACLE, tags=("A8",))
+def q02_collect_list_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_set / collect_list with array_sort normalization.
 
     The sorted arrays are serialized with ``array_join`` (Spark) /
@@ -338,7 +338,7 @@ def q09_collect_list_set(spark: SparkSession, sf_dir: str) -> DataFrame:
 # O1/O2 global sort + limit/offset.
 # ---------------------------------------------------------------------------
 
-_Q10_ORACLE = """
+_Q58_ORACLE = """
 SELECT o_orderkey, o_custkey, o_totalprice
 FROM orders
 ORDER BY o_totalprice DESC, o_orderkey
@@ -346,8 +346,8 @@ LIMIT 20 OFFSET 100
 """
 
 
-@query("q10_limit_offset", oracle=_Q10_ORACLE, tags=("O1", "O2"))
-def q10_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q58_limit_offset", oracle=_Q58_ORACLE, tags=("O1", "O2"))
+def q58_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global multi-key sort with LIMIT/OFFSET pagination.
 
     Plan: Spark turns global sort+limit into TakeOrderedAndProject —
@@ -367,7 +367,7 @@ def q10_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
 # P1/P2 projection, computed/renamed columns, null-safe predicates.
 # ---------------------------------------------------------------------------
 
-_Q11_ORACLE = """
+_Q59_ORACLE = """
 SELECT
   c_custkey,
   upper(c_name) AS name_upper,
@@ -379,8 +379,8 @@ ORDER BY c_custkey
 """
 
 
-@query("q11_proj_filter", oracle=_Q11_ORACLE, tags=("P1", "P2"))
-def q11_proj_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q59_proj_filter", oracle=_Q59_ORACLE, tags=("P1", "P2"))
+def q59_proj_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Projection/rename/computed columns + disjunctive & null-safe filter."""
     c = table(spark, sf_dir, "customer")
     return (
@@ -403,7 +403,7 @@ def q11_proj_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # README.md:84-86 — plain structs, no custom type; SURVEY.md §1.2).
 # ---------------------------------------------------------------------------
 
-_Q12_ORACLE = """
+_Q60_ORACLE = """
 WITH s AS (
   SELECT struct_pack(name := c_name, bal := c_acctbal, seg := c_mktsegment) AS info,
          c_custkey
@@ -419,8 +419,8 @@ ORDER BY c_custkey
 """
 
 
-@query("q12_struct_nested", oracle=_Q12_ORACLE, tags=("P3",))
-def q12_struct_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q60_struct_nested", oracle=_Q60_ORACLE, tags=("P3",))
+def q60_struct_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build a struct column, then project nested fields back out."""
     c = table(spark, sf_dir, "customer")
     s = c.select(
@@ -443,7 +443,7 @@ def q12_struct_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q1 subqueries (scalar + correlated EXISTS) through the SQL entry point.
 # ---------------------------------------------------------------------------
 
-_Q13_ORACLE = """
+_Q61_ORACLE = """
 SELECT c_custkey, c_acctbal
 FROM customer
 WHERE c_acctbal > (
@@ -453,8 +453,8 @@ ORDER BY c_custkey
 """
 
 
-@query("q13_scalar_subquery", oracle=_Q13_ORACLE, tags=("Q1",))
-def q13_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q61_scalar_subquery", oracle=_Q61_ORACLE, tags=("Q1",))
+def q61_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar subquery (above-average account balance); E1 SQL entry point."""
     register_views(spark, sf_dir)
     return spark.sql(
@@ -470,7 +470,7 @@ def q13_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q14_ORACLE = """
+_Q62_ORACLE = """
 SELECT o.o_orderkey, o.o_orderpriority
 FROM orders o
 WHERE EXISTS (
@@ -482,8 +482,8 @@ ORDER BY o.o_orderkey
 """
 
 
-@query("q14_exists_subquery", oracle=_Q14_ORACLE, tags=("Q1",))
-def q14_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q62_exists_subquery", oracle=_Q62_ORACLE, tags=("Q1",))
+def q62_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated EXISTS + IN list; Catalyst decorrelates to a semi join."""
     register_views(spark, sf_dir)
     return spark.sql(
@@ -506,8 +506,8 @@ def q14_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("q15_approx_count_distinct", oracle=None, tags=("A6", "approx"))
-def q15_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q63_approx_count_distinct", oracle=None, tags=("A6", "approx"))
+def q63_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct count per event_type."""
     e = table(spark, sf_dir, "events")
     return (
@@ -523,7 +523,7 @@ def q15_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # README.md:102-104, Kibana); pivot is the engine-native equivalent.
 # ---------------------------------------------------------------------------
 
-_Q17_ORACLE = """
+_Q65_ORACLE = """
 SELECT
   l_returnflag,
   CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) FILTER (l_linestatus = 'F') AS DOUBLE)
@@ -538,8 +538,8 @@ ORDER BY l_returnflag
 """
 
 
-@query("q17_pivot", oracle=_Q17_ORACLE, tags=("A9",))
-def q17_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q65_pivot", oracle=_Q65_ORACLE, tags=("A9",))
+def q65_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot linestatus into columns (wide form), two measures per value.
 
     The pivot value list is explicit — at scale this skips the extra
@@ -565,7 +565,7 @@ def q17_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_returnflag")
 
 
-_Q18_ORACLE = """
+_Q66_ORACLE = """
 SELECT
   l_returnflag,
   l_linestatus,
@@ -577,11 +577,11 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
-@query("q18_unpivot", oracle=_Q18_ORACLE, tags=("A9",))
-def q18_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q66_unpivot", oracle=_Q66_ORACLE, tags=("A9",))
+def q66_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot (melt) the wide pivot back to long form.
 
-    Round-trips q17's wide frame through ``DataFrame.unpivot``; the
+    Round-trips q65's wide frame through ``DataFrame.unpivot``; the
     oracle is the direct two-key GROUP BY the round-trip must equal.
     Unpivot is a zero-shuffle Expand over the (tiny) aggregated frame.
     """
@@ -607,7 +607,7 @@ def q18_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # A4 arbitrary grouping sets (beyond rollup/cube) + GROUPING() markers.
 # ---------------------------------------------------------------------------
 
-_Q19_ORACLE = """
+_Q67_ORACLE = """
 SELECT
   l_returnflag,
   l_linestatus,
@@ -621,8 +621,8 @@ ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
 """
 
 
-@query("q19_grouping_sets", oracle=_Q19_ORACLE, tags=("A4",))
-def q19_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q67_grouping_sets", oracle=_Q67_ORACLE, tags=("A4",))
+def q67_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary GROUPING SETS with GROUPING() null-vs-group markers —
     the grouping-set shapes rollup/cube can't express (two disjoint
     single-column sets + grand total, one Expand pass, one shuffle)."""

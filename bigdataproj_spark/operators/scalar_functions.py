@@ -17,7 +17,7 @@ from ..registry import query
 # F-S1/F-S3/F-S4 string functions.
 # ---------------------------------------------------------------------------
 
-_Q50_ORACLE = """
+_Q97_ORACLE = """
 SELECT
   p_partkey,
   lower(p_name) AS name_lower,
@@ -37,8 +37,8 @@ ORDER BY p_partkey
 """
 
 
-@query("q50_string_functions", oracle=_Q50_ORACLE, tags=("F-S1", "F-S3", "F-S4"))
-def q50_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q97_string_functions", oracle=_Q97_ORACLE, tags=("F-S1", "F-S3", "F-S4"))
+def q97_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String function family over the part dimension."""
     p = table(spark, sf_dir, "part")
     return p.select(
@@ -62,7 +62,7 @@ def q50_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # F-S2 regex functions (serve hashtag surface R3, README.md:63).
 # ---------------------------------------------------------------------------
 
-_Q51_ORACLE = r"""
+_Q04_ORACLE = r"""
 SELECT
   doc_id,
   regexp_extract(text, '([a-z]{4,})', 1) AS first_long_word,
@@ -74,8 +74,8 @@ ORDER BY doc_id
 """
 
 
-@query("q51_regex_functions", oracle=_Q51_ORACLE, tags=("F-S2",))
-def q51_regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q04_regex_functions", oracle=_Q04_ORACLE, tags=("F-S2",))
+def q04_regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """regexp_extract / extract_all / replace / rlike.
 
     DuckDB quirk: its regexp_replace replaces only the first match
@@ -99,7 +99,7 @@ def q51_regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # F-D1 date/time functions.
 # ---------------------------------------------------------------------------
 
-_Q52_ORACLE = """
+_Q05_ORACLE = """
 SELECT
   o_orderkey,
   year(o_orderdate) AS yr,
@@ -114,8 +114,8 @@ ORDER BY o_orderkey
 """
 
 
-@query("q52_datetime_functions", oracle=_Q52_ORACLE, tags=("F-D1",))
-def q52_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q05_datetime_functions", oracle=_Q05_ORACLE, tags=("F-D1",))
+def q05_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """year/month/day, date_trunc, datediff, unix seconds, date_add."""
     o = table(spark, sf_dir, "orders")
     return o.select(
@@ -140,7 +140,7 @@ def q52_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # F-M1 math functions (libm-sensitive outputs round-6 guarded).
 # ---------------------------------------------------------------------------
 
-_Q53_ORACLE = """
+_Q06_ORACLE = """
 SELECT
   l_orderkey,
   l_linenumber,
@@ -159,8 +159,8 @@ ORDER BY l_orderkey, l_linenumber
 """
 
 
-@query("q53_math_functions", oracle=_Q53_ORACLE, tags=("F-M1",))
-def q53_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q06_math_functions", oracle=_Q06_ORACLE, tags=("F-M1",))
+def q06_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """floor/ceil/abs/sqrt/exp/log/pow/mod.
 
     sqrt is IEEE-exact cross-engine; exp/ln are libm-dependent, so
@@ -187,7 +187,7 @@ def q53_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # F-A1/F-A2 array functions + higher-order functions.
 # ---------------------------------------------------------------------------
 
-_Q54_ORACLE = """
+_Q07_ORACLE = """
 SELECT
   vec_id,
   len(embedding) AS dim,
@@ -206,8 +206,8 @@ ORDER BY vec_id
 """
 
 
-@query("q54_array_functions", oracle=_Q54_ORACLE, tags=("F-A1", "F-A2"))
-def q54_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q07_array_functions", oracle=_Q07_ORACLE, tags=("F-A1", "F-A2"))
+def q07_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """size/slice/filter/transform/aggregate/flatten/distinct/sort.
 
     The squared-norm accumulates per-element DECIMAL(24,12) casts of
@@ -261,7 +261,7 @@ def q54_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # F-P1 map functions.
 # ---------------------------------------------------------------------------
 
-_Q55_ORACLE = """
+_Q08_ORACLE = """
 WITH m AS (
   SELECT p_partkey, MAP(['brand', 'type'], [p_brand, p_type]) AS meta FROM part
 )
@@ -276,8 +276,8 @@ ORDER BY p_partkey
 """
 
 
-@query("q55_map_functions", oracle=_Q55_ORACLE, tags=("F-P1",))
-def q55_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q08_map_functions", oracle=_Q08_ORACLE, tags=("F-P1",))
+def q08_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """create_map, element access, map_keys (sort-normalized), map_values."""
     p = table(spark, sf_dir, "part")
     m = p.select(
@@ -301,7 +301,7 @@ def q55_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # extracted on both sides, including from the engine's own to_json.
 # ---------------------------------------------------------------------------
 
-_Q56_ORACLE = """
+_Q09_ORACLE = """
 SELECT
   event_id,
   json_extract_string(props, '$.k') AS k_str,
@@ -315,8 +315,8 @@ ORDER BY event_id
 """
 
 
-@query("q56_json_functions", oracle=_Q56_ORACLE, tags=("F-J1",))
-def q56_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q09_json_functions", oracle=_Q09_ORACLE, tags=("F-J1",))
+def q09_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """get_json_object / from_json / to_json round-trip on events.props."""
     e = table(spark, sf_dir, "events")
     return e.select(

@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 from ..catalog import table
 from ..registry import query
 
-_Q45_ORACLE = """
+_Q92_ORACLE = """
 WITH u AS (
   SELECT c_nationkey AS k FROM customer
   UNION ALL
@@ -21,8 +21,8 @@ ORDER BY k
 """
 
 
-@query("q45_union_all", oracle=_Q45_ORACLE, tags=("T1",))
-def q45_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q92_union_all", oracle=_Q92_ORACLE, tags=("T1",))
+def q92_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION ALL of two keyed projections, then re-aggregated."""
     c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
     s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
@@ -34,7 +34,7 @@ def q45_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q46_ORACLE = """
+_Q93_ORACLE = """
 SELECT 'both' AS op, k FROM (
   SELECT c_nationkey AS k FROM customer
   INTERSECT
@@ -50,8 +50,8 @@ ORDER BY op, k
 """
 
 
-@query("q46_intersect_except", oracle=_Q46_ORACLE, tags=("T2", "T3"))
-def q46_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q93_intersect_except", oracle=_Q93_ORACLE, tags=("T2", "T3"))
+def q93_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT and EXCEPT (distinct semantics) over nation keys."""
     c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
     s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
@@ -60,7 +60,7 @@ def q46_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.unionByName(cust_only).select("op", "k").orderBy("op", "k")
 
 
-_Q47_ORACLE = """
+_Q94_ORACLE = """
 WITH a AS (SELECT o_orderpriority AS p FROM orders WHERE o_orderstatus = 'F'),
      b AS (SELECT o_orderpriority AS p FROM orders WHERE o_orderstatus = 'O')
 SELECT 'intersect_all' AS op, p, COUNT(*) AS n
@@ -74,8 +74,8 @@ ORDER BY op, p
 """
 
 
-@query("q47_multiset_ops", oracle=_Q47_ORACLE, tags=("T2", "T3"))
-def q47_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q94_multiset_ops", oracle=_Q94_ORACLE, tags=("T2", "T3"))
+def q94_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT ALL / EXCEPT ALL multiset semantics, re-aggregated so
     the (duplicated) result rows stay order-insensitive."""
     o = table(spark, sf_dir, "orders")

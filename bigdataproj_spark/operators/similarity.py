@@ -78,7 +78,7 @@ def dot_q20(qa: Column | str, qb: Column | str) -> Column:
 _N_PROBES = 5
 _TOP_K = 5
 
-_Q65_ORACLE = f"""
+_Q18_ORACLE = f"""
 WITH el AS (
   SELECT vec_id, i,
     CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT) AS vq
@@ -114,11 +114,11 @@ ORDER BY probe_id, rank
 """
 
 
-@query("q65_cosine_topk", oracle=_Q65_ORACLE, tags=("L3", "bench", "similarity"))
-def q65_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q18_cosine_topk", oracle=_Q18_ORACLE, tags=("L3", "bench", "similarity"))
+def q18_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 neighbors for 5 probe vectors (brute force).
 
-    The JVM-side zip_with/aggregate kernel is the baseline; q67 is the
+    The JVM-side zip_with/aggregate kernel is the baseline; q20 is the
     LSH-bucketed scale path. The probe side is tiny, so Spark
     broadcasts it and the scan of the candidate side streams through
     one task wave with no shuffle of the big side.
@@ -168,7 +168,7 @@ def q65_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # L4 embedding pooling: element-wise mean vector per label.
 # ---------------------------------------------------------------------------
 
-_Q66_ORACLE = """
+_Q19_ORACLE = """
 SELECT
   label,
   pos - 1 AS pos,
@@ -180,8 +180,8 @@ ORDER BY label, pos
 """
 
 
-@query("q66_embedding_pool", oracle=_Q66_ORACLE, tags=("L4", "similarity"))
-def q66_embedding_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q19_embedding_pool", oracle=_Q19_ORACLE, tags=("L4", "similarity"))
+def q19_embedding_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean-pooled embedding per label, emitted as (label, pos, value)
     rows (the reference's GloVe average-pooling surface, README.md:92).
 
@@ -191,12 +191,12 @@ def q66_embedding_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     between engines), summed as exact int64, divided back in double.
     """
     e = table(spark, sf_dir, "embeddings")
-    q20 = F.floor(F.col("v").cast("double") * 1048576).cast("long")
+    q68 = F.floor(F.col("v").cast("double") * 1048576).cast("long")
     return (
         e.select("label", F.posexplode("embedding").alias("pos", "v"))
         .groupBy("label", "pos")
         .agg(
-            (F.sum(q20).cast("double") / 1048576 / F.count(F.lit(1))).alias("avg_val")
+            (F.sum(q68).cast("double") / 1048576 / F.count(F.lit(1))).alias("avg_val")
         )
         .orderBy("label", "pos")
     )
@@ -254,7 +254,7 @@ def _planes_values_sql() -> str:
     )
 
 
-_Q67_ORACLE = f"""
+_Q20_ORACLE = f"""
 WITH planes(j, i, c) AS (VALUES {_planes_values_sql()}),
 el AS (
   SELECT vec_id, i - 1 AS i,
@@ -302,15 +302,15 @@ ORDER BY probe_id, rank
 """
 
 
-@query("q67_ann_lsh", oracle=_Q67_ORACLE, tags=("L3", "similarity"))
-def q67_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q20_ann_lsh", oracle=_Q20_ORACLE, tags=("L3", "similarity"))
+def q20_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-3 neighbors via LSH bucket prefilter + exact
     cosine re-rank inside the bucket.
 
     At 100 TB: candidates only meet probes sharing their 8-bit bucket
-    (a 256-way partition of the corpus), so the crossJoin of q65
+    (a 256-way partition of the corpus), so the crossJoin of q18
     becomes an equi-join on the bucket key — shuffle-partitionable,
-    no quadratic blow-up. Recall is tested against q65 in pytest.
+    no quadratic blow-up. Recall is tested against q18 in pytest.
     """
     e = table(spark, sf_dir, "embeddings")
     withb = e.select("vec_id", quantize_q20("embedding").alias("qe")).select(
@@ -359,7 +359,7 @@ def q67_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NEAR_DUP_COS = 0.5
 _NEAR_DUP_MAX_ID = 400
 
-_Q68_ORACLE = f"""
+_Q21_ORACLE = f"""
 WITH sub AS (
   SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_NEAR_DUP_MAX_ID}
 ),
@@ -394,14 +394,14 @@ ORDER BY vec_a, vec_b
 """
 
 
-@query("q68_embedding_near_dup", oracle=_Q68_ORACLE, tags=("L2", "L3", "similarity"))
-def q68_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q21_embedding_near_dup", oracle=_Q21_ORACLE, tags=("L2", "L3", "similarity"))
+def q21_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine ≥ 0.5) over a
     bounded id range — the exact reference semantics for semantic
     dedup of a training corpus.
 
     This is the oracle-checked exact form; the 100 TB path is the
-    same computation gated by the q67 LSH bucket join (candidates
+    same computation gated by the q20 LSH bucket join (candidates
     only meet inside a bucket) — exact re-rank inside buckets means
     the two paths agree wherever the bucket recall allows.
     """
@@ -488,7 +488,7 @@ def _cell_struct_array(cents) -> Column:
     return F.array(*elems)
 
 
-_Q69_ORACLE = f"""
+_Q22_ORACLE = f"""
 WITH el AS (
   SELECT vec_id, i,
     CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT) AS q
@@ -550,17 +550,17 @@ ORDER BY probe_id, rank
 """
 
 
-@query("q69_ann_ivf", oracle=_Q69_ORACLE, tags=("L3", "similarity"))
-def q69_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q22_ann_ivf", oracle=_Q22_ORACLE, tags=("L3", "similarity"))
+def q22_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-3 neighbors via IVF cells + exact cosine re-rank.
 
-    Complements q67's LSH path with the other standard ANN index
+    Complements q20's LSH path with the other standard ANN index
     shape: a coarse quantizer partitions the corpus into K cells;
     probes search their _IVF_NPROBE nearest cells only. At 100 TB the
     assignment is a map-only scan (centroids are plan literals — no
     join, no shuffle), the corpus shuffles once on its cell id, and
-    per-cell work is corpus/K — the crossJoin of q65 never happens.
-    Recall vs exact q65 is pinned in tests/test_similarity.py.
+    per-cell work is corpus/K — the crossJoin of q18 never happens.
+    Recall vs exact q18 is pinned in tests/test_similarity.py.
     """
     cents = _ivf_centroids(spark, sf_dir)
     e = table(spark, sf_dir, "embeddings")

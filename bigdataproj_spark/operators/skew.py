@@ -82,7 +82,7 @@ def salted_agg(
     return stage1.groupBy(*keys).agg(*combiners)
 
 
-_Q16_ORACLE = """
+_Q64_ORACLE = """
 SELECT
   l_returnflag,
   COUNT(*) AS n,
@@ -95,8 +95,8 @@ ORDER BY l_returnflag
 """
 
 
-@query("q16_salted_agg", oracle=_Q16_ORACLE, tags=("A1", "skew"))
-def q16_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q64_salted_agg", oracle=_Q64_ORACLE, tags=("A1", "skew"))
+def q64_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe aggregation on a 3-value key (l_returnflag — maximal
     skew: every row is one of three keys).
 

@@ -50,7 +50,7 @@ TOKENS_SQL = (
 # Token counting (explode P4 + A1) — word-frequency top-k.
 # ---------------------------------------------------------------------------
 
-_Q20_ORACLE = f"""
+_Q68_ORACLE = f"""
 WITH toks AS (
   SELECT unnest({TOKENS_SQL}) AS token FROM documents
 )
@@ -62,8 +62,8 @@ LIMIT 50
 """
 
 
-@query("q20_token_counts", oracle=_Q20_ORACLE, tags=("R5", "P4", "A1", "O3", "text"))
-def q20_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q68_token_counts", oracle=_Q68_ORACLE, tags=("R5", "P4", "A1", "O3", "text"))
+def q68_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 token frequency over the documents corpus.
 
     Scale: explode happens map-side; the single shuffle is on the token
@@ -86,7 +86,7 @@ def q20_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pinned by tests/test_text.py on the inline tweets fixture).
 # ---------------------------------------------------------------------------
 
-_Q21_ORACLE = r"""
+_Q69_ORACLE = r"""
 WITH tags AS (
   SELECT lower(unnest(regexp_extract_all(text, '#\w+'))) AS tag FROM documents
 )
@@ -123,8 +123,8 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 
-@query("q21_hashtag_counts", oracle=_Q21_ORACLE, tags=("R3", "F-S2", "text"))
-def q21_hashtag_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q69_hashtag_counts", oracle=_Q69_ORACLE, tags=("R3", "F-S2", "text"))
+def q69_hashtag_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashtag frequency (reference's signature op, README.md:81-83)."""
     d = table(spark, sf_dir, "documents")
     return (
@@ -143,7 +143,7 @@ def q21_hashtag_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STOP_SQL = "'" + "','".join(STOPWORDS) + "'"
 
-_Q22_ORACLE = f"""
+_Q70_ORACLE = f"""
 WITH t AS (SELECT doc_id, text, {TOKENS_SQL} AS toks FROM documents)
 SELECT
   doc_id,
@@ -160,8 +160,8 @@ ORDER BY doc_id
 """
 
 
-@query("q22_doc_stats", oracle=_Q22_ORACLE, tags=("L5", "text", "bench"))
-def q22_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q70_doc_stats", oracle=_Q70_ORACLE, tags=("L5", "text", "bench"))
+def q70_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality stats: token count, average token length,
     stopword ratio, punctuation ratio, length-band flag.
 
@@ -199,7 +199,7 @@ def q22_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LEX_SQL = ", ".join(f"('{w}', {s})" for w, s in SENTIMENT_LEXICON)
 
-_Q23_ORACLE = f"""
+_Q71_ORACLE = f"""
 WITH lex(token, weight) AS (VALUES {_LEX_SQL}),
 toks AS (SELECT doc_id, unnest({TOKENS_SQL}) AS token FROM documents),
 scores AS (
@@ -219,8 +219,8 @@ ORDER BY d.doc_id
 """
 
 
-@query("q23_sentiment", oracle=_Q23_ORACLE, tags=("L6", "R8", "text"))
-def q23_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q71_sentiment", oracle=_Q71_ORACLE, tags=("L6", "R8", "text"))
+def q71_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sentiment label per document (reference R8, README.md:61,87-88,
     re-expressed as a deterministic lexicon scorer per SURVEY.md §7).
 
@@ -257,7 +257,7 @@ def q23_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _GAZ_SQL = ", ".join(f"('{w}', '{t}')" for w, t in GAZETTEER)
 
-_Q24_ORACLE = f"""
+_Q03_ORACLE = f"""
 WITH gaz(token, etype) AS (VALUES {_GAZ_SQL}),
 toks AS (SELECT doc_id, unnest({TOKENS_SQL}) AS token FROM documents),
 ents AS (
@@ -275,8 +275,8 @@ ORDER BY d.doc_id
 """
 
 
-@query("q24_ner_lite", oracle=_Q24_ORACLE, tags=("L7", "R7", "text"))
-def q24_ner_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q03_ner_lite", oracle=_Q03_ORACLE, tags=("L7", "R7", "text"))
+def q03_ner_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity tags per document (reference R7, README.md:60,93 —
     locations/organizations/persons — as a deterministic gazetteer
     match per SURVEY.md §7).
@@ -321,7 +321,7 @@ def _marker_sql(lang: str) -> str:
     return f"len(list_filter(toks, x -> x IN ({words})))"
 
 
-_Q25_ORACLE = f"""
+_Q72_ORACLE = f"""
 WITH t AS (SELECT doc_id, lang, {TOKENS_SQL} AS toks FROM documents),
 s AS (
   SELECT doc_id, lang,
@@ -341,8 +341,8 @@ ORDER BY doc_id
 """
 
 
-@query("q25_lang_id", oracle=_Q25_ORACLE, tags=("L5", "text"))
-def q25_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q72_lang_id", oracle=_Q72_ORACLE, tags=("L5", "text"))
+def q72_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language identification with deterministic
     tie-break priority (en > de > es > fr)."""
     d = table(spark, sf_dir, "documents")
@@ -392,7 +392,7 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")))
 
 
-_Q26_ORACLE = f"""
+_Q73_ORACLE = f"""
 WITH fp AS (SELECT doc_id, {FINGERPRINT_SQL} AS fingerprint FROM documents)
 SELECT doc_id, fingerprint,
   COUNT(*) OVER (PARTITION BY fingerprint) AS n_same
@@ -401,8 +401,8 @@ ORDER BY doc_id
 """
 
 
-@query("q26_fingerprint", oracle=_Q26_ORACLE, tags=("L1", "text"))
-def q26_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q73_fingerprint", oracle=_Q73_ORACLE, tags=("L1", "text"))
+def q73_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprint per document + same-content group size."""
     d = table(spark, sf_dir, "documents")
     fp = d.select("doc_id", fingerprint("text").alias("fingerprint"))
@@ -419,7 +419,7 @@ def q26_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BPE_REGEX = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
 
-_Q27_ORACLE = f"""
+_Q74_ORACLE = f"""
 SELECT
   doc_id,
   len(regexp_extract_all(lower(text), '{_BPE_REGEX}')) AS n_bpe_tokens,
@@ -432,8 +432,8 @@ ORDER BY doc_id
 """
 
 
-@query("q27_bpe_token_counts", oracle=_Q27_ORACLE, tags=("L5", "R5", "text"))
-def q27_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q74_bpe_token_counts", oracle=_Q74_ORACLE, tags=("L5", "R5", "text"))
+def q74_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-count statistics with a BPE-style pre-tokenizer (the
     letter-run / digit-run / punctuation split GPT-2's BPE applies
     before merges) — the cost estimator of LLM data pipelines.
@@ -477,7 +477,7 @@ def rolling_hash(toks: Column | str) -> Column:
     )
 
 
-_Q28_ORACLE = f"""
+_Q75_ORACLE = f"""
 WITH t AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM documents)
 SELECT doc_id,
   list_reduce(
@@ -490,10 +490,10 @@ ORDER BY doc_id
 """
 
 
-@query("q28_rolling_fingerprint", oracle=_Q28_ORACLE, tags=("L1", "L5", "text"))
-def q28_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q75_rolling_fingerprint", oracle=_Q75_ORACLE, tags=("L1", "L5", "text"))
+def q75_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive rolling-hash fingerprint per document (companion
-    to the order-insensitive md5 fingerprint of q26)."""
+    to the order-insensitive md5 fingerprint of q73)."""
     d = table(spark, sf_dir, "documents")
     t = d.select("doc_id", tokens("text").alias("toks"))
     return t.select("doc_id", rolling_hash("toks").alias("roll_hash")).orderBy(
@@ -530,7 +530,7 @@ def vocab_embeddings(doc_tokens: DataFrame) -> DataFrame:
     return vocab.select("token", *dims)
 
 
-_Q29_ORACLE = f"""
+_Q76_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, unnest({TOKENS_SQL}) AS token FROM documents
 ),
@@ -558,8 +558,8 @@ ORDER BY doc_id, pos
 """
 
 
-@query("q29_token_embeddings", oracle=_Q29_ORACLE, tags=("R6", "L4", "text"))
-def q29_token_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q76_token_embeddings", oracle=_Q76_ORACLE, tags=("R6", "L4", "text"))
+def q76_token_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document embeddings via vocabulary broadcast-join + mean pool
     (reference R6: tokens → pretrained vectors → document vector).
 
@@ -597,7 +597,7 @@ CHUNK_TOKENS = 32
 CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
 
 
-_Q59_ORACLE = f"""
+_Q12_ORACLE = f"""
 WITH t AS (
   SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
   WHERE len({TOKENS_SQL}) > 0
@@ -616,8 +616,8 @@ ORDER BY doc_id, chunk_idx
 """
 
 
-@query("q59_chunk_documents", oracle=_Q59_ORACLE, tags=("L5", "L9", "text"))
-def q59_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q12_chunk_documents", oracle=_Q12_ORACLE, tags=("L5", "L9", "text"))
+def q12_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping fixed-size token chunks per document (32 tokens,
     stride 24): one output row per chunk with its reconstructed text.
 
@@ -648,7 +648,7 @@ def q59_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # L5 TF-IDF: top discriminative terms per document.
 # ---------------------------------------------------------------------------
 
-_Q49_ORACLE = f"""
+_Q96_ORACLE = f"""
 WITH tk AS (SELECT doc_id, unnest({TOKENS_SQL}) AS term FROM documents),
 tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
 dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
@@ -668,8 +668,8 @@ ORDER BY doc_id, rank
 """
 
 
-@query("q49_tfidf", oracle=_Q49_ORACLE, tags=("L5", "text"))
-def q49_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q96_tfidf", oracle=_Q96_ORACLE, tags=("L5", "text"))
+def q96_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (smoothed idf = ln((N+1)/(df+1))).
 
     Two bounded-key shuffles (doc-term counts, then term document
@@ -717,7 +717,7 @@ _FT_TOP = 15
 # Q20; the per-term score floor(idf_q20 * num/den) is an int64, so the
 # per-doc SUM is order-independent and bit-identical to the oracle.
 
-_Q94_ORACLE = f"""
+_Q45_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, unnest({TOKENS_SQL}) AS term FROM documents
 ),
@@ -760,8 +760,8 @@ ORDER BY rank
 """
 
 
-@query("q94_fulltext_bm25", oracle=_Q94_ORACLE, tags=("R13", "L5", "text"))
-def q94_fulltext_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q45_fulltext_bm25", oracle=_Q45_ORACLE, tags=("R13", "L5", "text"))
+def q45_fulltext_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-15 documents for a 3-term OR query (k1=1.2, b=0.75).
 
     The search capability the reference hands to Elasticsearch

@@ -35,7 +35,7 @@ def _quality_score(n_chars: pd.Series, doc_id: pd.Series) -> pd.Series:
     return mixed.astype("float64") / 997.0
 
 
-_Q75_ORACLE = """
+_Q26_ORACLE = """
 SELECT
   doc_id,
   CAST((n_chars * 31 + doc_id * 7 + 13) % 997 AS DOUBLE) / 997.0 AS score
@@ -44,8 +44,8 @@ ORDER BY doc_id
 """
 
 
-@query("q75_pandas_scalar_udf", oracle=_Q75_ORACLE, tags=("U2", "udx"))
-def q75_pandas_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q26_pandas_scalar_udf", oracle=_Q26_ORACLE, tags=("U2", "udx"))
+def q26_pandas_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-vectorized scalar UDF (the engine's preferred UDF form;
     row-at-a-time U1 exists only for API parity)."""
     quality_score = pandas_udf(_quality_score, "double")
@@ -77,7 +77,7 @@ def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
-_Q76_ORACLE = """
+_Q27_ORACLE = """
 WITH stats AS (
   SELECT doc_id, lang, n_chars,
     COUNT(*) OVER w AS c,
@@ -94,8 +94,8 @@ ORDER BY doc_id
 """
 
 
-@query("q76_grouped_map_udf", oracle=_Q76_ORACLE, tags=("U3", "udx"))
-def q76_grouped_map_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q27_grouped_map_udf", oracle=_Q27_ORACLE, tags=("U3", "udx"))
+def q27_grouped_map_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandas grouped-map: z-score normalize document lengths
     within each language group (one shuffle on the group key; each
     group becomes one Arrow batch)."""
@@ -119,7 +119,7 @@ def _weighted_avg_price(totalprice: pd.Series, orderkey: pd.Series) -> float:
     return float(int((cents * w).sum()) / int(w.sum()) / 100.0)
 
 
-_Q77_ORACLE = """
+_Q28_ORACLE = """
 SELECT
   o_orderpriority,
   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT) * (o_orderkey % 10 + 1)) AS DOUBLE)
@@ -130,8 +130,8 @@ ORDER BY o_orderpriority
 """
 
 
-@query("q77_grouped_agg_udf", oracle=_Q77_ORACLE, tags=("U4", "udx"))
-def q77_grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q28_grouped_agg_udf", oracle=_Q28_ORACLE, tags=("U4", "udx"))
+def q28_grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pandas GROUPED_AGG UDAF: weight-by-key average in exact cents."""
     weighted_avg_price = pandas_udf(_weighted_avg_price, "double")
     o = table(spark, sf_dir, "orders")
@@ -151,17 +151,17 @@ def _reverse_chars(s: str) -> str:
     return s[::-1] if s is not None else None
 
 
-_Q78_ORACLE = """
+_Q29_ORACLE = """
 SELECT p_partkey, reverse(p_name) AS name_rev
 FROM part
 ORDER BY p_partkey
 """
 
 
-@query("q78_scalar_udf", oracle=_Q78_ORACLE, tags=("U1", "udx"))
-def q78_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q29_scalar_udf", oracle=_Q29_ORACLE, tags=("U1", "udx"))
+def q29_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-at-a-time scalar UDF (U1). Kept off hot paths by design —
-    see q75 for the Arrow-vectorized form."""
+    see q26 for the Arrow-vectorized form."""
     reverse_chars = udf(_reverse_chars, "string")
     p = table(spark, sf_dir, "part")
     return p.select("p_partkey", reverse_chars("p_name").alias("name_rev")).orderBy(
@@ -182,7 +182,7 @@ class SplitWords:
             yield i, w
 
 
-_Q79_ORACLE = """
+_Q30_ORACLE = """
 WITH t AS (
   SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id < 20
 )
@@ -192,8 +192,8 @@ ORDER BY doc_id, idx
 """
 
 
-@query("q79_udtf", oracle=_Q79_ORACLE, tags=("U5", "udx"))
-def q79_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q30_udtf", oracle=_Q30_ORACLE, tags=("U5", "udx"))
+def q30_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF exploding text into positional word rows via a
     LATERAL join."""
     split_words = udtf(SplitWords, returnType="idx int, word string")

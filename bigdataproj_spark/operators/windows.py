@@ -20,7 +20,7 @@ from ..registry import query
 # W1 ranking functions.
 # ---------------------------------------------------------------------------
 
-_Q40_ORACLE = """
+_Q87_ORACLE = """
 SELECT
   o_orderkey,
   o_orderpriority,
@@ -34,8 +34,8 @@ ORDER BY o_orderkey
 """
 
 
-@query("q40_rank_functions", oracle=_Q40_ORACLE, tags=("W1",))
-def q40_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q87_rank_functions", oracle=_Q87_ORACLE, tags=("W1",))
+def q87_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """row_number / rank / dense_rank / ntile per order priority.
 
     rank/dense_rank order by the tie-ful date only (their semantics
@@ -59,7 +59,7 @@ def q40_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 # W2 analytic functions: lag / lead / first / last.
 # ---------------------------------------------------------------------------
 
-_Q41_ORACLE = """
+_Q88_ORACLE = """
 SELECT
   event_id,
   user_id,
@@ -76,8 +76,8 @@ ORDER BY event_id
 """
 
 
-@query("q41_lag_lead", oracle=_Q41_ORACLE, tags=("W2",))
-def q41_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q88_lag_lead", oracle=_Q88_ORACLE, tags=("W2",))
+def q88_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag/lead/first/last over each user's event timeline."""
     e = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -97,7 +97,7 @@ def q41_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 # W3/W4 frames: running totals + moving averages (ROWS frames).
 # ---------------------------------------------------------------------------
 
-_Q42_ORACLE = """
+_Q89_ORACLE = """
 SELECT
   event_id,
   user_id,
@@ -115,8 +115,8 @@ ORDER BY event_id
 """
 
 
-@query("q42_running_agg", oracle=_Q42_ORACLE, tags=("W3", "W4", "bench"))
-def q42_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q89_running_agg", oracle=_Q89_ORACLE, tags=("W3", "W4", "bench"))
+def q89_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running sum + 4-row moving average per user (ROWS frames),
     decimal-exact so frame summation order cannot matter."""
     e = table(spark, sf_dir, "events")
@@ -142,7 +142,7 @@ def q42_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # W3 RANGE frame over a numeric (epoch-µs) ordering key.
 # ---------------------------------------------------------------------------
 
-_Q43_ORACLE = """
+_Q90_ORACLE = """
 SELECT
   event_id,
   user_id,
@@ -154,8 +154,8 @@ ORDER BY event_id
 """
 
 
-@query("q43_range_frame", oracle=_Q43_ORACLE, tags=("W3",))
-def q43_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q90_range_frame", oracle=_Q90_ORACLE, tags=("W3",))
+def q90_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events in the trailing 5 minutes per user via a RANGE frame on
     epoch microseconds (exact integer arithmetic; ties are peers, so
     the count is order-independent)."""
@@ -176,7 +176,7 @@ def q43_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 # O3 top-k per group (window + filter; Spark optimizes the pattern).
 # ---------------------------------------------------------------------------
 
-_Q44_ORACLE = """
+_Q91_ORACLE = """
 SELECT o_orderpriority, o_orderkey, o_totalprice, rn
 FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority
@@ -188,8 +188,8 @@ ORDER BY o_orderpriority, rn
 """
 
 
-@query("q44_topk_per_group", oracle=_Q44_ORACLE, tags=("O3",))
-def q44_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q91_topk_per_group", oracle=_Q91_ORACLE, tags=("O3",))
+def q91_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 orders by price per priority.
 
     Spark rewrites row_number+filter into per-partition top-k
@@ -211,7 +211,7 @@ def q44_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 # W1 distribution functions: percent_rank / cume_dist.
 # ---------------------------------------------------------------------------
 
-_Q39_ORACLE = """
+_Q86_ORACLE = """
 SELECT
   o_orderkey,
   o_orderpriority,
@@ -224,8 +224,8 @@ ORDER BY o_orderkey
 """
 
 
-@query("q39_distribution_functions", oracle=_Q39_ORACLE, tags=("W1",))
-def q39_distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q86_distribution_functions", oracle=_Q86_ORACLE, tags=("W1",))
+def q86_distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percent_rank / cume_dist per priority by price.
 
     Both are rank-based ((rank-1)/(n-1), peers_≤/n): integer-derived

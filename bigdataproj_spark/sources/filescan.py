@@ -57,7 +57,7 @@ def csv_scan(spark: SparkSession, path: str, schema) -> DataFrame:
     return spark.read.schema(schema).option("header", True).csv(path)
 
 
-_Q90_ORACLE = """
+_Q41_ORACLE = """
 SELECT
   o_orderpriority,
   COUNT(*) AS n_orders,
@@ -70,8 +70,8 @@ ORDER BY o_orderpriority
 """
 
 
-@query("q90_json_scan", oracle=_Q90_ORACLE, tags=("S2", "sources"))
-def q90_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q41_json_scan", oracle=_Q41_ORACLE, tags=("S2", "sources"))
+def q41_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL round-trip: orders → distributed JSON export → schema-on-
     read scan (S2) → aggregate. Matching the parquet-side oracle proves
     the JSON boundary preserves longs, doubles, strings, timestamps."""
@@ -94,7 +94,7 @@ def q90_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q91_ORACLE = """
+_Q42_ORACLE = """
 SELECT
   c_mktsegment,
   COUNT(*) AS n_customers,
@@ -107,8 +107,8 @@ ORDER BY c_mktsegment
 """
 
 
-@query("q91_csv_scan", oracle=_Q91_ORACLE, tags=("S3", "sources"))
-def q91_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q42_csv_scan", oracle=_Q42_ORACLE, tags=("S3", "sources"))
+def q42_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV round-trip: customer → headered CSV export → schema-on-read
     scan (S3) → aggregate (covers quoting, null round-trip, numeric
     parsing)."""

@@ -83,7 +83,7 @@ enriched AS (
 _LEX_VALUES = ", ".join(f"('{w}', {s})" for w, s in SENTIMENT_LEXICON)
 
 
-_Q92_ORACLE = (
+_Q43_ORACLE = (
     _ENRICHED_SQL.format(lex=_LEX_VALUES)
     + """
 SELECT sentiment, lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars
@@ -94,8 +94,8 @@ ORDER BY sentiment, lang
 )
 
 
-@query("q92_partitioned_sink", oracle=_Q92_ORACLE, tags=("S4", "sources"))
-def q92_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q43_partitioned_sink", oracle=_Q43_ORACLE, tags=("S4", "sources"))
+def q43_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4 round-trip: enriched documents → parquet partitioned by
     (sentiment, lang) → re-open → aggregate per partition key.
 
@@ -117,7 +117,7 @@ def q92_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q93_ORACLE = (
+_Q44_ORACLE = (
     _ENRICHED_SQL.format(lex=_LEX_VALUES)
     + """
 SELECT doc_id, lang, source, n_chars
@@ -128,8 +128,8 @@ ORDER BY doc_id
 )
 
 
-@query("q93_query_index", oracle=_Q93_ORACLE, tags=("R13", "sources"))
-def q93_query_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q44_query_index", oracle=_Q44_ORACLE, tags=("R13", "sources"))
+def q44_query_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R13 predicate query against the partitioned index: fetch all
     negative-sentiment English documents.
 

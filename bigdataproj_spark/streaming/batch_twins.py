@@ -35,7 +35,7 @@ def _iso(c: Column | str, alias: str) -> Column:
 # ST1 tumbling window aggregate.
 # ---------------------------------------------------------------------------
 
-_Q85_ORACLE = f"""
+_Q36_ORACLE = f"""
 SELECT
   strftime(time_bucket(INTERVAL '1 hour', ts), '{_TS_FMT_DUCK}') AS w_start,
   event_type,
@@ -47,8 +47,8 @@ ORDER BY w_start, event_type
 """
 
 
-@query("q85_tumbling_window", oracle=_Q85_ORACLE, tags=("ST1", "streaming"))
-def q85_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q36_tumbling_window", oracle=_Q36_ORACLE, tags=("ST1", "streaming"))
+def q36_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour window counts/sums per event type (ST1).
 
     The identical ``F.window`` expression runs incrementally under
@@ -78,7 +78,7 @@ def q85_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ST2 sliding window aggregate (2-hour window, 1-hour slide).
 # ---------------------------------------------------------------------------
 
-_Q86_ORACLE = f"""
+_Q37_ORACLE = f"""
 WITH buckets AS (
   SELECT
     time_bucket(INTERVAL '1 hour', ts) - INTERVAL (k) HOUR AS w_start,
@@ -95,8 +95,8 @@ ORDER BY w_start
 """
 
 
-@query("q86_sliding_window", oracle=_Q86_ORACLE, tags=("ST2", "streaming"))
-def q86_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q37_sliding_window", oracle=_Q37_ORACLE, tags=("ST2", "streaming"))
+def q37_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window totals: 2-hour windows advancing by 1 hour (ST2).
 
     Spark's ``window(ts, '2 hours', '1 hour')`` assigns each event to
@@ -121,7 +121,7 @@ def q86_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ST3 session window (30-minute inactivity gap) per user.
 # ---------------------------------------------------------------------------
 
-_Q87_ORACLE = f"""
+_Q38_ORACLE = f"""
 WITH g AS (
   SELECT user_id, event_id, ts, value,
     CASE WHEN ts - lag(ts) OVER w > INTERVAL '30 minutes'
@@ -148,8 +148,8 @@ ORDER BY user_id, s_start
 """
 
 
-@query("q87_session_window", oracle=_Q87_ORACLE, tags=("ST3", "streaming"))
-def q87_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q38_session_window", oracle=_Q38_ORACLE, tags=("ST3", "streaming"))
+def q38_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user session windows with a 30-minute inactivity gap (ST3).
 
     ``F.session_window`` merges overlapping [ts, ts+gap) intervals;
@@ -181,7 +181,7 @@ def q87_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ST7 stream-static join: enrich events with a dimension table.
 # ---------------------------------------------------------------------------
 
-_Q88_ORACLE = f"""
+_Q39_ORACLE = f"""
 SELECT
   e.event_id,
   strftime(e.ts, '{_TS_FMT_DUCK}') AS ts,
@@ -195,8 +195,8 @@ ORDER BY e.event_id
 """
 
 
-@query("q88_stream_static_join", oracle=_Q88_ORACLE, tags=("ST7", "streaming"))
-def q88_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q39_stream_static_join", oracle=_Q39_ORACLE, tags=("ST7", "streaming"))
+def q39_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment join (ST7): events joined to customer
     and nation dimensions.
 
@@ -230,7 +230,7 @@ def q88_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ST8 stream-stream join: click→purchase attribution within 1 hour.
 # ---------------------------------------------------------------------------
 
-_Q89_ORACLE = f"""
+_Q40_ORACLE = f"""
 SELECT
   p.event_id AS purchase_id,
   c.event_id AS click_id,
@@ -247,8 +247,8 @@ ORDER BY purchase_id, click_id
 """
 
 
-@query("q89_stream_stream_join", oracle=_Q89_ORACLE, tags=("ST8", "streaming"))
-def q89_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q40_stream_stream_join", oracle=_Q40_ORACLE, tags=("ST8", "streaming"))
+def q40_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join, batch twin (ST8): every purchase
     matched to the same user's clicks in the preceding hour — the
     classic attribution join.
