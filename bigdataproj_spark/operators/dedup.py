@@ -83,16 +83,33 @@ SHINGLES_SQL = (
 
 _JACCARD_THRESHOLD = 0.2
 
-_Q14_ORACLE = f"""
-WITH t AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
-           WHERE len({TOKENS_SQL}) >= {SHINGLE_SIZE}),
+# Stop-shingle guard: shingles whose document frequency exceeds this are
+# dropped before the inverted-index self-join. One ultra-frequent shingle
+# ("all rights reserved", chapter boilerplate) otherwise creates a
+# quadratic bucket — df=1M → 10^12 pairs from a single key. Dropping it
+# loses no near-dup signal: a shingle shared by half the corpus carries
+# ~0 bits about any specific pair. Per-document shingle counts are taken
+# AFTER the drop on BOTH engines, so the Jaccard estimate stays a true
+# Jaccard over the reduced shingle universe and the differential check
+# stays exact even when the guard fires.
+STOP_SHINGLE_DF = 500
+
+_SHK_SQL = f"""
+t AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
+      WHERE len({TOKENS_SQL}) >= {SHINGLE_SIZE}),
 sh AS (SELECT doc_id, unnest({SHINGLES_SQL}) AS shingle FROM t),
-counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+hot AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > {STOP_SHINGLE_DF}),
+shk AS (SELECT doc_id, shingle FROM sh ANTI JOIN hot USING (shingle)),
+counts AS (SELECT doc_id, COUNT(*) AS n FROM shk GROUP BY doc_id),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shk a JOIN shk b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
+"""
+
+_Q14_ORACLE = f"""
+WITH {_SHK_SQL}
 SELECT doc_a, doc_b, shared,
   CAST(shared AS DOUBLE) / (ca.n + cb.n - shared) AS jaccard
 FROM pairs
@@ -112,15 +129,27 @@ def q14_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents that share at least one shingle. The join shape beats
     ``bucket_pairs`` here: the upstream is a map-only explode (cheap
     to compute on both sides), and the streamed join avoids
-    materializing per-shingle pair arrays. At 100 TB the one extra
-    guard is dropping ultra-frequent shingles (stop-shingles) before
-    the self-join; the fixture corpus doesn't need it.
+    materializing per-shingle pair arrays.
+
+    Stop-shingle guard (the 100 TB survival condition for this join):
+    shingles with document frequency > STOP_SHINGLE_DF are anti-joined
+    away before the self-join, killing the one quadratic bucket a hot
+    boilerplate shingle would otherwise create. The hot list is tiny
+    by construction (≤ total_occurrences / threshold keys), so Spark
+    broadcasts it; the oracle mirrors the guard exactly.
     """
     d = fan_out(table(spark, sf_dir, "documents"))
     t = d.select("doc_id", tokens("text").alias("toks")).filter(
         F.size("toks") >= SHINGLE_SIZE
     )
     sh = t.select("doc_id", F.explode(shingles("toks")).alias("shingle"))
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > STOP_SHINGLE_DF)
+        .select("shingle")
+    )
+    sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -169,8 +198,22 @@ MINHASH_A = tuple((i * 2654435761 + 1) % _MH_P | 1 for i in range(N_HASHES))
 MINHASH_B = tuple((i * 40503 + 12345) % _MH_P for i in range(N_HASHES))
 
 
+# Stop-bucket guard: LSH buckets larger than this are dropped before any
+# membership array is collected. On duplicate-heavy corpora (boilerplate,
+# mass-replicated pages) one band hash can attract millions of documents;
+# the pairs inside such a bucket are quadratic noise (everything matches
+# everything) and the collected array would concentrate the blow-up in a
+# single task's memory. 1000 members still yields ~500k candidate pairs
+# per bucket — far beyond any useful near-dup signal.
+MAX_BUCKET_MEMBERS = 1000
+
+
 def bucket_pairs(
-    df: DataFrame, keys: list[str], id_col: str, *payload: str
+    df: DataFrame,
+    keys: list[str],
+    id_col: str,
+    *payload: str,
+    max_bucket: int = MAX_BUCKET_MEMBERS,
 ) -> DataFrame:
     """All i<j member pairs within each bucket, without a self-join.
 
@@ -184,12 +227,29 @@ def bucket_pairs(
     branches) and tempts AQE into broadcasting a derived table whose
     size grows with the corpus.
 
+    Hot-bucket memory guard: bucket sizes are measured with a window
+    count over the same partition key BEFORE collect_list, and buckets
+    above ``max_bucket`` are dropped entirely. The window operator
+    spills to disk (UnsafeExternalSorter), so a pathological bucket
+    never has to fit in memory — unlike a collect_list buffer, which
+    cannot spill a single group's array. Window + groupBy share one
+    hash partitioning on ``keys``, so the guard adds no extra shuffle
+    and the upstream is still computed exactly once. Callers' oracle
+    SQL mirrors the guard (HAVING COUNT(*) <= max_bucket), keeping the
+    differential check exact even when the guard fires.
+
     Output: columns ``a`` and ``b``, structs of (id_col, *payload),
     with a.id < b.id.
     """
     member = F.struct(id_col, *payload)
+    w = Window.partitionBy(*keys)
+    bounded = (
+        df.withColumn("__n", F.count(F.lit(1)).over(w))
+        .filter((F.col("__n") > 1) & (F.col("__n") <= max_bucket))
+        .drop("__n")
+    )
     buckets = (
-        df.groupBy(*keys)
+        bounded.groupBy(*keys)
         .agg(F.array_sort(F.collect_list(member)).alias("__m"))
         .filter(F.size("__m") > 1)
     )
@@ -258,10 +318,15 @@ bands AS (
       AS bh
   FROM sigs, (SELECT unnest(range(0, {N_BANDS})) AS b) bb
 ),
+bsize AS (
+  SELECT b, bh FROM bands
+  GROUP BY b, bh HAVING COUNT(*) BETWEEN 2 AND {MAX_BUCKET_MEMBERS}
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          a.sig AS sig_a, b.sig AS sig_b
   FROM bands a
+  JOIN bsize s ON a.b = s.b AND a.bh = s.bh
   JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
 )
 SELECT doc_a, doc_b,
@@ -438,10 +503,15 @@ bands AS (
     (simhash >> (b * {_BAND_BITS})) & {(1 << _BAND_BITS) - 1} AS band_val
   FROM sims, (SELECT unnest(range(0, {SIMHASH_BANDS})) AS b) bb
 ),
+bsize AS (
+  SELECT b, band_val FROM bands
+  GROUP BY b, band_val HAVING COUNT(*) BETWEEN 2 AND {MAX_BUCKET_MEMBERS}
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          a.simhash AS sim_a, b.simhash AS sim_b
   FROM bands a
+  JOIN bsize s ON a.b = s.b AND a.band_val = s.band_val
   JOIN bands b ON a.b = b.b AND a.band_val = b.band_val
               AND a.doc_id < b.doc_id
 )
@@ -559,15 +629,7 @@ def connected_components(
 
 
 _Q17_ORACLE = f"""
-WITH RECURSIVE t AS (SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
-           WHERE len({TOKENS_SQL}) >= {SHINGLE_SIZE}),
-sh AS (SELECT doc_id, unnest({SHINGLES_SQL}) AS shingle FROM t),
-counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
-),
+WITH RECURSIVE {_SHK_SQL},
 edges AS (
   SELECT doc_a AS src, doc_b AS dst
   FROM pairs JOIN counts ca ON doc_a = ca.doc_id

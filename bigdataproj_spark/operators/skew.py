@@ -35,12 +35,21 @@ def fan_out(df: DataFrame, multiple: int = 1) -> DataFrame:
     (hashing/shingling/regex over short text rows — measured 2x on the
     MinHash shingle stage at sf0.1); for wide rows feeding an
     aggregation, map-side partial aggregation beats the full-row
-    shuffle, so don't fan out those. When the scan already has at
-    least ``cores * multiple`` partitions this returns the input
-    unchanged — no exchange enters the plan at cluster scale.
+    shuffle, so don't fan out those. When the scan is already wide
+    (``inputFiles() >= cores * multiple`` — the 100 TB case, thousands
+    of row groups) this returns the input unchanged, so no exchange
+    enters the plan at cluster scale.
+
+    The width probe is ``df.inputFiles()`` (a file-index listing), NOT
+    ``df.rdd.getNumPartitions()``: the RDD conversion forces full
+    physical planning on the driver for every query build (~100 ms per
+    call measured at round 1 — pure plan-time overhead). File count is
+    a conservative proxy — a scan of many tiny files can still coalesce
+    to fewer partitions than files, but tiny files mean little data, so
+    skipping the rebalance there costs nothing material.
     """
     target = df.sparkSession.sparkContext.defaultParallelism * multiple
-    if df.rdd.getNumPartitions() >= target:
+    if len(df.inputFiles()) >= target:
         return df
     return df.repartition(target)
 

@@ -738,8 +738,9 @@ scored AS (
       CAST(CAST(floor(
         ln(CAST(2*s.n_docs + 2 AS DOUBLE) / CAST(2*d.df + 1 AS DOUBLE))
         * 1048576) AS BIGINT) AS DOUBLE)
-      * (CAST(22*s.sumdl*t.tf AS DOUBLE)
-         / CAST(10*s.sumdl*t.tf + 3*s.sumdl + 9*l.dl*s.n_docs AS DOUBLE))
+      * (CAST(CAST(22 AS HUGEINT)*s.sumdl*t.tf AS DOUBLE)
+         / CAST(CAST(10 AS HUGEINT)*s.sumdl*t.tf + CAST(3 AS HUGEINT)*s.sumdl
+                + CAST(9 AS HUGEINT)*l.dl*s.n_docs AS DOUBLE))
     ) AS BIGINT) AS term_score_q20
   FROM tf t
   JOIN dl l USING (doc_id)
@@ -774,8 +775,18 @@ def q45_fulltext_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     the single data-sized shuffle, and ranking is an int64 sort.
 
     Scoring is exact: idf floor-quantized to Q20, tf-norm as a ratio
-    of exact int64s (scaled by 10*sumdl), per-term scores summed as
-    int64 — order-independent, so ranks tie-break deterministically.
+    of exact integers (scaled by 10*sumdl) built in DECIMAL(38,0) /
+    HUGEINT so no corpus size can wrap them (int64 would wrap once
+    sumdl*tf exceeds ~4e17 — reached well below 100 TB); the exact
+    integers convert to double with correct rounding identically on
+    both engines before the one division. Per-term scores floor to
+    int64 and SUM order-independently, so ranks tie-break
+    deterministically.
+
+    Ranking avoids a global-window funnel: ``orderBy(...).limit(k)``
+    compiles to TakeOrderedAndProject (per-partition top-k, driver
+    merge of k rows per partition); row_number then runs over the
+    15 survivors only, never the full per-doc aggregate.
     """
     d = table(spark, sf_dir, "documents")
     tk = d.select("doc_id", F.explode(tokens("text")).alias("term"))
@@ -798,12 +809,15 @@ def q45_fulltext_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         * 1048576
     ).cast("long")
-    num = (22 * F.col("sumdl") * F.col("tf")).cast("long").cast("double")
+    big = "decimal(38,0)"
+    num = (
+        F.lit(22).cast(big) * F.col("sumdl").cast(big) * F.col("tf").cast(big)
+    ).cast("double")
     den = (
-        10 * F.col("sumdl") * F.col("tf")
-        + 3 * F.col("sumdl")
-        + 9 * F.col("dl") * F.col("n_docs")
-    ).cast("long").cast("double")
+        F.lit(10).cast(big) * F.col("sumdl").cast(big) * F.col("tf").cast(big)
+        + F.lit(3).cast(big) * F.col("sumdl").cast(big)
+        + F.lit(9).cast(big) * F.col("dl").cast(big) * F.col("n_docs").cast(big)
+    ).cast("double")
     term_score = F.floor(idf_q20.cast("double") * (num / den)).cast("long")
 
     scored = (
@@ -816,10 +830,10 @@ def q45_fulltext_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_terms"),
         F.sum("term_score_q20").alias("sq"),
     )
+    top = agg.orderBy(F.col("sq").desc(), "doc_id").limit(_FT_TOP)
     w = Window.orderBy(F.col("sq").desc(), "doc_id")
     return (
-        agg.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _FT_TOP)
+        top.withColumn("rank", F.row_number().over(w))
         .select(
             "doc_id",
             "n_terms",

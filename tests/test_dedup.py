@@ -66,3 +66,57 @@ def test_exact_dedup_groups_are_consistent(spark, sf_dir):
     dupes = [r for r in rows if r["is_duplicate"]]
     for r in dupes:
         assert r["canonical_id"] < r["doc_id"]
+
+
+# ---------------------------------------------------------------------------
+# Scale guards: hot-bucket cap in bucket_pairs, stop-shingle drop in q14.
+# ---------------------------------------------------------------------------
+
+
+def test_bucket_pairs_drops_pathological_bucket(spark):
+    """A bucket above MAX_BUCKET_MEMBERS contributes ZERO pairs (the
+    hot-bucket guard drops it before collect_list); normal buckets are
+    unaffected. 60-member bucket with cap=50 → only the 5-member
+    bucket's C(5,2)=10 pairs survive."""
+    from bigdataproj_spark.operators.dedup import bucket_pairs
+
+    rows = [("hot", i) for i in range(60)] + [("ok", 100 + i) for i in range(5)]
+    df = spark.createDataFrame(rows, "bh string, doc_id int")
+    out = bucket_pairs(df, ["bh"], "doc_id", max_bucket=50).collect()
+    assert len(out) == 10
+    ids = {(r["a"]["doc_id"], r["b"]["doc_id"]) for r in out}
+    assert all(100 <= a < b for a, b in ids)
+    # With the cap lifted, the hot bucket's C(60,2) pairs come back.
+    out_all = bucket_pairs(df, ["bh"], "doc_id", max_bucket=10_000).count()
+    assert out_all == 60 * 59 // 2 + 10
+
+
+def test_stop_shingle_guard_drops_hot_shingles(spark):
+    """Documents that only share an ultra-frequent (stop) shingle must
+    not pair up once the guard threshold is crossed. Built directly on
+    the operator internals with a tiny synthetic corpus."""
+    from pyspark.sql import functions as SF
+
+    from bigdataproj_spark.operators.dedup import shingles
+    from bigdataproj_spark.operators.text import tokens
+
+    # 30 docs all containing the same boilerplate 3-gram; doc 0/1 also
+    # share a genuine rare 3-gram.
+    boiler = "all rights reserved"
+    docs = [(0, f"{boiler} alpha beta gamma"), (1, f"{boiler} alpha beta gamma")]
+    docs += [(i, f"{boiler} unique{i} x{i} y{i}") for i in range(2, 30)]
+    d = spark.createDataFrame(docs, "doc_id int, text string")
+    sh = d.select(
+        "doc_id", SF.explode(shingles(tokens("text"))).alias("shingle")
+    )
+    hot = (
+        sh.groupBy("shingle")
+        .agg(SF.count(SF.lit(1)).alias("df"))
+        .filter(SF.col("df") > 20)
+        .select("shingle")
+    )
+    kept = sh.join(SF.broadcast(hot), "shingle", "left_anti")
+    # The boilerplate shingle (df=30 > 20) is gone; rare shingles stay.
+    kept_shingles = {r["shingle"] for r in kept.select("shingle").distinct().collect()}
+    assert boiler not in kept_shingles
+    assert any("alpha beta gamma" in s for s in kept_shingles)
