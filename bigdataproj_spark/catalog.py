@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, TimestampType
+from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
 from .schemas import FIXTURE_SCHEMAS
 
@@ -79,6 +79,14 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             cols.append(
                 F.timestamp_micros(F.expr(f"{f_read.name} div 1000")).alias(f_read.name)
             )
+        elif isinstance(want, TimestampType) and isinstance(
+            f_read.dataType, TimestampNTZType
+        ):
+            # Parquet written without timezone annotation (e.g. by DuckDB)
+            # reads back as TIMESTAMP_NTZ; normalize to the engine's UTC
+            # session timestamps (same wall clock — the session zone is
+            # pinned to UTC by _ensure_session_conf).
+            cols.append(F.col(f_read.name).cast("timestamp").alias(f_read.name))
         else:
             cols.append(F.col(f_read.name))
     out = df.select(*cols)
