@@ -86,7 +86,7 @@ def _oracle_block(name: str, kind: str) -> str:
   SELECT
     '{name}' AS col_name,
     COUNT(*) AS n_rows,
-    SUM(CAST({name} IS NULL AS BIGINT)) AS n_nulls,
+    CAST(SUM(CAST({name} IS NULL AS BIGINT)) AS BIGINT) AS n_nulls,
     COUNT(DISTINCT {name}) AS n_distinct,
     {mn} AS min_value,
     {mx} AS max_value

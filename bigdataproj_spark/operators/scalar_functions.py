@@ -144,8 +144,8 @@ _Q06_ORACLE = """
 SELECT
   l_orderkey,
   l_linenumber,
-  floor(l_extendedprice / 1000) AS price_k_floor,
-  ceil(l_extendedprice / 1000) AS price_k_ceil,
+  CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k_floor,
+  CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS price_k_ceil,
   abs(l_discount - 0.05) AS disc_dev,
   sqrt(l_quantity) AS qty_sqrt,
   round(exp(l_discount), 6) AS disc_exp,

@@ -51,6 +51,20 @@ def compare_frames(spark_pd: pd.DataFrame, oracle_pd: pd.DataFrame, name: str = 
     assert list(a.columns) == list(b.columns), (
         f"{name}: column mismatch spark={list(a.columns)} oracle={list(b.columns)}"
     )
+    # The driver's value-hash distinguishes int from float cells (8 vs 8.0)
+    # but not integer widths (int32 vs int64 both render "8") — verified
+    # empirically in round 2: every int-width diff passed, the two
+    # int-vs-float diffs (Spark floor()->bigint vs DuckDB floor()->double;
+    # DuckDB SUM(BIGINT)->hugeint->float64) were the only hash failures.
+    # Mirror exactly that sensitivity here.
+    for c in a.columns:
+        ka, kb = a[c].dtype.kind, b[c].dtype.kind
+        norm = lambda k: "i" if k in "iu" else k  # noqa: E731
+        assert norm(ka) == norm(kb), (
+            f"{name}: col {c} dtype-kind mismatch spark={a[c].dtype} "
+            f"oracle={b[c].dtype} — int-vs-float cells hash differently in "
+            f"the driver; cast the oracle (or Spark) side so kinds agree"
+        )
     assert len(a) == len(b), f"{name}: row count spark={len(a)} oracle={len(b)}"
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
