@@ -11,7 +11,7 @@ object::
     eng.table("documents").filter(...)                  # E2
     eng.ingest_json(records)                            # R1 surface
     eng.enrich_tweets(df)                               # R3-R9 pipeline
-    eng.query(\"q51_pricing_summary\")                    # registry query
+    eng.query(\"q01_pricing_summary\")                    # registry query
 """
 
 from __future__ import annotations

@@ -77,8 +77,8 @@ ORDER BY p.event_id
 """
 
 
-@query("q95_asof_join", oracle=_Q95_ORACLE, tags=("J8", "bench"))
-def q95_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q44_asof_join", oracle=_Q95_ORACLE, tags=("J8", "bench"))
+def q44_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Attribution: each purchase joined to the user's latest prior
     (or simultaneous) click; oracle is DuckDB's native ASOF JOIN.
 
@@ -174,8 +174,8 @@ ORDER BY user_id, day
 """
 
 
-@query("q32_gap_fill", oracle=_Q32_ORACLE, tags=("TS1", "asof"))
-def q32_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q82_gap_fill", oracle=_Q32_ORACLE, tags=("TS1", "asof"))
+def q82_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily resample per user with LOCF (last observation carried
     forward) and zero-fill before the first observation, flagging
     synthesized rows.

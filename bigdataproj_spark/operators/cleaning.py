@@ -56,8 +56,8 @@ ORDER BY event_id
 """
 
 
-@query("q47_null_clean", oracle=_Q47_ORACLE, tags=("L11", "cleaning"))
-def q47_null_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q96_null_clean", oracle=_Q47_ORACLE, tags=("L11", "cleaning"))
+def q96_null_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Null-handling battery: drop on missing key, exact-mean
     imputation with an imputed flag, sentinel fill for categoricals.
 

@@ -36,8 +36,8 @@ ORDER BY doc_id
 """
 
 
-@query("q13_exact_dedup", oracle=_Q13_ORACLE, tags=("L1", "dedup", "bench"))
-def q13_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q63_exact_dedup", oracle=_Q13_ORACLE, tags=("L1", "dedup", "bench"))
+def q63_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: every document mapped to the smallest doc_id
     sharing its content fingerprint (survivor), flagged if duplicate.
 
@@ -120,8 +120,8 @@ ORDER BY doc_a, doc_b
 """
 
 
-@query("q14_ngram_jaccard", oracle=_Q14_ORACLE, tags=("L2", "dedup"))
-def q14_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q64_ngram_jaccard", oracle=_Q14_ORACLE, tags=("L2", "dedup"))
+def q64_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs by word-3-gram Jaccard similarity ≥ 0.2.
 
     The pair generation is an equi-join on the shingle key (inverted
@@ -185,7 +185,7 @@ def q14_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # below (NOT h1 + i*h2 — a linear family shares its minimizer across
 # all i, collapsing the estimator). Every operation is bit-identical in
 # DuckDB ('0x'||hex → BIGINT). tests/test_dedup.py additionally pins
-# recall: every q14 pair with jaccard ≥ 0.5 must surface here.
+# recall: every q64 pair with jaccard ≥ 0.5 must surface here.
 # ---------------------------------------------------------------------------
 
 N_HASHES = 16
@@ -337,8 +337,8 @@ ORDER BY doc_a, doc_b
 """
 
 
-@query("q15_minhash_lsh", oracle=_Q15_ORACLE, tags=("L2", "dedup", "bench"))
-def q15_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q65_minhash_lsh", oracle=_Q15_ORACLE, tags=("L2", "dedup", "bench"))
+def q65_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates with signature-estimated Jaccard.
 
     16 hashes, 4 bands × 4 rows (candidate threshold ≈ 0.5 Jaccard).
@@ -523,8 +523,8 @@ ORDER BY doc_a, doc_b
 """
 
 
-@query("q16_simhash", oracle=_Q16_ORACLE, tags=("L2", "dedup"))
-def q16_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q66_simhash", oracle=_Q16_ORACLE, tags=("L2", "dedup"))
+def q66_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: banded candidate join + Hamming ≤ 12.
 
     Same LSH scaling property as MinHash banding: a pair only
@@ -652,8 +652,8 @@ ORDER BY doc_id
 """
 
 
-@query("q17_dedup_clusters", oracle=_Q17_ORACLE, tags=("L2", "dedup"))
-def q17_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q67_dedup_clusters", oracle=_Q17_ORACLE, tags=("L2", "dedup"))
+def q67_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity clusters over the n-gram-Jaccard pair graph: every
     paired document labeled with the min doc_id reachable through
     near-dup edges (transitive closure — A~B, B~C puts A,C in one
@@ -663,7 +663,7 @@ def q17_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle side: DuckDB recursive CTE transitive closure — two very
     different algorithms that must produce identical clusters.
     """
-    pairs = q14_ngram_jaccard(spark, sf_dir)
+    pairs = q64_ngram_jaccard(spark, sf_dir)
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     return connected_components(edges).orderBy("doc_id")
 
@@ -693,8 +693,8 @@ ORDER BY key_a, key_b
 """
 
 
-@query("q48_fuzzy_pairs", oracle=_Q48_ORACLE, tags=("L2", "dedup"))
-def q48_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q97_fuzzy_pairs", oracle=_Q48_ORACLE, tags=("L2", "dedup"))
+def q97_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-identical part names by Levenshtein distance ≤ 3 (typo-level
     variants), blocked on (p_type, p_size).
 

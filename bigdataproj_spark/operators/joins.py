@@ -38,8 +38,8 @@ ORDER BY r_name, n_name
 """
 
 
-@query("q77_star_join_revenue", oracle=_Q77_ORACLE, tags=("bench", "J1", "J4", "A1"))
-def q77_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q26_star_join_revenue", oracle=_Q77_ORACLE, tags=("bench", "J1", "J4", "A1"))
+def q26_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue per region/nation across the full star schema.
 
     Plan shape at scale: lineitem⋈orders is the only shuffle join (both
@@ -83,8 +83,8 @@ ORDER BY c.c_custkey
 """
 
 
-@query("q78_left_outer_join", oracle=_Q78_ORACLE, tags=("J2", "A1"))
-def q78_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q27_left_outer_join", oracle=_Q78_ORACLE, tags=("J2", "A1"))
+def q27_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left outer join preserving customers with no orders."""
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
@@ -118,8 +118,8 @@ ORDER BY nationkey
 """
 
 
-@query("q79_full_outer_join", oracle=_Q79_ORACLE, tags=("J2",))
-def q79_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q28_full_outer_join", oracle=_Q79_ORACLE, tags=("J2",))
+def q28_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full outer join of two pre-aggregated sides."""
     c = table(spark, sf_dir, "customer")
     s = table(spark, sf_dir, "supplier")
@@ -149,8 +149,8 @@ ORDER BY c_custkey
 """
 
 
-@query("q80_semi_join", oracle=_Q80_ORACLE, tags=("J3",))
-def q80_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q29_semi_join", oracle=_Q80_ORACLE, tags=("J3",))
+def q29_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customers with at least one urgent order (left semi)."""
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
@@ -169,8 +169,8 @@ ORDER BY c_custkey
 """
 
 
-@query("q81_anti_join", oracle=_Q81_ORACLE, tags=("J3",))
-def q81_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q30_anti_join", oracle=_Q81_ORACLE, tags=("J3",))
+def q30_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customers with no orders at all (left anti)."""
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
@@ -195,8 +195,8 @@ ORDER BY s.s_suppkey
 """
 
 
-@query("q82_theta_join", oracle=_Q82_ORACLE, tags=("J5",))
-def q82_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q31_theta_join", oracle=_Q82_ORACLE, tags=("J5",))
+def q31_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per supplier: same-nation customers with a smaller balance.
 
     The equi key keeps this a hash join; the inequality rides along as
@@ -227,8 +227,8 @@ ORDER BY r_name, seg
 """
 
 
-@query("q83_cross_join", oracle=_Q83_ORACLE, tags=("J6",))
-def q83_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q32_cross_join", oracle=_Q83_ORACLE, tags=("J6",))
+def q32_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cartesian product of two small dimension projections."""
     r = table(spark, sf_dir, "region")
     segs = (
@@ -255,8 +255,8 @@ ORDER BY e1.user_id
 """
 
 
-@query("q84_range_join", oracle=_Q84_ORACLE, tags=("J7",))
-def q84_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q33_range_join", oracle=_Q84_ORACLE, tags=("J7",))
+def q33_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event pairs within a 5-minute forward window per user.
 
     Equi key (user_id) bounds the blow-up; at 100 TB this would add a
@@ -295,11 +295,11 @@ ORDER BY n.n_name, t.o_totalprice DESC, t.o_orderkey
 """
 
 
-@query("q85_lateral_topk", oracle=_Q85_ORACLE, tags=("Q1", "J9", "O3"))
-def q85_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q34_lateral_topk", oracle=_Q85_ORACLE, tags=("Q1", "J9", "O3"))
+def q34_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-2 orders per nation via a LATERAL correlated subquery —
     the per-row-subquery surface (Spark 3.4+ SQL). Catalyst
-    decorrelates it into the same window-rank plan as q91; the SQL
+    decorrelates it into the same window-rank plan as q40; the SQL
     form is what users port from warehouse dialects.
     """
     from ..catalog import register_views
@@ -344,8 +344,8 @@ ORDER BY o_orderkey
 """
 
 
-@query("q49_upsert_merge", oracle=_Q49_ORACLE, tags=("M1", "J2"))
-def q49_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q98_upsert_merge", oracle=_Q49_ORACLE, tags=("M1", "J2"))
+def q98_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE/upsert semantics on plain parquet (SCD type 1): a change
     set (updates to existing keys + inserts of new keys) merged into
     the base by full outer join + change-side-wins coalesce.

@@ -37,8 +37,8 @@ ORDER BY doc_id
 """
 
 
-@query("q23_binary_ops", oracle=_Q23_ORACLE, tags=("L8", "multimodal"))
-def q23_binary_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q73_binary_ops", oracle=_Q23_ORACLE, tags=("L8", "multimodal"))
+def q73_binary_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary column fundamentals: byte length, content hashes,
     encode/decode round-trip, mime tag. Blob compare happens via
     hashes, never raw bytes (SURVEY.md §2.3 L8)."""
@@ -116,8 +116,8 @@ ORDER BY doc_id
 """
 
 
-@query("q24_media_meta_extract", oracle=_Q24_ORACLE, tags=("L8", "U3", "multimodal"))
-def q24_media_meta_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q74_media_meta_extract", oracle=_Q24_ORACLE, tags=("L8", "U3", "multimodal"))
+def q74_media_meta_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched metadata extraction over binary blobs (the decode
     step is the deterministic fake, making the full mapInPandas
     pipeline oracle-checkable)."""
@@ -182,8 +182,8 @@ ORDER BY doc_id, frame_idx
 """
 
 
-@query("q98_frame_sample", oracle=_Q98_ORACLE, tags=("L8", "multimodal"))
-def q98_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q47_frame_sample", oracle=_Q98_ORACLE, tags=("L8", "multimodal"))
+def q47_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every-2nd-frame sampling over binary media blobs: a 1-to-N
     Arrow-batched fan-out whose Python slice stands in for a real
     frame decoder (swap the slice for ffmpeg in deployment — the
@@ -241,8 +241,8 @@ ORDER BY doc_id
 """
 
 
-@query("q99_media_resize", oracle=_Q99_ORACLE, tags=("L8", "multimodal"))
-def q99_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q48_media_resize", oracle=_Q99_ORACLE, tags=("L8", "multimodal"))
+def q48_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize-to-box over binary media with exact integer byte-count
     arithmetic (the pixel resampler is the stub; the distributed
     plumbing and the metadata math are the tested contract)."""

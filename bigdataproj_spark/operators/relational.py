@@ -47,8 +47,8 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
-@query("q51_pricing_summary", oracle=_Q51_ORACLE, tags=("bench", "A1", "P2", "S1", "O1"))
-def q51_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q01_pricing_summary", oracle=_Q51_ORACLE, tags=("bench", "A1", "P2", "S1", "O1"))
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q1-shaped pricing summary (SURVEY.md §7 M1).
 
     Plan shape at scale: parquet scan with pushed timestamp filter →
@@ -98,8 +98,8 @@ FROM orders
 """
 
 
-@query("q52_global_agg", oracle=_Q52_ORACLE, tags=("A3",))
-def q52_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q02_global_agg", oracle=_Q52_ORACLE, tags=("A3",))
+def q02_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global (grouping-key-free) aggregate; partial+final automatic."""
     o = table(spark, sf_dir, "orders")
     return o.agg(
@@ -127,8 +127,8 @@ ORDER BY o_orderstatus
 """
 
 
-@query("q53_distinct_agg", oracle=_Q53_ORACLE, tags=("A2",))
-def q53_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q03_distinct_agg", oracle=_Q53_ORACLE, tags=("A2",))
+def q03_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COUNT(DISTINCT) and SUM(DISTINCT) per group (Expand-based plan)."""
     o = table(spark, sf_dir, "orders")
     return (
@@ -158,8 +158,8 @@ ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
 """
 
 
-@query("q54_rollup_agg", oracle=_Q54_ORACLE, tags=("A4",))
-def q54_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q04_rollup_agg", oracle=_Q54_ORACLE, tags=("A4",))
+def q04_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP over (returnflag, linestatus) with explicit null ordering."""
     l = table(spark, sf_dir, "lineitem")
     return (
@@ -184,8 +184,8 @@ ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
 """
 
 
-@query("q55_cube_agg", oracle=_Q55_ORACLE, tags=("A4",))
-def q55_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q05_cube_agg", oracle=_Q55_ORACLE, tags=("A4",))
+def q05_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (orderstatus, orderpriority)."""
     o = table(spark, sf_dir, "orders")
     return (
@@ -209,8 +209,8 @@ ORDER BY c_nationkey, c_mktsegment
 """
 
 
-@query("q56_distinct_dedup", oracle=_Q56_ORACLE, tags=("A5",))
-def q56_distinct_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q06_distinct_dedup", oracle=_Q56_ORACLE, tags=("A5",))
+def q06_distinct_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup over a full projection (dropDuplicates == DISTINCT)."""
     c = table(spark, sf_dir, "customer")
     return (
@@ -232,8 +232,8 @@ ORDER BY user_id, event_type
 """
 
 
-@query("q57_first_per_key", oracle=_Q57_ORACLE, tags=("A5", "O3"))
-def q57_first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q07_first_per_key", oracle=_Q57_ORACLE, tags=("A5", "O3"))
+def q07_first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic keyed dedup: first event per (user, type).
 
     ``dropDuplicates(keys)`` keeps an *arbitrary* row; the engine's
@@ -267,8 +267,8 @@ ORDER BY l_returnflag
 """
 
 
-@query("q01_percentiles", oracle=_Q01_ORACLE, tags=("A7",))
-def q01_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q52_percentiles", oracle=_Q01_ORACLE, tags=("A7",))
+def q52_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles (linear interpolation) + median, round-6 guarded.
 
     Quartiles are emitted as three scalar columns (not an array) so the
@@ -304,8 +304,8 @@ ORDER BY c_nationkey
 """
 
 
-@query("q02_collect_list_set", oracle=_Q02_ORACLE, tags=("A8",))
-def q02_collect_list_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q53_collect_list_set", oracle=_Q02_ORACLE, tags=("A8",))
+def q53_collect_list_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_set / collect_list with array_sort normalization.
 
     The sorted arrays are serialized with ``array_join`` (Spark) /
@@ -346,8 +346,8 @@ LIMIT 20 OFFSET 100
 """
 
 
-@query("q58_limit_offset", oracle=_Q58_ORACLE, tags=("O1", "O2"))
-def q58_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q51_limit_offset", oracle=_Q58_ORACLE, tags=("O1", "O2"))
+def q51_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global multi-key sort with LIMIT/OFFSET pagination.
 
     Plan: Spark turns global sort+limit into TakeOrderedAndProject —
@@ -379,8 +379,8 @@ ORDER BY c_custkey
 """
 
 
-@query("q59_proj_filter", oracle=_Q59_ORACLE, tags=("P1", "P2"))
-def q59_proj_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q08_proj_filter", oracle=_Q59_ORACLE, tags=("P1", "P2"))
+def q08_proj_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Projection/rename/computed columns + disjunctive & null-safe filter."""
     c = table(spark, sf_dir, "customer")
     return (
@@ -419,8 +419,8 @@ ORDER BY c_custkey
 """
 
 
-@query("q60_struct_nested", oracle=_Q60_ORACLE, tags=("P3",))
-def q60_struct_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q09_struct_nested", oracle=_Q60_ORACLE, tags=("P3",))
+def q09_struct_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build a struct column, then project nested fields back out."""
     c = table(spark, sf_dir, "customer")
     s = c.select(
@@ -453,8 +453,8 @@ ORDER BY c_custkey
 """
 
 
-@query("q61_scalar_subquery", oracle=_Q61_ORACLE, tags=("Q1",))
-def q61_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q10_scalar_subquery", oracle=_Q61_ORACLE, tags=("Q1",))
+def q10_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar subquery (above-average account balance); E1 SQL entry point."""
     register_views(spark, sf_dir)
     return spark.sql(
@@ -482,8 +482,8 @@ ORDER BY o.o_orderkey
 """
 
 
-@query("q62_exists_subquery", oracle=_Q62_ORACLE, tags=("Q1",))
-def q62_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q11_exists_subquery", oracle=_Q62_ORACLE, tags=("Q1",))
+def q11_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated EXISTS + IN list; Catalyst decorrelates to a semi join."""
     register_views(spark, sf_dir)
     return spark.sql(
@@ -506,8 +506,8 @@ def q62_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("q63_approx_count_distinct", oracle=None, tags=("A6", "approx"))
-def q63_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q12_approx_count_distinct", oracle=None, tags=("A6", "approx"))
+def q12_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct count per event_type."""
     e = table(spark, sf_dir, "events")
     return (
@@ -538,8 +538,8 @@ ORDER BY l_returnflag
 """
 
 
-@query("q65_pivot", oracle=_Q65_ORACLE, tags=("A9",))
-def q65_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q14_pivot", oracle=_Q65_ORACLE, tags=("A9",))
+def q14_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot linestatus into columns (wide form), two measures per value.
 
     The pivot value list is explicit — at scale this skips the extra
@@ -577,11 +577,11 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
-@query("q66_unpivot", oracle=_Q66_ORACLE, tags=("A9",))
-def q66_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q15_unpivot", oracle=_Q66_ORACLE, tags=("A9",))
+def q15_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot (melt) the wide pivot back to long form.
 
-    Round-trips q65's wide frame through ``DataFrame.unpivot``; the
+    Round-trips q14's wide frame through ``DataFrame.unpivot``; the
     oracle is the direct two-key GROUP BY the round-trip must equal.
     Unpivot is a zero-shuffle Expand over the (tiny) aggregated frame.
     """
@@ -621,8 +621,8 @@ ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
 """
 
 
-@query("q67_grouping_sets", oracle=_Q67_ORACLE, tags=("A4",))
-def q67_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q16_grouping_sets", oracle=_Q67_ORACLE, tags=("A4",))
+def q16_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary GROUPING SETS with GROUPING() null-vs-group markers —
     the grouping-set shapes rollup/cube can't express (two disjoint
     single-column sets + grand total, one Expand pass, one shuffle)."""

@@ -5,13 +5,13 @@ Elasticsearch index; reference README.md:102-104) — but any 100 TB
 training-data pipeline needs reproducible splits and samples, so the
 engine provides them as first-class operators:
 
-- **Hash split** (q10): assign every document to train/val/test by a
+- **Hash split** (q60): assign every document to train/val/test by a
   content-independent hash of its key. Membership is a pure function
   of the key — stable under re-partitioning, re-ordering, incremental
   appends, and cluster size, which `df.sample()`/`TABLESAMPLE` are
   not. This is the industry-standard split recipe (e.g. the
   `hash(id) % N < k` splits used by large-corpus LM pipelines).
-- **Stratified sample** (q11): fixed-size per-stratum sample chosen
+- **Stratified sample** (q61): fixed-size per-stratum sample chosen
   by hash order — deterministic "random" without a seed dependency on
   partitioning. One shuffle on the stratum key.
 
@@ -77,8 +77,8 @@ ORDER BY doc_id
 """
 
 
-@query("q10_hash_split", oracle=_Q10_ORACLE, tags=("L9", "sampling"))
-def q10_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q60_hash_split", oracle=_Q10_ORACLE, tags=("L9", "sampling"))
+def q60_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment for every document.
 
     Oracle-checked per row: DuckDB replays the identical md5-bucket
@@ -116,8 +116,8 @@ ORDER BY lang, doc_id
 """
 
 
-@query("q11_stratified_sample", oracle=_Q11_ORACLE, tags=("L9", "sampling", "O3"))
-def q11_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q61_stratified_sample", oracle=_Q11_ORACLE, tags=("L9", "sampling", "O3"))
+def q61_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-size per-language sample, chosen by hash order.
 
     Hash order is uniform pseudo-random yet fully deterministic, so

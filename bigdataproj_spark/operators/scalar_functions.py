@@ -37,8 +37,8 @@ ORDER BY p_partkey
 """
 
 
-@query("q97_string_functions", oracle=_Q97_ORACLE, tags=("F-S1", "F-S3", "F-S4"))
-def q97_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q46_string_functions", oracle=_Q97_ORACLE, tags=("F-S1", "F-S3", "F-S4"))
+def q46_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String function family over the part dimension."""
     p = table(spark, sf_dir, "part")
     return p.select(
@@ -74,8 +74,8 @@ ORDER BY doc_id
 """
 
 
-@query("q04_regex_functions", oracle=_Q04_ORACLE, tags=("F-S2",))
-def q04_regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q55_regex_functions", oracle=_Q04_ORACLE, tags=("F-S2",))
+def q55_regex_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """regexp_extract / extract_all / replace / rlike.
 
     DuckDB quirk: its regexp_replace replaces only the first match
@@ -114,8 +114,8 @@ ORDER BY o_orderkey
 """
 
 
-@query("q05_datetime_functions", oracle=_Q05_ORACLE, tags=("F-D1",))
-def q05_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q56_datetime_functions", oracle=_Q05_ORACLE, tags=("F-D1",))
+def q56_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """year/month/day, date_trunc, datediff, unix seconds, date_add."""
     o = table(spark, sf_dir, "orders")
     return o.select(
@@ -159,8 +159,8 @@ ORDER BY l_orderkey, l_linenumber
 """
 
 
-@query("q06_math_functions", oracle=_Q06_ORACLE, tags=("F-M1",))
-def q06_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q49_math_functions", oracle=_Q06_ORACLE, tags=("F-M1",))
+def q49_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """floor/ceil/abs/sqrt/exp/log/pow/mod.
 
     sqrt is IEEE-exact cross-engine; exp/ln are libm-dependent, so
@@ -206,8 +206,8 @@ ORDER BY vec_id
 """
 
 
-@query("q07_array_functions", oracle=_Q07_ORACLE, tags=("F-A1", "F-A2"))
-def q07_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q57_array_functions", oracle=_Q07_ORACLE, tags=("F-A1", "F-A2"))
+def q57_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """size/slice/filter/transform/aggregate/flatten/distinct/sort.
 
     The squared-norm accumulates per-element DECIMAL(24,12) casts of
@@ -276,8 +276,8 @@ ORDER BY p_partkey
 """
 
 
-@query("q08_map_functions", oracle=_Q08_ORACLE, tags=("F-P1",))
-def q08_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q58_map_functions", oracle=_Q08_ORACLE, tags=("F-P1",))
+def q58_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """create_map, element access, map_keys (sort-normalized), map_values."""
     p = table(spark, sf_dir, "part")
     m = p.select(
@@ -315,8 +315,8 @@ ORDER BY event_id
 """
 
 
-@query("q09_json_functions", oracle=_Q09_ORACLE, tags=("F-J1",))
-def q09_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q59_json_functions", oracle=_Q09_ORACLE, tags=("F-J1",))
+def q59_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """get_json_object / from_json / to_json round-trip on events.props."""
     e = table(spark, sf_dir, "events")
     return e.select(

@@ -21,8 +21,8 @@ ORDER BY k
 """
 
 
-@query("q92_union_all", oracle=_Q92_ORACLE, tags=("T1",))
-def q92_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q41_union_all", oracle=_Q92_ORACLE, tags=("T1",))
+def q41_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION ALL of two keyed projections, then re-aggregated."""
     c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
     s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
@@ -50,8 +50,8 @@ ORDER BY op, k
 """
 
 
-@query("q93_intersect_except", oracle=_Q93_ORACLE, tags=("T2", "T3"))
-def q93_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q42_intersect_except", oracle=_Q93_ORACLE, tags=("T2", "T3"))
+def q42_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT and EXCEPT (distinct semantics) over nation keys."""
     c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
     s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
@@ -74,8 +74,8 @@ ORDER BY op, p
 """
 
 
-@query("q94_multiset_ops", oracle=_Q94_ORACLE, tags=("T2", "T3"))
-def q94_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q43_multiset_ops", oracle=_Q94_ORACLE, tags=("T2", "T3"))
+def q43_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT ALL / EXCEPT ALL multiset semantics, re-aggregated so
     the (duplicated) result rows stay order-insensitive."""
     o = table(spark, sf_dir, "orders")

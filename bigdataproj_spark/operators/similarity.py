@@ -114,11 +114,11 @@ ORDER BY probe_id, rank
 """
 
 
-@query("q18_cosine_topk", oracle=_Q18_ORACLE, tags=("L3", "bench", "similarity"))
-def q18_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q68_cosine_topk", oracle=_Q18_ORACLE, tags=("L3", "bench", "similarity"))
+def q68_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 neighbors for 5 probe vectors (brute force).
 
-    The JVM-side zip_with/aggregate kernel is the baseline; q20 is the
+    The JVM-side zip_with/aggregate kernel is the baseline; q70 is the
     LSH-bucketed scale path. The probe side is tiny, so Spark
     broadcasts it and the scan of the candidate side streams through
     one task wave with no shuffle of the big side.
@@ -180,8 +180,8 @@ ORDER BY label, pos
 """
 
 
-@query("q19_embedding_pool", oracle=_Q19_ORACLE, tags=("L4", "similarity"))
-def q19_embedding_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q69_embedding_pool", oracle=_Q19_ORACLE, tags=("L4", "similarity"))
+def q69_embedding_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean-pooled embedding per label, emitted as (label, pos, value)
     rows (the reference's GloVe average-pooling surface, README.md:92).
 
@@ -191,12 +191,12 @@ def q19_embedding_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     between engines), summed as exact int64, divided back in double.
     """
     e = table(spark, sf_dir, "embeddings")
-    q68 = F.floor(F.col("v").cast("double") * 1048576).cast("long")
+    q17 = F.floor(F.col("v").cast("double") * 1048576).cast("long")
     return (
         e.select("label", F.posexplode("embedding").alias("pos", "v"))
         .groupBy("label", "pos")
         .agg(
-            (F.sum(q68).cast("double") / 1048576 / F.count(F.lit(1))).alias("avg_val")
+            (F.sum(q17).cast("double") / 1048576 / F.count(F.lit(1))).alias("avg_val")
         )
         .orderBy("label", "pos")
     )
@@ -302,15 +302,15 @@ ORDER BY probe_id, rank
 """
 
 
-@query("q20_ann_lsh", oracle=_Q20_ORACLE, tags=("L3", "similarity"))
-def q20_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q70_ann_lsh", oracle=_Q20_ORACLE, tags=("L3", "similarity"))
+def q70_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-3 neighbors via LSH bucket prefilter + exact
     cosine re-rank inside the bucket.
 
     At 100 TB: candidates only meet probes sharing their 8-bit bucket
-    (a 256-way partition of the corpus), so the crossJoin of q18
+    (a 256-way partition of the corpus), so the crossJoin of q68
     becomes an equi-join on the bucket key — shuffle-partitionable,
-    no quadratic blow-up. Recall is tested against q18 in pytest.
+    no quadratic blow-up. Recall is tested against q68 in pytest.
     """
     e = table(spark, sf_dir, "embeddings")
     withb = e.select("vec_id", quantize_q20("embedding").alias("qe")).select(
@@ -394,14 +394,14 @@ ORDER BY vec_a, vec_b
 """
 
 
-@query("q21_embedding_near_dup", oracle=_Q21_ORACLE, tags=("L2", "L3", "similarity"))
-def q21_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q71_embedding_near_dup", oracle=_Q21_ORACLE, tags=("L2", "L3", "similarity"))
+def q71_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine ≥ 0.5) over a
     bounded id range — the exact reference semantics for semantic
     dedup of a training corpus.
 
     This is the oracle-checked exact form; the 100 TB path is the
-    same computation gated by the q20 LSH bucket join (candidates
+    same computation gated by the q70 LSH bucket join (candidates
     only meet inside a bucket) — exact re-rank inside buckets means
     the two paths agree wherever the bucket recall allows.
     """
@@ -550,17 +550,17 @@ ORDER BY probe_id, rank
 """
 
 
-@query("q22_ann_ivf", oracle=_Q22_ORACLE, tags=("L3", "similarity"))
-def q22_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q72_ann_ivf", oracle=_Q22_ORACLE, tags=("L3", "similarity"))
+def q72_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-3 neighbors via IVF cells + exact cosine re-rank.
 
-    Complements q20's LSH path with the other standard ANN index
+    Complements q70's LSH path with the other standard ANN index
     shape: a coarse quantizer partitions the corpus into K cells;
     probes search their _IVF_NPROBE nearest cells only. At 100 TB the
     assignment is a map-only scan (centroids are plan literals — no
     join, no shuffle), the corpus shuffles once on its cell id, and
-    per-cell work is corpus/K — the crossJoin of q18 never happens.
-    Recall vs exact q18 is pinned in tests/test_similarity.py.
+    per-cell work is corpus/K — the crossJoin of q68 never happens.
+    Recall vs exact q68 is pinned in tests/test_similarity.py.
     """
     cents = _ivf_centroids(spark, sf_dir)
     e = table(spark, sf_dir, "embeddings")

@@ -104,8 +104,8 @@ ORDER BY l_returnflag
 """
 
 
-@query("q64_salted_agg", oracle=_Q64_ORACLE, tags=("A1", "skew"))
-def q64_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q13_salted_agg", oracle=_Q64_ORACLE, tags=("A1", "skew"))
+def q13_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe aggregation on a 3-value key (l_returnflag — maximal
     skew: every row is one of three keys).
 

@@ -62,8 +62,8 @@ LIMIT 50
 """
 
 
-@query("q68_token_counts", oracle=_Q68_ORACLE, tags=("R5", "P4", "A1", "O3", "text"))
-def q68_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q17_token_counts", oracle=_Q68_ORACLE, tags=("R5", "P4", "A1", "O3", "text"))
+def q17_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 token frequency over the documents corpus.
 
     Scale: explode happens map-side; the single shuffle is on the token
@@ -123,8 +123,8 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 
-@query("q69_hashtag_counts", oracle=_Q69_ORACLE, tags=("R3", "F-S2", "text"))
-def q69_hashtag_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q18_hashtag_counts", oracle=_Q69_ORACLE, tags=("R3", "F-S2", "text"))
+def q18_hashtag_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashtag frequency (reference's signature op, README.md:81-83)."""
     d = table(spark, sf_dir, "documents")
     return (
@@ -160,8 +160,8 @@ ORDER BY doc_id
 """
 
 
-@query("q70_doc_stats", oracle=_Q70_ORACLE, tags=("L5", "text", "bench"))
-def q70_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q19_doc_stats", oracle=_Q70_ORACLE, tags=("L5", "text", "bench"))
+def q19_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality stats: token count, average token length,
     stopword ratio, punctuation ratio, length-band flag.
 
@@ -219,8 +219,8 @@ ORDER BY d.doc_id
 """
 
 
-@query("q71_sentiment", oracle=_Q71_ORACLE, tags=("L6", "R8", "text"))
-def q71_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q20_sentiment", oracle=_Q71_ORACLE, tags=("L6", "R8", "text"))
+def q20_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sentiment label per document (reference R8, README.md:61,87-88,
     re-expressed as a deterministic lexicon scorer per SURVEY.md §7).
 
@@ -275,8 +275,8 @@ ORDER BY d.doc_id
 """
 
 
-@query("q03_ner_lite", oracle=_Q03_ORACLE, tags=("L7", "R7", "text"))
-def q03_ner_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q54_ner_lite", oracle=_Q03_ORACLE, tags=("L7", "R7", "text"))
+def q54_ner_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity tags per document (reference R7, README.md:60,93 —
     locations/organizations/persons — as a deterministic gazetteer
     match per SURVEY.md §7).
@@ -341,8 +341,8 @@ ORDER BY doc_id
 """
 
 
-@query("q72_lang_id", oracle=_Q72_ORACLE, tags=("L5", "text"))
-def q72_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q21_lang_id", oracle=_Q72_ORACLE, tags=("L5", "text"))
+def q21_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language identification with deterministic
     tie-break priority (en > de > es > fr)."""
     d = table(spark, sf_dir, "documents")
@@ -401,8 +401,8 @@ ORDER BY doc_id
 """
 
 
-@query("q73_fingerprint", oracle=_Q73_ORACLE, tags=("L1", "text"))
-def q73_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q22_fingerprint", oracle=_Q73_ORACLE, tags=("L1", "text"))
+def q22_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprint per document + same-content group size."""
     d = table(spark, sf_dir, "documents")
     fp = d.select("doc_id", fingerprint("text").alias("fingerprint"))
@@ -432,8 +432,8 @@ ORDER BY doc_id
 """
 
 
-@query("q74_bpe_token_counts", oracle=_Q74_ORACLE, tags=("L5", "R5", "text"))
-def q74_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q23_bpe_token_counts", oracle=_Q74_ORACLE, tags=("L5", "R5", "text"))
+def q23_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-count statistics with a BPE-style pre-tokenizer (the
     letter-run / digit-run / punctuation split GPT-2's BPE applies
     before merges) — the cost estimator of LLM data pipelines.
@@ -490,10 +490,10 @@ ORDER BY doc_id
 """
 
 
-@query("q75_rolling_fingerprint", oracle=_Q75_ORACLE, tags=("L1", "L5", "text"))
-def q75_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q24_rolling_fingerprint", oracle=_Q75_ORACLE, tags=("L1", "L5", "text"))
+def q24_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive rolling-hash fingerprint per document (companion
-    to the order-insensitive md5 fingerprint of q73)."""
+    to the order-insensitive md5 fingerprint of q22)."""
     d = table(spark, sf_dir, "documents")
     t = d.select("doc_id", tokens("text").alias("toks"))
     return t.select("doc_id", rolling_hash("toks").alias("roll_hash")).orderBy(
@@ -558,8 +558,8 @@ ORDER BY doc_id, pos
 """
 
 
-@query("q76_token_embeddings", oracle=_Q76_ORACLE, tags=("R6", "L4", "text"))
-def q76_token_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q25_token_embeddings", oracle=_Q76_ORACLE, tags=("R6", "L4", "text"))
+def q25_token_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document embeddings via vocabulary broadcast-join + mean pool
     (reference R6: tokens → pretrained vectors → document vector).
 
@@ -616,8 +616,8 @@ ORDER BY doc_id, chunk_idx
 """
 
 
-@query("q12_chunk_documents", oracle=_Q12_ORACLE, tags=("L5", "L9", "text"))
-def q12_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q62_chunk_documents", oracle=_Q12_ORACLE, tags=("L5", "L9", "text"))
+def q62_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping fixed-size token chunks per document (32 tokens,
     stride 24): one output row per chunk with its reconstructed text.
 
@@ -668,8 +668,8 @@ ORDER BY doc_id, rank
 """
 
 
-@query("q96_tfidf", oracle=_Q96_ORACLE, tags=("L5", "text"))
-def q96_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q45_tfidf", oracle=_Q96_ORACLE, tags=("L5", "text"))
+def q45_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (smoothed idf = ln((N+1)/(df+1))).
 
     Two bounded-key shuffles (doc-term counts, then term document
@@ -761,8 +761,8 @@ ORDER BY rank
 """
 
 
-@query("q45_fulltext_bm25", oracle=_Q45_ORACLE, tags=("R13", "L5", "text"))
-def q45_fulltext_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q95_fulltext_bm25", oracle=_Q45_ORACLE, tags=("R13", "L5", "text"))
+def q95_fulltext_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-15 documents for a 3-term OR query (k1=1.2, b=0.75).
 
     The search capability the reference hands to Elasticsearch

@@ -34,8 +34,8 @@ ORDER BY o_orderkey
 """
 
 
-@query("q87_rank_functions", oracle=_Q87_ORACLE, tags=("W1",))
-def q87_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q36_rank_functions", oracle=_Q87_ORACLE, tags=("W1",))
+def q36_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """row_number / rank / dense_rank / ntile per order priority.
 
     rank/dense_rank order by the tie-ful date only (their semantics
@@ -76,8 +76,8 @@ ORDER BY event_id
 """
 
 
-@query("q88_lag_lead", oracle=_Q88_ORACLE, tags=("W2",))
-def q88_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q37_lag_lead", oracle=_Q88_ORACLE, tags=("W2",))
+def q37_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag/lead/first/last over each user's event timeline."""
     e = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -115,8 +115,8 @@ ORDER BY event_id
 """
 
 
-@query("q89_running_agg", oracle=_Q89_ORACLE, tags=("W3", "W4", "bench"))
-def q89_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q38_running_agg", oracle=_Q89_ORACLE, tags=("W3", "W4", "bench"))
+def q38_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running sum + 4-row moving average per user (ROWS frames),
     decimal-exact so frame summation order cannot matter."""
     e = table(spark, sf_dir, "events")
@@ -154,8 +154,8 @@ ORDER BY event_id
 """
 
 
-@query("q90_range_frame", oracle=_Q90_ORACLE, tags=("W3",))
-def q90_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q39_range_frame", oracle=_Q90_ORACLE, tags=("W3",))
+def q39_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events in the trailing 5 minutes per user via a RANGE frame on
     epoch microseconds (exact integer arithmetic; ties are peers, so
     the count is order-independent)."""
@@ -188,8 +188,8 @@ ORDER BY o_orderpriority, rn
 """
 
 
-@query("q91_topk_per_group", oracle=_Q91_ORACLE, tags=("O3",))
-def q91_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q40_topk_per_group", oracle=_Q91_ORACLE, tags=("O3",))
+def q40_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 orders by price per priority.
 
     Spark rewrites row_number+filter into per-partition top-k
@@ -224,8 +224,8 @@ ORDER BY o_orderkey
 """
 
 
-@query("q86_distribution_functions", oracle=_Q86_ORACLE, tags=("W1",))
-def q86_distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q35_distribution_functions", oracle=_Q86_ORACLE, tags=("W1",))
+def q35_distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percent_rank / cume_dist per priority by price.
 
     Both are rank-based ((rank-1)/(n-1), peers_≤/n): integer-derived

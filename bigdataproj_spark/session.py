@@ -34,7 +34,7 @@ def get_spark(
     # Scan-split sizing: the 128m default is right at every scale. The
     # fixture files are single parquet row groups, and a row group is
     # the unsplittable read unit — smaller split sizes only add empty
-    # tasks (measured: q51 0.70s @128m vs 0.84s @1m at sf0.1). Narrow
+    # tasks (measured: q01 0.70s @128m vs 0.84s @1m at sf0.1). Narrow
     # scans that feed CPU-heavy work are rebalanced explicitly instead
     # (operators.skew.fan_out).
     conf: dict[str, str] = {

@@ -94,8 +94,8 @@ ORDER BY sentiment, lang
 )
 
 
-@query("q43_partitioned_sink", oracle=_Q43_ORACLE, tags=("S4", "sources"))
-def q43_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q93_partitioned_sink", oracle=_Q43_ORACLE, tags=("S4", "sources"))
+def q93_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4 round-trip: enriched documents → parquet partitioned by
     (sentiment, lang) → re-open → aggregate per partition key.
 
@@ -128,8 +128,8 @@ ORDER BY doc_id
 )
 
 
-@query("q44_query_index", oracle=_Q44_ORACLE, tags=("R13", "sources"))
-def q44_query_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q94_query_index", oracle=_Q44_ORACLE, tags=("R13", "sources"))
+def q94_query_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R13 predicate query against the partitioned index: fetch all
     negative-sentiment English documents.
 

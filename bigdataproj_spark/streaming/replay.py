@@ -121,7 +121,7 @@ def run_file_stream(
 
 def tumbling_stream(delay: str = "2 hours"):
     """Watermarked 1-hour tumbling counts — the streaming twin of
-    batch q36. Windows finalize once the watermark (max event time -
+    batch q86. Windows finalize once the watermark (max event time -
     delay) passes their end; later-arriving rows for a finalized
     window are dropped (ST4)."""
 
@@ -213,7 +213,7 @@ def running_totals_stream(delay: str = "2 hours"):
 
 
 # ---------------------------------------------------------------------------
-# ST7: stream-static enrichment join (streaming twin of batch q39).
+# ST7: stream-static enrichment join (streaming twin of batch q89).
 # ---------------------------------------------------------------------------
 
 
@@ -242,7 +242,7 @@ def enriched_stream(spark: SparkSession, sf_dir: str):
 
 
 def attribution_stream(delay: str = "2 hours"):
-    """readStream twin of q40_stream_stream_join: both join sides are
+    """readStream twin of q90_stream_stream_join: both join sides are
     the same watched file stream (a supported streaming self-join),
     each with its own watermark; the two-sided time bound on ts lets
     Spark expire click state once the purchase-side watermark passes

@@ -1,7 +1,7 @@
 """Semantic tests for near-dup dedup (L2): MinHash-LSH candidate
 recall against exact n-gram Jaccard, and estimator quality.
 
-The LSH path (q15) has no SQL oracle (xxhash64 signatures); these
+The LSH path (q65) has no SQL oracle (xxhash64 signatures); these
 tests pin its semantics instead (SURVEY.md §2.3 L2 oracle note).
 """
 
@@ -22,13 +22,13 @@ HIGH_SIM = 0.93
 
 @pytest.fixture(scope="module")
 def jaccard_pairs(spark, sf_dir):
-    df = load_all()["q14_ngram_jaccard"].build(spark, sf_dir)
+    df = load_all()["q64_ngram_jaccard"].build(spark, sf_dir)
     return {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in df.collect()}
 
 
 @pytest.fixture(scope="module")
 def lsh_pairs(spark, sf_dir):
-    df = load_all()["q15_minhash_lsh"].build(spark, sf_dir)
+    df = load_all()["q65_minhash_lsh"].build(spark, sf_dir)
     return {(r["doc_a"], r["doc_b"]): r["est_jaccard"] for r in df.collect()}
 
 
@@ -56,9 +56,9 @@ def test_lsh_estimates_track_truth(jaccard_pairs, lsh_pairs):
 
 
 def test_exact_dedup_groups_are_consistent(spark, sf_dir):
-    """q13: canonical_id is the min doc_id of each fingerprint group;
+    """q63: canonical_id is the min doc_id of each fingerprint group;
     survivors are exactly the non-duplicates."""
-    df = load_all()["q13_exact_dedup"].build(spark, sf_dir)
+    df = load_all()["q63_exact_dedup"].build(spark, sf_dir)
     rows = df.collect()
     survivors = {r["doc_id"] for r in rows if not r["is_duplicate"]}
     canon = {r["canonical_id"] for r in rows}
@@ -69,7 +69,7 @@ def test_exact_dedup_groups_are_consistent(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# Scale guards: hot-bucket cap in bucket_pairs, stop-shingle drop in q14.
+# Scale guards: hot-bucket cap in bucket_pairs, stop-shingle drop in q64.
 # ---------------------------------------------------------------------------
 
 

@@ -19,8 +19,8 @@ def test_sql_and_dataframe_agree(spark, sf_dir):
 
 def test_registry_query_by_name(spark, sf_dir):
     eng = Engine(spark, sf_dir)
-    assert "q51_pricing_summary" in eng.query_names()
-    df = eng.query("q51_pricing_summary")
+    assert "q01_pricing_summary" in eng.query_names()
+    df = eng.query("q01_pricing_summary")
     assert df.count() > 0
 
 

@@ -44,9 +44,9 @@ def test_column_pruning_read_schema(spark, sf_dir):
 
 
 def test_star_join_broadcasts_dimensions(spark, sf_dir):
-    """q77's dimension joins must be broadcast (no shuffle of the fact
+    """q26's dimension joins must be broadcast (no shuffle of the fact
     table against nation/region at any scale)."""
-    df = load_all()["q77_star_join_revenue"].build(spark, sf_dir)
+    df = load_all()["q26_star_join_revenue"].build(spark, sf_dir)
     kinds = set(join_kinds(df))
     assert "BroadcastHashJoin" in kinds, plan_of(df)
     assert "SortMergeJoin" not in kinds, plan_of(df)
@@ -76,11 +76,11 @@ def test_partition_pruning_on_sink_index(spark, sf_dir):
 
 
 def test_agg_is_whole_stage_codegen(spark, sf_dir):
-    """q51's aggregate must run inside WholeStageCodegen (no
+    """q01's aggregate must run inside WholeStageCodegen (no
     interpreted row path in the hot aggregation loop). AQE only
     finalizes the physical plan on execution, so run it first; the
     ``*(n)`` prefix marks codegen stages in the final plan."""
-    df = load_all()["q51_pricing_summary"].build(spark, sf_dir)
+    df = load_all()["q01_pricing_summary"].build(spark, sf_dir)
     df.collect()  # the write path builds its own QueryExecution; collect
     # finalizes THIS DataFrame's plan in place.
     plan = plan_of(df)
@@ -99,37 +99,37 @@ def test_topk_uses_take_ordered(spark, sf_dir):
 
 
 def test_cosine_probe_side_broadcasts(spark, sf_dir):
-    """q18's probe set must broadcast: the corpus side streams through
+    """q68's probe set must broadcast: the corpus side streams through
     map tasks without a shuffle (no SortMergeJoin at any corpus
     size)."""
-    df = load_all()["q18_cosine_topk"].build(spark, sf_dir)
+    df = load_all()["q68_cosine_topk"].build(spark, sf_dir)
     plan = plan_of(df)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
 
 
 def test_no_cartesian_in_lsh_candidates(spark, sf_dir):
-    """q15's candidate generation must be an equi-join on the LSH band
+    """q65's candidate generation must be an equi-join on the LSH band
     key — never a cartesian/nested-loop product of the corpus with
     itself."""
-    df = load_all()["q15_minhash_lsh"].build(spark, sf_dir)
+    df = load_all()["q65_minhash_lsh"].build(spark, sf_dir)
     plan = plan_of(df)
     assert "CartesianProduct" not in plan, plan
 
 
 def test_ivf_join_is_broadcast_on_cell(spark, sf_dir):
-    """q22's probe-candidate meeting must be a broadcast join on the
+    """q72's probe-candidate meeting must be a broadcast join on the
     cell id (the corpus side never shuffles for the probe set), and
     cell assignment must be plan literals — no extra join for the
     centroids."""
-    df = load_all()["q22_ann_ivf"].build(spark, sf_dir)
+    df = load_all()["q72_ann_ivf"].build(spark, sf_dir)
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
 
 
 def test_hash_split_is_shuffle_free(spark, sf_dir):
-    """q10's split assignment must add zero exchanges beyond the final
+    """q60's split assignment must add zero exchanges beyond the final
     presentation sort — membership is a pure per-row function."""
     from bigdataproj_spark.operators.sampling import hash_split
 
@@ -140,9 +140,9 @@ def test_hash_split_is_shuffle_free(spark, sf_dir):
 
 
 def test_profile_is_single_scan(spark, sf_dir):
-    """q46 must profile all five columns in ONE pass: exactly one
+    """q50 must profile all five columns in ONE pass: exactly one
     parquet scan in the plan, however many statistics are computed."""
-    df = load_all()["q46_column_profile"].build(spark, sf_dir)
+    df = load_all()["q50_column_profile"].build(spark, sf_dir)
     plan = plan_of(df)
     assert plan.count("Scan parquet") == 1, plan
 
@@ -196,28 +196,28 @@ def test_parquet_aggregate_pushdown_metadata_only(spark, sf_dir):
 
 
 def test_fulltext_scan_prunes_to_doc_and_text(spark, sf_dir):
-    """q45's postings build must scan only (doc_id, text) — the
+    """q95's postings build must scan only (doc_id, text) — the
     documents table's other columns never leave the parquet footer."""
-    df = load_all()["q45_fulltext_bm25"].build(spark, sf_dir)
+    df = load_all()["q95_fulltext_bm25"].build(spark, sf_dir)
     plan = plan_of(df)
     assert "struct<doc_id:bigint,text:string>" in plan, plan
 
 
 def test_funnel_pushes_event_type_to_scan(spark, sf_dir):
-    """q34's per-step type filters must reach the events scan as
+    """q84's per-step type filters must reach the events scan as
     pushed filters (each step reads one event type's row groups, not
     the whole log)."""
-    df = load_all()["q34_funnel_conversion"].build(spark, sf_dir)
+    df = load_all()["q84_funnel_conversion"].build(spark, sf_dir)
     plan = plan_of(df)
     for etype in ("view", "click", "purchase"):
         assert f"EqualTo(event_type,{etype})" in plan, plan
 
 
 def test_scd2_is_single_shuffle_before_sort(spark, sf_dir):
-    """q35 must shuffle once on the window key (plus the presentation
+    """q85 must shuffle once on the window key (plus the presentation
     sort's range exchange) — log-to-dimension compaction is one
     exchange, no join."""
     from bigdataproj_spark.plans import shuffle_count
 
-    df = load_all()["q35_scd2_intervals"].build(spark, sf_dir)
+    df = load_all()["q85_scd2_intervals"].build(spark, sf_dir)
     assert shuffle_count(df) <= 2, plan_of(df)

@@ -85,7 +85,7 @@ def test_hash_split_proportions(spark, sf_dir):
     loose binomial bounds (the hash behaves uniformly)."""
     from bigdataproj_spark.registry import load_all
 
-    pdf = load_all()["q10_hash_split"].build(spark, sf_dir).toPandas()
+    pdf = load_all()["q60_hash_split"].build(spark, sf_dir).toPandas()
     n = len(pdf)
     frac = pdf["split"].value_counts(normalize=True)
     # 4-sigma binomial bounds at n=500: train ±0.072, val/test ±0.054
