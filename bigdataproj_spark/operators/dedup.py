@@ -272,26 +272,38 @@ def bucket_pairs(
     ).select("__p.a", "__p.b")
 
 
-def minhash_signatures(sh: DataFrame) -> DataFrame:
-    """doc_id → fixed-length MinHash signature array.
+def minhash_signatures(tokenized: DataFrame) -> DataFrame:
+    """(doc_id, toks) → (doc_id, sig) fixed-length MinHash signature.
 
-    Input: (doc_id, shingle) exploded pairs. ONE shuffle: the N_HASHES
-    per-function minima are independent ``min((A_i*h + B_i) mod p)``
-    aggregates in a single groupBy — no 16× row explosion, no second
-    shuffle, map-side partial aggregation (an earlier explode+double-
-    groupBy formulation was ~40× slower at sf0.1). One md5 per shingle
-    feeds all 16 functions.
+    ZERO shuffles: the whole signature is computed inside one map-only
+    projection with higher-order array functions — shingle the token
+    array, md5-hash each shingle ONCE into an int array, then take
+    ``array_min`` of each of the N_HASHES affine rehashes of that
+    array. No row explosion, no groupBy. Earlier formulations, slowest
+    first: explode+per-hash groupBy (~40× slower at sf0.1),
+    explode+single-groupBy-of-16-mins (~1.3× slower — the 52×-row
+    explode and its map-side hash-aggregate buffer cost more than the
+    per-row array transforms; measured 1016 ms vs 761 ms at sf0.1,
+    signatures bit-identical). Map-only also means the operator
+    inherits the scan's partitioning at cluster scale — nothing to
+    re-shuffle no matter the corpus size.
     """
-    h = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long") % _MH_P
-    hashed = sh.select("doc_id", h.alias("h"))
-    mins = [
-        F.min((MINHASH_A[s] * F.col("h") + MINHASH_B[s]) % _MH_P).alias(f"mh{s}")
-        for s in range(N_HASHES)
-    ]
-    per_doc = hashed.groupBy("doc_id").agg(*mins)
-    return per_doc.select(
-        "doc_id", F.array(*[f"mh{s}" for s in range(N_HASHES)]).alias("sig")
+    h = F.transform(
+        shingles(F.col("toks")),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long") % _MH_P,
     )
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("__h"),
+                    lambda x: (F.lit(MINHASH_A[s]) * x + F.lit(MINHASH_B[s])) % _MH_P,
+                )
+            )
+            for s in range(N_HASHES)
+        ]
+    )
+    return tokenized.withColumn("__h", h).select("doc_id", sig.alias("sig"))
 
 
 _MINHASH_SIG_SQL = f"""
@@ -362,8 +374,7 @@ def q65_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = d.select("doc_id", tokens("text").alias("toks")).filter(
         F.size("toks") >= SHINGLE_SIZE
     )
-    sh = t.select("doc_id", F.explode(shingles("toks")).alias("shingle"))
-    sigs = minhash_signatures(sh)
+    sigs = minhash_signatures(t)
 
     bands = sigs.select(
         "doc_id",

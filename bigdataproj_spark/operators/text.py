@@ -167,17 +167,26 @@ def q19_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The quality-filter recipe of large text-corpus pipelines; every
     ratio is exact-int / exact-int in IEEE double, bit-stable.
+
+    Shape note: the ORDER BY runs BEFORE the stats projection. A global
+    sort's range-partitioner runs a sampling job that re-executes its
+    whole child — sorting after the regex-heavy projection computes the
+    stats twice (measured +480 ms at sf0.1); sorting the raw scan first
+    samples only the scan, the range exchange restores scan parallelism
+    (so no fan_out needed), and the expensive projection runs once,
+    above the sort, order preserved. avg_token_len sums token lengths
+    with F.aggregate rather than measuring a concat_ws join — same
+    integer, no giant transient string per row (-150 ms at sf0.1).
     """
-    d = fan_out(table(spark, sf_dir, "documents"))
+    d = table(spark, sf_dir, "documents").orderBy("doc_id")
     t = d.select("doc_id", "text", tokens("text").alias("toks"))
     n_toks = F.size("toks")
+    tok_len = F.aggregate("toks", F.lit(0), lambda a, x: a + F.length(x))
     return t.select(
         "doc_id",
         n_toks.alias("n_tokens"),
         F.length("text").alias("n_chars_measured"),
-        (F.length(F.concat_ws("", F.col("toks"))).cast("double") / n_toks).alias(
-            "avg_token_len"
-        ),
+        (tok_len.cast("double") / n_toks).alias("avg_token_len"),
         (
             F.size(F.filter("toks", lambda x: x.isin(*STOPWORDS))).cast("double")
             / n_toks
@@ -190,7 +199,7 @@ def q19_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.length("text")
         ).alias("punct_ratio"),
         n_toks.between(20, 1000).alias("len_ok"),
-    ).orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------
