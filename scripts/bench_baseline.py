@@ -33,7 +33,13 @@ spark.sparkContext.setLogLevel("ERROR")
 con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    # Tables are either one parquet file (the sf0.x fixtures) or a
+    # directory of them (make_scaled_data.py's multi-file layout);
+    # Spark's reader handles both shapes natively, DuckDB needs a glob.
+    path = f"{SF_DIR}/{t}.parquet"
+    if os.path.isdir(path):
+        path = f"{path}/*.parquet"
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
 
 bench = {n: q for n, q in load_all().items() if "bench" in q.tags and q.oracle}
 
