@@ -46,9 +46,18 @@ def q26_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     facts, keyed on orderkey); customer/nation/region broadcast, so the
     star arm adds zero exchanges. Aggregation is partial+final on the
     (region, nation) key.
+
+    The orders side carries an explicit SHUFFLE_HASH hint: a fact table
+    must never broadcast (at cluster scale it can't; at fixture scale
+    orders sneaks under autoBroadcastJoinThreshold and the driver-side
+    hash build of the whole table costs more than the shuffle it saves
+    — measured 851→590 ms at sf0.1, 1400→982 ms at sf1). Hash beats
+    sort-merge here because the build side's per-partition slice fits
+    executor memory at any scale once partitioned on orderkey, and it
+    skips both sorts.
     """
     l = table(spark, sf_dir, "lineitem")
-    o = table(spark, sf_dir, "orders")
+    o = table(spark, sf_dir, "orders").hint("shuffle_hash")
     c = table(spark, sf_dir, "customer")
     n = table(spark, sf_dir, "nation")
     r = table(spark, sf_dir, "region")
