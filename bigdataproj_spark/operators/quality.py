@@ -1,0 +1,269 @@
+"""Corpus-quality operators for training-data pipelines (SURVEY.md §2.3
+L5/L11 extensions): Gopher-style repetition filters, a composite
+quality gate, and PII scrubbing.
+
+These are the filters a 100 TB text-corpus pipeline runs between
+ingest and dedup (Rae et al. 2021 "Scaling Language Models" §A1.1
+repetition rules; the C4/RefinedWeb cleaning recipes). The reference
+declares only coarse text analytics (reference README.md:58-63); these
+extend the same surface with the filters any corpus consumer needs.
+
+Registered with an ``r`` name prefix: the 50-query driver window is
+fully allocated to ``q``-named queries this round, so these sort
+behind it (local differential coverage now, window rotation later).
+
+Scale shapes:
+- repetition stats shuffle once on (doc_id, gram) with map-side
+  partial aggregation — the only way to count per-doc gram modes
+  without holding a doc's gram multiset in one buffer;
+- the quality gate is 100% map-only (array expressions over the token
+  array; no shuffle at any corpus size);
+- PII scrub is map-only regexp work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..registry import query
+from .text import STOPWORDS, TOKENS_SQL, tokens
+
+# ---------------------------------------------------------------------------
+# r01: repetition statistics (Gopher §A1.1-style).
+# ---------------------------------------------------------------------------
+
+_Q_R01_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
+  WHERE len({TOKENS_SQL}) >= 2
+),
+uni AS (SELECT doc_id, unnest(toks) AS g FROM t),
+uni_counts AS (
+  SELECT doc_id, g, COUNT(*) AS n FROM uni GROUP BY doc_id, g
+),
+uni_stats AS (
+  SELECT doc_id,
+         CAST(MAX(n) AS DOUBLE) / SUM(n) AS top_token_frac,
+         CAST(SUM(n) - COUNT(*) AS DOUBLE) / SUM(n) AS dup_token_frac
+  FROM uni_counts GROUP BY doc_id
+),
+bi AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS g
+  FROM t
+),
+bi_counts AS (
+  SELECT doc_id, g, COUNT(*) AS n FROM bi GROUP BY doc_id, g
+),
+bi_stats AS (
+  SELECT doc_id,
+         CAST(MAX(n) AS DOUBLE) / SUM(n) AS top_bigram_frac,
+         CAST(SUM(n) - COUNT(*) AS DOUBLE) / SUM(n) AS dup_bigram_frac
+  FROM bi_counts GROUP BY doc_id
+)
+SELECT u.doc_id, u.top_token_frac, u.dup_token_frac,
+       b.top_bigram_frac, b.dup_bigram_frac
+FROM uni_stats u JOIN bi_stats b USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def _gram_stats(grams: DataFrame, top_name: str, dup_name: str) -> DataFrame:
+    """(doc_id, g) exploded grams → per-doc top-gram and dup-gram
+    fractions. One shuffle on (doc_id, g) with map-side combine, then a
+    doc-local rollup that reuses the same hash partitioning (doc_id is
+    a prefix of the first stage's key, so Catalyst plans the second
+    aggregate without a new exchange width problem; both fractions are
+    exact int/int divisions in IEEE double."""
+    counts = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("n"))
+    return counts.groupBy("doc_id").agg(
+        (F.max("n").cast("double") / F.sum("n")).alias(top_name),
+        ((F.sum("n") - F.count(F.lit(1))).cast("double") / F.sum("n")).alias(dup_name),
+    )
+
+
+@query("r01_repetition_stats", oracle=_Q_R01_ORACLE, tags=("L5", "quality"))
+def r01_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition profile: most-frequent-token fraction,
+    duplicate-token fraction, and the same two over word bigrams.
+
+    The Gopher repetition rules (top 2-gram fraction > 0.2 → drop,
+    etc.) read directly off this output. Mode-of-multiset per doc
+    cannot be computed map-only without a per-doc hash of every gram,
+    so this is the one quality operator that shuffles — once per gram
+    width, counted partial-aggregate style.
+    """
+    d = table(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokens("text").alias("toks")).filter(F.size("toks") >= 2)
+    uni = t.select("doc_id", F.explode("toks").alias("g"))
+    bi = t.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("toks", 1, F.size("toks") - 1),
+                F.slice("toks", 2, F.size("toks") - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("g"),
+    )
+    uni_stats = _gram_stats(uni, "top_token_frac", "dup_token_frac")
+    bi_stats = _gram_stats(bi, "top_bigram_frac", "dup_bigram_frac")
+    return (
+        uni_stats.join(bi_stats, "doc_id")
+        .select(
+            "doc_id",
+            "top_token_frac",
+            "dup_token_frac",
+            "top_bigram_frac",
+            "dup_bigram_frac",
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# r02: composite quality gate (map-only).
+# ---------------------------------------------------------------------------
+
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+_Q_R02_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, text, {TOKENS_SQL} AS toks FROM documents
+),
+s AS (
+  SELECT doc_id,
+    len(toks) AS n_tokens,
+    CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+      / len(toks) AS mean_token_len,
+    len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) AS n_stopwords,
+    CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE)
+      / len(toks) AS dup_token_frac,
+    CAST(len(text) - len(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))
+         AS DOUBLE) / len(text) AS symbol_frac
+  FROM t WHERE len(toks) > 0
+)
+SELECT doc_id,
+  (n_tokens BETWEEN 20 AND 1000) AS len_ok,
+  (mean_token_len BETWEEN 2 AND 10) AS token_len_ok,
+  (n_stopwords >= 2) AS stopwords_ok,
+  (dup_token_frac <= 0.8) AS repetition_ok,
+  (symbol_frac <= 0.1) AS symbols_ok,
+  ((n_tokens BETWEEN 20 AND 1000) AND (mean_token_len BETWEEN 2 AND 10)
+   AND (n_stopwords >= 2) AND (dup_token_frac <= 0.8)
+   AND (symbol_frac <= 0.1)) AS keep
+FROM s
+ORDER BY doc_id
+"""
+
+
+@query("r02_quality_gate", oracle=_Q_R02_ORACLE, tags=("L5", "L11", "quality"))
+def r02_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style keep/drop gate, entirely map-only.
+
+    Every predicate reads off the token array with higher-order
+    functions — token count band, mean token length band, minimum
+    stopword evidence (a natural-language check), duplicate-token
+    ceiling, symbol-character ceiling — so the operator adds ZERO
+    shuffles at any corpus size and composes with the capstone
+    pipeline's quality gate. ORDER BY runs on the raw scan before the
+    projection (the range sampler then re-executes only the scan — see
+    q19's shape note).
+    """
+    d = table(spark, sf_dir, "documents").orderBy("doc_id")
+    t = d.select("doc_id", "text", tokens("text").alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    n_toks = F.size("toks")
+    mean_len = (
+        F.aggregate("toks", F.lit(0), lambda a, x: a + F.length(x)).cast("double")
+        / n_toks
+    )
+    n_stop = F.size(F.filter("toks", lambda x: x.isin(*STOPWORDS)))
+    dup_frac = (n_toks - F.size(F.array_distinct("toks"))).cast("double") / n_toks
+    sym_frac = (
+        F.length("text") - F.length(F.regexp_replace("text", r"[^a-z0-9 ]", ""))
+    ).cast("double") / F.length("text")
+    len_ok = n_toks.between(20, 1000)
+    tlen_ok = mean_len.between(2.0, 10.0)
+    stop_ok = n_stop >= 2
+    rep_ok = dup_frac <= 0.8
+    sym_ok = sym_frac <= 0.1
+    return t.select(
+        "doc_id",
+        len_ok.alias("len_ok"),
+        tlen_ok.alias("token_len_ok"),
+        stop_ok.alias("stopwords_ok"),
+        rep_ok.alias("repetition_ok"),
+        sym_ok.alias("symbols_ok"),
+        (len_ok & tlen_ok & stop_ok & rep_ok & sym_ok).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# r03: PII scrub (map-only regexp redaction + counts).
+# ---------------------------------------------------------------------------
+
+# The fixture corpus contains no PII by construction, so the query
+# first builds a deterministic PII-bearing contact line from customer
+# fixture fields (name + synthetic email + synthetic phone), then
+# scrubs it — the operator under test is the scrubber, and every match
+# count is non-trivial and fixture-derived. Patterns are shared
+# Java/RE2 syntax (no lookaround), so Spark and DuckDB compile them
+# identically.
+_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+_Q_R03_ORACLE = f"""
+WITH c AS (
+  SELECT c_custkey,
+    lower(c_name) || ' reach me at user' || CAST(c_custkey AS VARCHAR)
+      || '@example.com or ' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0')
+      || '-555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+      || ' (segment ' || c_mktsegment || ')' AS contact
+  FROM customer
+)
+SELECT c_custkey,
+  len(regexp_extract_all(contact, '{_EMAIL_RE}')) AS n_emails,
+  len(regexp_extract_all(contact, '{_PHONE_RE}')) AS n_phones,
+  regexp_replace(regexp_replace(contact, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                 '{_PHONE_RE}', '[PHONE]', 'g') AS scrubbed
+FROM c
+ORDER BY c_custkey
+"""
+
+
+@query("r03_pii_scrub", oracle=_Q_R03_ORACLE, tags=("L11", "quality", "cleaning"))
+def r03_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email/phone redaction with per-row match counts (map-only).
+
+    The redaction regexes run in one projection; at corpus scale this
+    is a pure map stage pipelined into whatever sink follows. The
+    count columns make the scrub auditable (corpus-level PII rates
+    fall out of a trivial aggregate over them).
+    """
+    c = table(spark, sf_dir, "customer").orderBy("c_custkey")
+    contact = F.concat(
+        F.lower("c_name"),
+        F.lit(" reach me at user"),
+        F.col("c_custkey").cast("string"),
+        F.lit("@example.com or "),
+        F.lpad((F.col("c_custkey") % 1000).cast("string"), 3, "0"),
+        F.lit("-555-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+        F.lit(" (segment "),
+        F.col("c_mktsegment"),
+        F.lit(")"),
+    )
+    t = c.select("c_custkey", contact.alias("contact"))
+    return t.select(
+        "c_custkey",
+        F.size(F.regexp_extract_all("contact", F.lit(_EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all("contact", F.lit(_PHONE_RE), 0)).alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace("contact", _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"
+        ).alias("scrubbed"),
+    )
