@@ -1,0 +1,99 @@
+"""Quality-operator tests (operators/quality.py): invariants a
+differential hash can't express, plus the plan-shape claims the
+docstrings make (map-only gate/scrub, one shuffle per gram width).
+
+Differential correctness itself is covered by tests/test_oracle.py,
+which iterates every registry query including r01–r03.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from bigdataproj_spark.operators.quality import (
+    _EMAIL_RE,
+    _PHONE_RE,
+    r01_repetition_stats,
+    r02_quality_gate,
+    r03_pii_scrub,
+)
+from bigdataproj_spark.plans import physical_plan as plan_of
+
+
+def test_repetition_fractions_bounded(spark, sf_dir):
+    """All four fractions live in [0, 1], and top-gram frac can never
+    be below 1/n_grams (the mode is at least average)."""
+    pdf = r01_repetition_stats(spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    for c in ["top_token_frac", "dup_token_frac", "top_bigram_frac", "dup_bigram_frac"]:
+        assert (pdf[c] >= 0).all() and (pdf[c] <= 1).all(), c
+    # A document whose every token is distinct has dup_token_frac 0 and
+    # top_token_frac == 1/n; duplication moves both up together.
+    assert (pdf["top_token_frac"] > 0).all()
+
+
+def test_quality_gate_keep_is_conjunction(spark, sf_dir):
+    """`keep` must equal the AND of the five component predicates."""
+    pdf = r02_quality_gate(spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    comp = (
+        pdf["len_ok"]
+        & pdf["token_len_ok"]
+        & pdf["stopwords_ok"]
+        & pdf["repetition_ok"]
+        & pdf["symbols_ok"]
+    )
+    assert (pdf["keep"] == comp).all()
+    # The synthetic corpus is ordinary prose-shaped word soup: the gate
+    # must not degenerate to all-pass or all-drop thresholds... unless
+    # the corpus really is uniformly clean — assert only non-empty keep.
+    assert pdf["keep"].any()
+
+
+def test_pii_scrub_leaves_no_matches(spark, sf_dir):
+    """After redaction the scrubbed text contains zero email/phone
+    matches, and the audit counts equal the redaction placeholders."""
+    pdf = r03_pii_scrub(spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    assert (pdf["n_emails"] >= 1).all()  # synthetic contact always has one
+    assert (pdf["n_phones"] >= 1).all()
+    email = re.compile(_EMAIL_RE)
+    phone = re.compile(_PHONE_RE)
+    for s, ne, np_ in zip(pdf["scrubbed"], pdf["n_emails"], pdf["n_phones"]):
+        assert not email.search(s), s
+        assert not phone.search(s), s
+        assert s.count("[EMAIL]") == ne
+        assert s.count("[PHONE]") == np_
+
+
+def test_quality_gate_and_scrub_are_map_only(spark, sf_dir):
+    """The r02/r03 docstrings claim zero data shuffles: the only
+    exchange allowed in either plan is the final ORDER BY's range
+    exchange over the raw scan."""
+    for build in (r02_quality_gate, r03_pii_scrub):
+        plan = plan_of(build(spark, sf_dir))
+        exchanges = [
+            line for line in plan.splitlines() if re.search(r"\bExchange\b", line)
+        ]
+        assert all("rangepartitioning" in e for e in exchanges), plan
+
+
+def test_repetition_single_shuffle_per_gram_width(spark, sf_dir):
+    """r01 shuffles once per gram width (hash on doc_id/gram) plus the
+    join+sort on doc_id — no second aggregation exchange per width
+    (the doc-level rollup must reuse the gram-count partitioning via
+    partial aggregation, not add an exchange)."""
+    plan = plan_of(r01_repetition_stats(spark, sf_dir))
+    hash_exchanges = len(
+        [
+            line
+            for line in plan.splitlines()
+            if "Exchange hashpartitioning" in line
+        ]
+    )
+    # 2 gram widths × (gram-count + doc-rollup) + join sides ≤ 6; the
+    # assertion guards against a formulation that re-shuffles the raw
+    # exploded grams twice per width.
+    assert hash_exchanges <= 6, plan
