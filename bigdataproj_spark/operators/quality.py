@@ -267,3 +267,80 @@ def r03_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_replace("contact", _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"
         ).alias("scrubbed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r04: unigram perplexity proxy (the L5 "perplexity-proxy n-gram score"
+# declared in SURVEY.md §2.3).
+# ---------------------------------------------------------------------------
+
+# Determinism (SURVEY.md §2.4 rule 2): ln() is libm-dependent, so each
+# per-token log-probability is rounded to 6 decimals FIRST and carried
+# as an exact int64 micro-log (lp6 = round(ln p, 6) * 1e6). Per-doc
+# totals are then integer sums — identical in any summation order on
+# any engine — and only the final exp() passes through round-6 again.
+_Q_R04_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKENS_SQL}) AS token FROM documents
+),
+vocab AS (
+  SELECT token,
+    CAST(round(ln(CAST(COUNT(*) AS DOUBLE)
+                  / (SELECT COUNT(*) FROM toks)), 6) * 1000000 AS BIGINT) AS lp6
+  FROM toks GROUP BY token
+),
+per_doc AS (
+  SELECT t.doc_id, COUNT(*) AS n_tokens, SUM(v.lp6) AS sum_lp6
+  FROM toks t JOIN vocab v USING (token)
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens,
+  round(CAST(sum_lp6 AS DOUBLE) / 1000000 / n_tokens, 6) AS mean_logprob,
+  round(exp(-(CAST(sum_lp6 AS DOUBLE) / 1000000 / n_tokens)), 6) AS ppl_proxy
+FROM per_doc
+ORDER BY doc_id
+"""
+
+
+@query("r04_unigram_perplexity", oracle=_Q_R04_ORACLE, tags=("L5", "quality"))
+def r04_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram perplexity proxy per document (L5's declared
+    "perplexity-proxy n-gram score", SURVEY.md §2.3).
+
+    Train = score corpus (the standard quality-filter setup scores
+    against a reference LM; a unigram self-model keeps the operator
+    closed over the fixtures). Plan shape: one explode → token-count
+    aggregate (the "model"), re-joined to the token stream on the
+    token key — at 100 TB the model table is vocabulary-sized and the
+    join shuffles on token with AQE free to broadcast small vocabs —
+    then one per-doc aggregate. Per-token log-probs are rounded to
+    int64 micro-logs before summing, so per-doc totals are exact and
+    order-free (§2.4 rule 2); only ln/exp pass through the round-6
+    libm guard.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("token"))
+    total = toks.select(F.count(F.lit(1)).alias("t"))
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            (F.round(F.log(F.col("n").cast("double") / F.col("t")), 6) * 1_000_000)
+            .cast("long")
+            .alias("lp6"),
+        )
+    )
+    per_doc = (
+        toks.join(vocab, "token")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("lp6").alias("sum_lp6"))
+    )
+    mean_lp = F.col("sum_lp6").cast("double") / 1_000_000 / F.col("n_tokens")
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        F.round(mean_lp, 6).alias("mean_logprob"),
+        F.round(F.exp(-mean_lp), 6).alias("ppl_proxy"),
+    ).orderBy("doc_id")
