@@ -601,3 +601,109 @@ def q72_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("probe_id", "cand_id", "rank", F.round("cos", 6).alias("cos_sim"))
         .orderBy("probe_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# r05: semantic dedup (SemDeDup-style) — embedding-cosine clusters with
+# survivor selection. Pairs at cos >= threshold become edges; connected
+# components label every vector with its cluster; the min-id member
+# survives, the rest are the semantic duplicates a corpus pipeline
+# drops. Exact-pair form over the bounded id range (the 100 TB path
+# gates pair generation with the r70-style LSH/IVF bucket join, exact
+# re-rank inside buckets — same downstream clustering).
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_COS = 0.3
+
+_Q_R05_ORACLE = f"""
+WITH RECURSIVE sub AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_NEAR_DUP_MAX_ID}
+),
+el AS (
+  SELECT vec_id, i,
+    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT) AS vq
+  FROM sub, (SELECT unnest(range(1, 65)) AS i) idx
+),
+norms AS (
+  SELECT vec_id, CAST(SUM(vq * vq) AS BIGINT) AS nsq
+  FROM el GROUP BY vec_id
+),
+dots AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         CAST(SUM(a.vq * b.vq) AS BIGINT) AS dot
+  FROM el a
+  JOIN el b ON a.i = b.i AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT vec_a AS src, vec_b AS dst
+  FROM dots
+  JOIN norms na ON vec_a = na.vec_id
+  JOIN norms nb ON vec_b = nb.vec_id
+  WHERE CAST(dot AS DOUBLE) / (sqrt(na.nsq) * sqrt(nb.nsq)) >= {_SEMDEDUP_COS}
+),
+und AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+reach AS (
+  SELECT src AS vec_id, src AS r FROM und
+  UNION
+  SELECT r.vec_id, u.dst AS r
+  FROM reach r JOIN und u ON r.r = u.src
+),
+lbl AS (
+  SELECT vec_id, MIN(r) AS cluster_id FROM reach GROUP BY vec_id
+)
+SELECT s.vec_id,
+       COALESCE(l.cluster_id, s.vec_id) AS cluster_id,
+       (COALESCE(l.cluster_id, s.vec_id) = s.vec_id) AS is_survivor
+FROM sub s LEFT JOIN lbl l USING (vec_id)
+ORDER BY vec_id
+"""
+
+
+@query("r05_semantic_dedup", oracle=_Q_R05_ORACLE, tags=("L2", "L3", "similarity"))
+def r05_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-duplicate clusters over embedding cosine >= 0.3 with
+    min-id survivor selection — the SemDeDup recipe: embed, find
+    near-neighbors, keep one representative per semantic cluster.
+
+    Spark side: exact Q20-integer pair scoring (bit-equal to the
+    oracle), iterative min-label propagation for the transitive
+    closure, then a left join back to the full vector set so
+    singletons survive as their own cluster. Oracle side: the same
+    pairs fed to a recursive-CTE transitive closure — two different
+    algorithms, identical labels required.
+    """
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _NEAR_DUP_MAX_ID)
+    withn = e.select("vec_id", quantize_q20("embedding").alias("qe")).select(
+        "vec_id", "qe", F.sqrt(dot_q20("qe", "qe").cast("double")).alias("norm")
+    )
+    a = withn.select(
+        F.col("vec_id").alias("vec_a"), F.col("qe").alias("ea"), F.col("norm").alias("na")
+    )
+    b = withn.select(
+        F.col("vec_id").alias("vec_b"), F.col("qe").alias("eb"), F.col("norm").alias("nb")
+    )
+    cos = dot_q20("ea", "eb").cast("double") / (F.col("na") * F.col("nb"))
+    edges = (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cos"))
+        .filter(F.col("cos") >= _SEMDEDUP_COS)
+        .select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
+    )
+    from .dedup import connected_components
+
+    labels = connected_components(edges).withColumnRenamed("doc_id", "vec_id")
+    return (
+        e.select("vec_id")
+        .join(labels, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("cluster_id", "vec_id").alias("cluster_id"),
+            (F.coalesce("cluster_id", "vec_id") == F.col("vec_id")).alias(
+                "is_survivor"
+            ),
+        )
+        .orderBy("vec_id")
+    )
