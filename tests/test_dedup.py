@@ -120,3 +120,48 @@ def test_stop_shingle_guard_drops_hot_shingles(spark):
     kept_shingles = {r["shingle"] for r in kept.select("shingle").distinct().collect()}
     assert boiler not in kept_shingles
     assert any("alpha beta gamma" in s for s in kept_shingles)
+
+
+def test_minhash_array_form_equals_explode_form(spark, sf_dir):
+    """The round-3 map-only signature rewrite must stay bit-identical
+    to the explode + groupBy-of-mins formulation it replaced (same
+    universal hash family, same md5 per shingle — only the plan shape
+    differs)."""
+    from pyspark.sql import functions as F
+
+    from bigdataproj_spark.catalog import table
+    from bigdataproj_spark.operators.dedup import (
+        MINHASH_A,
+        MINHASH_B,
+        N_HASHES,
+        SHINGLE_SIZE,
+        _MH_P,
+        minhash_signatures,
+        shingles,
+    )
+    from bigdataproj_spark.operators.text import tokens
+
+    t = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", tokens("text").alias("toks"))
+        .filter(F.size("toks") >= SHINGLE_SIZE)
+    )
+    fast = minhash_signatures(t).orderBy("doc_id").collect()
+
+    sh = t.select("doc_id", F.explode(shingles("toks")).alias("shingle"))
+    h = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long") % _MH_P
+    hashed = sh.select("doc_id", h.alias("h"))
+    mins = [
+        F.min((MINHASH_A[s] * F.col("h") + MINHASH_B[s]) % _MH_P).alias(f"mh{s}")
+        for s in range(N_HASHES)
+    ]
+    slow = (
+        hashed.groupBy("doc_id")
+        .agg(*mins)
+        .select("doc_id", F.array(*[f"mh{s}" for s in range(N_HASHES)]).alias("sig"))
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert len(fast) == len(slow) > 0
+    for a, b in zip(fast, slow):
+        assert a.doc_id == b.doc_id and a.sig == b.sig
