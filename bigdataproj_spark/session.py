@@ -24,13 +24,32 @@ def default_master() -> str:
     return f"local[{cpus}]" if cpus else "local[*]"
 
 
+def _default_shuffle_partitions(master: str) -> str:
+    """Initial shuffle width is a data-volume knob, not a core-count
+    knob: AQE coalesces small exchanges down after the fact, but sorts
+    and windows launch the INITIAL width in tasks, so an oversized
+    default just buys task-launch latency. Local benches shuffle
+    megabytes — cores/2 measured fastest at both sf0.1 and the tiled
+    sf1 (24%/16% off total bench wall vs width 32 on local[32]); a
+    cluster deployment sets 2-3x total cores via SPARK_SHUFFLE_PARTITIONS
+    or spark-defaults, per the §4 posture."""
+    if master.startswith("local"):
+        cpus = os.cpu_count() or 8
+        inner = master[master.find("[") + 1 : master.find("]")] if "[" in master else ""
+        if inner.isdigit():
+            cpus = int(inner)
+        return str(max(8, cpus // 2))
+    return "200"  # Spark's own cluster default; deployments override
+
+
 def get_spark(
     app_name: str = "bigdataproj-spark",
     master: str | None = None,
     **extra: str,
 ) -> SparkSession:
     """Create (or reuse) the engine's SparkSession."""
-    builder = SparkSession.builder.appName(app_name).master(master or default_master())
+    resolved_master = master or default_master()
+    builder = SparkSession.builder.appName(app_name).master(resolved_master)
     # Scan-split sizing: the 128m default is right at every scale. The
     # fixture files are single parquet row groups, and a row group is
     # the unsplittable read unit — smaller split sizes only add empty
@@ -39,8 +58,14 @@ def get_spark(
     # (operators.skew.fan_out).
     conf: dict[str, str] = {
         "spark.sql.session.timeZone": "UTC",
-        "spark.sql.shuffle.partitions": os.environ.get("SPARK_SHUFFLE_PARTITIONS", "32"),
+        "spark.sql.shuffle.partitions": os.environ.get(
+            "SPARK_SHUFFLE_PARTITIONS", _default_shuffle_partitions(resolved_master)
+        ),
         "spark.sql.adaptive.enabled": "true",
+        # No data locality exists in a single-JVM local master; the
+        # default 3s locality wait only delays task launch there. On a
+        # cluster the Spark default stands (deployments override).
+        **({"spark.locality.wait": "0"} if resolved_master.startswith("local") else {}),
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
