@@ -170,10 +170,15 @@ def r02_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ceiling, symbol-character ceiling — so the operator adds ZERO
     shuffles at any corpus size and composes with the capstone
     pipeline's quality gate. ORDER BY runs on the raw scan before the
-    projection (the range sampler then re-executes only the scan — see
-    q19's shape note).
+    projection (the range sampler then re-executes only the scan, and
+    the exchange width is pinned to defaultParallelism because it sets
+    the compute parallelism of the whole stats stage — see q19's shape
+    note).
     """
-    d = table(spark, sf_dir, "documents").orderBy("doc_id")
+    d = table(spark, sf_dir, "documents")
+    d = d.repartitionByRange(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    ).sortWithinPartitions("doc_id")
     t = d.select("doc_id", "text", tokens("text").alias("toks")).filter(
         F.size("toks") > 0
     )

@@ -172,13 +172,19 @@ def q19_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort's range-partitioner runs a sampling job that re-executes its
     whole child — sorting after the regex-heavy projection computes the
     stats twice (measured +480 ms at sf0.1); sorting the raw scan first
-    samples only the scan, the range exchange restores scan parallelism
-    (so no fan_out needed), and the expensive projection runs once,
-    above the sort, order preserved. avg_token_len sums token lengths
-    with F.aggregate rather than measuring a concat_ws join — same
-    integer, no giant transient string per row (-150 ms at sf0.1).
+    samples only the scan, and the expensive projection runs once,
+    above the sort, order preserved. The range repartition is pinned to
+    defaultParallelism (not the shuffle-partitions default): everything
+    downstream of this exchange is the CPU-bound regex stage, so its
+    width IS the compute parallelism — cores, not the data-volume
+    shuffle width. avg_token_len sums token lengths with F.aggregate
+    rather than measuring a concat_ws join — same integer, no giant
+    transient string per row (-150 ms at sf0.1).
     """
-    d = table(spark, sf_dir, "documents").orderBy("doc_id")
+    d = table(spark, sf_dir, "documents")
+    d = d.repartitionByRange(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    ).sortWithinPartitions("doc_id")
     t = d.select("doc_id", "text", tokens("text").alias("toks"))
     n_toks = F.size("toks")
     tok_len = F.aggregate("toks", F.lit(0), lambda a, x: a + F.length(x))
