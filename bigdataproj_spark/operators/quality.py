@@ -349,3 +349,182 @@ def r04_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean_lp, 6).alias("mean_logprob"),
         F.round(F.exp(-mean_lp), 6).alias("ppl_proxy"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# r06: training-sequence packing (GPT-style concat-and-chunk).
+# ---------------------------------------------------------------------------
+
+_SEQ_BUDGET = 512  # tokens per packed training sequence
+
+_Q_R06_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, len({TOKENS_SQL}) AS n_tokens FROM documents
+  WHERE len({TOKENS_SQL}) > 0
+),
+c AS (
+  SELECT doc_id, n_tokens,
+    SUM(n_tokens) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      AS start_offset_raw
+  FROM t
+)
+SELECT doc_id, n_tokens,
+  CAST(COALESCE(start_offset_raw, 0) AS BIGINT) AS start_offset,
+  CAST(COALESCE(start_offset_raw, 0) // {_SEQ_BUDGET} AS BIGINT) AS seq_first,
+  CAST((COALESCE(start_offset_raw, 0) + n_tokens - 1) // {_SEQ_BUDGET} AS BIGINT)
+    AS seq_last
+FROM c
+ORDER BY doc_id
+"""
+
+
+@query("r06_sequence_packing", oracle=_Q_R06_ORACLE, tags=("L9", "quality"))
+def r06_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing: documents are laid out in doc_id
+    order on a global token tape and cut into fixed-budget training
+    sequences; each document reports its tape offset and first/last
+    sequence index.
+
+    The global prefix sum is computed the DISTRIBUTED way — not a
+    single-partition global window (which funnels the corpus into one
+    task): range-repartition on doc_id, within-partition running sum
+    via a window keyed on the partition id, then add each partition's
+    base offset (the sum of all earlier partitions' totals, a
+    partition-count-sized table joined back by pid). Identical totals
+    at any partition count; one narrow shuffle + one broadcast join at
+    100 TB.
+    """
+    d = table(spark, sf_dir, "documents")
+    t = (
+        d.select("doc_id", tokens("text").alias("toks"))
+        .select("doc_id", F.size("toks").alias("n_tokens"))
+        .filter(F.col("n_tokens") > 0)
+    )
+    parts = t.repartitionByRange(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    ).withColumn("_pid", F.spark_partition_id())
+    from pyspark.sql import Window
+
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = parts.withColumn(
+        "local_off", F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))
+    )
+    w_base = (
+        Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bases = (
+        parts.groupBy("_pid")
+        .agg(F.sum("n_tokens").alias("ptotal"))
+        .withColumn("base", F.coalesce(F.sum("ptotal").over(w_base), F.lit(0)))
+        .select("_pid", "base")
+    )
+    start = F.col("local_off") + F.col("base")
+    return (
+        local.join(F.broadcast(bases), "_pid")
+        .select(
+            "doc_id",
+            "n_tokens",
+            start.alias("start_offset"),
+            F.floor(start / _SEQ_BUDGET).alias("seq_first"),
+            F.floor((start + F.col("n_tokens") - 1) / _SEQ_BUDGET).alias("seq_last"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# r07: decontamination — n-gram overlap of corpus docs vs a held-out set.
+# ---------------------------------------------------------------------------
+
+_DECON_HELD_OUT_MAX = 50  # doc_id < 50 plays the benchmark/test split
+_DECON_NGRAM = 5
+
+_Q_R07_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
+  WHERE len({TOKENS_SQL}) >= {_DECON_NGRAM}
+),
+grams AS (
+  SELECT doc_id,
+    unnest(list_transform(range(1, len(toks) - {_DECON_NGRAM} + 2),
+      i -> array_to_string(toks[i : i + {_DECON_NGRAM} - 1], ' '))) AS g
+  FROM t
+),
+held AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id < {_DECON_HELD_OUT_MAX}
+),
+corpus AS (
+  SELECT doc_id, g FROM grams WHERE doc_id >= {_DECON_HELD_OUT_MAX}
+),
+per_doc AS (
+  SELECT doc_id, COUNT(DISTINCT g) AS n_grams FROM corpus GROUP BY doc_id
+),
+hits AS (
+  SELECT c.doc_id, COUNT(DISTINCT c.g) AS n_contaminated
+  FROM (SELECT DISTINCT doc_id, g FROM corpus) c
+  JOIN held h ON c.g = h.g
+  GROUP BY c.doc_id
+)
+SELECT p.doc_id, p.n_grams,
+  COALESCE(h.n_contaminated, 0) AS n_contaminated,
+  CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE) / p.n_grams
+    AS contamination_frac
+FROM per_doc p LEFT JOIN hits h USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+@query("r07_decontamination", oracle=_Q_R07_ORACLE, tags=("L2", "L5", "quality"))
+def r07_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing 5-gram
+    spans with a held-out set (doc_id < 50 plays the eval split).
+
+    Plan shape at scale: the held-out side's distinct grams are tiny
+    relative to the corpus (an eval suite, not a second corpus), so
+    the overlap test is a broadcast semi-join of corpus grams against
+    them — the corpus is never shuffled on the gram key; per-doc
+    distinct counting shuffles on (doc_id, gram) once.
+    """
+    d = table(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokens("text").alias("toks")).filter(
+        F.size("toks") >= _DECON_NGRAM
+    )
+    grams = t.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - _DECON_NGRAM + 1),
+                lambda i: F.array_join(
+                    F.slice("toks", i, _DECON_NGRAM), " "
+                ),
+            )
+        ).alias("g"),
+    )
+    held = (
+        grams.filter(F.col("doc_id") < _DECON_HELD_OUT_MAX).select("g").distinct()
+    )
+    corpus = grams.filter(F.col("doc_id") >= _DECON_HELD_OUT_MAX).distinct()
+    per_doc = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        corpus.join(F.broadcast(held), "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    return (
+        per_doc.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            (
+                F.coalesce("n_contaminated", F.lit(0)).cast("double")
+                / F.col("n_grams")
+            ).alias("contamination_frac"),
+        )
+        .orderBy("doc_id")
+    )
