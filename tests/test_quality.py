@@ -97,3 +97,40 @@ def test_repetition_single_shuffle_per_gram_width(spark, sf_dir):
     # assertion guards against a formulation that re-shuffles the raw
     # exploded grams twice per width.
     assert hash_exchanges <= 6, plan
+
+
+def test_sequence_packing_tape_is_contiguous(spark, sf_dir):
+    """Offsets must form a gapless tape: each doc starts exactly where
+    the previous one ended, first doc at 0, and every doc's sequence
+    span is consistent with its offset and the fixed budget."""
+    from bigdataproj_spark.operators.quality import (
+        _SEQ_BUDGET,
+        r06_sequence_packing,
+    )
+
+    pdf = r06_sequence_packing(spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    assert pdf["start_offset"].iloc[0] == 0
+    expected = (pdf["start_offset"] + pdf["n_tokens"]).shift(1).fillna(0)
+    assert (pdf["start_offset"] == expected).all()
+    assert (pdf["seq_first"] == pdf["start_offset"] // _SEQ_BUDGET).all()
+    assert (
+        pdf["seq_last"] == (pdf["start_offset"] + pdf["n_tokens"] - 1) // _SEQ_BUDGET
+    ).all()
+    assert (pdf["seq_last"] >= pdf["seq_first"]).all()
+
+
+def test_decontamination_fractions_consistent(spark, sf_dir):
+    """Contaminated gram counts are bounded by the doc's distinct gram
+    count; the held-out split itself never appears in the output."""
+    from bigdataproj_spark.operators.quality import (
+        _DECON_HELD_OUT_MAX,
+        r07_decontamination,
+    )
+
+    pdf = r07_decontamination(spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    assert (pdf["doc_id"] >= _DECON_HELD_OUT_MAX).all()
+    assert (pdf["n_contaminated"] <= pdf["n_grams"]).all()
+    assert (pdf["contamination_frac"] >= 0).all()
+    assert (pdf["contamination_frac"] <= 1).all()
