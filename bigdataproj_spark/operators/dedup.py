@@ -597,19 +597,26 @@ def connected_components(
 ) -> DataFrame:
     """(src, dst) undirected edges → (doc_id, cluster_id = min reachable).
 
-    Iterative min-label propagation: each round every vertex takes the
-    min of its own label and its neighbors' labels; converges in
-    O(cluster diameter) rounds. The loop is a driver-side CONTROL
-    decision only — per round the data path is one shuffle join +
-    aggregate, and the convergence check is a count on a labels-changed
-    filter (near-dup clusters have tiny diameters, so this terminates
-    in a few rounds at any corpus size).
+    Min-label propagation with pointer doubling: each round every
+    vertex takes the min of its own and its neighbors' labels, then
+    shortcuts through its label's label (lbl := lbl[lbl]) — the
+    pointer-jumping step squares the propagation distance per round,
+    so convergence is O(log diameter) instead of O(diameter). The loop
+    is a driver-side CONTROL decision only — per round the data path
+    is two shuffle joins + an aggregate, and the convergence check is
+    a count on a labels-changed filter over checkpointed frames. The
+    edge set is checkpointed up front: its (possibly expensive) lineage
+    — an LSH bucket join or a pair-scoring subtree — must not replay
+    once per round.
     """
     both = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    labels = both.select(F.col("src").alias("doc_id")).distinct().select(
-        "doc_id", F.col("doc_id").alias("lbl")
+    ).localCheckpoint(eager=True)
+    labels = (
+        both.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("lbl"))
+        .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -617,7 +624,7 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("lbl").alias("nlbl"))
         )
-        new_labels = (
+        prop = (
             labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
             .select(
                 "doc_id",
@@ -626,6 +633,20 @@ def connected_components(
                 ).alias("lbl"),
             )
         )
+        # Pointer doubling: follow the label one hop (a label is always
+        # itself a vertex id, so the self-join always hits; the min of
+        # the two is monotone toward the component minimum).
+        hop = prop.select(F.col("doc_id").alias("h_id"), F.col("lbl").alias("h_lbl"))
+        new_labels = (
+            prop.join(hop, prop.lbl == hop.h_id, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("h_lbl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)  # cut lineage per round
+        )
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
@@ -633,7 +654,7 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels = new_labels.localCheckpoint(eager=True)  # cut lineage per round
+        labels = new_labels
         if changed == 0:
             break
     return labels.select("doc_id", F.col("lbl").alias("cluster_id"))
