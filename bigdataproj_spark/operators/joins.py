@@ -127,8 +127,8 @@ ORDER BY nationkey
 """
 
 
-@query("q28_full_outer_join", oracle=_Q79_ORACLE, tags=("J2",))
-def q28_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r03_full_outer_join", oracle=_Q79_ORACLE, tags=("J2",))
+def r03_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full outer join of two pre-aggregated sides."""
     c = table(spark, sf_dir, "customer")
     s = table(spark, sf_dir, "supplier")

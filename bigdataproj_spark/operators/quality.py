@@ -85,8 +85,8 @@ def _gram_stats(grams: DataFrame, top_name: str, dup_name: str) -> DataFrame:
     )
 
 
-@query("r01_repetition_stats", oracle=_Q_R01_ORACLE, tags=("L5", "quality"))
-def r01_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q06_repetition_stats", oracle=_Q_R01_ORACLE, tags=("L5", "quality"))
+def q06_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document repetition profile: most-frequent-token fraction,
     duplicate-token fraction, and the same two over word bigrams.
 
@@ -160,8 +160,8 @@ ORDER BY doc_id
 """
 
 
-@query("r02_quality_gate", oracle=_Q_R02_ORACLE, tags=("L5", "L11", "quality"))
-def r02_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q15_quality_gate", oracle=_Q_R02_ORACLE, tags=("L5", "L11", "quality"))
+def q15_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style keep/drop gate, entirely map-only.
 
     Every predicate reads off the token array with higher-order
@@ -244,8 +244,8 @@ ORDER BY c_custkey
 """
 
 
-@query("r03_pii_scrub", oracle=_Q_R03_ORACLE, tags=("L11", "quality", "cleaning"))
-def r03_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q28_pii_scrub", oracle=_Q_R03_ORACLE, tags=("L11", "quality", "cleaning"))
+def q28_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Email/phone redaction with per-row match counts (map-only).
 
     The redaction regexes run in one projection; at corpus scale this
@@ -310,8 +310,8 @@ ORDER BY doc_id
 """
 
 
-@query("r04_unigram_perplexity", oracle=_Q_R04_ORACLE, tags=("L5", "quality"))
-def r04_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q35_unigram_perplexity", oracle=_Q_R04_ORACLE, tags=("L5", "quality"))
+def q35_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-unigram perplexity proxy per document (L5's declared
     "perplexity-proxy n-gram score", SURVEY.md §2.3).
 
@@ -382,8 +382,8 @@ ORDER BY doc_id
 """
 
 
-@query("r06_sequence_packing", oracle=_Q_R06_ORACLE, tags=("L9", "quality"))
-def r06_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q47_sequence_packing", oracle=_Q_R06_ORACLE, tags=("L9", "quality"))
+def q47_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk packing: documents are laid out in doc_id
     order on a global token tape and cut into fixed-budget training
     sequences; each document reports its tape offset and first/last
@@ -482,8 +482,8 @@ ORDER BY doc_id
 """
 
 
-@query("r07_decontamination", oracle=_Q_R07_ORACLE, tags=("L2", "L5", "quality"))
-def r07_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q48_decontamination", oracle=_Q_R07_ORACLE, tags=("L2", "L5", "quality"))
+def q48_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag corpus documents sharing 5-gram
     spans with a held-out set (doc_id < 50 plays the eval split).
 

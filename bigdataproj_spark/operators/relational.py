@@ -209,8 +209,8 @@ ORDER BY c_nationkey, c_mktsegment
 """
 
 
-@query("q06_distinct_dedup", oracle=_Q56_ORACLE, tags=("A5",))
-def q06_distinct_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r01_distinct_dedup", oracle=_Q56_ORACLE, tags=("A5",))
+def r01_distinct_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup over a full projection (dropDuplicates == DISTINCT)."""
     c = table(spark, sf_dir, "customer")
     return (
@@ -577,8 +577,8 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
-@query("q15_unpivot", oracle=_Q66_ORACLE, tags=("A9",))
-def q15_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r02_unpivot", oracle=_Q66_ORACLE, tags=("A9",))
+def r02_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot (melt) the wide pivot back to long form.
 
     Round-trips q14's wide frame through ``DataFrame.unpivot``; the

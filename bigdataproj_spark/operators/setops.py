@@ -74,8 +74,8 @@ ORDER BY op, p
 """
 
 
-@query("q43_multiset_ops", oracle=_Q94_ORACLE, tags=("T2", "T3"))
-def q43_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r05_multiset_ops", oracle=_Q94_ORACLE, tags=("T2", "T3"))
+def r05_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT ALL / EXCEPT ALL multiset semantics, re-aggregated so
     the (duplicated) result rows stay order-insensitive."""
     o = table(spark, sf_dir, "orders")

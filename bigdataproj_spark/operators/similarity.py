@@ -662,8 +662,8 @@ ORDER BY vec_id
 """
 
 
-@query("r05_semantic_dedup", oracle=_Q_R05_ORACLE, tags=("L2", "L3", "similarity"))
-def r05_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q43_semantic_dedup", oracle=_Q_R05_ORACLE, tags=("L2", "L3", "similarity"))
+def q43_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic-duplicate clusters over embedding cosine >= 0.3 with
     min-id survivor selection — the SemDeDup recipe: embed, find
     near-neighbors, keep one representative per semantic cluster.

@@ -224,8 +224,8 @@ ORDER BY o_orderkey
 """
 
 
-@query("q35_distribution_functions", oracle=_Q86_ORACLE, tags=("W1",))
-def q35_distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r04_distribution_functions", oracle=_Q86_ORACLE, tags=("W1",))
+def r04_distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percent_rank / cume_dist per priority by price.
 
     Both are rank-based ((rank-1)/(n-1), peers_≤/n): integer-derived

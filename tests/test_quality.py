@@ -15,9 +15,9 @@ from pyspark.sql import functions as F
 from bigdataproj_spark.operators.quality import (
     _EMAIL_RE,
     _PHONE_RE,
-    r01_repetition_stats,
-    r02_quality_gate,
-    r03_pii_scrub,
+    q06_repetition_stats,
+    q15_quality_gate,
+    q28_pii_scrub,
 )
 from bigdataproj_spark.plans import physical_plan as plan_of
 
@@ -25,7 +25,7 @@ from bigdataproj_spark.plans import physical_plan as plan_of
 def test_repetition_fractions_bounded(spark, sf_dir):
     """All four fractions live in [0, 1], and top-gram frac can never
     be below 1/n_grams (the mode is at least average)."""
-    pdf = r01_repetition_stats(spark, sf_dir).toPandas()
+    pdf = q06_repetition_stats(spark, sf_dir).toPandas()
     assert len(pdf) > 0
     for c in ["top_token_frac", "dup_token_frac", "top_bigram_frac", "dup_bigram_frac"]:
         assert (pdf[c] >= 0).all() and (pdf[c] <= 1).all(), c
@@ -36,7 +36,7 @@ def test_repetition_fractions_bounded(spark, sf_dir):
 
 def test_quality_gate_keep_is_conjunction(spark, sf_dir):
     """`keep` must equal the AND of the five component predicates."""
-    pdf = r02_quality_gate(spark, sf_dir).toPandas()
+    pdf = q15_quality_gate(spark, sf_dir).toPandas()
     assert len(pdf) > 0
     comp = (
         pdf["len_ok"]
@@ -55,7 +55,7 @@ def test_quality_gate_keep_is_conjunction(spark, sf_dir):
 def test_pii_scrub_leaves_no_matches(spark, sf_dir):
     """After redaction the scrubbed text contains zero email/phone
     matches, and the audit counts equal the redaction placeholders."""
-    pdf = r03_pii_scrub(spark, sf_dir).toPandas()
+    pdf = q28_pii_scrub(spark, sf_dir).toPandas()
     assert len(pdf) > 0
     assert (pdf["n_emails"] >= 1).all()  # synthetic contact always has one
     assert (pdf["n_phones"] >= 1).all()
@@ -72,7 +72,7 @@ def test_quality_gate_and_scrub_are_map_only(spark, sf_dir):
     """The r02/r03 docstrings claim zero data shuffles: the only
     exchange allowed in either plan is the final ORDER BY's range
     exchange over the raw scan."""
-    for build in (r02_quality_gate, r03_pii_scrub):
+    for build in (q15_quality_gate, q28_pii_scrub):
         plan = plan_of(build(spark, sf_dir))
         exchanges = [
             line for line in plan.splitlines() if re.search(r"\bExchange\b", line)
@@ -85,7 +85,7 @@ def test_repetition_single_shuffle_per_gram_width(spark, sf_dir):
     join+sort on doc_id — no second aggregation exchange per width
     (the doc-level rollup must reuse the gram-count partitioning via
     partial aggregation, not add an exchange)."""
-    plan = plan_of(r01_repetition_stats(spark, sf_dir))
+    plan = plan_of(q06_repetition_stats(spark, sf_dir))
     hash_exchanges = len(
         [
             line
@@ -105,10 +105,10 @@ def test_sequence_packing_tape_is_contiguous(spark, sf_dir):
     span is consistent with its offset and the fixed budget."""
     from bigdataproj_spark.operators.quality import (
         _SEQ_BUDGET,
-        r06_sequence_packing,
+        q47_sequence_packing,
     )
 
-    pdf = r06_sequence_packing(spark, sf_dir).toPandas()
+    pdf = q47_sequence_packing(spark, sf_dir).toPandas()
     assert len(pdf) > 0
     assert pdf["start_offset"].iloc[0] == 0
     expected = (pdf["start_offset"] + pdf["n_tokens"]).shift(1).fillna(0)
@@ -125,10 +125,10 @@ def test_decontamination_fractions_consistent(spark, sf_dir):
     count; the held-out split itself never appears in the output."""
     from bigdataproj_spark.operators.quality import (
         _DECON_HELD_OUT_MAX,
-        r07_decontamination,
+        q48_decontamination,
     )
 
-    pdf = r07_decontamination(spark, sf_dir).toPandas()
+    pdf = q48_decontamination(spark, sf_dir).toPandas()
     assert len(pdf) > 0
     assert (pdf["doc_id"] >= _DECON_HELD_OUT_MAX).all()
     assert (pdf["n_contaminated"] <= pdf["n_grams"]).all()
