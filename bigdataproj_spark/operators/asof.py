@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import table
-from ..functions import fmt_ts
+from ..functions import cents, fmt_ts
 from ..registry import query
 
 
@@ -190,7 +190,7 @@ def q82_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = e.groupBy(
         "user_id", F.date_trunc("day", "ts").alias("day")
     ).agg(
-        (F.sum(F.round(F.col("value") * 100).cast("long")).cast("double") / 100).alias(
+        (F.sum(cents("value")).cast("double") / 100).alias(
             "day_value"
         )
     )

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..functions import cents
 from ..registry import query
 
 # Deterministic missingness masks (same arithmetic in the oracle).
@@ -82,7 +83,7 @@ def q96_null_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = masked.na.drop(subset=["event_type"])
     mean = kept.agg(
         (
-            F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+            F.sum(cents("value")).cast("double")
             / 100
             / F.count("value")
         ).alias("mean_value")
