@@ -762,3 +762,87 @@ def q97_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("edit_dist") <= _LEV_MAX) & (F.col("name_a") != F.col("name_b")))
         .orderBy("key_a", "key_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# r10: incremental dedup — a new batch against an existing corpus index.
+# ---------------------------------------------------------------------------
+
+_INCR_SPLIT = 400   # doc_id < 400 plays the already-ingested corpus
+_INCR_PREFIX = 10   # fingerprint the first k tokens (prefix dedup)
+
+_Q_R10_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
+),
+fp AS (
+  SELECT doc_id, md5(array_to_string(toks[1:{_INCR_PREFIX}], ' ')) AS fingerprint
+  FROM t
+),
+idx AS (
+  SELECT DISTINCT fingerprint FROM fp WHERE doc_id < {_INCR_SPLIT}
+),
+batch AS (
+  SELECT doc_id, fingerprint,
+    ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+  FROM fp WHERE doc_id >= {_INCR_SPLIT}
+)
+SELECT b.doc_id, b.fingerprint,
+  CASE
+    WHEN i.fingerprint IS NOT NULL THEN 'dup_index'
+    WHEN b.rn > 1 THEN 'dup_batch'
+    ELSE 'new'
+  END AS status
+FROM batch b LEFT JOIN idx i USING (fingerprint)
+ORDER BY b.doc_id
+"""
+
+
+@query("r10_incremental_dedup", oracle=_Q_R10_ORACLE, tags=("L1", "dedup"))
+def r10_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup a newly-ingested batch against the corpus that is already
+    in the lake (doc_id < 400 plays the stored fingerprint index) AND
+    within itself: every batch document is labeled ``new`` (first
+    sighting anywhere), ``dup_index`` (content already ingested in a
+    prior run), or ``dup_batch`` (repeated within this batch, min
+    doc_id survives).
+
+    This is the continuous-ingest form of L1 exact dedup: production
+    pipelines never re-fingerprint the corpus per batch — they keep
+    the fingerprint column as its own slim table and anti-join each
+    increment against it. The fingerprint here is over the normalized
+    first-k-token prefix (the standard trick for re-crawls that differ
+    only in trailing boilerplate; whole-text md5 is q63's form). Plan
+    shape at scale: both sides hash-partition once on the 128-bit
+    fingerprint (uniform by construction, no skew); the within-batch
+    window reuses the same key. The index side scans fingerprints
+    only — never the stored text.
+    """
+    d = table(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.slice(tokens("text"), 1, _INCR_PREFIX))).alias(
+            "fingerprint"
+        ),
+    )
+    idx = (
+        fp.filter(F.col("doc_id") < _INCR_SPLIT)
+        .select("fingerprint")
+        .distinct()
+        .withColumn("_in_idx", F.lit(1))
+    )
+    batch = fp.filter(F.col("doc_id") >= _INCR_SPLIT)
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    return (
+        batch.withColumn("rn", F.row_number().over(w))
+        .join(idx, "fingerprint", "left")
+        .select(
+            "doc_id",
+            "fingerprint",
+            F.when(F.col("_in_idx").isNotNull(), "dup_index")
+            .when(F.col("rn") > 1, "dup_batch")
+            .otherwise("new")
+            .alias("status"),
+        )
+        .orderBy("doc_id")
+    )

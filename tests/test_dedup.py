@@ -165,3 +165,36 @@ def test_minhash_array_form_equals_explode_form(spark, sf_dir):
     assert len(fast) == len(slow) > 0
     for a, b in zip(fast, slow):
         assert a.doc_id == b.doc_id and a.sig == b.sig
+
+
+def test_incremental_dedup_status_partition(spark, sf_dir):
+    """r10's three statuses must partition the batch consistently:
+    dup_index fingerprints exist in the index side, new/dup_batch ones
+    don't, and the min-doc_id member of every non-indexed fingerprint
+    group is the one labeled new."""
+    from bigdataproj_spark.catalog import table
+    from bigdataproj_spark.operators.dedup import (
+        _INCR_PREFIX,
+        _INCR_SPLIT,
+        r10_incremental_dedup,
+    )
+    from bigdataproj_spark.operators.text import tokens
+
+    pdf = r10_incremental_dedup(spark, sf_dir).toPandas()
+    assert (pdf["doc_id"] >= _INCR_SPLIT).all()
+    idx = set(
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _INCR_SPLIT)
+        .select(
+            F.md5(F.concat_ws(" ", F.slice(tokens("text"), 1, _INCR_PREFIX))).alias("f")
+        )
+        .toPandas()["f"]
+    )
+    in_idx = pdf["fingerprint"].isin(idx)
+    assert (pdf.loc[in_idx, "status"] == "dup_index").all()
+    rest = pdf[~in_idx]
+    assert set(rest["status"]) <= {"new", "dup_batch"}
+    for _, g in rest.groupby("fingerprint"):
+        g = g.sort_values("doc_id")
+        assert g["status"].iloc[0] == "new"
+        assert (g["status"].iloc[1:] == "dup_batch").all()
