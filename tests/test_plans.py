@@ -98,13 +98,15 @@ def test_topk_uses_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan
 
 
-def test_cosine_probe_side_broadcasts(spark, sf_dir):
-    """q68's probe set must broadcast: the corpus side streams through
-    map tasks without a shuffle (no SortMergeJoin at any corpus
-    size)."""
+def test_cosine_scoring_is_mapside(spark, sf_dir):
+    """q68's scoring is a map-only Arrow kernel over the corpus scan:
+    no join of the corpus against anything (the probes ride inside the
+    UDF closure), and the only exchange is the final per-probe re-rank
+    over batches x P x K pruned rows."""
     df = load_all()["q68_cosine_topk"].build(spark, sf_dir)
     plan = plan_of(df)
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "MapInPandas" in plan, plan
+    assert "Join" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
 
 
