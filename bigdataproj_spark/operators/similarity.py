@@ -683,30 +683,42 @@ def q43_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-id survivor selection — the SemDeDup recipe: embed, find
     near-neighbors, keep one representative per semantic cluster.
 
-    Spark side: exact Q20-integer pair scoring (bit-equal to the
-    oracle), iterative min-label propagation for the transitive
+    Spark side: exact Q20-integer pair scoring via the same Arrow
+    numpy-matmul kernel as q68 (the bounded comparison set rides in
+    the UDF closure; each batch emits only its above-threshold edges —
+    no BNLJ pair materialization, same floor/int64/IEEE arithmetic as
+    the oracle), iterative min-label propagation for the transitive
     closure, then a left join back to the full vector set so
     singletons survive as their own cluster. Oracle side: the same
     pairs fed to a recursive-CTE transitive closure — two different
     algorithms, identical labels required.
     """
+    import numpy as np
+    import pandas as pd
+
     e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _NEAR_DUP_MAX_ID)
-    withn = e.select("vec_id", quantize_q20("embedding").alias("qe")).select(
-        "vec_id", "qe", F.sqrt(dot_q20("qe", "qe").cast("double")).alias("norm")
+    ref_rows = sorted(
+        e.select("vec_id", "embedding").collect(), key=lambda r: r.vec_id
     )
-    a = withn.select(
-        F.col("vec_id").alias("vec_a"), F.col("qe").alias("ea"), F.col("norm").alias("na")
-    )
-    b = withn.select(
-        F.col("vec_id").alias("vec_b"), F.col("qe").alias("eb"), F.col("norm").alias("nb")
-    )
-    cos = dot_q20("ea", "eb").cast("double") / (F.col("na") * F.col("nb"))
-    edges = (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", cos.alias("cos"))
-        .filter(F.col("cos") >= _SEMDEDUP_COS)
-        .select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
-    )
+    R = np.floor(
+        np.array([r.embedding for r in ref_rows], dtype=np.float64) * _Q
+    ).astype(np.int64)
+    r_ids = np.array([r.vec_id for r in ref_rows], dtype=np.int64)
+    r_norm = np.sqrt((R * R).sum(axis=1).astype(np.float64))
+
+    def edge_kernel(batches):
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            C = np.floor(
+                np.stack(pdf["embedding"].to_numpy()).astype(np.float64) * _Q
+            ).astype(np.int64)
+            c_norm = np.sqrt((C * C).sum(axis=1).astype(np.float64))
+            cos = (C @ R.T).astype(np.float64) / (c_norm[:, None] * r_norm[None, :])
+            # upper triangle only (src < dst) at/above threshold
+            src, dst = np.where((cos >= _SEMDEDUP_COS) & (ids[:, None] < r_ids[None, :]))
+            yield pd.DataFrame({"src": ids[src], "dst": r_ids[dst]})
+
+    edges = e.select("vec_id", "embedding").mapInPandas(edge_kernel, "src long, dst long")
     from .dedup import connected_components
 
     labels = connected_components(edges).withColumnRenamed("doc_id", "vec_id")
