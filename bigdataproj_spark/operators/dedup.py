@@ -846,3 +846,86 @@ def r10_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# r11: sub-document (chunk-level) dedup — the C4/RefinedWeb line-dedup
+# recipe at fixed token-span granularity.
+# ---------------------------------------------------------------------------
+
+_CHUNK_DEDUP_K = 16  # non-overlapping span width in tokens
+
+_Q_R11_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
+  WHERE len({TOKENS_SQL}) > 0
+),
+st AS (
+  SELECT doc_id, toks, unnest(range(0, len(toks), {_CHUNK_DEDUP_K})) AS s FROM t
+),
+c AS (
+  SELECT doc_id, CAST(s / {_CHUNK_DEDUP_K} AS BIGINT) AS chunk_idx,
+    len(toks[s + 1 : s + {_CHUNK_DEDUP_K}]) AS n_tokens,
+    md5(array_to_string(toks[s + 1 : s + {_CHUNK_DEDUP_K}], ' ')) AS f
+  FROM st
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY f ORDER BY doc_id, chunk_idx) AS rn
+  FROM c
+)
+SELECT doc_id,
+  COUNT(*) AS n_chunks,
+  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+  CAST(SUM(CASE WHEN rn = 1 THEN n_tokens ELSE 0 END) AS BIGINT) AS n_tokens_kept
+FROM r
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@query("r11_chunk_dedup", oracle=_Q_R11_ORACLE, tags=("L2", "dedup"))
+def r11_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup: non-overlapping 16-token spans are
+    fingerprinted corpus-wide and only each span's first occurrence
+    (by doc_id, position) survives — per document, how many spans it
+    holds, how many are repeats of earlier content anywhere in the
+    corpus, and how many tokens remain after the cut.
+
+    This is the line-level dedup large web corpora run AFTER document
+    dedup (C4's duplicate-line removal, RefinedWeb's line dedup):
+    boilerplate repeats across documents that are not themselves
+    duplicates. Span granularity replaces lines because the fixture
+    text has no line structure; the recipe is identical. Plan shape at
+    scale: map-only explode → one shuffle on the 128-bit span
+    fingerprint for the first-occurrence window (uniform key, no
+    skew) → one shuffle back to doc_id for the per-doc rollup.
+    """
+    d = table(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokens("text").alias("toks")).filter(F.size("toks") > 0)
+    st = t.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(0), F.size("toks") - 1, F.lit(_CHUNK_DEDUP_K))
+        ).alias("s"),
+    )
+    chunk = F.slice("toks", F.col("s") + 1, _CHUNK_DEDUP_K)
+    c = st.select(
+        "doc_id",
+        (F.col("s") / _CHUNK_DEDUP_K).cast("long").alias("chunk_idx"),
+        F.size(chunk).alias("n_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("f"),
+    )
+    w = Window.partitionBy("f").orderBy("doc_id", "chunk_idx")
+    r = c.withColumn("rn", F.row_number().over(w))
+    return (
+        r.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("rn") > 1).cast("long")).alias("n_dup_chunks"),
+            F.sum(F.when(F.col("rn") == 1, F.col("n_tokens")).otherwise(0)).alias(
+                "n_tokens_kept"
+            ),
+        )
+        .orderBy("doc_id")
+    )

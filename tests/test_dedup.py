@@ -198,3 +198,41 @@ def test_incremental_dedup_status_partition(spark, sf_dir):
         g = g.sort_values("doc_id")
         assert g["status"].iloc[0] == "new"
         assert (g["status"].iloc[1:] == "dup_batch").all()
+
+
+def test_chunk_dedup_conservation(spark, sf_dir):
+    """r11: per-doc chunk counts are consistent, and the corpus-wide
+    number of surviving chunks equals the number of distinct span
+    fingerprints (each fingerprint survives exactly once)."""
+    from bigdataproj_spark.catalog import table
+    from bigdataproj_spark.operators.dedup import (
+        _CHUNK_DEDUP_K,
+        r11_chunk_dedup,
+    )
+    from bigdataproj_spark.operators.text import tokens
+
+    pdf = r11_chunk_dedup(spark, sf_dir).toPandas()
+    assert (pdf["n_dup_chunks"] <= pdf["n_chunks"]).all()
+    assert (pdf["n_tokens_kept"] >= 0).all()
+    t = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", tokens("text").alias("toks"))
+        .filter(F.size("toks") > 0)
+    )
+    st = t.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.size("toks") - 1, F.lit(_CHUNK_DEDUP_K))
+        ).alias("s"),
+        "toks",
+    )
+    n_distinct = (
+        st.select(
+            F.md5(
+                F.concat_ws(" ", F.slice("toks", F.col("s") + 1, _CHUNK_DEDUP_K))
+            ).alias("f")
+        )
+        .distinct()
+        .count()
+    )
+    assert int((pdf["n_chunks"] - pdf["n_dup_chunks"]).sum()) == n_distinct
