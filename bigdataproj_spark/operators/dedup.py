@@ -609,9 +609,13 @@ def connected_components(
     — an LSH bucket join or a pair-scoring subtree — must not replay
     once per round.
     """
+    # Checkpoint edges BEFORE the reversal union: union branches don't
+    # share work, so materializing the union directly would run the
+    # (possibly expensive) edge lineage twice.
+    edges = edges.localCheckpoint(eager=True)
     both = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)
+    )
     labels = (
         both.select(F.col("src").alias("doc_id"))
         .distinct()

@@ -40,7 +40,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import table
 from ..registry import query
-from .sampling import _SALT
+from .sampling import hash60, hash60_sql
 from .text import TOKENS_SQL, tokens
 
 # ---------------------------------------------------------------------------
@@ -49,11 +49,10 @@ from .text import TOKENS_SQL, tokens
 
 _MIX_BASE_BUDGET = 300  # tokens per unit of domain weight
 _N_WEIGHTS = 4          # srcN weight = N % 4 + 1 (deterministic fixture mix)
+_MIX_SALT = "mix-v1:"   # own salt: re-versioning the train/val/test split
+                        # must not silently re-roll the domain-mix take-set
 
-_MIX_HASH_SQL = (
-    f"CAST(('0x' || substr(md5('{_SALT}' || CAST(doc_id AS VARCHAR)), 1, 15)) "
-    "AS BIGINT)"
-)
+_MIX_HASH_SQL = hash60_sql("CAST(doc_id AS VARCHAR)", _MIX_SALT)
 
 _Q_R08_ORACLE = f"""
 WITH t AS (
@@ -95,11 +94,7 @@ def r08_domain_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     appends, and cluster size.
     """
     d = table(spark, sf_dir, "documents")
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(_SALT), F.col("doc_id").cast("string"))), 1, 15),
-        16,
-        10,
-    ).cast("long")
+    h = hash60(F.col("doc_id").cast("string"), _MIX_SALT)
     t = d.select(
         "doc_id",
         "source",
@@ -141,10 +136,7 @@ def r08_domain_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_SHARDS = 8
 _ORDER_SALT = "order-v1:epoch0:"
 
-_ORDER_HASH_SQL = (
-    f"CAST(('0x' || substr(md5('{_ORDER_SALT}' || CAST(doc_id AS VARCHAR)), 1, 15)) "
-    "AS BIGINT)"
-)
+_ORDER_HASH_SQL = hash60_sql("CAST(doc_id AS VARCHAR)", _ORDER_SALT)
 
 _Q_R09_ORACLE = f"""
 WITH t AS (
@@ -172,13 +164,7 @@ def r09_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     to partitioning), no single-partition ROW_NUMBER over the corpus.
     """
     d = table(spark, sf_dir, "documents")
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(_ORDER_SALT), F.col("doc_id").cast("string"))), 1, 15
-        ),
-        16,
-        10,
-    ).cast("long")
+    h = hash60(F.col("doc_id").cast("string"), _ORDER_SALT)
     t = d.select("doc_id", h.alias("h"))
     w = Window.partitionBy(F.col("h") % _N_SHARDS).orderBy("h", "doc_id")
     return (

@@ -8,9 +8,9 @@ repetition rules; the C4/RefinedWeb cleaning recipes). The reference
 declares only coarse text analytics (reference README.md:58-63); these
 extend the same surface with the filters any corpus consumer needs.
 
-Registered with an ``r`` name prefix: the 50-query driver window is
-fully allocated to ``q``-named queries this round, so these sort
-behind it (local differential coverage now, window rotation later).
+Registered inside the driver's 50-query correctness window (q06/q15/
+q28/q35 plus packing q47 and decontamination q48) since the round-3
+window swap — see docs/QUERY_ROTATION.md for the mapping.
 
 Scale shapes:
 - repetition stats shuffle once on (doc_id, gram) with map-side
@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..registry import query
-from .text import STOPWORDS, TOKENS_SQL, tokens
+from .text import _ALNUM_SPACE, STOPWORDS, TOKENS_SQL, tokens
 
 # ---------------------------------------------------------------------------
 # r01: repetition statistics (Gopher §A1.1-style).
@@ -189,8 +189,6 @@ def q15_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_stop = F.size(F.filter("toks", lambda x: x.isin(*STOPWORDS)))
     dup_frac = (n_toks - F.size(F.array_distinct("toks"))).cast("double") / n_toks
-    from .text import _ALNUM_SPACE
-
     sym_frac = (
         F.length(F.translate("text", _ALNUM_SPACE, "")).cast("double")
         / F.length("text")

@@ -45,10 +45,26 @@ VAL_LT = 90    # buckets [80, 90) → val; [90, 100) → test
 _SALT = "split-v1:"  # version the split: changing the salt re-rolls it
 
 
+def hash60(key: Column, salt: str) -> Column:
+    """Engine-portable 60-bit hash: int64 of the first 15 hex digits of
+    md5(salt || key). The single definition every deterministic
+    membership/order operator shares (splits, samples, mixing,
+    training order); the SQL twin is ``hash60_sql``."""
+    return F.conv(F.substring(F.md5(F.concat(F.lit(salt), key)), 1, 15), 16, 10).cast(
+        "long"
+    )
+
+
+def hash60_sql(key_sql: str, salt: str) -> str:
+    """DuckDB twin of :func:`hash60`, bit-identical."""
+    return (
+        f"CAST(('0x' || substr(md5('{salt}' || {key_sql}), 1, 15)) AS BIGINT)"
+    )
+
+
 def _split_bucket(key: Column) -> Column:
     """Key → bucket in [0, N_BUCKETS): md5-prefix hash, engine-portable."""
-    h = F.conv(F.substring(F.md5(F.concat(F.lit(_SALT), key)), 1, 15), 16, 10)
-    return (h.cast("long") % N_BUCKETS).cast("int")
+    return (hash60(key, _SALT) % N_BUCKETS).cast("int")
 
 
 def hash_split(df: DataFrame, key: Column) -> DataFrame:

@@ -19,10 +19,25 @@ from bigdataproj_spark.plans import physical_plan as plan_of
 
 def test_mixing_budget_semantics(spark, sf_dir):
     """Per domain: every take is within budget except possibly the
-    last (the crossing document), the budget is met whenever the
-    domain has enough tokens, and take ranks are contiguous from 1."""
+    last (the crossing document), the take stops only once the budget
+    is crossed OR the domain ran out of tokens, and take ranks are
+    contiguous from 1."""
+    from pyspark.sql import functions as F
+
+    from bigdataproj_spark.catalog import table
+    from bigdataproj_spark.operators.text import tokens
+
     pdf = r08_domain_mixing(spark, sf_dir).toPandas()
     assert len(pdf) > 0
+    totals = (
+        table(spark, sf_dir, "documents")
+        .select("source", F.size(tokens("text")).alias("n"))
+        .filter(F.col("n") > 0)
+        .groupBy("source")
+        .agg(F.sum("n").alias("tot"))
+        .toPandas()
+        .set_index("source")["tot"]
+    )
     for src, g in pdf.groupby("source"):
         g = g.sort_values("take_rank")
         budget = int(g["weight"].iloc[0]) * _MIX_BASE_BUDGET
@@ -33,8 +48,10 @@ def test_mixing_budget_semantics(spark, sf_dir):
         # every doc but the last STARTS inside the budget
         starts = g["cum_tokens"] - g["n_tokens"]
         assert (starts < budget).all()
-        # the take stops only once the budget is crossed
-        assert g["cum_tokens"].iloc[-1] >= budget or len(g) == 0
+        # the take stops only once the budget is crossed, unless the
+        # whole domain has fewer tokens than its budget (took it all)
+        took_all = int(g["cum_tokens"].iloc[-1]) == int(totals[src])
+        assert g["cum_tokens"].iloc[-1] >= budget or took_all
 
 
 def test_mixing_weights_shift_take_sizes(spark, sf_dir):

@@ -92,3 +92,29 @@ def test_hash_split_proportions(spark, sf_dir):
     assert abs(frac.get("train", 0) - 0.80) < 0.08, frac
     assert abs(frac.get("val", 0) - 0.10) < 0.06, frac
     assert abs(frac.get("test", 0) - 0.10) < 0.06, frac
+
+
+def test_cents_matches_half_up_rounding_on_fixture_domain(spark, sf_dir):
+    """cents() uses floor(x*s + 0.5), which equals round-half-up only
+    for non-negative inputs. Pin (a) the fixture money/value columns
+    really are non-negative — the precondition — and (b) cents agrees
+    with Spark's Round on every fixture value, so a fixture regen that
+    introduces negatives trips this test before it corrupts a sum."""
+    from pyspark.sql import functions as F
+
+    from bigdataproj_spark.catalog import table
+    from bigdataproj_spark.functions import cents
+
+    for tbl, col in [
+        ("lineitem", "l_extendedprice"),
+        ("lineitem", "l_discount"),
+        ("lineitem", "l_tax"),
+        ("lineitem", "l_quantity"),
+        ("events", "value"),
+    ]:
+        df = table(spark, sf_dir, tbl).select(F.col(col).alias("x"))
+        bad = df.filter(
+            (F.col("x") < 0)
+            | (cents("x") != F.round(F.col("x") * 100).cast("long"))
+        ).count()
+        assert bad == 0, f"{tbl}.{col}: cents() precondition violated"
