@@ -160,25 +160,11 @@ ORDER BY doc_id
 """
 
 
-@query("q15_quality_gate", oracle=_Q_R02_ORACLE, tags=("L5", "L11", "quality"))
-def q15_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher/C4-style keep/drop gate, entirely map-only.
-
-    Every predicate reads off the token array with higher-order
-    functions — token count band, mean token length band, minimum
-    stopword evidence (a natural-language check), duplicate-token
-    ceiling, symbol-character ceiling — so the operator adds ZERO
-    shuffles at any corpus size and composes with the capstone
-    pipeline's quality gate. ORDER BY runs on the raw scan before the
-    projection (the range sampler then re-executes only the scan, and
-    the exchange width is pinned to defaultParallelism because it sets
-    the compute parallelism of the whole stats stage — see q19's shape
-    note).
-    """
-    d = table(spark, sf_dir, "documents")
-    d = d.repartitionByRange(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    ).sortWithinPartitions("doc_id")
+def quality_flags(d: DataFrame) -> DataFrame:
+    """The gate itself: any (doc_id, text)-shaped frame → per-doc flag
+    columns. Pure map expressions, so the SAME transformation runs on
+    a static frame and verbatim on a ``readStream`` frame (proven in
+    tests/test_streaming.py::test_quality_gate_streams_unchanged)."""
     t = d.select("doc_id", "text", tokens("text").alias("toks")).filter(
         F.size("toks") > 0
     )
@@ -207,6 +193,28 @@ def q15_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         sym_ok.alias("symbols_ok"),
         (len_ok & tlen_ok & stop_ok & rep_ok & sym_ok).alias("keep"),
     )
+
+
+@query("q15_quality_gate", oracle=_Q_R02_ORACLE, tags=("L5", "L11", "quality"))
+def q15_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style keep/drop gate, entirely map-only.
+
+    Every predicate reads off the token array with higher-order
+    functions — token count band, mean token length band, minimum
+    stopword evidence (a natural-language check), duplicate-token
+    ceiling, symbol-character ceiling — so the operator adds ZERO
+    shuffles at any corpus size and composes with the capstone
+    pipeline's quality gate. ORDER BY runs on the raw scan before the
+    projection (the range sampler then re-executes only the scan, and
+    the exchange width is pinned to defaultParallelism because it sets
+    the compute parallelism of the whole stats stage — see q19's shape
+    note).
+    """
+    d = table(spark, sf_dir, "documents")
+    d = d.repartitionByRange(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    ).sortWithinPartitions("doc_id")
+    return quality_flags(d)
 
 
 # ---------------------------------------------------------------------------

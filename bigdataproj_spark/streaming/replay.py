@@ -71,11 +71,32 @@ def stage_microbatches(
     return paths
 
 
+DOCUMENTS_DDL = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def stage_document_batches(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_batches: int = 4
+) -> list[str]:
+    """Split documents into n deterministic doc_id-ordered micro-batch
+    parquet files (the corpus-as-a-stream replay for stateless text
+    operators)."""
+    pdf = table(spark, sf_dir, "documents").toPandas().sort_values("doc_id")
+    size = (len(pdf) + n_batches - 1) // n_batches
+    paths = []
+    for b in range(n_batches):
+        part = pdf.iloc[b * size : (b + 1) * size]
+        path = os.path.join(out_dir, f"docs_{b:03d}.parquet")
+        part.to_parquet(path, index=False)
+        paths.append(path)
+    return paths
+
+
 def run_file_stream(
     spark: SparkSession,
     batch_paths: list[str],
     transform,
     output_mode: str = "append",
+    schema: str = EVENTS_DDL,
 ) -> pd.DataFrame:
     """Drive a Structured Streaming query over staged micro-batches.
 
@@ -90,7 +111,7 @@ def run_file_stream(
     sink_name = f"sink_{abs(hash(tuple(batch_paths))) % 10**8}"
     try:
         stream = (
-            spark.readStream.schema(EVENTS_DDL)
+            spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
         )

@@ -316,3 +316,32 @@ def test_stateful_running_totals_tws(spark, sf_dir, batches):
     pd.testing.assert_series_equal(
         last["total"].sort_index(), want["total"], check_names=False
     )
+
+
+def test_quality_gate_streams_unchanged(spark, sf_dir, tmp_path):
+    """The corpus quality gate (a pure map transformation) must run
+    VERBATIM as a Structured Streaming query: replaying the documents
+    table in micro-batches through quality_flags() yields exactly the
+    batch result — the composability claim of the map-only operators
+    (any stateless cleaning/gate/scrub stage streams for free)."""
+    from bigdataproj_spark.catalog import table
+    from bigdataproj_spark.operators.quality import quality_flags
+    from bigdataproj_spark.streaming.replay import (
+        DOCUMENTS_DDL,
+        run_file_stream,
+        stage_document_batches,
+    )
+
+    batch = (
+        quality_flags(table(spark, sf_dir, "documents"))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    paths = stage_document_batches(spark, sf_dir, str(tmp_path), n_batches=4)
+    streamed = (
+        run_file_stream(spark, paths, quality_flags, schema=DOCUMENTS_DDL)
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert batch.equals(streamed)
