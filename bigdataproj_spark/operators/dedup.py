@@ -802,8 +802,8 @@ ORDER BY b.doc_id
 """
 
 
-@query("r10_incremental_dedup", oracle=_Q_R10_ORACLE, tags=("L1", "dedup"))
-def r10_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q11_incremental_dedup", oracle=_Q_R10_ORACLE, tags=("L1", "dedup"))
+def q11_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup a newly-ingested batch against the corpus that is already
     in the lake (doc_id < 400 plays the stored fingerprint index) AND
     within itself: every batch document is labeled ``new`` (first
@@ -887,8 +887,8 @@ ORDER BY doc_id
 """
 
 
-@query("r11_chunk_dedup", oracle=_Q_R11_ORACLE, tags=("L2", "dedup"))
-def r11_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q24_chunk_dedup", oracle=_Q_R11_ORACLE, tags=("L2", "dedup"))
+def q24_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sub-document dedup: non-overlapping 16-token spans are
     fingerprinted corpus-wide and only each span's first occurrence
     (by doc_id, position) survives — per document, how many spans it

@@ -191,8 +191,8 @@ ORDER BY c_custkey
 """
 
 
-@query("q30_anti_join", oracle=_Q81_ORACLE, tags=("J3",))
-def q30_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r06_anti_join", oracle=_Q81_ORACLE, tags=("J3",))
+def r06_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customers with no orders at all (left anti)."""
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")

@@ -80,8 +80,8 @@ ORDER BY source, take_rank
 """
 
 
-@query("r08_domain_mixing", oracle=_Q_R08_ORACLE, tags=("L9", "mixing"))
-def r08_domain_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q02_domain_mixing", oracle=_Q_R08_ORACLE, tags=("L9", "mixing"))
+def q02_domain_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strike a weighted pretraining mix: per source domain, take
     documents in deterministic hash order until the domain's token
     budget (weight x {base} tokens) is crossed; the crossing document
@@ -151,8 +151,8 @@ ORDER BY shard, pos
 """
 
 
-@query("r09_training_order", oracle=_Q_R09_ORACLE, tags=("L9", "mixing"))
-def r09_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q05_training_order", oracle=_Q_R09_ORACLE, tags=("L9", "mixing"))
+def q05_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Assign every document an epoch-stable (shard, pos) training
     position: hash to one of {shards} shards, sort by hash within the
     shard.

@@ -182,8 +182,8 @@ ORDER BY doc_id, frame_idx
 """
 
 
-@query("r06_frame_sample", oracle=_Q98_ORACLE, tags=("L8", "multimodal"))
-def r06_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q30_frame_sample", oracle=_Q98_ORACLE, tags=("L8", "multimodal"))
+def q30_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every-2nd-frame sampling over binary media blobs: a 1-to-N
     Arrow-batched fan-out whose Python slice stands in for a real
     frame decoder (swap the slice for ffmpeg in deployment — the
@@ -241,8 +241,8 @@ ORDER BY doc_id
 """
 
 
-@query("r07_media_resize", oracle=_Q99_ORACLE, tags=("L8", "multimodal"))
-def r07_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q40_media_resize", oracle=_Q99_ORACLE, tags=("L8", "multimodal"))
+def q40_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize-to-box over binary media with exact integer byte-count
     arithmetic (the pixel resampler is the stub; the distributed
     plumbing and the metadata math are the tested contract)."""

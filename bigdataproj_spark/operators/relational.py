@@ -98,8 +98,8 @@ FROM orders
 """
 
 
-@query("q02_global_agg", oracle=_Q52_ORACLE, tags=("A3",))
-def q02_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r08_global_agg", oracle=_Q52_ORACLE, tags=("A3",))
+def r08_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global (grouping-key-free) aggregate; partial+final automatic."""
     o = table(spark, sf_dir, "orders")
     return o.agg(
@@ -184,8 +184,8 @@ ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
 """
 
 
-@query("q05_cube_agg", oracle=_Q55_ORACLE, tags=("A4",))
-def q05_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r09_cube_agg", oracle=_Q55_ORACLE, tags=("A4",))
+def r09_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (orderstatus, orderpriority)."""
     o = table(spark, sf_dir, "orders")
     return (
@@ -482,8 +482,8 @@ ORDER BY o.o_orderkey
 """
 
 
-@query("q11_exists_subquery", oracle=_Q62_ORACLE, tags=("Q1",))
-def q11_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r10_exists_subquery", oracle=_Q62_ORACLE, tags=("Q1",))
+def r10_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated EXISTS + IN list; Catalyst decorrelates to a semi join."""
     register_views(spark, sf_dir)
     return spark.sql(

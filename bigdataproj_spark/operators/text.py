@@ -509,8 +509,8 @@ ORDER BY doc_id
 """
 
 
-@query("q24_rolling_fingerprint", oracle=_Q75_ORACLE, tags=("L1", "L5", "text"))
-def q24_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r11_rolling_fingerprint", oracle=_Q75_ORACLE, tags=("L1", "L5", "text"))
+def r11_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive rolling-hash fingerprint per document (companion
     to the order-insensitive md5 fingerprint of q22)."""
     d = table(spark, sf_dir, "documents")

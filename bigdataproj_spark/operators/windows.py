@@ -188,8 +188,8 @@ ORDER BY o_orderpriority, rn
 """
 
 
-@query("q40_topk_per_group", oracle=_Q91_ORACLE, tags=("O3",))
-def q40_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r07_topk_per_group", oracle=_Q91_ORACLE, tags=("O3",))
+def r07_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 orders by price per priority.
 
     Spark rewrites row_number+filter into per-partition top-k

@@ -176,11 +176,11 @@ def test_incremental_dedup_status_partition(spark, sf_dir):
     from bigdataproj_spark.operators.dedup import (
         _INCR_PREFIX,
         _INCR_SPLIT,
-        r10_incremental_dedup,
+        q11_incremental_dedup,
     )
     from bigdataproj_spark.operators.text import tokens
 
-    pdf = r10_incremental_dedup(spark, sf_dir).toPandas()
+    pdf = q11_incremental_dedup(spark, sf_dir).toPandas()
     assert (pdf["doc_id"] >= _INCR_SPLIT).all()
     idx = set(
         table(spark, sf_dir, "documents")
@@ -207,11 +207,11 @@ def test_chunk_dedup_conservation(spark, sf_dir):
     from bigdataproj_spark.catalog import table
     from bigdataproj_spark.operators.dedup import (
         _CHUNK_DEDUP_K,
-        r11_chunk_dedup,
+        q24_chunk_dedup,
     )
     from bigdataproj_spark.operators.text import tokens
 
-    pdf = r11_chunk_dedup(spark, sf_dir).toPandas()
+    pdf = q24_chunk_dedup(spark, sf_dir).toPandas()
     assert (pdf["n_dup_chunks"] <= pdf["n_chunks"]).all()
     assert (pdf["n_tokens_kept"] >= 0).all()
     t = (

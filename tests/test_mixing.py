@@ -11,8 +11,8 @@ from __future__ import annotations
 from bigdataproj_spark.operators.mixing import (
     _MIX_BASE_BUDGET,
     _N_SHARDS,
-    r08_domain_mixing,
-    r09_training_order,
+    q02_domain_mixing,
+    q05_training_order,
 )
 from bigdataproj_spark.plans import physical_plan as plan_of
 
@@ -27,7 +27,7 @@ def test_mixing_budget_semantics(spark, sf_dir):
     from bigdataproj_spark.catalog import table
     from bigdataproj_spark.operators.text import tokens
 
-    pdf = r08_domain_mixing(spark, sf_dir).toPandas()
+    pdf = q02_domain_mixing(spark, sf_dir).toPandas()
     assert len(pdf) > 0
     totals = (
         table(spark, sf_dir, "documents")
@@ -57,7 +57,7 @@ def test_mixing_budget_semantics(spark, sf_dir):
 def test_mixing_weights_shift_take_sizes(spark, sf_dir):
     """Higher-weight domains must take at least as many tokens as the
     lowest-weight domain (budgets scale linearly with weight)."""
-    pdf = r08_domain_mixing(spark, sf_dir).toPandas()
+    pdf = q02_domain_mixing(spark, sf_dir).toPandas()
     per = pdf.groupby("source").agg(
         weight=("weight", "first"), tok=("cum_tokens", "max")
     )
@@ -69,7 +69,7 @@ def test_mixing_weights_shift_take_sizes(spark, sf_dir):
 def test_training_order_is_a_permutation(spark, sf_dir):
     """Every document appears exactly once; positions are contiguous
     per shard; shard ids are in [0, N)."""
-    pdf = r09_training_order(spark, sf_dir).toPandas()
+    pdf = q05_training_order(spark, sf_dir).toPandas()
     assert pdf["doc_id"].is_unique
     assert pdf["shard"].between(0, _N_SHARDS - 1).all()
     for _, g in pdf.groupby("shard"):
@@ -79,9 +79,9 @@ def test_training_order_is_a_permutation(spark, sf_dir):
 def test_training_order_salt_stability(spark, sf_dir):
     """The assignment is a pure function of doc_id — rerunning yields
     the identical frame (no RNG, no partition dependence)."""
-    a = r09_training_order(spark, sf_dir).toPandas()
+    a = q05_training_order(spark, sf_dir).toPandas()
     b = (
-        r09_training_order(spark, sf_dir)
+        q05_training_order(spark, sf_dir)
         .repartition(13)
         .orderBy("shard", "pos")
         .toPandas()
@@ -92,7 +92,7 @@ def test_training_order_salt_stability(spark, sf_dir):
 def test_mixing_plan_has_no_join(spark, sf_dir):
     """r08 is scan -> window -> filter: no join operator anywhere, and
     exactly one exchange (the window's hash partition on source)."""
-    p = plan_of(r08_domain_mixing(spark, sf_dir))
+    p = plan_of(q02_domain_mixing(spark, sf_dir))
     assert "Join" not in p
     # one data exchange for the window + the final presentation sort's
     # range exchange; nothing else
@@ -103,7 +103,7 @@ def test_training_order_plan_is_one_hash_shuffle(spark, sf_dir):
     """r09 must not contain a single-partition window (the global
     ROW_NUMBER anti-pattern) — the window partitions on the shard
     hash."""
-    p = plan_of(r09_training_order(spark, sf_dir))
+    p = plan_of(q05_training_order(spark, sf_dir))
     assert "Join" not in p
     assert p.count("Exchange hashpartitioning") == 1
     assert "Exchange SinglePartition" not in p
