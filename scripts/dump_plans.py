@@ -32,9 +32,21 @@ HEADER = [
     "",
 ]
 
+# bench-tagged queries plus the flagship LLM-pipeline operators whose
+# plan shape the docs argue from (mixing window, span-dedup shuffles,
+# packing prefix sum, decontamination broadcast semi-join).
+EXTRA = {
+    "q02_domain_mixing",
+    "q05_training_order",
+    "q11_incremental_dedup",
+    "q24_chunk_dedup",
+    "q47_sequence_packing",
+    "q48_decontamination",
+}
+
 out = list(HEADER)
 for name, q in sorted(load_all().items()):
-    if "bench" not in q.tags:
+    if "bench" not in q.tags and name not in EXTRA:
         continue
     df = q.build(spark, SF_DIR)
     df.write.format("noop").mode("overwrite").save()
