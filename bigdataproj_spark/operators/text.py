@@ -861,3 +861,214 @@ def q95_fulltext_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# r12-r14: tokenizer/embedding training prep — skip-gram pairs, vocab
+# build, token-id encoding. The three steps between a clean corpus and
+# an embedding/tokenizer training job.
+# ---------------------------------------------------------------------------
+
+_SG_WINDOW = 2      # skip-gram context window (±2)
+_VOCAB_MIN_DF = 5   # vocab: min document frequency
+_ENC_PREFIX = 32    # encoding: first k token ids per document
+
+_Q_R12_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {TOKENS_SQL} AS toks FROM documents WHERE len({TOKENS_SQL}) >= 2
+),
+pos AS (
+  SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM t
+),
+pairs AS (
+  SELECT toks[i] AS center, toks[i + d.d] AS context, abs(d.d) AS dist
+  FROM pos, (SELECT unnest([-{_SG_WINDOW}, -1, 1, {_SG_WINDOW}]) AS d) d
+  WHERE i + d.d BETWEEN 1 AND len(toks)
+)
+SELECT center, context, dist, COUNT(*) AS n_pairs
+FROM pairs
+GROUP BY center, context, dist
+HAVING COUNT(*) >= 50
+ORDER BY center, context, dist
+"""
+
+
+@query("r12_skipgram_pairs", oracle=_Q_R12_ORACLE, tags=("L4", "text"))
+def r12_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram (center, context) co-occurrence counts within a ±2
+    token window — the training-pair generation step of word2vec-style
+    embedding jobs (and the co-occurrence matrix of GloVe, the
+    reference's declared embedding surface, reference README.md:58-61).
+
+    Plan shape at scale: map-only pair explosion (positions × the
+    four window offsets) followed by ONE count aggregation on the
+    (center, context, dist) key with map-side combine — the classic
+    shape whose output is vocabulary², bounded, while the input scales
+    with the corpus. The HAVING floor keeps fixture output stable and
+    mirrors the min-count pruning every embedding trainer applies.
+    """
+    d = table(spark, sf_dir, "documents")
+    t = d.select(tokens("text").alias("toks")).filter(F.size("toks") >= 2)
+    offs = [o for o in range(-_SG_WINDOW, _SG_WINDOW + 1) if o != 0 and abs(o) in (1, _SG_WINDOW)]
+    pairs = t.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks")),
+                    lambda i: F.filter(
+                        F.array(
+                            *[
+                                F.when(
+                                    (i + o >= 1) & (i + o <= F.size("toks")),
+                                    F.struct(
+                                        F.element_at("toks", i).alias("center"),
+                                        F.element_at("toks", i + o).alias("context"),
+                                        F.lit(abs(o)).alias("dist"),
+                                    ),
+                                )
+                                for o in offs
+                            ]
+                        ),
+                        lambda s: s.isNotNull(),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.select("p.center", "p.context", "p.dist")
+        .groupBy("center", "context", "dist")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .filter(F.col("n_pairs") >= 50)
+        .orderBy("center", "context", "dist")
+    )
+
+
+_Q_R13_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {TOKENS_SQL} AS toks FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(toks) AS token FROM t
+),
+stats AS (
+  SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+  FROM tok GROUP BY token
+)
+SELECT token, tf, df,
+  CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, token) - 1 AS BIGINT) AS token_id
+FROM stats
+WHERE df >= {_VOCAB_MIN_DF}
+ORDER BY token_id
+"""
+
+
+@query("r13_vocab_build", oracle=_Q_R13_ORACLE, tags=("L5", "text"))
+def r13_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ranked vocabulary with stable token ids — the
+    tokenizer-training step: corpus term+document frequencies, a min-df
+    floor, ids assigned by (tf desc, token) rank so the mapping is a
+    pure function of corpus statistics.
+
+    Plan shape at scale: one (doc_id, token)-keyed distinct-ish
+    aggregate, one token-keyed rollup, then the rank — the final
+    window runs over the VOCABULARY (bounded, ~10^5-10^6 rows), not
+    the corpus, so the single-partition rank sort is a deliberate,
+    size-safe exception to the no-global-window rule.
+    """
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("token"))
+    stats = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    w = Window.orderBy(F.col("tf").desc(), "token")
+    return (
+        stats.filter(F.col("df") >= _VOCAB_MIN_DF)
+        .select(
+            "token",
+            "tf",
+            "df",
+            (F.row_number().over(w) - 1).cast("long").alias("token_id"),
+        )
+        .orderBy("token_id")
+    )
+
+
+_Q_R14_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {TOKENS_SQL} AS toks FROM documents WHERE len({TOKENS_SQL}) > 0
+),
+tok AS (
+  SELECT doc_id, unnest(toks) AS token FROM t
+),
+stats AS (
+  SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+  FROM tok GROUP BY token
+),
+vocab AS (
+  SELECT token,
+    CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, token) - 1 AS BIGINT) AS token_id
+  FROM stats WHERE df >= {_VOCAB_MIN_DF}
+),
+pos AS (
+  SELECT doc_id, unnest(toks) AS token,
+         unnest(range(1, len(toks) + 1)) AS i
+  FROM t
+),
+enc AS (
+  SELECT p.doc_id, p.i, COALESCE(v.token_id, -1) AS tid
+  FROM pos p LEFT JOIN vocab v USING (token)
+  WHERE p.i <= {_ENC_PREFIX}
+)
+SELECT doc_id,
+  array_to_string(list_transform(
+    list_sort(list_zip(list(i), list(tid)), 'ASC'),
+    z -> CAST(z[2] AS VARCHAR)), ',') AS ids,
+  CAST(SUM(CASE WHEN tid = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+FROM enc
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@query("r14_encode_ids", oracle=_Q_R14_ORACLE, tags=("L5", "text"))
+def r14_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode each document's first 32 tokens as vocabulary ids (OOV →
+    -1) plus an out-of-vocabulary count — the corpus→tensor step of a
+    tokenizer pipeline, with the id sequence serialized to a string
+    (determinism rule 4: no array columns in final output).
+
+    Plan shape at scale: the vocabulary joins as a broadcast (it is
+    vocabulary-sized); positions ride through the join so the id
+    sequence reassembles order-exactly with sort_array over (pos, id)
+    structs — one shuffle on doc_id for the rebuild, nothing else.
+    """
+    d = table(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokens("text").alias("toks")).filter(F.size("toks") > 0)
+    vocab = r13_vocab_build(spark, sf_dir).select("token", "token_id")
+    pos = t.select(
+        "doc_id",
+        F.posexplode(F.slice("toks", 1, _ENC_PREFIX)).alias("i0", "token"),
+    )
+    enc = pos.join(F.broadcast(vocab), "token", "left").select(
+        "doc_id",
+        "i0",
+        F.coalesce("token_id", F.lit(-1)).alias("tid"),
+    )
+    return (
+        enc.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("i0"), F.col("tid")))
+                    ),
+                    lambda s: s["tid"].cast("string"),
+                ),
+                ",",
+            ).alias("ids"),
+            F.sum((F.col("tid") == -1).cast("long")).alias("n_oov"),
+        )
+        .orderBy("doc_id")
+    )

@@ -82,3 +82,63 @@ def test_standardized_output_shape(spark):
     assert row["hashtags"] == ["#new"]
     assert row["geo_info"]["is_geotagged"] is True
     assert row["user"]["name"] == "alice"
+
+
+def test_skipgram_pairs_are_symmetric_in_total(spark, sf_dir):
+    """r12: the (center, context) relation at distance d is symmetric —
+    for every pair above the count floor, the mirrored pair has the
+    same raw count (verified on the unfloored aggregate)."""
+    from bigdataproj_spark.operators.text import r12_skipgram_pairs
+
+    pdf = r12_skipgram_pairs(spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    assert set(pdf["dist"]) <= {1, 2}
+    m = {(r.center, r.context, r.dist): r.n_pairs for r in pdf.itertuples()}
+    # mirrored pairs that also cleared the floor must carry equal counts
+    for (c, x, d), n in m.items():
+        if (x, c, d) in m:
+            assert m[(x, c, d)] == n
+
+
+def test_vocab_ids_are_dense_and_frequency_ranked(spark, sf_dir):
+    """r13: ids are 0..N-1 with tf non-increasing along id order."""
+    from bigdataproj_spark.operators.text import r13_vocab_build
+
+    pdf = r13_vocab_build(spark, sf_dir).toPandas().sort_values("token_id")
+    assert list(pdf["token_id"]) == list(range(len(pdf)))
+    assert (pdf["tf"].diff().dropna() <= 0).all()
+
+
+def test_encode_ids_roundtrip_against_vocab(spark, sf_dir):
+    """r14: decoding the id string through the vocab reproduces the
+    in-vocab prefix tokens of every document."""
+    from pyspark.sql import functions as F
+
+    from bigdataproj_spark.catalog import table
+    from bigdataproj_spark.operators.text import (
+        _ENC_PREFIX,
+        r13_vocab_build,
+        r14_encode_ids,
+        tokens,
+    )
+
+    vocab = {
+        r.token_id: r.token
+        for r in r13_vocab_build(spark, sf_dir).collect()
+    }
+    toks = {
+        r.doc_id: r.toks[:_ENC_PREFIX]
+        for r in table(spark, sf_dir, "documents")
+        .select("doc_id", tokens("text").alias("toks"))
+        .filter(F.size("toks") > 0)
+        .collect()
+    }
+    enc = r14_encode_ids(spark, sf_dir).toPandas()
+    assert len(enc) == len(toks)
+    for r in enc.itertuples():
+        ids = [int(x) for x in r.ids.split(",")]
+        assert len(ids) == len(toks[r.doc_id])
+        assert sum(1 for i in ids if i == -1) == r.n_oov
+        for i, tok in zip(ids, toks[r.doc_id]):
+            if i != -1:
+                assert vocab[i] == tok
