@@ -150,16 +150,26 @@ def test_profile_is_single_scan(spark, sf_dir):
 
 
 def test_no_query_plans_a_cartesian_product(spark, sf_dir):
-    """Fleet-wide invariant: NO registered query — including the
-    intentional cross joins, which must ride broadcast-nested-loop on
-    a bounded side — ever plans a CartesianProduct. At 100 TB a
-    cartesian is always a bug."""
-    offenders = []
+    """Fleet-wide invariants over every registered query: (a) no plan
+    ever contains a CartesianProduct — including the intentional cross
+    joins, which must ride broadcast-nested-loop on a bounded side (at
+    100 TB a cartesian is always a bug); (b) no final schema carries an
+    array/struct/map column — the round-1 failure class: the driver's
+    canonicalizer sorts result rows with pandas, which cannot hash
+    numpy arrays, so complex outputs must be serialized (determinism
+    rule 4)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    cartesian, complex_cols = [], []
     for name, q in sorted(load_all().items()):
-        plan = plan_of(q.build(spark, sf_dir))
-        if "CartesianProduct" in plan:
-            offenders.append(name)
-    assert not offenders, offenders
+        df = q.build(spark, sf_dir)
+        if "CartesianProduct" in plan_of(df):
+            cartesian.append(name)
+        for fld in df.schema.fields:
+            if isinstance(fld.dataType, (ArrayType, MapType, StructType)):
+                complex_cols.append((name, fld.name))
+    assert not cartesian, cartesian
+    assert not complex_cols, complex_cols
 
 
 def test_parquet_aggregate_pushdown_metadata_only(spark, sf_dir):
