@@ -25,9 +25,16 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import table
 from ..registry import query
+from .mixing import (
+    _MIX_BASE_BUDGET,
+    _MIX_HASH_SQL,
+    _N_WEIGHTS,
+    _ORDER_HASH_SQL,
+)
 from .text import _ALNUM_SPACE, STOPWORDS, TOKENS_SQL, tokens
 
 # ---------------------------------------------------------------------------
@@ -534,6 +541,156 @@ def q48_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce("n_contaminated", F.lit(0)).cast("double")
                 / F.col("n_grams")
             ).alias("contamination_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+
+# ---------------------------------------------------------------------------
+# r15: the full training-mix capstone — gate → dedup → weighted mix →
+# training order → sequence packing, composed end-to-end.
+# ---------------------------------------------------------------------------
+
+_Q_R15_ORACLE = f"""
+WITH t0 AS (
+  SELECT doc_id, source, text, {TOKENS_SQL} AS toks FROM documents
+),
+gated AS (
+  SELECT doc_id, source, text, toks, len(toks) AS n_tokens FROM t0
+  WHERE len(toks) BETWEEN 20 AND 1000
+    AND CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+        / len(toks) BETWEEN 2 AND 10
+    AND len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) >= 2
+    AND CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE) / len(toks) <= 0.8
+    AND CAST(len(translate(text, '{_ALNUM_SPACE}', '')) AS DOUBLE)
+        / len(text) <= 0.1
+),
+fp AS (
+  SELECT *, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+  FROM gated
+),
+surv AS (
+  SELECT * FROM (
+    SELECT *, MIN(doc_id) OVER (PARTITION BY f) AS canon FROM fp
+  ) WHERE doc_id = canon
+),
+mix AS (
+  SELECT * FROM (
+    SELECT doc_id, source, n_tokens,
+      CAST(substr(source, 4) AS INTEGER) % {_N_WEIGHTS} + 1 AS weight,
+      COALESCE(SUM(n_tokens) OVER (
+        PARTITION BY source
+        ORDER BY {_MIX_HASH_SQL}, doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+    FROM surv
+  ) WHERE cum_before < weight * {_MIX_BASE_BUDGET}
+),
+ordered AS (
+  SELECT doc_id, source, n_tokens, {_ORDER_HASH_SQL} AS h FROM mix
+),
+packed AS (
+  SELECT doc_id, source, n_tokens,
+    COALESCE(SUM(n_tokens) OVER (
+      ORDER BY h, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+  FROM ordered
+)
+SELECT doc_id, source, n_tokens,
+  CAST(start_offset AS BIGINT) AS start_offset,
+  CAST(start_offset // {_SEQ_BUDGET} AS BIGINT) AS seq_first,
+  CAST((start_offset + n_tokens - 1) // {_SEQ_BUDGET} AS BIGINT) AS seq_last
+FROM packed
+ORDER BY doc_id
+"""
+
+
+@query("r15_training_mix_pipeline", oracle=_Q_R15_ORACLE, tags=("L9", "quality", "capstone"))
+def r15_training_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete modern pretraining-data build, composed from the
+    round's operators and oracle-checked as ONE query: quality gate
+    (the q15 predicates) → exact dedup survivors (q63's min-doc_id
+    rule) → weighted domain mix (q02's budgeted hash-order take) →
+    epoch-stable training order (q05's hash) → sequence packing
+    (q47's tape offsets, laid out in TRAINING order rather than
+    doc_id order).
+
+    Plan shape at scale: the gate is map-only; dedup is one shuffle on
+    the fingerprint; the mix is one window over the domain key; the
+    packing prefix-sum is the same two-level distributed form as q47
+    (range partition on the order hash, per-partition running sum,
+    broadcast base offsets) — never a single-partition corpus window.
+    """
+    from .mixing import _MIX_SALT, _ORDER_SALT
+    from .quality import quality_flags
+    from .sampling import hash60
+    from .text import fingerprint, tokens
+
+    d = table(spark, sf_dir, "documents")
+    keep_ids = quality_flags(d).filter(F.col("keep")).select("doc_id")
+    gated = d.join(keep_ids, "doc_id").select(
+        "doc_id", "source", "text", tokens("text").alias("toks")
+    )
+    fp = gated.select(
+        "doc_id", "source", F.size("toks").alias("n_tokens"),
+        fingerprint("text").alias("f"),
+    )
+    w_fp = Window.partitionBy("f")
+    surv = (
+        fp.withColumn("canon", F.min("doc_id").over(w_fp))
+        .filter(F.col("doc_id") == F.col("canon"))
+        .drop("f", "canon")
+    )
+    mix_h = hash60(F.col("doc_id").cast("string"), _MIX_SALT)
+    weight = F.expr("substring(source, 4)").cast("int") % _N_WEIGHTS + 1
+    w_mix = Window.partitionBy("source").orderBy(mix_h, "doc_id")
+    mix = (
+        surv.withColumn("weight", weight)
+        .withColumn(
+            "cum_before",
+            F.coalesce(
+                F.sum("n_tokens").over(
+                    w_mix.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .filter(F.col("cum_before") < F.col("weight") * _MIX_BASE_BUDGET)
+        .select("doc_id", "source", "n_tokens")
+    )
+    ordered = mix.withColumn(
+        "h", hash60(F.col("doc_id").cast("string"), _ORDER_SALT)
+    )
+    # Distributed prefix sum over TRAINING order (q47's two-level form,
+    # keyed on the order hash instead of doc_id).
+    parts = ordered.repartitionByRange(
+        spark.sparkContext.defaultParallelism, "h", "doc_id"
+    ).withColumn("_pid", F.spark_partition_id())
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = parts.withColumn(
+        "local_off", F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))
+    )
+    w_base = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    bases = (
+        parts.groupBy("_pid")
+        .agg(F.sum("n_tokens").alias("ptotal"))
+        .withColumn("base", F.coalesce(F.sum("ptotal").over(w_base), F.lit(0)))
+        .select("_pid", "base")
+    )
+    start = F.col("local_off") + F.col("base")
+    return (
+        local.join(F.broadcast(bases), "_pid")
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            start.alias("start_offset"),
+            F.floor(start / _SEQ_BUDGET).alias("seq_first"),
+            F.floor((start + F.col("n_tokens") - 1) / _SEQ_BUDGET).alias("seq_last"),
         )
         .orderBy("doc_id")
     )

@@ -134,3 +134,29 @@ def test_decontamination_fractions_consistent(spark, sf_dir):
     assert (pdf["n_contaminated"] <= pdf["n_grams"]).all()
     assert (pdf["contamination_frac"] >= 0).all()
     assert (pdf["contamination_frac"] <= 1).all()
+
+
+def test_training_mix_capstone_tape_is_contiguous(spark, sf_dir):
+    """r15: the packed tape covers [0, total_tokens) with no gaps or
+    overlaps when laid out in training order, every selected doc
+    passed the gate, and no two docs share a fingerprint."""
+    from bigdataproj_spark.operators.quality import (
+        quality_flags,
+        r15_training_mix_pipeline,
+    )
+
+    pdf = r15_training_mix_pipeline(spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    tape = pdf.sort_values("start_offset")
+    ends = tape["start_offset"] + tape["n_tokens"]
+    assert tape["start_offset"].iloc[0] == 0
+    assert (tape["start_offset"].iloc[1:].to_numpy() == ends.iloc[:-1].to_numpy()).all()
+    # every selected doc passed the gate
+    from bigdataproj_spark.catalog import table
+
+    kept = set(
+        quality_flags(table(spark, sf_dir, "documents"))
+        .filter("keep")
+        .toPandas()["doc_id"]
+    )
+    assert set(pdf["doc_id"]) <= kept
