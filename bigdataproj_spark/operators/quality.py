@@ -32,10 +32,20 @@ from ..registry import query
 from .mixing import (
     _MIX_BASE_BUDGET,
     _MIX_HASH_SQL,
+    _MIX_SALT,
     _N_WEIGHTS,
     _ORDER_HASH_SQL,
+    _ORDER_SALT,
 )
-from .text import _ALNUM_SPACE, STOPWORDS, TOKENS_SQL, tokens
+from .sampling import hash60
+from .text import (
+    _ALNUM_SPACE,
+    FINGERPRINT_SQL,
+    STOPWORDS,
+    TOKENS_SQL,
+    fingerprint,
+    tokens,
+)
 
 # ---------------------------------------------------------------------------
 # r01: repetition statistics (Gopher §A1.1-style).
@@ -167,14 +177,10 @@ ORDER BY doc_id
 """
 
 
-def quality_flags(d: DataFrame) -> DataFrame:
-    """The gate itself: any (doc_id, text)-shaped frame → per-doc flag
-    columns. Pure map expressions, so the SAME transformation runs on
-    a static frame and verbatim on a ``readStream`` frame (proven in
-    tests/test_streaming.py::test_quality_gate_streams_unchanged)."""
-    t = d.select("doc_id", "text", tokens("text").alias("toks")).filter(
-        F.size("toks") > 0
-    )
+def _gate_flags() -> list[tuple[str, "F.Column"]]:
+    """The five gate predicates as named Columns over (text, toks).
+    Single definition shared by the flag projection (quality_flags)
+    and the map-only keep filter (gate_filter)."""
     n_toks = F.size("toks")
     mean_len = (
         F.aggregate("toks", F.lit(0), lambda a, x: a + F.length(x)).cast("double")
@@ -186,20 +192,45 @@ def quality_flags(d: DataFrame) -> DataFrame:
         F.length(F.translate("text", _ALNUM_SPACE, "")).cast("double")
         / F.length("text")
     )
-    len_ok = n_toks.between(20, 1000)
-    tlen_ok = mean_len.between(2.0, 10.0)
-    stop_ok = n_stop >= 2
-    rep_ok = dup_frac <= 0.8
-    sym_ok = sym_frac <= 0.1
+    return [
+        ("len_ok", n_toks.between(20, 1000)),
+        ("token_len_ok", mean_len.between(2.0, 10.0)),
+        ("stopwords_ok", n_stop >= 2),
+        ("repetition_ok", dup_frac <= 0.8),
+        ("symbols_ok", sym_frac <= 0.1),
+    ]
+
+
+def quality_flags(d: DataFrame) -> DataFrame:
+    """The gate itself: any (doc_id, text)-shaped frame → per-doc flag
+    columns. Pure map expressions, so the SAME transformation runs on
+    a static frame and verbatim on a ``readStream`` frame (proven in
+    tests/test_streaming.py::test_quality_gate_streams_unchanged)."""
+    t = d.select("doc_id", "text", tokens("text").alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    flags = _gate_flags()
+    keep = flags[0][1]
+    for _, c in flags[1:]:
+        keep = keep & c
     return t.select(
         "doc_id",
-        len_ok.alias("len_ok"),
-        tlen_ok.alias("token_len_ok"),
-        stop_ok.alias("stopwords_ok"),
-        rep_ok.alias("repetition_ok"),
-        sym_ok.alias("symbols_ok"),
-        (len_ok & tlen_ok & stop_ok & rep_ok & sym_ok).alias("keep"),
+        *[c.alias(n) for n, c in flags],
+        keep.alias("keep"),
     )
+
+
+def gate_filter(d: DataFrame) -> DataFrame:
+    """Map-only keep filter: the input frame (must carry doc_id, text)
+    plus a ``toks`` column, restricted to gate survivors — NO join
+    back to the source, so composing pipelines keep the gate on the
+    scan's map side at any corpus size."""
+    t = d.withColumn("toks", tokens("text")).filter(F.size("toks") > 0)
+    flags = _gate_flags()
+    keep = flags[0][1]
+    for _, c in flags[1:]:
+        keep = keep & c
+    return t.filter(keep)
 
 
 @query("q15_quality_gate", oracle=_Q_R02_ORACLE, tags=("L5", "L11", "quality"))
@@ -395,6 +426,42 @@ ORDER BY doc_id
 """
 
 
+def tape_offsets(spark: SparkSession, df: DataFrame, order_cols: list[str]) -> DataFrame:
+    """Global running-sum offsets of ``n_tokens`` over a total order,
+    computed the DISTRIBUTED way: range-repartition on the order key,
+    per-partition running sum via a window on the partition id, then
+    add each partition's base offset (the sum of earlier partitions'
+    totals, a partition-count-sized broadcast). Identical totals at
+    any partition count; one narrow shuffle + one broadcast join at
+    100 TB — never a single-partition corpus window. Shared by
+    q47_sequence_packing (doc_id order) and the r15 capstone
+    (training-hash order); adds ``start_offset`` to df's columns.
+    """
+    parts = df.repartitionByRange(
+        spark.sparkContext.defaultParallelism, *order_cols
+    ).withColumn("_pid", F.spark_partition_id())
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = parts.withColumn(
+        "local_off", F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))
+    )
+    w_base = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    bases = (
+        parts.groupBy("_pid")
+        .agg(F.sum("n_tokens").alias("ptotal"))
+        .withColumn("base", F.coalesce(F.sum("ptotal").over(w_base), F.lit(0)))
+        .select("_pid", "base")
+    )
+    return (
+        local.join(F.broadcast(bases), "_pid")
+        .withColumn("start_offset", F.col("local_off") + F.col("base"))
+        .drop("_pid", "local_off", "base")
+    )
+
+
 @query("q47_sequence_packing", oracle=_Q_R06_ORACLE, tags=("L9", "quality"))
 def q47_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk packing: documents are laid out in doc_id
@@ -417,35 +484,13 @@ def q47_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.size("toks").alias("n_tokens"))
         .filter(F.col("n_tokens") > 0)
     )
-    parts = t.repartitionByRange(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    ).withColumn("_pid", F.spark_partition_id())
-    from pyspark.sql import Window
-
-    w_local = (
-        Window.partitionBy("_pid")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    local = parts.withColumn(
-        "local_off", F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))
-    )
-    w_base = (
-        Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    )
-    bases = (
-        parts.groupBy("_pid")
-        .agg(F.sum("n_tokens").alias("ptotal"))
-        .withColumn("base", F.coalesce(F.sum("ptotal").over(w_base), F.lit(0)))
-        .select("_pid", "base")
-    )
-    start = F.col("local_off") + F.col("base")
+    start = F.col("start_offset")
     return (
-        local.join(F.broadcast(bases), "_pid")
+        tape_offsets(spark, t, ["doc_id"])
         .select(
             "doc_id",
             "n_tokens",
-            start.alias("start_offset"),
+            "start_offset",
             F.floor(start / _SEQ_BUDGET).alias("seq_first"),
             F.floor((start + F.col("n_tokens") - 1) / _SEQ_BUDGET).alias("seq_last"),
         )
@@ -567,7 +612,7 @@ gated AS (
         / len(text) <= 0.1
 ),
 fp AS (
-  SELECT *, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+  SELECT *, {FINGERPRINT_SQL} AS f
   FROM gated
 ),
 surv AS (
@@ -615,22 +660,16 @@ def r15_training_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q47's tape offsets, laid out in TRAINING order rather than
     doc_id order).
 
-    Plan shape at scale: the gate is map-only; dedup is one shuffle on
-    the fingerprint; the mix is one window over the domain key; the
-    packing prefix-sum is the same two-level distributed form as q47
-    (range partition on the order hash, per-partition running sum,
-    broadcast base offsets) — never a single-partition corpus window.
+    Plan shape at scale: the gate is map-only (``gate_filter`` — an
+    inline predicate on the scan, no join back to the source); dedup
+    is one shuffle on the fingerprint; the mix is one window over the
+    domain key; the packing prefix-sum is the shared ``tape_offsets``
+    two-level distributed form (range partition on the order hash,
+    per-partition running sum, broadcast base offsets) — never a
+    single-partition corpus window.
     """
-    from .mixing import _MIX_SALT, _ORDER_SALT
-    from .quality import quality_flags
-    from .sampling import hash60
-    from .text import fingerprint, tokens
-
     d = table(spark, sf_dir, "documents")
-    keep_ids = quality_flags(d).filter(F.col("keep")).select("doc_id")
-    gated = d.join(keep_ids, "doc_id").select(
-        "doc_id", "source", "text", tokens("text").alias("toks")
-    )
+    gated = gate_filter(d.select("doc_id", "source", "text"))
     fp = gated.select(
         "doc_id", "source", F.size("toks").alias("n_tokens"),
         fingerprint("text").alias("f"),
@@ -661,34 +700,14 @@ def r15_training_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered = mix.withColumn(
         "h", hash60(F.col("doc_id").cast("string"), _ORDER_SALT)
     )
-    # Distributed prefix sum over TRAINING order (q47's two-level form,
-    # keyed on the order hash instead of doc_id).
-    parts = ordered.repartitionByRange(
-        spark.sparkContext.defaultParallelism, "h", "doc_id"
-    ).withColumn("_pid", F.spark_partition_id())
-    w_local = (
-        Window.partitionBy("_pid")
-        .orderBy("h", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    local = parts.withColumn(
-        "local_off", F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))
-    )
-    w_base = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    bases = (
-        parts.groupBy("_pid")
-        .agg(F.sum("n_tokens").alias("ptotal"))
-        .withColumn("base", F.coalesce(F.sum("ptotal").over(w_base), F.lit(0)))
-        .select("_pid", "base")
-    )
-    start = F.col("local_off") + F.col("base")
+    start = F.col("start_offset")
     return (
-        local.join(F.broadcast(bases), "_pid")
+        tape_offsets(spark, ordered, ["h", "doc_id"])
         .select(
             "doc_id",
             "source",
             "n_tokens",
-            start.alias("start_offset"),
+            "start_offset",
             F.floor(start / _SEQ_BUDGET).alias("seq_first"),
             F.floor((start + F.col("n_tokens") - 1) / _SEQ_BUDGET).alias("seq_last"),
         )

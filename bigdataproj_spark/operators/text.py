@@ -882,8 +882,9 @@ pos AS (
 ),
 pairs AS (
   SELECT toks[i] AS center, toks[i + d.d] AS context, abs(d.d) AS dist
-  FROM pos, (SELECT unnest([-{_SG_WINDOW}, -1, 1, {_SG_WINDOW}]) AS d) d
-  WHERE i + d.d BETWEEN 1 AND len(toks)
+  FROM pos,
+    (SELECT unnest(range(-{_SG_WINDOW}, {_SG_WINDOW} + 1)) AS d) d
+  WHERE d.d <> 0 AND i + d.d BETWEEN 1 AND len(toks)
 )
 SELECT center, context, dist, COUNT(*) AS n_pairs
 FROM pairs
@@ -909,7 +910,7 @@ def r12_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = table(spark, sf_dir, "documents")
     t = d.select(tokens("text").alias("toks")).filter(F.size("toks") >= 2)
-    offs = [o for o in range(-_SG_WINDOW, _SG_WINDOW + 1) if o != 0 and abs(o) in (1, _SG_WINDOW)]
+    offs = [o for o in range(-_SG_WINDOW, _SG_WINDOW + 1) if o != 0]
     pairs = t.select(
         F.explode(
             F.flatten(

@@ -86,8 +86,9 @@ def test_standardized_output_shape(spark):
 
 def test_skipgram_pairs_are_symmetric_in_total(spark, sf_dir):
     """r12: the (center, context) relation at distance d is symmetric —
-    for every pair above the count floor, the mirrored pair has the
-    same raw count (verified on the unfloored aggregate)."""
+    whenever BOTH a pair and its mirror clear the count floor, their
+    counts must be equal (the floor can hide one side, so only
+    co-surviving mirrors are compared)."""
     from bigdataproj_spark.operators.text import r12_skipgram_pairs
 
     pdf = r12_skipgram_pairs(spark, sf_dir).toPandas()
