@@ -249,8 +249,8 @@ ORDER BY r_name, seg
 """
 
 
-@query("q32_cross_join", oracle=_Q83_ORACLE, tags=("J6",))
-def q32_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r19_cross_join", oracle=_Q83_ORACLE, tags=("J6",))
+def r19_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cartesian product of two small dimension projections."""
     r = table(spark, sf_dir, "region")
     segs = (

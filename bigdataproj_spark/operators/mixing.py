@@ -175,3 +175,166 @@ def q05_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard", "pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling: select raw documents whose hashed-ngram
+# profile matches a target distribution (Xie et al. 2023, "Data
+# Selection for Language Models via Importance Resampling").
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 128          # hashed-feature buckets
+_DSIR_TOPK = 100             # resampled documents to keep
+_DSIR_SALT = "dsir-v1:"      # feature-hash salt
+_DSIR_GUMBEL_SALT = "dsir-gumbel-v1:"
+_DSIR_TWO60 = float(1 << 60)
+
+_DSIR_HASH_SQL = hash60_sql("token", _DSIR_SALT)
+_DSIR_GUM_SQL = hash60_sql("CAST(doc_id AS VARCHAR)", _DSIR_GUMBEL_SALT)
+
+_Q_DSIR_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest({TOKENS_SQL}) AS token FROM documents
+),
+tb AS (
+  SELECT doc_id, lang,
+    CAST({_DSIR_HASH_SQL} % {_DSIR_BUCKETS} AS INTEGER) AS b
+  FROM tok
+),
+prof AS (
+  SELECT b, COUNT(*) AS cnt_r,
+    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS cnt_t
+  FROM tb GROUP BY b
+),
+tot AS (SELECT SUM(cnt_r) AS tot_r, SUM(cnt_t) AS tot_t FROM prof),
+lam AS (
+  SELECT b,
+    CAST(round(ln(
+      ((cnt_t + 1.0) / (tot_t + {_DSIR_BUCKETS}.0))
+      / ((cnt_r + 1.0) / (tot_r + {_DSIR_BUCKETS}.0))
+    ), 6) AS DECIMAL(18,6)) AS lam
+  FROM prof, tot
+),
+dw AS (
+  SELECT t.doc_id, SUM(l.lam) AS lr_dec, COUNT(*) AS n_toks
+  FROM tb t JOIN lam l USING (b) GROUP BY t.doc_id
+),
+scored AS (
+  SELECT d.doc_id, d.lang, dw.n_toks, dw.lr_dec,
+    dw.lr_dec + CAST(round(
+      -ln(-ln(({_DSIR_GUM_SQL} + 0.5) / {_DSIR_TWO60!r})), 6)
+      AS DECIMAL(18,6)) AS score_dec
+  FROM documents d JOIN dw USING (doc_id)
+)
+SELECT * FROM (
+  SELECT
+    CAST(ROW_NUMBER() OVER (ORDER BY score_dec DESC, doc_id) AS BIGINT)
+      AS rank,
+    doc_id, lang, CAST(n_toks AS BIGINT) AS n_toks,
+    CAST(lr_dec AS DOUBLE) AS log_ratio,
+    CAST(score_dec AS DOUBLE) AS score
+  FROM scored
+)
+WHERE rank <= {_DSIR_TOPK}
+ORDER BY rank
+"""
+
+
+@query("q22_dsir_resample", oracle=_Q_DSIR_ORACLE, tags=("L9", "mixing"))
+def q22_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling: score every raw document by how
+    much its hashed-unigram profile looks like the target corpus (here
+    lang='en'), then draw a Gumbel-top-k sample of the highest-scoring
+    documents (Xie et al. 2023; Gumbel trick = Efraimidis-Spirakis
+    weighted sampling without replacement, made deterministic by
+    seeding the uniform draw with the engine-portable md5 hash).
+
+    Per bucket b: lambda_b = ln(p_target(b) / p_raw(b)), Laplace-
+    smoothed; per document: log-ratio = sum of lambda over its tokens
+    (round-6 quantized, DECIMAL-accumulated, so the fold is
+    order-independent and bit-equal cross-engine); resampling key =
+    log-ratio + Gumbel(doc hash). No RNG state anywhere — re-running
+    at any parallelism reproduces the same sample.
+
+    Plan shape at scale: the bucket profile is a bounded aggregate
+    ({b} rows — broadcast back as lambda table); the per-document sum
+    is ONE shuffle on doc_id; the top-k is TakeOrdered (per-partition
+    heaps, no global sort). The profile/lambda table never grows with
+    the corpus, which is the point of hashed features.
+    """
+    d = table(spark, sf_dir, "documents")
+    tb = d.select(
+        "doc_id",
+        "lang",
+        F.explode(tokens("text")).alias("token"),
+    ).select(
+        "doc_id",
+        "lang",
+        (hash60(F.col("token"), _DSIR_SALT) % _DSIR_BUCKETS)
+        .cast("int")
+        .alias("b"),
+    )
+    prof = tb.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cnt_r"),
+        F.sum((F.col("lang") == "en").cast("long")).alias("cnt_t"),
+    )
+    tot = prof.agg(
+        F.sum("cnt_r").alias("tot_r"), F.sum("cnt_t").alias("tot_t")
+    )
+    nb = float(_DSIR_BUCKETS)
+    lam = prof.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.round(
+            F.log(
+                ((F.col("cnt_t") + 1.0) / (F.col("tot_t") + nb))
+                / ((F.col("cnt_r") + 1.0) / (F.col("tot_r") + nb))
+            ),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("lam"),
+    )
+    dw = (
+        tb.join(F.broadcast(lam), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("lam").alias("lr_dec"),
+            F.count(F.lit(1)).alias("n_toks"),
+        )
+    )
+    gum = (
+        F.round(
+            -F.log(
+                -F.log(
+                    (hash60(F.col("doc_id").cast("string"), _DSIR_GUMBEL_SALT) + 0.5)
+                    / F.lit(_DSIR_TWO60)
+                )
+            ),
+            6,
+        )
+    ).cast("decimal(18,6)")
+    scored = (
+        d.select("doc_id", "lang")
+        .join(dw, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "n_toks",
+            "lr_dec",
+            (F.col("lr_dec") + gum).alias("score_dec"),
+        )
+    )
+    top = scored.orderBy(F.col("score_dec").desc(), "doc_id").limit(_DSIR_TOPK)
+    w = Window.orderBy(F.col("score_dec").desc(), "doc_id")
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
+        .select(
+            "rank",
+            "doc_id",
+            "lang",
+            F.col("n_toks").cast("long").alias("n_toks"),
+            F.col("lr_dec").cast("double").alias("log_ratio"),
+            F.col("score_dec").cast("double").alias("score"),
+        )
+        .orderBy("rank")
+    )

@@ -650,8 +650,8 @@ ORDER BY doc_id
 """
 
 
-@query("r15_training_mix_pipeline", oracle=_Q_R15_ORACLE, tags=("L9", "quality", "capstone"))
-def r15_training_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q32_training_mix_pipeline", oracle=_Q_R15_ORACLE, tags=("L9", "quality", "capstone"))
+def q32_training_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The complete modern pretraining-data build, composed from the
     round's operators and oracle-checked as ONE query: quality gate
     (the q15 predicates) → exact dedup survivors (q63's min-doc_id

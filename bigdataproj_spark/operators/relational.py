@@ -127,8 +127,8 @@ ORDER BY o_orderstatus
 """
 
 
-@query("q03_distinct_agg", oracle=_Q53_ORACLE, tags=("A2",))
-def q03_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r16_distinct_agg", oracle=_Q53_ORACLE, tags=("A2",))
+def r16_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COUNT(DISTINCT) and SUM(DISTINCT) per group (Expand-based plan)."""
     o = table(spark, sf_dir, "orders")
     return (
@@ -158,8 +158,8 @@ ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
 """
 
 
-@query("q04_rollup_agg", oracle=_Q54_ORACLE, tags=("A4",))
-def q04_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r17_rollup_agg", oracle=_Q54_ORACLE, tags=("A4",))
+def r17_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP over (returnflag, linestatus) with explicit null ordering."""
     l = table(spark, sf_dir, "lineitem")
     return (
@@ -453,8 +453,8 @@ ORDER BY c_custkey
 """
 
 
-@query("q10_scalar_subquery", oracle=_Q61_ORACLE, tags=("Q1",))
-def q10_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r18_scalar_subquery", oracle=_Q61_ORACLE, tags=("Q1",))
+def r18_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar subquery (above-average account balance); E1 SQL entry point."""
     register_views(spark, sf_dir)
     return spark.sql(

@@ -420,8 +420,8 @@ ORDER BY doc_id
 """
 
 
-@query("q22_fingerprint", oracle=_Q73_ORACLE, tags=("L1", "text"))
-def q22_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r20_fingerprint", oracle=_Q73_ORACLE, tags=("L1", "text"))
+def r20_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprint per document + same-content group size."""
     d = table(spark, sf_dir, "documents")
     fp = d.select("doc_id", fingerprint("text").alias("fingerprint"))
@@ -894,8 +894,8 @@ ORDER BY center, context, dist
 """
 
 
-@query("r12_skipgram_pairs", oracle=_Q_R12_ORACLE, tags=("L4", "text"))
-def r12_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q03_skipgram_pairs", oracle=_Q_R12_ORACLE, tags=("L4", "text"))
+def q03_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skip-gram (center, context) co-occurrence counts within a ±2
     token window — the training-pair generation step of word2vec-style
     embedding jobs (and the co-occurrence matrix of GloVe, the
@@ -964,8 +964,8 @@ ORDER BY token_id
 """
 
 
-@query("r13_vocab_build", oracle=_Q_R13_ORACLE, tags=("L5", "text"))
-def r13_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q04_vocab_build", oracle=_Q_R13_ORACLE, tags=("L5", "text"))
+def q04_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequency-ranked vocabulary with stable token ids — the
     tokenizer-training step: corpus term+document frequencies, a min-df
     floor, ids assigned by (tf desc, token) rank so the mapping is a
@@ -1033,8 +1033,8 @@ ORDER BY doc_id
 """
 
 
-@query("r14_encode_ids", oracle=_Q_R14_ORACLE, tags=("L5", "text"))
-def r14_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q10_encode_ids", oracle=_Q_R14_ORACLE, tags=("L5", "text"))
+def q10_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encode each document's first 32 tokens as vocabulary ids (OOV →
     -1) plus an out-of-vocabulary count — the corpus→tensor step of a
     tokenizer pipeline, with the id sequence serialized to a string
@@ -1047,7 +1047,7 @@ def r14_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = table(spark, sf_dir, "documents")
     t = d.select("doc_id", tokens("text").alias("toks")).filter(F.size("toks") > 0)
-    vocab = r13_vocab_build(spark, sf_dir).select("token", "token_id")
+    vocab = q04_vocab_build(spark, sf_dir).select("token", "token_id")
     pos = t.select(
         "doc_id",
         F.posexplode(F.slice("toks", 1, _ENC_PREFIX)).alias("i0", "token"),

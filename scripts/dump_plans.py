@@ -42,7 +42,7 @@ EXTRA = {
     "q24_chunk_dedup",
     "q47_sequence_packing",
     "q48_decontamination",
-    "r15_training_mix_pipeline",
+    "q32_training_mix_pipeline",
 }
 
 out = list(HEADER)

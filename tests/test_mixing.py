@@ -107,3 +107,32 @@ def test_training_order_plan_is_one_hash_shuffle(spark, sf_dir):
     assert "Join" not in p
     assert p.count("Exchange hashpartitioning") == 1
     assert "Exchange SinglePartition" not in p
+
+
+def test_dsir_resample_prefers_target_like_docs(spark, sf_dir):
+    """DSIR sanity: the resampled top-k should be enriched in the
+    target language relative to the raw corpus (that is the entire
+    point of importance resampling), and log_ratio must be finite."""
+    from bigdataproj_spark.operators.mixing import q22_dsir_resample
+
+    top = q22_dsir_resample(spark, sf_dir).toPandas()
+    assert len(top) == 100
+    assert top["rank"].tolist() == list(range(1, 101))
+    assert top["log_ratio"].notna().all()
+    base = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .toPandas()["lang"]
+        .eq("en")
+        .mean()
+    )
+    assert (top["lang"] == "en").mean() > base
+
+
+def test_dsir_resample_stable_under_repartition(spark, sf_dir):
+    """The sample is a pure function of corpus statistics + salts:
+    no RNG, no partition dependence."""
+    from bigdataproj_spark.operators.mixing import q22_dsir_resample
+
+    a = q22_dsir_resample(spark, sf_dir).toPandas()
+    b = q22_dsir_resample(spark, sf_dir).toPandas()
+    assert a.equals(b)

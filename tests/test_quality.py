@@ -142,10 +142,10 @@ def test_training_mix_capstone_tape_is_contiguous(spark, sf_dir):
     passed the gate, and no two docs share a fingerprint."""
     from bigdataproj_spark.operators.quality import (
         quality_flags,
-        r15_training_mix_pipeline,
+        q32_training_mix_pipeline,
     )
 
-    pdf = r15_training_mix_pipeline(spark, sf_dir).toPandas()
+    pdf = q32_training_mix_pipeline(spark, sf_dir).toPandas()
     assert len(pdf) > 0
     tape = pdf.sort_values("start_offset")
     ends = tape["start_offset"] + tape["n_tokens"]
