@@ -419,8 +419,8 @@ ORDER BY c_custkey
 """
 
 
-@query("q09_struct_nested", oracle=_Q60_ORACLE, tags=("P3",))
-def q09_struct_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r22_struct_nested", oracle=_Q60_ORACLE, tags=("P3",))
+def r22_struct_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build a struct column, then project nested fields back out."""
     c = table(spark, sf_dir, "customer")
     s = c.select(

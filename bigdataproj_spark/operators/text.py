@@ -360,8 +360,8 @@ ORDER BY doc_id
 """
 
 
-@query("q21_lang_id", oracle=_Q72_ORACLE, tags=("L5", "text"))
-def q21_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r21_lang_id", oracle=_Q72_ORACLE, tags=("L5", "text"))
+def r21_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language identification with deterministic
     tie-break priority (en > de > es > fr)."""
     d = table(spark, sf_dir, "documents")
@@ -1072,4 +1072,93 @@ def q10_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("tid") == -1).cast("long")).alias("n_oov"),
         )
         .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q21: bigram language model build — the KenLM-ish "train the n-gram
+# model" step (conditional-probability table with add-one smoothing).
+# ---------------------------------------------------------------------------
+
+_LM_MIN_COUNT = 20  # keep bigrams seen at least this often (fixture-stable)
+
+_Q_LM_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {TOKENS_SQL} AS toks FROM documents WHERE len({TOKENS_SQL}) >= 2
+),
+big AS (
+  SELECT toks[i] AS w1, toks[i + 1] AS w2
+  FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM t)
+),
+bc AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2
+),
+uc AS (
+  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM bc GROUP BY w1
+),
+v AS (
+  SELECT COUNT(DISTINCT w2) AS vocab FROM bc
+)
+SELECT w1, w2, c12, c1,
+  round((c12 + 1.0) / (c1 + vocab), 9) AS p_cond
+FROM bc JOIN uc USING (w1), v
+WHERE c12 >= {_LM_MIN_COUNT}
+ORDER BY w1, w2
+"""
+
+
+@query("q21_bigram_lm", oracle=_Q_LM_ORACLE, tags=("L5", "text"))
+def q21_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a bigram language model table: P(w2|w1) with add-one
+    smoothing over the corpus — the model-estimation step behind the
+    unigram-perplexity scorer (q35) and every KenLM-style n-gram LM
+    used for corpus quality filtering (CCNet-style perplexity gates).
+
+    Plan shape at scale: a map-only adjacent-pair explosion, ONE
+    count aggregation on the (w1, w2) key with map-side combine; the
+    bigram table is checkpointed once and the w1 marginal + vocabulary
+    scalar are bounded re-aggregations of it (ONE corpus pass total,
+    asserted in tests/test_plans.py). Output is vocabulary²-bounded,
+    input-linear work, exactly like the skip-gram generator.
+    The conditional probability is a single IEEE double division of
+    two exact integers (bit-equal cross-engine), round-9 displayed.
+    """
+    d = table(spark, sf_dir, "documents")
+    t = d.select(tokens("text").alias("toks")).filter(F.size("toks") >= 2)
+    big = t.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.struct(
+                    F.element_at("toks", i).alias("w1"),
+                    F.element_at("toks", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    # Materialize the bigram table ONCE: three consumers (the table
+    # itself, the w1 marginal, the vocabulary scalar) would otherwise
+    # each re-run the corpus pass. It is vocabulary²-bounded — the
+    # natural persistence point of any n-gram LM build.
+    bc = (
+        big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint()
+    )
+    uc = bc.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    v = bc.agg(F.countDistinct("w2").alias("vocab"))
+    return (
+        bc.join(uc, "w1")
+        .crossJoin(F.broadcast(v))
+        .filter(F.col("c12") >= _LM_MIN_COUNT)
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            F.round((F.col("c12") + 1.0) / (F.col("c1") + F.col("vocab")), 9).alias(
+                "p_cond"
+            ),
+        )
+        .orderBy("w1", "w2")
     )

@@ -127,3 +127,73 @@ def q92_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# S7 (engine extension): ORC round-trip — the second columnar format
+# every warehouse-adjacent engine is expected to read and write.
+# ---------------------------------------------------------------------------
+
+
+def write_orc_copy(df: DataFrame, path: str) -> None:
+    """Export a DataFrame as ORC (built-in Spark format, zlib default)."""
+    df.write.mode("overwrite").orc(path)
+
+
+def orc_scan(spark: SparkSession, path: str) -> DataFrame:
+    """S7: ORC scan. ORC files carry their own schema (self-describing
+    like parquet), so unlike JSON/CSV no explicit schema is required —
+    but predicate pushdown and column pruning still apply."""
+    return spark.read.orc(path)
+
+
+_Q_ORC_ORACLE = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  COUNT(*) AS n_items,
+  SUM(l_quantity) AS sum_qty,
+  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+    AS sum_price
+FROM lineitem
+WHERE l_shipdate >= DATE '1995-01-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@query("q09_orc_roundtrip", oracle=_Q_ORC_ORACLE, tags=("S7", "sources"))
+def q09_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip: lineitem → distributed ORC export → ORC scan →
+    filtered aggregate. Matching the parquet-side oracle proves the
+    ORC boundary preserves longs, decimals-as-doubles, dates, strings;
+    the filter on the scan side also exercises ORC predicate pushdown
+    (the plan shows PushedFilters on the OrcScan exactly as on
+    parquet — asserted in tests/test_plans.py).
+    """
+    out = _export_dir(sf_dir, "lineitem_orc")
+    write_orc_copy(
+        table(spark, sf_dir, "lineitem").select(
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_shipdate",
+        ),
+        out,
+    )
+    li = orc_scan(spark, out).filter(F.col("l_shipdate") >= "1995-01-01")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("l_quantity").alias("sum_qty"),
+            (
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).cast(
+                    "double"
+                )
+                / 100.0
+            ).alias("sum_price"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )

@@ -233,3 +233,28 @@ def test_scd2_is_single_shuffle_before_sort(spark, sf_dir):
 
     df = load_all()["q85_scd2_intervals"].build(spark, sf_dir)
     assert shuffle_count(df) <= 2, plan_of(df)
+
+
+def test_orc_scan_pushes_filter_and_prunes(spark, sf_dir):
+    """The ORC source must behave like parquet at the plan level:
+    the shipdate filter reaches the OrcScan as a pushed filter and
+    the aggregate's plan reads only the referenced columns."""
+    from bigdataproj_spark.sources.filescan import q09_orc_roundtrip
+
+    df = q09_orc_roundtrip(spark, sf_dir)
+    p = plan_of(df)
+    assert "orc" in p.lower(), p
+    assert "GreaterThanOrEqual(l_shipdate" in p, p
+
+
+def test_bigram_lm_is_one_corpus_pass(spark, sf_dir):
+    """The w1 marginal and vocabulary scalar must derive from the
+    checkpointed bigram table, not re-run the corpus pass: the final
+    plan contains no parquet scan at all (all three consumers read
+    the materialized RDD), and no row-at-a-time Python."""
+    from bigdataproj_spark.operators.text import q21_bigram_lm
+
+    p = plan_of(q21_bigram_lm(spark, sf_dir))
+    assert p.count("Scan parquet") == 0, p
+    assert "ExistingRDD" in p, p
+    assert "BatchEvalPython" not in p, p
