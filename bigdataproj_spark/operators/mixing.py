@@ -294,9 +294,11 @@ def q22_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(18,6)")
         .alias("lam"),
     )
+    # lang rides through the aggregation key (constant per doc), so no
+    # third documents scan / join is needed to re-attach metadata.
     dw = (
         tb.join(F.broadcast(lam), "b")
-        .groupBy("doc_id")
+        .groupBy("doc_id", "lang")
         .agg(
             F.sum("lam").alias("lr_dec"),
             F.count(F.lit(1)).alias("n_toks"),
@@ -313,16 +315,12 @@ def q22_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         )
     ).cast("decimal(18,6)")
-    scored = (
-        d.select("doc_id", "lang")
-        .join(dw, "doc_id")
-        .select(
-            "doc_id",
-            "lang",
-            "n_toks",
-            "lr_dec",
-            (F.col("lr_dec") + gum).alias("score_dec"),
-        )
+    scored = dw.select(
+        "doc_id",
+        "lang",
+        "n_toks",
+        "lr_dec",
+        (F.col("lr_dec") + gum).alias("score_dec"),
     )
     top = scored.orderBy(F.col("score_dec").desc(), "doc_id").limit(_DSIR_TOPK)
     w = Window.orderBy(F.col("score_dec").desc(), "doc_id")
