@@ -43,6 +43,9 @@ EXTRA = {
     "q47_sequence_packing",
     "q48_decontamination",
     "q32_training_mix_pipeline",
+    "q22_dsir_resample",
+    "q21_bigram_lm",
+    "q03_skipgram_pairs",
 }
 
 out = list(HEADER)
