@@ -1,0 +1,164 @@
+"""Iterative graph rank (PageRank power iteration) over a derived
+entity graph.
+
+Web-scale training corpora are routinely quality-weighted by link
+centrality (CommonCrawl publishes harmonic-centrality / PageRank host
+ranks, and corpus pipelines filter or sample by them), so a corpus
+engine needs the iterative-rank primitive. The reference declares no
+graph surface; this is an engine extension (SURVEY.md §2.3 G1),
+demonstrated on the graph the fixtures contain: the supplier-customer
+trading graph (an edge per distinct supplier→customer trading
+relationship from lineitem ⋈ orders), made undirected so every node
+has degree ≥ 1 and the walk needs no dangling-mass handling.
+
+Determinism (SURVEY.md §2.4): the rank vector stays bit-identical
+cross-engine by quantizing each node's incoming contribution to 12
+decimals and accumulating as DECIMAL — the per-iteration sum is then
+order-independent, and every other step (1/N, r/outdeg, damping) is
+IEEE double arithmetic on identical inputs. The oracle replays the
+same five iterations as chained CTEs.
+
+Plan shape at 100 TB: edges and degrees are computed once and
+checkpointed (they are reused every iteration — recomputing the
+lineitem⋈orders distinct per iteration would scan the fact table 5×).
+Each iteration is one edge⋈rank hash join (rank is node-sized —
+broadcast when dims allow; here a shuffle join co-partitioned on the
+node key) plus one dst-keyed aggregation: the classic Pregel-in-SQL
+step. The driver loop is control-plane only — 5 plan builds, no data
+to the driver; localCheckpoint cuts the exponentially-growing lineage
+exactly like q67_dedup_clusters' pointer-doubling loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import table
+from ..registry import query
+
+_PR_ITERS = 5
+_PR_DAMP = 0.85
+_PR_TOPK = 50
+_PR_CUST_BASE = 1_000_000  # customer node ids offset above supplier ids
+
+_Q_PR_ORACLE = f"""
+WITH rel AS (
+  SELECT DISTINCT l.l_suppkey AS s, o.o_custkey AS c
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+edges AS (
+  SELECT s AS src, {_PR_CUST_BASE} + c AS dst FROM rel
+  UNION ALL
+  SELECT {_PR_CUST_BASE} + c AS src, s AS dst FROM rel
+),
+deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+n AS (SELECT COUNT(*) AS n_nodes FROM deg),
+r0 AS (SELECT src AS node, 1.0 / (SELECT n_nodes FROM n) AS r FROM deg),
+{"".join(
+    f'''r{k} AS (
+  SELECT e.dst AS node,
+    {1.0 - _PR_DAMP} / (SELECT n_nodes FROM n) + {_PR_DAMP} * CAST(
+      SUM(CAST(round(p.r / d.outdeg, 12) AS DECIMAL(26,14))) AS DOUBLE) AS r
+  FROM edges e
+  JOIN r{k - 1} p ON e.src = p.node
+  JOIN deg d ON e.src = d.src
+  GROUP BY e.dst
+),
+'''
+    for k in range(1, _PR_ITERS + 1)
+)}ranked AS (
+  SELECT r.node, r.r, d.outdeg
+  FROM r{_PR_ITERS} r JOIN deg d ON r.node = d.src
+)
+SELECT * FROM (
+  SELECT
+    CAST(ROW_NUMBER() OVER (ORDER BY r DESC, node) AS BIGINT) AS rank,
+    node,
+    CASE WHEN node >= {_PR_CUST_BASE} THEN 'customer' ELSE 'supplier' END
+      AS node_type,
+    CAST(outdeg AS BIGINT) AS degree,
+    round(r, 12) AS pagerank
+  FROM ranked
+)
+WHERE rank <= {_PR_TOPK}
+ORDER BY rank
+"""
+
+
+@query("q08_graph_pagerank", oracle=_Q_PR_ORACLE, tags=("G1", "graph"))
+def q08_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five power iterations of PageRank (d=0.85) over the undirected
+    supplier↔customer trading graph; returns the top-50 nodes by rank.
+
+    See module docstring for the determinism and scale argument. The
+    edge list + degree table are checkpointed once; each iteration is
+    one co-partitioned hash join and one aggregation.
+    """
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    rel = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select("l_suppkey", "o_custkey")
+        .distinct()
+    )
+    edges = (
+        rel.select(
+            F.col("l_suppkey").alias("src"),
+            (F.col("o_custkey") + _PR_CUST_BASE).alias("dst"),
+        )
+        .unionAll(
+            rel.select(
+                (F.col("o_custkey") + _PR_CUST_BASE).alias("src"),
+                F.col("l_suppkey").alias("dst"),
+            )
+        )
+        .localCheckpoint()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).localCheckpoint()
+    nn = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+
+    ranks = (
+        deg.crossJoin(F.broadcast(nn))
+        .select(F.col("src").alias("node"), (F.lit(1.0) / F.col("n_nodes")).alias("r"))
+        .localCheckpoint()
+    )
+    ed = edges.join(deg, "src")  # (src, dst, outdeg), reused every iteration
+    for _ in range(_PR_ITERS):
+        contrib = ed.join(ranks, ed.src == ranks.node).select(
+            "dst",
+            F.round(F.col("r") / F.col("outdeg"), 12)
+            .cast("decimal(26,14)")
+            .alias("cq"),
+        )
+        ranks = (
+            contrib.groupBy("dst")
+            .agg(F.sum("cq").alias("sq"))
+            .crossJoin(F.broadcast(nn))
+            .select(
+                F.col("dst").alias("node"),
+                (
+                    F.lit(1.0 - _PR_DAMP) / F.col("n_nodes")
+                    + F.lit(_PR_DAMP) * F.col("sq").cast("double")
+                ).alias("r"),
+            )
+            .localCheckpoint()
+        )
+
+    ranked = ranks.join(deg, ranks.node == deg.src).select("node", "r", "outdeg")
+    top = ranked.orderBy(F.col("r").desc(), "node").limit(_PR_TOPK)
+    w = Window.orderBy(F.col("r").desc(), "node")
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
+        .select(
+            "rank",
+            "node",
+            F.when(F.col("node") >= _PR_CUST_BASE, "customer")
+            .otherwise("supplier")
+            .alias("node_type"),
+            F.col("outdeg").cast("long").alias("degree"),
+            F.round("r", 12).alias("pagerank"),
+        )
+        .orderBy("rank")
+    )

@@ -379,8 +379,8 @@ ORDER BY c_custkey
 """
 
 
-@query("q08_proj_filter", oracle=_Q59_ORACLE, tags=("P1", "P2"))
-def q08_proj_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r23_proj_filter", oracle=_Q59_ORACLE, tags=("P1", "P2"))
+def r23_proj_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Projection/rename/computed columns + disjunctive & null-safe filter."""
     c = table(spark, sf_dir, "customer")
     return (

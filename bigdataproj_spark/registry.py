@@ -57,6 +57,7 @@ _QUERY_MODULES = (
     "bigdataproj_spark.operators.cleaning",
     "bigdataproj_spark.operators.quality",
     "bigdataproj_spark.operators.mixing",
+    "bigdataproj_spark.operators.graph",
     "bigdataproj_spark.operators.analytics",
     "bigdataproj_spark.streaming.batch_twins",
     "bigdataproj_spark.sources.filescan",

@@ -258,3 +258,21 @@ def test_bigram_lm_is_one_corpus_pass(spark, sf_dir):
     assert p.count("Scan parquet") == 0, p
     assert "ExistingRDD" in p, p
     assert "BatchEvalPython" not in p, p
+
+
+def test_pagerank_output_invariants(spark, sf_dir):
+    """PageRank sanity: ranks strictly ordered, all positive, the
+    undirected trading graph's top nodes are the high-degree ones
+    (rank-degree Spearman must be strongly positive), and a re-run is
+    bit-identical (no RNG, checkpoint-stable)."""
+    from bigdataproj_spark.operators.graph import q08_graph_pagerank
+
+    a = q08_graph_pagerank(spark, sf_dir).toPandas()
+    assert (a["pagerank"] > 0).all()
+    assert a["pagerank"].is_monotonic_decreasing
+    assert a["rank"].tolist() == list(range(1, len(a) + 1))
+    # Spearman = Pearson over ranks (avoids the scipy dependency).
+    sp = a["degree"].rank().corr(a["pagerank"].rank())
+    assert sp > 0.5, sp
+    b = q08_graph_pagerank(spark, sf_dir).toPandas()
+    assert a.equals(b)

@@ -143,3 +143,30 @@ def test_encode_ids_roundtrip_against_vocab(spark, sf_dir):
         for i, tok in zip(ids, toks[r.doc_id]):
             if i != -1:
                 assert vocab[i] == tok
+
+
+def test_skipgram_pairs_symmetric(spark, sf_dir):
+    """Pair generation emits both directions, so the count table must
+    be exactly symmetric: n(a,b,d) == n(b,a,d) for every surviving
+    pair (the HAVING floor cannot break symmetry because both
+    directions have identical counts)."""
+    from bigdataproj_spark.operators.text import q03_skipgram_pairs
+
+    pdf = q03_skipgram_pairs(spark, sf_dir).toPandas()
+    fwd = {(r.center, r.context, r.dist): r.n_pairs for r in pdf.itertuples()}
+    for (a, b, d), n in fwd.items():
+        assert fwd.get((b, a, d)) == n, (a, b, d)
+
+
+def test_bigram_lm_probabilities_valid(spark, sf_dir):
+    """Conditional probabilities are proper: in (0, 1), c1 >= c12,
+    and add-one smoothing keeps p monotone in c12 for fixed w1."""
+    from bigdataproj_spark.operators.text import q21_bigram_lm
+
+    pdf = q21_bigram_lm(spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    assert ((pdf["p_cond"] > 0) & (pdf["p_cond"] < 1)).all()
+    assert (pdf["c1"] >= pdf["c12"]).all()
+    for _, g in pdf.groupby("w1"):
+        gs = g.sort_values("c12")
+        assert gs["p_cond"].is_monotonic_increasing
