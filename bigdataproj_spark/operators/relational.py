@@ -538,8 +538,8 @@ ORDER BY l_returnflag
 """
 
 
-@query("q14_pivot", oracle=_Q65_ORACLE, tags=("A9",))
-def q14_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r24_pivot", oracle=_Q65_ORACLE, tags=("A9",))
+def r24_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot linestatus into columns (wide form), two measures per value.
 
     The pivot value list is explicit — at scale this skips the extra

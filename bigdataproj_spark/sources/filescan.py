@@ -197,3 +197,68 @@ def q09_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# S8 (engine extension): schema evolution — mergeSchema read across
+# batches written with different column sets.
+# ---------------------------------------------------------------------------
+
+_Q_EVO_ORACLE = """
+SELECT
+  pri,
+  COUNT(*) AS n_orders,
+  CAST(COUNT(total_price) AS BIGINT) AS n_with_price,
+  CAST(SUM(CAST(round(COALESCE(total_price, 0) * 100) AS BIGINT)) AS DOUBLE)
+    / 100.0 AS sum_price
+FROM (
+  SELECT
+    CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS pri,
+    CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice END AS total_price
+  FROM orders
+)
+GROUP BY pri
+ORDER BY pri NULLS FIRST
+"""
+
+
+@query("q14_schema_evolution", oracle=_Q_EVO_ORACLE, tags=("S8", "sources"))
+def q14_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across write batches: an early batch carries
+    (o_orderkey, o_totalprice), a later batch adds o_orderpriority and
+    drops o_totalprice — the mergeSchema read unifies both, null-
+    filling each batch's missing columns. The oracle replays the same
+    column availability on the base table, so a hash match proves the
+    merged read neither drops rows nor mis-aligns evolved columns.
+
+    At scale this is how a years-old parquet lake with accreted
+    columns stays queryable in place: schema union at the footer
+    level, per-file column projection, no rewrite of old data.
+    """
+    out = _export_dir(sf_dir, "orders_evolved")
+    o = table(spark, sf_dir, "orders")
+    o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    ).write.mode("overwrite").parquet(os.path.join(out, "v1"))
+    o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_orderpriority"
+    ).write.mode("overwrite").parquet(os.path.join(out, "v2"))
+    evolved = spark.read.option("mergeSchema", True).parquet(
+        os.path.join(out, "v1"), os.path.join(out, "v2")
+    )
+    return (
+        evolved.groupBy(F.col("o_orderpriority").alias("pri"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count("o_totalprice").alias("n_with_price"),
+            (
+                F.sum(
+                    F.round(F.coalesce(F.col("o_totalprice"), F.lit(0.0)) * 100).cast(
+                        "long"
+                    )
+                ).cast("double")
+                / 100.0
+            ).alias("sum_price"),
+        )
+        .orderBy(F.col("pri").asc_nulls_first())
+    )

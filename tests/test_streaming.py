@@ -9,6 +9,7 @@ boundaries and the same late-data pattern.
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 import pandas as pd
@@ -345,3 +346,49 @@ def test_quality_gate_streams_unchanged(spark, sf_dir, tmp_path):
         .reset_index(drop=True)
     )
     assert batch.equals(streamed)
+
+
+def test_foreach_batch_upsert_exactly_once(spark, sf_dir, tmp_path):
+    """ST9: the foreachBatch upsert sink over 4 replayed micro-batches
+    must converge to the same per-user aggregate a single batch pass
+    computes — and re-delivering an already-applied batch (the
+    at-least-once failure mode foreachBatch must tolerate) must leave
+    the snapshot byte-identical (the ledger makes the merge
+    exactly-once)."""
+    from bigdataproj_spark.catalog import table as load_table
+    from bigdataproj_spark.streaming.replay import (
+        foreach_batch_upsert,
+        run_foreach_batch_stream,
+        stage_microbatches,
+    )
+
+    stage_dir = str(tmp_path / "batches")
+    os.makedirs(stage_dir, exist_ok=True)
+    paths = stage_microbatches(spark, sf_dir, stage_dir, n_batches=4)
+    table_dir = str(tmp_path / "upsert_table")
+
+    snap = run_foreach_batch_stream(spark, paths, table_dir)
+
+    expected = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+            F.max("ts").alias("last_ts"),
+        )
+        .orderBy("user_id")
+        .toPandas()
+    )
+    assert snap.reset_index(drop=True).equals(expected.reset_index(drop=True))
+
+    # Redeliver batch 0: the ledger must make it a no-op.
+    apply = foreach_batch_upsert(spark, table_dir)
+    replay_df = spark.read.schema(replay.EVENTS_DDL).parquet(paths[0])
+    apply(replay_df, 0)
+    snap2 = (
+        spark.read.parquet(os.path.join(table_dir, "data"))
+        .orderBy("user_id")
+        .toPandas()
+    )
+    assert snap2.reset_index(drop=True).equals(snap.reset_index(drop=True))
