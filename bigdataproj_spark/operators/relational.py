@@ -506,6 +506,27 @@ def r10_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+@query("r25_approx_percentiles", oracle=None, tags=("A7", "approx"))
+def r25_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped approximate percentiles via the QuantileSummaries
+    sketch (Greenwald-Khanna variant) — the mergeable-sketch path for
+    quantiles at 100 TB, where the exact sort-based percentile is a
+    full shuffle of the column. Rank error is bounded by
+    count/accuracy; tests/test_approx.py pins the estimate between
+    the neighboring exact percentiles (rows-only driver check by
+    design — no cross-engine sketch twin exists)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", 0.5, 1000).alias("approx_median"),
+            F.percentile_approx("l_extendedprice", 0.95, 1000).alias("approx_p95"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 @query("q12_approx_count_distinct", oracle=None, tags=("A6", "approx"))
 def q12_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct count per event_type."""

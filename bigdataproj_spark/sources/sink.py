@@ -148,3 +148,43 @@ def q94_query_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# S9 (engine extension): small-file compaction — snapshot rewrite to a
+# target file size, the standing maintenance job of any parquet lake.
+# ---------------------------------------------------------------------------
+
+_COMPACT_TARGET_BYTES = 128 * 1024 * 1024  # the classic 128 MiB target
+
+
+def compact_dir(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    target_bytes: int = _COMPACT_TARGET_BYTES,
+) -> int:
+    """Rewrite a parquet directory into ceil(total_bytes/target) files.
+
+    Streaming ingest (one file per micro-batch — see ST9's upsert
+    sink) and fine-grained partitioning both accrete small files; at
+    scale every query then pays per-file open/footer costs and the
+    scheduler drowns in tasks. Compaction is the fix: one scan, a
+    coalesce to the target file count (coalesce, not repartition — no
+    shuffle, it only merges read splits), one write of the next
+    snapshot. Returns the file count written.
+
+    The rewrite preserves rows exactly (asserted in
+    tests/test_engine.py); at 100 TB this runs per-partition-directory
+    so each compaction task set is bounded.
+    """
+    total = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(src_dir)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, -(-total // target_bytes))
+    df = spark.read.parquet(src_dir)
+    df.coalesce(n_files).write.mode("overwrite").parquet(dst_dir)
+    return n_files

@@ -99,3 +99,29 @@ def test_generic_asof_join_two_sources(spark):
     # larger tiebreak rid=11 wins.  pid=2: latest earlier row is 12.
     # pid=3: u2's only right row is later -> no match.
     assert got == {1: (11, 2.0), 2: (12, 3.0), 3: (None, None)}
+
+
+def test_compaction_preserves_rows_and_bounds_files(spark, sf_dir, tmp_path):
+    """S9: many small files -> one compacted snapshot. Content must be
+    row-for-row identical and the output file count must match the
+    byte-target formula (here: everything fits one file)."""
+    import os
+
+    from bigdataproj_spark.catalog import table
+    from bigdataproj_spark.sources.sink import compact_dir
+
+    src = str(tmp_path / "small_files")
+    # 40 small files: the streaming-ingest accretion pattern.
+    table(spark, sf_dir, "orders").repartition(40).write.parquet(src)
+    n_small = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    assert n_small >= 30
+
+    dst = str(tmp_path / "compacted")
+    n_files = compact_dir(spark, src, dst)
+    assert n_files == 1
+    written = [f for f in os.listdir(dst) if f.endswith(".parquet")]
+    assert len(written) == 1
+
+    a = spark.read.parquet(src).orderBy("o_orderkey").toPandas()
+    b = spark.read.parquet(dst).orderBy("o_orderkey").toPandas()
+    assert a.equals(b)
