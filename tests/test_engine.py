@@ -125,3 +125,39 @@ def test_compaction_preserves_rows_and_bounds_files(spark, sf_dir, tmp_path):
     a = spark.read.parquet(src).orderBy("o_orderkey").toPandas()
     b = spark.read.parquet(dst).orderBy("o_orderkey").toPandas()
     assert a.equals(b)
+
+
+def test_registry_covers_every_survey_row_tag():
+    """Meta-invariant: every SURVEY.md §2 row that is verified through
+    the query registry keeps at least one registered query carrying its
+    tag — so a refactor cannot silently drop an operator from the
+    correctness surface. Rows verified outside the registry (ST4-ST6
+    golden replay tests, R11 Kafka twin, S5/S9 and config rows R14/R15)
+    are intentionally absent from this list."""
+    from bigdataproj_spark.registry import load_all
+
+    required = {
+        # relational core (§2.2)
+        "S1", "S2", "S3", "S4", "S6", "P1", "P2", "P3", "P4",
+        "J1", "J2", "J3", "J4", "J5", "J6", "J7", "J8", "J9",
+        "A1", "A2", "A3", "A4", "A5", "A6", "A7", "A8", "A9",
+        "W1", "W2", "W3", "W4", "O1", "O2", "O3",
+        "T1", "T2", "T3", "Q1", "M1",
+        # reference-declared rows with registry queries (§2.1)
+        "R1", "R3", "R4", "R5", "R6", "R7", "R8", "R9", "R10", "R13",
+        # scalar functions (§2.3)
+        "F-S1", "F-S2", "F-S3", "F-S4", "F-D1", "F-M1",
+        "F-A1", "F-A2", "F-P1", "F-J1",
+        # streaming twins with oracle queries
+        "ST1", "ST2", "ST3", "ST7", "ST8",
+        # UDx
+        "U1", "U2", "U3", "U4", "U5",
+        # LLM-pipeline rows
+        "L1", "L2", "L3", "L4", "L5", "L6", "L7", "L8", "L9",
+        "L10", "L11",
+        # engine extensions
+        "S7", "S8", "G1",
+    }
+    have = {t for q in load_all().values() for t in q.tags}
+    missing = required - have
+    assert not missing, sorted(missing)
