@@ -527,8 +527,8 @@ def r25_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q12_approx_count_distinct", oracle=None, tags=("A6", "approx"))
-def q12_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r26_approx_count_distinct", oracle=None, tags=("A6", "approx"))
+def r26_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct count per event_type."""
     e = table(spark, sf_dir, "events")
     return (

@@ -262,3 +262,82 @@ def q14_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("pri").asc_nulls_first())
     )
+
+
+# ---------------------------------------------------------------------------
+# S10 (engine extension): corrupt-record-tolerant ingestion —
+# PERMISSIVE JSON parsing with a _corrupt_record audit column.
+# ---------------------------------------------------------------------------
+
+_CORRUPT_EVERY = 10  # deterministic corruption: every 10th record
+
+
+_Q_CORRUPT_ORACLE = f"""
+SELECT
+  CASE WHEN o_orderkey % {_CORRUPT_EVERY} = 0 THEN 'corrupt' ELSE 'valid' END
+    AS record_class,
+  COUNT(*) AS n_records,
+  CAST(SUM(CASE WHEN o_orderkey % {_CORRUPT_EVERY} <> 0
+       THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS DOUBLE)
+    / 100.0 AS parsed_price
+FROM orders
+GROUP BY record_class
+ORDER BY record_class
+"""
+
+
+@query("q12_corrupt_records", oracle=_Q_CORRUPT_ORACLE, tags=("S10", "sources"))
+def q12_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-record-tolerant ingestion: a JSONL export with every
+    10th line deterministically truncated mid-object is read back in
+    PERMISSIVE mode with a ``_corrupt_record`` column; the query
+    audits valid vs corrupt counts and the price total parsed from
+    the surviving rows. The oracle replays the corruption rule on the
+    base table, so a hash match proves (a) bad lines never abort the
+    scan, (b) bad lines never leak values into typed columns, and (c)
+    every good line survives.
+
+    At 100 TB this is the difference between an ingest job that dies
+    at hour 9 on one bad record and one that lands with an audit
+    trail. PERMISSIVE is a per-record map-side classification — no
+    extra pass, no shuffle.
+    """
+    out = _export_dir(sf_dir, "orders_corrupt_jsonl")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    # Deterministic corruption at export: truncate every 10th line.
+    corrupted = o.select(
+        F.when(
+            F.col("o_orderkey") % _CORRUPT_EVERY == 0,
+            F.substring(F.to_json(F.struct("o_orderkey", "o_totalprice")), 1, 9),
+        )
+        .otherwise(F.to_json(F.struct("o_orderkey", "o_totalprice", "o_orderpriority")))
+        .alias("value")
+    )
+    corrupted.write.mode("overwrite").text(out)
+    parsed = (
+        spark.read.schema(
+            "o_orderkey long, o_totalprice double, o_orderpriority string, "
+            "_corrupt_record string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(out)
+    )
+    return (
+        parsed.select(
+            F.when(F.col("_corrupt_record").isNotNull(), "corrupt")
+            .otherwise("valid")
+            .alias("record_class"),
+            F.coalesce(
+                F.round(F.col("o_totalprice") * 100).cast("long"), F.lit(0)
+            ).alias("cents"),
+        )
+        .groupBy("record_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            (F.sum("cents").cast("double") / 100.0).alias("parsed_price"),
+        )
+        .orderBy("record_class")
+    )

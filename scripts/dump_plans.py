@@ -46,6 +46,7 @@ EXTRA = {
     "q22_dsir_resample",
     "q21_bigram_lm",
     "q03_skipgram_pairs",
+    "q08_graph_pagerank",
 }
 
 out = list(HEADER)
