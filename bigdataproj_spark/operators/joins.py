@@ -217,8 +217,8 @@ ORDER BY s.s_suppkey
 """
 
 
-@query("q31_theta_join", oracle=_Q82_ORACLE, tags=("J5",))
-def q31_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r27_theta_join", oracle=_Q82_ORACLE, tags=("J5",))
+def r27_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per supplier: same-nation customers with a smaller balance.
 
     The equi key keeps this a hash join; the inequality rides along as

@@ -734,3 +734,185 @@ def q43_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# C1 (engine extension): distributed k-means over the embedding corpus
+# — the diversity-clustering primitive (cluster-balanced sampling,
+# SemDeDup's first stage, topic bucketing) as a fixed-iteration
+# Lloyd's loop.
+# ---------------------------------------------------------------------------
+
+_KM_K = 4        # clusters
+_KM_ITERS = 3    # Lloyd iterations (fixed — determinism over convergence)
+
+
+def _km_iter_sql(k: int) -> str:
+    """One Lloyd iteration as SQL: assign each vector to the nearest
+    centroid (round-12 DECIMAL-summed squared L2, ties to the lowest
+    cluster id), then recompute per-(cluster, dim) means."""
+    return f"""
+a{k} AS (
+  SELECT t.vec_id, t.dim, t.x, am.cid
+  FROM ex t JOIN (
+    SELECT vec_id, cid FROM (
+      SELECT vec_id, cid,
+        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      FROM (
+        SELECT t.vec_id, c.cid,
+          SUM(CAST(round((t.x - c.c) * (t.x - c.c), 12) AS DECIMAL(28,14))) AS d
+        FROM ex t JOIN c{k - 1} c ON t.dim = c.dim
+        GROUP BY t.vec_id, c.cid
+      )
+    ) WHERE rn = 1
+  ) am ON t.vec_id = am.vec_id
+),
+c{k} AS (
+  SELECT cid, dim,
+    CAST(SUM(CAST(x AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS c
+  FROM a{k} GROUP BY cid, dim
+),
+"""
+
+
+_Q_KM_ORACLE = f"""
+WITH ex AS (
+  SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
+         CAST(embedding[i] AS DOUBLE) AS x
+  FROM (
+    SELECT vec_id, embedding,
+           unnest(range(1, len(embedding) + 1)) AS i
+    FROM embeddings
+  )
+),
+c0 AS (
+  SELECT CAST(vec_id AS INTEGER) AS cid, dim, x AS c
+  FROM ex WHERE vec_id < {_KM_K}
+),
+{"".join(_km_iter_sql(k) for k in range(1, _KM_ITERS + 1))}
+final_assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+    FROM (
+      SELECT t.vec_id, c.cid,
+        SUM(CAST(round((t.x - c.c) * (t.x - c.c), 12) AS DECIMAL(28,14))) AS d
+      FROM ex t JOIN c{_KM_ITERS} c ON t.dim = c.dim
+      GROUP BY t.vec_id, c.cid
+    )
+  ) WHERE rn = 1
+)
+SELECT
+  CAST(a.cid AS INTEGER) AS cluster_id,
+  COUNT(*) AS n_members,
+  MIN(a.vec_id) AS min_vec_id,
+  round(MAX(cn.norm), 6) AS centroid_norm
+FROM final_assign a
+JOIN (
+  SELECT cid, CAST(SUM(CAST(round(c * c, 12) AS DECIMAL(28,14))) AS DOUBLE)
+    AS norm
+  FROM c{_KM_ITERS} GROUP BY cid
+) cn ON a.cid = cn.cid
+GROUP BY a.cid
+ORDER BY cluster_id
+"""
+
+
+@query("q31_kmeans_embeddings", oracle=_Q_KM_ORACLE, tags=("C1", "similarity"))
+def q31_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means (Lloyd's algorithm, K={k}, {it} fixed
+    iterations) over the embedding corpus; returns per-cluster size,
+    smallest member id, and centroid squared-norm.
+
+    Deterministic end-to-end: init centroids are the first K vectors
+    by vec_id; every distance is a round-12 quantized DECIMAL sum over
+    dims (order-independent, bit-equal cross-engine); argmin ties
+    break to the lowest cluster id; centroid updates are exact
+    DECIMAL sums divided by exact counts in IEEE double. The oracle
+    replays all {it} iterations as chained CTEs.
+
+    Plan shape at scale: the long-format corpus (vec_id, dim, x) is
+    materialized ONCE and reused each iteration (at 100 TB: a
+    persisted/bucketed projection — the loop re-reads it, never the
+    raw table). Centroids are K×D rows — broadcast to every
+    assignment join; each iteration is one corpus-keyed aggregation
+    (assign) and one (cluster, dim)-keyed aggregation (update), the
+    canonical two-shuffle Lloyd step. The driver loop is
+    control-plane only, like q08_graph_pagerank.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id",
+        F.posexplode("embedding").alias("dim", "xf"),
+    ).select(
+        "vec_id", "dim", F.col("xf").cast("double").alias("x")
+    ).localCheckpoint()
+
+    centroids = (
+        ex.filter(F.col("vec_id") < _KM_K)
+        .select(
+            F.col("vec_id").cast("int").alias("cid"),
+            "dim",
+            F.col("x").alias("c"),
+        )
+        .localCheckpoint()
+    )
+
+    def _assign(cents: DataFrame) -> DataFrame:
+        dists = (
+            ex.join(F.broadcast(cents), "dim")
+            .select(
+                "vec_id",
+                "cid",
+                F.round((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")), 12)
+                .cast("decimal(28,14)")
+                .alias("term"),
+            )
+            .groupBy("vec_id", "cid")
+            .agg(F.sum("term").alias("d"))
+        )
+        return dists.groupBy("vec_id").agg(
+            F.min(F.struct("d", "cid")).alias("m")
+        ).select("vec_id", F.col("m.cid").alias("cid"))
+
+    for _ in range(_KM_ITERS):
+        assign = _assign(centroids)
+        centroids = (
+            ex.join(assign, "vec_id")
+            .groupBy("cid", "dim")
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(20,10)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("c")
+            )
+            .localCheckpoint()
+        )
+
+    final_assign = _assign(centroids)
+    norms = (
+        centroids.groupBy("cid")
+        .agg(
+            F.sum(
+                F.round(F.col("c") * F.col("c"), 12).cast("decimal(28,14)")
+            )
+            .cast("double")
+            .alias("norm")
+        )
+    )
+    return (
+        final_assign.join(norms, "cid")
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("vec_id").alias("min_vec_id"),
+            F.round(F.max("norm"), 6).alias("centroid_norm"),
+        )
+        .select(
+            F.col("cid").cast("int").alias("cluster_id"),
+            "n_members",
+            "min_vec_id",
+            "centroid_norm",
+        )
+        .orderBy("cluster_id")
+    )

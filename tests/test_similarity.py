@@ -109,3 +109,22 @@ def test_ivf_cell_assignment_is_nearest_centroid(spark, sf_dir):
     )
     for r in q.collect():
         assert r["cell"] == r["vec_id"]
+
+
+def test_kmeans_partitions_all_vectors(spark, sf_dir):
+    """k-means invariants: every vector lands in exactly one cluster
+    (sizes sum to the corpus), all K clusters are non-empty on the
+    fixture, and a re-run is bit-identical (checkpointed loop, no
+    RNG)."""
+    from bigdataproj_spark.operators.similarity import (
+        _KM_K,
+        q31_kmeans_embeddings,
+    )
+
+    a = q31_kmeans_embeddings(spark, sf_dir).toPandas()
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert a["n_members"].sum() == n
+    assert len(a) == _KM_K
+    assert (a["n_members"] > 0).all()
+    b = q31_kmeans_embeddings(spark, sf_dir).toPandas()
+    assert a.equals(b)
