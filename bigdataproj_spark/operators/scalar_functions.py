@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..registry import query
+from ..functions import round_fp
 
 # ---------------------------------------------------------------------------
 # F-S1/F-S3/F-S4 string functions.
@@ -175,11 +176,15 @@ def q49_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ceil(F.col("l_extendedprice") / 1000).alias("price_k_ceil"),
         F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
         F.sqrt("l_quantity").alias("qty_sqrt"),
-        F.round(F.exp("l_discount"), 6).alias("disc_exp"),
-        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        round_fp(F.exp("l_discount"), 6).alias("disc_exp"),
+        round_fp(F.log("l_extendedprice"), 6).alias("price_ln"),
         (F.col("l_quantity") * F.col("l_quantity")).alias("qty_sq"),
         (F.col("l_orderkey") % 7).alias("key_mod7"),
-        F.round(F.col("l_extendedprice") / 7.0, 6).alias("price_div7"),
+        # price/7 scales to ~1.4e10 at 6 digits — large enough that
+        # F.round's BigDecimal can disagree with the oracle's FP-scaled
+        # round on boundary values; round_fp is DuckDB-identical by
+        # construction (functions.round_fp).
+        round_fp(F.col("l_extendedprice") / 7.0, 6).alias("price_div7"),
     ).orderBy("l_orderkey", "l_linenumber")
 
 

@@ -118,3 +118,36 @@ def test_cents_matches_half_up_rounding_on_fixture_domain(spark, sf_dir):
             | (cents("x") != F.round(F.col("x") * 100).cast("long"))
         ).count()
         assert bad == 0, f"{tbl}.{col}: cents() precondition violated"
+
+
+@given(
+    st.floats(
+        min_value=1e-6,
+        max_value=1e7,
+        allow_nan=False,
+        allow_infinity=False,
+    ),
+    st.sampled_from([6, 9, 12]),
+)
+@settings(max_examples=300, deadline=None)
+def test_round_fp_matches_duckdb(v, digits):
+    """functions.round_fp must equal DuckDB's round(v, d) exactly —
+    including on values adversarially close to the .5 boundary, where
+    Spark's BigDecimal F.round diverges (see round_fp docstring)."""
+    import duckdb
+    import math
+
+    # Documented domain: scaled magnitude <= ~1e13.
+    if abs(v) * 10**digits > 1e13:
+        return
+
+    # Also probe the nearest boundary double for this magnitude.
+    k = math.floor(abs(v) * 10**digits) + 0.5
+    for probe in (v, k / 10**digits):
+        expected = duckdb.sql(
+            f"SELECT round(CAST({probe!r} AS DOUBLE), {digits})"
+        ).fetchone()[0]
+        got = math.copysign(
+            math.floor(abs(probe) * 10**digits + 0.5), probe
+        ) / 10**digits
+        assert got == expected, (probe, digits, got, expected)
