@@ -62,6 +62,14 @@ class Engine:
         """Run a registered engine query by name (see COVERAGE.md)."""
         return load_all()[name].build(self.spark, self.sf_dir)
 
+    def explain(self, name: str) -> str:
+        """Physical plan of a registry query (the plan-shape review
+        surface: PushedFilters / ReadSchema / join strategies —
+        SURVEY.md §4's optimizer story is plan assertions)."""
+        from .plans import physical_plan
+
+        return physical_plan(self.query(name))
+
     def query_names(self) -> list[str]:
         return sorted(load_all())
 

@@ -47,6 +47,7 @@ EXTRA = {
     "q21_bigram_lm",
     "q03_skipgram_pairs",
     "q08_graph_pagerank",
+    "q31_kmeans_embeddings",
 }
 
 out = list(HEADER)

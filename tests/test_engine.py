@@ -161,3 +161,13 @@ def test_registry_covers_every_survey_row_tag():
     have = {t for q in load_all().values() for t in q.tags}
     missing = required - have
     assert not missing, sorted(missing)
+
+
+def test_engine_explain_surface(spark, sf_dir):
+    """Engine.explain returns the physical plan text with the scan
+    visible — the user-facing plan-review hook."""
+    from bigdataproj_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    p = eng.explain("q01_pricing_summary")
+    assert "Scan parquet" in p and "HashAggregate" in p
