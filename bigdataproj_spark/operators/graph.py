@@ -37,6 +37,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import table
 from ..registry import query
+from ..functions import round_fp
 
 _PR_ITERS = 5
 _PR_DAMP = 0.85
@@ -128,7 +129,9 @@ def q08_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(_PR_ITERS):
         contrib = ed.join(ranks, ed.src == ranks.node).select(
             "dst",
-            F.round(F.col("r") / F.col("outdeg"), 12)
+            # round_fp == DuckDB round(v,12) by construction (scaled
+            # magnitude <= 1e12 here) and skips the per-edge BigDecimal.
+            round_fp(F.col("r") / F.col("outdeg"), 12)
             .cast("decimal(26,14)")
             .alias("cq"),
         )
