@@ -130,3 +130,90 @@ def test_random_plan_matches_duckdb(spark, sf_dir, _ora, p):
     if spd.empty and opd.empty:
         return
     compare_frames(spd, opd, f"fuzz:{p}")
+
+
+# --- window-function algebra ------------------------------------------------
+
+_WFN = ["row_number", "rank", "lag_price", "sum_cents_frame"]
+
+wplans = st.fixed_dictionaries(
+    {
+        "part_col": st.sampled_from(_CAT_COLS),
+        "fn": st.sampled_from(_WFN),
+        "keep_top": st.integers(min_value=1, max_value=8),
+        "mod": st.integers(min_value=2, max_value=9),
+        "rhs": st.integers(min_value=0, max_value=8),
+    }
+)
+
+
+def _spark_window_frame(spark, sf_dir, p):
+    from pyspark.sql.window import Window
+
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % p["mod"] == p["rhs"]
+    )
+    w = Window.partitionBy(p["part_col"]).orderBy("o_orderkey")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    fn = {
+        "row_number": F.row_number().over(w).cast("long"),
+        "rank": F.rank().over(w).cast("long"),
+        "lag_price": F.coalesce(F.lag(cents).over(w), F.lit(-1)),
+        "sum_cents_frame": F.sum(cents).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    }[p["fn"]]
+    rn = F.row_number().over(w)
+    return (
+        o.select(
+            p["part_col"],
+            "o_orderkey",
+            fn.alias("v"),
+            rn.alias("rn"),
+        )
+        .filter(F.col("rn") <= p["keep_top"])
+        .drop("rn")
+        .orderBy(p["part_col"], "o_orderkey")
+    )
+
+
+def _oracle_window_sql(p) -> str:
+    cents = "CAST(round(o_totalprice * 100) AS BIGINT)"
+    fn = {
+        "row_number": "CAST(ROW_NUMBER() OVER w AS BIGINT)",
+        "rank": "CAST(RANK() OVER w AS BIGINT)",
+        "lag_price": f"COALESCE(LAG({cents}) OVER w, -1)",
+        "sum_cents_frame": (
+            f"CAST(SUM({cents}) OVER "
+            f"(PARTITION BY {p['part_col']} ORDER BY o_orderkey "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)"
+        ),
+    }[p["fn"]]
+    return f"""
+    SELECT {p['part_col']}, o_orderkey, v FROM (
+      SELECT {p['part_col']}, o_orderkey,
+        {fn} AS v,
+        ROW_NUMBER() OVER w AS rn
+      FROM orders
+      WHERE o_orderkey % {p['mod']} = {p['rhs']}
+      WINDOW w AS (PARTITION BY {p['part_col']} ORDER BY o_orderkey)
+    )
+    WHERE rn <= {p['keep_top']}
+    ORDER BY {p['part_col']}, o_orderkey
+    """
+
+
+@given(p=wplans)
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_window_plan_matches_duckdb(spark, sf_dir, _ora, p):
+    """Window-function plans from the algebra must hash-match DuckDB —
+    ranking, offset, and running-frame semantics over a total order."""
+    spd = _spark_window_frame(spark, sf_dir, p).toPandas()
+    opd = _ora.execute(_oracle_window_sql(p)).fetchdf()
+    if spd.empty and opd.empty:
+        return
+    compare_frames(spd, opd, f"wfuzz:{p}")
