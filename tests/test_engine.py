@@ -171,3 +171,30 @@ def test_engine_explain_surface(spark, sf_dir):
     eng = Engine(spark, sf_dir)
     p = eng.explain("q01_pricing_summary")
     assert "Scan parquet" in p and "HashAggregate" in p
+
+
+def test_compare_frames_detects_wrong_results():
+    """Meta-test of the correctness harness itself: a single flipped
+    value, a dropped row, or a dtype-kind drift must each fail
+    compare_frames — otherwise every green row in the suite is
+    unfalsifiable."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from bigdataproj_spark.testing import compare_frames
+
+    base = pd.DataFrame({"k": [1, 2, 3], "v": [10, 20, 30]})
+    compare_frames(base.copy(), base.copy(), "identical")  # sanity
+
+    flipped = base.copy()
+    flipped.loc[1, "v"] = 21
+    with _pytest.raises(AssertionError):
+        compare_frames(base.copy(), flipped, "value flip")
+
+    with _pytest.raises(AssertionError):
+        compare_frames(base.copy(), base.iloc[:2].copy(), "dropped row")
+
+    drifted = base.copy()
+    drifted["v"] = drifted["v"].astype(float)
+    with _pytest.raises(AssertionError):
+        compare_frames(base.copy(), drifted, "dtype drift")
