@@ -256,11 +256,14 @@ def q22_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     log-ratio + Gumbel(doc hash). No RNG state anywhere — re-running
     at any parallelism reproduces the same sample.
 
-    Plan shape at scale: the bucket profile is a bounded aggregate
-    ({b} rows — broadcast back as lambda table); the per-document sum
-    is ONE shuffle on doc_id; the top-k is TakeOrdered (per-partition
-    heaps, no global sort). The profile/lambda table never grows with
-    the corpus, which is the point of hashed features.
+    Plan shape at scale: the corpus tokenizes ONCE into the per-doc
+    hashed-feature matrix (doc_id, bucket, n) — corpus-linear but two
+    orders of magnitude smaller than the token stream (<=128 rows per
+    doc); the matrix is materialized (the paper materializes it too)
+    and both the bucket profile (a bounded {b}-row rollup of it,
+    broadcast back as the lambda table) and the per-document scores
+    derive from it without re-reading text. The top-k is TakeOrdered
+    (per-partition heaps, no global sort).
     """
     d = table(spark, sf_dir, "documents")
     tb = d.select(
@@ -274,9 +277,19 @@ def q22_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("b"),
     )
-    prof = tb.groupBy("b").agg(
-        F.count(F.lit(1)).alias("cnt_r"),
-        F.sum((F.col("lang") == "en").cast("long")).alias("cnt_t"),
+    # The DSIR feature matrix: one tokenize pass, then every consumer
+    # reads this instead of the token stream. (lang rides along — it
+    # is constant per doc.)
+    tbc = (
+        tb.groupBy("doc_id", "lang", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    prof = tbc.groupBy("b").agg(
+        F.sum("n").alias("cnt_r"),
+        F.sum(F.when(F.col("lang") == "en", F.col("n")).otherwise(0)).alias(
+            "cnt_t"
+        ),
     )
     tot = prof.agg(
         F.sum("cnt_r").alias("tot_r"), F.sum("cnt_t").alias("tot_t")
@@ -294,14 +307,12 @@ def q22_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(18,6)")
         .alias("lam"),
     )
-    # lang rides through the aggregation key (constant per doc), so no
-    # third documents scan / join is needed to re-attach metadata.
     dw = (
-        tb.join(F.broadcast(lam), "b")
+        tbc.join(F.broadcast(lam), "b")
         .groupBy("doc_id", "lang")
         .agg(
-            F.sum("lam").alias("lr_dec"),
-            F.count(F.lit(1)).alias("n_toks"),
+            F.sum(F.col("lam") * F.col("n")).alias("lr_dec"),
+            F.sum("n").alias("n_toks"),
         )
     )
     gum = (
