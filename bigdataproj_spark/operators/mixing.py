@@ -347,3 +347,77 @@ def q22_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR deployment shape: train the lambda model in batch, score
+# anywhere — including a Structured Streaming ingest — as a pure map.
+# ---------------------------------------------------------------------------
+
+
+def dsir_lambda_rows(spark: SparkSession, sf_dir: str) -> list[tuple[int, object]]:
+    """The trained DSIR model: (bucket, lambda) rows, collected. The
+    model is hashed-feature-bounded (at most {b} rows regardless of
+    corpus size) — collecting it is the legitimate 'model fit' step,
+    exactly like the IVF centroid train (similarity.py)."""
+    d = table(spark, sf_dir, "documents")
+    tb = d.select(
+        "doc_id",
+        "lang",
+        F.explode(tokens("text")).alias("token"),
+    ).select(
+        "doc_id",
+        "lang",
+        (hash60(F.col("token"), _DSIR_SALT) % _DSIR_BUCKETS).cast("int").alias("b"),
+    )
+    prof = tb.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cnt_r"),
+        F.sum((F.col("lang") == "en").cast("long")).alias("cnt_t"),
+    )
+    tot = prof.agg(F.sum("cnt_r").alias("tot_r"), F.sum("cnt_t").alias("tot_t"))
+    nb = float(_DSIR_BUCKETS)
+    lam = prof.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.round(
+            F.log(
+                ((F.col("cnt_t") + 1.0) / (F.col("tot_t") + nb))
+                / ((F.col("cnt_r") + 1.0) / (F.col("tot_r") + nb))
+            ),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("lam"),
+    )
+    return [(r["b"], r["lam"]) for r in lam.collect()]
+
+
+def dsir_scorer(lam_rows: list[tuple[int, object]]):
+    """Build the map-only scoring transform from a trained model.
+
+    The lambda table embeds as a plan-literal map, so scoring is a
+    pure per-row expression — no join, no shuffle, no state. That is
+    what makes the same transform run verbatim over a batch frame OR
+    a Structured Streaming source (tests/test_streaming.py): the
+    batch-train / stream-score deployment split of every production
+    quality-filter model.
+    """
+    lam_map = F.create_map(
+        *[x for b, v in lam_rows for x in (F.lit(b), F.lit(v))]
+    )
+
+    def transform(df: DataFrame) -> DataFrame:
+        bucket_of = lambda t: (hash60(t, _DSIR_SALT) % _DSIR_BUCKETS).cast("int")  # noqa: E731
+        score = F.aggregate(
+            tokens("text"),
+            F.lit(0).cast("decimal(28,6)"),
+            lambda acc, t: (
+                acc + F.coalesce(lam_map[bucket_of(t)], F.lit(0).cast("decimal(18,6)"))
+            ).cast("decimal(28,6)"),
+        )
+        return df.select(
+            "doc_id",
+            "lang",
+            score.cast("double").alias("log_ratio"),
+        )
+
+    return transform

@@ -392,3 +392,49 @@ def test_foreach_batch_upsert_exactly_once(spark, sf_dir, tmp_path):
         .toPandas()
     )
     assert snap2.reset_index(drop=True).equals(snap.reset_index(drop=True))
+
+
+def test_dsir_batch_train_stream_score(spark, sf_dir, tmp_path):
+    """The DSIR deployment split: lambda trains in batch (bounded
+    model, collected like the IVF centroids), scoring is a map-only
+    plan-literal expression — so (a) the map-only score equals the
+    explode-aggregate score of the registry query for every document,
+    and (b) the identical transform streams verbatim over replayed
+    micro-batches."""
+    from bigdataproj_spark.operators.mixing import (
+        dsir_lambda_rows,
+        dsir_scorer,
+        q22_dsir_resample,
+    )
+    from bigdataproj_spark.catalog import table as load_table
+    from bigdataproj_spark.streaming.replay import (
+        DOCUMENTS_DDL,
+        run_file_stream,
+        stage_document_batches,
+    )
+
+    model = dsir_lambda_rows(spark, sf_dir)
+    score = dsir_scorer(model)
+
+    batch = (
+        score(load_table(spark, sf_dir, "documents"))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    # (a) agreement with the registry query's aggregate-path log-ratio
+    # on the resampled subset it returns.
+    top = q22_dsir_resample(spark, sf_dir).toPandas()
+    merged = top.merge(batch, on="doc_id", suffixes=("_agg", "_map"))
+    assert len(merged) == len(top)
+    assert (merged["log_ratio_agg"] == merged["log_ratio_map"]).all()
+
+    # (b) the same transform streams verbatim.
+    paths = stage_document_batches(spark, sf_dir, str(tmp_path), n_batches=4)
+    streamed = (
+        run_file_stream(spark, paths, score, schema=DOCUMENTS_DDL)
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert batch.equals(streamed)
