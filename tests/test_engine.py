@@ -198,3 +198,30 @@ def test_compare_frames_detects_wrong_results():
     drifted["v"] = drifted["v"].astype(float)
     with _pytest.raises(AssertionError):
         compare_frames(base.copy(), drifted, "dtype drift")
+
+
+def test_concurrent_queries_on_shared_session(spark, sf_dir):
+    """A shared SparkSession must serve concurrent registry queries
+    (the multi-user engine mode): six different queries submitted from
+    threads all succeed and equal their serial results — pins the
+    catalog memo's benign-race behavior and Spark's concurrent job
+    scheduling."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from bigdataproj_spark.registry import load_all
+
+    qs = load_all()
+    names = [
+        "q01_pricing_summary",
+        "q17_token_counts",
+        "q29_semi_join",
+        "q36_rank_functions",
+        "q41_union_all",
+        "q46_string_functions",
+    ]
+    serial = {n: qs[n].build(spark, sf_dir).toPandas() for n in names}
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        futs = {n: pool.submit(lambda n=n: qs[n].build(spark, sf_dir).toPandas())
+                for n in names}
+        for n, fut in futs.items():
+            assert fut.result(timeout=120).equals(serial[n]), n
