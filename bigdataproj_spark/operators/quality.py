@@ -37,7 +37,7 @@ from .mixing import (
     _ORDER_HASH_SQL,
     _ORDER_SALT,
 )
-from .sampling import hash60
+from .sampling import hash60, hash60_sql
 from .text import (
     _ALNUM_SPACE,
     FINGERPRINT_SQL,
@@ -712,4 +712,117 @@ def q32_training_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor((start + F.col("n_tokens") - 1) / _SEQ_BUDGET).alias("seq_last"),
         )
         .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L23 (engine extension): corpus drift monitor — KL divergence between
+# two corpus snapshots' unigram distributions, with the top driving
+# tokens. The continuous-ingest health check: a crawler config change
+# or a poisoned source shifts the token distribution before any
+# human reads a document.
+# ---------------------------------------------------------------------------
+
+_DRIFT_SALT = "drift-v1:"
+_DRIFT_MIN_N = 5     # ignore tokens rarer than this across both halves
+_DRIFT_TOPK = 50
+
+_DRIFT_HASH_SQL = hash60_sql("CAST(doc_id AS VARCHAR)", _DRIFT_SALT)
+
+_Q_DRIFT_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id,
+    CAST({_DRIFT_HASH_SQL} % 2 AS INTEGER) AS half,
+    unnest({TOKENS_SQL}) AS token
+  FROM documents
+),
+c AS (
+  SELECT token,
+    SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS n_ref,
+    SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n_cur
+  FROM tok GROUP BY token
+  HAVING COUNT(*) >= {_DRIFT_MIN_N}
+),
+tot AS (
+  SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur, COUNT(*) AS v FROM c
+),
+contrib AS (
+  SELECT token, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+    CAST(round(
+      ((n_cur + 1.0) / (t_cur + v))
+      * ln(((n_cur + 1.0) / (t_cur + v)) / ((n_ref + 1.0) / (t_ref + v))),
+      9) AS DECIMAL(20,9)) AS contrib_dec
+  FROM c, tot
+),
+kl AS (SELECT SUM(contrib_dec) AS kl_dec FROM contrib)
+SELECT * FROM (
+  SELECT
+    CAST(ROW_NUMBER() OVER (ORDER BY abs(contrib_dec) DESC, token) AS BIGINT)
+      AS rank,
+    token, n_ref, n_cur,
+    CAST(contrib_dec AS DOUBLE) AS contrib,
+    CAST((SELECT kl_dec FROM kl) AS DOUBLE) AS kl_total
+  FROM contrib
+)
+WHERE rank <= {_DRIFT_TOPK}
+ORDER BY rank
+"""
+
+
+@query("q37_drift_monitor", oracle=_Q_DRIFT_ORACLE, tags=("L23", "quality"))
+def q37_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution drift between two corpus snapshots (here:
+    deterministic hash halves standing in for consecutive crawls):
+    smoothed KL(current || reference) plus the top-{k} tokens driving
+    it. Per-token contributions are round-9 quantized and DECIMAL-
+    summed, so the divergence is bit-equal cross-engine.
+
+    Plan shape at scale: one tokenize pass, ONE (token)-keyed count
+    aggregate with map-side combine (the half splits via conditional
+    sums, not a second pass), scalar totals broadcast back, TakeOrdered
+    top-k. Vocabulary-bounded intermediate, corpus-linear work.
+    """
+    d = table(spark, sf_dir, "documents")
+    half = (hash60(F.col("doc_id").cast("string"), _DRIFT_SALT) % 2).cast("int")
+    tok = d.select(half.alias("half"), F.explode(tokens("text")).alias("token"))
+    c = (
+        tok.groupBy("token")
+        .agg(
+            F.sum((F.col("half") == 0).cast("long")).alias("n_ref"),
+            F.sum((F.col("half") == 1).cast("long")).alias("n_cur"),
+        )
+        .filter((F.col("n_ref") + F.col("n_cur")) >= _DRIFT_MIN_N)
+    )
+    tot = c.agg(
+        F.sum("n_ref").alias("t_ref"),
+        F.sum("n_cur").alias("t_cur"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    p_cur = (F.col("n_cur") + 1.0) / (F.col("t_cur") + F.col("v"))
+    p_ref = (F.col("n_ref") + 1.0) / (F.col("t_ref") + F.col("v"))
+    contrib = c.crossJoin(F.broadcast(tot)).select(
+        "token",
+        "n_ref",
+        "n_cur",
+        F.round(p_cur * F.log(p_cur / p_ref), 9)
+        .cast("decimal(20,9)")
+        .alias("contrib_dec"),
+    )
+    kl = contrib.agg(F.sum("contrib_dec").alias("kl_dec"))
+    top = contrib.orderBy(F.abs(F.col("contrib_dec")).desc(), "token").limit(
+        _DRIFT_TOPK
+    )
+    w = Window.orderBy(F.abs(F.col("contrib_dec")).desc(), "token")
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
+        .crossJoin(F.broadcast(kl))
+        .select(
+            "rank",
+            "token",
+            "n_ref",
+            "n_cur",
+            F.col("contrib_dec").cast("double").alias("contrib"),
+            F.col("kl_dec").cast("double").alias("kl_total"),
+        )
+        .orderBy("rank")
     )

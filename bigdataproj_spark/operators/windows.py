@@ -76,8 +76,8 @@ ORDER BY event_id
 """
 
 
-@query("q37_lag_lead", oracle=_Q88_ORACLE, tags=("W2",))
-def q37_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r28_lag_lead", oracle=_Q88_ORACLE, tags=("W2",))
+def r28_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag/lead/first/last over each user's event timeline."""
     e = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")

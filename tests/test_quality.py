@@ -160,3 +160,17 @@ def test_training_mix_capstone_tape_is_contiguous(spark, sf_dir):
         .toPandas()["doc_id"]
     )
     assert set(pdf["doc_id"]) <= kept
+
+
+def test_drift_monitor_near_zero_on_random_split(spark, sf_dir):
+    """Hash halves of ONE corpus are samples of the same distribution,
+    so the measured KL must be small but positive (smoothing + finite
+    sample), and contributions must be sorted by magnitude."""
+    from bigdataproj_spark.operators.quality import q37_drift_monitor
+
+    pdf = q37_drift_monitor(spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    kl = pdf["kl_total"].iloc[0]
+    assert 0 < kl < 0.05, kl
+    mags = pdf["contrib"].abs()
+    assert mags.is_monotonic_decreasing
