@@ -480,3 +480,90 @@ def run_foreach_batch_stream(
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# ST10 (engine extension): the continuous corpus-ingest loop —
+# gate → fingerprint → dedup against the stored index → append —
+# as ONE foreachBatch stream over replayed document micro-batches.
+# ---------------------------------------------------------------------------
+
+
+def corpus_ingest_batch_fn(spark: SparkSession, lake_dir: str):
+    """Per-micro-batch body of the corpus builder:
+
+    1. quality gate (map-only, operators.quality.gate_filter);
+    2. prefix fingerprint (the q11 incremental-dedup key);
+    3. within-batch first-occurrence + anti-join against the stored
+       fingerprint index (never re-fingerprints the lake);
+    4. append survivors to the corpus, their fingerprints to the index.
+
+    This is the production corpus-building loop: each increment costs
+    one map pass over the batch plus one fingerprint-keyed join
+    against a slim index table.
+    """
+    from pyspark.sql.window import Window as W
+
+    from ..operators.dedup import _INCR_PREFIX
+    from ..operators.quality import gate_filter
+    from ..operators.text import tokens
+
+    corpus_dir = os.path.join(lake_dir, "corpus")
+    index_dir = os.path.join(lake_dir, "fingerprints")
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        gated = gate_filter(batch_df)
+        fp = gated.select(
+            "doc_id",
+            "text",
+            F.md5(
+                F.concat_ws(" ", F.slice(tokens("text"), 1, _INCR_PREFIX))
+            ).alias("fingerprint"),
+        )
+        w = W.partitionBy("fingerprint").orderBy("doc_id")
+        firsts = fp.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") == 1
+        )
+        if os.path.isdir(index_dir):
+            idx = spark.read.parquet(index_dir)
+            firsts = firsts.join(idx, "fingerprint", "left_anti")
+        survivors = firsts.select("doc_id", "text", "fingerprint")
+        survivors.write.mode("append").parquet(corpus_dir)
+        survivors.select("fingerprint").write.mode("append").parquet(index_dir)
+
+    return apply
+
+
+def run_corpus_ingest_stream(
+    spark: SparkSession, batch_paths: list[str], lake_dir: str
+) -> pd.DataFrame:
+    """Drive document micro-batches through the corpus-ingest loop;
+    returns the final corpus (doc_id-sorted)."""
+    src = tempfile.mkdtemp(prefix="ingest_src_")
+    ckpt = tempfile.mkdtemp(prefix="ingest_ckpt_")
+    try:
+        stream = (
+            spark.readStream.schema(DOCUMENTS_DDL)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(corpus_ingest_batch_fn(spark, lake_dir))
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            for p in batch_paths:
+                shutil.copy(p, src)
+                q.processAllAvailable()
+        finally:
+            q.stop()
+        return (
+            spark.read.parquet(os.path.join(lake_dir, "corpus"))
+            .orderBy("doc_id")
+            .toPandas()
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)

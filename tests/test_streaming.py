@@ -438,3 +438,47 @@ def test_dsir_batch_train_stream_score(spark, sf_dir, tmp_path):
         .reset_index(drop=True)
     )
     assert batch.equals(streamed)
+
+
+def test_corpus_ingest_stream_equals_batch_build(spark, sf_dir, tmp_path):
+    """ST10: streaming the documents table through the full ingest
+    loop (gate -> fingerprint -> dedup-vs-index -> append) over 4
+    micro-batches must produce exactly the corpus a one-shot batch
+    build produces: gate survivors, first doc_id per fingerprint."""
+    from pyspark.sql.window import Window as W
+
+    from bigdataproj_spark.catalog import table as load_table
+    from bigdataproj_spark.operators.dedup import _INCR_PREFIX
+    from bigdataproj_spark.operators.quality import gate_filter
+    from bigdataproj_spark.operators.text import tokens as toks_fn
+    from bigdataproj_spark.streaming.replay import (
+        run_corpus_ingest_stream,
+        stage_document_batches,
+    )
+
+    bdir = tmp_path / "b"
+    bdir.mkdir()
+    paths = stage_document_batches(spark, sf_dir, str(bdir), n_batches=4)
+    streamed = run_corpus_ingest_stream(
+        spark, paths, str(tmp_path / "lake")
+    ).reset_index(drop=True)
+
+    gated = gate_filter(load_table(spark, sf_dir, "documents"))
+    fp = gated.select(
+        "doc_id",
+        "text",
+        F.md5(F.concat_ws(" ", F.slice(toks_fn("text"), 1, _INCR_PREFIX))).alias(
+            "fingerprint"
+        ),
+    )
+    w = W.partitionBy("fingerprint").orderBy("doc_id")
+    batch = (
+        fp.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text", "fingerprint")
+        .orderBy("doc_id")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    assert len(streamed) > 0
+    assert streamed.equals(batch)
