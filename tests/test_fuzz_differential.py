@@ -217,3 +217,96 @@ def test_random_window_plan_matches_duckdb(spark, sf_dir, _ora, p):
     if spd.empty and opd.empty:
         return
     compare_frames(spd, opd, f"wfuzz:{p}")
+
+
+# --- set-operation algebra --------------------------------------------------
+
+_SETOPS = [
+    "union_all",
+    "union_distinct",
+    "intersect",
+    "intersect_all",
+    "except",
+    "except_all",
+]
+
+splans = st.fixed_dictionaries(
+    {
+        "op": st.sampled_from(_SETOPS),
+        "mod_a": st.integers(min_value=2, max_value=5),
+        "rhs_a": st.integers(min_value=0, max_value=4),
+        "mod_b": st.integers(min_value=2, max_value=5),
+        "rhs_b": st.integers(min_value=0, max_value=4),
+        "proj_mod": st.integers(min_value=2, max_value=6),
+    }
+)
+
+
+def _setop_branch(spark, sf_dir, mod, rhs, proj_mod):
+    o = table(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderkey") % mod == rhs).select(
+        "o_orderpriority",
+        (F.col("o_custkey") % proj_mod).alias("grp"),
+    )
+
+
+def _spark_setop_frame(spark, sf_dir, p):
+    a = _setop_branch(spark, sf_dir, p["mod_a"], p["rhs_a"], p["proj_mod"])
+    b = _setop_branch(spark, sf_dir, p["mod_b"], p["rhs_b"], p["proj_mod"])
+    combined = {
+        "union_all": a.unionAll(b),
+        "union_distinct": a.union(b).distinct(),
+        "intersect": a.intersect(b),
+        "intersect_all": a.intersectAll(b),
+        "except": a.subtract(b),
+        "except_all": a.exceptAll(b),
+    }[p["op"]]
+    return (
+        combined.groupBy("o_orderpriority", "grp")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("o_orderpriority", "grp")
+    )
+
+
+def _oracle_setop_sql(p) -> str:
+    sql_op = {
+        "union_all": "UNION ALL",
+        "union_distinct": "UNION",
+        "intersect": "INTERSECT",
+        "intersect_all": "INTERSECT ALL",
+        "except": "EXCEPT",
+        "except_all": "EXCEPT ALL",
+    }[p["op"]]
+
+    def branch(mod, rhs):
+        return (
+            f"SELECT o_orderpriority, o_custkey % {p['proj_mod']} AS grp "
+            f"FROM orders WHERE o_orderkey % {mod} = {rhs}"
+        )
+
+    return f"""
+    SELECT o_orderpriority, grp, COUNT(*) AS n FROM (
+      {branch(p['mod_a'], p['rhs_a'])}
+      {sql_op}
+      {branch(p['mod_b'], p['rhs_b'])}
+    )
+    GROUP BY o_orderpriority, grp
+    ORDER BY o_orderpriority, grp
+    """
+
+
+@given(p=splans)
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_setop_plan_matches_duckdb(spark, sf_dir, _ora, p):
+    """Multiset set-operation plans must hash-match DuckDB — UNION
+    [ALL] / INTERSECT [ALL] / EXCEPT [ALL] bag semantics are where
+    engines most often drift."""
+    spd = _spark_setop_frame(spark, sf_dir, p).toPandas()
+    opd = _ora.execute(_oracle_setop_sql(p)).fetchdf()
+    if spd.empty and opd.empty:
+        return
+    compare_frames(spd, opd, f"sfuzz:{p}")
