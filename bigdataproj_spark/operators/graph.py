@@ -42,7 +42,10 @@ from ..functions import round_fp
 _PR_ITERS = 5
 _PR_DAMP = 0.85
 _PR_TOPK = 50
-_PR_CUST_BASE = 1_000_000  # customer node ids offset above supplier ids
+# Customer node ids offset above supplier ids. 1e12 keeps the spaces
+# disjoint for any realistic TPC-H scale (s_suppkey reaches 1e6 only at
+# sf ~100, where a 1e6 base would silently merge nodes in both engines).
+_PR_CUST_BASE = 1_000_000_000_000
 
 _Q_PR_ORACLE = f"""
 WITH rel AS (
@@ -161,7 +164,11 @@ def q08_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise("supplier")
             .alias("node_type"),
             F.col("outdeg").cast("long").alias("degree"),
-            F.round("r", 12).alias("pagerank"),
+            # round_fp, not F.round: the contribution path already uses
+            # the FP-scaled contract, and r*1e12 can exceed the ~1e9
+            # threshold where BigDecimal HALF_UP diverges from the
+            # oracle's FP-scaled round (docs/DETERMINISM.md).
+            round_fp(F.col("r"), 12).alias("pagerank"),
         )
         .orderBy("rank")
     )

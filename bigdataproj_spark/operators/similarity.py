@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import table
+from ..functions import round_fp
 from ..registry import query
 
 _DEC = "decimal(30,15)"
@@ -937,7 +938,11 @@ def q31_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroids.groupBy("cid")
         .agg(
             F.sum(
-                F.round(F.col("c") * F.col("c"), 12).cast("decimal(28,14)")
+                # round_fp, not F.round: c*c*1e12 can reach ~1e12, past
+                # the ~1e9 threshold where BigDecimal HALF_UP diverges
+                # from the oracle's FP-scaled round — same contract as
+                # the assignment path above (docs/DETERMINISM.md).
+                round_fp(F.col("c") * F.col("c"), 12).cast("decimal(28,14)")
             )
             .cast("double")
             .alias("norm")

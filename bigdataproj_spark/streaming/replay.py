@@ -375,40 +375,75 @@ def foreach_batch_upsert(spark: SparkSession, table_dir: str):
     exactly-once foreachBatch recipe:
 
     1. **Idempotence ledger**: applied batch_ids live in a parquet
-       ledger next to the table; a redelivered batch (Structured
-       Streaming guarantees at-least-once to foreachBatch after a
-       failure) is detected and skipped, so the merge is effectively
-       exactly-once.
+       ledger INSIDE each snapshot version; a redelivered batch
+       (Structured Streaming guarantees at-least-once to foreachBatch
+       after a failure) is detected and skipped, so the merge is
+       effectively exactly-once.
     2. **Merge**: per-key aggregates of the batch full-outer-join the
        current snapshot; change-side-wins coalesce plus additive
        fold of the counters (the M1 upsert shape, q98).
-    3. **Atomic publish**: the next snapshot is written to a temp dir
-       and swapped in with a directory rename — readers see either
-       the old or the new snapshot, never a partial write.
+    3. **Atomic publish**: each snapshot is a versioned directory
+       ``v{batch_id}/`` holding BOTH the data and the
+       carried-forward ledger; a ``current`` symlink is swapped with
+       one atomic ``os.replace``. Because the ledger row travels
+       inside the snapshot, data and idempotence marker publish in
+       the SAME atomic step: a crash anywhere before the swap leaves
+       the previous snapshot (and its ledger) fully intact, so the
+       redelivered batch recomputes the version from scratch; a
+       crash after the swap means the ledger already records the
+       batch and redelivery is a no-op. There is no window in which
+       the data is applied but unrecorded (or vice versa), and
+       readers always see a complete snapshot — the earlier
+       two-rename design had both gaps (round-3 advisor finding).
 
     At scale the snapshot would be bucketed on the key so the merge
     join is shuffle-free (tests/test_bucketing.py demonstrates the
-    layout); the ledger stays tiny (one row per micro-batch).
+    layout); the ledger stays tiny (one row per micro-batch). On a
+    real deployment the ``current`` pointer would live in an atomic
+    metastore (a Delta/Iceberg commit, a HDFS rename); the local
+    symlink stands in for that single atomic pointer swap.
     """
-    data_dir = os.path.join(table_dir, "data")
-    ledger_dir = os.path.join(table_dir, "_ledger")
+    current = os.path.join(table_dir, "current")
+    data_dir = os.path.join(table_dir, "data")  # stable alias -> current/data
 
-    def _applied(batch_id: int) -> bool:
-        if not os.path.isdir(ledger_dir):
-            return False
-        pdf = spark.read.parquet(ledger_dir).toPandas()
-        return int(batch_id) in set(pdf["batch_id"].astype(int))
+    def _ledger_ids() -> set[int]:
+        ledger = os.path.join(current, "_ledger")
+        if not os.path.isdir(ledger):
+            return set()
+        pdf = spark.read.parquet(ledger).toPandas()
+        return {int(b) for b in pdf["batch_id"]}
+
+    def _publish(version_name: str) -> None:
+        os.makedirs(table_dir, exist_ok=True)
+        tmp = os.path.join(table_dir, f".current_tmp_{version_name}")
+        if os.path.islink(tmp) or os.path.isfile(tmp):
+            os.remove(tmp)
+        os.symlink(version_name, tmp)
+        os.replace(tmp, current)  # THE atomic publish step
+        if not os.path.islink(data_dir):
+            os.symlink(os.path.join("current", "data"), data_dir)
+        # GC superseded versions (readers of the published snapshot
+        # are unaffected; only pre-swap versions are removed).
+        for name in os.listdir(table_dir):
+            if (
+                name.startswith("v")
+                and name != version_name
+                and os.path.isdir(os.path.join(table_dir, name))
+                and not os.path.islink(os.path.join(table_dir, name))
+            ):
+                shutil.rmtree(os.path.join(table_dir, name), ignore_errors=True)
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
-        if _applied(batch_id):
+        applied = _ledger_ids()
+        if int(batch_id) in applied:
             return
         delta = batch_df.groupBy("user_id").agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
             F.max("ts").alias("last_ts"),
         )
-        if os.path.isdir(data_dir):
-            base = spark.read.parquet(data_dir)
+        if os.path.isdir(os.path.join(current, "data")):
+            base = spark.read.parquet(os.path.join(current, "data"))
             d = delta.select(
                 F.col("user_id").alias("k"),
                 F.col("n_events").alias("d_n"),
@@ -433,16 +468,16 @@ def foreach_batch_upsert(spark: SparkSession, table_dir: str):
             )
         else:
             merged = delta
-        tmp = data_dir + f".tmp_{batch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        old = data_dir + f".old_{batch_id}"
-        if os.path.isdir(data_dir):
-            os.rename(data_dir, old)
-        os.rename(tmp, data_dir)
-        shutil.rmtree(old, ignore_errors=True)
-        spark.createDataFrame([(int(batch_id),)], "batch_id long").write.mode(
-            "append"
-        ).parquet(ledger_dir)
+        version_name = f"v{batch_id}"
+        snap = os.path.join(table_dir, version_name)
+        # Data first, then the carried-forward ledger including this
+        # batch — both land inside the unpublished version directory.
+        merged.write.mode("overwrite").parquet(os.path.join(snap, "data"))
+        ledger_rows = sorted(applied | {int(batch_id)})
+        spark.createDataFrame(
+            [(b,) for b in ledger_rows], "batch_id long"
+        ).write.mode("overwrite").parquet(os.path.join(snap, "_ledger"))
+        _publish(version_name)
 
     return apply
 
@@ -527,7 +562,18 @@ def corpus_ingest_batch_fn(spark: SparkSession, lake_dir: str):
         if os.path.isdir(index_dir):
             idx = spark.read.parquet(index_dir)
             firsts = firsts.join(idx, "fingerprint", "left_anti")
-        survivors = firsts.select("doc_id", "text", "fingerprint")
+        # Materialize ONCE before the two appends: without the
+        # checkpoint the survivors plan would execute twice (gate +
+        # fingerprint + anti-join re-run), and the second execution
+        # would read index_dir while appending to it (round-3 advisor
+        # finding). NOTE a crash between the two appends still leaves
+        # corpus and index inconsistent for one batch (a redelivery
+        # would re-append those documents); production would write
+        # both under a single atomic commit (Delta/Iceberg txn, or the
+        # versioned-snapshot publish used by foreach_batch_upsert).
+        survivors = firsts.select(
+            "doc_id", "text", "fingerprint"
+        ).localCheckpoint()
         survivors.write.mode("append").parquet(corpus_dir)
         survivors.select("fingerprint").write.mode("append").parquet(index_dir)
 
