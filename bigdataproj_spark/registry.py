@@ -62,6 +62,7 @@ _QUERY_MODULES = (
     "bigdataproj_spark.streaming.batch_twins",
     "bigdataproj_spark.sources.filescan",
     "bigdataproj_spark.sources.sink",
+    "bigdataproj_spark.sources.bucketed",
 )
 
 

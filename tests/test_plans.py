@@ -130,6 +130,28 @@ def test_ivf_join_is_broadcast_on_cell(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_bucketed_star_join_has_no_fact_exchange(spark, sf_dir):
+    """The bucketed star-join twin must read both facts bucketed and
+    join them WITHOUT an orderkey exchange: the only hash exchange in
+    the plan is the final 25-group rollup. Broadcast is disabled so
+    the fact-fact join can't dodge the assertion by auto-broadcasting
+    at fixture scale (the explicit dim broadcasts are hint-driven and
+    unaffected) — this is the shape the layout buys at 100 TB."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = load_all()["z01_bucketed_star_join"].build(spark, sf_dir)
+        plan = plan_of(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert plan.count("Bucketed: true") == 2, plan
+    assert "ShuffledHashJoin" in plan, plan
+    assert "hashpartitioning(l_orderkey" not in plan, plan
+    assert "hashpartitioning(o_orderkey" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "+- Sort" not in plan.split("ShuffledHashJoin")[1], plan
+
+
 def test_hash_split_is_shuffle_free(spark, sf_dir):
     """q60's split assignment must add zero exchanges beyond the final
     presentation sort — membership is a pure per-row function."""
