@@ -908,40 +908,75 @@ def q03_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps fixture output stable and mirrors the min-count pruning
     every embedding trainer applies.
 
-    The pair generation is the slice+zip formulation: for offset o,
-    ``zip(toks[1..n-o], toks[1+o..n])`` enumerates every pair at
-    distance o in one vectorized pass — FORWARD only. The skip-gram
-    count table is symmetric (n(a,b,d) = fwd(a,b,d) + fwd(b,a,d)), so
-    the reverse direction is reconstructed on the aggregated,
-    vocabulary-bounded table by a self-join with the swapped key —
-    half the corpus-side explode+aggregate volume for the same
-    bit-exact output as the both-directions walk.
+    The pair generation walks FORWARD only: the skip-gram count table
+    is symmetric (n(a,b,d) = fwd(a,b,d) + fwd(b,a,d)), so the reverse
+    direction is reconstructed on the aggregated, vocabulary-bounded
+    table by a self-join with the swapped key — half the corpus-side
+    enumeration volume for the same bit-exact output as the
+    both-directions walk.
+
+    Enumeration is an Arrow-batched numpy kernel (the q68_cosine_topk
+    pattern, operators/similarity.py): the round-3 slice+zip
+    formulation built per-element structs through higher-order array
+    lambdas, which run in the JVM expression INTERPRETER (no codegen)
+    — measured 2.3× DuckDB at sf5. The kernel flattens each batch's
+    token arrays once, enumerates every offset-o pair with two
+    shifted numpy slices gated on a doc-boundary mask, and emits
+    per-batch PARTIAL counts — so both the Arrow transfer back and
+    the one shuffle carry vocabulary²-bounded rows, not corpus-sized
+    pair streams. Counts are exact integers; the sum of partials is
+    bit-equal to the global count.
     """
     d = table(spark, sf_dir, "documents")
     t = d.select(tokens("text").alias("toks")).filter(F.size("toks") >= 2)
-    n = F.size("toks")
 
-    def _zipped(o: int):
-        """All forward (w_i, w_{i+o}) pairs, dist=o."""
-        z = F.arrays_zip(
-            F.slice("toks", 1, n - o).alias("a"),
-            F.slice("toks", o + 1, n - o).alias("b"),
-        )
-        return F.transform(
-            z,
-            lambda s: F.struct(
-                s["a"].alias("center"),
-                s["b"].alias("context"),
-                F.lit(o).alias("dist"),
-            ),
-        )
+    def _pair_partials(batches):
+        import numpy as np
+        import pandas as pd
 
-    arms = [_zipped(o) for o in range(1, _SG_WINDOW + 1)]
-    pairs = t.select(F.explode(F.flatten(F.array(*arms))).alias("p"))
+        for pdf in batches:
+            col = pdf["toks"]
+            if not len(col):
+                continue
+            lens = np.fromiter((len(x) for x in col), dtype=np.int64, count=len(col))
+            flat = np.concatenate([np.asarray(x, dtype=object) for x in col])
+            doc = np.repeat(np.arange(len(col)), lens)
+            # Integer-encode once per batch: pair counting then runs
+            # entirely on int64 (an order of magnitude faster than an
+            # object-dtype string groupby for the same exact counts).
+            codes, uniques = pd.factorize(flat)
+            codes = codes.astype(np.int64)
+            v = max(len(uniques), 1)
+            keys = []
+            for o in range(1, _SG_WINDOW + 1):
+                if len(flat) <= o:
+                    break
+                same_doc = doc[:-o] == doc[o:]
+                c = codes[:-o][same_doc]
+                if not len(c):
+                    continue
+                # (center, context, dist) packed into one int64:
+                # v <= batch vocab (~1e5), so v*v*W << 2^63.
+                keys.append((c * v + codes[o:][same_doc]) * _SG_WINDOW + (o - 1))
+            if not keys:
+                continue
+            uk, cnt = np.unique(np.concatenate(keys), return_counts=True)
+            cc, dist = uk // _SG_WINDOW, uk % _SG_WINDOW + 1
+            yield pd.DataFrame(
+                {
+                    "center": uniques[cc // v],
+                    "context": uniques[cc % v],
+                    "dist": dist.astype(np.int32),
+                    "nf": cnt,
+                }
+            )
+
     fwd = (
-        pairs.select("p.center", "p.context", "p.dist")
+        t.mapInPandas(
+            _pair_partials, "center string, context string, dist int, nf long"
+        )
         .groupBy("center", "context", "dist")
-        .agg(F.count(F.lit(1)).alias("nf"))
+        .agg(F.sum("nf").alias("nf"))
     )
     swapped = fwd.select(
         F.col("context").alias("center"),
