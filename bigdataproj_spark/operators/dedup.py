@@ -18,6 +18,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import table
 from ..registry import query
+from ..session import iter_checkpoint
 from .skew import fan_out
 from .text import FINGERPRINT_SQL, TOKENS_SQL, fingerprint, tokens
 
@@ -612,15 +613,14 @@ def connected_components(
     # Checkpoint edges BEFORE the reversal union: union branches don't
     # share work, so materializing the union directly would run the
     # (possibly expensive) edge lineage twice.
-    edges = edges.localCheckpoint(eager=True)
+    edges = iter_checkpoint(edges)
     both = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    labels = (
+    labels = iter_checkpoint(
         both.select(F.col("src").alias("doc_id"))
         .distinct()
         .select("doc_id", F.col("doc_id").alias("lbl"))
-        .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -641,15 +641,13 @@ def connected_components(
         # itself a vertex id, so the self-join always hits; the min of
         # the two is monotone toward the component minimum).
         hop = prop.select(F.col("doc_id").alias("h_id"), F.col("lbl").alias("h_lbl"))
-        new_labels = (
-            prop.join(hop, prop.lbl == hop.h_id, "left")
-            .select(
+        new_labels = iter_checkpoint(  # cut lineage per round
+            prop.join(hop, prop.lbl == hop.h_id, "left").select(
                 "doc_id",
                 F.least(
                     F.col("lbl"), F.coalesce(F.col("h_lbl"), F.col("lbl"))
                 ).alias("lbl"),
             )
-            .localCheckpoint(eager=True)  # cut lineage per round
         )
         changed = (
             new_labels.alias("n")

@@ -25,7 +25,7 @@ Each iteration is one edge⋈rank hash join (rank is node-sized —
 broadcast when dims allow; here a shuffle join co-partitioned on the
 node key) plus one dst-keyed aggregation: the classic Pregel-in-SQL
 step. The driver loop is control-plane only — 5 plan builds, no data
-to the driver; localCheckpoint cuts the exponentially-growing lineage
+to the driver; iter_checkpoint cuts the exponentially-growing lineage
 exactly like q67_dedup_clusters' pointer-doubling loop.
 """
 
@@ -37,6 +37,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import table
 from ..registry import query
+from ..session import iter_checkpoint
 from ..functions import round_fp
 
 _PR_ITERS = 5
@@ -107,26 +108,26 @@ def q08_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_suppkey", "o_custkey")
         .distinct()
     )
-    edges = (
+    edges = iter_checkpoint(
         rel.select(
             F.col("l_suppkey").alias("src"),
             (F.col("o_custkey") + _PR_CUST_BASE).alias("dst"),
-        )
-        .unionAll(
+        ).unionAll(
             rel.select(
                 (F.col("o_custkey") + _PR_CUST_BASE).alias("src"),
                 F.col("l_suppkey").alias("dst"),
             )
         )
-        .localCheckpoint()
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).localCheckpoint()
+    deg = iter_checkpoint(
+        edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    )
     nn = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
 
-    ranks = (
-        deg.crossJoin(F.broadcast(nn))
-        .select(F.col("src").alias("node"), (F.lit(1.0) / F.col("n_nodes")).alias("r"))
-        .localCheckpoint()
+    ranks = iter_checkpoint(
+        deg.crossJoin(F.broadcast(nn)).select(
+            F.col("src").alias("node"), (F.lit(1.0) / F.col("n_nodes")).alias("r")
+        )
     )
     ed = edges.join(deg, "src")  # (src, dst, outdeg), reused every iteration
     for _ in range(_PR_ITERS):
@@ -138,7 +139,7 @@ def q08_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("decimal(26,14)")
             .alias("cq"),
         )
-        ranks = (
+        ranks = iter_checkpoint(
             contrib.groupBy("dst")
             .agg(F.sum("cq").alias("sq"))
             .crossJoin(F.broadcast(nn))
@@ -149,7 +150,6 @@ def q08_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.lit(_PR_DAMP) * F.col("sq").cast("double")
                 ).alias("r"),
             )
-            .localCheckpoint()
         )
 
     ranked = ranks.join(deg, ranks.node == deg.src).select("node", "r", "outdeg")

@@ -40,6 +40,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import table
 from ..registry import query
+from ..session import iter_checkpoint
 from .sampling import hash60, hash60_sql
 from .text import TOKENS_SQL, tokens
 
@@ -280,10 +281,8 @@ def q22_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The DSIR feature matrix: one tokenize pass, then every consumer
     # reads this instead of the token stream. (lang rides along — it
     # is constant per doc.)
-    tbc = (
-        tb.groupBy("doc_id", "lang", "b")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint()
+    tbc = iter_checkpoint(
+        tb.groupBy("doc_id", "lang", "b").agg(F.count(F.lit(1)).alias("n"))
     )
     prof = tbc.groupBy("b").agg(
         F.sum("n").alias("cnt_r"),

@@ -22,6 +22,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import table
 from ..functions import round_fp
+from ..session import iter_checkpoint
 from ..registry import query
 
 _DEC = "decimal(30,15)"
@@ -852,14 +853,12 @@ def q31_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode("embedding").alias("dim", "xf"),
     ).select("vec_id", "dim", F.col("xf").cast("double").alias("x"))
 
-    centroids = (
-        ex.filter(F.col("vec_id") < _KM_K)
-        .select(
+    centroids = iter_checkpoint(
+        ex.filter(F.col("vec_id") < _KM_K).select(
             F.col("vec_id").cast("int").alias("cid"),
             "dim",
             F.col("x").alias("c"),
         )
-        .localCheckpoint()
     )
 
     def _assign(cents: DataFrame) -> DataFrame:
@@ -916,7 +915,7 @@ def q31_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         # IEEE product; the long sum replaces a per-row BigDecimal
         # decimal(20,10) cast.
         xu = F.signum("x") * F.floor(F.abs(F.col("x")) * 1e10 + F.lit(0.5))
-        centroids = (
+        centroids = iter_checkpoint(
             # assign is corpus-row-sized but slim (two ints); at fixture
             # and mid scales it broadcasts — at true 100 TB scale this
             # join runs co-partitioned on vec_id instead (both sides
@@ -930,7 +929,6 @@ def q31_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                     / F.count(F.lit(1))
                 ).alias("c")
             )
-            .localCheckpoint()
         )
 
     final_assign = _assign(centroids)

@@ -16,6 +16,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import table
 from ..registry import query
+from ..session import iter_checkpoint
 from .skew import fan_out
 
 # ---------------------------------------------------------------------------
@@ -1197,10 +1198,8 @@ def q21_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # itself, the w1 marginal, the vocabulary scalar) would otherwise
     # each re-run the corpus pass. It is vocabulary²-bounded — the
     # natural persistence point of any n-gram LM build.
-    bc = (
-        big.groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("c12"))
-        .localCheckpoint()
+    bc = iter_checkpoint(
+        big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     )
     uc = bc.groupBy("w1").agg(F.sum("c12").alias("c1"))
     v = bc.agg(F.countDistinct("w2").alias("vocab"))

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 
 def default_master() -> str:
@@ -42,12 +42,42 @@ def _default_shuffle_partitions(master: str) -> str:
     return "200"  # Spark's own cluster default; deployments override
 
 
+def iter_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Durability-aware lineage cut for iterative loops (CC pointer
+    doubling, PageRank, k-means Lloyd iterations).
+
+    ``localCheckpoint`` blocks live on executors: fastest locally, but
+    on a real cluster an executor loss kills the blocks and — with the
+    lineage already truncated — the JOB, not just a task retry. When
+    the session has a reliable checkpoint directory configured
+    (``checkpoint_dir=`` in :func:`get_spark`, or
+    ``SPARK_GRAFT_CHECKPOINT_DIR``, pointing at HDFS/S3 on a cluster),
+    iterative operators cut lineage with ``df.checkpoint()`` instead:
+    the materialized rows survive executor loss and recovery is a
+    re-read, not a recompute-from-nothing. Local default stays
+    ``localCheckpoint`` — same plans, no write amplification.
+    """
+    sc = df.sparkSession.sparkContext
+    try:
+        has_dir = sc.getCheckpointDir() is not None
+    except Exception:  # pragma: no cover - very old APIs
+        has_dir = False
+    return df.checkpoint(eager=eager) if has_dir else df.localCheckpoint(eager=eager)
+
+
 def get_spark(
     app_name: str = "bigdataproj-spark",
     master: str | None = None,
+    checkpoint_dir: str | None = None,
     **extra: str,
 ) -> SparkSession:
-    """Create (or reuse) the engine's SparkSession."""
+    """Create (or reuse) the engine's SparkSession.
+
+    ``checkpoint_dir`` (or ``$SPARK_GRAFT_CHECKPOINT_DIR``) enables
+    RELIABLE checkpointing for the iterative operators — set it to a
+    fault-tolerant store (HDFS/S3) on cluster deployments; see
+    :func:`iter_checkpoint`.
+    """
     resolved_master = master or default_master()
     builder = SparkSession.builder.appName(app_name).master(resolved_master)
     # Scan-split sizing: the 128m default is right at every scale. The
@@ -86,4 +116,8 @@ def get_spark(
     conf.update(extra)
     for k, v in conf.items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    ckpt = checkpoint_dir or os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if ckpt:
+        spark.sparkContext.setCheckpointDir(ckpt)
+    return spark

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import table
+from ..session import iter_checkpoint
 
 EVENTS_DDL = (
     "event_id long, ts timestamp, user_id long, "
@@ -571,9 +572,9 @@ def corpus_ingest_batch_fn(spark: SparkSession, lake_dir: str):
         # would re-append those documents); production would write
         # both under a single atomic commit (Delta/Iceberg txn, or the
         # versioned-snapshot publish used by foreach_batch_upsert).
-        survivors = firsts.select(
-            "doc_id", "text", "fingerprint"
-        ).localCheckpoint()
+        survivors = iter_checkpoint(
+            firsts.select("doc_id", "text", "fingerprint")
+        )
         survivors.write.mode("append").parquet(corpus_dir)
         survivors.select("fingerprint").write.mode("append").parquet(index_dir)
 

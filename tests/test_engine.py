@@ -225,3 +225,58 @@ def test_concurrent_queries_on_shared_session(spark, sf_dir):
                 for n in names}
         for n, fut in futs.items():
             assert fut.result(timeout=120).equals(serial[n]), n
+
+
+def test_reliable_checkpoint_mode_matches_local(tmp_path):
+    """Cluster-grade durability switch: with a checkpoint dir
+    configured, the iterative loops (CC pointer doubling here) must
+    cut lineage via RELIABLE df.checkpoint() — files land under the
+    configured dir, which survives executor loss on a real cluster —
+    and produce exactly the labels the localCheckpoint default
+    produces. Runs in a subprocess: setCheckpointDir is sticky on a
+    SparkContext, and the shared session must stay in local mode."""
+    import subprocess
+    import sys
+    import textwrap
+
+    script = textwrap.dedent(
+        f"""
+        import os, sys
+        sys.path.insert(0, {repr(str(__import__('os').path.dirname(__import__('os').path.dirname(__import__('os').path.abspath(__file__)))))})
+        from bigdataproj_spark.session import get_spark
+        from pyspark.sql import functions as F
+        from bigdataproj_spark.operators.dedup import connected_components
+
+        spark = get_spark(
+            "reliable-ckpt-test", master="local[4]",
+            checkpoint_dir={repr(str(tmp_path / "ckpt"))},
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        assert spark.sparkContext.getCheckpointDir() is not None
+        # Two components: {{1,2,3,4}} (a chain) and {{10,11}}.
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11)], "src long, dst long"
+        )
+        got = {{
+            (r.doc_id, r.cluster_id)
+            for r in connected_components(edges).collect()
+        }}
+        assert got == {{(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}}, got
+        # Proof the reliable path ran: checkpoint files exist on disk.
+        ckpt_files = [
+            os.path.join(r, f)
+            for r, _, fs in os.walk({repr(str(tmp_path / "ckpt"))})
+            for f in fs
+        ]
+        assert ckpt_files, "no reliable checkpoint files written"
+        print("RELIABLE_OK", len(ckpt_files))
+        """
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "RELIABLE_OK" in proc.stdout, proc.stdout
