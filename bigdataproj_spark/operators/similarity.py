@@ -739,6 +739,218 @@ def q43_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# L18 at scale: SemDeDup routed through the IVF prefilter — the FULL
+# embedding corpus, no id bound. Pair generation is gated by the q72
+# coarse quantizer: every vector maps to one of K cells (map-only,
+# centroids are plan literals), exact Q20 cosine scoring runs only
+# WITHIN a cell, and per-cell work is (N/K)² instead of N². This is
+# the 100 TB form the bounded q43 documents as its scale path: K grows
+# with the corpus so a cell stays worker-sized, and cross-cell
+# near-duplicates are the (recall-tested) approximation the prefilter
+# trades for tractability.
+# ---------------------------------------------------------------------------
+
+_SD_NPROBE = 2  # cells per vector: recall/cost dial (see docstring)
+
+_Q_SD_IVF_ORACLE = f"""
+WITH RECURSIVE el AS (
+  SELECT vec_id, i,
+    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT) AS q
+  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) idx
+),
+norms AS (
+  SELECT vec_id, CAST(SUM(q * q) AS BIGINT) AS nsq FROM el GROUP BY vec_id
+),
+cel AS (
+  SELECT vec_id AS cid, i, q AS cq FROM el
+  WHERE vec_id >= {_IVF_CENT_LO} AND vec_id < {_IVF_CENT_LO + _IVF_K}
+),
+cnorms AS (
+  SELECT cid, CAST(SUM(cq * cq) AS BIGINT) AS cnsq FROM cel GROUP BY cid
+),
+cdot AS (
+  SELECT e.vec_id, c.cid, CAST(SUM(e.q * c.cq) AS BIGINT) AS dot
+  FROM el e JOIN cel c ON e.i = c.i
+  GROUP BY 1, 2
+),
+assign AS (
+  SELECT d.vec_id, d.cid,
+    ROW_NUMBER() OVER (
+      PARTITION BY d.vec_id
+      ORDER BY CAST(d.dot AS DOUBLE)
+               / (sqrt(CAST(n.nsq AS DOUBLE)) * sqrt(CAST(cn.cnsq AS DOUBLE))) DESC,
+               d.cid
+    ) AS rn
+  FROM cdot d
+  JOIN norms n ON d.vec_id = n.vec_id
+  JOIN cnorms cn ON d.cid = cn.cid
+),
+cand AS (SELECT vec_id, cid FROM assign WHERE rn <= {_SD_NPROBE}),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+  FROM cand a JOIN cand b ON a.cid = b.cid AND a.vec_id < b.vec_id
+),
+pair_dots AS (
+  SELECT p.va, p.vb, CAST(SUM(ea.q * eb.q) AS BIGINT) AS dot
+  FROM pairs p
+  JOIN el ea ON ea.vec_id = p.va
+  JOIN el eb ON eb.vec_id = p.vb AND ea.i = eb.i
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT va AS src, vb AS dst FROM pair_dots
+  JOIN norms na ON va = na.vec_id
+  JOIN norms nb ON vb = nb.vec_id
+  WHERE CAST(dot AS DOUBLE)
+        / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)))
+        >= {_SEMDEDUP_COS}
+),
+und AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+reach AS (
+  SELECT src AS vec_id, src AS r FROM und
+  UNION
+  SELECT r.vec_id, u.dst AS r
+  FROM reach r JOIN und u ON r.r = u.src
+),
+lbl AS (
+  SELECT vec_id, MIN(r) AS cluster_id FROM reach GROUP BY vec_id
+)
+SELECT e0.vec_id,
+       COALESCE(l.cluster_id, e0.vec_id) AS cluster_id,
+       (COALESCE(l.cluster_id, e0.vec_id) = e0.vec_id) AS is_survivor
+FROM embeddings e0 LEFT JOIN lbl l USING (vec_id)
+ORDER BY vec_id
+"""
+
+
+@query(
+    "z02_semantic_dedup_ivf",
+    oracle=_Q_SD_IVF_ORACLE,
+    tags=("L18", "L3", "similarity"),
+)
+def z02_semantic_dedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the FULL embedding corpus, pair generation gated
+    by the IVF coarse quantizer (no ``_NEAR_DUP_MAX_ID`` bound).
+
+    Stages: (1) map-only cell assignment — the K collected centroids
+    fold into literal expressions, same quantizer as q72, each vector
+    assigned to its _SD_NPROBE nearest cells (the recall/cost dial:
+    0.25/0.68/0.93 of the exact tau=0.3 edge set at m=1/2/3 on the
+    fixture, for m^2/K of the brute-force work); (2) per-cell
+    exact edge mining via ``applyInPandas``: the Arrow kernel scores a
+    cell's Q20-quantized vectors against each other in row-blocked
+    int64 matmuls (the temporary block is B×|cell|, never |cell|²
+    materialized at once), emitting only (src<dst, cos≥τ) edges;
+    (3) pointer-doubling connected components; (4) left join back to
+    the corpus so singletons survive as their own cluster. The only
+    corpus-wide exchange is the repartition onto the cell key. The
+    oracle replays the identical quantizer + within-cell pairs and a
+    recursive-CTE closure — different algorithm, identical labels.
+
+    Recall vs the exact all-pairs q71 edges is pinned in
+    tests/test_similarity.py; precision is 1.0 by construction (exact
+    scoring inside cells).
+    """
+    e = table(spark, sf_dir, "embeddings")
+    edges = ivf_semantic_edges(spark, sf_dir).select("src", "dst")
+    from .dedup import connected_components
+
+    labels = connected_components(edges).withColumnRenamed("doc_id", "vec_id")
+    return (
+        e.select("vec_id")
+        .join(labels, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce("cluster_id", "vec_id").alias("cluster_id"),
+            (F.coalesce("cluster_id", "vec_id") == F.col("vec_id")).alias(
+                "is_survivor"
+            ),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def ivf_semantic_edges(
+    spark: SparkSession, sf_dir: str, threshold: float = _SEMDEDUP_COS
+) -> DataFrame:
+    """(src < dst, cos) edges at ``cos >= threshold``, mined per IVF
+    cell (see z02_semantic_dedup_ivf). Exposed separately so the
+    recall test can compare against the exact all-pairs q71 edges."""
+    import numpy as np
+    import pandas as pd
+
+    cents = _ivf_centroids(spark, sf_dir)
+    e = table(spark, sf_dir, "embeddings")
+    q = (
+        e.select("vec_id", "embedding", quantize_q20("embedding").alias("qe"))
+        .select(
+            "vec_id",
+            "embedding",
+            "qe",
+            F.sqrt(dot_q20("qe", "qe").cast("double")).alias("norm"),
+        )
+        .withColumn(
+            "cells", F.sort_array(_cell_struct_array(cents), asc=False)
+        )
+        .select(
+            "vec_id",
+            "embedding",
+            # multi-probe assignment: each vector lands in its
+            # _SD_NPROBE nearest cells, so a near-dup pair is found
+            # whenever the two SHARE any cell — measured recall at the
+            # fixture: 0.25 (1 cell) -> 0.68 (2 cells) -> 0.93
+            # (3 cells) of the exact all-pairs tau=0.3 edges, at m^2/K
+            # of the brute-force pair work.
+            F.explode(
+                F.transform(
+                    F.slice("cells", 1, _SD_NPROBE), lambda s: -s["nj"]
+                )
+            ).alias("cell"),
+        )
+    )
+
+    def cell_edges(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        Qm = np.floor(
+            np.stack(pdf["embedding"].to_numpy())[order].astype(np.float64) * _Q
+        ).astype(np.int64)
+        nrm = np.sqrt((Qm * Qm).sum(axis=1).astype(np.float64))
+        frames: list[pd.DataFrame] = []
+        block = 2048
+        for i0 in range(0, len(ids), block):
+            i1 = min(i0 + block, len(ids))
+            cos = (Qm[i0:i1] @ Qm.T).astype(np.float64) / (
+                nrm[i0:i1, None] * nrm[None, :]
+            )
+            # strict upper triangle in id order: src < dst
+            ii, jj = np.where(
+                (cos >= threshold) & (ids[i0:i1, None] < ids[None, :])
+            )
+            frames.append(
+                pd.DataFrame(
+                    {"src": ids[i0:i1][ii], "dst": ids[jj], "cos": cos[ii, jj]}
+                )
+            )
+        if not frames:
+            return pd.DataFrame({"src": [], "dst": [], "cos": []}).astype(
+                {"src": "int64", "dst": "int64", "cos": "float64"}
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    return (
+        q.groupBy("cell")
+        .applyInPandas(cell_edges, "src long, dst long, cos double")
+        # a pair sharing both probe cells is emitted twice (identical
+        # cos both times) — keep one, matching the oracle's DISTINCT.
+        .dropDuplicates(["src", "dst"])
+    )
+
+
+# ---------------------------------------------------------------------------
 # C1 (engine extension): distributed k-means over the embedding corpus
 # — the diversity-clustering primitive (cluster-balanced sampling,
 # SemDeDup's first stage, topic bucketing) as a fixed-iteration

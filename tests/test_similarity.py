@@ -128,3 +128,47 @@ def test_kmeans_partitions_all_vectors(spark, sf_dir):
     assert (a["n_members"] > 0).all()
     b = q31_kmeans_embeddings(spark, sf_dir).toPandas()
     assert a.equals(b)
+
+
+def test_ivf_semantic_edges_recall_and_precision(spark, sf_dir):
+    """The IVF-gated SemDeDup edge miner vs ground truth (exact
+    all-pairs cosine, computed here in numpy with the same Q20
+    arithmetic): every emitted edge must be a true tau-edge with the
+    exact cosine (precision 1.0 — scoring inside a cell is exact),
+    and the 2-probe cell assignment must recover a healthy majority
+    of the exact edge set (measured 0.68 on the fixture; floor 0.55
+    allows fixture drift, and the cross-cell misses are the
+    documented approximation of the prefilter)."""
+    import numpy as np
+
+    from bigdataproj_spark.operators.similarity import (
+        _Q,
+        _SEMDEDUP_COS,
+        ivf_semantic_edges,
+    )
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    ids = emb["vec_id"].to_numpy()
+    Q = np.floor(np.stack(emb["embedding"].to_numpy()).astype(np.float64) * _Q
+                 ).astype(np.int64)
+    nrm = np.sqrt((Q * Q).sum(axis=1).astype(np.float64))
+    cos = (Q @ Q.T).astype(np.float64) / (nrm[:, None] * nrm[None, :])
+    iu = np.triu_indices(len(ids), 1)
+    mask = cos[iu] >= _SEMDEDUP_COS
+    exact = {
+        (int(a), int(b)): c
+        for a, b, c in zip(ids[iu[0][mask]], ids[iu[1][mask]], cos[iu][mask])
+    }
+
+    got = ivf_semantic_edges(spark, sf_dir).toPandas()
+    assert len(got) == len(set(zip(got["src"], got["dst"])))  # deduped
+    for src, dst, c in zip(got["src"], got["dst"], got["cos"]):
+        assert (src, dst) in exact, (src, dst)
+        assert c == exact[(src, dst)]  # bit-exact scoring
+    recall = len(got) / len(exact)
+    assert recall >= 0.55, recall
