@@ -310,3 +310,155 @@ def test_random_setop_plan_matches_duckdb(spark, sf_dir, _ora, p):
     if spd.empty and opd.empty:
         return
     compare_frames(spd, opd, f"sfuzz:{p}")
+
+
+# --- join algebra (inner/left/semi/anti with null-key injection) ------------
+#
+# Joins are where engines drift silently: null keys never equi-match,
+# LEFT keeps them with a null right side, SEMI drops them, ANTI KEEPS
+# them (the NOT IN trap). The generator plants NULLs into both join
+# keys on a drawn modulus so every draw exercises the null paths, then
+# aggregates to a stable compare surface. Semi/anti lower to
+# EXISTS / NOT EXISTS on the SQL side — the ANSI forms with identical
+# null semantics to Spark's left_semi / left_anti.
+
+_JOIN_TYPES = ["inner", "left", "semi", "anti"]
+
+jplans = st.fixed_dictionaries(
+    {
+        "jt": st.sampled_from(_JOIN_TYPES),
+        "filter_mod": st.integers(min_value=2, max_value=5),
+        "filter_rhs": st.integers(min_value=0, max_value=4),
+        "null_mod": st.integers(min_value=2, max_value=6),
+        "null_rhs": st.integers(min_value=0, max_value=5),
+        "cnull_mod": st.integers(min_value=2, max_value=6),
+        "cnull_rhs": st.integers(min_value=0, max_value=5),
+        "right_mod": st.integers(min_value=1, max_value=3),
+        "right_rhs": st.integers(min_value=0, max_value=2),
+    }
+)
+
+
+def _join_sides(spark, sf_dir, p):
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % p["filter_mod"] == p["filter_rhs"]
+    )
+    k = F.when(
+        F.col("o_custkey") % p["null_mod"] == p["null_rhs"], F.lit(None)
+    ).otherwise(F.col("o_custkey"))
+    o = o.select(
+        "o_orderpriority",
+        k.alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    c = table(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey") % p["right_mod"] == p["right_rhs"]
+    )
+    ck = F.when(
+        F.col("c_custkey") % p["cnull_mod"] == p["cnull_rhs"], F.lit(None)
+    ).otherwise(F.col("c_custkey"))
+    return o, c.select(ck.alias("ck"))
+
+
+def _spark_join_frame(spark, sf_dir, p):
+    o, c = _join_sides(spark, sf_dir, p)
+    jt = p["jt"]
+    if jt == "inner":
+        j = o.join(c, o.k == c.ck)
+    elif jt == "left":
+        j = o.join(c, o.k == c.ck, "left")
+    elif jt == "semi":
+        j = o.join(c, o.k == c.ck, "left_semi")
+    else:
+        j = o.join(c, o.k == c.ck, "left_anti")
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("sum_cents"),
+    ]
+    if jt in ("inner", "left"):
+        aggs.append(F.count("ck").alias("matched"))
+    return j.groupBy("o_orderpriority").agg(*aggs).orderBy("o_orderpriority")
+
+
+def _oracle_join_sql(p) -> str:
+    jt = p["jt"]
+    o_cte = (
+        f"SELECT o_orderpriority, "
+        f"CASE WHEN o_custkey % {p['null_mod']} = {p['null_rhs']} THEN NULL "
+        f"ELSE o_custkey END AS k, "
+        f"CAST(round(o_totalprice * 100) AS BIGINT) AS cents "
+        f"FROM orders WHERE o_orderkey % {p['filter_mod']} = {p['filter_rhs']}"
+    )
+    c_cte = (
+        f"SELECT CASE WHEN c_custkey % {p['cnull_mod']} = {p['cnull_rhs']} "
+        f"THEN NULL ELSE c_custkey END AS ck "
+        f"FROM customer "
+        f"WHERE c_nationkey % {p['right_mod']} = {p['right_rhs']}"
+    )
+    if jt == "inner":
+        body = "SELECT o.*, c.ck FROM o JOIN c ON o.k = c.ck"
+        matched = ", CAST(COUNT(ck) AS BIGINT) AS matched"
+    elif jt == "left":
+        body = "SELECT o.*, c.ck FROM o LEFT JOIN c ON o.k = c.ck"
+        matched = ", CAST(COUNT(ck) AS BIGINT) AS matched"
+    elif jt == "semi":
+        body = "SELECT o.* FROM o WHERE EXISTS (SELECT 1 FROM c WHERE c.ck = o.k)"
+        matched = ""
+    else:
+        body = (
+            "SELECT o.* FROM o WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.ck = o.k)"
+        )
+        matched = ""
+    return f"""
+    WITH o AS ({o_cte}), c AS ({c_cte}), j AS ({body})
+    SELECT o_orderpriority, COUNT(*) AS n,
+      CAST(SUM(cents) AS BIGINT) AS sum_cents{matched}
+    FROM j
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """
+
+
+@given(p=jplans)
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_join_plan_matches_duckdb(spark, sf_dir, _ora, p):
+    """Join-algebra plans (with planted null keys on both sides) must
+    hash-match DuckDB across inner/left/semi/anti."""
+    spd = _spark_join_frame(spark, sf_dir, p).toPandas()
+    opd = _ora.execute(_oracle_join_sql(p)).fetchdf()
+    if spd.empty and opd.empty:
+        return
+    compare_frames(spd, opd, f"jfuzz:{p}")
+
+
+def test_join_fuzz_harness_rejects_wrong_results(spark, sf_dir, _ora):
+    """Meta-test: the join family must actually FAIL on a wrong
+    lowering. NOT IN semantics (drop null-key left rows before the
+    anti join) differs from left_anti whenever the null injection
+    fires — the harness must catch it."""
+    p = {
+        "jt": "anti",
+        "filter_mod": 2,
+        "filter_rhs": 0,
+        "null_mod": 2,
+        "null_rhs": 1,
+        "cnull_mod": 3,
+        "cnull_rhs": 1,
+        "right_mod": 1,
+        "right_rhs": 0,
+    }
+    o, c = _join_sides(spark, sf_dir, p)
+    wrong = (
+        o.filter(F.col("k").isNotNull())  # the NOT IN mistake
+        .join(c, o.k == c.ck, "left_anti")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("sum_cents"))
+        .orderBy("o_orderpriority")
+    )
+    opd = _ora.execute(_oracle_join_sql(p)).fetchdf()
+    with pytest.raises(AssertionError):
+        compare_frames(wrong.toPandas(), opd, "meta")
