@@ -37,8 +37,8 @@ ORDER BY doc_id
 """
 
 
-@query("q63_exact_dedup", oracle=_Q13_ORACLE, tags=("L1", "dedup", "bench"))
-def q63_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q18_exact_dedup", oracle=_Q13_ORACLE, tags=("L1", "dedup", "bench"))
+def q18_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: every document mapped to the smallest doc_id
     sharing its content fingerprint (survivor), flagged if duplicate.
 
@@ -350,8 +350,8 @@ ORDER BY doc_a, doc_b
 """
 
 
-@query("q65_minhash_lsh", oracle=_Q15_ORACLE, tags=("L2", "dedup", "bench"))
-def q65_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q27_minhash_lsh", oracle=_Q15_ORACLE, tags=("L2", "dedup", "bench"))
+def q27_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidates with signature-estimated Jaccard.
 
     16 hashes, 4 bands × 4 rows (candidate threshold ≈ 0.5 Jaccard).
@@ -814,7 +814,7 @@ def q11_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fingerprint column as its own slim table and anti-join each
     increment against it. The fingerprint here is over the normalized
     first-k-token prefix (the standard trick for re-crawls that differ
-    only in trailing boilerplate; whole-text md5 is q63's form). Plan
+    only in trailing boilerplate; whole-text md5 is q18's form). Plan
     shape at scale: both sides hash-partition once on the 128-bit
     fingerprint (uniform by construction, no skew); the within-batch
     window reuses the same key. The index side scans fingerprints

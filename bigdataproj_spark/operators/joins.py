@@ -105,8 +105,8 @@ ORDER BY c.c_custkey
 """
 
 
-@query("q27_left_outer_join", oracle=_Q78_ORACLE, tags=("J2", "A1"))
-def q27_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r30_left_outer_join", oracle=_Q78_ORACLE, tags=("J2", "A1"))
+def r30_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left outer join preserving customers with no orders."""
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders")
@@ -171,8 +171,8 @@ ORDER BY c_custkey
 """
 
 
-@query("q29_semi_join", oracle=_Q80_ORACLE, tags=("J3",))
-def q29_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r31_semi_join", oracle=_Q80_ORACLE, tags=("J3",))
+def r31_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customers with at least one urgent order (left semi)."""
     c = table(spark, sf_dir, "customer")
     o = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
@@ -277,8 +277,8 @@ ORDER BY e1.user_id
 """
 
 
-@query("q33_range_join", oracle=_Q84_ORACLE, tags=("J7",))
-def q33_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r32_range_join", oracle=_Q84_ORACLE, tags=("J7",))
+def r32_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event pairs within a 5-minute forward window per user.
 
     Equi key (user_id) bounds the blow-up; at 100 TB this would add a

@@ -207,7 +207,7 @@ def q81_tweet_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Capstone: the full corpus-curation pipeline as ONE composed query —
 # quality gate → exact dedup → train split → context-window chunking.
-# The stages are the registered operators (q19/q63/q60/q62) composed
+# The stages are the registered operators (q19/q18/q60/q62) composed
 # end-to-end; the oracle replays the entire chain in a single CTE
 # pipeline, so the *composition* is oracle-checked, not just the parts.
 # ---------------------------------------------------------------------------

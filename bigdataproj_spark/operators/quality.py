@@ -654,7 +654,7 @@ ORDER BY doc_id
 def q32_training_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The complete modern pretraining-data build, composed from the
     round's operators and oracle-checked as ONE query: quality gate
-    (the q15 predicates) → exact dedup survivors (q63's min-doc_id
+    (the q15 predicates) → exact dedup survivors (q18's min-doc_id
     rule) → weighted domain mix (q02's budgeted hash-order take) →
     epoch-stable training order (q05's hash) → sequence packing
     (q47's tape offsets, laid out in TRAINING order rather than

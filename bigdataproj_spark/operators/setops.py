@@ -21,8 +21,8 @@ ORDER BY k
 """
 
 
-@query("q41_union_all", oracle=_Q92_ORACLE, tags=("T1",))
-def q41_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r35_union_all", oracle=_Q92_ORACLE, tags=("T1",))
+def r35_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNION ALL of two keyed projections, then re-aggregated."""
     c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
     s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))

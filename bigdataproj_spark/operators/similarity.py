@@ -116,8 +116,8 @@ ORDER BY probe_id, rank
 """
 
 
-@query("q68_cosine_topk", oracle=_Q18_ORACLE, tags=("L3", "bench", "similarity"))
-def q68_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q29_cosine_topk", oracle=_Q18_ORACLE, tags=("L3", "bench", "similarity"))
+def q29_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 neighbors for 5 probe vectors (brute force).
 
     The scoring kernel is an Arrow-batched numpy matmul over
@@ -133,7 +133,7 @@ def q68_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break), so the full pair matrix is never materialized and the
     shuffle into the final re-rank carries batches x P x K rows. The
     probe fetch is a P-row collect (the "query vectors", like the IVF
-    centroid train step); q70 is the LSH-bucketed scale path.
+    centroid train step); q33 is the LSH-bucketed scale path.
     """
     import numpy as np
     import pandas as pd
@@ -319,15 +319,15 @@ ORDER BY probe_id, rank
 """
 
 
-@query("q70_ann_lsh", oracle=_Q20_ORACLE, tags=("L3", "similarity"))
-def q70_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q33_ann_lsh", oracle=_Q20_ORACLE, tags=("L3", "similarity"))
+def q33_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-3 neighbors via LSH bucket prefilter + exact
     cosine re-rank inside the bucket.
 
     At 100 TB: candidates only meet probes sharing their 8-bit bucket
-    (a 256-way partition of the corpus), so the crossJoin of q68
+    (a 256-way partition of the corpus), so the crossJoin of q29
     becomes an equi-join on the bucket key — shuffle-partitionable,
-    no quadratic blow-up. Recall is tested against q68 in pytest.
+    no quadratic blow-up. Recall is tested against q29 in pytest.
     """
     e = table(spark, sf_dir, "embeddings")
     withb = e.select("vec_id", quantize_q20("embedding").alias("qe")).select(
@@ -418,7 +418,7 @@ def q71_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup of a training corpus.
 
     This is the oracle-checked exact form; the 100 TB path is the
-    same computation gated by the q70 LSH bucket join (candidates
+    same computation gated by the q33 LSH bucket join (candidates
     only meet inside a bucket) — exact re-rank inside buckets means
     the two paths agree wherever the bucket recall allows.
     """
@@ -567,17 +567,17 @@ ORDER BY probe_id, rank
 """
 
 
-@query("q72_ann_ivf", oracle=_Q22_ORACLE, tags=("L3", "similarity"))
-def q72_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q36_ann_ivf", oracle=_Q22_ORACLE, tags=("L3", "similarity"))
+def q36_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-3 neighbors via IVF cells + exact cosine re-rank.
 
-    Complements q70's LSH path with the other standard ANN index
+    Complements q33's LSH path with the other standard ANN index
     shape: a coarse quantizer partitions the corpus into K cells;
     probes search their _IVF_NPROBE nearest cells only. At 100 TB the
     assignment is a map-only scan (centroids are plan literals — no
     join, no shuffle), the corpus shuffles once on its cell id, and
-    per-cell work is corpus/K — the crossJoin of q68 never happens.
-    Recall vs exact q68 is pinned in tests/test_similarity.py.
+    per-cell work is corpus/K — the crossJoin of q29 never happens.
+    Recall vs exact q29 is pinned in tests/test_similarity.py.
     """
     cents = _ivf_centroids(spark, sf_dir)
     e = table(spark, sf_dir, "embeddings")
@@ -686,7 +686,7 @@ def q43_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-neighbors, keep one representative per semantic cluster.
 
     Spark side: exact Q20-integer pair scoring via the same Arrow
-    numpy-matmul kernel as q68 (the bounded comparison set rides in
+    numpy-matmul kernel as q29 (the bounded comparison set rides in
     the UDF closure; each batch emits only its above-threshold edges —
     no BNLJ pair materialization, same floor/int64/IEEE arithmetic as
     the oracle), iterative min-label propagation for the transitive
@@ -740,7 +740,7 @@ def q43_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # L18 at scale: SemDeDup routed through the IVF prefilter — the FULL
-# embedding corpus, no id bound. Pair generation is gated by the q72
+# embedding corpus, no id bound. Pair generation is gated by the q36
 # coarse quantizer: every vector maps to one of K cells (map-only,
 # centroids are plan literals), exact Q20 cosine scoring runs only
 # WITHIN a cell, and per-cell work is (N/K)² instead of N². This is
@@ -826,16 +826,16 @@ ORDER BY vec_id
 
 
 @query(
-    "z02_semantic_dedup_ivf",
+    "q41_semantic_dedup_ivf",
     oracle=_Q_SD_IVF_ORACLE,
     tags=("L18", "L3", "similarity"),
 )
-def z02_semantic_dedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q41_semantic_dedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the FULL embedding corpus, pair generation gated
     by the IVF coarse quantizer (no ``_NEAR_DUP_MAX_ID`` bound).
 
     Stages: (1) map-only cell assignment — the K collected centroids
-    fold into literal expressions, same quantizer as q72, each vector
+    fold into literal expressions, same quantizer as q36, each vector
     assigned to its _SD_NPROBE nearest cells (the recall/cost dial:
     0.25/0.68/0.93 of the exact tau=0.3 edge set at m=1/2/3 on the
     fixture, for m^2/K of the brute-force work); (2) per-cell
@@ -876,7 +876,7 @@ def ivf_semantic_edges(
     spark: SparkSession, sf_dir: str, threshold: float = _SEMDEDUP_COS
 ) -> DataFrame:
     """(src < dst, cos) edges at ``cos >= threshold``, mined per IVF
-    cell (see z02_semantic_dedup_ivf). Exposed separately so the
+    cell (see q41_semantic_dedup_ivf). Exposed separately so the
     recall test can compare against the exact all-pairs q71 edges."""
     import numpy as np
     import pandas as pd

@@ -124,8 +124,8 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 
-@query("q18_hashtag_counts", oracle=_Q69_ORACLE, tags=("R3", "F-S2", "text"))
-def q18_hashtag_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r29_hashtag_counts", oracle=_Q69_ORACLE, tags=("R3", "F-S2", "text"))
+def r29_hashtag_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashtag frequency (reference's signature op, README.md:81-83)."""
     d = table(spark, sf_dir, "documents")
     return (
@@ -916,7 +916,7 @@ def q03_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     enumeration volume for the same bit-exact output as the
     both-directions walk.
 
-    Enumeration is an Arrow-batched numpy kernel (the q68_cosine_topk
+    Enumeration is an Arrow-batched numpy kernel (the q29_cosine_topk
     pattern, operators/similarity.py): the round-3 slice+zip
     formulation built per-element structs through higher-order array
     lambdas, which run in the JVM expression INTERPRETER (no codegen)

@@ -34,8 +34,8 @@ ORDER BY o_orderkey
 """
 
 
-@query("q36_rank_functions", oracle=_Q87_ORACLE, tags=("W1",))
-def q36_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r33_rank_functions", oracle=_Q87_ORACLE, tags=("W1",))
+def r33_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """row_number / rank / dense_rank / ntile per order priority.
 
     rank/dense_rank order by the tie-ful date only (their semantics
@@ -154,8 +154,8 @@ ORDER BY event_id
 """
 
 
-@query("q39_range_frame", oracle=_Q90_ORACLE, tags=("W3",))
-def q39_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r34_range_frame", oracle=_Q90_ORACLE, tags=("W3",))
+def r34_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events in the trailing 5 minutes per user via a RANGE frame on
     epoch microseconds (exact integer arithmetic; ties are peers, so
     the count is order-independent)."""

@@ -123,11 +123,11 @@ ORDER BY r_name, n_name
 
 
 @query(
-    "z01_bucketed_star_join",
+    "q39_bucketed_star_join",
     oracle=_BUCKETED_STAR_ORACLE,
     tags=("bench", "S11", "J1", "J4", "A1"),
 )
-def z01_bucketed_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q39_bucketed_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The q26 star-schema revenue rollup over the BUCKETED layout:
     bit-identical answer, zero exchanges on the fact spine.
 

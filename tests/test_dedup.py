@@ -1,7 +1,7 @@
 """Semantic tests for near-dup dedup (L2): MinHash-LSH candidate
 recall against exact n-gram Jaccard, and estimator quality.
 
-The LSH path (q65) has no SQL oracle (xxhash64 signatures); these
+The LSH path (q27) has no SQL oracle (xxhash64 signatures); these
 tests pin its semantics instead (SURVEY.md §2.3 L2 oracle note).
 """
 
@@ -28,7 +28,7 @@ def jaccard_pairs(spark, sf_dir):
 
 @pytest.fixture(scope="module")
 def lsh_pairs(spark, sf_dir):
-    df = load_all()["q65_minhash_lsh"].build(spark, sf_dir)
+    df = load_all()["q27_minhash_lsh"].build(spark, sf_dir)
     return {(r["doc_a"], r["doc_b"]): r["est_jaccard"] for r in df.collect()}
 
 
@@ -56,9 +56,9 @@ def test_lsh_estimates_track_truth(jaccard_pairs, lsh_pairs):
 
 
 def test_exact_dedup_groups_are_consistent(spark, sf_dir):
-    """q63: canonical_id is the min doc_id of each fingerprint group;
+    """q18: canonical_id is the min doc_id of each fingerprint group;
     survivors are exactly the non-duplicates."""
-    df = load_all()["q63_exact_dedup"].build(spark, sf_dir)
+    df = load_all()["q18_exact_dedup"].build(spark, sf_dir)
     rows = df.collect()
     survivors = {r["doc_id"] for r in rows if not r["is_duplicate"]}
     canon = {r["canonical_id"] for r in rows}

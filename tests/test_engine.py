@@ -214,9 +214,9 @@ def test_concurrent_queries_on_shared_session(spark, sf_dir):
     names = [
         "q01_pricing_summary",
         "q17_token_counts",
-        "q29_semi_join",
-        "q36_rank_functions",
-        "q41_union_all",
+        "r31_semi_join",
+        "r33_rank_functions",
+        "r35_union_all",
         "q46_string_functions",
     ]
     serial = {n: qs[n].build(spark, sf_dir).toPandas() for n in names}

@@ -99,11 +99,11 @@ def test_topk_uses_take_ordered(spark, sf_dir):
 
 
 def test_cosine_scoring_is_mapside(spark, sf_dir):
-    """q68's scoring is a map-only Arrow kernel over the corpus scan:
+    """q29's scoring is a map-only Arrow kernel over the corpus scan:
     no join of the corpus against anything (the probes ride inside the
     UDF closure), and the only exchange is the final per-probe re-rank
     over batches x P x K pruned rows."""
-    df = load_all()["q68_cosine_topk"].build(spark, sf_dir)
+    df = load_all()["q29_cosine_topk"].build(spark, sf_dir)
     plan = plan_of(df)
     assert "MapInPandas" in plan, plan
     assert "Join" not in plan, plan
@@ -111,20 +111,20 @@ def test_cosine_scoring_is_mapside(spark, sf_dir):
 
 
 def test_no_cartesian_in_lsh_candidates(spark, sf_dir):
-    """q65's candidate generation must be an equi-join on the LSH band
+    """q27's candidate generation must be an equi-join on the LSH band
     key — never a cartesian/nested-loop product of the corpus with
     itself."""
-    df = load_all()["q65_minhash_lsh"].build(spark, sf_dir)
+    df = load_all()["q27_minhash_lsh"].build(spark, sf_dir)
     plan = plan_of(df)
     assert "CartesianProduct" not in plan, plan
 
 
 def test_ivf_join_is_broadcast_on_cell(spark, sf_dir):
-    """q72's probe-candidate meeting must be a broadcast join on the
+    """q36's probe-candidate meeting must be a broadcast join on the
     cell id (the corpus side never shuffles for the probe set), and
     cell assignment must be plan literals — no extra join for the
     centroids."""
-    df = load_all()["q72_ann_ivf"].build(spark, sf_dir)
+    df = load_all()["q36_ann_ivf"].build(spark, sf_dir)
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
@@ -140,7 +140,7 @@ def test_bucketed_star_join_has_no_fact_exchange(spark, sf_dir):
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        df = load_all()["z01_bucketed_star_join"].build(spark, sf_dir)
+        df = load_all()["q39_bucketed_star_join"].build(spark, sf_dir)
         plan = plan_of(df)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

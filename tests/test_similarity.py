@@ -1,8 +1,8 @@
 """Semantic tests for similarity search (L3): ANN-vs-exact recall and
 the numeric kernel.
 
-q70 (LSH-bucketed ANN) has no SQL oracle; its contract is recall
-against q68's exact brute-force answer (SURVEY.md §2.3 L3).
+q33 (LSH-bucketed ANN) has no SQL oracle; its contract is recall
+against q29's exact brute-force answer (SURVEY.md §2.3 L3).
 """
 
 from __future__ import annotations
@@ -33,8 +33,8 @@ def test_ann_results_are_subset_of_exact_topk(spark, sf_dir):
     """Every ANN hit must be a genuinely-similar pair: its cosine is
     exact (re-ranked), so it must appear in the exact top-20 of its
     probe (ANN searches a subset of candidates)."""
-    exact = load_all()["q68_cosine_topk"].build(spark, sf_dir).collect()
-    ann = load_all()["q70_ann_lsh"].build(spark, sf_dir).collect()
+    exact = load_all()["q29_cosine_topk"].build(spark, sf_dir).collect()
+    ann = load_all()["q33_ann_lsh"].build(spark, sf_dir).collect()
     assert ann, "ANN should return candidates on the fixture"
     exact_cos = {
         (r["probe_id"], r["cand_id"]): r["cos_sim"] for r in exact
@@ -68,10 +68,10 @@ def test_identical_vectors_share_bucket(spark):
 
 def test_ivf_hits_have_exact_cosines(spark, sf_dir):
     """Same contract as the LSH path: every IVF hit is exactly
-    re-ranked, so wherever it overlaps q68's exact top-k the cosine
+    re-ranked, so wherever it overlaps q29's exact top-k the cosine
     must be identical; and every probe must surface candidates."""
-    exact = load_all()["q68_cosine_topk"].build(spark, sf_dir).collect()
-    ivf = load_all()["q72_ann_ivf"].build(spark, sf_dir).collect()
+    exact = load_all()["q29_cosine_topk"].build(spark, sf_dir).collect()
+    ivf = load_all()["q36_ann_ivf"].build(spark, sf_dir).collect()
     assert ivf, "IVF ANN should return candidates on the fixture"
     assert len({r["probe_id"] for r in ivf}) == 5
     exact_cos = {(r["probe_id"], r["cand_id"]): r["cos_sim"] for r in exact}
