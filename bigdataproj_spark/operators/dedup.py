@@ -276,35 +276,67 @@ def bucket_pairs(
 def minhash_signatures(tokenized: DataFrame) -> DataFrame:
     """(doc_id, toks) → (doc_id, sig) fixed-length MinHash signature.
 
-    ZERO shuffles: the whole signature is computed inside one map-only
-    projection with higher-order array functions — shingle the token
-    array, md5-hash each shingle ONCE into an int array, then take
-    ``array_min`` of each of the N_HASHES affine rehashes of that
-    array. No row explosion, no groupBy. Earlier formulations, slowest
-    first: explode+per-hash groupBy (~40× slower at sf0.1),
-    explode+single-groupBy-of-16-mins (~1.3× slower — the 52×-row
-    explode and its map-side hash-aggregate buffer cost more than the
-    per-row array transforms; measured 1016 ms vs 761 ms at sf0.1,
-    signatures bit-identical). Map-only also means the operator
-    inherits the scan's partitioning at cluster scale — nothing to
-    re-shuffle no matter the corpus size.
+    ZERO shuffles: the whole signature is one map-only Arrow kernel
+    over ``mapInPandas`` — per document, build the word 3-gram
+    shingles, md5 each (hashlib md5 == Spark/DuckDB md5 on the same
+    UTF-8 bytes; first 15 hex digits as an integer == the oracle's
+    CAST('0x'||substr(md5,1,15) AS BIGINT)), then take the min of the
+    N_HASHES affine rehashes as one (16, n_shingles) int64 numpy
+    broadcast + ``minimum.reduceat`` over the per-doc boundaries.
+    Every operation is exact integer arithmetic (A·h < 2^62), so the
+    signatures are bit-identical to the oracle's SQL formulation.
+
+    Formulation history, slowest first: explode+per-hash groupBy
+    (~40× slower at sf0.1), explode+single-groupBy-of-16-mins (~1.3×
+    slower), round-3's all-JVM higher-order-lambda projection — whose
+    cost turned out to be ~95% SHINGLE CONSTRUCTION (each interpreted
+    ``transform`` element copies a slice and re-concats; measured
+    5.49 s of the 5.72 s signature stage at sf5) — and this kernel
+    (3.6 s at sf5, ~1.6×: the Python md5 loop costs ~1 µs/shingle
+    and the affine mins are one numpy broadcast, vs an interpreted
+    lambda per shingle element). ``array_distinct`` in the expression form is
+    dropped here: duplicate shingles cannot change a min. Map-only
+    also means the operator inherits the scan's partitioning at
+    cluster scale — nothing to re-shuffle no matter the corpus size.
     """
-    h = F.transform(
-        shingles(F.col("toks")),
-        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long") % _MH_P,
-    )
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    F.col("__h"),
-                    lambda x: (F.lit(MINHASH_A[s]) * x + F.lit(MINHASH_B[s])) % _MH_P,
+    import numpy as np
+    import pandas as pd
+
+    def sig_kernel(batches):
+        from hashlib import md5 as _md5
+
+        a = np.array(MINHASH_A, dtype=np.int64)[:, None]
+        b = np.array(MINHASH_B, dtype=np.int64)[:, None]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            all_h: list[int] = []
+            offsets = [0]
+            for toks in pdf["toks"]:
+                toks = list(toks)
+                all_h.extend(
+                    int(
+                        _md5(
+                            " ".join(toks[i : i + SHINGLE_SIZE]).encode()
+                        ).hexdigest()[:15],
+                        16,
+                    )
+                    for i in range(len(toks) - SHINGLE_SIZE + 1)
                 )
+                offsets.append(len(all_h))
+            h = np.array(all_h, dtype=np.int64) % _MH_P
+            v = (a * h[None, :] + b) % _MH_P  # (N_HASHES, total)
+            sigs = np.minimum.reduceat(v, np.array(offsets[:-1]), axis=1)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sig": [sigs[:, j].tolist() for j in range(len(pdf))],
+                }
             )
-            for s in range(N_HASHES)
-        ]
+
+    return tokenized.select("doc_id", "toks").mapInPandas(
+        sig_kernel, "doc_id long, sig array<long>"
     )
-    return tokenized.withColumn("__h", h).select("doc_id", sig.alias("sig"))
 
 
 _MINHASH_SIG_SQL = f"""
