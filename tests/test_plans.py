@@ -298,3 +298,33 @@ def test_pagerank_output_invariants(spark, sf_dir):
     assert sp > 0.5, sp
     b = q08_graph_pagerank(spark, sf_dir).toPandas()
     assert a.equals(b)
+
+
+def test_pricing_summary_single_exchange(spark, sf_dir):
+    """q01's round-4 fused form: scan → partial agg → ONE 6-row hash
+    exchange → final agg. A second hash exchange means the fused
+    pre-projection regressed into per-aggregate expression re-derivation
+    or an extra shuffle stage."""
+    df = load_all()["q01_pricing_summary"].build(spark, sf_dir)
+    plan = plan_of(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert has_pushed_filter(df, "LessThanOrEqual(l_shipdate"), plan
+
+
+def test_skipgram_uses_arrow_kernel(spark, sf_dir):
+    """q03's round-4 form enumerates pairs in a mapInPandas kernel
+    emitting vocabulary-bounded partial counts; the round-3 slice+zip
+    struct explode (interpreted array lambdas) must not come back."""
+    df = load_all()["q03_skipgram_pairs"].build(spark, sf_dir)
+    plan = plan_of(df)
+    assert "MapInPandas" in plan, plan
+    assert "Generate explode" not in plan, plan
+
+
+def test_minhash_signatures_use_arrow_kernel(spark, sf_dir):
+    """q27's signature stage is the round-4 Arrow kernel (shingle+md5+
+    affine mins in numpy); the interpreted higher-order-lambda
+    projection must not come back."""
+    df = load_all()["q27_minhash_lsh"].build(spark, sf_dir)
+    plan = plan_of(df)
+    assert "MapInPandas" in plan, plan
