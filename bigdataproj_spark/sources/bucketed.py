@@ -73,6 +73,12 @@ def bucketed_fact_tables(
 
     Both facts bucket on the order key — the key every TPC-H-shaped
     star query joins on — so the spine join is exchange-free.
+
+    The warehouse path is shared across sessions of one machine
+    (mode=overwrite makes rebuilds idempotent); concurrent FIRST
+    builds from two processes would race, which is fine for the
+    sequential test/driver flows here — a cluster deployment runs
+    the layout write once as a deploy step, not per session.
     """
     tag = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(os.path.normpath(sf_dir)))
     li_name = f"lineitem_bkt_{tag}"

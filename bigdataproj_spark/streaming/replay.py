@@ -424,7 +424,10 @@ def foreach_batch_upsert(spark: SparkSession, table_dir: str):
         if not os.path.islink(data_dir):
             os.symlink(os.path.join("current", "data"), data_dir)
         # GC superseded versions (readers of the published snapshot
-        # are unaffected; only pre-swap versions are removed).
+        # are unaffected; only pre-swap versions are removed). A
+        # production deployment would retain the last N versions
+        # instead: a reader that resolved ``current`` just before the
+        # swap may still be scanning the prior version's files.
         for name in os.listdir(table_dir):
             if (
                 name.startswith("v")
