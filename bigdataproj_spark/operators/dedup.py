@@ -438,15 +438,16 @@ def q27_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     pairs = bucket_pairs(bands, ["band", "bh"], "doc_id", "sig")
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with("a.sig", "b.sig", lambda x, y: x == y),
-                lambda eq: eq,
-            )
-        ).cast("double")
-        / N_HASHES
+    # N_HASHES static positional comparisons instead of a
+    # zip_with+filter lambda chain: the fixed-length unrolled form
+    # stays inside whole-stage codegen (higher-order array functions
+    # evaluate in the expression interpreter), which matters at 6.7M
+    # candidate pairs per sf5 run.
+    matches = sum(
+        (F.col("a.sig").getItem(s) == F.col("b.sig").getItem(s)).cast("int")
+        for s in range(N_HASHES)
     )
+    est = matches.cast("double") / N_HASHES
     return (
         pairs.select(
             F.col("a.doc_id").alias("doc_a"),

@@ -328,3 +328,35 @@ def test_minhash_signatures_use_arrow_kernel(spark, sf_dir):
     df = load_all()["q27_minhash_lsh"].build(spark, sf_dir)
     plan = plan_of(df)
     assert "MapInPandas" in plan, plan
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """§4 runtime filtering: when a selective dimension-side filter
+    exists and neither side broadcasts, Catalyst injects a Bloom
+    filter built from the dimension keys into the fact scan
+    (might_contain(...) above the fact side) — at 100 TB this is the
+    difference between shuffling the whole fact table and shuffling
+    the ~1% that can possibly join. Thresholds are lowered to fire at
+    fixture scale; the capability is what's pinned."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+        o = (
+            table(spark, sf_dir, "orders")
+            .filter(F.col("o_totalprice") > 400000)
+            .select("o_orderkey")
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        plan = plan_of(j)
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan, plan
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
