@@ -80,7 +80,14 @@ def bucketed_fact_tables(
     sequential test/driver flows here — a cluster deployment runs
     the layout write once as a deploy step, not per session.
     """
+    # Tag by basename + a hash of the FULL path: two fixture dirs with
+    # the same basename (e.g. testdata/sf0.1 vs a regenerated
+    # .benchdata/sf0.1) must never share table names, or the second
+    # layout build would silently serve the first dir's queries.
+    import hashlib
+
     tag = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(os.path.normpath(sf_dir)))
+    tag += "_" + hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
     li_name = f"lineitem_bkt_{tag}"
     od_name = f"orders_bkt_{tag}"
     memo: dict[tuple[str, int], tuple[str, str]] = spark.__dict__.setdefault(
