@@ -178,3 +178,58 @@ def test_filelog_broker_roundtrip_matches_file_twin(spark, sf_dir, tmp_path):
         assert offs == list(range(len(offs))), f"partition {p} offsets not dense"
     per_key = log.groupby(log["key"].map(bytes))["partition"].nunique()
     assert (per_key == 1).all(), "a key crossed partitions"
+
+
+def test_filelog_consumer_resumes_from_checkpoint(spark, sf_dir, tmp_path):
+    """The consumer-group contract: a restarted consumer with the same
+    checkpoint must resume AFTER its committed offsets — records
+    consumed before the stop are not redelivered, records produced
+    while the consumer was down are. This is the at-least-once /
+    no-reprocessing behavior the engine's foreachBatch sinks build
+    their exactly-once on."""
+    from bigdataproj_spark.streaming.kafkalike import FileTopic, produce_json
+
+    stage_dir = tmp_path / "stage"
+    stage_dir.mkdir()
+    staged = replay.stage_microbatches(
+        spark, sf_dir, str(stage_dir), n_batches=4
+    )
+    topic = FileTopic(str(tmp_path / "log"), "events", partitions=2)
+    ckpt = str(tmp_path / "ckpt")
+
+    def consume() -> list[int]:
+        """Run the consumer to the end of the current log; return the
+        per-micro-batch record counts it processed."""
+        seen: list[int] = []
+
+        def fb(batch_df, batch_id):
+            seen.append(batch_df.count())
+
+        q = (
+            topic.read_stream(spark)
+            .writeStream.foreachBatch(fb)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return seen
+
+    n_first = sum(
+        produce_json(topic, spark, spark.read.parquet(p), key_col="event_id")
+        for p in staged[:2]
+    )
+    first = consume()
+    assert sum(first) == n_first
+
+    n_second = sum(
+        produce_json(topic, spark, spark.read.parquet(p), key_col="event_id")
+        for p in staged[2:]
+    )
+    second = consume()
+    # Only the newly produced records — nothing redelivered.
+    assert sum(second) == n_second
+    total = topic.read_batch(spark).count()
+    assert total == n_first + n_second
