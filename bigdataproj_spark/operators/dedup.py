@@ -285,6 +285,9 @@ def minhash_signatures(tokenized: DataFrame) -> DataFrame:
     broadcast + ``minimum.reduceat`` over the per-doc boundaries.
     Every operation is exact integer arithmetic (A·h < 2^62), so the
     signatures are bit-identical to the oracle's SQL formulation.
+    Rows with fewer than SHINGLE_SIZE tokens produce NO output row
+    (zero shingles have no minimum; every registered caller filters
+    them out beforehand).
 
     Formulation history, slowest first: explode+per-hash groupBy
     (~40× slower at sf0.1), explode+single-groupBy-of-16-mins (~1.3×
@@ -312,8 +315,18 @@ def minhash_signatures(tokenized: DataFrame) -> DataFrame:
                 continue
             all_h: list[int] = []
             offsets = [0]
-            for toks in pdf["toks"]:
+            keep = []
+            for j, toks in enumerate(pdf["toks"]):
                 toks = list(toks)
+                if len(toks) < SHINGLE_SIZE:
+                    # Zero shingles → no signature. Callers filter
+                    # size(toks) >= SHINGLE_SIZE; this guard keeps the
+                    # helper's contract safe anyway — without it a
+                    # zero-shingle doc mid-batch would make reduceat
+                    # silently return the NEXT doc's first hash as
+                    # this doc's signature (or raise at batch end).
+                    continue
+                keep.append(j)
                 all_h.extend(
                     int(
                         _md5(
@@ -324,13 +337,15 @@ def minhash_signatures(tokenized: DataFrame) -> DataFrame:
                     for i in range(len(toks) - SHINGLE_SIZE + 1)
                 )
                 offsets.append(len(all_h))
+            if not keep:
+                continue
             h = np.array(all_h, dtype=np.int64) % _MH_P
             v = (a * h[None, :] + b) % _MH_P  # (N_HASHES, total)
             sigs = np.minimum.reduceat(v, np.array(offsets[:-1]), axis=1)
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf["doc_id"],
-                    "sig": [sigs[:, j].tolist() for j in range(len(pdf))],
+                    "doc_id": pdf["doc_id"].iloc[keep].to_numpy(),
+                    "sig": [sigs[:, j].tolist() for j in range(len(keep))],
                 }
             )
 

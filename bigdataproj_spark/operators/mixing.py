@@ -40,7 +40,6 @@ from pyspark.sql.window import Window
 
 from ..catalog import table
 from ..registry import query
-from ..session import iter_checkpoint
 from .sampling import hash60, hash60_sql
 from .text import TOKENS_SQL, tokens
 
@@ -281,9 +280,12 @@ def q22_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The DSIR feature matrix: one tokenize pass, then every consumer
     # reads this instead of the token stream. (lang rides along — it
     # is constant per doc.)
-    tbc = iter_checkpoint(
-        tb.groupBy("doc_id", "lang", "b").agg(F.count(F.lit(1)).alias("n"))
-    )
+    # localCheckpoint, not iter_checkpoint: one-shot multi-consumer
+    # materialization inside a single query — durability buys nothing
+    # (executor loss just re-runs the query).
+    tbc = tb.groupBy("doc_id", "lang", "b").agg(
+        F.count(F.lit(1)).alias("n")
+    ).localCheckpoint()
     prof = tbc.groupBy("b").agg(
         F.sum("n").alias("cnt_r"),
         F.sum(F.when(F.col("lang") == "en", F.col("n")).otherwise(0)).alias(

@@ -16,7 +16,6 @@ from pyspark.sql.window import Window
 
 from ..catalog import table
 from ..registry import query
-from ..session import iter_checkpoint
 from .skew import fan_out
 
 # ---------------------------------------------------------------------------
@@ -1198,9 +1197,11 @@ def q21_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # itself, the w1 marginal, the vocabulary scalar) would otherwise
     # each re-run the corpus pass. It is vocabulary²-bounded — the
     # natural persistence point of any n-gram LM build.
-    bc = iter_checkpoint(
-        big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    )
+    # localCheckpoint, not iter_checkpoint: one-shot multi-consumer
+    # materialization inside a single query (see session.iter_checkpoint).
+    bc = big.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c12")
+    ).localCheckpoint()
     uc = bc.groupBy("w1").agg(F.sum("c12").alias("c1"))
     v = bc.agg(F.countDistinct("w2").alias("vocab"))
     return (

@@ -56,13 +56,36 @@ def iter_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     the materialized rows survive executor loss and recovery is a
     re-read, not a recompute-from-nothing. Local default stays
     ``localCheckpoint`` — same plans, no write amplification.
+
+    The reliable branch persists before checkpointing: eager
+    ``checkpoint()`` runs one job to materialize and a SECOND job to
+    write the checkpoint files, which would recompute the whole
+    lineage (2× every iteration) without the cache. The cache is
+    dropped once the checkpoint is durable. Old checkpoint
+    directories are GC'd by the context cleaner
+    (``spark.cleaner.referenceTracking.cleanCheckpoints`` is set by
+    :func:`get_spark`) when the checkpointed RDD is collected —
+    without it every iteration's directory would accumulate in the
+    durable store for the session's lifetime.
+
+    Use this for ITERATIVE loops. One-shot multi-consumer
+    materializations (a table read twice in one query) should use
+    plain ``localCheckpoint`` — durability buys nothing there (losing
+    the blocks just re-runs that query) and the reliable path would
+    pay a durable write per run.
     """
     sc = df.sparkSession.sparkContext
     try:
         has_dir = sc.getCheckpointDir() is not None
     except Exception:  # pragma: no cover - very old APIs
         has_dir = False
-    return df.checkpoint(eager=eager) if has_dir else df.localCheckpoint(eager=eager)
+    if not has_dir:
+        return df.localCheckpoint(eager=eager)
+    df = df.persist()
+    out = df.checkpoint(eager=eager)
+    if eager:
+        df.unpersist()
+    return out
 
 
 def get_spark(
@@ -97,6 +120,10 @@ def get_spark(
         # cluster the Spark default stands (deployments override).
         **({"spark.locality.wait": "0"} if resolved_master.startswith("local") else {}),
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        # Reliable-checkpoint GC: when iter_checkpoint's checkpointed
+        # RDDs are garbage-collected, their directories are removed —
+        # otherwise iterative loops leak one durable dir per iteration.
+        "spark.cleaner.referenceTracking.cleanCheckpoints": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         # Dimension tables (region/nation/customer/supplier/part at test

@@ -20,8 +20,10 @@ broker is documented on :class:`FileTopic`.
 Broker semantics implemented (the ones Structured Streaming relies on):
 - records are assigned to a partition by key hash (null key →
   round-robin over producer batches), like Kafka's default partitioner;
-- offsets are per-partition, dense, monotone; a record is immutable
-  once written;
+- offsets are per-partition, monotone, and dense absent producer
+  crashes (a produce that crashes mid-flush leaves a reserved gap —
+  never a duplicate or an overwrite); a record is immutable once
+  written;
 - producers append SEGMENTS (one file per produce() flush — the
   micro-batch boundary, like a producer batch flush); readers see a
   segment atomically (file rename) or not at all;
@@ -101,7 +103,17 @@ class FileTopic:
         segment is written via pyarrow as a single plain file (the
         file-stream source does not recurse into directory segments)
         under _tmp, then atomically renamed into the watched dir —
-        readers see a whole segment or nothing."""
+        readers see a whole segment or nothing.
+
+        Crash-safety order: the meta (segment number + offsets) is
+        RESERVED before the segment publishes. A producer crash
+        between the reserve and the publish leaves a gap — a skipped
+        segment number and unreferenced offsets — which is benign
+        (like an aborted Kafka transaction). The reverse order would
+        be a corruption: a restart would reuse the published
+        segment's number and OVERWRITE immutable records with
+        duplicate offsets.
+        """
         import datetime as _dt
 
         import pyarrow as pa
@@ -115,7 +127,11 @@ class FileTopic:
             parts.append(p)
             offs.append(self._next_offset[p])
             self._next_offset[p] += 1
-        now = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+        # UTC-adjusted timestamps (isAdjustedToUTC=true), matching real
+        # Kafka's epoch timestamps: a consumer in any session timezone
+        # reads the same instant. A tz-naive write would shift by the
+        # reader's session zone.
+        now = _dt.datetime.now(_dt.timezone.utc)
         tbl = pa.table(
             {
                 "key": pa.array(keys, pa.binary()),
@@ -123,17 +139,19 @@ class FileTopic:
                 "topic": pa.array([self.name] * len(keys), pa.string()),
                 "partition": pa.array(parts, pa.int32()),
                 "offset": pa.array(offs, pa.int64()),
-                "timestamp": pa.array([now] * len(keys), pa.timestamp("us")),
+                "timestamp": pa.array(
+                    [now] * len(keys), pa.timestamp("us", tz="UTC")
+                ),
             }
         )
         seg = os.path.join(self.dir, f"segment_{self._next_segment:08d}.parquet")
         self._next_segment += 1
+        self._save_meta()  # reserve BEFORE publish (see docstring)
         tmp_dir = os.path.join(self.dir, "_tmp")
         os.makedirs(tmp_dir, exist_ok=True)
         tmp = os.path.join(tmp_dir, os.path.basename(seg))
         pq.write_table(tbl, tmp)
         os.replace(tmp, seg)
-        self._save_meta()
         return len(records)
 
     def read_stream(self, spark: SparkSession) -> DataFrame:

@@ -29,7 +29,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import table
-from ..session import iter_checkpoint
 
 EVENTS_DDL = (
     "event_id long, ts timestamp, user_id long, "
@@ -407,6 +406,22 @@ def foreach_batch_upsert(spark: SparkSession, table_dir: str):
     current = os.path.join(table_dir, "current")
     data_dir = os.path.join(table_dir, "data")  # stable alias -> current/data
 
+    def _migrate_legacy_layout() -> None:
+        """A table_dir written by the pre-versioning code has a REAL
+        data/ directory and a _ledger/ beside it. Without migration
+        the new layout would ignore both (re-applying every batch and
+        dropping prior aggregates) and then crash symlinking over the
+        real data dir. Move them into v_legacy/ and publish it."""
+        if os.path.islink(data_dir) or not os.path.isdir(data_dir):
+            return
+        snap = os.path.join(table_dir, "v_legacy")
+        os.makedirs(snap, exist_ok=True)
+        os.rename(data_dir, os.path.join(snap, "data"))
+        old_ledger = os.path.join(table_dir, "_ledger")
+        if os.path.isdir(old_ledger):
+            os.rename(old_ledger, os.path.join(snap, "_ledger"))
+        _publish("v_legacy")
+
     def _ledger_ids() -> set[int]:
         ledger = os.path.join(current, "_ledger")
         if not os.path.isdir(ledger):
@@ -438,6 +453,7 @@ def foreach_batch_upsert(spark: SparkSession, table_dir: str):
                 shutil.rmtree(os.path.join(table_dir, name), ignore_errors=True)
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
+        _migrate_legacy_layout()
         applied = _ledger_ids()
         if int(batch_id) in applied:
             return
@@ -575,9 +591,9 @@ def corpus_ingest_batch_fn(spark: SparkSession, lake_dir: str):
         # would re-append those documents); production would write
         # both under a single atomic commit (Delta/Iceberg txn, or the
         # versioned-snapshot publish used by foreach_batch_upsert).
-        survivors = iter_checkpoint(
-            firsts.select("doc_id", "text", "fingerprint")
-        )
+        survivors = firsts.select(
+            "doc_id", "text", "fingerprint"
+        ).localCheckpoint()  # one-shot dual-read inside a micro-batch
         survivors.write.mode("append").parquet(corpus_dir)
         survivors.select("fingerprint").write.mode("append").parquet(index_dir)
 

@@ -482,3 +482,58 @@ def test_corpus_ingest_stream_equals_batch_build(spark, sf_dir, tmp_path):
     )
     assert len(streamed) > 0
     assert streamed.equals(batch)
+
+
+def test_foreach_batch_upsert_migrates_legacy_layout(spark, sf_dir, tmp_path):
+    """A table_dir written by the pre-versioning flat layout (real
+    data/ dir + _ledger/ beside it) must be migrated, not clobbered:
+    prior aggregates carry into the next merge and already-applied
+    batch ids stay idempotent."""
+    from bigdataproj_spark.catalog import table as load_table
+    from bigdataproj_spark.streaming.replay import (
+        EVENTS_DDL,
+        foreach_batch_upsert,
+        stage_microbatches,
+    )
+
+    stage_dir = tmp_path / "batches"
+    stage_dir.mkdir()
+    paths = stage_microbatches(spark, sf_dir, str(stage_dir), n_batches=2)
+    table_dir = str(tmp_path / "legacy_table")
+
+    # Build the LEGACY layout by hand from batch 0.
+    b0 = spark.read.schema(EVENTS_DDL).parquet(paths[0])
+    legacy = b0.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        F.max("ts").alias("last_ts"),
+    )
+    legacy.write.parquet(os.path.join(table_dir, "data"))
+    spark.createDataFrame([(0,)], "batch_id long").write.parquet(
+        os.path.join(table_dir, "_ledger")
+    )
+
+    apply = foreach_batch_upsert(spark, table_dir)
+    # Redelivery of batch 0 must be a no-op (legacy ledger honored)...
+    apply(b0, 0)
+    # ...and batch 1 must merge ON TOP of the legacy aggregates.
+    apply(spark.read.schema(EVENTS_DDL).parquet(paths[1]), 1)
+
+    got = (
+        spark.read.parquet(os.path.join(table_dir, "data"))
+        .orderBy("user_id")
+        .toPandas()
+    )
+    expected = (
+        spark.read.schema(EVENTS_DDL)
+        .parquet(paths[0], paths[1])
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+            F.max("ts").alias("last_ts"),
+        )
+        .orderBy("user_id")
+        .toPandas()
+    )
+    assert got.reset_index(drop=True).equals(expected.reset_index(drop=True))
