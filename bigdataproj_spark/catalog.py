@@ -8,6 +8,10 @@ column pruning for free (SURVEY.md §4).
 
 from __future__ import annotations
 
+import hashlib
+import os
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
@@ -26,6 +30,20 @@ TABLES: tuple[str, ...] = (
     "documents",
     "embeddings",
 )
+
+
+def scratch_tag(sf_dir: str) -> str:
+    """Collision-proof scratch tag for a fixture dir: basename plus a
+    hash of the FULL path. Two fixture dirs sharing a basename (e.g.
+    testdata/sf0.1 vs a regenerated .benchdata/sf0.1) must never share
+    scratch paths or derived table names — with basename-only tags the
+    second dir's artifacts silently serve the first dir's queries.
+    Used by the export/sink scratch dirs and the bucketed layout."""
+    base = (
+        re.sub(r"[^A-Za-z0-9_.-]", "_", os.path.basename(os.path.normpath(sf_dir)))
+        or "sf"
+    )
+    return base + "_" + hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
 
 
 def _ensure_session_conf(spark: SparkSession) -> None:

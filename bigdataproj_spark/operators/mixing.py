@@ -265,49 +265,8 @@ def q22_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     derive from it without re-reading text. The top-k is TakeOrdered
     (per-partition heaps, no global sort).
     """
-    d = table(spark, sf_dir, "documents")
-    tb = d.select(
-        "doc_id",
-        "lang",
-        F.explode(tokens("text")).alias("token"),
-    ).select(
-        "doc_id",
-        "lang",
-        (hash60(F.col("token"), _DSIR_SALT) % _DSIR_BUCKETS)
-        .cast("int")
-        .alias("b"),
-    )
-    # The DSIR feature matrix: one tokenize pass, then every consumer
-    # reads this instead of the token stream. (lang rides along — it
-    # is constant per doc.)
-    # localCheckpoint, not iter_checkpoint: one-shot multi-consumer
-    # materialization inside a single query — durability buys nothing
-    # (executor loss just re-runs the query).
-    tbc = tb.groupBy("doc_id", "lang", "b").agg(
-        F.count(F.lit(1)).alias("n")
-    ).localCheckpoint()
-    prof = tbc.groupBy("b").agg(
-        F.sum("n").alias("cnt_r"),
-        F.sum(F.when(F.col("lang") == "en", F.col("n")).otherwise(0)).alias(
-            "cnt_t"
-        ),
-    )
-    tot = prof.agg(
-        F.sum("cnt_r").alias("tot_r"), F.sum("cnt_t").alias("tot_t")
-    )
-    nb = float(_DSIR_BUCKETS)
-    lam = prof.crossJoin(F.broadcast(tot)).select(
-        "b",
-        F.round(
-            F.log(
-                ((F.col("cnt_t") + 1.0) / (F.col("tot_t") + nb))
-                / ((F.col("cnt_r") + 1.0) / (F.col("tot_r") + nb))
-            ),
-            6,
-        )
-        .cast("decimal(18,6)")
-        .alias("lam"),
-    )
+    tbc = _dsir_feature_matrix(spark, sf_dir)
+    lam = _dsir_lambda_table(tbc)
     dw = (
         tbc.join(F.broadcast(lam), "b")
         .groupBy("doc_id", "lang")
@@ -356,11 +315,11 @@ def q22_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def dsir_lambda_rows(spark: SparkSession, sf_dir: str) -> list[tuple[int, object]]:
-    """The trained DSIR model: (bucket, lambda) rows, collected. The
-    model is hashed-feature-bounded (at most {b} rows regardless of
-    corpus size) — collecting it is the legitimate 'model fit' step,
-    exactly like the IVF centroid train (similarity.py)."""
+def _dsir_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashed-feature matrix (doc_id, lang, b, n) — one tokenize
+    pass, materialized once (localCheckpoint, not iter_checkpoint: a
+    one-shot multi-consumer table; durability buys nothing here).
+    (lang rides along — it is constant per doc.)"""
     d = table(spark, sf_dir, "documents")
     tb = d.select(
         "doc_id",
@@ -369,15 +328,31 @@ def dsir_lambda_rows(spark: SparkSession, sf_dir: str) -> list[tuple[int, object
     ).select(
         "doc_id",
         "lang",
-        (hash60(F.col("token"), _DSIR_SALT) % _DSIR_BUCKETS).cast("int").alias("b"),
+        (hash60(F.col("token"), _DSIR_SALT) % _DSIR_BUCKETS)
+        .cast("int")
+        .alias("b"),
     )
-    prof = tb.groupBy("b").agg(
-        F.count(F.lit(1)).alias("cnt_r"),
-        F.sum((F.col("lang") == "en").cast("long")).alias("cnt_t"),
+    return (
+        tb.groupBy("doc_id", "lang", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+
+
+def _dsir_lambda_table(tbc: DataFrame) -> DataFrame:
+    """The model fit: Laplace-smoothed per-bucket target-vs-raw
+    log-likelihood ratios, round-6/decimal-quantized. ONE definition —
+    shared by the oracle-checked q22 and the batch-train/stream-score
+    deployment path, so the two can never drift."""
+    prof = tbc.groupBy("b").agg(
+        F.sum("n").alias("cnt_r"),
+        F.sum(F.when(F.col("lang") == "en", F.col("n")).otherwise(0)).alias(
+            "cnt_t"
+        ),
     )
     tot = prof.agg(F.sum("cnt_r").alias("tot_r"), F.sum("cnt_t").alias("tot_t"))
     nb = float(_DSIR_BUCKETS)
-    lam = prof.crossJoin(F.broadcast(tot)).select(
+    return prof.crossJoin(F.broadcast(tot)).select(
         "b",
         F.round(
             F.log(
@@ -389,6 +364,15 @@ def dsir_lambda_rows(spark: SparkSession, sf_dir: str) -> list[tuple[int, object
         .cast("decimal(18,6)")
         .alias("lam"),
     )
+
+
+def dsir_lambda_rows(spark: SparkSession, sf_dir: str) -> list[tuple[int, object]]:
+    """The trained DSIR model: (bucket, lambda) rows, collected. The
+    model is hashed-feature-bounded (at most {b} rows regardless of
+    corpus size) — collecting it is the legitimate 'model fit' step,
+    exactly like the IVF centroid train (similarity.py). Same helper
+    pipeline as q22_dsir_resample by construction."""
+    lam = _dsir_lambda_table(_dsir_feature_matrix(spark, sf_dir))
     return [(r["b"], r["lam"]) for r in lam.collect()]
 
 

@@ -114,7 +114,13 @@ def q06_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     width, counted partial-aggregate style.
     """
     d = table(spark, sf_dir, "documents")
-    t = d.select("doc_id", tokens("text").alias("toks")).filter(F.size("toks") >= 2)
+    # Materialize the tokenized table once: the unigram and bigram
+    # arms would otherwise each re-run the scan+tokenize.
+    t = (
+        d.select("doc_id", tokens("text").alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .localCheckpoint()
+    )
     uni = t.select("doc_id", F.explode("toks").alias("g"))
     bi = t.select(
         "doc_id",
@@ -201,6 +207,15 @@ def _gate_flags() -> list[tuple[str, "F.Column"]]:
     ]
 
 
+def _gate_keep() -> "F.Column":
+    """The combined keep predicate — the one fold over _gate_flags,
+    shared by quality_flags and gate_filter so the flag output and the
+    capstone's filter can never drift."""
+    from functools import reduce
+
+    return reduce(lambda a, b: a & b, (c for _, c in _gate_flags()))
+
+
 def quality_flags(d: DataFrame) -> DataFrame:
     """The gate itself: any (doc_id, text)-shaped frame → per-doc flag
     columns. Pure map expressions, so the SAME transformation runs on
@@ -210,13 +225,10 @@ def quality_flags(d: DataFrame) -> DataFrame:
         F.size("toks") > 0
     )
     flags = _gate_flags()
-    keep = flags[0][1]
-    for _, c in flags[1:]:
-        keep = keep & c
     return t.select(
         "doc_id",
         *[c.alias(n) for n, c in flags],
-        keep.alias("keep"),
+        _gate_keep().alias("keep"),
     )
 
 
@@ -226,11 +238,7 @@ def gate_filter(d: DataFrame) -> DataFrame:
     back to the source, so composing pipelines keep the gate on the
     scan's map side at any corpus size."""
     t = d.withColumn("toks", tokens("text")).filter(F.size("toks") > 0)
-    flags = _gate_flags()
-    keep = flags[0][1]
-    for _, c in flags[1:]:
-        keep = keep & c
-    return t.filter(keep)
+    return t.filter(_gate_keep())
 
 
 @query("q15_quality_gate", oracle=_Q_R02_ORACLE, tags=("L5", "L11", "quality"))
@@ -372,14 +380,29 @@ def q35_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(tokens("text")).alias("token"))
-    total = toks.select(F.count(F.lit(1)).alias("t"))
-    vocab = (
+    # Vocabulary-bounded count table, materialized once: the total-
+    # token scalar and the scoring join both read it (previously the
+    # scalar was a third full corpus pass).
+    counts = (
         toks.groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
-        .crossJoin(F.broadcast(total))
+        .localCheckpoint()
+    )
+    total = counts.agg(F.sum("n").alias("t"))
+    lnp = F.log(F.col("n").cast("double") / F.col("t"))
+    vocab = (
+        counts.crossJoin(F.broadcast(total))
         .select(
             "token",
-            (F.round(F.log(F.col("n").cast("double") / F.col("t")), 6) * 1_000_000)
+            # Exact-integer form of the oracle's
+            # CAST(round(ln p, 6)*1e6 AS BIGINT): DuckDB's FP round is
+            # s·floor(|x|·1e6+0.5)/1e6 and its double→BIGINT cast
+            # rounds to nearest, so the composition recovers exactly
+            # this integer. The earlier F.round(...)·1e6.cast('long')
+            # TRUNCATED the ±ulp product toward zero — off by one for
+            # ~1.5% of arbitrary probabilities (latent on the current
+            # fixture vocabulary, a correctness-gate time bomb).
+            (F.signum(lnp) * F.floor(F.abs(lnp) * 1_000_000 + F.lit(0.5)))
             .cast("long")
             .alias("lp6"),
         )
@@ -569,7 +592,15 @@ def q48_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     held = (
         grams.filter(F.col("doc_id") < _DECON_HELD_OUT_MAX).select("g").distinct()
     )
-    corpus = grams.filter(F.col("doc_id") >= _DECON_HELD_OUT_MAX).distinct()
+    # Materialize the distinct corpus-gram table ONCE: two consumers
+    # (per-doc totals, contamination hits) would otherwise each re-run
+    # the corpus tokenize+explode+distinct. held's own pass stays
+    # cheap — its doc_id < 50 filter pushes to the parquet scan.
+    corpus = (
+        grams.filter(F.col("doc_id") >= _DECON_HELD_OUT_MAX)
+        .distinct()
+        .localCheckpoint()
+    )
     per_doc = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     hits = (
         corpus.join(F.broadcast(held), "g", "left_semi")
@@ -785,6 +816,10 @@ def q37_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     half = (hash60(F.col("doc_id").cast("string"), _DRIFT_SALT) % 2).cast("int")
     tok = d.select(half.alias("half"), F.explode(tokens("text")).alias("token"))
+    # Materialize the vocabulary-bounded count table ONCE: three
+    # consumers (the totals scalar, the KL sum, the top-k) would
+    # otherwise each re-run the corpus tokenize+aggregate (the
+    # q21_bigram_lm precedent).
     c = (
         tok.groupBy("token")
         .agg(
@@ -792,6 +827,7 @@ def q37_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("half") == 1).cast("long")).alias("n_cur"),
         )
         .filter((F.col("n_ref") + F.col("n_cur")) >= _DRIFT_MIN_N)
+        .localCheckpoint()
     )
     tot = c.agg(
         F.sum("n_ref").alias("t_ref"),

@@ -33,7 +33,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import scratch_tag, table
 from ..functions import cents, isum_expr
 from ..registry import query
 
@@ -80,14 +80,7 @@ def bucketed_fact_tables(
     sequential test/driver flows here — a cluster deployment runs
     the layout write once as a deploy step, not per session.
     """
-    # Tag by basename + a hash of the FULL path: two fixture dirs with
-    # the same basename (e.g. testdata/sf0.1 vs a regenerated
-    # .benchdata/sf0.1) must never share table names, or the second
-    # layout build would silently serve the first dir's queries.
-    import hashlib
-
-    tag = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(os.path.normpath(sf_dir)))
-    tag += "_" + hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    tag = re.sub(r"[^A-Za-z0-9_]", "_", scratch_tag(sf_dir))
     li_name = f"lineitem_bkt_{tag}"
     od_name = f"orders_bkt_{tag}"
     memo: dict[tuple[str, int], tuple[str, str]] = spark.__dict__.setdefault(

@@ -22,7 +22,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import scratch_tag, table
 from ..registry import query
 from ..schemas import CUSTOMER, ORDERS
 
@@ -30,8 +30,7 @@ _EXPORT_ROOT = os.path.join(tempfile.gettempdir(), "bigdataproj_exports")
 
 
 def _export_dir(sf_dir: str, kind: str) -> str:
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    return os.path.join(_EXPORT_ROOT, tag, kind)
+    return os.path.join(_EXPORT_ROOT, scratch_tag(sf_dir), kind)
 
 
 def write_json_copy(df: DataFrame, path: str) -> None:

@@ -16,7 +16,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import table
+from ..catalog import scratch_tag, table
 from ..registry import query
 from ..operators.text import SENTIMENT_LEXICON, tokens
 
@@ -103,8 +103,7 @@ def q93_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     directory encoding (hive-style key=value paths) and that the
     re-opened index returns exactly the written rows.
     """
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    out = os.path.join(_SINK_ROOT, tag, "doc_index")
+    out = os.path.join(_SINK_ROOT, scratch_tag(sf_dir), "doc_index")
     partitioned_sink(_enriched_documents(spark, sf_dir), out, ["sentiment", "lang"])
     idx = query_index(spark, out)
     return (
@@ -139,8 +138,7 @@ def q94_query_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     ES-query capability of the reference re-expressed as partition
     pruning.
     """
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    out = os.path.join(_SINK_ROOT, tag, "doc_index")
+    out = os.path.join(_SINK_ROOT, scratch_tag(sf_dir), "doc_index")
     partitioned_sink(_enriched_documents(spark, sf_dir), out, ["sentiment", "lang"])
     idx = query_index(spark, out)
     return (
