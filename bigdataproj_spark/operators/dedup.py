@@ -139,6 +139,14 @@ def q64_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     by construction (≤ total_occurrences / threshold keys), so Spark
     broadcasts it; the oracle mirrors the guard exactly.
     """
+    return _jaccard_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
+
+
+def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q64's pair mining WITHOUT the presentation sort — consumed by
+    q67's connected components, whose eager checkpoint would otherwise
+    materialize (and pay for) a corpus-pair-sized global sort that the
+    clustering immediately discards."""
     d = fan_out(table(spark, sf_dir, "documents"))
     t = d.select("doc_id", tokens("text").alias("toks")).filter(
         F.size("toks") >= SHINGLE_SIZE
@@ -175,7 +183,6 @@ def q64_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
         .filter(jaccard >= _JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "shared", jaccard.alias("jaccard"))
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -745,7 +752,7 @@ def q67_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle side: DuckDB recursive CTE transitive closure — two very
     different algorithms that must produce identical clusters.
     """
-    pairs = q64_ngram_jaccard(spark, sf_dir)
+    pairs = _jaccard_pairs(spark, sf_dir)  # unsorted — CC needs no order
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     return connected_components(edges).orderBy("doc_id")
 
@@ -869,11 +876,16 @@ def q11_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     only — never the stored text.
     """
     d = table(spark, sf_dir, "documents")
+    # NULL text must stay NULL (the oracle's md5(array_to_string(...))
+    # propagates NULL; concat_ws alone would silently emit md5('') and
+    # group every NULL-text doc into one bogus duplicate cluster).
     fp = d.select(
         "doc_id",
-        F.md5(F.concat_ws(" ", F.slice(tokens("text"), 1, _INCR_PREFIX))).alias(
-            "fingerprint"
-        ),
+        F.when(F.col("text").isNull(), F.lit(None).cast("string"))
+        .otherwise(
+            F.md5(F.concat_ws(" ", F.slice(tokens("text"), 1, _INCR_PREFIX)))
+        )
+        .alias("fingerprint"),
     )
     idx = (
         fp.filter(F.col("doc_id") < _INCR_SPLIT)

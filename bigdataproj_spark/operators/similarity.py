@@ -151,6 +151,8 @@ def q29_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def score(batches):
         for pdf in batches:
+            if not len(pdf):
+                continue
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             C = np.floor(
                 np.stack(pdf["embedding"].to_numpy()).astype(np.float64) * _Q
@@ -710,6 +712,8 @@ def q43_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def edge_kernel(batches):
         for pdf in batches:
+            if not len(pdf):
+                continue
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             C = np.floor(
                 np.stack(pdf["embedding"].to_numpy()).astype(np.float64) * _Q

@@ -16,7 +16,6 @@ from pyspark.sql.window import Window
 
 from ..catalog import table
 from ..registry import query
-from .skew import fan_out
 
 # ---------------------------------------------------------------------------
 # R5 tokenization + R3 hashtag extraction as reusable expressions.
@@ -678,7 +677,8 @@ FROM (
     t.tf * ln((n.n_docs + 1.0) / (d.df + 1.0)) AS tfidf,
     ROW_NUMBER() OVER (
       PARTITION BY t.doc_id
-      ORDER BY t.tf * ln((n.n_docs + 1.0) / (d.df + 1.0)) DESC, t.term
+      ORDER BY CAST(floor(t.tf * ln((n.n_docs + 1.0) / (d.df + 1.0)) * 1048576)
+                    AS BIGINT) DESC, t.term
     ) AS rank
   FROM tf t JOIN dfreq d USING (term) CROSS JOIN n
 )
@@ -705,7 +705,14 @@ def q45_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tfidf = F.col("tf") * F.log(
         (F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))
     )
-    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    # Rank on the Q20-quantized score, not the raw double: the window
+    # ORDER feeds row selection BEFORE any round-6 guard, and libm ln
+    # may differ by an ulp across engines/platforms — the q95 BM25
+    # integer-ordering precedent applied here (tfidf >= 0, so floor
+    # alone is the quantizer).
+    w = Window.partitionBy("doc_id").orderBy(
+        F.floor(F.col("tfidf") * 1048576).desc(), "term"
+    )
     return (
         tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n))
