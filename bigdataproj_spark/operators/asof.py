@@ -39,26 +39,30 @@ def asof_join(
     columns + the aliased right columns (NULL when no match).
     """
     lhs = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
-    rhs_payload = [F.col(c).alias(a) for c, a in right_cols.items()]
+    # The whole right payload travels as ONE struct filled by ONE
+    # last(ignorenulls): per-column fills would each skip back to the
+    # most recent right row where THAT column was non-null, stitching
+    # values from different right rows into one match (torn as-of
+    # semantics whenever any payload column is NULL).
+    payload = F.struct(*[F.col(c).alias(a) for c, a in right_cols.items()])
     rhs = right.select(
         F.col(on),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
         F.col(tiebreak).alias("__tie"),
-        *rhs_payload,
+        payload.alias("__payload"),
     )
     aliases = list(right_cols.values())
-    lhs_full = lhs.withColumn("__tie", F.lit(None).cast("long"))
-    for a in aliases:
-        lhs_full = lhs_full.withColumn(a, F.lit(None).cast(rhs.schema[a].dataType))
+    lhs_full = lhs.withColumn("__tie", F.lit(None).cast("long")).withColumn(
+        "__payload", F.lit(None).cast(rhs.schema["__payload"].dataType)
+    )
     unioned = lhs_full.unionByName(rhs, allowMissingColumns=True)
     w = Window.partitionBy(on).orderBy("__ts", "__side", "__tie")
     filled = unioned.select(
-        "*",
-        *[F.last(a, ignorenulls=True).over(w).alias(f"__filled_{a}") for a in aliases],
+        "*", F.last("__payload", ignorenulls=True).over(w).alias("__filled")
     )
     out_cols: list[Column] = [F.col(c) for c in left.columns]
-    out_cols += [F.col(f"__filled_{a}").alias(a) for a in aliases]
+    out_cols += [F.col("__filled")[a].alias(a) for a in aliases]
     return filled.filter(F.col("__side") == 1).select(*out_cols)
 
 
@@ -100,9 +104,18 @@ def q44_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "event_type",
         F.when(is_click, F.lit(0)).otherwise(F.lit(1)).alias("__side"),
-        F.when(is_click, F.col("event_id")).alias("__click_id"),
-        F.when(is_click, F.col("value")).alias("__click_value"),
-        F.when(is_click, F.col("ts")).alias("__click_ts"),
+        # one struct per click row — a single last(ignorenulls) then
+        # fills ALL payload columns from the SAME click (see
+        # asof_join: per-column fills tear when a column is NULL,
+        # e.g. a click with NULL value).
+        F.when(
+            is_click,
+            F.struct(
+                F.col("event_id").alias("click_id"),
+                F.col("value").alias("click_value"),
+                F.col("ts").alias("click_ts"),
+            ),
+        ).alias("__click"),
     )
     w = (
         Window.partitionBy("user_id")
@@ -114,9 +127,15 @@ def q44_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         "__side",
-        F.last("__click_id", ignorenulls=True).over(w).alias("click_id"),
-        F.last("__click_value", ignorenulls=True).over(w).alias("click_value"),
-        F.last("__click_ts", ignorenulls=True).over(w).alias("click_ts"),
+        F.last("__click", ignorenulls=True).over(w).alias("__c"),
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "__side",
+        F.col("__c.click_id").alias("click_id"),
+        F.col("__c.click_value").alias("click_value"),
+        F.col("__c.click_ts").alias("click_ts"),
     )
     return (
         filled.filter(F.col("__side") == 1)

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..functions import cents, dec, dsum, isum_expr
+from ..functions import cents, dec, isum_expr
 from ..registry import query
 
 # ---------------------------------------------------------------------------

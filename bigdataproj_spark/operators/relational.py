@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import register_views, table
-from ..functions import cents, dec, dsum, fmt_ts, iavg, isum, isum_expr
+from ..functions import cents, dec, dsum, fmt_ts, isum_expr
 from ..registry import query
 
 # ---------------------------------------------------------------------------
@@ -595,12 +595,16 @@ def r24_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+    # Coalesce to the oracle's COUNT(*) FILTER semantics: Spark's
+    # pivot yields NULL for an absent (flag, status) combination where
+    # a filtered count yields 0 (the fixture populates all six combos,
+    # but TPC-H-faithful data does not — A/R never pair with O).
     return wide.select(
         "l_returnflag",
-        F.col("F_qty").alias("qty_F"),
-        F.col("F_n").alias("n_F"),
-        F.col("O_qty").alias("qty_O"),
-        F.col("O_n").alias("n_O"),
+        F.coalesce("F_qty", F.lit(0.0)).alias("qty_F"),
+        F.coalesce("F_n", F.lit(0)).alias("n_F"),
+        F.coalesce("O_qty", F.lit(0.0)).alias("qty_O"),
+        F.coalesce("O_n", F.lit(0)).alias("n_O"),
     ).orderBy("l_returnflag")
 
 

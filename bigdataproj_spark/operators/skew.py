@@ -55,10 +55,14 @@ def fan_out(df: DataFrame, multiple: int = 1) -> DataFrame:
 
 
 def salted(df: DataFrame, n: int = DEFAULT_SALT_BUCKETS) -> DataFrame:
-    """Add a deterministic salt column (hash of the whole row's
-    monotonically-varying key is unnecessary — spark_partition_id
-    spreads rows without any data dependency)."""
-    return df.withColumn("_salt", F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(n)))
+    """Add a salt column spreading each partition's rows uniformly
+    over n buckets. ``monotonically_increasing_id`` already encodes
+    the partition id in its high bits (pid << 33), so its low bits
+    alone rotate through the buckets within every partition — no
+    second partition-id term needed."""
+    return df.withColumn(
+        "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(n))
+    )
 
 
 def salted_agg(
@@ -80,14 +84,23 @@ def salted_agg(
     )
     combiners = []
     for name, c in aggs.items():
-        # sum/count partials re-combine with SUM; min/max with themselves.
-        op = c._jc.toString().lower()
-        if op.startswith("min"):
+        # sum/count partials re-combine with SUM; min/max with
+        # themselves. Anything else (countDistinct, avg, ...) is NOT
+        # algebraic over salt buckets — raise instead of silently
+        # summing wrong partials.
+        op = str(c).lower()
+        if op.startswith(("column<'min", "min")):
             combiners.append(F.min(f"_p_{name}").alias(name))
-        elif op.startswith("max"):
+        elif op.startswith(("column<'max", "max")):
             combiners.append(F.max(f"_p_{name}").alias(name))
-        else:
+        elif op.startswith(("column<'sum", "sum", "column<'count(1)", "count(1)")):
             combiners.append(F.sum(f"_p_{name}").alias(name))
+        else:
+            raise ValueError(
+                f"salted_agg only supports algebraic sum/count(1)/min/max "
+                f"aggregates; got {c} for {name!r} — a countDistinct/avg "
+                f"partial cannot be recombined across salt buckets"
+            )
     return stage1.groupBy(*keys).agg(*combiners)
 
 

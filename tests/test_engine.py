@@ -280,3 +280,36 @@ def test_reliable_checkpoint_mode_matches_local(tmp_path):
     )
     assert proc.returncode == 0, proc.stdout + proc.stderr
     assert "RELIABLE_OK" in proc.stdout, proc.stdout
+
+
+def test_asof_join_null_payload_not_torn(spark):
+    """A NULL in one right-payload column must NOT be backfilled from
+    an OLDER right row: the as-of match is one row, taken whole. (The
+    torn-fill repro from the round-4 review: per-column
+    last(ignorenulls) stitched rid=10's value onto rid=11's match.)"""
+    from datetime import datetime
+
+    from bigdataproj_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, datetime(2024, 1, 1, 12, 0))], "lid long, k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (10, 100, datetime(2024, 1, 1, 10, 0), 5.0),
+            (11, 100, datetime(2024, 1, 1, 11, 0), None),
+        ],
+        "rid long, k long, ts timestamp, v double",
+    )
+    got = asof_join(
+        left,
+        right,
+        on="k",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols={"rid": "match_id", "v": "match_v"},
+        tiebreak="rid",
+    ).collect()
+    assert len(got) == 1
+    assert got[0]["match_id"] == 11
+    assert got[0]["match_v"] is None  # NOT 5.0 from rid=10
