@@ -35,7 +35,6 @@ class Engine:
     def __init__(self, spark: SparkSession, sf_dir: str):
         self.spark = spark
         self.sf_dir = sf_dir
-        self._views_registered = False
 
     @classmethod
     def local(cls, sf_dir: str, app_name: str = "bigdataproj-engine") -> "Engine":
@@ -43,10 +42,16 @@ class Engine:
 
     # -- E1: SQL ---------------------------------------------------------
     def sql(self, query: str) -> DataFrame:
-        """Run SQL with all fixture tables registered as views."""
-        if not self._views_registered:
+        """Run SQL with all fixture tables registered as views.
+
+        The registered-views marker lives on the SESSION keyed by
+        sf_dir, not on this Engine: views are session-global, so two
+        Engines sharing one session (getOrCreate reuses it) would
+        otherwise silently serve each other's fixture data once the
+        second one re-registered the same view names."""
+        if self.spark.__dict__.get("_bdp_views_for") != self.sf_dir:
             register_views(self.spark, self.sf_dir)
-            self._views_registered = True
+            self.spark.__dict__["_bdp_views_for"] = self.sf_dir
         return self.spark.sql(query)
 
     # -- E2: DataFrame ----------------------------------------------------

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..functions import cents
+from ..functions import iavg
 from ..registry import query
 
 # Deterministic missingness masks (same arithmetic in the oracle).
@@ -81,13 +81,7 @@ def q96_null_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("props"),
     )
     kept = masked.na.drop(subset=["event_type"])
-    mean = kept.agg(
-        (
-            F.sum(cents("value")).cast("double")
-            / 100
-            / F.count("value")
-        ).alias("mean_value")
-    )
+    mean = kept.agg(iavg("value").alias("mean_value"))
     return (
         kept.crossJoin(F.broadcast(mean))
         .select(

@@ -17,7 +17,7 @@ in-memory ingest path (S6).
 
 from __future__ import annotations
 
-from datetime import datetime
+from datetime import datetime, timezone
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -60,7 +60,11 @@ def ingest_tweets(spark: SparkSession, rows: tuple = TWEETS) -> DataFrame:
     data = [
         (
             tid,
-            datetime.fromisoformat(ts),
+            # UTC-aware: PySpark converts NAIVE datetimes through the
+            # process-local timezone (time.mktime), so a non-UTC host
+            # would shift every created_at against the oracle's
+            # TIMESTAMP literals (§2.4 rule 3).
+            datetime.fromisoformat(ts).replace(tzinfo=timezone.utc),
             text,
             (uid, name, followers),
             (lat, lon) if lat is not None else None,
@@ -131,8 +135,11 @@ def _values_sql() -> str:
     for tid, ts, text, _uid, name, followers, lat, lon, _lang in TWEETS:
         lat_s = "CAST(NULL AS DOUBLE)" if lat is None else repr(lat)
         lon_s = "CAST(NULL AS DOUBLE)" if lon is None else repr(lon)
+        text_q = text.replace("'", "''")
+        name_q = name.replace("'", "''")
         rows.append(
-            f"({tid}, TIMESTAMP '{ts}', '{text}', '{name}', {followers}, {lat_s}, {lon_s})"
+            f"({tid}, TIMESTAMP '{ts}', '{text_q}', '{name_q}', "
+            f"{followers}, {lat_s}, {lon_s})"
         )
     return ",\n    ".join(rows)
 
@@ -217,6 +224,9 @@ from .dedup import SHINGLE_SIZE as _SS  # noqa: F401  (doc: same corpus ops)
 from .sampling import _SALT as _SPLIT_SALT
 from .sampling import N_BUCKETS as _NB
 from .sampling import TRAIN_LT as _TRAIN_LT
+from .sampling import hash60 as _hash60
+from .text import CHUNK_STRIDE as _PIPE_STRIDE
+from .text import CHUNK_TOKENS as _PIPE_CHUNK
 from .text import FINGERPRINT_SQL as _FP_SQL
 from .text import STOPWORDS as _STOP
 from .text import TOKENS_SQL as _TOK_SQL
@@ -224,8 +234,9 @@ from .text import fingerprint as _fingerprint
 
 _MIN_TOKENS = 20
 _MIN_STOP_RATIO = 0.05
-_PIPE_CHUNK = 32
-_PIPE_STRIDE = 24
+# Chunk geometry is the q62 operator's (text.CHUNK_TOKENS/STRIDE,
+# imported above): the capstone COMPOSES the registered operators, so
+# re-versioning the chunk window there must reach this pipeline too.
 
 _STOP_LIST_SQL = "'" + "','".join(_STOP) + "'"
 
@@ -299,18 +310,7 @@ def q99_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") == F.col("canonical"))
         .select("doc_id", "toks")
     )
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(_SPLIT_SALT), F.col("doc_id").cast("string"))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % _NB
-    )
+    bucket = _hash60(F.col("doc_id").cast("string"), _SPLIT_SALT) % _NB
     split = dedup.filter(bucket < _TRAIN_LT)
     st = split.select(
         "doc_id",

@@ -143,11 +143,7 @@ def q61_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     stratum before the final order.
     """
     d = table(spark, sf_dir, "documents")
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(_SALT), F.col("doc_id").cast("string"))), 1, 15),
-        16,
-        10,
-    ).cast("long")
+    h = hash60(F.col("doc_id").cast("string"), _SALT)
     w = Window.partitionBy("lang").orderBy(h, "doc_id")
     return (
         d.withColumn("rn", F.row_number().over(w))

@@ -63,14 +63,23 @@ _ZSCORE_SCHEMA = "doc_id long, lang string, z double"
 
 
 def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    # Exact int sums, then a fixed double-op sequence mirrored by the
-    # oracle SQL: mean = s/c; var = (sq - s*s/c)/(c-1); z = (x-mean)/sd.
+    # Exact int sums, then the oracle's double-op sequence mirrored
+    # OP FOR OP: float(s)/c and float(s*s)/c round the integer to a
+    # double FIRST like the SQL's CAST(... AS DOUBLE)/c — Python's
+    # bare s/c single-rounds the exact rational, which differs by an
+    # ulp once s*s exceeds 2^53 (any real corpus).
     x = pdf["n_chars"].astype("int64")
     c = len(x)
+    if c < 2:
+        # var's (c-1) divisor is 0: the oracle emits NULL (0/0) —
+        # mirror that instead of raising ZeroDivisionError.
+        return pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "lang": pdf["lang"], "z": [None] * c}
+        )
     s = int(x.sum())
     sq = int((x * x).sum())
-    mean = s / c
-    var = (sq - (s * s) / c) / (c - 1)
+    mean = float(s) / c
+    var = (sq - float(s * s) / c) / (c - 1)
     sd = var**0.5
     return pd.DataFrame(
         {"doc_id": pdf["doc_id"], "lang": pdf["lang"], "z": (x - mean) / sd}
@@ -114,7 +123,13 @@ def q77_grouped_map_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _weighted_avg_price(totalprice: pd.Series, orderkey: pd.Series) -> float:
-    cents = (totalprice * 100).round().astype("int64")
+    import numpy as np
+
+    # floor(x*100 + 0.5), NOT Series.round(): pandas rounds half to
+    # even while the oracle's DuckDB round() is half away from zero —
+    # the same pitfall functions.cents() documents (exact only while
+    # inputs are 2-decimal money; a .xx5 value would diverge).
+    cents = np.floor(totalprice * 100 + 0.5).astype("int64")
     w = (orderkey % 10 + 1).astype("int64")
     return float(int((cents * w).sum()) / int(w.sum()) / 100.0)
 
