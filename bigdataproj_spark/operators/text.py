@@ -237,6 +237,25 @@ ORDER BY d.doc_id
 """
 
 
+def sentiment_scores(d: DataFrame) -> DataFrame:
+    """(doc_id, s): summed lexicon weights per document — the R8
+    scoring core shared by q20 and the enriched-document sink
+    (sources/sink.py). Explode → broadcast-join the 5-row lexicon →
+    partial+final sum on doc_id; docs with no lexicon hit are absent
+    (callers left-join and coalesce to 0)."""
+    lex = F.broadcast(
+        d.sparkSession.createDataFrame(
+            list(SENTIMENT_LEXICON), "token string, weight int"
+        )
+    )
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("token"))
+    return (
+        toks.join(lex, "token")
+        .groupBy("doc_id")
+        .agg(F.sum("weight").cast("long").alias("s"))
+    )
+
+
 @query("q20_sentiment", oracle=_Q71_ORACLE, tags=("L6", "R8", "text"))
 def q20_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sentiment label per document (reference R8, README.md:61,87-88,
@@ -246,15 +265,7 @@ def q20_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum on doc_id → left join back to keep zero-hit documents.
     """
     d = table(spark, sf_dir, "documents")
-    lex = F.broadcast(
-        spark.createDataFrame(list(SENTIMENT_LEXICON), "token string, weight int")
-    )
-    toks = d.select("doc_id", F.explode(tokens("text")).alias("token"))
-    scores = (
-        toks.join(lex, "token")
-        .groupBy("doc_id")
-        .agg(F.sum("weight").cast("long").alias("s"))
-    )
+    scores = sentiment_scores(d)
     return (
         d.join(scores, "doc_id", "left")
         .select(

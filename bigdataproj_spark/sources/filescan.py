@@ -30,7 +30,12 @@ _EXPORT_ROOT = os.path.join(tempfile.gettempdir(), "bigdataproj_exports")
 
 
 def _export_dir(sf_dir: str, kind: str) -> str:
-    return os.path.join(_EXPORT_ROOT, scratch_tag(sf_dir), kind)
+    # pid-scoped: two processes (pytest + the round driver) exporting
+    # the same fixture would otherwise overwrite each other's files
+    # between one query's eager build-time write and its lazy read.
+    return os.path.join(
+        _EXPORT_ROOT, f"pid{os.getpid()}", scratch_tag(sf_dir), kind
+    )
 
 
 def write_json_copy(df: DataFrame, path: str) -> None:

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import scratch_tag, table
 from ..registry import query
-from ..operators.text import SENTIMENT_LEXICON, tokens
+from ..operators.text import _LEX_SQL, TOKENS_SQL, sentiment_scores
 
 _SINK_ROOT = os.path.join(tempfile.gettempdir(), "bigdataproj_sink")
 
@@ -35,18 +35,11 @@ def query_index(spark: SparkSession, path: str) -> DataFrame:
 
 
 def _enriched_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Documents + sentiment label (the L6 lexicon scorer) — the
-    engine's analog of the reference's enriched-tweet record."""
+    """Documents + sentiment label (the L6 lexicon scorer, shared
+    with q20 via text.sentiment_scores) — the engine's analog of the
+    reference's enriched-tweet record."""
     d = table(spark, sf_dir, "documents")
-    lex = F.broadcast(
-        spark.createDataFrame(list(SENTIMENT_LEXICON), "token string, weight int")
-    )
-    toks = d.select("doc_id", F.explode(tokens("text")).alias("token"))
-    scores = (
-        toks.join(lex, "token")
-        .groupBy("doc_id")
-        .agg(F.sum("weight").cast("long").alias("s"))
-    )
+    scores = sentiment_scores(d)
     return d.join(scores, "doc_id", "left").select(
         "doc_id",
         "lang",
@@ -59,14 +52,11 @@ def _enriched_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ENRICHED_SQL = """
+_ENRICHED_SQL = f"""
 WITH toks AS (
-  SELECT doc_id,
-    unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> ''))
-      AS token
-  FROM documents
+  SELECT doc_id, unnest({TOKENS_SQL}) AS token FROM documents
 ),
-lex(token, weight) AS (VALUES {lex}),
+lex(token, weight) AS (VALUES {{lex}}),
 scores AS (
   SELECT t.doc_id, CAST(SUM(l.weight) AS BIGINT) AS s
   FROM toks t JOIN lex l ON t.token = l.token GROUP BY t.doc_id
@@ -80,7 +70,7 @@ enriched AS (
 )
 """
 
-_LEX_VALUES = ", ".join(f"('{w}', {s})" for w, s in SENTIMENT_LEXICON)
+_LEX_VALUES = _LEX_SQL  # single lexicon VALUES definition (text.py)
 
 
 _Q43_ORACLE = (
@@ -103,7 +93,12 @@ def q93_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     directory encoding (hive-style key=value paths) and that the
     re-opened index returns exactly the written rows.
     """
-    out = os.path.join(_SINK_ROOT, scratch_tag(sf_dir), "doc_index")
+    # per-process + per-query scratch: q93 and q94 each write their own
+    # index (a shared dir is clobbered at plan-BUILD time by whichever
+    # query builds second, invalidating the first's captured file list)
+    out = os.path.join(
+        _SINK_ROOT, f"pid{os.getpid()}", scratch_tag(sf_dir), "doc_index_q93"
+    )
     partitioned_sink(_enriched_documents(spark, sf_dir), out, ["sentiment", "lang"])
     idx = query_index(spark, out)
     return (
@@ -138,7 +133,9 @@ def q94_query_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     ES-query capability of the reference re-expressed as partition
     pruning.
     """
-    out = os.path.join(_SINK_ROOT, scratch_tag(sf_dir), "doc_index")
+    out = os.path.join(
+        _SINK_ROOT, f"pid{os.getpid()}", scratch_tag(sf_dir), "doc_index_q94"
+    )
     partitioned_sink(_enriched_documents(spark, sf_dir), out, ["sentiment", "lang"])
     idx = query_index(spark, out)
     return (

@@ -91,6 +91,50 @@ def stage_document_batches(
     return paths
 
 
+def _stage_batch(path: str, src_dir: str) -> None:
+    """Place one staged batch file into the WATCHED source dir
+    atomically: copy to a dot-prefixed temp name (hidden from Hadoop
+    listings) and rename into place. A plain shutil.copy races the
+    running query — the file source can list a half-copied parquet
+    file mid-trigger and kill the stream."""
+    tmp = os.path.join(src_dir, "." + os.path.basename(path) + ".tmp")
+    shutil.copy(path, tmp)
+    os.rename(tmp, os.path.join(src_dir, os.path.basename(path)))
+
+
+def _drive_stream(
+    spark: SparkSession,
+    batch_paths: list[str],
+    schema: str,
+    attach_sink,
+):
+    """The shared micro-batch driver scaffold: fresh source +
+    checkpoint dirs, one staged file per processAllAvailable (so
+    micro-batch boundaries are exactly the staged ones), stop, clean
+    up. ``attach_sink(stream_df, ckpt_dir)`` builds and starts the
+    query; returns ``attach_sink``'s second return (a finalizer run
+    after the stream stops, e.g. reading the sink)."""
+    src = tempfile.mkdtemp(prefix="stream_src_")
+    ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
+    try:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q, finalize = attach_sink(stream, ckpt)
+        try:
+            for p in batch_paths:
+                _stage_batch(p, src)
+                q.processAllAvailable()
+        finally:
+            q.stop()
+        return finalize()
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def run_file_stream(
     spark: SparkSession,
     batch_paths: list[str],
@@ -100,21 +144,15 @@ def run_file_stream(
 ) -> pd.DataFrame:
     """Drive a Structured Streaming query over staged micro-batches.
 
-    Copies batch files one at a time into a watched source directory,
-    processing each with ``processAllAvailable`` so micro-batch
-    boundaries are exactly the staged ones. ``transform`` maps the
-    streaming DataFrame to its result; output accumulates through a
-    memory sink and the final table is returned.
-    """
-    src = tempfile.mkdtemp(prefix="stream_src_")
-    ckpt = tempfile.mkdtemp(prefix="stream_ckpt_")
-    sink_name = f"sink_{abs(hash(tuple(batch_paths))) % 10**8}"
-    try:
-        stream = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src)
-        )
+    ``transform`` maps the streaming DataFrame to its result; output
+    accumulates through a memory sink and the final table is returned.
+    The sink name is per-call unique — a content-derived name collides
+    when two calls drive the same staged batches concurrently."""
+    import uuid as _uuid
+
+    sink_name = f"sink_{_uuid.uuid4().hex[:12]}"
+
+    def attach(stream, ckpt):
         q = (
             transform(stream)
             .writeStream.format("memory")
@@ -123,16 +161,9 @@ def run_file_stream(
             .option("checkpointLocation", ckpt)
             .start()
         )
-        try:
-            for p in batch_paths:
-                shutil.copy(p, src)
-                q.processAllAvailable()
-        finally:
-            q.stop()
-        return spark.table(sink_name).toPandas()
-    finally:
-        shutil.rmtree(src, ignore_errors=True)
-        shutil.rmtree(ckpt, ignore_errors=True)
+        return q, lambda: spark.table(sink_name).toPandas()
+
+    return _drive_stream(spark, batch_paths, schema, attach)
 
 
 # ---------------------------------------------------------------------------
@@ -367,7 +398,9 @@ def running_totals_tws_stream():
 # ---------------------------------------------------------------------------
 
 
-def foreach_batch_upsert(spark: SparkSession, table_dir: str):
+def foreach_batch_upsert(
+    spark: SparkSession, table_dir: str, lineage: str = "default"
+):
     """Build the per-micro-batch MERGE function for a streaming
     upsert sink over plain parquet.
 
@@ -402,6 +435,15 @@ def foreach_batch_upsert(spark: SparkSession, table_dir: str):
     real deployment the ``current`` pointer would live in an atomic
     metastore (a Delta/Iceberg commit, a HDFS rename); the local
     symlink stands in for that single atomic pointer swap.
+
+    ``lineage`` scopes the idempotence ledger to ONE streaming
+    query's checkpoint lineage: Structured Streaming batch ids
+    restart at 0 under a fresh checkpoint, so a ledger keyed on
+    batch_id alone would make a SECOND stream over the same table
+    silently skip every batch (its ids collide with the first run's).
+    Exactly-once holds within a lineage — re-feeding the same source
+    data under a NEW lineage is (correctly) applied again, exactly as
+    real foreachBatch + a new checkpoint would.
     """
     current = os.path.join(table_dir, "current")
     data_dir = os.path.join(table_dir, "data")  # stable alias -> current/data
@@ -422,12 +464,18 @@ def foreach_batch_upsert(spark: SparkSession, table_dir: str):
             os.rename(old_ledger, os.path.join(snap, "_ledger"))
         _publish("v_legacy")
 
-    def _ledger_ids() -> set[int]:
+    def _ledger_rows() -> list[tuple[int, str]]:
         ledger = os.path.join(current, "_ledger")
         if not os.path.isdir(ledger):
-            return set()
+            return []
         pdf = spark.read.parquet(ledger).toPandas()
-        return {int(b) for b in pdf["batch_id"]}
+        if "lineage" in pdf.columns:
+            return [(int(b), str(ln)) for b, ln in zip(pdf["batch_id"], pdf["lineage"])]
+        # pre-lineage ledgers: treat their rows as the current lineage
+        return [(int(b), lineage) for b in pdf["batch_id"]]
+
+    def _ledger_ids() -> set[int]:
+        return {b for b, ln in _ledger_rows() if ln == lineage}
 
     def _publish(version_name: str) -> None:
         os.makedirs(table_dir, exist_ok=True)
@@ -490,12 +538,13 @@ def foreach_batch_upsert(spark: SparkSession, table_dir: str):
             merged = delta
         version_name = f"v{batch_id}"
         snap = os.path.join(table_dir, version_name)
-        # Data first, then the carried-forward ledger including this
-        # batch — both land inside the unpublished version directory.
+        # Data first, then the carried-forward ledger (ALL lineages'
+        # rows, plus this batch) — both land inside the unpublished
+        # version directory.
         merged.write.mode("overwrite").parquet(os.path.join(snap, "data"))
-        ledger_rows = sorted(applied | {int(batch_id)})
+        rows = sorted(set(_ledger_rows()) | {(int(batch_id), lineage)})
         spark.createDataFrame(
-            [(b,) for b in ledger_rows], "batch_id long"
+            rows, "batch_id long, lineage string"
         ).write.mode("overwrite").parquet(os.path.join(snap, "_ledger"))
         _publish(version_name)
 
@@ -507,34 +556,27 @@ def run_foreach_batch_stream(
 ) -> pd.DataFrame:
     """Drive the events micro-batches through a foreachBatch upsert
     sink and return the final snapshot (sorted by user_id)."""
-    src = tempfile.mkdtemp(prefix="fb_src_")
-    ckpt = tempfile.mkdtemp(prefix="fb_ckpt_")
-    try:
-        stream = (
-            spark.readStream.schema(EVENTS_DDL)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src)
-        )
+
+    import uuid as _uuid
+
+    lineage = f"run_{_uuid.uuid4().hex[:12]}"
+
+    def attach(stream, ckpt):
         q = (
-            stream.writeStream.foreachBatch(foreach_batch_upsert(spark, table_dir))
+            stream.writeStream.foreachBatch(
+                foreach_batch_upsert(spark, table_dir, lineage=lineage)
+            )
             .outputMode("update")
             .option("checkpointLocation", ckpt)
             .start()
         )
-        try:
-            for p in batch_paths:
-                shutil.copy(p, src)
-                q.processAllAvailable()
-        finally:
-            q.stop()
-        return (
+        return q, lambda: (
             spark.read.parquet(os.path.join(table_dir, "data"))
             .orderBy("user_id")
             .toPandas()
         )
-    finally:
-        shutil.rmtree(src, ignore_errors=True)
-        shutil.rmtree(ckpt, ignore_errors=True)
+
+    return _drive_stream(spark, batch_paths, EVENTS_DDL, attach)
 
 
 # ---------------------------------------------------------------------------
@@ -605,31 +647,18 @@ def run_corpus_ingest_stream(
 ) -> pd.DataFrame:
     """Drive document micro-batches through the corpus-ingest loop;
     returns the final corpus (doc_id-sorted)."""
-    src = tempfile.mkdtemp(prefix="ingest_src_")
-    ckpt = tempfile.mkdtemp(prefix="ingest_ckpt_")
-    try:
-        stream = (
-            spark.readStream.schema(DOCUMENTS_DDL)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src)
-        )
+
+    def attach(stream, ckpt):
         q = (
             stream.writeStream.foreachBatch(corpus_ingest_batch_fn(spark, lake_dir))
             .outputMode("update")
             .option("checkpointLocation", ckpt)
             .start()
         )
-        try:
-            for p in batch_paths:
-                shutil.copy(p, src)
-                q.processAllAvailable()
-        finally:
-            q.stop()
-        return (
+        return q, lambda: (
             spark.read.parquet(os.path.join(lake_dir, "corpus"))
             .orderBy("doc_id")
             .toPandas()
         )
-    finally:
-        shutil.rmtree(src, ignore_errors=True)
-        shutil.rmtree(ckpt, ignore_errors=True)
+
+    return _drive_stream(spark, batch_paths, DOCUMENTS_DDL, attach)

@@ -382,8 +382,11 @@ def test_foreach_batch_upsert_exactly_once(spark, sf_dir, tmp_path):
     )
     assert snap.reset_index(drop=True).equals(expected.reset_index(drop=True))
 
-    # Redeliver batch 0: the ledger must make it a no-op.
-    apply = foreach_batch_upsert(spark, table_dir)
+    # Redeliver batch 0 WITHIN the run's checkpoint lineage (read the
+    # lineage token back from the published ledger): must be a no-op.
+    ledger = spark.read.parquet(os.path.join(table_dir, "current", "_ledger"))
+    lineage = ledger.select("lineage").first()["lineage"]
+    apply = foreach_batch_upsert(spark, table_dir, lineage=lineage)
     replay_df = spark.read.schema(replay.EVENTS_DDL).parquet(paths[0])
     apply(replay_df, 0)
     snap2 = (
@@ -392,6 +395,19 @@ def test_foreach_batch_upsert_exactly_once(spark, sf_dir, tmp_path):
         .toPandas()
     )
     assert snap2.reset_index(drop=True).equals(snap.reset_index(drop=True))
+
+    # A NEW lineage (fresh checkpoint) re-feeding batch id 0 with NEW
+    # data must APPLY — batch ids restart per checkpoint, so a ledger
+    # keyed on batch_id alone would silently drop every batch of a
+    # second stream over the same table (round-4 review finding).
+    apply2 = foreach_batch_upsert(spark, table_dir, lineage="second-run")
+    apply2(replay_df, 0)
+    snap3 = (
+        spark.read.parquet(os.path.join(table_dir, "data"))
+        .orderBy("user_id")
+        .toPandas()
+    )
+    assert snap3["n_events"].sum() == snap["n_events"].sum() + replay_df.count()
 
 
 def test_dsir_batch_train_stream_score(spark, sf_dir, tmp_path):
