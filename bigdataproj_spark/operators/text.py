@@ -215,10 +215,10 @@ def q19_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # L6 / R8 sentiment: deterministic lexicon scorer (broadcast join).
 # ---------------------------------------------------------------------------
 
-_LEX_SQL = ", ".join(f"('{w}', {s})" for w, s in SENTIMENT_LEXICON)
+LEX_SQL = ", ".join(f"('{w}', {s})" for w, s in SENTIMENT_LEXICON)
 
 _Q71_ORACLE = f"""
-WITH lex(token, weight) AS (VALUES {_LEX_SQL}),
+WITH lex(token, weight) AS (VALUES {LEX_SQL}),
 toks AS (SELECT doc_id, unnest({TOKENS_SQL}) AS token FROM documents),
 scores AS (
   SELECT t.doc_id, CAST(SUM(l.weight) AS BIGINT) AS s

@@ -18,7 +18,8 @@ from pyspark.sql import functions as F
 
 from ..catalog import scratch_tag, table
 from ..registry import query
-from ..operators.text import _LEX_SQL, TOKENS_SQL, sentiment_scores
+from ..operators.text import LEX_SQL, TOKENS_SQL, sentiment_scores
+from .filescan import _pid_scratch
 
 _SINK_ROOT = os.path.join(tempfile.gettempdir(), "bigdataproj_sink")
 
@@ -70,11 +71,11 @@ enriched AS (
 )
 """
 
-_LEX_VALUES = _LEX_SQL  # single lexicon VALUES definition (text.py)
+
 
 
 _Q43_ORACLE = (
-    _ENRICHED_SQL.format(lex=_LEX_VALUES)
+    _ENRICHED_SQL.format(lex=LEX_SQL)
     + """
 SELECT sentiment, lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM enriched
@@ -96,9 +97,7 @@ def q93_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-process + per-query scratch: q93 and q94 each write their own
     # index (a shared dir is clobbered at plan-BUILD time by whichever
     # query builds second, invalidating the first's captured file list)
-    out = os.path.join(
-        _SINK_ROOT, f"pid{os.getpid()}", scratch_tag(sf_dir), "doc_index_q93"
-    )
+    out = os.path.join(_pid_scratch(_SINK_ROOT), scratch_tag(sf_dir), "doc_index_q93")
     partitioned_sink(_enriched_documents(spark, sf_dir), out, ["sentiment", "lang"])
     idx = query_index(spark, out)
     return (
@@ -112,7 +111,7 @@ def q93_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q44_ORACLE = (
-    _ENRICHED_SQL.format(lex=_LEX_VALUES)
+    _ENRICHED_SQL.format(lex=LEX_SQL)
     + """
 SELECT doc_id, lang, source, n_chars
 FROM enriched
@@ -133,9 +132,7 @@ def q94_query_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     ES-query capability of the reference re-expressed as partition
     pruning.
     """
-    out = os.path.join(
-        _SINK_ROOT, f"pid{os.getpid()}", scratch_tag(sf_dir), "doc_index_q94"
-    )
+    out = os.path.join(_pid_scratch(_SINK_ROOT), scratch_tag(sf_dir), "doc_index_q94")
     partitioned_sink(_enriched_documents(spark, sf_dir), out, ["sentiment", "lang"])
     idx = query_index(spark, out)
     return (

@@ -161,7 +161,15 @@ def run_file_stream(
             .option("checkpointLocation", ckpt)
             .start()
         )
-        return q, lambda: spark.table(sink_name).toPandas()
+
+        def finalize():
+            out = spark.table(sink_name).toPandas()
+            # per-call uuid views would otherwise accumulate one
+            # fully-materialized result per call in driver memory
+            spark.catalog.dropTempView(sink_name)
+            return out
+
+        return q, finalize
 
     return _drive_stream(spark, batch_paths, schema, attach)
 
@@ -471,11 +479,13 @@ def foreach_batch_upsert(
         pdf = spark.read.parquet(ledger).toPandas()
         if "lineage" in pdf.columns:
             return [(int(b), str(ln)) for b, ln in zip(pdf["batch_id"], pdf["lineage"])]
-        # pre-lineage ledgers: treat their rows as the current lineage
-        return [(int(b), lineage) for b in pdf["batch_id"]]
-
-    def _ledger_ids() -> set[int]:
-        return {b for b, ln in _ledger_rows() if ln == lineage}
+        # Pre-lineage ledgers: tag rows with the LITERAL default
+        # lineage, not the caller's — tagging them with a fresh uuid
+        # lineage would make a new stream over a legacy table skip
+        # every colliding batch id (the bug lineage scoping fixes).
+        # A resumed legacy caller uses lineage="default" and still
+        # sees them as applied.
+        return [(int(b), "default") for b in pdf["batch_id"]]
 
     def _publish(version_name: str) -> None:
         os.makedirs(table_dir, exist_ok=True)
@@ -502,8 +512,8 @@ def foreach_batch_upsert(
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         _migrate_legacy_layout()
-        applied = _ledger_ids()
-        if int(batch_id) in applied:
+        rows = _ledger_rows()  # one read per batch; reused for the rewrite
+        if any(b == int(batch_id) and ln == lineage for b, ln in rows):
             return
         delta = batch_df.groupBy("user_id").agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -536,15 +546,21 @@ def foreach_batch_upsert(
             )
         else:
             merged = delta
-        version_name = f"v{batch_id}"
+        # Version names carry the lineage so two sequential lineages
+        # never overwrite each other's snapshot dirs. True CONCURRENT
+        # writers on one table still need external coordination (a
+        # commit service / table-format lock): the publish swap is
+        # atomic, but last-swap-wins and the GC below assume a single
+        # active writer — same contract as any lockless parquet lake.
+        version_name = f"v_{lineage}_{batch_id}"
         snap = os.path.join(table_dir, version_name)
         # Data first, then the carried-forward ledger (ALL lineages'
         # rows, plus this batch) — both land inside the unpublished
         # version directory.
         merged.write.mode("overwrite").parquet(os.path.join(snap, "data"))
-        rows = sorted(set(_ledger_rows()) | {(int(batch_id), lineage)})
+        ledger_rows = sorted(set(rows) | {(int(batch_id), lineage)})
         spark.createDataFrame(
-            rows, "batch_id long, lineage string"
+            ledger_rows, "batch_id long, lineage string"
         ).write.mode("overwrite").parquet(os.path.join(snap, "_ledger"))
         _publish(version_name)
 
