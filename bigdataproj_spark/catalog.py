@@ -46,6 +46,30 @@ def scratch_tag(sf_dir: str) -> str:
     return base + "_" + hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
 
 
+_PID_SCRATCH_REGISTERED: set[str] = set()
+
+
+def pid_scratch(root: str) -> str:
+    """Per-process scratch subtree under ``root``, removed at
+    interpreter exit. Two processes (pytest + the round driver)
+    sharing a stable path would overwrite each other's files between
+    one query's eager build-time write and its lazy read; without the
+    atexit cleanup every process run would leak a pid tree under
+    /tmp. Registration is keyed on a process-local set (NOT directory
+    existence): a recycled pid can find a stale dir left by a killed
+    process — that dir is wiped and cleanup still registers."""
+    import atexit
+    import shutil
+
+    d = os.path.join(root, f"pid{os.getpid()}")
+    if d not in _PID_SCRATCH_REGISTERED:
+        _PID_SCRATCH_REGISTERED.add(d)
+        shutil.rmtree(d, ignore_errors=True)  # stale tree from a recycled pid
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
 def _ensure_session_conf(spark: SparkSession) -> None:
     """Make an externally-created SparkSession safe for the engine.
 

@@ -22,31 +22,15 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import scratch_tag, table
+from ..catalog import pid_scratch, scratch_tag, table
 from ..registry import query
 from ..schemas import CUSTOMER, ORDERS
 
 _EXPORT_ROOT = os.path.join(tempfile.gettempdir(), "bigdataproj_exports")
 
 
-def _pid_scratch(root: str) -> str:
-    """Per-process scratch subtree, removed at interpreter exit: two
-    processes (pytest + the round driver) sharing a stable path would
-    overwrite each other's files between one query's eager build-time
-    write and its lazy read — and without the atexit cleanup every
-    process run would leak a pid tree under /tmp."""
-    import atexit
-    import shutil as _shutil
-
-    d = os.path.join(root, f"pid{os.getpid()}")
-    if not os.path.isdir(d):
-        os.makedirs(d, exist_ok=True)
-        atexit.register(_shutil.rmtree, d, ignore_errors=True)
-    return d
-
-
 def _export_dir(sf_dir: str, kind: str) -> str:
-    return os.path.join(_pid_scratch(_EXPORT_ROOT), scratch_tag(sf_dir), kind)
+    return os.path.join(pid_scratch(_EXPORT_ROOT), scratch_tag(sf_dir), kind)
 
 
 def write_json_copy(df: DataFrame, path: str) -> None:

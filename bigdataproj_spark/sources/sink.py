@@ -16,10 +16,9 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import scratch_tag, table
+from ..catalog import pid_scratch, scratch_tag, table
 from ..registry import query
 from ..operators.text import LEX_SQL, TOKENS_SQL, sentiment_scores
-from .filescan import _pid_scratch
 
 _SINK_ROOT = os.path.join(tempfile.gettempdir(), "bigdataproj_sink")
 
@@ -73,7 +72,6 @@ enriched AS (
 
 
 
-
 _Q43_ORACLE = (
     _ENRICHED_SQL.format(lex=LEX_SQL)
     + """
@@ -97,7 +95,7 @@ def q93_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-process + per-query scratch: q93 and q94 each write their own
     # index (a shared dir is clobbered at plan-BUILD time by whichever
     # query builds second, invalidating the first's captured file list)
-    out = os.path.join(_pid_scratch(_SINK_ROOT), scratch_tag(sf_dir), "doc_index_q93")
+    out = os.path.join(pid_scratch(_SINK_ROOT), scratch_tag(sf_dir), "doc_index_q93")
     partitioned_sink(_enriched_documents(spark, sf_dir), out, ["sentiment", "lang"])
     idx = query_index(spark, out)
     return (
@@ -132,7 +130,7 @@ def q94_query_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     ES-query capability of the reference re-expressed as partition
     pruning.
     """
-    out = os.path.join(_pid_scratch(_SINK_ROOT), scratch_tag(sf_dir), "doc_index_q94")
+    out = os.path.join(pid_scratch(_SINK_ROOT), scratch_tag(sf_dir), "doc_index_q94")
     partitioned_sink(_enriched_documents(spark, sf_dir), out, ["sentiment", "lang"])
     idx = query_index(spark, out)
     return (

@@ -19,6 +19,7 @@ graph in between is exactly what runs here.
 from __future__ import annotations
 
 import os
+import re
 import shutil
 import tempfile
 
@@ -161,17 +162,15 @@ def run_file_stream(
             .option("checkpointLocation", ckpt)
             .start()
         )
+        return q, lambda: spark.table(sink_name).toPandas()
 
-        def finalize():
-            out = spark.table(sink_name).toPandas()
-            # per-call uuid views would otherwise accumulate one
-            # fully-materialized result per call in driver memory
-            spark.catalog.dropTempView(sink_name)
-            return out
-
-        return q, finalize
-
-    return _drive_stream(spark, batch_paths, schema, attach)
+    try:
+        return _drive_stream(spark, batch_paths, schema, attach)
+    finally:
+        # Drop the per-call uuid view on EVERY path — a stream failure
+        # mid-run would otherwise retain the materialized sink for the
+        # session (dropTempView is a no-op-safe bool, not a raiser).
+        spark.catalog.dropTempView(sink_name)
 
 
 # ---------------------------------------------------------------------------
@@ -461,13 +460,27 @@ def foreach_batch_upsert(
         data/ directory and a _ledger/ beside it. Without migration
         the new layout would ignore both (re-applying every batch and
         dropping prior aggregates) and then crash symlinking over the
-        real data dir. Move them into v_legacy/ and publish it."""
+        real data dir. Move them into v_legacy/ and publish it.
+
+        Crash-safe via an explicit RESUME branch: if a previous
+        migration moved the data but crashed before publishing (no
+        ``current`` pointer yet, v_legacy/data present), finish the
+        ledger move and publish — without this, redelivery would see
+        neither layout, re-apply from scratch, and the publish GC
+        would delete the orphaned legacy aggregates."""
+        snap = os.path.join(table_dir, "v_legacy")
+        old_ledger = os.path.join(table_dir, "_ledger")
+        if not os.path.islink(current) and os.path.isdir(
+            os.path.join(snap, "data")
+        ):
+            if os.path.isdir(old_ledger):  # resume: finish the move
+                os.rename(old_ledger, os.path.join(snap, "_ledger"))
+            _publish("v_legacy")
+            return
         if os.path.islink(data_dir) or not os.path.isdir(data_dir):
             return
-        snap = os.path.join(table_dir, "v_legacy")
         os.makedirs(snap, exist_ok=True)
         os.rename(data_dir, os.path.join(snap, "data"))
-        old_ledger = os.path.join(table_dir, "_ledger")
         if os.path.isdir(old_ledger):
             os.rename(old_ledger, os.path.join(snap, "_ledger"))
         _publish("v_legacy")
@@ -552,7 +565,8 @@ def foreach_batch_upsert(
         # commit service / table-format lock): the publish swap is
         # atomic, but last-swap-wins and the GC below assume a single
         # active writer — same contract as any lockless parquet lake.
-        version_name = f"v_{lineage}_{batch_id}"
+        lineage_tag = re.sub(r"[^A-Za-z0-9_.-]", "_", lineage)
+        version_name = f"v_{lineage_tag}_{batch_id}"
         snap = os.path.join(table_dir, version_name)
         # Data first, then the carried-forward ledger (ALL lineages'
         # rows, plus this batch) — both land inside the unpublished
