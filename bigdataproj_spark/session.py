@@ -42,7 +42,7 @@ def _default_shuffle_partitions(master: str) -> str:
     return "200"  # Spark's own cluster default; deployments override
 
 
-def iter_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
+def iter_checkpoint(df: DataFrame) -> DataFrame:
     """Durability-aware lineage cut for iterative loops (CC pointer
     doubling, PageRank, k-means Lloyd iterations).
 
@@ -80,11 +80,14 @@ def iter_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     except Exception:  # pragma: no cover - very old APIs
         has_dir = False
     if not has_dir:
-        return df.localCheckpoint(eager=eager)
+        return df.localCheckpoint(eager=True)
+    # Always eager: a lazy variant would have to either leak the
+    # persist (cache held for the session) or drop it before the
+    # checkpoint materializes (2x recompute) — there is no correct
+    # lazy ordering, so the knob is not offered.
     df = df.persist()
-    out = df.checkpoint(eager=eager)
-    if eager:
-        df.unpersist()
+    out = df.checkpoint(eager=True)
+    df.unpersist()
     return out
 
 

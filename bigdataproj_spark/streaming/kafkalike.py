@@ -10,7 +10,8 @@ append-only, partitioned log on the filesystem whose STREAMING READ
 presents exactly the schema the Kafka source presents —
 
     key binary, value binary, topic string,
-    partition int, offset long, timestamp timestamp
+    partition int, offset long, timestamp timestamp,
+    timestampType int
 
 — so every transformation downstream of ``.load()`` is byte-identical
 between this stand-in and a real ``readStream.format("kafka")``. The
@@ -19,14 +20,18 @@ broker is documented on :class:`FileTopic`.
 
 Broker semantics implemented (the ones Structured Streaming relies on):
 - records are assigned to a partition by key hash (null key →
-  round-robin over producer batches), like Kafka's default partitioner;
+  round-robin spread), like Kafka's default partitioner;
 - offsets are per-partition, monotone, and dense absent producer
   crashes (a produce that crashes mid-flush leaves a reserved gap —
   never a duplicate or an overwrite); a record is immutable once
   written;
-- producers append SEGMENTS (one file per produce() flush — the
-  micro-batch boundary, like a producer batch flush); readers see a
-  segment atomically (file rename) or not at all;
+- producers append SEGMENTS (one file per topic-partition per
+  ``produce`` flush — the micro-batch boundary, like a producer batch
+  flush); readers see a segment atomically (file rename) or not at all;
+- concurrent producers (same or different process) are safe: offset /
+  segment-number reservation happens under an exclusive lock file and
+  re-reads the on-disk meta, so two producers interleave without
+  duplicate offsets or overwritten segments;
 - consumer progress is tracked by the reader's checkpoint (Spark's
   file-source log — the consumer-group offset store), giving the same
   at-least-once delivery into ``foreachBatch`` and exactly-once into
@@ -42,19 +47,39 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import zlib
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# The 7-column schema of readStream.format("kafka"): timestampType is
+# Kafka's timestamp provenance enum (0 = CreateTime, 1 = LogAppendTime);
+# this log stamps at append, but real Kafka reports producer-batch
+# CreateTime by default, so the stand-in reports the same constant.
 KAFKA_SOURCE_DDL = (
     "key binary, value binary, topic string, "
-    "partition int, offset long, timestamp timestamp"
+    "partition int, offset long, timestamp timestamp, timestampType int"
 )
+_TS_CREATE_TIME = 0
+
+# A crashed producer holding the reservation lock must not deadlock the
+# topic forever; a lock file older than this is stolen. Reservation is
+# a metadata read+write (milliseconds), so seconds of margin is plenty.
+_LOCK_STALE_S = 30.0
 
 
 class FileTopic:
-    """One topic of the embedded file-backed log."""
+    """One topic of the embedded file-backed log.
+
+    Multi-producer contract: the authoritative offset/segment state is
+    the on-disk ``_meta.json``, re-read under ``_meta.lock`` on every
+    produce — instances hold no cached counters, so any number of
+    producer instances (across processes) interleave safely. On a
+    cluster the topic directory lives on shared storage (HDFS/NFS);
+    the lock protocol is plain O_EXCL create + atomic rename, both of
+    which those filesystems honor.
+    """
 
     def __init__(self, root: str, name: str, partitions: int = 4):
         self.name = name
@@ -62,29 +87,87 @@ class FileTopic:
         self.dir = os.path.join(root, name)
         os.makedirs(self.dir, exist_ok=True)
         self._meta_path = os.path.join(self.dir, "_meta.json")
+        self._lock_path = os.path.join(self.dir, "_meta.lock")
         if os.path.exists(self._meta_path):
-            with open(self._meta_path) as f:
-                meta = json.load(f)
-            self._next_offset = {int(k): v for k, v in meta["next_offset"].items()}
-            self._next_segment = meta["next_segment"]
-            self.partitions = meta["partitions"]
+            self.partitions = self._load_meta()["partitions"]
         else:
-            self._next_offset = {p: 0 for p in range(partitions)}
-            self._next_segment = 0
-            self._save_meta()
+            with self._lock():
+                if not os.path.exists(self._meta_path):  # lost init race
+                    self._save_meta(
+                        {
+                            "partitions": partitions,
+                            "next_offset": {p: 0 for p in range(partitions)},
+                            "next_segment": 0,
+                        }
+                    )
+            self.partitions = self._load_meta()["partitions"]
 
-    def _save_meta(self) -> None:
-        tmp = self._meta_path + ".tmp"
+    # -- metadata under lock ------------------------------------------
+
+    def _load_meta(self) -> dict:
+        with open(self._meta_path) as f:
+            meta = json.load(f)
+        meta["next_offset"] = {int(k): v for k, v in meta["next_offset"].items()}
+        return meta
+
+    def _save_meta(self, meta: dict) -> None:
+        tmp = self._meta_path + f".tmp{os.getpid()}"
         with open(tmp, "w") as f:
-            json.dump(
-                {
-                    "partitions": self.partitions,
-                    "next_offset": self._next_offset,
-                    "next_segment": self._next_segment,
-                },
-                f,
-            )
+            json.dump(meta, f)
         os.replace(tmp, self._meta_path)
+
+    def _lock(self):
+        topic = self
+
+        class _Lock:
+            def __enter__(self):
+                deadline = time.monotonic() + _LOCK_STALE_S
+                while True:
+                    try:
+                        fd = os.open(
+                            topic._lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY
+                        )
+                        os.close(fd)
+                        return self
+                    except FileExistsError:
+                        try:  # steal a lock left by a crashed producer
+                            if (
+                                time.monotonic() > deadline
+                                or time.time() - os.path.getmtime(topic._lock_path)
+                                > _LOCK_STALE_S
+                            ):
+                                os.unlink(topic._lock_path)
+                                continue
+                        except FileNotFoundError:
+                            continue
+                        time.sleep(0.01)
+
+            def __exit__(self, *exc):
+                try:
+                    os.unlink(topic._lock_path)
+                except FileNotFoundError:
+                    pass
+
+        return _Lock()
+
+    def _reserve(self, counts: dict[int, int]) -> tuple[dict[int, int], dict[int, int]]:
+        """Under the lock: reserve offset ranges and one segment number
+        per partition (EVERY partition — empty ones get a 0-row segment
+        so each flush is exactly ``partitions`` files; see
+        ``read_stream``); returns ({p: base_offset}, {p: seg_no}).
+        Reservation precedes publish (see ``produce``): a crash after
+        reserving leaves a benign gap, never a duplicate/overwrite."""
+        with self._lock():
+            meta = self._load_meta()
+            bases, segs = {}, {}
+            for p in range(self.partitions):
+                n = counts.get(p, 0)
+                bases[p] = meta["next_offset"][p]
+                meta["next_offset"][p] += n
+                segs[p] = meta["next_segment"]
+                meta["next_segment"] += 1
+            self._save_meta(meta)
+        return bases, segs
 
     def _partition_of(self, key: bytes | None, i: int) -> int:
         if key is None:
@@ -96,72 +179,130 @@ class FileTopic:
     def produce(
         self, spark: SparkSession, records: list[tuple[bytes | None, bytes]]
     ) -> int:
-        """Append one producer flush (ONE segment parquet file) and
-        return the number of records written. Per-key ordering is
-        preserved: a key always lands in the same partition, and
-        offsets within a partition are assigned in list order. The
-        segment is written via pyarrow as a single plain file (the
-        file-stream source does not recurse into directory segments)
-        under _tmp, then atomically renamed into the watched dir —
-        readers see a whole segment or nothing.
+        """Append one producer flush (one segment parquet file per
+        non-empty topic partition) and return the number of records
+        written. Per-key ordering is preserved: a key always lands in
+        the same partition, and offsets within a partition are assigned
+        in list order. Segments are written under _tmp then atomically
+        renamed into the watched dir (the file-stream source does not
+        recurse into directory segments) — readers see a whole segment
+        or nothing.
 
-        Crash-safety order: the meta (segment number + offsets) is
-        RESERVED before the segment publishes. A producer crash
-        between the reserve and the publish leaves a gap — a skipped
-        segment number and unreferenced offsets — which is benign
+        Crash-safety order: the meta (segment numbers + offsets) is
+        RESERVED before any segment publishes. A producer crash
+        between the reserve and the publish leaves a gap — skipped
+        segment numbers and unreferenced offsets — which is benign
         (like an aborted Kafka transaction). The reverse order would
-        be a corruption: a restart would reuse the published
-        segment's number and OVERWRITE immutable records with
-        duplicate offsets.
+        be a corruption: a restart would reuse a published segment's
+        number and OVERWRITE immutable records with duplicate offsets.
         """
-        import datetime as _dt
-
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        keys, values, parts, offs = [], [], [], []
+        by_part: dict[int, list[tuple[bytes | None, bytes]]] = {
+            p: [] for p in range(self.partitions)
+        }
         for i, (key, value) in enumerate(records):
-            p = self._partition_of(key, i)
-            keys.append(key)
-            values.append(value)
-            parts.append(p)
-            offs.append(self._next_offset[p])
-            self._next_offset[p] += 1
-        # UTC-adjusted timestamps (isAdjustedToUTC=true), matching real
-        # Kafka's epoch timestamps: a consumer in any session timezone
-        # reads the same instant. A tz-naive write would shift by the
-        # reader's session zone.
-        now = _dt.datetime.now(_dt.timezone.utc)
-        tbl = pa.table(
+            by_part[self._partition_of(key, i)].append((key, value))
+        bases, segs = self._reserve({p: len(rs) for p, rs in by_part.items()})
+        for p, rs in sorted(by_part.items()):
+            _write_segment(
+                self.dir,
+                self.name,
+                p,
+                segs[p],
+                [k for k, _ in rs],
+                [v for _, v in rs],
+                list(range(bases[p], bases[p] + len(rs))),
+            )
+        return len(records)
+
+    def produce_df(self, df: DataFrame, key_col: str, value_col: str) -> int:
+        """The distributed producer: append one flush of ``df`` without
+        materializing rows on the driver. Executors write one segment
+        per topic partition directly (applyInPandas group = one topic
+        partition of this flush — bounded by the flush size, exactly a
+        real Kafka producer's in-flight batch buffer); the only
+        driver-side data is the per-partition record COUNT (``P`` rows,
+        needed to reserve dense offset ranges before publish).
+
+        Offset order within a flush is (key, value) byte order — a
+        DataFrame has no row order to preserve, so the producer defines
+        a deterministic one. The per-key ordering guarantee (all
+        records of a key in one partition, offsets monotone) is what
+        downstream consumers rely on and is unchanged.
+
+        On a cluster the topic dir must be shared storage (it is the
+        broker's log dir); in local mode executors share the local FS.
+        """
+        spark = df.sparkSession
+        n_parts = self.partitions
+        staged = df.select(
+            F.col(key_col).cast("binary").alias("key"),
+            F.col(value_col).cast("binary").alias("value"),
+        )
+        staged = staged.withColumn(
+            "p",
+            F.when(
+                F.col("key").isNull(),
+                F.pmod(F.monotonically_increasing_id(), F.lit(n_parts)),
+            )
+            .otherwise(F.crc32(F.col("key")) % n_parts)
+            .cast("int"),
+        ).localCheckpoint()  # counts and the write must see one materialization
+        counts = {p: 0 for p in range(n_parts)}
+        counts.update(
             {
-                "key": pa.array(keys, pa.binary()),
-                "value": pa.array(values, pa.binary()),
-                "topic": pa.array([self.name] * len(keys), pa.string()),
-                "partition": pa.array(parts, pa.int32()),
-                "offset": pa.array(offs, pa.int64()),
-                "timestamp": pa.array(
-                    [now] * len(keys), pa.timestamp("us", tz="UTC")
-                ),
+                r["p"]: r["n"]
+                for r in staged.groupBy("p").agg(F.count("*").alias("n")).collect()
             }
         )
-        seg = os.path.join(self.dir, f"segment_{self._next_segment:08d}.parquet")
-        self._next_segment += 1
-        self._save_meta()  # reserve BEFORE publish (see docstring)
-        tmp_dir = os.path.join(self.dir, "_tmp")
-        os.makedirs(tmp_dir, exist_ok=True)
-        tmp = os.path.join(tmp_dir, os.path.basename(seg))
-        pq.write_table(tbl, tmp)
-        os.replace(tmp, seg)
-        return len(records)
+        bases, segs = self._reserve(counts)
+        topic_dir, topic_name = self.dir, self.name
+
+        def write_group(pdf):
+            import pandas as pd
+
+            p = int(pdf["p"].iloc[0])
+            pdf = pdf.sort_values(
+                ["key", "value"], key=lambda s: s.map(lambda b: b or b"")
+            )
+            offs = list(range(bases[p], bases[p] + len(pdf)))
+            _write_segment(
+                topic_dir,
+                topic_name,
+                p,
+                segs[p],
+                list(pdf["key"]),
+                list(pdf["value"]),
+                offs,
+            )
+            return pd.DataFrame({"p": [p], "n": [len(pdf)]})
+
+        written = (
+            staged.groupBy("p")
+            .applyInPandas(write_group, "p int, n long")
+            .agg(F.sum("n").alias("n"))
+            .collect()[0]["n"]
+        )
+        staged.unpersist()
+        # Empty partitions still publish a 0-row segment (driver-side,
+        # no data) so the flush is exactly `partitions` files — the
+        # consumer's per-trigger file count equals one flush.
+        for p, n in counts.items():
+            if n == 0:
+                _write_segment(self.dir, self.name, p, segs[p], [], [], [])
+        return int(written or 0)
 
     def read_stream(self, spark: SparkSession) -> DataFrame:
         """The consumer: a streaming DataFrame with the exact Kafka
-        source schema. One segment per micro-batch (the producer-flush
-        boundary), offsets resume from the query's checkpoint exactly
-        like a consumer group's committed offsets."""
+        source schema. One producer FLUSH per micro-batch — a flush is
+        exactly ``partitions`` segment files (empty partitions publish
+        0-row segments), so ``maxFilesPerTrigger=partitions`` makes the
+        trigger boundary the flush boundary, matching how a caught-up
+        Kafka consumer sees each producer batch as one offset range.
+        Offsets resume from the query's checkpoint exactly like a
+        consumer group's committed offsets."""
         return (
             spark.readStream.schema(KAFKA_SOURCE_DDL)
-            .option("maxFilesPerTrigger", 1)
+            .option("maxFilesPerTrigger", self.partitions)
             .parquet(self.dir)
         )
 
@@ -170,20 +311,56 @@ class FileTopic:
         return spark.read.schema(KAFKA_SOURCE_DDL).parquet(self.dir)
 
 
+def _write_segment(
+    topic_dir: str,
+    topic_name: str,
+    partition: int,
+    segment_no: int,
+    keys: list,
+    values: list,
+    offsets: list[int],
+) -> None:
+    """Write one segment file atomically (tmp + rename). Runs on the
+    driver (list producer) or an executor (produce_df) — pure function
+    of its arguments, no topic state."""
+    import datetime as _dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # UTC-adjusted timestamps (isAdjustedToUTC=true), matching real
+    # Kafka's epoch timestamps: a consumer in any session timezone
+    # reads the same instant. A tz-naive write would shift by the
+    # reader's session zone.
+    now = _dt.datetime.now(_dt.timezone.utc)
+    n = len(keys)
+    tbl = pa.table(
+        {
+            "key": pa.array([bytes(k) if k is not None else None for k in keys], pa.binary()),
+            "value": pa.array([bytes(v) for v in values], pa.binary()),
+            "topic": pa.array([topic_name] * n, pa.string()),
+            "partition": pa.array([partition] * n, pa.int32()),
+            "offset": pa.array(offsets, pa.int64()),
+            "timestamp": pa.array([now] * n, pa.timestamp("us", tz="UTC")),
+            "timestampType": pa.array([_TS_CREATE_TIME] * n, pa.int32()),
+        }
+    )
+    seg = os.path.join(topic_dir, f"segment_{segment_no:08d}.parquet")
+    tmp_dir = os.path.join(topic_dir, "_tmp")
+    os.makedirs(tmp_dir, exist_ok=True)
+    tmp = os.path.join(tmp_dir, f"{os.getpid()}_{os.path.basename(seg)}")
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, seg)
+
+
 def produce_json(
     topic: FileTopic, spark: SparkSession, df: DataFrame, key_col: str
 ) -> int:
     """R10+R11 producer: serialize each row as one JSON record keyed by
     ``key_col`` — the reference's tweet-to-topic shape — and append as
-    one segment."""
-    recs = [
-        (
-            str(r["k"]).encode() if r["k"] is not None else None,
-            r["v"].encode(),
-        )
-        for r in df.select(
-            F.col(key_col).cast("string").alias("k"),
-            F.to_json(F.struct(*df.columns)).alias("v"),
-        ).collect()
-    ]
-    return topic.produce(spark, recs)
+    one flush via the distributed producer (no driver-side rows)."""
+    staged = df.select(
+        F.col(key_col).cast("string").alias("k"),
+        F.to_json(F.struct(*df.columns)).alias("v"),
+    )
+    return topic.produce_df(staged, "k", "v")
