@@ -14,6 +14,23 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def assert_bounded_model(rows, bound: int, what: str) -> None:
+    """Runtime guard for the engine's documented driver-side collects.
+
+    Every ``.collect()`` on a data path is contractually a MODEL-FIT
+    step bounded by a constant (IVF centroids, probe vectors, DSIR
+    lambda table, the SemDeDup reference slice). This assert turns a
+    mis-sized fixture or a drifted filter into a loud failure at the
+    collect site instead of a silent driver OOM at 1000x scale.
+    """
+    if len(rows) > bound:
+        raise AssertionError(
+            f"{what}: collected {len(rows)} rows but the documented "
+            f"bound is {bound}; refusing the unbounded driver-side "
+            "materialization (fixture or model constant mis-sized)"
+        )
+
+
 def dec(c: Column | str, precision: int = 12, scale: int = 2) -> Column:
     """Cast to an exact decimal for order-independent arithmetic."""
     c = F.col(c) if isinstance(c, str) else c

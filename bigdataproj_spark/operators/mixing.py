@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import table
+from ..functions import assert_bounded_model
 from ..registry import query
 from .sampling import hash60, hash60_sql
 from .text import TOKENS_SQL, tokens
@@ -373,7 +374,9 @@ def dsir_lambda_rows(spark: SparkSession, sf_dir: str) -> list[tuple[int, object
     exactly like the IVF centroid train (similarity.py). Same helper
     pipeline as q22_dsir_resample by construction."""
     lam = _dsir_lambda_table(_dsir_feature_matrix(spark, sf_dir))
-    return [(r["b"], r["lam"]) for r in lam.collect()]
+    rows = lam.collect()
+    assert_bounded_model(rows, _DSIR_BUCKETS, "DSIR lambda-table collect")
+    return [(r["b"], r["lam"]) for r in rows]
 
 
 def dsir_scorer(lam_rows: list[tuple[int, object]]):

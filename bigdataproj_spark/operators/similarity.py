@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import table
-from ..functions import round_fp
+from ..functions import assert_bounded_model, round_fp
 from ..session import iter_checkpoint
 from ..registry import query
 
@@ -143,6 +143,7 @@ def q29_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("vec_id") < _N_PROBES).select("vec_id", "embedding").collect(),
         key=lambda r: r.vec_id,
     )
+    assert_bounded_model(probe_rows, _N_PROBES, "cosine top-k probe fetch")
     P = np.floor(
         np.array([r.embedding for r in probe_rows], dtype=np.float64) * _Q
     ).astype(np.int64)
@@ -483,6 +484,7 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[int
         .select("vec_id", quantize_q20("embedding").alias("qe"))
         .collect()
     )
+    assert_bounded_model(rows, _IVF_K, "IVF centroid train collect")
     return [
         (r["vec_id"], list(r["qe"]), math.sqrt(sum(q * q for q in r["qe"])))
         for r in sorted(rows, key=lambda r: r["vec_id"])
@@ -704,6 +706,7 @@ def q43_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref_rows = sorted(
         e.select("vec_id", "embedding").collect(), key=lambda r: r.vec_id
     )
+    assert_bounded_model(ref_rows, _NEAR_DUP_MAX_ID, "SemDeDup reference slice")
     R = np.floor(
         np.array([r.embedding for r in ref_rows], dtype=np.float64) * _Q
     ).astype(np.int64)

@@ -232,11 +232,18 @@ class FileTopic:
         On a cluster the topic dir must be shared storage (it is the
         broker's log dir); in local mode executors share the local FS.
         """
-        spark = df.sparkSession
         n_parts = self.partitions
+
+        def as_binary(col: str) -> F.Column:
+            # ANSI mode only casts STRING/BINARY to BINARY; serialize
+            # other key/value types through their string form (what a
+            # Kafka StringSerializer would do).
+            if dict(df.dtypes)[col] == "binary":
+                return F.col(col)
+            return F.col(col).cast("string").cast("binary")
+
         staged = df.select(
-            F.col(key_col).cast("binary").alias("key"),
-            F.col(value_col).cast("binary").alias("value"),
+            as_binary(key_col).alias("key"), as_binary(value_col).alias("value")
         )
         staged = staged.withColumn(
             "p",

@@ -360,3 +360,64 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """SURVEY §4 relies on AQE's OptimizeSkewedJoin for skewed join
+    keys (the aggregation-side twin is the salting operator, q13).
+    This pins the claim: a deliberately skewed sort-merge join, with
+    the skew thresholds scaled down to fixture bytes, must execute
+    with the skew-split marker (``skew=true``) in the final adaptive
+    plan — i.e. the hot partition was split, not serially processed.
+    """
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            "spark.sql.shuffle.partitions",
+        )
+    }
+    try:
+        # scale the skew detector to megabyte fixtures (prod defaults
+        # are 256M thresholds; the MECHANISM is what's under test)
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1MB"
+        )
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1MB")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        # one pathological key (~94% of rows, incompressible payload),
+        # 63 healthy keys
+        left = spark.range(0, 160_000).select(
+            F.when(F.col("id") < 150_000, 0)
+            .otherwise(F.col("id") % 64)
+            .alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        right = spark.range(0, 640).select(
+            (F.col("id") % 64).alias("k"), F.col("id").alias("v")
+        )
+        # min(pad) keeps the wide payload alive through the join (a
+        # bare count would let Catalyst prune it and deflate the skew)
+        joined = (
+            left.join(right, "k")
+            .groupBy()
+            .agg(F.count(F.lit(1)).alias("n"), F.min("pad").alias("m"))
+        )
+        [row] = joined.collect()
+        assert row["n"] == 150_000 * 10 + 10_000 * 10
+        final_plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in final_plan
+        assert "skew=true" in final_plan, final_plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

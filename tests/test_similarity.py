@@ -172,3 +172,29 @@ def test_ivf_semantic_edges_recall_and_precision(spark, sf_dir):
         assert c == exact[(src, dst)]  # bit-exact scoring
     recall = len(got) / len(exact)
     assert recall >= 0.55, recall
+
+
+def test_bounded_collect_guard_fires_on_oversized_fixture(spark, tmp_path):
+    """The documented-bound contract on driver-side collects is
+    ENFORCED, not prose: an embeddings fixture whose sub-_NEAR_DUP_MAX_ID
+    slice exceeds the bound (duplicate vec_ids) must fail loudly at the
+    collect site instead of shipping an oversized model to the driver."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = 400  # == similarity._NEAR_DUP_MAX_ID; duplicated below -> 2x bound
+    ids = list(range(n)) * 2
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(
+                [np.full(8, 0.1, dtype=np.float32) for _ in ids],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array([0] * len(ids), pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    with pytest.raises(AssertionError, match="documented bound is 400"):
+        load_all()["q43_semantic_dedup"].build(spark, str(tmp_path))
