@@ -17,7 +17,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from bigdataproj_spark.registry import load_all  # noqa: E402
 
-FLAGSHIP = "q99_corpus_pipeline"  # the north-star pipeline; q01 remains in the bench set
+FLAGSHIP = "q25_corpus_pipeline"  # the north-star pipeline; q01 remains in the bench set
 
 
 def entry(spark: SparkSession) -> DataFrame:

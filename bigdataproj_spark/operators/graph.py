@@ -92,8 +92,8 @@ ORDER BY rank
 """
 
 
-@query("q08_graph_pagerank", oracle=_Q_PR_ORACLE, tags=("G1", "graph"))
-def q08_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r43_graph_pagerank", oracle=_Q_PR_ORACLE, tags=("G1", "graph"))
+def r43_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Five power iterations of PageRank (d=0.85) over the undirected
     supplier↔customer trading graph; returns the top-50 nodes by rank.
 

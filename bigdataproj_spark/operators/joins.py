@@ -317,8 +317,8 @@ ORDER BY n.n_name, t.o_totalprice DESC, t.o_orderkey
 """
 
 
-@query("q34_lateral_topk", oracle=_Q85_ORACLE, tags=("Q1", "J9", "O3"))
-def q34_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r57_lateral_topk", oracle=_Q85_ORACLE, tags=("Q1", "J9", "O3"))
+def r57_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-2 orders per nation via a LATERAL correlated subquery —
     the per-row-subquery surface (Spark 3.4+ SQL). Catalyst
     decorrelates it into the same window-rank plan as q40; the SQL
@@ -366,8 +366,8 @@ ORDER BY o_orderkey
 """
 
 
-@query("q98_upsert_merge", oracle=_Q49_ORACLE, tags=("M1", "J2"))
-def q98_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q23_upsert_merge", oracle=_Q49_ORACLE, tags=("M1", "J2"))
+def q23_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE/upsert semantics on plain parquet (SCD type 1): a change
     set (updates to existing keys + inserts of new keys) merged into
     the base by full outer join + change-side-wins coalesce.

@@ -81,8 +81,8 @@ ORDER BY source, take_rank
 """
 
 
-@query("q02_domain_mixing", oracle=_Q_R08_ORACLE, tags=("L9", "mixing"))
-def q02_domain_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r37_domain_mixing", oracle=_Q_R08_ORACLE, tags=("L9", "mixing"))
+def r37_domain_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strike a weighted pretraining mix: per source domain, take
     documents in deterministic hash order until the domain's token
     budget (weight x {base} tokens) is crossed; the crossing document
@@ -152,8 +152,8 @@ ORDER BY shard, pos
 """
 
 
-@query("q05_training_order", oracle=_Q_R09_ORACLE, tags=("L9", "mixing"))
-def q05_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r40_training_order", oracle=_Q_R09_ORACLE, tags=("L9", "mixing"))
+def r40_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Assign every document an epoch-stable (shard, pos) training
     position: hash to one of {shards} shards, sort by hash within the
     shard.
@@ -241,8 +241,8 @@ ORDER BY rank
 """
 
 
-@query("q22_dsir_resample", oracle=_Q_DSIR_ORACLE, tags=("L9", "mixing"))
-def q22_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r53_dsir_resample", oracle=_Q_DSIR_ORACLE, tags=("L9", "mixing"))
+def r53_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling: score every raw document by how
     much its hashed-unigram profile looks like the target corpus (here
     lang='en'), then draw a Gumbel-top-k sample of the highest-scoring
@@ -343,7 +343,7 @@ def _dsir_feature_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _dsir_lambda_table(tbc: DataFrame) -> DataFrame:
     """The model fit: Laplace-smoothed per-bucket target-vs-raw
     log-likelihood ratios, round-6/decimal-quantized. ONE definition —
-    shared by the oracle-checked q22 and the batch-train/stream-score
+    shared by the oracle-checked r53 and the batch-train/stream-score
     deployment path, so the two can never drift."""
     prof = tbc.groupBy("b").agg(
         F.sum("n").alias("cnt_r"),
@@ -372,7 +372,7 @@ def dsir_lambda_rows(spark: SparkSession, sf_dir: str) -> list[tuple[int, object
     model is hashed-feature-bounded (at most {b} rows regardless of
     corpus size) — collecting it is the legitimate 'model fit' step,
     exactly like the IVF centroid train (similarity.py). Same helper
-    pipeline as q22_dsir_resample by construction."""
+    pipeline as r53_dsir_resample by construction."""
     lam = _dsir_lambda_table(_dsir_feature_matrix(spark, sf_dir))
     rows = lam.collect()
     assert_bounded_model(rows, _DSIR_BUCKETS, "DSIR lambda-table collect")

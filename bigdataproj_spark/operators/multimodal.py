@@ -369,8 +369,8 @@ ORDER BY doc_id
 """
 
 
-@query("q74_media_meta_extract", oracle=_Q24_ORACLE, tags=("L8", "U3", "multimodal"))
-def q74_media_meta_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q45_media_meta_extract", oracle=_Q24_ORACLE, tags=("L8", "U3", "multimodal"))
+def q45_media_meta_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Genuine-media metadata extraction: synthesize real BMP/PNG/WAV
     files from the documents table, then parse their actual container
     headers back with :func:`decode_media`. The oracle recomputes

@@ -98,7 +98,7 @@ def _sentiment_case(t: Column) -> Column:
 
 def add_sentiment(df: DataFrame) -> DataFrame:
     """R8/L6 sentiment as a pure-expression fold over tokens (the
-    join-based form lives in text.q20; both are deterministic)."""
+    join-based form lives in text.r51; both are deterministic)."""
     score = F.aggregate(
         "toks", F.lit(0), lambda acc, t: acc + _sentiment_case(t)
     ).cast("long")
@@ -185,8 +185,8 @@ ORDER BY tweet_id
 """
 
 
-@query("q81_tweet_pipeline", oracle=_Q31_ORACLE, tags=("R1", "R3", "R4", "R5", "R8", "R9", "R10", "S6", "pipeline"))
-def q81_tweet_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q02_tweet_pipeline", oracle=_Q31_ORACLE, tags=("R1", "R3", "R4", "R5", "R8", "R9", "R10", "S6", "pipeline"))
+def q02_tweet_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full reference pipeline R1→R10 on the inline tweet fixture,
     flattened for the differential compare (structs are projected back
     to scalars; JSON is compared via extracted fields per §2.4)."""
@@ -279,8 +279,8 @@ ORDER BY doc_id, chunk_idx
 """
 
 
-@query("q99_corpus_pipeline", oracle=_Q50_ORACLE, tags=("L1", "L5", "L9", "pipeline", "bench"))
-def q99_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q25_corpus_pipeline", oracle=_Q50_ORACLE, tags=("L1", "L5", "L9", "pipeline", "bench"))
+def q25_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → training chunks, end to end: quality gate (token
     count + stopword ratio), exact dedup (min-id survivor per content
     fingerprint), deterministic train-split membership, overlapping
@@ -370,22 +370,22 @@ def q75_geo_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     they are order-independent and bit-identical to the oracle.
     """
     g = ingest_tweets(spark).filter(F.col("geo").isNotNull())
-    q17 = 1048576
+    r50 = 1048576
     cnt = F.count(F.lit(1))
     return (
         g.select(
             F.floor(F.col("geo.lat") * 100).alias("cell_lat"),
             F.floor(F.col("geo.lon") * 100).alias("cell_lon"),
             F.col("user.name").alias("user_name"),
-            F.floor(F.col("geo.lat") * q17).cast("long").alias("qlat"),
-            F.floor(F.col("geo.lon") * q17).cast("long").alias("qlon"),
+            F.floor(F.col("geo.lat") * r50).cast("long").alias("qlat"),
+            F.floor(F.col("geo.lon") * r50).cast("long").alias("qlon"),
         )
         .groupBy("cell_lat", "cell_lon")
         .agg(
             cnt.alias("n_tweets"),
             F.countDistinct("user_name").alias("n_users"),
-            F.round(F.sum("qlat").cast("double") / q17 / cnt, 6).alias("centroid_lat"),
-            F.round(F.sum("qlon").cast("double") / q17 / cnt, 6).alias("centroid_lon"),
+            F.round(F.sum("qlat").cast("double") / r50 / cnt, 6).alias("centroid_lat"),
+            F.round(F.sum("qlon").cast("double") / r50 / cnt, 6).alias("centroid_lon"),
         )
         .orderBy("cell_lat", "cell_lon")
     )

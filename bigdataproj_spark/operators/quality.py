@@ -8,8 +8,8 @@ repetition rules; the C4/RefinedWeb cleaning recipes). The reference
 declares only coarse text analytics (reference README.md:58-63); these
 extend the same surface with the filters any corpus consumer needs.
 
-Registered inside the driver's 50-query correctness window (q06/q15/
-q28/q35 plus packing q47 and decontamination q48) since the round-3
+Registered inside the driver's 50-query correctness window (r41/q15/
+q28/r58 plus packing q47 and decontamination q48) since the round-3
 window swap — see docs/QUERY_ROTATION.md for the mapping.
 
 Scale shapes:
@@ -102,8 +102,8 @@ def _gram_stats(grams: DataFrame, top_name: str, dup_name: str) -> DataFrame:
     )
 
 
-@query("q06_repetition_stats", oracle=_Q_R01_ORACLE, tags=("L5", "quality"))
-def q06_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r41_repetition_stats", oracle=_Q_R01_ORACLE, tags=("L5", "quality"))
+def r41_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document repetition profile: most-frequent-token fraction,
     duplicate-token fraction, and the same two over word bigrams.
 
@@ -362,8 +362,8 @@ ORDER BY doc_id
 """
 
 
-@query("q35_unigram_perplexity", oracle=_Q_R04_ORACLE, tags=("L5", "quality"))
-def q35_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r58_unigram_perplexity", oracle=_Q_R04_ORACLE, tags=("L5", "quality"))
+def r58_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-unigram perplexity proxy per document (L5's declared
     "perplexity-proxy n-gram score", SURVEY.md §2.3).
 
@@ -686,8 +686,8 @@ def q32_training_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The complete modern pretraining-data build, composed from the
     round's operators and oracle-checked as ONE query: quality gate
     (the q15 predicates) → exact dedup survivors (q18's min-doc_id
-    rule) → weighted domain mix (q02's budgeted hash-order take) →
-    epoch-stable training order (q05's hash) → sequence packing
+    rule) → weighted domain mix (r37's budgeted hash-order take) →
+    epoch-stable training order (r40's hash) → sequence packing
     (q47's tape offsets, laid out in TRAINING order rather than
     doc_id order).
 
@@ -800,8 +800,8 @@ ORDER BY rank
 """
 
 
-@query("q37_drift_monitor", oracle=_Q_DRIFT_ORACLE, tags=("L23", "quality"))
-def q37_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r59_drift_monitor", oracle=_Q_DRIFT_ORACLE, tags=("L23", "quality"))
+def r59_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-distribution drift between two corpus snapshots (here:
     deterministic hash halves standing in for consecutive crawls):
     smoothed KL(current || reference) plus the top-{k} tokens driving
@@ -819,7 +819,7 @@ def q37_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialize the vocabulary-bounded count table ONCE: three
     # consumers (the totals scalar, the KL sum, the top-k) would
     # otherwise each re-run the corpus tokenize+aggregate (the
-    # q21_bigram_lm precedent).
+    # r52_bigram_lm precedent).
     c = (
         tok.groupBy("token")
         .agg(

@@ -250,8 +250,8 @@ ORDER BY user_id, event_type
 """
 
 
-@query("q07_first_per_key", oracle=_Q57_ORACLE, tags=("A5", "O3"))
-def q07_first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r42_first_per_key", oracle=_Q57_ORACLE, tags=("A5", "O3"))
+def r42_first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic keyed dedup: first event per (user, type).
 
     ``dropDuplicates(keys)`` keeps an *arbitrary* row; the engine's
@@ -624,7 +624,7 @@ ORDER BY l_returnflag, l_linestatus
 def r02_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot (melt) the wide pivot back to long form.
 
-    Round-trips q14's wide frame through ``DataFrame.unpivot``; the
+    Round-trips r48's wide frame through ``DataFrame.unpivot``; the
     oracle is the direct two-key GROUP BY the round-trip must equal.
     Unpivot is a zero-shuffle Expand over the (tiny) aggregated frame.
     """
@@ -664,8 +664,8 @@ ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
 """
 
 
-@query("q16_grouping_sets", oracle=_Q67_ORACLE, tags=("A4",))
-def q16_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r49_grouping_sets", oracle=_Q67_ORACLE, tags=("A4",))
+def r49_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary GROUPING SETS with GROUPING() null-vs-group markers —
     the grouping-set shapes rollup/cube can't express (two disjoint
     single-column sets + grand total, one Expand pass, one shuffle)."""

@@ -50,8 +50,8 @@ ORDER BY op, k
 """
 
 
-@query("q42_intersect_except", oracle=_Q93_ORACLE, tags=("T2", "T3"))
-def q42_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r60_intersect_except", oracle=_Q93_ORACLE, tags=("T2", "T3"))
+def r60_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERSECT and EXCEPT (distinct semantics) over nation keys."""
     c = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
     s = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))

@@ -211,12 +211,12 @@ def q69_embedding_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     between engines), summed as exact int64, divided back in double.
     """
     e = table(spark, sf_dir, "embeddings")
-    q17 = F.floor(F.col("v").cast("double") * 1048576).cast("long")
+    r50 = F.floor(F.col("v").cast("double") * 1048576).cast("long")
     return (
         e.select("label", F.posexplode("embedding").alias("pos", "v"))
         .groupBy("label", "pos")
         .agg(
-            (F.sum(q17).cast("double") / 1048576 / F.count(F.lit(1))).alias("avg_val")
+            (F.sum(r50).cast("double") / 1048576 / F.count(F.lit(1))).alias("avg_val")
         )
         .orderBy("label", "pos")
     )
@@ -1040,8 +1040,8 @@ ORDER BY cluster_id
 """
 
 
-@query("q31_kmeans_embeddings", oracle=_Q_KM_ORACLE, tags=("C1", "similarity"))
-def q31_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r56_kmeans_embeddings", oracle=_Q_KM_ORACLE, tags=("C1", "similarity"))
+def r56_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed k-means (Lloyd's algorithm, K={k}, {it} fixed
     iterations) over the embedding corpus; returns per-cluster size,
     smallest member id, and centroid squared-norm.
@@ -1060,7 +1060,7 @@ def q31_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment join; each iteration is one corpus-keyed aggregation
     (assign) and one (cluster, dim)-keyed aggregation (update), the
     canonical two-shuffle Lloyd step. The driver loop is
-    control-plane only, like q08_graph_pagerank.
+    control-plane only, like r43_graph_pagerank.
     """
     e = table(spark, sf_dir, "embeddings")
     # ex is re-derived from the columnar scan by each consumer (a

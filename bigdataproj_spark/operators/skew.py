@@ -117,8 +117,8 @@ ORDER BY l_returnflag
 """
 
 
-@query("q13_salted_agg", oracle=_Q64_ORACLE, tags=("A1", "skew"))
-def q13_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r47_salted_agg", oracle=_Q64_ORACLE, tags=("A1", "skew"))
+def r47_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe aggregation on a 3-value key (l_returnflag — maximal
     skew: every row is one of three keys).
 

@@ -44,8 +44,8 @@ ORDER BY doc_id
 """
 
 
-@query("q76_pandas_scalar_udf", oracle=_Q26_ORACLE, tags=("U2", "udx"))
-def q76_pandas_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q31_pandas_scalar_udf", oracle=_Q26_ORACLE, tags=("U2", "udx"))
+def q31_pandas_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-vectorized scalar UDF (the engine's preferred UDF form;
     row-at-a-time U1 exists only for API parity)."""
     quality_score = pandas_udf(_quality_score, "double")
@@ -103,8 +103,8 @@ ORDER BY doc_id
 """
 
 
-@query("q77_grouped_map_udf", oracle=_Q27_ORACLE, tags=("U3", "udx"))
-def q77_grouped_map_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q34_grouped_map_udf", oracle=_Q27_ORACLE, tags=("U3", "udx"))
+def q34_grouped_map_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandas grouped-map: z-score normalize document lengths
     within each language group (one shuffle on the group key; each
     group becomes one Arrow batch)."""
@@ -145,8 +145,8 @@ ORDER BY o_orderpriority
 """
 
 
-@query("q78_grouped_agg_udf", oracle=_Q28_ORACLE, tags=("U4", "udx"))
-def q78_grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q35_grouped_agg_udf", oracle=_Q28_ORACLE, tags=("U4", "udx"))
+def q35_grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pandas GROUPED_AGG UDAF: weight-by-key average in exact cents."""
     weighted_avg_price = pandas_udf(_weighted_avg_price, "double")
     o = table(spark, sf_dir, "orders")
@@ -173,10 +173,10 @@ ORDER BY p_partkey
 """
 
 
-@query("q79_scalar_udf", oracle=_Q29_ORACLE, tags=("U1", "udx"))
-def q79_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q37_scalar_udf", oracle=_Q29_ORACLE, tags=("U1", "udx"))
+def q37_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-at-a-time scalar UDF (U1). Kept off hot paths by design —
-    see q76 for the Arrow-vectorized form."""
+    see q31 for the Arrow-vectorized form."""
     reverse_chars = udf(_reverse_chars, "string")
     p = table(spark, sf_dir, "part")
     return p.select("p_partkey", reverse_chars("p_name").alias("name_rev")).orderBy(
@@ -207,8 +207,8 @@ ORDER BY doc_id, idx
 """
 
 
-@query("q80_udtf", oracle=_Q30_ORACLE, tags=("U5", "udx"))
-def q80_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q42_udtf", oracle=_Q30_ORACLE, tags=("U5", "udx"))
+def q42_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF exploding text into positional word rows via a
     LATERAL join."""
     split_words = udtf(SplitWords, returnType="idx int, word string")

@@ -69,8 +69,8 @@ ORDER BY o_orderpriority
 """
 
 
-@query("q91_json_scan", oracle=_Q41_ORACLE, tags=("S2", "sources"))
-def q91_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q13_json_scan", oracle=_Q41_ORACLE, tags=("S2", "sources"))
+def q13_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL round-trip: orders → distributed JSON export → schema-on-
     read scan (S2) → aggregate. Matching the parquet-side oracle proves
     the JSON boundary preserves longs, doubles, strings, timestamps."""
@@ -106,8 +106,8 @@ ORDER BY c_mktsegment
 """
 
 
-@query("q92_csv_scan", oracle=_Q42_ORACLE, tags=("S3", "sources"))
-def q92_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q14_csv_scan", oracle=_Q42_ORACLE, tags=("S3", "sources"))
+def q14_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV round-trip: customer → headered CSV export → schema-on-read
     scan (S3) → aggregate (covers quoting, null round-trip, numeric
     parsing)."""
@@ -161,8 +161,8 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
-@query("q09_orc_roundtrip", oracle=_Q_ORC_ORACLE, tags=("S7", "sources"))
-def q09_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r44_orc_roundtrip", oracle=_Q_ORC_ORACLE, tags=("S7", "sources"))
+def r44_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC round-trip: lineitem → distributed ORC export → ORC scan →
     filtered aggregate. Matching the parquet-side oracle proves the
     ORC boundary preserves longs, decimals-as-doubles, dates, strings;
@@ -221,8 +221,8 @@ ORDER BY pri NULLS FIRST
 """
 
 
-@query("q14_schema_evolution", oracle=_Q_EVO_ORACLE, tags=("S8", "sources"))
-def q14_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r48_schema_evolution", oracle=_Q_EVO_ORACLE, tags=("S8", "sources"))
+def r48_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema evolution across write batches: an early batch carries
     (o_orderkey, o_totalprice), a later batch adds o_orderpriority and
     drops o_totalprice — the mergeSchema read unifies both, null-
@@ -285,8 +285,8 @@ ORDER BY record_class
 """
 
 
-@query("q12_corrupt_records", oracle=_Q_CORRUPT_ORACLE, tags=("S10", "sources"))
-def q12_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r46_corrupt_records", oracle=_Q_CORRUPT_ORACLE, tags=("S10", "sources"))
+def r46_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corrupt-record-tolerant ingestion: a JSONL export with every
     10th line deterministically truncated mid-object is read back in
     PERMISSIVE mode with a ``_corrupt_record`` column; the query

@@ -36,18 +36,18 @@ HEADER = [
 # plan shape the docs argue from (mixing window, span-dedup shuffles,
 # packing prefix sum, decontamination broadcast semi-join).
 EXTRA = {
-    "q02_domain_mixing",
-    "q05_training_order",
+    "r37_domain_mixing",
+    "r40_training_order",
     "q11_incremental_dedup",
     "q24_chunk_dedup",
     "q47_sequence_packing",
     "q48_decontamination",
     "q32_training_mix_pipeline",
-    "q22_dsir_resample",
-    "q21_bigram_lm",
-    "q03_skipgram_pairs",
-    "q08_graph_pagerank",
-    "q31_kmeans_embeddings",
+    "r53_dsir_resample",
+    "r52_bigram_lm",
+    "r38_skipgram_pairs",
+    "r43_graph_pagerank",
+    "r56_kmeans_embeddings",
 }
 
 out = list(HEADER)

@@ -11,8 +11,8 @@ from __future__ import annotations
 from bigdataproj_spark.operators.mixing import (
     _MIX_BASE_BUDGET,
     _N_SHARDS,
-    q02_domain_mixing,
-    q05_training_order,
+    r37_domain_mixing,
+    r40_training_order,
 )
 from bigdataproj_spark.plans import physical_plan as plan_of
 
@@ -27,7 +27,7 @@ def test_mixing_budget_semantics(spark, sf_dir):
     from bigdataproj_spark.catalog import table
     from bigdataproj_spark.operators.text import tokens
 
-    pdf = q02_domain_mixing(spark, sf_dir).toPandas()
+    pdf = r37_domain_mixing(spark, sf_dir).toPandas()
     assert len(pdf) > 0
     totals = (
         table(spark, sf_dir, "documents")
@@ -57,7 +57,7 @@ def test_mixing_budget_semantics(spark, sf_dir):
 def test_mixing_weights_shift_take_sizes(spark, sf_dir):
     """Higher-weight domains must take at least as many tokens as the
     lowest-weight domain (budgets scale linearly with weight)."""
-    pdf = q02_domain_mixing(spark, sf_dir).toPandas()
+    pdf = r37_domain_mixing(spark, sf_dir).toPandas()
     per = pdf.groupby("source").agg(
         weight=("weight", "first"), tok=("cum_tokens", "max")
     )
@@ -69,7 +69,7 @@ def test_mixing_weights_shift_take_sizes(spark, sf_dir):
 def test_training_order_is_a_permutation(spark, sf_dir):
     """Every document appears exactly once; positions are contiguous
     per shard; shard ids are in [0, N)."""
-    pdf = q05_training_order(spark, sf_dir).toPandas()
+    pdf = r40_training_order(spark, sf_dir).toPandas()
     assert pdf["doc_id"].is_unique
     assert pdf["shard"].between(0, _N_SHARDS - 1).all()
     for _, g in pdf.groupby("shard"):
@@ -79,9 +79,9 @@ def test_training_order_is_a_permutation(spark, sf_dir):
 def test_training_order_salt_stability(spark, sf_dir):
     """The assignment is a pure function of doc_id — rerunning yields
     the identical frame (no RNG, no partition dependence)."""
-    a = q05_training_order(spark, sf_dir).toPandas()
+    a = r40_training_order(spark, sf_dir).toPandas()
     b = (
-        q05_training_order(spark, sf_dir)
+        r40_training_order(spark, sf_dir)
         .repartition(13)
         .orderBy("shard", "pos")
         .toPandas()
@@ -92,7 +92,7 @@ def test_training_order_salt_stability(spark, sf_dir):
 def test_mixing_plan_has_no_join(spark, sf_dir):
     """r08 is scan -> window -> filter: no join operator anywhere, and
     exactly one exchange (the window's hash partition on source)."""
-    p = plan_of(q02_domain_mixing(spark, sf_dir))
+    p = plan_of(r37_domain_mixing(spark, sf_dir))
     assert "Join" not in p
     # one data exchange for the window + the final presentation sort's
     # range exchange; nothing else
@@ -103,7 +103,7 @@ def test_training_order_plan_is_one_hash_shuffle(spark, sf_dir):
     """r09 must not contain a single-partition window (the global
     ROW_NUMBER anti-pattern) — the window partitions on the shard
     hash."""
-    p = plan_of(q05_training_order(spark, sf_dir))
+    p = plan_of(r40_training_order(spark, sf_dir))
     assert "Join" not in p
     assert p.count("Exchange hashpartitioning") == 1
     assert "Exchange SinglePartition" not in p
@@ -113,9 +113,9 @@ def test_dsir_resample_prefers_target_like_docs(spark, sf_dir):
     """DSIR sanity: the resampled top-k should be enriched in the
     target language relative to the raw corpus (that is the entire
     point of importance resampling), and log_ratio must be finite."""
-    from bigdataproj_spark.operators.mixing import q22_dsir_resample
+    from bigdataproj_spark.operators.mixing import r53_dsir_resample
 
-    top = q22_dsir_resample(spark, sf_dir).toPandas()
+    top = r53_dsir_resample(spark, sf_dir).toPandas()
     assert len(top) == 100
     assert top["rank"].tolist() == list(range(1, 101))
     assert top["log_ratio"].notna().all()
@@ -131,8 +131,8 @@ def test_dsir_resample_prefers_target_like_docs(spark, sf_dir):
 def test_dsir_resample_stable_under_repartition(spark, sf_dir):
     """The sample is a pure function of corpus statistics + salts:
     no RNG, no partition dependence."""
-    from bigdataproj_spark.operators.mixing import q22_dsir_resample
+    from bigdataproj_spark.operators.mixing import r53_dsir_resample
 
-    a = q22_dsir_resample(spark, sf_dir).toPandas()
-    b = q22_dsir_resample(spark, sf_dir).toPandas()
+    a = r53_dsir_resample(spark, sf_dir).toPandas()
+    b = r53_dsir_resample(spark, sf_dir).toPandas()
     assert a.equals(b)

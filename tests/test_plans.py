@@ -230,30 +230,30 @@ def test_parquet_aggregate_pushdown_metadata_only(spark, sf_dir):
 
 
 def test_fulltext_scan_prunes_to_doc_and_text(spark, sf_dir):
-    """q95's postings build must scan only (doc_id, text) — the
+    """q20's postings build must scan only (doc_id, text) — the
     documents table's other columns never leave the parquet footer."""
-    df = load_all()["q95_fulltext_bm25"].build(spark, sf_dir)
+    df = load_all()["q20_fulltext_bm25"].build(spark, sf_dir)
     plan = plan_of(df)
     assert "struct<doc_id:bigint,text:string>" in plan, plan
 
 
 def test_funnel_pushes_event_type_to_scan(spark, sf_dir):
-    """q84's per-step type filters must reach the events scan as
+    """q05's per-step type filters must reach the events scan as
     pushed filters (each step reads one event type's row groups, not
     the whole log)."""
-    df = load_all()["q84_funnel_conversion"].build(spark, sf_dir)
+    df = load_all()["q05_funnel_conversion"].build(spark, sf_dir)
     plan = plan_of(df)
     for etype in ("view", "click", "purchase"):
         assert f"EqualTo(event_type,{etype})" in plan, plan
 
 
 def test_scd2_is_single_shuffle_before_sort(spark, sf_dir):
-    """q85 must shuffle once on the window key (plus the presentation
+    """q06 must shuffle once on the window key (plus the presentation
     sort's range exchange) — log-to-dimension compaction is one
     exchange, no join."""
     from bigdataproj_spark.plans import shuffle_count
 
-    df = load_all()["q85_scd2_intervals"].build(spark, sf_dir)
+    df = load_all()["q06_scd2_intervals"].build(spark, sf_dir)
     assert shuffle_count(df) <= 2, plan_of(df)
 
 
@@ -261,9 +261,9 @@ def test_orc_scan_pushes_filter_and_prunes(spark, sf_dir):
     """The ORC source must behave like parquet at the plan level:
     the shipdate filter reaches the OrcScan as a pushed filter and
     the aggregate's plan reads only the referenced columns."""
-    from bigdataproj_spark.sources.filescan import q09_orc_roundtrip
+    from bigdataproj_spark.sources.filescan import r44_orc_roundtrip
 
-    df = q09_orc_roundtrip(spark, sf_dir)
+    df = r44_orc_roundtrip(spark, sf_dir)
     p = plan_of(df)
     assert "orc" in p.lower(), p
     assert "GreaterThanOrEqual(l_shipdate" in p, p
@@ -274,9 +274,9 @@ def test_bigram_lm_is_one_corpus_pass(spark, sf_dir):
     checkpointed bigram table, not re-run the corpus pass: the final
     plan contains no parquet scan at all (all three consumers read
     the materialized RDD), and no row-at-a-time Python."""
-    from bigdataproj_spark.operators.text import q21_bigram_lm
+    from bigdataproj_spark.operators.text import r52_bigram_lm
 
-    p = plan_of(q21_bigram_lm(spark, sf_dir))
+    p = plan_of(r52_bigram_lm(spark, sf_dir))
     assert p.count("Scan parquet") == 0, p
     assert "ExistingRDD" in p, p
     assert "BatchEvalPython" not in p, p
@@ -287,16 +287,16 @@ def test_pagerank_output_invariants(spark, sf_dir):
     undirected trading graph's top nodes are the high-degree ones
     (rank-degree Spearman must be strongly positive), and a re-run is
     bit-identical (no RNG, checkpoint-stable)."""
-    from bigdataproj_spark.operators.graph import q08_graph_pagerank
+    from bigdataproj_spark.operators.graph import r43_graph_pagerank
 
-    a = q08_graph_pagerank(spark, sf_dir).toPandas()
+    a = r43_graph_pagerank(spark, sf_dir).toPandas()
     assert (a["pagerank"] > 0).all()
     assert a["pagerank"].is_monotonic_decreasing
     assert a["rank"].tolist() == list(range(1, len(a) + 1))
     # Spearman = Pearson over ranks (avoids the scipy dependency).
     sp = a["degree"].rank().corr(a["pagerank"].rank())
     assert sp > 0.5, sp
-    b = q08_graph_pagerank(spark, sf_dir).toPandas()
+    b = r43_graph_pagerank(spark, sf_dir).toPandas()
     assert a.equals(b)
 
 
@@ -312,10 +312,10 @@ def test_pricing_summary_single_exchange(spark, sf_dir):
 
 
 def test_skipgram_uses_arrow_kernel(spark, sf_dir):
-    """q03's round-4 form enumerates pairs in a mapInPandas kernel
+    """r38's round-4 form enumerates pairs in a mapInPandas kernel
     emitting vocabulary-bounded partial counts; the round-3 slice+zip
     struct explode (interpreted array lambdas) must not come back."""
-    df = load_all()["q03_skipgram_pairs"].build(spark, sf_dir)
+    df = load_all()["r38_skipgram_pairs"].build(spark, sf_dir)
     plan = plan_of(df)
     assert "MapInPandas" in plan, plan
     assert "Generate explode" not in plan, plan
@@ -364,7 +364,7 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
 
 def test_aqe_splits_skewed_join_partitions(spark):
     """SURVEY §4 relies on AQE's OptimizeSkewedJoin for skewed join
-    keys (the aggregation-side twin is the salting operator, q13).
+    keys (the aggregation-side twin is the salting operator, r47).
     This pins the claim: a deliberately skewed sort-merge join, with
     the skew thresholds scaled down to fixture bytes, must execute
     with the skew-split marker (``skew=true``) in the final adaptive

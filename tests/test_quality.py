@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from bigdataproj_spark.operators.quality import (
     _EMAIL_RE,
     _PHONE_RE,
-    q06_repetition_stats,
+    r41_repetition_stats,
     q15_quality_gate,
     q28_pii_scrub,
 )
@@ -25,7 +25,7 @@ from bigdataproj_spark.plans import physical_plan as plan_of
 def test_repetition_fractions_bounded(spark, sf_dir):
     """All four fractions live in [0, 1], and top-gram frac can never
     be below 1/n_grams (the mode is at least average)."""
-    pdf = q06_repetition_stats(spark, sf_dir).toPandas()
+    pdf = r41_repetition_stats(spark, sf_dir).toPandas()
     assert len(pdf) > 0
     for c in ["top_token_frac", "dup_token_frac", "top_bigram_frac", "dup_bigram_frac"]:
         assert (pdf[c] >= 0).all() and (pdf[c] <= 1).all(), c
@@ -85,7 +85,7 @@ def test_repetition_single_shuffle_per_gram_width(spark, sf_dir):
     join+sort on doc_id — no second aggregation exchange per width
     (the doc-level rollup must reuse the gram-count partitioning via
     partial aggregation, not add an exchange)."""
-    plan = plan_of(q06_repetition_stats(spark, sf_dir))
+    plan = plan_of(r41_repetition_stats(spark, sf_dir))
     hash_exchanges = len(
         [
             line
@@ -166,9 +166,9 @@ def test_drift_monitor_near_zero_on_random_split(spark, sf_dir):
     """Hash halves of ONE corpus are samples of the same distribution,
     so the measured KL must be small but positive (smoothing + finite
     sample), and contributions must be sorted by magnitude."""
-    from bigdataproj_spark.operators.quality import q37_drift_monitor
+    from bigdataproj_spark.operators.quality import r59_drift_monitor
 
-    pdf = q37_drift_monitor(spark, sf_dir).toPandas()
+    pdf = r59_drift_monitor(spark, sf_dir).toPandas()
     assert len(pdf) > 0
     kl = pdf["kl_total"].iloc[0]
     assert 0 < kl < 0.05, kl

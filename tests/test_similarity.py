@@ -118,15 +118,15 @@ def test_kmeans_partitions_all_vectors(spark, sf_dir):
     RNG)."""
     from bigdataproj_spark.operators.similarity import (
         _KM_K,
-        q31_kmeans_embeddings,
+        r56_kmeans_embeddings,
     )
 
-    a = q31_kmeans_embeddings(spark, sf_dir).toPandas()
+    a = r56_kmeans_embeddings(spark, sf_dir).toPandas()
     n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
     assert a["n_members"].sum() == n
     assert len(a) == _KM_K
     assert (a["n_members"] > 0).all()
-    b = q31_kmeans_embeddings(spark, sf_dir).toPandas()
+    b = r56_kmeans_embeddings(spark, sf_dir).toPandas()
     assert a.equals(b)
 
 

@@ -201,7 +201,7 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, batches):
     got = replay.run_file_stream(
         spark, batches, replay.attribution_stream("2 hours"), output_mode="append"
     )
-    want = load_all()["q90_stream_stream_join"].build(spark, sf_dir).toPandas()
+    want = load_all()["q12_stream_stream_join"].build(spark, sf_dir).toPandas()
     assert len(want) > 0, "fixture should contain click->purchase pairs"
     key = ["purchase_id", "click_id"]
     got_s = got.sort_values(key).reset_index(drop=True)[want.columns]
@@ -420,7 +420,7 @@ def test_dsir_batch_train_stream_score(spark, sf_dir, tmp_path):
     from bigdataproj_spark.operators.mixing import (
         dsir_lambda_rows,
         dsir_scorer,
-        q22_dsir_resample,
+        r53_dsir_resample,
     )
     from bigdataproj_spark.catalog import table as load_table
     from bigdataproj_spark.streaming.replay import (
@@ -441,7 +441,7 @@ def test_dsir_batch_train_stream_score(spark, sf_dir, tmp_path):
 
     # (a) agreement with the registry query's aggregate-path log-ratio
     # on the resampled subset it returns.
-    top = q22_dsir_resample(spark, sf_dir).toPandas()
+    top = r53_dsir_resample(spark, sf_dir).toPandas()
     merged = top.merge(batch, on="doc_id", suffixes=("_agg", "_map"))
     assert len(merged) == len(top)
     assert (merged["log_ratio_agg"] == merged["log_ratio_map"]).all()
