@@ -168,16 +168,19 @@ def decode_media(blob: bytes) -> dict:
             "duration_ms": 0,
         }
     if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
-        pos, rate, channels, bits, data_size = 12, 0, 1, 16, 0
-        while pos + 8 <= len(blob):
-            ctype, size = struct.unpack("<4sI", blob[pos : pos + 8])
-            if ctype == b"fmt ":
-                _, channels, rate, _, _, bits = struct.unpack(
-                    "<HHIIHH", blob[pos + 8 : pos + 24]
-                )
-            elif ctype == b"data":
-                data_size = size
-            pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+        try:
+            pos, rate, channels, bits, data_size = 12, 0, 1, 16, 0
+            while pos + 8 <= len(blob):
+                ctype, size = struct.unpack("<4sI", blob[pos : pos + 8])
+                if ctype == b"fmt ":
+                    _, channels, rate, _, _, bits = struct.unpack(
+                        "<HHIIHH", blob[pos + 8 : pos + 24]
+                    )
+                elif ctype == b"data":
+                    data_size = size
+                pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+        except struct.error as e:  # truncated chunk: corrupt, not a crash
+            raise ValueError(f"corrupt WAV container: {e}") from e
         if not rate:
             raise ValueError("WAV without fmt chunk")
         n_samples = data_size // (channels * bits // 8)
@@ -189,6 +192,19 @@ def decode_media(blob: bytes) -> dict:
             "duration_ms": n_samples * 1000 // rate,
         }
     raise ValueError(f"unrecognized media container (magic {blob[:8]!r})")
+
+
+def wav_data_bytes(blob: bytes) -> bytes:
+    """The PCM payload of a WAV blob, located by the real chunk walk
+    (not a fixed 44-byte offset — metadata chunks before 'data' are
+    legal RIFF)."""
+    pos = 12
+    while pos + 8 <= len(blob):
+        ctype, size = struct.unpack("<4sI", blob[pos : pos + 8])
+        if ctype == b"data":
+            return blob[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    raise ValueError("WAV without data chunk")
 
 
 def _png_unfilter(raw: np.ndarray, h: int, w: int) -> np.ndarray:
@@ -411,7 +427,7 @@ def sample_frames(df: DataFrame, stride: int = _FRAME_STRIDE) -> DataFrame:
                 meta = decode_media(blob)
                 if meta["mime"] != "audio/wav":
                     continue
-                data = blob[44:]  # canonical header; data chunk last
+                data = wav_data_bytes(blob)  # chunk-walk, not offset 44
                 n_blocks = meta["n_frames"] // _FRAME_SAMPLES
                 for i in range(0, n_blocks, stride):
                     out["doc_id"].append(doc_id)
