@@ -12,8 +12,6 @@ brute-force all-pairs form is never materialized).
 
 from __future__ import annotations
 
-import functools
-
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -224,7 +222,6 @@ def bucket_pairs(
     id_col: str,
     *payload: str,
     max_bucket: int = MAX_BUCKET_MEMBERS,
-    keep_keys: bool = False,
 ) -> DataFrame:
     """All i<j member pairs within each bucket, without a self-join.
 
@@ -250,10 +247,7 @@ def bucket_pairs(
     differential check exact even when the guard fires.
 
     Output: columns ``a`` and ``b``, structs of (id_col, *payload),
-    with a.id < b.id; ``keep_keys=True`` additionally carries the
-    bucket key columns on each pair row (callers that dedup pairs
-    across overlapping bucket families need to know which bucket
-    emitted the pair — see q27's first-collision filter).
+    with a.id < b.id.
     """
     member = F.struct(id_col, *payload)
     w = Window.partitionBy(*keys)
@@ -268,9 +262,7 @@ def bucket_pairs(
         .filter(F.size("__m") > 1)
     )
     n = F.size("__m")
-    kept = list(keys) if keep_keys else []
     return buckets.select(
-        *kept,
         F.explode(
             F.flatten(
                 F.transform(
@@ -284,8 +276,8 @@ def bucket_pairs(
                     ),
                 )
             )
-        ).alias("__p"),
-    ).select(*kept, "__p.a", "__p.b")
+        ).alias("__p")
+    ).select("__p.a", "__p.b")
 
 
 def minhash_signatures(tokenized: DataFrame) -> DataFrame:
@@ -467,63 +459,38 @@ def q27_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
     )
 
-    pairs = bucket_pairs(bands, ["band", "bh"], "doc_id", "sig", keep_keys=True)
-    # Emit-once: a pair colliding in k bands would surface k times and
-    # need a 22M-row dropDuplicates shuffle (measured sf5 numbers).
-    # Instead each pair is emitted only from the FIRST band where the
-    # two signatures' band-slices agree: for every earlier band some
-    # slice position must differ. The check compares the raw slice
-    # values (band-hash equality <=> slice equality, md5 being a
-    # function), is codegen'd positional longs like the estimator, and
-    # makes pair rows globally distinct BEFORE any shuffle — the dedup
-    # exchange disappears and the explode emits 6.7M rows, not 22M.
-    # The oracle keeps its SELECT DISTINCT formulation, proving the
-    # two shapes equivalent.
-    def slice_differs(j: int):
-        return functools.reduce(
-            lambda x, y: x | y,
-            [
-                F.col("a.sig").getItem(j * ROWS_PER_BAND + s)
-                != F.col("b.sig").getItem(j * ROWS_PER_BAND + s)
-                for s in range(ROWS_PER_BAND)
-            ],
-        )
-
-    first_collision = functools.reduce(
-        lambda x, y: x & y,
-        [(F.lit(j) >= F.col("band")) | slice_differs(j) for j in range(N_BANDS - 1)],
+    pairs = bucket_pairs(bands, ["band", "bh"], "doc_id", "sig")
+    # Cross-band dedup stays a dropDuplicates shuffle ON PURPOSE. The
+    # tempting "emit-once" rewrite — emit a pair only from the first
+    # band whose slices agree, making pairs distinct before any
+    # shuffle (measured 6.7 s → 5.7 s at sf5) — is WRONG under the
+    # hot-bucket guard: if the first agreeing band's bucket exceeded
+    # MAX_BUCKET_MEMBERS it emitted nothing, and the filter then
+    # suppresses the pair at every later band too, silently losing
+    # candidates the oracle (and recall) keeps. Exactness beats the
+    # ~15% tail saving; the guard interaction is exactly the
+    # duplicate-heavy regime this operator exists for.
+    #
+    # N_HASHES static positional comparisons instead of a
+    # zip_with+filter lambda chain: the fixed-length unrolled form
+    # stays inside whole-stage codegen (higher-order array functions
+    # evaluate in the expression interpreter), which matters at 6.7M
+    # candidate pairs per sf5 run. (Adding MORE positional work to
+    # this stage is not free: +12 comparisons pushes the generated
+    # method past HotSpot's JIT size cliff and the stage runs ~6x
+    # slower un-JIT'd — measured while evaluating the rewrite above.)
+    matches = sum(
+        (F.col("a.sig").getItem(s) == F.col("b.sig").getItem(s)).cast("int")
+        for s in range(N_HASHES)
     )
-    # The estimator is the HOF zip_with/filter form ON PURPOSE: the
-    # first-collision filter above already spends the stage's JIT
-    # budget on 12 positional long comparisons, and adding 16 more
-    # (the unrolled form round 4 used, when this stage had no filter)
-    # pushes the generated method past HotSpot's JIT size cliff — the
-    # whole explode stage then runs as un-JIT-compiled bytecode
-    # (measured 31 s vs 4.9 s at sf5 for this stage alone). The
-    # interpreted lambda evaluates only on the 6.7M emit-once
-    # survivors, not the 22M raw pairs.
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
-                lambda v: v,
-            )
-        ).cast("double")
-        / N_HASHES
-    )
+    est = matches.cast("double") / N_HASHES
     return (
-        pairs.filter(first_collision)
-        .select(
+        pairs.select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             est.alias("est_jaccard"),
         )
-        # One slim exchange before the sort: the range partitioner
-        # SAMPLES its child to pick boundaries, and without a stage
-        # boundary here that sampling pass would re-run the whole
-        # bucket-explode subtree a second time. Materializing 24-byte
-        # pair rows costs far less than recomputing the explode.
-        .repartition("doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
         .orderBy("doc_a", "doc_b")
     )
 

@@ -169,7 +169,7 @@ def decode_media(blob: bytes) -> dict:
         }
     if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
         try:
-            pos, rate, channels, bits, data_size = 12, 0, 1, 16, 0
+            pos, rate, channels, bits, data_size, data_pos = 12, 0, 1, 16, 0, 0
             while pos + 8 <= len(blob):
                 ctype, size = struct.unpack("<4sI", blob[pos : pos + 8])
                 if ctype == b"fmt ":
@@ -177,12 +177,16 @@ def decode_media(blob: bytes) -> dict:
                         "<HHIIHH", blob[pos + 8 : pos + 24]
                     )
                 elif ctype == b"data":
-                    data_size = size
+                    data_size, data_pos = size, pos + 8
                 pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
         except struct.error as e:  # truncated chunk: corrupt, not a crash
             raise ValueError(f"corrupt WAV container: {e}") from e
         if not rate:
             raise ValueError("WAV without fmt chunk")
+        if channels <= 0 or bits < 8:
+            raise ValueError(f"corrupt WAV fmt (channels={channels}, bits={bits})")
+        if data_size and data_pos + data_size > len(blob):
+            raise ValueError("corrupt WAV: data chunk declares more bytes than present")
         n_samples = data_size // (channels * bits // 8)
         return {
             "mime": "audio/wav",
@@ -250,12 +254,24 @@ def decode_image_pixels(blob: bytes) -> np.ndarray:
     meta = decode_media(blob)
     if meta["mime"] == "image/bmp":
         w, h = meta["width"], meta["height"]
+        raw_h = struct.unpack("<i", blob[22:26])[0]  # sign = row order
+        bpp = struct.unpack("<H", blob[28:30])[0]
+        compression = struct.unpack("<I", blob[30:34])[0]
+        if bpp != 24 or compression != 0:
+            raise ValueError(
+                f"unsupported BMP (bpp={bpp}, compression={compression}); "
+                "only 24-bit uncompressed supported"
+            )
         (offset,) = struct.unpack("<I", blob[10:14])
         rowsize = (3 * w + 3) & ~3
+        if len(blob) < offset + rowsize * h:
+            raise ValueError("corrupt BMP: truncated pixel data")
         rows = np.frombuffer(
             blob[offset : offset + rowsize * h], dtype=np.uint8
         ).reshape(h, rowsize)
-        return rows[::-1, : 3 * w].reshape(h, w, 3).copy()
+        if raw_h > 0:  # bottom-up (canonical); negative = top-down
+            rows = rows[::-1]
+        return rows[:, : 3 * w].reshape(h, w, 3).copy()
     if meta["mime"] == "image/png":
         w, h = meta["width"], meta["height"]
         depth, ctype = blob[24], blob[25]
@@ -408,6 +424,11 @@ def q45_media_meta_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 FRAME_SCHEMA = "doc_id long, frame_idx int, frame_md5 string"
 _FRAME_STRIDE = 2
 _FRAME_SAMPLES = 64  # samples per frame block (128 bytes of 16-bit PCM)
+# Per-document frame cap, enforced on BOTH engine and oracle: a media
+# pipeline samples at most this many blocks per item (unbounded
+# per-item fan-out is a skew bug at scale), and the oracle's
+# range(0, cap) is exact rather than an assumption about input sizes.
+_MAX_FRAME_BLOCKS = 512
 
 
 def sample_frames(df: DataFrame, stride: int = _FRAME_STRIDE) -> DataFrame:
@@ -428,7 +449,9 @@ def sample_frames(df: DataFrame, stride: int = _FRAME_STRIDE) -> DataFrame:
                 if meta["mime"] != "audio/wav":
                     continue
                 data = wav_data_bytes(blob)  # chunk-walk, not offset 44
-                n_blocks = meta["n_frames"] // _FRAME_SAMPLES
+                n_blocks = min(
+                    meta["n_frames"] // _FRAME_SAMPLES, _MAX_FRAME_BLOCKS
+                )
                 for i in range(0, n_blocks, stride):
                     out["doc_id"].append(doc_id)
                     out["frame_idx"].append(i)
@@ -452,7 +475,7 @@ frames AS (
   SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
     md5(substr(text || text, i * {2 * _FRAME_SAMPLES} + 1,
                {2 * _FRAME_SAMPLES})) AS frame_md5
-  FROM b, (SELECT unnest(range(0, 512, {_FRAME_STRIDE})) AS i) idx
+  FROM b, (SELECT unnest(range(0, {_MAX_FRAME_BLOCKS}, {_FRAME_STRIDE})) AS i) idx
   WHERE i < nt // {_FRAME_SAMPLES}
 )
 SELECT doc_id, frame_idx, frame_md5

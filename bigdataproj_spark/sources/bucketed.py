@@ -56,6 +56,14 @@ _N_BUCKETS = 32
 _WH_ROOT = os.path.join(tempfile.gettempdir(), "bigdataproj_bucketed_wh")
 
 
+def _layout_paths(sf_dir: str) -> tuple[str, str]:
+    """(table-name tag, process-scoped warehouse dir) for a fixture
+    dir — the ONE place the layout's naming scheme lives, so every
+    layout/projection builder derives identical paths."""
+    tag = re.sub(r"[^A-Za-z0-9_]", "_", scratch_tag(sf_dir))
+    return tag, os.path.join(pid_scratch(_WH_ROOT), tag)
+
+
 def write_bucketed(
     df: DataFrame,
     name: str,
@@ -117,7 +125,7 @@ def bucketed_fact_tables(
     cluster deployment runs the layout write once as a deploy step
     into the shared warehouse, not per session.
     """
-    tag = re.sub(r"[^A-Za-z0-9_]", "_", scratch_tag(sf_dir))
+    tag, wh = _layout_paths(sf_dir)
     li_name = f"lineitem_bkt_{tag}_{n_buckets}"
     od_name = f"orders_bkt_{tag}_{n_buckets}"
     memo: dict[tuple[str, int], tuple[str, str]] = spark.__dict__.setdefault(
@@ -126,7 +134,6 @@ def bucketed_fact_tables(
     key = (sf_dir, n_buckets)
     if key in memo:
         return memo[key]
-    wh = os.path.join(pid_scratch(_WH_ROOT), tag)
     write_bucketed(
         _lineitem_with_derived(table(spark, sf_dir, "lineitem")),
         li_name,
@@ -165,7 +172,7 @@ def order_revenue_projection(spark: SparkSession, sf_dir: str) -> tuple[str, str
     the bucket layout itself; incremental maintenance would ride the
     engine's upsert operator (q23) per ingest batch.
     """
-    tag = re.sub(r"[^A-Za-z0-9_]", "_", scratch_tag(sf_dir))
+    tag, wh = _layout_paths(sf_dir)
     roll_name = f"lineitem_rollup_{tag}_{_N_BUCKETS}"
     den_name = f"orders_denorm_{tag}_{_N_BUCKETS}"
     memo: dict = spark.__dict__.setdefault("_bdp_projection_memo", {})
@@ -173,7 +180,6 @@ def order_revenue_projection(spark: SparkSession, sf_dir: str) -> tuple[str, str
     if key in memo:
         return memo[key]
     li_name, od_name = bucketed_fact_tables(spark, sf_dir)
-    wh = os.path.join(pid_scratch(_WH_ROOT), tag)
     roll = (
         spark.table(li_name)
         .groupBy("l_orderkey")
@@ -208,7 +214,7 @@ def pricing_cube_table(spark: SparkSession, sf_dir: str) -> str:
     fields. This is the at-rest answer to q01's scan floor: the raw
     query reads 30M rows to produce 6; the cube reads 15k.
     """
-    tag = re.sub(r"[^A-Za-z0-9_]", "_", scratch_tag(sf_dir))
+    tag, wh = _layout_paths(sf_dir)
     cube_name = f"lineitem_pricing_cube_{tag}"
     memo: dict = spark.__dict__.setdefault("_bdp_projection_memo", {})
     key = ("pricing_cube", sf_dir)
@@ -230,7 +236,6 @@ def pricing_cube_table(spark: SparkSession, sf_dir: str) -> str:
             F.count(F.lit(1)).alias("cnt"),
         )
     )
-    wh = os.path.join(pid_scratch(_WH_ROOT), tag)
     path = os.path.join(wh, cube_name)
     cube.write.mode("overwrite").parquet(path)
     memo[key] = path

@@ -74,6 +74,8 @@ def _parse_tweet(payload: dict, next_id: int) -> tuple:
         if ts.tzinfo is None:
             ts = ts.replace(tzinfo=timezone.utc)
     user = payload.get("user") or {}
+    if not isinstance(user, dict):
+        raise ValueError("user must be a JSON object")
     geo = payload.get("geo")
     geo_t = None
     if geo is not None:
@@ -81,18 +83,23 @@ def _parse_tweet(payload: dict, next_id: int) -> tuple:
             geo_t = (float(geo["lat"]), float(geo["lon"]))
         except (KeyError, TypeError, ValueError) as e:
             raise ValueError(f"bad geo: {e}") from e
-    return (
-        int(payload.get("tweet_id", next_id)),
-        ts,
-        text,
-        (
-            int(user.get("id", 0)),
-            str(user.get("name", "")),
-            int(user.get("followers", 0)),
-        ),
-        geo_t,
-        str(payload.get("lang", "en")),
-    )
+    try:
+        # every client-controlled conversion funnels to the 400 path —
+        # a list-valued tweet_id must not kill the handler thread
+        return (
+            int(payload.get("tweet_id", next_id)),
+            ts,
+            text,
+            (
+                int(user.get("id", 0)),
+                str(user.get("name", "")),
+                int(user.get("followers", 0)),
+            ),
+            geo_t,
+            str(payload.get("lang", "en")),
+        )
+    except (TypeError, ValueError) as e:
+        raise ValueError(f"bad tweet field: {e}") from e
 
 
 class TweetIngestServer:

@@ -47,7 +47,6 @@ from __future__ import annotations
 
 import json
 import os
-import time
 import zlib
 
 from pyspark.sql import DataFrame, SparkSession
@@ -63,10 +62,6 @@ KAFKA_SOURCE_DDL = (
 )
 _TS_CREATE_TIME = 0
 
-# A crashed producer holding the reservation lock must not deadlock the
-# topic forever; a lock file older than this is stolen. Reservation is
-# a metadata read+write (milliseconds), so seconds of margin is plenty.
-_LOCK_STALE_S = 30.0
 
 
 class FileTopic:
@@ -77,8 +72,9 @@ class FileTopic:
     produce — instances hold no cached counters, so any number of
     producer instances (across processes) interleave safely. On a
     cluster the topic directory lives on shared storage (HDFS/NFS);
-    the lock protocol is plain O_EXCL create + atomic rename, both of
-    which those filesystems honor.
+    the lock is a kernel ``flock`` on a per-topic lock file (NFSv4
+    supports flock; a deployment on a filesystem without advisory
+    locks must serialize producers externally).
     """
 
     def __init__(self, root: str, name: str, partitions: int = 4):
@@ -117,36 +113,29 @@ class FileTopic:
         os.replace(tmp, self._meta_path)
 
     def _lock(self):
+        """Exclusive advisory lock on ``_meta.lock`` via ``flock``.
+
+        The kernel owns the lock lifetime: a crashed producer's lock
+        releases automatically when its fd closes, so there is no
+        staleness heuristic and no steal path — earlier drafts that
+        unlinked "stale" lock FILES had an unavoidable window where a
+        waiter could delete a LIVE holder's lock and break mutual
+        exclusion. The lock file itself is never removed; only the
+        flock on it is held/released.
+        """
+        import fcntl
+
         topic = self
 
         class _Lock:
             def __enter__(self):
-                deadline = time.monotonic() + _LOCK_STALE_S
-                while True:
-                    try:
-                        fd = os.open(
-                            topic._lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY
-                        )
-                        os.close(fd)
-                        return self
-                    except FileExistsError:
-                        try:  # steal a lock left by a crashed producer
-                            if (
-                                time.monotonic() > deadline
-                                or time.time() - os.path.getmtime(topic._lock_path)
-                                > _LOCK_STALE_S
-                            ):
-                                os.unlink(topic._lock_path)
-                                continue
-                        except FileNotFoundError:
-                            continue
-                        time.sleep(0.01)
+                self._fd = os.open(topic._lock_path, os.O_CREAT | os.O_WRONLY)
+                fcntl.flock(self._fd, fcntl.LOCK_EX)  # blocks until free
+                return self
 
             def __exit__(self, *exc):
-                try:
-                    os.unlink(topic._lock_path)
-                except FileNotFoundError:
-                    pass
+                fcntl.flock(self._fd, fcntl.LOCK_UN)
+                os.close(self._fd)
 
         return _Lock()
 

@@ -158,3 +158,35 @@ def test_synth_one_emits_all_three_containers():
         blob, m = _synth_one(doc_id, "hello media world")
         assert m == mime
         assert decode_media(blob)["mime"] == mime
+
+
+def test_bmp_top_down_pixels_not_flipped():
+    """A top-down BMP (negative height) stores rows first-to-last; the
+    decoder must NOT apply the bottom-up flip. Constructed by negating
+    the height of a bottom-up encode, whose stored rows are the
+    reverse of the logical image."""
+    pix = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    blob = bytearray(encode_bmp(pix))
+    blob[22:26] = struct.pack("<i", -2)
+    np.testing.assert_array_equal(decode_image_pixels(bytes(blob)), pix[::-1])
+
+
+def test_bmp_unsupported_depth_raises():
+    pix = np.zeros((2, 2, 3), dtype=np.uint8)
+    blob = bytearray(encode_bmp(pix))
+    blob[28:30] = struct.pack("<H", 8)  # claim 8bpp palette
+    with pytest.raises(ValueError, match="unsupported BMP"):
+        decode_image_pixels(bytes(blob))
+
+
+def test_truncated_wav_data_raises():
+    blob = encode_wav(b"\x00\x01" * 100)
+    with pytest.raises(ValueError, match="more bytes than present"):
+        decode_media(blob[:60])  # header intact, payload cut
+
+
+def test_zero_bits_wav_raises():
+    blob = bytearray(encode_wav(b"\x00\x01" * 4))
+    blob[34:36] = struct.pack("<H", 0)  # fmt bits = 0
+    with pytest.raises(ValueError, match="corrupt WAV fmt"):
+        decode_media(bytes(blob))
