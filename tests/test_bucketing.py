@@ -140,3 +140,48 @@ def test_aqe_splits_skewed_join_partitions(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_incremental_rollup_refresh_equals_rebuild(spark, sf_dir):
+    """Delta-merge maintenance of the order-revenue rollup must equal
+    a from-scratch rebuild bit-for-bit: the rollup's measures are
+    commutative monoid sums, so (stored ⊕ delta-agg) == agg(base ∪
+    delta). The delta deliberately mixes touched existing orders with
+    brand-new order keys (both merge arms exercised)."""
+    from pyspark.sql import functions as F
+
+    from bigdataproj_spark.catalog import table
+    from bigdataproj_spark.registry import load_all
+    from bigdataproj_spark.sources.bucketed import (
+        _lineitem_with_derived,
+        order_revenue_projection,
+        refresh_order_revenue_rollup,
+    )
+
+    base_roll, _ = order_revenue_projection(spark, sf_dir)
+    li = table(spark, sf_dir, "lineitem")
+    # 100-row ingest batch: 50 rows touch existing orders, 50 open new ones
+    delta = li.orderBy("l_orderkey", "l_linenumber").limit(100)
+    delta = delta.withColumn(
+        "l_orderkey",
+        F.when(F.col("l_linenumber") % 2 == 0, F.col("l_orderkey"))
+        .otherwise(F.col("l_orderkey") + 1_000_000_000),
+    )
+    new_name, _ = refresh_order_revenue_rollup(spark, sf_dir, delta)
+
+    expected = (
+        _lineitem_with_derived(li.unionByName(delta))
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_rev_i").alias("rev_i"), F.count(F.lit(1)).alias("n_items"))
+        .orderBy("l_orderkey")
+        .toPandas()
+    )
+    got = (
+        spark.table(new_name).orderBy("l_orderkey").toPandas()
+    )
+    assert got.equals(expected[got.columns.tolist()])
+
+    # the memoized projection now serves the refreshed version, and the
+    # star-join query still builds (bucket layout preserved)
+    assert order_revenue_projection(spark, sf_dir)[0] == new_name
+    load_all()["q39_bucketed_star_join"].build(spark, sf_dir)

@@ -198,3 +198,33 @@ def test_bounded_collect_guard_fires_on_oversized_fixture(spark, tmp_path):
     pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
     with pytest.raises(AssertionError, match="documented bound is 400"):
         load_all()["q43_semantic_dedup"].build(spark, str(tmp_path))
+
+
+def test_pq_adc_rerank_recall_vs_exact(spark, sf_dir):
+    """r63's two-stage PQ (ADC shortlist -> exact re-rank) must keep
+    most of the true top-3 (recall pinned at each fixture scale:
+    measured 0.73-0.87; threshold leaves host-variance margin). The
+    exact ground truth replays the engine's own Q20 squared-L2."""
+    import numpy as np
+
+    from bigdataproj_spark.catalog import table
+    from bigdataproj_spark.operators.similarity import _Q
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding").toPandas()
+    ids = e["vec_id"].to_numpy()
+    Q = np.floor(
+        np.stack(e["embedding"].to_numpy()).astype(np.float64) * _Q
+    ).astype(np.int64)
+    got = load_all()["r63_ann_pq"].build(spark, sf_dir).toPandas()
+    rec = []
+    for pid in range(5):
+        p = Q[ids == pid][0]
+        d = ((Q - p) ** 2).sum(axis=1)
+        order = sorted(zip(d.tolist(), ids.tolist()))
+        exact = [int(i) for _, i in order if i != pid][:3]
+        approx = got[got["probe_id"] == pid]["cand_id"].tolist()
+        # re-ranked distances are the exact ones for the returned rows
+        for _, row in got[got["probe_id"] == pid].iterrows():
+            assert row["dist"] == int(d[ids == row["cand_id"]][0])
+        rec.append(len(set(exact) & set(approx)) / 3)
+    assert sum(rec) / len(rec) >= 0.6, rec
