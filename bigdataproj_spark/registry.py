@@ -63,6 +63,7 @@ _QUERY_MODULES = (
     "bigdataproj_spark.sources.filescan",
     "bigdataproj_spark.sources.sink",
     "bigdataproj_spark.sources.bucketed",
+    "bigdataproj_spark.sources.zorder",
 )
 
 
