@@ -158,7 +158,7 @@ def test_incremental_rollup_refresh_equals_rebuild(spark, sf_dir):
         refresh_order_revenue_rollup,
     )
 
-    base_roll, _ = order_revenue_projection(spark, sf_dir)
+    base = order_revenue_projection(spark, sf_dir)
     li = table(spark, sf_dir, "lineitem")
     # 100-row ingest batch: 50 rows touch existing orders, 50 open new ones
     delta = li.orderBy("l_orderkey", "l_linenumber").limit(100)
@@ -167,21 +167,25 @@ def test_incremental_rollup_refresh_equals_rebuild(spark, sf_dir):
         F.when(F.col("l_linenumber") % 2 == 0, F.col("l_orderkey"))
         .otherwise(F.col("l_orderkey") + 1_000_000_000),
     )
-    new_name, _ = refresh_order_revenue_rollup(spark, sf_dir, delta)
+    try:
+        new_name, _ = refresh_order_revenue_rollup(spark, sf_dir, delta)
 
-    expected = (
-        _lineitem_with_derived(li.unionByName(delta))
-        .groupBy("l_orderkey")
-        .agg(F.sum("l_rev_i").alias("rev_i"), F.count(F.lit(1)).alias("n_items"))
-        .orderBy("l_orderkey")
-        .toPandas()
-    )
-    got = (
-        spark.table(new_name).orderBy("l_orderkey").toPandas()
-    )
-    assert got.equals(expected[got.columns.tolist()])
+        expected = (
+            _lineitem_with_derived(li.unionByName(delta))
+            .groupBy("l_orderkey")
+            .agg(F.sum("l_rev_i").alias("rev_i"), F.count(F.lit(1)).alias("n_items"))
+            .orderBy("l_orderkey")
+            .toPandas()
+        )
+        got = spark.table(new_name).orderBy("l_orderkey").toPandas()
+        assert got.equals(expected[got.columns.tolist()])
 
-    # the memoized projection now serves the refreshed version, and the
-    # star-join query still builds (bucket layout preserved)
-    assert order_revenue_projection(spark, sf_dir)[0] == new_name
-    load_all()["q39_bucketed_star_join"].build(spark, sf_dir)
+        # the memoized projection now serves the refreshed version, and
+        # the star-join query still builds (bucket layout preserved)
+        assert order_revenue_projection(spark, sf_dir)[0] == new_name
+        load_all()["q39_bucketed_star_join"].build(spark, sf_dir)
+    finally:
+        # the synthetic delta is NOT fixture data: point the shared
+        # session's memo back at the base projection so later tests
+        # (e.g. the q39 oracle row) see the fixture-derived layout
+        spark.__dict__["_bdp_projection_memo"][("order_revenue", sf_dir)] = base

@@ -20,6 +20,12 @@ import duckdb
 import pandas as pd
 import pytest
 from hypothesis import HealthCheck, given, settings
+
+# Stress knob: FUZZ_SCALE=N multiplies every family's draw count
+# (default 1 = the per-suite budget; the per-round stress runs use
+# FUZZ_SCALE=5 for ~450 fresh plans).
+import os as _os
+_FUZZ_SCALE = int(_os.environ.get("FUZZ_SCALE", "1"))
 from hypothesis import strategies as st
 
 from pyspark.sql import functions as F
@@ -119,7 +125,7 @@ def _ora(sf_dir):
 
 @given(p=plans)
 @settings(
-    max_examples=25,
+    max_examples=25 * _FUZZ_SCALE,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -205,7 +211,7 @@ def _oracle_window_sql(p) -> str:
 
 @given(p=wplans)
 @settings(
-    max_examples=20,
+    max_examples=20 * _FUZZ_SCALE,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -297,7 +303,7 @@ def _oracle_setop_sql(p) -> str:
 
 @given(p=splans)
 @settings(
-    max_examples=20,
+    max_examples=20 * _FUZZ_SCALE,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -421,7 +427,7 @@ def _oracle_join_sql(p) -> str:
 
 @given(p=jplans)
 @settings(
-    max_examples=25,
+    max_examples=25 * _FUZZ_SCALE,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

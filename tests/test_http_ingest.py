@@ -132,3 +132,47 @@ def test_multibatch_appends_accumulate(spark, server):
         2,
         3,
     ]
+
+
+def test_http_to_stream_end_to_end(spark, tmp_path):
+    """The reference's full real-time loop, live: tweets POSTed over a
+    real socket flow through the enrichment pipeline into the topic
+    log, and a Structured Streaming consumer of that log (the Kafka
+    source contract) aggregates sentiment counts per micro-batch —
+    REST edge → pipeline → broker → stream, no stage faked."""
+    import pyspark.sql.functions as SF
+
+    topic = FileTopic(str(tmp_path / "log"), "tweet-stream", partitions=2)
+    with TweetIngestServer(spark, str(tmp_path / "index"), topic=topic) as srv:
+        _post(srv.address, [
+            {"text": "fast help arrived", "user": {"name": "alice"}},
+            {"text": "slow sad flooding", "user": {"name": "bob"}},
+        ])
+        srv.flush()  # micro-batch 1 -> one topic flush
+        _post(srv.address, [{"text": "quiet evening by the creek", "user": {"name": "eve"}}])
+        srv.flush()  # micro-batch 2
+
+        sink = "http_stream_sink"
+        q = (
+            topic.read_stream(spark)
+            .select(
+                SF.get_json_object(
+                    SF.col("value").cast("string"), "$.sentiment_info.sentiment"
+                ).alias("sentiment")
+            )
+            .groupBy("sentiment")
+            .count()
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = {
+            r["sentiment"]: r["count"] for r in spark.table(sink).collect()
+        }
+        assert got == {"positive": 1, "negative": 1, "neutral": 1}
