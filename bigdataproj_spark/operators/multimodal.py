@@ -150,6 +150,11 @@ def decode_media(blob: bytes) -> dict:
     unrecognized container — corrupt blobs fail loudly, not as zeros.
     """
     if blob[:8] == b"\x89PNG\r\n\x1a\n":
+        # A magic match does not prove a whole header: a truncated blob
+        # must fail the documented ValueError contract, not struct.error
+        # (the WAV branch already guards its chunk walk the same way).
+        if len(blob) < 24:
+            raise ValueError("corrupt PNG: truncated IHDR header")
         w, h = struct.unpack(">II", blob[16:24])
         return {
             "mime": "image/png",
@@ -159,6 +164,8 @@ def decode_media(blob: bytes) -> dict:
             "duration_ms": 0,
         }
     if blob[:2] == b"BM":
+        if len(blob) < 26:
+            raise ValueError("corrupt BMP: truncated DIB header")
         w, h = struct.unpack("<ii", blob[18:26])
         return {
             "mime": "image/bmp",
@@ -254,6 +261,8 @@ def decode_image_pixels(blob: bytes) -> np.ndarray:
     meta = decode_media(blob)
     if meta["mime"] == "image/bmp":
         w, h = meta["width"], meta["height"]
+        if len(blob) < 34:  # decode_media only proved the first 26 bytes
+            raise ValueError("corrupt BMP: truncated BITMAPINFOHEADER")
         raw_h = struct.unpack("<i", blob[22:26])[0]  # sign = row order
         bpp = struct.unpack("<H", blob[28:30])[0]
         compression = struct.unpack("<I", blob[30:34])[0]
@@ -274,6 +283,8 @@ def decode_image_pixels(blob: bytes) -> np.ndarray:
         return rows[:, : 3 * w].reshape(h, w, 3).copy()
     if meta["mime"] == "image/png":
         w, h = meta["width"], meta["height"]
+        if len(blob) < 26:  # depth/ctype live past the IHDR dims
+            raise ValueError("corrupt PNG: truncated IHDR header")
         depth, ctype = blob[24], blob[25]
         if (depth, ctype) != (8, 0):
             raise ValueError("only 8-bit grayscale PNG supported")

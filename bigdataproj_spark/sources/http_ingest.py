@@ -52,7 +52,9 @@ from ..schemas import TWEET
 from ..streaming.kafkalike import FileTopic
 
 _MAX_BODY = 1 << 20  # 1 MiB per request; oversized payloads get 413
+_MAX_BUFFER = 100_000  # accept-buffer row cap between flush() calls; 429 above
 _QUERY_LIMIT = 100  # GET /query result cap (an API page, not an export)
+_BODY_TIMEOUT_S = 10.0  # socket timeout while reading a request body
 
 
 def _parse_tweet(payload: dict, next_id: int) -> tuple:
@@ -142,17 +144,39 @@ class TweetIngestServer:
             def do_POST(self):
                 if urlparse(self.path).path != "/tweets":
                     return self._reply(404, {"error": "unknown endpoint"})
-                n = int(self.headers.get("Content-Length", 0))
+                # Content-Length is client-controlled: a non-numeric
+                # value is a 400, not an uncaught ValueError; a negative
+                # one clamps to 0. The read runs under a socket timeout
+                # so an overstated length (client sends fewer bytes and
+                # stalls) cannot pin this handler thread forever.
+                try:
+                    n = max(0, int(self.headers.get("Content-Length", 0)))
+                except ValueError:
+                    return self._reply(400, {"error": "bad Content-Length"})
                 if n > _MAX_BODY:
                     return self._reply(413, {"error": "payload too large"})
+                self.connection.settimeout(_BODY_TIMEOUT_S)
                 try:
-                    payload = json.loads(self.rfile.read(n))
+                    body = self.rfile.read(n)
+                except TimeoutError:
+                    return self._reply(408, {"error": "body read timed out"})
+                try:
+                    payload = json.loads(body)
                 except json.JSONDecodeError as e:
                     return self._reply(400, {"error": f"bad JSON: {e}"})
                 tweets = payload if isinstance(payload, list) else [payload]
                 rows = []
                 try:
                     with server._lock:
+                        # Bounded accept buffer (the same discipline as
+                        # the engine's assert-bounded collects): above
+                        # the cap the client gets backpressure (429,
+                        # like Kafka's buffer-full producer error), not
+                        # unbounded driver memory growth.
+                        if len(server._buf) + len(tweets) > _MAX_BUFFER:
+                            return self._reply(
+                                429, {"error": "ingest buffer full; flush pending"}
+                            )
                         nid = server._next_id
                         for t in tweets:
                             rows.append(_parse_tweet(t, nid))

@@ -34,24 +34,46 @@ from ..catalog import table
 from ..registry import query
 from .bucketed import _layout_paths
 
-_Z_BITS = 16  # interleaved bits per column; 2^16 covers the fixture keys
+_Z_BITS = 31  # interleaved bits per column; 2^31 covers key domains
+# far past any TPC-H scale (l_partkey ~2M at sf10, ~200M at sf1000);
+# 2x31 interleaved bits = 62 < 63, so the Morton code stays a positive
+# signed long. Keys wider than 31 bits should be dense-ranked into the
+# bounded domain first.
+
+# The five magic masks of the standard bit-spread: each step doubles
+# the gap between a value's bits (16, 8, 4, 2, 1), turning a 31-bit
+# value into its bits at even positions of a 62-bit long in 5
+# shift+or+and ops — vs one op per BIT for the naive per-bit loop
+# (which at 31 bits would be a 186-term expression, past HotSpot's
+# JIT method-size cliff; see docs/BENCHMARKS.md on the q27 cliff).
+_SPREAD_MASKS = (
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
+)
 
 
-def zvalue(x: Column, y: Column, bits: int = _Z_BITS) -> Column:
-    """Bit-interleave of two non-negative int columns (Morton code),
-    as a plain long expression — JVM-side, codegen-friendly, no UDF.
+def _spread(c: Column) -> Column:
+    """Spread the low 31 bits of a long column onto even bit positions
+    (0, 2, 4, …, 60) — half of a Morton interleave, as a 5-step
+    shift/mask expression. JVM-side, codegen-friendly, no UDF."""
+    v = c.cast("long").bitwiseAND(F.lit(0x7FFFFFFF))
+    for shift, mask in _SPREAD_MASKS:
+        v = v.bitwiseOR(F.shiftleft(v, shift)).bitwiseAND(F.lit(mask))
+    return v
 
-    Keys wider than ``bits`` should be range-ranked first (the curve
-    needs a bounded domain); the fixture keys fit 16 bits directly.
-    """
-    z = F.lit(0).cast("long")
-    for b in range(bits):
-        z = (
-            z
-            + F.shiftright(x, b).bitwiseAND(F.lit(1)).cast("long") * (1 << (2 * b))
-            + F.shiftright(y, b).bitwiseAND(F.lit(1)).cast("long") * (1 << (2 * b + 1))
-        )
-    return z
+
+def zvalue(x: Column, y: Column) -> Column:
+    """Bit-interleave of two non-negative integer columns (Morton
+    code) as a plain long expression: x's bits at even positions, y's
+    at odd. Domain: the low 31 bits of each key (masked, so wider or
+    negative inputs alias rather than overflow — dense-rank such keys
+    into the bounded domain first). For keys under 2^31 the produced
+    ORDER is identical to a per-bit interleave at any width, so the
+    clustering is unaffected by the mask."""
+    return _spread(x).bitwiseOR(F.shiftleft(_spread(y), 1))
 
 
 def write_zordered(
@@ -69,7 +91,7 @@ def write_zordered(
     tests to make skipping observable on small fixtures; production
     leaves the 128 MB default."""
     w = (
-        df.withColumn("__z", zvalue(F.col(col_x).cast("int"), F.col(col_y).cast("int")))
+        df.withColumn("__z", zvalue(F.col(col_x).cast("long"), F.col(col_y).cast("long")))
         .repartitionByRange(n_files, "__z")
         .sortWithinPartitions("__z")
         .drop("__z")

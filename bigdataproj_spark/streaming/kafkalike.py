@@ -234,6 +234,15 @@ class FileTopic:
         staged = df.select(
             as_binary(key_col).alias("key"), as_binary(value_col).alias("value")
         )
+        # Null-key records round-robin via monotonically_increasing_id,
+        # so WHICH partition a null-key record lands in is plan-
+        # dependent — not replay-stable run to run (real Kafka's
+        # sticky/round-robin null-key partitioner is equally
+        # placement-unstable). localCheckpoint pins ONE materialization
+        # so counts and the write agree within a flush. Keyed records
+        # ARE replay-stable end-to-end (same key → same partition,
+        # same sort order → same offsets; asserted in
+        # tests/test_kafka.py::test_keyed_produce_df_is_replay_stable).
         staged = staged.withColumn(
             "p",
             F.when(
@@ -269,6 +278,7 @@ class FileTopic:
                 list(pdf["key"]),
                 list(pdf["value"]),
                 offs,
+                publish=False,  # stage under _tmp; driver publishes the flush
             )
             return pd.DataFrame({"p": [p], "n": [len(pdf)]})
 
@@ -279,12 +289,21 @@ class FileTopic:
             .collect()[0]["n"]
         )
         staged.unpersist()
-        # Empty partitions still publish a 0-row segment (driver-side,
-        # no data) so the flush is exactly `partitions` files — the
-        # consumer's per-trigger file count equals one flush.
+        # Flush atomicity: executors STAGE their segments under _tmp
+        # (a task retry just re-replaces its own staged file — nothing
+        # is visible to consumers mid-job), empty partitions stage a
+        # 0-row segment the same way, and only after the whole Spark
+        # job has succeeded does the driver publish all `partitions`
+        # files in one tight rename loop. A job failure publishes
+        # NOTHING (staged files + the reserved offsets are a benign
+        # abort, like an aborted Kafka transaction); a consumer can
+        # therefore never observe a flush torn by a stage retry.
         for p, n in counts.items():
             if n == 0:
-                _write_segment(self.dir, self.name, p, segs[p], [], [], [])
+                _write_segment(
+                    self.dir, self.name, p, segs[p], [], [], [], publish=False
+                )
+        _publish_staged(self.dir, sorted(segs.values()))
         return int(written or 0)
 
     def read_stream(self, spark: SparkSession) -> DataFrame:
@@ -295,7 +314,14 @@ class FileTopic:
         trigger boundary the flush boundary, matching how a caught-up
         Kafka consumer sees each producer batch as one offset range.
         Offsets resume from the query's checkpoint exactly like a
-        consumer group's committed offsets."""
+        consumer group's committed offsets.
+
+        Alignment caveat: a flush's segments publish in one driver-side
+        rename pass after the producing job succeeds (never torn by a
+        stage retry), but the pass is ``partitions`` sequential renames
+        — a trigger racing into that microsecond window can split one
+        flush across two micro-batches. Drift only moves batch
+        boundaries; delivery stays lossless and duplicate-free."""
         return (
             spark.readStream.schema(KAFKA_SOURCE_DDL)
             .option("maxFilesPerTrigger", self.partitions)
@@ -307,6 +333,28 @@ class FileTopic:
         return spark.read.schema(KAFKA_SOURCE_DDL).parquet(self.dir)
 
 
+def _staged_path(topic_dir: str, segment_no: int) -> tuple[str, str]:
+    """(staged path under _tmp, published path) for a segment number —
+    deterministic because segment numbers are topic-global unique."""
+    name = f"segment_{segment_no:08d}.parquet"
+    return os.path.join(topic_dir, "_tmp", f"staged_{name}"), os.path.join(
+        topic_dir, name
+    )
+
+
+def _publish_staged(topic_dir: str, segment_nos: list[int]) -> None:
+    """Publish one flush's staged segments: a single driver-side pass
+    of atomic renames, run only after the producing Spark job has
+    succeeded. Each rename is individually atomic; the pass is a tight
+    loop, so the window in which a concurrently-triggering consumer
+    could observe a partial flush is microseconds — and even then the
+    drift is benign (micro-batch boundaries shift; no record is lost
+    or duplicated, offsets stay dense and immutable)."""
+    for seg_no in segment_nos:
+        staged, final = _staged_path(topic_dir, seg_no)
+        os.replace(staged, final)
+
+
 def _write_segment(
     topic_dir: str,
     topic_name: str,
@@ -315,10 +363,15 @@ def _write_segment(
     keys: list,
     values: list,
     offsets: list[int],
+    publish: bool = True,
 ) -> None:
     """Write one segment file atomically (tmp + rename). Runs on the
     driver (list producer) or an executor (produce_df) — pure function
-    of its arguments, no topic state."""
+    of its arguments, no topic state. With ``publish=False`` the
+    rename target is the segment's STAGED path under ``_tmp`` (still
+    write-then-replace, so a speculative or retried task never exposes
+    a partial file to the later publish pass); the caller publishes the
+    whole flush via :func:`_publish_staged` after the job succeeds."""
     import datetime as _dt
 
     import pyarrow as pa
@@ -341,7 +394,8 @@ def _write_segment(
             "timestampType": pa.array([_TS_CREATE_TIME] * n, pa.int32()),
         }
     )
-    seg = os.path.join(topic_dir, f"segment_{segment_no:08d}.parquet")
+    staged, final = _staged_path(topic_dir, segment_no)
+    seg = final if publish else staged
     tmp_dir = os.path.join(topic_dir, "_tmp")
     os.makedirs(tmp_dir, exist_ok=True)
     tmp = os.path.join(tmp_dir, f"{os.getpid()}_{os.path.basename(seg)}")

@@ -100,48 +100,6 @@ def test_bucketed_join_matches_unbucketed(spark, sf_dir, bucketed):
     assert bucketed_n == plain_n
 
 
-def test_aqe_splits_skewed_join_partitions(spark, sf_dir):
-    """AQE's OptimizeSkewedJoin is the engine's first line of defense
-    for hot keys (operators/skew.py docstring): with thresholds scaled
-    to fixture size, a join where one key owns ~90% of the rows must
-    show skew=true on the sort-merge join in the final adaptive plan —
-    i.e. the hot partition was split instead of landing on one task."""
-    from pyspark.sql import functions as F
-
-    confs = {
-        "spark.sql.autoBroadcastJoinThreshold": "-1",
-        "spark.sql.adaptive.skewJoin.enabled": "true",
-        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
-        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
-        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
-        "spark.sql.adaptive.coalescePartitions.enabled": "false",
-    }
-    old = {k: spark.conf.get(k, None) for k in confs}
-    try:
-        for k, v in confs.items():
-            spark.conf.set(k, v)
-        big = spark.range(0, 200_000).select(
-            F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 1000)
-            .alias("k"),
-            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
-        )
-        dim = spark.range(0, 1000).select(F.col("id").alias("k"),
-                                          (F.col("id") * 2).alias("v"))
-        # Narrow projection so the finalizing collect stays small; AQE
-        # only finalizes the plan of the DataFrame actually executed.
-        j = big.join(dim, "k").select((F.col("k") + F.col("v")).alias("x"))
-        j.collect()
-        plan = j._jdf.queryExecution().executedPlan().toString()
-        assert "isFinalPlan=true" in plan, plan[:500]
-        assert "skew=true" in plan, plan[:2000]
-    finally:
-        for k, v in old.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
-
-
 def test_incremental_rollup_refresh_equals_rebuild(spark, sf_dir):
     """Delta-merge maintenance of the order-revenue rollup must equal
     a from-scratch rebuild bit-for-bit: the rollup's measures are

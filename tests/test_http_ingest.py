@@ -176,3 +176,44 @@ def test_http_to_stream_end_to_end(spark, tmp_path):
             r["sentiment"]: r["count"] for r in spark.table(sink).collect()
         }
         assert got == {"positive": 1, "negative": 1, "neutral": 1}
+
+
+def test_bad_content_length_is_400_not_crash(server):
+    """A non-numeric Content-Length must produce a clean 400 (the
+    header is client-controlled input), not an uncaught ValueError
+    that resets the connection."""
+    import http.client
+    from urllib.parse import urlparse
+
+    srv, _ = server
+    u = urlparse(srv.address)
+    conn = http.client.HTTPConnection(u.hostname, u.port, timeout=5)
+    try:
+        conn.putrequest("POST", "/tweets", skip_accept_encoding=True)
+        conn.putheader("Content-Type", "application/json")
+        conn.putheader("Content-Length", "not-a-number")
+        conn.endheaders()
+        resp = conn.getresponse()
+        assert resp.status == 400
+        assert "Content-Length" in json.loads(resp.read())["error"]
+    finally:
+        conn.close()
+
+
+def test_accept_buffer_is_bounded(server, monkeypatch):
+    """Above the accept-buffer cap the server answers 429 backpressure
+    instead of growing driver memory without bound; after a flush()
+    drains the buffer, ingestion resumes."""
+    import bigdataproj_spark.sources.http_ingest as hi
+
+    srv, _ = server
+    monkeypatch.setattr(hi, "_MAX_BUFFER", 3)
+    for i in range(3):
+        code, _ = _post(srv.address, {"text": f"t{i} #x"})
+        assert code == 200
+    code, body = _post(srv.address, {"text": "overflow #x"})
+    assert code == 429
+    assert "buffer full" in body["error"]
+    assert srv.flush() == 3
+    code, _ = _post(srv.address, {"text": "after-flush #x"})
+    assert code == 200

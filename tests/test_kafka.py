@@ -233,3 +233,65 @@ def test_filelog_consumer_resumes_from_checkpoint(spark, sf_dir, tmp_path):
     assert sum(second) == n_second
     total = topic.read_batch(spark).count()
     assert total == n_first + n_second
+
+
+def test_keyed_produce_df_is_replay_stable(spark, sf_dir, tmp_path):
+    """Replay stability of the distributed producer for KEYED records:
+    producing the same DataFrame into two fresh topics must yield the
+    same published state — every record in the same partition at the
+    same offset, the same segment numbering — because partition = hash
+    of key and offset order = (key, value) byte order, both plan-
+    independent. (Null-key records are explicitly NOT replay-stable in
+    placement — matching real Kafka's round-robin null-key partitioner
+    — per the produce_df docstring.)"""
+    from bigdataproj_spark.streaming.kafkalike import FileTopic
+
+    df = spark.range(0, 500).select(
+        (F.col("id") % 37).cast("string").alias("k"),
+        F.sha2(F.col("id").cast("string"), 256).alias("v"),
+    )
+
+    def publish(name: str):
+        topic = FileTopic(str(tmp_path / name), "t", partitions=4)
+        n = topic.produce_df(df, "k", "v")
+        assert n == 500
+        log = topic.read_batch(spark).toPandas()
+        return sorted(
+            (bytes(r.key), bytes(r.value), int(r.partition), int(r.offset))
+            for r in log.itertuples()
+        )
+
+    assert publish("run_a") == publish("run_b")
+
+
+def test_produce_df_flush_is_staged_then_published(spark, tmp_path):
+    """Flush atomicity mechanics: after produce_df returns, the topic
+    dir holds exactly `partitions` segment files for the flush (empty
+    partitions included) and no staged file is left behind in _tmp —
+    i.e. the executor-written segments went through the stage-then-
+    driver-publish path, so a failed job would have published nothing."""
+    import glob
+    import os
+
+    from bigdataproj_spark.streaming.kafkalike import FileTopic
+
+    topic = FileTopic(str(tmp_path / "log"), "t", partitions=4)
+    # Two distinct keys -> at most 2 non-empty partitions; the other
+    # >=2 partitions must still publish 0-row segments.
+    df = spark.range(0, 10).select(
+        (F.col("id") % 2).cast("string").alias("k"),
+        F.col("id").cast("string").alias("v"),
+    )
+    topic.produce_df(df, "k", "v")
+    segs = sorted(glob.glob(os.path.join(topic.dir, "segment_*.parquet")))
+    assert len(segs) == 4
+    leftovers = glob.glob(os.path.join(topic.dir, "_tmp", "staged_*"))
+    assert leftovers == []
+    log = topic.read_batch(spark)
+    assert log.count() == 10
+    # Offsets dense per partition even with empty partitions present.
+    per_part = {
+        int(r["partition"]): int(r["n"])
+        for r in log.groupBy("partition").agg(F.count("*").alias("n")).collect()
+    }
+    assert sum(per_part.values()) == 10

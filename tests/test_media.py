@@ -190,3 +190,23 @@ def test_zero_bits_wav_raises():
     blob[34:36] = struct.pack("<H", 0)  # fmt bits = 0
     with pytest.raises(ValueError, match="corrupt WAV fmt"):
         decode_media(bytes(blob))
+
+
+def test_truncated_headers_raise_value_error():
+    """A blob matching a container magic but shorter than its header
+    must fail the documented ValueError contract — not leak a raw
+    struct.error (the round-5 gap: PNG/BMP unpacked fixed offsets
+    unguarded while WAV wrapped its chunk walk)."""
+    truncated_png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 8  # magic, no IHDR dims
+    with pytest.raises(ValueError, match="truncated IHDR"):
+        decode_media(truncated_png)
+    truncated_bmp = b"BM" + b"\x00" * 10  # magic, no DIB dims
+    with pytest.raises(ValueError, match="truncated DIB"):
+        decode_media(truncated_bmp)
+    # decode_image_pixels reads deeper than decode_media proves: a BMP
+    # whose header stops right after the dims must also raise cleanly.
+    import struct as _struct
+
+    bmp_26 = b"BM" + b"\x00" * 16 + _struct.pack("<ii", 4, 4)
+    with pytest.raises(ValueError, match="truncated BITMAPINFOHEADER"):
+        decode_image_pixels(bmp_26)

@@ -42,6 +42,30 @@ def test_zvalue_orders_like_morton_curve(spark):
     assert rows["d"] == 39
 
 
+def test_zvalue_covers_wide_key_domains(spark):
+    """Keys past 2^16 (l_partkey reaches ~1M at sf5, ~2M at sf10) must
+    keep distinct curve positions — the round-5 16-bit interleave
+    silently dropped their high bits, aliasing distant keys onto the
+    same position. The 31-bit spread must match a reference Python
+    interleave bit-for-bit across the widened domain."""
+
+    def morton(x: int, y: int) -> int:
+        z = 0
+        for b in range(31):
+            z |= ((x >> b) & 1) << (2 * b) | ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    samples = [(0, 0), (1 << 16, 0), (0, 1 << 16), (1_000_000, 37),
+               (2_000_000, 1_999_999), ((1 << 31) - 1, (1 << 31) - 1)]
+    got = (
+        spark.createDataFrame(samples, "x long, y long")
+        .select(zvalue(F.col("x"), F.col("y")).alias("z"))
+        .collect()
+    )
+    assert [r["z"] for r in got] == [morton(x, y) for x, y in samples]
+    assert len({r["z"] for r in got}) == len(samples)  # no aliasing
+
+
 def test_zorder_layout_skips_row_groups(spark, sf_dir, tmp_path):
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
