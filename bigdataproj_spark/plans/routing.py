@@ -1,0 +1,535 @@
+"""S13 (engine extension): projection auto-routing — materialized-view
+matching for aggregate queries over the lineitem star.
+
+Round 5 closed the q01/q26 performance gap AT REST: the pricing cube
+(sources/bucketed.py pricing_cube_table) answers shipdate-cutoff
+pricing summaries from ~15k stored rows, and the order-revenue
+rollup + denormalized-orders pair answers the star revenue query with
+zero fact exchanges. What remained (round-5 VERDICT, item 1) was the
+ROUTING: the user had to know the projection twin existed and call it
+by name. This module closes that: queries are declared as a small
+logical spec (table, filters, grouping attributes, aggregates) and
+:func:`route` picks the cheapest deployed projection that SUBSUMES the
+spec — falling back to the raw-table plan when none does — so a
+raw-shaped request is answered from the projection automatically and
+bit-identically. This is the reference's own posture (queries hit the
+pre-indexed store, reference README.md:102-104) and the standard
+warehouse answer (aggregate rewriting over materialized views,
+Goldstein & Larson, "Optimizing queries using materialized views",
+SIGMOD 2001 — see PAPERS.md).
+
+Subsumption rules (each checked structurally, never by name):
+- every grouping attribute is stored by the projection (cube group
+  keys, or attributes a bucketed companion table provides);
+- every filter predicate references only projection group keys — a
+  predicate on a group key folds EXACTLY, because it keeps or drops
+  whole groups (the shipdate cutoff on the day-grained cube), never
+  part of one;
+- every aggregate is derivable from the stored partial states:
+  SUM(m) from the stored int64 partial sums (associative), COUNT(m)
+  and COUNT(*) from the stored non-null/row counts, AVG(m) as the
+  re-aggregated sum over the re-aggregated count — the same
+  fixed-point arithmetic the raw plan runs (functions.cents), just
+  executed at deploy time, so the answer is bit-identical by
+  construction and proven by the same DuckDB oracles the raw queries
+  carry.
+
+Candidates are tried cheapest-first (the scale-invariant ~15k-row
+cube, then the per-order rollup star pair, then the raw scan), i.e.
+the router is a rule-based cost order, not a cost model — the right
+trade at this catalog size (3 layouts), revisit if the catalog grows.
+
+At 100 TB the win is the round-5 A/B tables (docs/BENCHMARKS.md): raw
+q01 3.1x DuckDB at sf5 vs cube 1.05x/0.55x (sf5/sf10); raw q26
+5.5x/7.4x vs projections 1.2x/1.05x — and the projection answer's
+cost is INDEPENDENT of corpus scale for the cube. The router makes
+those numbers the default path for any query in its shape family.
+
+Plan-asserted in tests/test_routing.py: the routed q01/q26 shapes
+read ONLY projection storage (no raw lineitem scan in the physical
+plan); the fallback shape reads the raw table.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions import cents, isum_expr
+from ..registry import query
+from ..sources.bucketed import order_revenue_projection, pricing_cube_table
+
+# ---------------------------------------------------------------------------
+# The logical query spec.
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Pred:
+    """One filter predicate ``col <op> value``; ``cast`` optionally
+    casts the literal (e.g. "timestamp") before comparison."""
+
+    col: str
+    op: str  # one of <=, <, >=, >, =, between
+    value: object
+    cast: str | None = None
+
+    def column(self) -> Column:
+        lit = F.lit(self.value)
+        if self.op == "between":
+            lo, hi = self.value  # type: ignore[misc]
+            lo_c, hi_c = F.lit(lo), F.lit(hi)
+            if self.cast:
+                lo_c, hi_c = lo_c.cast(self.cast), hi_c.cast(self.cast)
+            return F.col(self.col).between(lo_c, hi_c)
+        if self.cast:
+            lit = lit.cast(self.cast)
+        c = F.col(self.col)
+        return {
+            "<=": c <= lit,
+            "<": c < lit,
+            ">=": c >= lit,
+            ">": c > lit,
+            "=": c == lit,
+        }[self.op]
+
+
+@dataclass(frozen=True)
+class AggCall:
+    """One output aggregate: ``fn`` over measure ``measure`` AS
+    ``alias``. fn ∈ {sum, avg, count, count_star}."""
+
+    fn: str
+    measure: str | None
+    alias: str
+
+
+@dataclass(frozen=True)
+class AggQuery:
+    """A grouped-aggregate query over the lineitem star, in logical
+    form. ``group_by``/filter columns may be lineitem-local attributes
+    or star-reachable dimension attributes (r_name, n_name); the
+    router (or the raw fallback) supplies whatever joins the
+    attributes need. Results are ordered by the grouping key (the
+    engine's §2.4 total-order contract)."""
+
+    filters: tuple[Pred, ...]
+    group_by: tuple[str, ...]
+    aggs: tuple[AggCall, ...]
+
+
+# ---------------------------------------------------------------------------
+# The semantic model: measures of the lineitem fact.
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Measure:
+    """A money measure: its raw int64 fixed-point expression (the SAME
+    arithmetic everywhere — query time in the raw plan, deploy time in
+    the projections), the 10^k divisor back to double, and the source
+    column whose non-null count backs COUNT/AVG (None for derived
+    products, which have no single source column)."""
+
+    name: str
+    raw_int: Callable[[], Column]
+    divisor: int
+    source_col: str | None
+
+
+def _rev() -> Column:
+    return cents("l_extendedprice") * (100 - cents("l_discount"))
+
+
+MEASURES: dict[str, Measure] = {
+    m.name: m
+    for m in (
+        Measure("quantity", lambda: cents("l_quantity"), 100, "l_quantity"),
+        Measure("base_price", lambda: cents("l_extendedprice"), 100, "l_extendedprice"),
+        Measure("discount", lambda: cents("l_discount"), 100, "l_discount"),
+        Measure("revenue", _rev, 10_000, None),
+        Measure("charge", lambda: _rev() * (100 + cents("l_tax")), 1_000_000, None),
+    )
+}
+
+# Attributes that live on the dimension arm (orders→customer→nation→
+# region), not on lineitem rows; using one in group_by/filters makes
+# the raw fallback build the star join.
+STAR_ATTRS = frozenset({"r_name", "n_name"})
+
+
+# ---------------------------------------------------------------------------
+# Projection descriptors + subsumption.
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class _StoredMeasure:
+    int_col: str  # stored int64 partial-sum column
+    cnt_col: str | None  # stored non-null count column (COUNT/AVG support)
+
+
+@dataclass(frozen=True)
+class Projection:
+    """One deployed layout the router may answer from: the attributes
+    it stores (grouping/filter domain), its stored measure partials,
+    its COUNT(*) column, and how to open it."""
+
+    name: str
+    attrs: frozenset[str]
+    measures: dict[str, _StoredMeasure]
+    count_star_col: str
+    open: Callable[[SparkSession, str], DataFrame]
+
+    def subsumes(self, q: AggQuery) -> bool:
+        if not set(q.group_by) <= self.attrs:
+            return False
+        if not {p.col for p in q.filters} <= self.attrs:
+            return False
+        for a in q.aggs:
+            if a.fn == "count_star":
+                continue
+            sm = self.measures.get(a.measure or "")
+            if sm is None:
+                return False
+            if a.fn in ("count", "avg") and sm.cnt_col is None:
+                return False
+        return True
+
+    def build(self, spark: SparkSession, sf_dir: str, q: AggQuery) -> DataFrame:
+        df = self.open(spark, sf_dir)
+        for p in q.filters:
+            df = df.filter(p.column())
+        exprs = []
+        for a in q.aggs:
+            if a.fn == "count_star":
+                exprs.append(F.sum(self.count_star_col).alias(a.alias))
+                continue
+            m, sm = MEASURES[a.measure], self.measures[a.measure]  # type: ignore[index]
+            if a.fn == "sum":
+                exprs.append(isum_expr(F.col(sm.int_col), m.divisor).alias(a.alias))
+            elif a.fn == "count":
+                exprs.append(F.sum(sm.cnt_col).alias(a.alias))
+            elif a.fn == "avg":
+                exprs.append(
+                    (isum_expr(F.col(sm.int_col), m.divisor) / F.sum(sm.cnt_col)).alias(
+                        a.alias
+                    )
+                )
+            else:
+                raise ValueError(f"unsupported aggregate fn {a.fn!r}")
+        return df.groupBy(*q.group_by).agg(*exprs).orderBy(*q.group_by)
+
+
+def _open_pricing_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(pricing_cube_table(spark, sf_dir))
+
+
+def _open_order_revenue_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    roll_name, den_name = order_revenue_projection(spark, sf_dir)
+    r, d = spark.table(roll_name), spark.table(den_name)
+    # Bucket-aligned join on the order key — zero exchanges on the
+    # fact spine (same shape q39 plan-asserts in tests/test_plans.py).
+    return r.join(d.hint("shuffle_hash"), r.l_orderkey == d.o_orderkey)
+
+
+PROJECTIONS: tuple[Projection, ...] = (
+    Projection(
+        name="pricing_cube",
+        attrs=frozenset({"l_returnflag", "l_linestatus", "l_shipdate"}),
+        measures={
+            "quantity": _StoredMeasure("qty_i", "cnt_qty"),
+            "base_price": _StoredMeasure("price_i", "cnt_price"),
+            "discount": _StoredMeasure("disc_i", "cnt_disc"),
+            "revenue": _StoredMeasure("rev_i", None),
+            "charge": _StoredMeasure("charge_i", None),
+        },
+        count_star_col="cnt",
+        open=_open_pricing_cube,
+    ),
+    Projection(
+        name="order_revenue_star",
+        attrs=STAR_ATTRS,
+        measures={"revenue": _StoredMeasure("rev_i", None)},
+        count_star_col="n_items",
+        open=_open_order_revenue_star,
+    ),
+)
+
+
+# ---------------------------------------------------------------------------
+# The raw fallback: the optimized plans q01/q26 established, built
+# generically from the same spec.
+# ---------------------------------------------------------------------------
+
+
+def _raw_plan(spark: SparkSession, sf_dir: str, q: AggQuery) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    local_filters = [p for p in q.filters if p.col not in STAR_ATTRS]
+    star_filters = [p for p in q.filters if p.col in STAR_ATTRS]
+    for p in local_filters:
+        li = li.filter(p.column())
+
+    needed = sorted({a.measure for a in q.aggs if a.measure})
+    int_cols = {m: f"__{m}_i" for m in needed}
+    cnt_cols = {
+        m: MEASURES[m].source_col
+        for m in needed
+        if any(a.fn in ("count", "avg") and a.measure == m for a in q.aggs)
+    }
+
+    star_group = [g for g in q.group_by if g in STAR_ATTRS]
+    local_group = [g for g in q.group_by if g not in STAR_ATTRS]
+
+    # Fused pre-projection: each measure's fixed-point expression is
+    # computed once per row (q01's measured win), plus the grouping
+    # columns and any count-source columns.
+    keep = (
+        local_group
+        + (["l_orderkey"] if star_group else [])
+        + sorted({c for c in cnt_cols.values() if c})
+    )
+    pre = li.select(
+        *keep, *[MEASURES[m].raw_int().alias(int_cols[m]) for m in needed]
+    )
+
+    def final_aggs(src_int: dict[str, str], src_cnt: dict[str, str], cnt_star: str | None):
+        exprs = []
+        for a in q.aggs:
+            if a.fn == "count_star":
+                exprs.append(
+                    (F.sum(cnt_star) if cnt_star else F.count(F.lit(1))).alias(a.alias)
+                )
+                continue
+            m = MEASURES[a.measure]  # type: ignore[index]
+            s = isum_expr(F.col(src_int[a.measure]), m.divisor)
+            if a.fn == "sum":
+                exprs.append(s.alias(a.alias))
+            elif a.fn == "count":
+                exprs.append(
+                    (F.sum(src_cnt[a.measure]) if cnt_star else F.count(src_cnt[a.measure]))
+                    .alias(a.alias)
+                )
+            elif a.fn == "avg":
+                c = (
+                    F.sum(src_cnt[a.measure])
+                    if cnt_star
+                    else F.count(src_cnt[a.measure])
+                )
+                exprs.append((s / c).alias(a.alias))
+            else:
+                raise ValueError(f"unsupported aggregate fn {a.fn!r}")
+        return exprs
+
+    if not star_group and not star_filters:
+        # q01 shape: scan → fused projection → one-shuffle aggregate.
+        return (
+            pre.groupBy(*q.group_by)
+            .agg(*final_aggs(int_cols, {m: c for m, c in cnt_cols.items() if c}, None))
+            .orderBy(*q.group_by)
+        )
+
+    # q26 shape: partial-aggregate the fact BELOW the join (slim
+    # per-order rows cross the shuffle), broadcast the dim arm.
+    if local_group:
+        raise ValueError(
+            "mixed local+star grouping is not expressible as the "
+            "partial-agg-below-join plan; group by star attributes only "
+            "or route via a projection that stores both"
+        )
+    partial = [F.sum(int_cols[m]).alias(int_cols[m]) for m in needed]
+    partial += [F.count(c).alias(f"__cnt_{m}") for m, c in cnt_cols.items() if c]
+    partial.append(F.count(F.lit(1)).alias("__cnt_star"))
+    agg_l = pre.groupBy("l_orderkey").agg(*partial)
+
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    dims = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("o_orderkey", *sorted(STAR_ATTRS))
+    )
+    joined = agg_l.join(dims.hint("shuffle_hash"), agg_l.l_orderkey == dims.o_orderkey)
+    for p in star_filters:
+        joined = joined.filter(p.column())
+    return (
+        joined.groupBy(*q.group_by)
+        .agg(
+            *final_aggs(
+                int_cols, {m: f"__cnt_{m}" for m in cnt_cols}, "__cnt_star"
+            )
+        )
+        .orderBy(*q.group_by)
+    )
+
+
+# ---------------------------------------------------------------------------
+# The router.
+# ---------------------------------------------------------------------------
+
+
+def route(
+    spark: SparkSession, sf_dir: str, q: AggQuery
+) -> tuple[DataFrame, str]:
+    """Answer ``q`` from the cheapest deployed projection that subsumes
+    it, else from the raw-table plan. Returns (result, chosen) where
+    ``chosen`` is the projection name or "raw" — callers that only
+    want the DataFrame ignore the second element; tests assert on it.
+    """
+    for proj in PROJECTIONS:
+        if proj.subsumes(q):
+            return proj.build(spark, sf_dir, q), proj.name
+    return _raw_plan(spark, sf_dir, q), "raw"
+
+
+# ---------------------------------------------------------------------------
+# Driver queries: raw-SHAPED requests, answered via route().
+# ---------------------------------------------------------------------------
+
+# q01's exact shape but a DIFFERENT cutoff than the cube was built
+# around — proving the router folds arbitrary group-key predicates,
+# not one memorized constant.
+_ROUTED_PRICING_SPEC = AggQuery(
+    filters=(Pred("l_shipdate", "<=", "2001-03-15 00:00:00", cast="timestamp"),),
+    group_by=("l_returnflag", "l_linestatus"),
+    aggs=(
+        AggCall("sum", "quantity", "sum_qty"),
+        AggCall("sum", "revenue", "sum_disc_price"),
+        AggCall("avg", "base_price", "avg_price"),
+        AggCall("count_star", None, "count_order"),
+    ),
+)
+
+_ROUTED_PRICING_ORACLE = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+    AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_extendedprice)
+    AS avg_price,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-03-15 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@query(
+    "r65_routed_pricing",
+    oracle=_ROUTED_PRICING_ORACLE,
+    tags=("bench", "S13", "A1", "P2", "O1"),
+)
+def r65_routed_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A raw-shaped pricing-summary request (q01's family, fresh
+    cutoff) declared as an :class:`AggQuery` and answered by
+    :func:`route` — which matches the pricing cube (the filter is on a
+    cube group key; every aggregate re-derives from stored partials)
+    and reads ~15k rows instead of the full lineitem scan. The DuckDB
+    oracle runs against the RAW table: the bit-identity of the rewrite
+    is the thing checked. tests/test_routing.py additionally asserts
+    the physical plan touches no raw lineitem file."""
+    df, chosen = route(spark, sf_dir, _ROUTED_PRICING_SPEC)
+    assert chosen == "pricing_cube", chosen  # routing regression guard
+    return df
+
+
+_ROUTED_STAR_SPEC = AggQuery(
+    filters=(),
+    group_by=("r_name", "n_name"),
+    aggs=(
+        AggCall("sum", "revenue", "revenue"),
+        AggCall("count_star", None, "n_items"),
+    ),
+)
+
+_ROUTED_STAR_ORACLE = """
+SELECT
+  r_name,
+  n_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+    AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+@query(
+    "r66_routed_star",
+    oracle=_ROUTED_STAR_ORACLE,
+    tags=("bench", "S13", "J1", "J4", "A1"),
+)
+def r66_routed_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q26's star-revenue request in logical form, answered by
+    :func:`route`: the grouping attributes are star-reachable and the
+    aggregates re-derive from the order-revenue rollup, so the router
+    answers from the rollup ⋈ denormalized-orders pair — the
+    exchange-free bucketed spine — while the oracle joins the five raw
+    tables. The 5.5x-at-sf5 raw gap (docs/BENCHMARKS.md) becomes the
+    1.2x projection path without the caller naming any projection."""
+    df, chosen = route(spark, sf_dir, _ROUTED_STAR_SPEC)
+    assert chosen == "order_revenue_star", chosen
+    return df
+
+
+# A filter on a non-key column: NO projection may subsume this (the
+# cube's groups mix discount values — folding would be wrong), so the
+# router must fall back to the raw plan. Registering the fallback as
+# an oracle-checked query keeps the router's "when NOT to rewrite"
+# side as hard-tested as its rewrites.
+_ROUTED_FALLBACK_SPEC = AggQuery(
+    filters=(Pred("l_discount", "<=", 0.05),),
+    group_by=("l_returnflag", "l_linestatus"),
+    aggs=(
+        AggCall("sum", "revenue", "sum_disc_price"),
+        AggCall("avg", "quantity", "avg_qty"),
+        AggCall("count_star", None, "count_order"),
+    ),
+)
+
+_ROUTED_FALLBACK_ORACLE = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+    AS sum_disc_price,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_discount <= 0.05
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@query(
+    "r67_routed_fallback",
+    oracle=_ROUTED_FALLBACK_ORACLE,
+    tags=("S13", "A1", "P2"),
+)
+def r67_routed_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The router's negative space: a discount filter is NOT on any
+    projection's group keys (cube groups mix discounts — folding would
+    silently drop rows from kept groups), so subsumption fails and the
+    spec runs the raw q01-shaped plan. Asserted to choose "raw"."""
+    df, chosen = route(spark, sf_dir, _ROUTED_FALLBACK_SPEC)
+    assert chosen == "raw", chosen
+    return df

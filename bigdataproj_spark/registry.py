@@ -64,6 +64,7 @@ _QUERY_MODULES = (
     "bigdataproj_spark.sources.sink",
     "bigdataproj_spark.sources.bucketed",
     "bigdataproj_spark.sources.zorder",
+    "bigdataproj_spark.plans.routing",
 )
 
 

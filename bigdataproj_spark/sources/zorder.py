@@ -102,6 +102,61 @@ def write_zordered(
     w.parquet(path)
 
 
+def append_zordered(
+    df: DataFrame,
+    path: str,
+    col_x: str,
+    col_y: str,
+    n_files: int = 4,
+    row_group_bytes: int | None = None,
+) -> None:
+    """Append an ingest batch to an existing Z-ordered layout without
+    rewriting it: the DELTA is clustered on the same curve (range-
+    partitioned + sorted on its own z-values) and written in append
+    mode. Skipping degrades gracefully, exactly like Delta/Iceberg
+    between OPTIMIZE runs: old files keep their tight rectangles and
+    still skip; the new files are tight over the delta's own key range
+    (an ingest batch usually covers a narrow slice); only queries
+    straddling both read a few extra row groups. :func:`recluster_zordered`
+    is the compaction that restores the globally-optimal layout; a
+    deployment runs it on a schedule, not per batch."""
+    w = (
+        df.withColumn(
+            "__z", zvalue(F.col(col_x).cast("long"), F.col(col_y).cast("long"))
+        )
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("append")
+    )
+    if row_group_bytes:
+        w = w.option("parquet.block.size", str(row_group_bytes))
+    w.parquet(path)
+
+
+def recluster_zordered(
+    spark: SparkSession,
+    path: str,
+    col_x: str,
+    col_y: str,
+    n_files: int = 32,
+    row_group_bytes: int | None = None,
+) -> str:
+    """The OPTIMIZE step: rewrite the whole layout (base + appended
+    deltas) fully Z-ordered into ``path + "_reclustered"`` and return
+    the new path — write-new-then-swing-readers, the same atomic-version
+    pattern as the bucketed projections (a cluster deployment renames
+    or repoints a view; an in-place overwrite of a layout being read
+    is never safe). Content is row-identical to the input by
+    construction (sort is the only transform); proven in
+    tests/test_zorder.py."""
+    out = path.rstrip("/") + "_reclustered"
+    write_zordered(
+        spark.read.parquet(path), out, col_x, col_y, n_files, row_group_bytes
+    )
+    return out
+
+
 def zordered_lineitem(spark: SparkSession, sf_dir: str) -> str:
     """Deploy (memoized per session+fixture) the lineitem layout
     Z-ordered on (l_partkey, l_suppkey) — the two-supplier-dimension

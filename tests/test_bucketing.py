@@ -147,3 +147,109 @@ def test_incremental_rollup_refresh_equals_rebuild(spark, sf_dir):
         # session's memo back at the base projection so later tests
         # (e.g. the q39 oracle row) see the fixture-derived layout
         spark.__dict__["_bdp_projection_memo"][("order_revenue", sf_dir)] = base
+
+
+def test_incremental_cube_refresh_equals_rebuild(spark, sf_dir):
+    """Delta-merge maintenance of the pricing cube must equal a
+    from-scratch rebuild bit-for-bit: every cube measure (int64 sums
+    and non-null counts) is a commutative monoid. Delta rows reuse
+    existing (flag, status, shipdate) groups AND introduce brand-new
+    shipdates, exercising both merge arms; the routed q46-family
+    query still answers from the refreshed version."""
+    from pyspark.sql import functions as F
+
+    from bigdataproj_spark.catalog import table
+    from bigdataproj_spark.registry import load_all
+    from bigdataproj_spark.sources.bucketed import (
+        _lineitem_with_derived,
+        pricing_cube_table,
+        refresh_pricing_cube,
+    )
+
+    base = pricing_cube_table(spark, sf_dir)
+    li = table(spark, sf_dir, "lineitem")
+    delta = li.orderBy("l_orderkey", "l_linenumber").limit(100)
+    delta = delta.withColumn(
+        "l_shipdate",
+        F.when(
+            F.col("l_linenumber") % 2 == 0, F.col("l_shipdate")
+        ).otherwise(F.col("l_shipdate") + F.expr("INTERVAL 5000 DAYS")),
+    )
+    keys = ["l_returnflag", "l_linestatus", "l_shipdate"]
+    try:
+        new_path = refresh_pricing_cube(spark, sf_dir, delta)
+        expected = (
+            _lineitem_with_derived(li.unionByName(delta))
+            .groupBy(*keys)
+            .agg(
+                F.sum("l_qty_i").alias("qty_i"),
+                F.sum("l_price_i").alias("price_i"),
+                F.sum("l_disc_i").alias("disc_i"),
+                F.sum("l_rev_i").alias("rev_i"),
+                F.sum("l_charge_i").alias("charge_i"),
+                F.count("l_quantity").alias("cnt_qty"),
+                F.count("l_extendedprice").alias("cnt_price"),
+                F.count("l_discount").alias("cnt_disc"),
+                F.count(F.lit(1)).alias("cnt"),
+            )
+            .orderBy(*keys)
+            .toPandas()
+        )
+        got = spark.read.parquet(new_path).orderBy(*keys).toPandas()
+        assert got.equals(expected[got.columns.tolist()])
+        assert pricing_cube_table(spark, sf_dir) == new_path
+        load_all()["q46_bucketed_pricing"].build(spark, sf_dir)
+    finally:
+        spark.__dict__["_bdp_projection_memo"][("pricing_cube", sf_dir)] = base
+
+
+def test_incremental_denorm_refresh_equals_rebuild(spark, sf_dir):
+    """Upsert maintenance of the dimension-denormalized orders table:
+    a delta batch that touches existing orders (same key, possibly a
+    changed customer) and adds new orders must land exactly where a
+    from-scratch re-denormalization of (stored ∖ delta) ∪ delta would."""
+    from pyspark.sql import functions as F
+
+    from bigdataproj_spark.catalog import table
+    from bigdataproj_spark.sources.bucketed import (
+        order_revenue_projection,
+        refresh_orders_denorm,
+    )
+
+    base = order_revenue_projection(spark, sf_dir)
+    o = table(spark, sf_dir, "orders")
+    # 40 updated orders rerouted to a different customer + 40 new keys
+    delta = o.orderBy("o_orderkey").limit(80)
+    delta = delta.withColumn(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 2 == 0, F.col("o_orderkey"))
+        .otherwise(F.col("o_orderkey") + 2_000_000_000),
+    ).withColumn(
+        "o_custkey",
+        F.when(F.col("o_custkey") > 1, F.col("o_custkey") - 1).otherwise(
+            F.col("o_custkey")
+        ),
+    )
+    try:
+        _, new_name = refresh_orders_denorm(spark, sf_dir, delta)
+        c = table(spark, sf_dir, "customer")
+        n = table(spark, sf_dir, "nation")
+        r = table(spark, sf_dir, "region")
+
+        def denorm(orders_df):
+            return (
+                orders_df.join(c, orders_df.o_custkey == c.c_custkey)
+                .join(n, c.c_nationkey == n.n_nationkey)
+                .join(r, n.n_regionkey == r.r_regionkey)
+                .select("o_orderkey", "r_name", "n_name")
+            )
+
+        merged_orders = o.join(
+            delta.select("o_orderkey"), "o_orderkey", "left_anti"
+        ).unionByName(delta)
+        expected = denorm(merged_orders).orderBy("o_orderkey").toPandas()
+        got = spark.table(new_name).orderBy("o_orderkey").toPandas()
+        assert got.equals(expected[got.columns.tolist()])
+        assert order_revenue_projection(spark, sf_dir)[1] == new_name
+    finally:
+        spark.__dict__["_bdp_projection_memo"][("order_revenue", sf_dir)] = base

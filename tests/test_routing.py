@@ -1,0 +1,138 @@
+"""S13 projection auto-routing: the rewrite is plan-asserted, the
+subsumption rules are unit-tested on both sides (must-match and
+must-NOT-match), and rewrites are equivalence-checked against the raw
+plan on real fixture data. The DuckDB bit-identity of the three
+registered routed queries lives in the oracle suite
+(tests/test_oracle.py) like every other query."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from bigdataproj_spark.plans import physical_plan as plan_of
+from bigdataproj_spark.plans.routing import (
+    PROJECTIONS,
+    AggCall,
+    AggQuery,
+    Pred,
+    _raw_plan,
+    route,
+)
+
+PRICING = AggQuery(
+    filters=(Pred("l_shipdate", "<=", "2001-03-15 00:00:00", cast="timestamp"),),
+    group_by=("l_returnflag", "l_linestatus"),
+    aggs=(
+        AggCall("sum", "quantity", "sum_qty"),
+        AggCall("avg", "base_price", "avg_price"),
+        AggCall("count_star", None, "count_order"),
+    ),
+)
+
+STAR = AggQuery(
+    filters=(),
+    group_by=("r_name", "n_name"),
+    aggs=(
+        AggCall("sum", "revenue", "revenue"),
+        AggCall("count_star", None, "n_items"),
+    ),
+)
+
+
+def test_pricing_shape_routes_to_cube_and_skips_raw_scan(spark, sf_dir):
+    df, chosen = route(spark, sf_dir, PRICING)
+    assert chosen == "pricing_cube"
+    plan = plan_of(df)
+    # The scan reads the cube's stored partials (qty_i etc. exist only
+    # in the projection) out of the layout warehouse — and touches NO
+    # raw fixture file, which is the whole point. (Scan paths truncate
+    # in the plan string, so assert on schema + warehouse root.)
+    assert "qty_i" in plan and "bigdataproj_bucketed_wh" in plan, plan
+    assert "lineitem.parquet" not in plan, plan
+
+
+def test_star_shape_routes_to_projection_pair(spark, sf_dir):
+    df, chosen = route(spark, sf_dir, STAR)
+    assert chosen == "order_revenue_star"
+    plan = plan_of(df)
+    assert "lineitem_rollup" in plan and "orders_denorm" in plan, plan
+    for raw in ("lineitem.parquet", "orders.parquet", "customer.parquet"):
+        assert raw not in plan, plan
+
+
+def test_routed_results_equal_raw_plan(spark, sf_dir):
+    """Routing is a physical choice only: projection answers must equal
+    the raw plan's answers cell-for-cell on the fixture (the DuckDB
+    oracle additionally pins both to ANSI SQL)."""
+    for spec in (PRICING, STAR):
+        routed, chosen = route(spark, sf_dir, spec)
+        assert chosen != "raw"
+        raw = _raw_plan(spark, sf_dir, spec)
+        assert routed.toPandas().equals(raw.toPandas()), spec
+
+
+def test_non_key_filter_falls_back_to_raw(spark, sf_dir):
+    """A predicate NOT on projection group keys must refuse the
+    rewrite: cube groups mix discount values, so folding a discount
+    filter would drop rows from inside kept groups."""
+    spec = AggQuery(
+        filters=(Pred("l_discount", "<=", 0.05),),
+        group_by=("l_returnflag", "l_linestatus"),
+        aggs=(AggCall("sum", "revenue", "rev"),),
+    )
+    df, chosen = route(spark, sf_dir, spec)
+    assert chosen == "raw"
+    assert "lineitem" in plan_of(df)
+
+
+def test_unsupported_aggregate_falls_back_to_raw():
+    """AVG needs a stored non-null count: the cube stores none for the
+    derived revenue/charge products, so avg(charge) must not match."""
+    cube = PROJECTIONS[0]
+    ok = AggQuery((), ("l_returnflag",), (AggCall("avg", "quantity", "a"),))
+    bad = AggQuery((), ("l_returnflag",), (AggCall("avg", "charge", "a"),))
+    assert cube.subsumes(ok)
+    assert not cube.subsumes(bad)
+
+
+def test_ungrouped_attribute_falls_back():
+    """Grouping by an attribute the projection does not store (raw
+    orderkey on the cube; shipdate on the star pair) must not match."""
+    cube, star = PROJECTIONS
+    assert not cube.subsumes(
+        AggQuery((), ("l_orderkey",), (AggCall("count_star", None, "n"),))
+    )
+    assert not star.subsumes(
+        AggQuery((), ("l_shipdate",), (AggCall("count_star", None, "n"),))
+    )
+
+
+def test_star_filter_routes_and_matches_raw(spark, sf_dir):
+    """A dimension-attribute filter (r_name) stays within the star
+    projection's attrs, so it routes — and equals the raw star plan."""
+    spec = AggQuery(
+        filters=(Pred("r_name", "=", "ASIA"),),
+        group_by=("n_name",),
+        aggs=(
+            AggCall("sum", "revenue", "revenue"),
+            AggCall("count_star", None, "n_items"),
+        ),
+    )
+    routed, chosen = route(spark, sf_dir, spec)
+    assert chosen == "order_revenue_star"
+    assert routed.toPandas().equals(_raw_plan(spark, sf_dir, spec).toPandas())
+
+
+def test_mixed_local_and_star_grouping_raises(spark, sf_dir):
+    """The raw fallback refuses a shape it cannot plan correctly
+    (local+star grouping needs a different join strategy) instead of
+    silently producing a wrong partial-agg plan."""
+    spec = AggQuery(
+        filters=(),
+        group_by=("l_returnflag", "r_name"),
+        aggs=(AggCall("sum", "revenue", "rev"),),
+    )
+    with pytest.raises(ValueError, match="mixed local\\+star"):
+        route(spark, sf_dir, spec)

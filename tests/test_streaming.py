@@ -278,7 +278,13 @@ def _protobuf_available() -> bool:
     reason="transformWithStateInPandas' Python worker needs google.protobuf, "
     "not present in this container (no network installs); the operator is "
     "implemented in replay.running_totals_tws_stream and this test runs "
-    "wherever protobuf exists",
+    "wherever protobuf exists. Vendoring was attempted and rejected: the "
+    "only on-disk pure-Python protobuf is 4.23.2 namespaced under a bundled "
+    "SDK's third_party tree, while pyspark's StateMessage_pb2 is "
+    "protobuf-6.33 gencode whose runtime_version.ValidateProtobufRuntimeVersion "
+    "requires a >=6.33 runtime (the module does not even exist in 4.x) — "
+    "stubbing the validation to force the old runtime under a sys.modules "
+    "shim would fake-verify a state-serialization path, worse than skipping",
 )
 def test_stateful_running_totals_tws(spark, sf_dir, batches):
     """ST6 on the Spark-4-native transformWithStateInPandas API: same

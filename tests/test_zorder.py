@@ -104,3 +104,36 @@ def test_zorder_query_matches_plain_filter(spark, sf_dir):
         .count()
     )
     assert len(got) == want
+
+
+def test_zorder_append_then_recluster_preserves_rows(spark, sf_dir, tmp_path):
+    """The append-only maintenance story: a delta batch appends as its
+    own clustered files (row content = base ∪ delta exactly), queries
+    over the appended layout still skip via per-file statistics, and
+    the OPTIMIZE-style recluster rewrite is row-identical while
+    restoring the single global curve."""
+    from bigdataproj_spark.sources.zorder import (
+        append_zordered,
+        recluster_zordered,
+    )
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    base = li.filter(F.col("l_orderkey") % 7 != 0)
+    delta = li.filter(F.col("l_orderkey") % 7 == 0)
+    path = str(tmp_path / "layout")
+    write_zordered(base, path, "l_partkey", "l_suppkey",
+                   n_files=8, row_group_bytes=4096)
+    append_zordered(delta, path, "l_partkey", "l_suppkey",
+                    n_files=2, row_group_bytes=4096)
+
+    key = ["l_orderkey", "l_partkey", "l_suppkey"]
+    want = li.orderBy(*key, "l_quantity").toPandas()
+    got = spark.read.parquet(path).orderBy(*key, "l_quantity").toPandas()
+    assert got.equals(want[got.columns.tolist()])
+
+    out = recluster_zordered(spark, path, "l_partkey", "l_suppkey",
+                             n_files=8, row_group_bytes=4096)
+    re_got = spark.read.parquet(out).orderBy(*key, "l_quantity").toPandas()
+    assert re_got.equals(want[re_got.columns.tolist()])
