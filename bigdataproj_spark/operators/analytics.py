@@ -39,8 +39,8 @@ ORDER BY cohort_day, day_offset
 """
 
 
-@query("q04_cohort_retention", oracle=_Q33_ORACLE, tags=("A1", "J1", "analytics"))
-def q04_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r69_cohort_retention", oracle=_Q33_ORACLE, tags=("A1", "J1", "analytics"))
+def r69_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily cohort retention matrix: (cohort first-active day, day
     offset) → distinct active users.
 
@@ -100,8 +100,8 @@ ORDER BY step
 """
 
 
-@query("q05_funnel_conversion", oracle=_Q34_ORACLE, tags=("A1", "J1", "analytics"))
-def q05_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r70_funnel_conversion", oracle=_Q34_ORACLE, tags=("A1", "J1", "analytics"))
+def r70_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-sequence funnel: first view → click within 12h →
     purchase within 12h of that click; survivor count per step.
 
@@ -145,7 +145,7 @@ def q05_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # SCD-2 interval build: turn a per-key changelog into validity
 # intervals [valid_from, valid_to) with a current-row flag — the
-# history-preserving counterpart of q23's SCD-1 merge.
+# history-preserving counterpart of r82's SCD-1 merge.
 # ---------------------------------------------------------------------------
 
 _SCD2_OPEN_END = "9999-12-31T00:00:00"
@@ -169,8 +169,8 @@ ORDER BY user_id, event_id
 """
 
 
-@query("q06_scd2_intervals", oracle=_Q35_ORACLE, tags=("W2", "M1", "analytics"))
-def q06_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r71_scd2_intervals", oracle=_Q35_ORACLE, tags=("W2", "M1", "analytics"))
+def r71_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD-2 (type-2 slowly-changing dimension) history from a
     changelog: each purchase sets the user's value; LEAD closes the
     previous version's validity interval, the open row is flagged

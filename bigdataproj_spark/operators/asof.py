@@ -193,8 +193,8 @@ ORDER BY user_id, day
 """
 
 
-@query("q03_gap_fill", oracle=_Q32_ORACLE, tags=("TS1", "asof"))
-def q03_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r68_gap_fill", oracle=_Q32_ORACLE, tags=("TS1", "asof"))
+def r68_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily resample per user with LOCF (last observation carried
     forward) and zero-fill before the first observation, flagging
     synthesized rows.

@@ -57,8 +57,8 @@ ORDER BY event_id
 """
 
 
-@query("q21_null_clean", oracle=_Q47_ORACLE, tags=("L11", "cleaning"))
-def q21_null_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r81_null_clean", oracle=_Q47_ORACLE, tags=("L11", "cleaning"))
+def r81_null_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Null-handling battery: drop on missing key, exact-mean
     imputation with an imputed flag, sentinel fill for categoricals.
 

@@ -366,8 +366,8 @@ ORDER BY o_orderkey
 """
 
 
-@query("q23_upsert_merge", oracle=_Q49_ORACLE, tags=("M1", "J2"))
-def q23_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r82_upsert_merge", oracle=_Q49_ORACLE, tags=("M1", "J2"))
+def r82_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE/upsert semantics on plain parquet (SCD type 1): a change
     set (updates to existing keys + inserts of new keys) merged into
     the base by full outer join + change-side-wins coalesce.

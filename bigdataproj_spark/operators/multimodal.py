@@ -56,8 +56,8 @@ ORDER BY doc_id
 """
 
 
-@query("q73_binary_ops", oracle=_Q23_ORACLE, tags=("L8", "multimodal"))
-def q73_binary_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q34_binary_ops", oracle=_Q23_ORACLE, tags=("L8", "multimodal"))
+def q34_binary_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary column fundamentals: byte length, content hashes,
     encode/decode round-trip, mime tag. Blob compare happens via
     hashes, never raw bytes (SURVEY.md §2.3 L8)."""

@@ -819,7 +819,7 @@ def r59_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialize the vocabulary-bounded count table ONCE: three
     # consumers (the totals scalar, the KL sum, the top-k) would
     # otherwise each re-run the corpus tokenize+aggregate (the
-    # r52_bigram_lm precedent).
+    # q14_bigram_lm precedent).
     c = (
         tok.groupBy("token")
         .agg(

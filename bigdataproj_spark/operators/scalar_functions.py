@@ -38,8 +38,8 @@ ORDER BY p_partkey
 """
 
 
-@query("r62_string_functions", oracle=_Q97_ORACLE, tags=("F-S1", "F-S3", "F-S4"))
-def r62_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q31_string_functions", oracle=_Q97_ORACLE, tags=("F-S1", "F-S3", "F-S4"))
+def q31_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String function family over the part dimension."""
     p = table(spark, sf_dir, "part")
     return p.select(

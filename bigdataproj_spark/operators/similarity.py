@@ -211,12 +211,12 @@ def q69_embedding_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     between engines), summed as exact int64, divided back in double.
     """
     e = table(spark, sf_dir, "embeddings")
-    r50 = F.floor(F.col("v").cast("double") * 1048576).cast("long")
+    q12 = F.floor(F.col("v").cast("double") * 1048576).cast("long")
     return (
         e.select("label", F.posexplode("embedding").alias("pos", "v"))
         .groupBy("label", "pos")
         .agg(
-            (F.sum(r50).cast("double") / 1048576 / F.count(F.lit(1))).alias("avg_val")
+            (F.sum(q12).cast("double") / 1048576 / F.count(F.lit(1))).alias("avg_val")
         )
         .orderBy("label", "pos")
     )
@@ -1040,8 +1040,8 @@ ORDER BY cluster_id
 """
 
 
-@query("r56_kmeans_embeddings", oracle=_Q_KM_ORACLE, tags=("C1", "similarity"))
-def r56_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q21_kmeans_embeddings", oracle=_Q_KM_ORACLE, tags=("C1", "similarity"))
+def q21_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed k-means (Lloyd's algorithm, K={k}, {it} fixed
     iterations) over the embedding corpus; returns per-cluster size,
     smallest member id, and centroid squared-norm.
@@ -1315,8 +1315,8 @@ ORDER BY probe_id, rank
 """
 
 
-@query("r63_ann_pq", oracle=_Q_PQ_ORACLE, tags=("L3", "similarity"))
-def r63_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q03_ann_pq", oracle=_Q_PQ_ORACLE, tags=("L3", "similarity"))
+def q03_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 neighbors via PQ-ADC shortlist + exact re-rank.
 
     The third ANN shape next to LSH (q33) and IVF (q36), and the one

@@ -61,8 +61,8 @@ LIMIT 50
 """
 
 
-@query("r50_token_counts", oracle=_Q68_ORACLE, tags=("R5", "P4", "A1", "O3", "text"))
-def r50_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q12_token_counts", oracle=_Q68_ORACLE, tags=("R5", "P4", "A1", "O3", "text"))
+def q12_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 token frequency over the documents corpus.
 
     Scale: explode happens map-side; the single shuffle is on the token
@@ -239,7 +239,7 @@ ORDER BY d.doc_id
 
 def sentiment_scores(d: DataFrame) -> DataFrame:
     """(doc_id, s): summed lexicon weights per document — the R8
-    scoring core shared by r51 and the enriched-document sink
+    scoring core shared by q13 and the enriched-document sink
     (sources/sink.py). Explode → broadcast-join the 5-row lexicon →
     partial+final sum on doc_id; docs with no lexicon hit are absent
     (callers left-join and coalesce to 0)."""
@@ -256,8 +256,8 @@ def sentiment_scores(d: DataFrame) -> DataFrame:
     )
 
 
-@query("r51_sentiment", oracle=_Q71_ORACLE, tags=("L6", "R8", "text"))
-def r51_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q13_sentiment", oracle=_Q71_ORACLE, tags=("L6", "R8", "text"))
+def q13_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sentiment label per document (reference R8, README.md:61,87-88,
     re-expressed as a deterministic lexicon scorer per SURVEY.md §7).
 
@@ -461,8 +461,8 @@ ORDER BY doc_id
 """
 
 
-@query("r54_bpe_token_counts", oracle=_Q74_ORACLE, tags=("L5", "R5", "text"))
-def r54_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q16_bpe_token_counts", oracle=_Q74_ORACLE, tags=("L5", "R5", "text"))
+def q16_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-count statistics with a BPE-style pre-tokenizer (the
     letter-run / digit-run / punctuation split GPT-2's BPE applies
     before merges) — the cost estimator of LLM data pipelines.
@@ -587,8 +587,8 @@ ORDER BY doc_id, pos
 """
 
 
-@query("r55_token_embeddings", oracle=_Q76_ORACLE, tags=("R6", "L4", "text"))
-def r55_token_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q17_token_embeddings", oracle=_Q76_ORACLE, tags=("R6", "L4", "text"))
+def q17_token_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document embeddings via vocabulary broadcast-join + mean pool
     (reference R6: tokens → pretrained vectors → document vector).
 
@@ -698,8 +698,8 @@ ORDER BY doc_id, rank
 """
 
 
-@query("r61_tfidf", oracle=_Q96_ORACLE, tags=("L5", "text"))
-def r61_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q23_tfidf", oracle=_Q96_ORACLE, tags=("L5", "text"))
+def q23_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (smoothed idf = ln((N+1)/(df+1))).
 
     Two bounded-key shuffles (doc-term counts, then term document
@@ -912,8 +912,8 @@ ORDER BY center, context, dist
 """
 
 
-@query("r38_skipgram_pairs", oracle=_Q_R12_ORACLE, tags=("L4", "text"))
-def r38_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q08_skipgram_pairs", oracle=_Q_R12_ORACLE, tags=("L4", "text"))
+def q08_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skip-gram (center, context) co-occurrence counts within a ±2
     token window — the training-pair generation step of word2vec-style
     embedding jobs (and the co-occurrence matrix of GloVe, the
@@ -1039,8 +1039,8 @@ ORDER BY token_id
 """
 
 
-@query("r39_vocab_build", oracle=_Q_R13_ORACLE, tags=("L5", "text"))
-def r39_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q09_vocab_build", oracle=_Q_R13_ORACLE, tags=("L5", "text"))
+def q09_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequency-ranked vocabulary with stable token ids — the
     tokenizer-training step: corpus term+document frequencies, a min-df
     floor, ids assigned by (tf desc, token) rank so the mapping is a
@@ -1108,8 +1108,8 @@ ORDER BY doc_id
 """
 
 
-@query("r45_encode_ids", oracle=_Q_R14_ORACLE, tags=("L5", "text"))
-def r45_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q10_encode_ids", oracle=_Q_R14_ORACLE, tags=("L5", "text"))
+def q10_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encode each document's first 32 tokens as vocabulary ids (OOV →
     -1) plus an out-of-vocabulary count — the corpus→tensor step of a
     tokenizer pipeline, with the id sequence serialized to a string
@@ -1122,7 +1122,7 @@ def r45_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = table(spark, sf_dir, "documents")
     t = d.select("doc_id", tokens("text").alias("toks")).filter(F.size("toks") > 0)
-    vocab = r39_vocab_build(spark, sf_dir).select("token", "token_id")
+    vocab = q09_vocab_build(spark, sf_dir).select("token", "token_id")
     pos = t.select(
         "doc_id",
         F.posexplode(F.slice("toks", 1, _ENC_PREFIX)).alias("i0", "token"),
@@ -1151,7 +1151,7 @@ def r45_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# r52: bigram language model build — the KenLM-ish "train the n-gram
+# q14: bigram language model build — the KenLM-ish "train the n-gram
 # model" step (conditional-probability table with add-one smoothing).
 # ---------------------------------------------------------------------------
 
@@ -1182,8 +1182,8 @@ ORDER BY w1, w2
 """
 
 
-@query("r52_bigram_lm", oracle=_Q_LM_ORACLE, tags=("L5", "text"))
-def r52_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q14_bigram_lm", oracle=_Q_LM_ORACLE, tags=("L5", "text"))
+def q14_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build a bigram language model table: P(w2|w1) with add-one
     smoothing over the corpus — the model-estimation step behind the
     unigram-perplexity scorer (r58) and every KenLM-style n-gram LM

@@ -44,8 +44,8 @@ ORDER BY doc_id
 """
 
 
-@query("q31_pandas_scalar_udf", oracle=_Q26_ORACLE, tags=("U2", "udx"))
-def q31_pandas_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r83_pandas_scalar_udf", oracle=_Q26_ORACLE, tags=("U2", "udx"))
+def r83_pandas_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-vectorized scalar UDF (the engine's preferred UDF form;
     row-at-a-time U1 exists only for API parity)."""
     quality_score = pandas_udf(_quality_score, "double")
@@ -103,8 +103,8 @@ ORDER BY doc_id
 """
 
 
-@query("q34_grouped_map_udf", oracle=_Q27_ORACLE, tags=("U3", "udx"))
-def q34_grouped_map_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r84_grouped_map_udf", oracle=_Q27_ORACLE, tags=("U3", "udx"))
+def r84_grouped_map_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandas grouped-map: z-score normalize document lengths
     within each language group (one shuffle on the group key; each
     group becomes one Arrow batch)."""
@@ -176,7 +176,7 @@ ORDER BY p_partkey
 @query("q37_scalar_udf", oracle=_Q29_ORACLE, tags=("U1", "udx"))
 def q37_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-at-a-time scalar UDF (U1). Kept off hot paths by design —
-    see q31 for the Arrow-vectorized form."""
+    see r83 for the Arrow-vectorized form."""
     reverse_chars = udf(_reverse_chars, "string")
     p = table(spark, sf_dir, "part")
     return p.select("p_partkey", reverse_chars("p_name").alias("name_rev")).orderBy(

@@ -426,11 +426,11 @@ ORDER BY l_returnflag, l_linestatus
 
 
 @query(
-    "r65_routed_pricing",
+    "q05_routed_pricing",
     oracle=_ROUTED_PRICING_ORACLE,
     tags=("bench", "S13", "A1", "P2", "O1"),
 )
-def r65_routed_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q05_routed_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A raw-shaped pricing-summary request (q01's family, fresh
     cutoff) declared as an :class:`AggQuery` and answered by
     :func:`route` — which matches the pricing cube (the filter is on a
@@ -472,11 +472,11 @@ ORDER BY r_name, n_name
 
 
 @query(
-    "r66_routed_star",
+    "q06_routed_star",
     oracle=_ROUTED_STAR_ORACLE,
     tags=("bench", "S13", "J1", "J4", "A1"),
 )
-def r66_routed_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q06_routed_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q26's star-revenue request in logical form, answered by
     :func:`route`: the grouping attributes are star-reachable and the
     aggregates re-derive from the order-revenue rollup, so the router
@@ -521,11 +521,11 @@ ORDER BY l_returnflag, l_linestatus
 
 
 @query(
-    "r67_routed_fallback",
+    "q07_routed_fallback",
     oracle=_ROUTED_FALLBACK_ORACLE,
     tags=("S13", "A1", "P2"),
 )
-def r67_routed_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q07_routed_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The router's negative space: a discount filter is NOT on any
     projection's group keys (cube groups mix discounts — folding would
     silently drop rows from kept groups), so subsumption fails and the

@@ -32,7 +32,15 @@ def _default_shuffle_partitions(master: str) -> str:
     megabytes — cores/2 measured fastest at both sf0.1 and the tiled
     sf1 (24%/16% off total bench wall vs width 32 on local[32]); a
     cluster deployment sets 2-3x total cores via SPARK_SHUFFLE_PARTITIONS
-    or spark-defaults, per the §4 posture."""
+    or spark-defaults, per the §4 posture.
+
+    Measured round 6 (docs/BENCHMARKS.md "NOT a shuffle-width
+    problem"): there is no width-VS-SCALE rule worth encoding — at sf5
+    and sf10 the shuffle-heavy queries spill ZERO bytes at widths
+    16-64 and move only ±15% (width = task-overlap, not memory), while
+    the scan-bound ratios are unaffected. Scale problems are answered
+    by layout + routing (sources/bucketed.py, plans/routing.py), not
+    by this knob."""
     if master.startswith("local"):
         cpus = os.cpu_count() or 8
         inner = master[master.find("[") + 1 : master.find("]")] if "[" in master else ""

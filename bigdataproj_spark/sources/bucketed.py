@@ -170,7 +170,7 @@ def order_revenue_projection(spark: SparkSession, sf_dir: str) -> tuple[str, str
 
     At 100 TB the rollup/denorm write is the deploy step exactly like
     the bucket layout itself; incremental maintenance would ride the
-    engine's upsert operator (q23) per ingest batch.
+    engine's upsert operator (r82) per ingest batch.
     """
     tag, wh = _layout_paths(sf_dir)
     roll_name = f"lineitem_rollup_{tag}_{_N_BUCKETS}"

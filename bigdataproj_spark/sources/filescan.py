@@ -69,8 +69,8 @@ ORDER BY o_orderpriority
 """
 
 
-@query("q13_json_scan", oracle=_Q41_ORACLE, tags=("S2", "sources"))
-def q13_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r77_json_scan", oracle=_Q41_ORACLE, tags=("S2", "sources"))
+def r77_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL round-trip: orders → distributed JSON export → schema-on-
     read scan (S2) → aggregate. Matching the parquet-side oracle proves
     the JSON boundary preserves longs, doubles, strings, timestamps."""
@@ -106,8 +106,8 @@ ORDER BY c_mktsegment
 """
 
 
-@query("q14_csv_scan", oracle=_Q42_ORACLE, tags=("S3", "sources"))
-def q14_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r78_csv_scan", oracle=_Q42_ORACLE, tags=("S3", "sources"))
+def r78_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV round-trip: customer → headered CSV export → schema-on-read
     scan (S3) → aggregate (covers quoting, null round-trip, numeric
     parsing)."""

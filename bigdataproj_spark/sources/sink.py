@@ -36,7 +36,7 @@ def query_index(spark: SparkSession, path: str) -> DataFrame:
 
 def _enriched_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Documents + sentiment label (the L6 lexicon scorer, shared
-    with r51 via text.sentiment_scores) — the engine's analog of the
+    with q13 via text.sentiment_scores) — the engine's analog of the
     reference's enriched-tweet record."""
     d = table(spark, sf_dir, "documents")
     scores = sentiment_scores(d)
@@ -83,8 +83,8 @@ ORDER BY sentiment, lang
 )
 
 
-@query("q16_partitioned_sink", oracle=_Q43_ORACLE, tags=("S4", "sources"))
-def q16_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r79_partitioned_sink", oracle=_Q43_ORACLE, tags=("S4", "sources"))
+def r79_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4 round-trip: enriched documents → parquet partitioned by
     (sentiment, lang) → re-open → aggregate per partition key.
 
@@ -92,7 +92,7 @@ def q16_partitioned_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     directory encoding (hive-style key=value paths) and that the
     re-opened index returns exactly the written rows.
     """
-    # per-process + per-query scratch: q16 and q17 each write their own
+    # per-process + per-query scratch: r79 and r80 each write their own
     # index (a shared dir is clobbered at plan-BUILD time by whichever
     # query builds second, invalidating the first's captured file list)
     out = os.path.join(pid_scratch(_SINK_ROOT), scratch_tag(sf_dir), "doc_index_q93")
@@ -119,8 +119,8 @@ ORDER BY doc_id
 )
 
 
-@query("q17_query_index", oracle=_Q44_ORACLE, tags=("R13", "sources"))
-def q17_query_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r80_query_index", oracle=_Q44_ORACLE, tags=("R13", "sources"))
+def r80_query_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R13 predicate query against the partitioned index: fetch all
     negative-sentiment English documents.
 

@@ -47,8 +47,8 @@ ORDER BY w_start, event_type
 """
 
 
-@query("q07_tumbling_window", oracle=_Q36_ORACLE, tags=("ST1", "streaming"))
-def q07_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r72_tumbling_window", oracle=_Q36_ORACLE, tags=("ST1", "streaming"))
+def r72_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour window counts/sums per event type (ST1).
 
     The identical ``F.window`` expression runs incrementally under
@@ -95,8 +95,8 @@ ORDER BY w_start
 """
 
 
-@query("q08_sliding_window", oracle=_Q37_ORACLE, tags=("ST2", "streaming"))
-def q08_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r73_sliding_window", oracle=_Q37_ORACLE, tags=("ST2", "streaming"))
+def r73_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window totals: 2-hour windows advancing by 1 hour (ST2).
 
     Spark's ``window(ts, '2 hours', '1 hour')`` assigns each event to
@@ -148,8 +148,8 @@ ORDER BY user_id, s_start
 """
 
 
-@query("q09_session_window", oracle=_Q38_ORACLE, tags=("ST3", "streaming"))
-def q09_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r74_session_window", oracle=_Q38_ORACLE, tags=("ST3", "streaming"))
+def r74_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user session windows with a 30-minute inactivity gap (ST3).
 
     ``F.session_window`` merges overlapping [ts, ts+gap) intervals;
@@ -195,8 +195,8 @@ ORDER BY e.event_id
 """
 
 
-@query("q10_stream_static_join", oracle=_Q39_ORACLE, tags=("ST7", "streaming"))
-def q10_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r75_stream_static_join", oracle=_Q39_ORACLE, tags=("ST7", "streaming"))
+def r75_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment join (ST7): events joined to customer
     and nation dimensions.
 
@@ -247,8 +247,8 @@ ORDER BY purchase_id, click_id
 """
 
 
-@query("q12_stream_stream_join", oracle=_Q40_ORACLE, tags=("ST8", "streaming"))
-def q12_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r76_stream_stream_join", oracle=_Q40_ORACLE, tags=("ST8", "streaming"))
+def r76_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join, batch twin (ST8): every purchase
     matched to the same user's clicks in the preceding hour — the
     classic attribution join.

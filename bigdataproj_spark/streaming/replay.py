@@ -180,7 +180,7 @@ def run_file_stream(
 
 def tumbling_stream(delay: str = "2 hours"):
     """Watermarked 1-hour tumbling counts — the streaming twin of
-    batch q07. Windows finalize once the watermark (max event time -
+    batch r72. Windows finalize once the watermark (max event time -
     delay) passes their end; later-arriving rows for a finalized
     window are dropped (ST4)."""
 
@@ -272,7 +272,7 @@ def running_totals_stream(delay: str = "2 hours"):
 
 
 # ---------------------------------------------------------------------------
-# ST7: stream-static enrichment join (streaming twin of batch q10).
+# ST7: stream-static enrichment join (streaming twin of batch r75).
 # ---------------------------------------------------------------------------
 
 
@@ -301,7 +301,7 @@ def enriched_stream(spark: SparkSession, sf_dir: str):
 
 
 def attribution_stream(delay: str = "2 hours"):
-    """readStream twin of q12_stream_stream_join: both join sides are
+    """readStream twin of r76_stream_stream_join: both join sides are
     the same watched file stream (a supported streaming self-join),
     each with its own watermark; the two-sided time bound on ts lets
     Spark expire click state once the purchase-side watermark passes
@@ -421,7 +421,7 @@ def foreach_batch_upsert(
        effectively exactly-once.
     2. **Merge**: per-key aggregates of the batch full-outer-join the
        current snapshot; change-side-wins coalesce plus additive
-       fold of the counters (the M1 upsert shape, q23).
+       fold of the counters (the M1 upsert shape, r82).
     3. **Atomic publish**: each snapshot is a versioned directory
        ``v{batch_id}/`` holding BOTH the data and the
        carried-forward ledger; a ``current`` symlink is swapped with

@@ -44,10 +44,10 @@ EXTRA = {
     "q48_decontamination",
     "q32_training_mix_pipeline",
     "r53_dsir_resample",
-    "r52_bigram_lm",
-    "r38_skipgram_pairs",
+    "q14_bigram_lm",
+    "q08_skipgram_pairs",
     "r43_graph_pagerank",
-    "r56_kmeans_embeddings",
+    "q21_kmeans_embeddings",
 }
 
 out = list(HEADER)

@@ -236,3 +236,52 @@ def test_chunk_dedup_conservation(spark, sf_dir):
         .count()
     )
     assert int((pdf["n_chunks"] - pdf["n_dup_chunks"]).sum()) == n_distinct
+
+
+def test_lsh_pipeline_bounded_under_adversarial_boilerplate(spark, tmp_path):
+    """End-to-end q27 pipeline on an adversarially skewed corpus: a
+    boilerplate blob replicated past MAX_BUCKET_MEMBERS makes every
+    band bucket of that blob hot. The guard must (a) emit ZERO pairs
+    from the boilerplate mass — its ~3M would-be pairs are quadratic
+    noise — while (b) planted near-dup pairs among the normal docs
+    still surface. This is the full operator under skew, not the
+    bucket_pairs unit in isolation."""
+    from bigdataproj_spark.operators.dedup import MAX_BUCKET_MEMBERS
+    from bigdataproj_spark.registry import load_all
+
+    n_boiler = MAX_BUCKET_MEMBERS + 500
+    boiler = spark.range(0, n_boiler).select(
+        F.col("id").alias("doc_id"),
+        F.lit(
+            "terms of service all rights reserved contact us privacy "
+            "policy cookie notice subscribe newsletter follow social"
+        ).alias("text"),
+    )
+    # 40 normal docs in 20 planted near-identical pairs (ids 10000+),
+    # texts unique per pair via hashed tokens.
+    normal = spark.range(0, 40).select(
+        (F.col("id") + 10_000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(12)),
+                lambda i: F.sha2(
+                    F.concat((F.col("id") / 2).cast("int").cast("string"),
+                             i.cast("string")),
+                    256,
+                ).substr(1, 8),
+            ),
+        ).alias("text"),
+    )
+    corpus = boiler.unionByName(normal)
+    sf_dir = str(tmp_path)
+    corpus.write.parquet(f"{sf_dir}/documents.parquet")
+
+    pairs = load_all()["q27_minhash_lsh"].build(spark, sf_dir).toPandas()
+    boiler_pairs = pairs[(pairs.doc_a < 10_000) & (pairs.doc_b < 10_000)]
+    planted = pairs[(pairs.doc_a >= 10_000) & (pairs.doc_b >= 10_000)]
+    assert len(boiler_pairs) == 0, len(boiler_pairs)
+    # every planted pair (2k, 2k+1) has identical text -> must surface
+    want = {(10_000 + 2 * k, 10_000 + 2 * k + 1) for k in range(20)}
+    got = {(int(a), int(b)) for a, b in zip(planted.doc_a, planted.doc_b)}
+    assert want <= got, want - got

@@ -213,11 +213,11 @@ def test_concurrent_queries_on_shared_session(spark, sf_dir):
     qs = load_all()
     names = [
         "q01_pricing_summary",
-        "r50_token_counts",
+        "q12_token_counts",
         "r31_semi_join",
         "r33_rank_functions",
         "r35_union_all",
-        "r62_string_functions",
+        "q31_string_functions",
     ]
     serial = {n: qs[n].build(spark, sf_dir).toPandas() for n in names}
     with ThreadPoolExecutor(max_workers=6) as pool:

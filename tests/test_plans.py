@@ -238,22 +238,22 @@ def test_fulltext_scan_prunes_to_doc_and_text(spark, sf_dir):
 
 
 def test_funnel_pushes_event_type_to_scan(spark, sf_dir):
-    """q05's per-step type filters must reach the events scan as
+    """r70's per-step type filters must reach the events scan as
     pushed filters (each step reads one event type's row groups, not
     the whole log)."""
-    df = load_all()["q05_funnel_conversion"].build(spark, sf_dir)
+    df = load_all()["r70_funnel_conversion"].build(spark, sf_dir)
     plan = plan_of(df)
     for etype in ("view", "click", "purchase"):
         assert f"EqualTo(event_type,{etype})" in plan, plan
 
 
 def test_scd2_is_single_shuffle_before_sort(spark, sf_dir):
-    """q06 must shuffle once on the window key (plus the presentation
+    """r71 must shuffle once on the window key (plus the presentation
     sort's range exchange) — log-to-dimension compaction is one
     exchange, no join."""
     from bigdataproj_spark.plans import shuffle_count
 
-    df = load_all()["q06_scd2_intervals"].build(spark, sf_dir)
+    df = load_all()["r71_scd2_intervals"].build(spark, sf_dir)
     assert shuffle_count(df) <= 2, plan_of(df)
 
 
@@ -274,9 +274,9 @@ def test_bigram_lm_is_one_corpus_pass(spark, sf_dir):
     checkpointed bigram table, not re-run the corpus pass: the final
     plan contains no parquet scan at all (all three consumers read
     the materialized RDD), and no row-at-a-time Python."""
-    from bigdataproj_spark.operators.text import r52_bigram_lm
+    from bigdataproj_spark.operators.text import q14_bigram_lm
 
-    p = plan_of(r52_bigram_lm(spark, sf_dir))
+    p = plan_of(q14_bigram_lm(spark, sf_dir))
     assert p.count("Scan parquet") == 0, p
     assert "ExistingRDD" in p, p
     assert "BatchEvalPython" not in p, p
@@ -312,10 +312,10 @@ def test_pricing_summary_single_exchange(spark, sf_dir):
 
 
 def test_skipgram_uses_arrow_kernel(spark, sf_dir):
-    """r38's round-4 form enumerates pairs in a mapInPandas kernel
+    """q08's round-4 form enumerates pairs in a mapInPandas kernel
     emitting vocabulary-bounded partial counts; the round-3 slice+zip
     struct explode (interpreted array lambdas) must not come back."""
-    df = load_all()["r38_skipgram_pairs"].build(spark, sf_dir)
+    df = load_all()["q08_skipgram_pairs"].build(spark, sf_dir)
     plan = plan_of(df)
     assert "MapInPandas" in plan, plan
     assert "Generate explode" not in plan, plan

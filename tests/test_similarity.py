@@ -118,15 +118,15 @@ def test_kmeans_partitions_all_vectors(spark, sf_dir):
     RNG)."""
     from bigdataproj_spark.operators.similarity import (
         _KM_K,
-        r56_kmeans_embeddings,
+        q21_kmeans_embeddings,
     )
 
-    a = r56_kmeans_embeddings(spark, sf_dir).toPandas()
+    a = q21_kmeans_embeddings(spark, sf_dir).toPandas()
     n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
     assert a["n_members"].sum() == n
     assert len(a) == _KM_K
     assert (a["n_members"] > 0).all()
-    b = r56_kmeans_embeddings(spark, sf_dir).toPandas()
+    b = q21_kmeans_embeddings(spark, sf_dir).toPandas()
     assert a.equals(b)
 
 
@@ -201,7 +201,7 @@ def test_bounded_collect_guard_fires_on_oversized_fixture(spark, tmp_path):
 
 
 def test_pq_adc_rerank_recall_vs_exact(spark, sf_dir):
-    """r63's two-stage PQ (ADC shortlist -> exact re-rank) must keep
+    """q03's two-stage PQ (ADC shortlist -> exact re-rank) must keep
     most of the true top-3 (recall pinned at each fixture scale:
     measured 0.73-0.87; threshold leaves host-variance margin). The
     exact ground truth replays the engine's own Q20 squared-L2."""
@@ -215,7 +215,7 @@ def test_pq_adc_rerank_recall_vs_exact(spark, sf_dir):
     Q = np.floor(
         np.stack(e["embedding"].to_numpy()).astype(np.float64) * _Q
     ).astype(np.int64)
-    got = load_all()["r63_ann_pq"].build(spark, sf_dir).toPandas()
+    got = load_all()["q03_ann_pq"].build(spark, sf_dir).toPandas()
     rec = []
     for pid in range(5):
         p = Q[ids == pid][0]

@@ -201,7 +201,7 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, batches):
     got = replay.run_file_stream(
         spark, batches, replay.attribution_stream("2 hours"), output_mode="append"
     )
-    want = load_all()["q12_stream_stream_join"].build(spark, sf_dir).toPandas()
+    want = load_all()["r76_stream_stream_join"].build(spark, sf_dir).toPandas()
     assert len(want) > 0, "fixture should contain click->purchase pairs"
     key = ["purchase_id", "click_id"]
     got_s = got.sort_values(key).reset_index(drop=True)[want.columns]
