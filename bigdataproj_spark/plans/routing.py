@@ -177,15 +177,24 @@ class _StoredMeasure:
 class Projection:
     """One deployed layout the router may answer from: the attributes
     it stores (grouping/filter domain), its stored measure partials,
-    its COUNT(*) column, and how to open it."""
+    its COUNT(*) column, and how to open it. ``requires`` (optional)
+    narrows the projection's target query family: it volunteers only
+    when at least one of those attributes appears in the query's
+    grouping or filters — e.g. the star-date cube targets DATED star
+    queries, leaving the undated star shape to the rollup pair whose
+    plan is the measured canonical answer for it."""
 
     name: str
     attrs: frozenset[str]
     measures: dict[str, _StoredMeasure]
     count_star_col: str
     open: Callable[[SparkSession, str], DataFrame]
+    requires: frozenset[str] = frozenset()
 
     def subsumes(self, q: AggQuery) -> bool:
+        used = set(q.group_by) | {p.col for p in q.filters}
+        if self.requires and not (self.requires & used):
+            return False
         if not set(q.group_by) <= self.attrs:
             return False
         if not {p.col for p in q.filters} <= self.attrs:
@@ -237,6 +246,12 @@ def _open_order_revenue_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.join(d.hint("shuffle_hash"), r.l_orderkey == d.o_orderkey)
 
 
+def _open_star_date_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.bucketed import star_date_cube_table
+
+    return spark.read.parquet(star_date_cube_table(spark, sf_dir))
+
+
 PROJECTIONS: tuple[Projection, ...] = (
     Projection(
         name="pricing_cube",
@@ -257,6 +272,18 @@ PROJECTIONS: tuple[Projection, ...] = (
         measures={"revenue": _StoredMeasure("rev_i", None)},
         count_star_col="n_items",
         open=_open_order_revenue_star,
+    ),
+    # Time-sliced star queries: ~60k rows (|regions| x |nations| x
+    # |days|) at ANY corpus scale. Volunteers only when the query
+    # actually involves the date attribute — the undated star shape
+    # keeps the rollup pair's measured plan.
+    Projection(
+        name="star_date_cube",
+        attrs=STAR_ATTRS | {"l_shipdate"},
+        measures={"revenue": _StoredMeasure("rev_i", None)},
+        count_star_col="cnt",
+        open=_open_star_date_cube,
+        requires=frozenset({"l_shipdate"}),
     ),
 )
 
@@ -288,10 +315,14 @@ def _raw_plan(spark: SparkSession, sf_dir: str, q: AggQuery) -> DataFrame:
     # Fused pre-projection: each measure's fixed-point expression is
     # computed once per row (q01's measured win), plus the grouping
     # columns and any count-source columns.
-    keep = (
-        local_group
-        + (["l_orderkey"] if star_group else [])
-        + sorted({c for c in cnt_cols.values() if c})
+    # dict.fromkeys: order-stable dedup (a grouping column may double
+    # as a COUNT source column; selecting it twice would be an error)
+    keep = list(
+        dict.fromkeys(
+            local_group
+            + (["l_orderkey"] if star_group else [])
+            + sorted(c for c in cnt_cols.values() if c)
+        )
     )
     pre = li.select(
         *keep, *[MEASURES[m].raw_int().alias(int_cols[m]) for m in needed]
@@ -532,4 +563,110 @@ def q07_routed_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
     spec runs the raw q01-shaped plan. Asserted to choose "raw"."""
     df, chosen = route(spark, sf_dir, _ROUTED_FALLBACK_SPEC)
     assert chosen == "raw", chosen
+    return df
+
+
+# ---------------------------------------------------------------------------
+# Scan routing: layout selection for non-aggregate (scan-shaped)
+# queries — the S12 Z-order layout joins the router's catalog.
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class ScanQuery:
+    """A projection+filter query over lineitem rows (no aggregation).
+    The router picks the physical LAYOUT to scan; content is identical
+    whichever layout answers (clustering is sort order, not content).
+    """
+
+    columns: tuple[str, ...]
+    filters: tuple[Pred, ...]
+
+
+# Columns the deployed Z-order lineitem layout stores, and the curve
+# keys whose range predicates it accelerates (sources/zorder.py
+# zordered_lineitem). Kept declarative so subsumption stays structural.
+_ZORDER_COLUMNS = frozenset(
+    {"l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+     "l_quantity", "l_extendedprice"}
+)
+_ZORDER_KEYS = frozenset({"l_partkey", "l_suppkey"})
+_RANGE_OPS = frozenset({"<=", "<", ">=", ">", "=", "between"})
+
+
+def route_scan(
+    spark: SparkSession, sf_dir: str, q: ScanQuery
+) -> tuple[DataFrame, str]:
+    """Answer a scan-shaped query from the Z-ordered layout when it
+    covers the query (all projected and filtered columns stored, and
+    at least one selective range predicate on a curve key — otherwise
+    the layout buys nothing over the raw table), else from the raw
+    scan. Mirrors :func:`route` for the non-aggregate shape: the
+    layout is a physical property, the rows are identical, and the
+    win is row-group skipping on BOTH curve keys (250x fewer rows
+    materialized at sf5; metric-asserted in tests/test_zorder.py)."""
+    from ..sources.zorder import zordered_lineitem
+
+    used = set(q.columns) | {p.col for p in q.filters}
+    has_key_range = any(
+        p.col in _ZORDER_KEYS and p.op in _RANGE_OPS for p in q.filters
+    )
+    if used <= _ZORDER_COLUMNS and has_key_range:
+        df = spark.read.parquet(zordered_lineitem(spark, sf_dir))
+        chosen = "zorder_lineitem"
+    else:
+        df = table(spark, sf_dir, "lineitem")
+        chosen = "raw"
+    for p in q.filters:
+        df = df.filter(p.column())
+    return df.select(*q.columns), chosen
+
+
+# Dated star revenue: the date predicate forces past the rollup pair
+# (no shipdate stored) onto the star-date cube, whose 60k rows are
+# scale-invariant. The raw fallback for this same spec is the q26
+# plan with the date filter pushed into the lineitem scan.
+_ROUTED_STAR_DATE_SPEC = AggQuery(
+    filters=(Pred("l_shipdate", ">=", "2000-01-01 00:00:00", cast="timestamp"),),
+    group_by=("r_name", "n_name"),
+    aggs=(
+        AggCall("sum", "revenue", "revenue"),
+        AggCall("count_star", None, "n_items"),
+    ),
+)
+
+_ROUTED_STAR_DATE_ORACLE = """
+SELECT
+  r_name,
+  n_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+    AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+@query(
+    "r85_routed_star_date",
+    oracle=_ROUTED_STAR_DATE_ORACLE,
+    tags=("S13", "J1", "A1"),
+)
+def r85_routed_star_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-sliced star revenue answered from the (region, nation,
+    shipdate) cube: the date filter folds on a cube group key, the
+    revenue/count partials re-aggregate associatively, and the scan
+    reads ~60k scale-invariant rows instead of joining two fact
+    tables. The rollup pair correctly refuses this spec (no shipdate
+    stored); the cube volunteers because the query involves its
+    required date attribute."""
+    df, chosen = route(spark, sf_dir, _ROUTED_STAR_DATE_SPEC)
+    assert chosen == "star_date_cube", chosen
     return df

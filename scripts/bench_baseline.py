@@ -31,6 +31,16 @@ spark = get_spark("bench-baseline")
 spark.sparkContext.setLogLevel("ERROR")
 
 con = duckdb.connect()
+# Out-of-core for the baseline: an in-memory DuckDB has no temp
+# directory, so it cannot spill and OOMs on the q27 band self-join at
+# sf20 (~100 GB working set); with only the spill dir it STILL dies,
+# because the default memory_limit (80% of RAM) exceeds what the host
+# can give it next to the Spark JVM — the kernel OOM-kills it at
+# 121 GB RSS before DuckDB ever spills. Both settings together are
+# strictly FAIR to the baseline: without them the comparison point
+# does not finish at sf20.
+con.execute("SET temp_directory='/tmp/duckdb_bench_spill'")
+con.execute("SET memory_limit='48GB'")
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
     # Tables are either one parquet file (the sf0.x fixtures) or a
@@ -42,6 +52,10 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
 
 bench = {n: q for n, q in load_all().items() if "bench" in q.tags and q.oracle}
+only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+if only:  # resume/subset knob: comma-separated query names
+    wanted = set(only.split(","))
+    bench = {n: q for n, q in bench.items() if n in wanted}
 
 REPS = 3
 

@@ -253,3 +253,74 @@ def test_incremental_denorm_refresh_equals_rebuild(spark, sf_dir):
         assert order_revenue_projection(spark, sf_dir)[1] == new_name
     finally:
         spark.__dict__["_bdp_projection_memo"][("order_revenue", sf_dir)] = base
+
+
+def test_stream_ingest_maintains_pricing_cube(spark, sf_dir, tmp_path):
+    """The full maintenance loop under streaming ingest: lineitem
+    arrives as micro-batches through a real readStream, each batch
+    refreshes the pricing cube via foreachBatch (delta-merge, not
+    rebuild), and the final cube equals the one-shot cube of the whole
+    corpus bit-for-bit — the monoid-merge argument compounds across
+    any number of batches. This ties ST9's foreachBatch pattern to the
+    S11 projection the router serves."""
+    from pyspark.sql import functions as F
+
+    from bigdataproj_spark.catalog import table
+    from bigdataproj_spark.sources.bucketed import (
+        pricing_cube_table,
+        refresh_pricing_cube,
+    )
+
+    li = table(spark, sf_dir, "lineitem")
+    # Split the corpus: 60% is the "deployed" base, 40% streams in as
+    # 4 micro-batches.
+    base = li.filter(F.col("l_orderkey") % 5 < 3)
+    stream_part = li.filter(F.col("l_orderkey") % 5 >= 3)
+    stage = tmp_path / "stage"
+    stage.mkdir()
+    for i in range(4):
+        stream_part.filter(F.col("l_orderkey") % 4 == i).write.parquet(
+            str(stage / f"b{i}")
+        )
+
+    base_dir = tmp_path / "basecorpus"
+    base.write.parquet(str(base_dir / "lineitem.parquet"))
+    # the layout deploy also buckets orders; give both corpus dirs one
+    orders = table(spark, sf_dir, "orders")
+    orders.write.parquet(str(base_dir / "orders.parquet"))
+    sf_base = str(base_dir)
+    pricing_cube_table(spark, sf_base)  # deploy over the base corpus
+
+    stream = (
+        spark.readStream.schema(li.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stage / "b*"))
+    )
+
+    def refresh(batch_df, batch_id):
+        if batch_df.count():
+            refresh_pricing_cube(spark, sf_base, batch_df)
+
+    q = (
+        stream.writeStream.foreachBatch(refresh)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    keys = ["l_returnflag", "l_linestatus", "l_shipdate"]
+    got = (
+        spark.read.parquet(pricing_cube_table(spark, sf_base))
+        .orderBy(*keys)
+        .toPandas()
+    )
+    full_dir = tmp_path / "fullcorpus"
+    li.write.parquet(str(full_dir / "lineitem.parquet"))
+    orders.write.parquet(str(full_dir / "orders.parquet"))
+    want = (
+        spark.read.parquet(pricing_cube_table(spark, str(full_dir)))
+        .orderBy(*keys)
+        .toPandas()
+    )
+    assert got.equals(want[got.columns.tolist()])

@@ -100,12 +100,16 @@ def test_unsupported_aggregate_falls_back_to_raw():
 def test_ungrouped_attribute_falls_back():
     """Grouping by an attribute the projection does not store (raw
     orderkey on the cube; shipdate on the star pair) must not match."""
-    cube, star = PROJECTIONS
+    cube, star, date_cube = PROJECTIONS
     assert not cube.subsumes(
         AggQuery((), ("l_orderkey",), (AggCall("count_star", None, "n"),))
     )
     assert not star.subsumes(
         AggQuery((), ("l_shipdate",), (AggCall("count_star", None, "n"),))
+    )
+    # the date cube stores shipdate but not the pricing flags
+    assert not date_cube.subsumes(
+        AggQuery((), ("l_returnflag",), (AggCall("count_star", None, "n"),))
     )
 
 
@@ -136,3 +140,76 @@ def test_mixed_local_and_star_grouping_raises(spark, sf_dir):
     )
     with pytest.raises(ValueError, match="mixed local\\+star"):
         route(spark, sf_dir, spec)
+
+
+def test_scan_routing_picks_zorder_layout(spark, sf_dir):
+    """A range query on the curve keys with covered columns must scan
+    the Z-ordered layout (plan reads the layout path, not the raw
+    fixture file) and return exactly the raw scan's rows; a query
+    touching an uncovered column must fall back to the raw table."""
+    from bigdataproj_spark.plans.routing import ScanQuery, route_scan
+
+    spec = ScanQuery(
+        columns=("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+        filters=(
+            Pred("l_partkey", "between", (50, 150)),
+            Pred("l_suppkey", "between", (5, 40)),
+        ),
+    )
+    df, chosen = route_scan(spark, sf_dir, spec)
+    assert chosen == "zorder_lineitem"
+    plan = plan_of(df)
+    assert "lineitem_zorder" in plan or "bigdataproj_bucketed_wh" in plan, plan
+    assert "lineitem.parquet" not in plan, plan
+
+    from bigdataproj_spark.catalog import table as t
+
+    # (orderkey, linenumber) is NOT unique in the fixture — sort on
+    # every projected column so row order is total on both sides
+    key = list(spec.columns)
+    want = (
+        t(spark, sf_dir, "lineitem")
+        .filter(
+            F.col("l_partkey").between(50, 150) & F.col("l_suppkey").between(5, 40)
+        )
+        .select(*spec.columns)
+        .orderBy(*key)
+        .toPandas()
+    )
+    got = df.orderBy(*key).toPandas()
+    assert got.equals(want)
+
+    # uncovered column (l_shipdate not stored) -> raw fallback
+    fallback = ScanQuery(
+        columns=("l_orderkey", "l_shipdate"),
+        filters=(Pred("l_partkey", "between", (50, 150)),),
+    )
+    _, chosen2 = route_scan(spark, sf_dir, fallback)
+    assert chosen2 == "raw"
+    # no selective curve-key range -> raw fallback (layout buys nothing)
+    unselective = ScanQuery(
+        columns=("l_orderkey", "l_partkey"),
+        filters=(Pred("l_quantity", "<=", 10.0),),
+    )
+    _, chosen3 = route_scan(spark, sf_dir, unselective)
+    assert chosen3 == "raw"
+
+
+def test_dated_star_routes_to_date_cube_and_matches_raw(spark, sf_dir):
+    """A date-filtered star query must route to the star-date cube
+    (the rollup pair stores no shipdate and correctly refuses; the
+    cube volunteers because the spec involves its required date
+    attribute) and equal the raw star plan cell-for-cell. The undated
+    star shape must KEEP routing to the rollup pair — the requires
+    gate keeps the canonical plan stable."""
+    from bigdataproj_spark.plans.routing import _ROUTED_STAR_DATE_SPEC
+
+    routed, chosen = route(spark, sf_dir, _ROUTED_STAR_DATE_SPEC)
+    assert chosen == "star_date_cube"
+    plan = plan_of(routed)
+    assert "lineitem.parquet" not in plan and "customer.parquet" not in plan, plan
+    raw = _raw_plan(spark, sf_dir, _ROUTED_STAR_DATE_SPEC)
+    assert routed.toPandas().equals(raw.toPandas())
+    # undated star still prefers the rollup pair
+    _, undated_choice = route(spark, sf_dir, STAR)
+    assert undated_choice == "order_revenue_star"
