@@ -131,6 +131,26 @@ def get_spark(
         # cluster the Spark default stands (deployments override).
         **({"spark.locality.wait": "0"} if resolved_master.startswith("local") else {}),
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        # Data-volume-adaptive shuffle width, the Spark-idiomatic way:
+        # a HIGH pre-coalesce width that AQE merges down to the
+        # advisory partition size. Measured round 6 (docs/BENCHMARKS.md
+        # "spill-aware width, revisited"): q27 at sf20 is genuinely
+        # spill-bound at the cores/2 default (107 s) and recovers to
+        # ~83 s with initialPartitionNum=128 — adaptively, no
+        # per-query tuning — while q26 stays width-flat (zero spill).
+        # At the driver's sf0.1 bench scale the same setting costs
+        # ~10% task-launch overhead, so the LOCAL default leaves it
+        # unset; cluster deployments should set it to ~4x total cores
+        # (the posture behind e.g. a 2000-partition initial width on
+        # a 500-core cluster).
+        **(
+            {
+                "spark.sql.adaptive.coalescePartitions.initialPartitionNum":
+                    os.environ["SPARK_GRAFT_INITIAL_PARTITIONS"]
+            }
+            if os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS")
+            else {}
+        ),
         # Reliable-checkpoint GC: when iter_checkpoint's checkpointed
         # RDDs are garbage-collected, their directories are removed —
         # otherwise iterative loops leak one durable dir per iteration.
