@@ -78,6 +78,26 @@ class Engine:
     def query_names(self) -> list[str]:
         return sorted(load_all())
 
+    # -- S13: routed queries ------------------------------------------------
+    def aggregate(self, spec) -> DataFrame:
+        """Answer a logical :class:`~bigdataproj_spark.plans.routing.AggQuery`
+        from the cheapest deployed projection that subsumes it, else
+        the raw plan — the engine's materialized-view matching front
+        door (plans/routing.py). The caller never names a layout."""
+        from .plans.routing import route
+
+        df, _ = route(self.spark, self.sf_dir, spec)
+        return df
+
+    def scan(self, spec) -> DataFrame:
+        """Answer a :class:`~bigdataproj_spark.plans.routing.ScanQuery`
+        from the best-covering layout (Z-order for curve-key range
+        predicates), else the raw table."""
+        from .plans.routing import route_scan
+
+        df, _ = route_scan(self.spark, self.sf_dir, spec)
+        return df
+
     # -- Reference pipeline surface (R1→R10) -------------------------------
     def ingest_json(self, records: Iterable[dict]) -> DataFrame:
         """R1: JSON-shaped tweet records → typed DataFrame (the HTTP

@@ -313,3 +313,40 @@ def test_asof_join_null_payload_not_torn(spark):
     assert len(got) == 1
     assert got[0]["match_id"] == 11
     assert got[0]["match_v"] is None  # NOT 5.0 from rid=10
+
+
+def test_engine_routed_aggregate_and_scan_surface(spark, sf_dir):
+    """The facade's routed entry points: Engine.aggregate answers a
+    logical spec from a projection (same rows as the registered routed
+    query), Engine.scan picks the Z-order layout for a covered range
+    scan."""
+    from bigdataproj_spark.engine import Engine
+    from bigdataproj_spark.plans.routing import (
+        AggCall,
+        AggQuery,
+        Pred,
+        ScanQuery,
+    )
+
+    eng = Engine(spark, sf_dir)
+    spec = AggQuery(
+        filters=(),
+        group_by=("r_name",),
+        aggs=(AggCall("sum", "revenue", "revenue"),),
+    )
+    got = eng.aggregate(spec).toPandas()
+    assert list(got.columns) == ["r_name", "revenue"]
+    assert len(got) == 5  # five regions
+    rows = eng.scan(
+        ScanQuery(
+            columns=("l_orderkey", "l_partkey"),
+            filters=(Pred("l_partkey", "between", (50, 80)),),
+        )
+    ).count()
+    from pyspark.sql import functions as F
+
+    from bigdataproj_spark.catalog import table
+    want = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey").between(50, 80)
+    ).count()
+    assert rows == want
