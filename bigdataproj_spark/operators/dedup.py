@@ -377,6 +377,71 @@ sigs AS (
 )
 """
 
+def docs_to_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) → (doc_id, sig): tokenize, drop documents too
+    short to shingle, MinHash — the shared front of every LSH
+    consumer (q27 one-shot, the incremental operator)."""
+    t = docs.select("doc_id", tokens("text").alias("toks")).filter(
+        F.size("toks") >= SHINGLE_SIZE
+    )
+    return minhash_signatures(t)
+
+
+def lsh_bands(sigs: DataFrame) -> DataFrame:
+    """(doc_id, sig) → one row per (doc_id, band) with the band hash:
+    md5 over the band's signature slice. The (band, bh) pair is the
+    LSH bucket key; this layout IS the at-rest index schema the
+    incremental operator stores."""
+    return sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(
+                                    "sig",
+                                    b * ROWS_PER_BAND + 1,
+                                    F.lit(ROWS_PER_BAND),
+                                ),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("bh"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(
+        "doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
+
+
+def estimate_pairs(pairs: DataFrame) -> DataFrame:
+    """(a, b) member-struct pairs → (doc_a, doc_b, est_jaccard) with
+    the signature-match estimate, cross-band deduplicated, totally
+    ordered. N_HASHES static positional comparisons on purpose — see
+    the q27 docstring for the codegen/JIT story."""
+    matches = sum(
+        (F.col("a.sig").getItem(s) == F.col("b.sig").getItem(s)).cast("int")
+        for s in range(N_HASHES)
+    )
+    est = matches.cast("double") / N_HASHES
+    return (
+        pairs.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            est.alias("est_jaccard"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 _Q15_ORACLE = f"""
 WITH {_MINHASH_SIG_SQL},
 bands AS (
@@ -426,39 +491,7 @@ def q27_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself (2x at sf0.1).
     """
     d = fan_out(table(spark, sf_dir, "documents"))
-    t = d.select("doc_id", tokens("text").alias("toks")).filter(
-        F.size("toks") >= SHINGLE_SIZE
-    )
-    sigs = minhash_signatures(t)
-
-    bands = sigs.select(
-        "doc_id",
-        "sig",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.md5(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(
-                                    "sig",
-                                    b * ROWS_PER_BAND + 1,
-                                    F.lit(ROWS_PER_BAND),
-                                ),
-                                lambda x: x.cast("string"),
-                            ),
-                        )
-                    ).alias("bh"),
-                ),
-            )
-        ).alias("bb"),
-    ).select(
-        "doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
-    )
-
+    bands = lsh_bands(docs_to_signatures(d))
     pairs = bucket_pairs(bands, ["band", "bh"], "doc_id", "sig")
     # Cross-band dedup stays a dropDuplicates shuffle ON PURPOSE. The
     # tempting "emit-once" rewrite — emit a pair only from the first
@@ -479,20 +512,120 @@ def q27_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # this stage is not free: +12 comparisons pushes the generated
     # method past HotSpot's JIT size cliff and the stage runs ~6x
     # slower un-JIT'd — measured while evaluating the rewrite above.)
-    matches = sum(
-        (F.col("a.sig").getItem(s) == F.col("b.sig").getItem(s)).cast("int")
-        for s in range(N_HASHES)
-    )
-    est = matches.cast("double") / N_HASHES
-    return (
-        pairs.select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            est.alias("est_jaccard"),
+    return estimate_pairs(pairs)
+
+
+# ---------------------------------------------------------------------------
+# L17 extended: INCREMENTAL MinHash-LSH against a stored bands index.
+# ---------------------------------------------------------------------------
+
+
+def incremental_minhash_lsh(
+    spark: SparkSession,
+    index_path: str,
+    delta_docs: DataFrame,
+    max_bucket: int = MAX_BUCKET_MEMBERS,
+) -> DataFrame:
+    """One ingest batch of near-dup detection: find every NEW candidate
+    pair involving a delta document, then append the delta's bands to
+    the stored index. Completes the L17 incremental-dedup story for
+    the NEAR-dup family (q11 covers exact): a production corpus never
+    re-runs all-corpus LSH per ingest batch — it keeps the
+    (doc_id, sig, band, bh) bands table at rest and joins each batch
+    against it.
+
+    Scale shape (the reason this works at 100 TB):
+    - the delta's distinct (band, bh) keys are SMALL (4 per delta doc)
+      and broadcast; the stored index is pruned to delta-touched
+      buckets by a broadcast SEMI join — map-only over the index scan,
+      no shuffle of the stored corpus, and most stored buckets (no
+      delta member) are never grouped at all;
+    - the hot-bucket guard measures the FULL bucket (stored members +
+      delta members), so a bucket that crosses ``max_bucket`` as the
+      corpus grows stops emitting pairs exactly when the one-shot
+      formulation would drop it — the guard semantics are
+      scale-consistent, not per-batch;
+    - pair emission reuses :func:`bucket_pairs` (window-guarded
+      collect, i<j explode) and keeps only pairs with ≥1 delta side:
+      stored×stored pairs were emitted by earlier batches and are
+      immutable.
+
+    The result is materialized (``localCheckpoint``) BEFORE the index
+    append, so the returned DataFrame never observes its own batch in
+    the stored side. Returns (doc_a, doc_b, est_jaccard), totally
+    ordered — bit-compatible with the one-shot q27 oracle restricted
+    to delta-involving pairs (the driver query's differential check).
+    """
+    delta_bands = lsh_bands(docs_to_signatures(fan_out(delta_docs)))
+    try:
+        stored = spark.read.schema(
+            "doc_id bigint, sig array<bigint>, band int, bh string"
+        ).parquet(index_path)
+    except Exception:  # first batch: no index yet
+        stored = spark.createDataFrame(
+            [], "doc_id bigint, sig array<bigint>, band int, bh string"
         )
-        .dropDuplicates(["doc_a", "doc_b"])
-        .orderBy("doc_a", "doc_b")
+    delta_keys = delta_bands.select("band", "bh").distinct()
+    relevant = stored.join(F.broadcast(delta_keys), ["band", "bh"], "semi")
+    combined = relevant.withColumn("is_new", F.lit(False)).unionByName(
+        delta_bands.withColumn("is_new", F.lit(True))
     )
+    pairs = bucket_pairs(
+        combined, ["band", "bh"], "doc_id", "sig", "is_new", max_bucket=max_bucket
+    ).filter(F.col("a.is_new") | F.col("b.is_new"))
+    out = estimate_pairs(pairs).localCheckpoint(eager=True)
+    delta_bands.write.mode("append").parquet(index_path)
+    return out
+
+
+_INCR_LSH_ORACLE = f"""
+WITH {_MINHASH_SIG_SQL},
+bands AS (
+  SELECT doc_id, sig, b,
+    md5(array_to_string(sig[b * {ROWS_PER_BAND} + 1 : (b + 1) * {ROWS_PER_BAND}], ','))
+      AS bh
+  FROM sigs, (SELECT unnest(range(0, {N_BANDS})) AS b) bb
+),
+bsize AS (
+  SELECT b, bh FROM bands
+  GROUP BY b, bh HAVING COUNT(*) BETWEEN 2 AND {MAX_BUCKET_MEMBERS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.sig AS sig_a, b.sig AS sig_b
+  FROM bands a
+  JOIN bsize s ON a.b = s.b AND a.bh = s.bh
+  JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+  CAST(len(list_filter(range(1, {N_HASHES} + 1), i -> sig_a[i] = sig_b[i]))
+       AS DOUBLE) / {N_HASHES} AS est_jaccard
+FROM cand
+WHERE doc_a % 2 = 1 OR doc_b % 2 = 1
+ORDER BY doc_a, doc_b
+"""
+
+
+@query("r86_incremental_lsh", oracle=_INCR_LSH_ORACLE, tags=("L17", "L2", "dedup"))
+def r86_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-batch ingest replay of the incremental operator: the even
+    documents seed a fresh bands index (their within-batch pairs are
+    discarded — they are batch 1's output), then the odd documents
+    arrive as the next batch. The returned NEW pairs must equal the
+    ONE-SHOT q27 formulation over the full corpus restricted to pairs
+    involving an odd document — exactly, guard included, because the
+    batch-2 guard sees stored+delta = the full corpus per bucket.
+    """
+    import tempfile
+
+    from ..catalog import pid_scratch
+
+    d = table(spark, sf_dir, "documents")
+    idx = tempfile.mkdtemp(
+        prefix="lsh_idx_", dir=pid_scratch(tempfile.gettempdir())
+    )
+    incremental_minhash_lsh(spark, idx, d.filter(F.col("doc_id") % 2 == 0))
+    return incremental_minhash_lsh(spark, idx, d.filter(F.col("doc_id") % 2 == 1))
 
 
 # ---------------------------------------------------------------------------

@@ -285,3 +285,60 @@ def test_lsh_pipeline_bounded_under_adversarial_boilerplate(spark, tmp_path):
     want = {(10_000 + 2 * k, 10_000 + 2 * k + 1) for k in range(20)}
     got = {(int(a), int(b)) for a, b in zip(planted.doc_a, planted.doc_b)}
     assert want <= got, want - got
+
+
+def test_incremental_lsh_replay_equals_one_shot(spark, sf_dir, tmp_path):
+    """Three-batch ingest replay: the union of each batch's NEW pairs
+    must equal the one-shot q27 pair set exactly (no bucket crosses
+    the cap on the fixture, so batch timing cannot change guard
+    outcomes). This is the near-dup twin of q11's exact-dedup
+    incremental contract."""
+    from bigdataproj_spark.catalog import table
+    from bigdataproj_spark.operators.dedup import incremental_minhash_lsh
+    from bigdataproj_spark.registry import load_all
+
+    d = table(spark, sf_dir, "documents")
+    idx = str(tmp_path / "bands_idx")
+    emitted = []
+    for i in range(3):
+        out = incremental_minhash_lsh(
+            spark, idx, d.filter(F.col("doc_id") % 3 == i)
+        ).toPandas()
+        emitted.append(out)
+
+    import pandas as pd
+
+    got = (
+        pd.concat(emitted)
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    want = (
+        load_all()["q27_minhash_lsh"].build(spark, sf_dir).toPandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    # batches partition the pair set: no pair emitted twice
+    assert not got.duplicated(["doc_a", "doc_b"]).any()
+
+
+def test_incremental_lsh_guard_engages_when_bucket_crosses_cap(spark, tmp_path):
+    """A bucket that crosses max_bucket as the corpus grows must stop
+    emitting: batch 1 (under cap) pairs its members; batch 2 pushes
+    the same bucket past the cap, so the combined bucket is dropped
+    and batch 2 contributes ZERO new boilerplate pairs — bounded work
+    under ingest-time skew."""
+    from bigdataproj_spark.operators.dedup import incremental_minhash_lsh
+
+    text = "terms of service all rights reserved contact privacy policy notice"
+    def boiler(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("doc_id"), F.lit(text).alias("text")
+        )
+
+    idx = str(tmp_path / "idx")
+    first = incremental_minhash_lsh(spark, idx, boiler(0, 10), max_bucket=15)
+    assert first.count() == 10 * 9 // 2  # under cap: all pairs
+    second = incremental_minhash_lsh(spark, idx, boiler(10, 20), max_bucket=15)
+    assert second.count() == 0  # combined bucket (20 > 15) dropped
