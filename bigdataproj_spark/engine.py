@@ -41,8 +41,17 @@ class Engine:
         return cls(get_spark(app_name), sf_dir)
 
     # -- E1: SQL ---------------------------------------------------------
-    def sql(self, query: str) -> DataFrame:
+    def sql(self, query: str, routed: bool = True) -> DataFrame:
         """Run SQL with all fixture tables registered as views.
+
+        With ``routed`` (the default), the statement is first offered
+        to the SQL front door (plans/sqlfront.py): a grouped aggregate
+        or scan in the routable family is answered from the cheapest
+        deployed projection/layout — bit-identical by construction and
+        differentially fuzzed — and anything else falls through to
+        ``spark.sql`` verbatim, so routing can only change the plan,
+        never the answer. ``routed=False`` forces the verbatim path
+        (the A/B handle tests and benchmarks use).
 
         The registered-views marker lives on the SESSION keyed by
         sf_dir, not on this Engine: views are session-global, so two
@@ -52,6 +61,14 @@ class Engine:
         if self.spark.__dict__.get("_bdp_views_for") != self.sf_dir:
             register_views(self.spark, self.sf_dir)
             self.spark.__dict__["_bdp_views_for"] = self.sf_dir
+        if routed:
+            from .plans.sqlfront import UnsupportedSQL, route_sql
+
+            try:
+                df, _ = route_sql(self.spark, self.sf_dir, query)
+                return df
+            except UnsupportedSQL:
+                pass
         return self.spark.sql(query)
 
     # -- E2: DataFrame ----------------------------------------------------

@@ -160,8 +160,8 @@ ORDER BY l_orderkey, l_linenumber
 """
 
 
-@query("q49_math_functions", oracle=_Q06_ORACLE, tags=("F-M1",))
-def q49_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r87_math_functions", oracle=_Q06_ORACLE, tags=("F-M1",))
+def r87_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """floor/ceil/abs/sqrt/exp/log/pow/mod.
 
     sqrt is IEEE-exact cross-engine; exp/ln are libm-dependent, so

@@ -1,0 +1,579 @@
+"""E1 x S13: the SQL front door — projection auto-routing for SQL TEXT.
+
+``plans/routing.py`` answers logical :class:`AggQuery` / :class:`ScanQuery`
+specs from the cheapest deployed projection; until now the caller had to
+build the spec object. This module closes the remaining distance to the
+reference's query posture (queries arrive as text against the indexed
+store, reference README.md:102-104): :func:`parse_sql` lowers a SQL
+string onto the router's spec language, and :func:`route_sql` routes it.
+``Engine.sql`` tries this first and falls back to ``spark.sql`` verbatim
+for anything outside the recognized family — a missed rewrite is never a
+wrong answer, because the rewrite itself is bit-identical by construction
+(same fixed-point arithmetic at deploy time, proven by the same DuckDB
+oracles) and the fallback is Spark's own SQL engine.
+
+Parsing uses DuckDB's public ``json_serialize_sql`` AST (a stable,
+documented JSON rendering of its PostgreSQL-style parser) — driver-side,
+milliseconds, zero cluster work. Matching is STRUCTURAL, never textual:
+each canonical measure formulation (the exact-DECIMAL arithmetic every
+registry oracle uses, e.g. ``SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+* (1 - l_discount))``) is itself parsed once, both ASTs are normalized
+(locations/aliases stripped, column refs unqualified), and compared —
+so whitespace, case, table-qualification, and alias spelling cannot
+produce a false positive, and an expression that LOOKS like revenue but
+isn't (say, a different cast width) simply doesn't match and falls back.
+
+Recognized family (everything else → ``UnsupportedSQL`` → spark.sql):
+
+- grouped aggregates over ``lineitem`` alone or the canonical 5-table
+  star join (lineitem⋈orders⋈customer⋈nation⋈region on the TPC-H keys,
+  validated structurally as the set of join equalities);
+- aggregates: the canonical DECIMAL sum/avg formulations of the five
+  routing measures, plus plain ``SUM/AVG/COUNT(col)`` over the raw
+  measure columns and ``COUNT(*)``. Plain double forms are answered
+  with the engine's exact fixed-point arithmetic — deterministic and
+  order-independent where a naive double sum is not (documented
+  semantics: the engine's SQL dialect computes decimal-exact money);
+- WHERE: a conjunction of ``col <op> literal`` / ``BETWEEN`` predicates
+  (TIMESTAMP/DATE literal casts preserved);
+- ORDER BY: absent, or exactly the grouping keys ascending (the
+  router's §2.4 total-order contract already produces that order);
+- projection+filter scans over lineitem (no aggregates): routed through
+  :func:`route_scan` so a range predicate on a Z-order curve key is
+  answered from the clustered layout, with any ORDER BY applied on top.
+
+At 100 TB this is the difference between "the 15k-row cube answer
+exists" and "SELECT ... FROM lineitem GROUP BY ... gets it": the user
+ships the same SQL they would run anywhere, and the engine reads the
+scale-invariant projection instead of the full fact scan
+(docs/BENCHMARKS.md: raw q01 3.1x DuckDB at sf5 vs cube 1.05x/0.55x).
+
+Differentially fuzzed in tests/test_fuzz_routing.py: every generated
+spec's SQL rendering must parse back to the IDENTICAL spec object, and
+the routed answer must match DuckDB running the same SQL on raw tables.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .routing import (
+    MEASURES,
+    AggCall,
+    AggQuery,
+    Pred,
+    ScanQuery,
+    route,
+    route_scan,
+)
+
+
+class UnsupportedSQL(Exception):
+    """The statement is outside the routable family; run it verbatim
+    through spark.sql instead (Engine.sql does exactly that)."""
+
+
+# ---------------------------------------------------------------------------
+# Canonical SQL formulations of the routing measures — the single
+# source of truth shared with the fuzzer's SQL generator
+# (tests/test_fuzz_routing.py imports these, so the generator and the
+# parser can never drift apart).
+# ---------------------------------------------------------------------------
+
+SUM_SQL: dict[str, str] = {
+    "quantity": "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)",
+    "base_price": "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)",
+    "discount": "CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE)",
+    "revenue": (
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))"
+        " * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)"
+    ),
+    "charge": (
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))"
+        " * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+        " * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE)"
+    ),
+}
+
+# Plain-column measure spellings (SUM(l_quantity), AVG(l_discount), …).
+COL_MEASURE: dict[str, str] = {
+    "l_quantity": "quantity",
+    "l_extendedprice": "base_price",
+    "l_discount": "discount",
+}
+CNT_SRC: dict[str, str] = {m: c for c, m in COL_MEASURE.items()}
+
+_LINEITEM_COLS = frozenset(
+    {
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+        "l_linestatus", "l_shipdate", "l_commitdate", "l_receiptdate",
+        "l_shipinstruct", "l_shipmode", "l_comment",
+    }
+)
+_STAR_ATTRS = frozenset({"r_name", "n_name"})
+_STAR_TABLES = frozenset({"lineitem", "orders", "customer", "nation", "region"})
+# The canonical star equi-join edges, as unordered column pairs.
+_STAR_EDGES = frozenset(
+    {
+        frozenset({"l_orderkey", "o_orderkey"}),
+        frozenset({"o_custkey", "c_custkey"}),
+        frozenset({"c_nationkey", "n_nationkey"}),
+        frozenset({"n_regionkey", "r_regionkey"}),
+    }
+)
+
+_CMP_OPS = {
+    "COMPARE_LESSTHANOREQUALTO": "<=",
+    "COMPARE_LESSTHAN": "<",
+    "COMPARE_GREATERTHANOREQUALTO": ">=",
+    "COMPARE_GREATERTHAN": ">",
+    "COMPARE_EQUAL": "=",
+}
+
+
+# ---------------------------------------------------------------------------
+# AST plumbing.
+# ---------------------------------------------------------------------------
+
+
+def _ast(sql: str) -> dict:
+    """Parse ``sql`` with DuckDB's serializer; UnsupportedSQL on any
+    parse failure (the caller falls back to spark.sql, which will
+    produce the real error message if the SQL is genuinely broken)."""
+    try:
+        import duckdb
+    except ImportError as e:  # pragma: no cover - duckdb is baked in
+        raise UnsupportedSQL(f"no duckdb parser available: {e}") from e
+    try:
+        raw = duckdb.connect(":memory:").execute(
+            "SELECT json_serialize_sql(?::VARCHAR)", [sql]
+        ).fetchone()[0]
+        doc = json.loads(raw)
+    except Exception as e:
+        raise UnsupportedSQL(f"unparseable SQL: {e}") from e
+    if doc.get("error"):
+        raise UnsupportedSQL(str(doc.get("error_message", "parse error")))
+    stmts = doc.get("statements", [])
+    if len(stmts) != 1:
+        raise UnsupportedSQL(f"expected one statement, got {len(stmts)}")
+    node = stmts[0]["node"]
+    if node.get("type") != "SELECT_NODE":
+        raise UnsupportedSQL(f"not a SELECT: {node.get('type')}")
+    return node
+
+
+def _norm(node):
+    """Comparison form of an expression subtree: locations and aliases
+    stripped, column refs reduced to their unqualified name (every
+    fixture column name is globally unique, so qualification carries
+    no information)."""
+    if isinstance(node, dict):
+        if node.get("class") == "COLUMN_REF":
+            return {
+                "class": "COLUMN_REF",
+                "column_names": [node["column_names"][-1].lower()],
+            }
+        return {
+            k: _norm(v)
+            for k, v in node.items()
+            if k not in ("query_location", "alias")
+        }
+    if isinstance(node, list):
+        return [_norm(v) for v in node]
+    return node
+
+
+def _key(node) -> str:
+    return json.dumps(_norm(node), sort_keys=True)
+
+
+_CANON_SUM: dict[str, str] = {}  # normalized-AST key -> measure name
+
+
+def _canon_sums() -> dict[str, str]:
+    """Normalized ASTs of the canonical sum formulations (parsed once;
+    parsing our own snippet through the same parser makes the match
+    immune to serializer details)."""
+    if not _CANON_SUM:
+        for measure, sql in SUM_SQL.items():
+            item = _ast(f"SELECT {sql} FROM lineitem")["select_list"][0]
+            _CANON_SUM[_key(item)] = measure
+    return _CANON_SUM
+
+
+def _colref(node) -> str | None:
+    if isinstance(node, dict) and node.get("class") == "COLUMN_REF":
+        return node["column_names"][-1].lower()
+    return None
+
+
+def _plain_fn(node) -> tuple[str, str] | None:
+    """(function_name, column) for a vanilla one-column aggregate call
+    with no DISTINCT/FILTER/ORDER decoration, else None."""
+    if not (isinstance(node, dict) and node.get("class") == "FUNCTION"):
+        return None
+    if node.get("distinct") or node.get("filter") is not None:
+        return None
+    if node.get("order_bys", {}).get("orders"):
+        return None
+    ch = node.get("children", [])
+    if len(ch) != 1:
+        return None
+    col = _colref(ch[0])
+    return (node["function_name"].lower(), col) if col else None
+
+
+def _is_count_star(node) -> bool:
+    return (
+        isinstance(node, dict)
+        and node.get("class") == "FUNCTION"
+        and node.get("function_name", "").lower() == "count_star"
+        and not node.get("children")
+        and not node.get("distinct")
+        and node.get("filter") is None
+    )
+
+
+def _match_sum(node) -> str | None:
+    """Measure computed by ``node`` as a SUM, canonical or plain."""
+    m = _canon_sums().get(_key(node))
+    if m:
+        return m
+    pf = _plain_fn(node)
+    if pf and pf[0] == "sum" and pf[1] in COL_MEASURE:
+        return COL_MEASURE[pf[1]]
+    return None
+
+
+def _match_agg(item: dict) -> AggCall | None:
+    """Lower one select-list item to an AggCall (alias required), or
+    None if it is not an aggregate expression at all (the caller then
+    checks whether it is a grouping column)."""
+    alias = item.get("alias", "")
+    if _is_count_star(item):
+        return AggCall("count_star", None, alias) if alias else None
+    m = _match_sum(item)
+    if m:
+        return AggCall("sum", m, alias) if alias else None
+    pf = _plain_fn(item)
+    if pf:
+        fn, col = pf
+        if fn == "count" and col in COL_MEASURE:
+            return AggCall("count", COL_MEASURE[col], alias) if alias else None
+        if fn == "avg" and col in COL_MEASURE:
+            return AggCall("avg", COL_MEASURE[col], alias) if alias else None
+    # canonical avg: <sum form> / COUNT(source_col)
+    if (
+        isinstance(item, dict)
+        and item.get("class") == "FUNCTION"
+        and item.get("function_name") == "/"
+        and len(item.get("children", [])) == 2
+    ):
+        num, den = item["children"]
+        m = _match_sum(num)
+        pf = _plain_fn(den)
+        if (
+            m is not None
+            and pf is not None
+            and pf[0] == "count"
+            and MEASURES[m].source_col == pf[1]
+        ):
+            return AggCall("avg", m, alias) if alias else None
+    return None
+
+
+def _parse_constant(node) -> tuple[object, str | None]:
+    """(python value, cast) for a literal, where cast is "timestamp" /
+    "date" when the literal was written as TIMESTAMP '…' / DATE '…'."""
+    cast = None
+    if isinstance(node, dict) and node.get("class") == "CAST":
+        tid = node.get("cast_type", {}).get("id")
+        if tid not in ("TIMESTAMP", "DATE"):
+            raise UnsupportedSQL(f"unsupported literal cast {tid}")
+        cast = tid.lower()
+        node = node["child"]
+    if not (isinstance(node, dict) and node.get("class") == "CONSTANT"):
+        raise UnsupportedSQL("non-literal comparison operand")
+    val = node["value"]
+    if val.get("is_null"):
+        raise UnsupportedSQL("NULL literal")
+    tid = val["type"]["id"]
+    v = val["value"]
+    if tid == "DECIMAL":
+        scale = val["type"]["type_info"]["scale"]
+        return int(v) / 10**scale, cast
+    if tid in ("INTEGER", "BIGINT", "SMALLINT", "TINYINT", "UINTEGER", "UBIGINT"):
+        return int(v), cast
+    if tid in ("DOUBLE", "FLOAT"):
+        return float(v), cast
+    if tid == "VARCHAR":
+        return str(v), cast
+    raise UnsupportedSQL(f"unsupported literal type {tid}")
+
+
+def _parse_pred(node: dict) -> Pred:
+    cls = node.get("class")
+    if cls == "COMPARISON" and node.get("type") in _CMP_OPS:
+        col = _colref(node["left"])
+        if col is None:
+            raise UnsupportedSQL("left side of comparison is not a column")
+        value, cast = _parse_constant(node["right"])
+        return Pred(col, _CMP_OPS[node["type"]], value, cast=cast)
+    if cls == "BETWEEN":
+        col = _colref(node["input"])
+        if col is None:
+            raise UnsupportedSQL("BETWEEN input is not a column")
+        lo, cast_lo = _parse_constant(node["lower"])
+        hi, cast_hi = _parse_constant(node["upper"])
+        if cast_lo != cast_hi:
+            raise UnsupportedSQL("mismatched BETWEEN bound casts")
+        return Pred(col, "between", (lo, hi), cast=cast_lo)
+    raise UnsupportedSQL(f"unsupported predicate {cls}/{node.get('type')}")
+
+
+def _parse_where(node) -> tuple[Pred, ...]:
+    if node is None:
+        return ()
+    preds: list[Pred] = []
+
+    def walk(n):
+        if isinstance(n, dict) and n.get("type") == "CONJUNCTION_AND":
+            for c in n["children"]:
+                walk(c)
+        else:
+            preds.append(_parse_pred(n))
+
+    walk(node)
+    return tuple(preds)
+
+
+def _parse_from(node: dict) -> bool:
+    """True if the FROM clause is the canonical star join, False if it
+    is the bare lineitem table; UnsupportedSQL otherwise."""
+    if node.get("type") == "BASE_TABLE":
+        if node.get("table_name", "").lower() != "lineitem":
+            raise UnsupportedSQL(f"unroutable table {node.get('table_name')}")
+        return False
+    tables: set[str] = set()
+    edges: set[frozenset[str]] = set()
+
+    def walk(n):
+        t = n.get("type")
+        if t == "BASE_TABLE":
+            tables.add(n.get("table_name", "").lower())
+            return
+        if t != "JOIN":
+            raise UnsupportedSQL(f"unsupported FROM node {t}")
+        if n.get("join_type") != "INNER" or n.get("using_columns"):
+            raise UnsupportedSQL("only canonical INNER ... ON star joins route")
+        cond = n.get("condition")
+        if not (
+            isinstance(cond, dict)
+            and cond.get("type") == "COMPARE_EQUAL"
+            and _colref(cond.get("left"))
+            and _colref(cond.get("right"))
+        ):
+            raise UnsupportedSQL("non-equi join condition")
+        edges.add(frozenset({_colref(cond["left"]), _colref(cond["right"])}))
+        walk(n["left"])
+        walk(n["right"])
+
+    walk(node)
+    if tables != _STAR_TABLES or edges != _STAR_EDGES:
+        raise UnsupportedSQL(
+            f"join graph is not the canonical star (tables={sorted(tables)})"
+        )
+    return True
+
+
+def _order_cols(node: dict) -> tuple[str, ...] | None:
+    """ORDER BY column names (ascending only), () if absent."""
+    cols: list[str] = []
+    for mod in node.get("modifiers", []):
+        if mod.get("type") != "ORDER_MODIFIER":
+            raise UnsupportedSQL(f"unsupported modifier {mod.get('type')}")
+        for o in mod.get("orders", []):
+            if o.get("type") not in ("ORDER_DEFAULT", "ORDER_ASCENDING"):
+                raise UnsupportedSQL("descending ORDER BY is not routable")
+            col = _colref(o.get("expression"))
+            if col is None:
+                raise UnsupportedSQL("ORDER BY over a non-column expression")
+            cols.append(col)
+    return tuple(cols)
+
+
+# ---------------------------------------------------------------------------
+# The public surface.
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class ParsedSQL:
+    """A routable statement: the router spec, the SQL's output column
+    order (group keys and aggregate aliases as written), and any ORDER
+    BY to apply on top of a scan."""
+
+    spec: AggQuery | ScanQuery
+    columns: tuple[str, ...]
+    order: tuple[str, ...]
+
+
+def parse_sql(sql: str) -> ParsedSQL:
+    """Lower a SQL string to the router's spec language, or raise
+    :class:`UnsupportedSQL`. Pure driver-side analysis — no Spark."""
+    node = _ast(sql)
+    if node.get("having") or node.get("qualify") or node.get("sample"):
+        raise UnsupportedSQL("HAVING/QUALIFY/SAMPLE are not routable")
+    if node.get("cte_map", {}).get("map"):
+        raise UnsupportedSQL("CTEs are not routable")
+    if node.get("aggregate_handling") != "STANDARD_HANDLING":
+        raise UnsupportedSQL("non-standard aggregate handling")
+    order = _order_cols(node)
+
+    star = _parse_from(node["from_table"])
+    filters = _parse_where(node.get("where_clause"))
+    allowed = _LINEITEM_COLS | (_STAR_ATTRS if star else frozenset())
+    for p in filters:
+        if p.col not in allowed:
+            raise UnsupportedSQL(f"filter on unknown column {p.col}")
+
+    groups = []
+    for g in node.get("group_expressions", []):
+        col = _colref(g)
+        if col is None or col not in allowed:
+            raise UnsupportedSQL("GROUP BY over a non-routable expression")
+        groups.append(col)
+    sets = node.get("group_sets", [])
+    if groups and sets != [list(range(len(groups)))]:
+        raise UnsupportedSQL("GROUPING SETS/ROLLUP/CUBE are not routable")
+
+    out: list[str] = []
+    aggs: list[AggCall] = []
+    seen_groups: list[str] = []
+    for item in node["select_list"]:
+        call = _match_agg(item)
+        if call is not None:
+            if not call.alias:
+                raise UnsupportedSQL("aggregate without an alias")
+            aggs.append(call)
+            out.append(call.alias)
+            continue
+        col = _colref(item)
+        if col is None:
+            raise UnsupportedSQL("select item is neither group column nor aggregate")
+        if item.get("alias"):
+            raise UnsupportedSQL("aliased group columns are not routable")
+        out.append(col)
+        if groups:
+            if col not in groups:
+                raise UnsupportedSQL(f"bare column {col} is not a grouping key")
+            seen_groups.append(col)
+    if len(set(out)) != len(out):
+        raise UnsupportedSQL("duplicate output column names")
+
+    if not groups:
+        if aggs:
+            raise UnsupportedSQL("global aggregates are not routable")
+        # Pure projection+filter scan over lineitem.
+        if star:
+            raise UnsupportedSQL("scan over the star join is not routable")
+        if not (set(out) <= _LINEITEM_COLS):
+            raise UnsupportedSQL("scan selects columns outside lineitem")
+        if not (set(order) <= set(out)):
+            raise UnsupportedSQL("scan ORDER BY must use selected columns")
+        return ParsedSQL(ScanQuery(tuple(out), filters), tuple(out), order)
+
+    if sorted(seen_groups) != sorted(groups):
+        raise UnsupportedSQL("every grouping key must be selected exactly once")
+    if order and order != tuple(groups):
+        raise UnsupportedSQL("ORDER BY must be exactly the grouping keys")
+    return ParsedSQL(
+        AggQuery(filters, tuple(groups), tuple(aggs)), tuple(out), order
+    )
+
+
+def route_sql(
+    spark: SparkSession, sf_dir: str, sql: str
+) -> tuple[DataFrame, str]:
+    """Parse ``sql`` and answer it via the projection router. Returns
+    (result, chosen) with ``chosen`` the layout name or "raw". Output
+    columns follow the SQL's select order; aggregate-query rows follow
+    the grouping keys (which is what the SQL's ORDER BY was constrained
+    to). Raises :class:`UnsupportedSQL` for anything outside the
+    routable family — Engine.sql catches that and runs spark.sql."""
+    parsed = parse_sql(sql)
+    if isinstance(parsed.spec, ScanQuery):
+        df, chosen = route_scan(spark, sf_dir, parsed.spec)
+        if parsed.order:
+            df = df.orderBy(*parsed.order)
+        return df.select(*parsed.columns), chosen
+    try:
+        df, chosen = route(spark, sf_dir, parsed.spec)
+    except ValueError as e:  # e.g. mixed local+star grouping on the raw path
+        raise UnsupportedSQL(str(e)) from e
+    return df.select(*parsed.columns), chosen
+
+
+# ---------------------------------------------------------------------------
+# Driver queries: SQL TEXT in, projection answer out. The oracle for
+# each is the VERY SAME SQL string — DuckDB computes it from the raw
+# tables while the engine answers from a projection, so the check is
+# precisely "the rewrite is invisible".
+# ---------------------------------------------------------------------------
+
+from ..registry import query  # noqa: E402  (import cycle-safe: registry has no plans dep)
+
+_SQL_PRICING = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  {SUM_SQL['quantity']} AS sum_qty,
+  {SUM_SQL['discount']} AS sum_disc,
+  {SUM_SQL['charge']} AS sum_charge,
+  {SUM_SQL['quantity']} / COUNT(l_quantity) AS avg_qty,
+  COUNT(l_extendedprice) AS count_price,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1999-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@query("q49_sql_pricing", oracle=_SQL_PRICING, tags=("S13", "E1", "A1", "O1"))
+def q49_sql_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front door end-to-end: the pricing-summary family as a
+    plain SQL STRING (a cutoff and aggregate set distinct from
+    q05_routed_pricing's spec-object form), parsed via the DuckDB AST,
+    lowered to an AggQuery, and routed onto the ~15k-row pricing cube —
+    while the driver's oracle runs the IDENTICAL string on the raw
+    lineitem table. A user of the reference pastes their SQL unchanged;
+    the engine picks the layout (reference README.md:102-104)."""
+    df, chosen = route_sql(spark, sf_dir, _SQL_PRICING)
+    assert chosen == "pricing_cube", chosen  # routing regression guard
+    return df
+
+
+_SQL_ZSCAN = """
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+FROM lineitem
+WHERE l_partkey BETWEEN 20 AND 80 AND l_suppkey >= 3
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+@query("r88_sql_zorder_scan", oracle=_SQL_ZSCAN, tags=("S12", "S13", "E1", "P2"))
+def r88_sql_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-shaped SQL through the front door: the two-key range
+    predicate is recognized as Z-order-curve-acceleratable, so
+    route_scan answers from the clustered layout (row-group skipping on
+    BOTH keys, metric-asserted in tests/test_zorder.py) and the ORDER
+    BY is applied on top; the oracle runs the same string on the raw
+    table — identical rows, different physical layout."""
+    df, chosen = route_sql(spark, sf_dir, _SQL_ZSCAN)
+    assert chosen == "zorder_lineitem", chosen
+    return df

@@ -65,6 +65,7 @@ _QUERY_MODULES = (
     "bigdataproj_spark.sources.bucketed",
     "bigdataproj_spark.sources.zorder",
     "bigdataproj_spark.plans.routing",
+    "bigdataproj_spark.plans.sqlfront",
 )
 
 

@@ -25,31 +25,17 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from bigdataproj_spark.plans.routing import AggCall, AggQuery, Pred, _raw_plan, route
+from bigdataproj_spark.plans.sqlfront import parse_sql, route_sql
 from bigdataproj_spark.testing import compare_frames
 
 _FUZZ_SCALE = int(_os.environ.get("FUZZ_SCALE", "1"))
 
-# SQL twins of the routing MEASURES (the DECIMAL formulations every
-# registry oracle uses — exact, order-independent, cast-at-the-end).
-_SUM_SQL = {
-    "quantity": "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)",
-    "base_price": "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)",
-    "discount": "CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE)",
-    "revenue": (
-        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))"
-        " * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)"
-    ),
-    "charge": (
-        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))"
-        " * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
-        " * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE)"
-    ),
-}
-_CNT_SRC = {
-    "quantity": "l_quantity",
-    "base_price": "l_extendedprice",
-    "discount": "l_discount",
-}
+# SQL twins of the routing MEASURES — imported from the SQL front door
+# so this generator and sqlfront's structural matcher can never drift:
+# every SQL string produced here must parse back to the identical spec
+# (asserted below), which co-fuzzes the parser with the router.
+from bigdataproj_spark.plans.sqlfront import CNT_SRC as _CNT_SRC  # noqa: E402
+from bigdataproj_spark.plans.sqlfront import SUM_SQL as _SUM_SQL  # noqa: E402
 
 _PRICING_AGGS = [
     AggCall("sum", "quantity", "a_sum_qty"),
@@ -173,10 +159,19 @@ def test_random_spec_routes_and_matches_duckdb(spark, sf_dir, _ora, p):
     drawn spec, whichever projection (or none) the router picks."""
     spec = _to_spec(p)
     star = p["family"] == "star"
+    sql = _to_sql(spec, star)
+    # The SQL front door must lower the generated text back to the
+    # IDENTICAL spec object (parser<->generator round-trip) …
+    assert parse_sql(sql).spec == spec, sql
     routed, chosen = route(spark, sf_dir, spec)
     got = routed.toPandas()
-    want = _ora.execute(_to_sql(spec, star)).fetchdf()
+    want = _ora.execute(sql).fetchdf()
     compare_frames(got, want, f"routing-fuzz[{chosen}] {spec}")
+    # … and routing the TEXT must agree with routing the spec: same
+    # layout choice, same cells (column order is the SQL select order).
+    sql_df, sql_chosen = route_sql(spark, sf_dir, sql)
+    assert sql_chosen == chosen, (sql_chosen, chosen, sql)
+    assert got.equals(sql_df.toPandas()[got.columns.tolist()]), (chosen, sql)
     # and the raw plan agrees with the routed plan cell-for-cell
     if chosen != "raw":
         raw = _raw_plan(spark, sf_dir, spec).toPandas()

@@ -1,0 +1,202 @@
+"""SQL front door (plans/sqlfront.py): parsing, routing, fallback.
+
+The structural tests here pin the three contracts the module makes:
+(1) lowering is exact — a SQL string in the routable family parses to
+precisely the spec object its author meant, robust to case/whitespace/
+qualification; (2) routing the text is invisible — the projection
+answer equals DuckDB running the very same string on the raw tables;
+(3) the negative space is safe — anything unsupported raises
+UnsupportedSQL and Engine.sql degrades to spark.sql verbatim, so the
+front door can only ever change the plan, never the answer.
+(The random co-fuzz with the router lives in test_fuzz_routing.py.)
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from bigdataproj_spark.engine import Engine
+from bigdataproj_spark.plans.routing import AggCall, AggQuery, Pred, ScanQuery
+from bigdataproj_spark.plans.sqlfront import (
+    SUM_SQL,
+    UnsupportedSQL,
+    parse_sql,
+    route_sql,
+)
+from bigdataproj_spark.testing import compare_frames
+
+PRICING_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+  {SUM_SQL["quantity"]} AS sum_qty,
+  {SUM_SQL["revenue"]} AS sum_disc_price,
+  {SUM_SQL["base_price"]} / COUNT(l_extendedprice) AS avg_price,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-03-15 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+STAR_SQL = f"""
+SELECT r_name, n_name, {SUM_SQL["revenue"]} AS revenue, COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+SCAN_SQL = """
+SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+FROM lineitem
+WHERE l_partkey BETWEEN 10 AND 40 AND l_suppkey >= 2
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+# ---------------------------------------------------------------------------
+# (1) Lowering.
+# ---------------------------------------------------------------------------
+
+
+def test_parse_pricing_exact_spec():
+    spec = parse_sql(PRICING_SQL).spec
+    assert spec == AggQuery(
+        filters=(
+            Pred("l_shipdate", "<=", "2001-03-15 00:00:00", cast="timestamp"),
+        ),
+        group_by=("l_returnflag", "l_linestatus"),
+        aggs=(
+            AggCall("sum", "quantity", "sum_qty"),
+            AggCall("sum", "revenue", "sum_disc_price"),
+            AggCall("avg", "base_price", "avg_price"),
+            AggCall("count_star", None, "count_order"),
+        ),
+    )
+
+
+def test_parse_is_structural_not_textual():
+    """Case, whitespace, qualification, and join spelling don't matter;
+    the lowered spec is identical."""
+    messy = (
+        "select  LINEITEM.L_RETURNFLAG, l_linestatus,\n"
+        "  cast(sum(cast(lineitem.l_quantity as decimal(12, 2))) as double) sum_qty,\n"
+        "  count( * ) as count_order\n"
+        "from lineitem\n"
+        "where LINEITEM.l_shipdate <= timestamp '2001-03-15 00:00:00'\n"
+        "group by l_returnflag, L_LINESTATUS"
+    )
+    assert parse_sql(messy).spec == AggQuery(
+        filters=(
+            Pred("l_shipdate", "<=", "2001-03-15 00:00:00", cast="timestamp"),
+        ),
+        group_by=("l_returnflag", "l_linestatus"),
+        aggs=(
+            AggCall("sum", "quantity", "sum_qty"),
+            AggCall("count_star", None, "count_order"),
+        ),
+    )
+
+
+def test_parse_scan_with_order():
+    parsed = parse_sql(SCAN_SQL)
+    assert parsed.spec == ScanQuery(
+        columns=("l_orderkey", "l_linenumber", "l_partkey", "l_quantity"),
+        filters=(
+            Pred("l_partkey", "between", (10, 40)),
+            Pred("l_suppkey", ">=", 2),
+        ),
+    )
+    assert parsed.order == ("l_orderkey", "l_linenumber")
+
+
+def test_lookalike_measure_does_not_match():
+    """An expression one cast-width away from canonical revenue must
+    NOT silently route as revenue — it falls back instead."""
+    lookalike = (
+        "SELECT l_returnflag, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))"
+        " * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)"
+        " AS rev FROM lineitem GROUP BY l_returnflag"
+    )
+    with pytest.raises(UnsupportedSQL):
+        parse_sql(lookalike)
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "SELECT count(*) AS c FROM lineitem",  # global aggregate
+        "SELECT l_returnflag, count(*) AS c FROM lineitem"
+        " GROUP BY l_returnflag HAVING count(*) > 5",
+        "SELECT l_returnflag, count(DISTINCT l_quantity) AS c FROM lineitem"
+        " GROUP BY l_returnflag",
+        "SELECT l_returnflag, sum(l_quantity) AS s FROM lineitem"
+        " GROUP BY ROLLUP(l_returnflag)",
+        "SELECT l_orderkey FROM lineitem LIMIT 5",
+        "SELECT o_orderkey FROM orders WHERE o_orderkey < 10",  # wrong table
+        "SELECT d_whatever FROM lineitem",  # unknown column
+        "SELECT l_orderkey FROM lineitem JOIN orders ON l_orderkey < o_orderkey",
+        "SELECT l_returnflag, sum(l_quantity) AS s FROM lineitem"
+        " GROUP BY l_returnflag ORDER BY s",  # non-key ORDER BY
+        "INSERT INTO lineitem VALUES (1)",
+        "definitely not sql",
+    ],
+)
+def test_unsupported_family_raises(bad):
+    with pytest.raises(UnsupportedSQL):
+        parse_sql(bad)
+
+
+# ---------------------------------------------------------------------------
+# (2) Routing the text is invisible.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "sql,want_chosen",
+    [
+        (PRICING_SQL, "pricing_cube"),
+        (STAR_SQL, "order_revenue_star"),
+        (SCAN_SQL, "zorder_lineitem"),
+    ],
+)
+def test_routed_sql_matches_duckdb(spark, sf_dir, oracle, sql, want_chosen):
+    df, chosen = route_sql(spark, sf_dir, sql)
+    assert chosen == want_chosen
+    compare_frames(df.toPandas(), oracle.execute(sql).fetchdf(), want_chosen)
+
+
+def test_routed_plan_reads_projection_not_raw(spark, sf_dir):
+    from bigdataproj_spark.plans import optimized_plan
+
+    df, chosen = route_sql(spark, sf_dir, PRICING_SQL)
+    assert chosen == "pricing_cube"
+    plan = optimized_plan(df)
+    assert "lineitem.parquet" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# (3) Engine.sql: routed by default, verbatim fallback, A/B identical.
+# ---------------------------------------------------------------------------
+
+
+def test_engine_sql_routes_and_matches_verbatim(spark, sf_dir):
+    eng = Engine(spark, sf_dir)
+    routed = eng.sql(STAR_SQL).toPandas()
+    verbatim = eng.sql(STAR_SQL, routed=False).toPandas()
+    assert routed.columns.tolist() == verbatim.columns.tolist()
+    assert routed.equals(verbatim)
+
+
+def test_engine_sql_falls_back_outside_family(spark, sf_dir, oracle):
+    """A statement the front door refuses still answers via spark.sql."""
+    sql = (
+        "SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n "
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+    )
+    with pytest.raises(UnsupportedSQL):
+        parse_sql(sql)
+    got = Engine(spark, sf_dir).sql(sql).toPandas()
+    compare_frames(got, oracle.execute(sql).fetchdf(), "fallback")
