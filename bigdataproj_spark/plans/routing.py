@@ -215,14 +215,26 @@ class Projection:
             df = df.filter(p.column())
         exprs = []
         for a in q.aggs:
+            # COUNT re-derives as a SUM of stored partial counts, whose
+            # value over ZERO input rows is NULL — but SQL COUNT of an
+            # empty input is 0. Grouped queries can't hit this (a group
+            # only exists where rows do); a filtered GLOBAL aggregate
+            # can, so coalesce to 0 exactly like the raw plan's
+            # F.count would return.
             if a.fn == "count_star":
-                exprs.append(F.sum(self.count_star_col).alias(a.alias))
+                exprs.append(
+                    F.coalesce(F.sum(self.count_star_col), F.lit(0).cast("long"))
+                    .alias(a.alias)
+                )
                 continue
             m, sm = MEASURES[a.measure], self.measures[a.measure]  # type: ignore[index]
             if a.fn == "sum":
                 exprs.append(isum_expr(F.col(sm.int_col), m.divisor).alias(a.alias))
             elif a.fn == "count":
-                exprs.append(F.sum(sm.cnt_col).alias(a.alias))
+                exprs.append(
+                    F.coalesce(F.sum(sm.cnt_col), F.lit(0).cast("long"))
+                    .alias(a.alias)
+                )
             elif a.fn == "avg":
                 exprs.append(
                     (isum_expr(F.col(sm.int_col), m.divisor) / F.sum(sm.cnt_col)).alias(
@@ -231,7 +243,9 @@ class Projection:
                 )
             else:
                 raise ValueError(f"unsupported aggregate fn {a.fn!r}")
-        return df.groupBy(*q.group_by).agg(*exprs).orderBy(*q.group_by)
+        out = df.groupBy(*q.group_by).agg(*exprs)
+        # Empty group_by = a global aggregate (one row; nothing to order).
+        return out.orderBy(*q.group_by) if q.group_by else out
 
 
 def _open_pricing_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -320,7 +334,10 @@ def _raw_plan(spark: SparkSession, sf_dir: str, q: AggQuery) -> DataFrame:
     keep = list(
         dict.fromkeys(
             local_group
-            + (["l_orderkey"] if star_group else [])
+            # the star branch joins on l_orderkey whenever the query
+            # touches ANY star attribute — grouping OR filter (a
+            # star-filtered global aggregate has star_filters only)
+            + (["l_orderkey"] if (star_group or star_filters) else [])
             + sorted(c for c in cnt_cols.values() if c)
         )
     )
@@ -331,9 +348,17 @@ def _raw_plan(spark: SparkSession, sf_dir: str, q: AggQuery) -> DataFrame:
     def final_aggs(src_int: dict[str, str], src_cnt: dict[str, str], cnt_star: str | None):
         exprs = []
         for a in q.aggs:
+            # Partial-count re-aggregation (the cnt_star branch) must
+            # coalesce to 0 for empty-input GLOBAL aggregates — SQL
+            # COUNT is 0 there, but SUM of no partials is NULL (same
+            # edge as Projection.build; F.count already returns 0).
             if a.fn == "count_star":
                 exprs.append(
-                    (F.sum(cnt_star) if cnt_star else F.count(F.lit(1))).alias(a.alias)
+                    (
+                        F.coalesce(F.sum(cnt_star), F.lit(0).cast("long"))
+                        if cnt_star
+                        else F.count(F.lit(1))
+                    ).alias(a.alias)
                 )
                 continue
             m = MEASURES[a.measure]  # type: ignore[index]
@@ -342,8 +367,11 @@ def _raw_plan(spark: SparkSession, sf_dir: str, q: AggQuery) -> DataFrame:
                 exprs.append(s.alias(a.alias))
             elif a.fn == "count":
                 exprs.append(
-                    (F.sum(src_cnt[a.measure]) if cnt_star else F.count(src_cnt[a.measure]))
-                    .alias(a.alias)
+                    (
+                        F.coalesce(F.sum(src_cnt[a.measure]), F.lit(0).cast("long"))
+                        if cnt_star
+                        else F.count(src_cnt[a.measure])
+                    ).alias(a.alias)
                 )
             elif a.fn == "avg":
                 c = (
@@ -358,11 +386,10 @@ def _raw_plan(spark: SparkSession, sf_dir: str, q: AggQuery) -> DataFrame:
 
     if not star_group and not star_filters:
         # q01 shape: scan → fused projection → one-shuffle aggregate.
-        return (
-            pre.groupBy(*q.group_by)
-            .agg(*final_aggs(int_cols, {m: c for m, c in cnt_cols.items() if c}, None))
-            .orderBy(*q.group_by)
+        out = pre.groupBy(*q.group_by).agg(
+            *final_aggs(int_cols, {m: c for m, c in cnt_cols.items() if c}, None)
         )
+        return out.orderBy(*q.group_by) if q.group_by else out
 
     # q26 shape: partial-aggregate the fact BELOW the join (slim
     # per-order rows cross the shuffle), broadcast the dim arm.
@@ -390,15 +417,10 @@ def _raw_plan(spark: SparkSession, sf_dir: str, q: AggQuery) -> DataFrame:
     joined = agg_l.join(dims.hint("shuffle_hash"), agg_l.l_orderkey == dims.o_orderkey)
     for p in star_filters:
         joined = joined.filter(p.column())
-    return (
-        joined.groupBy(*q.group_by)
-        .agg(
-            *final_aggs(
-                int_cols, {m: f"__cnt_{m}" for m in cnt_cols}, "__cnt_star"
-            )
-        )
-        .orderBy(*q.group_by)
+    out = joined.groupBy(*q.group_by).agg(
+        *final_aggs(int_cols, {m: f"__cnt_{m}" for m in cnt_cols}, "__cnt_star")
     )
+    return out.orderBy(*q.group_by) if q.group_by else out
 
 
 # ---------------------------------------------------------------------------

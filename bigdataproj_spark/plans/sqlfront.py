@@ -36,8 +36,15 @@ Recognized family (everything else → ``UnsupportedSQL`` → spark.sql):
   semantics: the engine's SQL dialect computes decimal-exact money);
 - WHERE: a conjunction of ``col <op> literal`` / ``BETWEEN`` predicates
   (TIMESTAMP/DATE literal casts preserved);
-- ORDER BY: absent, or exactly the grouping keys ascending (the
-  router's §2.4 total-order contract already produces that order);
+- GLOBAL aggregates (no GROUP BY) — the cube's best case: COUNT(*) or
+  SUM over the entire fact table re-aggregates a scale-invariant
+  projection down to one row;
+- HAVING over select-list aggregates: matched structurally to the
+  output column and applied as a post-aggregation filter — fold-safe
+  on every path because it compares FINAL re-aggregated values;
+- ORDER BY any output columns (asc or desc) and LIMIT, applied on top
+  of the routed plan — so ``ORDER BY revenue DESC LIMIT 10`` (the
+  top-k warehouse shape) routes onto the cube too;
 - projection+filter scans over lineitem (no aggregates): routed through
   :func:`route_scan` so a range predicate on a Z-order curve key is
   answered from the clustered layout, with any ORDER BY applied on top.
@@ -140,18 +147,31 @@ _CMP_OPS = {
 # ---------------------------------------------------------------------------
 
 
+_PARSER_LOCK = __import__("threading").Lock()
+_PARSER_CON = None  # one cached in-memory connection: parse is ~0.5 ms
+# warm vs ~8 ms with a fresh connection per statement — both far below
+# the ~80 ms scheduler floor of any Spark query, but the cache keeps
+# the front door free for interactive callers.
+
+
 def _ast(sql: str) -> dict:
     """Parse ``sql`` with DuckDB's serializer; UnsupportedSQL on any
     parse failure (the caller falls back to spark.sql, which will
-    produce the real error message if the SQL is genuinely broken)."""
+    produce the real error message if the SQL is genuinely broken).
+    Driver-side only; the connection holds no data and never executes
+    the statement."""
+    global _PARSER_CON
     try:
         import duckdb
     except ImportError as e:  # pragma: no cover - duckdb is baked in
         raise UnsupportedSQL(f"no duckdb parser available: {e}") from e
     try:
-        raw = duckdb.connect(":memory:").execute(
-            "SELECT json_serialize_sql(?::VARCHAR)", [sql]
-        ).fetchone()[0]
+        with _PARSER_LOCK:
+            if _PARSER_CON is None:
+                _PARSER_CON = duckdb.connect(":memory:")
+            raw = _PARSER_CON.execute(
+                "SELECT json_serialize_sql(?::VARCHAR)", [sql]
+            ).fetchone()[0]
         doc = json.loads(raw)
     except Exception as e:
         raise UnsupportedSQL(f"unparseable SQL: {e}") from e
@@ -390,20 +410,65 @@ def _parse_from(node: dict) -> bool:
     return True
 
 
-def _order_cols(node: dict) -> tuple[str, ...] | None:
-    """ORDER BY column names (ascending only), () if absent."""
-    cols: list[str] = []
+def _modifiers(node: dict) -> tuple[tuple[tuple[str, bool], ...], int | None]:
+    """((col, ascending), …) ORDER BY terms and the LIMIT, if any."""
+    orders: list[tuple[str, bool]] = []
+    limit: int | None = None
     for mod in node.get("modifiers", []):
-        if mod.get("type") != "ORDER_MODIFIER":
-            raise UnsupportedSQL(f"unsupported modifier {mod.get('type')}")
-        for o in mod.get("orders", []):
-            if o.get("type") not in ("ORDER_DEFAULT", "ORDER_ASCENDING"):
-                raise UnsupportedSQL("descending ORDER BY is not routable")
-            col = _colref(o.get("expression"))
-            if col is None:
-                raise UnsupportedSQL("ORDER BY over a non-column expression")
-            cols.append(col)
-    return tuple(cols)
+        t = mod.get("type")
+        if t == "ORDER_MODIFIER":
+            for o in mod.get("orders", []):
+                ot = o.get("type")
+                if ot in ("ORDER_DEFAULT", "ASCENDING", "ORDER_ASCENDING"):
+                    asc = True
+                elif ot in ("DESCENDING", "ORDER_DESCENDING"):
+                    asc = False
+                else:
+                    raise UnsupportedSQL(f"unsupported sort direction {ot}")
+                col = _colref(o.get("expression"))
+                if col is None:
+                    raise UnsupportedSQL("ORDER BY over a non-column expression")
+                orders.append((col, asc))
+        elif t == "LIMIT_MODIFIER":
+            if mod.get("offset") is not None:
+                raise UnsupportedSQL("OFFSET is not routable")
+            v, cast = _parse_constant(mod.get("limit"))
+            if cast is not None or not isinstance(v, int) or v < 0:
+                raise UnsupportedSQL("non-integer LIMIT")
+            limit = v
+        else:
+            raise UnsupportedSQL(f"unsupported modifier {t}")
+    return tuple(orders), limit
+
+
+def _parse_having(node, agg_alias_by_key: dict[str, str]) -> tuple[Pred, ...]:
+    """HAVING folds trivially on every path — it filters FINAL
+    aggregate values, after re-aggregation — provided each compared
+    aggregate is one the query already outputs: the predicate becomes
+    a plain filter on that output column (identified structurally, so
+    ``HAVING COUNT(*) > 5`` finds the select list's ``COUNT(*) AS c``
+    whatever it was aliased)."""
+    if node is None:
+        return ()
+    preds: list[Pred] = []
+
+    def walk(n):
+        if isinstance(n, dict) and n.get("type") == "CONJUNCTION_AND":
+            for c in n["children"]:
+                walk(c)
+            return
+        if not (isinstance(n, dict) and n.get("type") in _CMP_OPS):
+            raise UnsupportedSQL("unsupported HAVING predicate")
+        alias = agg_alias_by_key.get(_key(n.get("left")))
+        if alias is None:
+            raise UnsupportedSQL(
+                "HAVING must compare an aggregate from the select list"
+            )
+        value, cast = _parse_constant(n["right"])
+        preds.append(Pred(alias, _CMP_OPS[n["type"]], value, cast=cast))
+
+    walk(node)
+    return tuple(preds)
 
 
 # ---------------------------------------------------------------------------
@@ -413,26 +478,30 @@ def _order_cols(node: dict) -> tuple[str, ...] | None:
 
 @dataclass(frozen=True)
 class ParsedSQL:
-    """A routable statement: the router spec, the SQL's output column
-    order (group keys and aggregate aliases as written), and any ORDER
-    BY to apply on top of a scan."""
+    """A routable statement: the router spec; the SQL's output column
+    order (group keys and aggregate aliases as written); and the
+    post-aggregation clauses applied on top of whichever layout
+    answers — HAVING (as filters over output aggregate columns),
+    ORDER BY ((col, ascending) terms over output columns), LIMIT."""
 
     spec: AggQuery | ScanQuery
     columns: tuple[str, ...]
-    order: tuple[str, ...]
+    order: tuple[tuple[str, bool], ...]
+    having: tuple[Pred, ...] = ()
+    limit: int | None = None
 
 
 def parse_sql(sql: str) -> ParsedSQL:
     """Lower a SQL string to the router's spec language, or raise
     :class:`UnsupportedSQL`. Pure driver-side analysis — no Spark."""
     node = _ast(sql)
-    if node.get("having") or node.get("qualify") or node.get("sample"):
-        raise UnsupportedSQL("HAVING/QUALIFY/SAMPLE are not routable")
+    if node.get("qualify") or node.get("sample"):
+        raise UnsupportedSQL("QUALIFY/SAMPLE are not routable")
     if node.get("cte_map", {}).get("map"):
         raise UnsupportedSQL("CTEs are not routable")
     if node.get("aggregate_handling") != "STANDARD_HANDLING":
         raise UnsupportedSQL("non-standard aggregate handling")
-    order = _order_cols(node)
+    order, limit = _modifiers(node)
 
     star = _parse_from(node["from_table"])
     filters = _parse_where(node.get("where_clause"))
@@ -450,10 +519,18 @@ def parse_sql(sql: str) -> ParsedSQL:
     sets = node.get("group_sets", [])
     if groups and sets != [list(range(len(groups)))]:
         raise UnsupportedSQL("GROUPING SETS/ROLLUP/CUBE are not routable")
+    if star and not (set(groups) | {p.col for p in filters}) & _STAR_ATTRS:
+        # A star join whose attributes are never used could only be
+        # dropped from the plan by ASSUMING foreign-key integrity
+        # (an inner join may drop orphan fact rows). The router never
+        # assumes data properties it can't check structurally — this
+        # shape runs verbatim through spark.sql instead.
+        raise UnsupportedSQL("star join with no star attribute referenced")
 
     out: list[str] = []
     aggs: list[AggCall] = []
     seen_groups: list[str] = []
+    agg_alias_by_key: dict[str, str] = {}
     for item in node["select_list"]:
         call = _match_agg(item)
         if call is not None:
@@ -461,6 +538,9 @@ def parse_sql(sql: str) -> ParsedSQL:
                 raise UnsupportedSQL("aggregate without an alias")
             aggs.append(call)
             out.append(call.alias)
+            # HAVING matches the aggregate EXPRESSION; map its
+            # normalized form (alias stripped by _norm) to the alias.
+            agg_alias_by_key[_key(item)] = call.alias
             continue
         col = _colref(item)
         if col is None:
@@ -468,31 +548,42 @@ def parse_sql(sql: str) -> ParsedSQL:
         if item.get("alias"):
             raise UnsupportedSQL("aliased group columns are not routable")
         out.append(col)
-        if groups:
-            if col not in groups:
-                raise UnsupportedSQL(f"bare column {col} is not a grouping key")
-            seen_groups.append(col)
+        seen_groups.append(col)
     if len(set(out)) != len(out):
         raise UnsupportedSQL("duplicate output column names")
+    if groups or aggs:
+        # Aggregating form: every bare select column must be a grouping
+        # key (in the scan form below, bare columns are the projection).
+        for col in seen_groups:
+            if col not in groups:
+                raise UnsupportedSQL(f"bare column {col} is not a grouping key")
+    having = _parse_having(node.get("having"), agg_alias_by_key)
 
-    if not groups:
-        if aggs:
-            raise UnsupportedSQL("global aggregates are not routable")
+    if not groups and not aggs:
         # Pure projection+filter scan over lineitem.
         if star:
             raise UnsupportedSQL("scan over the star join is not routable")
         if not (set(out) <= _LINEITEM_COLS):
             raise UnsupportedSQL("scan selects columns outside lineitem")
-        if not (set(order) <= set(out)):
+        if not ({c for c, _ in order} <= set(out)):
             raise UnsupportedSQL("scan ORDER BY must use selected columns")
-        return ParsedSQL(ScanQuery(tuple(out), filters), tuple(out), order)
+        return ParsedSQL(
+            ScanQuery(tuple(out), filters), tuple(out), order, (), limit
+        )
 
+    # Grouped — or, with no GROUP BY, a GLOBAL — aggregate. The global
+    # form is the cube's best case: COUNT(*)/SUM over the whole fact
+    # re-aggregates a scale-invariant projection to ONE row.
     if sorted(seen_groups) != sorted(groups):
         raise UnsupportedSQL("every grouping key must be selected exactly once")
-    if order and order != tuple(groups):
-        raise UnsupportedSQL("ORDER BY must be exactly the grouping keys")
+    if not ({c for c, _ in order} <= set(out)):
+        raise UnsupportedSQL("ORDER BY must use output columns")
     return ParsedSQL(
-        AggQuery(filters, tuple(groups), tuple(aggs)), tuple(out), order
+        AggQuery(filters, tuple(groups), tuple(aggs)),
+        tuple(out),
+        order,
+        having,
+        limit,
     )
 
 
@@ -501,21 +592,33 @@ def route_sql(
 ) -> tuple[DataFrame, str]:
     """Parse ``sql`` and answer it via the projection router. Returns
     (result, chosen) with ``chosen`` the layout name or "raw". Output
-    columns follow the SQL's select order; aggregate-query rows follow
-    the grouping keys (which is what the SQL's ORDER BY was constrained
-    to). Raises :class:`UnsupportedSQL` for anything outside the
-    routable family — Engine.sql catches that and runs spark.sql."""
+    columns follow the SQL's select order; HAVING/ORDER BY/LIMIT are
+    applied on top of the routed plan (all three operate on FINAL
+    output values, so they fold on every path — and Catalyst's
+    EliminateSorts drops the router's default group-key sort when the
+    SQL asks for a different one). Raises :class:`UnsupportedSQL` for
+    anything outside the routable family — Engine.sql catches that and
+    runs spark.sql."""
+    from pyspark.sql import functions as F
+
     parsed = parse_sql(sql)
     if isinstance(parsed.spec, ScanQuery):
         df, chosen = route_scan(spark, sf_dir, parsed.spec)
-        if parsed.order:
-            df = df.orderBy(*parsed.order)
-        return df.select(*parsed.columns), chosen
-    try:
-        df, chosen = route(spark, sf_dir, parsed.spec)
-    except ValueError as e:  # e.g. mixed local+star grouping on the raw path
-        raise UnsupportedSQL(str(e)) from e
-    return df.select(*parsed.columns), chosen
+    else:
+        try:
+            df, chosen = route(spark, sf_dir, parsed.spec)
+        except ValueError as e:  # e.g. mixed local+star grouping, raw path
+            raise UnsupportedSQL(str(e)) from e
+    df = df.select(*parsed.columns)
+    for p in parsed.having:
+        df = df.filter(p.column())
+    if parsed.order:
+        df = df.orderBy(
+            *[F.col(c).asc() if asc else F.col(c).desc() for c, asc in parsed.order]
+        )
+    if parsed.limit is not None:
+        df = df.limit(parsed.limit)
+    return df, chosen
 
 
 # ---------------------------------------------------------------------------

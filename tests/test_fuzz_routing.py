@@ -25,7 +25,7 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from bigdataproj_spark.plans.routing import AggCall, AggQuery, Pred, _raw_plan, route
-from bigdataproj_spark.plans.sqlfront import parse_sql, route_sql
+from bigdataproj_spark.plans.sqlfront import UnsupportedSQL, parse_sql, route_sql
 from bigdataproj_spark.testing import compare_frames
 
 _FUZZ_SCALE = int(_os.environ.get("FUZZ_SCALE", "1"))
@@ -54,6 +54,18 @@ _STAR_AGGS = [
 ]
 _DATES = ["1998-06-01", "2000-01-01", "2001-03-15", "2001-09-02"]
 
+# SQL-only clauses the front door supports beyond the spec language:
+# GLOBAL aggregates (group_by=()), HAVING on a selected aggregate,
+# descending ORDER BY, LIMIT. Drawn alongside every spec; applied in
+# _to_sql and checked through route_sql (the spec-level three-way
+# check runs when no extras are drawn).
+_EXTRAS = {
+    "global": st.sampled_from([False, False, False, True]),
+    "having": st.sampled_from([None, None, 1, 2000]),
+    "order_desc": st.sampled_from([False, False, True]),
+    "limit": st.sampled_from([None, None, 1, 2]),
+}
+
 pricing_specs = st.fixed_dictionaries(
     {
         "family": st.just("pricing"),
@@ -65,6 +77,7 @@ pricing_specs = st.fixed_dictionaries(
         "flag_filter": st.sampled_from([None, "A", "N", "R"]),
         "nonkey_filter": st.booleans(),  # discount filter -> raw fallback
         "agg_mask": st.integers(min_value=1, max_value=(1 << len(_PRICING_AGGS)) - 1),
+        **_EXTRAS,
     }
 )
 star_specs = st.fixed_dictionaries(
@@ -75,6 +88,7 @@ star_specs = st.fixed_dictionaries(
         "date_op": st.sampled_from(["<=", ">="]),
         "region_filter": st.sampled_from([None, "ASIA", "EUROPE", "AMERICA"]),
         "agg_mask": st.integers(min_value=1, max_value=(1 << len(_STAR_AGGS)) - 1),
+        **_EXTRAS,
     }
 )
 
@@ -101,10 +115,17 @@ def _to_spec(p) -> AggQuery:
             filters.append(Pred("r_name", "=", p["region_filter"]))
         pool = _STAR_AGGS
     aggs = tuple(a for i, a in enumerate(pool) if p["agg_mask"] >> i & 1)
-    return AggQuery(tuple(filters), p["group"], aggs)
+    group = () if p.get("global") else p["group"]
+    return AggQuery(tuple(filters), group, aggs)
 
 
-def _to_sql(spec: AggQuery, star: bool) -> str:
+def _to_sql(
+    spec: AggQuery,
+    star: bool,
+    order_desc: bool = False,
+    having: int | None = None,
+    limit: int | None = None,
+) -> str:
     sel = list(spec.group_by)
     for a in spec.aggs:
         if a.fn == "count_star":
@@ -133,9 +154,21 @@ def _to_sql(spec: AggQuery, star: bool) -> str:
             conds.append(f"{pr.col} {pr.op} '{pr.value}'")
         else:
             conds.append(f"{pr.col} {pr.op} {pr.value}")
-    where = f"WHERE {' AND '.join(conds)}" if conds else ""
-    keys = ", ".join(spec.group_by)
-    return f"SELECT {', '.join(sel)} FROM {frm} {where} GROUP BY {keys} ORDER BY {keys}"
+    parts = [f"SELECT {', '.join(sel)} FROM {frm}"]
+    if conds:
+        parts.append("WHERE " + " AND ".join(conds))
+    if spec.group_by:
+        parts.append("GROUP BY " + ", ".join(spec.group_by))
+    if having is not None:
+        parts.append(f"HAVING COUNT(*) > {having}")
+    if spec.group_by:
+        parts.append(
+            "ORDER BY "
+            + ", ".join(f"{k} DESC" if order_desc else k for k in spec.group_by)
+        )
+    if limit is not None:
+        parts.append(f"LIMIT {limit}")
+    return " ".join(parts)
 
 
 @pytest.fixture(scope="module")
@@ -159,20 +192,43 @@ def test_random_spec_routes_and_matches_duckdb(spark, sf_dir, _ora, p):
     drawn spec, whichever projection (or none) the router picks."""
     spec = _to_spec(p)
     star = p["family"] == "star"
-    sql = _to_sql(spec, star)
+    # SQL-only extras: HAVING needs COUNT(*) in the select list to
+    # reference; LIMIT without a total ORDER BY would make the row SET
+    # nondeterministic (ties at the boundary), so it rides only on the
+    # grouped form (keys are a total order there) or the 1-row global.
+    has_cnt = any(a.fn == "count_star" for a in spec.aggs)
+    extras = {
+        "order_desc": bool(p["order_desc"] and spec.group_by),
+        "having": p["having"] if has_cnt else None,
+        "limit": p["limit"],
+    }
+    sql = _to_sql(spec, star, **extras)
+    used = set(spec.group_by) | {f.col for f in spec.filters}
+    if star and not used & {"r_name", "n_name"}:
+        # A star join none of whose attributes are referenced is only
+        # droppable under an FK-integrity assumption; the front door
+        # must REFUSE it (falls back to spark.sql in Engine.sql).
+        with pytest.raises(UnsupportedSQL):
+            parse_sql(sql)
+        return
     # The SQL front door must lower the generated text back to the
     # IDENTICAL spec object (parser<->generator round-trip) …
-    assert parse_sql(sql).spec == spec, sql
+    parsed = parse_sql(sql)
+    assert parsed.spec == spec, sql
+    assert parsed.limit == extras["limit"], sql
+    assert bool(parsed.having) == (extras["having"] is not None), sql
+    # … and routing the TEXT must match DuckDB running the same text.
+    sql_df, sql_chosen = route_sql(spark, sf_dir, sql)
+    want = _ora.execute(sql).fetchdf()
+    compare_frames(sql_df.toPandas(), want, f"routing-fuzz[{sql_chosen}] {sql}")
+    if any(v for v in extras.values()):
+        return  # spec-level plans don't model HAVING/DESC/LIMIT
+    # No extras: the spec-level route must agree with the SQL-level
+    # answer cell-for-cell, and with the raw plan when rewritten.
     routed, chosen = route(spark, sf_dir, spec)
     got = routed.toPandas()
-    want = _ora.execute(sql).fetchdf()
+    assert chosen == sql_chosen, (chosen, sql_chosen, sql)
     compare_frames(got, want, f"routing-fuzz[{chosen}] {spec}")
-    # … and routing the TEXT must agree with routing the spec: same
-    # layout choice, same cells (column order is the SQL select order).
-    sql_df, sql_chosen = route_sql(spark, sf_dir, sql)
-    assert sql_chosen == chosen, (sql_chosen, chosen, sql)
-    assert got.equals(sql_df.toPandas()[got.columns.tolist()]), (chosen, sql)
-    # and the raw plan agrees with the routed plan cell-for-cell
     if chosen != "raw":
         raw = _raw_plan(spark, sf_dir, spec).toPandas()
         assert got.equals(raw), (chosen, spec)

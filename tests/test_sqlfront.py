@@ -109,7 +109,7 @@ def test_parse_scan_with_order():
             Pred("l_suppkey", ">=", 2),
         ),
     )
-    assert parsed.order == ("l_orderkey", "l_linenumber")
+    assert parsed.order == (("l_orderkey", True), ("l_linenumber", True))
 
 
 def test_lookalike_measure_does_not_match():
@@ -127,19 +127,27 @@ def test_lookalike_measure_does_not_match():
 @pytest.mark.parametrize(
     "bad",
     [
-        "SELECT count(*) AS c FROM lineitem",  # global aggregate
-        "SELECT l_returnflag, count(*) AS c FROM lineitem"
-        " GROUP BY l_returnflag HAVING count(*) > 5",
         "SELECT l_returnflag, count(DISTINCT l_quantity) AS c FROM lineitem"
         " GROUP BY l_returnflag",
         "SELECT l_returnflag, sum(l_quantity) AS s FROM lineitem"
         " GROUP BY ROLLUP(l_returnflag)",
-        "SELECT l_orderkey FROM lineitem LIMIT 5",
         "SELECT o_orderkey FROM orders WHERE o_orderkey < 10",  # wrong table
         "SELECT d_whatever FROM lineitem",  # unknown column
         "SELECT l_orderkey FROM lineitem JOIN orders ON l_orderkey < o_orderkey",
+        # HAVING over an aggregate missing from the select list
         "SELECT l_returnflag, sum(l_quantity) AS s FROM lineitem"
-        " GROUP BY l_returnflag ORDER BY s",  # non-key ORDER BY
+        " GROUP BY l_returnflag HAVING count(*) > 5",
+        # ORDER BY a column that is not in the output
+        "SELECT l_returnflag, count(*) AS c FROM lineitem"
+        " GROUP BY l_returnflag ORDER BY l_linestatus",
+        "SELECT l_orderkey FROM lineitem LIMIT 5 OFFSET 2",  # OFFSET
+        # star join whose attributes are never referenced: dropping the
+        # join would assume FK integrity — must refuse
+        "SELECT count(*) AS c FROM lineitem"
+        " JOIN orders ON l_orderkey = o_orderkey"
+        " JOIN customer ON o_custkey = c_custkey"
+        " JOIN nation ON c_nationkey = n_nationkey"
+        " JOIN region ON n_regionkey = r_regionkey",
         "INSERT INTO lineitem VALUES (1)",
         "definitely not sql",
     ],
@@ -168,6 +176,41 @@ def test_routed_sql_matches_duckdb(spark, sf_dir, oracle, sql, want_chosen):
     compare_frames(df.toPandas(), oracle.execute(sql).fetchdf(), want_chosen)
 
 
+@pytest.mark.parametrize(
+    "sql,want_chosen",
+    [
+        # GLOBAL aggregate: whole-fact COUNT answered from the cube
+        ("SELECT COUNT(*) AS n FROM lineitem", "pricing_cube"),
+        # filtered global, empty input: COUNT must come back 0, not NULL
+        (
+            "SELECT COUNT(*) AS n, COUNT(l_quantity) AS nq FROM lineitem"
+            " WHERE l_shipdate >= TIMESTAMP '2031-01-01 00:00:00'",
+            "pricing_cube",
+        ),
+        # top-k warehouse shape: ORDER BY aggregate DESC + LIMIT
+        (
+            f"SELECT l_returnflag, l_linestatus, {SUM_SQL['revenue']} AS rev"
+            " FROM lineitem GROUP BY l_returnflag, l_linestatus"
+            " ORDER BY rev DESC, l_returnflag, l_linestatus LIMIT 3",
+            "pricing_cube",
+        ),
+        # HAVING folds as a post-aggregation filter on the cube path
+        (
+            "SELECT l_returnflag, COUNT(*) AS n FROM lineitem"
+            " GROUP BY l_returnflag HAVING COUNT(*) > 100"
+            " ORDER BY l_returnflag",
+            "pricing_cube",
+        ),
+    ],
+)
+def test_extended_family_matches_duckdb(spark, sf_dir, oracle, sql, want_chosen):
+    """Global aggregates, HAVING, DESC ordering, and LIMIT route and
+    agree with DuckDB running the identical text on the raw tables."""
+    df, chosen = route_sql(spark, sf_dir, sql)
+    assert chosen == want_chosen
+    compare_frames(df.toPandas(), oracle.execute(sql).fetchdf(), sql[:60])
+
+
 def test_routed_plan_reads_projection_not_raw(spark, sf_dir):
     from bigdataproj_spark.plans import optimized_plan
 
@@ -180,6 +223,59 @@ def test_routed_plan_reads_projection_not_raw(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # (3) Engine.sql: routed by default, verbatim fallback, A/B identical.
 # ---------------------------------------------------------------------------
+
+
+def test_routed_answer_tracks_incremental_refresh(spark, sf_dir):
+    """Freshness end-to-end: a delta lands, the cube delta-merges
+    (sources/bucketed.py refresh), and the SQL front door's answer —
+    still routed onto the cube — equals DuckDB computing the same
+    query over base + delta. This is the full ingest→maintain→route
+    loop the at-rest tests prove piecewise."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from bigdataproj_spark.catalog import table
+    from bigdataproj_spark.sources.bucketed import (
+        pricing_cube_table,
+        refresh_pricing_cube,
+    )
+
+    sql = (
+        f"SELECT l_returnflag, l_linestatus, {SUM_SQL['quantity']} AS sum_qty,"
+        " COUNT(*) AS n FROM lineitem"
+        " GROUP BY l_returnflag, l_linestatus"
+        " ORDER BY l_returnflag, l_linestatus"
+    )
+    base = pricing_cube_table(spark, sf_dir)
+    li = table(spark, sf_dir, "lineitem")
+    # reuse existing groups AND mint new shipdate groups (both merge arms)
+    delta = li.orderBy("l_orderkey", "l_linenumber").limit(60)
+    delta = delta.withColumn(
+        "l_shipdate",
+        F.when(F.col("l_linenumber") % 2 == 0, F.col("l_shipdate")).otherwise(
+            F.col("l_shipdate") + F.expr("INTERVAL 7000 DAYS")
+        ),
+    )
+    try:
+        refresh_pricing_cube(spark, sf_dir, delta)
+        df, chosen = route_sql(spark, sf_dir, sql)
+        assert chosen == "pricing_cube"
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW base AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/lineitem.parquet')"
+        )
+        con.register("delta", delta.toPandas())
+        con.execute(
+            "CREATE VIEW combined AS SELECT * FROM base"
+            " UNION ALL SELECT * FROM delta"
+        )
+        want = con.execute(sql.replace("FROM lineitem", "FROM combined")).fetchdf()
+        compare_frames(df.toPandas(), want, "routed-after-refresh")
+    finally:
+        # the delta is synthetic, not fixture data: later tests must see
+        # the fixture-derived cube again
+        spark.__dict__["_bdp_projection_memo"][("pricing_cube", sf_dir)] = base
 
 
 def test_engine_sql_routes_and_matches_verbatim(spark, sf_dir):
