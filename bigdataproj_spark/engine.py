@@ -95,6 +95,21 @@ class Engine:
     def query_names(self) -> list[str]:
         return sorted(load_all())
 
+    def explain_sql(self, query: str) -> tuple[str, str]:
+        """(chosen layout, physical plan) for a SQL statement — the
+        introspection twin of :meth:`sql`: ``chosen`` is the
+        projection/layout name the front door picked, "raw" for the
+        router's raw-table plan, or "spark.sql" when the statement is
+        outside the routable family and runs verbatim."""
+        from .plans import physical_plan
+        from .plans.sqlfront import UnsupportedSQL, route_sql
+
+        try:
+            df, chosen = route_sql(self.spark, self.sf_dir, query)
+        except UnsupportedSQL:
+            return "spark.sql", physical_plan(self.sql(query, routed=False))
+        return chosen, physical_plan(df)
+
     # -- S13: routed queries ------------------------------------------------
     def aggregate(self, spec) -> DataFrame:
         """Answer a logical :class:`~bigdataproj_spark.plans.routing.AggQuery`

@@ -59,7 +59,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..functions import cents, isum_expr
+from ..functions import cents, imax_expr, imin_expr, isum_expr
 from ..registry import query
 from ..sources.bucketed import order_revenue_projection, pricing_cube_table
 
@@ -101,7 +101,7 @@ class Pred:
 @dataclass(frozen=True)
 class AggCall:
     """One output aggregate: ``fn`` over measure ``measure`` AS
-    ``alias``. fn ∈ {sum, avg, count, count_star}."""
+    ``alias``. fn ∈ {sum, avg, count, count_star, min, max}."""
 
     fn: str
     measure: str | None
@@ -171,6 +171,8 @@ STAR_ATTRS = frozenset({"r_name", "n_name"})
 class _StoredMeasure:
     int_col: str  # stored int64 partial-sum column
     cnt_col: str | None  # stored non-null count column (COUNT/AVG support)
+    min_col: str | None = None  # stored int64 partial-min (MIN support)
+    max_col: str | None = None  # stored int64 partial-max (MAX support)
 
 
 @dataclass(frozen=True)
@@ -207,6 +209,10 @@ class Projection:
                 return False
             if a.fn in ("count", "avg") and sm.cnt_col is None:
                 return False
+            if a.fn == "min" and sm.min_col is None:
+                return False
+            if a.fn == "max" and sm.max_col is None:
+                return False
         return True
 
     def build(self, spark: SparkSession, sf_dir: str, q: AggQuery) -> DataFrame:
@@ -241,6 +247,10 @@ class Projection:
                         a.alias
                     )
                 )
+            elif a.fn == "min":
+                exprs.append(imin_expr(F.col(sm.min_col), m.divisor).alias(a.alias))
+            elif a.fn == "max":
+                exprs.append(imax_expr(F.col(sm.max_col), m.divisor).alias(a.alias))
             else:
                 raise ValueError(f"unsupported aggregate fn {a.fn!r}")
         out = df.groupBy(*q.group_by).agg(*exprs)
@@ -271,11 +281,19 @@ PROJECTIONS: tuple[Projection, ...] = (
         name="pricing_cube",
         attrs=frozenset({"l_returnflag", "l_linestatus", "l_shipdate"}),
         measures={
-            "quantity": _StoredMeasure("qty_i", "cnt_qty"),
-            "base_price": _StoredMeasure("price_i", "cnt_price"),
-            "discount": _StoredMeasure("disc_i", "cnt_disc"),
-            "revenue": _StoredMeasure("rev_i", None),
-            "charge": _StoredMeasure("charge_i", None),
+            "quantity": _StoredMeasure(
+                "qty_i", "cnt_qty", "min_qty_i", "max_qty_i"
+            ),
+            "base_price": _StoredMeasure(
+                "price_i", "cnt_price", "min_price_i", "max_price_i"
+            ),
+            "discount": _StoredMeasure(
+                "disc_i", "cnt_disc", "min_disc_i", "max_disc_i"
+            ),
+            "revenue": _StoredMeasure("rev_i", None, "min_rev_i", "max_rev_i"),
+            "charge": _StoredMeasure(
+                "charge_i", None, "min_charge_i", "max_charge_i"
+            ),
         },
         count_star_col="cnt",
         open=_open_pricing_cube,
@@ -322,6 +340,8 @@ def _raw_plan(spark: SparkSession, sf_dir: str, q: AggQuery) -> DataFrame:
         for m in needed
         if any(a.fn in ("count", "avg") and a.measure == m for a in q.aggs)
     }
+    min_ms = sorted({a.measure for a in q.aggs if a.fn == "min"})
+    max_ms = sorted({a.measure for a in q.aggs if a.fn == "max"})
 
     star_group = [g for g in q.group_by if g in STAR_ATTRS]
     local_group = [g for g in q.group_by if g not in STAR_ATTRS]
@@ -345,7 +365,19 @@ def _raw_plan(spark: SparkSession, sf_dir: str, q: AggQuery) -> DataFrame:
         *keep, *[MEASURES[m].raw_int().alias(int_cols[m]) for m in needed]
     )
 
-    def final_aggs(src_int: dict[str, str], src_cnt: dict[str, str], cnt_star: str | None):
+    def final_aggs(
+        src_int: dict[str, str],
+        src_cnt: dict[str, str],
+        cnt_star: str | None,
+        src_min: dict[str, str] | None = None,
+        src_max: dict[str, str] | None = None,
+    ):
+        # src_min/src_max: where each measure's MIN/MAX input lives —
+        # the fused int column on the single-shuffle path, the
+        # per-order partial-min/max column on the star path (MIN/MAX
+        # commute with the per-order partial aggregation).
+        src_min = src_min if src_min is not None else src_int
+        src_max = src_max if src_max is not None else src_int
         exprs = []
         for a in q.aggs:
             # Partial-count re-aggregation (the cnt_star branch) must
@@ -365,6 +397,14 @@ def _raw_plan(spark: SparkSession, sf_dir: str, q: AggQuery) -> DataFrame:
             s = isum_expr(F.col(src_int[a.measure]), m.divisor)
             if a.fn == "sum":
                 exprs.append(s.alias(a.alias))
+            elif a.fn == "min":
+                exprs.append(
+                    imin_expr(F.col(src_min[a.measure]), m.divisor).alias(a.alias)
+                )
+            elif a.fn == "max":
+                exprs.append(
+                    imax_expr(F.col(src_max[a.measure]), m.divisor).alias(a.alias)
+                )
             elif a.fn == "count":
                 exprs.append(
                     (
@@ -401,6 +441,8 @@ def _raw_plan(spark: SparkSession, sf_dir: str, q: AggQuery) -> DataFrame:
         )
     partial = [F.sum(int_cols[m]).alias(int_cols[m]) for m in needed]
     partial += [F.count(c).alias(f"__cnt_{m}") for m, c in cnt_cols.items() if c]
+    partial += [F.min(int_cols[m]).alias(f"__min_{m}") for m in min_ms]
+    partial += [F.max(int_cols[m]).alias(f"__max_{m}") for m in max_ms]
     partial.append(F.count(F.lit(1)).alias("__cnt_star"))
     agg_l = pre.groupBy("l_orderkey").agg(*partial)
 
@@ -418,7 +460,13 @@ def _raw_plan(spark: SparkSession, sf_dir: str, q: AggQuery) -> DataFrame:
     for p in star_filters:
         joined = joined.filter(p.column())
     out = joined.groupBy(*q.group_by).agg(
-        *final_aggs(int_cols, {m: f"__cnt_{m}" for m in cnt_cols}, "__cnt_star")
+        *final_aggs(
+            int_cols,
+            {m: f"__cnt_{m}" for m in cnt_cols},
+            "__cnt_star",
+            {m: f"__min_{m}" for m in min_ms},
+            {m: f"__max_{m}" for m in max_ms},
+        )
     )
     return out.orderBy(*q.group_by) if q.group_by else out
 

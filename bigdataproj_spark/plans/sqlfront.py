@@ -28,12 +28,16 @@ Recognized family (everything else → ``UnsupportedSQL`` → spark.sql):
 - grouped aggregates over ``lineitem`` alone or the canonical 5-table
   star join (lineitem⋈orders⋈customer⋈nation⋈region on the TPC-H keys,
   validated structurally as the set of join equalities);
-- aggregates: the canonical DECIMAL sum/avg formulations of the five
-  routing measures, plus plain ``SUM/AVG/COUNT(col)`` over the raw
-  measure columns and ``COUNT(*)``. Plain double forms are answered
-  with the engine's exact fixed-point arithmetic — deterministic and
-  order-independent where a naive double sum is not (documented
-  semantics: the engine's SQL dialect computes decimal-exact money);
+- aggregates: the canonical DECIMAL sum/avg/min/max formulations of
+  the five routing measures, plus plain ``SUM/AVG/COUNT/MIN/MAX(col)``
+  over the raw measure columns and ``COUNT(*)``. MIN/MAX re-derive
+  from the cube's stored int64 min/max partials (fixed-point scaling
+  is monotone, so it commutes with MIN/MAX — the partials are monoids
+  like the sums, and double as per-group zone maps). Plain double
+  forms are answered with the engine's exact fixed-point arithmetic —
+  deterministic and order-independent where a naive double sum is not
+  (documented semantics: the engine's SQL dialect computes
+  decimal-exact money);
 - WHERE: a conjunction of ``col <op> literal`` / ``BETWEEN`` predicates
   (TIMESTAMP/DATE literal casts preserved);
 - GLOBAL aggregates (no GROUP BY) — the cube's best case: COUNT(*) or
@@ -90,20 +94,25 @@ class UnsupportedSQL(Exception):
 # parser can never drift apart).
 # ---------------------------------------------------------------------------
 
-SUM_SQL: dict[str, str] = {
-    "quantity": "CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)",
-    "base_price": "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)",
-    "discount": "CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE)",
+_DECIMAL_EXPR: dict[str, str] = {
+    "quantity": "CAST(l_quantity AS DECIMAL(12,2))",
+    "base_price": "CAST(l_extendedprice AS DECIMAL(12,2))",
+    "discount": "CAST(l_discount AS DECIMAL(12,2))",
     "revenue": (
-        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))"
-        " * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)"
+        "CAST(l_extendedprice AS DECIMAL(12,2))"
+        " * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
     ),
     "charge": (
-        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))"
+        "CAST(l_extendedprice AS DECIMAL(12,2))"
         " * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
-        " * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE)"
+        " * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))"
     ),
 }
+SUM_SQL = {m: f"CAST(SUM({e}) AS DOUBLE)" for m, e in _DECIMAL_EXPR.items()}
+# MIN/MAX partials are stored by the cube too (fixed-point scaling is
+# monotone, so it commutes with MIN/MAX — monoid-mergeable like SUM).
+MIN_SQL = {m: f"CAST(MIN({e}) AS DOUBLE)" for m, e in _DECIMAL_EXPR.items()}
+MAX_SQL = {m: f"CAST(MAX({e}) AS DOUBLE)" for m, e in _DECIMAL_EXPR.items()}
 
 # Plain-column measure spellings (SUM(l_quantity), AVG(l_discount), …).
 COL_MEASURE: dict[str, str] = {
@@ -211,18 +220,19 @@ def _key(node) -> str:
     return json.dumps(_norm(node), sort_keys=True)
 
 
-_CANON_SUM: dict[str, str] = {}  # normalized-AST key -> measure name
+_CANON_AGG: dict[str, tuple[str, str]] = {}  # AST key -> (fn, measure)
 
 
-def _canon_sums() -> dict[str, str]:
-    """Normalized ASTs of the canonical sum formulations (parsed once;
-    parsing our own snippet through the same parser makes the match
-    immune to serializer details)."""
-    if not _CANON_SUM:
-        for measure, sql in SUM_SQL.items():
-            item = _ast(f"SELECT {sql} FROM lineitem")["select_list"][0]
-            _CANON_SUM[_key(item)] = measure
-    return _CANON_SUM
+def _canon_aggs() -> dict[str, tuple[str, str]]:
+    """Normalized ASTs of the canonical aggregate formulations (parsed
+    once; parsing our own snippet through the same parser makes the
+    match immune to serializer details)."""
+    if not _CANON_AGG:
+        for fn, table in (("sum", SUM_SQL), ("min", MIN_SQL), ("max", MAX_SQL)):
+            for measure, sql in table.items():
+                item = _ast(f"SELECT {sql} FROM lineitem")["select_list"][0]
+                _CANON_AGG[_key(item)] = (fn, measure)
+    return _CANON_AGG
 
 
 def _colref(node) -> str | None:
@@ -259,10 +269,11 @@ def _is_count_star(node) -> bool:
 
 
 def _match_sum(node) -> str | None:
-    """Measure computed by ``node`` as a SUM, canonical or plain."""
-    m = _canon_sums().get(_key(node))
-    if m:
-        return m
+    """Measure computed by ``node`` as a SUM, canonical or plain (the
+    AVG numerator check needs specifically a sum)."""
+    hit = _canon_aggs().get(_key(node))
+    if hit and hit[0] == "sum":
+        return hit[1]
     pf = _plain_fn(node)
     if pf and pf[0] == "sum" and pf[1] in COL_MEASURE:
         return COL_MEASURE[pf[1]]
@@ -274,18 +285,16 @@ def _match_agg(item: dict) -> AggCall | None:
     None if it is not an aggregate expression at all (the caller then
     checks whether it is a grouping column)."""
     alias = item.get("alias", "")
+    hit = _canon_aggs().get(_key(item))
+    if hit:
+        return AggCall(hit[0], hit[1], alias) if alias else None
     if _is_count_star(item):
         return AggCall("count_star", None, alias) if alias else None
-    m = _match_sum(item)
-    if m:
-        return AggCall("sum", m, alias) if alias else None
     pf = _plain_fn(item)
     if pf:
         fn, col = pf
-        if fn == "count" and col in COL_MEASURE:
-            return AggCall("count", COL_MEASURE[col], alias) if alias else None
-        if fn == "avg" and col in COL_MEASURE:
-            return AggCall("avg", COL_MEASURE[col], alias) if alias else None
+        if fn in ("count", "avg", "sum", "min", "max") and col in COL_MEASURE:
+            return AggCall(fn, COL_MEASURE[col], alias) if alias else None
     # canonical avg: <sum form> / COUNT(source_col)
     if (
         isinstance(item, dict)

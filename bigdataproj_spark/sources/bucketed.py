@@ -313,22 +313,44 @@ def pricing_cube_table(spark: SparkSession, sf_dir: str) -> str:
     cube = (
         spark.table(li_name)
         .groupBy("l_returnflag", "l_linestatus", "l_shipdate")
-        .agg(
-            F.sum("l_qty_i").alias("qty_i"),
-            F.sum("l_price_i").alias("price_i"),
-            F.sum("l_disc_i").alias("disc_i"),
-            F.sum("l_rev_i").alias("rev_i"),
-            F.sum("l_charge_i").alias("charge_i"),
-            F.count("l_quantity").alias("cnt_qty"),
-            F.count("l_extendedprice").alias("cnt_price"),
-            F.count("l_discount").alias("cnt_disc"),
-            F.count(F.lit(1)).alias("cnt"),
-        )
+        .agg(*_pricing_cube_aggs())
     )
     path = os.path.join(wh, cube_name)
     cube.write.mode("overwrite").parquet(path)
     memo[key] = path
     return path
+
+
+# The cube's stored partial states — one place, used identically by the
+# initial deploy and the delta refresh so the two can never drift.
+# Sums and counts merge by +; per-group int64 MIN/MAX partials (added
+# round 6 for MIN/MAX routing) merge by least/greatest — all
+# commutative monoids, so delta-merge == rebuild bit-for-bit. The
+# min/max columns double as per-group zone maps.
+_CUBE_SUM_COLS = ("qty_i", "price_i", "disc_i", "rev_i", "charge_i")
+_CUBE_CNT_COLS = ("cnt_qty", "cnt_price", "cnt_disc", "cnt")
+_CUBE_MIN_COLS = tuple(f"min_{c}" for c in _CUBE_SUM_COLS)
+_CUBE_MAX_COLS = tuple(f"max_{c}" for c in _CUBE_SUM_COLS)
+
+
+def _pricing_cube_aggs() -> list:
+    src = {
+        "qty_i": "l_qty_i",
+        "price_i": "l_price_i",
+        "disc_i": "l_disc_i",
+        "rev_i": "l_rev_i",
+        "charge_i": "l_charge_i",
+    }
+    aggs = [F.sum(src[c]).alias(c) for c in _CUBE_SUM_COLS]
+    aggs += [
+        F.count("l_quantity").alias("cnt_qty"),
+        F.count("l_extendedprice").alias("cnt_price"),
+        F.count("l_discount").alias("cnt_disc"),
+        F.count(F.lit(1)).alias("cnt"),
+    ]
+    aggs += [F.min(src[c]).alias(f"min_{c}") for c in _CUBE_SUM_COLS]
+    aggs += [F.max(src[c]).alias(f"max_{c}") for c in _CUBE_SUM_COLS]
+    return aggs
 
 
 def star_date_cube_table(spark: SparkSession, sf_dir: str) -> str:
@@ -384,24 +406,10 @@ def refresh_pricing_cube(
     tag, wh = _layout_paths(sf_dir)
     stored_path = pricing_cube_table(spark, sf_dir)
     keys = ["l_returnflag", "l_linestatus", "l_shipdate"]
-    measures = [
-        "qty_i", "price_i", "disc_i", "rev_i", "charge_i",
-        "cnt_qty", "cnt_price", "cnt_disc", "cnt",
-    ]
     delta_cube = (
         _lineitem_with_derived(delta_lineitem)
         .groupBy(*keys)
-        .agg(
-            F.sum("l_qty_i").alias("qty_i"),
-            F.sum("l_price_i").alias("price_i"),
-            F.sum("l_disc_i").alias("disc_i"),
-            F.sum("l_rev_i").alias("rev_i"),
-            F.sum("l_charge_i").alias("charge_i"),
-            F.count("l_quantity").alias("cnt_qty"),
-            F.count("l_extendedprice").alias("cnt_price"),
-            F.count("l_discount").alias("cnt_disc"),
-            F.count(F.lit(1)).alias("cnt"),
-        )
+        .agg(*_pricing_cube_aggs())
     )
     s = spark.read.parquet(stored_path).alias("s")
     d = delta_cube.alias("d")
@@ -413,7 +421,17 @@ def refresh_pricing_cube(
                 F.coalesce(F.col(f"s.{m}"), F.lit(0))
                 + F.coalesce(F.col(f"d.{m}"), F.lit(0))
             ).alias(m)
-            for m in measures
+            for m in (*_CUBE_SUM_COLS, *_CUBE_CNT_COLS)
+        ],
+        # least/greatest skip NULLs, which is exactly the merge
+        # identity a group present on only one side needs
+        *[
+            F.least(F.col(f"s.{m}"), F.col(f"d.{m}")).alias(m)
+            for m in _CUBE_MIN_COLS
+        ],
+        *[
+            F.greatest(F.col(f"s.{m}"), F.col(f"d.{m}")).alias(m)
+            for m in _CUBE_MAX_COLS
         ],
     )
     versions: dict = spark.__dict__.setdefault("_bdp_projection_versions", {})

@@ -177,21 +177,15 @@ def test_incremental_cube_refresh_equals_rebuild(spark, sf_dir):
     )
     keys = ["l_returnflag", "l_linestatus", "l_shipdate"]
     try:
+        from bigdataproj_spark.sources.bucketed import _pricing_cube_aggs
+
         new_path = refresh_pricing_cube(spark, sf_dir, delta)
+        # the from-scratch rebuild over base+delta, via the SAME agg
+        # list the deploy uses (incl. the round-6 min/max partials)
         expected = (
             _lineitem_with_derived(li.unionByName(delta))
             .groupBy(*keys)
-            .agg(
-                F.sum("l_qty_i").alias("qty_i"),
-                F.sum("l_price_i").alias("price_i"),
-                F.sum("l_disc_i").alias("disc_i"),
-                F.sum("l_rev_i").alias("rev_i"),
-                F.sum("l_charge_i").alias("charge_i"),
-                F.count("l_quantity").alias("cnt_qty"),
-                F.count("l_extendedprice").alias("cnt_price"),
-                F.count("l_discount").alias("cnt_disc"),
-                F.count(F.lit(1)).alias("cnt"),
-            )
+            .agg(*_pricing_cube_aggs())
             .orderBy(*keys)
             .toPandas()
         )

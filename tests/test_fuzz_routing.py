@@ -35,6 +35,8 @@ _FUZZ_SCALE = int(_os.environ.get("FUZZ_SCALE", "1"))
 # every SQL string produced here must parse back to the identical spec
 # (asserted below), which co-fuzzes the parser with the router.
 from bigdataproj_spark.plans.sqlfront import CNT_SRC as _CNT_SRC  # noqa: E402
+from bigdataproj_spark.plans.sqlfront import MAX_SQL as _MAX_SQL  # noqa: E402
+from bigdataproj_spark.plans.sqlfront import MIN_SQL as _MIN_SQL  # noqa: E402
 from bigdataproj_spark.plans.sqlfront import SUM_SQL as _SUM_SQL  # noqa: E402
 
 _PRICING_AGGS = [
@@ -47,10 +49,18 @@ _PRICING_AGGS = [
     AggCall("avg", "base_price", "a_avg_price"),
     AggCall("count", "quantity", "a_cnt_qty"),
     AggCall("count_star", None, "a_cnt"),
+    AggCall("min", "quantity", "a_min_qty"),
+    AggCall("max", "revenue", "a_max_rev"),
+    AggCall("min", "charge", "a_min_charge"),
+    AggCall("max", "discount", "a_max_disc"),
 ]
 _STAR_AGGS = [
     AggCall("sum", "revenue", "a_sum_rev"),
     AggCall("count_star", None, "a_cnt"),
+    # no projection stores line-level min partials for the star shape:
+    # drawing this forces the raw star plan (per-order partial min
+    # below the join), exercising the subsumption refusal
+    AggCall("min", "revenue", "a_min_rev"),
 ]
 _DATES = ["1998-06-01", "2000-01-01", "2001-03-15", "2001-09-02"]
 
@@ -138,6 +148,10 @@ def _to_sql(
             )
         elif a.fn == "count":
             sel.append(f"COUNT({_CNT_SRC[a.measure]}) AS {a.alias}")
+        elif a.fn == "min":
+            sel.append(f"{_MIN_SQL[a.measure]} AS {a.alias}")
+        elif a.fn == "max":
+            sel.append(f"{_MAX_SQL[a.measure]} AS {a.alias}")
     frm = "lineitem"
     if star:
         frm = (

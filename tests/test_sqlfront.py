@@ -201,6 +201,14 @@ def test_routed_sql_matches_duckdb(spark, sf_dir, oracle, sql, want_chosen):
             " ORDER BY l_returnflag",
             "pricing_cube",
         ),
+        # MIN/MAX re-derive from the cube's stored int64 partials
+        (
+            "SELECT l_returnflag, MIN(l_quantity) AS mn,"
+            " MAX(l_extendedprice) AS mx FROM lineitem"
+            " WHERE l_shipdate <= TIMESTAMP '2001-03-15 00:00:00'"
+            " GROUP BY l_returnflag ORDER BY l_returnflag",
+            "pricing_cube",
+        ),
     ],
 )
 def test_extended_family_matches_duckdb(spark, sf_dir, oracle, sql, want_chosen):
@@ -284,6 +292,18 @@ def test_engine_sql_routes_and_matches_verbatim(spark, sf_dir):
     verbatim = eng.sql(STAR_SQL, routed=False).toPandas()
     assert routed.columns.tolist() == verbatim.columns.tolist()
     assert routed.equals(verbatim)
+
+
+def test_engine_explain_sql_reports_choice(spark, sf_dir):
+    eng = Engine(spark, sf_dir)
+    chosen, plan = eng.explain_sql(PRICING_SQL)
+    assert chosen == "pricing_cube"
+    assert "lineitem.parquet" not in plan
+    chosen, plan = eng.explain_sql(
+        "SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n"
+        " FROM lineitem GROUP BY l_returnflag"
+    )
+    assert chosen == "spark.sql" and plan
 
 
 def test_engine_sql_falls_back_outside_family(spark, sf_dir, oracle):
