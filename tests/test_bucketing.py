@@ -318,3 +318,28 @@ def test_stream_ingest_maintains_pricing_cube(spark, sf_dir, tmp_path):
         .toPandas()
     )
     assert got.equals(want[got.columns.tolist()])
+
+    # …and the SQL front door serves the freshly-maintained cube: SQL
+    # text routed over the streamed-in corpus equals DuckDB computing
+    # the same statement from the full raw corpus (ingest → delta-merge
+    # → route, end to end).
+    import duckdb
+
+    from bigdataproj_spark.plans.sqlfront import MIN_SQL, SUM_SQL, route_sql
+    from bigdataproj_spark.testing import compare_frames
+
+    sql = (
+        f"SELECT l_returnflag, {SUM_SQL['revenue']} AS rev,"
+        f" {MIN_SQL['quantity']} AS min_qty, COUNT(*) AS n"
+        " FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+    )
+    routed, chosen = route_sql(spark, sf_base, sql)
+    assert chosen == "pricing_cube"
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{full_dir}/lineitem.parquet/*.parquet')"
+    )
+    compare_frames(
+        routed.toPandas(), con.execute(sql).fetchdf(), "streamed-then-routed"
+    )

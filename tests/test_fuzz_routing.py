@@ -83,7 +83,7 @@ pricing_specs = st.fixed_dictionaries(
             [("l_returnflag",), ("l_linestatus",), ("l_returnflag", "l_linestatus")]
         ),
         "date_filter": st.sampled_from([None, *range(len(_DATES))]),
-        "date_op": st.sampled_from(["<=", ">="]),
+        "date_op": st.sampled_from(["<=", ">=", "between"]),
         "flag_filter": st.sampled_from([None, "A", "N", "R"]),
         "nonkey_filter": st.booleans(),  # discount filter -> raw fallback
         "agg_mask": st.integers(min_value=1, max_value=(1 << len(_PRICING_AGGS)) - 1),
@@ -95,7 +95,7 @@ star_specs = st.fixed_dictionaries(
         "family": st.just("star"),
         "group": st.sampled_from([("r_name",), ("n_name",), ("r_name", "n_name")]),
         "date_filter": st.sampled_from([None, *range(len(_DATES))]),
-        "date_op": st.sampled_from(["<=", ">="]),
+        "date_op": st.sampled_from(["<=", ">=", "between"]),
         "region_filter": st.sampled_from([None, "ASIA", "EUROPE", "AMERICA"]),
         "agg_mask": st.integers(min_value=1, max_value=(1 << len(_STAR_AGGS)) - 1),
         **_EXTRAS,
@@ -106,14 +106,28 @@ star_specs = st.fixed_dictionaries(
 def _to_spec(p) -> AggQuery:
     filters = []
     if p["date_filter"] is not None:
-        filters.append(
-            Pred(
-                "l_shipdate",
-                p["date_op"],
-                f"{_DATES[p['date_filter']]} 00:00:00",
-                cast="timestamp",
+        i = p["date_filter"]
+        if p["date_op"] == "between":
+            # a range predicate still folds exactly on the day-grained
+            # cube key (keeps/drops whole groups)
+            hi = _DATES[min(i + 2, len(_DATES) - 1)]
+            filters.append(
+                Pred(
+                    "l_shipdate",
+                    "between",
+                    (f"{_DATES[i]} 00:00:00", f"{hi} 00:00:00"),
+                    cast="timestamp",
+                )
             )
-        )
+        else:
+            filters.append(
+                Pred(
+                    "l_shipdate",
+                    p["date_op"],
+                    f"{_DATES[i]} 00:00:00",
+                    cast="timestamp",
+                )
+            )
     if p["family"] == "pricing":
         if p["flag_filter"]:
             filters.append(Pred("l_returnflag", "=", p["flag_filter"]))
@@ -162,7 +176,11 @@ def _to_sql(
         )
     conds = []
     for pr in spec.filters:
-        if pr.cast == "timestamp":
+        if pr.op == "between":
+            lo, hi = pr.value
+            lit = "TIMESTAMP " if pr.cast == "timestamp" else ""
+            conds.append(f"{pr.col} BETWEEN {lit}'{lo}' AND {lit}'{hi}'")
+        elif pr.cast == "timestamp":
             conds.append(f"{pr.col} {pr.op} TIMESTAMP '{pr.value}'")
         elif isinstance(pr.value, str):
             conds.append(f"{pr.col} {pr.op} '{pr.value}'")
