@@ -115,11 +115,34 @@ class AggQuery:
     or star-reachable dimension attributes (r_name, n_name); the
     router (or the raw fallback) supplies whatever joins the
     attributes need. Results are ordered by the grouping key (the
-    engine's §2.4 total-order contract)."""
+    engine's §2.4 total-order contract).
+
+    ``truncs`` declares derived time-grain grouping keys: each
+    ``(alias, unit, source_col)`` computes ``date_trunc(unit,
+    source_col) AS alias`` and ``alias`` may then appear in
+    ``group_by``. A trunc key is a pure function of its source column,
+    so a projection storing the source at finer grain subsumes it —
+    monthly revenue re-aggregates the day-grained cube exactly (coarser
+    groups are unions of whole stored groups; all measures are
+    monoids)."""
 
     filters: tuple[Pred, ...]
     group_by: tuple[str, ...]
     aggs: tuple[AggCall, ...]
+    truncs: tuple[tuple[str, str, str], ...] = ()
+
+    def group_sources(self) -> dict[str, str]:
+        """group name -> underlying attribute (itself, unless a trunc
+        alias, in which case the trunc's source column)."""
+        tm = {alias: col for alias, _unit, col in self.truncs}
+        return {g: tm.get(g, g) for g in self.group_by}
+
+
+def apply_truncs(df: DataFrame, q: AggQuery) -> DataFrame:
+    """Materialize the query's derived time-grain keys."""
+    for alias, unit, col in q.truncs:
+        df = df.withColumn(alias, F.date_trunc(unit, F.col(col)))
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -194,10 +217,13 @@ class Projection:
     requires: frozenset[str] = frozenset()
 
     def subsumes(self, q: AggQuery) -> bool:
-        used = set(q.group_by) | {p.col for p in q.filters}
+        # Trunc aliases resolve to their SOURCE attribute: storing the
+        # finer grain is what makes the coarser grouping derivable.
+        sources = set(q.group_sources().values())
+        used = sources | {p.col for p in q.filters}
         if self.requires and not (self.requires & used):
             return False
-        if not set(q.group_by) <= self.attrs:
+        if not sources <= self.attrs:
             return False
         if not {p.col for p in q.filters} <= self.attrs:
             return False
@@ -216,7 +242,7 @@ class Projection:
         return True
 
     def build(self, spark: SparkSession, sf_dir: str, q: AggQuery) -> DataFrame:
-        df = self.open(spark, sf_dir)
+        df = apply_truncs(self.open(spark, sf_dir), q)
         for p in q.filters:
             df = df.filter(p.column())
         exprs = []
@@ -332,6 +358,10 @@ def _raw_plan(spark: SparkSession, sf_dir: str, q: AggQuery) -> DataFrame:
     star_filters = [p for p in q.filters if p.col in STAR_ATTRS]
     for p in local_filters:
         li = li.filter(p.column())
+    # Derived time-grain keys are lineitem-local (their sources are
+    # timestamp columns), so they materialize here and the grouping
+    # classification below sees them as local names.
+    li = apply_truncs(li, q)
 
     needed = sorted({a.measure for a in q.aggs if a.measure})
     int_cols = {m: f"__{m}_i" for m in needed}

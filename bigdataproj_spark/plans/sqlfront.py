@@ -40,6 +40,12 @@ Recognized family (everything else → ``UnsupportedSQL`` → spark.sql):
   decimal-exact money);
 - WHERE: a conjunction of ``col <op> literal`` / ``BETWEEN`` predicates
   (TIMESTAMP/DATE literal casts preserved);
+- derived time-grain grouping: ``GROUP BY date_trunc('month'|'year'|
+  'quarter'|'day', <timestamp col>)`` (by expression or select alias)
+  — the coarser grain folds exactly onto the day-grained cube because
+  coarse groups are unions of whole stored groups and every measure is
+  a monoid; 'week' is excluded (Spark/DuckDB truncation conventions
+  differ);
 - GLOBAL aggregates (no GROUP BY) — the cube's best case: COUNT(*) or
   SUM over the entire fact table re-aggregates a scale-invariant
   projection down to one row;
@@ -255,6 +261,37 @@ def _plain_fn(node) -> tuple[str, str] | None:
         return None
     col = _colref(ch[0])
     return (node["function_name"].lower(), col) if col else None
+
+
+_TRUNC_UNITS = frozenset({"year", "quarter", "month", "day"})
+# columns date_trunc may legally apply to (timestamp-typed)
+_TS_COLS = frozenset({"l_shipdate", "l_commitdate", "l_receiptdate"})
+
+
+def _match_trunc(node) -> tuple[str, str] | None:
+    """(unit, source_col) for a ``date_trunc('unit', col)`` call over a
+    supported unit and timestamp column, else None. Units are the four
+    whose truncation semantics are identical between Spark and DuckDB
+    (week differs: ISO vs locale conventions — excluded)."""
+    if not (isinstance(node, dict) and node.get("class") == "FUNCTION"):
+        return None
+    if node.get("function_name", "").lower() != "date_trunc":
+        return None
+    ch = node.get("children", [])
+    if len(ch) != 2:
+        return None
+    c0 = ch[0]
+    if not (
+        isinstance(c0, dict)
+        and c0.get("class") == "CONSTANT"
+        and c0.get("value", {}).get("type", {}).get("id") == "VARCHAR"
+    ):
+        return None
+    unit = str(c0["value"]["value"]).lower()
+    col = _colref(ch[1])
+    if unit not in _TRUNC_UNITS or col not in _TS_COLS:
+        return None
+    return unit, col
 
 
 def _is_count_star(node) -> bool:
@@ -519,26 +556,15 @@ def parse_sql(sql: str) -> ParsedSQL:
         if p.col not in allowed:
             raise UnsupportedSQL(f"filter on unknown column {p.col}")
 
-    groups = []
-    for g in node.get("group_expressions", []):
-        col = _colref(g)
-        if col is None or col not in allowed:
-            raise UnsupportedSQL("GROUP BY over a non-routable expression")
-        groups.append(col)
+    group_nodes = node.get("group_expressions", [])
     sets = node.get("group_sets", [])
-    if groups and sets != [list(range(len(groups)))]:
+    if group_nodes and sets != [list(range(len(group_nodes)))]:
         raise UnsupportedSQL("GROUPING SETS/ROLLUP/CUBE are not routable")
-    if star and not (set(groups) | {p.col for p in filters}) & _STAR_ATTRS:
-        # A star join whose attributes are never used could only be
-        # dropped from the plan by ASSUMING foreign-key integrity
-        # (an inner join may drop orphan fact rows). The router never
-        # assumes data properties it can't check structurally — this
-        # shape runs verbatim through spark.sql instead.
-        raise UnsupportedSQL("star join with no star attribute referenced")
 
     out: list[str] = []
     aggs: list[AggCall] = []
     seen_groups: list[str] = []
+    truncs: dict[str, tuple[str, str]] = {}  # alias -> (unit, source col)
     agg_alias_by_key: dict[str, str] = {}
     for item in node["select_list"]:
         call = _match_agg(item)
@@ -551,6 +577,17 @@ def parse_sql(sql: str) -> ParsedSQL:
             # normalized form (alias stripped by _norm) to the alias.
             agg_alias_by_key[_key(item)] = call.alias
             continue
+        tr = _match_trunc(item)
+        if tr is not None:
+            alias = item.get("alias", "")
+            if not alias:
+                raise UnsupportedSQL("date_trunc key without an alias")
+            if tr[1] not in allowed:
+                raise UnsupportedSQL(f"date_trunc over unknown column {tr[1]}")
+            truncs[alias] = tr
+            out.append(alias)
+            seen_groups.append(alias)
+            continue
         col = _colref(item)
         if col is None:
             raise UnsupportedSQL("select item is neither group column nor aggregate")
@@ -560,6 +597,34 @@ def parse_sql(sql: str) -> ParsedSQL:
         seen_groups.append(col)
     if len(set(out)) != len(out):
         raise UnsupportedSQL("duplicate output column names")
+
+    # Resolve GROUP BY terms: a plain column, a select-list trunc alias,
+    # or the full date_trunc expression repeated (matched structurally
+    # back to its select alias).
+    groups: list[str] = []
+    for g in group_nodes:
+        col = _colref(g)
+        if col is not None:
+            if col in truncs or col in allowed:
+                groups.append(col)
+                continue
+            raise UnsupportedSQL(f"GROUP BY over unknown column {col}")
+        tr = _match_trunc(g)
+        if tr is not None:
+            alias = next((a for a, t in truncs.items() if t == tr), None)
+            if alias is None:
+                raise UnsupportedSQL("grouped date_trunc key is not selected")
+            groups.append(alias)
+            continue
+        raise UnsupportedSQL("GROUP BY over a non-routable expression")
+
+    if star and not (set(groups) | {p.col for p in filters}) & _STAR_ATTRS:
+        # A star join whose attributes are never used could only be
+        # dropped from the plan by ASSUMING foreign-key integrity
+        # (an inner join may drop orphan fact rows). The router never
+        # assumes data properties it can't check structurally — this
+        # shape runs verbatim through spark.sql instead.
+        raise UnsupportedSQL("star join with no star attribute referenced")
     if groups or aggs:
         # Aggregating form: every bare select column must be a grouping
         # key (in the scan form below, bare columns are the projection).
@@ -588,7 +653,12 @@ def parse_sql(sql: str) -> ParsedSQL:
     if not ({c for c, _ in order} <= set(out)):
         raise UnsupportedSQL("ORDER BY must use output columns")
     return ParsedSQL(
-        AggQuery(filters, tuple(groups), tuple(aggs)),
+        AggQuery(
+            filters,
+            tuple(groups),
+            tuple(aggs),
+            tuple((a, u, c) for a, (u, c) in truncs.items()),
+        ),
         tuple(out),
         order,
         having,
@@ -688,4 +758,33 @@ def r88_sql_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     table — identical rows, different physical layout."""
     df, chosen = route_sql(spark, sf_dir, _SQL_ZSCAN)
     assert chosen == "zorder_lineitem", chosen
+    return df
+
+
+_SQL_MONTHLY = f"""
+SELECT
+  date_trunc('month', l_shipdate) AS ship_month,
+  l_returnflag,
+  {SUM_SQL['revenue']} AS rev,
+  {MIN_SQL['quantity']} AS min_qty,
+  {MAX_SQL['base_price']} AS max_price,
+  COUNT(*) AS n
+FROM lineitem
+WHERE l_shipdate BETWEEN TIMESTAMP '1999-01-01 00:00:00' AND TIMESTAMP '2001-06-30 00:00:00'
+GROUP BY ship_month, l_returnflag
+ORDER BY ship_month, l_returnflag
+"""
+
+
+@query("r89_sql_monthly_pricing", oracle=_SQL_MONTHLY, tags=("S13", "E1", "A1"))
+def r89_sql_monthly_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-grain rollup through the front door: a monthly revenue/
+    min/max summary with a date-range predicate, as plain SQL. The
+    month key is a pure function of the cube's day-grained group key,
+    so coarse groups are unions of whole stored groups and every
+    measure (sums, counts, min/max partials) re-aggregates exactly —
+    the query reads the ~15k-row cube while the oracle runs the
+    identical string over raw lineitem."""
+    df, chosen = route_sql(spark, sf_dir, _SQL_MONTHLY)
+    assert chosen == "pricing_cube", chosen
     return df

@@ -36,6 +36,7 @@ HEADER = [
 # plan shape the docs argue from (mixing window, span-dedup shuffles,
 # packing prefix sum, decontamination broadcast semi-join).
 EXTRA = {
+    "q49_sql_pricing",
     "r37_domain_mixing",
     "r40_training_order",
     "q11_incremental_dedup",

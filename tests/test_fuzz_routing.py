@@ -87,6 +87,9 @@ pricing_specs = st.fixed_dictionaries(
         "flag_filter": st.sampled_from([None, "A", "N", "R"]),
         "nonkey_filter": st.booleans(),  # discount filter -> raw fallback
         "agg_mask": st.integers(min_value=1, max_value=(1 << len(_PRICING_AGGS)) - 1),
+        # derived time-grain key: month/year/quarter rollups must fold
+        # exactly onto the day-grained cube (or the raw plan)
+        "trunc": st.sampled_from([None, None, "month", "year", "quarter"]),
         **_EXTRAS,
     }
 )
@@ -140,7 +143,11 @@ def _to_spec(p) -> AggQuery:
         pool = _STAR_AGGS
     aggs = tuple(a for i, a in enumerate(pool) if p["agg_mask"] >> i & 1)
     group = () if p.get("global") else p["group"]
-    return AggQuery(tuple(filters), group, aggs)
+    truncs = ()
+    if group and p.get("trunc"):
+        truncs = (("a_tr", p["trunc"], "l_shipdate"),)
+        group = group + ("a_tr",)
+    return AggQuery(tuple(filters), group, aggs, truncs)
 
 
 def _to_sql(
@@ -150,7 +157,11 @@ def _to_sql(
     having: int | None = None,
     limit: int | None = None,
 ) -> str:
-    sel = list(spec.group_by)
+    tm = {a: (u, c) for a, u, c in spec.truncs}
+    sel = [
+        f"date_trunc('{tm[g][0]}', {tm[g][1]}) AS {g}" if g in tm else g
+        for g in spec.group_by
+    ]
     for a in spec.aggs:
         if a.fn == "count_star":
             sel.append(f"COUNT(*) AS {a.alias}")

@@ -112,6 +112,22 @@ def test_parse_scan_with_order():
     assert parsed.order == (("l_orderkey", True), ("l_linenumber", True))
 
 
+def test_parse_trunc_group_key():
+    """date_trunc grouping lowers to a truncs entry whether GROUP BY
+    repeats the expression or names the select alias."""
+    for group_term in ("date_trunc('month', l_shipdate)", "m"):
+        spec = parse_sql(
+            "SELECT date_trunc('month', l_shipdate) AS m, COUNT(*) AS n"
+            f" FROM lineitem GROUP BY {group_term} ORDER BY m"
+        ).spec
+        assert spec == AggQuery(
+            filters=(),
+            group_by=("m",),
+            aggs=(AggCall("count_star", None, "n"),),
+            truncs=(("m", "month", "l_shipdate"),),
+        )
+
+
 def test_lookalike_measure_does_not_match():
     """An expression one cast-width away from canonical revenue must
     NOT silently route as revenue — it falls back instead."""
@@ -207,6 +223,14 @@ def test_routed_sql_matches_duckdb(spark, sf_dir, oracle, sql, want_chosen):
             " MAX(l_extendedprice) AS mx FROM lineitem"
             " WHERE l_shipdate <= TIMESTAMP '2001-03-15 00:00:00'"
             " GROUP BY l_returnflag ORDER BY l_returnflag",
+            "pricing_cube",
+        ),
+        # monthly rollup: a coarser time grain folds exactly onto the
+        # day-grained cube (coarse groups are unions of stored groups)
+        (
+            "SELECT date_trunc('month', l_shipdate) AS ship_month,"
+            " SUM(l_quantity) AS sq, COUNT(*) AS n FROM lineitem"
+            " GROUP BY ship_month ORDER BY ship_month",
             "pricing_cube",
         ),
     ],
