@@ -242,9 +242,13 @@ class Projection:
         return True
 
     def build(self, spark: SparkSession, sf_dir: str, q: AggQuery) -> DataFrame:
-        df = apply_truncs(self.open(spark, sf_dir), q)
+        # Filters BEFORE truncs: WHERE is pre-projection in SQL, so a
+        # trunc alias that shadows a filtered column must not be
+        # visible to the filter (the raw plan orders the same way).
+        df = self.open(spark, sf_dir)
         for p in q.filters:
             df = df.filter(p.column())
+        df = apply_truncs(df, q)
         exprs = []
         for a in q.aggs:
             # COUNT re-derives as a SUM of stored partial counts, whose

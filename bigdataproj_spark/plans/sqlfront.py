@@ -618,6 +618,11 @@ def parse_sql(sql: str) -> ParsedSQL:
             continue
         raise UnsupportedSQL("GROUP BY over a non-routable expression")
 
+    if groups and not aggs:
+        # A grouped selection with no aggregates is the DISTINCT shape;
+        # the router's aggregate builders need at least one measure, so
+        # this runs verbatim through spark.sql.
+        raise UnsupportedSQL("GROUP BY without aggregates is not routable")
     if star and not (set(groups) | {p.col for p in filters}) & _STAR_ATTRS:
         # A star join whose attributes are never used could only be
         # dropped from the plan by ASSUMING foreign-key integrity

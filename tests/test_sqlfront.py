@@ -166,6 +166,9 @@ def test_lookalike_measure_does_not_match():
         " JOIN region ON n_regionkey = r_regionkey",
         "INSERT INTO lineitem VALUES (1)",
         "definitely not sql",
+        # DISTINCT shape: grouped selection with no aggregates
+        "SELECT l_returnflag FROM lineitem GROUP BY l_returnflag"
+        " ORDER BY l_returnflag",
     ],
 )
 def test_unsupported_family_raises(bad):
@@ -255,6 +258,21 @@ def test_routed_plan_reads_projection_not_raw(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # (3) Engine.sql: routed by default, verbatim fallback, A/B identical.
 # ---------------------------------------------------------------------------
+
+
+def test_trunc_alias_shadowing_filter_column(spark, sf_dir, oracle):
+    """WHERE is pre-projection: a trunc alias that SHADOWS the filtered
+    column must not change what the filter sees — the cube path applies
+    filters before materializing the alias, same as the raw plan."""
+    sql = (
+        "SELECT date_trunc('month', l_shipdate) AS l_shipdate,"
+        " COUNT(*) AS n FROM lineitem"
+        " WHERE l_shipdate <= TIMESTAMP '2001-03-15 00:00:00'"
+        " GROUP BY date_trunc('month', l_shipdate) ORDER BY l_shipdate"
+    )
+    df, chosen = route_sql(spark, sf_dir, sql)
+    assert chosen == "pricing_cube"
+    compare_frames(df.toPandas(), oracle.execute(sql).fetchdf(), "shadowing")
 
 
 def test_routed_answer_tracks_incremental_refresh(spark, sf_dir):
