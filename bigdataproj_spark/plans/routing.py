@@ -71,31 +71,79 @@ from ..sources.bucketed import order_revenue_projection, pricing_cube_table
 @dataclass(frozen=True)
 class Pred:
     """One filter predicate ``col <op> value``; ``cast`` optionally
-    casts the literal (e.g. "timestamp") before comparison."""
+    casts the literal (e.g. "timestamp") before comparison. For
+    ``op="in"`` the value is a tuple of literals (SQL IN-list)."""
 
     col: str
-    op: str  # one of <=, <, >=, >, =, between
+    op: str  # one of <=, <, >=, >, =, !=, between, in
     value: object
     cast: str | None = None
 
+    def cols(self) -> frozenset[str]:
+        return frozenset({self.col})
+
     def column(self) -> Column:
-        lit = F.lit(self.value)
+        c = F.col(self.col)
         if self.op == "between":
             lo, hi = self.value  # type: ignore[misc]
             lo_c, hi_c = F.lit(lo), F.lit(hi)
             if self.cast:
                 lo_c, hi_c = lo_c.cast(self.cast), hi_c.cast(self.cast)
-            return F.col(self.col).between(lo_c, hi_c)
+            return c.between(lo_c, hi_c)
+        if self.op == "in":
+            lits = [F.lit(v) for v in self.value]  # type: ignore[union-attr]
+            if self.cast:
+                lits = [l.cast(self.cast) for l in lits]
+            return c.isin(*lits)
+        lit = F.lit(self.value)
         if self.cast:
             lit = lit.cast(self.cast)
-        c = F.col(self.col)
         return {
             "<=": c <= lit,
             "<": c < lit,
             ">=": c >= lit,
             ">": c > lit,
             "=": c == lit,
+            "!=": c != lit,
         }[self.op]
+
+
+@dataclass(frozen=True)
+class BoolPred:
+    """A boolean combination of predicates: ``op`` ∈ {"and", "or",
+    "not"} over child Pred/BoolPred nodes. Folding stays exact on any
+    projection whose group keys cover EVERY referenced column — an
+    arbitrary boolean function of group-key columns is constant within
+    a group, so it keeps or drops whole groups, never part of one
+    (same argument as a single group-key comparison). SQL three-valued
+    logic is preserved because Spark's and DuckDB's Column algebra
+    both implement it (NULL ⇒ row filtered, under NOT too)."""
+
+    op: str
+    children: tuple  # of Pred | BoolPred
+
+    def cols(self) -> frozenset[str]:
+        out: frozenset[str] = frozenset()
+        for ch in self.children:
+            out |= ch.cols()
+        return out
+
+    def column(self) -> Column:
+        cols = [ch.column() for ch in self.children]
+        if self.op == "not":
+            (only,) = cols
+            return ~only
+        if self.op == "and":
+            out = cols[0]
+            for c in cols[1:]:
+                out = out & c
+            return out
+        if self.op == "or":
+            out = cols[0]
+            for c in cols[1:]:
+                out = out | c
+            return out
+        raise ValueError(f"unsupported boolean op {self.op!r}")
 
 
 @dataclass(frozen=True)
@@ -112,8 +160,8 @@ class AggCall:
 class AggQuery:
     """A grouped-aggregate query over the lineitem star, in logical
     form. ``group_by``/filter columns may be lineitem-local attributes
-    or star-reachable dimension attributes (r_name, n_name); the
-    router (or the raw fallback) supplies whatever joins the
+    or star-reachable dimension attributes (any key of ``DIM_ATTRS``);
+    the router (or the raw fallback) supplies whatever joins the
     attributes need. Results are ordered by the grouping key (the
     engine's §2.4 total-order contract).
 
@@ -124,12 +172,31 @@ class AggQuery:
     so a projection storing the source at finer grain subsumes it —
     monthly revenue re-aggregates the day-grained cube exactly (coarser
     groups are unions of whole stored groups; all measures are
-    monoids)."""
+    monoids).
 
-    filters: tuple[Pred, ...]
+    ``aggs`` may be EMPTY: that is the DISTINCT shape — the distinct
+    grouping-key combinations of the (filtered) input, no measures.
+    It folds onto any projection whose keys cover the query's, because
+    every raw row maps to exactly one stored group (DISTINCT over raw
+    rows ≡ DISTINCT over the projection of stored group keys).
+
+    ``chain`` declares how far down the dimension chain (orders →
+    customer → nation → region) the query JOINS: 0 = bare lineitem,
+    4 = the full star. ``None`` means "the minimal chain that reaches
+    every referenced dimension attribute" — the common case. An
+    EXPLICIT chain deeper than the minimal one is semantically
+    meaningful: each inner join may drop fact rows with no matching
+    dimension row, and the router never assumes foreign-key integrity,
+    so ``SUM(revenue)`` over the declared 5-table join is a different
+    query than over bare lineitem. The SQL front door sets it from the
+    statement's actual join list (normalized to None when minimal, so
+    specs compare structurally)."""
+
+    filters: tuple  # of Pred | BoolPred, implicitly conjoined
     group_by: tuple[str, ...]
     aggs: tuple[AggCall, ...]
     truncs: tuple[tuple[str, str, str], ...] = ()
+    chain: int | None = None
 
     def group_sources(self) -> dict[str, str]:
         """group name -> underlying attribute (itself, unless a trunc
@@ -138,11 +205,48 @@ class AggQuery:
         return {g: tm.get(g, g) for g in self.group_by}
 
 
-def apply_truncs(df: DataFrame, q: AggQuery) -> DataFrame:
-    """Materialize the query's derived time-grain keys."""
+def apply_truncs(
+    df: DataFrame, q: AggQuery, sources: frozenset[str] | None = None
+) -> DataFrame:
+    """Materialize the query's derived time-grain keys — all of them,
+    or (on the raw star path, where lineitem-sourced keys must exist
+    BELOW the partial aggregation and order-sourced keys only exist
+    after the dimension join) just those whose source is in
+    ``sources``."""
     for alias, unit, col in q.truncs:
-        df = df.withColumn(alias, F.date_trunc(unit, F.col(col)))
+        if sources is None or col in sources:
+            df = df.withColumn(alias, F.date_trunc(unit, F.col(col)))
     return df
+
+
+def _used_cols(q: AggQuery) -> set[str]:
+    """Every base-table column the query touches: grouping sources
+    (through trunc aliases) plus all filter columns."""
+    used = set(q.group_sources().values())
+    for f in q.filters:
+        used |= f.cols()
+    return used
+
+
+def minimal_chain(q: AggQuery) -> int:
+    """The shallowest dimension chain that reaches every referenced
+    attribute (0 when the query is lineitem-local)."""
+    return max((DIM_ATTRS.get(c, 0) for c in _used_cols(q)), default=0)
+
+
+def effective_chain(q: AggQuery) -> int:
+    """The chain the query's PLAN must join: the declared chain, or
+    the minimal one when undeclared. A declared chain shallower than
+    an attribute it references is a contradiction."""
+    need = minimal_chain(q)
+    if q.chain is None:
+        return need
+    if q.chain < need:
+        raise ValueError(
+            f"declared join chain {q.chain} cannot reach all referenced "
+            f"dimension attributes (need {need})"
+        )
+    return q.chain
 
 
 # ---------------------------------------------------------------------------
@@ -179,10 +283,34 @@ MEASURES: dict[str, Measure] = {
     )
 }
 
-# Attributes that live on the dimension arm (orders→customer→nation→
-# region), not on lineitem rows; using one in group_by/filters makes
-# the raw fallback build the star join.
-STAR_ATTRS = frozenset({"r_name", "n_name"})
+# Columns of the lineitem fact itself (grouping/filter domain of the
+# chain-0 shapes; the SQL front door shares this set). This is the
+# corpus's ACTUAL schema — listing columns the table doesn't have
+# would let a spec parse and then die with an AnalysisException at
+# plan time instead of the clean UnsupportedSQL/ValueError refusal.
+LINEITEM_COLS = frozenset(
+    {
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+        "l_linestatus", "l_shipdate",
+    }
+)
+
+# Attributes that live on the dimension arm, keyed by the minimal
+# chain depth that reaches them (1 = orders, 2 = customer, 3 = nation,
+# 4 = region). Using one in group_by/filters makes the raw fallback
+# join the chain at least that deep.
+DIM_ATTRS: dict[str, int] = {
+    "o_orderstatus": 1,
+    "o_orderpriority": 1,
+    "o_orderdate": 1,
+    "o_totalprice": 1,
+    "c_mktsegment": 2,
+    "c_acctbal": 2,
+    "n_name": 3,
+    "r_name": 4,
+}
+STAR_ATTRS = frozenset(DIM_ATTRS)
 
 
 # ---------------------------------------------------------------------------
@@ -215,17 +343,31 @@ class Projection:
     count_star_col: str
     open: Callable[[SparkSession, str], DataFrame]
     requires: frozenset[str] = frozenset()
+    # the dimension chain the projection's deploy-time build JOINED:
+    # it answers exactly the queries that declare (or minimally imply)
+    # the same chain — an inner join may drop orphan fact rows, and
+    # the router never assumes FK integrity, so chain-2 and chain-4
+    # specs are different queries even over identical attributes.
+    chain: int = 0
 
     def subsumes(self, q: AggQuery) -> bool:
+        if effective_chain(q) != self.chain:
+            return False
         # Trunc aliases resolve to their SOURCE attribute: storing the
         # finer grain is what makes the coarser grouping derivable.
         sources = set(q.group_sources().values())
-        used = sources | {p.col for p in q.filters}
+        filter_cols: set[str] = set()
+        for f in q.filters:
+            filter_cols |= f.cols()
+        used = sources | filter_cols
         if self.requires and not (self.requires & used):
             return False
         if not sources <= self.attrs:
             return False
-        if not {p.col for p in q.filters} <= self.attrs:
+        # ANY boolean predicate tree folds exactly as long as every
+        # referenced column is a stored group key (the predicate is
+        # then constant within each stored group).
+        if not filter_cols <= self.attrs:
             return False
         for a in q.aggs:
             if a.fn == "count_star":
@@ -249,6 +391,13 @@ class Projection:
         for p in q.filters:
             df = df.filter(p.column())
         df = apply_truncs(df, q)
+        if not q.aggs:
+            # DISTINCT shape: the query's key combinations are a
+            # projection of the stored group keys (every raw row maps
+            # to exactly one stored group), so distinct-over-stored ≡
+            # distinct-over-raw — ~15k stored rows scanned instead of
+            # the fact table.
+            return df.select(*q.group_by).distinct().orderBy(*q.group_by)
         exprs = []
         for a in q.aggs:
             # COUNT re-derives as a SUM of stored partial counts, whose
@@ -328,12 +477,21 @@ PROJECTIONS: tuple[Projection, ...] = (
         count_star_col="cnt",
         open=_open_pricing_cube,
     ),
+    # The rollup⋈denorm pair answers any FULL-chain star query over
+    # the attributes the denorm stores (region/nation names plus the
+    # order- and customer-level attributes, sources/bucketed.py
+    # DENORM_ATTRS) — including order-date time grains, since
+    # o_orderdate is stored at full resolution per order.
     Projection(
         name="order_revenue_star",
-        attrs=STAR_ATTRS,
+        attrs=frozenset(
+            {"r_name", "n_name", "c_mktsegment", "o_orderstatus",
+             "o_orderpriority", "o_orderdate"}
+        ),
         measures={"revenue": _StoredMeasure("rev_i", None)},
         count_star_col="n_items",
         open=_open_order_revenue_star,
+        chain=4,
     ),
     # Time-sliced star queries: ~60k rows (|regions| x |nations| x
     # |days|) at ANY corpus scale. Volunteers only when the query
@@ -341,11 +499,12 @@ PROJECTIONS: tuple[Projection, ...] = (
     # keeps the rollup pair's measured plan.
     Projection(
         name="star_date_cube",
-        attrs=STAR_ATTRS | {"l_shipdate"},
+        attrs=frozenset({"r_name", "n_name", "l_shipdate"}),
         measures={"revenue": _StoredMeasure("rev_i", None)},
         count_star_col="cnt",
         open=_open_star_date_cube,
         requires=frozenset({"l_shipdate"}),
+        chain=4,
     ),
 )
 
@@ -356,16 +515,93 @@ PROJECTIONS: tuple[Projection, ...] = (
 # ---------------------------------------------------------------------------
 
 
+def _split_filters(q: AggQuery) -> tuple[list, list]:
+    """Partition the conjuncts into lineitem-local and dimension-side.
+    A conjunct MIXING the two (e.g. ``l_quantity > 5 OR r_name =
+    'ASIA'``) varies per lineitem row within an order, so it can fold
+    neither before the partial aggregation (needs the join) nor after
+    it (needs row-level values) — the partial-agg-below-join plan
+    cannot express it, and the router refuses rather than silently
+    joining row-level (callers fall back to spark.sql)."""
+    local, star = [], []
+    for f in q.filters:
+        cols = f.cols()
+        if cols <= LINEITEM_COLS:
+            local.append(f)
+        elif cols <= STAR_ATTRS:
+            star.append(f)
+        else:
+            raise ValueError(
+                "a predicate mixing lineitem and dimension columns is not "
+                "expressible in the partial-agg-below-join plan"
+            )
+    return local, star
+
+
+def _dim_arm(
+    spark: SparkSession, sf_dir: str, chain: int, attrs: list[str]
+) -> DataFrame:
+    """The dimension side of the star, joined ``chain`` tables deep
+    and projected to the order key plus the attributes the query
+    actually uses. customer/nation/region broadcast (each orders of
+    magnitude smaller than the fact side; at extreme scale customer
+    would graduate to a bucketed layout like orders — the denorm
+    projection already embodies that posture)."""
+    dims = table(spark, sf_dir, "orders")
+    if chain >= 2:
+        c = table(spark, sf_dir, "customer")
+        dims = dims.join(F.broadcast(c), dims.o_custkey == c.c_custkey)
+    if chain >= 3:
+        n = table(spark, sf_dir, "nation")
+        dims = dims.join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+    if chain >= 4:
+        r = table(spark, sf_dir, "region")
+        dims = dims.join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+    return dims.select("o_orderkey", *attrs)
+
+
 def _raw_plan(spark: SparkSession, sf_dir: str, q: AggQuery) -> DataFrame:
+    chain = effective_chain(q)
     li = table(spark, sf_dir, "lineitem")
-    local_filters = [p for p in q.filters if p.col not in STAR_ATTRS]
-    star_filters = [p for p in q.filters if p.col in STAR_ATTRS]
+    local_filters, star_filters = _split_filters(q)
     for p in local_filters:
         li = li.filter(p.column())
-    # Derived time-grain keys are lineitem-local (their sources are
-    # timestamp columns), so they materialize here and the grouping
-    # classification below sees them as local names.
-    li = apply_truncs(li, q)
+    # Lineitem-sourced time-grain keys materialize below the partial
+    # aggregation; order-sourced ones (o_orderdate) only exist after
+    # the dimension join and are applied there.
+    li = apply_truncs(li, q, LINEITEM_COLS)
+    star_trunc_sources = frozenset(
+        {col for _a, _u, col in q.truncs if col not in LINEITEM_COLS}
+    )
+
+    sources = q.group_sources()
+    star_group = [g for g in q.group_by if sources[g] in DIM_ATTRS]
+    local_group = [g for g in q.group_by if sources[g] not in DIM_ATTRS]
+    for g in local_group:
+        if sources[g] not in LINEITEM_COLS and g not in {a for a, _u, _c in q.truncs}:
+            raise ValueError(f"unknown grouping attribute {g!r}")
+    # Dimension attributes the join must carry: grouping sources,
+    # dimension-side filter columns, star trunc sources.
+    dim_attrs = sorted(
+        ({sources[g] for g in star_group} | set(star_trunc_sources))
+        | {c for f in star_filters for c in f.cols()}
+    )
+
+    if not q.aggs:
+        # DISTINCT shape. Below the join the distinct key combinations
+        # collapse to one row per (order, local keys) — the same
+        # shuffle-shrinking idea as the partial aggregation.
+        if chain == 0:
+            return li.select(*q.group_by).distinct().orderBy(*q.group_by)
+        pre = li.select(
+            *dict.fromkeys(local_group + ["l_orderkey"])
+        ).distinct()
+        dims = _dim_arm(spark, sf_dir, chain, dim_attrs)
+        j = pre.join(dims.hint("shuffle_hash"), pre.l_orderkey == dims.o_orderkey)
+        for p in star_filters:
+            j = j.filter(p.column())
+        j = apply_truncs(j, q, star_trunc_sources)
+        return j.select(*q.group_by).distinct().orderBy(*q.group_by)
 
     needed = sorted({a.measure for a in q.aggs if a.measure})
     int_cols = {m: f"__{m}_i" for m in needed}
@@ -377,9 +613,6 @@ def _raw_plan(spark: SparkSession, sf_dir: str, q: AggQuery) -> DataFrame:
     min_ms = sorted({a.measure for a in q.aggs if a.fn == "min"})
     max_ms = sorted({a.measure for a in q.aggs if a.fn == "max"})
 
-    star_group = [g for g in q.group_by if g in STAR_ATTRS]
-    local_group = [g for g in q.group_by if g not in STAR_ATTRS]
-
     # Fused pre-projection: each measure's fixed-point expression is
     # computed once per row (q01's measured win), plus the grouping
     # columns and any count-source columns.
@@ -389,9 +622,8 @@ def _raw_plan(spark: SparkSession, sf_dir: str, q: AggQuery) -> DataFrame:
         dict.fromkeys(
             local_group
             # the star branch joins on l_orderkey whenever the query
-            # touches ANY star attribute — grouping OR filter (a
-            # star-filtered global aggregate has star_filters only)
-            + (["l_orderkey"] if (star_group or star_filters) else [])
+            # declares (or its attributes imply) a dimension chain
+            + (["l_orderkey"] if chain else [])
             + sorted(c for c in cnt_cols.values() if c)
         )
     )
@@ -458,41 +690,32 @@ def _raw_plan(spark: SparkSession, sf_dir: str, q: AggQuery) -> DataFrame:
                 raise ValueError(f"unsupported aggregate fn {a.fn!r}")
         return exprs
 
-    if not star_group and not star_filters:
+    if chain == 0:
         # q01 shape: scan → fused projection → one-shuffle aggregate.
         out = pre.groupBy(*q.group_by).agg(
             *final_aggs(int_cols, {m: c for m, c in cnt_cols.items() if c}, None)
         )
         return out.orderBy(*q.group_by) if q.group_by else out
 
-    # q26 shape: partial-aggregate the fact BELOW the join (slim
-    # per-order rows cross the shuffle), broadcast the dim arm.
-    if local_group:
-        raise ValueError(
-            "mixed local+star grouping is not expressible as the "
-            "partial-agg-below-join plan; group by star attributes only "
-            "or route via a projection that stores both"
-        )
+    # q26 shape, generalized: partial-aggregate the fact BELOW the
+    # join — keyed by the order key PLUS any lineitem-local grouping
+    # attributes, so mixed local+star groupings fold too (every
+    # measure partial is a commutative monoid, so aggregating first
+    # by the finer (order, locals) key and re-aggregating above the
+    # join is exact) — then join the dimension arm at the declared
+    # chain depth with slim per-order rows crossing the shuffle.
     partial = [F.sum(int_cols[m]).alias(int_cols[m]) for m in needed]
     partial += [F.count(c).alias(f"__cnt_{m}") for m, c in cnt_cols.items() if c]
     partial += [F.min(int_cols[m]).alias(f"__min_{m}") for m in min_ms]
     partial += [F.max(int_cols[m]).alias(f"__max_{m}") for m in max_ms]
     partial.append(F.count(F.lit(1)).alias("__cnt_star"))
-    agg_l = pre.groupBy("l_orderkey").agg(*partial)
+    agg_l = pre.groupBy(*dict.fromkeys(["l_orderkey"] + local_group)).agg(*partial)
 
-    o = table(spark, sf_dir, "orders")
-    c = table(spark, sf_dir, "customer")
-    n = table(spark, sf_dir, "nation")
-    r = table(spark, sf_dir, "region")
-    dims = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .select("o_orderkey", *sorted(STAR_ATTRS))
-    )
+    dims = _dim_arm(spark, sf_dir, chain, dim_attrs)
     joined = agg_l.join(dims.hint("shuffle_hash"), agg_l.l_orderkey == dims.o_orderkey)
     for p in star_filters:
         joined = joined.filter(p.column())
+    joined = apply_truncs(joined, q, star_trunc_sources)
     out = joined.groupBy(*q.group_by).agg(
         *final_aggs(
             int_cols,
@@ -695,7 +918,7 @@ _ZORDER_COLUMNS = frozenset(
      "l_quantity", "l_extendedprice"}
 )
 _ZORDER_KEYS = frozenset({"l_partkey", "l_suppkey"})
-_RANGE_OPS = frozenset({"<=", "<", ">=", ">", "=", "between"})
+_RANGE_OPS = frozenset({"<=", "<", ">=", ">", "=", "between", "in"})
 
 
 def route_scan(
@@ -711,9 +934,16 @@ def route_scan(
     materialized at sf5; metric-asserted in tests/test_zorder.py)."""
     from ..sources.zorder import zordered_lineitem
 
-    used = set(q.columns) | {p.col for p in q.filters}
+    used = set(q.columns)
+    for p in q.filters:
+        used |= p.cols()
+    # Layout choice keys off TOP-LEVEL conjuncts that are plain range
+    # predicates on a curve key — a disjunction containing one is not
+    # guaranteed selective, so it doesn't trigger the clustered layout
+    # (either choice returns identical rows; this is purely physical).
     has_key_range = any(
-        p.col in _ZORDER_KEYS and p.op in _RANGE_OPS for p in q.filters
+        isinstance(p, Pred) and p.col in _ZORDER_KEYS and p.op in _RANGE_OPS
+        for p in q.filters
     )
     if used <= _ZORDER_COLUMNS and has_key_range:
         df = spark.read.parquet(zordered_lineitem(spark, sf_dir))

@@ -72,17 +72,22 @@ the routed answer must match DuckDB running the same SQL on raw tables.
 
 from __future__ import annotations
 
+import dataclasses as _dc
 import json
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
 from .routing import (
+    DIM_ATTRS,
+    LINEITEM_COLS as _LINEITEM_COLS,
     MEASURES,
     AggCall,
     AggQuery,
+    BoolPred,
     Pred,
     ScanQuery,
+    minimal_chain,
     route,
     route_scan,
 )
@@ -128,24 +133,16 @@ COL_MEASURE: dict[str, str] = {
 }
 CNT_SRC: dict[str, str] = {m: c for c, m in COL_MEASURE.items()}
 
-_LINEITEM_COLS = frozenset(
-    {
-        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
-        "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
-        "l_linestatus", "l_shipdate", "l_commitdate", "l_receiptdate",
-        "l_shipinstruct", "l_shipmode", "l_comment",
-    }
-)
-_STAR_ATTRS = frozenset({"r_name", "n_name"})
-_STAR_TABLES = frozenset({"lineitem", "orders", "customer", "nation", "region"})
-# The canonical star equi-join edges, as unordered column pairs.
-_STAR_EDGES = frozenset(
-    {
-        frozenset({"l_orderkey", "o_orderkey"}),
-        frozenset({"o_custkey", "c_custkey"}),
-        frozenset({"c_nationkey", "n_nationkey"}),
-        frozenset({"n_regionkey", "r_regionkey"}),
-    }
+# The dimension chain in join order; a statement's FROM clause must be
+# lineitem alone or a PREFIX of this chain joined on exactly these
+# keys (any paren/ordering DuckDB normalizes away — matching is on the
+# table SET and edge SET, never on text).
+_CHAIN_TABLES = ("orders", "customer", "nation", "region")
+_CHAIN_EDGES = (
+    frozenset({"l_orderkey", "o_orderkey"}),
+    frozenset({"o_custkey", "c_custkey"}),
+    frozenset({"c_nationkey", "n_nationkey"}),
+    frozenset({"n_regionkey", "r_regionkey"}),
 )
 
 _CMP_OPS = {
@@ -154,6 +151,7 @@ _CMP_OPS = {
     "COMPARE_GREATERTHANOREQUALTO": ">=",
     "COMPARE_GREATERTHAN": ">",
     "COMPARE_EQUAL": "=",
+    "COMPARE_NOTEQUAL": "!=",
 }
 
 
@@ -264,8 +262,10 @@ def _plain_fn(node) -> tuple[str, str] | None:
 
 
 _TRUNC_UNITS = frozenset({"year", "quarter", "month", "day"})
-# columns date_trunc may legally apply to (timestamp-typed)
-_TS_COLS = frozenset({"l_shipdate", "l_commitdate", "l_receiptdate"})
+# columns date_trunc may legally apply to (timestamp-typed); the
+# order-side o_orderdate is gated by the statement's join chain via
+# the caller's `allowed` set like every other dimension attribute
+_TS_COLS = frozenset({"l_shipdate", "o_orderdate"})
 
 
 def _match_trunc(node) -> tuple[str, str] | None:
@@ -381,14 +381,44 @@ def _parse_constant(node) -> tuple[object, str | None]:
     raise UnsupportedSQL(f"unsupported literal type {tid}")
 
 
-def _parse_pred(node: dict) -> Pred:
+def _parse_filter(node: dict):
+    """Lower one predicate expression to a Pred or BoolPred tree.
+    DuckDB's parser already normalizes ``NOT (x > 5)`` to ``x <= 5``
+    and ``NOT … IN`` to COMPARE_NOT_IN; whatever boolean structure
+    survives (AND/OR conjunctions, OPERATOR_NOT over a compound,
+    IN-lists) maps 1:1 onto the router's tree language."""
     cls = node.get("class")
-    if cls == "COMPARISON" and node.get("type") in _CMP_OPS:
+    typ = node.get("type")
+    if cls == "CONJUNCTION" and typ in ("CONJUNCTION_AND", "CONJUNCTION_OR"):
+        kids = tuple(_parse_filter(c) for c in node["children"])
+        return BoolPred("and" if typ == "CONJUNCTION_AND" else "or", kids)
+    if cls == "OPERATOR" and typ == "OPERATOR_NOT":
+        ch = node.get("children", [])
+        if len(ch) != 1:
+            raise UnsupportedSQL("malformed NOT")
+        return BoolPred("not", (_parse_filter(ch[0]),))
+    if cls == "OPERATOR" and typ in ("COMPARE_IN", "COMPARE_NOT_IN"):
+        ch = node.get("children", [])
+        if len(ch) < 2:
+            raise UnsupportedSQL("empty IN list")
+        col = _colref(ch[0])
+        if col is None:
+            raise UnsupportedSQL("IN input is not a column")
+        vals, casts = [], set()
+        for c in ch[1:]:
+            v, cast = _parse_constant(c)
+            vals.append(v)
+            casts.add(cast)
+        if len(casts) != 1:
+            raise UnsupportedSQL("mixed literal casts in IN list")
+        p = Pred(col, "in", tuple(vals), cast=casts.pop())
+        return BoolPred("not", (p,)) if typ == "COMPARE_NOT_IN" else p
+    if cls == "COMPARISON" and typ in _CMP_OPS:
         col = _colref(node["left"])
         if col is None:
             raise UnsupportedSQL("left side of comparison is not a column")
         value, cast = _parse_constant(node["right"])
-        return Pred(col, _CMP_OPS[node["type"]], value, cast=cast)
+        return Pred(col, _CMP_OPS[typ], value, cast=cast)
     if cls == "BETWEEN":
         col = _colref(node["input"])
         if col is None:
@@ -398,32 +428,36 @@ def _parse_pred(node: dict) -> Pred:
         if cast_lo != cast_hi:
             raise UnsupportedSQL("mismatched BETWEEN bound casts")
         return Pred(col, "between", (lo, hi), cast=cast_lo)
-    raise UnsupportedSQL(f"unsupported predicate {cls}/{node.get('type')}")
+    raise UnsupportedSQL(f"unsupported predicate {cls}/{typ}")
 
 
-def _parse_where(node) -> tuple[Pred, ...]:
+def _parse_where(node) -> tuple:
+    """Top-level conjuncts of the WHERE clause, each a Pred/BoolPred.
+    The top AND is flattened (the router treats the filter tuple as a
+    conjunction); any nested boolean structure is preserved."""
     if node is None:
         return ()
-    preds: list[Pred] = []
+    preds: list = []
 
     def walk(n):
         if isinstance(n, dict) and n.get("type") == "CONJUNCTION_AND":
             for c in n["children"]:
                 walk(c)
         else:
-            preds.append(_parse_pred(n))
+            preds.append(_parse_filter(n))
 
     walk(node)
     return tuple(preds)
 
 
-def _parse_from(node: dict) -> bool:
-    """True if the FROM clause is the canonical star join, False if it
-    is the bare lineitem table; UnsupportedSQL otherwise."""
+def _parse_from(node: dict) -> int:
+    """The dimension-chain depth the FROM clause declares: 0 for bare
+    lineitem, k for lineitem joined with the first k chain tables on
+    exactly the canonical keys; UnsupportedSQL for any other shape."""
     if node.get("type") == "BASE_TABLE":
         if node.get("table_name", "").lower() != "lineitem":
             raise UnsupportedSQL(f"unroutable table {node.get('table_name')}")
-        return False
+        return 0
     tables: set[str] = set()
     edges: set[frozenset[str]] = set()
 
@@ -435,7 +469,7 @@ def _parse_from(node: dict) -> bool:
         if t != "JOIN":
             raise UnsupportedSQL(f"unsupported FROM node {t}")
         if n.get("join_type") != "INNER" or n.get("using_columns"):
-            raise UnsupportedSQL("only canonical INNER ... ON star joins route")
+            raise UnsupportedSQL("only canonical INNER ... ON chain joins route")
         cond = n.get("condition")
         if not (
             isinstance(cond, dict)
@@ -449,20 +483,32 @@ def _parse_from(node: dict) -> bool:
         walk(n["right"])
 
     walk(node)
-    if tables != _STAR_TABLES or edges != _STAR_EDGES:
-        raise UnsupportedSQL(
-            f"join graph is not the canonical star (tables={sorted(tables)})"
-        )
-    return True
+    for depth in range(1, len(_CHAIN_TABLES) + 1):
+        want_tables = {"lineitem", *_CHAIN_TABLES[:depth]}
+        want_edges = set(_CHAIN_EDGES[:depth])
+        if tables == want_tables and edges == want_edges:
+            return depth
+    raise UnsupportedSQL(
+        f"join graph is not a prefix of the canonical chain "
+        f"(tables={sorted(tables)})"
+    )
 
 
-def _modifiers(node: dict) -> tuple[tuple[tuple[str, bool], ...], int | None]:
-    """((col, ascending), …) ORDER BY terms and the LIMIT, if any."""
+def _modifiers(
+    node: dict,
+) -> tuple[tuple[tuple[str, bool], ...], int | None, bool]:
+    """((col, ascending), …) ORDER BY terms, the LIMIT, and whether
+    the statement is SELECT DISTINCT."""
     orders: list[tuple[str, bool]] = []
     limit: int | None = None
+    distinct = False
     for mod in node.get("modifiers", []):
         t = mod.get("type")
-        if t == "ORDER_MODIFIER":
+        if t == "DISTINCT_MODIFIER":
+            if mod.get("distinct_on_targets"):
+                raise UnsupportedSQL("DISTINCT ON is not routable")
+            distinct = True
+        elif t == "ORDER_MODIFIER":
             for o in mod.get("orders", []):
                 ot = o.get("type")
                 if ot in ("ORDER_DEFAULT", "ASCENDING", "ORDER_ASCENDING"):
@@ -484,7 +530,7 @@ def _modifiers(node: dict) -> tuple[tuple[tuple[str, bool], ...], int | None]:
             limit = v
         else:
             raise UnsupportedSQL(f"unsupported modifier {t}")
-    return tuple(orders), limit
+    return tuple(orders), limit, distinct
 
 
 def _parse_having(node, agg_alias_by_key: dict[str, str]) -> tuple[Pred, ...]:
@@ -547,14 +593,15 @@ def parse_sql(sql: str) -> ParsedSQL:
         raise UnsupportedSQL("CTEs are not routable")
     if node.get("aggregate_handling") != "STANDARD_HANDLING":
         raise UnsupportedSQL("non-standard aggregate handling")
-    order, limit = _modifiers(node)
+    order, limit, distinct = _modifiers(node)
 
-    star = _parse_from(node["from_table"])
+    chain = _parse_from(node["from_table"])
     filters = _parse_where(node.get("where_clause"))
-    allowed = _LINEITEM_COLS | (_STAR_ATTRS if star else frozenset())
+    allowed = _LINEITEM_COLS | {a for a, d in DIM_ATTRS.items() if d <= chain}
     for p in filters:
-        if p.col not in allowed:
-            raise UnsupportedSQL(f"filter on unknown column {p.col}")
+        bad = p.cols() - allowed
+        if bad:
+            raise UnsupportedSQL(f"filter on unknown column {sorted(bad)[0]}")
 
     group_nodes = node.get("group_expressions", [])
     sets = node.get("group_sets", [])
@@ -600,8 +647,15 @@ def parse_sql(sql: str) -> ParsedSQL:
 
     # Resolve GROUP BY terms: a plain column, a select-list trunc alias,
     # or the full date_trunc expression repeated (matched structurally
-    # back to its select alias).
+    # back to its select alias). SELECT DISTINCT over bare keys is the
+    # same logical shape with every selected item as a key.
     groups: list[str] = []
+    if distinct:
+        if aggs:
+            raise UnsupportedSQL("DISTINCT over aggregates is not routable")
+        if group_nodes:
+            raise UnsupportedSQL("DISTINCT combined with GROUP BY is not routable")
+        groups = list(seen_groups)
     for g in group_nodes:
         col = _colref(g)
         if col is not None:
@@ -618,21 +672,10 @@ def parse_sql(sql: str) -> ParsedSQL:
             continue
         raise UnsupportedSQL("GROUP BY over a non-routable expression")
 
-    if groups and not aggs:
-        # A grouped selection with no aggregates is the DISTINCT shape;
-        # the router's aggregate builders need at least one measure, so
-        # this runs verbatim through spark.sql.
-        raise UnsupportedSQL("GROUP BY without aggregates is not routable")
-    if star and not (set(groups) | {p.col for p in filters}) & _STAR_ATTRS:
-        # A star join whose attributes are never used could only be
-        # dropped from the plan by ASSUMING foreign-key integrity
-        # (an inner join may drop orphan fact rows). The router never
-        # assumes data properties it can't check structurally — this
-        # shape runs verbatim through spark.sql instead.
-        raise UnsupportedSQL("star join with no star attribute referenced")
     if groups or aggs:
-        # Aggregating form: every bare select column must be a grouping
-        # key (in the scan form below, bare columns are the projection).
+        # Aggregating/DISTINCT form: every bare select column must be a
+        # grouping key (in the scan form below, bare columns are the
+        # projection).
         for col in seen_groups:
             if col not in groups:
                 raise UnsupportedSQL(f"bare column {col} is not a grouping key")
@@ -640,8 +683,8 @@ def parse_sql(sql: str) -> ParsedSQL:
 
     if not groups and not aggs:
         # Pure projection+filter scan over lineitem.
-        if star:
-            raise UnsupportedSQL("scan over the star join is not routable")
+        if chain:
+            raise UnsupportedSQL("row-level scans over joins are not routable")
         if not (set(out) <= _LINEITEM_COLS):
             raise UnsupportedSQL("scan selects columns outside lineitem")
         if not ({c for c, _ in order} <= set(out)):
@@ -650,25 +693,28 @@ def parse_sql(sql: str) -> ParsedSQL:
             ScanQuery(tuple(out), filters), tuple(out), order, (), limit
         )
 
-    # Grouped — or, with no GROUP BY, a GLOBAL — aggregate. The global
-    # form is the cube's best case: COUNT(*)/SUM over the whole fact
-    # re-aggregates a scale-invariant projection to ONE row.
+    # Grouped — or, with no GROUP BY, a GLOBAL — aggregate; aggs may
+    # be empty (the DISTINCT / GROUP-BY-without-aggregates shape). The
+    # global form is the cube's best case: COUNT(*)/SUM over the whole
+    # fact re-aggregates a scale-invariant projection to ONE row.
     if sorted(seen_groups) != sorted(groups):
         raise UnsupportedSQL("every grouping key must be selected exactly once")
     if not ({c for c, _ in order} <= set(out)):
         raise UnsupportedSQL("ORDER BY must use output columns")
-    return ParsedSQL(
-        AggQuery(
-            filters,
-            tuple(groups),
-            tuple(aggs),
-            tuple((a, u, c) for a, (u, c) in truncs.items()),
-        ),
-        tuple(out),
-        order,
-        having,
-        limit,
+    spec = AggQuery(
+        filters,
+        tuple(groups),
+        tuple(aggs),
+        tuple((a, u, c) for a, (u, c) in truncs.items()),
     )
+    if minimal_chain(spec) != chain:
+        # The statement joins DEEPER than its attributes require —
+        # semantically meaningful (inner joins may drop orphan fact
+        # rows; FK integrity is never assumed), so the declared depth
+        # rides along. When minimal, chain stays None so specs compare
+        # structurally wherever they came from.
+        spec = _dc.replace(spec, chain=chain)
+    return ParsedSQL(spec, tuple(out), order, having, limit)
 
 
 def route_sql(
@@ -792,4 +838,86 @@ def r89_sql_monthly_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical string over raw lineitem."""
     df, chosen = route_sql(spark, sf_dir, _SQL_MONTHLY)
     assert chosen == "pricing_cube", chosen
+    return df
+
+
+_SQL_CHAIN_SEGMENT = f"""
+SELECT
+  c_mktsegment,
+  date_trunc('month', o_orderdate) AS order_month,
+  {SUM_SQL['revenue']} AS rev,
+  COUNT(*) AS n
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name IN ('ASIA', 'EUROPE', 'AMERICA')
+GROUP BY c_mktsegment, order_month
+ORDER BY c_mktsegment, order_month
+"""
+
+
+@query("r90_sql_chain_segment", oracle=_SQL_CHAIN_SEGMENT, tags=("S13", "E1", "J1", "A1"))
+def r90_sql_chain_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-chain SQL through the front door: revenue by market
+    segment and ORDER month with an IN-list region predicate, over the
+    declared 5-table join. The widened denorm stores the order- and
+    customer-level attributes (c_mktsegment, o_orderdate at full
+    per-order resolution) alongside the region/nation names, so the
+    whole statement folds onto the exchange-free rollup⋈denorm spine —
+    the IN list is constant within each stored group — while the
+    oracle runs the identical string as the raw 5-table join."""
+    df, chosen = route_sql(spark, sf_dir, _SQL_CHAIN_SEGMENT)
+    assert chosen == "order_revenue_star", chosen
+    return df
+
+
+_SQL_DISTINCT = """
+SELECT DISTINCT l_returnflag, l_linestatus
+FROM lineitem
+WHERE l_returnflag = 'R' OR l_linestatus = 'O'
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@query("r91_sql_distinct_keys", oracle=_SQL_DISTINCT, tags=("S13", "E1", "A2"))
+def r91_sql_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT through the front door, with a disjunctive
+    predicate. The distinct key combinations of the raw fact are a
+    projection of the cube's stored group keys (every raw row maps to
+    exactly one stored group), and ANY boolean function of group-key
+    columns is constant within a group — so the engine answers from
+    the ~15k-row cube without touching the fact table."""
+    df, chosen = route_sql(spark, sf_dir, _SQL_DISTINCT)
+    assert chosen == "pricing_cube", chosen
+    return df
+
+
+_SQL_MIXED_STAR = f"""
+SELECT
+  l_returnflag,
+  r_name,
+  {SUM_SQL['revenue']} AS rev,
+  COUNT(*) AS n
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY l_returnflag, r_name
+ORDER BY l_returnflag, r_name
+"""
+
+
+@query("r92_sql_mixed_star_group", oracle=_SQL_MIXED_STAR, tags=("S13", "E1", "J1", "A1"))
+def r92_sql_mixed_star_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed fact+dimension grouping through the front door: no
+    projection stores both attribute kinds, so the router's raw plan
+    partial-aggregates the fact BELOW the join keyed by (order key,
+    l_returnflag) — every measure partial is a commutative monoid, so
+    re-aggregating above the join is exact — and only slim per-order
+    rows cross the shuffle, at any corpus scale."""
+    df, chosen = route_sql(spark, sf_dir, _SQL_MIXED_STAR)
+    assert chosen == "raw", chosen
     return df

@@ -152,6 +152,24 @@ def bucketed_fact_tables(
     return memo[key]
 
 
+# Dimension attributes the denormalized orders table stores: the full
+# region/nation arm plus the order- and customer-level attributes the
+# routing catalog exposes (plans/routing.py DIM_ATTRS) — storing them
+# costs a few bytes per ORDER (not per lineitem) and lets the router
+# answer e.g. "revenue by market segment" or "revenue by order month"
+# from the exchange-free rollup⋈denorm spine instead of a raw 5-table
+# join. One tuple, used by the deploy build AND the delta refresh, so
+# the two can never drift.
+DENORM_ATTRS = (
+    "r_name",
+    "n_name",
+    "c_mktsegment",
+    "o_orderstatus",
+    "o_orderpriority",
+    "o_orderdate",
+)
+
+
 def order_revenue_projection(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Deploy the star-join PROJECTIONS (memoized): a per-order
     aggregate rollup of lineitem and a dimension-denormalized orders
@@ -194,7 +212,7 @@ def order_revenue_projection(spark: SparkSession, sf_dir: str) -> tuple[str, str
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .select("o_orderkey", "r_name", "n_name")
+        .select("o_orderkey", *DENORM_ATTRS)
     )
     write_bucketed(denorm, den_name, os.path.join(wh, den_name), "o_orderkey")
     memo[key] = (roll_name, den_name)
@@ -273,7 +291,7 @@ def refresh_orders_denorm(
         delta_orders.join(F.broadcast(c), delta_orders.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .select("o_orderkey", "r_name", "n_name")
+        .select("o_orderkey", *DENORM_ATTRS)
     )
     stored = spark.table(den_name)
     kept = stored.join(

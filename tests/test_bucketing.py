@@ -231,11 +231,13 @@ def test_incremental_denorm_refresh_equals_rebuild(spark, sf_dir):
         r = table(spark, sf_dir, "region")
 
         def denorm(orders_df):
+            from bigdataproj_spark.sources.bucketed import DENORM_ATTRS
+
             return (
                 orders_df.join(c, orders_df.o_custkey == c.c_custkey)
                 .join(n, c.c_nationkey == n.n_nationkey)
                 .join(r, n.n_regionkey == r.r_regionkey)
-                .select("o_orderkey", "r_name", "n_name")
+                .select("o_orderkey", *DENORM_ATTRS)
             )
 
         merged_orders = o.join(

@@ -24,8 +24,16 @@ import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
-from bigdataproj_spark.plans.routing import AggCall, AggQuery, Pred, _raw_plan, route
-from bigdataproj_spark.plans.sqlfront import UnsupportedSQL, parse_sql, route_sql
+from bigdataproj_spark.plans.routing import (
+    AggCall,
+    AggQuery,
+    BoolPred,
+    Pred,
+    _raw_plan,
+    minimal_chain,
+    route,
+)
+from bigdataproj_spark.plans.sqlfront import parse_sql, route_sql
 from bigdataproj_spark.testing import compare_frames
 
 _FUZZ_SCALE = int(_os.environ.get("FUZZ_SCALE", "1"))
@@ -86,27 +94,94 @@ pricing_specs = st.fixed_dictionaries(
         "date_op": st.sampled_from(["<=", ">=", "between"]),
         "flag_filter": st.sampled_from([None, "A", "N", "R"]),
         "nonkey_filter": st.booleans(),  # discount filter -> raw fallback
+        # boolean-tree / IN-list filters over group-key columns: any
+        # boolean function of group keys folds (constant per group)
+        "bool_filter": st.sampled_from([None, None, None, "or", "not_in", "in"]),
         "agg_mask": st.integers(min_value=1, max_value=(1 << len(_PRICING_AGGS)) - 1),
         # derived time-grain key: month/year/quarter rollups must fold
         # exactly onto the day-grained cube (or the raw plan)
         "trunc": st.sampled_from([None, None, "month", "year", "quarter"]),
+        # DISTINCT shape: no aggregates, just the key combinations
+        "distinct": st.sampled_from([False, False, False, True]),
         **_EXTRAS,
     }
 )
 star_specs = st.fixed_dictionaries(
     {
         "family": st.just("star"),
-        "group": st.sampled_from([("r_name",), ("n_name",), ("r_name", "n_name")]),
+        "group": st.sampled_from(
+            [
+                ("r_name",),
+                ("n_name",),
+                ("r_name", "n_name"),
+                # widened denorm attributes (order/customer level)
+                ("c_mktsegment",),
+                ("o_orderstatus", "r_name"),
+                # NO star attribute at all: the declared full chain is
+                # still semantically meaningful (orphan-dropping), so
+                # this routes — it must NOT collapse to the chain-0 plan
+                (),
+                # mixed local+star: generalized partial key below join
+                ("l_returnflag", "r_name"),
+                ("l_linestatus", "c_mktsegment"),
+            ]
+        ),
         "date_filter": st.sampled_from([None, *range(len(_DATES))]),
         "date_op": st.sampled_from(["<=", ">=", "between"]),
         "region_filter": st.sampled_from([None, "ASIA", "EUROPE", "AMERICA"]),
+        "bool_filter": st.just(None),
         "agg_mask": st.integers(min_value=1, max_value=(1 << len(_STAR_AGGS)) - 1),
+        "distinct": st.sampled_from([False, False, False, True]),
+        **_EXTRAS,
+    }
+)
+# PREFIX chains (lineitem ⋈ first k dimension tables): no projection
+# stores chain 1–3, so these all exercise the generalized raw star
+# plan at every join depth, incl. order-date truncs above the join.
+chain_specs = st.fixed_dictionaries(
+    {
+        "family": st.just("chain"),
+        "chain_group": st.sampled_from(
+            [
+                (1, ("o_orderstatus",)),
+                (1, ("o_orderpriority", "o_orderstatus")),
+                (1, ("l_returnflag", "o_orderstatus")),
+                (2, ("c_mktsegment",)),
+                (2, ("o_orderstatus", "c_mktsegment")),
+                (3, ("n_name",)),
+                (3, ("l_linestatus", "n_name")),
+                (2, ()),  # chain-2 global/distinct: joins matter, no attrs
+            ]
+        ),
+        "date_filter": st.sampled_from([None, *range(len(_DATES))]),
+        "date_op": st.sampled_from(["<=", ">=", "between"]),
+        "region_filter": st.just(None),
+        "bool_filter": st.just(None),
+        "agg_mask": st.integers(min_value=1, max_value=(1 << len(_STAR_AGGS)) - 1),
+        # o_orderdate month rollup: an order-side trunc key that only
+        # exists ABOVE the dimension join
+        "otrunc": st.sampled_from([None, None, "month", "year"]),
+        "distinct": st.sampled_from([False, False, False, True]),
         **_EXTRAS,
     }
 )
 
 
 def _to_spec(p) -> AggQuery:
+    import dataclasses as _dc
+
+    family = p["family"]
+    if family == "chain":
+        declared, group = p["chain_group"]
+    else:
+        declared = 4 if family == "star" else 0
+        group = p["group"]
+    # DISTINCT needs at least one key; GLOBAL clears the keys — the two
+    # are mutually exclusive, distinct wins when both are drawable.
+    distinct = p.get("distinct") and bool(group)
+    if p.get("global") and not distinct:
+        group = ()
+
     filters = []
     if p["date_filter"] is not None:
         i = p["date_filter"]
@@ -131,7 +206,7 @@ def _to_spec(p) -> AggQuery:
                     cast="timestamp",
                 )
             )
-    if p["family"] == "pricing":
+    if family == "pricing":
         if p["flag_filter"]:
             filters.append(Pred("l_returnflag", "=", p["flag_filter"]))
         if p["nonkey_filter"]:
@@ -141,18 +216,75 @@ def _to_spec(p) -> AggQuery:
         if p["region_filter"]:
             filters.append(Pred("r_name", "=", p["region_filter"]))
         pool = _STAR_AGGS
-    aggs = tuple(a for i, a in enumerate(pool) if p["agg_mask"] >> i & 1)
-    group = () if p.get("global") else p["group"]
+    bf = p.get("bool_filter")
+    if bf == "or":
+        filters.append(
+            BoolPred(
+                "or",
+                (Pred("l_returnflag", "=", "R"), Pred("l_linestatus", "=", "O")),
+            )
+        )
+    elif bf == "not_in":
+        filters.append(BoolPred("not", (Pred("l_returnflag", "in", ("A", "N")),)))
+    elif bf == "in":
+        filters.append(Pred("l_linestatus", "in", ("F", "O")))
+
+    aggs = () if distinct else tuple(
+        a for i, a in enumerate(pool) if p["agg_mask"] >> i & 1
+    )
     truncs = ()
-    if group and p.get("trunc"):
+    if group and family == "pricing" and p.get("trunc"):
         truncs = (("a_tr", p["trunc"], "l_shipdate"),)
         group = group + ("a_tr",)
-    return AggQuery(tuple(filters), group, aggs, truncs)
+    if group and family == "chain" and p.get("otrunc"):
+        truncs = (("a_otr", p["otrunc"], "o_orderdate"),)
+        group = group + ("a_otr",)
+    spec = AggQuery(tuple(filters), group, aggs, truncs)
+    if declared > minimal_chain(spec):
+        # the declared join depth exceeds what the attributes imply:
+        # semantically load-bearing (orphan dropping), rides on chain
+        spec = _dc.replace(spec, chain=declared)
+    return spec
+
+
+_CHAIN_JOINS = (
+    "JOIN orders ON l_orderkey = o_orderkey",
+    "JOIN customer ON o_custkey = c_custkey",
+    "JOIN nation ON c_nationkey = n_nationkey",
+    "JOIN region ON n_regionkey = r_regionkey",
+)
+
+
+def _cond_sql(pr) -> str:
+    if isinstance(pr, BoolPred):
+        if pr.op == "not":
+            (inner,) = pr.children
+            if isinstance(inner, Pred) and inner.op == "in":
+                vals = ", ".join(_lit_sql(v, inner.cast) for v in inner.value)
+                return f"{inner.col} NOT IN ({vals})"
+            return f"NOT ({_cond_sql(inner)})"
+        joiner = " OR " if pr.op == "or" else " AND "
+        return "(" + joiner.join(_cond_sql(c) for c in pr.children) + ")"
+    if pr.op == "in":
+        vals = ", ".join(_lit_sql(v, pr.cast) for v in pr.value)
+        return f"{pr.col} IN ({vals})"
+    if pr.op == "between":
+        lo, hi = pr.value
+        return f"{pr.col} BETWEEN {_lit_sql(lo, pr.cast)} AND {_lit_sql(hi, pr.cast)}"
+    return f"{pr.col} {pr.op} {_lit_sql(pr.value, pr.cast)}"
+
+
+def _lit_sql(v, cast) -> str:
+    if cast == "timestamp":
+        return f"TIMESTAMP '{v}'"
+    if isinstance(v, str):
+        return f"'{v}'"
+    return str(v)
 
 
 def _to_sql(
     spec: AggQuery,
-    star: bool,
+    chain: int,
     order_desc: bool = False,
     having: int | None = None,
     limit: int | None = None,
@@ -177,26 +309,8 @@ def _to_sql(
             sel.append(f"{_MIN_SQL[a.measure]} AS {a.alias}")
         elif a.fn == "max":
             sel.append(f"{_MAX_SQL[a.measure]} AS {a.alias}")
-    frm = "lineitem"
-    if star:
-        frm = (
-            "lineitem JOIN orders ON l_orderkey = o_orderkey "
-            "JOIN customer ON o_custkey = c_custkey "
-            "JOIN nation ON c_nationkey = n_nationkey "
-            "JOIN region ON n_regionkey = r_regionkey"
-        )
-    conds = []
-    for pr in spec.filters:
-        if pr.op == "between":
-            lo, hi = pr.value
-            lit = "TIMESTAMP " if pr.cast == "timestamp" else ""
-            conds.append(f"{pr.col} BETWEEN {lit}'{lo}' AND {lit}'{hi}'")
-        elif pr.cast == "timestamp":
-            conds.append(f"{pr.col} {pr.op} TIMESTAMP '{pr.value}'")
-        elif isinstance(pr.value, str):
-            conds.append(f"{pr.col} {pr.op} '{pr.value}'")
-        else:
-            conds.append(f"{pr.col} {pr.op} {pr.value}")
+    frm = " ".join(["lineitem", *_CHAIN_JOINS[:chain]])
+    conds = [_cond_sql(pr) for pr in spec.filters]
     parts = [f"SELECT {', '.join(sel)} FROM {frm}"]
     if conds:
         parts.append("WHERE " + " AND ".join(conds))
@@ -224,7 +338,7 @@ def _ora(sf_dir):
     return con
 
 
-@given(p=st.one_of(pricing_specs, star_specs))
+@given(p=st.one_of(pricing_specs, star_specs, chain_specs))
 @settings(
     max_examples=20 * _FUZZ_SCALE,
     deadline=None,
@@ -234,7 +348,7 @@ def test_random_spec_routes_and_matches_duckdb(spark, sf_dir, _ora, p):
     """route(), the raw plan, and generated ANSI SQL must agree on any
     drawn spec, whichever projection (or none) the router picks."""
     spec = _to_spec(p)
-    star = p["family"] == "star"
+    chain = spec.chain if spec.chain is not None else minimal_chain(spec)
     # SQL-only extras: HAVING needs COUNT(*) in the select list to
     # reference; LIMIT without a total ORDER BY would make the row SET
     # nondeterministic (ties at the boundary), so it rides only on the
@@ -245,15 +359,7 @@ def test_random_spec_routes_and_matches_duckdb(spark, sf_dir, _ora, p):
         "having": p["having"] if has_cnt else None,
         "limit": p["limit"],
     }
-    sql = _to_sql(spec, star, **extras)
-    used = set(spec.group_by) | {f.col for f in spec.filters}
-    if star and not used & {"r_name", "n_name"}:
-        # A star join none of whose attributes are referenced is only
-        # droppable under an FK-integrity assumption; the front door
-        # must REFUSE it (falls back to spark.sql in Engine.sql).
-        with pytest.raises(UnsupportedSQL):
-            parse_sql(sql)
-        return
+    sql = _to_sql(spec, chain, **extras)
     # The SQL front door must lower the generated text back to the
     # IDENTICAL spec object (parser<->generator round-trip) …
     parsed = parse_sql(sql)

@@ -129,17 +129,46 @@ def test_star_filter_routes_and_matches_raw(spark, sf_dir):
     assert routed.toPandas().equals(_raw_plan(spark, sf_dir, spec).toPandas())
 
 
-def test_mixed_local_and_star_grouping_raises(spark, sf_dir):
-    """The raw fallback refuses a shape it cannot plan correctly
-    (local+star grouping needs a different join strategy) instead of
-    silently producing a wrong partial-agg plan."""
+def test_mixed_local_and_star_grouping_matches_rowlevel_join(spark, sf_dir):
+    """Mixed local+star grouping folds through the generalized partial
+    key (order key + local attributes) below the join; the answer must
+    equal the naive row-level join-then-group plan, and no projection
+    may claim the shape (none stores both attribute kinds)."""
+    from pyspark.sql import functions as F
+
+    from bigdataproj_spark.catalog import table
+    from bigdataproj_spark.functions import cents, isum_expr
+
     spec = AggQuery(
         filters=(),
         group_by=("l_returnflag", "r_name"),
-        aggs=(AggCall("sum", "revenue", "rev"),),
+        aggs=(
+            AggCall("sum", "revenue", "rev"),
+            AggCall("count_star", None, "n"),
+        ),
     )
-    with pytest.raises(ValueError, match="mixed local\\+star"):
-        route(spark, sf_dir, spec)
+    routed, chosen = route(spark, sf_dir, spec)
+    assert chosen == "raw"
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    naive = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("l_returnflag", "r_name")
+        .agg(
+            isum_expr(
+                cents("l_extendedprice") * (100 - cents("l_discount")), 10_000
+            ).alias("rev"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag", "r_name")
+    )
+    assert routed.toPandas().equals(naive.toPandas())
 
 
 def test_scan_routing_picks_zorder_layout(spark, sf_dir):

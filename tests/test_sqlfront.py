@@ -157,18 +157,18 @@ def test_lookalike_measure_does_not_match():
         "SELECT l_returnflag, count(*) AS c FROM lineitem"
         " GROUP BY l_returnflag ORDER BY l_linestatus",
         "SELECT l_orderkey FROM lineitem LIMIT 5 OFFSET 2",  # OFFSET
-        # star join whose attributes are never referenced: dropping the
-        # join would assume FK integrity — must refuse
+        # a join graph that is NOT a prefix of the canonical chain
+        # (customer joined without orders) must refuse
         "SELECT count(*) AS c FROM lineitem"
-        " JOIN orders ON l_orderkey = o_orderkey"
-        " JOIN customer ON o_custkey = c_custkey"
-        " JOIN nation ON c_nationkey = n_nationkey"
-        " JOIN region ON n_regionkey = r_regionkey",
+        " JOIN customer ON l_orderkey = c_custkey",
+        # full-TPC-H column absent from THIS corpus's lineitem schema:
+        # refuse at parse, not AnalysisException at plan time
+        "SELECT l_shipmode, count(*) AS n FROM lineitem GROUP BY l_shipmode",
+        # DISTINCT ON is a DuckDB extension with no routable shape
+        "SELECT DISTINCT ON (l_returnflag) l_returnflag, l_quantity"
+        " FROM lineitem",
         "INSERT INTO lineitem VALUES (1)",
         "definitely not sql",
-        # DISTINCT shape: grouped selection with no aggregates
-        "SELECT l_returnflag FROM lineitem GROUP BY l_returnflag"
-        " ORDER BY l_returnflag",
     ],
 )
 def test_unsupported_family_raises(bad):
@@ -235,6 +235,104 @@ def test_routed_sql_matches_duckdb(spark, sf_dir, oracle, sql, want_chosen):
             " SUM(l_quantity) AS sq, COUNT(*) AS n FROM lineitem"
             " GROUP BY ship_month ORDER BY ship_month",
             "pricing_cube",
+        ),
+        # DISTINCT shape (GROUP BY with no aggregates): key combos are
+        # a projection of stored group keys
+        (
+            "SELECT l_returnflag FROM lineitem GROUP BY l_returnflag"
+            " ORDER BY l_returnflag",
+            "pricing_cube",
+        ),
+        # SELECT DISTINCT spelling of the same shape
+        (
+            "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+            " ORDER BY l_returnflag, l_linestatus",
+            "pricing_cube",
+        ),
+        # IN list, NOT IN, and != predicates fold on group-key columns
+        (
+            "SELECT l_returnflag, COUNT(*) AS n FROM lineitem"
+            " WHERE l_returnflag IN ('A', 'R') GROUP BY l_returnflag"
+            " ORDER BY l_returnflag",
+            "pricing_cube",
+        ),
+        (
+            "SELECT l_returnflag, COUNT(*) AS n FROM lineitem"
+            " WHERE l_returnflag NOT IN ('A') AND l_linestatus != 'F'"
+            " GROUP BY l_returnflag ORDER BY l_returnflag",
+            "pricing_cube",
+        ),
+        # an OR across group-key columns is constant within each stored
+        # group, so the boolean tree folds exactly
+        (
+            "SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sq"
+            " FROM lineitem WHERE l_returnflag = 'R' OR l_linestatus = 'O'"
+            " GROUP BY l_returnflag, l_linestatus"
+            " ORDER BY l_returnflag, l_linestatus",
+            "pricing_cube",
+        ),
+        # full-chain join with NO dimension attribute referenced: the
+        # declared chain is semantically meaningful (inner joins may
+        # drop orphan fact rows), so it routes onto the chain-4
+        # rollup⋈denorm pair rather than being refused
+        (
+            "SELECT count(*) AS c FROM lineitem"
+            " JOIN orders ON l_orderkey = o_orderkey"
+            " JOIN customer ON o_custkey = c_custkey"
+            " JOIN nation ON c_nationkey = n_nationkey"
+            " JOIN region ON n_regionkey = r_regionkey",
+            "order_revenue_star",
+        ),
+        # market-segment grouping answered from the widened denorm
+        (
+            "SELECT c_mktsegment, count(*) AS n FROM lineitem"
+            " JOIN orders ON l_orderkey = o_orderkey"
+            " JOIN customer ON o_custkey = c_custkey"
+            " JOIN nation ON c_nationkey = n_nationkey"
+            " JOIN region ON n_regionkey = r_regionkey"
+            " GROUP BY c_mktsegment ORDER BY c_mktsegment",
+            "order_revenue_star",
+        ),
+        # order-date time grain over the full chain: o_orderdate is
+        # stored per order in the denorm at full resolution
+        (
+            "SELECT date_trunc('month', o_orderdate) AS om, count(*) AS n"
+            " FROM lineitem"
+            " JOIN orders ON l_orderkey = o_orderkey"
+            " JOIN customer ON o_custkey = c_custkey"
+            " JOIN nation ON c_nationkey = n_nationkey"
+            " JOIN region ON n_regionkey = r_regionkey"
+            " GROUP BY om ORDER BY om",
+            "order_revenue_star",
+        ),
+        # DISTINCT over a chain-4 dimension attribute
+        (
+            "SELECT DISTINCT r_name FROM lineitem"
+            " JOIN orders ON l_orderkey = o_orderkey"
+            " JOIN customer ON o_custkey = c_custkey"
+            " JOIN nation ON c_nationkey = n_nationkey"
+            " JOIN region ON n_regionkey = r_regionkey"
+            " ORDER BY r_name",
+            "order_revenue_star",
+        ),
+        # PREFIX chain (lineitem⋈orders only): no projection stores
+        # chain 1, so the generalized raw plan answers it
+        (
+            "SELECT o_orderstatus, count(*) AS n FROM lineitem"
+            " JOIN orders ON l_orderkey = o_orderkey"
+            " GROUP BY o_orderstatus ORDER BY o_orderstatus",
+            "raw",
+        ),
+        # mixed local+star grouping: partial key (order, locals) below
+        # the join, re-aggregated above — no projection stores both
+        (
+            "SELECT l_returnflag, r_name, count(*) AS n FROM lineitem"
+            " JOIN orders ON l_orderkey = o_orderkey"
+            " JOIN customer ON o_custkey = c_custkey"
+            " JOIN nation ON c_nationkey = n_nationkey"
+            " JOIN region ON n_regionkey = r_regionkey"
+            " GROUP BY l_returnflag, r_name ORDER BY l_returnflag, r_name",
+            "raw",
         ),
     ],
 )
