@@ -462,6 +462,64 @@ def refresh_pricing_cube(
     return new_path
 
 
+def refresh_star_date_cube(
+    spark: SparkSession, sf_dir: str, delta_lineitem: DataFrame
+) -> str:
+    """Incrementally maintain the star-by-date cube for one ingested
+    lineitem batch: pre-aggregate the DELTA per (order, shipdate),
+    resolve region/nation through the stored denorm (the denorm is
+    bucketed on the order key, so only the small delta side shuffles),
+    cube the result, and merge additively into the stored cube —
+    full-outer on the 3-part group key, both measures (int64 revenue
+    sum, count) commutative monoids, so delta-merge == rebuild
+    bit-for-bit. New VERSION published via the memo swing, same atomic
+    pattern as the other projections.
+
+    ORDERING: a batch that also introduces new ORDERS must refresh the
+    denorm first (:func:`refresh_orders_denorm`) — the cube delta joins
+    the denorm INNER, exactly like the deploy build, so a lineitem
+    whose order is missing from the denorm is dropped from the cube on
+    both the refresh and the rebuild path (consistent, but only the
+    ingest order above gives the intended result). Cost is
+    O(|delta| + |cube|); the cube is ~60k rows at ANY corpus scale."""
+    tag, wh = _layout_paths(sf_dir)
+    stored_path = star_date_cube_table(spark, sf_dir)
+    _, den_name = order_revenue_projection(spark, sf_dir)
+    keys = ["r_name", "n_name", "l_shipdate"]
+    pre = (
+        _lineitem_with_derived(delta_lineitem)
+        .groupBy("l_orderkey", "l_shipdate")
+        .agg(F.sum("l_rev_i").alias("rev_i"), F.count(F.lit(1)).alias("cnt"))
+    )
+    den = spark.table(den_name).select("o_orderkey", "r_name", "n_name")
+    delta_cube = (
+        pre.join(den, pre.l_orderkey == den.o_orderkey)
+        .groupBy(*keys)
+        .agg(F.sum("rev_i").alias("rev_i"), F.sum("cnt").alias("cnt"))
+    )
+    s = spark.read.parquet(stored_path).alias("s")
+    d = delta_cube.alias("d")
+    cond = [F.col(f"s.{k}").eqNullSafe(F.col(f"d.{k}")) for k in keys]
+    merged = s.join(d, cond, "full_outer").select(
+        *[F.coalesce(F.col(f"s.{k}"), F.col(f"d.{k}")).alias(k) for k in keys],
+        *[
+            (
+                F.coalesce(F.col(f"s.{m}"), F.lit(0))
+                + F.coalesce(F.col(f"d.{m}"), F.lit(0))
+            ).alias(m)
+            for m in ("rev_i", "cnt")
+        ],
+    )
+    versions: dict = spark.__dict__.setdefault("_bdp_projection_versions", {})
+    v = versions.get(stored_path, 0) + 1
+    versions[stored_path] = v
+    new_path = f"{stored_path}_v{v}"
+    merged.write.mode("overwrite").parquet(new_path)
+    memo: dict = spark.__dict__.setdefault("_bdp_projection_memo", {})
+    memo[("star_date_cube", sf_dir)] = new_path
+    return new_path
+
+
 # Same result contract as q26_star_join_revenue (operators/joins.py) —
 # bucketing is a physical property, the answer is bit-identical.
 _BUCKETED_STAR_ORACLE = """

@@ -251,6 +251,54 @@ def test_incremental_denorm_refresh_equals_rebuild(spark, sf_dir):
         spark.__dict__["_bdp_projection_memo"][("order_revenue", sf_dir)] = base
 
 
+def test_incremental_star_date_cube_refresh_equals_rebuild(spark, sf_dir):
+    """Delta-merge maintenance of the star-by-date cube must equal a
+    from-scratch rebuild bit-for-bit. Delta rows reuse existing
+    (region, nation, shipdate) groups AND introduce brand-new
+    shipdates, exercising both merge arms; the routed r85-family query
+    still answers from the refreshed version."""
+    from pyspark.sql import functions as F
+
+    from bigdataproj_spark.catalog import table
+    from bigdataproj_spark.registry import load_all
+    from bigdataproj_spark.sources.bucketed import (
+        _lineitem_with_derived,
+        order_revenue_projection,
+        refresh_star_date_cube,
+        star_date_cube_table,
+    )
+
+    base = star_date_cube_table(spark, sf_dir)
+    li = table(spark, sf_dir, "lineitem")
+    delta = li.orderBy("l_orderkey", "l_linenumber").limit(100)
+    delta = delta.withColumn(
+        "l_shipdate",
+        F.when(
+            F.col("l_linenumber") % 2 == 0, F.col("l_shipdate")
+        ).otherwise(F.col("l_shipdate") + F.expr("INTERVAL 5000 DAYS")),
+    )
+    keys = ["r_name", "n_name", "l_shipdate"]
+    try:
+        new_path = refresh_star_date_cube(spark, sf_dir, delta)
+        # from-scratch rebuild over base+delta through the same denorm
+        _, den_name = order_revenue_projection(spark, sf_dir)
+        den = spark.table(den_name).select("o_orderkey", "r_name", "n_name")
+        both = _lineitem_with_derived(li.unionByName(delta))
+        expected = (
+            both.join(den, both.l_orderkey == den.o_orderkey)
+            .groupBy(*keys)
+            .agg(F.sum("l_rev_i").alias("rev_i"), F.count(F.lit(1)).alias("cnt"))
+            .orderBy(*keys)
+            .toPandas()
+        )
+        got = spark.read.parquet(new_path).orderBy(*keys).toPandas()
+        assert got.equals(expected[got.columns.tolist()])
+        assert star_date_cube_table(spark, sf_dir) == new_path
+        load_all()["r85_routed_star_date"].build(spark, sf_dir)
+    finally:
+        spark.__dict__["_bdp_projection_memo"][("star_date_cube", sf_dir)] = base
+
+
 def test_stream_ingest_maintains_pricing_cube(spark, sf_dir, tmp_path):
     """The full maintenance loop under streaming ingest: lineitem
     arrives as micro-batches through a real readStream, each batch
