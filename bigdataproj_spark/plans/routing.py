@@ -333,9 +333,10 @@ class Projection:
     its COUNT(*) column, and how to open it. ``requires`` (optional)
     narrows the projection's target query family: it volunteers only
     when at least one of those attributes appears in the query's
-    grouping or filters — e.g. the star-date cube targets DATED star
-    queries, leaving the undated star shape to the rollup pair whose
-    plan is the measured canonical answer for it."""
+    grouping or filters. (Catalog ORDER is the other steering tool:
+    earlier projections claim first, so the rollup pair keeps the
+    undated pure-star shapes it measures best on even though the star
+    cube could also answer them.)"""
 
     name: str
     attrs: frozenset[str]
@@ -493,17 +494,36 @@ PROJECTIONS: tuple[Projection, ...] = (
         open=_open_order_revenue_star,
         chain=4,
     ),
-    # Time-sliced star queries: ~60k rows (|regions| x |nations| x
-    # |days|) at ANY corpus scale. Volunteers only when the query
-    # actually involves the date attribute — the undated star shape
-    # keeps the rollup pair's measured plan.
+    # The star cube: every pricing measure (sums, counts, min/max
+    # partials) keyed by (region, nation, returnflag, linestatus,
+    # shipdate) — ~375k rows at ANY corpus scale. It answers the
+    # time-sliced star family, MIXED fact+dimension groupings, and
+    # star min/max/avg shapes the revenue-only rollup pair refuses.
+    # Listed AFTER the pair, so undated pure-star queries keep the
+    # pair's measured exchange-free plan; the cube claims only what
+    # the pair cannot.
     Projection(
         name="star_date_cube",
-        attrs=frozenset({"r_name", "n_name", "l_shipdate"}),
-        measures={"revenue": _StoredMeasure("rev_i", None)},
+        attrs=frozenset(
+            {"r_name", "n_name", "l_returnflag", "l_linestatus", "l_shipdate"}
+        ),
+        measures={
+            "quantity": _StoredMeasure(
+                "qty_i", "cnt_qty", "min_qty_i", "max_qty_i"
+            ),
+            "base_price": _StoredMeasure(
+                "price_i", "cnt_price", "min_price_i", "max_price_i"
+            ),
+            "discount": _StoredMeasure(
+                "disc_i", "cnt_disc", "min_disc_i", "max_disc_i"
+            ),
+            "revenue": _StoredMeasure("rev_i", None, "min_rev_i", "max_rev_i"),
+            "charge": _StoredMeasure(
+                "charge_i", None, "min_charge_i", "max_charge_i"
+            ),
+        },
         count_star_col="cnt",
         open=_open_star_date_cube,
-        requires=frozenset({"l_shipdate"}),
         chain=4,
     ),
 )
@@ -558,6 +578,71 @@ def _dim_arm(
         r = table(spark, sf_dir, "region")
         dims = dims.join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
     return dims.select("o_orderkey", *attrs)
+
+
+def _final_agg_exprs(
+    q: AggQuery,
+    src_int: dict[str, str],
+    src_cnt: dict[str, str],
+    cnt_star: str | None,
+    src_min: dict[str, str] | None = None,
+    src_max: dict[str, str] | None = None,
+) -> list[Column]:
+    """The output aggregate expressions of ``q``, computed from int64
+    fixed-point inputs. ``src_int``/``src_cnt`` name the column each
+    measure's sum/count reads; ``cnt_star`` names a partial-count
+    column when the input rows are themselves partial aggregates (the
+    star path), else counts are row-level. ``src_min``/``src_max``:
+    where each measure's MIN/MAX input lives — the fused int column on
+    the row-level paths, the per-order partial-min/max column on the
+    partial-agg star path (MIN/MAX commute with the partial)."""
+    src_min = src_min if src_min is not None else src_int
+    src_max = src_max if src_max is not None else src_int
+    exprs = []
+    for a in q.aggs:
+        # Partial-count re-aggregation (the cnt_star branch) must
+        # coalesce to 0 for empty-input GLOBAL aggregates — SQL
+        # COUNT is 0 there, but SUM of no partials is NULL (same
+        # edge as Projection.build; F.count already returns 0).
+        if a.fn == "count_star":
+            exprs.append(
+                (
+                    F.coalesce(F.sum(cnt_star), F.lit(0).cast("long"))
+                    if cnt_star
+                    else F.count(F.lit(1))
+                ).alias(a.alias)
+            )
+            continue
+        m = MEASURES[a.measure]  # type: ignore[index]
+        s = isum_expr(F.col(src_int[a.measure]), m.divisor)
+        if a.fn == "sum":
+            exprs.append(s.alias(a.alias))
+        elif a.fn == "min":
+            exprs.append(
+                imin_expr(F.col(src_min[a.measure]), m.divisor).alias(a.alias)
+            )
+        elif a.fn == "max":
+            exprs.append(
+                imax_expr(F.col(src_max[a.measure]), m.divisor).alias(a.alias)
+            )
+        elif a.fn == "count":
+            exprs.append(
+                (
+                    F.coalesce(F.sum(src_cnt[a.measure]), F.lit(0).cast("long"))
+                    if cnt_star
+                    else F.count(src_cnt[a.measure])
+                ).alias(a.alias)
+            )
+        elif a.fn == "avg":
+            c = (
+                F.sum(src_cnt[a.measure])
+                if cnt_star
+                else F.count(src_cnt[a.measure])
+            )
+            exprs.append((s / c).alias(a.alias))
+        else:
+            raise ValueError(f"unsupported aggregate fn {a.fn!r}")
+    return exprs
 
 
 def _raw_plan(spark: SparkSession, sf_dir: str, q: AggQuery) -> DataFrame:
@@ -631,69 +716,12 @@ def _raw_plan(spark: SparkSession, sf_dir: str, q: AggQuery) -> DataFrame:
         *keep, *[MEASURES[m].raw_int().alias(int_cols[m]) for m in needed]
     )
 
-    def final_aggs(
-        src_int: dict[str, str],
-        src_cnt: dict[str, str],
-        cnt_star: str | None,
-        src_min: dict[str, str] | None = None,
-        src_max: dict[str, str] | None = None,
-    ):
-        # src_min/src_max: where each measure's MIN/MAX input lives —
-        # the fused int column on the single-shuffle path, the
-        # per-order partial-min/max column on the star path (MIN/MAX
-        # commute with the per-order partial aggregation).
-        src_min = src_min if src_min is not None else src_int
-        src_max = src_max if src_max is not None else src_int
-        exprs = []
-        for a in q.aggs:
-            # Partial-count re-aggregation (the cnt_star branch) must
-            # coalesce to 0 for empty-input GLOBAL aggregates — SQL
-            # COUNT is 0 there, but SUM of no partials is NULL (same
-            # edge as Projection.build; F.count already returns 0).
-            if a.fn == "count_star":
-                exprs.append(
-                    (
-                        F.coalesce(F.sum(cnt_star), F.lit(0).cast("long"))
-                        if cnt_star
-                        else F.count(F.lit(1))
-                    ).alias(a.alias)
-                )
-                continue
-            m = MEASURES[a.measure]  # type: ignore[index]
-            s = isum_expr(F.col(src_int[a.measure]), m.divisor)
-            if a.fn == "sum":
-                exprs.append(s.alias(a.alias))
-            elif a.fn == "min":
-                exprs.append(
-                    imin_expr(F.col(src_min[a.measure]), m.divisor).alias(a.alias)
-                )
-            elif a.fn == "max":
-                exprs.append(
-                    imax_expr(F.col(src_max[a.measure]), m.divisor).alias(a.alias)
-                )
-            elif a.fn == "count":
-                exprs.append(
-                    (
-                        F.coalesce(F.sum(src_cnt[a.measure]), F.lit(0).cast("long"))
-                        if cnt_star
-                        else F.count(src_cnt[a.measure])
-                    ).alias(a.alias)
-                )
-            elif a.fn == "avg":
-                c = (
-                    F.sum(src_cnt[a.measure])
-                    if cnt_star
-                    else F.count(src_cnt[a.measure])
-                )
-                exprs.append((s / c).alias(a.alias))
-            else:
-                raise ValueError(f"unsupported aggregate fn {a.fn!r}")
-        return exprs
-
     if chain == 0:
         # q01 shape: scan → fused projection → one-shuffle aggregate.
         out = pre.groupBy(*q.group_by).agg(
-            *final_aggs(int_cols, {m: c for m, c in cnt_cols.items() if c}, None)
+            *_final_agg_exprs(
+                q, int_cols, {m: c for m, c in cnt_cols.items() if c}, None
+            )
         )
         return out.orderBy(*q.group_by) if q.group_by else out
 
@@ -717,12 +745,114 @@ def _raw_plan(spark: SparkSession, sf_dir: str, q: AggQuery) -> DataFrame:
         joined = joined.filter(p.column())
     joined = apply_truncs(joined, q, star_trunc_sources)
     out = joined.groupBy(*q.group_by).agg(
-        *final_aggs(
+        *_final_agg_exprs(
+            q,
             int_cols,
             {m: f"__cnt_{m}" for m in cnt_cols},
             "__cnt_star",
             {m: f"__min_{m}" for m in min_ms},
             {m: f"__max_{m}" for m in max_ms},
+        )
+    )
+    return out.orderBy(*q.group_by) if q.group_by else out
+
+
+# Stored fixed-point columns of the bucketed fact layout, one per
+# routable measure (written by _lineitem_with_derived with the same
+# arithmetic as MEASURES[*].raw_int() — the derived-column contract
+# q46/q39 already rely on).
+_SPINE_INT_COLS = {
+    "quantity": "l_qty_i",
+    "base_price": "l_price_i",
+    "discount": "l_disc_i",
+    "revenue": "l_rev_i",
+    "charge": "l_charge_i",
+}
+
+
+def _spine_plan(spark: SparkSession, sf_dir: str, q: AggQuery) -> DataFrame | None:
+    """Lower a FULL-chain query onto the bucketed at-rest spine, or
+    return None when the shape doesn't qualify.
+
+    The bucketed lineitem and the dimension-denormalized orders table
+    share bucketing on the order key, so the row-level fact⋈denorm
+    join runs with ZERO exchanges — and a grouped aggregate above it
+    ships only |groups| rows through its one final exchange. That
+    beats the generic partial-agg-below-join raw plan precisely when
+    the partial key (order, local attrs) barely shrinks the fact
+    (mixed fact+dimension groupings: measured 1.3 s vs 5.1 s at sf5,
+    docs/BENCHMARKS.md round 6). Applicability is exact, not
+    heuristic: the denorm was built with the INNER 4-table chain, so
+    it answers chain-4 queries only (same orphan-dropping semantics),
+    and only when every dimension attribute used is stored on it."""
+    if effective_chain(q) != 4:
+        return None
+    local_filters, star_filters = _split_filters(q)
+    sources = q.group_sources()
+    star_trunc_sources = frozenset(
+        {col for _a, _u, col in q.truncs if col not in LINEITEM_COLS}
+    )
+    star_group = [g for g in q.group_by if sources[g] in DIM_ATTRS]
+    local_group = [g for g in q.group_by if sources[g] not in DIM_ATTRS]
+    dim_attrs = sorted(
+        {sources[g] for g in star_group}
+        | set(star_trunc_sources)
+        | {c for f in star_filters for c in f.cols()}
+    )
+    from ..sources.bucketed import (
+        DENORM_ATTRS,
+        bucketed_fact_tables,
+        order_revenue_projection,
+    )
+
+    if not set(dim_attrs) <= set(DENORM_ATTRS):
+        return None
+    for g in local_group:
+        if sources[g] not in LINEITEM_COLS and g not in {a for a, _u, _c in q.truncs}:
+            raise ValueError(f"unknown grouping attribute {g!r}")
+
+    li_name, _ = bucketed_fact_tables(spark, sf_dir)
+    _, den_name = order_revenue_projection(spark, sf_dir)
+    li = spark.table(li_name)
+    for p in local_filters:
+        li = li.filter(p.column())
+    li = apply_truncs(li, q, LINEITEM_COLS)
+    den = spark.table(den_name).select("o_orderkey", *dim_attrs)
+
+    if not q.aggs:
+        # DISTINCT shape: pre-distinct by (order, local keys) is
+        # exchange-free too (bucket partitioning on the order key
+        # already clusters the finer key).
+        pre = li.select(*dict.fromkeys(local_group + ["l_orderkey"])).distinct()
+        j = pre.join(den.hint("shuffle_hash"), pre.l_orderkey == den.o_orderkey)
+        for p in star_filters:
+            j = j.filter(p.column())
+        j = apply_truncs(j, q, star_trunc_sources)
+        return j.select(*q.group_by).distinct().orderBy(*q.group_by)
+
+    needed = sorted({a.measure for a in q.aggs if a.measure})
+    int_cols = {m: _SPINE_INT_COLS[m] for m in needed}
+    cnt_cols = {
+        m: MEASURES[m].source_col
+        for m in needed
+        if any(a.fn in ("count", "avg") and a.measure == m for a in q.aggs)
+    }
+    keep = list(
+        dict.fromkeys(
+            local_group
+            + ["l_orderkey"]
+            + sorted(c for c in cnt_cols.values() if c)
+            + [int_cols[m] for m in needed]
+        )
+    )
+    pre = li.select(*keep)
+    j = pre.join(den.hint("shuffle_hash"), pre.l_orderkey == den.o_orderkey)
+    for p in star_filters:
+        j = j.filter(p.column())
+    j = apply_truncs(j, q, star_trunc_sources)
+    out = j.groupBy(*q.group_by).agg(
+        *_final_agg_exprs(
+            q, int_cols, {m: c for m, c in cnt_cols.items() if c}, None
         )
     )
     return out.orderBy(*q.group_by) if q.group_by else out
@@ -744,6 +874,9 @@ def route(
     for proj in PROJECTIONS:
         if proj.subsumes(q):
             return proj.build(spark, sf_dir, q), proj.name
+    spine = _spine_plan(spark, sf_dir, q)
+    if spine is not None:
+        return spine, "bucketed_spine"
     return _raw_plan(spark, sf_dir, q), "raw"
 
 

@@ -737,7 +737,10 @@ def route_sql(
     else:
         try:
             df, chosen = route(spark, sf_dir, parsed.spec)
-        except ValueError as e:  # e.g. mixed local+star grouping, raw path
+        except ValueError as e:
+            # shapes the spec language parses but no plan expresses:
+            # a predicate mixing lineitem and dimension columns, an
+            # unknown grouping attribute, a contradictory chain depth
             raise UnsupportedSQL(str(e)) from e
     df = df.select(*parsed.columns)
     for p in parsed.having:
@@ -912,12 +915,44 @@ ORDER BY l_returnflag, r_name
 
 @query("r92_sql_mixed_star_group", oracle=_SQL_MIXED_STAR, tags=("S13", "E1", "J1", "A1"))
 def r92_sql_mixed_star_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mixed fact+dimension grouping through the front door: no
-    projection stores both attribute kinds, so the router's raw plan
-    partial-aggregates the fact BELOW the join keyed by (order key,
-    l_returnflag) — every measure partial is a commutative monoid, so
-    re-aggregating above the join is exact — and only slim per-order
-    rows cross the shuffle, at any corpus scale."""
+    """Mixed fact+dimension grouping through the front door: the
+    rollup pair stores no lineitem attributes, but the widened star
+    cube keys (region, nation, returnflag, linestatus, shipdate) —
+    ~375k rows at any corpus scale — so revenue by returnflag x region
+    folds onto stored partials instead of scanning the fact table."""
     df, chosen = route_sql(spark, sf_dir, _SQL_MIXED_STAR)
-    assert chosen == "raw", chosen
+    assert chosen == "star_date_cube", chosen
+    return df
+
+
+_SQL_SPINE_SEGMENT = f"""
+SELECT
+  c_mktsegment,
+  l_returnflag,
+  {SUM_SQL['revenue']} AS rev,
+  {MIN_SQL['quantity']} AS min_qty,
+  COUNT(*) AS n
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY c_mktsegment, l_returnflag
+ORDER BY c_mktsegment, l_returnflag
+"""
+
+
+@query("r93_sql_spine_group", oracle=_SQL_SPINE_SEGMENT, tags=("S13", "E1", "J1", "A1"))
+def r93_sql_spine_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucketed-spine fallback through the front door: grouping a
+    PER-ORDER dimension attribute (c_mktsegment) with a lineitem
+    attribute fits no aggregate projection — cubing per-order
+    attributes against days would grow toward the order count — so the
+    router lowers onto the at-rest spine: bucketed lineitem ⋈ bucketed
+    denorm share the order-key bucketing, the row-level join runs with
+    ZERO exchanges, and only |groups| rows cross the one final
+    exchange. Measured 1.3 s vs 5.1 s for the partial-agg-below-join
+    raw plan at sf5 (docs/BENCHMARKS.md round 6)."""
+    df, chosen = route_sql(spark, sf_dir, _SQL_SPINE_SEGMENT)
+    assert chosen == "bucketed_spine", chosen
     return df

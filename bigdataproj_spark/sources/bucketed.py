@@ -371,19 +371,31 @@ def _pricing_cube_aggs() -> list:
     return aggs
 
 
-def star_date_cube_table(spark: SparkSession, sf_dir: str) -> str:
-    """Deploy the star-by-date aggregate projection (memoized): the
-    lineitem revenue sums cubed by (region, nation, shipdate).
+# The star cube's group keys: the full lineitem pricing key set PLUS
+# the region/nation names. Row bound is |nations| x |flags| x
+# |statuses| x |days| ≈ 375k at EVERY corpus scale (nation determines
+# region) — adding per-order attributes (mktsegment, priority) would
+# multiply that toward the order count, so those shapes stay on the
+# rollup⋈denorm pair or the bucketed spine instead.
+_STAR_CUBE_KEYS = ("r_name", "n_name", "l_returnflag", "l_linestatus", "l_shipdate")
 
-    Bounded at |regions| x |nations| x |days| ≈ 60k rows at EVERY
-    corpus scale — the time-sliced twin of the order-revenue rollup,
-    covering the "revenue per region/nation over a date range" query
-    family: the date predicate lands on a cube group key so it folds
-    exactly, and the int64 sums re-aggregate associatively. Built from
-    the bucketed lineitem (derived money columns already materialized)
-    joined through the dimension-denormalized orders table, so the
-    deploy itself is the exchange-free spine join plus one bounded
-    aggregation."""
+
+def star_date_cube_table(spark: SparkSession, sf_dir: str) -> str:
+    """Deploy the star aggregate projection (memoized): ALL pricing
+    measures (int64 sums, non-null counts, min/max partials — the
+    same stored-partial contract as the pricing cube) cubed by
+    (region, nation, returnflag, linestatus, shipdate).
+
+    Bounded at ~375k rows at EVERY corpus scale — it answers the
+    time-sliced star family ("revenue per region/nation over a date
+    range"), MIXED fact+dimension groupings (revenue by returnflag x
+    region), and star min/max/avg shapes the rollup pair's
+    revenue-only storage cannot. A date or group-key predicate lands
+    on a cube key so it folds exactly, and every partial re-aggregates
+    associatively. Built from the bucketed lineitem (derived money
+    columns already materialized) joined through the dimension-
+    denormalized orders table, so the deploy itself is the
+    exchange-free spine join plus one bounded aggregation."""
     tag, wh = _layout_paths(sf_dir)
     cube_name = f"star_date_cube_{tag}"
     memo: dict = spark.__dict__.setdefault("_bdp_projection_memo", {})
@@ -393,19 +405,45 @@ def star_date_cube_table(spark: SparkSession, sf_dir: str) -> str:
     li_name, _ = bucketed_fact_tables(spark, sf_dir)
     _, den_name = order_revenue_projection(spark, sf_dir)
     li = spark.table(li_name)
-    den = spark.table(den_name)
+    den = spark.table(den_name).select("o_orderkey", "r_name", "n_name")
     cube = (
         li.join(den.hint("shuffle_hash"), li.l_orderkey == den.o_orderkey)
-        .groupBy("r_name", "n_name", "l_shipdate")
-        .agg(
-            F.sum("l_rev_i").alias("rev_i"),
-            F.count(F.lit(1)).alias("cnt"),
-        )
+        .groupBy(*_STAR_CUBE_KEYS)
+        .agg(*_pricing_cube_aggs())
     )
     path = os.path.join(wh, cube_name)
     cube.write.mode("overwrite").parquet(path)
     memo[key] = path
     return path
+
+
+def _merge_cube_frames(stored, delta, keys: list[str]):
+    """Additively merge a delta cube into a stored cube sharing the
+    pricing-partial column contract: full-outer on the (null-safe)
+    group key, + for sums and counts, least/greatest for the min/max
+    partials (they skip NULLs — exactly the merge identity a group
+    present on only one side needs). Every stored column is a
+    commutative monoid, so delta-merge == rebuild bit-for-bit."""
+    s, d = stored.alias("s"), delta.alias("d")
+    cond = [F.col(f"s.{k}").eqNullSafe(F.col(f"d.{k}")) for k in keys]
+    return s.join(d, cond, "full_outer").select(
+        *[F.coalesce(F.col(f"s.{k}"), F.col(f"d.{k}")).alias(k) for k in keys],
+        *[
+            (
+                F.coalesce(F.col(f"s.{m}"), F.lit(0))
+                + F.coalesce(F.col(f"d.{m}"), F.lit(0))
+            ).alias(m)
+            for m in (*_CUBE_SUM_COLS, *_CUBE_CNT_COLS)
+        ],
+        *[
+            F.least(F.col(f"s.{m}"), F.col(f"d.{m}")).alias(m)
+            for m in _CUBE_MIN_COLS
+        ],
+        *[
+            F.greatest(F.col(f"s.{m}"), F.col(f"d.{m}")).alias(m)
+            for m in _CUBE_MAX_COLS
+        ],
+    )
 
 
 def refresh_pricing_cube(
@@ -429,29 +467,7 @@ def refresh_pricing_cube(
         .groupBy(*keys)
         .agg(*_pricing_cube_aggs())
     )
-    s = spark.read.parquet(stored_path).alias("s")
-    d = delta_cube.alias("d")
-    cond = [F.col(f"s.{k}").eqNullSafe(F.col(f"d.{k}")) for k in keys]
-    merged = s.join(d, cond, "full_outer").select(
-        *[F.coalesce(F.col(f"s.{k}"), F.col(f"d.{k}")).alias(k) for k in keys],
-        *[
-            (
-                F.coalesce(F.col(f"s.{m}"), F.lit(0))
-                + F.coalesce(F.col(f"d.{m}"), F.lit(0))
-            ).alias(m)
-            for m in (*_CUBE_SUM_COLS, *_CUBE_CNT_COLS)
-        ],
-        # least/greatest skip NULLs, which is exactly the merge
-        # identity a group present on only one side needs
-        *[
-            F.least(F.col(f"s.{m}"), F.col(f"d.{m}")).alias(m)
-            for m in _CUBE_MIN_COLS
-        ],
-        *[
-            F.greatest(F.col(f"s.{m}"), F.col(f"d.{m}")).alias(m)
-            for m in _CUBE_MAX_COLS
-        ],
-    )
+    merged = _merge_cube_frames(spark.read.parquet(stored_path), delta_cube, keys)
     versions: dict = spark.__dict__.setdefault("_bdp_projection_versions", {})
     v = versions.get(stored_path, 0) + 1
     versions[stored_path] = v
@@ -481,35 +497,19 @@ def refresh_star_date_cube(
     whose order is missing from the denorm is dropped from the cube on
     both the refresh and the rebuild path (consistent, but only the
     ingest order above gives the intended result). Cost is
-    O(|delta| + |cube|); the cube is ~60k rows at ANY corpus scale."""
+    O(|delta| + |cube|); the cube is ~375k rows at ANY corpus scale."""
     tag, wh = _layout_paths(sf_dir)
     stored_path = star_date_cube_table(spark, sf_dir)
     _, den_name = order_revenue_projection(spark, sf_dir)
-    keys = ["r_name", "n_name", "l_shipdate"]
-    pre = (
-        _lineitem_with_derived(delta_lineitem)
-        .groupBy("l_orderkey", "l_shipdate")
-        .agg(F.sum("l_rev_i").alias("rev_i"), F.count(F.lit(1)).alias("cnt"))
-    )
+    keys = list(_STAR_CUBE_KEYS)
+    li = _lineitem_with_derived(delta_lineitem)
     den = spark.table(den_name).select("o_orderkey", "r_name", "n_name")
     delta_cube = (
-        pre.join(den, pre.l_orderkey == den.o_orderkey)
+        li.join(den, li.l_orderkey == den.o_orderkey)
         .groupBy(*keys)
-        .agg(F.sum("rev_i").alias("rev_i"), F.sum("cnt").alias("cnt"))
+        .agg(*_pricing_cube_aggs())
     )
-    s = spark.read.parquet(stored_path).alias("s")
-    d = delta_cube.alias("d")
-    cond = [F.col(f"s.{k}").eqNullSafe(F.col(f"d.{k}")) for k in keys]
-    merged = s.join(d, cond, "full_outer").select(
-        *[F.coalesce(F.col(f"s.{k}"), F.col(f"d.{k}")).alias(k) for k in keys],
-        *[
-            (
-                F.coalesce(F.col(f"s.{m}"), F.lit(0))
-                + F.coalesce(F.col(f"d.{m}"), F.lit(0))
-            ).alias(m)
-            for m in ("rev_i", "cnt")
-        ],
-    )
+    merged = _merge_cube_frames(spark.read.parquet(stored_path), delta_cube, keys)
     versions: dict = spark.__dict__.setdefault("_bdp_projection_versions", {})
     v = versions.get(stored_path, 0) + 1
     versions[stored_path] = v

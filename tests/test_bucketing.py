@@ -277,7 +277,12 @@ def test_incremental_star_date_cube_refresh_equals_rebuild(spark, sf_dir):
             F.col("l_linenumber") % 2 == 0, F.col("l_shipdate")
         ).otherwise(F.col("l_shipdate") + F.expr("INTERVAL 5000 DAYS")),
     )
-    keys = ["r_name", "n_name", "l_shipdate"]
+    from bigdataproj_spark.sources.bucketed import (
+        _STAR_CUBE_KEYS,
+        _pricing_cube_aggs,
+    )
+
+    keys = list(_STAR_CUBE_KEYS)
     try:
         new_path = refresh_star_date_cube(spark, sf_dir, delta)
         # from-scratch rebuild over base+delta through the same denorm
@@ -287,7 +292,7 @@ def test_incremental_star_date_cube_refresh_equals_rebuild(spark, sf_dir):
         expected = (
             both.join(den, both.l_orderkey == den.o_orderkey)
             .groupBy(*keys)
-            .agg(F.sum("l_rev_i").alias("rev_i"), F.count(F.lit(1)).alias("cnt"))
+            .agg(*_pricing_cube_aggs())
             .orderBy(*keys)
             .toPandas()
         )

@@ -129,16 +129,40 @@ def test_star_filter_routes_and_matches_raw(spark, sf_dir):
     assert routed.toPandas().equals(_raw_plan(spark, sf_dir, spec).toPandas())
 
 
-def test_mixed_local_and_star_grouping_matches_rowlevel_join(spark, sf_dir):
-    """Mixed local+star grouping folds through the generalized partial
-    key (order key + local attributes) below the join; the answer must
-    equal the naive row-level join-then-group plan, and no projection
-    may claim the shape (none stores both attribute kinds)."""
+def _naive_star_group(spark, sf_dir, group):
+    """Row-level 5-table join-then-group over the RAW tables — the
+    independent twin the routed mixed-grouping plans must equal."""
     from pyspark.sql import functions as F
 
     from bigdataproj_spark.catalog import table
     from bigdataproj_spark.functions import cents, isum_expr
 
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy(*group)
+        .agg(
+            isum_expr(
+                cents("l_extendedprice") * (100 - cents("l_discount")), 10_000
+            ).alias("rev"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy(*group)
+    )
+
+
+def test_mixed_local_and_star_grouping_routes_to_star_cube(spark, sf_dir):
+    """Mixed local+star grouping over CUBE-STORED attributes: the
+    widened star cube keys (region, nation, returnflag, linestatus,
+    shipdate), so returnflag x region folds onto ~375k stored partials;
+    the answer must equal the naive row-level join-then-group plan."""
     spec = AggQuery(
         filters=(),
         group_by=("l_returnflag", "r_name"),
@@ -148,26 +172,31 @@ def test_mixed_local_and_star_grouping_matches_rowlevel_join(spark, sf_dir):
         ),
     )
     routed, chosen = route(spark, sf_dir, spec)
-    assert chosen == "raw"
-    li = table(spark, sf_dir, "lineitem")
-    o = table(spark, sf_dir, "orders")
-    c = table(spark, sf_dir, "customer")
-    n = table(spark, sf_dir, "nation")
-    r = table(spark, sf_dir, "region")
-    naive = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(n, c.c_nationkey == n.n_nationkey)
-        .join(r, n.n_regionkey == r.r_regionkey)
-        .groupBy("l_returnflag", "r_name")
-        .agg(
-            isum_expr(
-                cents("l_extendedprice") * (100 - cents("l_discount")), 10_000
-            ).alias("rev"),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .orderBy("l_returnflag", "r_name")
+    assert chosen == "star_date_cube"
+    naive = _naive_star_group(spark, sf_dir, ("l_returnflag", "r_name"))
+    assert routed.toPandas().equals(naive.toPandas())
+
+
+def test_per_order_mixed_grouping_routes_to_spine(spark, sf_dir):
+    """Mixed grouping over a PER-ORDER attribute (c_mktsegment): no
+    cube can store (mktsegment x day) without growing toward the order
+    count, so the router lowers onto the bucketed at-rest spine — the
+    exchange-free row-level fact⋈denorm join; the answer must equal
+    the naive row-level plan over the raw tables. The spec DECLARES
+    the full chain (the denorm embodies chain-4 orphan semantics; a
+    bare c_mktsegment query implies only chain 2 and stays raw)."""
+    spec = AggQuery(
+        filters=(),
+        group_by=("c_mktsegment", "l_returnflag"),
+        aggs=(
+            AggCall("sum", "revenue", "rev"),
+            AggCall("count_star", None, "n"),
+        ),
+        chain=4,
     )
+    routed, chosen = route(spark, sf_dir, spec)
+    assert chosen == "bucketed_spine"
+    naive = _naive_star_group(spark, sf_dir, ("c_mktsegment", "l_returnflag"))
     assert routed.toPandas().equals(naive.toPandas())
 
 

@@ -323,8 +323,8 @@ def test_routed_sql_matches_duckdb(spark, sf_dir, oracle, sql, want_chosen):
             " GROUP BY o_orderstatus ORDER BY o_orderstatus",
             "raw",
         ),
-        # mixed local+star grouping: partial key (order, locals) below
-        # the join, re-aggregated above — no projection stores both
+        # mixed local+star grouping: the widened star cube stores both
+        # attribute kinds (returnflag/linestatus x region/nation x day)
         (
             "SELECT l_returnflag, r_name, count(*) AS n FROM lineitem"
             " JOIN orders ON l_orderkey = o_orderkey"
@@ -332,7 +332,20 @@ def test_routed_sql_matches_duckdb(spark, sf_dir, oracle, sql, want_chosen):
             " JOIN nation ON c_nationkey = n_nationkey"
             " JOIN region ON n_regionkey = r_regionkey"
             " GROUP BY l_returnflag, r_name ORDER BY l_returnflag, r_name",
-            "raw",
+            "star_date_cube",
+        ),
+        # mixed grouping over a PER-ORDER attribute: no cube can store
+        # (mktsegment x day) without growing toward the order count, so
+        # the router lowers onto the zero-exchange bucketed spine
+        (
+            "SELECT c_mktsegment, l_linestatus, count(*) AS n FROM lineitem"
+            " JOIN orders ON l_orderkey = o_orderkey"
+            " JOIN customer ON o_custkey = c_custkey"
+            " JOIN nation ON c_nationkey = n_nationkey"
+            " JOIN region ON n_regionkey = r_regionkey"
+            " GROUP BY c_mktsegment, l_linestatus"
+            " ORDER BY c_mktsegment, l_linestatus",
+            "bucketed_spine",
         ),
     ],
 )
