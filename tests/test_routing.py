@@ -200,6 +200,34 @@ def test_per_order_mixed_grouping_routes_to_spine(spark, sf_dir):
     assert routed.toPandas().equals(naive.toPandas())
 
 
+def test_spine_plan_is_exchange_free_before_final_agg(spark, sf_dir):
+    """The spine's load-bearing property, plan-asserted: the bucketed
+    fact⋈denorm row-level join introduces NO exchange — the only
+    exchanges in the whole plan are the final |groups|-row aggregate
+    and the output sort. At fixture scale the denorm would broadcast
+    (bypassing the claim), so broadcast is disabled for the assert."""
+    spec = AggQuery(
+        filters=(),
+        group_by=("c_mktsegment", "l_returnflag"),
+        aggs=(AggCall("sum", "revenue", "rev"),),
+        chain=4,
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        routed, chosen = route(spark, sf_dir, spec)
+        assert chosen == "bucketed_spine"
+        plan = plan_of(routed)
+        # the join itself: bucketed scans on both sides, no exchange
+        # below it — every Exchange in the plan partitions on OUTPUT
+        # group keys (the final agg / sort), never on the join key
+        assert "Bucketed: true" in plan, plan
+        assert "hashpartitioning(l_orderkey" not in plan, plan
+        assert "hashpartitioning(o_orderkey" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_scan_routing_picks_zorder_layout(spark, sf_dir):
     """A range query on the curve keys with covered columns must scan
     the Z-ordered layout (plan reads the layout path, not the raw
