@@ -913,7 +913,7 @@ ORDER BY l_returnflag, r_name
 """
 
 
-@query("r92_sql_mixed_star_group", oracle=_SQL_MIXED_STAR, tags=("S13", "E1", "J1", "A1"))
+@query("r92_sql_mixed_star_group", oracle=_SQL_MIXED_STAR, tags=("bench", "S13", "E1", "J1", "A1"))
 def r92_sql_mixed_star_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixed fact+dimension grouping through the front door: the
     rollup pair stores no lineitem attributes, but the widened star
@@ -942,7 +942,7 @@ ORDER BY c_mktsegment, l_returnflag
 """
 
 
-@query("r93_sql_spine_group", oracle=_SQL_SPINE_SEGMENT, tags=("S13", "E1", "J1", "A1"))
+@query("r93_sql_spine_group", oracle=_SQL_SPINE_SEGMENT, tags=("bench", "S13", "E1", "J1", "A1"))
 def r93_sql_spine_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The bucketed-spine fallback through the front door: grouping a
     PER-ORDER dimension attribute (c_mktsegment) with a lineitem
