@@ -334,11 +334,18 @@ def test_stream_ingest_maintains_pricing_cube(spark, sf_dir, tmp_path):
 
     base_dir = tmp_path / "basecorpus"
     base.write.parquet(str(base_dir / "lineitem.parquet"))
-    # the layout deploy also buckets orders; give both corpus dirs one
-    orders = table(spark, sf_dir, "orders")
-    orders.write.parquet(str(base_dir / "orders.parquet"))
+    # the layout deploy also buckets orders and denormalizes the full
+    # dimension arm; give both corpus dirs the whole chain
+    for t in ("orders", "customer", "nation", "region"):
+        table(spark, sf_dir, t).write.parquet(str(base_dir / f"{t}.parquet"))
     sf_base = str(base_dir)
     pricing_cube_table(spark, sf_base)  # deploy over the base corpus
+    from bigdataproj_spark.sources.bucketed import (
+        refresh_star_date_cube,
+        star_date_cube_table,
+    )
+
+    star_date_cube_table(spark, sf_base)  # star cube deploys over the base too
 
     stream = (
         spark.readStream.schema(li.schema)
@@ -348,7 +355,10 @@ def test_stream_ingest_maintains_pricing_cube(spark, sf_dir, tmp_path):
 
     def refresh(batch_df, batch_id):
         if batch_df.count():
+            # both projections maintain from the same micro-batch (no
+            # new ORDERS stream in, so the denorm needs no refresh)
             refresh_pricing_cube(spark, sf_base, batch_df)
+            refresh_star_date_cube(spark, sf_base, batch_df)
 
     q = (
         stream.writeStream.foreachBatch(refresh)
@@ -366,13 +376,31 @@ def test_stream_ingest_maintains_pricing_cube(spark, sf_dir, tmp_path):
     )
     full_dir = tmp_path / "fullcorpus"
     li.write.parquet(str(full_dir / "lineitem.parquet"))
-    orders.write.parquet(str(full_dir / "orders.parquet"))
+    for t in ("orders", "customer", "nation", "region"):
+        table(spark, sf_dir, t).write.parquet(str(full_dir / f"{t}.parquet"))
     want = (
         spark.read.parquet(pricing_cube_table(spark, str(full_dir)))
         .orderBy(*keys)
         .toPandas()
     )
     assert got.equals(want[got.columns.tolist()])
+
+    # the star cube maintained through the same micro-batches equals
+    # the one-shot cube of the full corpus too
+    from bigdataproj_spark.sources.bucketed import _STAR_CUBE_KEYS
+
+    skeys = list(_STAR_CUBE_KEYS)
+    star_got = (
+        spark.read.parquet(star_date_cube_table(spark, sf_base))
+        .orderBy(*skeys)
+        .toPandas()
+    )
+    star_want = (
+        spark.read.parquet(star_date_cube_table(spark, str(full_dir)))
+        .orderBy(*skeys)
+        .toPandas()
+    )
+    assert star_got.equals(star_want[star_got.columns.tolist()])
 
     # …and the SQL front door serves the freshly-maintained cube: SQL
     # text routed over the streamed-in corpus equals DuckDB computing
@@ -397,4 +425,29 @@ def test_stream_ingest_maintains_pricing_cube(spark, sf_dir, tmp_path):
     )
     compare_frames(
         routed.toPandas(), con.execute(sql).fetchdf(), "streamed-then-routed"
+    )
+
+    # …and a MIXED fact+dimension grouping routes onto the freshly
+    # maintained star cube (the layered router's new claim), matching
+    # DuckDB running the full 5-table join on the raw full corpus.
+    mixed_sql = (
+        f"SELECT l_returnflag, r_name, {SUM_SQL['revenue']} AS rev,"
+        " COUNT(*) AS n FROM lineitem"
+        " JOIN orders ON l_orderkey = o_orderkey"
+        " JOIN customer ON o_custkey = c_custkey"
+        " JOIN nation ON c_nationkey = n_nationkey"
+        " JOIN region ON n_regionkey = r_regionkey"
+        " GROUP BY l_returnflag, r_name ORDER BY l_returnflag, r_name"
+    )
+    routed2, chosen2 = route_sql(spark, sf_base, mixed_sql)
+    assert chosen2 == "star_date_cube"
+    for t in ("orders", "customer", "nation", "region"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{full_dir}/{t}.parquet/*.parquet')"
+        )
+    compare_frames(
+        routed2.toPandas(),
+        con.execute(mixed_sql).fetchdf(),
+        "streamed-then-routed-star",
     )
