@@ -169,6 +169,28 @@ def test_lookalike_measure_does_not_match():
         " FROM lineitem",
         "INSERT INTO lineitem VALUES (1)",
         "definitely not sql",
+        # adversarial boundary probes: each must REFUSE (falling back
+        # to spark.sql in Engine.sql), never mis-lower
+        "SELECT l_quantity + 1 AS q1, COUNT(*) AS n FROM lineitem"
+        " GROUP BY q1",  # expression grouping
+        "SELECT l_returnflag, SUM(l_quantity) * 2 AS s2 FROM lineitem"
+        " GROUP BY l_returnflag",  # arithmetic over an aggregate
+        "SELECT l_returnflag, COUNT(*) AS n FROM lineitem"
+        " WHERE l_quantity * 2 > 50 GROUP BY l_returnflag",  # expr filter
+        "SELECT l_returnflag, COUNT(*) AS n FROM lineitem"
+        " WHERE l_shipdate IS NULL GROUP BY l_returnflag",  # IS NULL
+        # self-join: the table SET check must reject it
+        "SELECT a.l_returnflag, COUNT(*) AS n FROM lineitem a"
+        " JOIN lineitem b ON a.l_orderkey = b.l_orderkey"
+        " GROUP BY a.l_returnflag",
+        # outer chain join: orphan semantics differ from INNER
+        "SELECT o_orderstatus, COUNT(*) AS n FROM lineitem"
+        " LEFT JOIN orders ON l_orderkey = o_orderkey"
+        " GROUP BY o_orderstatus",
+        # IN subquery
+        "SELECT l_returnflag, COUNT(*) AS n FROM lineitem WHERE"
+        " l_orderkey IN (SELECT o_orderkey FROM orders)"
+        " GROUP BY l_returnflag",
     ],
 )
 def test_unsupported_family_raises(bad):
@@ -469,3 +491,46 @@ def test_engine_sql_falls_back_outside_family(spark, sf_dir, oracle):
         parse_sql(sql)
     got = Engine(spark, sf_dir).sql(sql).toPandas()
     compare_frames(got, oracle.execute(sql).fetchdf(), "fallback")
+
+
+@pytest.mark.parametrize(
+    "sql,want_chosen",
+    [
+        # table alias + qualified column references: matching is on
+        # unqualified names, qualification must not break routing
+        (
+            "SELECT li.l_returnflag, COUNT(*) AS n FROM lineitem li"
+            " GROUP BY li.l_returnflag ORDER BY li.l_returnflag",
+            "pricing_cube",
+        ),
+        # flipped join-condition order: the edge SET comparison is
+        # orientation-free
+        (
+            "SELECT o_orderstatus, COUNT(*) AS n FROM lineitem"
+            " JOIN orders ON o_orderkey = l_orderkey"
+            " GROUP BY o_orderstatus ORDER BY o_orderstatus",
+            "raw",
+        ),
+        # reversed BETWEEN bounds: an empty fold must produce the
+        # empty result, not an error
+        (
+            "SELECT l_returnflag, COUNT(*) AS n FROM lineitem"
+            " WHERE l_quantity BETWEEN 30 AND 10"
+            " GROUP BY l_returnflag ORDER BY l_returnflag",
+            "raw",
+        ),
+        # DATE (not TIMESTAMP) literal against the timestamp group key
+        (
+            "SELECT l_returnflag, COUNT(*) AS n FROM lineitem"
+            " WHERE l_shipdate < DATE '2000-01-01'"
+            " GROUP BY l_returnflag ORDER BY l_returnflag",
+            "pricing_cube",
+        ),
+    ],
+)
+def test_adversarial_boundary_routes_and_matches(spark, sf_dir, oracle, sql, want_chosen):
+    """Shapes NEAR the family boundary that must route (not refuse)
+    and still match DuckDB running the identical text."""
+    df, chosen = route_sql(spark, sf_dir, sql)
+    assert chosen == want_chosen
+    compare_frames(df.toPandas(), oracle.execute(sql).fetchdf(), sql[:60])
