@@ -1057,30 +1057,50 @@ _RANGE_OPS = frozenset({"<=", "<", ">=", ">", "=", "between", "in"})
 def route_scan(
     spark: SparkSession, sf_dir: str, q: ScanQuery
 ) -> tuple[DataFrame, str]:
-    """Answer a scan-shaped query from the Z-ordered layout when it
-    covers the query (all projected and filtered columns stored, and
-    at least one selective range predicate on a curve key — otherwise
-    the layout buys nothing over the raw table), else from the raw
-    scan. Mirrors :func:`route` for the non-aggregate shape: the
-    layout is a physical property, the rows are identical, and the
-    win is row-group skipping on BOTH curve keys (250x fewer rows
-    materialized at sf5; metric-asserted in tests/test_zorder.py)."""
+    """Answer a scan-shaped query from the best-covering LAYOUT:
+
+    1. the Z-ordered layout when it covers the query (all projected
+       and filtered columns stored, and at least one range predicate
+       on a curve key) — row-group skipping on BOTH curve keys, 250x
+       fewer rows materialized at sf5 (tests/test_zorder.py);
+    2. else the ship-month-partitioned layout for time-slice scans
+       (any l_shipdate range) — directory-level partition pruning
+       derived from the date predicate, then shipdate row-group
+       skipping inside kept months (tests/test_dated.py);
+    3. else the raw table.
+
+    Mirrors :func:`route` for the non-aggregate shape: the layout is a
+    physical property, the rows are identical whichever answers."""
+    from ..sources.dated import dated_lineitem, month_bounds_filter
     from ..sources.zorder import zordered_lineitem
 
     used = set(q.columns)
     for p in q.filters:
         used |= p.cols()
     # Layout choice keys off TOP-LEVEL conjuncts that are plain range
-    # predicates on a curve key — a disjunction containing one is not
-    # guaranteed selective, so it doesn't trigger the clustered layout
+    # predicates on a layout key — a disjunction containing one is not
+    # guaranteed selective, so it doesn't trigger a clustered layout
     # (either choice returns identical rows; this is purely physical).
     has_key_range = any(
         isinstance(p, Pred) and p.col in _ZORDER_KEYS and p.op in _RANGE_OPS
         for p in q.filters
     )
+    has_date_range = any(
+        isinstance(p, Pred) and p.col == "l_shipdate" and p.op in _RANGE_OPS
+        for p in q.filters
+    )
     if used <= _ZORDER_COLUMNS and has_key_range:
         df = spark.read.parquet(zordered_lineitem(spark, sf_dir))
         chosen = "zorder_lineitem"
+    elif used <= LINEITEM_COLS and has_date_range:
+        df = spark.read.parquet(dated_lineitem(spark, sf_dir))
+        months = month_bounds_filter(q.filters)
+        if months is not None:
+            # superset constraint on the partition column — prunes
+            # month directories; the exact row filters below keep
+            # the rewrite correctness-free by construction
+            df = df.filter(months)
+        chosen = "dated_lineitem"
     else:
         df = table(spark, sf_dir, "lineitem")
         chosen = "raw"

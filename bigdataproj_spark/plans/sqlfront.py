@@ -815,6 +815,30 @@ def r88_sql_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+_SQL_DATE_SCAN = """
+SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity, l_shipdate
+FROM lineitem
+WHERE l_shipdate BETWEEN TIMESTAMP '2000-03-01 00:00:00' AND TIMESTAMP '2000-04-30 23:59:59'
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+@query("r94_sql_date_scan", oracle=_SQL_DATE_SCAN, tags=("S14", "S13", "E1", "P2"))
+def r94_sql_date_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-slice scan through the front door: the shipdate range
+    selects the ship-month-partitioned layout (sources/dated.py), the
+    router derives the month bounds from the predicate — a SUPERSET
+    constraint, so a derivation bug could only read more, never answer
+    wrong — and the scan prunes to the two month directories the range
+    touches before opening a file; the oracle runs the same string on
+    the raw table. The projected l_returnflag is outside the Z-order
+    layout's stored set, so this shape exercises the scan router's
+    SECOND layout preference."""
+    df, chosen = route_sql(spark, sf_dir, _SQL_DATE_SCAN)
+    assert chosen == "dated_lineitem", chosen
+    return df
+
+
 _SQL_MONTHLY = f"""
 SELECT
   date_trunc('month', l_shipdate) AS ship_month,

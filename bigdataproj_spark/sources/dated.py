@@ -1,0 +1,126 @@
+"""S14 (engine extension): date-partitioned lineitem layout — partition
+pruning for time-range scans.
+
+Z-order (sources/zorder.py) serves multi-key range scans; the other
+canonical warehouse scan is the TIME SLICE ("last month's lineitems"),
+and its at-rest answer is hive-style date partitioning: one directory
+per ship month, rows range-sorted by exact shipdate within each, so a
+date-range query reads only the month directories its range touches
+(directory-level pruning, before any file is opened) and then only the
+row groups its exact bounds touch (statistics-level skipping inside
+the month). At 100 TB a month is ~1/84th of a 7-year corpus: the
+layout turns a full scan into a read proportional to the query's time
+window.
+
+Spark prunes on the PARTITION column only, and the partition column
+(``ship_month``) is derived — so the reader must derive month bounds
+from the query's ``l_shipdate`` predicates itself. That derivation is
+a SUPERSET constraint by construction (month truncation is monotone,
+so every row satisfying the exact predicate lives in a kept month);
+the exact row-level predicate is still applied after, which is what
+makes the rewrite correctness-free: a derivation bug could only read
+MORE partitions, never produce a wrong answer. Cited behavior:
+reference README.md:102-104 (query the indexed store — the engine,
+not the user, picks the layout).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from .bucketed import _layout_paths
+
+_MONTH_FMT = "yyyy-MM"
+
+
+def write_dated(
+    df: DataFrame,
+    path: str,
+    n_files: int = 32,
+    row_group_bytes: int | None = None,
+) -> None:
+    """Write ``df`` hive-partitioned by ship month and range-sorted by
+    exact ``l_shipdate`` within each partition. ``repartitionByRange``
+    over (month, date) splits big months across several sorted files —
+    at 100 TB one month is far past a single task — while keeping each
+    file's shipdate min/max tight for row-group skipping inside the
+    month. ``row_group_bytes`` forces small parquet row groups for
+    tests (scale-independent skip assertions); production keeps the
+    128 MB default."""
+    w = (
+        df.withColumn(
+            "ship_month", F.date_format(F.col("l_shipdate"), _MONTH_FMT)
+        )
+        .repartitionByRange(n_files, "ship_month", "l_shipdate")
+        .sortWithinPartitions("ship_month", "l_shipdate")
+        .write.mode("overwrite")
+        .partitionBy("ship_month")
+    )
+    if row_group_bytes:
+        w = w.option("parquet.block.size", str(row_group_bytes))
+    w.parquet(path)
+
+
+def dated_lineitem(spark: SparkSession, sf_dir: str) -> str:
+    """Deploy (memoized per session+fixture) the full-width lineitem
+    layout partitioned by ship month, and return its path."""
+    tag, wh = _layout_paths(sf_dir)
+    memo: dict = spark.__dict__.setdefault("_bdp_dated_memo", {})
+    if sf_dir in memo:
+        return memo[sf_dir]
+    path = os.path.join(wh, f"lineitem_dated_{tag}")
+    write_dated(table(spark, sf_dir, "lineitem"), path)
+    memo[sf_dir] = path
+    return path
+
+
+def _month_of(value) -> str | None:
+    """The 'yyyy-MM' month key of a timestamp literal's text form."""
+    if isinstance(value, str) and len(value) >= 7:
+        return value[:7]
+    return None
+
+
+def month_bounds_filter(preds) -> Column | None:
+    """Derive the partition-pruning predicate on ``ship_month`` from
+    the query's ``l_shipdate`` conjuncts — a SUPERSET of the months any
+    matching row can live in (month truncation is monotone, so e.g.
+    ``l_shipdate <= T`` implies ``month(l_shipdate) <= month(T)``; the
+    string form 'yyyy-MM' preserves the order). Conjuncts that don't
+    yield a bound contribute nothing (still correct: the exact row
+    filter runs after). Returns None when no bound is derivable."""
+    out: Column | None = None
+
+    def add(c: Column) -> None:
+        nonlocal out
+        out = c if out is None else (out & c)
+
+    for p in preds:
+        if getattr(p, "col", None) != "l_shipdate":
+            continue
+        m = F.col("ship_month")
+        if p.op == "between":
+            lo, hi = _month_of(p.value[0]), _month_of(p.value[1])
+            if lo and hi:
+                add(m.between(lo, hi))
+        elif p.op in ("<=", "<"):
+            month = _month_of(p.value)
+            if month:
+                add(m <= month)
+        elif p.op in (">=", ">"):
+            month = _month_of(p.value)
+            if month:
+                add(m >= month)
+        elif p.op == "=":
+            month = _month_of(p.value)
+            if month:
+                add(m == month)
+        elif p.op == "in":
+            months = [_month_of(v) for v in p.value]
+            if all(months):
+                add(m.isin(*months))
+    return out
