@@ -65,6 +65,37 @@ def write_dated(
     w.parquet(path)
 
 
+def append_dated(
+    df: DataFrame,
+    path: str,
+    n_files: int = 4,
+    row_group_bytes: int | None = None,
+) -> None:
+    """Append an ingest batch to an existing dated layout without
+    rewriting it: hive partitioning is append-friendly by construction
+    — a batch's rows land in their month directories as NEW files
+    (new months create new directories), so directory-level pruning is
+    exactly as effective as before, and within-month skipping degrades
+    only for months the batch touched (its files are themselves
+    shipdate-sorted, so their row groups stay tight over the batch's
+    own range). Re-running :func:`write_dated` over the union is the
+    OPTIMIZE step that re-merges small files; a deployment runs it on
+    a schedule, not per batch — same posture as
+    :func:`..zorder.recluster_zordered`."""
+    w = (
+        df.withColumn(
+            "ship_month", F.date_format(F.col("l_shipdate"), _MONTH_FMT)
+        )
+        .repartitionByRange(n_files, "ship_month", "l_shipdate")
+        .sortWithinPartitions("ship_month", "l_shipdate")
+        .write.mode("append")
+        .partitionBy("ship_month")
+    )
+    if row_group_bytes:
+        w = w.option("parquet.block.size", str(row_group_bytes))
+    w.parquet(path)
+
+
 def dated_lineitem(spark: SparkSession, sf_dir: str) -> str:
     """Deploy (memoized per session+fixture) the full-width lineitem
     layout partitioned by ship month, and return its path."""

@@ -144,3 +144,46 @@ def test_zorder_still_wins_when_both_ranges_present(spark, sf_dir):
     )
     _, chosen = route_scan(spark, sf_dir, q)
     assert chosen == "zorder_lineitem"
+
+
+def test_append_dated_keeps_pruning_and_rows(spark, sf_dir, tmp_path):
+    """Appending a batch must leave the layout readable with identical
+    total rows, keep directory pruning effective, and place new months
+    in new directories."""
+    import os
+
+    li = table(spark, sf_dir, "lineitem")
+    base = li.filter(F.col("l_orderkey") % 3 != 0)
+    delta = li.filter(F.col("l_orderkey") % 3 == 0)
+    # shift half the delta 500 days forward: genuinely NEW months
+    delta = delta.withColumn(
+        "l_shipdate",
+        F.when(F.col("l_linenumber") % 2 == 0, F.col("l_shipdate")).otherwise(
+            F.col("l_shipdate") + F.expr("INTERVAL 500 DAYS")
+        ),
+    )
+    path = str(tmp_path / "dated")
+    from bigdataproj_spark.sources.dated import append_dated
+
+    write_dated(base, path, n_files=8)
+    months_before = {d for d in os.listdir(path) if d.startswith("ship_month=")}
+    append_dated(delta, path)
+    months_after = {d for d in os.listdir(path) if d.startswith("ship_month=")}
+    assert months_before < months_after  # new months appeared as new dirs
+
+    both = base.unionByName(delta)
+    got = spark.read.parquet(path)
+    assert got.count() == both.count()
+
+    # pruning still works across old+new files
+    lo, hi = "2000-03-01 00:00:00", "2000-04-30 23:59:59"
+    months = month_bounds_filter(
+        [Pred("l_shipdate", "between", (lo, hi), cast="timestamp")]
+    )
+    pred = F.col("l_shipdate").between(
+        F.lit(lo).cast("timestamp"), F.lit(hi).cast("timestamp")
+    )
+    pruned = got.filter(months).filter(pred)
+    assert pruned.count() == both.filter(pred).count()
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ship_month" in plan, plan

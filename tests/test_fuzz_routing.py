@@ -381,3 +381,92 @@ def test_random_spec_routes_and_matches_duckdb(spark, sf_dir, _ora, p):
     if chosen != "raw":
         raw = _raw_plan(spark, sf_dir, spec).toPandas()
         assert got.equals(raw), (chosen, spec)
+
+
+# ---------------------------------------------------------------------------
+# Scan-shape fuzz: layout selection (Z-order / dated / raw) must be
+# invisible. Particularly the DERIVED month pruning (sources/dated.py)
+# — hand-written bound logic, exactly what differential fuzz protects.
+# ---------------------------------------------------------------------------
+
+from bigdataproj_spark.plans.routing import ScanQuery, route_scan  # noqa: E402
+
+_SCAN_COL_SETS = [
+    # covered by the Z-order layout's stored set
+    ("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+    ("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"),
+    # outside it (returnflag / shipdate / discount) → dated or raw
+    ("l_orderkey", "l_returnflag", "l_shipdate"),
+    ("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate"),
+    ("l_orderkey", "l_discount", "l_returnflag"),
+]
+
+scan_specs = st.fixed_dictionaries(
+    {
+        "cols": st.sampled_from(_SCAN_COL_SETS),
+        "part_range": st.sampled_from([None, (20, 80), (50, 150)]),
+        "supp_low": st.sampled_from([None, 3, 10]),
+        "date_pred": st.sampled_from(
+            [
+                None,
+                ("between", ("2000-03-01 00:00:00", "2000-06-30 00:00:00")),
+                ("<=", "1999-06-01 00:00:00"),
+                (">=", "2001-01-01 00:00:00"),
+                ("<", "2000-02-01 00:00:00"),  # exact month boundary
+                ("=", "2000-05-17 00:00:00"),
+            ]
+        ),
+        "qty_max": st.sampled_from([None, 10.0, 30.0]),
+        "flag": st.sampled_from([None, "A", "R"]),
+    }
+)
+
+
+def _to_scan_spec(p) -> ScanQuery:
+    filters = []
+    if p["part_range"]:
+        filters.append(Pred("l_partkey", "between", p["part_range"]))
+    if p["supp_low"] is not None:
+        filters.append(Pred("l_suppkey", ">=", p["supp_low"]))
+    if p["date_pred"]:
+        op, v = p["date_pred"]
+        filters.append(Pred("l_shipdate", op, v, cast="timestamp"))
+    if p["qty_max"] is not None:
+        filters.append(Pred("l_quantity", "<=", p["qty_max"]))
+    if p["flag"]:
+        filters.append(Pred("l_returnflag", "=", p["flag"]))
+    cols = p["cols"]
+    # the spec language requires filter columns within the lineitem
+    # schema; columns need not be selected to be filtered on
+    return ScanQuery(tuple(cols), tuple(filters))
+
+
+def _scan_sql(q: ScanQuery) -> str:
+    conds = [_cond_sql(p) for p in q.filters]
+    parts = [f"SELECT {', '.join(q.columns)} FROM lineitem"]
+    if conds:
+        parts.append("WHERE " + " AND ".join(conds))
+    parts.append("ORDER BY " + ", ".join(q.columns))
+    return " ".join(parts)
+
+
+@given(p=scan_specs)
+@settings(
+    max_examples=15 * _FUZZ_SCALE,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_scan_routes_and_matches_duckdb(spark, sf_dir, _ora, p):
+    """route_scan's layout choice (Z-order / dated / raw) must return
+    exactly DuckDB's rows for the same predicate set, through both the
+    spec-level and the SQL front-door entry, with the same choice."""
+    spec = _to_scan_spec(p)
+    sql = _scan_sql(spec)
+    parsed = parse_sql(sql)
+    assert parsed.spec == spec, sql
+    sql_df, sql_chosen = route_sql(spark, sf_dir, sql)
+    want = _ora.execute(sql).fetchdf()
+    compare_frames(sql_df.toPandas(), want, f"scan-fuzz[{sql_chosen}] {sql}")
+    df, chosen = route_scan(spark, sf_dir, spec)
+    assert chosen == sql_chosen, (chosen, sql_chosen, sql)
+    compare_frames(df.toPandas(), want, f"scan-fuzz[{chosen}] {spec}")
