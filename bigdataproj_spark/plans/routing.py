@@ -221,10 +221,15 @@ def apply_truncs(
 
 def _used_cols(q: AggQuery) -> set[str]:
     """Every base-table column the query touches: grouping sources
-    (through trunc aliases) plus all filter columns."""
+    (through trunc aliases), all filter columns, and COUNT(DISTINCT)
+    target columns (the one aggregate whose input is an attribute, so
+    it participates in chain/coverage reasoning like a group key)."""
     used = set(q.group_sources().values())
     for f in q.filters:
         used |= f.cols()
+    for a in q.aggs:
+        if a.fn == "count_distinct" and a.measure:
+            used.add(a.measure)
     return used
 
 
@@ -373,6 +378,13 @@ class Projection:
         for a in q.aggs:
             if a.fn == "count_star":
                 continue
+            if a.fn == "count_distinct":
+                # folds iff the target is a stored group key: the
+                # distinct value set within any output group over
+                # stored rows equals the set over raw rows
+                if (a.measure or "") not in self.attrs:
+                    return False
+                continue
             sm = self.measures.get(a.measure or "")
             if sm is None:
                 return False
@@ -412,6 +424,9 @@ class Projection:
                     F.coalesce(F.sum(self.count_star_col), F.lit(0).cast("long"))
                     .alias(a.alias)
                 )
+                continue
+            if a.fn == "count_distinct":
+                exprs.append(F.countDistinct(F.col(a.measure)).alias(a.alias))
                 continue
             m, sm = MEASURES[a.measure], self.measures[a.measure]  # type: ignore[index]
             if a.fn == "sum":
@@ -600,6 +615,13 @@ def _final_agg_exprs(
     src_max = src_max if src_max is not None else src_int
     exprs = []
     for a in q.aggs:
+        # COUNT(DISTINCT col) computes directly wherever the target
+        # column survives to the aggregation input — row-level paths
+        # trivially; the partial-agg star path keys its partials by
+        # the target too, so the distinct value set is preserved.
+        if a.fn == "count_distinct":
+            exprs.append(F.countDistinct(F.col(a.measure)).alias(a.alias))
+            continue
         # Partial-count re-aggregation (the cnt_star branch) must
         # coalesce to 0 for empty-input GLOBAL aggregates — SQL
         # COUNT is 0 there, but SUM of no partials is NULL (same
@@ -665,11 +687,22 @@ def _raw_plan(spark: SparkSession, sf_dir: str, q: AggQuery) -> DataFrame:
     for g in local_group:
         if sources[g] not in LINEITEM_COLS and g not in {a for a, _u, _c in q.truncs}:
             raise ValueError(f"unknown grouping attribute {g!r}")
+    # COUNT(DISTINCT) targets: attribute inputs that must survive to
+    # the aggregation — fact-side ones ride the partial key, dimension
+    # ones ride the join.
+    cd_cols = sorted({a.measure for a in q.aggs if a.fn == "count_distinct"})
+    cd_local = [c for c in cd_cols if c in LINEITEM_COLS]
+    cd_star = [c for c in cd_cols if c in DIM_ATTRS]
+    for c in cd_cols:
+        if c not in LINEITEM_COLS and c not in DIM_ATTRS:
+            raise ValueError(f"unknown COUNT(DISTINCT) column {c!r}")
     # Dimension attributes the join must carry: grouping sources,
-    # dimension-side filter columns, star trunc sources.
+    # dimension-side filter columns, star trunc sources, distinct
+    # targets.
     dim_attrs = sorted(
         ({sources[g] for g in star_group} | set(star_trunc_sources))
         | {c for f in star_filters for c in f.cols()}
+        | set(cd_star)
     )
 
     if not q.aggs:
@@ -688,7 +721,9 @@ def _raw_plan(spark: SparkSession, sf_dir: str, q: AggQuery) -> DataFrame:
         j = apply_truncs(j, q, star_trunc_sources)
         return j.select(*q.group_by).distinct().orderBy(*q.group_by)
 
-    needed = sorted({a.measure for a in q.aggs if a.measure})
+    needed = sorted(
+        {a.measure for a in q.aggs if a.measure and a.fn != "count_distinct"}
+    )
     int_cols = {m: f"__{m}_i" for m in needed}
     cnt_cols = {
         m: MEASURES[m].source_col
@@ -700,7 +735,7 @@ def _raw_plan(spark: SparkSession, sf_dir: str, q: AggQuery) -> DataFrame:
 
     # Fused pre-projection: each measure's fixed-point expression is
     # computed once per row (q01's measured win), plus the grouping
-    # columns and any count-source columns.
+    # columns and any count-source / distinct-target columns.
     # dict.fromkeys: order-stable dedup (a grouping column may double
     # as a COUNT source column; selecting it twice would be an error)
     keep = list(
@@ -710,6 +745,7 @@ def _raw_plan(spark: SparkSession, sf_dir: str, q: AggQuery) -> DataFrame:
             # declares (or its attributes imply) a dimension chain
             + (["l_orderkey"] if chain else [])
             + sorted(c for c in cnt_cols.values() if c)
+            + cd_local
         )
     )
     pre = li.select(
@@ -737,7 +773,12 @@ def _raw_plan(spark: SparkSession, sf_dir: str, q: AggQuery) -> DataFrame:
     partial += [F.min(int_cols[m]).alias(f"__min_{m}") for m in min_ms]
     partial += [F.max(int_cols[m]).alias(f"__max_{m}") for m in max_ms]
     partial.append(F.count(F.lit(1)).alias("__cnt_star"))
-    agg_l = pre.groupBy(*dict.fromkeys(["l_orderkey"] + local_group)).agg(*partial)
+    # fact-side COUNT(DISTINCT) targets join the partial KEY: every
+    # distinct (order, locals, target) combo survives the partial, so
+    # the distinct value set above the join is exact
+    agg_l = pre.groupBy(
+        *dict.fromkeys(["l_orderkey"] + local_group + cd_local)
+    ).agg(*partial)
 
     dims = _dim_arm(spark, sf_dir, chain, dim_attrs)
     joined = agg_l.join(dims.hint("shuffle_hash"), agg_l.l_orderkey == dims.o_orderkey)
@@ -794,10 +835,16 @@ def _spine_plan(spark: SparkSession, sf_dir: str, q: AggQuery) -> DataFrame | No
     )
     star_group = [g for g in q.group_by if sources[g] in DIM_ATTRS]
     local_group = [g for g in q.group_by if sources[g] not in DIM_ATTRS]
+    cd_cols = sorted({a.measure for a in q.aggs if a.fn == "count_distinct"})
+    cd_local = [c for c in cd_cols if c in LINEITEM_COLS]
+    cd_star = [c for c in cd_cols if c in DIM_ATTRS]
+    if any(c not in LINEITEM_COLS and c not in DIM_ATTRS for c in cd_cols):
+        return None  # unknown target: let the raw plan raise its error
     dim_attrs = sorted(
         {sources[g] for g in star_group}
         | set(star_trunc_sources)
         | {c for f in star_filters for c in f.cols()}
+        | set(cd_star)
     )
     from ..sources.bucketed import (
         DENORM_ATTRS,
@@ -830,7 +877,9 @@ def _spine_plan(spark: SparkSession, sf_dir: str, q: AggQuery) -> DataFrame | No
         j = apply_truncs(j, q, star_trunc_sources)
         return j.select(*q.group_by).distinct().orderBy(*q.group_by)
 
-    needed = sorted({a.measure for a in q.aggs if a.measure})
+    needed = sorted(
+        {a.measure for a in q.aggs if a.measure and a.fn != "count_distinct"}
+    )
     int_cols = {m: _SPINE_INT_COLS[m] for m in needed}
     cnt_cols = {
         m: MEASURES[m].source_col
@@ -842,6 +891,7 @@ def _spine_plan(spark: SparkSession, sf_dir: str, q: AggQuery) -> DataFrame | No
             local_group
             + ["l_orderkey"]
             + sorted(c for c in cnt_cols.values() if c)
+            + cd_local
             + [int_cols[m] for m in needed]
         )
     )

@@ -327,6 +327,23 @@ def _match_agg(item: dict) -> AggCall | None:
         return AggCall(hit[0], hit[1], alias) if alias else None
     if _is_count_star(item):
         return AggCall("count_star", None, alias) if alias else None
+    # COUNT(DISTINCT col): the target is a raw COLUMN, not a measure —
+    # it folds on any projection that stores the column as a group key
+    # (the distinct value set over stored groups equals the set over
+    # raw rows). Target-column validation against the statement's
+    # allowed set happens in parse_sql (needs the join chain).
+    if (
+        isinstance(item, dict)
+        and item.get("class") == "FUNCTION"
+        and item.get("function_name", "").lower() == "count"
+        and item.get("distinct")
+        and item.get("filter") is None
+        and not item.get("order_bys", {}).get("orders")
+        and len(item.get("children", [])) == 1
+    ):
+        col = _colref(item["children"][0])
+        if col:
+            return AggCall("count_distinct", col, alias) if alias else None
     pf = _plain_fn(item)
     if pf:
         fn, col = pf
@@ -644,6 +661,11 @@ def parse_sql(sql: str) -> ParsedSQL:
         seen_groups.append(col)
     if len(set(out)) != len(out):
         raise UnsupportedSQL("duplicate output column names")
+    for a in aggs:
+        if a.fn == "count_distinct" and a.measure not in allowed:
+            raise UnsupportedSQL(
+                f"COUNT(DISTINCT) over unknown column {a.measure}"
+            )
 
     # Resolve GROUP BY terms: a plain column, a select-list trunc alias,
     # or the full date_trunc expression repeated (matched structurally
@@ -836,6 +858,38 @@ def r94_sql_date_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     SECOND layout preference."""
     df, chosen = route_sql(spark, sf_dir, _SQL_DATE_SCAN)
     assert chosen == "dated_lineitem", chosen
+    return df
+
+
+_SQL_COUNT_DISTINCT = """
+SELECT
+  r_name,
+  COUNT(DISTINCT n_name) AS nations,
+  COUNT(DISTINCT l_suppkey) AS suppliers,
+  COUNT(*) AS n
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY r_name
+"""
+
+
+@query(
+    "r95_sql_count_distinct", oracle=_SQL_COUNT_DISTINCT, tags=("S13", "E1", "A2")
+)
+def r95_sql_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) through the front door, mixing a dimension-side
+    target (n_name) with a fact-side one (l_suppkey) over the full
+    chain. No cube stores the supplier-key value set, so the router
+    lowers onto the bucketed spine: the zero-exchange row-level join
+    carries both targets to a single distinct-aggregate — Spark plans
+    COUNT(DISTINCT) via its expand-based rewrite, and the bucket
+    layout still feeds it without a join exchange."""
+    df, chosen = route_sql(spark, sf_dir, _SQL_COUNT_DISTINCT)
+    assert chosen == "bucketed_spine", chosen
     return df
 
 

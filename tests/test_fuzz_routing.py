@@ -61,6 +61,10 @@ _PRICING_AGGS = [
     AggCall("max", "revenue", "a_max_rev"),
     AggCall("min", "charge", "a_min_charge"),
     AggCall("max", "discount", "a_max_disc"),
+    # COUNT(DISTINCT): a cube-key target (folds on the cube) and a
+    # non-key one (forces the raw path to carry it)
+    AggCall("count_distinct", "l_shipdate", "a_cd_ship"),
+    AggCall("count_distinct", "l_suppkey", "a_cd_supp"),
 ]
 _STAR_AGGS = [
     AggCall("sum", "revenue", "a_sum_rev"),
@@ -69,6 +73,10 @@ _STAR_AGGS = [
     # drawing this forces the raw star plan (per-order partial min
     # below the join), exercising the subsumption refusal
     AggCall("min", "revenue", "a_min_rev"),
+    # dimension-side and fact-side distinct targets: the fact-side one
+    # rides the partial KEY on prefix-chain raw plans
+    AggCall("count_distinct", "n_name", "a_cd_nat"),
+    AggCall("count_distinct", "l_suppkey", "a_cd_supp"),
 ]
 _DATES = ["1998-06-01", "2000-01-01", "2001-03-15", "2001-09-02"]
 
@@ -309,6 +317,8 @@ def _to_sql(
             sel.append(f"{_MIN_SQL[a.measure]} AS {a.alias}")
         elif a.fn == "max":
             sel.append(f"{_MAX_SQL[a.measure]} AS {a.alias}")
+        elif a.fn == "count_distinct":
+            sel.append(f"COUNT(DISTINCT {a.measure}) AS {a.alias}")
     frm = " ".join(["lineitem", *_CHAIN_JOINS[:chain]])
     conds = [_cond_sql(pr) for pr in spec.filters]
     parts = [f"SELECT {', '.join(sel)} FROM {frm}"]

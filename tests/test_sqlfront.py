@@ -143,8 +143,6 @@ def test_lookalike_measure_does_not_match():
 @pytest.mark.parametrize(
     "bad",
     [
-        "SELECT l_returnflag, count(DISTINCT l_quantity) AS c FROM lineitem"
-        " GROUP BY l_returnflag",
         "SELECT l_returnflag, sum(l_quantity) AS s FROM lineitem"
         " GROUP BY ROLLUP(l_returnflag)",
         "SELECT o_orderkey FROM orders WHERE o_orderkey < 10",  # wrong table
@@ -257,6 +255,21 @@ def test_routed_sql_matches_duckdb(spark, sf_dir, oracle, sql, want_chosen):
             " SUM(l_quantity) AS sq, COUNT(*) AS n FROM lineitem"
             " GROUP BY ship_month ORDER BY ship_month",
             "pricing_cube",
+        ),
+        # COUNT(DISTINCT cube-key): the shipdate value set folds on
+        # the cube (distinct-over-stored ≡ distinct-over-raw)
+        (
+            "SELECT l_returnflag, COUNT(DISTINCT l_shipdate) AS days,"
+            " COUNT(*) AS n FROM lineitem"
+            " GROUP BY l_returnflag ORDER BY l_returnflag",
+            "pricing_cube",
+        ),
+        # COUNT(DISTINCT non-key): the cube can't store the supplier
+        # value set, so the raw plan carries the column
+        (
+            "SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS supps"
+            " FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
+            "raw",
         ),
         # DISTINCT shape (GROUP BY with no aggregates): key combos are
         # a projection of stored group keys
@@ -474,9 +487,16 @@ def test_engine_explain_sql_reports_choice(spark, sf_dir):
     chosen, plan = eng.explain_sql(PRICING_SQL)
     assert chosen == "pricing_cube"
     assert "lineitem.parquet" not in plan
+    # COUNT(DISTINCT) joined the family late round 6: a non-key target
+    # routes raw (the cube can't store its value set), not spark.sql
     chosen, plan = eng.explain_sql(
         "SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n"
         " FROM lineitem GROUP BY l_returnflag"
+    )
+    assert chosen == "raw" and plan
+    chosen, plan = eng.explain_sql(
+        "SELECT CASE WHEN l_quantity > 25 THEN 'big' ELSE 'small' END AS sz,"
+        " COUNT(*) AS n FROM lineitem GROUP BY sz"
     )
     assert chosen == "spark.sql" and plan
 
@@ -484,8 +504,8 @@ def test_engine_explain_sql_reports_choice(spark, sf_dir):
 def test_engine_sql_falls_back_outside_family(spark, sf_dir, oracle):
     """A statement the front door refuses still answers via spark.sql."""
     sql = (
-        "SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n "
-        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+        "SELECT CASE WHEN l_quantity > 25 THEN 'big' ELSE 'small' END AS sz,"
+        " COUNT(*) AS n FROM lineitem GROUP BY sz ORDER BY sz"
     )
     with pytest.raises(UnsupportedSQL):
         parse_sql(sql)
