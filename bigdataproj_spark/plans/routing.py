@@ -190,13 +190,22 @@ class AggQuery:
     so ``SUM(revenue)`` over the declared 5-table join is a different
     query than over bare lineitem. The SQL front door sets it from the
     statement's actual join list (normalized to None when minimal, so
-    specs compare structurally)."""
+    specs compare structurally).
+
+    ``part`` declares the SECOND dimension arm: ``lineitem ⋈ part ON
+    l_partkey = p_partkey``. It composes with any chain depth (the two
+    arms join on independent keys). Part attributes (``PART_ATTRS``)
+    become legal grouping/filter/COUNT(DISTINCT) columns when True;
+    like the chain, the inner join itself is semantically load-bearing
+    (drops lineitems with no matching part — never assumed away), so
+    a part=True spec with no part attribute referenced still joins."""
 
     filters: tuple  # of Pred | BoolPred, implicitly conjoined
     group_by: tuple[str, ...]
     aggs: tuple[AggCall, ...]
     truncs: tuple[tuple[str, str, str], ...] = ()
     chain: int | None = None
+    part: bool = False
 
     def group_sources(self) -> dict[str, str]:
         """group name -> underlying attribute (itself, unless a trunc
@@ -317,6 +326,12 @@ DIM_ATTRS: dict[str, int] = {
 }
 STAR_ATTRS = frozenset(DIM_ATTRS)
 
+# Attributes of the part arm (lineitem ⋈ part on l_partkey); usable
+# in group_by/filters/COUNT(DISTINCT) when the spec declares part=True.
+PART_ATTRS = frozenset(
+    {"p_name", "p_brand", "p_type", "p_size", "p_retailprice"}
+)
+
 
 # ---------------------------------------------------------------------------
 # Projection descriptors + subsumption.
@@ -357,6 +372,10 @@ class Projection:
     chain: int = 0
 
     def subsumes(self, q: AggQuery) -> bool:
+        if q.part:
+            # no projection stores the part-join semantics (an inner
+            # join that may drop orphan lineitems)
+            return False
         if effective_chain(q) != self.chain:
             return False
         # Trunc aliases resolve to their SOURCE attribute: storing the
@@ -550,27 +569,29 @@ PROJECTIONS: tuple[Projection, ...] = (
 # ---------------------------------------------------------------------------
 
 
-def _split_filters(q: AggQuery) -> tuple[list, list]:
-    """Partition the conjuncts into lineitem-local and dimension-side.
-    A conjunct MIXING the two (e.g. ``l_quantity > 5 OR r_name =
-    'ASIA'``) varies per lineitem row within an order, so it can fold
-    neither before the partial aggregation (needs the join) nor after
-    it (needs row-level values) — the partial-agg-below-join plan
-    cannot express it, and the router refuses rather than silently
-    joining row-level (callers fall back to spark.sql)."""
-    local, star = [], []
+def _split_filters(q: AggQuery) -> tuple[list, list, list]:
+    """Partition the conjuncts into lineitem-local, order-chain-side,
+    and part-side. A conjunct MIXING domains (e.g. ``l_quantity > 5 OR
+    r_name = 'ASIA'``) varies per lineitem row within an order, so it
+    can fold neither before the partial aggregation (needs the join)
+    nor after it (needs row-level values) — the partial-agg-below-join
+    plan cannot express it, and the router refuses rather than
+    silently joining row-level (callers fall back to spark.sql)."""
+    local, star, part = [], [], []
     for f in q.filters:
         cols = f.cols()
         if cols <= LINEITEM_COLS:
             local.append(f)
         elif cols <= STAR_ATTRS:
             star.append(f)
+        elif cols <= PART_ATTRS:
+            part.append(f)
         else:
             raise ValueError(
-                "a predicate mixing lineitem and dimension columns is not "
+                "a predicate mixing columns of different tables is not "
                 "expressible in the partial-agg-below-join plan"
             )
-    return local, star
+    return local, star, part
 
 
 def _dim_arm(
@@ -669,8 +690,9 @@ def _final_agg_exprs(
 
 def _raw_plan(spark: SparkSession, sf_dir: str, q: AggQuery) -> DataFrame:
     chain = effective_chain(q)
+    part = q.part
     li = table(spark, sf_dir, "lineitem")
-    local_filters, star_filters = _split_filters(q)
+    local_filters, star_filters, part_filters = _split_filters(q)
     for p in local_filters:
         li = li.filter(p.column())
     # Lineitem-sourced time-grain keys materialize below the partial
@@ -683,42 +705,69 @@ def _raw_plan(spark: SparkSession, sf_dir: str, q: AggQuery) -> DataFrame:
 
     sources = q.group_sources()
     star_group = [g for g in q.group_by if sources[g] in DIM_ATTRS]
-    local_group = [g for g in q.group_by if sources[g] not in DIM_ATTRS]
+    part_group = [g for g in q.group_by if sources[g] in PART_ATTRS]
+    local_group = [
+        g
+        for g in q.group_by
+        if sources[g] not in DIM_ATTRS and sources[g] not in PART_ATTRS
+    ]
     for g in local_group:
         if sources[g] not in LINEITEM_COLS and g not in {a for a, _u, _c in q.truncs}:
             raise ValueError(f"unknown grouping attribute {g!r}")
     # COUNT(DISTINCT) targets: attribute inputs that must survive to
     # the aggregation — fact-side ones ride the partial key, dimension
-    # ones ride the join.
+    # and part-side ones ride their joins.
     cd_cols = sorted({a.measure for a in q.aggs if a.fn == "count_distinct"})
     cd_local = [c for c in cd_cols if c in LINEITEM_COLS]
     cd_star = [c for c in cd_cols if c in DIM_ATTRS]
+    cd_part = [c for c in cd_cols if c in PART_ATTRS]
     for c in cd_cols:
-        if c not in LINEITEM_COLS and c not in DIM_ATTRS:
+        if c not in LINEITEM_COLS and c not in DIM_ATTRS and c not in PART_ATTRS:
             raise ValueError(f"unknown COUNT(DISTINCT) column {c!r}")
-    # Dimension attributes the join must carry: grouping sources,
-    # dimension-side filter columns, star trunc sources, distinct
-    # targets.
+    if not part and (part_group or part_filters or cd_part):
+        raise ValueError("part attributes referenced without the part join")
+    # Attributes each arm's join must carry: grouping sources, that
+    # side's filter columns, trunc sources, distinct targets.
     dim_attrs = sorted(
         ({sources[g] for g in star_group} | set(star_trunc_sources))
         | {c for f in star_filters for c in f.cols()}
         | set(cd_star)
     )
+    part_attrs = sorted(
+        {sources[g] for g in part_group}
+        | {c for f in part_filters for c in f.cols()}
+        | set(cd_part)
+    )
+    # the partial aggregation keys on each declared arm's join key
+    join_keys = (["l_orderkey"] if chain else []) + (["l_partkey"] if part else [])
+
+    def _attach_arms(df: DataFrame) -> DataFrame:
+        """Join the declared arms onto per-key partial rows, apply the
+        arm-side filters, and materialize order-sourced trunc keys."""
+        if chain:
+            dims = _dim_arm(spark, sf_dir, chain, dim_attrs)
+            df = df.join(
+                dims.hint("shuffle_hash"), F.col("l_orderkey") == dims.o_orderkey
+            )
+        if part:
+            pa = table(spark, sf_dir, "part").select("p_partkey", *part_attrs)
+            df = df.join(
+                pa.hint("shuffle_hash"), F.col("l_partkey") == pa.p_partkey
+            )
+        for pr in star_filters:
+            df = df.filter(pr.column())
+        for pr in part_filters:
+            df = df.filter(pr.column())
+        return apply_truncs(df, q, star_trunc_sources)
 
     if not q.aggs:
-        # DISTINCT shape. Below the join the distinct key combinations
-        # collapse to one row per (order, local keys) — the same
+        # DISTINCT shape. Below the joins the distinct key combinations
+        # collapse to one row per (join keys, local keys) — the same
         # shuffle-shrinking idea as the partial aggregation.
-        if chain == 0:
+        if not join_keys:
             return li.select(*q.group_by).distinct().orderBy(*q.group_by)
-        pre = li.select(
-            *dict.fromkeys(local_group + ["l_orderkey"])
-        ).distinct()
-        dims = _dim_arm(spark, sf_dir, chain, dim_attrs)
-        j = pre.join(dims.hint("shuffle_hash"), pre.l_orderkey == dims.o_orderkey)
-        for p in star_filters:
-            j = j.filter(p.column())
-        j = apply_truncs(j, q, star_trunc_sources)
+        pre = li.select(*dict.fromkeys(local_group + join_keys)).distinct()
+        j = _attach_arms(pre)
         return j.select(*q.group_by).distinct().orderBy(*q.group_by)
 
     needed = sorted(
@@ -741,9 +790,7 @@ def _raw_plan(spark: SparkSession, sf_dir: str, q: AggQuery) -> DataFrame:
     keep = list(
         dict.fromkeys(
             local_group
-            # the star branch joins on l_orderkey whenever the query
-            # declares (or its attributes imply) a dimension chain
-            + (["l_orderkey"] if chain else [])
+            + join_keys
             + sorted(c for c in cnt_cols.values() if c)
             + cd_local
         )
@@ -752,7 +799,7 @@ def _raw_plan(spark: SparkSession, sf_dir: str, q: AggQuery) -> DataFrame:
         *keep, *[MEASURES[m].raw_int().alias(int_cols[m]) for m in needed]
     )
 
-    if chain == 0:
+    if not join_keys:
         # q01 shape: scan → fused projection → one-shuffle aggregate.
         out = pre.groupBy(*q.group_by).agg(
             *_final_agg_exprs(
@@ -762,29 +809,25 @@ def _raw_plan(spark: SparkSession, sf_dir: str, q: AggQuery) -> DataFrame:
         return out.orderBy(*q.group_by) if q.group_by else out
 
     # q26 shape, generalized: partial-aggregate the fact BELOW the
-    # join — keyed by the order key PLUS any lineitem-local grouping
-    # attributes, so mixed local+star groupings fold too (every
-    # measure partial is a commutative monoid, so aggregating first
-    # by the finer (order, locals) key and re-aggregating above the
-    # join is exact) — then join the dimension arm at the declared
-    # chain depth with slim per-order rows crossing the shuffle.
+    # joins — keyed by the declared arms' join keys PLUS any
+    # lineitem-local grouping attributes, so mixed groupings fold too
+    # (every measure partial is a commutative monoid, so aggregating
+    # first by the finer key and re-aggregating above the joins is
+    # exact) — then join each declared arm with slim partial rows
+    # crossing the shuffles.
     partial = [F.sum(int_cols[m]).alias(int_cols[m]) for m in needed]
     partial += [F.count(c).alias(f"__cnt_{m}") for m, c in cnt_cols.items() if c]
     partial += [F.min(int_cols[m]).alias(f"__min_{m}") for m in min_ms]
     partial += [F.max(int_cols[m]).alias(f"__max_{m}") for m in max_ms]
     partial.append(F.count(F.lit(1)).alias("__cnt_star"))
     # fact-side COUNT(DISTINCT) targets join the partial KEY: every
-    # distinct (order, locals, target) combo survives the partial, so
-    # the distinct value set above the join is exact
+    # distinct (keys, locals, target) combo survives the partial, so
+    # the distinct value set above the joins is exact
     agg_l = pre.groupBy(
-        *dict.fromkeys(["l_orderkey"] + local_group + cd_local)
+        *dict.fromkeys(join_keys + local_group + cd_local)
     ).agg(*partial)
 
-    dims = _dim_arm(spark, sf_dir, chain, dim_attrs)
-    joined = agg_l.join(dims.hint("shuffle_hash"), agg_l.l_orderkey == dims.o_orderkey)
-    for p in star_filters:
-        joined = joined.filter(p.column())
-    joined = apply_truncs(joined, q, star_trunc_sources)
+    joined = _attach_arms(agg_l)
     out = joined.groupBy(*q.group_by).agg(
         *_final_agg_exprs(
             q,
@@ -826,9 +869,9 @@ def _spine_plan(spark: SparkSession, sf_dir: str, q: AggQuery) -> DataFrame | No
     heuristic: the denorm was built with the INNER 4-table chain, so
     it answers chain-4 queries only (same orphan-dropping semantics),
     and only when every dimension attribute used is stored on it."""
-    if effective_chain(q) != 4:
+    if q.part or effective_chain(q) != 4:
         return None
-    local_filters, star_filters = _split_filters(q)
+    local_filters, star_filters, _part_filters = _split_filters(q)
     sources = q.group_sources()
     star_trunc_sources = frozenset(
         {col for _a, _u, col in q.truncs if col not in LINEITEM_COLS}

@@ -80,6 +80,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .routing import (
     DIM_ATTRS,
+    PART_ATTRS,
     LINEITEM_COLS as _LINEITEM_COLS,
     MEASURES,
     AggCall,
@@ -467,14 +468,18 @@ def _parse_where(node) -> tuple:
     return tuple(preds)
 
 
-def _parse_from(node: dict) -> int:
-    """The dimension-chain depth the FROM clause declares: 0 for bare
-    lineitem, k for lineitem joined with the first k chain tables on
-    exactly the canonical keys; UnsupportedSQL for any other shape."""
+_PART_EDGE = frozenset({"l_partkey", "p_partkey"})
+
+
+def _parse_from(node: dict) -> tuple[int, bool]:
+    """(chain depth, part joined) for the FROM clause: bare lineitem,
+    a prefix of the canonical order chain, the part arm (``JOIN part
+    ON l_partkey = p_partkey``), or both; UnsupportedSQL for any other
+    shape."""
     if node.get("type") == "BASE_TABLE":
         if node.get("table_name", "").lower() != "lineitem":
             raise UnsupportedSQL(f"unroutable table {node.get('table_name')}")
-        return 0
+        return 0, False
     tables: set[str] = set()
     edges: set[frozenset[str]] = set()
 
@@ -500,11 +505,17 @@ def _parse_from(node: dict) -> int:
         walk(n["right"])
 
     walk(node)
-    for depth in range(1, len(_CHAIN_TABLES) + 1):
+    part = "part" in tables and _PART_EDGE in edges
+    if part:
+        tables = tables - {"part"}
+        edges = edges - {_PART_EDGE}
+    for depth in range(0, len(_CHAIN_TABLES) + 1):
         want_tables = {"lineitem", *_CHAIN_TABLES[:depth]}
         want_edges = set(_CHAIN_EDGES[:depth])
         if tables == want_tables and edges == want_edges:
-            return depth
+            if depth == 0 and not part:
+                break  # a bare JOIN node with no edges cannot occur
+            return depth, part
     raise UnsupportedSQL(
         f"join graph is not a prefix of the canonical chain "
         f"(tables={sorted(tables)})"
@@ -612,9 +623,11 @@ def parse_sql(sql: str) -> ParsedSQL:
         raise UnsupportedSQL("non-standard aggregate handling")
     order, limit, distinct = _modifiers(node)
 
-    chain = _parse_from(node["from_table"])
+    chain, part = _parse_from(node["from_table"])
     filters = _parse_where(node.get("where_clause"))
     allowed = _LINEITEM_COLS | {a for a, d in DIM_ATTRS.items() if d <= chain}
+    if part:
+        allowed = allowed | PART_ATTRS
     for p in filters:
         bad = p.cols() - allowed
         if bad:
@@ -705,7 +718,7 @@ def parse_sql(sql: str) -> ParsedSQL:
 
     if not groups and not aggs:
         # Pure projection+filter scan over lineitem.
-        if chain:
+        if chain or part:
             raise UnsupportedSQL("row-level scans over joins are not routable")
         if not (set(out) <= _LINEITEM_COLS):
             raise UnsupportedSQL("scan selects columns outside lineitem")
@@ -736,6 +749,10 @@ def parse_sql(sql: str) -> ParsedSQL:
         # rides along. When minimal, chain stays None so specs compare
         # structurally wherever they came from.
         spec = _dc.replace(spec, chain=chain)
+    if part:
+        # the part join is declared, attributes or not (same
+        # orphan-dropping argument as the chain)
+        spec = _dc.replace(spec, part=True)
     return ParsedSQL(spec, tuple(out), order, having, limit)
 
 
@@ -890,6 +907,36 @@ def r95_sql_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout still feeds it without a join exchange."""
     df, chosen = route_sql(spark, sf_dir, _SQL_COUNT_DISTINCT)
     assert chosen == "bucketed_spine", chosen
+    return df
+
+
+_SQL_PART_ARM = f"""
+SELECT
+  p_type,
+  l_returnflag,
+  {SUM_SQL['revenue']} AS rev,
+  COUNT(*) AS n
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_size >= 25
+GROUP BY p_type, l_returnflag
+ORDER BY p_type, l_returnflag
+"""
+
+
+@query("r96_sql_part_revenue", oracle=_SQL_PART_ARM, tags=("S13", "E1", "J1", "A1"))
+def r96_sql_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SECOND dimension arm through the front door: revenue by
+    part type and return flag with a part-side size filter. The raw
+    two-arm plan partial-aggregates the fact below the join keyed by
+    (l_partkey, l_returnflag) — the TPC-H lineitem:part fan-in (~30
+    rows per part) makes the partial rows that cross the shuffle ~30x
+    slimmer than the fact — then joins the part arm projected to just
+    (p_partkey, p_type, p_size) and re-aggregates. The part join is
+    declared semantics (drops lineitems with no matching part; FK
+    integrity never assumed), exactly like the order chain."""
+    df, chosen = route_sql(spark, sf_dir, _SQL_PART_ARM)
+    assert chosen == "raw", chosen
     return df
 
 

@@ -78,6 +78,13 @@ _STAR_AGGS = [
     AggCall("count_distinct", "n_name", "a_cd_nat"),
     AggCall("count_distinct", "l_suppkey", "a_cd_supp"),
 ]
+_PART_AGGS = [
+    AggCall("sum", "revenue", "a_sum_rev"),
+    AggCall("count_star", None, "a_cnt"),
+    AggCall("min", "quantity", "a_min_qty"),
+    AggCall("count_distinct", "p_brand", "a_cd_brand"),
+    AggCall("count_distinct", "l_suppkey", "a_cd_supp"),
+]
 _DATES = ["1998-06-01", "2000-01-01", "2001-03-15", "2001-09-02"]
 
 # SQL-only clauses the front door supports beyond the spec language:
@@ -143,6 +150,33 @@ star_specs = st.fixed_dictionaries(
         **_EXTRAS,
     }
 )
+# The part arm (lineitem ⋈ part on l_partkey), alone and composed
+# with order-chain prefixes — always the raw two-arm plan (no
+# projection stores the part-join semantics).
+part_specs = st.fixed_dictionaries(
+    {
+        "family": st.just("part"),
+        "chain_group": st.sampled_from(
+            [
+                (0, ("p_brand",)),
+                (0, ("p_type",)),
+                (0, ("l_returnflag", "p_brand")),
+                (0, ("p_size",)),
+                (1, ("o_orderstatus", "p_brand")),
+                (4, ("r_name", "p_type")),
+                (0, ()),  # part joined, no part attr: orphan-dropping
+            ]
+        ),
+        "date_filter": st.sampled_from([None, *range(len(_DATES))]),
+        "date_op": st.sampled_from(["<=", ">=", "between"]),
+        "psize_filter": st.sampled_from([None, 10, 25, 40]),
+        "region_filter": st.just(None),
+        "bool_filter": st.just(None),
+        "agg_mask": st.integers(min_value=1, max_value=(1 << len(_PART_AGGS)) - 1),
+        "distinct": st.sampled_from([False, False, False, True]),
+        **_EXTRAS,
+    }
+)
 # PREFIX chains (lineitem ⋈ first k dimension tables): no projection
 # stores chain 1–3, so these all exercise the generalized raw star
 # plan at every join depth, incl. order-date truncs above the join.
@@ -179,7 +213,7 @@ def _to_spec(p) -> AggQuery:
     import dataclasses as _dc
 
     family = p["family"]
-    if family == "chain":
+    if family in ("chain", "part"):
         declared, group = p["chain_group"]
     else:
         declared = 4 if family == "star" else 0
@@ -220,6 +254,10 @@ def _to_spec(p) -> AggQuery:
         if p["nonkey_filter"]:
             filters.append(Pred("l_discount", "<=", 0.05))
         pool = _PRICING_AGGS
+    elif family == "part":
+        if p["psize_filter"] is not None:
+            filters.append(Pred("p_size", ">=", p["psize_filter"]))
+        pool = _PART_AGGS
     else:
         if p["region_filter"]:
             filters.append(Pred("r_name", "=", p["region_filter"]))
@@ -252,6 +290,8 @@ def _to_spec(p) -> AggQuery:
         # the declared join depth exceeds what the attributes imply:
         # semantically load-bearing (orphan dropping), rides on chain
         spec = _dc.replace(spec, chain=declared)
+    if family == "part":
+        spec = _dc.replace(spec, part=True)
     return spec
 
 
@@ -297,6 +337,7 @@ def _to_sql(
     having: int | None = None,
     limit: int | None = None,
 ) -> str:
+    part = spec.part
     tm = {a: (u, c) for a, u, c in spec.truncs}
     sel = [
         f"date_trunc('{tm[g][0]}', {tm[g][1]}) AS {g}" if g in tm else g
@@ -319,7 +360,10 @@ def _to_sql(
             sel.append(f"{_MAX_SQL[a.measure]} AS {a.alias}")
         elif a.fn == "count_distinct":
             sel.append(f"COUNT(DISTINCT {a.measure}) AS {a.alias}")
-    frm = " ".join(["lineitem", *_CHAIN_JOINS[:chain]])
+    frm = " ".join(
+        ["lineitem", *_CHAIN_JOINS[:chain]]
+        + (["JOIN part ON l_partkey = p_partkey"] if part else [])
+    )
     conds = [_cond_sql(pr) for pr in spec.filters]
     parts = [f"SELECT {', '.join(sel)} FROM {frm}"]
     if conds:
@@ -341,14 +385,14 @@ def _to_sql(
 @pytest.fixture(scope="module")
 def _ora(sf_dir):
     con = duckdb.connect()
-    for t in ("region", "nation", "customer", "orders", "lineitem"):
+    for t in ("region", "nation", "customer", "orders", "lineitem", "part"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
     return con
 
 
-@given(p=st.one_of(pricing_specs, star_specs, chain_specs))
+@given(p=st.one_of(pricing_specs, star_specs, chain_specs, part_specs))
 @settings(
     max_examples=20 * _FUZZ_SCALE,
     deadline=None,
