@@ -198,7 +198,10 @@ class AggQuery:
     become legal grouping/filter/COUNT(DISTINCT) columns when True;
     like the chain, the inner join itself is semantically load-bearing
     (drops lineitems with no matching part — never assumed away), so
-    a part=True spec with no part attribute referenced still joins."""
+    a part=True spec with no part attribute referenced still joins.
+    ``supp`` declares the supplier arm (``lineitem ⋈ supplier ON
+    l_suppkey = s_suppkey``, attributes ``SUPP_ATTRS``) identically —
+    all three arms join on independent fact keys and compose."""
 
     filters: tuple  # of Pred | BoolPred, implicitly conjoined
     group_by: tuple[str, ...]
@@ -206,6 +209,7 @@ class AggQuery:
     truncs: tuple[tuple[str, str, str], ...] = ()
     chain: int | None = None
     part: bool = False
+    supp: bool = False
 
     def group_sources(self) -> dict[str, str]:
         """group name -> underlying attribute (itself, unless a trunc
@@ -332,6 +336,13 @@ PART_ATTRS = frozenset(
     {"p_name", "p_brand", "p_type", "p_size", "p_retailprice"}
 )
 
+# Attributes of the supplier arm (lineitem ⋈ supplier on l_suppkey).
+# s_nationkey is deliberately NOT exposed: extending this arm to
+# nation would make n_name reachable by two different join paths
+# (customer-nation vs supplier-nation) with different semantics — an
+# ambiguity the structural matcher must not paper over.
+SUPP_ATTRS = frozenset({"s_name", "s_acctbal"})
+
 
 # ---------------------------------------------------------------------------
 # Projection descriptors + subsumption.
@@ -372,9 +383,9 @@ class Projection:
     chain: int = 0
 
     def subsumes(self, q: AggQuery) -> bool:
-        if q.part:
-            # no projection stores the part-join semantics (an inner
-            # join that may drop orphan lineitems)
+        if q.part or q.supp:
+            # no projection stores the part/supplier-join semantics
+            # (inner joins that may drop orphan lineitems)
             return False
         if effective_chain(q) != self.chain:
             return False
@@ -577,7 +588,7 @@ def _split_filters(q: AggQuery) -> tuple[list, list, list]:
     nor after it (needs row-level values) — the partial-agg-below-join
     plan cannot express it, and the router refuses rather than
     silently joining row-level (callers fall back to spark.sql)."""
-    local, star, part = [], [], []
+    local, star, part, supp = [], [], [], []
     for f in q.filters:
         cols = f.cols()
         if cols <= LINEITEM_COLS:
@@ -586,12 +597,14 @@ def _split_filters(q: AggQuery) -> tuple[list, list, list]:
             star.append(f)
         elif cols <= PART_ATTRS:
             part.append(f)
+        elif cols <= SUPP_ATTRS:
+            supp.append(f)
         else:
             raise ValueError(
                 "a predicate mixing columns of different tables is not "
                 "expressible in the partial-agg-below-join plan"
             )
-    return local, star, part
+    return local, star, part, supp
 
 
 def _dim_arm(
@@ -690,9 +703,9 @@ def _final_agg_exprs(
 
 def _raw_plan(spark: SparkSession, sf_dir: str, q: AggQuery) -> DataFrame:
     chain = effective_chain(q)
-    part = q.part
+    part, supp = q.part, q.supp
     li = table(spark, sf_dir, "lineitem")
-    local_filters, star_filters, part_filters = _split_filters(q)
+    local_filters, star_filters, part_filters, supp_filters = _split_filters(q)
     for p in local_filters:
         li = li.filter(p.column())
     # Lineitem-sourced time-grain keys materialize below the partial
@@ -706,10 +719,13 @@ def _raw_plan(spark: SparkSession, sf_dir: str, q: AggQuery) -> DataFrame:
     sources = q.group_sources()
     star_group = [g for g in q.group_by if sources[g] in DIM_ATTRS]
     part_group = [g for g in q.group_by if sources[g] in PART_ATTRS]
+    supp_group = [g for g in q.group_by if sources[g] in SUPP_ATTRS]
     local_group = [
         g
         for g in q.group_by
-        if sources[g] not in DIM_ATTRS and sources[g] not in PART_ATTRS
+        if sources[g] not in DIM_ATTRS
+        and sources[g] not in PART_ATTRS
+        and sources[g] not in SUPP_ATTRS
     ]
     for g in local_group:
         if sources[g] not in LINEITEM_COLS and g not in {a for a, _u, _c in q.truncs}:
@@ -721,11 +737,21 @@ def _raw_plan(spark: SparkSession, sf_dir: str, q: AggQuery) -> DataFrame:
     cd_local = [c for c in cd_cols if c in LINEITEM_COLS]
     cd_star = [c for c in cd_cols if c in DIM_ATTRS]
     cd_part = [c for c in cd_cols if c in PART_ATTRS]
+    cd_supp = [c for c in cd_cols if c in SUPP_ATTRS]
     for c in cd_cols:
-        if c not in LINEITEM_COLS and c not in DIM_ATTRS and c not in PART_ATTRS:
+        if (
+            c not in LINEITEM_COLS
+            and c not in DIM_ATTRS
+            and c not in PART_ATTRS
+            and c not in SUPP_ATTRS
+        ):
             raise ValueError(f"unknown COUNT(DISTINCT) column {c!r}")
     if not part and (part_group or part_filters or cd_part):
         raise ValueError("part attributes referenced without the part join")
+    if not supp and (supp_group or supp_filters or cd_supp):
+        raise ValueError(
+            "supplier attributes referenced without the supplier join"
+        )
     # Attributes each arm's join must carry: grouping sources, that
     # side's filter columns, trunc sources, distinct targets.
     dim_attrs = sorted(
@@ -738,8 +764,17 @@ def _raw_plan(spark: SparkSession, sf_dir: str, q: AggQuery) -> DataFrame:
         | {c for f in part_filters for c in f.cols()}
         | set(cd_part)
     )
+    supp_attrs = sorted(
+        {sources[g] for g in supp_group}
+        | {c for f in supp_filters for c in f.cols()}
+        | set(cd_supp)
+    )
     # the partial aggregation keys on each declared arm's join key
-    join_keys = (["l_orderkey"] if chain else []) + (["l_partkey"] if part else [])
+    join_keys = (
+        (["l_orderkey"] if chain else [])
+        + (["l_partkey"] if part else [])
+        + (["l_suppkey"] if supp else [])
+    )
 
     def _attach_arms(df: DataFrame) -> DataFrame:
         """Join the declared arms onto per-key partial rows, apply the
@@ -754,9 +789,18 @@ def _raw_plan(spark: SparkSession, sf_dir: str, q: AggQuery) -> DataFrame:
             df = df.join(
                 pa.hint("shuffle_hash"), F.col("l_partkey") == pa.p_partkey
             )
+        if supp:
+            su = table(spark, sf_dir, "supplier").select(
+                "s_suppkey", *supp_attrs
+            )
+            df = df.join(
+                su.hint("shuffle_hash"), F.col("l_suppkey") == su.s_suppkey
+            )
         for pr in star_filters:
             df = df.filter(pr.column())
         for pr in part_filters:
+            df = df.filter(pr.column())
+        for pr in supp_filters:
             df = df.filter(pr.column())
         return apply_truncs(df, q, star_trunc_sources)
 
@@ -869,9 +913,9 @@ def _spine_plan(spark: SparkSession, sf_dir: str, q: AggQuery) -> DataFrame | No
     heuristic: the denorm was built with the INNER 4-table chain, so
     it answers chain-4 queries only (same orphan-dropping semantics),
     and only when every dimension attribute used is stored on it."""
-    if q.part or effective_chain(q) != 4:
+    if q.part or q.supp or effective_chain(q) != 4:
         return None
-    local_filters, star_filters, _part_filters = _split_filters(q)
+    local_filters, star_filters, _pf, _sf = _split_filters(q)
     sources = q.group_sources()
     star_trunc_sources = frozenset(
         {col for _a, _u, col in q.truncs if col not in LINEITEM_COLS}

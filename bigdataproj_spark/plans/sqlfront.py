@@ -81,6 +81,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .routing import (
     DIM_ATTRS,
     PART_ATTRS,
+    SUPP_ATTRS,
     LINEITEM_COLS as _LINEITEM_COLS,
     MEASURES,
     AggCall,
@@ -469,17 +470,19 @@ def _parse_where(node) -> tuple:
 
 
 _PART_EDGE = frozenset({"l_partkey", "p_partkey"})
+_SUPP_EDGE = frozenset({"l_suppkey", "s_suppkey"})
 
 
-def _parse_from(node: dict) -> tuple[int, bool]:
-    """(chain depth, part joined) for the FROM clause: bare lineitem,
-    a prefix of the canonical order chain, the part arm (``JOIN part
-    ON l_partkey = p_partkey``), or both; UnsupportedSQL for any other
-    shape."""
+def _parse_from(node: dict) -> tuple[int, bool, bool]:
+    """(chain depth, part joined, supplier joined) for the FROM
+    clause: bare lineitem, a prefix of the canonical order chain, the
+    part arm (``JOIN part ON l_partkey = p_partkey``), the supplier
+    arm (``JOIN supplier ON l_suppkey = s_suppkey``), or any
+    combination; UnsupportedSQL for any other shape."""
     if node.get("type") == "BASE_TABLE":
         if node.get("table_name", "").lower() != "lineitem":
             raise UnsupportedSQL(f"unroutable table {node.get('table_name')}")
-        return 0, False
+        return 0, False, False
     tables: set[str] = set()
     edges: set[frozenset[str]] = set()
 
@@ -509,13 +512,17 @@ def _parse_from(node: dict) -> tuple[int, bool]:
     if part:
         tables = tables - {"part"}
         edges = edges - {_PART_EDGE}
+    supp = "supplier" in tables and _SUPP_EDGE in edges
+    if supp:
+        tables = tables - {"supplier"}
+        edges = edges - {_SUPP_EDGE}
     for depth in range(0, len(_CHAIN_TABLES) + 1):
         want_tables = {"lineitem", *_CHAIN_TABLES[:depth]}
         want_edges = set(_CHAIN_EDGES[:depth])
         if tables == want_tables and edges == want_edges:
-            if depth == 0 and not part:
+            if depth == 0 and not part and not supp:
                 break  # a bare JOIN node with no edges cannot occur
-            return depth, part
+            return depth, part, supp
     raise UnsupportedSQL(
         f"join graph is not a prefix of the canonical chain "
         f"(tables={sorted(tables)})"
@@ -623,11 +630,13 @@ def parse_sql(sql: str) -> ParsedSQL:
         raise UnsupportedSQL("non-standard aggregate handling")
     order, limit, distinct = _modifiers(node)
 
-    chain, part = _parse_from(node["from_table"])
+    chain, part, supp = _parse_from(node["from_table"])
     filters = _parse_where(node.get("where_clause"))
     allowed = _LINEITEM_COLS | {a for a, d in DIM_ATTRS.items() if d <= chain}
     if part:
         allowed = allowed | PART_ATTRS
+    if supp:
+        allowed = allowed | SUPP_ATTRS
     for p in filters:
         bad = p.cols() - allowed
         if bad:
@@ -718,7 +727,7 @@ def parse_sql(sql: str) -> ParsedSQL:
 
     if not groups and not aggs:
         # Pure projection+filter scan over lineitem.
-        if chain or part:
+        if chain or part or supp:
             raise UnsupportedSQL("row-level scans over joins are not routable")
         if not (set(out) <= _LINEITEM_COLS):
             raise UnsupportedSQL("scan selects columns outside lineitem")
@@ -753,6 +762,8 @@ def parse_sql(sql: str) -> ParsedSQL:
         # the part join is declared, attributes or not (same
         # orphan-dropping argument as the chain)
         spec = _dc.replace(spec, part=True)
+    if supp:
+        spec = _dc.replace(spec, supp=True)
     return ParsedSQL(spec, tuple(out), order, having, limit)
 
 
@@ -936,6 +947,37 @@ def r96_sql_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     declared semantics (drops lineitems with no matching part; FK
     integrity never assumed), exactly like the order chain."""
     df, chosen = route_sql(spark, sf_dir, _SQL_PART_ARM)
+    assert chosen == "raw", chosen
+    return df
+
+
+_SQL_TRIPLE_ARM = f"""
+SELECT
+  o_orderstatus,
+  p_brand,
+  COUNT(DISTINCT s_name) AS suppliers,
+  {SUM_SQL['revenue']} AS rev,
+  COUNT(*) AS n
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE p_size >= 20
+GROUP BY o_orderstatus, p_brand
+ORDER BY o_orderstatus, p_brand
+"""
+
+
+@query("r97_sql_triple_arm", oracle=_SQL_TRIPLE_ARM, tags=("S13", "E1", "J1", "A1"))
+def r97_sql_triple_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three dimension arms in one statement: the order chain
+    (depth 1), the part arm with a part-side filter, and the supplier
+    arm feeding a COUNT(DISTINCT). The raw plan partial-aggregates the
+    fact below the joins keyed by (l_orderkey, l_partkey, l_suppkey) —
+    at that key the partial is near row-level, which is exactly the
+    honest plan: each arm then joins independently on its own key and
+    only the slim projected attribute columns cross the shuffles."""
+    df, chosen = route_sql(spark, sf_dir, _SQL_TRIPLE_ARM)
     assert chosen == "raw", chosen
     return df
 

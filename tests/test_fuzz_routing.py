@@ -25,11 +25,14 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from bigdataproj_spark.plans.routing import (
+    PART_ATTRS,
+    SUPP_ATTRS,
     AggCall,
     AggQuery,
     BoolPred,
     Pred,
     _raw_plan,
+    _used_cols,
     minimal_chain,
     route,
 )
@@ -165,6 +168,10 @@ part_specs = st.fixed_dictionaries(
                 (1, ("o_orderstatus", "p_brand")),
                 (4, ("r_name", "p_type")),
                 (0, ()),  # part joined, no part attr: orphan-dropping
+                # the supplier arm, alone and in the TRIPLE-arm form
+                (0, ("s_name",)),
+                (0, ("l_linestatus", "s_name")),
+                (1, ("o_orderstatus", "p_brand", "s_name")),
             ]
         ),
         "date_filter": st.sampled_from([None, *range(len(_DATES))]),
@@ -255,6 +262,8 @@ def _to_spec(p) -> AggQuery:
             filters.append(Pred("l_discount", "<=", 0.05))
         pool = _PRICING_AGGS
     elif family == "part":
+        # a drawn p_size filter forces the part arm on (even for a
+        # supplier-group draw — the two arms compose)
         if p["psize_filter"] is not None:
             filters.append(Pred("p_size", ">=", p["psize_filter"]))
         pool = _PART_AGGS
@@ -291,7 +300,11 @@ def _to_spec(p) -> AggQuery:
         # semantically load-bearing (orphan dropping), rides on chain
         spec = _dc.replace(spec, chain=declared)
     if family == "part":
-        spec = _dc.replace(spec, part=True)
+        used = _used_cols(spec)
+        need_part = bool(used & PART_ATTRS) or not (used & SUPP_ATTRS)
+        spec = _dc.replace(
+            spec, part=need_part, supp=bool(used & SUPP_ATTRS)
+        )
     return spec
 
 
@@ -337,7 +350,7 @@ def _to_sql(
     having: int | None = None,
     limit: int | None = None,
 ) -> str:
-    part = spec.part
+    part, supp = spec.part, spec.supp
     tm = {a: (u, c) for a, u, c in spec.truncs}
     sel = [
         f"date_trunc('{tm[g][0]}', {tm[g][1]}) AS {g}" if g in tm else g
@@ -363,6 +376,7 @@ def _to_sql(
     frm = " ".join(
         ["lineitem", *_CHAIN_JOINS[:chain]]
         + (["JOIN part ON l_partkey = p_partkey"] if part else [])
+        + (["JOIN supplier ON l_suppkey = s_suppkey"] if supp else [])
     )
     conds = [_cond_sql(pr) for pr in spec.filters]
     parts = [f"SELECT {', '.join(sel)} FROM {frm}"]
@@ -385,7 +399,7 @@ def _to_sql(
 @pytest.fixture(scope="module")
 def _ora(sf_dir):
     con = duckdb.connect()
-    for t in ("region", "nation", "customer", "orders", "lineitem", "part"):
+    for t in ("region", "nation", "customer", "orders", "lineitem", "part", "supplier"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
