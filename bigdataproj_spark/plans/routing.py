@@ -785,17 +785,18 @@ def _raw_plan(spark: SparkSession, sf_dir: str, q: AggQuery) -> DataFrame:
                 dims.hint("shuffle_hash"), F.col("l_orderkey") == dims.o_orderkey
             )
         if part:
+            # no join hint: Catalyst/AQE picks broadcast while the
+            # (filtered) part side fits and shuffles past that —
+            # measured at sf5: broadcast 0.96 s / shuffle 1.44 s for
+            # the row-level form, and the right choice flips with
+            # scale, which is exactly what AQE decides at runtime
             pa = table(spark, sf_dir, "part").select("p_partkey", *part_attrs)
-            df = df.join(
-                pa.hint("shuffle_hash"), F.col("l_partkey") == pa.p_partkey
-            )
+            df = df.join(pa, F.col("l_partkey") == pa.p_partkey)
         if supp:
             su = table(spark, sf_dir, "supplier").select(
                 "s_suppkey", *supp_attrs
             )
-            df = df.join(
-                su.hint("shuffle_hash"), F.col("l_suppkey") == su.s_suppkey
-            )
+            df = df.join(su, F.col("l_suppkey") == su.s_suppkey)
         for pr in star_filters:
             df = df.filter(pr.column())
         for pr in part_filters:
@@ -846,6 +847,23 @@ def _raw_plan(spark: SparkSession, sf_dir: str, q: AggQuery) -> DataFrame:
     if not join_keys:
         # q01 shape: scan → fused projection → one-shuffle aggregate.
         out = pre.groupBy(*q.group_by).agg(
+            *_final_agg_exprs(
+                q, int_cols, {m: c for m, c in cnt_cols.items() if c}, None
+            )
+        )
+        return out.orderBy(*q.group_by) if q.group_by else out
+
+    if join_keys != ["l_orderkey"]:
+        # ROW-LEVEL arm join: when the partial key includes a
+        # high-cardinality arm key (l_partkey ~ N/4 distinct values,
+        # l_suppkey dense), pre-aggregation barely shrinks the fact
+        # and its hash table costs more than the slimmer shuffle
+        # saves — measured at sf5 on the part arm: 1.44 s row-level
+        # vs 2.54 s partial (docs/BENCHMARKS.md). The l_orderkey-only
+        # partial below keeps its measured q26 win (4:1 fan-in, slim
+        # per-order rows crossing the shuffle).
+        j = _attach_arms(pre)
+        out = j.groupBy(*q.group_by).agg(
             *_final_agg_exprs(
                 q, int_cols, {m: c for m, c in cnt_cols.items() if c}, None
             )
