@@ -25,21 +25,30 @@ isn't (say, a different cast width) simply doesn't match and falls back.
 
 Recognized family (everything else → ``UnsupportedSQL`` → spark.sql):
 
-- grouped aggregates over ``lineitem`` alone or the canonical 5-table
-  star join (lineitem⋈orders⋈customer⋈nation⋈region on the TPC-H keys,
-  validated structurally as the set of join equalities);
+- grouped aggregates over ``lineitem`` alone, any PREFIX of the
+  canonical order chain (lineitem⋈orders⋈customer⋈nation⋈region on
+  the TPC-H keys, validated structurally as the set of join
+  equalities — join DEPTH is semantically load-bearing, see
+  routing.AggQuery.chain), and/or the part and supplier arms
+  (⋈part on l_partkey, ⋈supplier on l_suppkey), all composable;
 - aggregates: the canonical DECIMAL sum/avg/min/max formulations of
   the five routing measures, plus plain ``SUM/AVG/COUNT/MIN/MAX(col)``
-  over the raw measure columns and ``COUNT(*)``. MIN/MAX re-derive
-  from the cube's stored int64 min/max partials (fixed-point scaling
-  is monotone, so it commutes with MIN/MAX — the partials are monoids
+  over the raw measure columns, ``COUNT(*)``, and ``COUNT(DISTINCT
+  col)`` over any reachable attribute. MIN/MAX re-derive from the
+  cubes' stored int64 min/max partials (fixed-point scaling is
+  monotone, so it commutes with MIN/MAX — the partials are monoids
   like the sums, and double as per-group zone maps). Plain double
   forms are answered with the engine's exact fixed-point arithmetic —
   deterministic and order-independent where a naive double sum is not
   (documented semantics: the engine's SQL dialect computes
   decimal-exact money);
-- WHERE: a conjunction of ``col <op> literal`` / ``BETWEEN`` predicates
-  (TIMESTAMP/DATE literal casts preserved);
+- SELECT DISTINCT / GROUP BY without aggregates (the DISTINCT shape:
+  key combinations are a projection of stored group keys);
+- WHERE: a conjunction of ``col <op> literal`` / ``BETWEEN`` / ``IN``
+  / ``!=`` predicates and arbitrary AND/OR/NOT trees of them
+  (TIMESTAMP/DATE literal casts preserved; a boolean tree folds on a
+  projection exactly when every referenced column is a stored group
+  key — the tree is then constant within each stored group);
 - derived time-grain grouping: ``GROUP BY date_trunc('month'|'year'|
   'quarter'|'day', <timestamp col>)`` (by expression or select alias)
   — the coarser grain folds exactly onto the day-grained cube because
@@ -57,7 +66,9 @@ Recognized family (everything else → ``UnsupportedSQL`` → spark.sql):
   top-k warehouse shape) routes onto the cube too;
 - projection+filter scans over lineitem (no aggregates): routed through
   :func:`route_scan` so a range predicate on a Z-order curve key is
-  answered from the clustered layout, with any ORDER BY applied on top.
+  answered from the clustered layout and a shipdate range from the
+  ship-month-partitioned layout (derived partition pruning), with any
+  ORDER BY applied on top.
 
 At 100 TB this is the difference between "the 15k-row cube answer
 exists" and "SELECT ... FROM lineitem GROUP BY ... gets it": the user
