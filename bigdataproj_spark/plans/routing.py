@@ -243,6 +243,10 @@ def _used_cols(q: AggQuery) -> set[str]:
     for a in q.aggs:
         if a.fn == "count_distinct" and a.measure:
             used.add(a.measure)
+        elif a.measure and a.measure in MEASURES:
+            src = MEASURES[a.measure].source_col
+            if src and MEASURES[a.measure].home != "lineitem":
+                used.add(src)
     return used
 
 
@@ -284,6 +288,14 @@ class Measure:
     raw_int: Callable[[], Column]
     divisor: int
     source_col: str | None
+    # which side of the join provides the measure's input columns:
+    # "lineitem" measures compute in the fused pre-projection below
+    # any partial aggregation; arm measures ("order"/"part"/"supp")
+    # only exist after their join, so they force the row-level plan
+    # and compute post-join. SQL semantics are the JOIN's: an order-
+    # level SUM(o_totalprice) is weighted by lineitem multiplicity,
+    # exactly what the statement says.
+    home: str = "lineitem"
 
 
 def _rev() -> Column:
@@ -298,6 +310,14 @@ MEASURES: dict[str, Measure] = {
         Measure("discount", lambda: cents("l_discount"), 100, "l_discount"),
         Measure("revenue", _rev, 10_000, None),
         Measure("charge", lambda: _rev() * (100 + cents("l_tax")), 1_000_000, None),
+        Measure("order_total", lambda: cents("o_totalprice"), 100,
+                "o_totalprice", home="order"),
+        Measure("cust_acctbal", lambda: cents("c_acctbal"), 100,
+                "c_acctbal", home="order"),
+        Measure("part_retail", lambda: cents("p_retailprice"), 100,
+                "p_retailprice", home="part"),
+        Measure("supp_acctbal", lambda: cents("s_acctbal"), 100,
+                "s_acctbal", home="supp"),
     )
 }
 
@@ -818,6 +838,29 @@ def _raw_plan(spark: SparkSession, sf_dir: str, q: AggQuery) -> DataFrame:
     needed = sorted(
         {a.measure for a in q.aggs if a.measure and a.fn != "count_distinct"}
     )
+    li_measures = [m for m in needed if MEASURES[m].home == "lineitem"]
+    arm_measures = [m for m in needed if MEASURES[m].home != "lineitem"]
+    for m in arm_measures:
+        home = MEASURES[m].home
+        if home == "part" and not part:
+            raise ValueError(f"measure {m!r} needs the part join")
+        if home == "supp" and not supp:
+            raise ValueError(f"measure {m!r} needs the supplier join")
+        # order-home measures: chain reach already enforced through
+        # effective_chain (the source column rides _used_cols)
+    # arm measure sources ride their arm's attribute projection
+    dim_attrs = sorted(
+        set(dim_attrs)
+        | {MEASURES[m].source_col for m in arm_measures if MEASURES[m].home == "order"}
+    )
+    part_attrs = sorted(
+        set(part_attrs)
+        | {MEASURES[m].source_col for m in arm_measures if MEASURES[m].home == "part"}
+    )
+    supp_attrs = sorted(
+        set(supp_attrs)
+        | {MEASURES[m].source_col for m in arm_measures if MEASURES[m].home == "supp"}
+    )
     int_cols = {m: f"__{m}_i" for m in needed}
     cnt_cols = {
         m: MEASURES[m].source_col
@@ -827,21 +870,27 @@ def _raw_plan(spark: SparkSession, sf_dir: str, q: AggQuery) -> DataFrame:
     min_ms = sorted({a.measure for a in q.aggs if a.fn == "min"})
     max_ms = sorted({a.measure for a in q.aggs if a.fn == "max"})
 
-    # Fused pre-projection: each measure's fixed-point expression is
-    # computed once per row (q01's measured win), plus the grouping
-    # columns and any count-source / distinct-target columns.
+    # Fused pre-projection: each lineitem measure's fixed-point
+    # expression is computed once per row (q01's measured win), plus
+    # the grouping columns and any count-source / distinct-target
+    # columns. Arm-home measures only exist after their join and
+    # compute there.
     # dict.fromkeys: order-stable dedup (a grouping column may double
     # as a COUNT source column; selecting it twice would be an error)
     keep = list(
         dict.fromkeys(
             local_group
             + join_keys
-            + sorted(c for c in cnt_cols.values() if c)
+            + sorted(
+                c
+                for m, c in cnt_cols.items()
+                if c and MEASURES[m].home == "lineitem"
+            )
             + cd_local
         )
     )
     pre = li.select(
-        *keep, *[MEASURES[m].raw_int().alias(int_cols[m]) for m in needed]
+        *keep, *[MEASURES[m].raw_int().alias(int_cols[m]) for m in li_measures]
     )
 
     if not join_keys:
@@ -853,7 +902,7 @@ def _raw_plan(spark: SparkSession, sf_dir: str, q: AggQuery) -> DataFrame:
         )
         return out.orderBy(*q.group_by) if q.group_by else out
 
-    if join_keys != ["l_orderkey"]:
+    if join_keys != ["l_orderkey"] or arm_measures:
         # ROW-LEVEL arm join: when the partial key includes a
         # high-cardinality arm key (l_partkey ~ N/4 distinct values,
         # l_suppkey dense), pre-aggregation barely shrinks the fact
@@ -863,6 +912,8 @@ def _raw_plan(spark: SparkSession, sf_dir: str, q: AggQuery) -> DataFrame:
         # partial below keeps its measured q26 win (4:1 fan-in, slim
         # per-order rows crossing the shuffle).
         j = _attach_arms(pre)
+        for m in arm_measures:
+            j = j.withColumn(int_cols[m], MEASURES[m].raw_int())
         out = j.groupBy(*q.group_by).agg(
             *_final_agg_exprs(
                 q, int_cols, {m: c for m, c in cnt_cols.items() if c}, None
@@ -985,6 +1036,8 @@ def _spine_plan(spark: SparkSession, sf_dir: str, q: AggQuery) -> DataFrame | No
     needed = sorted(
         {a.measure for a in q.aggs if a.measure and a.fn != "count_distinct"}
     )
+    if any(MEASURES[m].home != "lineitem" for m in needed):
+        return None  # arm-home measures: the row-level raw plan computes them
     int_cols = {m: _SPINE_INT_COLS[m] for m in needed}
     cnt_cols = {
         m: MEASURES[m].source_col

@@ -131,6 +131,14 @@ _DECIMAL_EXPR: dict[str, str] = {
         " * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
         " * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))"
     ),
+    # arm-home money measures (late round 6): computed AFTER their
+    # join on the row-level raw plan; SQL semantics are the join's
+    # (order-level sums weight by lineitem multiplicity — exactly
+    # what the statement says, and what DuckDB computes)
+    "order_total": "CAST(o_totalprice AS DECIMAL(12,2))",
+    "cust_acctbal": "CAST(c_acctbal AS DECIMAL(12,2))",
+    "part_retail": "CAST(p_retailprice AS DECIMAL(12,2))",
+    "supp_acctbal": "CAST(s_acctbal AS DECIMAL(12,2))",
 }
 SUM_SQL = {m: f"CAST(SUM({e}) AS DOUBLE)" for m, e in _DECIMAL_EXPR.items()}
 # MIN/MAX partials are stored by the cube too (fixed-point scaling is
@@ -143,6 +151,10 @@ COL_MEASURE: dict[str, str] = {
     "l_quantity": "quantity",
     "l_extendedprice": "base_price",
     "l_discount": "discount",
+    "o_totalprice": "order_total",
+    "c_acctbal": "cust_acctbal",
+    "p_retailprice": "part_retail",
+    "s_acctbal": "supp_acctbal",
 }
 CNT_SRC: dict[str, str] = {m: c for c, m in COL_MEASURE.items()}
 
@@ -699,6 +711,15 @@ def parse_sql(sql: str) -> ParsedSQL:
             raise UnsupportedSQL(
                 f"COUNT(DISTINCT) over unknown column {a.measure}"
             )
+        if a.fn != "count_star" and a.measure in MEASURES:
+            m = MEASURES[a.measure]
+            # an arm-home measure is only reachable when its table is
+            # actually joined (same scoping rule as plain columns)
+            if m.home != "lineitem" and m.source_col not in allowed:
+                raise UnsupportedSQL(
+                    f"measure column {m.source_col} is not reachable "
+                    "from the statement's joins"
+                )
 
     # Resolve GROUP BY terms: a plain column, a select-list trunc alias,
     # or the full date_trunc expression repeated (matched structurally
@@ -989,6 +1010,35 @@ def r97_sql_triple_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
     honest plan: each arm then joins independently on its own key and
     only the slim projected attribute columns cross the shuffles."""
     df, chosen = route_sql(spark, sf_dir, _SQL_TRIPLE_ARM)
+    assert chosen == "raw", chosen
+    return df
+
+
+_SQL_ARM_MEASURES = f"""
+SELECT
+  c_mktsegment,
+  {SUM_SQL['order_total']} AS line_weighted_order_value,
+  {SUM_SQL['revenue']} AS rev,
+  {MIN_SQL['cust_acctbal']} AS min_bal,
+  COUNT(*) AS n
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@query("r98_sql_arm_measures", oracle=_SQL_ARM_MEASURES, tags=("S13", "E1", "A1", "J1"))
+def r98_sql_arm_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arm-home MEASURES through the front door: order- and customer-
+    level money columns aggregated over the declared chain-2 join,
+    alongside a lineitem measure. The sums weight by lineitem
+    multiplicity — exactly what the SQL says — and compute in the
+    engine's fixed-point arithmetic AFTER the join on the row-level
+    plan (an arm measure has no value below its join, so the planner
+    switches off the partial-aggregation form for the statement)."""
+    df, chosen = route_sql(spark, sf_dir, _SQL_ARM_MEASURES)
     assert chosen == "raw", chosen
     return df
 

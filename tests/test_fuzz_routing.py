@@ -80,6 +80,9 @@ _STAR_AGGS = [
     # rides the partial KEY on prefix-chain raw plans
     AggCall("count_distinct", "n_name", "a_cd_nat"),
     AggCall("count_distinct", "l_suppkey", "a_cd_supp"),
+    # order-home measure: forces the row-level plan (computed after
+    # the dimension join; lineitem-multiplicity semantics)
+    AggCall("sum", "order_total", "a_sum_otot"),
 ]
 _PART_AGGS = [
     AggCall("sum", "revenue", "a_sum_rev"),
@@ -87,6 +90,10 @@ _PART_AGGS = [
     AggCall("min", "quantity", "a_min_qty"),
     AggCall("count_distinct", "p_brand", "a_cd_brand"),
     AggCall("count_distinct", "l_suppkey", "a_cd_supp"),
+    # arm-home measures: each forces its arm on (and the row-level plan)
+    AggCall("sum", "part_retail", "a_sum_retail"),
+    AggCall("avg", "supp_acctbal", "a_avg_bal"),
+    AggCall("max", "order_total", "a_max_otot"),
 ]
 _DATES = ["1998-06-01", "2000-01-01", "2001-03-15", "2001-09-02"]
 
@@ -301,6 +308,12 @@ def _to_spec(p) -> AggQuery:
         spec = _dc.replace(spec, chain=declared)
     if family == "part":
         used = _used_cols(spec)
+        # arms follow from what the draw actually references: part-
+        # or supplier-side attributes/measure sources switch their arm
+        # on; a draw touching neither keeps the part arm (the family's
+        # no-attr orphan case). An order-home measure raises the
+        # minimal chain through _used_cols, so declared-chain
+        # normalization (above) already accounted for it.
         need_part = bool(used & PART_ATTRS) or not (used & SUPP_ATTRS)
         spec = _dc.replace(
             spec, part=need_part, supp=bool(used & SUPP_ATTRS)
