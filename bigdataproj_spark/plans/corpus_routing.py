@@ -1,0 +1,470 @@
+"""S15 (engine extension): projection auto-routing for the CORPUS fact
+tables — ``documents`` and ``events`` join the router's catalog.
+
+plans/routing.py routes the lineitem star; this module generalizes the
+same contract to single-table fact families declared as data
+(:class:`CorpusTable`): a :class:`TableAggQuery` spec is answered from
+a deployed cube when the cube SUBSUMES it, else from the raw-table
+plan — bit-identically by construction, because the cube stores the
+SAME per-row expressions (sources/corpus_cubes.py) the raw plan
+computes per query. The subsumption rules are routing.py's, plus one
+new rule the time-series family needs:
+
+DAY-BOUNDARY TIME FOLDING. The events cube stores ``ts`` at day grain
+(``event_day = date_trunc('day', ts)``), not full resolution, so a raw
+``ts`` predicate folds only when it is equivalent as a ROW SET to a
+predicate on the day key:
+
+- ``ts >= T`` with T at midnight  ⇔  ``event_day >= T``  (every row of
+  a day ≥ T has ts ≥ midnight-of-T; every ts ≥ T lies on a day ≥ T);
+- ``ts <  T`` with T at midnight  ⇔  ``event_day <  T``  (symmetric).
+
+Both are exact row-set equivalences, so they stay exact under
+arbitrary AND/OR/NOT composition and the rewrite is just ``ts →
+event_day`` leaf by leaf. The other operators do NOT fold (``ts <= T``
+at midnight includes ONLY the midnight instant of T's day — the day
+key cannot express that; ``=``/``between`` are sub-day for the same
+reason) and neither does any non-midnight literal: those specs route
+to the raw plan. A wrong-looking-but-fast rewrite is never on the
+table — the router refuses, it does not approximate.
+
+Time-GRAIN grouping folds like routing.py's trunc rule, one step
+coarser: the cube's day key is itself a trunc, and
+``date_trunc(u, ts) = date_trunc(u, date_trunc('day', ts))`` for every
+u ≥ day, so month/quarter/year groupings re-aggregate stored day
+groups exactly (day grouping is the stored key verbatim).
+
+Measures generalize with a ``divisor`` switch: money-style measures
+(events ``value``) use the int64 fixed-point arithmetic of
+functions.cents with a final ``/divisor`` to double; INTEGER measures
+(documents ``n_chars``, token counts) set divisor=1 and their sums
+stay exact BIGINT end to end — matching what exact SQL arithmetic
+produces for integer inputs. The token-count measure is the corpus
+family's flagship: its per-row expression is a full tokenizer pass
+(operators/text.py:25), so answering ``SUM(tokens)`` from the cube
+skips not just the scan but the regex work — deploy-time compute,
+query-time lookup.
+
+At 100 TB: both cubes are scale-invariant (|langs|x|sources|,
+|types|x|days|); the raw fallbacks are one-shuffle scan+aggregate
+plans with fused pre-projections (the q01 shape). Differentially
+fuzzed against DuckDB in tests/test_fuzz_routing.py alongside the
+lineitem families.
+"""
+
+from __future__ import annotations
+
+import dataclasses as _dc
+import re
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions import cents
+from .routing import AggCall, BoolPred, Pred
+
+# ---------------------------------------------------------------------------
+# The spec + semantic model.
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class TableAggQuery:
+    """A grouped/global aggregate (or DISTINCT shape when ``aggs`` is
+    empty) over ONE corpus fact table — routing.AggQuery minus the
+    join machinery: corpus tables are self-contained facts. ``truncs``
+    declares derived time-grain keys exactly like AggQuery."""
+
+    table: str
+    filters: tuple  # of Pred | BoolPred, implicitly conjoined
+    group_by: tuple[str, ...]
+    aggs: tuple[AggCall, ...]
+    truncs: tuple[tuple[str, str, str], ...] = ()
+
+    def group_sources(self) -> dict[str, str]:
+        tm = {alias: col for alias, _unit, col in self.truncs}
+        return {g: tm.get(g, g) for g in self.group_by}
+
+
+@dataclass(frozen=True)
+class CMeasure:
+    """A corpus measure: per-row int64 expression (same arithmetic at
+    deploy and query time), divisor back to double (1 = integer
+    measure, sums stay BIGINT), and the COUNT/AVG source column."""
+
+    name: str
+    raw_int: Callable[[], Column]
+    divisor: int
+    source_col: str
+
+
+def _doc_tokens() -> Column:
+    from ..operators.text import tokens
+
+    return F.size(tokens("text")).cast("long")
+
+
+@dataclass(frozen=True)
+class CorpusTable:
+    """One routable corpus fact table, declared as data: its actual
+    column set (unknown references refuse at parse time, never an
+    AnalysisException at plan time), its measures, and which timestamp
+    columns may source date_trunc grouping keys."""
+
+    name: str
+    columns: frozenset[str]
+    measures: dict[str, CMeasure]
+    ts_cols: frozenset[str]
+
+
+CORPUS_TABLES: dict[str, CorpusTable] = {
+    "documents": CorpusTable(
+        name="documents",
+        columns=frozenset({"doc_id", "text", "lang", "source", "n_chars"}),
+        measures={
+            "chars": CMeasure("chars", lambda: F.col("n_chars"), 1, "n_chars"),
+            "tokens": CMeasure("tokens", _doc_tokens, 1, "text"),
+        },
+        ts_cols=frozenset(),
+    ),
+    "events": CorpusTable(
+        name="events",
+        columns=frozenset(
+            {"event_id", "ts", "user_id", "event_type", "value", "props"}
+        ),
+        measures={
+            "value": CMeasure("value", lambda: cents("value"), 100, "value"),
+        },
+        ts_cols=frozenset({"ts"}),
+    ),
+}
+
+
+def _used_cols(q: TableAggQuery) -> set[str]:
+    used = set(q.group_sources().values())
+    for f in q.filters:
+        used |= f.cols()
+    for a in q.aggs:
+        if a.fn == "count_distinct" and a.measure:
+            used.add(a.measure)
+    return used
+
+
+def validate(q: TableAggQuery) -> CorpusTable:
+    """Structural validation against the declared table model; raises
+    ValueError (the router's refusal currency) on anything outside it."""
+    t = CORPUS_TABLES.get(q.table)
+    if t is None:
+        raise ValueError(f"unknown corpus table {q.table!r}")
+    trunc_aliases = {a for a, _u, _c in q.truncs}
+    for alias, unit, col in q.truncs:
+        if col not in t.ts_cols:
+            raise ValueError(f"date_trunc over non-timestamp column {col!r}")
+        if unit not in ("day", "month", "quarter", "year"):
+            raise ValueError(f"unsupported trunc unit {unit!r}")
+    for c in _used_cols(q):
+        if c not in t.columns:
+            raise ValueError(f"unknown column {c!r} on table {q.table!r}")
+    for g in q.group_by:
+        if g not in trunc_aliases and g not in t.columns:
+            raise ValueError(f"unknown grouping attribute {g!r}")
+    for a in q.aggs:
+        if a.fn in ("count_star", "count_distinct"):
+            continue
+        if a.measure not in t.measures:
+            raise ValueError(f"unknown measure {a.measure!r} on {q.table!r}")
+    return t
+
+
+# ---------------------------------------------------------------------------
+# Aggregate output expressions (shared by cube and raw paths).
+# ---------------------------------------------------------------------------
+
+
+def _agg_exprs(
+    q: TableAggQuery,
+    t: CorpusTable,
+    src_int: dict[str, str],
+    src_cnt: dict[str, str],
+    cnt_star: str | None,
+    src_min: dict[str, str] | None = None,
+    src_max: dict[str, str] | None = None,
+) -> list[Column]:
+    """routing._final_agg_exprs generalized to the corpus measure
+    model: divisor-1 measures keep exact BIGINT sums and min/max;
+    money measures divide back to double. ``cnt_star`` names a stored
+    partial-count column on the cube path (counts re-derive as
+    coalesced SUMs there — SQL COUNT over empty input is 0, SUM of no
+    partials is NULL)."""
+    src_min = src_min if src_min is not None else src_int
+    src_max = src_max if src_max is not None else src_int
+    exprs: list[Column] = []
+    for a in q.aggs:
+        if a.fn == "count_distinct":
+            exprs.append(F.countDistinct(F.col(a.measure)).alias(a.alias))
+            continue
+        if a.fn == "count_star":
+            exprs.append(
+                (
+                    F.coalesce(F.sum(cnt_star), F.lit(0).cast("long"))
+                    if cnt_star
+                    else F.count(F.lit(1))
+                ).alias(a.alias)
+            )
+            continue
+        m = t.measures[a.measure]
+        if a.fn == "sum":
+            s = F.sum(F.col(src_int[a.measure]))
+            if m.divisor != 1:
+                s = s.cast("double") / m.divisor
+            exprs.append(s.alias(a.alias))
+        elif a.fn == "min":
+            v = F.min(F.col(src_min[a.measure]))
+            if m.divisor != 1:
+                v = v.cast("double") / m.divisor
+            exprs.append(v.alias(a.alias))
+        elif a.fn == "max":
+            v = F.max(F.col(src_max[a.measure]))
+            if m.divisor != 1:
+                v = v.cast("double") / m.divisor
+            exprs.append(v.alias(a.alias))
+        elif a.fn == "count":
+            exprs.append(
+                (
+                    F.coalesce(F.sum(src_cnt[a.measure]), F.lit(0).cast("long"))
+                    if cnt_star
+                    else F.count(src_cnt[a.measure])
+                ).alias(a.alias)
+            )
+        elif a.fn == "avg":
+            s = F.sum(F.col(src_int[a.measure])).cast("double")
+            if m.divisor != 1:
+                s = s / m.divisor
+            c = F.sum(src_cnt[a.measure]) if cnt_star else F.count(src_cnt[a.measure])
+            exprs.append((s / c).alias(a.alias))
+        else:
+            raise ValueError(f"unsupported aggregate fn {a.fn!r}")
+    return exprs
+
+
+# ---------------------------------------------------------------------------
+# Cube descriptors + subsumption.
+# ---------------------------------------------------------------------------
+
+_MIDNIGHT = re.compile(r"^\d{4}-\d{2}-\d{2} 00:00:00$")
+# ts ops whose midnight form is a row-set equivalence on the day key
+# (see module docstring); <=/=/between are sub-day and never fold.
+_TS_FOLD_OPS = frozenset({">=", "<"})
+
+
+def _ts_pred_folds(p: Pred) -> bool:
+    return (
+        p.op in _TS_FOLD_OPS
+        and p.cast == "timestamp"
+        and isinstance(p.value, str)
+        and bool(_MIDNIGHT.match(p.value))
+    )
+
+
+def _filter_folds(f, attrs: frozenset[str], ts_src: str | None) -> bool:
+    """A predicate tree folds when every leaf is on a stored group key
+    or is a day-boundary-foldable ts leaf; exactness composes through
+    any boolean structure because each leaf rewrite is a row-set
+    equivalence."""
+    if isinstance(f, BoolPred):
+        return all(_filter_folds(ch, attrs, ts_src) for ch in f.children)
+    if f.col in attrs:
+        return True
+    return f.col == ts_src and _ts_pred_folds(f)
+
+
+def _rewrite_ts(f, ts_src: str, day_col: str):
+    """ts → day-key rewrite, leaf by leaf through the tree."""
+    if isinstance(f, BoolPred):
+        return BoolPred(f.op, tuple(_rewrite_ts(c, ts_src, day_col) for c in f.children))
+    if f.col == ts_src:
+        return _dc.replace(f, col=day_col)
+    return f
+
+
+@dataclass(frozen=True)
+class _StoredM:
+    int_col: str
+    cnt_col: str | None
+    min_col: str | None = None
+    max_col: str | None = None
+
+
+@dataclass(frozen=True)
+class CorpusProjection:
+    """One deployed corpus cube: the plain group keys it stores, an
+    optional day-grain time key ``(stored_col, ts_source_col)``, its
+    stored measure partials, and how to open it."""
+
+    name: str
+    table: str
+    attrs: frozenset[str]
+    measures: dict[str, _StoredM]
+    count_star_col: str
+    open: Callable[[SparkSession, str], DataFrame]
+    day_key: tuple[str, str] | None = None  # (stored col, ts source col)
+
+    def subsumes(self, q: TableAggQuery) -> bool:
+        if q.table != self.table:
+            return False
+        day_col, ts_src = self.day_key if self.day_key else (None, None)
+        trunc_src = {a: c for a, _u, c in q.truncs}
+        for g, src in q.group_sources().items():
+            if src in self.attrs:
+                continue
+            # a time-grain key folds when its source is the cube's ts
+            # and the requested unit is day or coarser (validate()
+            # already restricted units to day/month/quarter/year)
+            if g in trunc_src and src == ts_src:
+                continue
+            return False
+        for f in q.filters:
+            if not _filter_folds(f, self.attrs, ts_src):
+                return False
+        for a in q.aggs:
+            if a.fn == "count_star":
+                continue
+            if a.fn == "count_distinct":
+                if (a.measure or "") not in self.attrs:
+                    return False
+                continue
+            sm = self.measures.get(a.measure or "")
+            if sm is None:
+                return False
+            if a.fn in ("count", "avg") and sm.cnt_col is None:
+                return False
+            if a.fn == "min" and sm.min_col is None:
+                return False
+            if a.fn == "max" and sm.max_col is None:
+                return False
+        return True
+
+    def build(self, spark: SparkSession, sf_dir: str, q: TableAggQuery) -> DataFrame:
+        t = CORPUS_TABLES[q.table]
+        df = self.open(spark, sf_dir)
+        day_col, ts_src = self.day_key if self.day_key else (None, None)
+        # Filters BEFORE truncs (WHERE is pre-projection in SQL); ts
+        # leaves rewrite onto the stored day key.
+        for p in q.filters:
+            if ts_src is not None:
+                p = _rewrite_ts(p, ts_src, day_col)
+            df = df.filter(p.column())
+        for alias, unit, col in q.truncs:
+            src = day_col if col == ts_src else col
+            # date_trunc(u, day) == date_trunc(u, ts) for u >= day;
+            # the day grain itself is the stored key verbatim
+            df = df.withColumn(alias, F.date_trunc(unit, F.col(src)))
+        if not q.aggs:
+            return df.select(*q.group_by).distinct().orderBy(*q.group_by)
+        int_cols = {m: sm.int_col for m, sm in self.measures.items()}
+        cnt_cols = {m: sm.cnt_col for m, sm in self.measures.items() if sm.cnt_col}
+        min_cols = {m: sm.min_col for m, sm in self.measures.items() if sm.min_col}
+        max_cols = {m: sm.max_col for m, sm in self.measures.items() if sm.max_col}
+        out = df.groupBy(*q.group_by).agg(
+            *_agg_exprs(
+                q, t, int_cols, cnt_cols, self.count_star_col, min_cols, max_cols
+            )
+        )
+        return out.orderBy(*q.group_by) if q.group_by else out
+
+
+def _open_docs_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.corpus_cubes import docs_stats_cube_table
+
+    return spark.read.parquet(docs_stats_cube_table(spark, sf_dir))
+
+
+def _open_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.corpus_cubes import events_daily_cube_table
+
+    return spark.read.parquet(events_daily_cube_table(spark, sf_dir))
+
+
+CORPUS_PROJECTIONS: tuple[CorpusProjection, ...] = (
+    CorpusProjection(
+        name="docs_stats_cube",
+        table="documents",
+        attrs=frozenset({"lang", "source"}),
+        measures={
+            "chars": _StoredM("chars_i", "cnt_chars", "min_chars_i", "max_chars_i"),
+            "tokens": _StoredM("tokens_i", "cnt_text", "min_tokens_i", "max_tokens_i"),
+        },
+        count_star_col="cnt",
+        open=_open_docs_cube,
+    ),
+    CorpusProjection(
+        name="events_daily_cube",
+        table="events",
+        attrs=frozenset({"event_type"}),
+        measures={
+            "value": _StoredM("value_i", "cnt_value", "min_value_i", "max_value_i"),
+        },
+        count_star_col="cnt",
+        open=_open_events_cube,
+        day_key=("event_day", "ts"),
+    ),
+)
+
+
+# ---------------------------------------------------------------------------
+# The raw fallback: scan → fused pre-projection → one-shuffle aggregate
+# (the q01 shape, per table).
+# ---------------------------------------------------------------------------
+
+
+def _raw_plan(spark: SparkSession, sf_dir: str, q: TableAggQuery) -> DataFrame:
+    t = validate(q)
+    df = table(spark, sf_dir, q.table)
+    for p in q.filters:
+        df = df.filter(p.column())
+    for alias, unit, col in q.truncs:
+        df = df.withColumn(alias, F.date_trunc(unit, F.col(col)))
+    if not q.aggs:
+        return df.select(*q.group_by).distinct().orderBy(*q.group_by)
+    needed = sorted(
+        {a.measure for a in q.aggs if a.measure and a.fn != "count_distinct"}
+    )
+    int_cols = {m: f"__{m}_i" for m in needed}
+    cnt_cols = {
+        m: t.measures[m].source_col
+        for m in needed
+        if any(a.fn in ("count", "avg") and a.measure == m for a in q.aggs)
+    }
+    cd_cols = sorted({a.measure for a in q.aggs if a.fn == "count_distinct"})
+    keep = list(
+        dict.fromkeys(
+            list(q.group_by) + sorted(cnt_cols.values()) + cd_cols
+        )
+    )
+    pre = df.select(
+        *keep, *[t.measures[m].raw_int().alias(int_cols[m]) for m in needed]
+    )
+    out = pre.groupBy(*q.group_by).agg(
+        *_agg_exprs(q, t, int_cols, cnt_cols, None)
+    )
+    return out.orderBy(*q.group_by) if q.group_by else out
+
+
+# ---------------------------------------------------------------------------
+# The router.
+# ---------------------------------------------------------------------------
+
+
+def route_corpus(
+    spark: SparkSession, sf_dir: str, q: TableAggQuery
+) -> tuple[DataFrame, str]:
+    """Answer ``q`` from the subsuming corpus cube, else the raw plan.
+    Returns (result, chosen); tests assert on ``chosen``."""
+    validate(q)
+    for proj in CORPUS_PROJECTIONS:
+        if proj.subsumes(q):
+            return proj.build(spark, sf_dir, q), proj.name
+    return _raw_plan(spark, sf_dir, q), "raw"

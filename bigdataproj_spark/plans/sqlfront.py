@@ -89,6 +89,11 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .corpus_routing import (
+    CORPUS_TABLES,
+    TableAggQuery,
+    route_corpus,
+)
 from .routing import (
     DIM_ATTRS,
     PART_ATTRS,
@@ -157,6 +162,54 @@ COL_MEASURE: dict[str, str] = {
     "s_acctbal": "supp_acctbal",
 }
 CNT_SRC: dict[str, str] = {m: c for c, m in COL_MEASURE.items()}
+
+# ---------------------------------------------------------------------------
+# Corpus-table measure spellings (S15): the canonical SQL forms of the
+# documents/events measures, shared with the corpus fuzzer. Integer
+# measures (divisor 1) spell their SUM as CAST(... AS BIGINT) — exact
+# int64 on both engines (DuckDB's bare SUM(BIGINT) widens to HUGEINT,
+# which pandas renders as float; the cast pins the common exact type).
+# The tokens measure's canonical form embeds the engine's tokenizer
+# twin (operators/text.py TOKENS_SQL) — the whole point of the docs
+# cube: that full-corpus regex pass runs at deploy time, and a SQL
+# statement spelling it is answered from stored partials.
+# ---------------------------------------------------------------------------
+
+_TOK_LEN_SQL = (
+    "len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> ''))"
+)
+_EVENT_VAL_SQL = "CAST(value AS DECIMAL(18,2))"
+
+CORPUS_SUM_SQL: dict[str, dict[str, str]] = {
+    "documents": {
+        "chars": "CAST(SUM(n_chars) AS BIGINT)",
+        "tokens": f"CAST(SUM({_TOK_LEN_SQL}) AS BIGINT)",
+    },
+    "events": {"value": f"CAST(SUM({_EVENT_VAL_SQL}) AS DOUBLE)"},
+}
+CORPUS_MIN_SQL: dict[str, dict[str, str]] = {
+    "documents": {"chars": "MIN(n_chars)", "tokens": f"MIN({_TOK_LEN_SQL})"},
+    "events": {"value": f"CAST(MIN({_EVENT_VAL_SQL}) AS DOUBLE)"},
+}
+CORPUS_MAX_SQL: dict[str, dict[str, str]] = {
+    "documents": {"chars": "MAX(n_chars)", "tokens": f"MAX({_TOK_LEN_SQL})"},
+    "events": {"value": f"CAST(MAX({_EVENT_VAL_SQL}) AS DOUBLE)"},
+}
+CORPUS_AVG_SQL: dict[str, dict[str, str]] = {
+    "documents": {
+        "chars": "CAST(SUM(n_chars) AS DOUBLE) / COUNT(n_chars)",
+        "tokens": f"CAST(SUM({_TOK_LEN_SQL}) AS DOUBLE) / COUNT({_TOK_LEN_SQL})",
+    },
+    "events": {
+        "value": f"CAST(SUM({_EVENT_VAL_SQL}) AS DOUBLE) / COUNT(value)"
+    },
+}
+# Plain one-column spellings (SUM(n_chars), AVG(value), COUNT(value) …);
+# answered with the engine's exact arithmetic, like the lineitem forms.
+CORPUS_COL_MEASURE: dict[str, dict[str, str]] = {
+    "documents": {"n_chars": "chars"},
+    "events": {"value": "value"},
+}
 
 # The dimension chain in join order; a statement's FROM clause must be
 # lineitem alone or a PREFIX of this chain joined on exactly these
@@ -293,11 +346,13 @@ _TRUNC_UNITS = frozenset({"year", "quarter", "month", "day"})
 _TS_COLS = frozenset({"l_shipdate", "o_orderdate"})
 
 
-def _match_trunc(node) -> tuple[str, str] | None:
+def _match_trunc(node, ts_cols: frozenset[str] = _TS_COLS) -> tuple[str, str] | None:
     """(unit, source_col) for a ``date_trunc('unit', col)`` call over a
     supported unit and timestamp column, else None. Units are the four
     whose truncation semantics are identical between Spark and DuckDB
-    (week differs: ISO vs locale conventions — excluded)."""
+    (week differs: ISO vs locale conventions — excluded). ``ts_cols``
+    is the caller's table-specific legal source set (the lineitem-star
+    set by default; corpus tables pass their own)."""
     if not (isinstance(node, dict) and node.get("class") == "FUNCTION"):
         return None
     if node.get("function_name", "").lower() != "date_trunc":
@@ -314,7 +369,7 @@ def _match_trunc(node) -> tuple[str, str] | None:
         return None
     unit = str(c0["value"]["value"]).lower()
     col = _colref(ch[1])
-    if unit not in _TRUNC_UNITS or col not in _TS_COLS:
+    if unit not in _TRUNC_UNITS or col not in ts_cols:
         return None
     return unit, col
 
@@ -621,6 +676,161 @@ def _parse_having(node, agg_alias_by_key: dict[str, str]) -> tuple[Pred, ...]:
     return tuple(preds)
 
 
+_CORPUS_CANON: dict[str, dict[str, tuple[str, str]]] = {}
+
+
+def _corpus_canon(tname: str) -> dict[str, tuple[str, str]]:
+    """Normalized ASTs of the corpus tables' canonical aggregate
+    formulations (parsed once per table, like :func:`_canon_aggs`)."""
+    if tname not in _CORPUS_CANON:
+        canon: dict[str, tuple[str, str]] = {}
+        for fn, tbl in (
+            ("sum", CORPUS_SUM_SQL),
+            ("min", CORPUS_MIN_SQL),
+            ("max", CORPUS_MAX_SQL),
+            ("avg", CORPUS_AVG_SQL),
+        ):
+            for measure, sql in tbl[tname].items():
+                item = _ast(f"SELECT {sql} FROM {tname}")["select_list"][0]
+                canon[_key(item)] = (fn, measure)
+        _CORPUS_CANON[tname] = canon
+    return _CORPUS_CANON[tname]
+
+
+def _match_corpus_agg(item: dict, tname: str) -> AggCall | None:
+    """Corpus twin of :func:`_match_agg`: canonical forms (incl. the
+    full AVG quotient as one snippet), COUNT(*), COUNT(DISTINCT col),
+    and plain one-column spellings over the table's measure columns."""
+    alias = item.get("alias", "")
+    hit = _corpus_canon(tname).get(_key(item))
+    if hit:
+        return AggCall(hit[0], hit[1], alias) if alias else None
+    if _is_count_star(item):
+        return AggCall("count_star", None, alias) if alias else None
+    if (
+        isinstance(item, dict)
+        and item.get("class") == "FUNCTION"
+        and item.get("function_name", "").lower() == "count"
+        and item.get("distinct")
+        and item.get("filter") is None
+        and not item.get("order_bys", {}).get("orders")
+        and len(item.get("children", [])) == 1
+    ):
+        col = _colref(item["children"][0])
+        if col:
+            return AggCall("count_distinct", col, alias) if alias else None
+    pf = _plain_fn(item)
+    if pf:
+        fn, col = pf
+        col_measure = CORPUS_COL_MEASURE[tname]
+        if fn in ("count", "avg", "sum", "min", "max") and col in col_measure:
+            return AggCall(fn, col_measure[col], alias) if alias else None
+    return None
+
+
+def _parse_corpus(node: dict, tname: str) -> "ParsedSQL":
+    """Lower a single-corpus-table SELECT onto :class:`TableAggQuery`.
+    The same clause grammar as the lineitem path (WHERE trees, HAVING,
+    ORDER BY/LIMIT, SELECT DISTINCT, date_trunc grouping) minus the
+    join machinery — corpus tables are self-contained facts. Scans
+    (no grouping, no aggregates) are refused: no clustered corpus
+    layout is deployed, so spark.sql verbatim is already the best
+    plan."""
+    model = CORPUS_TABLES[tname]
+    order, limit, distinct = _modifiers(node)
+    filters = _parse_where(node.get("where_clause"))
+    allowed = model.columns
+    for p in filters:
+        bad = p.cols() - allowed
+        if bad:
+            raise UnsupportedSQL(f"filter on unknown column {sorted(bad)[0]}")
+
+    group_nodes = node.get("group_expressions", [])
+    sets = node.get("group_sets", [])
+    if group_nodes and sets != [list(range(len(group_nodes)))]:
+        raise UnsupportedSQL("GROUPING SETS/ROLLUP/CUBE are not routable")
+
+    out: list[str] = []
+    aggs: list[AggCall] = []
+    seen_groups: list[str] = []
+    truncs: dict[str, tuple[str, str]] = {}
+    agg_alias_by_key: dict[str, str] = {}
+    for item in node["select_list"]:
+        call = _match_corpus_agg(item, tname)
+        if call is not None:
+            if not call.alias:
+                raise UnsupportedSQL("aggregate without an alias")
+            aggs.append(call)
+            out.append(call.alias)
+            agg_alias_by_key[_key(item)] = call.alias
+            continue
+        tr = _match_trunc(item, model.ts_cols)
+        if tr is not None:
+            alias = item.get("alias", "")
+            if not alias:
+                raise UnsupportedSQL("date_trunc key without an alias")
+            truncs[alias] = tr
+            out.append(alias)
+            seen_groups.append(alias)
+            continue
+        col = _colref(item)
+        if col is None:
+            raise UnsupportedSQL("select item is neither group column nor aggregate")
+        if item.get("alias"):
+            raise UnsupportedSQL("aliased group columns are not routable")
+        if col not in allowed:
+            raise UnsupportedSQL(f"unknown column {col} on {tname}")
+        out.append(col)
+        seen_groups.append(col)
+    if len(set(out)) != len(out):
+        raise UnsupportedSQL("duplicate output column names")
+    for a in aggs:
+        if a.fn == "count_distinct" and a.measure not in allowed:
+            raise UnsupportedSQL(f"COUNT(DISTINCT) over unknown column {a.measure}")
+
+    groups: list[str] = []
+    if distinct:
+        if aggs:
+            raise UnsupportedSQL("DISTINCT over aggregates is not routable")
+        if group_nodes:
+            raise UnsupportedSQL("DISTINCT combined with GROUP BY is not routable")
+        groups = list(seen_groups)
+    for g in group_nodes:
+        col = _colref(g)
+        if col is not None:
+            if col in truncs or col in allowed:
+                groups.append(col)
+                continue
+            raise UnsupportedSQL(f"GROUP BY over unknown column {col}")
+        tr = _match_trunc(g, model.ts_cols)
+        if tr is not None:
+            alias = next((a for a, t in truncs.items() if t == tr), None)
+            if alias is None:
+                raise UnsupportedSQL("grouped date_trunc key is not selected")
+            groups.append(alias)
+            continue
+        raise UnsupportedSQL("GROUP BY over a non-routable expression")
+
+    if not groups and not aggs:
+        raise UnsupportedSQL(f"row-level scans over {tname} are not routable")
+    for col in seen_groups:
+        if col not in groups:
+            raise UnsupportedSQL(f"bare column {col} is not a grouping key")
+    if sorted(seen_groups) != sorted(groups):
+        raise UnsupportedSQL("every grouping key must be selected exactly once")
+    having = _parse_having(node.get("having"), agg_alias_by_key)
+    if not ({c for c, _ in order} <= set(out)):
+        raise UnsupportedSQL("ORDER BY must use output columns")
+    spec = TableAggQuery(
+        tname,
+        filters,
+        tuple(groups),
+        tuple(aggs),
+        tuple((a, u, c) for a, (u, c) in truncs.items()),
+    )
+    return ParsedSQL(spec, tuple(out), order, having, limit)
+
+
 # ---------------------------------------------------------------------------
 # The public surface.
 # ---------------------------------------------------------------------------
@@ -634,7 +844,7 @@ class ParsedSQL:
     answers — HAVING (as filters over output aggregate columns),
     ORDER BY ((col, ascending) terms over output columns), LIMIT."""
 
-    spec: AggQuery | ScanQuery
+    spec: AggQuery | ScanQuery | TableAggQuery
     columns: tuple[str, ...]
     order: tuple[tuple[str, bool], ...]
     having: tuple[Pred, ...] = ()
@@ -651,6 +861,14 @@ def parse_sql(sql: str) -> ParsedSQL:
         raise UnsupportedSQL("CTEs are not routable")
     if node.get("aggregate_handling") != "STANDARD_HANDLING":
         raise UnsupportedSQL("non-standard aggregate handling")
+    from_node = node["from_table"]
+    if (
+        from_node.get("type") == "BASE_TABLE"
+        and from_node.get("table_name", "").lower() in CORPUS_TABLES
+    ):
+        # S15: single-table corpus families (documents/events) lower
+        # onto TableAggQuery and route through the corpus catalog.
+        return _parse_corpus(node, from_node["table_name"].lower())
     order, limit, distinct = _modifiers(node)
 
     chain, part, supp = _parse_from(node["from_table"])
@@ -816,6 +1034,11 @@ def route_sql(
     parsed = parse_sql(sql)
     if isinstance(parsed.spec, ScanQuery):
         df, chosen = route_scan(spark, sf_dir, parsed.spec)
+    elif isinstance(parsed.spec, TableAggQuery):
+        try:
+            df, chosen = route_corpus(spark, sf_dir, parsed.spec)
+        except ValueError as e:
+            raise UnsupportedSQL(str(e)) from e
     else:
         try:
             df, chosen = route(spark, sf_dir, parsed.spec)
@@ -1183,4 +1406,65 @@ def r93_sql_spine_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw plan at sf5 (docs/BENCHMARKS.md round 6)."""
     df, chosen = route_sql(spark, sf_dir, _SQL_SPINE_SEGMENT)
     assert chosen == "bucketed_spine", chosen
+    return df
+
+
+_SQL_DOCS_PROFILE = f"""
+SELECT
+  lang,
+  source,
+  {CORPUS_SUM_SQL['documents']['tokens']} AS total_tokens,
+  {CORPUS_SUM_SQL['documents']['chars']} AS total_chars,
+  {CORPUS_AVG_SQL['documents']['chars']} AS avg_chars,
+  {CORPUS_MIN_SQL['documents']['tokens']} AS min_tokens,
+  COUNT(*) AS n_docs
+FROM documents
+WHERE lang IN ('en', 'de', 'fr')
+GROUP BY lang, source
+ORDER BY lang, source
+"""
+
+
+@query("r99_sql_docs_profile", oracle=_SQL_DOCS_PROFILE, tags=("S15", "E1", "A1", "text"))
+def r99_sql_docs_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus router's flagship (S15): a text-profile statement
+    whose token-count aggregates spell out the engine's whitespace
+    tokenizer — a full-corpus regex pass if run raw — answered from
+    the (lang, source) doc-stats cube, where that pass already ran
+    once at deploy time. The language filter folds (group-key IN), the
+    integer sums stay exact BIGINT, and the oracle runs the identical
+    string over the raw documents table: the value of the rewrite is
+    precisely that the regex work is not repeated per query."""
+    df, chosen = route_sql(spark, sf_dir, _SQL_DOCS_PROFILE)
+    assert chosen == "docs_stats_cube", chosen
+    return df
+
+
+_SQL_EVENTS_ROLLUP = f"""
+SELECT
+  date_trunc('day', ts) AS event_day,
+  event_type,
+  {CORPUS_SUM_SQL['events']['value']} AS total_value,
+  {CORPUS_MAX_SQL['events']['value']} AS max_value,
+  COUNT(*) AS n_events
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-20 00:00:00' AND event_type != 'error'
+GROUP BY event_day, event_type
+ORDER BY event_day, event_type
+"""
+
+
+@query("r100_sql_events_rollup", oracle=_SQL_EVENTS_ROLLUP, tags=("S15", "E1", "A1", "ST1"))
+def r100_sql_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series SQL through the corpus router (S15): a per-day
+    per-type event rollup with a DAY-BOUNDARY time-range predicate,
+    answered from the (event_type, day) cube. ``ts >= midnight`` is a
+    row-set equivalence on the stored day key (corpus_routing module
+    docstring spells out why >=/< fold and <=/=/BETWEEN must not), the
+    type filter folds on the other group key, and the value partials
+    re-aggregate in the same int64 fixed-point arithmetic the
+    DECIMAL(18,2) oracle form computes. The sub-day twin of this
+    statement routes raw — pinned in tests/test_corpus_routing.py."""
+    df, chosen = route_sql(spark, sf_dir, _SQL_EVENTS_ROLLUP)
+    assert chosen == "events_daily_cube", chosen
     return df

@@ -1,0 +1,518 @@
+"""S15: corpus-table routing (documents / events) — subsumption,
+day-boundary time folding, raw fallbacks, incremental cube
+maintenance, SQL front door, and a differential fuzz family.
+
+Everything here is a differential check: routed answers must equal the
+raw plan and DuckDB running the same SQL over the raw parquet — the
+rewrite's invisibility IS the property under test.
+"""
+
+import os
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from bigdataproj_spark.catalog import table
+from bigdataproj_spark.plans import physical_plan as plan_of
+from bigdataproj_spark.plans.corpus_routing import (
+    CORPUS_TABLES,
+    AggCall,
+    BoolPred,
+    Pred,
+    TableAggQuery,
+    _raw_plan,
+    route_corpus,
+)
+from bigdataproj_spark.plans.sqlfront import (
+    CORPUS_AVG_SQL,
+    CORPUS_MAX_SQL,
+    CORPUS_MIN_SQL,
+    CORPUS_SUM_SQL,
+    UnsupportedSQL,
+    parse_sql,
+    route_sql,
+)
+from bigdataproj_spark.testing import compare_frames
+
+_FUZZ_SCALE = int(os.environ.get("FUZZ_SCALE", "1"))
+
+
+# ---------------------------------------------------------------------------
+# Routing choices + plan shapes.
+# ---------------------------------------------------------------------------
+
+_DOCS_PROFILE = TableAggQuery(
+    table="documents",
+    filters=(Pred("lang", "in", ("en", "de")),),
+    group_by=("lang", "source"),
+    aggs=(
+        AggCall("sum", "tokens", "total_tokens"),
+        AggCall("avg", "chars", "avg_chars"),
+        AggCall("min", "chars", "min_chars"),
+        AggCall("count_star", None, "n_docs"),
+    ),
+)
+
+
+def test_docs_profile_routes_to_cube_and_skips_raw_scan(spark, sf_dir):
+    df, chosen = route_corpus(spark, sf_dir, _DOCS_PROFILE)
+    assert chosen == "docs_stats_cube"
+    plan = plan_of(df)
+    # the scan reads stored partials out of the warehouse, and touches
+    # neither the raw parquet nor the text column (the whole point:
+    # the tokenizer pass happened at deploy)
+    assert "tokens_i" in plan and "bigdataproj_bucketed_wh" in plan, plan
+    assert "documents.parquet" not in plan, plan
+    assert "text#" not in plan, plan
+
+
+def test_docs_routed_equals_raw_plan(spark, sf_dir):
+    routed, chosen = route_corpus(spark, sf_dir, _DOCS_PROFILE)
+    assert chosen == "docs_stats_cube"
+    raw = _raw_plan(spark, sf_dir, _DOCS_PROFILE)
+    assert routed.toPandas().equals(raw.toPandas())
+
+
+def test_docs_non_key_filter_falls_back_to_raw(spark, sf_dir):
+    q = TableAggQuery(
+        table="documents",
+        filters=(Pred("n_chars", ">=", 200),),
+        group_by=("lang",),
+        aggs=(AggCall("sum", "chars", "total_chars"),),
+    )
+    df, chosen = route_corpus(spark, sf_dir, q)
+    assert chosen == "raw"
+    assert "documents.parquet" in plan_of(df)
+
+
+def test_docs_count_distinct_fold_vs_raw(spark, sf_dir):
+    folds = TableAggQuery(
+        "documents", (), ("lang",), (AggCall("count_distinct", "source", "n_src"),)
+    )
+    _, chosen = route_corpus(spark, sf_dir, folds)
+    assert chosen == "docs_stats_cube"
+    # doc_id is not a stored group key: its distinct set is not
+    # derivable from the cube, so the spec must run raw
+    raw = TableAggQuery(
+        "documents", (), ("lang",), (AggCall("count_distinct", "doc_id", "n_doc"),)
+    )
+    _, chosen = route_corpus(spark, sf_dir, raw)
+    assert chosen == "raw"
+
+
+def test_events_day_boundary_fold_rules(spark, sf_dir):
+    """The time-predicate fold table: >=/< at midnight fold onto the
+    day key; <=/>/=/BETWEEN (midnight or not) and any sub-day literal
+    must route raw — and every variant answers identically either way
+    (the DuckDB cross-check runs in the fuzz family below)."""
+    mk = lambda pred: TableAggQuery(  # noqa: E731
+        "events", (pred,), ("event_type",),
+        (AggCall("sum", "value", "total"), AggCall("count_star", None, "n")),
+    )
+    cases = [
+        (Pred("ts", ">=", "2024-01-10 00:00:00", cast="timestamp"), "events_daily_cube"),
+        (Pred("ts", "<", "2024-01-20 00:00:00", cast="timestamp"), "events_daily_cube"),
+        (Pred("ts", "<=", "2024-01-20 00:00:00", cast="timestamp"), "raw"),
+        (Pred("ts", ">", "2024-01-10 00:00:00", cast="timestamp"), "raw"),
+        (Pred("ts", "=", "2024-01-10 00:00:00", cast="timestamp"), "raw"),
+        (Pred("ts", ">=", "2024-01-10 12:00:00", cast="timestamp"), "raw"),
+        (
+            Pred("ts", "between",
+                 ("2024-01-10 00:00:00", "2024-01-20 00:00:00"),
+                 cast="timestamp"),
+            "raw",
+        ),
+    ]
+    for pred, want in cases:
+        q = mk(pred)
+        df, chosen = route_corpus(spark, sf_dir, q)
+        assert chosen == want, (pred, chosen)
+        raw = _raw_plan(spark, sf_dir, q)
+        assert df.toPandas().equals(raw.toPandas()), pred
+
+
+def test_events_boolean_tree_with_ts_leaf_folds(spark, sf_dir):
+    """Leaf-by-leaf ts rewriting stays exact under boolean composition
+    (each leaf is a row-set equivalence): NOT(type IN … OR ts < mid)."""
+    q = TableAggQuery(
+        "events",
+        (
+            BoolPred(
+                "not",
+                (
+                    BoolPred(
+                        "or",
+                        (
+                            Pred("event_type", "in", ("error", "signup")),
+                            Pred("ts", "<", "2024-01-05 00:00:00", cast="timestamp"),
+                        ),
+                    ),
+                ),
+            ),
+        ),
+        ("event_type",),
+        (AggCall("avg", "value", "avg_value"), AggCall("count_star", None, "n")),
+    )
+    df, chosen = route_corpus(spark, sf_dir, q)
+    assert chosen == "events_daily_cube"
+    assert df.toPandas().equals(_raw_plan(spark, sf_dir, q).toPandas())
+
+
+def test_events_trunc_grains_fold_onto_day_cube(spark, sf_dir):
+    for unit in ("day", "month", "quarter", "year"):
+        q = TableAggQuery(
+            "events", (), ("g",),
+            (AggCall("max", "value", "max_value"), AggCall("count_star", None, "n")),
+            truncs=(("g", unit, "ts"),),
+        )
+        df, chosen = route_corpus(spark, sf_dir, q)
+        assert chosen == "events_daily_cube", unit
+        assert df.toPandas().equals(_raw_plan(spark, sf_dir, q).toPandas()), unit
+
+
+def test_events_user_grouping_falls_back_to_raw(spark, sf_dir):
+    q = TableAggQuery(
+        "events", (), ("user_id",), (AggCall("sum", "value", "total"),)
+    )
+    _, chosen = route_corpus(spark, sf_dir, q)
+    assert chosen == "raw"
+
+
+def test_corpus_distinct_and_global_shapes(spark, sf_dir, oracle):
+    distinct = TableAggQuery("documents", (), ("lang", "source"), ())
+    df, chosen = route_corpus(spark, sf_dir, distinct)
+    assert chosen == "docs_stats_cube"
+    want = oracle.execute(
+        "SELECT DISTINCT lang, source FROM documents ORDER BY lang, source"
+    ).fetchdf()
+    compare_frames(df.toPandas(), want, "docs-distinct")
+    glob = TableAggQuery(
+        "events",
+        (Pred("ts", ">=", "2024-01-15 00:00:00", cast="timestamp"),),
+        (),
+        (AggCall("sum", "value", "total"), AggCall("count_star", None, "n")),
+    )
+    df, chosen = route_corpus(spark, sf_dir, glob)
+    assert chosen == "events_daily_cube"
+    want = oracle.execute(
+        "SELECT CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,"
+        " COUNT(*) AS n FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'"
+    ).fetchdf()
+    compare_frames(df.toPandas(), want, "events-global")
+
+
+def test_corpus_validation_refusals(spark, sf_dir):
+    with pytest.raises(ValueError, match="unknown column"):
+        route_corpus(
+            spark, sf_dir,
+            TableAggQuery("documents", (Pred("bogus", "=", 1),), ("lang",),
+                          (AggCall("count_star", None, "n"),)),
+        )
+    with pytest.raises(ValueError, match="unknown corpus table"):
+        route_corpus(
+            spark, sf_dir,
+            TableAggQuery("tweets", (), ("lang",), (AggCall("count_star", None, "n"),)),
+        )
+    with pytest.raises(ValueError, match="non-timestamp"):
+        route_corpus(
+            spark, sf_dir,
+            TableAggQuery("documents", (), ("g",), (AggCall("count_star", None, "n"),),
+                          truncs=(("g", "month", "lang"),)),
+        )
+
+
+# ---------------------------------------------------------------------------
+# SQL front door boundaries.
+# ---------------------------------------------------------------------------
+
+
+def test_corpus_sql_refusals():
+    for sql in (
+        # joins against corpus tables are outside every family
+        "SELECT lang, COUNT(*) AS n FROM documents JOIN events ON doc_id = event_id GROUP BY lang",
+        # row-level corpus scans: no clustered layout deployed
+        "SELECT doc_id, lang FROM documents WHERE n_chars > 100",
+        # unknown column refuses at parse, not AnalysisException later
+        "SELECT lang, COUNT(DISTINCT l_orderkey) AS n FROM documents GROUP BY lang",
+        "SELECT region, COUNT(*) AS n FROM documents GROUP BY region",
+    ):
+        with pytest.raises(UnsupportedSQL):
+            parse_sql(sql)
+
+
+def test_corpus_sql_parse_shapes():
+    p = parse_sql(
+        "SELECT event_type, COUNT(*) AS n FROM events "
+        "WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' GROUP BY event_type "
+        "ORDER BY n DESC LIMIT 3"
+    )
+    assert isinstance(p.spec, TableAggQuery)
+    assert p.spec.table == "events"
+    assert p.limit == 3 and p.order == (("n", False),)
+    p = parse_sql("SELECT DISTINCT lang FROM documents ORDER BY lang")
+    assert p.spec == TableAggQuery("documents", (), ("lang",), ())
+
+
+# ---------------------------------------------------------------------------
+# Incremental maintenance: delta-merge == rebuild, bit for bit.
+# ---------------------------------------------------------------------------
+
+
+def test_docs_cube_refresh_equals_rebuild(spark, sf_dir):
+    from bigdataproj_spark.sources.corpus_cubes import (
+        DOCS_CUBE_KEYS,
+        _docs_cube_aggs,
+        docs_stats_cube_table,
+        refresh_docs_cube,
+    )
+
+    base = docs_stats_cube_table(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents")
+    # half the delta lands in existing (lang, source) groups, half in a
+    # brand-new language — both merge arms exercised
+    delta = docs.orderBy("doc_id").limit(40).withColumn(
+        "lang", F.when(F.col("doc_id") % 2 == 0, F.col("lang")).otherwise(F.lit("zz"))
+    )
+    keys = list(DOCS_CUBE_KEYS)
+    try:
+        new_path = refresh_docs_cube(spark, sf_dir, delta)
+        expected = (
+            docs.unionByName(delta)
+            .groupBy(*keys)
+            .agg(*_docs_cube_aggs())
+            .orderBy(*keys)
+            .toPandas()
+        )
+        got = spark.read.parquet(new_path).orderBy(*keys).toPandas()
+        assert got.equals(expected[got.columns.tolist()])
+        # the memo now serves the refreshed version to the router
+        assert docs_stats_cube_table(spark, sf_dir) == new_path
+    finally:
+        spark.__dict__["_bdp_projection_memo"][("docs_stats_cube", sf_dir)] = base
+
+
+def test_events_cube_refresh_equals_rebuild(spark, sf_dir):
+    from bigdataproj_spark.sources.corpus_cubes import (
+        EVENTS_CUBE_KEYS,
+        _events_cube_aggs,
+        events_daily_cube_table,
+        refresh_events_cube,
+    )
+
+    base = events_daily_cube_table(spark, sf_dir)
+    ev = table(spark, sf_dir, "events")
+    # half the delta reuses existing days, half lands on brand-new ones
+    delta = ev.orderBy("event_id").limit(100).withColumn(
+        "ts",
+        F.when(F.col("event_id") % 2 == 0, F.col("ts")).otherwise(
+            F.col("ts") + F.expr("INTERVAL 90 DAYS")
+        ),
+    )
+    keys = list(EVENTS_CUBE_KEYS)
+    try:
+        new_path = refresh_events_cube(spark, sf_dir, delta)
+        expected = (
+            ev.unionByName(delta)
+            .withColumn("event_day", F.date_trunc("day", F.col("ts")))
+            .groupBy(*keys)
+            .agg(*_events_cube_aggs())
+            .orderBy(*keys)
+            .toPandas()
+        )
+        got = spark.read.parquet(new_path).orderBy(*keys).toPandas()
+        assert got.equals(expected[got.columns.tolist()])
+        assert events_daily_cube_table(spark, sf_dir) == new_path
+    finally:
+        spark.__dict__["_bdp_projection_memo"][("events_daily_cube", sf_dir)] = base
+
+
+# ---------------------------------------------------------------------------
+# Differential fuzz: spec → SQL → (router, DuckDB) must agree, and the
+# SQL must parse back to the identical spec.
+# ---------------------------------------------------------------------------
+
+
+def _lit_sql(v, cast) -> str:
+    if cast == "timestamp":
+        return f"TIMESTAMP '{v}'"
+    if isinstance(v, str):
+        return f"'{v}'"
+    return str(v)
+
+
+def _cond_sql(pr) -> str:
+    if isinstance(pr, BoolPred):
+        if pr.op == "not":
+            (inner,) = pr.children
+            if isinstance(inner, Pred) and inner.op == "in":
+                vals = ", ".join(_lit_sql(v, inner.cast) for v in inner.value)
+                return f"{inner.col} NOT IN ({vals})"
+            return f"NOT ({_cond_sql(inner)})"
+        joiner = " OR " if pr.op == "or" else " AND "
+        return "(" + joiner.join(_cond_sql(c) for c in pr.children) + ")"
+    if pr.op == "in":
+        vals = ", ".join(_lit_sql(v, pr.cast) for v in pr.value)
+        return f"{pr.col} IN ({vals})"
+    if pr.op == "between":
+        lo, hi = pr.value
+        return f"{pr.col} BETWEEN {_lit_sql(lo, pr.cast)} AND {_lit_sql(hi, pr.cast)}"
+    return f"{pr.col} {pr.op} {_lit_sql(pr.value, pr.cast)}"
+
+
+def _corpus_sql(q: TableAggQuery) -> str:
+    tm = {a: (u, c) for a, u, c in q.truncs}
+    sel = [
+        f"date_trunc('{tm[g][0]}', {tm[g][1]}) AS {g}" if g in tm else g
+        for g in q.group_by
+    ]
+    for a in q.aggs:
+        if a.fn == "count_star":
+            sel.append(f"COUNT(*) AS {a.alias}")
+        elif a.fn == "count_distinct":
+            sel.append(f"COUNT(DISTINCT {a.measure}) AS {a.alias}")
+        elif a.fn == "count":
+            src = CORPUS_TABLES[q.table].measures[a.measure].source_col
+            sel.append(f"COUNT({src}) AS {a.alias}")
+        else:
+            tbl = {
+                "sum": CORPUS_SUM_SQL,
+                "avg": CORPUS_AVG_SQL,
+                "min": CORPUS_MIN_SQL,
+                "max": CORPUS_MAX_SQL,
+            }[a.fn]
+            sel.append(f"{tbl[q.table][a.measure]} AS {a.alias}")
+    head = "SELECT DISTINCT" if not q.aggs else "SELECT"
+    parts = [f"{head} {', '.join(sel)} FROM {q.table}"]
+    conds = [_cond_sql(p) for p in q.filters]
+    if conds:
+        parts.append("WHERE " + " AND ".join(conds))
+    if q.group_by and q.aggs:
+        parts.append("GROUP BY " + ", ".join(q.group_by))
+    if q.group_by:
+        parts.append("ORDER BY " + ", ".join(q.group_by))
+    return " ".join(parts)
+
+
+_DOC_AGG_POOL = [
+    AggCall("sum", "chars", "a_sum_chars"),
+    AggCall("avg", "chars", "a_avg_chars"),
+    AggCall("min", "chars", "a_min_chars"),
+    AggCall("sum", "tokens", "a_sum_toks"),
+    AggCall("max", "tokens", "a_max_toks"),
+    AggCall("avg", "tokens", "a_avg_toks"),
+    AggCall("count_star", None, "a_n"),
+    AggCall("count_distinct", "source", "a_cd_src"),
+    AggCall("count_distinct", "doc_id", "a_cd_doc"),  # forces raw
+]
+_DOC_FILTER_POOL = [
+    None,
+    Pred("lang", "=", "en"),
+    Pred("lang", "in", ("en", "de", "fr")),
+    Pred("source", "!=", "src3"),
+    BoolPred("or", (Pred("lang", "=", "es"), Pred("source", "=", "src1"))),
+    BoolPred("not", (Pred("lang", "in", ("en", "es")),)),
+    Pred("n_chars", ">=", 150),  # forces raw
+]
+
+doc_specs = st.fixed_dictionaries(
+    {
+        "groups": st.sets(st.sampled_from(["lang", "source"]), max_size=2),
+        "aggs": st.sets(st.sampled_from(range(len(_DOC_AGG_POOL))), max_size=4),
+        "filt": st.sampled_from(range(len(_DOC_FILTER_POOL))),
+    }
+)
+
+_EV_AGG_POOL = [
+    AggCall("sum", "value", "a_sum_val"),
+    AggCall("avg", "value", "a_avg_val"),
+    AggCall("min", "value", "a_min_val"),
+    AggCall("max", "value", "a_max_val"),
+    AggCall("count", "value", "a_cnt_val"),
+    AggCall("count_star", None, "a_n"),
+    AggCall("count_distinct", "event_type", "a_cd_type"),
+    AggCall("count_distinct", "user_id", "a_cd_user"),  # forces raw
+]
+_EV_FILTER_POOL = [
+    None,
+    Pred("event_type", "=", "click"),
+    Pred("event_type", "in", ("view", "purchase")),
+    Pred("ts", ">=", "2024-01-08 00:00:00", cast="timestamp"),  # folds
+    Pred("ts", "<", "2024-01-25 00:00:00", cast="timestamp"),  # folds
+    Pred("ts", "<=", "2024-01-25 00:00:00", cast="timestamp"),  # raw
+    Pred("ts", ">=", "2024-01-08 06:30:00", cast="timestamp"),  # raw
+    BoolPred(
+        "or",
+        (
+            Pred("event_type", "=", "error"),
+            Pred("ts", "<", "2024-01-04 00:00:00", cast="timestamp"),
+        ),
+    ),
+    Pred("value", ">=", 100.0),  # raw (filters rows, not groups)
+]
+
+ev_specs = st.fixed_dictionaries(
+    {
+        "type_key": st.booleans(),
+        "trunc": st.sampled_from([None, "day", "month", "quarter", "year"]),
+        "aggs": st.sets(st.sampled_from(range(len(_EV_AGG_POOL))), max_size=4),
+        "filt": st.sampled_from(range(len(_EV_FILTER_POOL))),
+    }
+)
+
+
+def _doc_spec(p) -> TableAggQuery:
+    f = _DOC_FILTER_POOL[p["filt"]]
+    groups = tuple(sorted(p["groups"]))
+    aggs = tuple(_DOC_AGG_POOL[i] for i in sorted(p["aggs"]))
+    if not groups and not aggs:
+        aggs = (AggCall("count_star", None, "a_n"),)
+    return TableAggQuery("documents", (f,) if f else (), groups, aggs)
+
+
+def _ev_spec(p) -> TableAggQuery:
+    f = _EV_FILTER_POOL[p["filt"]]
+    groups: list[str] = ["event_type"] if p["type_key"] else []
+    truncs = ()
+    if p["trunc"]:
+        groups.append("g_time")
+        truncs = (("g_time", p["trunc"], "ts"),)
+    aggs = tuple(_EV_AGG_POOL[i] for i in sorted(p["aggs"]))
+    if not groups and not aggs:
+        aggs = (AggCall("count_star", None, "a_n"),)
+    return TableAggQuery("events", (f,) if f else (), tuple(groups), aggs, truncs)
+
+
+@pytest.fixture(scope="module")
+def _ora(sf_dir):
+    con = duckdb.connect()
+    for t in ("documents", "events"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+@given(p=st.one_of(doc_specs, ev_specs))
+@settings(
+    max_examples=25 * _FUZZ_SCALE,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_corpus_spec_routes_and_matches_duckdb(spark, sf_dir, _ora, p):
+    """route_corpus(), the raw plan, and the generated SQL must agree
+    on any drawn corpus spec — whichever cube (or none) answers."""
+    spec = _doc_spec(p) if "groups" in p else _ev_spec(p)
+    sql = _corpus_sql(spec)
+    parsed = parse_sql(sql)
+    assert parsed.spec == spec, sql
+    sql_df, sql_chosen = route_sql(spark, sf_dir, sql)
+    want = _ora.execute(sql).fetchdf()
+    compare_frames(sql_df.toPandas(), want, f"corpus-fuzz[{sql_chosen}] {sql}")
+    routed, chosen = route_corpus(spark, sf_dir, spec)
+    assert chosen == sql_chosen, (chosen, sql_chosen, sql)
+    if chosen != "raw":
+        raw = _raw_plan(spark, sf_dir, spec).toPandas()
+        assert routed.toPandas().equals(raw), (chosen, sql)
