@@ -329,6 +329,85 @@ def test_events_cube_refresh_equals_rebuild(spark, sf_dir):
         spark.__dict__["_bdp_projection_memo"][("events_daily_cube", sf_dir)] = base
 
 
+def test_stream_ingest_maintains_events_cube_end_to_end(spark, sf_dir, tmp_path):
+    """The time-series warehouse loop, end to end: events arrive as
+    micro-batches through a real readStream, each batch delta-merges
+    the daily rollup via foreachBatch, the maintained cube equals the
+    one-shot cube of the whole corpus bit-for-bit — and a SQL
+    statement through the front door is answered from the MAINTAINED
+    cube, matching DuckDB over the full raw corpus. That chain
+    (stream → incremental maintenance → routed SQL → oracle) is the
+    reference's ingest-then-query-the-index posture for event data."""
+    from bigdataproj_spark.sources.corpus_cubes import (
+        EVENTS_CUBE_KEYS,
+        events_daily_cube_table,
+        refresh_events_cube,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    base = ev.filter(F.col("event_id") % 5 < 3)
+    stream_part = ev.filter(F.col("event_id") % 5 >= 3)
+    stage = tmp_path / "stage"
+    stage.mkdir()
+    for i in range(4):
+        stream_part.filter(F.col("event_id") % 4 == i).write.parquet(
+            str(stage / f"b{i}")
+        )
+    base_dir = tmp_path / "basecorpus"
+    base.write.parquet(str(base_dir / "events.parquet"))
+    sf_base = str(base_dir)
+    events_daily_cube_table(spark, sf_base)  # deploy over the base
+
+    stream = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stage / "b*"))
+    )
+
+    def refresh(batch_df, batch_id):
+        if batch_df.count():
+            refresh_events_cube(spark, sf_base, batch_df)
+
+    q = (
+        stream.writeStream.foreachBatch(refresh)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    keys = list(EVENTS_CUBE_KEYS)
+    got = (
+        spark.read.parquet(events_daily_cube_table(spark, sf_base))
+        .orderBy(*keys)
+        .toPandas()
+    )
+    full_dir = tmp_path / "fullcorpus"
+    ev.write.parquet(str(full_dir / "events.parquet"))
+    want = (
+        spark.read.parquet(events_daily_cube_table(spark, str(full_dir)))
+        .orderBy(*keys)
+        .toPandas()
+    )
+    assert got.equals(want[got.columns.tolist()])
+
+    sql = (
+        "SELECT event_type, "
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value, "
+        "COUNT(*) AS n FROM events "
+        "WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' "
+        "GROUP BY event_type ORDER BY event_type"
+    )
+    df, chosen = route_sql(spark, sf_base, sql)
+    assert chosen == "events_daily_cube"
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    compare_frames(df.toPandas(), con.execute(sql).fetchdf(), "stream-maintained")
+
+
 # ---------------------------------------------------------------------------
 # Differential fuzz: spec → SQL → (router, DuckDB) must agree, and the
 # SQL must parse back to the identical spec.
