@@ -113,12 +113,17 @@ class Engine:
     # -- S13: routed queries ------------------------------------------------
     def aggregate(self, spec) -> DataFrame:
         """Answer a logical :class:`~bigdataproj_spark.plans.routing.AggQuery`
-        from the cheapest deployed projection that subsumes it, else
-        the raw plan — the engine's materialized-view matching front
-        door (plans/routing.py). The caller never names a layout."""
+        (lineitem star) or :class:`~bigdataproj_spark.plans.corpus_routing.TableAggQuery`
+        (documents/events) from the cheapest deployed projection that
+        subsumes it, else the raw plan — the engine's materialized-view
+        matching front door. The caller never names a layout."""
+        from .plans.corpus_routing import TableAggQuery, route_corpus
         from .plans.routing import route
 
-        df, _ = route(self.spark, self.sf_dir, spec)
+        if isinstance(spec, TableAggQuery):
+            df, _ = route_corpus(self.spark, self.sf_dir, spec)
+        else:
+            df, _ = route(self.spark, self.sf_dir, spec)
         return df
 
     def scan(self, spec) -> DataFrame:

@@ -468,3 +468,63 @@ def route_corpus(
         if proj.subsumes(q):
             return proj.build(spark, sf_dir, q), proj.name
     return _raw_plan(spark, sf_dir, q), "raw"
+
+
+# ---------------------------------------------------------------------------
+# Scan routing: layout selection for row-level corpus queries. The
+# events table gets the S14 treatment at DAY grain (an event log is
+# written continuously and queried in short windows — "yesterday's
+# errors" should open one directory out of the corpus's thousands).
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class TableScanQuery:
+    """A projection+filter query over corpus-table rows (no
+    aggregation). The router picks the physical LAYOUT; content is
+    identical whichever layout answers."""
+
+    table: str
+    columns: tuple[str, ...]
+    filters: tuple[Pred, ...]
+
+
+_RANGE_OPS = frozenset({"<=", "<", ">=", ">", "=", "between", "in"})
+
+
+def route_corpus_scan(
+    spark: SparkSession, sf_dir: str, q: TableScanQuery
+) -> tuple[DataFrame, str]:
+    """Answer a corpus scan from the best-covering layout: the
+    day-partitioned events layout when the query carries a ts range
+    (directory pruning via day bounds DERIVED from the predicates — a
+    superset constraint, so a derivation bug can only over-read; the
+    exact row filters run after), else the raw table. Mirrors
+    routing.route_scan for the corpus tables."""
+    t = CORPUS_TABLES.get(q.table)
+    if t is None:
+        raise ValueError(f"unknown corpus table {q.table!r}")
+    used = set(q.columns)
+    for p in q.filters:
+        used |= p.cols()
+    bad = used - t.columns
+    if bad:
+        raise ValueError(f"unknown column {sorted(bad)[0]!r} on {q.table!r}")
+    has_ts_range = q.table == "events" and any(
+        isinstance(p, Pred) and p.col == "ts" and p.op in _RANGE_OPS
+        for p in q.filters
+    )
+    if has_ts_range:
+        from ..sources.dated import dated_events, day_bounds_filter
+
+        df = spark.read.parquet(dated_events(spark, sf_dir))
+        days = day_bounds_filter(q.filters)
+        if days is not None:
+            df = df.filter(days)
+        chosen = "dated_events"
+    else:
+        df = table(spark, sf_dir, q.table)
+        chosen = "raw"
+    for p in q.filters:
+        df = df.filter(p.column())
+    return df.select(*q.columns), chosen

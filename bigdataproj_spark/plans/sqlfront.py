@@ -92,7 +92,9 @@ from pyspark.sql import DataFrame, SparkSession
 from .corpus_routing import (
     CORPUS_TABLES,
     TableAggQuery,
+    TableScanQuery,
     route_corpus,
+    route_corpus_scan,
 )
 from .routing import (
     DIM_ATTRS,
@@ -733,9 +735,9 @@ def _parse_corpus(node: dict, tname: str) -> "ParsedSQL":
     The same clause grammar as the lineitem path (WHERE trees, HAVING,
     ORDER BY/LIMIT, SELECT DISTINCT, date_trunc grouping) minus the
     join machinery — corpus tables are self-contained facts. Scans
-    (no grouping, no aggregates) are refused: no clustered corpus
-    layout is deployed, so spark.sql verbatim is already the best
-    plan."""
+    (no grouping, no aggregates) lower onto :class:`TableScanQuery`
+    so an events time-range scan is answered from the day-partitioned
+    layout with derived directory pruning."""
     model = CORPUS_TABLES[tname]
     order, limit, distinct = _modifiers(node)
     filters = _parse_where(node.get("where_clause"))
@@ -812,7 +814,15 @@ def _parse_corpus(node: dict, tname: str) -> "ParsedSQL":
         raise UnsupportedSQL("GROUP BY over a non-routable expression")
 
     if not groups and not aggs:
-        raise UnsupportedSQL(f"row-level scans over {tname} are not routable")
+        # Row-level corpus scan: routed through route_corpus_scan so an
+        # events ts-range opens only the day directories it touches.
+        if truncs:
+            raise UnsupportedSQL("scan over derived time-grain columns")
+        if not ({c for c, _ in order} <= set(out)):
+            raise UnsupportedSQL("scan ORDER BY must use selected columns")
+        return ParsedSQL(
+            TableScanQuery(tname, tuple(out), filters), tuple(out), order, (), limit
+        )
     for col in seen_groups:
         if col not in groups:
             raise UnsupportedSQL(f"bare column {col} is not a grouping key")
@@ -844,7 +854,7 @@ class ParsedSQL:
     answers — HAVING (as filters over output aggregate columns),
     ORDER BY ((col, ascending) terms over output columns), LIMIT."""
 
-    spec: AggQuery | ScanQuery | TableAggQuery
+    spec: AggQuery | ScanQuery | TableAggQuery | TableScanQuery
     columns: tuple[str, ...]
     order: tuple[tuple[str, bool], ...]
     having: tuple[Pred, ...] = ()
@@ -1034,6 +1044,11 @@ def route_sql(
     parsed = parse_sql(sql)
     if isinstance(parsed.spec, ScanQuery):
         df, chosen = route_scan(spark, sf_dir, parsed.spec)
+    elif isinstance(parsed.spec, TableScanQuery):
+        try:
+            df, chosen = route_corpus_scan(spark, sf_dir, parsed.spec)
+        except ValueError as e:
+            raise UnsupportedSQL(str(e)) from e
     elif isinstance(parsed.spec, TableAggQuery):
         try:
             df, chosen = route_corpus(spark, sf_dir, parsed.spec)
@@ -1467,4 +1482,28 @@ def r100_sql_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     statement routes raw — pinned in tests/test_corpus_routing.py."""
     df, chosen = route_sql(spark, sf_dir, _SQL_EVENTS_ROLLUP)
     assert chosen == "events_daily_cube", chosen
+    return df
+
+
+_SQL_EVENTS_SCAN = """
+SELECT event_id, ts, event_type, value
+FROM events
+WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00' AND TIMESTAMP '2024-01-14 23:59:59'
+  AND value >= 250.0
+ORDER BY event_id
+"""
+
+
+@query("r101_sql_events_scan", oracle=_SQL_EVENTS_SCAN, tags=("S15", "S14", "E1", "P2"))
+def r101_sql_events_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level time-slice scan over the event log through the front
+    door: the ts range selects the day-partitioned events layout
+    (sources/dated.py dated_events), the router derives the day bounds
+    from the predicate — a SUPERSET constraint, over-read-only by
+    construction — and the scan opens five day directories out of the
+    corpus's thirty before any file is read; the value filter and
+    exact ts bounds apply row-level after. The oracle runs the same
+    string on the raw table: identical rows, different layout."""
+    df, chosen = route_sql(spark, sf_dir, _SQL_EVENTS_SCAN)
+    assert chosen == "dated_events", chosen
     return df

@@ -109,21 +109,23 @@ def dated_lineitem(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
-def _month_of(value) -> str | None:
-    """The 'yyyy-MM' month key of a timestamp literal's text form."""
-    if isinstance(value, str) and len(value) >= 7:
-        return value[:7]
+def _time_key_of(value, keylen: int) -> str | None:
+    """The truncation key ('yyyy-MM' or 'yyyy-MM-dd') of a timestamp
+    literal's text form — a prefix, because ISO text order equals time
+    order at every truncation length."""
+    if isinstance(value, str) and len(value) >= keylen:
+        return value[:keylen]
     return None
 
 
-def month_bounds_filter(preds) -> Column | None:
-    """Derive the partition-pruning predicate on ``ship_month`` from
-    the query's ``l_shipdate`` conjuncts — a SUPERSET of the months any
-    matching row can live in (month truncation is monotone, so e.g.
-    ``l_shipdate <= T`` implies ``month(l_shipdate) <= month(T)``; the
-    string form 'yyyy-MM' preserves the order). Conjuncts that don't
-    yield a bound contribute nothing (still correct: the exact row
-    filter runs after). Returns None when no bound is derivable."""
+def time_bounds_filter(preds, ts_col: str, part_col: str, keylen: int) -> Column | None:
+    """Derive the partition-pruning predicate on ``part_col`` from the
+    query's ``ts_col`` conjuncts — a SUPERSET of the partitions any
+    matching row can live in (truncation is monotone, so e.g.
+    ``ts <= T`` implies ``trunc(ts) <= trunc(T)``; the ISO string form
+    preserves the order). Conjuncts that don't yield a bound contribute
+    nothing (still correct: the exact row filter runs after). Returns
+    None when no bound is derivable."""
     out: Column | None = None
 
     def add(c: Column) -> None:
@@ -131,27 +133,109 @@ def month_bounds_filter(preds) -> Column | None:
         out = c if out is None else (out & c)
 
     for p in preds:
-        if getattr(p, "col", None) != "l_shipdate":
+        if getattr(p, "col", None) != ts_col:
             continue
-        m = F.col("ship_month")
+        m = F.col(part_col)
         if p.op == "between":
-            lo, hi = _month_of(p.value[0]), _month_of(p.value[1])
+            lo, hi = (
+                _time_key_of(p.value[0], keylen),
+                _time_key_of(p.value[1], keylen),
+            )
             if lo and hi:
                 add(m.between(lo, hi))
         elif p.op in ("<=", "<"):
-            month = _month_of(p.value)
-            if month:
-                add(m <= month)
+            key = _time_key_of(p.value, keylen)
+            if key:
+                add(m <= key)
         elif p.op in (">=", ">"):
-            month = _month_of(p.value)
-            if month:
-                add(m >= month)
+            key = _time_key_of(p.value, keylen)
+            if key:
+                add(m >= key)
         elif p.op == "=":
-            month = _month_of(p.value)
-            if month:
-                add(m == month)
+            key = _time_key_of(p.value, keylen)
+            if key:
+                add(m == key)
         elif p.op == "in":
-            months = [_month_of(v) for v in p.value]
-            if all(months):
-                add(m.isin(*months))
+            keys = [_time_key_of(v, keylen) for v in p.value]
+            if all(keys):
+                add(m.isin(*keys))
     return out
+
+
+def month_bounds_filter(preds) -> Column | None:
+    """The lineitem instance of :func:`time_bounds_filter`: ship-month
+    bounds from ``l_shipdate`` conjuncts ('yyyy-MM' is 7 chars)."""
+    return time_bounds_filter(preds, "l_shipdate", "ship_month", 7)
+
+
+# ---------------------------------------------------------------------------
+# The events instance (S15): day-partitioned event log. An event
+# stream's natural partition unit is the DAY (finer than lineitem's
+# month because event tables are written continuously and queried in
+# short windows — "yesterday's errors" should open one directory). The
+# same superset-derivation argument applies verbatim at the day grain.
+# ---------------------------------------------------------------------------
+
+_DAY_FMT = "yyyy-MM-dd"
+
+
+def write_dated_events(
+    df: DataFrame,
+    path: str,
+    n_files: int = 32,
+    row_group_bytes: int | None = None,
+) -> None:
+    """Write an events frame hive-partitioned by event day and
+    range-sorted by exact ``ts`` within each partition — the day-grain
+    twin of :func:`write_dated` (same file-count and row-group knobs)."""
+    w = (
+        df.withColumn("event_day_p", F.date_format(F.col("ts"), _DAY_FMT))
+        .repartitionByRange(n_files, "event_day_p", "ts")
+        .sortWithinPartitions("event_day_p", "ts")
+        .write.mode("overwrite")
+        .partitionBy("event_day_p")
+    )
+    if row_group_bytes:
+        w = w.option("parquet.block.size", str(row_group_bytes))
+    w.parquet(path)
+
+
+def append_dated_events(
+    df: DataFrame,
+    path: str,
+    n_files: int = 4,
+    row_group_bytes: int | None = None,
+) -> None:
+    """Append an event batch to the day-partitioned layout — the
+    streaming-ingest write shape (a micro-batch lands in today's
+    directory as new ts-sorted files); same append-friendliness
+    argument as :func:`append_dated`."""
+    w = (
+        df.withColumn("event_day_p", F.date_format(F.col("ts"), _DAY_FMT))
+        .repartitionByRange(n_files, "event_day_p", "ts")
+        .sortWithinPartitions("event_day_p", "ts")
+        .write.mode("append")
+        .partitionBy("event_day_p")
+    )
+    if row_group_bytes:
+        w = w.option("parquet.block.size", str(row_group_bytes))
+    w.parquet(path)
+
+
+def dated_events(spark: SparkSession, sf_dir: str) -> str:
+    """Deploy (memoized per session+fixture) the events layout
+    partitioned by event day, and return its path."""
+    tag, wh = _layout_paths(sf_dir)
+    memo: dict = spark.__dict__.setdefault("_bdp_dated_events_memo", {})
+    if sf_dir in memo:
+        return memo[sf_dir]
+    path = os.path.join(wh, f"events_dated_{tag}")
+    write_dated_events(table(spark, sf_dir, "events"), path)
+    memo[sf_dir] = path
+    return path
+
+
+def day_bounds_filter(preds) -> Column | None:
+    """The events instance of :func:`time_bounds_filter`: event-day
+    bounds from ``ts`` conjuncts ('yyyy-MM-dd' is 10 chars)."""
+    return time_bounds_filter(preds, "ts", "event_day_p", 10)

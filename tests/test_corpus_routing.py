@@ -233,14 +233,73 @@ def test_corpus_sql_refusals():
     for sql in (
         # joins against corpus tables are outside every family
         "SELECT lang, COUNT(*) AS n FROM documents JOIN events ON doc_id = event_id GROUP BY lang",
-        # row-level corpus scans: no clustered layout deployed
-        "SELECT doc_id, lang FROM documents WHERE n_chars > 100",
         # unknown column refuses at parse, not AnalysisException later
         "SELECT lang, COUNT(DISTINCT l_orderkey) AS n FROM documents GROUP BY lang",
         "SELECT region, COUNT(*) AS n FROM documents GROUP BY region",
+        "SELECT doc_id, bogus FROM documents WHERE n_chars > 100",
     ):
         with pytest.raises(UnsupportedSQL):
             parse_sql(sql)
+
+
+def test_events_scan_routes_to_dated_layout_and_prunes(spark, sf_dir, oracle):
+    """An events time-slice scan answers from the day-partitioned
+    layout: identical rows to the raw-table filter, the derived
+    partition filter reaches the scan node, and the scan materializes
+    only the kept days' rows (metric-asserted, like tests/test_dated.py)."""
+    from bigdataproj_spark.plans.corpus_routing import (
+        TableScanQuery,
+        route_corpus_scan,
+    )
+
+    q = TableScanQuery(
+        "events",
+        ("event_id", "ts", "event_type", "value"),
+        (
+            Pred("ts", "between",
+                 ("2024-01-10 00:00:00", "2024-01-14 23:59:59"),
+                 cast="timestamp"),
+        ),
+    )
+    df, chosen = route_corpus_scan(spark, sf_dir, q)
+    assert chosen == "dated_events"
+    plan = plan_of(df)
+    assert "PartitionFilters" in plan and "event_day_p" in plan, plan
+    want = oracle.execute(
+        "SELECT event_id, ts, event_type, value FROM events "
+        "WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00' "
+        "AND TIMESTAMP '2024-01-14 23:59:59' ORDER BY event_id"
+    ).fetchdf()
+    compare_frames(df.orderBy("event_id").toPandas(), want, "events-scan")
+    # pruning metric: the scan leaf reads only the 5 kept days' rows,
+    # a fraction of the 30-day corpus
+    df.collect()
+    leaf = df._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+    scanned = int(leaf.metrics().apply("numOutputRows").value())
+    total = table(spark, sf_dir, "events").count()
+    assert scanned <= total // 4, (scanned, total)
+
+
+def test_scan_without_ts_range_routes_raw(spark, sf_dir):
+    from bigdataproj_spark.plans.corpus_routing import (
+        TableScanQuery,
+        route_corpus_scan,
+    )
+
+    # value-only filter: no time range, nothing to prune on
+    _, chosen = route_corpus_scan(
+        spark, sf_dir,
+        TableScanQuery("events", ("event_id", "value"),
+                       (Pred("value", ">=", 400.0),)),
+    )
+    assert chosen == "raw"
+    # documents scans have no clustered layout deployed
+    _, chosen = route_corpus_scan(
+        spark, sf_dir,
+        TableScanQuery("documents", ("doc_id", "lang"),
+                       (Pred("n_chars", ">=", 200),)),
+    )
+    assert chosen == "raw"
 
 
 def test_corpus_sql_parse_shapes():
@@ -327,6 +386,31 @@ def test_events_cube_refresh_equals_rebuild(spark, sf_dir):
         assert events_daily_cube_table(spark, sf_dir) == new_path
     finally:
         spark.__dict__["_bdp_projection_memo"][("events_daily_cube", sf_dir)] = base
+
+
+def test_corpus_sql_having_order_limit(spark, sf_dir, oracle):
+    """The post-aggregation clauses (HAVING on a select-list aggregate,
+    ORDER BY an output column DESC, LIMIT) fold on the corpus paths the
+    same way they do on the lineitem paths — they operate on FINAL
+    re-aggregated values on top of whichever layout answered."""
+    sql = (
+        "SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars "
+        "FROM documents GROUP BY lang HAVING COUNT(*) > 5 "
+        "ORDER BY n_docs DESC, lang LIMIT 3"
+    )
+    df, chosen = route_sql(spark, sf_dir, sql)
+    assert chosen == "docs_stats_cube"
+    compare_frames(df.toPandas(), oracle.execute(sql).fetchdf(), "corpus-having")
+
+
+def test_engine_aggregate_dispatches_corpus_specs(spark, sf_dir):
+    from bigdataproj_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    got = eng.aggregate(_DOCS_PROFILE).toPandas()
+    want, chosen = route_corpus(spark, sf_dir, _DOCS_PROFILE)
+    assert chosen == "docs_stats_cube"
+    assert got.equals(want.toPandas())
 
 
 def test_stream_ingest_maintains_events_cube_end_to_end(spark, sf_dir, tmp_path):
