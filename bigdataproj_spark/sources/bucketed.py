@@ -88,6 +88,29 @@ def write_bucketed(
     )
 
 
+def append_bucketed_lineitem(
+    spark: SparkSession, sf_dir: str, delta_lineitem: DataFrame
+) -> str:
+    """Append an ingest batch to the bucketed fact layout, derived
+    fixed-point columns materialized at write time like the deploy.
+    ``saveAsTable`` in append mode validates the bucket spec against
+    the existing table, so the batch lands as NEW per-bucket files
+    with the same key hashing — bucketed reads stay exchange-free
+    (each bucket id just has one more file; the spine's shuffle_hash
+    join consumes buckets whole). Compaction back to one file per
+    bucket is the scheduled OPTIMIZE rewrite (re-run the deploy), the
+    same posture as the Z-order/dated appends."""
+    li_name, _ = bucketed_fact_tables(spark, sf_dir)
+    (
+        _lineitem_with_derived(delta_lineitem)
+        .write.bucketBy(_N_BUCKETS, "l_orderkey")
+        .sortBy("l_orderkey")
+        .mode("append")
+        .saveAsTable(li_name)
+    )
+    return li_name
+
+
 def _lineitem_with_derived(li: DataFrame) -> DataFrame:
     """The lineitem projection the layout stores: every source column
     plus the int64 fixed-point money columns (and their products) the

@@ -1,0 +1,99 @@
+"""Warehouse maintenance orchestration: ONE call per ingest batch.
+
+The engine's at-rest catalog is, by round 6, eleven layouts across
+four fact tables — bucketed fact + derived columns, per-order rollup,
+dimension-denormalized orders, two lineitem cubes, Z-order and
+ship-month scan layouts, the doc-stats and daily-event cubes, and the
+day-partitioned event log. Each has its own incremental refresh with
+its own proven rebuild-equality; what a USER of the engine needs is
+none of that taxonomy — it is "a batch of rows arrived, make every
+deployed layout reflect it". :func:`refresh_warehouse` is that call.
+
+Ordering is the one piece of knowledge this module owns (and the
+reason a single entry point is safer than eleven): dimension deltas
+refresh BEFORE any layout whose delta path joins the dimension side —
+the star-date cube resolves region/nation through the stored denorm,
+so a batch carrying both new orders and their lineitems must upsert
+the denorm first or the cube delta would drop the new orders' rows
+(consistently on both refresh and rebuild paths, but not what the
+ingest meant — see refresh_star_date_cube's ORDERING note, which this
+function encodes so callers don't have to).
+
+Cost shape at 100 TB: every cube refresh is O(|delta| + |cube|) with
+scale-invariant cubes; the row-level layouts take appends (new
+clustered/partitioned files, skipping degrades gracefully between
+scheduled OPTIMIZE rewrites); nothing rebuilds the corpus. The
+streaming twin is calling this from a foreachBatch sink — exactly what
+tests/test_bucketing.py and tests/test_corpus_routing.py do for the
+individual layouts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .bucketed import (
+    append_bucketed_lineitem,
+    refresh_order_revenue_rollup,
+    refresh_orders_denorm,
+    refresh_pricing_cube,
+    refresh_star_date_cube,
+)
+from .corpus_cubes import refresh_docs_cube, refresh_events_cube
+from .dated import append_dated, append_dated_events, dated_events, dated_lineitem
+from .zorder import _ZORDER_COLS, append_zordered, zordered_lineitem
+
+
+def refresh_warehouse(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    lineitem: DataFrame | None = None,
+    orders: DataFrame | None = None,
+    documents: DataFrame | None = None,
+    events: DataFrame | None = None,
+) -> dict[str, str]:
+    """Refresh every deployed layout affected by the given deltas, in
+    dependency order. Returns {layout name: table name or path} for
+    the layouts that were maintained (introspection; the routers keep
+    serving through their memoized catalogs, which each refresh swings
+    atomically to the new version).
+
+    A layout not yet deployed in this session is deployed over the
+    base corpus first (the refresh functions' own semantics), so the
+    post-state is always "base corpus + this delta" regardless of
+    call history."""
+    done: dict[str, str] = {}
+    # 1. Dimension side first: the star cube's delta joins the stored
+    #    denorm, so new orders must be visible there before any
+    #    lineitem-driven cube refresh runs.
+    if orders is not None:
+        _roll, den = refresh_orders_denorm(spark, sf_dir, orders)
+        done["orders_denorm"] = den
+    # 2. Fact side: aggregate projections (delta-merge), then the
+    #    row-level layouts (clustered/partitioned appends).
+    if lineitem is not None:
+        roll, _den = refresh_order_revenue_rollup(spark, sf_dir, lineitem)
+        done["order_revenue_rollup"] = roll
+        done["pricing_cube"] = refresh_pricing_cube(spark, sf_dir, lineitem)
+        done["star_date_cube"] = refresh_star_date_cube(spark, sf_dir, lineitem)
+        done["bucketed_lineitem"] = append_bucketed_lineitem(
+            spark, sf_dir, lineitem
+        )
+        zp = zordered_lineitem(spark, sf_dir)
+        append_zordered(
+            lineitem.select(*_ZORDER_COLS), zp, "l_partkey", "l_suppkey"
+        )
+        done["zorder_lineitem"] = zp
+        dp = dated_lineitem(spark, sf_dir)
+        append_dated(lineitem, dp)
+        done["dated_lineitem"] = dp
+    # 3. Corpus tables: self-contained, any order.
+    if documents is not None:
+        done["docs_stats_cube"] = refresh_docs_cube(spark, sf_dir, documents)
+    if events is not None:
+        done["events_daily_cube"] = refresh_events_cube(spark, sf_dir, events)
+        ep = dated_events(spark, sf_dir)
+        append_dated_events(events, ep)
+        done["dated_events"] = ep
+    return done

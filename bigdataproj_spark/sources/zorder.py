@@ -157,6 +157,14 @@ def recluster_zordered(
     return out
 
 
+# The column set the deployed Z-order lineitem layout stores (shared
+# with the maintenance appender so delta batches project identically).
+_ZORDER_COLS = (
+    "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+    "l_quantity", "l_extendedprice",
+)
+
+
 def zordered_lineitem(spark: SparkSession, sf_dir: str) -> str:
     """Deploy (memoized per session+fixture) the lineitem layout
     Z-ordered on (l_partkey, l_suppkey) — the two-supplier-dimension
@@ -167,14 +175,7 @@ def zordered_lineitem(spark: SparkSession, sf_dir: str) -> str:
         return memo[sf_dir]
     path = os.path.join(wh, f"lineitem_zorder_{tag}")
     write_zordered(
-        table(spark, sf_dir, "lineitem").select(
-            "l_orderkey",
-            "l_linenumber",
-            "l_partkey",
-            "l_suppkey",
-            "l_quantity",
-            "l_extendedprice",
-        ),
+        table(spark, sf_dir, "lineitem").select(*_ZORDER_COLS),
         path,
         "l_partkey",
         "l_suppkey",

@@ -658,6 +658,75 @@ def _ora(sf_dir):
     return con
 
 
+_EV_SCAN_COL_SETS = [
+    ("event_id", "ts", "event_type", "value"),
+    ("event_id", "event_type", "value"),  # ts filtered but not selected
+    ("event_id", "ts", "user_id"),
+]
+ev_scan_specs = st.fixed_dictionaries(
+    {
+        "cols": st.sampled_from(_EV_SCAN_COL_SETS),
+        "ts_pred": st.sampled_from(
+            [
+                None,
+                ("between", ("2024-01-05 00:00:00", "2024-01-12 23:59:59")),
+                (">=", "2024-01-20 00:00:00"),
+                ("<", "2024-01-08 00:00:00"),
+                ("=", "2024-01-15 12:00:00"),  # sub-day: prunes to one day
+                ("<=", "2024-01-03 18:00:00"),
+            ]
+        ),
+        "type_eq": st.sampled_from([None, "click", "error"]),
+        "val_min": st.sampled_from([None, 100.0, 400.0]),
+    }
+)
+
+
+def _ev_scan_spec(p):
+    from bigdataproj_spark.plans.corpus_routing import TableScanQuery
+
+    filters = []
+    if p["ts_pred"]:
+        op, v = p["ts_pred"]
+        filters.append(Pred("ts", op, v, cast="timestamp"))
+    if p["type_eq"]:
+        filters.append(Pred("event_type", "=", p["type_eq"]))
+    if p["val_min"] is not None:
+        filters.append(Pred("value", ">=", p["val_min"]))
+    return TableScanQuery("events", p["cols"], tuple(filters))
+
+
+@given(p=ev_scan_specs)
+@settings(
+    max_examples=12 * _FUZZ_SCALE,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_events_scan_routes_and_matches_duckdb(spark, sf_dir, _ora, p):
+    """The day-bounds derivation (sources/dated.py day_bounds_filter)
+    is hand-written superset logic — exactly what differential fuzz
+    protects: the dated-layout answer must be row-identical to DuckDB
+    over raw parquet for every drawn predicate set, through both the
+    spec and the SQL entry, with the same layout choice."""
+    from bigdataproj_spark.plans.corpus_routing import route_corpus_scan
+
+    spec = _ev_scan_spec(p)
+    conds = [_cond_sql(f) for f in spec.filters]
+    sql = f"SELECT {', '.join(spec.columns)} FROM events"
+    if conds:
+        sql += " WHERE " + " AND ".join(conds)
+    sql += " ORDER BY " + ", ".join(spec.columns)
+    parsed = parse_sql(sql)
+    assert parsed.spec == spec, sql
+    sql_df, sql_chosen = route_sql(spark, sf_dir, sql)
+    want = _ora.execute(sql).fetchdf()
+    compare_frames(sql_df.toPandas(), want, f"ev-scan-fuzz[{sql_chosen}] {sql}")
+    df, chosen = route_corpus_scan(spark, sf_dir, spec)
+    assert chosen == sql_chosen, (chosen, sql_chosen, sql)
+    expected = "dated_events" if p["ts_pred"] else "raw"
+    assert chosen == expected, (chosen, sql)
+
+
 @given(p=st.one_of(doc_specs, ev_specs))
 @settings(
     max_examples=25 * _FUZZ_SCALE,

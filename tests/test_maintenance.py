@@ -1,0 +1,136 @@
+"""refresh_warehouse: the one-call ingest maintenance orchestrator.
+
+The individual refreshes are each proven rebuild-equal in their own
+suites; what THIS suite pins is the orchestration — a mixed batch
+(new orders + their lineitems + documents + events) applied through
+one call leaves EVERY layout identical to a from-scratch deploy over
+the full corpus. The new-orders-with-new-lineitems case is the
+ordering trap: the star cube's delta joins the stored denorm, so
+refreshing the cube before the denorm would silently drop the new
+orders' rows — refresh_warehouse encodes the correct order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdataproj_spark.catalog import table
+from bigdataproj_spark.plans import physical_plan
+from bigdataproj_spark.sources.maintenance import refresh_warehouse
+
+
+def _copy_tables(spark, sf_dir, out_dir, splits):
+    """Write a base corpus at ``out_dir``: every fixture table the
+    layout deploys read, with ``splits[t]`` (a filter Column) REMOVED
+    from table t — the removed rows are returned as the deltas."""
+    deltas = {}
+    for t in ("lineitem", "orders", "customer", "nation", "region",
+              "documents", "events"):
+        df = table(spark, sf_dir, t)
+        if t in splits:
+            deltas[t] = df.filter(splits[t])
+            df = df.filter(~splits[t])
+        df.write.parquet(str(out_dir / f"{t}.parquet"))
+    return deltas
+
+
+def test_refresh_warehouse_mixed_batch_equals_full_deploy(spark, sf_dir, tmp_path):
+    from bigdataproj_spark.sources.bucketed import (
+        _STAR_CUBE_KEYS,
+        bucketed_fact_tables,
+        pricing_cube_table,
+        star_date_cube_table,
+    )
+    from bigdataproj_spark.sources.corpus_cubes import (
+        DOCS_CUBE_KEYS,
+        EVENTS_CUBE_KEYS,
+        docs_stats_cube_table,
+        events_daily_cube_table,
+    )
+
+    base_dir = tmp_path / "base"
+    deltas = _copy_tables(
+        spark, sf_dir, base_dir,
+        {
+            # the delta ships whole NEW orders: the order rows AND all
+            # their lineitems arrive in the same batch (the ordering
+            # trap: the cube delta can only see them through the denorm
+            # refresh that must run first)
+            "orders": F.col("o_orderkey") % 7 == 0,
+            "lineitem": F.col("l_orderkey") % 7 == 0,
+            "documents": F.col("doc_id") % 9 == 0,
+            "events": F.col("event_id") % 9 == 0,
+        },
+    )
+    sf_base = str(base_dir)
+
+    done = refresh_warehouse(
+        spark, sf_base,
+        lineitem=deltas["lineitem"],
+        orders=deltas["orders"],
+        documents=deltas["documents"],
+        events=deltas["events"],
+    )
+    assert set(done) == {
+        "orders_denorm", "order_revenue_rollup", "pricing_cube",
+        "star_date_cube", "bucketed_lineitem", "zorder_lineitem",
+        "dated_lineitem", "docs_stats_cube", "events_daily_cube",
+        "dated_events",
+    }
+
+    # Every maintained aggregate layout equals the same layout deployed
+    # from scratch over the FULL corpus (which is exactly sf_dir).
+    def frames_equal(a, b, keys):
+        pa = a.orderBy(*keys).toPandas()
+        pb = b.orderBy(*keys).toPandas()
+        assert pa.equals(pb[pa.columns.tolist()]), keys
+
+    frames_equal(
+        spark.read.parquet(pricing_cube_table(spark, sf_base)),
+        spark.read.parquet(pricing_cube_table(spark, sf_dir)),
+        ["l_returnflag", "l_linestatus", "l_shipdate"],
+    )
+    # the star cube is the ordering-sensitive one: new orders' rows
+    # must appear under their region/nation
+    frames_equal(
+        spark.read.parquet(star_date_cube_table(spark, sf_base)),
+        spark.read.parquet(star_date_cube_table(spark, sf_dir)),
+        list(_STAR_CUBE_KEYS),
+    )
+    frames_equal(
+        spark.read.parquet(docs_stats_cube_table(spark, sf_base)),
+        spark.read.parquet(docs_stats_cube_table(spark, sf_dir)),
+        list(DOCS_CUBE_KEYS),
+    )
+    frames_equal(
+        spark.read.parquet(events_daily_cube_table(spark, sf_base)),
+        spark.read.parquet(events_daily_cube_table(spark, sf_dir)),
+        list(EVENTS_CUBE_KEYS),
+    )
+
+    # Row-level layouts carry the appended rows (content equality for
+    # the bucketed fact incl. derived columns; counts for the scan
+    # layouts, whose content asserts live in their own suites).
+    li_base, _ = bucketed_fact_tables(spark, sf_base)
+    li_full, _ = bucketed_fact_tables(spark, sf_dir)
+    frames_equal(
+        spark.table(li_base), spark.table(li_full),
+        ["l_orderkey", "l_linenumber"],
+    )
+    total_li = table(spark, sf_dir, "lineitem").count()
+    assert spark.read.parquet(done["zorder_lineitem"]).count() == total_li
+    assert spark.read.parquet(done["dated_lineitem"]).count() == total_li
+    assert (
+        spark.read.parquet(done["dated_events"]).count()
+        == table(spark, sf_dir, "events").count()
+    )
+
+    # The appended bucketed fact still serves the exchange-free spine:
+    # per-bucket files multiplied, the bucket SPEC did not.
+    agg = (
+        spark.table(li_base)
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    plan = physical_plan(agg)
+    assert "Exchange" not in plan, plan
