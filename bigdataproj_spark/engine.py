@@ -128,11 +128,16 @@ class Engine:
 
     def scan(self, spec) -> DataFrame:
         """Answer a :class:`~bigdataproj_spark.plans.routing.ScanQuery`
-        from the best-covering layout (Z-order for curve-key range
-        predicates), else the raw table."""
+        (lineitem) or :class:`~bigdataproj_spark.plans.corpus_routing.TableScanQuery`
+        (corpus tables) from the best-covering layout (Z-order /
+        date-partitioned for range predicates), else the raw table."""
+        from .plans.corpus_routing import TableScanQuery, route_corpus_scan
         from .plans.routing import route_scan
 
-        df, _ = route_scan(self.spark, self.sf_dir, spec)
+        if isinstance(spec, TableScanQuery):
+            df, _ = route_corpus_scan(self.spark, self.sf_dir, spec)
+        else:
+            df, _ = route_scan(self.spark, self.sf_dir, spec)
         return df
 
     # -- Reference pipeline surface (R1→R10) -------------------------------
