@@ -562,8 +562,8 @@ ORDER BY doc_id
 """
 
 
-@query("q40_media_resize", oracle=_Q99_ORACLE, tags=("L8", "multimodal"))
-def q40_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r106_media_resize", oracle=_Q99_ORACLE, tags=("L8", "multimodal"))
+def r106_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Thumbnail pipeline on genuine images: decode real BMP/PNG pixel
     arrays, nearest-neighbor them into a 64-box, re-encode a real BMP,
     report its actual size. Pixel-level correctness is pinned by

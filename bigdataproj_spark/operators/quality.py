@@ -9,7 +9,7 @@ declares only coarse text analytics (reference README.md:58-63); these
 extend the same surface with the filters any corpus consumer needs.
 
 Registered inside the driver's 50-query correctness window (r41/q15/
-q28/r58 plus packing q47 and decontamination q48) since the round-3
+r103/r58 plus packing q47 and decontamination q48) since the round-3
 window swap — see docs/QUERY_ROTATION.md for the mapping.
 
 Scale shapes:
@@ -296,8 +296,8 @@ ORDER BY c_custkey
 """
 
 
-@query("q28_pii_scrub", oracle=_Q_R03_ORACLE, tags=("L11", "quality", "cleaning"))
-def q28_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r103_pii_scrub", oracle=_Q_R03_ORACLE, tags=("L11", "quality", "cleaning"))
+def r103_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Email/phone redaction with per-row match counts (map-only).
 
     The redaction regexes run in one projection; at corpus scale this

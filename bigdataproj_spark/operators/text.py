@@ -718,7 +718,7 @@ def q23_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Rank on the Q20-quantized score, not the raw double: the window
     # ORDER feeds row selection BEFORE any round-6 guard, and libm ln
-    # may differ by an ulp across engines/platforms — the q20 BM25
+    # may differ by an ulp across engines/platforms — the r102 BM25
     # integer-ordering precedent applied here (tfidf >= 0, so floor
     # alone is the quantizer).
     w = Window.partitionBy("doc_id").orderBy(
@@ -798,8 +798,8 @@ ORDER BY rank
 """
 
 
-@query("q20_fulltext_bm25", oracle=_Q45_ORACLE, tags=("R13", "L5", "text"))
-def q20_fulltext_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r102_fulltext_bm25", oracle=_Q45_ORACLE, tags=("R13", "L5", "text"))
+def r102_fulltext_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-15 documents for a 3-term OR query (k1=1.2, b=0.75).
 
     The search capability the reference hands to Elasticsearch

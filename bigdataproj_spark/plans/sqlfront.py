@@ -1143,8 +1143,8 @@ ORDER BY l_orderkey, l_linenumber
 """
 
 
-@query("r94_sql_date_scan", oracle=_SQL_DATE_SCAN, tags=("S14", "S13", "E1", "P2"))
-def r94_sql_date_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q28_sql_date_scan", oracle=_SQL_DATE_SCAN, tags=("S14", "S13", "E1", "P2"))
+def q28_sql_date_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-slice scan through the front door: the shipdate range
     selects the ship-month-partitioned layout (sources/dated.py), the
     router derives the month bounds from the predicate — a SUPERSET
@@ -1238,8 +1238,8 @@ ORDER BY o_orderstatus, p_brand
 """
 
 
-@query("r97_sql_triple_arm", oracle=_SQL_TRIPLE_ARM, tags=("S13", "E1", "J1", "A1"))
-def r97_sql_triple_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q33_sql_triple_arm", oracle=_SQL_TRIPLE_ARM, tags=("S13", "E1", "J1", "A1"))
+def q33_sql_triple_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All three dimension arms in one statement: the order chain
     (depth 1), the part arm with a part-side filter, and the supplier
     arm feeding a COUNT(DISTINCT). The raw plan partial-aggregates the
@@ -1267,8 +1267,8 @@ ORDER BY c_mktsegment
 """
 
 
-@query("r98_sql_arm_measures", oracle=_SQL_ARM_MEASURES, tags=("S13", "E1", "A1", "J1"))
-def r98_sql_arm_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q35_sql_arm_measures", oracle=_SQL_ARM_MEASURES, tags=("S13", "E1", "A1", "J1"))
+def q35_sql_arm_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arm-home MEASURES through the front door: order- and customer-
     level money columns aggregated over the declared chain-2 join,
     alongside a lineitem measure. The sums weight by lineitem
@@ -1379,8 +1379,8 @@ ORDER BY l_returnflag, r_name
 """
 
 
-@query("r92_sql_mixed_star_group", oracle=_SQL_MIXED_STAR, tags=("bench", "S13", "E1", "J1", "A1"))
-def r92_sql_mixed_star_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q20_sql_mixed_star_group", oracle=_SQL_MIXED_STAR, tags=("bench", "S13", "E1", "J1", "A1"))
+def q20_sql_mixed_star_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixed fact+dimension grouping through the front door: the
     rollup pair stores no lineitem attributes, but the widened star
     cube keys (region, nation, returnflag, linestatus, shipdate) —
@@ -1440,8 +1440,8 @@ ORDER BY lang, source
 """
 
 
-@query("r99_sql_docs_profile", oracle=_SQL_DOCS_PROFILE, tags=("S15", "E1", "A1", "text"))
-def r99_sql_docs_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q40_sql_docs_profile", oracle=_SQL_DOCS_PROFILE, tags=("S15", "E1", "A1", "text"))
+def q40_sql_docs_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus router's flagship (S15): a text-profile statement
     whose token-count aggregates spell out the engine's whitespace
     tokenizer — a full-corpus regex pass if run raw — answered from
@@ -1469,8 +1469,8 @@ ORDER BY event_day, event_type
 """
 
 
-@query("r100_sql_events_rollup", oracle=_SQL_EVENTS_ROLLUP, tags=("S15", "E1", "A1", "ST1"))
-def r100_sql_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q43_sql_events_rollup", oracle=_SQL_EVENTS_ROLLUP, tags=("S15", "E1", "A1", "ST1"))
+def q43_sql_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series SQL through the corpus router (S15): a per-day
     per-type event rollup with a DAY-BOUNDARY time-range predicate,
     answered from the (event_type, day) cube. ``ts >= midnight`` is a

@@ -230,9 +230,9 @@ def test_parquet_aggregate_pushdown_metadata_only(spark, sf_dir):
 
 
 def test_fulltext_scan_prunes_to_doc_and_text(spark, sf_dir):
-    """q20's postings build must scan only (doc_id, text) — the
+    """r102's postings build must scan only (doc_id, text) — the
     documents table's other columns never leave the parquet footer."""
-    df = load_all()["q20_fulltext_bm25"].build(spark, sf_dir)
+    df = load_all()["r102_fulltext_bm25"].build(spark, sf_dir)
     plan = plan_of(df)
     assert "struct<doc_id:bigint,text:string>" in plan, plan
 
