@@ -140,6 +140,18 @@ class Engine:
             df, _ = route_scan(self.spark, self.sf_dir, spec)
         return df
 
+    def deploy_projection(self, name: str, keys, measures=None):
+        """S16: materialize a user-declared aggregate projection and
+        register it with the router — from this call on, matching
+        specs AND matching SQL through :meth:`sql` are answered from
+        it (sources/user_projections.py)."""
+        from .sources.user_projections import _ALL_MEASURES, deploy_projection
+
+        return deploy_projection(
+            self.spark, self.sf_dir, name, tuple(keys),
+            tuple(measures) if measures else _ALL_MEASURES,
+        )
+
     # -- Reference pipeline surface (R1→R10) -------------------------------
     def ingest_json(self, records: Iterable[dict]) -> DataFrame:
         """R1: JSON-shaped tweet records → typed DataFrame (the HTTP

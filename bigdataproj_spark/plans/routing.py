@@ -1078,8 +1078,16 @@ def route(
     it, else from the raw-table plan. Returns (result, chosen) where
     ``chosen`` is the projection name or "raw" — callers that only
     want the DataFrame ignore the second element; tests assert on it.
-    """
-    for proj in PROJECTIONS:
+
+    Candidate order: built-in projections (their catalog order is a
+    measured cost order), then session-deployed USER projections
+    (sources/user_projections.py — names prefixed "user:"), then the
+    bucketed spine, then the raw plan. Built-ins first keeps the
+    measured plans for the shapes they were built for; a user
+    projection claims exactly the family the built-ins refuse."""
+    from ..sources.user_projections import user_projections
+
+    for proj in (*PROJECTIONS, *user_projections(spark, sf_dir)):
         if proj.subsumes(q):
             return proj.build(spark, sf_dir, q), proj.name
     spine = _spine_plan(spark, sf_dir, q)

@@ -1507,3 +1507,41 @@ def r101_sql_events_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     df, chosen = route_sql(spark, sf_dir, _SQL_EVENTS_SCAN)
     assert chosen == "dated_events", chosen
     return df
+
+
+_SQL_USER_PROJ = f"""
+SELECT
+  o_orderpriority,
+  l_returnflag,
+  {SUM_SQL['revenue']} AS rev,
+  {MAX_SQL['quantity']} AS max_qty,
+  COUNT(*) AS n
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority, l_returnflag
+ORDER BY o_orderpriority, l_returnflag
+"""
+
+
+@query(
+    "r108_user_projection_sql", oracle=_SQL_USER_PROJ, tags=("S16", "S13", "E1", "A1")
+)
+def r108_user_projection_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S16 end-to-end: the user DECLARES a projection — keys
+    (o_orderpriority, l_returnflag), a chain-1 mixed grouping no
+    built-in stores (the star cube is chain-4; per-order priorities
+    against fact attributes is exactly the shape a team would
+    materialize for its own mix) — and from that moment the identical
+    SQL statement routes onto it instead of the raw chain-1 join,
+    while the oracle runs the same string over the raw tables. The
+    deploy is idempotent (ensure_projection), so the query models the
+    steady state: the view exists, the statement arrives, the caller
+    never names it."""
+    from ..sources.user_projections import ensure_projection
+
+    ensure_projection(
+        spark, sf_dir, "prio_flag", ("o_orderpriority", "l_returnflag")
+    )
+    df, chosen = route_sql(spark, sf_dir, _SQL_USER_PROJ)
+    assert chosen == "user:prio_flag", chosen
+    return df

@@ -88,6 +88,10 @@ def refresh_warehouse(
         dp = dated_lineitem(spark, sf_dir)
         append_dated(lineitem, dp)
         done["dated_lineitem"] = dp
+        from .user_projections import refresh_all_projections
+
+        for name, path in refresh_all_projections(spark, sf_dir, lineitem).items():
+            done[f"user:{name}"] = path
     # 3. Corpus tables: self-contained, any order.
     if documents is not None:
         done["docs_stats_cube"] = refresh_docs_cube(spark, sf_dir, documents)

@@ -1,0 +1,168 @@
+"""S16 user-declared projections: deploy → auto-route → refresh.
+
+The property under test is the materialized-view lifecycle: BEFORE the
+deploy a spec routes to its raw plan; AFTER, bit-identically to the
+user projection (plan-asserted off the raw files); the refresh
+delta-merges rebuild-equal; the built-in catalog keeps priority for
+the shapes it measures best on; and refresh_warehouse maintains user
+projections alongside the built-ins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdataproj_spark.catalog import table
+from bigdataproj_spark.plans import physical_plan as plan_of
+from bigdataproj_spark.plans.routing import AggCall, AggQuery, Pred, route
+from bigdataproj_spark.sources.user_projections import (
+    _catalog,
+    deploy_projection,
+    ensure_projection,
+    refresh_projection,
+)
+
+import pytest
+
+_SPEC = AggQuery(
+    filters=(Pred("o_orderpriority", "!=", "1-URGENT"),),
+    group_by=("o_orderpriority", "l_returnflag"),
+    aggs=(
+        AggCall("sum", "revenue", "rev"),
+        AggCall("avg", "quantity", "avg_qty"),
+        AggCall("min", "base_price", "min_price"),
+        AggCall("count_star", None, "n"),
+    ),
+)
+
+
+def test_deploy_flips_routing_and_stays_bit_identical(spark, sf_dir):
+    try:
+        raw_df, chosen = route(spark, sf_dir, _SPEC)
+        assert chosen == "raw"  # no built-in stores this chain-1 mix
+        want = raw_df.toPandas()
+
+        deploy_projection(
+            spark, sf_dir, "pf_test", ("o_orderpriority", "l_returnflag")
+        )
+        routed, chosen = route(spark, sf_dir, _SPEC)
+        assert chosen == "user:pf_test"
+        assert routed.toPandas().equals(want)
+        plan = plan_of(routed)
+        # scan paths truncate in the plan string; the warehouse prefix
+        # + the projection-only stored column pin the source
+        assert "user_proj" in plan and "revenue_i" in plan, plan
+        assert "lineitem.parquet" not in plan and "orders.parquet" not in plan, plan
+    finally:
+        _catalog(spark, sf_dir).pop("pf_test", None)
+
+
+def test_builtins_keep_priority_over_user_projections(spark, sf_dir):
+    """A user projection that duplicates the pricing cube's domain must
+    NOT shadow it: built-in catalog order is a measured cost order, so
+    built-ins claim first."""
+    try:
+        deploy_projection(
+            spark, sf_dir, "shadow",
+            ("l_returnflag", "l_linestatus", "l_shipdate"),
+        )
+        q = AggQuery(
+            filters=(),
+            group_by=("l_returnflag", "l_linestatus"),
+            aggs=(AggCall("sum", "revenue", "rev"),),
+        )
+        _, chosen = route(spark, sf_dir, q)
+        assert chosen == "pricing_cube"
+    finally:
+        _catalog(spark, sf_dir).pop("shadow", None)
+
+
+def test_refresh_projection_equals_rebuild(spark, sf_dir):
+    from bigdataproj_spark.sources.user_projections import (
+        _build_cube,
+    )
+    from bigdataproj_spark.sources.bucketed import _lineitem_with_derived
+
+    try:
+        u_keys = ("o_orderstatus", "l_linestatus")
+        deploy_projection(spark, sf_dir, "status_mix", u_keys)
+        u = _catalog(spark, sf_dir)["status_mix"]
+        li = table(spark, sf_dir, "lineitem")
+        # delta rows reuse existing orders (their chain rows exist), a
+        # mix of both stored key combinations
+        delta = li.orderBy("l_orderkey", "l_linenumber").limit(120)
+        new_path = refresh_projection(spark, sf_dir, "status_mix", delta)
+        got = spark.read.parquet(new_path).orderBy(*u_keys).toPandas()
+        expected = (
+            _build_cube(
+                spark, sf_dir,
+                _lineitem_with_derived(li.unionByName(delta)),
+                u.keys, u.measures, u.chain,
+            )
+            .orderBy(*u_keys)
+            .toPandas()
+        )
+        assert got.equals(expected[got.columns.tolist()])
+        # the router serves the refreshed version through the catalog
+        assert _catalog(spark, sf_dir)["status_mix"].path == new_path
+    finally:
+        _catalog(spark, sf_dir).pop("status_mix", None)
+
+
+def test_refresh_warehouse_includes_user_projections(spark, sf_dir, tmp_path):
+    from bigdataproj_spark.sources.maintenance import refresh_warehouse
+
+    base_dir = tmp_path / "base"
+    for t in ("lineitem", "orders", "customer", "nation", "region"):
+        df = table(spark, sf_dir, t)
+        if t == "lineitem":
+            df = df.filter(F.col("l_orderkey") % 5 != 0)
+        df.write.parquet(str(base_dir / f"{t}.parquet"))
+    sf_base = str(base_dir)
+    # a chain-1 mix no built-in stores (the delta lineitems' ORDERS all
+    # exist in the base, so the dimension side resolves)
+    keys = ("o_orderstatus", "l_returnflag")
+    deploy_projection(spark, sf_base, "wh_test", keys)
+    delta = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 5 == 0)
+    done = refresh_warehouse(spark, sf_base, lineitem=delta)
+    assert "user:wh_test" in done
+    # post-refresh the projection answers for base + delta = the full
+    # fixture corpus: the grouped count equals the raw chain-1 answer
+    q = AggQuery((), keys, (AggCall("count_star", None, "n"),))
+    df, chosen = route(spark, sf_base, q)
+    assert chosen == "user:wh_test"
+    li = table(spark, sf_dir, "lineitem")
+    od = table(spark, sf_dir, "orders")
+    want = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(*keys)
+        .toPandas()
+    )
+    assert df.toPandas().equals(want)
+
+
+def test_deploy_validation(spark, sf_dir):
+    with pytest.raises(ValueError, match="unknown projection key"):
+        deploy_projection(spark, sf_dir, "bad", ("p_brand",))
+    with pytest.raises(ValueError, match="non-lineitem measure"):
+        deploy_projection(
+            spark, sf_dir, "bad", ("l_returnflag",), ("order_total",)
+        )
+    with pytest.raises(ValueError, match="at least one group key"):
+        deploy_projection(spark, sf_dir, "bad", ())
+    assert "bad" not in _catalog(spark, sf_dir)
+
+
+def test_ensure_projection_is_idempotent(spark, sf_dir):
+    try:
+        a = ensure_projection(spark, sf_dir, "idem", ("l_returnflag",))
+        path_a = _catalog(spark, sf_dir)["idem"].path
+        b = ensure_projection(spark, sf_dir, "idem", ("l_returnflag",))
+        assert a is b and _catalog(spark, sf_dir)["idem"].path == path_a
+        # a changed declaration redeploys under the same name
+        ensure_projection(spark, sf_dir, "idem", ("l_linestatus",))
+        assert _catalog(spark, sf_dir)["idem"].keys == ("l_linestatus",)
+    finally:
+        _catalog(spark, sf_dir).pop("idem", None)
