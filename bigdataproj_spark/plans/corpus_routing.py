@@ -163,7 +163,7 @@ def validate(q: TableAggQuery) -> CorpusTable:
     for alias, unit, col in q.truncs:
         if col not in t.ts_cols:
             raise ValueError(f"date_trunc over non-timestamp column {col!r}")
-        if unit not in ("day", "month", "quarter", "year"):
+        if unit not in ("hour", "day", "month", "quarter", "year"):
             raise ValueError(f"unsupported trunc unit {unit!r}")
     for c in _used_cols(q):
         if c not in t.columns:
@@ -316,14 +316,20 @@ class CorpusProjection:
         if q.table != self.table:
             return False
         day_col, ts_src = self.day_key if self.day_key else (None, None)
+        trunc_unit = {a: u for a, u, _c in q.truncs}
         trunc_src = {a: c for a, _u, c in q.truncs}
         for g, src in q.group_sources().items():
             if src in self.attrs:
                 continue
             # a time-grain key folds when its source is the cube's ts
-            # and the requested unit is day or coarser (validate()
-            # already restricted units to day/month/quarter/year)
-            if g in trunc_src and src == ts_src:
+            # AND the requested grain is day or coarser — an hourly
+            # grouping is FINER than the stored day key and must not
+            # fold (the raw plan computes it exactly)
+            if (
+                g in trunc_src
+                and src == ts_src
+                and trunc_unit[g] in ("day", "month", "quarter", "year")
+            ):
                 continue
             return False
         for f in q.filters:

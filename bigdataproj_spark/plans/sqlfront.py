@@ -341,7 +341,14 @@ def _plain_fn(node) -> tuple[str, str] | None:
     return (node["function_name"].lower(), col) if col else None
 
 
-_TRUNC_UNITS = frozenset({"year", "quarter", "month", "day"})
+# hour included (the standard streaming rollup grain): Spark and
+# DuckDB truncate hours identically; 'week' stays excluded (ISO vs
+# locale conventions differ). Folding safety is per-layout: cubes
+# storing the SOURCE at full resolution (l_shipdate, o_orderdate) fold
+# any grain; the day-grained events cube refuses sub-day grains
+# (corpus_routing.CorpusProjection.subsumes) and the raw plan computes
+# them exactly.
+_TRUNC_UNITS = frozenset({"year", "quarter", "month", "day", "hour"})
 # columns date_trunc may legally apply to (timestamp-typed); the
 # order-side o_orderdate is gated by the statement's join chain via
 # the caller's `allowed` set like every other dimension attribute

@@ -173,6 +173,20 @@ def test_events_trunc_grains_fold_onto_day_cube(spark, sf_dir):
         assert df.toPandas().equals(_raw_plan(spark, sf_dir, q).toPandas()), unit
 
 
+def test_events_hour_grain_routes_raw_and_matches(spark, sf_dir, oracle):
+    """An HOURLY grouping is finer than the stored day key, so the cube
+    must refuse it and the raw plan computes it — same SQL both sides."""
+    sql = (
+        "SELECT date_trunc('hour', ts) AS h, "
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total, "
+        "COUNT(*) AS n FROM events "
+        "WHERE ts < TIMESTAMP '2024-01-03 00:00:00' GROUP BY h ORDER BY h"
+    )
+    df, chosen = route_sql(spark, sf_dir, sql)
+    assert chosen == "raw"
+    compare_frames(df.toPandas(), oracle.execute(sql).fetchdf(), "hourly")
+
+
 def test_events_user_grouping_falls_back_to_raw(spark, sf_dir):
     q = TableAggQuery(
         "events", (), ("user_id",), (AggCall("sum", "value", "total"),)
@@ -619,7 +633,7 @@ _EV_FILTER_POOL = [
 ev_specs = st.fixed_dictionaries(
     {
         "type_key": st.booleans(),
-        "trunc": st.sampled_from([None, "day", "month", "quarter", "year"]),
+        "trunc": st.sampled_from([None, "hour", "day", "month", "quarter", "year"]),
         "aggs": st.sets(st.sampled_from(range(len(_EV_AGG_POOL))), max_size=4),
         "filt": st.sampled_from(range(len(_EV_FILTER_POOL))),
     }
