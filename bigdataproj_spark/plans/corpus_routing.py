@@ -10,29 +10,33 @@ SAME per-row expressions (sources/corpus_cubes.py) the raw plan
 computes per query. The subsumption rules are routing.py's, plus one
 new rule the time-series family needs:
 
-DAY-BOUNDARY TIME FOLDING. The events cube stores ``ts`` at day grain
-(``event_day = date_trunc('day', ts)``), not full resolution, so a raw
-``ts`` predicate folds only when it is equivalent as a ROW SET to a
-predicate on the day key:
+GRAIN-BOUNDARY TIME FOLDING. The events cube stores ``ts`` at HOUR
+grain (``event_hour = date_trunc('hour', ts)`` — the finest grain
+whose row bound stays independent of corpus size), not full
+resolution, so a raw ``ts`` predicate folds only when it is equivalent
+as a ROW SET to a predicate on the stored key:
 
-- ``ts >= T`` with T at midnight  ⇔  ``event_day >= T``  (every row of
-  a day ≥ T has ts ≥ midnight-of-T; every ts ≥ T lies on a day ≥ T);
-- ``ts <  T`` with T at midnight  ⇔  ``event_day <  T``  (symmetric).
+- ``ts >= T`` with T on an hour boundary  ⇔  ``event_hour >= T``
+  (every row of an hour ≥ T has ts ≥ the boundary; every ts ≥ T lies
+  in an hour ≥ T);
+- ``ts <  T`` with T on an hour boundary  ⇔  ``event_hour <  T``
+  (symmetric).
 
 Both are exact row-set equivalences, so they stay exact under
 arbitrary AND/OR/NOT composition and the rewrite is just ``ts →
-event_day`` leaf by leaf. The other operators do NOT fold (``ts <= T``
-at midnight includes ONLY the midnight instant of T's day — the day
-key cannot express that; ``=``/``between`` are sub-day for the same
-reason) and neither does any non-midnight literal: those specs route
-to the raw plan. A wrong-looking-but-fast rewrite is never on the
-table — the router refuses, it does not approximate.
+event_hour`` leaf by leaf. The other operators do NOT fold (``ts <=
+T`` at a boundary includes ONLY the boundary instant of T's hour — the
+stored key cannot express that; ``=``/``between`` are sub-grain for
+the same reason) and neither does any off-boundary literal: those
+specs route to the raw plan. A wrong-looking-but-fast rewrite is never
+on the table — the router refuses, it does not approximate.
 
 Time-GRAIN grouping folds like routing.py's trunc rule, one step
-coarser: the cube's day key is itself a trunc, and
-``date_trunc(u, ts) = date_trunc(u, date_trunc('day', ts))`` for every
-u ≥ day, so month/quarter/year groupings re-aggregate stored day
-groups exactly (day grouping is the stored key verbatim).
+coarser: the cube's hour key is itself a trunc, and
+``date_trunc(u, ts) = date_trunc(u, date_trunc('hour', ts))`` for
+every u ≥ hour, so day/month/quarter/year groupings re-aggregate
+stored hour groups exactly (hour grouping is the stored key
+verbatim).
 
 Measures generalize with a ``divisor`` switch: money-style measures
 (events ``value``) use the int64 fixed-point arithmetic of
@@ -46,7 +50,7 @@ skips not just the scan but the regex work — deploy-time compute,
 query-time lookup.
 
 At 100 TB: both cubes are scale-invariant (|langs|x|sources|,
-|types|x|days|); the raw fallbacks are one-shuffle scan+aggregate
+|types|x|hours|); the raw fallbacks are one-shuffle scan+aggregate
 plans with fused pre-projections (the q01 shape). Differentially
 fuzzed against DuckDB in tests/test_fuzz_routing.py alongside the
 lineitem families.
@@ -254,9 +258,10 @@ def _agg_exprs(
 # Cube descriptors + subsumption.
 # ---------------------------------------------------------------------------
 
-_MIDNIGHT = re.compile(r"^\d{4}-\d{2}-\d{2} 00:00:00$")
-# ts ops whose midnight form is a row-set equivalence on the day key
-# (see module docstring); <=/=/between are sub-day and never fold.
+_HOUR_BOUNDARY = re.compile(r"^\d{4}-\d{2}-\d{2} \d{2}:00:00$")
+# ts ops whose boundary form is a row-set equivalence on the stored
+# hour key (see module docstring); <=/=/between are sub-grain and
+# never fold.
 _TS_FOLD_OPS = frozenset({">=", "<"})
 
 
@@ -265,13 +270,13 @@ def _ts_pred_folds(p: Pred) -> bool:
         p.op in _TS_FOLD_OPS
         and p.cast == "timestamp"
         and isinstance(p.value, str)
-        and bool(_MIDNIGHT.match(p.value))
+        and bool(_HOUR_BOUNDARY.match(p.value))
     )
 
 
 def _filter_folds(f, attrs: frozenset[str], ts_src: str | None) -> bool:
     """A predicate tree folds when every leaf is on a stored group key
-    or is a day-boundary-foldable ts leaf; exactness composes through
+    or is an hour-boundary-foldable ts leaf; exactness composes through
     any boolean structure because each leaf rewrite is a row-set
     equivalence."""
     if isinstance(f, BoolPred):
@@ -281,12 +286,12 @@ def _filter_folds(f, attrs: frozenset[str], ts_src: str | None) -> bool:
     return f.col == ts_src and _ts_pred_folds(f)
 
 
-def _rewrite_ts(f, ts_src: str, day_col: str):
-    """ts → day-key rewrite, leaf by leaf through the tree."""
+def _rewrite_ts(f, ts_src: str, time_col: str):
+    """ts → stored-hour-key rewrite, leaf by leaf through the tree."""
     if isinstance(f, BoolPred):
-        return BoolPred(f.op, tuple(_rewrite_ts(c, ts_src, day_col) for c in f.children))
+        return BoolPred(f.op, tuple(_rewrite_ts(c, ts_src, time_col) for c in f.children))
     if f.col == ts_src:
-        return _dc.replace(f, col=day_col)
+        return _dc.replace(f, col=time_col)
     return f
 
 
@@ -310,25 +315,29 @@ class CorpusProjection:
     measures: dict[str, _StoredM]
     count_star_col: str
     open: Callable[[SparkSession, str], DataFrame]
-    day_key: tuple[str, str] | None = None  # (stored col, ts source col)
+    # (stored hour-grain col, ts source col); the stored grain is hour
+    # everywhere — finer storage folds strictly more queries while the
+    # row bound stays scale-invariant
+    time_key: tuple[str, str] | None = None
 
     def subsumes(self, q: TableAggQuery) -> bool:
         if q.table != self.table:
             return False
-        day_col, ts_src = self.day_key if self.day_key else (None, None)
+        time_col, ts_src = self.time_key if self.time_key else (None, None)
         trunc_unit = {a: u for a, u, _c in q.truncs}
         trunc_src = {a: c for a, _u, c in q.truncs}
         for g, src in q.group_sources().items():
             if src in self.attrs:
                 continue
             # a time-grain key folds when its source is the cube's ts
-            # AND the requested grain is day or coarser — an hourly
-            # grouping is FINER than the stored day key and must not
-            # fold (the raw plan computes it exactly)
+            # AND the requested grain is the stored hour grain or
+            # coarser — a sub-hour grouping (none is currently
+            # parseable, but the check is the stored-grain contract)
+            # must not fold; the raw plan computes it exactly
             if (
                 g in trunc_src
                 and src == ts_src
-                and trunc_unit[g] in ("day", "month", "quarter", "year")
+                and trunc_unit[g] in ("hour", "day", "month", "quarter", "year")
             ):
                 continue
             return False
@@ -356,17 +365,17 @@ class CorpusProjection:
     def build(self, spark: SparkSession, sf_dir: str, q: TableAggQuery) -> DataFrame:
         t = CORPUS_TABLES[q.table]
         df = self.open(spark, sf_dir)
-        day_col, ts_src = self.day_key if self.day_key else (None, None)
+        time_col, ts_src = self.time_key if self.time_key else (None, None)
         # Filters BEFORE truncs (WHERE is pre-projection in SQL); ts
-        # leaves rewrite onto the stored day key.
+        # leaves rewrite onto the stored hour key.
         for p in q.filters:
             if ts_src is not None:
-                p = _rewrite_ts(p, ts_src, day_col)
+                p = _rewrite_ts(p, ts_src, time_col)
             df = df.filter(p.column())
         for alias, unit, col in q.truncs:
-            src = day_col if col == ts_src else col
-            # date_trunc(u, day) == date_trunc(u, ts) for u >= day;
-            # the day grain itself is the stored key verbatim
+            src = time_col if col == ts_src else col
+            # date_trunc(u, hour) == date_trunc(u, ts) for u >= hour;
+            # the hour grain itself is the stored key verbatim
             df = df.withColumn(alias, F.date_trunc(unit, F.col(src)))
         if not q.aggs:
             return df.select(*q.group_by).distinct().orderBy(*q.group_by)
@@ -389,9 +398,9 @@ def _open_docs_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _open_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..sources.corpus_cubes import events_daily_cube_table
+    from ..sources.corpus_cubes import events_hourly_cube_table
 
-    return spark.read.parquet(events_daily_cube_table(spark, sf_dir))
+    return spark.read.parquet(events_hourly_cube_table(spark, sf_dir))
 
 
 CORPUS_PROJECTIONS: tuple[CorpusProjection, ...] = (
@@ -407,7 +416,7 @@ CORPUS_PROJECTIONS: tuple[CorpusProjection, ...] = (
         open=_open_docs_cube,
     ),
     CorpusProjection(
-        name="events_daily_cube",
+        name="events_hourly_cube",
         table="events",
         attrs=frozenset({"event_type"}),
         measures={
@@ -415,7 +424,7 @@ CORPUS_PROJECTIONS: tuple[CorpusProjection, ...] = (
         },
         count_star_col="cnt",
         open=_open_events_cube,
-        day_key=("event_day", "ts"),
+        time_key=("event_hour", "ts"),
     ),
 )
 

@@ -1479,16 +1479,18 @@ ORDER BY event_day, event_type
 @query("q43_sql_events_rollup", oracle=_SQL_EVENTS_ROLLUP, tags=("S15", "E1", "A1", "ST1"))
 def q43_sql_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series SQL through the corpus router (S15): a per-day
-    per-type event rollup with a DAY-BOUNDARY time-range predicate,
-    answered from the (event_type, day) cube. ``ts >= midnight`` is a
-    row-set equivalence on the stored day key (corpus_routing module
-    docstring spells out why >=/< fold and <=/=/BETWEEN must not), the
-    type filter folds on the other group key, and the value partials
-    re-aggregate in the same int64 fixed-point arithmetic the
-    DECIMAL(18,2) oracle form computes. The sub-day twin of this
-    statement routes raw — pinned in tests/test_corpus_routing.py."""
+    per-type event rollup with a GRAIN-BOUNDARY time-range predicate,
+    answered from the (event_type, hour) cube — the day grouping
+    re-aggregates stored hour groups exactly, and ``ts >= midnight``
+    (an hour boundary) is a row-set equivalence on the stored key
+    (corpus_routing module docstring spells out why >=/< fold and
+    <=/=/BETWEEN must not). The type filter folds on the other group
+    key, and the value partials re-aggregate in the same int64
+    fixed-point arithmetic the DECIMAL(18,2) oracle form computes.
+    The sub-hour twin of this statement routes raw — pinned in
+    tests/test_corpus_routing.py."""
     df, chosen = route_sql(spark, sf_dir, _SQL_EVENTS_ROLLUP)
-    assert chosen == "events_daily_cube", chosen
+    assert chosen == "events_hourly_cube", chosen
     return df
 
 

@@ -15,11 +15,13 @@ deployed layouts that make that generalization earn its keep:
   bit-identical by construction) and every subsequent corpus-profile
   query reads |langs|x|sources| rows — scale-invariant, no text
   column touched.
-- ``events_daily_cube_table``: per-(event_type, day) partials of the
-  event stream — the classic streaming-warehouse rollup. Coarser time
-  grains (month/quarter/year) re-aggregate exactly (day groups are
-  whole subsets of month groups; all partials are commutative
-  monoids), and day-boundary time-range predicates fold exactly
+- ``events_hourly_cube_table``: per-(event_type, hour) partials of
+  the event stream — the classic streaming-warehouse rollup, stored at
+  the FINEST grain its row bound affords (|types| x |hours| stays
+  scale-invariant over corpus size), so every coarser grain
+  (day/month/quarter/year) re-aggregates exactly (hour groups are
+  whole subsets of coarser groups; all partials are commutative
+  monoids) and hour-boundary time-range predicates fold exactly
   (plans/corpus_routing.py spells out the boundary rule).
 
 Both cubes store the SAME partial-state shapes as the lineitem cubes
@@ -56,7 +58,7 @@ _DOCS_ADD_COLS = ("chars_i", "tokens_i", "cnt_chars", "cnt_text", "cnt")
 _DOCS_MIN_COLS = ("min_chars_i", "min_tokens_i")
 _DOCS_MAX_COLS = ("max_chars_i", "max_tokens_i")
 
-EVENTS_CUBE_KEYS = ("event_type", "event_day")
+EVENTS_CUBE_KEYS = ("event_type", "event_hour")
 _EVENTS_ADD_COLS = ("value_i", "cnt_value", "cnt")
 _EVENTS_MIN_COLS = ("min_value_i",)
 _EVENTS_MAX_COLS = ("max_value_i",)
@@ -127,21 +129,24 @@ def docs_stats_cube_table(spark: SparkSession, sf_dir: str) -> str:
     return _deploy_cube(spark, sf_dir, "docs_stats_cube", "docs_stats_cube", build)
 
 
-def events_daily_cube_table(spark: SparkSession, sf_dir: str) -> str:
-    """Deploy the daily event rollup (memoized): value partials cubed
-    by (event_type, day). Bounded at |types| x |days| rows — the
-    natural unit a streaming foreachBatch maintainer appends at."""
+def events_hourly_cube_table(spark: SparkSession, sf_dir: str) -> str:
+    """Deploy the hourly event rollup (memoized): value partials cubed
+    by (event_type, hour). Bounded at |types| x |hours| rows — the
+    natural unit a streaming foreachBatch maintainer appends at, and
+    the finest grain whose row bound stays independent of corpus
+    size (finer storage folds strictly more queries: every coarser
+    grain and every hour-boundary predicate)."""
 
     def build() -> DataFrame:
         e = table(spark, sf_dir, "events")
         return (
-            e.withColumn("event_day", F.date_trunc("day", F.col("ts")))
+            e.withColumn("event_hour", F.date_trunc("hour", F.col("ts")))
             .groupBy(*EVENTS_CUBE_KEYS)
             .agg(*_events_cube_aggs())
         )
 
     return _deploy_cube(
-        spark, sf_dir, "events_daily_cube", "events_daily_cube", build
+        spark, sf_dir, "events_hourly_cube", "events_hourly_cube", build
     )
 
 
@@ -223,17 +228,17 @@ def refresh_docs_cube(
 def refresh_events_cube(
     spark: SparkSession, sf_dir: str, delta_events: DataFrame
 ) -> str:
-    """Incrementally maintain the daily event rollup for one ingested
+    """Incrementally maintain the hourly event rollup for one ingested
     event batch — the foreachBatch-shaped maintenance step of a
     streaming ingest loop. Proven rebuild-equal in
     tests/test_corpus_routing.py."""
-    stored = events_daily_cube_table(spark, sf_dir)
+    stored = events_hourly_cube_table(spark, sf_dir)
     delta_cube = (
-        delta_events.withColumn("event_day", F.date_trunc("day", F.col("ts")))
+        delta_events.withColumn("event_hour", F.date_trunc("hour", F.col("ts")))
         .groupBy(*EVENTS_CUBE_KEYS)
         .agg(*_events_cube_aggs())
     )
     return _refresh_cube(
-        spark, sf_dir, "events_daily_cube", stored, delta_cube,
+        spark, sf_dir, "events_hourly_cube", stored, delta_cube,
         EVENTS_CUBE_KEYS, _EVENTS_ADD_COLS, _EVENTS_MIN_COLS, _EVENTS_MAX_COLS,
     )

@@ -3,7 +3,7 @@
 The engine's at-rest catalog is, by round 6, eleven layouts across
 four fact tables — bucketed fact + derived columns, per-order rollup,
 dimension-denormalized orders, two lineitem cubes, Z-order and
-ship-month scan layouts, the doc-stats and daily-event cubes, and the
+ship-month scan layouts, the doc-stats and hourly-event cubes, and the
 day-partitioned event log. Each has its own incremental refresh with
 its own proven rebuild-equality; what a USER of the engine needs is
 none of that taxonomy — it is "a batch of rows arrived, make every
@@ -96,7 +96,7 @@ def refresh_warehouse(
     if documents is not None:
         done["docs_stats_cube"] = refresh_docs_cube(spark, sf_dir, documents)
     if events is not None:
-        done["events_daily_cube"] = refresh_events_cube(spark, sf_dir, events)
+        done["events_hourly_cube"] = refresh_events_cube(spark, sf_dir, events)
         ep = dated_events(spark, sf_dir)
         append_dated_events(events, ep)
         done["dated_events"] = ep

@@ -1,5 +1,5 @@
 """S15: corpus-table routing (documents / events) — subsumption,
-day-boundary time folding, raw fallbacks, incremental cube
+grain-boundary time folding, raw fallbacks, incremental cube
 maintenance, SQL front door, and a differential fuzz family.
 
 Everything here is a differential check: routed answers must equal the
@@ -103,22 +103,26 @@ def test_docs_count_distinct_fold_vs_raw(spark, sf_dir):
     assert chosen == "raw"
 
 
-def test_events_day_boundary_fold_rules(spark, sf_dir):
-    """The time-predicate fold table: >=/< at midnight fold onto the
-    day key; <=/>/=/BETWEEN (midnight or not) and any sub-day literal
-    must route raw — and every variant answers identically either way
-    (the DuckDB cross-check runs in the fuzz family below)."""
+def test_events_grain_boundary_fold_rules(spark, sf_dir):
+    """The time-predicate fold table: >=/< at an HOUR boundary fold
+    onto the stored hour key; <=/>/=/BETWEEN (boundary or not) and any
+    sub-hour literal must route raw — and every variant answers
+    identically either way (the DuckDB cross-check runs in the fuzz
+    family below)."""
     mk = lambda pred: TableAggQuery(  # noqa: E731
         "events", (pred,), ("event_type",),
         (AggCall("sum", "value", "total"), AggCall("count_star", None, "n")),
     )
     cases = [
-        (Pred("ts", ">=", "2024-01-10 00:00:00", cast="timestamp"), "events_daily_cube"),
-        (Pred("ts", "<", "2024-01-20 00:00:00", cast="timestamp"), "events_daily_cube"),
+        (Pred("ts", ">=", "2024-01-10 00:00:00", cast="timestamp"), "events_hourly_cube"),
+        (Pred("ts", "<", "2024-01-20 00:00:00", cast="timestamp"), "events_hourly_cube"),
         (Pred("ts", "<=", "2024-01-20 00:00:00", cast="timestamp"), "raw"),
         (Pred("ts", ">", "2024-01-10 00:00:00", cast="timestamp"), "raw"),
         (Pred("ts", "=", "2024-01-10 00:00:00", cast="timestamp"), "raw"),
-        (Pred("ts", ">=", "2024-01-10 12:00:00", cast="timestamp"), "raw"),
+        # hour-grain storage: an HOUR boundary folds too...
+        (Pred("ts", ">=", "2024-01-10 12:00:00", cast="timestamp"), "events_hourly_cube"),
+        # ...a sub-hour literal never does
+        (Pred("ts", ">=", "2024-01-10 12:30:00", cast="timestamp"), "raw"),
         (
             Pred("ts", "between",
                  ("2024-01-10 00:00:00", "2024-01-20 00:00:00"),
@@ -157,34 +161,39 @@ def test_events_boolean_tree_with_ts_leaf_folds(spark, sf_dir):
         (AggCall("avg", "value", "avg_value"), AggCall("count_star", None, "n")),
     )
     df, chosen = route_corpus(spark, sf_dir, q)
-    assert chosen == "events_daily_cube"
+    assert chosen == "events_hourly_cube"
     assert df.toPandas().equals(_raw_plan(spark, sf_dir, q).toPandas())
 
 
-def test_events_trunc_grains_fold_onto_day_cube(spark, sf_dir):
-    for unit in ("day", "month", "quarter", "year"):
+def test_events_trunc_grains_fold_onto_hour_cube(spark, sf_dir):
+    for unit in ("hour", "day", "month", "quarter", "year"):
         q = TableAggQuery(
             "events", (), ("g",),
             (AggCall("max", "value", "max_value"), AggCall("count_star", None, "n")),
             truncs=(("g", unit, "ts"),),
         )
         df, chosen = route_corpus(spark, sf_dir, q)
-        assert chosen == "events_daily_cube", unit
+        assert chosen == "events_hourly_cube", unit
         assert df.toPandas().equals(_raw_plan(spark, sf_dir, q).toPandas()), unit
 
 
-def test_events_hour_grain_routes_raw_and_matches(spark, sf_dir, oracle):
-    """An HOURLY grouping is finer than the stored day key, so the cube
-    must refuse it and the raw plan computes it — same SQL both sides."""
-    sql = (
+def test_events_hour_grain_folds_and_subhour_filter_routes_raw(spark, sf_dir, oracle):
+    """The cube stores HOUR grain, so an hourly GROUP BY folds (the
+    stored key verbatim); a sub-hour ts literal still forces the raw
+    plan — same SQL both sides in both cases."""
+    hourly = (
         "SELECT date_trunc('hour', ts) AS h, "
         "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total, "
         "COUNT(*) AS n FROM events "
         "WHERE ts < TIMESTAMP '2024-01-03 00:00:00' GROUP BY h ORDER BY h"
     )
-    df, chosen = route_sql(spark, sf_dir, sql)
+    df, chosen = route_sql(spark, sf_dir, hourly)
+    assert chosen == "events_hourly_cube"
+    compare_frames(df.toPandas(), oracle.execute(hourly).fetchdf(), "hourly")
+    subhour = hourly.replace("2024-01-03 00:00:00", "2024-01-03 00:30:00")
+    df, chosen = route_sql(spark, sf_dir, subhour)
     assert chosen == "raw"
-    compare_frames(df.toPandas(), oracle.execute(sql).fetchdf(), "hourly")
+    compare_frames(df.toPandas(), oracle.execute(subhour).fetchdf(), "sub-hour")
 
 
 def test_events_user_grouping_falls_back_to_raw(spark, sf_dir):
@@ -210,7 +219,7 @@ def test_corpus_distinct_and_global_shapes(spark, sf_dir, oracle):
         (AggCall("sum", "value", "total"), AggCall("count_star", None, "n")),
     )
     df, chosen = route_corpus(spark, sf_dir, glob)
-    assert chosen == "events_daily_cube"
+    assert chosen == "events_hourly_cube"
     want = oracle.execute(
         "SELECT CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,"
         " COUNT(*) AS n FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'"
@@ -371,11 +380,11 @@ def test_events_cube_refresh_equals_rebuild(spark, sf_dir):
     from bigdataproj_spark.sources.corpus_cubes import (
         EVENTS_CUBE_KEYS,
         _events_cube_aggs,
-        events_daily_cube_table,
+        events_hourly_cube_table,
         refresh_events_cube,
     )
 
-    base = events_daily_cube_table(spark, sf_dir)
+    base = events_hourly_cube_table(spark, sf_dir)
     ev = table(spark, sf_dir, "events")
     # half the delta reuses existing days, half lands on brand-new ones
     delta = ev.orderBy("event_id").limit(100).withColumn(
@@ -389,7 +398,7 @@ def test_events_cube_refresh_equals_rebuild(spark, sf_dir):
         new_path = refresh_events_cube(spark, sf_dir, delta)
         expected = (
             ev.unionByName(delta)
-            .withColumn("event_day", F.date_trunc("day", F.col("ts")))
+            .withColumn("event_hour", F.date_trunc("hour", F.col("ts")))
             .groupBy(*keys)
             .agg(*_events_cube_aggs())
             .orderBy(*keys)
@@ -397,9 +406,9 @@ def test_events_cube_refresh_equals_rebuild(spark, sf_dir):
         )
         got = spark.read.parquet(new_path).orderBy(*keys).toPandas()
         assert got.equals(expected[got.columns.tolist()])
-        assert events_daily_cube_table(spark, sf_dir) == new_path
+        assert events_hourly_cube_table(spark, sf_dir) == new_path
     finally:
-        spark.__dict__["_bdp_projection_memo"][("events_daily_cube", sf_dir)] = base
+        spark.__dict__["_bdp_projection_memo"][("events_hourly_cube", sf_dir)] = base
 
 
 def test_corpus_sql_having_order_limit(spark, sf_dir, oracle):
@@ -438,7 +447,7 @@ def test_stream_ingest_maintains_events_cube_end_to_end(spark, sf_dir, tmp_path)
     reference's ingest-then-query-the-index posture for event data."""
     from bigdataproj_spark.sources.corpus_cubes import (
         EVENTS_CUBE_KEYS,
-        events_daily_cube_table,
+        events_hourly_cube_table,
         refresh_events_cube,
     )
 
@@ -454,7 +463,7 @@ def test_stream_ingest_maintains_events_cube_end_to_end(spark, sf_dir, tmp_path)
     base_dir = tmp_path / "basecorpus"
     base.write.parquet(str(base_dir / "events.parquet"))
     sf_base = str(base_dir)
-    events_daily_cube_table(spark, sf_base)  # deploy over the base
+    events_hourly_cube_table(spark, sf_base)  # deploy over the base
 
     stream = (
         spark.readStream.schema(base.schema)
@@ -476,14 +485,14 @@ def test_stream_ingest_maintains_events_cube_end_to_end(spark, sf_dir, tmp_path)
 
     keys = list(EVENTS_CUBE_KEYS)
     got = (
-        spark.read.parquet(events_daily_cube_table(spark, sf_base))
+        spark.read.parquet(events_hourly_cube_table(spark, sf_base))
         .orderBy(*keys)
         .toPandas()
     )
     full_dir = tmp_path / "fullcorpus"
     ev.write.parquet(str(full_dir / "events.parquet"))
     want = (
-        spark.read.parquet(events_daily_cube_table(spark, str(full_dir)))
+        spark.read.parquet(events_hourly_cube_table(spark, str(full_dir)))
         .orderBy(*keys)
         .toPandas()
     )
@@ -497,7 +506,7 @@ def test_stream_ingest_maintains_events_cube_end_to_end(spark, sf_dir, tmp_path)
         "GROUP BY event_type ORDER BY event_type"
     )
     df, chosen = route_sql(spark, sf_base, sql)
-    assert chosen == "events_daily_cube"
+    assert chosen == "events_hourly_cube"
     con = duckdb.connect()
     con.execute(
         "CREATE VIEW events AS SELECT * FROM "

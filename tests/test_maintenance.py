@@ -45,7 +45,7 @@ def test_refresh_warehouse_mixed_batch_equals_full_deploy(spark, sf_dir, tmp_pat
         DOCS_CUBE_KEYS,
         EVENTS_CUBE_KEYS,
         docs_stats_cube_table,
-        events_daily_cube_table,
+        events_hourly_cube_table,
     )
 
     base_dir = tmp_path / "base"
@@ -74,7 +74,7 @@ def test_refresh_warehouse_mixed_batch_equals_full_deploy(spark, sf_dir, tmp_pat
     assert set(done) == {
         "orders_denorm", "order_revenue_rollup", "pricing_cube",
         "star_date_cube", "bucketed_lineitem", "zorder_lineitem",
-        "dated_lineitem", "docs_stats_cube", "events_daily_cube",
+        "dated_lineitem", "docs_stats_cube", "events_hourly_cube",
         "dated_events",
     }
 
@@ -103,8 +103,8 @@ def test_refresh_warehouse_mixed_batch_equals_full_deploy(spark, sf_dir, tmp_pat
         list(DOCS_CUBE_KEYS),
     )
     frames_equal(
-        spark.read.parquet(events_daily_cube_table(spark, sf_base)),
-        spark.read.parquet(events_daily_cube_table(spark, sf_dir)),
+        spark.read.parquet(events_hourly_cube_table(spark, sf_base)),
+        spark.read.parquet(events_hourly_cube_table(spark, sf_dir)),
         list(EVENTS_CUBE_KEYS),
     )
 
