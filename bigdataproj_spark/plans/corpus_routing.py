@@ -152,7 +152,7 @@ def _used_cols(q: TableAggQuery) -> set[str]:
     for f in q.filters:
         used |= f.cols()
     for a in q.aggs:
-        if a.fn == "count_distinct" and a.measure:
+        if a.fn in ("count_distinct", "approx_distinct") and a.measure:
             used.add(a.measure)
     return used
 
@@ -176,7 +176,7 @@ def validate(q: TableAggQuery) -> CorpusTable:
         if g not in trunc_aliases and g not in t.columns:
             raise ValueError(f"unknown grouping attribute {g!r}")
     for a in q.aggs:
-        if a.fn in ("count_star", "count_distinct"):
+        if a.fn in ("count_star", "count_distinct", "approx_distinct"):
             continue
         if a.measure not in t.measures:
             raise ValueError(f"unknown measure {a.measure!r} on {q.table!r}")
@@ -196,19 +196,31 @@ def _agg_exprs(
     cnt_star: str | None,
     src_min: dict[str, str] | None = None,
     src_max: dict[str, str] | None = None,
+    src_sketch: dict[str, str] | None = None,
 ) -> list[Column]:
     """routing._final_agg_exprs generalized to the corpus measure
     model: divisor-1 measures keep exact BIGINT sums and min/max;
     money measures divide back to double. ``cnt_star`` names a stored
     partial-count column on the cube path (counts re-derive as
     coalesced SUMs there — SQL COUNT over empty input is 0, SUM of no
-    partials is NULL)."""
+    partials is NULL). ``src_sketch`` maps approx_distinct targets to
+    stored HLL sketch columns on the cube path (union-merged, then
+    estimated); the raw path sketches the rows directly — the two
+    agree exactly because HLL union is register-max, so the merged
+    register state equals the single-pass state."""
     src_min = src_min if src_min is not None else src_int
     src_max = src_max if src_max is not None else src_int
     exprs: list[Column] = []
     for a in q.aggs:
         if a.fn == "count_distinct":
             exprs.append(F.countDistinct(F.col(a.measure)).alias(a.alias))
+            continue
+        if a.fn == "approx_distinct":
+            if src_sketch and a.measure in src_sketch:
+                sk = F.hll_union_agg(src_sketch[a.measure])
+            else:
+                sk = F.hll_sketch_agg(F.col(a.measure))
+            exprs.append(F.hll_sketch_estimate(sk).alias(a.alias))
             continue
         if a.fn == "count_star":
             exprs.append(
@@ -319,6 +331,10 @@ class CorpusProjection:
     # everywhere — finer storage folds strictly more queries while the
     # row bound stays scale-invariant
     time_key: tuple[str, str] | None = None
+    # approx_count_distinct support: target column -> stored HLL
+    # sketch partial (mergeable by register-max union, so the cube
+    # answers distinct-count questions without a distinct shuffle)
+    sketches: dict[str, str] | None = None
 
     def subsumes(self, q: TableAggQuery) -> bool:
         if q.table != self.table:
@@ -349,6 +365,10 @@ class CorpusProjection:
                 continue
             if a.fn == "count_distinct":
                 if (a.measure or "") not in self.attrs:
+                    return False
+                continue
+            if a.fn == "approx_distinct":
+                if (a.measure or "") not in (self.sketches or {}):
                     return False
                 continue
             sm = self.measures.get(a.measure or "")
@@ -385,7 +405,8 @@ class CorpusProjection:
         max_cols = {m: sm.max_col for m, sm in self.measures.items() if sm.max_col}
         out = df.groupBy(*q.group_by).agg(
             *_agg_exprs(
-                q, t, int_cols, cnt_cols, self.count_star_col, min_cols, max_cols
+                q, t, int_cols, cnt_cols, self.count_star_col,
+                min_cols, max_cols, self.sketches,
             )
         )
         return out.orderBy(*q.group_by) if q.group_by else out
@@ -425,6 +446,7 @@ CORPUS_PROJECTIONS: tuple[CorpusProjection, ...] = (
         count_star_col="cnt",
         open=_open_events_cube,
         time_key=("event_hour", "ts"),
+        sketches={"user_id": "users_hll"},
     ),
 )
 
@@ -445,7 +467,11 @@ def _raw_plan(spark: SparkSession, sf_dir: str, q: TableAggQuery) -> DataFrame:
     if not q.aggs:
         return df.select(*q.group_by).distinct().orderBy(*q.group_by)
     needed = sorted(
-        {a.measure for a in q.aggs if a.measure and a.fn != "count_distinct"}
+        {
+            a.measure
+            for a in q.aggs
+            if a.measure and a.fn not in ("count_distinct", "approx_distinct")
+        }
     )
     int_cols = {m: f"__{m}_i" for m in needed}
     cnt_cols = {
@@ -453,7 +479,13 @@ def _raw_plan(spark: SparkSession, sf_dir: str, q: TableAggQuery) -> DataFrame:
         for m in needed
         if any(a.fn in ("count", "avg") and a.measure == m for a in q.aggs)
     }
-    cd_cols = sorted({a.measure for a in q.aggs if a.fn == "count_distinct"})
+    cd_cols = sorted(
+        {
+            a.measure
+            for a in q.aggs
+            if a.fn in ("count_distinct", "approx_distinct")
+        }
+    )
     keep = list(
         dict.fromkeys(
             list(q.group_by) + sorted(cnt_cols.values()) + cd_cols
@@ -543,3 +575,39 @@ def route_corpus_scan(
     for p in q.filters:
         df = df.filter(p.column())
     return df.select(*q.columns), chosen
+
+
+# ---------------------------------------------------------------------------
+# Driver query: sketch-partial distinct counting (rows-only by design —
+# DuckDB's approx_count_distinct is a different sketch, so there is no
+# cross-engine twin; the exactness claim routed == raw-single-pass and
+# the error bound vs true COUNT(DISTINCT) are pinned in
+# tests/test_corpus_routing.py, the same posture as the r25/r26
+# sketches).
+# ---------------------------------------------------------------------------
+
+from ..registry import query  # noqa: E402
+
+
+@query("r109_events_distinct_users", oracle=None, tags=("S15", "A6"))
+def r109_events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type via the cube's MERGEABLE HLL
+    sketch partials: the hourly rollup stores hll_sketch_agg(user_id)
+    per (type, hour); re-aggregating a distinct count is then
+    register-max union + estimate over a scale-invariant cube — no
+    distinct shuffle over the corpus, the Druid/Pinot sketch-rollup
+    pattern. The estimate equals the raw single-pass sketch exactly
+    (union is register-max, so merged register state == single-pass
+    state — asserted in tests)."""
+    q = TableAggQuery(
+        "events",
+        (),
+        ("event_type",),
+        (
+            AggCall("approx_distinct", "user_id", "approx_users"),
+            AggCall("count_star", None, "n"),
+        ),
+    )
+    df, chosen = route_corpus(spark, sf_dir, q)
+    assert chosen == "events_hourly_cube", chosen
+    return df

@@ -62,6 +62,15 @@ EVENTS_CUBE_KEYS = ("event_type", "event_hour")
 _EVENTS_ADD_COLS = ("value_i", "cnt_value", "cnt")
 _EVENTS_MIN_COLS = ("min_value_i",)
 _EVENTS_MAX_COLS = ("max_value_i",)
+# Mergeable DISTINCT-COUNT partials: a datasketches HLL sketch is a
+# commutative monoid under register-max union, so the cube can answer
+# approx_count_distinct(user_id) per group WITHOUT a distinct shuffle
+# over the corpus — the Druid/Pinot sketch-rollup pattern. Merge
+# equality is LOGICAL: union-of-sub-sketches has the same register
+# state (and therefore the same estimate) as the single-pass sketch,
+# but the serialized bytes can differ in sparse mode — rebuild-equal
+# tests compare sketch columns at the estimate level.
+_EVENTS_SKETCH_COLS = ("users_hll",)
 
 
 def _docs_cube_aggs() -> list:
@@ -96,6 +105,7 @@ def _events_cube_aggs() -> list:
         F.count(F.lit(1)).alias("cnt"),
         F.min(v).alias("min_value_i"),
         F.max(v).alias("max_value_i"),
+        F.hll_sketch_agg("user_id").alias("users_hll"),
     ]
 
 
@@ -157,14 +167,18 @@ def merge_partial_frames(
     add_cols: tuple[str, ...],
     min_cols: tuple[str, ...],
     max_cols: tuple[str, ...],
+    sketch_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Additively merge a delta cube into a stored cube: full-outer on
     the (null-safe) group key, + for sums/counts, least/greatest for
-    min/max partials (both skip NULLs — exactly the identity a group
-    present on only one side needs). Every stored column is a
-    commutative monoid, so delta-merge == rebuild bit-for-bit. The
-    generalized twin of sources/bucketed.py:_merge_cube_frames, with
-    the column contract passed in instead of fixed."""
+    min/max partials, register-max ``hll_union`` for sketch partials
+    (all skip/propagate NULLs — exactly the identity a group present on
+    only one side needs). Every stored column is a commutative monoid,
+    so delta-merge == rebuild (bit-for-bit for the numeric partials;
+    estimate-identical for sketches, whose serialized form may differ
+    in sparse mode). The generalized twin of
+    sources/bucketed.py:_merge_cube_frames, with the column contract
+    passed in instead of fixed."""
     s, d = stored.alias("s"), delta.alias("d")
     cond = [F.col(f"s.{k}").eqNullSafe(F.col(f"d.{k}")) for k in keys]
     return s.join(d, cond, "full_outer").select(
@@ -178,6 +192,13 @@ def merge_partial_frames(
         ],
         *[F.least(F.col(f"s.{m}"), F.col(f"d.{m}")).alias(m) for m in min_cols],
         *[F.greatest(F.col(f"s.{m}"), F.col(f"d.{m}")).alias(m) for m in max_cols],
+        *[
+            F.when(F.col(f"s.{m}").isNull(), F.col(f"d.{m}"))
+            .when(F.col(f"d.{m}").isNull(), F.col(f"s.{m}"))
+            .otherwise(F.hll_union(F.col(f"s.{m}"), F.col(f"d.{m}")))
+            .alias(m)
+            for m in sketch_cols
+        ],
     )
 
 
@@ -191,13 +212,15 @@ def _refresh_cube(
     add_cols: tuple[str, ...],
     min_cols: tuple[str, ...],
     max_cols: tuple[str, ...],
+    sketch_cols: tuple[str, ...] = (),
 ) -> str:
     """Merge a delta cube into the stored one and publish a new
     VERSION the memo swings to atomically (readers through the memo
     see the old version until the new one is fully written — the same
     pattern as every other projection refresh)."""
     merged = merge_partial_frames(
-        spark.read.parquet(stored_path), delta_cube, keys, add_cols, min_cols, max_cols
+        spark.read.parquet(stored_path), delta_cube, keys,
+        add_cols, min_cols, max_cols, sketch_cols,
     )
     versions: dict = spark.__dict__.setdefault("_bdp_projection_versions", {})
     v = versions.get(stored_path, 0) + 1
@@ -240,5 +263,6 @@ def refresh_events_cube(
     )
     return _refresh_cube(
         spark, sf_dir, "events_hourly_cube", stored, delta_cube,
-        EVENTS_CUBE_KEYS, _EVENTS_ADD_COLS, _EVENTS_MIN_COLS, _EVENTS_MAX_COLS,
+        EVENTS_CUBE_KEYS, _EVENTS_ADD_COLS, _EVENTS_MIN_COLS,
+        _EVENTS_MAX_COLS, _EVENTS_SKETCH_COLS,
     )

@@ -196,6 +196,47 @@ def test_events_hour_grain_folds_and_subhour_filter_routes_raw(spark, sf_dir, or
     compare_frames(df.toPandas(), oracle.execute(subhour).fetchdf(), "sub-hour")
 
 
+def test_approx_distinct_folds_on_sketch_partials(spark, sf_dir):
+    """approx_count_distinct(user_id) folds onto the cube's HLL sketch
+    partials, equals the raw single-pass sketch EXACTLY (union is
+    register-max), and lands within the sketch's error bound of the
+    true distinct count (lgK=12 → ~1.6% rse; 5% is a generous gate)."""
+    q = TableAggQuery(
+        "events",
+        (Pred("event_type", "!=", "error"),),
+        ("event_type",),
+        (
+            AggCall("approx_distinct", "user_id", "approx_users"),
+            AggCall("count_star", None, "n"),
+        ),
+    )
+    df, chosen = route_corpus(spark, sf_dir, q)
+    assert chosen == "events_hourly_cube"
+    got = df.toPandas()
+    raw = _raw_plan(spark, sf_dir, q).toPandas()
+    assert got.equals(raw)
+    truth = {
+        r.event_type: r.d
+        for r in table(spark, sf_dir, "events")
+        .filter(F.col("event_type") != "error")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    for _, row in got.iterrows():
+        exact = truth[row.event_type]
+        assert abs(row.approx_users - exact) <= max(2, 0.05 * exact), (
+            row.event_type, row.approx_users, exact,
+        )
+    # a target with no stored sketch must refuse to the raw plan
+    q2 = TableAggQuery(
+        "events", (), ("event_type",),
+        (AggCall("approx_distinct", "event_id", "a"),),
+    )
+    _, chosen = route_corpus(spark, sf_dir, q2)
+    assert chosen == "raw"
+
+
 def test_events_user_grouping_falls_back_to_raw(spark, sf_dir):
     q = TableAggQuery(
         "events", (), ("user_id",), (AggCall("sum", "value", "total"),)
@@ -394,17 +435,22 @@ def test_events_cube_refresh_equals_rebuild(spark, sf_dir):
         ),
     )
     keys = list(EVENTS_CUBE_KEYS)
+
+    # sketch partials are compared at the ESTIMATE level: union is
+    # register-max so the logical state matches a rebuild, but the
+    # serialized bytes may differ in sparse mode
+    def est(df):
+        return df.withColumn("users_hll", F.hll_sketch_estimate("users_hll"))
+
     try:
         new_path = refresh_events_cube(spark, sf_dir, delta)
-        expected = (
+        expected = est(
             ev.unionByName(delta)
             .withColumn("event_hour", F.date_trunc("hour", F.col("ts")))
             .groupBy(*keys)
             .agg(*_events_cube_aggs())
-            .orderBy(*keys)
-            .toPandas()
-        )
-        got = spark.read.parquet(new_path).orderBy(*keys).toPandas()
+        ).orderBy(*keys).toPandas()
+        got = est(spark.read.parquet(new_path)).orderBy(*keys).toPandas()
         assert got.equals(expected[got.columns.tolist()])
         assert events_hourly_cube_table(spark, sf_dir) == new_path
     finally:
@@ -484,15 +530,19 @@ def test_stream_ingest_maintains_events_cube_end_to_end(spark, sf_dir, tmp_path)
     q.awaitTermination(120)
 
     keys = list(EVENTS_CUBE_KEYS)
+
+    def est(df):
+        return df.withColumn("users_hll", F.hll_sketch_estimate("users_hll"))
+
     got = (
-        spark.read.parquet(events_hourly_cube_table(spark, sf_base))
+        est(spark.read.parquet(events_hourly_cube_table(spark, sf_base)))
         .orderBy(*keys)
         .toPandas()
     )
     full_dir = tmp_path / "fullcorpus"
     ev.write.parquet(str(full_dir / "events.parquet"))
     want = (
-        spark.read.parquet(events_hourly_cube_table(spark, str(full_dir)))
+        est(spark.read.parquet(events_hourly_cube_table(spark, str(full_dir))))
         .orderBy(*keys)
         .toPandas()
     )

@@ -102,9 +102,15 @@ def test_refresh_warehouse_mixed_batch_equals_full_deploy(spark, sf_dir, tmp_pat
         spark.read.parquet(docs_stats_cube_table(spark, sf_dir)),
         list(DOCS_CUBE_KEYS),
     )
+    # sketch partials compare at the estimate level (serialized sparse
+    # form may differ between merge and rebuild; the register state —
+    # and so the estimate — must not)
+    est = lambda df: df.withColumn(  # noqa: E731
+        "users_hll", F.hll_sketch_estimate("users_hll")
+    )
     frames_equal(
-        spark.read.parquet(events_hourly_cube_table(spark, sf_base)),
-        spark.read.parquet(events_hourly_cube_table(spark, sf_dir)),
+        est(spark.read.parquet(events_hourly_cube_table(spark, sf_base))),
+        est(spark.read.parquet(events_hourly_cube_table(spark, sf_dir))),
         list(EVENTS_CUBE_KEYS),
     )
 
