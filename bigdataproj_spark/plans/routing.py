@@ -149,7 +149,10 @@ class BoolPred:
 @dataclass(frozen=True)
 class AggCall:
     """One output aggregate: ``fn`` over measure ``measure`` AS
-    ``alias``. fn ∈ {sum, avg, count, count_star, min, max}."""
+    ``alias``. fn ∈ {sum, avg, count, count_star, min, max,
+    count_distinct, approx_distinct} — the last two take an ATTRIBUTE
+    column as ``measure`` (approx_distinct is the engine-level
+    sketch-backed distinct count; no SQL spelling, rows-only checks)."""
 
     fn: str
     measure: str | None
@@ -241,7 +244,7 @@ def _used_cols(q: AggQuery) -> set[str]:
     for f in q.filters:
         used |= f.cols()
     for a in q.aggs:
-        if a.fn == "count_distinct" and a.measure:
+        if a.fn in ("count_distinct", "approx_distinct") and a.measure:
             used.add(a.measure)
         elif a.measure and a.measure in MEASURES:
             src = MEASURES[a.measure].source_col
@@ -395,6 +398,10 @@ class Projection:
     count_star_col: str
     open: Callable[[SparkSession, str], DataFrame]
     requires: frozenset[str] = frozenset()
+    # approx_count_distinct support: target column -> stored HLL
+    # sketch partial (register-max-mergeable, so the cube answers
+    # distinct-count questions with no distinct shuffle)
+    sketches: dict[str, str] | None = None
     # the dimension chain the projection's deploy-time build JOINED:
     # it answers exactly the queries that declare (or minimally imply)
     # the same chain — an inner join may drop orphan fact rows, and
@@ -433,6 +440,13 @@ class Projection:
                 # distinct value set within any output group over
                 # stored rows equals the set over raw rows
                 if (a.measure or "") not in self.attrs:
+                    return False
+                continue
+            if a.fn == "approx_distinct":
+                # folds iff a mergeable sketch partial is stored for
+                # the target (union is register-max, so re-aggregating
+                # sketches equals the single-pass sketch exactly)
+                if (a.measure or "") not in (self.sketches or {}):
                     return False
                 continue
             sm = self.measures.get(a.measure or "")
@@ -477,6 +491,13 @@ class Projection:
                 continue
             if a.fn == "count_distinct":
                 exprs.append(F.countDistinct(F.col(a.measure)).alias(a.alias))
+                continue
+            if a.fn == "approx_distinct":
+                exprs.append(
+                    F.hll_sketch_estimate(
+                        F.hll_union_agg(self.sketches[a.measure])  # type: ignore[index]
+                    ).alias(a.alias)
+                )
                 continue
             m, sm = MEASURES[a.measure], self.measures[a.measure]  # type: ignore[index]
             if a.fn == "sum":
@@ -590,6 +611,7 @@ PROJECTIONS: tuple[Projection, ...] = (
         count_star_col="cnt",
         open=_open_star_date_cube,
         chain=4,
+        sketches={"l_suppkey": "supp_hll", "l_partkey": "part_hll"},
     ),
 )
 
@@ -676,6 +698,17 @@ def _final_agg_exprs(
         if a.fn == "count_distinct":
             exprs.append(F.countDistinct(F.col(a.measure)).alias(a.alias))
             continue
+        # approx_distinct computes ROW-LEVEL here (the plans that call
+        # this with approx aggregates are all row-level: _raw_plan
+        # forces the row-level form when one is present); the cube path
+        # union-merges stored sketches in Projection.build instead.
+        if a.fn == "approx_distinct":
+            exprs.append(
+                F.hll_sketch_estimate(
+                    F.hll_sketch_agg(F.col(a.measure))
+                ).alias(a.alias)
+            )
+            continue
         # Partial-count re-aggregation (the cnt_star branch) must
         # coalesce to 0 for empty-input GLOBAL aggregates — SQL
         # COUNT is 0 there, but SUM of no partials is NULL (same
@@ -750,10 +783,19 @@ def _raw_plan(spark: SparkSession, sf_dir: str, q: AggQuery) -> DataFrame:
     for g in local_group:
         if sources[g] not in LINEITEM_COLS and g not in {a for a, _u, _c in q.truncs}:
             raise ValueError(f"unknown grouping attribute {g!r}")
-    # COUNT(DISTINCT) targets: attribute inputs that must survive to
-    # the aggregation — fact-side ones ride the partial key, dimension
-    # and part-side ones ride their joins.
-    cd_cols = sorted({a.measure for a in q.aggs if a.fn == "count_distinct"})
+    # COUNT(DISTINCT) and approx_distinct targets: attribute inputs
+    # that must survive to the aggregation — fact-side ones ride the
+    # partial key / fused projection, dimension and part-side ones ride
+    # their joins. approx targets additionally force the ROW-LEVEL plan
+    # (their sketch is computed over raw rows; the cube path is where
+    # pre-aggregated sketches live).
+    approx_cols = sorted(
+        {a.measure for a in q.aggs if a.fn == "approx_distinct"}
+    )
+    cd_cols = sorted(
+        {a.measure for a in q.aggs if a.fn == "count_distinct"}
+        | set(approx_cols)
+    )
     cd_local = [c for c in cd_cols if c in LINEITEM_COLS]
     cd_star = [c for c in cd_cols if c in DIM_ATTRS]
     cd_part = [c for c in cd_cols if c in PART_ATTRS]
@@ -836,7 +878,11 @@ def _raw_plan(spark: SparkSession, sf_dir: str, q: AggQuery) -> DataFrame:
         return j.select(*q.group_by).distinct().orderBy(*q.group_by)
 
     needed = sorted(
-        {a.measure for a in q.aggs if a.measure and a.fn != "count_distinct"}
+        {
+            a.measure
+            for a in q.aggs
+            if a.measure and a.fn not in ("count_distinct", "approx_distinct")
+        }
     )
     li_measures = [m for m in needed if MEASURES[m].home == "lineitem"]
     arm_measures = [m for m in needed if MEASURES[m].home != "lineitem"]
@@ -902,7 +948,7 @@ def _raw_plan(spark: SparkSession, sf_dir: str, q: AggQuery) -> DataFrame:
         )
         return out.orderBy(*q.group_by) if q.group_by else out
 
-    if join_keys != ["l_orderkey"] or arm_measures:
+    if join_keys != ["l_orderkey"] or arm_measures or approx_cols:
         # ROW-LEVEL arm join: when the partial key includes a
         # high-cardinality arm key (l_partkey ~ N/4 distinct values,
         # l_suppkey dense), pre-aggregation barely shrinks the fact
@@ -984,6 +1030,8 @@ def _spine_plan(spark: SparkSession, sf_dir: str, q: AggQuery) -> DataFrame | No
     and only when every dimension attribute used is stored on it."""
     if q.part or q.supp or effective_chain(q) != 4:
         return None
+    if any(a.fn == "approx_distinct" for a in q.aggs):
+        return None  # sketch shapes: cube or the row-level raw plan
     local_filters, star_filters, _pf, _sf = _split_filters(q)
     sources = q.group_sources()
     star_trunc_sources = frozenset(
@@ -1371,5 +1419,37 @@ def r85_routed_star_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     stored); the cube volunteers because the query involves its
     required date attribute."""
     df, chosen = route(spark, sf_dir, _ROUTED_STAR_DATE_SPEC)
+    assert chosen == "star_date_cube", chosen
+    return df
+
+
+# Sketch-partial distinct counting on the star family (rows-only by
+# design, like r25/r26/r109: DuckDB's approx_count_distinct is a
+# different sketch, so there is no cross-engine twin; exactness vs the
+# raw single-pass sketch and the error bound vs true COUNT(DISTINCT)
+# are pinned in tests/test_routing.py).
+_STAR_SKETCH_SPEC = AggQuery(
+    filters=(Pred("l_shipdate", ">=", "2000-01-01 00:00:00", cast="timestamp"),),
+    group_by=("r_name",),
+    aggs=(
+        AggCall("approx_distinct", "l_suppkey", "approx_suppliers"),
+        AggCall("approx_distinct", "l_partkey", "approx_parts"),
+        AggCall("count_star", None, "n"),
+    ),
+    chain=4,
+)
+
+
+@query("r110_star_distinct_suppliers", oracle=None, tags=("S13", "A6"))
+def r110_star_distinct_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct suppliers/parts per region over a date slice, answered
+    from the star cube's MERGEABLE HLL sketch partials: the cube stores
+    hll_sketch_agg(l_suppkey/l_partkey) per (region, nation, flag,
+    status, day), so the distinct counts re-aggregate by register-max
+    union over a scale-invariant projection — no distinct shuffle over
+    two fact tables. The estimate equals the raw row-level single-pass
+    sketch exactly (union is register-max; duplicates never move a
+    register, so pre-grouped rows sketch identically to raw rows)."""
+    df, chosen = route(spark, sf_dir, _STAR_SKETCH_SPEC)
     assert chosen == "star_date_cube", chosen
     return df

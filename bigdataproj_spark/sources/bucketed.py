@@ -394,6 +394,23 @@ def _pricing_cube_aggs() -> list:
     return aggs
 
 
+# Sketch partials stored by the STAR cube (the star shapes are where
+# "distinct suppliers/parts per region/period" lives): datasketches
+# HLL sketches are commutative monoids under register-max union, so
+# approx distinct counts re-aggregate from the cube with no distinct
+# shuffle, and the merged register state equals the single-pass state
+# (estimates agree exactly; serialized sparse form may differ — the
+# rebuild-equal tests compare sketch columns at the estimate level).
+_STAR_SKETCH_COLS = ("supp_hll", "part_hll")
+
+
+def _star_cube_aggs() -> list:
+    return _pricing_cube_aggs() + [
+        F.hll_sketch_agg("l_suppkey").alias("supp_hll"),
+        F.hll_sketch_agg("l_partkey").alias("part_hll"),
+    ]
+
+
 # The star cube's group keys: the full lineitem pricing key set PLUS
 # the region/nation names. Row bound is |nations| x |flags| x
 # |statuses| x |days| ≈ 375k at EVERY corpus scale (nation determines
@@ -432,7 +449,7 @@ def star_date_cube_table(spark: SparkSession, sf_dir: str) -> str:
     cube = (
         li.join(den.hint("shuffle_hash"), li.l_orderkey == den.o_orderkey)
         .groupBy(*_STAR_CUBE_KEYS)
-        .agg(*_pricing_cube_aggs())
+        .agg(*_star_cube_aggs())
     )
     path = os.path.join(wh, cube_name)
     cube.write.mode("overwrite").parquet(path)
@@ -440,13 +457,15 @@ def star_date_cube_table(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
-def _merge_cube_frames(stored, delta, keys: list[str]):
+def _merge_cube_frames(stored, delta, keys: list[str], sketch_cols=()):
     """Additively merge a delta cube into a stored cube sharing the
     pricing-partial column contract: full-outer on the (null-safe)
     group key, + for sums and counts, least/greatest for the min/max
-    partials (they skip NULLs — exactly the merge identity a group
-    present on only one side needs). Every stored column is a
-    commutative monoid, so delta-merge == rebuild bit-for-bit."""
+    partials, register-max ``hll_union`` for sketch partials (all
+    skip/propagate NULLs — exactly the merge identity a group present
+    on only one side needs). Every stored column is a commutative
+    monoid, so delta-merge == rebuild (bit-for-bit for the numeric
+    partials; estimate-identical for sketches)."""
     s, d = stored.alias("s"), delta.alias("d")
     cond = [F.col(f"s.{k}").eqNullSafe(F.col(f"d.{k}")) for k in keys]
     return s.join(d, cond, "full_outer").select(
@@ -465,6 +484,13 @@ def _merge_cube_frames(stored, delta, keys: list[str]):
         *[
             F.greatest(F.col(f"s.{m}"), F.col(f"d.{m}")).alias(m)
             for m in _CUBE_MAX_COLS
+        ],
+        *[
+            F.when(F.col(f"s.{m}").isNull(), F.col(f"d.{m}"))
+            .when(F.col(f"d.{m}").isNull(), F.col(f"s.{m}"))
+            .otherwise(F.hll_union(F.col(f"s.{m}"), F.col(f"d.{m}")))
+            .alias(m)
+            for m in sketch_cols
         ],
     )
 
@@ -530,9 +556,11 @@ def refresh_star_date_cube(
     delta_cube = (
         li.join(den, li.l_orderkey == den.o_orderkey)
         .groupBy(*keys)
-        .agg(*_pricing_cube_aggs())
+        .agg(*_star_cube_aggs())
     )
-    merged = _merge_cube_frames(spark.read.parquet(stored_path), delta_cube, keys)
+    merged = _merge_cube_frames(
+        spark.read.parquet(stored_path), delta_cube, keys, _STAR_SKETCH_COLS
+    )
     versions: dict = spark.__dict__.setdefault("_bdp_projection_versions", {})
     v = versions.get(stored_path, 0) + 1
     versions[stored_path] = v

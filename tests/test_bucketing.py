@@ -279,24 +279,32 @@ def test_incremental_star_date_cube_refresh_equals_rebuild(spark, sf_dir):
     )
     from bigdataproj_spark.sources.bucketed import (
         _STAR_CUBE_KEYS,
-        _pricing_cube_aggs,
+        _STAR_SKETCH_COLS,
+        _star_cube_aggs,
     )
 
     keys = list(_STAR_CUBE_KEYS)
+
+    # sketch partials compare at the ESTIMATE level (register-max union
+    # matches the rebuild's logical state; sparse-mode serialization
+    # may differ byte-wise)
+    def est(df):
+        for c in _STAR_SKETCH_COLS:
+            df = df.withColumn(c, F.hll_sketch_estimate(c))
+        return df
+
     try:
         new_path = refresh_star_date_cube(spark, sf_dir, delta)
         # from-scratch rebuild over base+delta through the same denorm
         _, den_name = order_revenue_projection(spark, sf_dir)
         den = spark.table(den_name).select("o_orderkey", "r_name", "n_name")
         both = _lineitem_with_derived(li.unionByName(delta))
-        expected = (
+        expected = est(
             both.join(den, both.l_orderkey == den.o_orderkey)
             .groupBy(*keys)
-            .agg(*_pricing_cube_aggs())
-            .orderBy(*keys)
-            .toPandas()
-        )
-        got = spark.read.parquet(new_path).orderBy(*keys).toPandas()
+            .agg(*_star_cube_aggs())
+        ).orderBy(*keys).toPandas()
+        got = est(spark.read.parquet(new_path)).orderBy(*keys).toPandas()
         assert got.equals(expected[got.columns.tolist()])
         assert star_date_cube_table(spark, sf_dir) == new_path
         load_all()["r85_routed_star_date"].build(spark, sf_dir)
@@ -387,16 +395,24 @@ def test_stream_ingest_maintains_pricing_cube(spark, sf_dir, tmp_path):
 
     # the star cube maintained through the same micro-batches equals
     # the one-shot cube of the full corpus too
-    from bigdataproj_spark.sources.bucketed import _STAR_CUBE_KEYS
+    from bigdataproj_spark.sources.bucketed import (
+        _STAR_CUBE_KEYS,
+        _STAR_SKETCH_COLS,
+    )
+
+    def est(df):
+        for c in _STAR_SKETCH_COLS:
+            df = df.withColumn(c, F.hll_sketch_estimate(c))
+        return df
 
     skeys = list(_STAR_CUBE_KEYS)
     star_got = (
-        spark.read.parquet(star_date_cube_table(spark, sf_base))
+        est(spark.read.parquet(star_date_cube_table(spark, sf_base)))
         .orderBy(*skeys)
         .toPandas()
     )
     star_want = (
-        spark.read.parquet(star_date_cube_table(spark, str(full_dir)))
+        est(spark.read.parquet(star_date_cube_table(spark, str(full_dir))))
         .orderBy(*skeys)
         .toPandas()
     )

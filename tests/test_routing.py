@@ -299,3 +299,56 @@ def test_dated_star_routes_to_date_cube_and_matches_raw(spark, sf_dir):
     # undated star still prefers the rollup pair
     _, undated_choice = route(spark, sf_dir, STAR)
     assert undated_choice == "order_revenue_star"
+
+
+def test_approx_distinct_folds_on_star_sketch_partials(spark, sf_dir):
+    """approx_distinct(l_suppkey/l_partkey) folds onto the star cube's
+    HLL sketch partials, equals the raw ROW-LEVEL single-pass sketch
+    exactly (union is register-max; duplicates never move a register,
+    so pre-grouped rows sketch identically), and lands within the
+    sketch's error bound of the true distinct counts. A chain-0 shape
+    has no cube with sketches, so it runs the raw plan."""
+    from pyspark.sql import functions as F
+
+    from bigdataproj_spark.catalog import table
+    from bigdataproj_spark.plans.routing import (
+        _STAR_SKETCH_SPEC,
+        _raw_plan,
+        route,
+    )
+
+    df, chosen = route(spark, sf_dir, _STAR_SKETCH_SPEC)
+    assert chosen == "star_date_cube"
+    got = df.toPandas()
+    assert got.equals(_raw_plan(spark, sf_dir, _STAR_SKETCH_SPEC).toPandas())
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    )
+    od = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    truth = {
+        row.r_name: (row.ds, row.dp)
+        for row in li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(c, od.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.countDistinct("l_suppkey").alias("ds"),
+            F.countDistinct("l_partkey").alias("dp"),
+        )
+        .collect()
+    }
+    for _, row in got.iterrows():
+        ds, dp = truth[row.r_name]
+        assert abs(row.approx_suppliers - ds) <= max(2, 0.05 * ds)
+        assert abs(row.approx_parts - dp) <= max(2, 0.05 * dp)
+    # chain-0: no projection stores sketches for the pricing shape
+    q0 = AggQuery(
+        (), ("l_returnflag",),
+        (AggCall("approx_distinct", "l_suppkey", "a"),),
+    )
+    _, chosen = route(spark, sf_dir, q0)
+    assert chosen == "raw"
