@@ -24,9 +24,13 @@ from bigdataproj_spark.sources.user_projections import (
 
 import pytest
 
+# keys chosen to overlap NO registry-deployed projection: the r108
+# oracle query deploys "prio_flag" on (o_orderpriority, l_returnflag)
+# into the same session catalog, so this test's pre-deploy "routes
+# raw" assertion must use a disjoint chain-1 mix
 _SPEC = AggQuery(
-    filters=(Pred("o_orderpriority", "!=", "1-URGENT"),),
-    group_by=("o_orderpriority", "l_returnflag"),
+    filters=(Pred("o_orderstatus", "!=", "F"),),
+    group_by=("o_orderstatus", "l_returnflag"),
     aggs=(
         AggCall("sum", "revenue", "rev"),
         AggCall("avg", "quantity", "avg_qty"),
@@ -43,7 +47,7 @@ def test_deploy_flips_routing_and_stays_bit_identical(spark, sf_dir):
         want = raw_df.toPandas()
 
         deploy_projection(
-            spark, sf_dir, "pf_test", ("o_orderpriority", "l_returnflag")
+            spark, sf_dir, "pf_test", ("o_orderstatus", "l_returnflag")
         )
         routed, chosen = route(spark, sf_dir, _SPEC)
         assert chosen == "user:pf_test"
