@@ -101,3 +101,78 @@ def refresh_warehouse(
         append_dated_events(events, ep)
         done["dated_events"] = ep
     return done
+
+
+def _next_version(spark: SparkSession, base: str) -> int:
+    versions: dict = spark.__dict__.setdefault("_bdp_projection_versions", {})
+    v = versions.get(("optimize", base), 0) + 1
+    versions[("optimize", base)] = v
+    return v
+
+
+def optimize_warehouse(spark: SparkSession, sf_dir: str) -> dict[str, str]:
+    """The scheduled OPTIMIZE pass — the compaction twin of
+    :func:`refresh_warehouse`. Ingest appends are deliberately cheap
+    (new clustered files per batch), which degrades the row-level
+    layouts gradually: the Z-order curve and the in-partition date
+    sort stay tight per FILE but not globally, and the bucketed fact
+    accretes one file per bucket per batch. This pass rewrites each
+    row-level layout from its CURRENT content (base + every appended
+    batch) back to its globally-optimal form, publishing each as a new
+    version the serving memo swings to atomically — write-new-then-
+    swing, never an in-place overwrite of a layout being read. Content
+    is row-identical by construction (sort/partition are the only
+    transforms; proven in tests). The aggregate cubes need no optimize
+    pass: every refresh already rewrites them whole (they are
+    scale-invariant small).
+
+    Deployments run this on a schedule (nightly, or after N appends) —
+    the same cadence Delta/Iceberg run OPTIMIZE — not per batch."""
+    import os
+
+    from .bucketed import (
+        _N_BUCKETS,
+        _layout_paths,
+        bucketed_fact_tables,
+        write_bucketed,
+    )
+    from .dated import write_dated, write_dated_events
+    from .zorder import write_zordered
+
+    tag, wh = _layout_paths(sf_dir)
+    done: dict[str, str] = {}
+
+    # bucketed fact: rewrite current content one-sorted-pass per bucket
+    li_name, od_name = bucketed_fact_tables(spark, sf_dir)
+    base = li_name.split("_opt")[0]
+    new_li = f"{base}_opt{_next_version(spark, base)}"
+    write_bucketed(
+        spark.table(li_name), new_li, os.path.join(wh, new_li), "l_orderkey"
+    )
+    spark.__dict__["_bdp_bucketed_memo"][(sf_dir, _N_BUCKETS)] = (new_li, od_name)
+    done["bucketed_lineitem"] = new_li
+
+    # Z-order: full recluster over base + appended deltas
+    zp = zordered_lineitem(spark, sf_dir)
+    zbase = os.path.join(wh, f"lineitem_zorder_{tag}")
+    new_z = f"{zbase}_opt{_next_version(spark, zbase)}"
+    write_zordered(spark.read.parquet(zp), new_z, "l_partkey", "l_suppkey")
+    spark.__dict__["_bdp_zorder_memo"][sf_dir] = new_z
+    done["zorder_lineitem"] = new_z
+
+    # dated layouts: re-partition + re-sort whole; the hive partition
+    # column is re-derived by the writer, so drop the read-back copy
+    dp = dated_lineitem(spark, sf_dir)
+    dbase = os.path.join(wh, f"lineitem_dated_{tag}")
+    new_d = f"{dbase}_opt{_next_version(spark, dbase)}"
+    write_dated(spark.read.parquet(dp).drop("ship_month"), new_d)
+    spark.__dict__["_bdp_dated_memo"][sf_dir] = new_d
+    done["dated_lineitem"] = new_d
+
+    ep = dated_events(spark, sf_dir)
+    ebase = os.path.join(wh, f"events_dated_{tag}")
+    new_e = f"{ebase}_opt{_next_version(spark, ebase)}"
+    write_dated_events(spark.read.parquet(ep).drop("event_day_p"), new_e)
+    spark.__dict__["_bdp_dated_events_memo"][sf_dir] = new_e
+    done["dated_events"] = new_e
+    return done

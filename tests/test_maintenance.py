@@ -19,6 +19,89 @@ from bigdataproj_spark.plans import physical_plan
 from bigdataproj_spark.sources.maintenance import refresh_warehouse
 
 
+def test_optimize_warehouse_restores_layouts_row_identically(spark, sf_dir, tmp_path):
+    """After ingest appends degrade the row-level layouts, the OPTIMIZE
+    pass rewrites each from its current content: row sets identical,
+    file counts back to the deploy shape (Z-order: append added files;
+    optimize returns to the 32-file clustered form), the serving memos
+    swung to the new versions, and routed queries keep answering."""
+    import glob
+
+    from bigdataproj_spark.plans.corpus_routing import (
+        TableScanQuery,
+        route_corpus_scan,
+    )
+    from bigdataproj_spark.plans.routing import Pred, ScanQuery, route_scan
+    from bigdataproj_spark.sources.maintenance import optimize_warehouse
+
+    base_dir = tmp_path / "base"
+    deltas = _copy_tables(
+        spark, sf_dir, base_dir,
+        {
+            "lineitem": F.col("l_orderkey") % 5 == 0,
+            "events": F.col("event_id") % 5 == 0,
+        },
+    )
+    sf_base = str(base_dir)
+    refresh_warehouse(
+        spark, sf_base, lineitem=deltas["lineitem"], events=deltas["events"]
+    )
+    from bigdataproj_spark.sources.zorder import zordered_lineitem
+
+    pre_files = len(glob.glob(zordered_lineitem(spark, sf_base) + "/*.parquet"))
+
+    done = optimize_warehouse(spark, sf_base)
+    assert set(done) == {
+        "bucketed_lineitem", "zorder_lineitem", "dated_lineitem", "dated_events",
+    }
+    # files compacted back to the deploy shape on the clustered layout
+    post_files = len(glob.glob(done["zorder_lineitem"] + "/*.parquet"))
+    assert post_files <= 32 < pre_files, (pre_files, post_files)
+
+    # row identity: every optimized layout holds exactly the full
+    # corpus ((orderkey, linenumber) is NOT unique in the synthetic
+    # fixture, so sort by the full tuple — ties are then identical rows)
+    full_li = table(spark, sf_dir, "lineitem")
+    zcols = [
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice",
+    ]
+    assert (
+        spark.read.parquet(done["zorder_lineitem"]).orderBy(*zcols).toPandas()
+        .equals(full_li.select(*zcols).orderBy(*zcols).toPandas())
+    )
+    licols = full_li.columns
+    assert (
+        spark.read.parquet(done["dated_lineitem"]).select(*licols)
+        .orderBy(*licols).toPandas()
+        .equals(full_li.orderBy(*licols).toPandas())
+    )
+    assert (
+        spark.read.parquet(done["dated_events"]).count()
+        == table(spark, sf_dir, "events").count()
+    )
+    assert spark.table(done["bucketed_lineitem"]).count() == full_li.count()
+
+    # the routers serve the optimized versions
+    df, chosen = route_scan(
+        spark, sf_base,
+        ScanQuery(("l_orderkey", "l_partkey"), (Pred("l_partkey", "<=", 40),)),
+    )
+    assert chosen == "zorder_lineitem"
+    assert df.count() == full_li.filter(F.col("l_partkey") <= 40).count()
+    df, chosen = route_corpus_scan(
+        spark, sf_base,
+        TableScanQuery(
+            "events", ("event_id", "ts"),
+            (Pred("ts", ">=", "2024-01-25 00:00:00", cast="timestamp"),),
+        ),
+    )
+    assert chosen == "dated_events"
+    assert df.count() == table(spark, sf_dir, "events").filter(
+        F.col("ts") >= F.lit("2024-01-25 00:00:00").cast("timestamp")
+    ).count()
+
+
 def _copy_tables(spark, sf_dir, out_dir, splits):
     """Write a base corpus at ``out_dir``: every fixture table the
     layout deploys read, with ``splits[t]`` (a filter Column) REMOVED
