@@ -800,6 +800,44 @@ def test_random_events_scan_routes_and_matches_duckdb(spark, sf_dir, _ora, p):
     assert chosen == expected, (chosen, sql)
 
 
+@given(
+    filt=st.sampled_from(range(len(_EV_FILTER_POOL))),
+    type_key=st.booleans(),
+    trunc=st.sampled_from([None, "hour", "day", "month"]),
+)
+@settings(
+    max_examples=10 * _FUZZ_SCALE,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_approx_spec_routed_equals_raw(spark, sf_dir, filt, type_key, trunc):
+    """approx_distinct has no SQL spelling (rows-only family), so its
+    differential check is spec-level: whatever the cube folds must
+    equal the raw row-level single-pass sketch EXACTLY, across random
+    filter/grouping shapes."""
+    f = _EV_FILTER_POOL[filt]
+    groups: list[str] = ["event_type"] if type_key else []
+    truncs = ()
+    if trunc:
+        groups.append("g_time")
+        truncs = (("g_time", trunc, "ts"),)
+    spec = TableAggQuery(
+        "events",
+        (f,) if f else (),
+        tuple(groups),
+        (
+            AggCall("approx_distinct", "user_id", "a_users"),
+            AggCall("sum", "value", "a_sum"),
+            AggCall("count_star", None, "a_n"),
+        ),
+        truncs,
+    )
+    routed, chosen = route_corpus(spark, sf_dir, spec)
+    assert routed.toPandas().equals(_raw_plan(spark, sf_dir, spec).toPandas()), (
+        chosen, spec,
+    )
+
+
 @given(p=st.one_of(doc_specs, ev_specs))
 @settings(
     max_examples=25 * _FUZZ_SCALE,
