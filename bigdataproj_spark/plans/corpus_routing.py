@@ -111,6 +111,14 @@ def _doc_tokens() -> Column:
     return F.size(tokens("text")).cast("long")
 
 
+def _doc_stopwords() -> Column:
+    from ..operators.text import STOPWORDS, tokens
+
+    return F.size(
+        F.filter(tokens("text"), lambda x: x.isin(*STOPWORDS))
+    ).cast("long")
+
+
 @dataclass(frozen=True)
 class CorpusTable:
     """One routable corpus fact table, declared as data: its actual
@@ -131,6 +139,7 @@ CORPUS_TABLES: dict[str, CorpusTable] = {
         measures={
             "chars": CMeasure("chars", lambda: F.col("n_chars"), 1, "n_chars"),
             "tokens": CMeasure("tokens", _doc_tokens, 1, "text"),
+            "stopwords": CMeasure("stopwords", _doc_stopwords, 1, "text"),
         },
         ts_cols=frozenset(),
     ),
@@ -432,6 +441,7 @@ CORPUS_PROJECTIONS: tuple[CorpusProjection, ...] = (
         measures={
             "chars": _StoredM("chars_i", "cnt_chars", "min_chars_i", "max_chars_i"),
             "tokens": _StoredM("tokens_i", "cnt_text", "min_tokens_i", "max_tokens_i"),
+            "stopwords": _StoredM("stop_i", "cnt_text", "min_stop_i", "max_stop_i"),
         },
         count_star_col="cnt",
         open=_open_docs_cube,

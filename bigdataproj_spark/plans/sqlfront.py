@@ -180,27 +180,42 @@ CNT_SRC: dict[str, str] = {m: c for c, m in COL_MEASURE.items()}
 _TOK_LEN_SQL = (
     "len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> ''))"
 )
+_STOPWORDS_SQL = "'the','a','of','and','to','in','is','on'"  # text.STOPWORDS
+_STOP_LEN_SQL = (
+    "len(list_filter(list_filter(string_split_regex(lower(trim(text)), '\\s+'),"
+    " t -> t <> ''), t -> t IN (" + _STOPWORDS_SQL + ")))"
+)
 _EVENT_VAL_SQL = "CAST(value AS DECIMAL(18,2))"
 
 CORPUS_SUM_SQL: dict[str, dict[str, str]] = {
     "documents": {
         "chars": "CAST(SUM(n_chars) AS BIGINT)",
         "tokens": f"CAST(SUM({_TOK_LEN_SQL}) AS BIGINT)",
+        "stopwords": f"CAST(SUM({_STOP_LEN_SQL}) AS BIGINT)",
     },
     "events": {"value": f"CAST(SUM({_EVENT_VAL_SQL}) AS DOUBLE)"},
 }
 CORPUS_MIN_SQL: dict[str, dict[str, str]] = {
-    "documents": {"chars": "MIN(n_chars)", "tokens": f"MIN({_TOK_LEN_SQL})"},
+    "documents": {
+        "chars": "MIN(n_chars)",
+        "tokens": f"MIN({_TOK_LEN_SQL})",
+        "stopwords": f"MIN({_STOP_LEN_SQL})",
+    },
     "events": {"value": f"CAST(MIN({_EVENT_VAL_SQL}) AS DOUBLE)"},
 }
 CORPUS_MAX_SQL: dict[str, dict[str, str]] = {
-    "documents": {"chars": "MAX(n_chars)", "tokens": f"MAX({_TOK_LEN_SQL})"},
+    "documents": {
+        "chars": "MAX(n_chars)",
+        "tokens": f"MAX({_TOK_LEN_SQL})",
+        "stopwords": f"MAX({_STOP_LEN_SQL})",
+    },
     "events": {"value": f"CAST(MAX({_EVENT_VAL_SQL}) AS DOUBLE)"},
 }
 CORPUS_AVG_SQL: dict[str, dict[str, str]] = {
     "documents": {
         "chars": "CAST(SUM(n_chars) AS DOUBLE) / COUNT(n_chars)",
         "tokens": f"CAST(SUM({_TOK_LEN_SQL}) AS DOUBLE) / COUNT({_TOK_LEN_SQL})",
+        "stopwords": f"CAST(SUM({_STOP_LEN_SQL}) AS DOUBLE) / COUNT({_STOP_LEN_SQL})",
     },
     "events": {
         "value": f"CAST(SUM({_EVENT_VAL_SQL}) AS DOUBLE) / COUNT(value)"
@@ -1515,6 +1530,35 @@ def r101_sql_events_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     string on the raw table: identical rows, different layout."""
     df, chosen = route_sql(spark, sf_dir, _SQL_EVENTS_SCAN)
     assert chosen == "dated_events", chosen
+    return df
+
+
+_SQL_STOPWORDS = f"""
+SELECT
+  lang,
+  {CORPUS_SUM_SQL['documents']['stopwords']} AS total_stopwords,
+  {CORPUS_SUM_SQL['documents']['tokens']} AS total_tokens,
+  {CORPUS_AVG_SQL['documents']['stopwords']} AS avg_stopwords,
+  COUNT(*) AS n_docs
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@query(
+    "r111_sql_stopword_profile", oracle=_SQL_STOPWORDS, tags=("S15", "E1", "L5", "text")
+)
+def r111_sql_stopword_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus stopword ratios per language from the doc-stats cube: the
+    per-doc stopword-token counts (a second deploy-time regex+filter
+    pass, like the token counts) are stored as exact integer partials,
+    so corpus-level ratios (SUM(stop)/SUM(tokens), one IEEE division
+    over exact integers) are bit-stable on both engines, and the query
+    reads ~80 stored rows instead of re-tokenizing the corpus. The quality-gate recipe (operators/quality.py) at corpus
+    grain, answered from the warehouse."""
+    df, chosen = route_sql(spark, sf_dir, _SQL_STOPWORDS)
+    assert chosen == "docs_stats_cube", chosen
     return df
 
 

@@ -54,9 +54,9 @@ from .bucketed import _layout_paths
 # ---------------------------------------------------------------------------
 
 DOCS_CUBE_KEYS = ("lang", "source")
-_DOCS_ADD_COLS = ("chars_i", "tokens_i", "cnt_chars", "cnt_text", "cnt")
-_DOCS_MIN_COLS = ("min_chars_i", "min_tokens_i")
-_DOCS_MAX_COLS = ("max_chars_i", "max_tokens_i")
+_DOCS_ADD_COLS = ("chars_i", "tokens_i", "stop_i", "cnt_chars", "cnt_text", "cnt")
+_DOCS_MIN_COLS = ("min_chars_i", "min_tokens_i", "min_stop_i")
+_DOCS_MAX_COLS = ("max_chars_i", "max_tokens_i", "max_stop_i")
 
 EVENTS_CUBE_KEYS = ("event_type", "event_hour")
 _EVENTS_ADD_COLS = ("value_i", "cnt_value", "cnt")
@@ -78,18 +78,28 @@ def _docs_cube_aggs() -> list:
     count is the engine's whitespace tokenizer (operators/text.py:25 —
     oracle twin ``len(list_filter(string_split_regex(lower(trim(text)),
     '\\s+'), t -> t <> ''))``) materialized at deploy time."""
+    from ..operators.text import STOPWORDS
+
     tok = F.size(tokens("text")).cast("long")
+    # stopword-token count per doc: integer, so corpus-level stopword
+    # RATIOS (SUM(stop)/SUM(tokens)) stay exact end to end
+    stop = F.size(
+        F.filter(tokens("text"), lambda x: x.isin(*STOPWORDS))
+    ).cast("long")
     chars = F.col("n_chars")
     return [
         F.sum(chars).alias("chars_i"),
         F.sum(tok).alias("tokens_i"),
+        F.sum(stop).alias("stop_i"),
         F.count("n_chars").alias("cnt_chars"),
         F.count("text").alias("cnt_text"),
         F.count(F.lit(1)).alias("cnt"),
         F.min(chars).alias("min_chars_i"),
         F.min(tok).alias("min_tokens_i"),
+        F.min(stop).alias("min_stop_i"),
         F.max(chars).alias("max_chars_i"),
         F.max(tok).alias("max_tokens_i"),
+        F.max(stop).alias("max_stop_i"),
     ]
 
 

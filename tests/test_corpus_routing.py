@@ -639,6 +639,8 @@ _DOC_AGG_POOL = [
     AggCall("sum", "tokens", "a_sum_toks"),
     AggCall("max", "tokens", "a_max_toks"),
     AggCall("avg", "tokens", "a_avg_toks"),
+    AggCall("sum", "stopwords", "a_sum_stop"),
+    AggCall("min", "stopwords", "a_min_stop"),
     AggCall("count_star", None, "a_n"),
     AggCall("count_distinct", "source", "a_cd_src"),
     AggCall("count_distinct", "doc_id", "a_cd_doc"),  # forces raw
