@@ -1,5 +1,5 @@
 """S15 (engine extension): aggregate projections for the CORPUS fact
-tables — the doc-stats cube over ``documents`` and the daily event
+tables — the doc-stats cube over ``documents`` and the hourly event
 rollup over ``events``.
 
 Round 6 generalized projection routing (plans/routing.py) and the SQL

@@ -1,6 +1,6 @@
 """Warehouse maintenance orchestration: ONE call per ingest batch.
 
-The engine's at-rest catalog is, by round 6, eleven layouts across
+The engine's at-rest catalog is, by round 6, a dozen layouts across
 four fact tables — bucketed fact + derived columns, per-order rollup,
 dimension-denormalized orders, two lineitem cubes, Z-order and
 ship-month scan layouts, the doc-stats and hourly-event cubes, and the
@@ -10,7 +10,7 @@ none of that taxonomy — it is "a batch of rows arrived, make every
 deployed layout reflect it". :func:`refresh_warehouse` is that call.
 
 Ordering is the one piece of knowledge this module owns (and the
-reason a single entry point is safer than eleven): dimension deltas
+reason a single entry point is safer than a dozen): dimension deltas
 refresh BEFORE any layout whose delta path joins the dimension side —
 the star-date cube resolves region/nation through the stored denorm,
 so a batch carrying both new orders and their lineitems must upsert

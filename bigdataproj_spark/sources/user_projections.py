@@ -31,9 +31,9 @@ measures stay on their measured row-level plans — a user projection
 storing an arm join would need the arm's orphan-drop semantics
 declared, which AggQuery.part/supp already routes honestly); measures
 from the five lineitem money measures. Cardinality is the deployer's
-responsibility exactly as in every warehouse (the deploy prints the
-stored row count; a cube keyed by a near-unique column is a bad view,
-not a wrong one).
+responsibility exactly as in every warehouse (a cube keyed by a
+near-unique column is a bad view, not a wrong one — the stored row
+count is one ``spark.read.parquet(path).count()`` away).
 
 At 100 TB: the deploy is one pass over the bucketed fact (derived
 fixed-point columns already materialized at rest) plus the broadcast
