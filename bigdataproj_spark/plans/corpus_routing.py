@@ -105,18 +105,13 @@ class CMeasure:
     source_col: str
 
 
-def _doc_tokens() -> Column:
-    from ..operators.text import tokens
-
-    return F.size(tokens("text")).cast("long")
-
-
-def _doc_stopwords() -> Column:
-    from ..operators.text import STOPWORDS, tokens
-
-    return F.size(
-        F.filter(tokens("text"), lambda x: x.isin(*STOPWORDS))
-    ).cast("long")
+# Per-row text expressions are defined ONCE, next to the cube deploy
+# (sources/corpus_cubes.py) — the raw plan and the stored partials can
+# never drift because they are literally the same expression.
+from ..sources.corpus_cubes import (  # noqa: E402
+    doc_stopword_count as _doc_stopwords,
+    doc_token_count as _doc_tokens,
+)
 
 
 @dataclass(frozen=True)
@@ -327,7 +322,7 @@ class _StoredM:
 @dataclass(frozen=True)
 class CorpusProjection:
     """One deployed corpus cube: the plain group keys it stores, an
-    optional day-grain time key ``(stored_col, ts_source_col)``, its
+    optional hour-grain time key ``(stored_col, ts_source_col)``, its
     stored measure partials, and how to open it."""
 
     name: str
@@ -539,11 +534,13 @@ def route_corpus(
 class TableScanQuery:
     """A projection+filter query over corpus-table rows (no
     aggregation). The router picks the physical LAYOUT; content is
-    identical whichever layout answers."""
+    identical whichever layout answers. Filters may be Pred or
+    BoolPred trees (applied row-level either way); only TOP-LEVEL
+    plain Preds participate in layout selection and bound derivation."""
 
     table: str
     columns: tuple[str, ...]
-    filters: tuple[Pred, ...]
+    filters: tuple  # of Pred | BoolPred, implicitly conjoined
 
 
 _RANGE_OPS = frozenset({"<=", "<", ">=", ">", "=", "between", "in"})

@@ -49,12 +49,12 @@ Recognized family (everything else → ``UnsupportedSQL`` → spark.sql):
   (TIMESTAMP/DATE literal casts preserved; a boolean tree folds on a
   projection exactly when every referenced column is a stored group
   key — the tree is then constant within each stored group);
-- derived time-grain grouping: ``GROUP BY date_trunc('month'|'year'|
-  'quarter'|'day', <timestamp col>)`` (by expression or select alias)
-  — the coarser grain folds exactly onto the day-grained cube because
-  coarse groups are unions of whole stored groups and every measure is
-  a monoid; 'week' is excluded (Spark/DuckDB truncation conventions
-  differ);
+- derived time-grain grouping: ``GROUP BY date_trunc('hour'|'day'|
+  'month'|'quarter'|'year', <timestamp col>)`` (by expression or select
+  alias) — a coarser grain folds exactly onto any cube storing the
+  source at finer (or full) resolution because coarse groups are
+  unions of whole stored groups and every measure is a monoid; 'week'
+  is excluded (Spark/DuckDB truncation conventions differ);
 - GLOBAL aggregates (no GROUP BY) — the cube's best case: COUNT(*) or
   SUM over the entire fact table re-aggregates a scale-invariant
   projection down to one row;
@@ -177,14 +177,16 @@ CNT_SRC: dict[str, str] = {m: c for c, m in COL_MEASURE.items()}
 # statement spelling it is answered from stored partials.
 # ---------------------------------------------------------------------------
 
-_TOK_LEN_SQL = (
-    "len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> ''))"
-)
-_STOPWORDS_SQL = "'the','a','of','and','to','in','is','on'"  # text.STOPWORDS
-_STOP_LEN_SQL = (
-    "len(list_filter(list_filter(string_split_regex(lower(trim(text)), '\\s+'),"
-    " t -> t <> ''), t -> t IN (" + _STOPWORDS_SQL + ")))"
-)
+# Derived from the engine's single tokenizer/stopword source of truth
+# (operators/text.py TOKENS_SQL + STOPWORDS) — a tokenizer change
+# updates the canonical SQL spellings here automatically, so the front
+# door can never keep matching a stale twin.
+from ..operators.text import STOPWORDS as _STOPWORDS  # noqa: E402
+from ..operators.text import TOKENS_SQL as _TOKENS_SQL  # noqa: E402
+
+_TOK_LEN_SQL = f"len({_TOKENS_SQL})"
+_STOPWORDS_SQL = "'" + "','".join(_STOPWORDS) + "'"
+_STOP_LEN_SQL = f"len(list_filter({_TOKENS_SQL}, t -> t IN ({_STOPWORDS_SQL})))"
 _EVENT_VAL_SQL = "CAST(value AS DECIMAL(18,2))"
 
 CORPUS_SUM_SQL: dict[str, dict[str, str]] = {
@@ -360,7 +362,7 @@ def _plain_fn(node) -> tuple[str, str] | None:
 # DuckDB truncate hours identically; 'week' stays excluded (ISO vs
 # locale conventions differ). Folding safety is per-layout: cubes
 # storing the SOURCE at full resolution (l_shipdate, o_orderdate) fold
-# any grain; the day-grained events cube refuses sub-day grains
+# any grain; the hour-grained events cube refuses sub-hour grains
 # (corpus_routing.CorpusProjection.subsumes) and the raw plan computes
 # them exactly.
 _TRUNC_UNITS = frozenset({"year", "quarter", "month", "day", "hour"})
@@ -372,7 +374,7 @@ _TS_COLS = frozenset({"l_shipdate", "o_orderdate"})
 
 def _match_trunc(node, ts_cols: frozenset[str] = _TS_COLS) -> tuple[str, str] | None:
     """(unit, source_col) for a ``date_trunc('unit', col)`` call over a
-    supported unit and timestamp column, else None. Units are the four
+    supported unit and timestamp column, else None. Units are those
     whose truncation semantics are identical between Spark and DuckDB
     (week differs: ISO vs locale conventions — excluded). ``ts_cols``
     is the caller's table-specific legal source set (the lineitem-star

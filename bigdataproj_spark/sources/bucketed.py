@@ -111,6 +111,26 @@ def append_bucketed_lineitem(
     return li_name
 
 
+def append_bucketed_orders(
+    spark: SparkSession, sf_dir: str, delta_orders: DataFrame
+) -> str:
+    """Append an ingest batch of ORDERS to the bucketed orders table —
+    the maintained dimension spine. The raw fixture parquet is
+    immutable; after ingest, the bucketed orders table IS the current
+    orders relation (refresh_warehouse appends here before any
+    lineitem-driven refresh that joins the order side, so chain>=1
+    user projections see newly ingested orders — the same
+    dimension-first ordering the denorm refresh encodes)."""
+    _, od_name = bucketed_fact_tables(spark, sf_dir)
+    (
+        delta_orders.write.bucketBy(_N_BUCKETS, "o_orderkey")
+        .sortBy("o_orderkey")
+        .mode("append")
+        .saveAsTable(od_name)
+    )
+    return od_name
+
+
 def _lineitem_with_derived(li: DataFrame) -> DataFrame:
     """The lineitem projection the layout stores: every source column
     plus the int64 fixed-point money columns (and their products) the
@@ -457,15 +477,25 @@ def star_date_cube_table(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
-def _merge_cube_frames(stored, delta, keys: list[str], sketch_cols=()):
-    """Additively merge a delta cube into a stored cube sharing the
-    pricing-partial column contract: full-outer on the (null-safe)
-    group key, + for sums and counts, least/greatest for the min/max
-    partials, register-max ``hll_union`` for sketch partials (all
-    skip/propagate NULLs — exactly the merge identity a group present
-    on only one side needs). Every stored column is a commutative
-    monoid, so delta-merge == rebuild (bit-for-bit for the numeric
-    partials; estimate-identical for sketches)."""
+def merge_partial_frames(
+    stored: DataFrame,
+    delta: DataFrame,
+    keys: tuple[str, ...],
+    add_cols: tuple[str, ...],
+    min_cols: tuple[str, ...],
+    max_cols: tuple[str, ...],
+    sketch_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """THE merge identity every cube refresh shares, with the column
+    contract passed in: full-outer on the (null-safe) group key, + for
+    sums and counts, least/greatest for min/max partials, register-max
+    ``hll_union`` for sketch partials (all skip/propagate NULLs —
+    exactly the identity a group present on only one side needs).
+    Every stored column is a commutative monoid, so delta-merge ==
+    rebuild (bit-for-bit for the numeric partials; estimate-identical
+    for sketches, whose serialized sparse form may differ). Defined
+    ONCE here so the lineitem cubes, the corpus cubes, and the user
+    projections can never drift on the merge semantics."""
     s, d = stored.alias("s"), delta.alias("d")
     cond = [F.col(f"s.{k}").eqNullSafe(F.col(f"d.{k}")) for k in keys]
     return s.join(d, cond, "full_outer").select(
@@ -475,16 +505,10 @@ def _merge_cube_frames(stored, delta, keys: list[str], sketch_cols=()):
                 F.coalesce(F.col(f"s.{m}"), F.lit(0))
                 + F.coalesce(F.col(f"d.{m}"), F.lit(0))
             ).alias(m)
-            for m in (*_CUBE_SUM_COLS, *_CUBE_CNT_COLS)
+            for m in add_cols
         ],
-        *[
-            F.least(F.col(f"s.{m}"), F.col(f"d.{m}")).alias(m)
-            for m in _CUBE_MIN_COLS
-        ],
-        *[
-            F.greatest(F.col(f"s.{m}"), F.col(f"d.{m}")).alias(m)
-            for m in _CUBE_MAX_COLS
-        ],
+        *[F.least(F.col(f"s.{m}"), F.col(f"d.{m}")).alias(m) for m in min_cols],
+        *[F.greatest(F.col(f"s.{m}"), F.col(f"d.{m}")).alias(m) for m in max_cols],
         *[
             F.when(F.col(f"s.{m}").isNull(), F.col(f"d.{m}"))
             .when(F.col(f"d.{m}").isNull(), F.col(f"s.{m}"))
@@ -492,6 +516,15 @@ def _merge_cube_frames(stored, delta, keys: list[str], sketch_cols=()):
             .alias(m)
             for m in sketch_cols
         ],
+    )
+
+
+def _merge_cube_frames(stored, delta, keys: list[str], sketch_cols=()):
+    """The pricing-partial instance of :func:`merge_partial_frames`."""
+    return merge_partial_frames(
+        stored, delta, tuple(keys),
+        (*_CUBE_SUM_COLS, *_CUBE_CNT_COLS),
+        _CUBE_MIN_COLS, _CUBE_MAX_COLS, tuple(sketch_cols),
     )
 
 

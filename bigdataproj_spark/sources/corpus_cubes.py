@@ -40,13 +40,13 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..functions import cents
 from ..operators.text import tokens
-from .bucketed import _layout_paths
+from .bucketed import _layout_paths, merge_partial_frames  # noqa: F401 (re-exported)
 
 # ---------------------------------------------------------------------------
 # Stored-partial column contracts (one place per cube; deploy and
@@ -73,19 +73,33 @@ _EVENTS_MAX_COLS = ("max_value_i",)
 _EVENTS_SKETCH_COLS = ("users_hll",)
 
 
-def _docs_cube_aggs() -> list:
-    """The doc-stats partials. ``n_chars`` is already int64; the token
-    count is the engine's whitespace tokenizer (operators/text.py:25 —
-    oracle twin ``len(list_filter(string_split_regex(lower(trim(text)),
-    '\\s+'), t -> t <> ''))``) materialized at deploy time."""
+def doc_token_count() -> Column:
+    """Per-doc whitespace-token count — THE per-row expression shared
+    by the cube deploy/refresh AND the router's raw query plan
+    (plans/corpus_routing.py imports it), so the two can never drift:
+    the routed answer is bit-identical to the raw plan because it is
+    literally the same expression, executed at deploy instead of per
+    query. Oracle twin: ``len(list_filter(string_split_regex(
+    lower(trim(text)), '\\s+'), t -> t <> ''))``."""
+    return F.size(tokens("text")).cast("long")
+
+
+def doc_stopword_count() -> Column:
+    """Per-doc stopword-token count (integer, so corpus-level stopword
+    RATIOS — SUM(stop)/SUM(tokens) — stay exact end to end); shared
+    with the router like :func:`doc_token_count`."""
     from ..operators.text import STOPWORDS
 
-    tok = F.size(tokens("text")).cast("long")
-    # stopword-token count per doc: integer, so corpus-level stopword
-    # RATIOS (SUM(stop)/SUM(tokens)) stay exact end to end
-    stop = F.size(
+    return F.size(
         F.filter(tokens("text"), lambda x: x.isin(*STOPWORDS))
     ).cast("long")
+
+
+def _docs_cube_aggs() -> list:
+    """The doc-stats partials: the shared per-row text expressions
+    materialized at deploy time."""
+    tok = doc_token_count()
+    stop = doc_stopword_count()
     chars = F.col("n_chars")
     return [
         F.sum(chars).alias("chars_i"),
@@ -167,48 +181,6 @@ def events_hourly_cube_table(spark: SparkSession, sf_dir: str) -> str:
 
     return _deploy_cube(
         spark, sf_dir, "events_hourly_cube", "events_hourly_cube", build
-    )
-
-
-def merge_partial_frames(
-    stored: DataFrame,
-    delta: DataFrame,
-    keys: tuple[str, ...],
-    add_cols: tuple[str, ...],
-    min_cols: tuple[str, ...],
-    max_cols: tuple[str, ...],
-    sketch_cols: tuple[str, ...] = (),
-) -> DataFrame:
-    """Additively merge a delta cube into a stored cube: full-outer on
-    the (null-safe) group key, + for sums/counts, least/greatest for
-    min/max partials, register-max ``hll_union`` for sketch partials
-    (all skip/propagate NULLs — exactly the identity a group present on
-    only one side needs). Every stored column is a commutative monoid,
-    so delta-merge == rebuild (bit-for-bit for the numeric partials;
-    estimate-identical for sketches, whose serialized form may differ
-    in sparse mode). The generalized twin of
-    sources/bucketed.py:_merge_cube_frames, with the column contract
-    passed in instead of fixed."""
-    s, d = stored.alias("s"), delta.alias("d")
-    cond = [F.col(f"s.{k}").eqNullSafe(F.col(f"d.{k}")) for k in keys]
-    return s.join(d, cond, "full_outer").select(
-        *[F.coalesce(F.col(f"s.{k}"), F.col(f"d.{k}")).alias(k) for k in keys],
-        *[
-            (
-                F.coalesce(F.col(f"s.{m}"), F.lit(0))
-                + F.coalesce(F.col(f"d.{m}"), F.lit(0))
-            ).alias(m)
-            for m in add_cols
-        ],
-        *[F.least(F.col(f"s.{m}"), F.col(f"d.{m}")).alias(m) for m in min_cols],
-        *[F.greatest(F.col(f"s.{m}"), F.col(f"d.{m}")).alias(m) for m in max_cols],
-        *[
-            F.when(F.col(f"s.{m}").isNull(), F.col(f"d.{m}"))
-            .when(F.col(f"d.{m}").isNull(), F.col(f"s.{m}"))
-            .otherwise(F.hll_union(F.col(f"s.{m}"), F.col(f"d.{m}")))
-            .alias(m)
-            for m in sketch_cols
-        ],
     )
 
 

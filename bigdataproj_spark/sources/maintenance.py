@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .bucketed import (
     append_bucketed_lineitem,
+    append_bucketed_orders,
     refresh_order_revenue_rollup,
     refresh_orders_denorm,
     refresh_pricing_cube,
@@ -70,6 +71,11 @@ def refresh_warehouse(
     if orders is not None:
         _roll, den = refresh_orders_denorm(spark, sf_dir, orders)
         done["orders_denorm"] = den
+        # the bucketed orders table is the MAINTAINED orders relation
+        # (raw fixture parquet is immutable): user projections and any
+        # other order-side consumer must see the new orders before the
+        # lineitem-driven refreshes below run
+        done["bucketed_orders"] = append_bucketed_orders(spark, sf_dir, orders)
     # 2. Fact side: aggregate projections (delta-merge), then the
     #    row-level layouts (clustered/partitioned appends).
     if lineitem is not None:

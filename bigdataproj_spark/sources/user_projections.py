@@ -54,9 +54,9 @@ from ..plans.routing import (
     LINEITEM_COLS,
     MEASURES,
     Projection,
-    _dim_arm,
     _StoredMeasure,
 )
+from ..catalog import table
 from .bucketed import _layout_paths, _lineitem_with_derived, bucketed_fact_tables
 from .corpus_cubes import merge_partial_frames
 
@@ -120,6 +120,30 @@ def _merge_cols(measures: tuple[str, ...]):
     return add, mins, maxs
 
 
+def _dim_side(
+    spark: SparkSession, sf_dir: str, chain: int, attrs: list[str]
+) -> DataFrame:
+    """The dimension side of a user projection's build/refresh: the
+    MAINTAINED bucketed orders table (refresh_warehouse appends ingest
+    batches to it — the raw fixture parquet is immutable, so reading
+    it here would silently drop newly ingested orders' lineitems from
+    every chain>=1 user projection on refresh), joined to the
+    broadcast customer/nation/region base dims exactly like the denorm
+    refresh does."""
+    _, od_name = bucketed_fact_tables(spark, sf_dir)
+    dims = spark.table(od_name)
+    if chain >= 2:
+        c = table(spark, sf_dir, "customer")
+        dims = dims.join(F.broadcast(c), dims.o_custkey == c.c_custkey)
+    if chain >= 3:
+        n = table(spark, sf_dir, "nation")
+        dims = dims.join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+    if chain >= 4:
+        r = table(spark, sf_dir, "region")
+        dims = dims.join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+    return dims.select("o_orderkey", *attrs)
+
+
 def _build_cube(
     spark: SparkSession,
     sf_dir: str,
@@ -130,7 +154,7 @@ def _build_cube(
 ) -> DataFrame:
     dim_keys = sorted(k for k in keys if k in DIM_ATTRS)
     if chain:
-        dims = _dim_arm(spark, sf_dir, chain, dim_keys)
+        dims = _dim_side(spark, sf_dir, chain, dim_keys)
         li = li.join(dims.hint("shuffle_hash"), li.l_orderkey == dims.o_orderkey)
     return li.groupBy(*keys).agg(*_partial_aggs(measures))
 
@@ -212,11 +236,14 @@ def refresh_projection(
     spark: SparkSession, sf_dir: str, name: str, delta_lineitem: DataFrame
 ) -> str:
     """Delta-merge one ingested lineitem batch into a deployed user
-    projection (dimension keys resolve through the same broadcast arm
-    the deploy used — a batch introducing new ORDERS must refresh the
-    warehouse first, the ordering refresh_warehouse encodes). Additive
-    monoid merge == rebuild, same argument as every built-in cube;
-    publishes a new VERSION the catalog swings to atomically."""
+    projection. Dimension keys resolve through the MAINTAINED bucketed
+    orders table (plus the broadcast base dims), so a batch shipping
+    new orders WITH their lineitems is handled correctly as long as
+    the orders land first — exactly the ordering refresh_warehouse
+    encodes (orders append + denorm upsert before every
+    lineitem-driven refresh). Additive monoid merge == rebuild, same
+    argument as every built-in cube; publishes a new VERSION the
+    catalog swings to atomically."""
     cat = _catalog(spark, sf_dir)
     if name not in cat:
         raise KeyError(f"no deployed projection {name!r}")

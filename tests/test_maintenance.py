@@ -155,10 +155,10 @@ def test_refresh_warehouse_mixed_batch_equals_full_deploy(spark, sf_dir, tmp_pat
         events=deltas["events"],
     )
     assert set(done) == {
-        "orders_denorm", "order_revenue_rollup", "pricing_cube",
-        "star_date_cube", "bucketed_lineitem", "zorder_lineitem",
-        "dated_lineitem", "docs_stats_cube", "events_hourly_cube",
-        "dated_events",
+        "orders_denorm", "bucketed_orders", "order_revenue_rollup",
+        "pricing_cube", "star_date_cube", "bucketed_lineitem",
+        "zorder_lineitem", "dated_lineitem", "docs_stats_cube",
+        "events_hourly_cube", "dated_events",
     }
 
     # Every maintained aggregate layout equals the same layout deployed

@@ -114,6 +114,12 @@ def test_refresh_projection_equals_rebuild(spark, sf_dir):
 
 
 def test_refresh_warehouse_includes_user_projections(spark, sf_dir, tmp_path):
+    """The HARD ingest case: the batch ships whole NEW orders together
+    with their lineitems. The user projection's dimension side reads
+    the MAINTAINED bucketed orders table (refresh_warehouse appends the
+    order delta there before any lineitem-driven refresh), so the new
+    orders' lineitems land in the chain-1 view — reading the immutable
+    raw fixture instead would silently drop them."""
     from bigdataproj_spark.sources.maintenance import refresh_warehouse
 
     base_dir = tmp_path / "base"
@@ -121,15 +127,16 @@ def test_refresh_warehouse_includes_user_projections(spark, sf_dir, tmp_path):
         df = table(spark, sf_dir, t)
         if t == "lineitem":
             df = df.filter(F.col("l_orderkey") % 5 != 0)
+        if t == "orders":
+            df = df.filter(F.col("o_orderkey") % 5 != 0)
         df.write.parquet(str(base_dir / f"{t}.parquet"))
     sf_base = str(base_dir)
-    # a chain-1 mix no built-in stores (the delta lineitems' ORDERS all
-    # exist in the base, so the dimension side resolves)
     keys = ("o_orderstatus", "l_returnflag")
     deploy_projection(spark, sf_base, "wh_test", keys)
-    delta = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 5 == 0)
-    done = refresh_warehouse(spark, sf_base, lineitem=delta)
-    assert "user:wh_test" in done
+    delta_li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 5 == 0)
+    delta_od = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 5 == 0)
+    done = refresh_warehouse(spark, sf_base, lineitem=delta_li, orders=delta_od)
+    assert "user:wh_test" in done and "bucketed_orders" in done
     # post-refresh the projection answers for base + delta = the full
     # fixture corpus: the grouped count equals the raw chain-1 answer
     q = AggQuery((), keys, (AggCall("count_star", None, "n"),))
