@@ -11,12 +11,12 @@ family plus the widened-router headliners; the remaining late stems
 docs/QUERY_ROTATION.md.
 
 Entrants (all local-oracle green at HEAD)      Evicted (row of record)
-  r92_sql_mixed_star_group  -> q20    q20_fulltext_bm25   r5 -> r102
-  r94_sql_date_scan         -> q28    q28_pii_scrub       r5 -> r103
-  r97_sql_triple_arm        -> q33    q33_ann_lsh         r5 -> r104
-  r98_sql_arm_measures      -> q35    q35_udaf            r5 -> r105
-  r99_sql_docs_profile      -> q40    q40_media_resize    r5 -> r106
-  r100_sql_events_rollup    -> q43    q43_semdedup        r5 -> r107
+  r92_sql_mixed_star_group  -> q20    q20_fulltext_bm25    r5 -> r102
+  r94_sql_date_scan         -> q28    q28_pii_scrub        r5 -> r103
+  r97_sql_triple_arm        -> q33    q33_ann_lsh          r5 -> r104
+  r98_sql_arm_measures      -> q35    q35_grouped_agg_udf  r5 -> r105
+  r99_sql_docs_profile      -> q40    q40_media_resize     r5 -> r106
+  r100_sql_events_rollup    -> q43    q43_semantic_dedup   r5 -> r107
 
 Eviction rule (same as every rotation): each evicted stem carries a
 round-5-green driver row, and its §2 family keeps an in-window
