@@ -177,3 +177,100 @@ def test_ensure_projection_is_idempotent(spark, sf_dir):
         assert _catalog(spark, sf_dir)["idem"].keys == ("l_linestatus",)
     finally:
         _catalog(spark, sf_dir).pop("idem", None)
+
+
+# ---------------------------------------------------------------------------
+# Differential fuzz: random specs against a deployed user view must
+# match DuckDB over the raw tables whichever catalog entry claims.
+# ---------------------------------------------------------------------------
+
+import os as _os  # noqa: E402
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+from bigdataproj_spark.plans.sqlfront import (  # noqa: E402
+    MAX_SQL,
+    MIN_SQL,
+    SUM_SQL,
+)
+from bigdataproj_spark.testing import compare_frames  # noqa: E402
+
+_FUZZ_SCALE = int(_os.environ.get("FUZZ_SCALE", "1"))
+_FZ_KEYS = ("o_orderstatus", "o_orderpriority", "l_returnflag")
+_FZ_AGGS = [
+    ("sum", "revenue", SUM_SQL["revenue"]),
+    ("sum", "quantity", SUM_SQL["quantity"]),
+    ("min", "base_price", MIN_SQL["base_price"]),
+    ("max", "discount", MAX_SQL["discount"]),
+    ("count_star", None, "COUNT(*)"),
+]
+_FZ_FILTERS = [
+    None,
+    ("o_orderstatus", "=", "'F'", Pred("o_orderstatus", "=", "F")),
+    ("o_orderpriority", "!=", "'1-URGENT'", Pred("o_orderpriority", "!=", "1-URGENT")),
+    ("l_returnflag", "in", "('A','R')", Pred("l_returnflag", "in", ("A", "R"))),
+    # a non-key filter: the view must REFUSE and the raw plan answer
+    ("l_quantity", "<=", "20", Pred("l_quantity", "<=", 20)),
+]
+
+
+@pytest.fixture(scope="module")
+def _fz_view(spark, sf_dir):
+    ensure_projection(spark, sf_dir, "fz_chain", _FZ_KEYS)
+    yield "user:fz_chain"
+    _catalog(spark, sf_dir).pop("fz_chain", None)
+
+
+@pytest.fixture(scope="module")
+def _fz_oracle(sf_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("lineitem", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+@given(
+    groups=st.sets(st.sampled_from(_FZ_KEYS), min_size=1, max_size=3),
+    aggs=st.sets(st.sampled_from(range(len(_FZ_AGGS))), min_size=1, max_size=3),
+    filt=st.sampled_from(range(len(_FZ_FILTERS))),
+)
+@settings(
+    max_examples=15 * _FUZZ_SCALE,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_spec_against_user_view_matches_duckdb(
+    spark, sf_dir, _fz_view, _fz_oracle, groups, aggs, filt
+):
+    """With a user view deployed, any spec in its shape family must be
+    claimed by it (no built-in stores this chain-1 mix) and match
+    DuckDB running the equivalent ANSI SQL on the raw tables; specs
+    with a non-key filter must refuse to the raw plan and STILL match."""
+    gs = sorted(groups)
+    calls = tuple(
+        AggCall(_FZ_AGGS[i][0], _FZ_AGGS[i][1], f"a{i}") for i in sorted(aggs)
+    )
+    f = _FZ_FILTERS[filt]
+    # chain declared 1 to match the generated SQL's explicit join (a
+    # draw touching only lineitem keys would otherwise be chain-0 and
+    # correctly belong to the pricing cube, a different statement)
+    spec = AggQuery((f[3],) if f else (), tuple(gs), calls, chain=1)
+    df, chosen = route(spark, sf_dir, spec)
+    expected = "raw" if (f and f[0] == "l_quantity") else "user:fz_chain"
+    assert chosen == expected, (chosen, spec)
+    sel = gs + [f"{_FZ_AGGS[i][2]} AS a{i}" for i in sorted(aggs)]
+    sql = (
+        f"SELECT {', '.join(sel)} FROM lineitem "
+        "JOIN orders ON l_orderkey = o_orderkey"
+    )
+    if f:
+        sql += f" WHERE {f[0]} {f[1].replace('in', 'IN')} {f[2]}"
+    sql += f" GROUP BY {', '.join(gs)} ORDER BY {', '.join(gs)}"
+    compare_frames(
+        df.toPandas(), _fz_oracle.execute(sql).fetchdf(), f"user-view-fuzz {sql}"
+    )
