@@ -598,7 +598,12 @@ def _cond_sql(pr) -> str:
     return f"{pr.col} {pr.op} {_lit_sql(pr.value, pr.cast)}"
 
 
-def _corpus_sql(q: TableAggQuery) -> str:
+def _corpus_sql(
+    q: TableAggQuery,
+    order_desc: bool = False,
+    having: int | None = None,
+    limit: int | None = None,
+) -> str:
     tm = {a: (u, c) for a, u, c in q.truncs}
     sel = [
         f"date_trunc('{tm[g][0]}', {tm[g][1]}) AS {g}" if g in tm else g
@@ -627,8 +632,15 @@ def _corpus_sql(q: TableAggQuery) -> str:
         parts.append("WHERE " + " AND ".join(conds))
     if q.group_by and q.aggs:
         parts.append("GROUP BY " + ", ".join(q.group_by))
+    if having is not None:
+        parts.append(f"HAVING COUNT(*) > {having}")
     if q.group_by:
-        parts.append("ORDER BY " + ", ".join(q.group_by))
+        parts.append(
+            "ORDER BY "
+            + ", ".join(f"{k} DESC" if order_desc else k for k in q.group_by)
+        )
+    if limit is not None:
+        parts.append(f"LIMIT {limit}")
     return " ".join(parts)
 
 
@@ -660,6 +672,9 @@ doc_specs = st.fixed_dictionaries(
         "groups": st.sets(st.sampled_from(["lang", "source"]), max_size=2),
         "aggs": st.sets(st.sampled_from(range(len(_DOC_AGG_POOL))), max_size=4),
         "filt": st.sampled_from(range(len(_DOC_FILTER_POOL))),
+        "order_desc": st.booleans(),
+        "having": st.sampled_from([None, 0, 3]),
+        "limit": st.sampled_from([None, 2, 5]),
     }
 )
 
@@ -850,9 +865,19 @@ def test_random_corpus_spec_routes_and_matches_duckdb(spark, sf_dir, _ora, p):
     """route_corpus(), the raw plan, and the generated SQL must agree
     on any drawn corpus spec — whichever cube (or none) answers."""
     spec = _doc_spec(p) if "groups" in p else _ev_spec(p)
-    sql = _corpus_sql(spec)
+    # post-aggregation extras (HAVING needs a COUNT(*) in the select
+    # list to reference; LIMIT needs the group-key total order)
+    has_cnt = any(a.fn == "count_star" for a in spec.aggs)
+    extras = {
+        "order_desc": bool(p.get("order_desc") and spec.group_by),
+        "having": p.get("having") if has_cnt else None,
+        "limit": p.get("limit") if spec.group_by else None,
+    }
+    sql = _corpus_sql(spec, **extras)
     parsed = parse_sql(sql)
     assert parsed.spec == spec, sql
+    assert parsed.limit == extras["limit"], sql
+    assert bool(parsed.having) == (extras["having"] is not None), sql
     sql_df, sql_chosen = route_sql(spark, sf_dir, sql)
     want = _ora.execute(sql).fetchdf()
     compare_frames(sql_df.toPandas(), want, f"corpus-fuzz[{sql_chosen}] {sql}")
