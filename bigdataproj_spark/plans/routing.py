@@ -61,7 +61,38 @@ from pyspark.sql import functions as F
 from ..catalog import table
 from ..functions import cents, imax_expr, imin_expr, isum_expr
 from ..registry import query
-from ..sources.bucketed import order_revenue_projection, pricing_cube_table
+from ..sources.bucketed import (
+    _N_BUCKETS,
+    order_revenue_projection,
+    pricing_cube_table,
+)
+
+
+def current_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CURRENT lineitem relation: the maintained bucketed fact
+    table once it is deployed in this session — refresh_warehouse
+    appends ingest deltas THERE, never to the immutable fixture
+    parquet — else the fixture. Without this (round-6 ADVICE, medium)
+    the same session answered routed queries over base+delta but
+    raw-fallback queries over base only: adding a non-key filter to a
+    cube-routed query silently changed which corpus was described.
+    Never triggers a layout deploy: a session that hasn't built the
+    warehouse keeps reading the fixture directly. Bonus at rest: the
+    table is bucketed+sorted on l_orderkey, so the raw plan's
+    per-order partial aggregation and spine-key joins become
+    exchange-free when it is picked up."""
+    memo = spark.__dict__.get("_bdp_bucketed_memo", {})
+    names = memo.get((sf_dir, _N_BUCKETS))
+    return spark.table(names[0]) if names else table(spark, sf_dir, "lineitem")
+
+
+def current_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CURRENT orders relation — maintained bucketed orders table
+    if deployed this session, else the fixture (same contract and
+    rationale as :func:`current_lineitem`)."""
+    memo = spark.__dict__.get("_bdp_bucketed_memo", {})
+    names = memo.get((sf_dir, _N_BUCKETS))
+    return spark.table(names[1]) if names else table(spark, sf_dir, "orders")
 
 # ---------------------------------------------------------------------------
 # The logical query spec.
@@ -657,8 +688,10 @@ def _dim_arm(
     actually uses. customer/nation/region broadcast (each orders of
     magnitude smaller than the fact side; at extreme scale customer
     would graduate to a bucketed layout like orders — the denorm
-    projection already embodies that posture)."""
-    dims = table(spark, sf_dir, "orders")
+    projection already embodies that posture). Orders come from the
+    MAINTAINED relation so post-ingest raw plans see the same corpus
+    the projections describe."""
+    dims = current_orders(spark, sf_dir)
     if chain >= 2:
         c = table(spark, sf_dir, "customer")
         dims = dims.join(F.broadcast(c), dims.o_custkey == c.c_custkey)
@@ -757,7 +790,7 @@ def _final_agg_exprs(
 def _raw_plan(spark: SparkSession, sf_dir: str, q: AggQuery) -> DataFrame:
     chain = effective_chain(q)
     part, supp = q.part, q.supp
-    li = table(spark, sf_dir, "lineitem")
+    li = current_lineitem(spark, sf_dir)
     local_filters, star_filters, part_filters, supp_filters = _split_filters(q)
     for p in local_filters:
         li = li.filter(p.column())
@@ -1366,7 +1399,7 @@ def route_scan(
             df = df.filter(months)
         chosen = "dated_lineitem"
     else:
-        df = table(spark, sf_dir, "lineitem")
+        df = current_lineitem(spark, sf_dir)
         chosen = "raw"
     for p in q.filters:
         df = df.filter(p.column())

@@ -840,6 +840,12 @@ def _parse_corpus(node: dict, tname: str) -> "ParsedSQL":
     if not groups and not aggs:
         # Row-level corpus scan: routed through route_corpus_scan so an
         # events ts-range opens only the day directories it touches.
+        # HAVING without grouping/aggregates is invalid SQL — refuse
+        # BEFORE the scan branch returns (round-6 ADVICE, low: it was
+        # silently discarded here while the lineitem path raised), so
+        # the verbatim fallback surfaces spark.sql's own error.
+        if node.get("having") is not None:
+            raise UnsupportedSQL("HAVING on a row-level scan")
         if truncs:
             raise UnsupportedSQL("scan over derived time-grain columns")
         if not ({c for c, _ in order} <= set(out)):

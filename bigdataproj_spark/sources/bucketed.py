@@ -114,21 +114,56 @@ def append_bucketed_lineitem(
 def append_bucketed_orders(
     spark: SparkSession, sf_dir: str, delta_orders: DataFrame
 ) -> str:
-    """Append an ingest batch of ORDERS to the bucketed orders table —
-    the maintained dimension spine. The raw fixture parquet is
+    """UPSERT an ingest batch of ORDERS into the bucketed orders table
+    — the maintained dimension spine. The raw fixture parquet is
     immutable; after ingest, the bucketed orders table IS the current
-    orders relation (refresh_warehouse appends here before any
+    orders relation (refresh_warehouse upserts here before any
     lineitem-driven refresh that joins the order side, so chain>=1
     user projections see newly ingested orders — the same
-    dimension-first ordering the denorm refresh encodes)."""
+    dimension-first ordering the denorm refresh encodes).
+
+    Delta rows REPLACE same-key stored rows, matching
+    :func:`refresh_orders_denorm` exactly (round-6 ADVICE, medium: a
+    blind append left a re-ingested o_orderkey duplicated here while
+    the denorm deduplicated it, so chain>=1 user-projection refreshes
+    joining through this table double-counted every matching
+    lineitem). The common case — a batch of genuinely NEW orders —
+    stays a cheap bucket-preserving append (one semi-join probe
+    against the stored keys detects it); only a batch carrying an
+    UPDATE pays the anti-join rewrite, published as a new bucketed
+    VERSION with the same atomic memo swing the denorm refresh uses."""
+    memo_key = (sf_dir, _N_BUCKETS)
     _, od_name = bucketed_fact_tables(spark, sf_dir)
-    (
-        delta_orders.write.bucketBy(_N_BUCKETS, "o_orderkey")
-        .sortBy("o_orderkey")
-        .mode("append")
-        .saveAsTable(od_name)
+    stored = spark.table(od_name)
+    delta_keys = delta_orders.select("o_orderkey")
+    has_update = bool(
+        stored.join(F.broadcast(delta_keys), "o_orderkey", "left_semi")
+        .limit(1)
+        .take(1)
     )
-    return od_name
+    if not has_update:
+        (
+            delta_orders.write.bucketBy(_N_BUCKETS, "o_orderkey")
+            .sortBy("o_orderkey")
+            .mode("append")
+            .saveAsTable(od_name)
+        )
+        return od_name
+    tag, wh = _layout_paths(sf_dir)
+    kept = stored.join(F.broadcast(delta_keys), "o_orderkey", "left_anti")
+    merged = kept.unionByName(delta_orders)
+    # versions key on the BASE table name (od_name is already a
+    # versioned name after a prior upsert)
+    base_name = f"orders_bkt_{tag}_{_N_BUCKETS}"
+    versions: dict = spark.__dict__.setdefault("_bdp_projection_versions", {})
+    v = versions.get(base_name, 0) + 1
+    versions[base_name] = v
+    new_name = f"{base_name}_v{v}"
+    write_bucketed(merged, new_name, os.path.join(wh, new_name), "o_orderkey")
+    memo: dict = spark.__dict__["_bdp_bucketed_memo"]
+    li_name, _ = memo[memo_key]
+    memo[memo_key] = (li_name, new_name)
+    return new_name
 
 
 def _lineitem_with_derived(li: DataFrame) -> DataFrame:

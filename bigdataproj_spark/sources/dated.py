@@ -27,6 +27,7 @@ not the user, picks the layout).
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -109,13 +110,30 @@ def dated_lineitem(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+# A date-or-timestamp literal's leading date fields, PADDING-TOLERANT:
+# SQL engines (Spark's cast, DuckDB's parser) accept '2000-3-15' as a
+# valid literal, so the derivation must not assume zero-padded text.
+_ISO_DATE_PREFIX = re.compile(r"^\s*(\d{4})-(\d{1,2})-(\d{1,2})(?![\d-])")
+
+
 def _time_key_of(value, keylen: int) -> str | None:
     """The truncation key ('yyyy-MM' or 'yyyy-MM-dd') of a timestamp
-    literal's text form — a prefix, because ISO text order equals time
-    order at every truncation length."""
-    if isinstance(value, str) and len(value) >= keylen:
-        return value[:keylen]
-    return None
+    literal's text form. The key is built from PARSED-AND-REFORMATTED
+    date fields, never from a raw text slice: a non-padded literal like
+    '2000-3-15' (valid to Spark and DuckDB) would slice to '2000-3-'
+    and lexicographically exclude months '2000-04'..'2000-12' — a
+    silent under-read that breaks the module's superset invariant.
+    Literals that don't parse as ISO-ish dates (or have out-of-range
+    fields) return None: no pruning, still correct."""
+    if not isinstance(value, str):
+        return None
+    m = _ISO_DATE_PREFIX.match(value)
+    if not m:
+        return None
+    y, mo, d = (int(g) for g in m.groups())
+    if not (1 <= mo <= 12 and 1 <= d <= 31):
+        return None
+    return f"{y:04d}-{mo:02d}-{d:02d}"[:keylen]
 
 
 def time_bounds_filter(preds, ts_col: str, part_col: str, keylen: int) -> Column | None:

@@ -62,6 +62,43 @@ def test_month_bounds_are_supersets(spark):
     ) == ["2001-01"]
 
 
+def test_non_padded_literals_never_under_read(spark):
+    """ADVICE r6 (high): '2000-3-15' is a VALID literal to Spark's cast
+    and DuckDB's parser, but a raw text slice would derive the key
+    '2000-3-' and lexicographically exclude '2000-04'..'2000-12' — a
+    silent under-read. The derivation must parse-and-reformat (keeping
+    those months) or decline to prune; it must never drop a month a
+    matching row can live in."""
+    df = spark.createDataFrame(
+        [("2000-01",), ("2000-02",), ("2000-03",), ("2000-04",), ("2000-12",)],
+        "ship_month string",
+    )
+
+    def months(preds):
+        cond = month_bounds_filter(preds)
+        if cond is None:  # no pruning derived — trivially a superset
+            return ["2000-01", "2000-02", "2000-03", "2000-04", "2000-12"]
+        return sorted(r[0] for r in df.filter(cond).collect())
+
+    # non-padded month AND day
+    assert months([Pred("l_shipdate", ">=", "2000-3-15", cast="timestamp")]) == [
+        "2000-03", "2000-04", "2000-12",
+    ]
+    # non-padded day only
+    assert months([Pred("l_shipdate", "<=", "2000-04-5", cast="timestamp")]) == [
+        "2000-01", "2000-02", "2000-03", "2000-04",
+    ]
+    # non-padded between
+    assert months(
+        [Pred("l_shipdate", "between", ("2000-2-1", "2000-3-31"), cast="timestamp")]
+    ) == ["2000-02", "2000-03"]
+    # garbage / out-of-range literals decline to prune rather than guess
+    for bad in ("not-a-date", "2000-13-01", "2000-02-99", "20000301"):
+        assert month_bounds_filter(
+            [Pred("l_shipdate", ">=", bad, cast="timestamp")]
+        ) is None, bad
+
+
 def test_dated_layout_prunes_partitions(spark, sf_dir, tmp_path):
     li = table(spark, sf_dir, "lineitem")
     path = str(tmp_path / "dated")

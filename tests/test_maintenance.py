@@ -231,3 +231,88 @@ def test_refresh_warehouse_mixed_batch_equals_full_deploy(spark, sf_dir, tmp_pat
     )
     plan = physical_plan(agg)
     assert "Exchange" not in plan, plan
+
+
+def test_order_update_upserts_bucketed_orders(spark, sf_dir, tmp_path):
+    """ADVICE r6 (medium): a re-ingested o_orderkey must REPLACE the
+    stored bucketed-orders row — matching refresh_orders_denorm's
+    upsert — not append a duplicate that double-counts every matching
+    lineitem through chain>=1 user-projection refreshes. A batch of
+    genuinely NEW orders must still take the cheap append path (no
+    version rewrite)."""
+    from bigdataproj_spark.sources.bucketed import bucketed_fact_tables
+
+    base_dir = tmp_path / "base"
+    _copy_tables(spark, sf_dir, base_dir, {})
+    sf_base = str(base_dir)
+    _, od_name = bucketed_fact_tables(spark, sf_base)
+    before = spark.table(od_name).count()
+
+    orders = table(spark, sf_dir, "orders")
+    keys = [r.o_orderkey for r in orders.select("o_orderkey").distinct().take(5)]
+    upd = (
+        orders.filter(F.col("o_orderkey").isin(keys))
+        .dropDuplicates(["o_orderkey"])
+        .withColumn("o_orderpriority", F.lit("9-UPDATED"))
+    )
+    done = refresh_warehouse(spark, sf_base, orders=upd)
+    od_now = done["bucketed_orders"]
+    assert od_now != od_name  # conflict: rewritten as a new version
+    got = spark.table(od_now)
+    assert got.count() == before  # replaced, not appended
+    rows = got.filter(F.col("o_orderkey").isin(keys)).collect()
+    assert len(rows) == len(keys)
+    assert all(r.o_orderpriority == "9-UPDATED" for r in rows)
+    # bucketed orders and denorm describe the SAME per-key row set
+    den = spark.table(done["orders_denorm"])
+    assert den.filter(F.col("o_orderkey").isin(keys)).count() == len(keys)
+
+    # new-orders batch: cheap append, same version, and still the
+    # relation bucketed_fact_tables serves
+    new = (
+        orders.dropDuplicates(["o_orderkey"]).limit(3)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(10**9))
+    )
+    done2 = refresh_warehouse(spark, sf_base, orders=new)
+    assert done2["bucketed_orders"] == od_now
+    assert spark.table(od_now).count() == before + 3
+    assert bucketed_fact_tables(spark, sf_base)[1] == od_now
+
+
+def test_raw_fallback_sees_ingested_corpus(spark, sf_dir, tmp_path):
+    """ADVICE r6 (medium): after an ingest, a RAW-routed query must
+    describe the same corpus (base + delta) the projection-routed
+    twin describes — the raw fallback reads the maintained bucketed
+    relations once they exist, not the immutable base fixture."""
+    from bigdataproj_spark.plans.routing import (
+        AggCall,
+        AggQuery,
+        Pred,
+        route,
+    )
+
+    base_dir = tmp_path / "base"
+    deltas = _copy_tables(
+        spark, sf_dir, base_dir, {"lineitem": F.col("l_orderkey") % 4 == 0}
+    )
+    sf_base = str(base_dir)
+    refresh_warehouse(spark, sf_base, lineitem=deltas["lineitem"])
+
+    # l_comment is no projection's group key: the router must fall
+    # back to the raw plan — which now reads base + delta
+    spec = AggQuery(
+        filters=(Pred("l_quantity", ">=", 0),),
+        group_by=("l_returnflag",),
+        aggs=(AggCall("count_star", None, "n"),),
+    )
+    df, chosen = route(spark, sf_base, spec)
+    assert chosen == "raw", chosen
+    got = {r.l_returnflag: r.n for r in df.collect()}
+    want = {
+        r.l_returnflag: r.n
+        for r in table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want, (got, want)

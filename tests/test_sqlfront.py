@@ -189,6 +189,12 @@ def test_lookalike_measure_does_not_match():
         "SELECT l_returnflag, COUNT(*) AS n FROM lineitem WHERE"
         " l_orderkey IN (SELECT o_orderkey FROM orders)"
         " GROUP BY l_returnflag",
+        # ADVICE r6 (low): HAVING on a row-level CORPUS scan (no
+        # grouping, no aggregates) is invalid SQL — the corpus branch
+        # must refuse like the lineitem branch does, not silently
+        # drop the clause and return scan rows
+        "SELECT event_id FROM events HAVING COUNT(*) > 0",
+        "SELECT doc_id FROM documents HAVING COUNT(*) > 1",
     ],
 )
 def test_unsupported_family_raises(bad):
