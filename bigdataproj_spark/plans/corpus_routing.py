@@ -78,15 +78,20 @@ from .routing import AggCall, BoolPred, Pred
 @dataclass(frozen=True)
 class TableAggQuery:
     """A grouped/global aggregate (or DISTINCT shape when ``aggs`` is
-    empty) over ONE corpus fact table — routing.AggQuery minus the
-    join machinery: corpus tables are self-contained facts. ``truncs``
-    declares derived time-grain keys exactly like AggQuery."""
+    empty) over ONE corpus fact table. ``truncs`` declares derived
+    time-grain keys exactly like AggQuery. ``dims`` declares joined
+    DIMENSION tables by name (round-7: the corpus family's star arm,
+    mirroring AggQuery's chain/part/supp declarations) — each is an
+    engine-maintained registry keyed 1:1-and-complete on a fact
+    column, so the declared inner join is row-preserving and its
+    attributes are per-group constants of the fact's join key."""
 
     table: str
     filters: tuple  # of Pred | BoolPred, implicitly conjoined
     group_by: tuple[str, ...]
     aggs: tuple[AggCall, ...]
     truncs: tuple[tuple[str, str, str], ...] = ()
+    dims: tuple[str, ...] = ()
 
     def group_sources(self) -> dict[str, str]:
         tm = {alias: col for alias, _unit, col in self.truncs}
@@ -127,6 +132,54 @@ class CorpusTable:
     ts_cols: frozenset[str]
 
 
+@dataclass(frozen=True)
+class CorpusDim:
+    """A declarable dimension table for the corpus star: joined INNER
+    on ``fact_key == dim_key``. The engine maintains the dim COMPLETE
+    over the corpus's key values (sources/corpus_cubes.py
+    refresh_sources_dim), so the inner join is row-preserving; and the
+    dim key is unique by construction (one registry row per value), so
+    the join is 1:1 — together these make the declared join a pure
+    attribute attachment, exact on both the row-level and the
+    cube-grouped path (every row of a fact group shares its key, so
+    joining groups == joining rows then grouping)."""
+
+    name: str
+    fact_tables: frozenset[str]
+    fact_key: str
+    dim_key: str
+    attrs: frozenset[str]
+    open: Callable[[SparkSession, str], DataFrame]
+
+
+def _open_sources_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.corpus_cubes import sources_dim_table
+
+    return spark.read.parquet(sources_dim_table(spark, sf_dir))
+
+
+CORPUS_DIMS: dict[str, CorpusDim] = {
+    "sources": CorpusDim(
+        name="sources",
+        fact_tables=frozenset({"documents"}),
+        fact_key="source",
+        dim_key="src_id",
+        attrs=frozenset({"s_kind", "s_tier"}),
+        open=_open_sources_dim,
+    ),
+}
+
+
+def _dim_attr_map(q: TableAggQuery) -> dict[str, CorpusDim]:
+    """attr -> dim for every attribute of the query's DECLARED dims."""
+    out: dict[str, CorpusDim] = {}
+    for name in q.dims:
+        d = CORPUS_DIMS[name]
+        for a in d.attrs:
+            out[a] = d
+    return out
+
+
 CORPUS_TABLES: dict[str, CorpusTable] = {
     "documents": CorpusTable(
         name="documents",
@@ -163,10 +216,23 @@ def _used_cols(q: TableAggQuery) -> set[str]:
 
 def validate(q: TableAggQuery) -> CorpusTable:
     """Structural validation against the declared table model; raises
-    ValueError (the router's refusal currency) on anything outside it."""
+    ValueError (the router's refusal currency) on anything outside it.
+    Declared dims widen the referencable column set by their attrs —
+    a dim attribute referenced WITHOUT its declared join refuses here,
+    same as routing.py's arm rules."""
     t = CORPUS_TABLES.get(q.table)
     if t is None:
         raise ValueError(f"unknown corpus table {q.table!r}")
+    dim_attrs: set[str] = set()
+    for name in q.dims:
+        d = CORPUS_DIMS.get(name)
+        if d is None:
+            raise ValueError(f"unknown corpus dim {name!r}")
+        if q.table not in d.fact_tables:
+            raise ValueError(f"dim {name!r} does not join table {q.table!r}")
+        if d.fact_key not in t.columns:
+            raise ValueError(f"dim {name!r} key missing on {q.table!r}")
+        dim_attrs |= d.attrs
     trunc_aliases = {a for a, _u, _c in q.truncs}
     for alias, unit, col in q.truncs:
         if col not in t.ts_cols:
@@ -174,10 +240,10 @@ def validate(q: TableAggQuery) -> CorpusTable:
         if unit not in ("hour", "day", "month", "quarter", "year"):
             raise ValueError(f"unsupported trunc unit {unit!r}")
     for c in _used_cols(q):
-        if c not in t.columns:
+        if c not in t.columns and c not in dim_attrs:
             raise ValueError(f"unknown column {c!r} on table {q.table!r}")
     for g in q.group_by:
-        if g not in trunc_aliases and g not in t.columns:
+        if g not in trunc_aliases and g not in t.columns and g not in dim_attrs:
             raise ValueError(f"unknown grouping attribute {g!r}")
     for a in q.aggs:
         if a.fn in ("count_star", "count_distinct", "approx_distinct"):
@@ -343,11 +409,23 @@ class CorpusProjection:
     def subsumes(self, q: TableAggQuery) -> bool:
         if q.table != self.table:
             return False
+        # Declared dim joins fold iff the cube stores each dim's FACT
+        # KEY: the dim attaches per-key-constant attributes, so joining
+        # the cube's groups is exactly joining the rows then grouping
+        # (every row of a group shares its key). The dim attrs then
+        # behave as stored attributes for grouping/filter/distinct.
+        dim_attrs: set[str] = set()
+        for name in q.dims:
+            d = CORPUS_DIMS[name]
+            if d.fact_key not in self.attrs:
+                return False
+            dim_attrs |= d.attrs
+        foldable = self.attrs | frozenset(dim_attrs)
         time_col, ts_src = self.time_key if self.time_key else (None, None)
         trunc_unit = {a: u for a, u, _c in q.truncs}
         trunc_src = {a: c for a, _u, c in q.truncs}
         for g, src in q.group_sources().items():
-            if src in self.attrs:
+            if src in foldable:
                 continue
             # a time-grain key folds when its source is the cube's ts
             # AND the requested grain is the stored hour grain or
@@ -362,13 +440,13 @@ class CorpusProjection:
                 continue
             return False
         for f in q.filters:
-            if not _filter_folds(f, self.attrs, ts_src):
+            if not _filter_folds(f, foldable, ts_src):
                 return False
         for a in q.aggs:
             if a.fn == "count_star":
                 continue
             if a.fn == "count_distinct":
-                if (a.measure or "") not in self.attrs:
+                if (a.measure or "") not in foldable:
                     return False
                 continue
             if a.fn == "approx_distinct":
@@ -389,6 +467,15 @@ class CorpusProjection:
     def build(self, spark: SparkSession, sf_dir: str, q: TableAggQuery) -> DataFrame:
         t = CORPUS_TABLES[q.table]
         df = self.open(spark, sf_dir)
+        # Declared dim joins attach BROADCAST onto the cube's groups
+        # (|dim| rows is registry-sized at any corpus scale); exact
+        # because dim attrs are constants of the stored fact key.
+        for name in q.dims:
+            d = CORPUS_DIMS[name]
+            dim = d.open(spark, sf_dir)
+            df = df.join(
+                F.broadcast(dim), F.col(d.fact_key) == dim[d.dim_key]
+            )
         time_col, ts_src = self.time_key if self.time_key else (None, None)
         # Filters BEFORE truncs (WHERE is pre-projection in SQL); ts
         # leaves rewrite onto the stored hour key.
@@ -465,6 +552,14 @@ CORPUS_PROJECTIONS: tuple[CorpusProjection, ...] = (
 def _raw_plan(spark: SparkSession, sf_dir: str, q: TableAggQuery) -> DataFrame:
     t = validate(q)
     df = table(spark, sf_dir, q.table)
+    # Declared dim joins: broadcast attribute attachment, applied
+    # whether or not the attrs are used (the SQL the spec mirrors
+    # declares the join; the engine-maintained dim is complete, so
+    # the inner join is row-preserving either way).
+    for name in q.dims:
+        d = CORPUS_DIMS[name]
+        dim = d.open(spark, sf_dir)
+        df = df.join(F.broadcast(dim), F.col(d.fact_key) == dim[d.dim_key])
     for p in q.filters:
         df = df.filter(p.column())
     for alias, unit, col in q.truncs:

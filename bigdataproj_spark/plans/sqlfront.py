@@ -90,6 +90,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 from .corpus_routing import (
+    CORPUS_DIMS,
     CORPUS_TABLES,
     TableAggQuery,
     TableScanQuery,
@@ -754,18 +755,85 @@ def _match_corpus_agg(item: dict, tname: str) -> AggCall | None:
     return None
 
 
+def _corpus_base_tables(n: dict, acc: set[str]) -> set[str]:
+    """All BASE_TABLE names under a FROM node (tolerant walk: used to
+    DECIDE corpus-vs-lineitem dispatch, never to validate shape)."""
+    t = n.get("type")
+    if t == "BASE_TABLE":
+        acc.add(n.get("table_name", "").lower())
+    elif t == "JOIN":
+        _corpus_base_tables(n.get("left", {}), acc)
+        _corpus_base_tables(n.get("right", {}), acc)
+    return acc
+
+
+def _parse_corpus_dims(from_node: dict, tname: str) -> tuple[str, ...]:
+    """Validate a corpus FROM clause: the bare fact table, or the fact
+    INNER-joined to declared dims on their canonical edges (``JOIN
+    sources ON source = src_id``) — the corpus twin of
+    :func:`_parse_from`'s chain/arm recognition. Returns the declared
+    dim names; raises UnsupportedSQL on any other join shape."""
+    if from_node.get("type") == "BASE_TABLE":
+        return ()
+    tables: set[str] = set()
+    edges: set[frozenset[str]] = set()
+
+    def walk(n):
+        t = n.get("type")
+        if t == "BASE_TABLE":
+            tables.add(n.get("table_name", "").lower())
+            return
+        if t != "JOIN":
+            raise UnsupportedSQL(f"unsupported FROM node {t}")
+        if n.get("join_type") != "INNER" or n.get("using_columns"):
+            raise UnsupportedSQL("only INNER ... ON dim joins route")
+        cond = n.get("condition")
+        if not (
+            isinstance(cond, dict)
+            and cond.get("type") == "COMPARE_EQUAL"
+            and _colref(cond.get("left"))
+            and _colref(cond.get("right"))
+        ):
+            raise UnsupportedSQL("non-equi dim join condition")
+        edges.add(frozenset({_colref(cond["left"]), _colref(cond["right"])}))
+        walk(n["left"])
+        walk(n["right"])
+
+    walk(from_node)
+    if tname not in tables:
+        raise UnsupportedSQL("corpus join without the fact table")
+    tables.discard(tname)
+    dims: list[str] = []
+    for name in sorted(tables):
+        d = CORPUS_DIMS.get(name)
+        if d is None or tname not in d.fact_tables:
+            raise UnsupportedSQL(f"unroutable join table {name}")
+        edge = frozenset({d.fact_key, d.dim_key})
+        if edge not in edges:
+            raise UnsupportedSQL(f"dim {name} joined off its canonical edge")
+        edges.discard(edge)
+        dims.append(name)
+    if edges:
+        raise UnsupportedSQL("unexpected join edges")
+    return tuple(dims)
+
+
 def _parse_corpus(node: dict, tname: str) -> "ParsedSQL":
-    """Lower a single-corpus-table SELECT onto :class:`TableAggQuery`.
+    """Lower a corpus-table SELECT onto :class:`TableAggQuery`.
     The same clause grammar as the lineitem path (WHERE trees, HAVING,
-    ORDER BY/LIMIT, SELECT DISTINCT, date_trunc grouping) minus the
-    join machinery — corpus tables are self-contained facts. Scans
-    (no grouping, no aggregates) lower onto :class:`TableScanQuery`
-    so an events time-range scan is answered from the day-partitioned
-    layout with derived directory pruning."""
+    ORDER BY/LIMIT, SELECT DISTINCT, date_trunc grouping) plus the
+    corpus star's declared DIM joins (round-7: ``JOIN sources ON
+    source = src_id`` widens the referencable columns by the dim's
+    attrs). Scans (no grouping, no aggregates) lower onto
+    :class:`TableScanQuery` so an events time-range scan is answered
+    from the day-partitioned layout with derived directory pruning."""
     model = CORPUS_TABLES[tname]
+    dims = _parse_corpus_dims(node["from_table"], tname)
     order, limit, distinct = _modifiers(node)
     filters = _parse_where(node.get("where_clause"))
     allowed = model.columns
+    for name in dims:
+        allowed = allowed | CORPUS_DIMS[name].attrs
     for p in filters:
         bad = p.cols() - allowed
         if bad:
@@ -846,6 +914,10 @@ def _parse_corpus(node: dict, tname: str) -> "ParsedSQL":
         # the verbatim fallback surfaces spark.sql's own error.
         if node.get("having") is not None:
             raise UnsupportedSQL("HAVING on a row-level scan")
+        if dims:
+            # row-level dim-join scans have no clustered layout story
+            # yet; refuse → Engine.sql answers verbatim (correct)
+            raise UnsupportedSQL("row-level scan over a dim join")
         if truncs:
             raise UnsupportedSQL("scan over derived time-grain columns")
         if not ({c for c, _ in order} <= set(out)):
@@ -867,6 +939,7 @@ def _parse_corpus(node: dict, tname: str) -> "ParsedSQL":
         tuple(groups),
         tuple(aggs),
         tuple((a, u, c) for a, (u, c) in truncs.items()),
+        dims,
     )
     return ParsedSQL(spec, tuple(out), order, having, limit)
 
@@ -902,13 +975,14 @@ def parse_sql(sql: str) -> ParsedSQL:
     if node.get("aggregate_handling") != "STANDARD_HANDLING":
         raise UnsupportedSQL("non-standard aggregate handling")
     from_node = node["from_table"]
-    if (
-        from_node.get("type") == "BASE_TABLE"
-        and from_node.get("table_name", "").lower() in CORPUS_TABLES
-    ):
-        # S15: single-table corpus families (documents/events) lower
-        # onto TableAggQuery and route through the corpus catalog.
-        return _parse_corpus(node, from_node["table_name"].lower())
+    corpus_in_from = _corpus_base_tables(from_node, set()) & set(CORPUS_TABLES)
+    if corpus_in_from:
+        # S15: corpus families (documents/events, optionally joined to
+        # declared dims) lower onto TableAggQuery and route through
+        # the corpus catalog.
+        if len(corpus_in_from) != 1:
+            raise UnsupportedSQL("more than one corpus fact table")
+        return _parse_corpus(node, next(iter(corpus_in_from)))
     order, limit, distinct = _modifiers(node)
 
     chain, part, supp = _parse_from(node["from_table"])
@@ -1605,4 +1679,79 @@ def r108_user_projection_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df, chosen = route_sql(spark, sf_dir, _SQL_USER_PROJ)
     assert chosen == "user:prio_flag", chosen
+    return df
+
+
+# ---------------------------------------------------------------------------
+# Round 7: the corpus star's declared DIM join (sources registry).
+# The engine knows `sources` as a deployed dim table; DuckDB has no
+# such view, so the oracles prepend the dim's derivation CTE
+# (SOURCES_DIM_SQL — the same deterministic spelling the deploy uses),
+# making the whole dim arm differentially checkable.
+# ---------------------------------------------------------------------------
+
+from ..sources.corpus_cubes import SOURCES_DIM_SQL as _SOURCES_DIM_SQL  # noqa: E402
+
+_SQL_SOURCES_KIND = f"""
+SELECT
+  s_kind,
+  lang,
+  {CORPUS_SUM_SQL['documents']['tokens']} AS total_tokens,
+  {CORPUS_AVG_SQL['documents']['chars']} AS avg_chars,
+  COUNT(*) AS n_docs
+FROM documents
+JOIN sources ON source = src_id
+WHERE s_tier = 'curated'
+GROUP BY s_kind, lang
+ORDER BY s_kind, lang
+"""
+
+
+@query(
+    "r112_sql_sources_dim_cube",
+    oracle=f"WITH sources AS (\n{_SOURCES_DIM_SQL}\n)\n{_SQL_SOURCES_KIND}",
+    tags=("S15", "E1", "J4", "L5"),
+)
+def r112_sql_sources_dim_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus star through the front door: documents joined to the
+    SOURCES registry dim, grouped by a dim attribute, filtered on
+    another. The statement folds onto the doc-stats cube — the cube
+    stores the fact-side join key (source), and dim attributes are
+    per-source constants, so joining the cube's |langs|x|sources|
+    groups to the broadcast registry equals joining the rows then
+    grouping — and the full-corpus tokenizer pass stays at deploy
+    time. The oracle derives the identical dim as a CTE and runs the
+    raw join on DuckDB."""
+    df, chosen = route_sql(spark, sf_dir, _SQL_SOURCES_KIND)
+    assert chosen == "docs_stats_cube", chosen
+    return df
+
+
+_SQL_SOURCES_TIER_RAW = f"""
+SELECT
+  s_tier,
+  {CORPUS_SUM_SQL['documents']['chars']} AS total_chars,
+  COUNT(*) AS n_docs
+FROM documents
+JOIN sources ON source = src_id
+WHERE n_chars >= 120
+GROUP BY s_tier
+ORDER BY s_tier
+"""
+
+
+@query(
+    "r113_sql_sources_dim_raw",
+    oracle=f"WITH sources AS (\n{_SOURCES_DIM_SQL}\n)\n{_SQL_SOURCES_TIER_RAW}",
+    tags=("S15", "E1", "J4", "A1"),
+)
+def r113_sql_sources_dim_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dim arm's REFUSE side: the row-level n_chars filter is no
+    cube group key, so the cube correctly declines and the router
+    answers with the raw plan — documents broadcast-joined to the
+    registry, fused pre-projection, one shuffle. Same statement
+    family as r112; what changed is one predicate, and what must NOT
+    change is the answer's agreement with DuckDB."""
+    df, chosen = route_sql(spark, sf_dir, _SQL_SOURCES_TIER_RAW)
+    assert chosen == "raw", chosen
     return df

@@ -95,6 +95,83 @@ def doc_stopword_count() -> Column:
     ).cast("long")
 
 
+# ---------------------------------------------------------------------------
+# The SOURCES dimension — S15's declared-join arm (round-7). The corpus
+# has no physical dim table; a real deployment's source registry is
+# derived at ingest ("which feeds do we crawl, what kind are they"), so
+# the engine derives it the same way: one row per distinct document
+# source, with its registry attributes. The derivation is DETERMINISTIC
+# and spelled identically here (Spark) and in SOURCES_DIM_SQL (the
+# DuckDB CTE the oracles use), so the dim join is differentially
+# checkable end to end. At 100 TB the dim is |sources| rows — broadcast
+# territory forever.
+# ---------------------------------------------------------------------------
+
+SOURCES_DIM_COLS = ("src_id", "s_kind", "s_tier")
+
+# The dim as a DuckDB CTE body over the registered `documents` view —
+# the oracle-side twin of sources_dim_frame.
+SOURCES_DIM_SQL = """\
+SELECT source AS src_id,
+       CASE CAST(substr(source, 4) AS INT) % 3
+            WHEN 0 THEN 'web' WHEN 1 THEN 'forum' ELSE 'wiki' END AS s_kind,
+       CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+            THEN 'curated' ELSE 'crawl' END AS s_tier
+FROM (SELECT DISTINCT source FROM documents)"""
+
+
+def sources_dim_frame(docs: DataFrame) -> DataFrame:
+    """The source-registry dim derived from a documents frame: one row
+    per distinct ``source`` with its kind/tier attributes. THE Spark
+    spelling of SOURCES_DIM_SQL — keep the two in lockstep."""
+    num = F.substring(F.col("source"), 4, 16).cast("int")
+    return docs.select("source").distinct().select(
+        F.col("source").alias("src_id"),
+        F.when(num % 3 == 0, "web")
+        .when(num % 3 == 1, "forum")
+        .otherwise("wiki")
+        .alias("s_kind"),
+        F.when(num % 2 == 0, "curated").otherwise("crawl").alias("s_tier"),
+    )
+
+
+def sources_dim_table(spark: SparkSession, sf_dir: str) -> str:
+    """Deploy (memoized) the sources dim table and return its path."""
+
+    def build() -> DataFrame:
+        return sources_dim_frame(table(spark, sf_dir, "documents"))
+
+    return _deploy_cube(spark, sf_dir, "sources_dim", "sources_dim", build)
+
+
+def refresh_sources_dim(
+    spark: SparkSession, sf_dir: str, delta_docs: DataFrame
+) -> str:
+    """Keep the source registry COMPLETE under ingest: derive the
+    delta's dim rows, anti-join against the stored registry, and
+    publish a new version only when genuinely new sources appeared
+    (the common no-new-source batch is a no-op). Completeness is the
+    dim's correctness invariant — the routed plans inner-join it, so
+    a missing source would silently drop that source's rows from
+    every dim-arm answer."""
+    stored_path = sources_dim_table(spark, sf_dir)
+    stored = spark.read.parquet(stored_path)
+    fresh = sources_dim_frame(delta_docs).join(
+        F.broadcast(stored.select("src_id")), "src_id", "left_anti"
+    )
+    if not fresh.take(1):
+        return stored_path
+    merged = stored.unionByName(fresh)
+    versions: dict = spark.__dict__.setdefault("_bdp_projection_versions", {})
+    v = versions.get(stored_path, 0) + 1
+    versions[stored_path] = v
+    new_path = f"{stored_path}_v{v}"
+    merged.write.mode("overwrite").parquet(new_path)
+    memo: dict = spark.__dict__.setdefault("_bdp_projection_memo", {})
+    memo[("sources_dim", sf_dir)] = new_path
+    return new_path
+
+
 def _docs_cube_aggs() -> list:
     """The doc-stats partials: the shared per-row text expressions
     materialized at deploy time."""

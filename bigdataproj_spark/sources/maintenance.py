@@ -98,8 +98,14 @@ def refresh_warehouse(
 
         for name, path in refresh_all_projections(spark, sf_dir, lineitem).items():
             done[f"user:{name}"] = path
-    # 3. Corpus tables: self-contained, any order.
+    # 3. Corpus tables: dims BEFORE their fact-driven cubes (the
+    #    sources registry must stay COMPLETE — the routed dim arm
+    #    inner-joins it, so a batch introducing a new source must land
+    #    in the registry before any query joins through it).
     if documents is not None:
+        from .corpus_cubes import refresh_sources_dim
+
+        done["sources_dim"] = refresh_sources_dim(spark, sf_dir, documents)
         done["docs_stats_cube"] = refresh_docs_cube(spark, sf_dir, documents)
     if events is not None:
         done["events_hourly_cube"] = refresh_events_cube(spark, sf_dir, events)

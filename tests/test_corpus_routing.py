@@ -886,3 +886,122 @@ def test_random_corpus_spec_routes_and_matches_duckdb(spark, sf_dir, _ora, p):
     if chosen != "raw":
         raw = _raw_plan(spark, sf_dir, spec).toPandas()
         assert routed.toPandas().equals(raw), (chosen, sql)
+
+
+# ---------------------------------------------------------------------------
+# Round 7: the sources dim arm (declared corpus-star join).
+# ---------------------------------------------------------------------------
+
+
+def test_sources_dim_folds_onto_cube_and_equals_raw(spark, sf_dir):
+    """A dim-attr grouping + dim-attr filter folds onto the doc-stats
+    cube (the cube stores the fact-side join key, and dim attrs are
+    per-source constants); the routed plan touches neither the raw
+    parquet nor the text column, and equals the row-level dim-join
+    plan cell for cell."""
+    q = TableAggQuery(
+        "documents",
+        (Pred("s_tier", "=", "crawl"),),
+        ("s_kind",),
+        (
+            AggCall("sum", "tokens", "total_tokens"),
+            AggCall("avg", "chars", "avg_chars"),
+            AggCall("count_star", None, "n_docs"),
+        ),
+        dims=("sources",),
+    )
+    df, chosen = route_corpus(spark, sf_dir, q)
+    assert chosen == "docs_stats_cube"
+    plan = plan_of(df)
+    assert "documents.parquet" not in plan, plan
+    assert "text#" not in plan, plan
+    assert df.toPandas().equals(_raw_plan(spark, sf_dir, q).toPandas())
+
+
+def test_sources_dim_fold_refuse_table(spark, sf_dir):
+    """The dim arm's fold/refuse rows: COUNT(DISTINCT dim attr) folds;
+    a row-level filter alongside the dim forces raw; a dim attr
+    WITHOUT its declared join refuses outright (ValueError, the
+    router's refusal currency); an undeclarable fact/dim pairing
+    refuses at validation."""
+    cd = TableAggQuery(
+        "documents", (), ("lang",),
+        (AggCall("count_distinct", "s_kind", "n_kinds"),),
+        dims=("sources",),
+    )
+    _, chosen = route_corpus(spark, sf_dir, cd)
+    assert chosen == "docs_stats_cube"
+
+    rowlevel = TableAggQuery(
+        "documents", (Pred("n_chars", ">=", 150),), ("s_tier",),
+        (AggCall("sum", "chars", "total_chars"),),
+        dims=("sources",),
+    )
+    df, chosen = route_corpus(spark, sf_dir, rowlevel)
+    assert chosen == "raw"
+    assert df.toPandas().equals(_raw_plan(spark, sf_dir, rowlevel).toPandas())
+
+    with pytest.raises(ValueError, match="unknown"):
+        route_corpus(
+            spark, sf_dir,
+            TableAggQuery("documents", (), ("s_kind",),
+                          (AggCall("count_star", None, "n"),)),
+        )
+    with pytest.raises(ValueError, match="does not join"):
+        route_corpus(
+            spark, sf_dir,
+            TableAggQuery("events", (), ("event_type",),
+                          (AggCall("count_star", None, "n"),),
+                          dims=("sources",)),
+        )
+
+
+def test_sources_dim_sql_refusals():
+    for sql in (
+        # dim joined off its canonical edge
+        "SELECT s_kind, COUNT(*) AS n FROM documents"
+        " JOIN sources ON doc_id = src_id GROUP BY s_kind",
+        # dim attr without the declared join
+        "SELECT s_kind, COUNT(*) AS n FROM documents GROUP BY s_kind",
+        # outer dim join: orphan semantics differ from INNER
+        "SELECT s_kind, COUNT(*) AS n FROM documents"
+        " LEFT JOIN sources ON source = src_id GROUP BY s_kind",
+        # dim joined to the wrong fact
+        "SELECT s_kind, COUNT(*) AS n FROM events"
+        " JOIN sources ON source = src_id GROUP BY s_kind",
+        # row-level scan over the dim join (no layout story yet)
+        "SELECT doc_id, s_kind FROM documents JOIN sources ON source = src_id",
+    ):
+        with pytest.raises(UnsupportedSQL):
+            parse_sql(sql)
+
+
+def test_sources_dim_refresh_keeps_registry_complete(spark, sf_dir, tmp_path):
+    """Completeness is the dim's correctness invariant (routed plans
+    inner-join it): a batch introducing a NEW source must land in the
+    registry, with the canonical derived attributes; a re-delivered
+    batch is a no-op (no new version)."""
+    from bigdataproj_spark.sources.corpus_cubes import (
+        refresh_sources_dim,
+        sources_dim_table,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    base_dir = tmp_path / "base"
+    docs.filter(F.col("source") != "src7").write.parquet(
+        str(base_dir / "documents.parquet")
+    )
+    sf_base = str(base_dir)
+    p0 = sources_dim_table(spark, sf_base)
+    assert spark.read.parquet(p0).filter("src_id = 'src7'").count() == 0
+
+    delta = docs.filter(F.col("source") == "src7")
+    p1 = refresh_sources_dim(spark, sf_base, delta)
+    assert p1 != p0
+    assert sources_dim_table(spark, sf_base) == p1  # memo swung
+    row = spark.read.parquet(p1).filter("src_id = 'src7'").collect()
+    # 7 % 3 == 1 -> forum; 7 % 2 == 1 -> crawl (the canonical derivation)
+    assert len(row) == 1
+    assert row[0].s_kind == "forum" and row[0].s_tier == "crawl"
+    # redelivery: same sources, no new version
+    assert refresh_sources_dim(spark, sf_base, delta) == p1

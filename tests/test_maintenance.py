@@ -157,8 +157,8 @@ def test_refresh_warehouse_mixed_batch_equals_full_deploy(spark, sf_dir, tmp_pat
     assert set(done) == {
         "orders_denorm", "bucketed_orders", "order_revenue_rollup",
         "pricing_cube", "star_date_cube", "bucketed_lineitem",
-        "zorder_lineitem", "dated_lineitem", "docs_stats_cube",
-        "events_hourly_cube", "dated_events",
+        "zorder_lineitem", "dated_lineitem", "sources_dim",
+        "docs_stats_cube", "events_hourly_cube", "dated_events",
     }
 
     # Every maintained aggregate layout equals the same layout deployed
