@@ -663,6 +663,10 @@ def route_corpus_scan(
         isinstance(p, Pred) and p.col == "ts" and p.op in _RANGE_OPS
         for p in q.filters
     )
+    has_docs_cluster_key = q.table == "documents" and any(
+        isinstance(p, Pred) and p.col in ("lang", "source") and p.op in _RANGE_OPS
+        for p in q.filters
+    )
     if has_ts_range:
         from ..sources.dated import dated_events, day_bounds_filter
 
@@ -671,6 +675,15 @@ def route_corpus_scan(
         if days is not None:
             df = df.filter(days)
         chosen = "dated_events"
+    elif has_docs_cluster_key:
+        # lang is a REAL hive partition column on this layout, so the
+        # plain row filter below prunes directories by itself (no
+        # derived superset filter needed); source/n_chars predicates
+        # skip via the in-partition range sort's min-max stats.
+        from ..sources.docstore import clustered_documents
+
+        df = spark.read.parquet(clustered_documents(spark, sf_dir))
+        chosen = "clustered_documents"
     else:
         df = table(spark, sf_dir, q.table)
         chosen = "raw"

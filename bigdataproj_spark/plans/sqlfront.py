@@ -1755,3 +1755,28 @@ def r113_sql_sources_dim_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     df, chosen = route_sql(spark, sf_dir, _SQL_SOURCES_TIER_RAW)
     assert chosen == "raw", chosen
     return df
+
+
+_SQL_DOCS_SCAN = """
+SELECT doc_id, source, n_chars
+FROM documents
+WHERE lang = 'en' AND n_chars >= 150
+ORDER BY doc_id
+"""
+
+
+@query("r114_sql_docs_scan", oracle=_SQL_DOCS_SCAN, tags=("S15", "S12", "E1", "P2"))
+def r114_sql_docs_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level corpus slice through the front door: the lang
+    predicate selects the CLUSTERED documents layout
+    (sources/docstore.py — hive-partitioned by language, range-sorted
+    by (source, n_chars) within), where lang is a real partition
+    column, so Catalyst prunes to one language directory from the row
+    predicate itself and the n_chars bound skips row groups inside it.
+    At 100 TB the text column dominates the bytes; this is the layout
+    that makes "the long English docs" open one directory instead of
+    the corpus. The oracle runs the same string on the raw table:
+    identical rows, different layout."""
+    df, chosen = route_sql(spark, sf_dir, _SQL_DOCS_SCAN)
+    assert chosen == "clustered_documents", chosen
+    return df

@@ -107,6 +107,11 @@ def refresh_warehouse(
 
         done["sources_dim"] = refresh_sources_dim(spark, sf_dir, documents)
         done["docs_stats_cube"] = refresh_docs_cube(spark, sf_dir, documents)
+        from .docstore import append_clustered_docs, clustered_documents
+
+        cp = clustered_documents(spark, sf_dir)
+        append_clustered_docs(documents, cp)
+        done["clustered_documents"] = cp
     if events is not None:
         done["events_hourly_cube"] = refresh_events_cube(spark, sf_dir, events)
         ep = dated_events(spark, sf_dir)
@@ -187,4 +192,16 @@ def optimize_warehouse(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     write_dated_events(spark.read.parquet(ep).drop("event_day_p"), new_e)
     spark.__dict__["_bdp_dated_events_memo"][sf_dir] = new_e
     done["dated_events"] = new_e
+
+    # clustered documents: re-merge appended files back to the
+    # globally-clustered form (the read-back lang partition column
+    # feeds the writer's partitionBy directly)
+    from .docstore import clustered_documents, write_clustered_docs
+
+    cp = clustered_documents(spark, sf_dir)
+    cbase = os.path.join(wh, f"documents_clustered_{tag}")
+    new_c = f"{cbase}_opt{_next_version(spark, cbase)}"
+    write_clustered_docs(spark.read.parquet(cp), new_c)
+    spark.__dict__["_bdp_docstore_memo"][sf_dir] = new_c
+    done["clustered_documents"] = new_c
     return done

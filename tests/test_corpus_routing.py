@@ -357,7 +357,8 @@ def test_scan_without_ts_range_routes_raw(spark, sf_dir):
                        (Pred("value", ">=", 400.0),)),
     )
     assert chosen == "raw"
-    # documents scans have no clustered layout deployed
+    # a documents scan with NO cluster-key predicate (n_chars alone is
+    # the tertiary sort, not a prune axis) reads the raw table
     _, chosen = route_corpus_scan(
         spark, sf_dir,
         TableScanQuery("documents", ("doc_id", "lang"),

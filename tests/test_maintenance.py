@@ -53,6 +53,7 @@ def test_optimize_warehouse_restores_layouts_row_identically(spark, sf_dir, tmp_
     done = optimize_warehouse(spark, sf_base)
     assert set(done) == {
         "bucketed_lineitem", "zorder_lineitem", "dated_lineitem", "dated_events",
+        "clustered_documents",
     }
     # files compacted back to the deploy shape on the clustered layout
     post_files = len(glob.glob(done["zorder_lineitem"] + "/*.parquet"))
@@ -159,6 +160,7 @@ def test_refresh_warehouse_mixed_batch_equals_full_deploy(spark, sf_dir, tmp_pat
         "pricing_cube", "star_date_cube", "bucketed_lineitem",
         "zorder_lineitem", "dated_lineitem", "sources_dim",
         "docs_stats_cube", "events_hourly_cube", "dated_events",
+        "clustered_documents",
     }
 
     # Every maintained aggregate layout equals the same layout deployed
