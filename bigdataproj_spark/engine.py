@@ -144,13 +144,31 @@ class Engine:
         """S16: materialize a user-declared aggregate projection and
         register it with the router — from this call on, matching
         specs AND matching SQL through :meth:`sql` are answered from
-        it (sources/user_projections.py)."""
+        it (sources/user_projections.py). v2: keys may include
+        part/supplier arm attributes and measures the arm-home money
+        measures — the view then claims exactly the statements
+        declaring those joins."""
         from .sources.user_projections import _ALL_MEASURES, deploy_projection
 
         return deploy_projection(
             self.spark, self.sf_dir, name, tuple(keys),
             tuple(measures) if measures else _ALL_MEASURES,
         )
+
+    def drop_projection(self, name: str) -> bool:
+        """S16 lifecycle: deregister a user projection — the router
+        stops consulting it on the next statement. Returns False when
+        the name is not deployed."""
+        from .sources.user_projections import drop_projection
+
+        return drop_projection(self.spark, self.sf_dir, name)
+
+    def projections(self) -> list[dict]:
+        """S16 introspection: the session's user-projection catalog
+        (SHOW MATERIALIZED VIEWS)."""
+        from .sources.user_projections import list_projections
+
+        return list_projections(self.spark, self.sf_dir)
 
     # -- Reference pipeline surface (R1→R10) -------------------------------
     def ingest_json(self, records: Iterable[dict]) -> DataFrame:

@@ -439,11 +439,18 @@ class Projection:
     # the router never assumes FK integrity, so chain-2 and chain-4
     # specs are different queries even over identical attributes.
     chain: int = 0
+    # the part/supplier arms the deploy-time build JOINED (round-7:
+    # user projections may store them; every built-in keeps both
+    # False). Same honesty rule as chain: the inner arm join may drop
+    # orphan lineitems, so a projection answers exactly the specs
+    # declaring the SAME arm set — never a superset or subset.
+    part: bool = False
+    supp: bool = False
 
     def subsumes(self, q: AggQuery) -> bool:
-        if q.part or q.supp:
-            # no projection stores the part/supplier-join semantics
-            # (inner joins that may drop orphan lineitems)
+        if bool(q.part) != self.part or bool(q.supp) != self.supp:
+            # arm semantics must match exactly (inner joins that may
+            # drop orphan lineitems are part of the query's meaning)
             return False
         if effective_chain(q) != self.chain:
             return False

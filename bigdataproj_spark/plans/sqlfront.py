@@ -1780,3 +1780,43 @@ def r114_sql_docs_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     df, chosen = route_sql(spark, sf_dir, _SQL_DOCS_SCAN)
     assert chosen == "clustered_documents", chosen
     return df
+
+
+_SQL_USER_ARM_PROJ = f"""
+SELECT
+  p_brand,
+  l_returnflag,
+  {SUM_SQL['revenue']} AS rev,
+  {SUM_SQL['part_retail']} AS retail_weighted,
+  COUNT(*) AS n
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand, l_returnflag
+ORDER BY p_brand, l_returnflag
+"""
+
+
+@query(
+    "r115_user_arm_projection_sql",
+    oracle=_SQL_USER_ARM_PROJ,
+    tags=("S16", "S13", "E1", "J1", "A1"),
+)
+def r115_user_arm_projection_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S16 v2 end-to-end: the user declares a projection over the PART
+    ARM — keys (p_brand, l_returnflag), measures including the
+    arm-home p_retailprice sum — and the identical part-join SQL
+    statement routes onto it. The view records that its build joined
+    the part arm and claims exactly the statements declaring that
+    join (inner-join orphan-drop semantics are part of the query's
+    meaning, so arm sets must match exactly — never a superset). The
+    oracle runs the same string over the raw tables."""
+    from ..sources.user_projections import ensure_projection
+
+    ensure_projection(
+        spark, sf_dir, "brand_flag",
+        ("p_brand", "l_returnflag"),
+        ("revenue", "quantity", "part_retail"),
+    )
+    df, chosen = route_sql(spark, sf_dir, _SQL_USER_ARM_PROJ)
+    assert chosen == "user:brand_flag", chosen
+    return df

@@ -25,12 +25,17 @@ of those queries never learns a projection exists.
 :func:`sources.maintenance.refresh_warehouse` refreshes every deployed
 user projection alongside the built-ins.
 
-Scope (v1, enforced at deploy): group keys from the lineitem fact
-and/or the order dimension chain (the part/supplier arms and arm-home
-measures stay on their measured row-level plans — a user projection
-storing an arm join would need the arm's orphan-drop semantics
-declared, which AggQuery.part/supp already routes honestly); measures
-from the five lineitem money measures. Cardinality is the deployer's
+Scope (v2, enforced at deploy): group keys from the lineitem fact,
+the order dimension chain, and the part/supplier arms; measures from
+the five lineitem money measures plus the four arm-home money
+measures (o_totalprice, c_acctbal, p_retailprice, s_acctbal —
+computed post-join with the statement's lineitem-multiplicity
+weighting). The view records WHICH joins its build ran (chain depth +
+arm set) and answers exactly the specs declaring the same set —
+inner-join orphan-drop semantics are part of a query's meaning, and
+the router never assumes FK integrity. Lifecycle: deploy /
+ensure (idempotent) / refresh (delta-merge) / drop (deregister;
+files await scheduled GC) / list. Cardinality is the deployer's
 responsibility exactly as in every warehouse (a cube keyed by a
 near-unique column is a bad view, not a wrong one — the stored row
 count is one ``spark.read.parquet(path).count()`` away).
@@ -53,6 +58,8 @@ from ..plans.routing import (
     DIM_ATTRS,
     LINEITEM_COLS,
     MEASURES,
+    PART_ATTRS,
+    SUPP_ATTRS,
     Projection,
     _StoredMeasure,
 )
@@ -70,13 +77,28 @@ _DERIVED = {
     "charge": "l_charge_i",
 }
 _ALL_MEASURES = tuple(_DERIVED)
+# Round-7 (v2): arm-home measures are declarable too. Each computes
+# post-join from its MEASURES entry (the same cents() arithmetic the
+# row-level plans run); declaring one pulls in the measure's home join
+# exactly like declaring one of that side's group keys.
+_ARM_MEASURES = ("order_total", "cust_acctbal", "part_retail", "supp_acctbal")
+_USER_MEASURES = _ALL_MEASURES + _ARM_MEASURES
+# minimal chain an order-home measure's source column needs
+_MEASURE_CHAIN = {"order_total": 1, "cust_acctbal": 2}
+
+
+def _int_src(m: str) -> str:
+    """The int64 column a measure's partials aggregate FROM in the
+    cube build: the bucketed fact's at-rest derived column for
+    lineitem measures, a post-join materialized expression otherwise."""
+    return _DERIVED.get(m, f"__{m}_raw_i")
 
 
 @dataclass
 class _UserProjection:
     """Catalog entry: the router-facing Projection plus the refresh
-    metadata (keys/measures/chain and the current stored path, swung
-    atomically on refresh)."""
+    metadata (keys/measures/chain/arms and the current stored path,
+    swung atomically on refresh)."""
 
     name: str
     keys: tuple[str, ...]
@@ -85,6 +107,8 @@ class _UserProjection:
     path: str  # current stored version (swung atomically on refresh)
     base_path: str  # immutable deploy path; refresh versions derive from it
     projection: Projection
+    part: bool = False
+    supp: bool = False
 
 
 def _catalog(spark: SparkSession, sf_dir: str) -> dict[str, _UserProjection]:
@@ -99,15 +123,15 @@ def user_projections(spark: SparkSession, sf_dir: str) -> list[Projection]:
 
 
 def _partial_aggs(measures: tuple[str, ...]) -> list:
-    aggs = [F.sum(_DERIVED[m]).alias(f"{m}_i") for m in measures]
+    aggs = [F.sum(_int_src(m)).alias(f"{m}_i") for m in measures]
     aggs += [
         F.count(MEASURES[m].source_col).alias(f"cnt_{m}")
         for m in measures
         if MEASURES[m].source_col
     ]
     aggs.append(F.count(F.lit(1)).alias("cnt"))
-    aggs += [F.min(_DERIVED[m]).alias(f"min_{m}_i") for m in measures]
-    aggs += [F.max(_DERIVED[m]).alias(f"max_{m}_i") for m in measures]
+    aggs += [F.min(_int_src(m)).alias(f"min_{m}_i") for m in measures]
+    aggs += [F.max(_int_src(m)).alias(f"max_{m}_i") for m in measures]
     return aggs
 
 
@@ -151,11 +175,36 @@ def _build_cube(
     keys: tuple[str, ...],
     measures: tuple[str, ...],
     chain: int,
+    part: bool = False,
+    supp: bool = False,
 ) -> DataFrame:
-    dim_keys = sorted(k for k in keys if k in DIM_ATTRS)
+    """The deploy/refresh cube build: fact ⋈ declared arms, arm-home
+    measure ints materialized post-join, one grouped partial
+    aggregation. Each arm carries only its group keys plus the source
+    columns of its home measures."""
+
+    def _srcs(home: str) -> set[str]:
+        return {
+            MEASURES[m].source_col
+            for m in measures
+            if MEASURES[m].home == home and MEASURES[m].source_col
+        }
+
+    dim_attrs = sorted({k for k in keys if k in DIM_ATTRS} | _srcs("order"))
+    part_attrs = sorted({k for k in keys if k in PART_ATTRS} | _srcs("part"))
+    supp_attrs = sorted({k for k in keys if k in SUPP_ATTRS} | _srcs("supp"))
     if chain:
-        dims = _dim_side(spark, sf_dir, chain, dim_keys)
+        dims = _dim_side(spark, sf_dir, chain, dim_attrs)
         li = li.join(dims.hint("shuffle_hash"), li.l_orderkey == dims.o_orderkey)
+    if part:
+        pa = table(spark, sf_dir, "part").select("p_partkey", *part_attrs)
+        li = li.join(pa, F.col("l_partkey") == pa.p_partkey)
+    if supp:
+        su = table(spark, sf_dir, "supplier").select("s_suppkey", *supp_attrs)
+        li = li.join(su, F.col("l_suppkey") == su.s_suppkey)
+    for m in measures:
+        if MEASURES[m].home != "lineitem":
+            li = li.withColumn(_int_src(m), MEASURES[m].raw_int())
     return li.groupBy(*keys).agg(*_partial_aggs(measures))
 
 
@@ -167,26 +216,49 @@ def deploy_projection(
     measures: tuple[str, ...] = _ALL_MEASURES,
 ) -> Projection:
     """Materialize a user-declared aggregate projection and register
-    it with the router. Group keys may mix lineitem attributes and
-    order-chain dimension attributes (the chain depth is the minimal
-    one reaching every dimension key — the same inner-join semantics
-    the built-ins and the raw plans share); re-deploying a name
-    replaces it. Returns the router-facing Projection."""
+    it with the router. Group keys may mix lineitem attributes,
+    order-chain dimension attributes, and (v2) part/supplier arm
+    attributes — the chain depth and arm set are the minimal ones
+    reaching every declared key and measure, the same inner-join
+    semantics the built-ins and the raw plans share (and the same
+    rule Projection.subsumes enforces: the view answers exactly the
+    specs declaring that join set). Measures may include the arm-home
+    money measures; declaring one pulls in its home join.
+    Re-deploying a name replaces it. Returns the router-facing
+    Projection."""
     if not keys:
         raise ValueError("a projection needs at least one group key")
     for k in keys:
-        if k not in LINEITEM_COLS and k not in DIM_ATTRS:
+        if (
+            k not in LINEITEM_COLS
+            and k not in DIM_ATTRS
+            and k not in PART_ATTRS
+            and k not in SUPP_ATTRS
+        ):
             raise ValueError(f"unknown projection key {k!r}")
     for m in measures:
-        if m not in _DERIVED:
+        if m not in _USER_MEASURES:
             raise ValueError(
-                f"unknown or non-lineitem measure {m!r} "
-                f"(deployable: {sorted(_DERIVED)})"
+                f"unknown measure {m!r} (deployable: {sorted(_USER_MEASURES)})"
             )
-    chain = max((DIM_ATTRS.get(k, 0) for k in keys), default=0)
+    chain = max(
+        (
+            *(DIM_ATTRS.get(k, 0) for k in keys),
+            *(_MEASURE_CHAIN.get(m, 0) for m in measures),
+        ),
+        default=0,
+    )
+    part = any(k in PART_ATTRS for k in keys) or any(
+        MEASURES[m].home == "part" for m in measures
+    )
+    supp = any(k in SUPP_ATTRS for k in keys) or any(
+        MEASURES[m].home == "supp" for m in measures
+    )
     tag, wh = _layout_paths(sf_dir)
     li_name, _ = bucketed_fact_tables(spark, sf_dir)
-    cube = _build_cube(spark, sf_dir, spark.table(li_name), keys, measures, chain)
+    cube = _build_cube(
+        spark, sf_dir, spark.table(li_name), keys, measures, chain, part, supp
+    )
     path = os.path.join(wh, f"user_proj_{name}_{tag}")
     cube.write.mode("overwrite").parquet(path)
 
@@ -210,11 +282,42 @@ def deploy_projection(
         count_star_col="cnt",
         open=_open,
         chain=chain,
+        part=part,
+        supp=supp,
     )
     cat[name] = _UserProjection(
-        name, tuple(keys), tuple(measures), chain, path, path, proj
+        name, tuple(keys), tuple(measures), chain, path, path, proj,
+        part=part, supp=supp,
     )
     return proj
+
+
+def drop_projection(spark: SparkSession, sf_dir: str, name: str) -> bool:
+    """Deregister a user projection: the router stops consulting it
+    immediately; matching SQL falls back to the next candidate (spine
+    or raw) on the very next statement. Returns False when no such
+    projection is deployed. Stored files are left for the warehouse's
+    scheduled GC (a reader planned before the drop may still be
+    scanning them — the same reason every refresh writes new versions
+    instead of deleting)."""
+    return _catalog(spark, sf_dir).pop(name, None) is not None
+
+
+def list_projections(spark: SparkSession, sf_dir: str) -> list[dict]:
+    """The session's user-projection catalog, as plain dicts (the
+    introspection surface: SHOW MATERIALIZED VIEWS)."""
+    return [
+        {
+            "name": u.name,
+            "keys": u.keys,
+            "measures": u.measures,
+            "chain": u.chain,
+            "part": u.part,
+            "supp": u.supp,
+            "path": u.path,
+        }
+        for u in _catalog(spark, sf_dir).values()
+    ]
 
 
 def ensure_projection(
@@ -250,7 +353,7 @@ def refresh_projection(
     u = cat[name]
     delta_cube = _build_cube(
         spark, sf_dir, _lineitem_with_derived(delta_lineitem),
-        u.keys, u.measures, u.chain,
+        u.keys, u.measures, u.chain, u.part, u.supp,
     )
     add, mins, maxs = _merge_cols(u.measures)
     merged = merge_partial_frames(

@@ -156,10 +156,10 @@ def test_refresh_warehouse_includes_user_projections(spark, sf_dir, tmp_path):
 
 def test_deploy_validation(spark, sf_dir):
     with pytest.raises(ValueError, match="unknown projection key"):
-        deploy_projection(spark, sf_dir, "bad", ("p_brand",))
-    with pytest.raises(ValueError, match="non-lineitem measure"):
+        deploy_projection(spark, sf_dir, "bad", ("p_bogus",))
+    with pytest.raises(ValueError, match="unknown measure"):
         deploy_projection(
-            spark, sf_dir, "bad", ("l_returnflag",), ("order_total",)
+            spark, sf_dir, "bad", ("l_returnflag",), ("net_profit",)
         )
     with pytest.raises(ValueError, match="at least one group key"):
         deploy_projection(spark, sf_dir, "bad", ())
@@ -281,3 +281,111 @@ def test_random_spec_against_user_view_matches_duckdb(
     compare_frames(
         df.toPandas(), _fz_oracle.execute(sql).fetchdf(), f"user-view-fuzz {sql}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 7 (v2): arm keys, arm-home measures, drop + catalog listing.
+# ---------------------------------------------------------------------------
+
+
+def test_arm_view_claims_part_statements_and_drop_reverts(spark, sf_dir):
+    """A user view over (p_brand, l_returnflag) storing part-arm
+    partials answers the identical part-join spec bit-identically to
+    the row-level plan; a spec declaring a DIFFERENT arm set refuses
+    (join semantics are part of the query's meaning); dropping the
+    view reverts routing on the next statement; the catalog listing
+    reflects deploy and drop."""
+    from bigdataproj_spark.plans.routing import _raw_plan
+    from bigdataproj_spark.sources.user_projections import (
+        drop_projection,
+        list_projections,
+    )
+
+    spec = AggQuery(
+        filters=(Pred("l_returnflag", "=", "R"),),
+        group_by=("p_brand",),
+        aggs=(
+            AggCall("sum", "revenue", "rev"),
+            AggCall("max", "part_retail", "max_retail"),
+            AggCall("avg", "part_retail", "avg_retail"),
+            AggCall("count_star", None, "n"),
+        ),
+        part=True,
+    )
+    try:
+        deploy_projection(
+            spark, sf_dir, "t_brand_flag",
+            ("p_brand", "l_returnflag"),
+            ("revenue", "part_retail"),
+        )
+        entry = [
+            p for p in list_projections(spark, sf_dir)
+            if p["name"] == "t_brand_flag"
+        ]
+        assert entry and entry[0]["part"] and not entry[0]["supp"]
+        assert entry[0]["chain"] == 0
+
+        df, chosen = route(spark, sf_dir, spec)
+        assert chosen == "user:t_brand_flag", chosen
+        plan = plan_of(df)
+        assert "lineitem.parquet" not in plan and "part.parquet" not in plan, plan
+        assert df.toPandas().equals(_raw_plan(spark, sf_dir, spec).toPandas())
+
+        # adding the supplier arm changes the join semantics: the
+        # part-only view must refuse, the raw plan answers
+        import dataclasses
+
+        both_arms = dataclasses.replace(spec, supp=True)
+        _, chosen2 = route(spark, sf_dir, both_arms)
+        assert chosen2 == "raw", chosen2
+    finally:
+        assert drop_projection(spark, sf_dir, "t_brand_flag")
+    assert not drop_projection(spark, sf_dir, "t_brand_flag")
+    _, chosen3 = route(spark, sf_dir, spec)
+    assert chosen3 == "raw", chosen3
+    assert all(
+        p["name"] != "t_brand_flag" for p in list_projections(spark, sf_dir)
+    )
+
+
+def test_arm_view_refresh_equals_rebuild(spark, sf_dir):
+    """Delta-merge refresh of a part-arm view with an arm-home measure
+    equals a from-scratch rebuild over the full corpus (the arm join
+    and post-join measure ints run over the DELTA only)."""
+    from bigdataproj_spark.sources.user_projections import (
+        _build_cube,
+        drop_projection,
+        refresh_projection,
+    )
+    from bigdataproj_spark.sources.bucketed import (
+        _lineitem_with_derived,
+        bucketed_fact_tables,
+    )
+
+    li = table(spark, sf_dir, "lineitem")
+    base = li.filter(F.col("l_orderkey") % 5 != 0)
+    delta = li.filter(F.col("l_orderkey") % 5 == 0)
+    keys, measures = ("p_brand",), ("revenue", "part_retail")
+    try:
+        # deploy over the base subset by building the cube directly at
+        # the stored path (the catalog entry then delta-merges onto it)
+        proj = deploy_projection(spark, sf_dir, "t_refresh_brand", keys, measures)
+        u = _catalog(spark, sf_dir)["t_refresh_brand"]
+        _build_cube(
+            spark, sf_dir, _lineitem_with_derived(base), keys, measures,
+            0, True, False,
+        ).write.mode("overwrite").parquet(u.path + "_base")
+        u.path = u.path + "_base"
+        refresh_projection(spark, sf_dir, "t_refresh_brand", delta)
+        got = spark.read.parquet(u.path).orderBy(*keys).toPandas()
+        want = (
+            _build_cube(
+                spark, sf_dir, _lineitem_with_derived(li), keys, measures,
+                0, True, False,
+            )
+            .orderBy(*keys)
+            .toPandas()
+        )
+        assert got.equals(want[got.columns.tolist()])
+    finally:
+        drop_projection(spark, sf_dir, "t_refresh_brand")
