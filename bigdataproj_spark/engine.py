@@ -99,15 +99,20 @@ class Engine:
         """(chosen layout, physical plan) for a SQL statement — the
         introspection twin of :meth:`sql`: ``chosen`` is the
         projection/layout name the front door picked, "raw" for the
-        router's raw-table plan, or "spark.sql" when the statement is
-        outside the routable family and runs verbatim."""
+        router's raw-table plan, or "spark.sql: <refusal reason>"
+        when the statement is outside the routable family and runs
+        verbatim."""
         from .plans import physical_plan
         from .plans.sqlfront import UnsupportedSQL, route_sql
 
         try:
             df, chosen = route_sql(self.spark, self.sf_dir, query)
-        except UnsupportedSQL:
-            return "spark.sql", physical_plan(self.sql(query, routed=False))
+        except UnsupportedSQL as e:
+            # round-7 (r6-VERDICT item 7): say WHY the statement fell
+            # back — the family-refusal reason rides along, so a user
+            # can tell "window functions are not routable" apart from
+            # a typo'd column
+            return f"spark.sql: {e}", physical_plan(self.sql(query, routed=False))
         return chosen, physical_plan(df)
 
     # -- S13: routed queries ------------------------------------------------

@@ -28,8 +28,14 @@ event_hour`` leaf by leaf. The other operators do NOT fold (``ts <=
 T`` at a boundary includes ONLY the boundary instant of T's hour — the
 stored key cannot express that; ``=``/``between`` are sub-grain for
 the same reason) and neither does any off-boundary literal: those
-specs route to the raw plan. A wrong-looking-but-fast rewrite is never
-on the table — the router refuses, it does not approximate.
+specs route to the raw plan. The tempting half-open rewrite
+(``BETWEEN a AND b`` → ``ts >= a AND ts < b + 1h``) would be exact
+only over integer-HOUR data; the events corpus carries microsecond
+timestamps, so the rewrite admits every row strictly inside b's hour
+— the counterexample is computed on the fixture in
+tests/test_corpus_routing.py (r6-VERDICT item 8, decided REFUSE). A
+wrong-looking-but-fast rewrite is never on the table — the router
+refuses, it does not approximate.
 
 Time-GRAIN grouping folds like routing.py's trunc rule, one step
 coarser: the cube's hour key is itself a trunc, and

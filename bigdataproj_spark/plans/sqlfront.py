@@ -850,6 +850,10 @@ def _parse_corpus(node: dict, tname: str) -> "ParsedSQL":
     truncs: dict[str, tuple[str, str]] = {}
     agg_alias_by_key: dict[str, str] = {}
     for item in node["select_list"]:
+        if isinstance(item, dict) and item.get("class") == "WINDOW":
+            raise UnsupportedSQL(
+                "window functions (OVER clause) are not routable"
+            )
         call = _match_corpus_agg(item, tname)
         if call is not None:
             if not call.alias:
@@ -1008,6 +1012,10 @@ def parse_sql(sql: str) -> ParsedSQL:
     truncs: dict[str, tuple[str, str]] = {}  # alias -> (unit, source col)
     agg_alias_by_key: dict[str, str] = {}
     for item in node["select_list"]:
+        if isinstance(item, dict) and item.get("class") == "WINDOW":
+            raise UnsupportedSQL(
+                "window functions (OVER clause) are not routable"
+            )
         call = _match_agg(item)
         if call is not None:
             if not call.alias:

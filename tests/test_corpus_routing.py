@@ -1006,3 +1006,42 @@ def test_sources_dim_refresh_keeps_registry_complete(spark, sf_dir, tmp_path):
     assert row[0].s_kind == "forum" and row[0].s_tier == "crawl"
     # redelivery: same sources, no new version
     assert refresh_sources_dim(spark, sf_base, delta) == p1
+
+
+def test_between_half_open_rewrite_counterexample(spark, sf_dir):
+    """r6-VERDICT item 8, answered REFUSE with a pinned counterexample:
+    ``ts BETWEEN a AND b`` with b on an hour boundary would fold onto
+    the hour cube only as ``ts >= a AND ts < b + 1h``, and that
+    rewrite is exact only if no timestamp can fall strictly inside
+    b's hour — i.e. under integer-HOUR data. The events fixture
+    carries MICROSECOND timestamps (every row is sub-second), so the
+    half-open form admits rows BETWEEN excludes; the fold/refuse
+    table must keep refusing <=/BETWEEN at every grain. This test
+    computes both row sets and shows they genuinely differ on the
+    fixture."""
+    e = table(spark, sf_dir, "events")
+    hours = [
+        r[0]
+        for r in e.select(F.date_trunc("hour", "ts").alias("h"))
+        .distinct()
+        .orderBy("h")
+        .collect()
+    ]
+    assert len(hours) >= 3
+    a, b = hours[0], hours[len(hours) // 2]
+    inside_b_hour = e.filter(
+        (F.col("ts") > F.lit(b)) & (F.col("ts") < F.lit(b) + F.expr("INTERVAL 1 HOUR"))
+    ).count()
+    assert inside_b_hour > 0  # the fixture really is sub-hour-grained
+    between_n = e.filter(F.col("ts").between(F.lit(a), F.lit(b))).count()
+    half_open_n = e.filter(
+        (F.col("ts") >= F.lit(a))
+        & (F.col("ts") < F.lit(b) + F.expr("INTERVAL 1 HOUR"))
+    ).count()
+    # the would-be rewrite changes the answer by every row strictly
+    # inside b's hour (minus any row at exactly the boundary instant,
+    # which BETWEEN keeps)
+    assert half_open_n > between_n
+    assert half_open_n == between_n + inside_b_hour, (
+        half_open_n, between_n, inside_b_hour,
+    )

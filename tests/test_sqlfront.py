@@ -504,7 +504,13 @@ def test_engine_explain_sql_reports_choice(spark, sf_dir):
         "SELECT CASE WHEN l_quantity > 25 THEN 'big' ELSE 'small' END AS sz,"
         " COUNT(*) AS n FROM lineitem GROUP BY sz"
     )
-    assert chosen == "spark.sql" and plan
+    # the fallback carries its refusal REASON (r6-VERDICT item 7)
+    assert chosen.startswith("spark.sql: ") and plan
+    chosen, plan = eng.explain_sql(
+        "SELECT l_returnflag, rank() OVER (ORDER BY l_quantity) AS r"
+        " FROM lineitem"
+    )
+    assert chosen.startswith("spark.sql: ") and "window" in chosen, chosen
 
 
 def test_engine_sql_falls_back_outside_family(spark, sf_dir, oracle):
@@ -560,3 +566,69 @@ def test_adversarial_boundary_routes_and_matches(spark, sf_dir, oracle, sql, wan
     df, chosen = route_sql(spark, sf_dir, sql)
     assert chosen == want_chosen
     compare_frames(df.toPandas(), oracle.execute(sql).fetchdf(), sql[:60])
+
+
+# ---------------------------------------------------------------------------
+# Round 7 (r6-VERDICT item 7): OVER-clause statements fall back
+# verbatim — fuzzed. parse_sql must REFUSE every drawn statement with
+# the window-function reason (never mis-lower one onto a projection),
+# and Engine.sql's spark.sql fallback must match DuckDB running the
+# identical string. Window functions drawn integer-valued
+# (rank/dense_rank/count) so the exact-compare harness applies;
+# ordering keys may tie, which rank/dense_rank resolve
+# deterministically.
+# ---------------------------------------------------------------------------
+
+import os as _os
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_FUZZ_SCALE = int(_os.environ.get("FUZZ_SCALE", "1"))
+
+_over_statements = st.fixed_dictionaries(
+    {
+        "wfn": st.sampled_from(["rank()", "dense_rank()", "count(*)"]),
+        "partition": st.sampled_from(
+            [None, "l_returnflag", "l_linestatus"]
+        ),
+        "order": st.sampled_from(["l_quantity", "l_extendedprice"]),
+        "filt": st.sampled_from(
+            [None, "l_quantity <= 10", "l_orderkey <= 400"]
+        ),
+    }
+)
+
+
+def _over_sql(p) -> str:
+    over = []
+    if p["partition"]:
+        over.append(f"PARTITION BY {p['partition']}")
+    if p["wfn"] != "count(*)":
+        # rank needs an ordering; count(*) measures the whole partition
+        over.append(f"ORDER BY {p['order']}")
+    sql = (
+        f"SELECT l_orderkey, l_linenumber, l_returnflag, "
+        f"{p['wfn']} OVER ({' '.join(over)}) AS w FROM lineitem"
+    )
+    if p["filt"]:
+        sql += f" WHERE {p['filt']}"
+    return sql
+
+
+@given(p=_over_statements)
+@settings(
+    max_examples=10 * _FUZZ_SCALE,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_over_statement_falls_back_and_matches(spark, sf_dir, oracle, p):
+    sql = _over_sql(p)
+    with pytest.raises(UnsupportedSQL, match="window"):
+        parse_sql(sql)
+    eng = Engine(spark, sf_dir)
+    chosen, _plan = eng.explain_sql(sql)
+    assert chosen.startswith("spark.sql: ") and "window" in chosen, chosen
+    got = eng.sql(sql).toPandas()
+    want = oracle.execute(sql).fetchdf()
+    compare_frames(got, want, f"over-fuzz {sql}")
