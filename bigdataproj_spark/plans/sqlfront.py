@@ -1522,17 +1522,21 @@ ORDER BY c_mktsegment, l_returnflag
 
 @query("r93_sql_spine_group", oracle=_SQL_SPINE_SEGMENT, tags=("bench", "S13", "E1", "J1", "A1"))
 def r93_sql_spine_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The bucketed-spine fallback through the front door: grouping a
-    PER-ORDER dimension attribute (c_mktsegment) with a lineitem
-    attribute fits no aggregate projection — cubing per-order
-    attributes against days would grow toward the order count — so the
-    router lowers onto the at-rest spine: bucketed lineitem ⋈ bucketed
-    denorm share the order-key bucketing, the row-level join runs with
-    ZERO exchanges, and only |groups| rows cross the one final
-    exchange. Measured 1.3 s vs 5.1 s for the partial-agg-below-join
-    raw plan at sf5 (docs/BENCHMARKS.md round 6)."""
+    """Round 7 closed the r93 gap (r6-VERDICT item 5, decided SHIP —
+    with a better key set than proposed): this per-order-segment x
+    lineitem-flag grouping was the last routed >2x shape, served by
+    the zero-exchange spine but fact-scan-bound. Every per-order
+    attribute the family groups has a FIXED domain (|segments|=5,
+    |priorities|=5, |statuses|=3), so the segment cube stores all
+    pricing partials keyed by those x the lineitem flags — 450 rows
+    at EVERY corpus scale — and this statement now reads stored
+    partials instead of scanning the fact. The round-6 premise
+    ("cubing per-order attributes grows toward the order count")
+    holds only for o_orderdate, which stays out of the cube's keys:
+    DATED segment shapes still lower onto the spine (the family's
+    spine fallback keeps its own coverage in tests/test_routing.py)."""
     df, chosen = route_sql(spark, sf_dir, _SQL_SPINE_SEGMENT)
-    assert chosen == "bucketed_spine", chosen
+    assert chosen == "segment_cube", chosen
     return df
 
 

@@ -512,6 +512,84 @@ def star_date_cube_table(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+# The segment cube's group keys (round 7, the r93 answer): the r93
+# family groups LOW-CARDINALITY per-order attributes against the
+# lineitem flags — and every such attribute has a fixed domain
+# (|segments|=5, |priorities|=5, |statuses|=3), so cubing them is
+# bounded at 5x5x3x3x2 = 450 rows at EVERY corpus scale. The round-6
+# premise ("cubing per-order attributes grows toward the order
+# count") holds only for o_orderdate — which therefore stays OUT of
+# this key set; dated segment shapes keep the spine.
+_SEGMENT_CUBE_KEYS = (
+    "c_mktsegment", "o_orderpriority", "o_orderstatus",
+    "l_returnflag", "l_linestatus",
+)
+
+
+def segment_cube_table(spark: SparkSession, sf_dir: str) -> str:
+    """Deploy the per-order-attribute segment cube (memoized): ALL
+    pricing measures cubed by (mktsegment, priority, orderstatus,
+    returnflag, linestatus) over the full chain-4 star join — the
+    materialized answer to the r93 family, which until round 7 was
+    the last routed >2x shape (the zero-exchange spine still had to
+    SCAN the fact per query; 450 stored rows don't). Built from the
+    bucketed spine like the star cube, so the deploy is exchange-free
+    plus one bounded aggregation."""
+    tag, wh = _layout_paths(sf_dir)
+    cube_name = f"segment_cube_{tag}"
+    memo: dict = spark.__dict__.setdefault("_bdp_projection_memo", {})
+    key = ("segment_cube", sf_dir)
+    if key in memo:
+        return memo[key]
+    li_name, _ = bucketed_fact_tables(spark, sf_dir)
+    _, den_name = order_revenue_projection(spark, sf_dir)
+    li = spark.table(li_name)
+    den = spark.table(den_name).select(
+        "o_orderkey", "c_mktsegment", "o_orderpriority", "o_orderstatus"
+    )
+    cube = (
+        li.join(den.hint("shuffle_hash"), li.l_orderkey == den.o_orderkey)
+        .groupBy(*_SEGMENT_CUBE_KEYS)
+        .agg(*_pricing_cube_aggs())
+    )
+    path = os.path.join(wh, cube_name)
+    cube.write.mode("overwrite").parquet(path)
+    memo[key] = path
+    return path
+
+
+def refresh_segment_cube(
+    spark: SparkSession, sf_dir: str, delta_lineitem: DataFrame
+) -> str:
+    """Incrementally maintain the segment cube for one ingested
+    lineitem batch — the star-cube refresh shape verbatim (delta joins
+    the stored denorm INNER, additive monoid merge == rebuild; same
+    denorm-first ordering contract)."""
+    stored_path = segment_cube_table(spark, sf_dir)
+    _, den_name = order_revenue_projection(spark, sf_dir)
+    keys = list(_SEGMENT_CUBE_KEYS)
+    li = _lineitem_with_derived(delta_lineitem)
+    den = spark.table(den_name).select(
+        "o_orderkey", "c_mktsegment", "o_orderpriority", "o_orderstatus"
+    )
+    delta_cube = (
+        li.join(den, li.l_orderkey == den.o_orderkey)
+        .groupBy(*keys)
+        .agg(*_pricing_cube_aggs())
+    )
+    merged = _merge_cube_frames(
+        spark.read.parquet(stored_path), delta_cube, keys
+    )
+    versions: dict = spark.__dict__.setdefault("_bdp_projection_versions", {})
+    v = versions.get(stored_path, 0) + 1
+    versions[stored_path] = v
+    new_path = f"{stored_path}_v{v}"
+    merged.write.mode("overwrite").parquet(new_path)
+    memo: dict = spark.__dict__.setdefault("_bdp_projection_memo", {})
+    memo[("segment_cube", sf_dir)] = new_path
+    return new_path
+
+
 def merge_partial_frames(
     stored: DataFrame,
     delta: DataFrame,

@@ -38,6 +38,7 @@ from .bucketed import (
     refresh_order_revenue_rollup,
     refresh_orders_denorm,
     refresh_pricing_cube,
+    refresh_segment_cube,
     refresh_star_date_cube,
 )
 from .corpus_cubes import refresh_docs_cube, refresh_events_cube
@@ -83,6 +84,7 @@ def refresh_warehouse(
         done["order_revenue_rollup"] = roll
         done["pricing_cube"] = refresh_pricing_cube(spark, sf_dir, lineitem)
         done["star_date_cube"] = refresh_star_date_cube(spark, sf_dir, lineitem)
+        done["segment_cube"] = refresh_segment_cube(spark, sf_dir, lineitem)
         done["bucketed_lineitem"] = append_bucketed_lineitem(
             spark, sf_dir, lineitem
         )

@@ -157,10 +157,10 @@ def test_refresh_warehouse_mixed_batch_equals_full_deploy(spark, sf_dir, tmp_pat
     )
     assert set(done) == {
         "orders_denorm", "bucketed_orders", "order_revenue_rollup",
-        "pricing_cube", "star_date_cube", "bucketed_lineitem",
-        "zorder_lineitem", "dated_lineitem", "sources_dim",
-        "docs_stats_cube", "events_hourly_cube", "dated_events",
-        "clustered_documents",
+        "pricing_cube", "star_date_cube", "segment_cube",
+        "bucketed_lineitem", "zorder_lineitem", "dated_lineitem",
+        "sources_dim", "docs_stats_cube", "events_hourly_cube",
+        "dated_events", "clustered_documents",
     }
 
     # Every maintained aggregate layout equals the same layout deployed
@@ -189,6 +189,16 @@ def test_refresh_warehouse_mixed_batch_equals_full_deploy(spark, sf_dir, tmp_pat
         est_star(spark.read.parquet(star_date_cube_table(spark, sf_base))),
         est_star(spark.read.parquet(star_date_cube_table(spark, sf_dir))),
         list(_STAR_CUBE_KEYS),
+    )
+    from bigdataproj_spark.sources.bucketed import (
+        _SEGMENT_CUBE_KEYS,
+        segment_cube_table,
+    )
+
+    frames_equal(
+        spark.read.parquet(segment_cube_table(spark, sf_base)),
+        spark.read.parquet(segment_cube_table(spark, sf_dir)),
+        list(_SEGMENT_CUBE_KEYS),
     )
     frames_equal(
         spark.read.parquet(docs_stats_cube_table(spark, sf_base)),

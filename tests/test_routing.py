@@ -100,7 +100,7 @@ def test_unsupported_aggregate_falls_back_to_raw():
 def test_ungrouped_attribute_falls_back():
     """Grouping by an attribute the projection does not store (raw
     orderkey on the cube; shipdate on the star pair) must not match."""
-    cube, star, date_cube = PROJECTIONS
+    cube, seg_cube, star, date_cube = PROJECTIONS
     assert not cube.subsumes(
         AggQuery((), ("l_orderkey",), (AggCall("count_star", None, "n"),))
     )
@@ -177,14 +177,12 @@ def test_mixed_local_and_star_grouping_routes_to_star_cube(spark, sf_dir):
     assert routed.toPandas().equals(naive.toPandas())
 
 
-def test_per_order_mixed_grouping_routes_to_spine(spark, sf_dir):
-    """Mixed grouping over a PER-ORDER attribute (c_mktsegment): no
-    cube can store (mktsegment x day) without growing toward the order
-    count, so the router lowers onto the bucketed at-rest spine — the
-    exchange-free row-level fact⋈denorm join; the answer must equal
-    the naive row-level plan over the raw tables. The spec DECLARES
-    the full chain (the denorm embodies chain-4 orphan semantics; a
-    bare c_mktsegment query implies only chain 2 and stays raw)."""
+def test_per_order_mixed_grouping_routes_to_segment_cube(spark, sf_dir):
+    """Round 7: the undated segment x flag mix folds onto the 450-row
+    segment cube (every key has a fixed domain), bit-identical to the
+    naive row-level star plan. The spec DECLARES the full chain (the
+    cube's build embodies chain-4 orphan semantics; a bare
+    c_mktsegment query implies only chain 2 and stays raw)."""
     spec = AggQuery(
         filters=(),
         group_by=("c_mktsegment", "l_returnflag"),
@@ -195,9 +193,32 @@ def test_per_order_mixed_grouping_routes_to_spine(spark, sf_dir):
         chain=4,
     )
     routed, chosen = route(spark, sf_dir, spec)
-    assert chosen == "bucketed_spine"
+    assert chosen == "segment_cube"
+    plan = plan_of(routed)
+    assert "lineitem.parquet" not in plan and "lineitem_bkt" not in plan, plan
     naive = _naive_star_group(spark, sf_dir, ("c_mktsegment", "l_returnflag"))
     assert routed.toPandas().equals(naive.toPandas())
+
+
+def test_dated_per_order_grouping_routes_to_spine(spark, sf_dir):
+    """The spine keeps the shapes the segment cube deliberately
+    refuses: o_orderdate is the one per-order attribute whose cubing
+    would grow toward the order count, so a (mktsegment x order-month)
+    grouping stays on the exchange-free row-level fact⋈denorm join.
+    (The rollup pair claims the revenue-only form of this shape; the
+    quantity MIN below needs partials only the fact row-level carries.)"""
+    spec = AggQuery(
+        filters=(),
+        group_by=("c_mktsegment", "om"),
+        aggs=(
+            AggCall("sum", "revenue", "rev"),
+            AggCall("min", "quantity", "min_qty"),
+        ),
+        truncs=(("om", "month", "o_orderdate"),),
+        chain=4,
+    )
+    routed, chosen = route(spark, sf_dir, spec)
+    assert chosen == "bucketed_spine", chosen
 
 
 def test_spine_plan_is_exchange_free_before_final_agg(spark, sf_dir):
@@ -208,8 +229,9 @@ def test_spine_plan_is_exchange_free_before_final_agg(spark, sf_dir):
     (bypassing the claim), so broadcast is disabled for the assert."""
     spec = AggQuery(
         filters=(),
-        group_by=("c_mktsegment", "l_returnflag"),
-        aggs=(AggCall("sum", "revenue", "rev"),),
+        group_by=("c_mktsegment", "om", "l_returnflag"),
+        aggs=(AggCall("sum", "revenue", "rev"), AggCall("min", "quantity", "mq")),
+        truncs=(("om", "month", "o_orderdate"),),
         chain=4,
     )
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")

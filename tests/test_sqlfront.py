@@ -314,17 +314,17 @@ def test_routed_sql_matches_duckdb(spark, sf_dir, oracle, sql, want_chosen):
         ),
         # full-chain join with NO dimension attribute referenced: the
         # declared chain is semantically meaningful (inner joins may
-        # drop orphan fact rows), so it routes onto the chain-4
-        # rollup⋈denorm pair rather than being refused
+        # drop orphan fact rows); round 7 the 450-row segment cube is
+        # the cheapest chain-4 candidate and claims the global count
         (
             "SELECT count(*) AS c FROM lineitem"
             " JOIN orders ON l_orderkey = o_orderkey"
             " JOIN customer ON o_custkey = c_custkey"
             " JOIN nation ON c_nationkey = n_nationkey"
             " JOIN region ON n_regionkey = r_regionkey",
-            "order_revenue_star",
+            "segment_cube",
         ),
-        # market-segment grouping answered from the widened denorm
+        # market-segment grouping: round 7 the segment cube stores it
         (
             "SELECT c_mktsegment, count(*) AS n FROM lineitem"
             " JOIN orders ON l_orderkey = o_orderkey"
@@ -332,7 +332,7 @@ def test_routed_sql_matches_duckdb(spark, sf_dir, oracle, sql, want_chosen):
             " JOIN nation ON c_nationkey = n_nationkey"
             " JOIN region ON n_regionkey = r_regionkey"
             " GROUP BY c_mktsegment ORDER BY c_mktsegment",
-            "order_revenue_star",
+            "segment_cube",
         ),
         # order-date time grain over the full chain: o_orderdate is
         # stored per order in the denorm at full resolution
@@ -375,9 +375,9 @@ def test_routed_sql_matches_duckdb(spark, sf_dir, oracle, sql, want_chosen):
             " GROUP BY l_returnflag, r_name ORDER BY l_returnflag, r_name",
             "star_date_cube",
         ),
-        # mixed grouping over a PER-ORDER attribute: no cube can store
-        # (mktsegment x day) without growing toward the order count, so
-        # the router lowers onto the zero-exchange bucketed spine
+        # mixed grouping over a PER-ORDER attribute: round 7 this is
+        # the segment cube's home family (every key has a fixed
+        # domain, 450 rows at any scale)
         (
             "SELECT c_mktsegment, l_linestatus, count(*) AS n FROM lineitem"
             " JOIN orders ON l_orderkey = o_orderkey"
@@ -386,6 +386,23 @@ def test_routed_sql_matches_duckdb(spark, sf_dir, oracle, sql, want_chosen):
             " JOIN region ON n_regionkey = r_regionkey"
             " GROUP BY c_mktsegment, l_linestatus"
             " ORDER BY c_mktsegment, l_linestatus",
+            "segment_cube",
+        ),
+        # DATED per-order grouping: o_orderdate is the per-order
+        # attribute the segment cube refuses (cubing it would grow
+        # toward the order count) and this shape carries a measure the
+        # rollup pair lacks — the zero-exchange spine keeps it
+        (
+            "SELECT c_mktsegment, l_linestatus,"
+            " CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS q,"
+            " date_trunc('month', o_orderdate) AS om, count(*) AS n"
+            " FROM lineitem"
+            " JOIN orders ON l_orderkey = o_orderkey"
+            " JOIN customer ON o_custkey = c_custkey"
+            " JOIN nation ON c_nationkey = n_nationkey"
+            " JOIN region ON n_regionkey = r_regionkey"
+            " GROUP BY c_mktsegment, l_linestatus, om"
+            " ORDER BY c_mktsegment, l_linestatus, om",
             "bucketed_spine",
         ),
     ],

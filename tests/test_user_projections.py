@@ -301,9 +301,13 @@ def test_arm_view_claims_part_statements_and_drop_reverts(spark, sf_dir):
         list_projections,
     )
 
+    # keys disjoint from every registry-deployed user view (r115
+    # deploys "brand_flag" on (p_brand, l_returnflag) into shared
+    # sessions; deployment order decides among equally-subsuming
+    # views, so this test must own its shape family outright)
     spec = AggQuery(
-        filters=(Pred("l_returnflag", "=", "R"),),
-        group_by=("p_brand",),
+        filters=(Pred("l_linestatus", "=", "O"),),
+        group_by=("p_type",),
         aggs=(
             AggCall("sum", "revenue", "rev"),
             AggCall("max", "part_retail", "max_retail"),
@@ -315,7 +319,7 @@ def test_arm_view_claims_part_statements_and_drop_reverts(spark, sf_dir):
     try:
         deploy_projection(
             spark, sf_dir, "t_brand_flag",
-            ("p_brand", "l_returnflag"),
+            ("p_type", "l_linestatus"),
             ("revenue", "part_retail"),
         )
         entry = [
