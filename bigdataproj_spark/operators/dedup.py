@@ -529,7 +529,7 @@ def incremental_minhash_lsh(
     """One ingest batch of near-dup detection: find every NEW candidate
     pair involving a delta document, then append the delta's bands to
     the stored index. Completes the L17 incremental-dedup story for
-    the NEAR-dup family (q11 covers exact): a production corpus never
+    the NEAR-dup family (r119 covers exact): a production corpus never
     re-runs all-corpus LSH per ingest batch — it keeps the
     (doc_id, sig, band, bh) bands table at rest and joins each batch
     against it.
@@ -929,8 +929,8 @@ ORDER BY key_a, key_b
 """
 
 
-@query("q22_fuzzy_pairs", oracle=_Q48_ORACLE, tags=("L2", "dedup"))
-def q22_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r124_fuzzy_pairs", oracle=_Q48_ORACLE, tags=("L2", "dedup"))
+def r124_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-identical part names by Levenshtein distance ≤ 3 (typo-level
     variants), blocked on (p_type, p_size).
 
@@ -1002,8 +1002,8 @@ ORDER BY b.doc_id
 """
 
 
-@query("q11_incremental_dedup", oracle=_Q_R10_ORACLE, tags=("L1", "dedup"))
-def q11_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r119_incremental_dedup", oracle=_Q_R10_ORACLE, tags=("L1", "dedup"))
+def r119_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup a newly-ingested batch against the corpus that is already
     in the lake (doc_id < 400 plays the stored fingerprint index) AND
     within itself: every batch document is labeled ``new`` (first
@@ -1092,8 +1092,8 @@ ORDER BY doc_id
 """
 
 
-@query("q24_chunk_dedup", oracle=_Q_R11_ORACLE, tags=("L2", "dedup"))
-def q24_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r126_chunk_dedup", oracle=_Q_R11_ORACLE, tags=("L2", "dedup"))
+def r126_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sub-document dedup: non-overlapping 16-token spans are
     fingerprinted corpus-wide and only each span's first occurrence
     (by doc_id, position) survives — per document, how many spans it

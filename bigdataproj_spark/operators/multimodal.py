@@ -56,8 +56,8 @@ ORDER BY doc_id
 """
 
 
-@query("q34_binary_ops", oracle=_Q23_ORACLE, tags=("L8", "multimodal"))
-def q34_binary_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r129_binary_ops", oracle=_Q23_ORACLE, tags=("L8", "multimodal"))
+def r129_binary_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary column fundamentals: byte length, content hashes,
     encode/decode round-trip, mime tag. Blob compare happens via
     hashes, never raw bytes (SURVEY.md §2.3 L8)."""
@@ -495,8 +495,8 @@ ORDER BY doc_id, frame_idx
 """
 
 
-@query("q30_frame_sample", oracle=_Q98_ORACLE, tags=("L8", "multimodal"))
-def q30_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r127_frame_sample", oracle=_Q98_ORACLE, tags=("L8", "multimodal"))
+def r127_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every-2nd-frame sampling over genuine WAV blobs: the 1-to-N
     Arrow-batched fan-out hashes REAL PCM block bytes sliced at
     parser-derived offsets; the oracle replays the same bytes through

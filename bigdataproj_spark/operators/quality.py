@@ -9,7 +9,7 @@ declares only coarse text analytics (reference README.md:58-63); these
 extend the same surface with the filters any corpus consumer needs.
 
 Registered inside the driver's 50-query correctness window (r41/q15/
-r103/r58 plus packing q47 and decontamination q48) since the round-3
+r103/r58 plus packing q47 and decontamination r130) since the round-3
 window swap — see docs/QUERY_ROTATION.md for the mapping.
 
 Scale shapes:
@@ -563,8 +563,8 @@ ORDER BY doc_id
 """
 
 
-@query("q48_decontamination", oracle=_Q_R07_ORACLE, tags=("L2", "L5", "quality"))
-def q48_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r130_decontamination", oracle=_Q_R07_ORACLE, tags=("L2", "L5", "quality"))
+def r130_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag corpus documents sharing 5-gram
     spans with a held-out set (doc_id < 50 plays the eval split).
 
@@ -819,7 +819,7 @@ def r59_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialize the vocabulary-bounded count table ONCE: three
     # consumers (the totals scalar, the KL sum, the top-k) would
     # otherwise each re-run the corpus tokenize+aggregate (the
-    # q14_bigram_lm precedent).
+    # r120_bigram_lm precedent).
     c = (
         tok.groupBy("token")
         .agg(

@@ -571,8 +571,8 @@ ORDER BY probe_id, rank
 """
 
 
-@query("q36_ann_ivf", oracle=_Q22_ORACLE, tags=("L3", "similarity"))
-def q36_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r128_ann_ivf", oracle=_Q22_ORACLE, tags=("L3", "similarity"))
+def r128_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-3 neighbors via IVF cells + exact cosine re-rank.
 
     Complements r104's LSH path with the other standard ANN index
@@ -747,7 +747,7 @@ def r107_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # L18 at scale: SemDeDup routed through the IVF prefilter — the FULL
-# embedding corpus, no id bound. Pair generation is gated by the q36
+# embedding corpus, no id bound. Pair generation is gated by the r128
 # coarse quantizer: every vector maps to one of K cells (map-only,
 # centroids are plan literals), exact Q20 cosine scoring runs only
 # WITHIN a cell, and per-cell work is (N/K)² instead of N². This is
@@ -842,7 +842,7 @@ def q41_semantic_dedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the IVF coarse quantizer (no ``_NEAR_DUP_MAX_ID`` bound).
 
     Stages: (1) map-only cell assignment — the K collected centroids
-    fold into literal expressions, same quantizer as q36, each vector
+    fold into literal expressions, same quantizer as r128, each vector
     assigned to its _SD_NPROBE nearest cells (the recall/cost dial:
     0.25/0.68/0.93 of the exact tau=0.3 edge set at m=1/2/3 on the
     fixture, for m^2/K of the brute-force work); (2) per-cell
@@ -1040,8 +1040,8 @@ ORDER BY cluster_id
 """
 
 
-@query("q21_kmeans_embeddings", oracle=_Q_KM_ORACLE, tags=("C1", "similarity"))
-def q21_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r123_kmeans_embeddings", oracle=_Q_KM_ORACLE, tags=("C1", "similarity"))
+def r123_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed k-means (Lloyd's algorithm, K={k}, {it} fixed
     iterations) over the embedding corpus; returns per-cluster size,
     smallest member id, and centroid squared-norm.
@@ -1319,7 +1319,7 @@ ORDER BY probe_id, rank
 def q03_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 neighbors via PQ-ADC shortlist + exact re-rank.
 
-    The third ANN shape next to LSH (r104) and IVF (q36), and the one
+    The third ANN shape next to LSH (r104) and IVF (r128), and the one
     that changes the MEMORY story at 100 TB: after the map-only encode
     each vector is 8 small code ids (64 floats → 8 codes, a 32x
     compression), and the SHORTLIST stage never reads the raw

@@ -461,8 +461,8 @@ ORDER BY doc_id
 """
 
 
-@query("q16_bpe_token_counts", oracle=_Q74_ORACLE, tags=("L5", "R5", "text"))
-def q16_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r121_bpe_token_counts", oracle=_Q74_ORACLE, tags=("L5", "R5", "text"))
+def r121_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-count statistics with a BPE-style pre-tokenizer (the
     letter-run / digit-run / punctuation split GPT-2's BPE applies
     before merges) — the cost estimator of LLM data pipelines.
@@ -698,8 +698,8 @@ ORDER BY doc_id, rank
 """
 
 
-@query("q23_tfidf", oracle=_Q96_ORACLE, tags=("L5", "text"))
-def q23_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r125_tfidf", oracle=_Q96_ORACLE, tags=("L5", "text"))
+def r125_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (smoothed idf = ln((N+1)/(df+1))).
 
     Two bounded-key shuffles (doc-term counts, then term document
@@ -718,7 +718,7 @@ def q23_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Rank on the Q20-quantized score, not the raw double: the window
     # ORDER feeds row selection BEFORE any round-6 guard, and libm ln
-    # may differ by an ulp across engines/platforms — the r102 BM25
+    # may differ by an ulp across engines/platforms — the q48 BM25
     # integer-ordering precedent applied here (tfidf >= 0, so floor
     # alone is the quantizer).
     w = Window.partitionBy("doc_id").orderBy(
@@ -798,8 +798,8 @@ ORDER BY rank
 """
 
 
-@query("r102_fulltext_bm25", oracle=_Q45_ORACLE, tags=("R13", "L5", "text"))
-def r102_fulltext_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q48_fulltext_bm25", oracle=_Q45_ORACLE, tags=("R13", "L5", "text"))
+def q48_fulltext_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-15 documents for a 3-term OR query (k1=1.2, b=0.75).
 
     The search capability the reference hands to Elasticsearch
@@ -1039,8 +1039,8 @@ ORDER BY token_id
 """
 
 
-@query("q09_vocab_build", oracle=_Q_R13_ORACLE, tags=("L5", "text"))
-def q09_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r117_vocab_build", oracle=_Q_R13_ORACLE, tags=("L5", "text"))
+def r117_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequency-ranked vocabulary with stable token ids — the
     tokenizer-training step: corpus term+document frequencies, a min-df
     floor, ids assigned by (tf desc, token) rank so the mapping is a
@@ -1108,8 +1108,8 @@ ORDER BY doc_id
 """
 
 
-@query("q10_encode_ids", oracle=_Q_R14_ORACLE, tags=("L5", "text"))
-def q10_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r118_encode_ids", oracle=_Q_R14_ORACLE, tags=("L5", "text"))
+def r118_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encode each document's first 32 tokens as vocabulary ids (OOV →
     -1) plus an out-of-vocabulary count — the corpus→tensor step of a
     tokenizer pipeline, with the id sequence serialized to a string
@@ -1122,7 +1122,7 @@ def q10_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = table(spark, sf_dir, "documents")
     t = d.select("doc_id", tokens("text").alias("toks")).filter(F.size("toks") > 0)
-    vocab = q09_vocab_build(spark, sf_dir).select("token", "token_id")
+    vocab = r117_vocab_build(spark, sf_dir).select("token", "token_id")
     pos = t.select(
         "doc_id",
         F.posexplode(F.slice("toks", 1, _ENC_PREFIX)).alias("i0", "token"),
@@ -1151,7 +1151,7 @@ def q10_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q14: bigram language model build — the KenLM-ish "train the n-gram
+# r120: bigram language model build — the KenLM-ish "train the n-gram
 # model" step (conditional-probability table with add-one smoothing).
 # ---------------------------------------------------------------------------
 
@@ -1182,8 +1182,8 @@ ORDER BY w1, w2
 """
 
 
-@query("q14_bigram_lm", oracle=_Q_LM_ORACLE, tags=("L5", "text"))
-def q14_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r120_bigram_lm", oracle=_Q_LM_ORACLE, tags=("L5", "text"))
+def r120_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build a bigram language model table: P(w2|w1) with add-one
     smoothing over the corpus — the model-estimation step behind the
     unigram-perplexity scorer (r58) and every KenLM-style n-gram LM

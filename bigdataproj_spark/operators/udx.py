@@ -145,8 +145,8 @@ ORDER BY o_orderpriority
 """
 
 
-@query("r105_grouped_agg_udf", oracle=_Q28_ORACLE, tags=("U4", "udx"))
-def r105_grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q49_grouped_agg_udf", oracle=_Q28_ORACLE, tags=("U4", "udx"))
+def q49_grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pandas GROUPED_AGG UDAF: weight-by-key average in exact cents."""
     weighted_avg_price = pandas_udf(_weighted_avg_price, "double")
     o = table(spark, sf_dir, "orders")

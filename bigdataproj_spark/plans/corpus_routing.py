@@ -710,8 +710,8 @@ def route_corpus_scan(
 from ..registry import query  # noqa: E402
 
 
-@query("r109_events_distinct_users", oracle=None, tags=("S15", "A6"))
-def r109_events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q21_events_distinct_users", oracle=None, tags=("S15", "A6"))
+def q21_events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct users per event type via the cube's MERGEABLE HLL
     sketch partials: the hourly rollup stores hll_sketch_agg(user_id)
     per (type, hour); re-aggregating a distinct count is then

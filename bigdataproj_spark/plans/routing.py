@@ -608,7 +608,7 @@ PROJECTIONS: tuple[Projection, ...] = (
         count_star_col="cnt",
         open=_open_pricing_cube,
     ),
-    # The segment cube (round 7, the r93 answer): every pricing
+    # The segment cube (round 7, the q10 answer): every pricing
     # measure keyed by the LOW-CARDINALITY per-order attributes x the
     # lineitem flags — 450 rows at EVERY corpus scale (each key has a
     # fixed domain; o_orderdate, the one per-order attribute that
@@ -1502,7 +1502,7 @@ def r85_routed_star_date(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Sketch-partial distinct counting on the star family (rows-only by
-# design, like r25/r26/r109: DuckDB's approx_count_distinct is a
+# design, like r25/r26/q21: DuckDB's approx_count_distinct is a
 # different sketch, so there is no cross-engine twin; exactness vs the
 # raw single-pass sketch and the error bound vs true COUNT(DISTINCT)
 # are pinned in tests/test_routing.py).
@@ -1518,8 +1518,8 @@ _STAR_SKETCH_SPEC = AggQuery(
 )
 
 
-@query("r110_star_distinct_suppliers", oracle=None, tags=("S13", "A6"))
-def r110_star_distinct_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q22_star_distinct_suppliers", oracle=None, tags=("S13", "A6"))
+def q22_star_distinct_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct suppliers/parts per region over a date slice, answered
     from the star cube's MERGEABLE HLL sketch partials: the cube stores
     hll_sketch_agg(l_suppkey/l_partkey) per (region, nation, flag,

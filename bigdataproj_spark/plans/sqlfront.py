@@ -1212,8 +1212,8 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
-@query("q49_sql_pricing", oracle=_SQL_PRICING, tags=("S13", "E1", "A1", "O1"))
-def q49_sql_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r131_sql_pricing", oracle=_SQL_PRICING, tags=("S13", "E1", "A1", "O1"))
+def r131_sql_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL front door end-to-end: the pricing-summary family as a
     plain SQL STRING (a cutoff and aggregate set distinct from
     q05_routed_pricing's spec-object form), parsed via the DuckDB AST,
@@ -1288,9 +1288,9 @@ ORDER BY r_name
 
 
 @query(
-    "r95_sql_count_distinct", oracle=_SQL_COUNT_DISTINCT, tags=("S13", "E1", "A2")
+    "q11_sql_count_distinct", oracle=_SQL_COUNT_DISTINCT, tags=("S13", "E1", "A2")
 )
-def r95_sql_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q11_sql_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COUNT(DISTINCT) through the front door, mixing a dimension-side
     target (n_name) with a fact-side one (l_suppkey) over the full
     chain. No cube stores the supplier-key value set, so the router
@@ -1317,8 +1317,8 @@ ORDER BY p_type, l_returnflag
 """
 
 
-@query("r96_sql_part_revenue", oracle=_SQL_PART_ARM, tags=("S13", "E1", "J1", "A1"))
-def r96_sql_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q14_sql_part_revenue", oracle=_SQL_PART_ARM, tags=("S13", "E1", "J1", "A1"))
+def q14_sql_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SECOND dimension arm through the front door: revenue by
     part type and return flag with a part-side size filter. The raw
     two-arm plan partial-aggregates the fact below the join keyed by
@@ -1439,8 +1439,8 @@ ORDER BY c_mktsegment, order_month
 """
 
 
-@query("r90_sql_chain_segment", oracle=_SQL_CHAIN_SEGMENT, tags=("S13", "E1", "J1", "A1"))
-def r90_sql_chain_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q04_sql_chain_segment", oracle=_SQL_CHAIN_SEGMENT, tags=("S13", "E1", "J1", "A1"))
+def q04_sql_chain_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dimension-chain SQL through the front door: revenue by market
     segment and ORDER month with an IN-list region predicate, over the
     declared 5-table join. The widened denorm stores the order- and
@@ -1462,8 +1462,8 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
-@query("r91_sql_distinct_keys", oracle=_SQL_DISTINCT, tags=("S13", "E1", "A2"))
-def r91_sql_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q09_sql_distinct_keys", oracle=_SQL_DISTINCT, tags=("S13", "E1", "A2"))
+def q09_sql_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SELECT DISTINCT through the front door, with a disjunctive
     predicate. The distinct key combinations of the raw fact are a
     projection of the cube's stored group keys (every raw row maps to
@@ -1491,8 +1491,8 @@ ORDER BY l_returnflag, r_name
 """
 
 
-@query("q20_sql_mixed_star_group", oracle=_SQL_MIXED_STAR, tags=("bench", "S13", "E1", "J1", "A1"))
-def q20_sql_mixed_star_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r122_sql_mixed_star_group", oracle=_SQL_MIXED_STAR, tags=("bench", "S13", "E1", "J1", "A1"))
+def r122_sql_mixed_star_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixed fact+dimension grouping through the front door: the
     rollup pair stores no lineitem attributes, but the widened star
     cube keys (region, nation, returnflag, linestatus, shipdate) —
@@ -1520,9 +1520,9 @@ ORDER BY c_mktsegment, l_returnflag
 """
 
 
-@query("r93_sql_spine_group", oracle=_SQL_SPINE_SEGMENT, tags=("bench", "S13", "E1", "J1", "A1"))
-def r93_sql_spine_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Round 7 closed the r93 gap (r6-VERDICT item 5, decided SHIP —
+@query("q10_sql_segment_group", oracle=_SQL_SPINE_SEGMENT, tags=("bench", "S13", "E1", "J1", "A1"))
+def q10_sql_segment_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 7 closed the q10 gap (r6-VERDICT item 5, decided SHIP —
     with a better key set than proposed): this per-order-segment x
     lineitem-flag grouping was the last routed >2x shape, served by
     the zero-exchange spine but fact-scan-bound. Every per-order
@@ -1612,8 +1612,8 @@ ORDER BY event_id
 """
 
 
-@query("r101_sql_events_scan", oracle=_SQL_EVENTS_SCAN, tags=("S15", "S14", "E1", "P2"))
-def r101_sql_events_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q16_sql_events_scan", oracle=_SQL_EVENTS_SCAN, tags=("S15", "S14", "E1", "P2"))
+def q16_sql_events_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level time-slice scan over the event log through the front
     door: the ts range selects the day-partitioned events layout
     (sources/dated.py dated_events), the router derives the day bounds
@@ -1641,9 +1641,9 @@ ORDER BY lang
 
 
 @query(
-    "r111_sql_stopword_profile", oracle=_SQL_STOPWORDS, tags=("S15", "E1", "L5", "text")
+    "q23_sql_stopword_profile", oracle=_SQL_STOPWORDS, tags=("S15", "E1", "L5", "text")
 )
-def r111_sql_stopword_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q23_sql_stopword_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus stopword ratios per language from the doc-stats cube: the
     per-doc stopword-token counts (a second deploy-time regex+filter
     pass, like the token counts) are stored as exact integer partials,
@@ -1671,9 +1671,9 @@ ORDER BY o_orderpriority, l_returnflag
 
 
 @query(
-    "r108_user_projection_sql", oracle=_SQL_USER_PROJ, tags=("S16", "S13", "E1", "A1")
+    "q20_user_projection_sql", oracle=_SQL_USER_PROJ, tags=("S16", "S13", "E1", "A1")
 )
-def r108_user_projection_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q20_user_projection_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S16 end-to-end: the user DECLARES a projection — keys
     (o_orderpriority, l_returnflag), a chain-1 mixed grouping no
     built-in stores (the star cube is chain-4; per-order priorities
@@ -1720,11 +1720,11 @@ ORDER BY s_kind, lang
 
 
 @query(
-    "r112_sql_sources_dim_cube",
+    "q24_sql_sources_dim_cube",
     oracle=f"WITH sources AS (\n{_SOURCES_DIM_SQL}\n)\n{_SQL_SOURCES_KIND}",
     tags=("S15", "E1", "J4", "L5"),
 )
-def r112_sql_sources_dim_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q24_sql_sources_dim_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus star through the front door: documents joined to the
     SOURCES registry dim, grouped by a dim attribute, filtered on
     another. The statement folds onto the doc-stats cube — the cube
@@ -1753,16 +1753,16 @@ ORDER BY s_tier
 
 
 @query(
-    "r113_sql_sources_dim_raw",
+    "q30_sql_sources_dim_raw",
     oracle=f"WITH sources AS (\n{_SOURCES_DIM_SQL}\n)\n{_SQL_SOURCES_TIER_RAW}",
     tags=("S15", "E1", "J4", "A1"),
 )
-def r113_sql_sources_dim_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q30_sql_sources_dim_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dim arm's REFUSE side: the row-level n_chars filter is no
     cube group key, so the cube correctly declines and the router
     answers with the raw plan — documents broadcast-joined to the
     registry, fused pre-projection, one shuffle. Same statement
-    family as r112; what changed is one predicate, and what must NOT
+    family as q24; what changed is one predicate, and what must NOT
     change is the answer's agreement with DuckDB."""
     df, chosen = route_sql(spark, sf_dir, _SQL_SOURCES_TIER_RAW)
     assert chosen == "raw", chosen
@@ -1777,8 +1777,8 @@ ORDER BY doc_id
 """
 
 
-@query("r114_sql_docs_scan", oracle=_SQL_DOCS_SCAN, tags=("S15", "S12", "E1", "P2"))
-def r114_sql_docs_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q36_sql_docs_scan", oracle=_SQL_DOCS_SCAN, tags=("S15", "S12", "E1", "P2"))
+def q36_sql_docs_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level corpus slice through the front door: the lang
     predicate selects the CLUSTERED documents layout
     (sources/docstore.py — hive-partitioned by language, range-sorted
@@ -1809,11 +1809,11 @@ ORDER BY p_brand, l_returnflag
 
 
 @query(
-    "r115_user_arm_projection_sql",
+    "q34_user_arm_projection_sql",
     oracle=_SQL_USER_ARM_PROJ,
     tags=("S16", "S13", "E1", "J1", "A1"),
 )
-def r115_user_arm_projection_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q34_user_arm_projection_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S16 v2 end-to-end: the user declares a projection over the PART
     ARM — keys (p_brand, l_returnflag), measures including the
     arm-home p_retailprice sum — and the identical part-join SQL

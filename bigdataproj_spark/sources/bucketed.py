@@ -512,7 +512,7 @@ def star_date_cube_table(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
-# The segment cube's group keys (round 7, the r93 answer): the r93
+# The segment cube's group keys (round 7, the q10 answer): the q10
 # family groups LOW-CARDINALITY per-order attributes against the
 # lineitem flags — and every such attribute has a fixed domain
 # (|segments|=5, |priorities|=5, |statuses|=3), so cubing them is
@@ -530,7 +530,7 @@ def segment_cube_table(spark: SparkSession, sf_dir: str) -> str:
     """Deploy the per-order-attribute segment cube (memoized): ALL
     pricing measures cubed by (mktsegment, priority, orderstatus,
     returnflag, linestatus) over the full chain-4 star join — the
-    materialized answer to the r93 family, which until round 7 was
+    materialized answer to the q10 family, which until round 7 was
     the last routed >2x shape (the zero-exchange spine still had to
     SCAN the fact per query; 450 stored rows don't). Built from the
     bucketed spine like the star cube, so the deploy is exchange-free

@@ -197,8 +197,8 @@ ORDER BY l_orderkey, l_linenumber
 """
 
 
-@query("q04_zorder_query", oracle=_Q_ZORDER_ORACLE, tags=("S12", "sources"))
-def q04_zorder_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r116_zorder_query", oracle=_Q_ZORDER_ORACLE, tags=("S12", "sources"))
+def r116_zorder_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-column range query over the Z-ordered lineitem layout:
     parts 50-150 from suppliers 5-40. Identical rows to the raw-table
     oracle (the curve is sort order, not content); what the layout

@@ -620,7 +620,7 @@ def corpus_ingest_batch_fn(spark: SparkSession, lake_dir: str):
     """Per-micro-batch body of the corpus builder:
 
     1. quality gate (map-only, operators.quality.gate_filter);
-    2. prefix fingerprint (the q11 incremental-dedup key);
+    2. prefix fingerprint (the r119 incremental-dedup key);
     3. within-batch first-occurrence + anti-join against the stored
        fingerprint index (never re-fingerprints the lake);
     4. append survivors to the corpus, their fingerprints to the index.

@@ -36,19 +36,19 @@ HEADER = [
 # plan shape the docs argue from (mixing window, span-dedup shuffles,
 # packing prefix sum, decontamination broadcast semi-join).
 EXTRA = {
-    "q49_sql_pricing",
+    "r131_sql_pricing",
     "r37_domain_mixing",
     "r40_training_order",
-    "q11_incremental_dedup",
-    "q24_chunk_dedup",
+    "r119_incremental_dedup",
+    "r126_chunk_dedup",
     "q47_sequence_packing",
-    "q48_decontamination",
+    "r130_decontamination",
     "q32_training_mix_pipeline",
     "r53_dsir_resample",
-    "q14_bigram_lm",
+    "r120_bigram_lm",
     "q08_skipgram_pairs",
     "r43_graph_pagerank",
-    "q21_kmeans_embeddings",
+    "r123_kmeans_embeddings",
 }
 
 out = list(HEADER)

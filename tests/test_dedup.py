@@ -176,11 +176,11 @@ def test_incremental_dedup_status_partition(spark, sf_dir):
     from bigdataproj_spark.operators.dedup import (
         _INCR_PREFIX,
         _INCR_SPLIT,
-        q11_incremental_dedup,
+        r119_incremental_dedup,
     )
     from bigdataproj_spark.operators.text import tokens
 
-    pdf = q11_incremental_dedup(spark, sf_dir).toPandas()
+    pdf = r119_incremental_dedup(spark, sf_dir).toPandas()
     assert (pdf["doc_id"] >= _INCR_SPLIT).all()
     idx = set(
         table(spark, sf_dir, "documents")
@@ -207,11 +207,11 @@ def test_chunk_dedup_conservation(spark, sf_dir):
     from bigdataproj_spark.catalog import table
     from bigdataproj_spark.operators.dedup import (
         _CHUNK_DEDUP_K,
-        q24_chunk_dedup,
+        r126_chunk_dedup,
     )
     from bigdataproj_spark.operators.text import tokens
 
-    pdf = q24_chunk_dedup(spark, sf_dir).toPandas()
+    pdf = r126_chunk_dedup(spark, sf_dir).toPandas()
     assert (pdf["n_dup_chunks"] <= pdf["n_chunks"]).all()
     assert (pdf["n_tokens_kept"] >= 0).all()
     t = (
@@ -291,7 +291,7 @@ def test_incremental_lsh_replay_equals_one_shot(spark, sf_dir, tmp_path):
     """Three-batch ingest replay: the union of each batch's NEW pairs
     must equal the one-shot q27 pair set exactly (no bucket crosses
     the cap on the fixture, so batch timing cannot change guard
-    outcomes). This is the near-dup twin of q11's exact-dedup
+    outcomes). This is the near-dup twin of r119's exact-dedup
     incremental contract."""
     from bigdataproj_spark.catalog import table
     from bigdataproj_spark.operators.dedup import incremental_minhash_lsh

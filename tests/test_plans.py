@@ -120,11 +120,11 @@ def test_no_cartesian_in_lsh_candidates(spark, sf_dir):
 
 
 def test_ivf_join_is_broadcast_on_cell(spark, sf_dir):
-    """q36's probe-candidate meeting must be a broadcast join on the
+    """r128's probe-candidate meeting must be a broadcast join on the
     cell id (the corpus side never shuffles for the probe set), and
     cell assignment must be plan literals — no extra join for the
     centroids."""
-    df = load_all()["q36_ann_ivf"].build(spark, sf_dir)
+    df = load_all()["r128_ann_ivf"].build(spark, sf_dir)
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
@@ -230,9 +230,9 @@ def test_parquet_aggregate_pushdown_metadata_only(spark, sf_dir):
 
 
 def test_fulltext_scan_prunes_to_doc_and_text(spark, sf_dir):
-    """r102's postings build must scan only (doc_id, text) — the
+    """q48's postings build must scan only (doc_id, text) — the
     documents table's other columns never leave the parquet footer."""
-    df = load_all()["r102_fulltext_bm25"].build(spark, sf_dir)
+    df = load_all()["q48_fulltext_bm25"].build(spark, sf_dir)
     plan = plan_of(df)
     assert "struct<doc_id:bigint,text:string>" in plan, plan
 
@@ -274,9 +274,9 @@ def test_bigram_lm_is_one_corpus_pass(spark, sf_dir):
     checkpointed bigram table, not re-run the corpus pass: the final
     plan contains no parquet scan at all (all three consumers read
     the materialized RDD), and no row-at-a-time Python."""
-    from bigdataproj_spark.operators.text import q14_bigram_lm
+    from bigdataproj_spark.operators.text import r120_bigram_lm
 
-    p = plan_of(q14_bigram_lm(spark, sf_dir))
+    p = plan_of(r120_bigram_lm(spark, sf_dir))
     assert p.count("Scan parquet") == 0, p
     assert "ExistingRDD" in p, p
     assert "BatchEvalPython" not in p, p

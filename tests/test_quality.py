@@ -125,10 +125,10 @@ def test_decontamination_fractions_consistent(spark, sf_dir):
     count; the held-out split itself never appears in the output."""
     from bigdataproj_spark.operators.quality import (
         _DECON_HELD_OUT_MAX,
-        q48_decontamination,
+        r130_decontamination,
     )
 
-    pdf = q48_decontamination(spark, sf_dir).toPandas()
+    pdf = r130_decontamination(spark, sf_dir).toPandas()
     assert len(pdf) > 0
     assert (pdf["doc_id"] >= _DECON_HELD_OUT_MAX).all()
     assert (pdf["n_contaminated"] <= pdf["n_grams"]).all()

@@ -71,7 +71,7 @@ def test_ivf_hits_have_exact_cosines(spark, sf_dir):
     re-ranked, so wherever it overlaps q29's exact top-k the cosine
     must be identical; and every probe must surface candidates."""
     exact = load_all()["q29_cosine_topk"].build(spark, sf_dir).collect()
-    ivf = load_all()["q36_ann_ivf"].build(spark, sf_dir).collect()
+    ivf = load_all()["r128_ann_ivf"].build(spark, sf_dir).collect()
     assert ivf, "IVF ANN should return candidates on the fixture"
     assert len({r["probe_id"] for r in ivf}) == 5
     exact_cos = {(r["probe_id"], r["cand_id"]): r["cos_sim"] for r in exact}
@@ -118,15 +118,15 @@ def test_kmeans_partitions_all_vectors(spark, sf_dir):
     RNG)."""
     from bigdataproj_spark.operators.similarity import (
         _KM_K,
-        q21_kmeans_embeddings,
+        r123_kmeans_embeddings,
     )
 
-    a = q21_kmeans_embeddings(spark, sf_dir).toPandas()
+    a = r123_kmeans_embeddings(spark, sf_dir).toPandas()
     n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
     assert a["n_members"].sum() == n
     assert len(a) == _KM_K
     assert (a["n_members"] > 0).all()
-    b = q21_kmeans_embeddings(spark, sf_dir).toPandas()
+    b = r123_kmeans_embeddings(spark, sf_dir).toPandas()
     assert a.equals(b)
 
 

@@ -103,9 +103,9 @@ def test_skipgram_pairs_are_symmetric_in_total(spark, sf_dir):
 
 def test_vocab_ids_are_dense_and_frequency_ranked(spark, sf_dir):
     """r13: ids are 0..N-1 with tf non-increasing along id order."""
-    from bigdataproj_spark.operators.text import q09_vocab_build
+    from bigdataproj_spark.operators.text import r117_vocab_build
 
-    pdf = q09_vocab_build(spark, sf_dir).toPandas().sort_values("token_id")
+    pdf = r117_vocab_build(spark, sf_dir).toPandas().sort_values("token_id")
     assert list(pdf["token_id"]) == list(range(len(pdf)))
     assert (pdf["tf"].diff().dropna() <= 0).all()
 
@@ -118,14 +118,14 @@ def test_encode_ids_roundtrip_against_vocab(spark, sf_dir):
     from bigdataproj_spark.catalog import table
     from bigdataproj_spark.operators.text import (
         _ENC_PREFIX,
-        q09_vocab_build,
-        q10_encode_ids,
+        r117_vocab_build,
+        r118_encode_ids,
         tokens,
     )
 
     vocab = {
         r.token_id: r.token
-        for r in q09_vocab_build(spark, sf_dir).collect()
+        for r in r117_vocab_build(spark, sf_dir).collect()
     }
     toks = {
         r.doc_id: r.toks[:_ENC_PREFIX]
@@ -134,7 +134,7 @@ def test_encode_ids_roundtrip_against_vocab(spark, sf_dir):
         .filter(F.size("toks") > 0)
         .collect()
     }
-    enc = q10_encode_ids(spark, sf_dir).toPandas()
+    enc = r118_encode_ids(spark, sf_dir).toPandas()
     assert len(enc) == len(toks)
     for r in enc.itertuples():
         ids = [int(x) for x in r.ids.split(",")]
@@ -161,9 +161,9 @@ def test_skipgram_pairs_symmetric(spark, sf_dir):
 def test_bigram_lm_probabilities_valid(spark, sf_dir):
     """Conditional probabilities are proper: in (0, 1), c1 >= c12,
     and add-one smoothing keeps p monotone in c12 for fixed w1."""
-    from bigdataproj_spark.operators.text import q14_bigram_lm
+    from bigdataproj_spark.operators.text import r120_bigram_lm
 
-    pdf = q14_bigram_lm(spark, sf_dir).toPandas()
+    pdf = r120_bigram_lm(spark, sf_dir).toPandas()
     assert len(pdf) > 0
     assert ((pdf["p_cond"] > 0) & (pdf["p_cond"] < 1)).all()
     assert (pdf["c1"] >= pdf["c12"]).all()

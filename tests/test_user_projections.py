@@ -24,7 +24,7 @@ from bigdataproj_spark.sources.user_projections import (
 
 import pytest
 
-# keys chosen to overlap NO registry-deployed projection: the r108
+# keys chosen to overlap NO registry-deployed projection: the q20
 # oracle query deploys "prio_flag" on (o_orderpriority, l_returnflag)
 # into the same session catalog, so this test's pre-deploy "routes
 # raw" assertion must use a disjoint chain-1 mix
@@ -265,7 +265,7 @@ def test_random_spec_against_user_view_matches_duckdb(
         assert chosen == "raw", (chosen, spec)
     else:
         # SOME deployed user view must claim it — in a shared pytest
-        # session the r108 oracle query's "prio_flag" view legitimately
+        # session the q20 oracle query's "prio_flag" view legitimately
         # claims draws whose keys are a subset of its own (deployment
         # order decides among equally-subsuming views; both are built
         # from the same maintained data, so the answer is identical)
@@ -301,7 +301,7 @@ def test_arm_view_claims_part_statements_and_drop_reverts(spark, sf_dir):
         list_projections,
     )
 
-    # keys disjoint from every registry-deployed user view (r115
+    # keys disjoint from every registry-deployed user view (q34
     # deploys "brand_flag" on (p_brand, l_returnflag) into shared
     # sessions; deployment order decides among equally-subsuming
     # views, so this test must own its shape family outright)

@@ -97,7 +97,7 @@ def test_zorder_layout_skips_row_groups(spark, sf_dir, tmp_path):
 
 
 def test_zorder_query_matches_plain_filter(spark, sf_dir):
-    got = load_all()["q04_zorder_query"].build(spark, sf_dir).toPandas()
+    got = load_all()["r116_zorder_query"].build(spark, sf_dir).toPandas()
     want = (
         table(spark, sf_dir, "lineitem")
         .filter(F.col("l_partkey").between(50, 150) & F.col("l_suppkey").between(5, 40))
