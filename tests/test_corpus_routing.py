@@ -627,7 +627,13 @@ def _corpus_sql(
             }[a.fn]
             sel.append(f"{tbl[q.table][a.measure]} AS {a.alias}")
     head = "SELECT DISTINCT" if not q.aggs else "SELECT"
-    parts = [f"{head} {', '.join(sel)} FROM {q.table}"]
+    from_clause = q.table
+    for name in q.dims:
+        from bigdataproj_spark.plans.corpus_routing import CORPUS_DIMS
+
+        d = CORPUS_DIMS[name]
+        from_clause += f" JOIN {name} ON {d.fact_key} = {d.dim_key}"
+    parts = [f"{head} {', '.join(sel)} FROM {from_clause}"]
     conds = [_cond_sql(p) for p in q.filters]
     if conds:
         parts.append("WHERE " + " AND ".join(conds))
@@ -1045,3 +1051,92 @@ def test_between_half_open_rewrite_counterexample(spark, sf_dir):
     assert half_open_n == between_n + inside_b_hour, (
         half_open_n, between_n, inside_b_hour,
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 7: dims-aware differential fuzz — the sources dim arm under
+# random groupings/filters/aggregates, checked three ways (SQL front
+# door vs DuckDB-with-the-dim-CTE-as-a-view, spec router vs SQL
+# router, routed vs raw plan).
+# ---------------------------------------------------------------------------
+
+_DIMF_GROUP_POOL = [
+    (),
+    ("s_kind",),
+    ("s_tier",),
+    ("s_kind", "s_tier"),
+    ("lang", "s_kind"),
+    ("s_tier", "source"),
+]
+_DIMF_FILTER_POOL = [
+    None,
+    Pred("s_tier", "=", "curated"),
+    Pred("s_kind", "in", ("web", "wiki")),
+    Pred("lang", "=", "en"),
+    Pred("n_chars", ">=", 150),  # row-level: forces the raw dim-join plan
+    BoolPred("or", (Pred("s_kind", "=", "web"), Pred("lang", "=", "de"))),
+    # plain != (DuckDB's parser normalizes NOT(x = v) to x != v, so
+    # the round-trip spec uses the normalized form directly)
+    Pred("s_tier", "!=", "crawl"),
+]
+_DIMF_AGG_POOL = [
+    AggCall("sum", "chars", "a_sum_chars"),
+    AggCall("avg", "chars", "a_avg_chars"),
+    AggCall("sum", "tokens", "a_sum_toks"),
+    AggCall("min", "stopwords", "a_min_stop"),
+    AggCall("count_star", None, "a_n"),
+    AggCall("count_distinct", "s_kind", "a_cd_kind"),
+    AggCall("count_distinct", "doc_id", "a_cd_doc"),  # forces raw
+]
+
+dim_specs = st.fixed_dictionaries(
+    {
+        "groups": st.sampled_from(range(len(_DIMF_GROUP_POOL))),
+        "aggs": st.sets(st.sampled_from(range(len(_DIMF_AGG_POOL))), max_size=3),
+        "filt": st.sampled_from(range(len(_DIMF_FILTER_POOL))),
+        "order_desc": st.booleans(),
+    }
+)
+
+
+@pytest.fixture(scope="module")
+def _ora_dims(sf_dir):
+    """DuckDB twin with the SOURCES registry materialized as a view
+    from its canonical derivation — the same SQL text then runs on
+    both engines."""
+    from bigdataproj_spark.sources.corpus_cubes import SOURCES_DIM_SQL
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    con.execute(f"CREATE VIEW sources AS {SOURCES_DIM_SQL}")
+    return con
+
+
+@given(p=dim_specs)
+@settings(
+    max_examples=15 * _FUZZ_SCALE,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_dim_spec_routes_and_matches_duckdb(spark, sf_dir, _ora_dims, p):
+    f = _DIMF_FILTER_POOL[p["filt"]]
+    groups = tuple(sorted(_DIMF_GROUP_POOL[p["groups"]]))
+    aggs = tuple(_DIMF_AGG_POOL[i] for i in sorted(p["aggs"]))
+    if not groups and not aggs:
+        aggs = (AggCall("count_star", None, "a_n"),)
+    spec = TableAggQuery(
+        "documents", (f,) if f else (), groups, aggs, dims=("sources",)
+    )
+    sql = _corpus_sql(spec, order_desc=bool(p["order_desc"] and groups))
+    parsed = parse_sql(sql)
+    assert parsed.spec == spec, sql
+    sql_df, sql_chosen = route_sql(spark, sf_dir, sql)
+    want = _ora_dims.execute(sql).fetchdf()
+    compare_frames(sql_df.toPandas(), want, f"dim-fuzz[{sql_chosen}] {sql}")
+    routed, chosen = route_corpus(spark, sf_dir, spec)
+    assert chosen == sql_chosen, (chosen, sql_chosen, sql)
+    if chosen != "raw":
+        raw = _raw_plan(spark, sf_dir, spec).toPandas()
+        assert routed.toPandas().equals(raw), (chosen, sql)
