@@ -164,6 +164,12 @@ def _open_sources_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(sources_dim_table(spark, sf_dir))
 
 
+def _open_event_types_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.corpus_cubes import event_types_dim_table
+
+    return spark.read.parquet(event_types_dim_table(spark, sf_dir))
+
+
 CORPUS_DIMS: dict[str, CorpusDim] = {
     "sources": CorpusDim(
         name="sources",
@@ -172,6 +178,17 @@ CORPUS_DIMS: dict[str, CorpusDim] = {
         dim_key="src_id",
         attrs=frozenset({"s_kind", "s_tier"}),
         open=_open_sources_dim,
+    ),
+    # the events star's registry arm: the hourly cube stores
+    # event_type, so taxonomy groupings fold onto it the same way
+    # sources attrs fold onto the docs cube
+    "event_types": CorpusDim(
+        name="event_types",
+        fact_tables=frozenset({"events"}),
+        fact_key="event_type",
+        dim_key="et_id",
+        attrs=frozenset({"e_category"}),
+        open=_open_event_types_dim,
     ),
 }
 

@@ -1832,3 +1832,38 @@ def q34_user_arm_projection_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     df, chosen = route_sql(spark, sf_dir, _SQL_USER_ARM_PROJ)
     assert chosen == "user:brand_flag", chosen
     return df
+
+
+from ..sources.corpus_cubes import EVENT_TYPES_DIM_SQL as _EVENT_TYPES_DIM_SQL  # noqa: E402
+
+_SQL_EVENTS_CATEGORY = f"""
+SELECT
+  e_category,
+  date_trunc('day', ts) AS day,
+  {CORPUS_SUM_SQL['events']['value']} AS total_value,
+  COUNT(*) AS n
+FROM events
+JOIN event_types ON event_type = et_id
+WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+GROUP BY e_category, day
+ORDER BY e_category, day
+"""
+
+
+@query(
+    "r132_sql_events_category_rollup",
+    oracle=f"WITH event_types AS (\n{_EVENT_TYPES_DIM_SQL}\n)\n{_SQL_EVENTS_CATEGORY}",
+    tags=("S15", "E1", "J4", "ST1"),
+)
+def r132_sql_events_category_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EVENTS star's registry arm — the second CORPUS_DIMS
+    instance, proving the dim machinery is table-generic: daily value
+    by event CATEGORY (an engine-maintained taxonomy over event_type)
+    folds onto the hourly cube, because the cube stores the fact-side
+    join key and taxonomy attributes are per-type constants; the
+    hour-boundary ts filter folds by the grain rule, and the day
+    grouping re-aggregates stored hours exactly. The oracle derives
+    the identical taxonomy as a CTE on DuckDB."""
+    df, chosen = route_sql(spark, sf_dir, _SQL_EVENTS_CATEGORY)
+    assert chosen == "events_hourly_cube", chosen
+    return df

@@ -172,6 +172,76 @@ def refresh_sources_dim(
     return new_path
 
 
+# ---------------------------------------------------------------------------
+# The EVENT-TYPES dimension — the events star's registry arm (round 7,
+# second CORPUS_DIMS instance: proves the dim machinery is generic,
+# not documents-specific). A deployment's event taxonomy ("which
+# types are engagement vs commerce") is registry data derived at
+# ingest; same deterministic dual spelling contract as the sources
+# dim. |event types| is registry-sized at any corpus scale.
+# ---------------------------------------------------------------------------
+
+EVENT_TYPES_DIM_COLS = ("et_id", "e_category")
+
+EVENT_TYPES_DIM_SQL = """\
+SELECT event_type AS et_id,
+       CASE event_type
+            WHEN 'click' THEN 'engagement'
+            WHEN 'view' THEN 'engagement'
+            WHEN 'purchase' THEN 'commerce'
+            WHEN 'signup' THEN 'account'
+            ELSE 'system' END AS e_category
+FROM (SELECT DISTINCT event_type FROM events)"""
+
+
+def event_types_dim_frame(events: DataFrame) -> DataFrame:
+    """The event-type taxonomy dim derived from an events frame — THE
+    Spark spelling of EVENT_TYPES_DIM_SQL; keep the two in lockstep."""
+    et = F.col("event_type")
+    return events.select("event_type").distinct().select(
+        et.alias("et_id"),
+        F.when(et.isin("click", "view"), "engagement")
+        .when(et == "purchase", "commerce")
+        .when(et == "signup", "account")
+        .otherwise("system")
+        .alias("e_category"),
+    )
+
+
+def event_types_dim_table(spark: SparkSession, sf_dir: str) -> str:
+    """Deploy (memoized) the event-types dim table; returns its path."""
+
+    def build() -> DataFrame:
+        return event_types_dim_frame(table(spark, sf_dir, "events"))
+
+    return _deploy_cube(
+        spark, sf_dir, "event_types_dim", "event_types_dim", build
+    )
+
+
+def refresh_event_types_dim(
+    spark: SparkSession, sf_dir: str, delta_events: DataFrame
+) -> str:
+    """Keep the taxonomy COMPLETE under ingest — same contract and
+    no-op-on-redelivery shape as :func:`refresh_sources_dim`."""
+    stored_path = event_types_dim_table(spark, sf_dir)
+    stored = spark.read.parquet(stored_path)
+    fresh = event_types_dim_frame(delta_events).join(
+        F.broadcast(stored.select("et_id")), "et_id", "left_anti"
+    )
+    if not fresh.take(1):
+        return stored_path
+    merged = stored.unionByName(fresh)
+    versions: dict = spark.__dict__.setdefault("_bdp_projection_versions", {})
+    v = versions.get(stored_path, 0) + 1
+    versions[stored_path] = v
+    new_path = f"{stored_path}_v{v}"
+    merged.write.mode("overwrite").parquet(new_path)
+    memo: dict = spark.__dict__.setdefault("_bdp_projection_memo", {})
+    memo[("event_types_dim", sf_dir)] = new_path
+    return new_path
+
+
 def _docs_cube_aggs() -> list:
     """The doc-stats partials: the shared per-row text expressions
     materialized at deploy time."""

@@ -115,6 +115,9 @@ def refresh_warehouse(
         append_clustered_docs(documents, cp)
         done["clustered_documents"] = cp
     if events is not None:
+        from .corpus_cubes import refresh_event_types_dim
+
+        done["event_types_dim"] = refresh_event_types_dim(spark, sf_dir, events)
         done["events_hourly_cube"] = refresh_events_cube(spark, sf_dir, events)
         ep = dated_events(spark, sf_dir)
         append_dated_events(events, ep)

@@ -1140,3 +1140,56 @@ def test_random_dim_spec_routes_and_matches_duckdb(spark, sf_dir, _ora_dims, p):
     if chosen != "raw":
         raw = _raw_plan(spark, sf_dir, spec).toPandas()
         assert routed.toPandas().equals(raw), (chosen, sql)
+
+
+def test_event_types_dim_folds_onto_hour_cube(spark, sf_dir):
+    """The second CORPUS_DIMS instance (events taxonomy): a category
+    grouping + hour-boundary ts filter + day grain folds onto the
+    hourly cube through the broadcast registry; equal to the row-level
+    dim-join plan; the wrong-fact pairing refuses at validation."""
+    q = TableAggQuery(
+        "events",
+        (Pred("ts", ">=", "2024-01-05 00:00:00", cast="timestamp"),),
+        ("e_category", "g_day"),
+        (
+            AggCall("sum", "value", "total_value"),
+            AggCall("count_star", None, "n"),
+        ),
+        truncs=(("g_day", "day", "ts"),),
+        dims=("event_types",),
+    )
+    df, chosen = route_corpus(spark, sf_dir, q)
+    assert chosen == "events_hourly_cube"
+    plan = plan_of(df)
+    assert "events.parquet" not in plan, plan
+    assert df.toPandas().equals(_raw_plan(spark, sf_dir, q).toPandas())
+
+    with pytest.raises(ValueError, match="does not join"):
+        route_corpus(
+            spark, sf_dir,
+            TableAggQuery("documents", (), ("e_category",),
+                          (AggCall("count_star", None, "n"),),
+                          dims=("event_types",)),
+        )
+
+
+def test_event_types_dim_refresh_keeps_registry_complete(spark, sf_dir, tmp_path):
+    from bigdataproj_spark.sources.corpus_cubes import (
+        event_types_dim_table,
+        refresh_event_types_dim,
+    )
+
+    ev = table(spark, sf_dir, "events")
+    base_dir = tmp_path / "base"
+    ev.filter(F.col("event_type") != "purchase").write.parquet(
+        str(base_dir / "events.parquet")
+    )
+    sf_base = str(base_dir)
+    p0 = event_types_dim_table(spark, sf_base)
+    assert spark.read.parquet(p0).filter("et_id = 'purchase'").count() == 0
+    delta = ev.filter(F.col("event_type") == "purchase")
+    p1 = refresh_event_types_dim(spark, sf_base, delta)
+    assert p1 != p0 and event_types_dim_table(spark, sf_base) == p1
+    row = spark.read.parquet(p1).filter("et_id = 'purchase'").collect()
+    assert len(row) == 1 and row[0].e_category == "commerce"
+    assert refresh_event_types_dim(spark, sf_base, delta) == p1  # no-op

@@ -160,7 +160,7 @@ def test_refresh_warehouse_mixed_batch_equals_full_deploy(spark, sf_dir, tmp_pat
         "pricing_cube", "star_date_cube", "segment_cube",
         "bucketed_lineitem", "zorder_lineitem", "dated_lineitem",
         "sources_dim", "docs_stats_cube", "events_hourly_cube",
-        "dated_events", "clustered_documents",
+        "dated_events", "clustered_documents", "event_types_dim",
     }
 
     # Every maintained aggregate layout equals the same layout deployed
