@@ -501,8 +501,12 @@ def star_date_cube_table(spark: SparkSession, sf_dir: str) -> str:
     _, den_name = order_revenue_projection(spark, sf_dir)
     li = spark.table(li_name)
     den = spark.table(den_name).select("o_orderkey", "r_name", "n_name")
+    # no shuffle_hash hint on deploy joins: sort-merge spills
+    # gracefully where a per-task hash relation can OOM at scale
+    # (the segment cube hit exactly that at sf20; same rationale
+    # in segment_cube_table)
     cube = (
-        li.join(den.hint("shuffle_hash"), li.l_orderkey == den.o_orderkey)
+        li.join(den, li.l_orderkey == den.o_orderkey)
         .groupBy(*_STAR_CUBE_KEYS)
         .agg(*_star_cube_aggs())
     )
@@ -547,8 +551,14 @@ def segment_cube_table(spark: SparkSession, sf_dir: str) -> str:
     den = spark.table(den_name).select(
         "o_orderkey", "c_mktsegment", "o_orderpriority", "o_orderstatus"
     )
+    # NO shuffle_hash hint on the DEPLOY join: a hash relation must
+    # fit per task and dies with "can't acquire memory" when it
+    # doesn't (measured at sf20 — 120M lineitems, 30M denorm rows);
+    # sort-merge over the bucket-aligned sorted tables spills
+    # gracefully, and a one-shot deploy pays the sort once. The
+    # QUERY-time spine keeps the hint where it is measured faster.
     cube = (
-        li.join(den.hint("shuffle_hash"), li.l_orderkey == den.o_orderkey)
+        li.join(den, li.l_orderkey == den.o_orderkey)
         .groupBy(*_SEGMENT_CUBE_KEYS)
         .agg(*_pricing_cube_aggs())
     )
