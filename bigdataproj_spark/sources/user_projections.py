@@ -194,8 +194,12 @@ def _build_cube(
     part_attrs = sorted({k for k in keys if k in PART_ATTRS} | _srcs("part"))
     supp_attrs = sorted({k for k in keys if k in SUPP_ATTRS} | _srcs("supp"))
     if chain:
+        # no shuffle_hash hint on the DEPLOY/refresh join: a per-task
+        # hash relation cannot spill and OOMs at scale (measured on
+        # the segment cube at sf20 — sources/bucketed.py); sort-merge
+        # over the bucket-aligned orders side spills gracefully
         dims = _dim_side(spark, sf_dir, chain, dim_attrs)
-        li = li.join(dims.hint("shuffle_hash"), li.l_orderkey == dims.o_orderkey)
+        li = li.join(dims, li.l_orderkey == dims.o_orderkey)
     if part:
         pa = table(spark, sf_dir, "part").select("p_partkey", *part_attrs)
         li = li.join(pa, F.col("l_partkey") == pa.p_partkey)
