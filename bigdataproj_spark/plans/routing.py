@@ -1140,6 +1140,13 @@ def _spine_plan(spark: SparkSession, sf_dir: str, q: AggQuery) -> DataFrame | No
         if sources[g] not in LINEITEM_COLS and g not in {a for a, _u, _c in q.truncs}:
             raise ValueError(f"unknown grouping attribute {g!r}")
 
+    # QUERY-time spine keeps the shuffle_hash hint below: measured
+    # faster than sort-merge at bench scales, and the per-task hash
+    # side is one bucket of the (filtered, projected) denorm. The
+    # scale rule: this holds while |orders|/n_buckets rows fit a
+    # task; past that, raise the bucket count at deploy (the layout
+    # knob) — the DEPLOY joins already use spill-friendly sort-merge
+    # (sources/bucketed.py segment/star cube, user projections).
     li_name, _ = bucketed_fact_tables(spark, sf_dir)
     _, den_name = order_revenue_projection(spark, sf_dir)
     li = spark.table(li_name)
