@@ -61,6 +61,7 @@ class Engine:
         if self.spark.__dict__.get("_bdp_views_for") != self.sf_dir:
             register_views(self.spark, self.sf_dir)
             self.spark.__dict__["_bdp_views_for"] = self.sf_dir
+        self._ensure_dim_views(query)
         if routed:
             from .plans.sqlfront import UnsupportedSQL, route_sql
 
@@ -70,6 +71,24 @@ class Engine:
             except UnsupportedSQL:
                 pass
         return self.spark.sql(query)
+
+    def _ensure_dim_views(self, query: str) -> None:
+        """Register any engine-maintained CORPUS DIM a statement
+        mentions as a temp view, so the VERBATIM fallback answers it
+        too (round-7 review finding: a dim-join statement outside the
+        routable family — a row-level scan, an OUTER dim join, a
+        window function over the join — previously crashed in
+        spark.sql with TABLE_OR_VIEW_NOT_FOUND instead of answering;
+        the refusal contract is 'fall back, never fail'). The deploy
+        behind ``open`` is memoized, and statements that don't name a
+        dim pay one regex scan."""
+        import re as _re
+
+        from .plans.corpus_routing import CORPUS_DIMS
+
+        for name, d in CORPUS_DIMS.items():
+            if _re.search(rf"\b{name}\b", query, _re.IGNORECASE):
+                d.open(self.spark, self.sf_dir).createOrReplaceTempView(name)
 
     # -- E2: DataFrame ----------------------------------------------------
     def table(self, name: str) -> DataFrame:

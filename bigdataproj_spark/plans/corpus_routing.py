@@ -193,14 +193,45 @@ CORPUS_DIMS: dict[str, CorpusDim] = {
 }
 
 
-def _dim_attr_map(q: TableAggQuery) -> dict[str, CorpusDim]:
-    """attr -> dim for every attribute of the query's DECLARED dims."""
-    out: dict[str, CorpusDim] = {}
-    for name in q.dims:
-        d = CORPUS_DIMS[name]
-        for a in d.attrs:
-            out[a] = d
-    return out
+# Canonical column orders of the corpus facts (the maintained row-
+# level layouts reorder columns — hive partition columns read back
+# last — so CURRENT-relation reads re-project to the fixture order).
+_DOC_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+_EVENT_COLS = ("event_id", "ts", "user_id", "event_type", "value", "props")
+
+
+def current_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CURRENT documents relation: the maintained clustered layout
+    once deployed this session (refresh_warehouse appends document
+    batches THERE; the fixture parquet is immutable), else the
+    fixture — the corpus twin of plans.routing.current_lineitem
+    (round-7 review finding: without this, a cube- or clustered-routed
+    answer described base+delta while the raw fallback described base
+    only). Never triggers a layout deploy."""
+    memo = spark.__dict__.get("_bdp_docstore_memo", {})
+    path = memo.get(sf_dir)
+    if path:
+        return spark.read.parquet(path).select(*_DOC_COLS)
+    return table(spark, sf_dir, "documents")
+
+
+def current_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CURRENT events relation — maintained day-partitioned layout
+    if deployed this session, else the fixture (same contract as
+    :func:`current_documents`)."""
+    memo = spark.__dict__.get("_bdp_dated_events_memo", {})
+    path = memo.get(sf_dir)
+    if path:
+        return spark.read.parquet(path).select(*_EVENT_COLS)
+    return table(spark, sf_dir, "events")
+
+
+def current_corpus_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "documents":
+        return current_documents(spark, sf_dir)
+    if name == "events":
+        return current_events(spark, sf_dir)
+    return table(spark, sf_dir, name)
 
 
 CORPUS_TABLES: dict[str, CorpusTable] = {
@@ -574,7 +605,7 @@ CORPUS_PROJECTIONS: tuple[CorpusProjection, ...] = (
 
 def _raw_plan(spark: SparkSession, sf_dir: str, q: TableAggQuery) -> DataFrame:
     t = validate(q)
-    df = table(spark, sf_dir, q.table)
+    df = current_corpus_table(spark, sf_dir, q.table)
     # Declared dim joins: broadcast attribute attachment, applied
     # whether or not the attrs are used (the SQL the spec mirrors
     # declares the join; the engine-maintained dim is complete, so
@@ -708,7 +739,7 @@ def route_corpus_scan(
         df = spark.read.parquet(clustered_documents(spark, sf_dir))
         chosen = "clustered_documents"
     else:
-        df = table(spark, sf_dir, q.table)
+        df = current_corpus_table(spark, sf_dir, q.table)
         chosen = "raw"
     for p in q.filters:
         df = df.filter(p.column())
