@@ -179,6 +179,37 @@ class Engine:
             tuple(measures) if measures else _ALL_MEASURES,
         )
 
+    def ingest(
+        self,
+        *,
+        lineitem: DataFrame | None = None,
+        orders: DataFrame | None = None,
+        documents: DataFrame | None = None,
+        events: DataFrame | None = None,
+    ) -> dict[str, str]:
+        """Apply one mixed ingest batch to EVERY deployed layout in
+        dependency order (sources/maintenance.py refresh_warehouse) —
+        the engine-level write path matching the reference's
+        ingest-then-query-the-index posture: after this call, routed
+        queries, raw fallbacks, scans, and user projections all
+        describe base + delta. Returns {layout: table/path}."""
+        from .sources.maintenance import refresh_warehouse
+
+        return refresh_warehouse(
+            self.spark, self.sf_dir,
+            lineitem=lineitem, orders=orders,
+            documents=documents, events=events,
+        )
+
+    def optimize(self) -> dict[str, str]:
+        """Run the scheduled OPTIMIZE pass: rewrite the append-degraded
+        row-level layouts back to their globally-clustered forms with
+        atomic version swings (sources/maintenance.py
+        optimize_warehouse)."""
+        from .sources.maintenance import optimize_warehouse
+
+        return optimize_warehouse(self.spark, self.sf_dir)
+
     def drop_projection(self, name: str) -> bool:
         """S16 lifecycle: deregister a user projection — the router
         stops consulting it on the next statement. Returns False when

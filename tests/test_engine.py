@@ -350,3 +350,41 @@ def test_engine_routed_aggregate_and_scan_surface(spark, sf_dir):
         F.col("l_partkey").between(50, 80)
     ).count()
     assert rows == want
+
+
+def test_engine_ingest_and_optimize_round_trip(spark, sf_dir, tmp_path):
+    """The engine-level write path: Engine.ingest applies a mixed
+    batch through refresh_warehouse (routed SQL then describes
+    base+delta), and Engine.optimize rewrites the row-level layouts
+    with the routers still serving."""
+    from bigdataproj_spark.catalog import table
+    from bigdataproj_spark.engine import Engine
+
+    docs = table(spark, sf_dir, "documents")
+    base_dir = tmp_path / "base"
+    for t in ("lineitem", "orders", "customer", "nation", "region",
+              "supplier", "part", "embeddings", "documents", "events"):
+        df = table(spark, sf_dir, t)
+        if t == "documents":
+            df = df.filter(F.col("doc_id") % 3 != 0)
+        df.write.parquet(str(base_dir / f"{t}.parquet"))
+    eng = Engine(spark, str(base_dir))
+
+    done = eng.ingest(documents=docs.filter(F.col("doc_id") % 3 == 0))
+    assert {"docs_stats_cube", "sources_dim", "clustered_documents"} <= set(done)
+    # routed corpus SQL now describes base + delta = the full fixture
+    got = eng.sql(
+        "SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang ORDER BY lang"
+    ).toPandas()
+    want = (
+        docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang").toPandas()
+    )
+    assert got.equals(want)
+
+    opt = eng.optimize()
+    assert "clustered_documents" in opt
+    got2 = eng.sql(
+        "SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang ORDER BY lang"
+    ).toPandas()
+    assert got2.equals(want)
