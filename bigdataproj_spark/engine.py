@@ -61,7 +61,6 @@ class Engine:
         if self.spark.__dict__.get("_bdp_views_for") != self.sf_dir:
             register_views(self.spark, self.sf_dir)
             self.spark.__dict__["_bdp_views_for"] = self.sf_dir
-        self._ensure_dim_views(query)
         if routed:
             from .plans.sqlfront import UnsupportedSQL, route_sql
 
@@ -70,7 +69,49 @@ class Engine:
                 return df
             except UnsupportedSQL:
                 pass
+        # The verbatim path reads the session temp views; routed plans
+        # never do — so both fallback-only fixups live HERE, off the
+        # routed hot path (round-7 review findings).
+        self._ensure_current_views()
+        self._ensure_dim_views(query)
         return self.spark.sql(query)
+
+    def _ensure_current_views(self) -> None:
+        """Re-point the verbatim path's fact views at the MAINTAINED
+        relations once they exist, so a post-ingest verbatim (or
+        unroutable) statement describes the same base+delta corpus the
+        routed plans describe — sql()'s 'routing can only change the
+        plan, never the answer' invariant, extended across ingest.
+        Memo-gated: a session that never ingested keeps the fixture
+        views untouched and pays four dict probes."""
+        from .plans.corpus_routing import current_documents, current_events
+        from .plans.routing import current_lineitem, current_orders
+        from .sources.bucketed import _N_BUCKETS
+
+        sd = self.spark.__dict__
+        if (self.sf_dir, _N_BUCKETS) in sd.get("_bdp_bucketed_memo", {}):
+            # re-project to the FIXTURE schema: the bucketed layout
+            # also stores the derived fixed-point columns, which must
+            # not leak into a verbatim SELECT *
+            li_cols = (
+                "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                "l_returnflag", "l_linestatus", "l_shipdate",
+            )
+            current_lineitem(self.spark, self.sf_dir).select(
+                *li_cols
+            ).createOrReplaceTempView("lineitem")
+            current_orders(self.spark, self.sf_dir).createOrReplaceTempView(
+                "orders"
+            )
+        if self.sf_dir in sd.get("_bdp_docstore_memo", {}):
+            current_documents(self.spark, self.sf_dir).createOrReplaceTempView(
+                "documents"
+            )
+        if self.sf_dir in sd.get("_bdp_dated_events_memo", {}):
+            current_events(self.spark, self.sf_dir).createOrReplaceTempView(
+                "events"
+            )
 
     def _ensure_dim_views(self, query: str) -> None:
         """Register any engine-maintained CORPUS DIM a statement
@@ -79,16 +120,23 @@ class Engine:
         routable family — a row-level scan, an OUTER dim join, a
         window function over the join — previously crashed in
         spark.sql with TABLE_OR_VIEW_NOT_FOUND instead of answering;
-        the refusal contract is 'fall back, never fail'). The deploy
-        behind ``open`` is memoized, and statements that don't name a
-        dim pay one regex scan."""
+        the refusal contract is 'fall back, never fail'). A view of
+        the same name the ENGINE did not create is never clobbered —
+        if the user registered their own ``sources``, their statement
+        means their table. The deploy behind ``open`` is memoized;
+        statements that don't name a dim pay one regex scan."""
         import re as _re
 
         from .plans.corpus_routing import CORPUS_DIMS
 
+        ours: set = self.spark.__dict__.setdefault("_bdp_dim_views", set())
         for name, d in CORPUS_DIMS.items():
-            if _re.search(rf"\b{name}\b", query, _re.IGNORECASE):
-                d.open(self.spark, self.sf_dir).createOrReplaceTempView(name)
+            if not _re.search(rf"\b{name}\b", query, _re.IGNORECASE):
+                continue
+            if name not in ours and self.spark.catalog.tableExists(name):
+                continue  # user-owned view of the same name: theirs wins
+            d.open(self.spark, self.sf_dir).createOrReplaceTempView(name)
+            ours.add(name)
 
     # -- E2: DataFrame ----------------------------------------------------
     def table(self, name: str) -> DataFrame:

@@ -139,8 +139,10 @@ def optimize_warehouse(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     layouts gradually: the Z-order curve and the in-partition date
     sort stay tight per FILE but not globally, and the bucketed fact
     accretes one file per bucket per batch. This pass rewrites each
-    row-level layout from its CURRENT content (base + every appended
-    batch) back to its globally-optimal form, publishing each as a new
+    DEPLOYED row-level layout (serving memo present — it never deploys
+    a pristine layout from the fixture just to rewrite it) from its
+    CURRENT content (base + every appended batch) back to its
+    globally-optimal form, publishing each as a new
     version the serving memo swings to atomically — write-new-then-
     swing, never an in-place overwrite of a layout being read. Content
     is row-identical by construction (sort/partition are the only
@@ -163,50 +165,61 @@ def optimize_warehouse(spark: SparkSession, sf_dir: str) -> dict[str, str]:
 
     tag, wh = _layout_paths(sf_dir)
     done: dict[str, str] = {}
+    sd = spark.__dict__
 
-    # bucketed fact: rewrite current content one-sorted-pass per bucket
-    li_name, od_name = bucketed_fact_tables(spark, sf_dir)
-    base = li_name.split("_opt")[0]
-    new_li = f"{base}_opt{_next_version(spark, base)}"
-    write_bucketed(
-        spark.table(li_name), new_li, os.path.join(wh, new_li), "l_orderkey"
-    )
-    spark.__dict__["_bdp_bucketed_memo"][(sf_dir, _N_BUCKETS)] = (new_li, od_name)
-    done["bucketed_lineitem"] = new_li
+    # Only layouts DEPLOYED this session (serving memo present) are
+    # rewritten — optimizing compacts append degradation; deploying a
+    # pristine layout from the fixture just to rewrite it would be
+    # several full-corpus passes for nothing (round-7 review finding).
+    if (sf_dir, _N_BUCKETS) in sd.get("_bdp_bucketed_memo", {}):
+        # bucketed fact: rewrite current content, one sorted pass per
+        # bucket
+        li_name, od_name = bucketed_fact_tables(spark, sf_dir)
+        base = li_name.split("_opt")[0]
+        new_li = f"{base}_opt{_next_version(spark, base)}"
+        write_bucketed(
+            spark.table(li_name), new_li, os.path.join(wh, new_li), "l_orderkey"
+        )
+        sd["_bdp_bucketed_memo"][(sf_dir, _N_BUCKETS)] = (new_li, od_name)
+        done["bucketed_lineitem"] = new_li
 
-    # Z-order: full recluster over base + appended deltas
-    zp = zordered_lineitem(spark, sf_dir)
-    zbase = os.path.join(wh, f"lineitem_zorder_{tag}")
-    new_z = f"{zbase}_opt{_next_version(spark, zbase)}"
-    write_zordered(spark.read.parquet(zp), new_z, "l_partkey", "l_suppkey")
-    spark.__dict__["_bdp_zorder_memo"][sf_dir] = new_z
-    done["zorder_lineitem"] = new_z
+    if sf_dir in sd.get("_bdp_zorder_memo", {}):
+        # Z-order: full recluster over base + appended deltas
+        zp = zordered_lineitem(spark, sf_dir)
+        zbase = os.path.join(wh, f"lineitem_zorder_{tag}")
+        new_z = f"{zbase}_opt{_next_version(spark, zbase)}"
+        write_zordered(spark.read.parquet(zp), new_z, "l_partkey", "l_suppkey")
+        sd["_bdp_zorder_memo"][sf_dir] = new_z
+        done["zorder_lineitem"] = new_z
 
     # dated layouts: re-partition + re-sort whole; the hive partition
     # column is re-derived by the writer, so drop the read-back copy
-    dp = dated_lineitem(spark, sf_dir)
-    dbase = os.path.join(wh, f"lineitem_dated_{tag}")
-    new_d = f"{dbase}_opt{_next_version(spark, dbase)}"
-    write_dated(spark.read.parquet(dp).drop("ship_month"), new_d)
-    spark.__dict__["_bdp_dated_memo"][sf_dir] = new_d
-    done["dated_lineitem"] = new_d
+    if sf_dir in sd.get("_bdp_dated_memo", {}):
+        dp = dated_lineitem(spark, sf_dir)
+        dbase = os.path.join(wh, f"lineitem_dated_{tag}")
+        new_d = f"{dbase}_opt{_next_version(spark, dbase)}"
+        write_dated(spark.read.parquet(dp).drop("ship_month"), new_d)
+        sd["_bdp_dated_memo"][sf_dir] = new_d
+        done["dated_lineitem"] = new_d
 
-    ep = dated_events(spark, sf_dir)
-    ebase = os.path.join(wh, f"events_dated_{tag}")
-    new_e = f"{ebase}_opt{_next_version(spark, ebase)}"
-    write_dated_events(spark.read.parquet(ep).drop("event_day_p"), new_e)
-    spark.__dict__["_bdp_dated_events_memo"][sf_dir] = new_e
-    done["dated_events"] = new_e
+    if sf_dir in sd.get("_bdp_dated_events_memo", {}):
+        ep = dated_events(spark, sf_dir)
+        ebase = os.path.join(wh, f"events_dated_{tag}")
+        new_e = f"{ebase}_opt{_next_version(spark, ebase)}"
+        write_dated_events(spark.read.parquet(ep).drop("event_day_p"), new_e)
+        sd["_bdp_dated_events_memo"][sf_dir] = new_e
+        done["dated_events"] = new_e
 
-    # clustered documents: re-merge appended files back to the
-    # globally-clustered form (the read-back lang partition column
-    # feeds the writer's partitionBy directly)
-    from .docstore import clustered_documents, write_clustered_docs
+    if sf_dir in sd.get("_bdp_docstore_memo", {}):
+        # clustered documents: re-merge appended files back to the
+        # globally-clustered form (the read-back lang partition column
+        # feeds the writer's partitionBy directly)
+        from .docstore import clustered_documents, write_clustered_docs
 
-    cp = clustered_documents(spark, sf_dir)
-    cbase = os.path.join(wh, f"documents_clustered_{tag}")
-    new_c = f"{cbase}_opt{_next_version(spark, cbase)}"
-    write_clustered_docs(spark.read.parquet(cp), new_c)
-    spark.__dict__["_bdp_docstore_memo"][sf_dir] = new_c
-    done["clustered_documents"] = new_c
+        cp = clustered_documents(spark, sf_dir)
+        cbase = os.path.join(wh, f"documents_clustered_{tag}")
+        new_c = f"{cbase}_opt{_next_version(spark, cbase)}"
+        write_clustered_docs(spark.read.parquet(cp), new_c)
+        sd["_bdp_docstore_memo"][sf_dir] = new_c
+        done["clustered_documents"] = new_c
     return done

@@ -388,3 +388,47 @@ def test_engine_ingest_and_optimize_round_trip(spark, sf_dir, tmp_path):
         "SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang ORDER BY lang"
     ).toPandas()
     assert got2.equals(want)
+
+
+def test_verbatim_path_sees_ingested_corpus_and_user_views_win(
+    spark, sf_dir, tmp_path
+):
+    """Round-7 review findings: (a) after Engine.ingest, the VERBATIM
+    spark.sql path must describe base+delta like the routed path —
+    sql()'s 'routing can only change the plan, never the answer'
+    invariant extends across ingest; (b) a temp view the USER
+    registered under a dim's name is never clobbered by the engine's
+    dim auto-registration."""
+    from bigdataproj_spark.catalog import table
+    from bigdataproj_spark.engine import Engine
+
+    docs = table(spark, sf_dir, "documents")
+    base_dir = tmp_path / "base"
+    for t in ("lineitem", "orders", "customer", "nation", "region",
+              "supplier", "part", "embeddings", "documents", "events"):
+        df = table(spark, sf_dir, t)
+        if t == "documents":
+            df = df.filter(F.col("doc_id") % 3 != 0)
+        df.write.parquet(str(base_dir / f"{t}.parquet"))
+    eng = Engine(spark, str(base_dir))
+    eng.ingest(documents=docs.filter(F.col("doc_id") % 3 == 0))
+
+    sql = "SELECT COUNT(*) AS n FROM documents"
+    routed_n = eng.sql(sql).first()["n"]
+    verbatim_n = eng.sql(sql, routed=False).first()["n"]
+    unroutable_n = eng.sql(
+        "SELECT COUNT(*) AS n FROM (SELECT doc_id,"
+        " row_number() OVER (ORDER BY doc_id) AS r FROM documents)"
+    ).first()["n"]
+    assert routed_n == verbatim_n == unroutable_n == docs.count()
+
+    # user-owned view named like a dim: theirs wins, even when a
+    # statement mentions the name
+    spark.createDataFrame([(1, "mine")], "x int, tag string") \
+        .createOrReplaceTempView("sources")
+    try:
+        got = eng.sql("SELECT tag FROM sources", routed=False).collect()
+        assert [r.tag for r in got] == ["mine"]
+    finally:
+        spark.catalog.dropTempView("sources")
+        spark.__dict__.get("_bdp_dim_views", set()).discard("sources")

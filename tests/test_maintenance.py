@@ -51,9 +51,12 @@ def test_optimize_warehouse_restores_layouts_row_identically(spark, sf_dir, tmp_
     pre_files = len(glob.glob(zordered_lineitem(spark, sf_base) + "/*.parquet"))
 
     done = optimize_warehouse(spark, sf_base)
+    # only layouts DEPLOYED this session are rewritten: the ingest
+    # above touched the lineitem/events layouts, so the pristine
+    # clustered-documents layout is (correctly) not deployed-then-
+    # rewritten from the fixture
     assert set(done) == {
         "bucketed_lineitem", "zorder_lineitem", "dated_lineitem", "dated_events",
-        "clustered_documents",
     }
     # files compacted back to the deploy shape on the clustered layout
     post_files = len(glob.glob(done["zorder_lineitem"] + "/*.parquet"))
