@@ -129,14 +129,29 @@ class Engine:
 
         from .plans.corpus_routing import CORPUS_DIMS
 
-        ours: set = self.spark.__dict__.setdefault("_bdp_dim_views", set())
+        # name -> sf_dir the ENGINE registered the view for; an
+        # existing view is only ever replaced when it is ours AND for
+        # a different fixture — so a user view under a dim's name
+        # always wins, even one that overwrote an earlier engine
+        # registration (the engine never re-asserts a name that
+        # already resolves for this fixture). Dim REFRESHES keep
+        # engine-owned views current (sources/corpus_cubes.py).
+        ours: dict = self.spark.__dict__.setdefault("_bdp_dim_views", {})
         for name, d in CORPUS_DIMS.items():
             if not _re.search(rf"\b{name}\b", query, _re.IGNORECASE):
                 continue
-            if name not in ours and self.spark.catalog.tableExists(name):
-                continue  # user-owned view of the same name: theirs wins
+            if self.spark.catalog.tableExists(name):
+                if name not in ours:
+                    continue  # user-owned from the start: theirs wins
+                if tuple(self.spark.table(name).columns) != d.view_cols:
+                    # a user view TOOK OVER the name after our
+                    # registration (different shape): cede ownership
+                    ours.pop(name, None)
+                    continue
+                if ours[name] == self.sf_dir:
+                    continue  # ours and current for this fixture
             d.open(self.spark, self.sf_dir).createOrReplaceTempView(name)
-            ours.add(name)
+            ours[name] = self.sf_dir
 
     # -- E2: DataFrame ----------------------------------------------------
     def table(self, name: str) -> DataFrame:

@@ -156,6 +156,10 @@ class CorpusDim:
     dim_key: str
     attrs: frozenset[str]
     open: Callable[[SparkSession, str], DataFrame]
+    # column order of the registry table — the engine's dim-view
+    # bookkeeping uses it to tell its own registration apart from a
+    # user view that took over the name (Engine._ensure_dim_views)
+    view_cols: tuple[str, ...] = ()
 
 
 def _open_sources_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -178,6 +182,7 @@ CORPUS_DIMS: dict[str, CorpusDim] = {
         dim_key="src_id",
         attrs=frozenset({"s_kind", "s_tier"}),
         open=_open_sources_dim,
+        view_cols=("src_id", "s_kind", "s_tier"),
     ),
     # the events star's registry arm: the hourly cube stores
     # event_type, so taxonomy groupings fold onto it the same way
@@ -189,6 +194,7 @@ CORPUS_DIMS: dict[str, CorpusDim] = {
         dim_key="et_id",
         attrs=frozenset({"e_category"}),
         open=_open_event_types_dim,
+        view_cols=("et_id", "e_category"),
     ),
 }
 

@@ -169,7 +169,19 @@ def refresh_sources_dim(
     merged.write.mode("overwrite").parquet(new_path)
     memo: dict = spark.__dict__.setdefault("_bdp_projection_memo", {})
     memo[("sources_dim", sf_dir)] = new_path
+    _refresh_dim_view(spark, sf_dir, "sources", new_path)
     return new_path
+
+
+def _refresh_dim_view(spark, sf_dir: str, name: str, new_path: str) -> None:
+    """Keep an ENGINE-registered dim temp view current across a
+    refresh's version swing (Engine._ensure_dim_views registers dims
+    for the verbatim SQL path and never re-asserts an existing name,
+    so the refresh must update it — but only when the engine owns the
+    name for this fixture; user views are never touched)."""
+    ours: dict = spark.__dict__.get("_bdp_dim_views", {})
+    if ours.get(name) == sf_dir:
+        spark.read.parquet(new_path).createOrReplaceTempView(name)
 
 
 # ---------------------------------------------------------------------------
@@ -239,6 +251,7 @@ def refresh_event_types_dim(
     merged.write.mode("overwrite").parquet(new_path)
     memo: dict = spark.__dict__.setdefault("_bdp_projection_memo", {})
     memo[("event_types_dim", sf_dir)] = new_path
+    _refresh_dim_view(spark, sf_dir, "event_types", new_path)
     return new_path
 
 

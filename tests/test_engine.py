@@ -431,4 +431,4 @@ def test_verbatim_path_sees_ingested_corpus_and_user_views_win(
         assert [r.tag for r in got] == ["mine"]
     finally:
         spark.catalog.dropTempView("sources")
-        spark.__dict__.get("_bdp_dim_views", set()).discard("sources")
+        spark.__dict__.get("_bdp_dim_views", {}).pop("sources", None)
