@@ -61,9 +61,23 @@ class Engine:
         if self.spark.__dict__.get("_bdp_views_for") != self.sf_dir:
             register_views(self.spark, self.sf_dir)
             self.spark.__dict__["_bdp_views_for"] = self.sf_dir
+            # the engine now owns the maintained fact-view names (the
+            # ownership ledger _ensure_current_views consults — a user
+            # createOrReplaceTempView after this point takes the name
+            # over and is never clobbered, same contract as dims)
+            ours: dict = self.spark.__dict__.setdefault("_bdp_fact_views", {})
+            for name in ("lineitem", "orders", "documents", "events"):
+                ours[name] = self.sf_dir
         if routed:
+            from .plans.ddl import try_ddl
             from .plans.sqlfront import UnsupportedSQL, route_sql
 
+            # engine DDL first (CREATE/DROP/SHOW MATERIALIZED VIEW —
+            # Spark has no such syntax, so these never belong to the
+            # verbatim path; malformed forms error with OUR reason)
+            ddl = try_ddl(self.spark, self.sf_dir, query)
+            if ddl is not None:
+                return ddl
             try:
                 df, _ = route_sql(self.spark, self.sf_dir, query)
                 return df
@@ -78,40 +92,55 @@ class Engine:
 
     def _ensure_current_views(self) -> None:
         """Re-point the verbatim path's fact views at the MAINTAINED
-        relations once they exist, so a post-ingest verbatim (or
-        unroutable) statement describes the same base+delta corpus the
-        routed plans describe — sql()'s 'routing can only change the
-        plan, never the answer' invariant, extended across ingest.
-        Memo-gated: a session that never ingested keeps the fixture
-        views untouched and pays four dict probes."""
+        relations once an ingest (or delete) has actually CHANGED the
+        corpus, so a post-ingest verbatim (or unroutable) statement
+        describes the same base+delta corpus the routed plans describe
+        — sql()'s 'routing can only change the plan, never the answer'
+        invariant, extended across ingest.
+
+        Two gates (round-7 ADVICE): (1) re-pointing keys on the INGEST
+        ledger (_bdp_ingested, written by refresh_warehouse when a
+        delta is applied), not on mere layout deployment — a session
+        that only ran routed queries keeps its routed=False A/B
+        baselines on the fixture parquet; (2) the fact-view names have
+        the same ownership ledger as dims (_bdp_fact_views): a user's
+        own temp view under one of these names always wins, detected
+        by the same column-shape takeover test."""
         from .plans.corpus_routing import current_documents, current_events
         from .plans.routing import current_lineitem, current_orders
-        from .sources.bucketed import _N_BUCKETS
+        from .schemas import FIXTURE_SCHEMAS
 
         sd = self.spark.__dict__
-        if (self.sf_dir, _N_BUCKETS) in sd.get("_bdp_bucketed_memo", {}):
-            # re-project to the FIXTURE schema: the bucketed layout
-            # also stores the derived fixed-point columns, which must
-            # not leak into a verbatim SELECT *
-            li_cols = (
-                "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
-                "l_quantity", "l_extendedprice", "l_discount", "l_tax",
-                "l_returnflag", "l_linestatus", "l_shipdate",
-            )
-            current_lineitem(self.spark, self.sf_dir).select(
-                *li_cols
-            ).createOrReplaceTempView("lineitem")
-            current_orders(self.spark, self.sf_dir).createOrReplaceTempView(
-                "orders"
-            )
-        if self.sf_dir in sd.get("_bdp_docstore_memo", {}):
-            current_documents(self.spark, self.sf_dir).createOrReplaceTempView(
-                "documents"
-            )
-        if self.sf_dir in sd.get("_bdp_dated_events_memo", {}):
-            current_events(self.spark, self.sf_dir).createOrReplaceTempView(
-                "events"
-            )
+        ingested: set = sd.get("_bdp_ingested", set())
+        if not ingested:
+            return
+        ours: dict = sd.setdefault("_bdp_fact_views", {})
+        li_cols = tuple(FIXTURE_SCHEMAS["lineitem"].fieldNames())
+        sources = {
+            # lineitem re-projected to the FIXTURE schema: the bucketed
+            # layout also stores derived fixed-point columns, which
+            # must not leak into a verbatim SELECT *
+            "lineitem": lambda: current_lineitem(
+                self.spark, self.sf_dir
+            ).select(*li_cols),
+            "orders": lambda: current_orders(self.spark, self.sf_dir),
+            "documents": lambda: current_documents(self.spark, self.sf_dir),
+            "events": lambda: current_events(self.spark, self.sf_dir),
+        }
+        for name, open_current in sources.items():
+            if (self.sf_dir, name) not in ingested:
+                continue
+            if self.spark.catalog.tableExists(name):
+                if name not in ours:
+                    continue  # user-owned from the start: theirs wins
+                expected = tuple(FIXTURE_SCHEMAS[name].fieldNames())
+                if tuple(self.spark.table(name).columns) != expected:
+                    # a user view TOOK OVER the name (different shape):
+                    # cede ownership, never re-assert
+                    ours.pop(name, None)
+                    continue
+            open_current().createOrReplaceTempView(name)
+            ours[name] = self.sf_dir
 
     def _ensure_dim_views(self, query: str) -> None:
         """Register any engine-maintained CORPUS DIM a statement
@@ -123,11 +152,20 @@ class Engine:
         the refusal contract is 'fall back, never fail'). A view of
         the same name the ENGINE did not create is never clobbered —
         if the user registered their own ``sources``, their statement
-        means their table. The deploy behind ``open`` is memoized;
-        statements that don't name a dim pay one regex scan."""
+        means their table. The deploy behind ``open`` is memoized.
+
+        Mentioned-dim detection is AST-first (round-7 ADVICE): where
+        the statement parses, the table set comes from DuckDB's parse
+        tree, so a string literal or column alias that merely CONTAINS
+        a dim's name (e.g. ``'sources'`` as a value) never triggers
+        the dim's full-distinct deploy scan; only unparseable
+        statements fall back to the word-boundary regex."""
         import re as _re
 
         from .plans.corpus_routing import CORPUS_DIMS
+        from .plans.sqlfront import mentioned_tables
+
+        referenced = mentioned_tables(query)
 
         # name -> sf_dir the ENGINE registered the view for; an
         # existing view is only ever replaced when it is ours AND for
@@ -138,7 +176,10 @@ class Engine:
         # engine-owned views current (sources/corpus_cubes.py).
         ours: dict = self.spark.__dict__.setdefault("_bdp_dim_views", {})
         for name, d in CORPUS_DIMS.items():
-            if not _re.search(rf"\b{name}\b", query, _re.IGNORECASE):
+            if referenced is not None:
+                if name not in referenced:
+                    continue
+            elif not _re.search(rf"\b{name}\b", query, _re.IGNORECASE):
                 continue
             if self.spark.catalog.tableExists(name):
                 if name not in ours:
@@ -227,14 +268,30 @@ class Engine:
             df, _ = route_scan(self.spark, self.sf_dir, spec)
         return df
 
-    def deploy_projection(self, name: str, keys, measures=None):
+    def deploy_projection(self, name: str, keys, measures=None, table="lineitem"):
         """S16: materialize a user-declared aggregate projection and
         register it with the router — from this call on, matching
         specs AND matching SQL through :meth:`sql` are answered from
         it (sources/user_projections.py). v2: keys may include
         part/supplier arm attributes and measures the arm-home money
         measures — the view then claims exactly the statements
-        declaring those joins."""
+        declaring those joins. v3: ``table`` may name a CORPUS fact
+        table (documents/events) — keys then mix fact columns and S17
+        dim attributes (sources/corpus_user_projections.py). The same
+        views are declarable as SQL text:
+        ``CREATE MATERIALIZED VIEW name AS SELECT ...`` through
+        :meth:`sql` (plans/ddl.py)."""
+        from .plans.corpus_routing import CORPUS_TABLES
+
+        if table in CORPUS_TABLES:
+            from .sources.corpus_user_projections import (
+                deploy_corpus_projection,
+            )
+
+            return deploy_corpus_projection(
+                self.spark, self.sf_dir, name, table, tuple(keys),
+                tuple(measures) if measures else None,
+            )
         from .sources.user_projections import _ALL_MEASURES, deploy_projection
 
         return deploy_projection(

@@ -297,6 +297,34 @@ def _ast(sql: str) -> dict:
     return node
 
 
+def mentioned_tables(sql: str) -> frozenset[str] | None:
+    """The set of base-table names a statement actually REFERENCES
+    (from DuckDB's parse tree — every BASE_TABLE node anywhere in the
+    statement, including joins and subqueries), or None when the
+    statement does not parse as a single SELECT. Engine._ensure_dim_views
+    uses this so a string literal or column alias that merely CONTAINS
+    a dim's name never triggers a dim deploy (round-7 ADVICE); the
+    regex fallback only applies to statements DuckDB cannot parse."""
+    try:
+        node = _ast(sql)
+    except UnsupportedSQL:
+        return None
+    names: set[str] = set()
+
+    def _walk(n) -> None:
+        if isinstance(n, dict):
+            if n.get("type") == "BASE_TABLE" and n.get("table_name"):
+                names.add(str(n["table_name"]).lower())
+            for v in n.values():
+                _walk(v)
+        elif isinstance(n, list):
+            for v in n:
+                _walk(v)
+
+    _walk(node)
+    return frozenset(names)
+
+
 def _norm(node):
     """Comparison form of an expression subtree: locations and aliases
     stripped, column refs reduced to their unqualified name (every

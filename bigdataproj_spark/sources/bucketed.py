@@ -136,8 +136,14 @@ def append_bucketed_orders(
     _, od_name = bucketed_fact_tables(spark, sf_dir)
     stored = spark.table(od_name)
     delta_keys = delta_orders.select("o_orderkey")
+    # No broadcast hint on either join (round-7 ADVICE): a bulk-load
+    # batch's key set can exceed the driver/broadcast memory bound a
+    # hint would force past AQE's size checks; the stored side is
+    # bucketed on o_orderkey, so the planner's sort-merge semi/anti
+    # join is exchange-light on that side anyway, and AQE still
+    # broadcasts genuinely small deltas on its own.
     has_update = bool(
-        stored.join(F.broadcast(delta_keys), "o_orderkey", "left_semi")
+        stored.join(delta_keys, "o_orderkey", "left_semi")
         .limit(1)
         .take(1)
     )
@@ -150,7 +156,7 @@ def append_bucketed_orders(
         )
         return od_name
     tag, wh = _layout_paths(sf_dir)
-    kept = stored.join(F.broadcast(delta_keys), "o_orderkey", "left_anti")
+    kept = stored.join(delta_keys, "o_orderkey", "left_anti")
     merged = kept.unionByName(delta_orders)
     # versions key on the BASE table name (od_name is already a
     # versioned name after a prior upsert)

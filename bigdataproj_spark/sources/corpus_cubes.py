@@ -178,10 +178,26 @@ def _refresh_dim_view(spark, sf_dir: str, name: str, new_path: str) -> None:
     refresh's version swing (Engine._ensure_dim_views registers dims
     for the verbatim SQL path and never re-asserts an existing name,
     so the refresh must update it — but only when the engine owns the
-    name for this fixture; user views are never touched)."""
+    name for this fixture; user views are never touched). Ownership
+    applies the SAME column-shape takeover test as
+    Engine._ensure_dim_views (round-7 ADVICE): a user temp view that
+    took the dim's name over AFTER the ledger entry (its live columns
+    differ from the dim's contract) cedes ownership here too instead
+    of being clobbered by a refresh that runs during Engine.ingest."""
     ours: dict = spark.__dict__.get("_bdp_dim_views", {})
-    if ours.get(name) == sf_dir:
-        spark.read.parquet(new_path).createOrReplaceTempView(name)
+    if ours.get(name) != sf_dir:
+        return
+    from ..plans.corpus_routing import CORPUS_DIMS
+
+    d = CORPUS_DIMS.get(name)
+    if (
+        d is not None
+        and spark.catalog.tableExists(name)
+        and tuple(spark.table(name).columns) != d.view_cols
+    ):
+        ours.pop(name, None)  # user takeover: cede, never overwrite
+        return
+    spark.read.parquet(new_path).createOrReplaceTempView(name)
 
 
 # ---------------------------------------------------------------------------

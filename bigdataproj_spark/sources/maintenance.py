@@ -64,8 +64,48 @@ def refresh_warehouse(
     A layout not yet deployed in this session is deployed over the
     base corpus first (the refresh functions' own semantics), so the
     post-state is always "base corpus + this delta" regardless of
-    call history."""
+    call history.
+
+    ATOMICITY (round-7 VERDICT item 2): the whole batch runs inside a
+    :class:`~.txn.WarehouseTxn` — on any failure mid-sequence, every
+    serving memo, ledger, and engine-owned temp view is rolled back to
+    the pre-batch epoch and the batch's partially-written files are
+    removed, so routed answers NEVER disagree by layout after a crash
+    and redelivering the same batch applies it exactly once. The
+    failure-injection tests in tests/test_maintenance.py pin this
+    contract."""
+    from .txn import WarehouseTxn
+
+    with WarehouseTxn(spark, sf_dir):
+        return _refresh_warehouse_body(
+            spark, sf_dir,
+            lineitem=lineitem, orders=orders,
+            documents=documents, events=events,
+        )
+
+
+def _refresh_warehouse_body(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    lineitem: DataFrame | None = None,
+    orders: DataFrame | None = None,
+    documents: DataFrame | None = None,
+    events: DataFrame | None = None,
+) -> dict[str, str]:
     done: dict[str, str] = {}
+    # The INGEST ledger: which base tables have actually had a delta
+    # applied this session. Engine._ensure_current_views keys the
+    # verbatim fact-view re-pointing on this (never on mere layout
+    # deployment — round-7 ADVICE), so routed=False A/B baselines keep
+    # reading fixture parquet until an ingest genuinely changes data.
+    ingested: set = spark.__dict__.setdefault("_bdp_ingested", set())
+    for tname, delta in (
+        ("lineitem", lineitem), ("orders", orders),
+        ("documents", documents), ("events", events),
+    ):
+        if delta is not None:
+            ingested.add((sf_dir, tname))
     # 1. Dimension side first: the star cube's delta joins the stored
     #    denorm, so new orders must be visible there before any
     #    lineitem-driven cube refresh runs.
@@ -122,6 +162,20 @@ def refresh_warehouse(
         ep = dated_events(spark, sf_dir)
         append_dated_events(events, ep)
         done["dated_events"] = ep
+    # user-declared CORPUS views refresh after the dims and built-in
+    # cubes of their table (same dimension-first ordering as above: a
+    # batch introducing a new source must land in the registry before
+    # the view's delta joins through it)
+    if documents is not None or events is not None:
+        from .corpus_user_projections import refresh_corpus_projections_for
+
+        for tname, delta in (("documents", documents), ("events", events)):
+            if delta is None:
+                continue
+            for name, path in refresh_corpus_projections_for(
+                spark, sf_dir, tname, delta
+            ).items():
+                done[f"user:{name}"] = path
     return done
 
 

@@ -391,3 +391,141 @@ def test_optimize_warehouse_crash_window_leaves_old_version_serving(
     df2, chosen2 = route_scan(spark, sf_base, q)
     assert chosen2 == "zorder_lineitem"
     assert df2.orderBy("l_orderkey", "l_partkey").toPandas().equals(want)
+
+
+def test_refresh_warehouse_failure_rolls_back_every_layout(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """r7-VERDICT item 2 (warehouse-level atomicity): a failure MID-
+    SEQUENCE inside refresh_warehouse rolls the ENTIRE batch back —
+    layouts whose refresh already completed (memo swung) AND row-level
+    appends already committed all return to the pre-batch epoch, so
+    routed answers never disagree by layout after a crash; redelivering
+    the batch then applies it exactly once (no double-counted cube
+    merges, no duplicated appends)."""
+    import os
+
+    import pytest as _pytest
+
+    from bigdataproj_spark.engine import Engine
+    from bigdataproj_spark.sources import maintenance as maint_mod
+    from bigdataproj_spark.sources.bucketed import (
+        _layout_paths,
+        bucketed_fact_tables,
+        pricing_cube_table,
+        segment_cube_table,
+        _SEGMENT_CUBE_KEYS,
+    )
+    from bigdataproj_spark.sources.txn import _walk_files
+    from bigdataproj_spark.sources.corpus_cubes import (
+        DOCS_CUBE_KEYS,
+        docs_stats_cube_table,
+    )
+    from bigdataproj_spark.sources.zorder import zordered_lineitem
+
+    base_dir = tmp_path / "base"
+    splits = {
+        "orders": F.col("o_orderkey") % 7 <= 1,
+        "lineitem": F.col("l_orderkey") % 7 <= 1,
+        "documents": F.col("doc_id") % 9 <= 1,
+        "events": F.col("event_id") % 9 <= 1,
+    }
+    deltas = _copy_tables(spark, sf_dir, base_dir, splits)
+    # Engine.sql registers EVERY fixture view; _copy_tables only writes
+    # the layout-feeding subset, so copy the rest verbatim
+    for t in ("supplier", "part", "embeddings"):
+        table(spark, sf_dir, t).write.parquet(str(base_dir / f"{t}.parquet"))
+    keycol = {
+        "orders": "o_orderkey", "lineitem": "l_orderkey",
+        "documents": "doc_id", "events": "event_id",
+    }
+    mod = {"orders": 7, "lineitem": 7, "documents": 9, "events": 9}
+    b1 = {t: d.filter(F.col(keycol[t]) % mod[t] == 0) for t, d in deltas.items()}
+    b2 = {t: d.filter(F.col(keycol[t]) % mod[t] == 1) for t, d in deltas.items()}
+    sf_base = str(base_dir)
+
+    # batch 1 commits normally — this is the epoch the crash must
+    # preserve everywhere
+    refresh_warehouse(spark, sf_base, **b1)
+    eng = Engine(spark, sf_base)
+
+    def snapshot():
+        li_name, od_name = bucketed_fact_tables(spark, sf_base)
+        return {
+            "pricing_path": pricing_cube_table(spark, sf_base),
+            "pricing": spark.read.parquet(pricing_cube_table(spark, sf_base))
+            .orderBy("l_returnflag", "l_linestatus", "l_shipdate").toPandas(),
+            "segment": spark.read.parquet(segment_cube_table(spark, sf_base))
+            .orderBy(*_SEGMENT_CUBE_KEYS).toPandas(),
+            "docs": spark.read.parquet(docs_stats_cube_table(spark, sf_base))
+            .orderBy(*DOCS_CUBE_KEYS).toPandas(),
+            "li_rows": spark.table(li_name).count(),
+            "od_rows": spark.table(od_name).count(),
+            "z_rows": spark.read.parquet(
+                zordered_lineitem(spark, sf_base)
+            ).count(),
+            "sql_li": eng.sql("SELECT count(*) AS n FROM lineitem")
+            .collect()[0]["n"],
+        }
+
+    epoch1 = snapshot()
+    wh = _layout_paths(sf_base)[1]
+    wh_files = _walk_files(wh) if os.path.isdir(wh) else set()
+
+    # inject the crash LATE in the sequence (the events cube refresh),
+    # so by then the order/lineitem cubes have all swung, the bucketed
+    # appends have committed, and the corpus docs layouts refreshed —
+    # the maximal rollback surface
+    def boom(*a, **kw):
+        raise RuntimeError("injected mid-sequence crash")
+
+    monkeypatch.setattr(maint_mod, "refresh_events_cube", boom)
+    with _pytest.raises(RuntimeError, match="injected mid-sequence"):
+        refresh_warehouse(spark, sf_base, **b2)
+
+    # every layout — including the ones whose refresh COMPLETED before
+    # the crash — serves the batch-1 epoch again
+    after = snapshot()
+    for k, v in epoch1.items():
+        if hasattr(v, "equals"):
+            assert after[k].equals(v), k
+        else:
+            assert after[k] == v, k
+    # the failed batch's staged files are gone (uncommitted-file GC)
+    leftover = _walk_files(wh) - wh_files
+    assert not leftover, sorted(leftover)[:5]
+
+    # redelivery applies exactly once: every cube equals the same cube
+    # deployed from scratch over the FULL corpus
+    monkeypatch.undo()
+    refresh_warehouse(spark, sf_base, **b2)
+
+    def frames_equal(a, b, keys):
+        pa = a.orderBy(*keys).toPandas()
+        pb = b.orderBy(*keys).toPandas()
+        assert pa.equals(pb[pa.columns.tolist()]), keys
+
+    frames_equal(
+        spark.read.parquet(pricing_cube_table(spark, sf_base)),
+        spark.read.parquet(pricing_cube_table(spark, sf_dir)),
+        ["l_returnflag", "l_linestatus", "l_shipdate"],
+    )
+    frames_equal(
+        spark.read.parquet(segment_cube_table(spark, sf_base)),
+        spark.read.parquet(segment_cube_table(spark, sf_dir)),
+        list(_SEGMENT_CUBE_KEYS),
+    )
+    frames_equal(
+        spark.read.parquet(docs_stats_cube_table(spark, sf_base)),
+        spark.read.parquet(docs_stats_cube_table(spark, sf_dir)),
+        list(DOCS_CUBE_KEYS),
+    )
+    li_name, _ = bucketed_fact_tables(spark, sf_base)
+    assert (
+        spark.table(li_name).count()
+        == table(spark, sf_dir, "lineitem").count()
+    )
+    assert (
+        eng.sql("SELECT count(*) AS n FROM lineitem").collect()[0]["n"]
+        == table(spark, sf_dir, "lineitem").count()
+    )
