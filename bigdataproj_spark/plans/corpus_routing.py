@@ -213,12 +213,18 @@ def current_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture — the corpus twin of plans.routing.current_lineitem
     (round-7 review finding: without this, a cube- or clustered-routed
     answer described base+delta while the raw fallback described base
-    only). Never triggers a layout deploy."""
+    only). Never triggers a layout deploy. Document TOMBSTONES (S19,
+    sources/retention.py) subtract here — deleted docs disappear from
+    every raw plan the moment the delete commits."""
+    from ..sources.retention import apply_tombstones
+
     memo = spark.__dict__.get("_bdp_docstore_memo", {})
     path = memo.get(sf_dir)
     if path:
-        return spark.read.parquet(path).select(*_DOC_COLS)
-    return table(spark, sf_dir, "documents")
+        df = spark.read.parquet(path).select(*_DOC_COLS)
+    else:
+        df = table(spark, sf_dir, "documents")
+    return apply_tombstones(spark, sf_dir, "documents", df)
 
 
 def current_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -469,17 +475,22 @@ class CorpusProjection:
     def subsumes(self, q: TableAggQuery) -> bool:
         if q.table != self.table:
             return False
-        # Declared dim joins fold iff the cube stores each dim's FACT
-        # KEY: the dim attaches per-key-constant attributes, so joining
-        # the cube's groups is exactly joining the rows then grouping
-        # (every row of a group shares its key). The dim attrs then
-        # behave as stored attributes for grouping/filter/distinct.
+        # Declared dim joins fold two ways: when the cube stores the
+        # dim's FACT KEY, the join attaches per-key-constant attributes
+        # onto stored groups (joining groups == joining rows then
+        # grouping, every row of a group shares its key); when the cube
+        # stores a dim ATTRIBUTE itself (user corpus projections built
+        # through the dim join), that attribute is directly available.
+        # Either way the declared join NEVER changes the row population
+        # — the engine keeps every CorpusDim complete and 1:1 — so a
+        # declared dim whose attributes the query doesn't reference
+        # folds vacuously; any referenced-but-unavailable attribute
+        # fails the per-column checks below.
         dim_attrs: set[str] = set()
         for name in q.dims:
             d = CORPUS_DIMS[name]
-            if d.fact_key not in self.attrs:
-                return False
-            dim_attrs |= d.attrs
+            if d.fact_key in self.attrs:
+                dim_attrs |= d.attrs
         foldable = self.attrs | frozenset(dim_attrs)
         time_col, ts_src = self.time_key if self.time_key else (None, None)
         trunc_unit = {a: u for a, u, _c in q.truncs}
@@ -529,9 +540,19 @@ class CorpusProjection:
         df = self.open(spark, sf_dir)
         # Declared dim joins attach BROADCAST onto the cube's groups
         # (|dim| rows is registry-sized at any corpus scale); exact
-        # because dim attrs are constants of the stored fact key.
+        # because dim attrs are constants of the stored fact key. A dim
+        # whose referenced attributes the cube already STORES needs no
+        # join at all (user corpus projections built through the dim).
+        referenced = set(q.group_sources().values())
+        for f in q.filters:
+            referenced |= f.cols()
+        referenced |= {
+            a.measure for a in q.aggs if a.fn == "count_distinct" and a.measure
+        }
         for name in q.dims:
             d = CORPUS_DIMS[name]
+            if not ((referenced & d.attrs) - self.attrs):
+                continue
             dim = d.open(spark, sf_dir)
             df = df.join(
                 F.broadcast(dim), F.col(d.fact_key) == dim[d.dim_key]
@@ -669,9 +690,16 @@ def route_corpus(
     spark: SparkSession, sf_dir: str, q: TableAggQuery
 ) -> tuple[DataFrame, str]:
     """Answer ``q`` from the subsuming corpus cube, else the raw plan.
-    Returns (result, chosen); tests assert on ``chosen``."""
+    Returns (result, chosen); tests assert on ``chosen``.
+
+    Candidate order mirrors routing.route: built-in cubes (measured
+    cost order), then session-deployed USER corpus projections
+    (sources/corpus_user_projections.py — names prefixed "user:"),
+    then the raw plan."""
+    from ..sources.corpus_user_projections import corpus_user_projections
+
     validate(q)
-    for proj in CORPUS_PROJECTIONS:
+    for proj in (*CORPUS_PROJECTIONS, *corpus_user_projections(spark, sf_dir)):
         if proj.subsumes(q):
             return proj.build(spark, sf_dir, q), proj.name
     return _raw_plan(spark, sf_dir, q), "raw"
@@ -727,6 +755,8 @@ def route_corpus_scan(
         isinstance(p, Pred) and p.col in ("lang", "source") and p.op in _RANGE_OPS
         for p in q.filters
     )
+    from ..sources.retention import apply_tombstones
+
     if has_ts_range:
         from ..sources.dated import dated_events, day_bounds_filter
 
@@ -743,9 +773,12 @@ def route_corpus_scan(
         from ..sources.docstore import clustered_documents
 
         df = spark.read.parquet(clustered_documents(spark, sf_dir))
+        # S19: deleted docs stay in the clustered bytes until the
+        # scheduled OPTIMIZE rewrite; reads subtract
+        df = apply_tombstones(spark, sf_dir, "documents", df)
         chosen = "clustered_documents"
     else:
-        df = current_corpus_table(spark, sf_dir, q.table)
+        df = current_corpus_table(spark, sf_dir, q.table)  # tombstone-aware
         chosen = "raw"
     for p in q.filters:
         df = df.filter(p.column())

@@ -1,0 +1,415 @@
+"""E1c: the SQL DDL front door — S16 user projections declared as
+``CREATE MATERIALIZED VIEW``, end to end from SQL text.
+
+Round 7 left ``deploy_projection``/``drop_projection`` API-only
+(round-7 VERDICT, "What's missing" item 3); the reference's posture is
+declare-then-query — an index is declared once and every later query
+is answered from it (reference README.md:102-104) — so the natural
+completion is the warehouse-standard spelling:
+
+    CREATE MATERIALIZED VIEW prio_flag AS
+    SELECT o_orderpriority, l_returnflag, SUM(l_quantity) AS sum_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority, l_returnflag
+
+    -- from this statement on, the IDENTICAL SELECT routes onto the
+    -- materialized cube; DROP MATERIALIZED VIEW prio_flag deregisters.
+
+The defining SELECT is lowered by the SAME parser the query front door
+uses (plans/sqlfront.py parse_sql), so a statement is declarable
+exactly when it is routable — one grammar, one spec language, no
+second dialect to drift. The lowering then maps the spec onto
+``deploy_projection``'s declaration (group keys + measure set + the
+minimal join set reaching them); anything the stored-partial contract
+cannot answer later (WHERE clauses, date_trunc keys, COUNT(DISTINCT),
+HAVING/ORDER/LIMIT in the definition) is REFUSED with a reason rather
+than materialized wrong.
+
+Dialect (matched case-insensitively, names are SQL identifiers):
+
+- ``CREATE [OR REPLACE] MATERIALIZED VIEW [IF NOT EXISTS] name AS
+  <select>`` — errors on an existing name unless OR REPLACE
+  (redeploy) or IF NOT EXISTS (no-op) says otherwise.
+- ``DROP MATERIALIZED VIEW [IF EXISTS] name`` — errors on an unknown
+  name unless IF EXISTS.
+- ``SHOW MATERIALIZED VIEWS`` — the session catalog as a DataFrame.
+
+DDL statements return small status DataFrames (the JDBC-shaped
+contract: every statement yields a result set). Spark itself has no
+MATERIALIZED VIEW syntax, so these statements never collide with the
+verbatim fallback — once the MATERIALIZED VIEW token sequence appears,
+the statement is OURS and malformed forms raise ValueError with the
+reason instead of falling through to a confusing Spark parse error.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .routing import DIM_ATTRS, MEASURES, PART_ATTRS, SUPP_ATTRS, AggQuery
+from .sqlfront import UnsupportedSQL, parse_sql
+
+_DDL_RE = re.compile(
+    r"^\s*(?:CREATE(?:\s+OR\s+REPLACE)?|DROP|SHOW)\s+MATERIALIZED\s+VIEW",
+    re.IGNORECASE,
+)
+_CREATE_RE = re.compile(
+    r"^\s*CREATE\s+(?P<replace>OR\s+REPLACE\s+)?MATERIALIZED\s+VIEW\s+"
+    r"(?P<ine>IF\s+NOT\s+EXISTS\s+)?(?P<name>[A-Za-z_][A-Za-z0-9_]*)\s+"
+    r"AS\s+(?P<select>.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_RE = re.compile(
+    r"^\s*DROP\s+MATERIALIZED\s+VIEW\s+(?P<ie>IF\s+EXISTS\s+)?"
+    r"(?P<name>[A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_SHOW_RE = re.compile(
+    r"^\s*SHOW\s+MATERIALIZED\s+VIEWS\s*;?\s*$", re.IGNORECASE
+)
+
+_STATUS_SCHEMA = "view string, status string"
+_SHOW_SCHEMA = (
+    "name string, keys string, measures string, chain int, "
+    "part boolean, supp boolean"
+)
+
+
+def _lower_lineitem_create(parsed) -> tuple[tuple[str, ...], tuple[str, ...]]:
+    """Map a parsed lineitem-star SELECT onto deploy_projection's
+    (keys, measures) declaration, or raise ValueError for any shape
+    the stored-partial contract cannot answer later."""
+    from ..sources.user_projections import _MEASURE_CHAIN, _USER_MEASURES
+
+    spec: AggQuery = parsed.spec
+    if spec.filters:
+        raise ValueError(
+            "materialized view definitions cannot carry a WHERE clause "
+            "(the view stores unfiltered partials; filter at query time)"
+        )
+    if spec.truncs:
+        raise ValueError(
+            "materialized view keys must be plain columns "
+            "(date_trunc keys fold at query time from a finer-grain view)"
+        )
+    if parsed.having or parsed.order or parsed.limit is not None:
+        raise ValueError(
+            "HAVING/ORDER BY/LIMIT are not part of a view definition"
+        )
+    keys = spec.group_by
+    if not keys:
+        raise ValueError("a materialized view needs at least one group key")
+    measures: list[str] = []
+    for a in spec.aggs:
+        if a.fn == "count_star":
+            continue  # COUNT(*) partials are always stored
+        if a.fn in ("count_distinct", "approx_distinct"):
+            raise ValueError(
+                "COUNT(DISTINCT) is not storable as an additive partial; "
+                "declare the distinct column as a group key instead"
+            )
+        m = a.measure
+        if m not in _USER_MEASURES:
+            raise ValueError(
+                f"measure {m!r} is not deployable "
+                f"(deployable: {sorted(_USER_MEASURES)})"
+            )
+        if m not in measures:
+            measures.append(m)
+    # join-set consistency: deploy_projection builds the MINIMAL join
+    # set reaching the declared keys/measures; a definition declaring
+    # deeper inner joins would change the view's row population
+    # (orphan-drop semantics), so it must be refused, not silently
+    # shallowed.
+    expected_chain = max(
+        (
+            *(DIM_ATTRS.get(k, 0) for k in keys),
+            *(_MEASURE_CHAIN.get(m, 0) for m in measures),
+        ),
+        default=0,
+    )
+    if spec.chain is not None and spec.chain != expected_chain:
+        raise ValueError(
+            f"the definition joins {spec.chain} dimension level(s) but its "
+            f"keys/measures only require {expected_chain}; a deeper inner "
+            "join changes the view's rows (orphan-drop) and is not declarable"
+        )
+    expected_part = any(k in PART_ATTRS for k in keys) or any(
+        MEASURES[m].home == "part" for m in measures
+    )
+    expected_supp = any(k in SUPP_ATTRS for k in keys) or any(
+        MEASURES[m].home == "supp" for m in measures
+    )
+    if spec.part != expected_part or spec.supp != expected_supp:
+        raise ValueError(
+            "the definition declares an arm join its keys/measures do not "
+            "use; drop the join or reference one of its columns"
+        )
+    return tuple(keys), tuple(measures)
+
+
+def try_ddl(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame | None:
+    """Handle one engine-DDL statement; None when ``sql`` is not DDL
+    (the caller proceeds to the query front door). Malformed or
+    undeclarable DDL raises ValueError with the reason."""
+    if _SHOW_RE.match(sql):
+        return _show(spark, sf_dir)
+    if not _DDL_RE.match(sql):
+        return None
+    m = _CREATE_RE.match(sql)
+    if m is not None:
+        return _create(
+            spark, sf_dir,
+            name=m.group("name"),
+            select=m.group("select").rstrip().rstrip(";"),
+            replace=bool(m.group("replace")),
+            if_not_exists=bool(m.group("ine")),
+        )
+    m = _DROP_RE.match(sql)
+    if m is not None:
+        from ..sources.corpus_user_projections import drop_corpus_projection
+        from ..sources.user_projections import drop_projection
+
+        name = m.group("name")
+        dropped = drop_projection(spark, sf_dir, name) or drop_corpus_projection(
+            spark, sf_dir, name
+        )
+        if not dropped and not m.group("ie"):
+            raise ValueError(f"no materialized view named {name!r}")
+        return spark.createDataFrame(
+            [(name, "dropped" if dropped else "not found")], _STATUS_SCHEMA
+        )
+    raise ValueError(
+        "malformed MATERIALIZED VIEW statement; expected CREATE [OR "
+        "REPLACE] MATERIALIZED VIEW [IF NOT EXISTS] name AS SELECT ..., "
+        "DROP MATERIALIZED VIEW [IF EXISTS] name, or SHOW MATERIALIZED VIEWS"
+    )
+
+
+def _create(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    name: str,
+    select: str,
+    replace: bool,
+    if_not_exists: bool,
+) -> DataFrame:
+    from ..sources.corpus_user_projections import (
+        _catalog as _corpus_catalog,
+    )
+    from ..sources.user_projections import _catalog, deploy_projection
+
+    if name in _catalog(spark, sf_dir) or name in _corpus_catalog(spark, sf_dir):
+        if if_not_exists:
+            return spark.createDataFrame(
+                [(name, "exists (unchanged)")], _STATUS_SCHEMA
+            )
+        if not replace:
+            raise ValueError(
+                f"materialized view {name!r} already exists "
+                "(use OR REPLACE or IF NOT EXISTS)"
+            )
+        # OR REPLACE over a name in EITHER catalog: deregister the old
+        # entry first, so a redefinition that moves the view between
+        # the lineitem and corpus families never leaves a stale twin
+        from ..sources.corpus_user_projections import drop_corpus_projection
+        from ..sources.user_projections import drop_projection
+
+        drop_projection(spark, sf_dir, name)
+        drop_corpus_projection(spark, sf_dir, name)
+    try:
+        parsed = parse_sql(select)
+    except UnsupportedSQL as e:
+        raise ValueError(
+            f"the view definition is not a declarable aggregate: {e}"
+        ) from e
+    if isinstance(parsed.spec, AggQuery):
+        keys, measures = _lower_lineitem_create(parsed)
+        deploy_projection(spark, sf_dir, name, keys, measures)
+    else:
+        from .corpus_routing import TableAggQuery
+
+        if isinstance(parsed.spec, TableAggQuery):
+            from ..sources.corpus_user_projections import (
+                deploy_corpus_projection,
+            )
+
+            table_name, keys, measures, time_key = _lower_corpus_create(parsed)
+            deploy_corpus_projection(
+                spark, sf_dir, name, table_name, keys, measures, time_key
+            )
+        else:
+            raise ValueError(
+                "only grouped aggregates (over the lineitem star or a "
+                "corpus table) are declarable as materialized views"
+            )
+    return spark.createDataFrame([(name, "created")], _STATUS_SCHEMA)
+
+
+def _lower_corpus_create(parsed):
+    """Map a parsed corpus-table SELECT onto
+    deploy_corpus_projection's declaration, or raise ValueError."""
+    from .corpus_routing import CORPUS_TABLES
+
+    spec = parsed.spec
+    t = CORPUS_TABLES[spec.table]
+    if spec.filters:
+        raise ValueError(
+            "materialized view definitions cannot carry a WHERE clause "
+            "(the view stores unfiltered partials; filter at query time)"
+        )
+    if parsed.having or parsed.order or parsed.limit is not None:
+        raise ValueError(
+            "HAVING/ORDER BY/LIMIT are not part of a view definition"
+        )
+    time_key = None
+    if spec.truncs:
+        if len(spec.truncs) > 1:
+            raise ValueError("at most one time-grain key is declarable")
+        alias, unit, src = spec.truncs[0]
+        if unit != "hour":
+            raise ValueError(
+                f"store the time key at HOUR grain, not {unit!r} — every "
+                "coarser grain folds onto the stored hour key at query time"
+            )
+        time_key = (alias, src)
+    keys = tuple(
+        g for g in spec.group_by if time_key is None or g != time_key[0]
+    )
+    if not keys and time_key is None:
+        raise ValueError("a materialized view needs at least one group key")
+    measures: list[str] = []
+    for a in spec.aggs:
+        if a.fn == "count_star":
+            continue
+        if a.fn in ("count_distinct", "approx_distinct"):
+            raise ValueError(
+                "COUNT(DISTINCT) is not storable as an additive partial; "
+                "declare the distinct column as a group key instead"
+            )
+        if a.measure not in t.measures:
+            raise ValueError(
+                f"measure {a.measure!r} is not deployable on "
+                f"{spec.table!r} (deployable: {sorted(t.measures)})"
+            )
+        if a.measure not in measures:
+            measures.append(a.measure)
+    return spec.table, keys, tuple(measures), time_key
+
+
+def _show(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.user_projections import list_projections
+
+    rows = [
+        (
+            u["name"], ",".join(u["keys"]), ",".join(u["measures"]),
+            u["chain"], u["part"], u["supp"],
+        )
+        for u in list_projections(spark, sf_dir)
+    ]
+    from ..sources.corpus_user_projections import list_corpus_projections
+
+    rows += [
+        (
+            u["name"], ",".join(u["keys"]), ",".join(u["measures"]),
+            0, False, False,
+        )
+        for u in list_corpus_projections(spark, sf_dir)
+    ]
+    return spark.createDataFrame(rows, _SHOW_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Driver queries: DDL in, routed answers out. Each CREATE runs through
+# Engine.sql as SQL TEXT (the surface under test), then the identical
+# SELECT routes onto the materialized view while the DuckDB oracle
+# computes the same SELECT from the raw tables — "the rewrite is
+# invisible", now including the view's whole lifecycle from SQL.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+from ..registry import query  # noqa: E402
+from .sqlfront import SUM_SQL, route_sql  # noqa: E402
+
+_DDL_STATUS_FLAG = f"""
+SELECT o_orderstatus, l_linestatus,
+  {SUM_SQL['charge']} AS total_charge,
+  COUNT(*) AS n
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus, l_linestatus
+"""
+_DDL_STATUS_FLAG_SELECT = _DDL_STATUS_FLAG + "ORDER BY o_orderstatus, l_linestatus\n"
+
+
+@query(
+    "r133_matview_ddl_sql",
+    oracle=_DDL_STATUS_FLAG_SELECT,
+    tags=("E1c", "S16", "S13", "A1"),
+)
+def r133_matview_ddl_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1c end-to-end (round-8, r7-VERDICT item 3): the user declares
+    the view as SQL TEXT — ``CREATE MATERIALIZED VIEW ... AS SELECT``
+    through Engine.sql — and from that statement on the identical
+    SELECT routes onto the materialized cube. Keys (o_orderstatus,
+    l_linestatus) are a chain-1 mixed grouping no built-in claims (the
+    cubes storing both are chain-4; the declared join set is part of
+    the statement's meaning). IF NOT EXISTS makes the steady state
+    idempotent, like q20's ensure_projection."""
+    from ..engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    eng.sql(
+        "CREATE MATERIALIZED VIEW IF NOT EXISTS ddl_status_flag AS "
+        + _DDL_STATUS_FLAG
+    )
+    df, chosen = route_sql(spark, sf_dir, _DDL_STATUS_FLAG_SELECT)
+    assert chosen == "user:ddl_status_flag", chosen
+    return df
+
+
+_CORPUS_USER_VIEW = """
+SELECT user_id, event_type,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+  COUNT(*) AS n
+FROM events
+GROUP BY user_id, event_type
+"""
+_CORPUS_USER_VIEW_SELECT = """
+SELECT user_id, event_type,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+  COUNT(*) AS n
+FROM events
+WHERE user_id <= 500
+GROUP BY user_id, event_type
+ORDER BY user_id, event_type
+"""
+
+
+@query(
+    "r134_corpus_user_view_sql",
+    oracle=_CORPUS_USER_VIEW_SELECT,
+    tags=("E1c", "S16", "S15", "A1"),
+)
+def r134_corpus_user_view_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S16 v3 end-to-end (round-8, r7-VERDICT item 4): a user-declared
+    projection over a CORPUS table, declared as SQL DDL. The per-user
+    spend profile (user_id, event_type) is exactly the shape the
+    built-in hourly cube refuses (user_id is not stored), so before
+    the CREATE this statement runs raw; after it, the SELECT — with a
+    group-key filter that folds onto the stored key — answers from the
+    view's int64 fixed-point partials, bit-identical to the
+    DECIMAL(18,2) oracle arithmetic."""
+    from ..engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    eng.sql(
+        "CREATE MATERIALIZED VIEW IF NOT EXISTS user_spend_profile AS "
+        + _CORPUS_USER_VIEW
+    )
+    df, chosen = route_sql(spark, sf_dir, _CORPUS_USER_VIEW_SELECT)
+    assert chosen == "user:user_spend_profile", chosen
+    return df

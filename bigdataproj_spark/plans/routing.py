@@ -80,19 +80,31 @@ def current_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     warehouse keeps reading the fixture directly. Bonus at rest: the
     table is bucketed+sorted on l_orderkey, so the raw plan's
     per-order partial aggregation and spine-key joins become
-    exchange-free when it is picked up."""
+    exchange-free when it is picked up.
+
+    Order TOMBSTONES (S19, sources/retention.py) subtract here too —
+    a deleted order's lineitems disappear from every raw plan the
+    moment the delete commits; the anti-join is against a
+    delete-sized broadcast set and costs nothing when no delete has
+    happened."""
+    from ..sources.retention import apply_tombstones
+
     memo = spark.__dict__.get("_bdp_bucketed_memo", {})
     names = memo.get((sf_dir, _N_BUCKETS))
-    return spark.table(names[0]) if names else table(spark, sf_dir, "lineitem")
+    df = spark.table(names[0]) if names else table(spark, sf_dir, "lineitem")
+    return apply_tombstones(spark, sf_dir, "orders", df, "l_orderkey")
 
 
 def current_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CURRENT orders relation — maintained bucketed orders table
     if deployed this session, else the fixture (same contract and
-    rationale as :func:`current_lineitem`)."""
+    rationale as :func:`current_lineitem`, tombstones included)."""
+    from ..sources.retention import apply_tombstones
+
     memo = spark.__dict__.get("_bdp_bucketed_memo", {})
     names = memo.get((sf_dir, _N_BUCKETS))
-    return spark.table(names[1]) if names else table(spark, sf_dir, "orders")
+    df = spark.table(names[1]) if names else table(spark, sf_dir, "orders")
+    return apply_tombstones(spark, sf_dir, "orders", df)
 
 # ---------------------------------------------------------------------------
 # The logical query spec.
@@ -1147,13 +1159,21 @@ def _spine_plan(spark: SparkSession, sf_dir: str, q: AggQuery) -> DataFrame | No
     # task; past that, raise the bucket count at deploy (the layout
     # knob) — the DEPLOY joins already use spill-friendly sort-merge
     # (sources/bucketed.py segment/star cube, user projections).
+    from ..sources.retention import apply_tombstones
+
     li_name, _ = bucketed_fact_tables(spark, sf_dir)
     _, den_name = order_revenue_projection(spark, sf_dir)
-    li = spark.table(li_name)
+    # S19 tombstones subtract on BOTH spine sides (the rollup/denorm
+    # keep deleted orders' bytes until the scheduled OPTIMIZE rewrite)
+    li = apply_tombstones(
+        spark, sf_dir, "orders", spark.table(li_name), "l_orderkey"
+    )
     for p in local_filters:
         li = li.filter(p.column())
     li = apply_truncs(li, q, LINEITEM_COLS)
-    den = spark.table(den_name).select("o_orderkey", *dim_attrs)
+    den = apply_tombstones(
+        spark, sf_dir, "orders", spark.table(den_name)
+    ).select("o_orderkey", *dim_attrs)
 
     if not q.aggs:
         # DISTINCT shape: pre-distinct by (order, local keys) is
@@ -1438,6 +1458,8 @@ def route_scan(
         isinstance(p, Pred) and p.col == "l_shipdate" and p.op in _RANGE_OPS
         for p in q.filters
     )
+    from ..sources.retention import apply_tombstones
+
     if used <= _ZORDER_COLUMNS and has_key_range:
         df = spark.read.parquet(zordered_lineitem(spark, sf_dir))
         chosen = "zorder_lineitem"
@@ -1451,8 +1473,12 @@ def route_scan(
             df = df.filter(months)
         chosen = "dated_lineitem"
     else:
-        df = current_lineitem(spark, sf_dir)
+        df = current_lineitem(spark, sf_dir)  # tombstone-aware
         chosen = "raw"
+    if chosen != "raw":
+        # S19: the clustered layouts keep deleted rows' bytes until
+        # the scheduled OPTIMIZE rewrite; reads subtract
+        df = apply_tombstones(spark, sf_dir, "orders", df, "l_orderkey")
     for p in q.filters:
         df = df.filter(p.column())
     return df.select(*q.columns), chosen

@@ -66,6 +66,8 @@ _QUERY_MODULES = (
     "bigdataproj_spark.sources.zorder",
     "bigdataproj_spark.plans.routing",
     "bigdataproj_spark.plans.sqlfront",
+    "bigdataproj_spark.plans.ddl",
+    "bigdataproj_spark.sources.retention",
 )
 
 

@@ -281,14 +281,19 @@ def order_revenue_projection(spark: SparkSession, sf_dir: str) -> tuple[str, str
     key = ("order_revenue", sf_dir)
     if key in memo:
         return memo[key]
+    from .retention import apply_tombstones
+
     li_name, od_name = bucketed_fact_tables(spark, sf_dir)
+    # S19: a deploy AFTER a delete must exclude tombstoned orders
     roll = (
-        spark.table(li_name)
+        apply_tombstones(
+            spark, sf_dir, "orders", spark.table(li_name), "l_orderkey"
+        )
         .groupBy("l_orderkey")
         .agg(F.sum("l_rev_i").alias("rev_i"), F.count(F.lit(1)).alias("n_items"))
     )
     write_bucketed(roll, roll_name, os.path.join(wh, roll_name), "l_orderkey")
-    o = spark.table(od_name)
+    o = apply_tombstones(spark, sf_dir, "orders", spark.table(od_name))
     c = table(spark, sf_dir, "customer")
     n = table(spark, sf_dir, "nation")
     r = table(spark, sf_dir, "region")
@@ -411,9 +416,13 @@ def pricing_cube_table(spark: SparkSession, sf_dir: str) -> str:
     key = ("pricing_cube", sf_dir)
     if key in memo:
         return memo[key]
+    from .retention import apply_tombstones
+
     li_name, _ = bucketed_fact_tables(spark, sf_dir)
     cube = (
-        spark.table(li_name)
+        apply_tombstones(
+            spark, sf_dir, "orders", spark.table(li_name), "l_orderkey"
+        )
         .groupBy("l_returnflag", "l_linestatus", "l_shipdate")
         .agg(*_pricing_cube_aggs())
     )
@@ -503,9 +512,13 @@ def star_date_cube_table(spark: SparkSession, sf_dir: str) -> str:
     key = ("star_date_cube", sf_dir)
     if key in memo:
         return memo[key]
+    from .retention import apply_tombstones
+
     li_name, _ = bucketed_fact_tables(spark, sf_dir)
     _, den_name = order_revenue_projection(spark, sf_dir)
-    li = spark.table(li_name)
+    li = apply_tombstones(
+        spark, sf_dir, "orders", spark.table(li_name), "l_orderkey"
+    )
     den = spark.table(den_name).select("o_orderkey", "r_name", "n_name")
     # no shuffle_hash hint on deploy joins: sort-merge spills
     # gracefully where a per-task hash relation can OOM at scale
@@ -551,9 +564,13 @@ def segment_cube_table(spark: SparkSession, sf_dir: str) -> str:
     key = ("segment_cube", sf_dir)
     if key in memo:
         return memo[key]
+    from .retention import apply_tombstones
+
     li_name, _ = bucketed_fact_tables(spark, sf_dir)
     _, den_name = order_revenue_projection(spark, sf_dir)
-    li = spark.table(li_name)
+    li = apply_tombstones(
+        spark, sf_dir, "orders", spark.table(li_name), "l_orderkey"
+    )
     den = spark.table(den_name).select(
         "o_orderkey", "c_mktsegment", "o_orderpriority", "o_orderstatus"
     )

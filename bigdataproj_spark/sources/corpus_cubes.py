@@ -330,8 +330,13 @@ def docs_stats_cube_table(spark: SparkSession, sf_dir: str) -> str:
     tokenizer pass happens here, once, instead of per query."""
 
     def build() -> DataFrame:
+        # current_documents is tombstone-aware (S19) and reads the
+        # maintained clustered layout when deployed — a deploy after a
+        # delete or an ingest describes the CURRENT corpus either way
+        from ..plans.corpus_routing import current_documents
+
         return (
-            table(spark, sf_dir, "documents")
+            current_documents(spark, sf_dir)
             .groupBy(*DOCS_CUBE_KEYS)
             .agg(*_docs_cube_aggs())
         )

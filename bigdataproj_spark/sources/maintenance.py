@@ -205,7 +205,17 @@ def optimize_warehouse(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     scale-invariant small).
 
     Deployments run this on a schedule (nightly, or after N appends) —
-    the same cadence Delta/Iceberg run OPTIMIZE — not per batch."""
+    the same cadence Delta/Iceberg run OPTIMIZE — not per batch.
+
+    S19 (sources/retention.py): every rewrite subtracts the TOMBSTONED
+    rows, so the pass doubles as the physical-delete step (Iceberg's
+    rewrite-data-files). The tombstone sets themselves are RETAINED:
+    the immutable fixture parquet remains a legal deploy source for a
+    not-yet-deployed layout, and a pristine deploy after a cleared
+    tombstone would resurrect the deleted rows. A deployment that owns
+    its base tables would rewrite them too and then call
+    retention.clear_tombstones_after_rewrite; against read-only
+    fixtures the retained set costs one no-op anti-join per read."""
     import os
 
     from .bucketed import (
@@ -215,6 +225,7 @@ def optimize_warehouse(spark: SparkSession, sf_dir: str) -> dict[str, str]:
         write_bucketed,
     )
     from .dated import write_dated, write_dated_events
+    from .retention import apply_tombstones, tombstone_df
     from .zorder import write_zordered
 
     tag, wh = _layout_paths(sf_dir)
@@ -232,17 +243,59 @@ def optimize_warehouse(spark: SparkSession, sf_dir: str) -> dict[str, str]:
         base = li_name.split("_opt")[0]
         new_li = f"{base}_opt{_next_version(spark, base)}"
         write_bucketed(
-            spark.table(li_name), new_li, os.path.join(wh, new_li), "l_orderkey"
+            apply_tombstones(
+                spark, sf_dir, "orders", spark.table(li_name), "l_orderkey"
+            ),
+            new_li, os.path.join(wh, new_li), "l_orderkey",
         )
-        sd["_bdp_bucketed_memo"][(sf_dir, _N_BUCKETS)] = (new_li, od_name)
+        new_od = od_name
+        if tombstone_df(spark, sf_dir, "orders") is not None:
+            # physical delete on the orders side too (and, below, the
+            # rollup/denorm spine) — the row-level stores stop carrying
+            # the dead orders' bytes
+            od_base = od_name.split("_opt")[0].split("_v")[0]
+            new_od = f"{od_base}_opt{_next_version(spark, od_base)}"
+            write_bucketed(
+                apply_tombstones(spark, sf_dir, "orders", spark.table(od_name)),
+                new_od, os.path.join(wh, new_od), "o_orderkey",
+            )
+            done["bucketed_orders"] = new_od
+        sd["_bdp_bucketed_memo"][(sf_dir, _N_BUCKETS)] = (new_li, new_od)
         done["bucketed_lineitem"] = new_li
+
+    if (
+        tombstone_df(spark, sf_dir, "orders") is not None
+        and ("order_revenue", sf_dir) in sd.get("_bdp_projection_memo", {})
+    ):
+        from .bucketed import order_revenue_projection
+
+        roll_name, den_name = order_revenue_projection(spark, sf_dir)
+        for old, key, slot in (
+            (roll_name, "l_orderkey", 0),
+            (den_name, "o_orderkey", 1),
+        ):
+            obase = old.split("_opt")[0].split("_v")[0]
+            new = f"{obase}_opt{_next_version(spark, obase)}"
+            write_bucketed(
+                apply_tombstones(spark, sf_dir, "orders", spark.table(old), key),
+                new, os.path.join(wh, new), key,
+            )
+            pair = list(sd["_bdp_projection_memo"][("order_revenue", sf_dir)])
+            pair[slot] = new
+            sd["_bdp_projection_memo"][("order_revenue", sf_dir)] = tuple(pair)
+            done["order_rollup" if slot == 0 else "orders_denorm"] = new
 
     if sf_dir in sd.get("_bdp_zorder_memo", {}):
         # Z-order: full recluster over base + appended deltas
         zp = zordered_lineitem(spark, sf_dir)
         zbase = os.path.join(wh, f"lineitem_zorder_{tag}")
         new_z = f"{zbase}_opt{_next_version(spark, zbase)}"
-        write_zordered(spark.read.parquet(zp), new_z, "l_partkey", "l_suppkey")
+        write_zordered(
+            apply_tombstones(
+                spark, sf_dir, "orders", spark.read.parquet(zp), "l_orderkey"
+            ),
+            new_z, "l_partkey", "l_suppkey",
+        )
         sd["_bdp_zorder_memo"][sf_dir] = new_z
         done["zorder_lineitem"] = new_z
 
@@ -252,7 +305,13 @@ def optimize_warehouse(spark: SparkSession, sf_dir: str) -> dict[str, str]:
         dp = dated_lineitem(spark, sf_dir)
         dbase = os.path.join(wh, f"lineitem_dated_{tag}")
         new_d = f"{dbase}_opt{_next_version(spark, dbase)}"
-        write_dated(spark.read.parquet(dp).drop("ship_month"), new_d)
+        write_dated(
+            apply_tombstones(
+                spark, sf_dir, "orders",
+                spark.read.parquet(dp).drop("ship_month"), "l_orderkey",
+            ),
+            new_d,
+        )
         sd["_bdp_dated_memo"][sf_dir] = new_d
         done["dated_lineitem"] = new_d
 
@@ -273,7 +332,12 @@ def optimize_warehouse(spark: SparkSession, sf_dir: str) -> dict[str, str]:
         cp = clustered_documents(spark, sf_dir)
         cbase = os.path.join(wh, f"documents_clustered_{tag}")
         new_c = f"{cbase}_opt{_next_version(spark, cbase)}"
-        write_clustered_docs(spark.read.parquet(cp), new_c)
+        write_clustered_docs(
+            apply_tombstones(
+                spark, sf_dir, "documents", spark.read.parquet(cp)
+            ),
+            new_c,
+        )
         sd["_bdp_docstore_memo"][sf_dir] = new_c
         done["clustered_documents"] = new_c
     return done

@@ -1,0 +1,533 @@
+"""S19 (engine extension): targeted DELETE / retention — tombstones
+propagated through every maintained layout.
+
+Every real corpus pipeline needs a delete path (opt-out removal,
+contamination recall, GDPR erasure): remove specific documents or
+orders and have EVERY subsequent answer — cube-routed, spine-routed,
+scan-routed, raw, verbatim SQL — describe the reduced corpus, without
+rebuilding a 100 TB warehouse per request. Round-7 VERDICT ("What's
+missing" item 5) named this the engine's one missing write operation.
+
+The design is the lakehouse merge-on-read split, adapted to this
+engine's serving model:
+
+- **Row-level layouts keep their bytes; readers subtract.** A delete
+  records the keys in a session TOMBSTONE set (a slim parquet of key
+  values, versioned and swung like every projection). Every row-level
+  read path — the CURRENT relations, the bucketed spine, the
+  Z-order/dated/clustered scan layouts — applies one anti-join against
+  it (:func:`apply_tombstones`; the set is delete-sized, so AQE
+  broadcasts it and no plan gains a fact-side shuffle). Physical
+  removal is deferred to the scheduled OPTIMIZE pass
+  (``optimize_warehouse``), which rewrites the affected layouts
+  without the dead rows and clears the tombstones — exactly
+  Delta/Iceberg's delete-vector + rewrite-data-files cadence.
+- **Aggregate layouts rebuild their AFFECTED GROUPS eagerly.** A cube
+  cannot subtract (min/max and HLL-sketch partials are not invertible
+  monoids), so the delete recomputes exactly the groups the deleted
+  rows touched — O(rows in affected groups), never the corpus — from
+  the remaining (tombstone-filtered) rows, splices them into the
+  stored cube, and publishes a new version. Additive, min/max, and
+  sketch partials all come out exact because they are re-derived from
+  surviving rows, not adjusted.
+- **Order deletes cascade.** ``delete_orders`` removes the order rows
+  AND their lineitems (the l_orderkey anti-join rides the same
+  tombstone set) — the natural retention semantics for an order-keyed
+  star.
+- **Dimension registries stay.** A source whose last document is
+  deleted keeps its registry row: every dim join is INNER, so an
+  unreferenced dim row changes no answer, and registries are
+  append-only by design (completeness is their invariant).
+- **Dedup indexes.** The stored fingerprint/bands indexes the
+  incremental dedup paths join against (operators/dedup.py) are
+  caller-owned tables keyed by doc_id; :func:`delete_from_index`
+  rewrites one without the deleted documents' rows so a removed
+  document can never re-suppress a future re-submission.
+
+The whole delete runs inside :class:`~.txn.WarehouseTxn`, so a failure
+mid-propagation rolls every memo back — a delete is all-or-nothing
+exactly like an ingest batch.
+
+At 100 TB: the tombstone set is |deleted| keys (broadcast forever);
+affected-group recompute reads only the touched groups' surviving rows
+(pruned by the layouts' own partition/zone structure where available);
+the deferred physical rewrite batches any number of deletes into one
+scheduled pass.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .bucketed import _layout_paths
+
+# base table -> tombstone key column
+TOMBSTONE_KEYS = {"documents": "doc_id", "orders": "o_orderkey"}
+
+
+def _memo(spark: SparkSession) -> dict:
+    return spark.__dict__.setdefault("_bdp_tombstones", {})
+
+
+def tombstone_df(
+    spark: SparkSession, sf_dir: str, table_name: str
+) -> DataFrame | None:
+    """The current tombstone key set for (sf_dir, table), or None."""
+    path = _memo(spark).get((sf_dir, table_name))
+    return spark.read.parquet(path) if path else None
+
+
+def apply_tombstones(
+    spark: SparkSession,
+    sf_dir: str,
+    table_name: str,
+    df: DataFrame,
+    key_col: str | None = None,
+) -> DataFrame:
+    """Subtract the tombstoned keys from ``df`` (anti-join on
+    ``key_col``, default the table's own key). No-op — zero plan
+    nodes added — when no delete has happened, so the hot paths pay
+    one dict probe."""
+    t = tombstone_df(spark, sf_dir, table_name)
+    if t is None:
+        return df
+    key = key_col or TOMBSTONE_KEYS[table_name]
+    tomb = t.withColumnRenamed(TOMBSTONE_KEYS[table_name], key)
+    return df.join(tomb, key, "left_anti")
+
+
+def _normalize_ids(spark: SparkSession, ids, key: str) -> DataFrame:
+    if isinstance(ids, DataFrame):
+        return ids.select(F.col(ids.columns[0]).alias(key)).distinct()
+    return spark.createDataFrame(
+        [(int(i),) for i in ids], f"{key} bigint"
+    ).distinct()
+
+
+def _record_tombstones(
+    spark: SparkSession, sf_dir: str, table_name: str, ids: DataFrame
+) -> DataFrame:
+    """Union the new keys into the stored tombstone set and publish a
+    new version the memo swings to. Returns the NEW keys only (already
+    tombstoned keys are dropped — a re-delete is a no-op and must not
+    re-trigger group rebuilds)."""
+    key = TOMBSTONE_KEYS[table_name]
+    stored = tombstone_df(spark, sf_dir, table_name)
+    fresh = ids if stored is None else ids.join(stored, key, "left_anti")
+    fresh = fresh.localCheckpoint(eager=True)  # pin before the memo swing
+    if not fresh.take(1):
+        return fresh
+    merged = fresh if stored is None else stored.unionByName(fresh)
+    tag, wh = _layout_paths(sf_dir)
+    base = os.path.join(wh, f"tombstones_{table_name}_{tag}")
+    versions: dict = spark.__dict__.setdefault("_bdp_projection_versions", {})
+    v = versions.get(base, 0) + 1
+    versions[base] = v
+    new_path = f"{base}_v{v}"
+    merged.write.mode("overwrite").parquet(new_path)
+    _memo(spark)[(sf_dir, table_name)] = new_path
+    return fresh
+
+
+def _splice_groups(
+    spark: SparkSession,
+    stored: DataFrame,
+    keys: list[str],
+    affected: DataFrame,
+    recomputed: DataFrame,
+) -> DataFrame:
+    """stored − affected groups + recomputed affected groups (a group
+    whose rows all died simply disappears — recomputed has no row for
+    it, matching a from-scratch build)."""
+    kept = stored.join(affected, keys, "left_anti")
+    return kept.unionByName(recomputed)
+
+
+def _publish_cube(
+    spark: SparkSession, memo_key: tuple, stored_path: str, merged: DataFrame
+) -> str:
+    versions: dict = spark.__dict__.setdefault("_bdp_projection_versions", {})
+    v = versions.get(stored_path, 0) + 1
+    versions[stored_path] = v
+    new_path = f"{stored_path}_v{v}"
+    merged.write.mode("overwrite").parquet(new_path)
+    spark.__dict__.setdefault("_bdp_projection_memo", {})[memo_key] = new_path
+    return new_path
+
+
+# ---------------------------------------------------------------------------
+# delete_documents
+# ---------------------------------------------------------------------------
+
+
+def delete_documents(spark: SparkSession, sf_dir: str, doc_ids) -> dict[str, str]:
+    """Delete documents by id from the warehouse: record tombstones
+    (every row-level read path subtracts them from now on), eagerly
+    rebuild the affected groups of every deployed documents cube —
+    built-in and user-declared — and mark the corpus changed so
+    verbatim views re-point. Returns {layout: new path} for the
+    layouts that were republished. All-or-nothing under WarehouseTxn."""
+    from ..plans.corpus_routing import current_documents
+    from .txn import WarehouseTxn
+
+    ids = _normalize_ids(spark, doc_ids, "doc_id")
+    with WarehouseTxn(spark, sf_dir):
+        # the rows being deleted, captured against the PRE-delete
+        # corpus (they drive the affected-group computation)
+        deleted = current_documents(spark, sf_dir).join(ids, "doc_id", "semi")
+        fresh = _record_tombstones(spark, sf_dir, "documents", ids)
+        if not fresh.take(1):
+            return {}
+        deleted = deleted.join(fresh, "doc_id", "semi").localCheckpoint(
+            eager=True
+        )
+        done: dict[str, str] = {}
+        sd = spark.__dict__
+        memo: dict = sd.get("_bdp_projection_memo", {})
+
+        # built-in doc-stats cube: affected (lang, source) groups
+        if ("docs_stats_cube", sf_dir) in memo:
+            from .corpus_cubes import DOCS_CUBE_KEYS, _docs_cube_aggs
+
+            stored = spark.read.parquet(memo[("docs_stats_cube", sf_dir)])
+            affected = deleted.select(*DOCS_CUBE_KEYS).distinct()
+            remaining = (
+                current_documents(spark, sf_dir)  # tombstones now applied
+                .join(affected, list(DOCS_CUBE_KEYS), "semi")
+            )
+            recomputed = remaining.groupBy(*DOCS_CUBE_KEYS).agg(
+                *_docs_cube_aggs()
+            )
+            merged = _splice_groups(
+                spark, stored, list(DOCS_CUBE_KEYS), affected, recomputed
+            )
+            done["docs_stats_cube"] = _publish_cube(
+                spark, ("docs_stats_cube", sf_dir),
+                memo[("docs_stats_cube", sf_dir)], merged,
+            )
+
+        # user corpus projections over documents: same affected-group
+        # recompute, through each view's own build (dim joins included)
+        from .corpus_user_projections import _build_cube, _catalog
+
+        for name, u in list(_catalog(spark, sf_dir).items()):
+            if u.table != "documents":
+                continue
+            from ..plans.corpus_routing import CORPUS_TABLES
+
+            t = CORPUS_TABLES[u.table]
+            group_cols = list(u.keys) + ([u.time_key[0]] if u.time_key else [])
+            affected = (
+                _build_cube(
+                    spark, sf_dir, deleted, t, u.keys, (), u.time_key, u.dims
+                )
+                .select(*group_cols)
+                .distinct()
+            )
+            remaining_cube = _build_cube(
+                spark, sf_dir,
+                current_documents(spark, sf_dir),
+                t, u.keys, u.measures, u.time_key, u.dims,
+            ).join(affected, group_cols, "semi")
+            stored = spark.read.parquet(u.path)
+            merged = _splice_groups(
+                spark, stored, group_cols, affected, remaining_cube
+            )
+            versions: dict = sd.setdefault("_bdp_projection_versions", {})
+            v = versions.get(u.base_path, 0) + 1
+            versions[u.base_path] = v
+            new_path = f"{u.base_path}_v{v}"
+            merged.write.mode("overwrite").parquet(new_path)
+            u.path = new_path
+            done[f"user:{name}"] = new_path
+
+        # verbatim views must re-point at the (now tombstone-aware)
+        # current relation
+        sd.setdefault("_bdp_ingested", set()).add((sf_dir, "documents"))
+        return done
+
+
+# ---------------------------------------------------------------------------
+# delete_orders (cascades to lineitems)
+# ---------------------------------------------------------------------------
+
+
+def delete_orders(spark: SparkSession, sf_dir: str, order_keys) -> dict[str, str]:
+    """Delete orders — and, cascading, all their lineitems — from the
+    warehouse. Row-level layouts (bucketed fact/orders, rollup/denorm
+    spine, Z-order, ship-month) subtract via tombstones at read;
+    every deployed lineitem CUBE (pricing, star-date, segment,
+    user-declared) eagerly rebuilds exactly the groups the deleted
+    lineitems touched — including the star cube's HLL sketch partials,
+    which are re-derived from surviving rows because sketches cannot
+    subtract. All-or-nothing under WarehouseTxn."""
+    from ..plans.routing import current_lineitem
+    from .txn import WarehouseTxn
+
+    ids = _normalize_ids(spark, order_keys, "o_orderkey")
+    with WarehouseTxn(spark, sf_dir):
+        li_keys = ids.withColumnRenamed("o_orderkey", "l_orderkey")
+        deleted_li = current_lineitem(spark, sf_dir).join(
+            li_keys, "l_orderkey", "semi"
+        )
+        fresh = _record_tombstones(spark, sf_dir, "orders", ids)
+        if not fresh.take(1):
+            return {}
+        deleted_li = deleted_li.join(
+            fresh.withColumnRenamed("o_orderkey", "l_orderkey"),
+            "l_orderkey",
+            "semi",
+        ).localCheckpoint(eager=True)
+        done: dict[str, str] = {}
+        sd = spark.__dict__
+        memo: dict = sd.get("_bdp_projection_memo", {})
+
+        def _rebuild(memo_key: str, keys: tuple[str, ...], aggs, with_denorm):
+            """Affected-group recompute for one lineitem cube. The
+            deleted rows come from the bucketed fact (derived int
+            columns at rest); star-keyed cubes resolve their per-order
+            attributes through the stored denorm, same as the refresh
+            delta path."""
+            if (memo_key, sf_dir) not in memo:
+                return
+            stored = spark.read.parquet(memo[(memo_key, sf_dir)])
+            dead = deleted_li
+            live = current_lineitem(spark, sf_dir)  # tombstones applied
+            if with_denorm:
+                from .bucketed import order_revenue_projection
+
+                _roll, den_name = order_revenue_projection(spark, sf_dir)
+                den = spark.table(den_name)
+                dead = dead.join(den, dead.l_orderkey == den.o_orderkey)
+                live = live.join(den, live.l_orderkey == den.o_orderkey)
+            affected = dead.select(*keys).distinct()
+            recomputed = (
+                live.join(affected, list(keys), "semi")
+                .groupBy(*keys)
+                .agg(*aggs())
+            )
+            merged = _splice_groups(
+                spark, stored, list(keys), affected, recomputed
+            )
+            done[memo_key] = _publish_cube(
+                spark, (memo_key, sf_dir), memo[(memo_key, sf_dir)], merged
+            )
+
+        from .bucketed import (
+            _SEGMENT_CUBE_KEYS,
+            _STAR_CUBE_KEYS,
+            _pricing_cube_aggs,
+            _star_cube_aggs,
+        )
+
+        _rebuild(
+            "pricing_cube",
+            ("l_returnflag", "l_linestatus", "l_shipdate"),
+            _pricing_cube_aggs,
+            with_denorm=False,
+        )
+        _rebuild("star_date_cube", _STAR_CUBE_KEYS, _star_cube_aggs, True)
+        _rebuild("segment_cube", _SEGMENT_CUBE_KEYS, _pricing_cube_aggs, True)
+
+        # user lineitem projections: per-view affected-group recompute
+        from .user_projections import _build_cube as _user_build
+        from .user_projections import _catalog as _user_catalog
+        from .user_projections import _merge_cols, _partial_aggs  # noqa: F401
+
+        for name, u in list(_user_catalog(spark, sf_dir).items()):
+            dead_cube_keys = (
+                _user_build(
+                    spark, sf_dir, deleted_li, u.keys, (), u.chain,
+                    u.part, u.supp,
+                )
+                .select(*u.keys)
+                .distinct()
+            )
+            live_cube = _user_build(
+                spark, sf_dir, current_lineitem(spark, sf_dir),
+                u.keys, u.measures, u.chain, u.part, u.supp,
+            ).join(dead_cube_keys, list(u.keys), "semi")
+            stored = spark.read.parquet(u.path)
+            merged = _splice_groups(
+                spark, stored, list(u.keys), dead_cube_keys, live_cube
+            )
+            versions: dict = sd.setdefault("_bdp_projection_versions", {})
+            v = versions.get(u.base_path, 0) + 1
+            versions[u.base_path] = v
+            new_path = f"{u.base_path}_v{v}"
+            merged.write.mode("overwrite").parquet(new_path)
+            u.path = new_path
+            done[f"user:{name}"] = new_path
+
+        ingested: set = sd.setdefault("_bdp_ingested", set())
+        ingested.add((sf_dir, "lineitem"))
+        ingested.add((sf_dir, "orders"))
+        return done
+
+
+# ---------------------------------------------------------------------------
+# Dedup-index propagation + physical rewrite hooks.
+# ---------------------------------------------------------------------------
+
+
+def delete_from_index(
+    spark: SparkSession, index_path: str, doc_ids, key: str = "doc_id"
+) -> int:
+    """Remove deleted documents' rows from a stored dedup index (the
+    fingerprint or MinHash-bands tables the incremental dedup paths
+    join each batch against — operators/dedup.py). Without this, a
+    deleted document would keep suppressing future re-submissions of
+    the same content as 'dup_index'. Rewrites the index in place
+    (localCheckpoint pins the surviving rows before the overwrite —
+    the same pattern as the engine's other self-referential rewrites).
+    Returns the surviving row count."""
+    ids = _normalize_ids(spark, doc_ids, key)
+    stored = spark.read.parquet(index_path)
+    kept = stored.join(ids, key, "left_anti").localCheckpoint(eager=True)
+    n = kept.count()
+    kept.write.mode("overwrite").parquet(index_path)
+    return n
+
+
+def clear_tombstones_after_rewrite(spark: SparkSession, sf_dir: str) -> None:
+    """Called by optimize_warehouse once every row-level layout has
+    been physically rewritten without the dead rows: the tombstone
+    sets are no longer needed and every read path drops its
+    anti-join."""
+    memo = _memo(spark)
+    for k in [k for k in memo if k[0] == sf_dir]:
+        memo.pop(k, None)
+
+
+# ---------------------------------------------------------------------------
+# Driver queries: delete in, routed answers out. The engine deletes on
+# a session-scoped COPY of the fixture (registry queries must never
+# mutate the shared corpus other queries read), while the DuckDB
+# oracle computes the same aggregate from the ORIGINAL tables with the
+# deleted keys excluded by predicate — post-delete warehouse ==
+# never-had-those-rows, differentially checked.
+# ---------------------------------------------------------------------------
+
+import tempfile  # noqa: E402
+
+from ..catalog import pid_scratch, table  # noqa: E402
+from ..registry import query  # noqa: E402
+
+_DEMO_ROOT = os.path.join(tempfile.gettempdir(), "bigdataproj_retention_demo")
+
+
+def _demo_corpus(spark: SparkSession, sf_dir: str, tables: tuple[str, ...]) -> str:
+    """A session-scoped mutable copy of selected fixture tables (the
+    delete demos' sandbox; memoized per (sf_dir, tables))."""
+    from .bucketed import _layout_paths
+
+    tag, _wh = _layout_paths(sf_dir)
+    root = os.path.join(pid_scratch(_DEMO_ROOT), tag)
+    memo: dict = spark.__dict__.setdefault("_bdp_retention_demo", {})
+    key = (sf_dir, tables)
+    if key in memo:
+        return memo[key]
+    for t in tables:
+        table(spark, sf_dir, t).write.mode("overwrite").parquet(
+            os.path.join(root, f"{t}.parquet")
+        )
+    memo[key] = root
+    return root
+
+
+_DELETE_DOCS_ORACLE = """
+SELECT lang, source,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+  COUNT(*) AS n
+FROM documents
+WHERE doc_id % 17 <> 3
+GROUP BY lang, source
+ORDER BY lang, source
+"""
+
+
+@query(
+    "r135_delete_documents_sql",
+    oracle=_DELETE_DOCS_ORACLE,
+    tags=("S19", "S15", "A1"),
+)
+def r135_delete_documents_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S19 end-to-end (round-8, r7-VERDICT item 5): opt-out removal.
+    A copy of the corpus deploys the doc-stats cube, then
+    ``delete_documents`` tombstones every doc_id ≡ 3 (mod 17); the
+    cube's affected (lang, source) groups are rebuilt from surviving
+    rows and the identical profile statement — still answered FROM THE
+    CUBE — matches DuckDB computing over the raw table with the
+    deleted keys predicated out. Redelivered deletes no-op (the
+    tombstone set already covers them), so the steady state is
+    idempotent."""
+    from ..plans.sqlfront import route_sql
+    from .corpus_cubes import docs_stats_cube_table
+
+    demo = _demo_corpus(spark, sf_dir, ("documents",))
+    docs_stats_cube_table(spark, demo)
+    ids = (
+        table(spark, demo, "documents")
+        .filter(F.col("doc_id") % 17 == 3)
+        .select("doc_id")
+    )
+    delete_documents(spark, demo, ids)
+    sql = (
+        "SELECT lang, source, CAST(SUM(n_chars) AS BIGINT) AS total_chars, "
+        "COUNT(*) AS n FROM documents GROUP BY lang, source "
+        "ORDER BY lang, source"
+    )
+    df, chosen = route_sql(spark, demo, sql)
+    assert chosen == "docs_stats_cube", chosen
+    return df
+
+
+_DELETE_ORDERS_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+    AS revenue,
+  COUNT(*) AS n
+FROM lineitem
+WHERE l_orderkey % 23 <> 7
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@query(
+    "r136_delete_orders_sql",
+    oracle=_DELETE_ORDERS_ORACLE,
+    tags=("S19", "S13", "A1"),
+)
+def r136_delete_orders_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S19's cascading form: ``delete_orders`` tombstones every order
+    ≡ 7 (mod 23) AND their lineitems; the pricing cube's affected
+    (flag, status, day) groups rebuild from surviving rows, and the
+    identical pricing statement — still cube-routed — matches DuckDB
+    over the raw lineitem with the dead keys predicated out."""
+    from ..plans.sqlfront import route_sql
+    from .bucketed import pricing_cube_table
+
+    demo = _demo_corpus(spark, sf_dir, ("lineitem", "orders"))
+    pricing_cube_table(spark, demo)
+    keys = (
+        table(spark, demo, "orders")
+        .filter(F.col("o_orderkey") % 23 == 7)
+        .select("o_orderkey")
+    )
+    delete_orders(spark, demo, keys)
+    sql = (
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) "
+        "* (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) "
+        "AS revenue, COUNT(*) AS n "
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus "
+        "ORDER BY l_returnflag, l_linestatus"
+    )
+    df, chosen = route_sql(spark, demo, sql)
+    assert chosen == "pricing_cube", chosen
+    return df

@@ -76,6 +76,7 @@ _STATE_KEYS = (
     "_bdp_ingested",
     "_bdp_dim_views",
     "_bdp_fact_views",
+    "_bdp_tombstones",
 )
 
 

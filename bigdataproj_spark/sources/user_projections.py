@@ -153,7 +153,14 @@ def _dim_side(
     it here would silently drop newly ingested orders' lineitems from
     every chain>=1 user projection on refresh), joined to the
     broadcast customer/nation/region base dims exactly like the denorm
-    refresh does."""
+    refresh does.
+
+    Deliberately NOT tombstone-filtered (S19): the lineitem side of
+    every build/refresh/delete computation is, and order deletes
+    cascade, so a surviving lineitem's order is always alive — while
+    the DELETE path needs this side to still resolve the DELETED
+    rows' dimension attributes when computing which groups to
+    rebuild (sources/retention.py delete_orders)."""
     _, od_name = bucketed_fact_tables(spark, sf_dir)
     dims = spark.table(od_name)
     if chain >= 2:
@@ -258,10 +265,16 @@ def deploy_projection(
     supp = any(k in SUPP_ATTRS for k in keys) or any(
         MEASURES[m].home == "supp" for m in measures
     )
+    from .retention import apply_tombstones
+
     tag, wh = _layout_paths(sf_dir)
     li_name, _ = bucketed_fact_tables(spark, sf_dir)
     cube = _build_cube(
-        spark, sf_dir, spark.table(li_name), keys, measures, chain, part, supp
+        spark, sf_dir,
+        apply_tombstones(
+            spark, sf_dir, "orders", spark.table(li_name), "l_orderkey"
+        ),
+        keys, measures, chain, part, supp,
     )
     path = os.path.join(wh, f"user_proj_{name}_{tag}")
     cube.write.mode("overwrite").parquet(path)

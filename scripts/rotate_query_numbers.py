@@ -1,89 +1,228 @@
-"""One-shot renumbering of registry query names (round-2 rotation).
+"""Registry query-name rotation — ONE parameterized script, every
+round's mapping kept as data (round-8; replaces the seven per-round
+scripts that had accumulated, r7-VERDICT item 9).
 
-The round driver oracle-checks the first 50 queries in name order. Round 1
-verified q01-q50, leaving q51-q99 (every L2/L3 dedup/ANN operator, the
-streaming twins, UDx, analytics, and the capstone) with no hard
-CORRECTNESS row. This rotation renumbers so that:
+The round driver oracle-checks the first 50 registry names in sort
+order; the standing policy (docs/QUERY_ROTATION.md) gives each
+round's newest untested stems the window slots, while every evictee
+keeps a green driver row of record and an in-window family sibling.
+Mechanically a rotation is a simultaneous token rewrite over the
+repo's .py/.md files: 2-3-digit q/r prefixes swap in ONE pass (each
+token rewritten at most once, so a name entering a slot can never be
+re-matched by its evictee's mapping), descriptive suffixes unchanged.
 
-- the 3 round-1 failures (percentiles, collect_list_set, ner_lite) keep
-  leading positions for re-verification, and
-- the 49 previously-unchecked queries sort into the 50-query window,
-- the 46 queries already driver-green in round 1 move behind the window
-  (their round-1 rows stand as evidence; local pytest still checks them),
-- frame_sample/media_resize sit last IN the out-window group: their §2
-  row (L8 multimodal) stays covered in-window by binary_ops +
-  media_meta_extract.
+Usage::
 
-Applied once via `python scripts/rotate_query_numbers.py`; kept for
-provenance. The old->new map is written to docs/QUERY_ROTATION.md.
+    python scripts/rotate_query_numbers.py r8          # apply round 8
+    python scripts/rotate_query_numbers.py --list      # show rounds
+
+Historical artifacts (VERDICT/ADVICE/CORRECTNESS_r*/BENCH_r* and this
+script) are never rewritten — each rotation's tables below are the
+provenance record for re-deriving any name's history. Rounds r2/r3
+were full bijections over two-digit numbers (expressed as generators
+below); r4 onward are sparse swap tables. Re-applying a historical
+round to today's tree is NOT meaningful (the names it maps from no
+longer exist) — the tables are data, the only applyable round is the
+newest one, enforced below.
 """
 
 from __future__ import annotations
 
 import re
+import sys
 from pathlib import Path
 
 REPO = Path("/root/repo")
 
-# old number -> new number (bijection over 01..99)
-ROTATION: dict[int, int] = {}
 
-_in_window_old = (
-    [8, 9, 24]
-    + list(range(51, 72))   # 51..71
-    + [74]
-    + list(range(75, 100))  # 75..99
-)
-_out_window_old = (
-    list(range(1, 8))       # 01..07
-    + list(range(10, 24))   # 10..23
-    + list(range(25, 51))   # 25..50
-    + [72, 73]
-)
-for new, old in enumerate(_in_window_old, start=1):
-    ROTATION[old] = new
-for new, old in enumerate(_out_window_old, start=51):
-    ROTATION[old] = new
+def _bijection(in_window_old: list[int], out_window_old: list[int]) -> dict:
+    """r2/r3-style full renumbering over q01..q99: in-window names get
+    1..N in the given order, the rest 51..; returned in the sparse
+    {old_num: "qNN"} form the applier consumes."""
+    rot: dict[int, int] = {}
+    for new, old in enumerate(in_window_old, start=1):
+        rot[old] = new
+    for new, old in enumerate(out_window_old, start=51):
+        rot[old] = new
+    assert sorted(rot) == list(range(1, 100))
+    assert sorted(rot.values()) == list(range(1, 100))
+    return {old: f"q{new:02d}" for old, new in rot.items()}
 
-assert sorted(ROTATION) == list(range(1, 100))
-assert sorted(ROTATION.values()) == list(range(1, 100))
 
-# Historical round artifacts are never rewritten.
-SKIP = {
-    "VERDICT.md", "ADVICE.md", "CORRECTNESS_r01.json", "BENCH_r01.json",
-    "PROGRESS.jsonl", "COPYCHECK.json", "LEAKCHECK.json", "BASELINE.json",
-    "BASELINE.md", "SNIPPETS.md", "PAPERS.md", "TESTDATA.md",
-    "rotate_query_numbers.py", "QUERY_ROTATION.md",
+# ---------------------------------------------------------------------------
+# The mapping tables, one entry per round: {"q": {num: "rNN"|"qNN"},
+# "r": {num: "qNN"}, "z": {...}} — q-table rewrites qNN tokens,
+# r-table rNNN tokens, z-table the round-4 z-prefixed staging names.
+# ---------------------------------------------------------------------------
+
+ROTATIONS: dict[str, dict[str, dict]] = {
+    "r2": {
+        "q": _bijection(
+            [8, 9, 24] + list(range(51, 72)) + [74] + list(range(75, 100)),
+            list(range(1, 8)) + list(range(10, 24)) + list(range(25, 51)) + [72, 73],
+        ),
+        "r": {},
+    },
+    "r3": {
+        "q": _bijection(
+            list(range(51, 58)) + list(range(59, 100)) + [6, 46],
+            [58] + list(range(1, 6)) + list(range(7, 46)) + list(range(47, 51)),
+        ),
+        "r": {},
+    },
+    "r4": {
+        "q": {
+            63: "q18", 65: "q27", 68: "q29", 70: "q33", 72: "q36",
+            18: "r29", 27: "r30", 29: "r31", 33: "r32", 36: "r33",
+            39: "r34", 41: "r35",
+        },
+        "r": {},
+        "z": {"z01": "q39", "z02": "q41"},
+    },
+    "r5": {
+        "q": {
+            81: "q02", 82: "q03", 83: "q04", 84: "q05", 85: "q06",
+            86: "q07", 87: "q08", 88: "q09", 89: "q10", 90: "q12",
+            91: "q13", 92: "q14", 93: "q16", 94: "q17", 95: "q20",
+            96: "q21", 97: "q22", 98: "q23", 99: "q25", 76: "q31",
+            77: "q34", 78: "q35", 79: "q37", 80: "q42", 74: "q45",
+            2: "r37", 3: "r38", 4: "r39", 5: "r40", 6: "r41",
+            7: "r42", 8: "r43", 9: "r44", 10: "r45", 12: "r46",
+            13: "r47", 14: "r48", 16: "r49", 17: "r50", 20: "r51",
+            21: "r52", 22: "r53", 23: "r54", 25: "r55", 31: "r56",
+            34: "r57", 35: "r58", 37: "r59", 42: "r60", 45: "r61",
+            46: "r62",
+        },
+        "r": {36: "q46"},
+    },
+    "r6": {
+        "q": {
+            3: "r68", 4: "r69", 5: "r70", 6: "r71", 7: "r72",
+            8: "r73", 9: "r74", 10: "r75", 12: "r76", 13: "r77",
+            14: "r78", 16: "r79", 17: "r80", 21: "r81", 23: "r82",
+            31: "r83", 34: "r84", 73: "q34",
+        },
+        "r": {
+            63: "q03", 64: "q04", 65: "q05", 66: "q06", 67: "q07",
+            38: "q08", 39: "q09", 45: "q10", 50: "q12", 51: "q13",
+            52: "q14", 54: "q16", 55: "q17", 56: "q21", 61: "q23",
+            62: "q31",
+        },
+    },
+    "r6b": {
+        "q": {20: "r102", 28: "r103", 33: "r104", 35: "r105", 40: "r106", 43: "r107"},
+        "r": {92: "q20", 94: "q28", 97: "q33", 98: "q35", 99: "q40", 100: "q43"},
+    },
+    "r7": {
+        "q": {
+            4: "r116", 9: "r117", 10: "r118", 11: "r119", 14: "r120",
+            16: "r121", 20: "r122", 21: "r123", 22: "r124", 23: "r125",
+            24: "r126", 30: "r127", 36: "r128", 34: "r129", 48: "r130",
+            49: "r131",
+        },
+        "r": {
+            90: "q04", 91: "q09", 93: "q10", 95: "q11", 96: "q14",
+            101: "q16", 108: "q20", 109: "q21", 110: "q22", 111: "q23",
+            112: "q24", 113: "q30", 114: "q36", 115: "q34", 102: "q48",
+            105: "q49",
+        },
+    },
+    # Round 8: the round-7 late stem (events taxonomy dim), the four
+    # round-8 feature stems (SQL DDL, corpus user views, the two S19
+    # delete paths), and the four r6b churn evictees return for
+    # re-attestation. Evictees are r7-green, none are bench-tagged
+    # (the BENCH_r{N}.json series keys stay comparable), every family
+    # keeps an in-window sibling (q29/q41 for L3; q19/q23/q08 for
+    # L5/R5; q02 for R8; q29 for L4; q49 for U; entering q45=ann_lsh
+    # and q47=media_resize are themselves family cover for L3/L8),
+    # and every row covering round-8-touched code (routing, corpus
+    # routing, user projections, bucketed deploys) stays in-window.
+    "r8": {
+        "q": {
+            3: "r137",   # q03_ann_pq (L3: q29/q41 + entering ann_lsh)
+            12: "r138",  # q12_token_counts (L5: q19/q23/q08)
+            13: "r139",  # q13_sentiment (R8: q02 pipeline)
+            17: "r140",  # q17_token_embeddings (L4: q29)
+            37: "r141",  # q37_scalar_udf (U1: q49)
+            42: "r142",  # q42_udtf (U5: q49)
+            45: "r143",  # q45_media_meta_extract (L8: entering media_resize)
+            47: "r144",  # q47_sequence_packing (L9: q32 adjacents)
+            50: "r145",  # q50_column_profile (L10: row of record)
+        },
+        "r": {
+            132: "q03",  # sql_events_category_rollup (S17 taxonomy dim)
+            133: "q12",  # matview_ddl_sql (E1c)
+            134: "q13",  # corpus_user_view_sql (S16 v3)
+            135: "q17",  # delete_documents_sql (S19)
+            136: "q37",  # delete_orders_sql (S19)
+            103: "q42",  # pii_scrub (churn return)
+            104: "q45",  # ann_lsh (churn return)
+            106: "q47",  # media_resize (churn return)
+            107: "q50",  # semantic_dedup (churn return)
+        },
+    },
 }
 
-TOKEN = re.compile(r"\b([qQ])(\d{2})(?=\b|_)")
+SKIP = {
+    "VERDICT.md", "ADVICE.md", "PROGRESS.jsonl", "COPYCHECK.json",
+    "LEAKCHECK.json", "BASELINE.json", "BASELINE.md", "SNIPPETS.md",
+    "PAPERS.md", "TESTDATA.md", "rotate_query_numbers.py",
+    "QUERY_ROTATION.md",
+}
+SKIP_PREFIXES = ("CORRECTNESS_r", "BENCH_r")
+
+# 2-3 digit prefixes, single simultaneous pass: a slot's new occupant
+# can never be re-matched because each token is rewritten exactly
+# once. Greedy \d{2,3} keeps bare r10-style tokens not in the tables
+# untouched.
+TOKEN = re.compile(r"\b([qrz])(\d{2,3})(?=\b|_)")
 
 
-def rewrite(text: str) -> str:
+def rewrite(text: str, tables: dict[str, dict]) -> str:
     def sub(m: re.Match) -> str:
         prefix, num = m.group(1), int(m.group(2))
-        if prefix == "Q" and num == 20:
-            return m.group(0)  # Q20 fixed-point notation, not a query id
-        if num not in ROTATION:
+        if prefix == "z":
+            return tables.get("z", {}).get(f"z{num:02d}", m.group(0))
+        table = tables["q"] if prefix == "q" else tables["r"]
+        new = table.get(num)
+        if new is None:
             return m.group(0)
-        return f"{prefix}{ROTATION[num]:02d}"
+        return new if isinstance(new, str) else f"q{new:02d}"
 
     return TOKEN.sub(sub, text)
 
 
 def main() -> None:
+    if len(sys.argv) != 2 or sys.argv[1] in ("-h", "--help"):
+        print(__doc__)
+        sys.exit(0)
+    if sys.argv[1] == "--list":
+        for name in ROTATIONS:
+            print(name)
+        sys.exit(0)
+    name = sys.argv[1]
+    newest = list(ROTATIONS)[-1]
+    if name != newest:
+        sys.exit(
+            f"only the newest rotation ({newest}) is applyable; "
+            f"{name!r} is a historical record (its source names no "
+            "longer exist in the tree)"
+        )
+    tables = ROTATIONS[name]
     changed = []
     for path in sorted(REPO.rglob("*")):
         if path.suffix not in {".py", ".md"} or not path.is_file():
             continue
         if path.name in SKIP or ".git" in path.parts or "spark-warehouse" in path.parts:
             continue
+        if path.name.startswith(SKIP_PREFIXES):
+            continue
         old = path.read_text()
-        new = rewrite(old)
+        new = rewrite(old, tables)
         if new != old:
             path.write_text(new)
             changed.append(str(path.relative_to(REPO)))
-    print("rewrote:", *changed, sep="\n  ")
+    print(f"applied {name}; rewrote:", *changed, sep="\n  ")
 
 
 if __name__ == "__main__":

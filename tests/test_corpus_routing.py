@@ -706,6 +706,11 @@ _EV_FILTER_POOL = [
     Pred("ts", "<", "2024-01-25 00:00:00", cast="timestamp"),  # folds
     Pred("ts", "<=", "2024-01-25 00:00:00", cast="timestamp"),  # raw
     Pred("ts", ">=", "2024-01-08 06:30:00", cast="timestamp"),  # raw
+    # r7-VERDICT item 7: hostile literal forms. Non-padded boundaries
+    # must not fold (the _HOUR_BOUNDARY check is conservative — the
+    # raw plan answers them exactly); sub-second literals never fold.
+    Pred("ts", ">=", "2024-1-8 0:00:00", cast="timestamp"),  # raw (non-padded)
+    Pred("ts", "<", "2024-01-25 00:00:00.500000", cast="timestamp"),  # raw
     BoolPred(
         "or",
         (
@@ -774,6 +779,11 @@ ev_scan_specs = st.fixed_dictionaries(
                 ("<", "2024-01-08 00:00:00"),
                 ("=", "2024-01-15 12:00:00"),  # sub-day: prunes to one day
                 ("<=", "2024-01-03 18:00:00"),
+                # hostile forms (r7-VERDICT item 7): day-bound
+                # derivation must stay a superset under them
+                (">=", "2024-1-20 0:00:00"),
+                ("<", "2024-1-8"),
+                ("between", ("2024-1-5 7:30:15", "2024-01-12 23:59:59.750000")),
             ]
         ),
         "type_eq": st.sampled_from([None, "click", "error"]),

@@ -1,0 +1,382 @@
+"""E1c (SQL DDL front door) + S16 v3 (corpus user projections).
+
+The contract under test: a view declared as ``CREATE MATERIALIZED
+VIEW`` SQL text is indistinguishable — to every later statement — from
+one deployed through the API; undeclarable definitions are refused
+with a reason, never materialized wrong; and corpus user views carry
+the same partial-state/refresh/rebuild-equality guarantees as S16's
+lineitem views.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdataproj_spark.catalog import table
+from bigdataproj_spark.engine import Engine
+from bigdataproj_spark.plans.corpus_routing import TableAggQuery, route_corpus
+from bigdataproj_spark.plans.routing import AggCall
+from bigdataproj_spark.plans.sqlfront import route_sql
+from bigdataproj_spark.sources.corpus_user_projections import (
+    deploy_corpus_projection,
+    drop_corpus_projection,
+    list_corpus_projections,
+    refresh_corpus_projection,
+)
+
+
+@pytest.fixture()
+def eng(spark, sf_dir):
+    return Engine(spark, sf_dir)
+
+
+from bigdataproj_spark.plans.sqlfront import SUM_SQL  # noqa: E402
+
+_SEL = f"""
+SELECT l_returnflag, o_orderstatus,
+  {SUM_SQL['revenue']} AS rev,
+  COUNT(*) AS n
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_returnflag, o_orderstatus
+ORDER BY l_returnflag, o_orderstatus
+"""
+
+
+class TestLineitemDDL:
+    def test_create_then_identical_select_routes(self, eng, spark, sf_dir):
+        eng.sql(
+            "CREATE OR REPLACE MATERIALIZED VIEW t_flag_status AS "
+            f"SELECT l_returnflag, o_orderstatus, {SUM_SQL['revenue']} AS rev, "
+            "COUNT(*) AS n "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "GROUP BY l_returnflag, o_orderstatus"
+        )
+        df, chosen = route_sql(spark, sf_dir, _SEL)
+        assert chosen == "user:t_flag_status"
+        # bit-identical to the verbatim plan over the raw tables
+        want = eng.sql(_SEL, routed=False).toPandas()
+        assert df.toPandas().equals(want)
+        eng.sql("DROP MATERIALIZED VIEW t_flag_status")
+
+    def test_drop_returns_routing_to_fallback(self, eng, spark, sf_dir):
+        eng.sql(
+            "CREATE OR REPLACE MATERIALIZED VIEW t_dropme AS "
+            "SELECT l_returnflag, o_orderstatus, COUNT(*) AS n "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "GROUP BY l_returnflag, o_orderstatus"
+        )
+        sel = (
+            "SELECT l_returnflag, o_orderstatus, COUNT(*) AS n "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "GROUP BY l_returnflag, o_orderstatus "
+            "ORDER BY l_returnflag, o_orderstatus"
+        )
+        _df, chosen = route_sql(spark, sf_dir, sel)
+        assert chosen == "user:t_dropme"
+        out = eng.sql("DROP MATERIALIZED VIEW t_dropme")
+        assert out.collect()[0]["status"] == "dropped"
+        _df, chosen = route_sql(spark, sf_dir, sel)
+        assert chosen != "user:t_dropme"
+
+    def test_if_not_exists_is_noop_and_duplicate_errors(self, eng):
+        eng.sql(
+            "CREATE OR REPLACE MATERIALIZED VIEW t_dup AS "
+            "SELECT l_returnflag, COUNT(*) AS n FROM lineitem "
+            "GROUP BY l_returnflag"
+        )
+        out = eng.sql(
+            "CREATE MATERIALIZED VIEW IF NOT EXISTS t_dup AS "
+            "SELECT l_linestatus, COUNT(*) AS n FROM lineitem "
+            "GROUP BY l_linestatus"
+        )
+        assert out.collect()[0]["status"] == "exists (unchanged)"
+        with pytest.raises(ValueError, match="already exists"):
+            eng.sql(
+                "CREATE MATERIALIZED VIEW t_dup AS "
+                "SELECT l_linestatus, COUNT(*) AS n FROM lineitem "
+                "GROUP BY l_linestatus"
+            )
+        eng.sql("DROP MATERIALIZED VIEW t_dup")
+
+    def test_show_lists_both_catalogs(self, eng, spark, sf_dir):
+        eng.sql(
+            "CREATE OR REPLACE MATERIALIZED VIEW t_show_li AS "
+            "SELECT l_returnflag, COUNT(*) AS n FROM lineitem "
+            "GROUP BY l_returnflag"
+        )
+        eng.sql(
+            "CREATE OR REPLACE MATERIALIZED VIEW t_show_ev AS "
+            "SELECT event_type, COUNT(*) AS n FROM events "
+            "GROUP BY event_type"
+        )
+        names = {r["name"] for r in eng.sql("SHOW MATERIALIZED VIEWS").collect()}
+        assert {"t_show_li", "t_show_ev"} <= names
+        eng.sql("DROP MATERIALIZED VIEW t_show_li")
+        eng.sql("DROP MATERIALIZED VIEW t_show_ev")
+
+    def test_or_replace_moves_between_families(self, eng, spark, sf_dir):
+        """Redefining a lineitem view as a corpus view must not leave
+        a stale twin in the old catalog."""
+        eng.sql(
+            "CREATE OR REPLACE MATERIALIZED VIEW t_move AS "
+            "SELECT l_returnflag, COUNT(*) AS n FROM lineitem "
+            "GROUP BY l_returnflag"
+        )
+        eng.sql(
+            "CREATE OR REPLACE MATERIALIZED VIEW t_move AS "
+            "SELECT event_type, COUNT(*) AS n FROM events "
+            "GROUP BY event_type"
+        )
+        rows = [
+            r
+            for r in eng.sql("SHOW MATERIALIZED VIEWS").collect()
+            if r["name"] == "t_move"
+        ]
+        assert len(rows) == 1 and rows[0]["keys"] == "event_type"
+        eng.sql("DROP MATERIALIZED VIEW t_move")
+
+
+class TestDDLRefusals:
+    def test_where_clause_refused(self, eng):
+        with pytest.raises(ValueError, match="WHERE clause"):
+            eng.sql(
+                "CREATE MATERIALIZED VIEW t_bad AS "
+                "SELECT l_returnflag, COUNT(*) AS n FROM lineitem "
+                "WHERE l_discount < 0.05 GROUP BY l_returnflag"
+            )
+
+    def test_count_distinct_refused(self, eng):
+        with pytest.raises(ValueError, match="COUNT\\(DISTINCT\\)"):
+            eng.sql(
+                "CREATE MATERIALIZED VIEW t_bad AS "
+                "SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS d "
+                "FROM lineitem GROUP BY l_returnflag"
+            )
+
+    def test_trunc_key_refused_for_lineitem(self, eng):
+        with pytest.raises(ValueError, match="plain columns"):
+            eng.sql(
+                "CREATE MATERIALIZED VIEW t_bad AS "
+                "SELECT date_trunc('month', l_shipdate) AS m, COUNT(*) AS n "
+                "FROM lineitem GROUP BY date_trunc('month', l_shipdate)"
+            )
+
+    def test_deeper_chain_refused(self, eng):
+        with pytest.raises(ValueError, match="orphan-drop"):
+            eng.sql(
+                "CREATE MATERIALIZED VIEW t_bad AS "
+                "SELECT o_orderstatus, COUNT(*) AS n FROM lineitem "
+                "JOIN orders ON l_orderkey = o_orderkey "
+                "JOIN customer ON o_custkey = c_custkey "
+                "GROUP BY o_orderstatus"
+            )
+
+    def test_unused_arm_refused(self, eng):
+        with pytest.raises(ValueError, match="arm join"):
+            eng.sql(
+                "CREATE MATERIALIZED VIEW t_bad AS "
+                "SELECT l_returnflag, COUNT(*) AS n FROM lineitem "
+                "JOIN part ON l_partkey = p_partkey "
+                "GROUP BY l_returnflag"
+            )
+
+    def test_unknown_column_refused(self, eng):
+        with pytest.raises(ValueError, match="not a declarable aggregate"):
+            eng.sql(
+                "CREATE MATERIALIZED VIEW t_bad AS "
+                "SELECT nonsense, COUNT(*) AS n FROM lineitem GROUP BY nonsense"
+            )
+
+    def test_coarse_time_grain_refused_for_corpus(self, eng):
+        with pytest.raises(ValueError, match="HOUR grain"):
+            eng.sql(
+                "CREATE MATERIALIZED VIEW t_bad AS "
+                "SELECT date_trunc('day', ts) AS d, COUNT(*) AS n "
+                "FROM events GROUP BY date_trunc('day', ts)"
+            )
+
+    def test_drop_unknown_errors_unless_if_exists(self, eng):
+        with pytest.raises(ValueError, match="no materialized view"):
+            eng.sql("DROP MATERIALIZED VIEW t_never_was")
+        out = eng.sql("DROP MATERIALIZED VIEW IF EXISTS t_never_was")
+        assert out.collect()[0]["status"] == "not found"
+
+    def test_malformed_statement_errors(self, eng):
+        with pytest.raises(ValueError, match="malformed"):
+            eng.sql("CREATE MATERIALIZED VIEW AS SELECT 1")
+
+    def test_order_by_in_definition_refused(self, eng):
+        with pytest.raises(ValueError, match="not part of a view definition"):
+            eng.sql(
+                "CREATE MATERIALIZED VIEW t_bad AS "
+                "SELECT l_returnflag, COUNT(*) AS n FROM lineitem "
+                "GROUP BY l_returnflag ORDER BY l_returnflag"
+            )
+
+
+class TestCorpusUserProjections:
+    def test_events_user_view_routes_and_matches_raw(self, spark, sf_dir):
+        deploy_corpus_projection(
+            spark, sf_dir, "t_user_prof", "events",
+            ("user_id", "event_type"), ("value",),
+        )
+        spec = TableAggQuery(
+            "events",
+            (),
+            ("user_id", "event_type"),
+            (
+                AggCall("sum", "value", "total"),
+                AggCall("avg", "value", "avg_v"),
+                AggCall("min", "value", "min_v"),
+                AggCall("max", "value", "max_v"),
+                AggCall("count_star", None, "n"),
+            ),
+        )
+        df, chosen = route_corpus(spark, sf_dir, spec)
+        assert chosen == "user:t_user_prof"
+        from bigdataproj_spark.plans.corpus_routing import _raw_plan
+
+        want = _raw_plan(spark, sf_dir, spec).toPandas()
+        assert df.toPandas().equals(want)
+        drop_corpus_projection(spark, sf_dir, "t_user_prof")
+        _df, chosen = route_corpus(spark, sf_dir, spec)
+        assert chosen == "raw"
+
+    def test_dim_attr_keys_build_through_registry_join(self, spark, sf_dir):
+        """A view keyed by an S17 dim attribute (s_kind) joins the
+        registry at DEPLOY; its content equals grouping the raw
+        dim-joined rows."""
+        deploy_corpus_projection(
+            spark, sf_dir, "t_kind_view", "documents",
+            ("s_kind", "lang"), ("chars", "tokens"),
+        )
+        spec = TableAggQuery(
+            "documents",
+            (),
+            ("s_kind", "lang"),
+            (
+                AggCall("sum", "chars", "total_chars"),
+                AggCall("sum", "tokens", "total_tokens"),
+                AggCall("count_star", None, "n"),
+            ),
+            dims=("sources",),
+        )
+        # the built-in docs cube claims this statement (it stores the
+        # fact key and folds the dim); assert the USER view's direct
+        # build agrees with it bit-for-bit
+        cat = list_corpus_projections(spark, sf_dir)
+        u = next(p for p in cat if p["name"] == "t_kind_view")
+        assert u["dims"] == ("sources",)
+        from bigdataproj_spark.sources.corpus_user_projections import (
+            _catalog,
+        )
+
+        proj = _catalog(spark, sf_dir)["t_kind_view"].projection
+        assert proj.subsumes(spec)
+        routed, chosen = route_corpus(spark, sf_dir, spec)
+        assert chosen == "docs_stats_cube"  # built-ins stay first
+        mine = proj.build(spark, sf_dir, spec).toPandas()
+        assert mine.equals(routed.toPandas())
+        drop_corpus_projection(spark, sf_dir, "t_kind_view")
+
+    def test_hour_time_key_folds_coarser_grains(self, spark, sf_dir):
+        deploy_corpus_projection(
+            spark, sf_dir, "t_user_hour", "events",
+            ("user_id",), ("value",), time_key=("u_hour", "ts"),
+        )
+        spec = TableAggQuery(
+            "events",
+            (),
+            ("user_id", "m"),
+            (AggCall("sum", "value", "total"), AggCall("count_star", None, "n")),
+            truncs=(("m", "month", "ts"),),
+        )
+        df, chosen = route_corpus(spark, sf_dir, spec)
+        assert chosen == "user:t_user_hour"
+        from bigdataproj_spark.plans.corpus_routing import _raw_plan
+
+        want = _raw_plan(spark, sf_dir, spec).toPandas()
+        assert df.toPandas().equals(want)
+        drop_corpus_projection(spark, sf_dir, "t_user_hour")
+
+    def test_refresh_rebuild_equal(self, spark, sf_dir, tmp_path):
+        """Deploy on a base corpus, delta-merge the held-out batch,
+        compare against a from-scratch deploy over the full corpus —
+        the standard rebuild-equality gate, including a batch that
+        introduces NEW sources (the dim-first ordering)."""
+        docs = table(spark, sf_dir, "documents")
+        base_dir = tmp_path / "base"
+        base_dir.mkdir()
+        split = F.col("doc_id") % 4 == 0
+        docs.filter(~split).write.parquet(str(base_dir / "documents.parquet"))
+        delta = docs.filter(split)
+        sf_base = str(base_dir)
+
+        deploy_corpus_projection(
+            spark, sf_base, "t_rb", "documents",
+            ("s_kind", "lang"), ("chars", "stopwords"),
+        )
+        from bigdataproj_spark.sources.corpus_cubes import refresh_sources_dim
+
+        refresh_sources_dim(spark, sf_base, delta)
+        refresh_corpus_projection(spark, sf_base, "t_rb", delta)
+        got = (
+            spark.read.parquet(
+                next(
+                    p["path"]
+                    for p in list_corpus_projections(spark, sf_base)
+                    if p["name"] == "t_rb"
+                )
+            )
+            .orderBy("s_kind", "lang")
+            .toPandas()
+        )
+        deploy_corpus_projection(
+            spark, sf_dir, "t_rb_full", "documents",
+            ("s_kind", "lang"), ("chars", "stopwords"),
+        )
+        want = (
+            spark.read.parquet(
+                next(
+                    p["path"]
+                    for p in list_corpus_projections(spark, sf_dir)
+                    if p["name"] == "t_rb_full"
+                )
+            )
+            .orderBy("s_kind", "lang")
+            .toPandas()
+        )
+        assert got.equals(want[got.columns.tolist()])
+        drop_corpus_projection(spark, sf_base, "t_rb")
+        drop_corpus_projection(spark, sf_dir, "t_rb_full")
+
+    def test_refresh_warehouse_maintains_corpus_views(
+        self, spark, sf_dir, tmp_path
+    ):
+        """Engine.ingest refreshes deployed corpus views alongside the
+        built-ins (dims first)."""
+        from bigdataproj_spark.sources.maintenance import refresh_warehouse
+
+        events = table(spark, sf_dir, "events")
+        base_dir = tmp_path / "base"
+        base_dir.mkdir()
+        split = F.col("event_id") % 5 == 0
+        events.filter(~split).write.parquet(str(base_dir / "events.parquet"))
+        delta = events.filter(split)
+        sf_base = str(base_dir)
+
+        deploy_corpus_projection(
+            spark, sf_base, "t_wh", "events", ("user_id",), ("value",)
+        )
+        done = refresh_warehouse(spark, sf_base, events=delta)
+        assert "user:t_wh" in done
+        spec = TableAggQuery(
+            "events", (), ("user_id",),
+            (AggCall("sum", "value", "total"), AggCall("count_star", None, "n")),
+        )
+        df, chosen = route_corpus(spark, sf_base, spec)
+        assert chosen == "user:t_wh"
+        total_n = df.agg(F.sum("n").alias("n")).collect()[0]["n"]
+        assert total_n == events.count()
+        drop_corpus_projection(spark, sf_base, "t_wh")

@@ -97,6 +97,30 @@ _PART_AGGS = [
 ]
 _DATES = ["1998-06-01", "2000-01-01", "2001-03-15", "2001-09-02"]
 
+# r7-VERDICT item 7: literal HOSTILITY. The round-6 date-literal bug
+# (dated.py under-read non-padded literals when deriving partition
+# bounds) survived fuzzing because the generator only ever drew
+# zero-padded midnight forms. Every date literal now draws a FORM as
+# well as a value: zero-padded, non-padded, bare date (no time part),
+# and sub-hour/sub-second times — all forms both engines parse
+# identically (verified), so the differential compare stays exact
+# while the derivation code sees the shapes real SQL authors type.
+_DATE_FORMS = ("padded", "nonpad", "date_only", "subhour", "nonpad_subhour")
+
+
+def _render_ts(date: str, form: str) -> str:
+    y, m, d = date.split("-")
+    if form == "nonpad":
+        return f"{int(y)}-{int(m)}-{int(d)} 0:00:00"
+    if form == "date_only":
+        return date
+    if form == "subhour":
+        return f"{date} 07:30:15.250000"
+    if form == "nonpad_subhour":
+        return f"{int(y)}-{int(m)}-{int(d)} 7:30:15"
+    return f"{date} 00:00:00"
+
+
 # SQL-only clauses the front door supports beyond the spec language:
 # GLOBAL aggregates (group_by=()), HAVING on a selected aggregate,
 # descending ORDER BY, LIMIT. Drawn alongside every spec; applied in
@@ -116,6 +140,7 @@ pricing_specs = st.fixed_dictionaries(
             [("l_returnflag",), ("l_linestatus",), ("l_returnflag", "l_linestatus")]
         ),
         "date_filter": st.sampled_from([None, *range(len(_DATES))]),
+        "date_form": st.sampled_from(_DATE_FORMS),
         "date_op": st.sampled_from(["<=", ">=", "between"]),
         "flag_filter": st.sampled_from([None, "A", "N", "R"]),
         "nonkey_filter": st.booleans(),  # discount filter -> raw fallback
@@ -152,6 +177,7 @@ star_specs = st.fixed_dictionaries(
             ]
         ),
         "date_filter": st.sampled_from([None, *range(len(_DATES))]),
+        "date_form": st.sampled_from(_DATE_FORMS),
         "date_op": st.sampled_from(["<=", ">=", "between"]),
         "region_filter": st.sampled_from([None, "ASIA", "EUROPE", "AMERICA"]),
         "bool_filter": st.just(None),
@@ -182,6 +208,7 @@ part_specs = st.fixed_dictionaries(
             ]
         ),
         "date_filter": st.sampled_from([None, *range(len(_DATES))]),
+        "date_form": st.sampled_from(_DATE_FORMS),
         "date_op": st.sampled_from(["<=", ">=", "between"]),
         "psize_filter": st.sampled_from([None, 10, 25, 40]),
         "region_filter": st.just(None),
@@ -210,6 +237,7 @@ chain_specs = st.fixed_dictionaries(
             ]
         ),
         "date_filter": st.sampled_from([None, *range(len(_DATES))]),
+        "date_form": st.sampled_from(_DATE_FORMS),
         "date_op": st.sampled_from(["<=", ">=", "between"]),
         "region_filter": st.just(None),
         "bool_filter": st.just(None),
@@ -241,6 +269,7 @@ def _to_spec(p) -> AggQuery:
     filters = []
     if p["date_filter"] is not None:
         i = p["date_filter"]
+        form = p.get("date_form", "padded")
         if p["date_op"] == "between":
             # a range predicate still folds exactly on the day-grained
             # cube key (keeps/drops whole groups)
@@ -249,7 +278,7 @@ def _to_spec(p) -> AggQuery:
                 Pred(
                     "l_shipdate",
                     "between",
-                    (f"{_DATES[i]} 00:00:00", f"{hi} 00:00:00"),
+                    (_render_ts(_DATES[i], form), _render_ts(hi, form)),
                     cast="timestamp",
                 )
             )
@@ -258,7 +287,7 @@ def _to_spec(p) -> AggQuery:
                 Pred(
                     "l_shipdate",
                     p["date_op"],
-                    f"{_DATES[i]} 00:00:00",
+                    _render_ts(_DATES[i], form),
                     cast="timestamp",
                 )
             )
@@ -495,6 +524,14 @@ scan_specs = st.fixed_dictionaries(
                 (">=", "2001-01-01 00:00:00"),
                 ("<", "2000-02-01 00:00:00"),  # exact month boundary
                 ("=", "2000-05-17 00:00:00"),
+                # r7-VERDICT item 7: hostile literal forms — the
+                # derived month-bound parser must not under-read these
+                # (the round-6 bug class); both engines parse them
+                # identically, so the differential stays exact
+                ("<=", "1999-6-1 0:00:00"),  # non-padded
+                (">=", "2001-1-1"),  # bare date, no time part
+                ("between", ("2000-3-1 7:30:15", "2000-6-30 18:05:00")),
+                ("<", "2000-02-01 00:00:00.250000"),  # sub-second
             ]
         ),
         "qty_max": st.sampled_from([None, 10.0, 30.0]),
