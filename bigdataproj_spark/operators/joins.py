@@ -321,7 +321,7 @@ ORDER BY n.n_name, t.o_totalprice DESC, t.o_orderkey
 def r57_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-2 orders per nation via a LATERAL correlated subquery —
     the per-row-subquery surface (Spark 3.4+ SQL). Catalyst
-    decorrelates it into the same window-rank plan as r106; the SQL
+    decorrelates it into the same window-rank plan as q47; the SQL
     form is what users port from warehouse dialects.
     """
     from ..catalog import register_views

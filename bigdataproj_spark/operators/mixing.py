@@ -26,7 +26,7 @@ oracle check pins per-row assignments, not just aggregate sizes.
 
 At 100 TB: mixing is one window over the domain key (a skewed giant
 domain range-partitions on the hash prefix within the domain — the
-same two-level prefix-sum used by q47_sequence_packing — since only
+same two-level prefix-sum used by r144_sequence_packing — since only
 the running token total, not a total order, is needed); the training
 order is one hash shuffle + per-shard sort, the minimum possible data
 movement for a global permutation.

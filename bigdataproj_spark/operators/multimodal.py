@@ -412,8 +412,8 @@ ORDER BY doc_id
 """
 
 
-@query("q45_media_meta_extract", oracle=_Q24_ORACLE, tags=("L8", "U3", "multimodal"))
-def q45_media_meta_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r143_media_meta_extract", oracle=_Q24_ORACLE, tags=("L8", "U3", "multimodal"))
+def r143_media_meta_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Genuine-media metadata extraction: synthesize real BMP/PNG/WAV
     files from the documents table, then parse their actual container
     headers back with :func:`decode_media`. The oracle recomputes
@@ -562,8 +562,8 @@ ORDER BY doc_id
 """
 
 
-@query("r106_media_resize", oracle=_Q99_ORACLE, tags=("L8", "multimodal"))
-def r106_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q47_media_resize", oracle=_Q99_ORACLE, tags=("L8", "multimodal"))
+def q47_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Thumbnail pipeline on genuine images: decode real BMP/PNG pixel
     arrays, nearest-neighbor them into a 64-box, re-encode a real BMP,
     report its actual size. Pixel-level correctness is pinned by

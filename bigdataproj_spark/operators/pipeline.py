@@ -98,7 +98,7 @@ def _sentiment_case(t: Column) -> Column:
 
 def add_sentiment(df: DataFrame) -> DataFrame:
     """R8/L6 sentiment as a pure-expression fold over tokens (the
-    join-based form lives in text.q13; both are deterministic)."""
+    join-based form lives in text.r139; both are deterministic)."""
     score = F.aggregate(
         "toks", F.lit(0), lambda acc, t: acc + _sentiment_case(t)
     ).cast("long")
@@ -370,22 +370,22 @@ def q75_geo_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     they are order-independent and bit-identical to the oracle.
     """
     g = ingest_tweets(spark).filter(F.col("geo").isNotNull())
-    q12 = 1048576
+    r138 = 1048576
     cnt = F.count(F.lit(1))
     return (
         g.select(
             F.floor(F.col("geo.lat") * 100).alias("cell_lat"),
             F.floor(F.col("geo.lon") * 100).alias("cell_lon"),
             F.col("user.name").alias("user_name"),
-            F.floor(F.col("geo.lat") * q12).cast("long").alias("qlat"),
-            F.floor(F.col("geo.lon") * q12).cast("long").alias("qlon"),
+            F.floor(F.col("geo.lat") * r138).cast("long").alias("qlat"),
+            F.floor(F.col("geo.lon") * r138).cast("long").alias("qlon"),
         )
         .groupBy("cell_lat", "cell_lon")
         .agg(
             cnt.alias("n_tweets"),
             F.countDistinct("user_name").alias("n_users"),
-            F.round(F.sum("qlat").cast("double") / q12 / cnt, 6).alias("centroid_lat"),
-            F.round(F.sum("qlon").cast("double") / q12 / cnt, 6).alias("centroid_lon"),
+            F.round(F.sum("qlat").cast("double") / r138 / cnt, 6).alias("centroid_lat"),
+            F.round(F.sum("qlon").cast("double") / r138 / cnt, 6).alias("centroid_lon"),
         )
         .orderBy("cell_lat", "cell_lon")
     )

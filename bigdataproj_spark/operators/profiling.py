@@ -99,8 +99,8 @@ _Q46_ORACLE = (
 )
 
 
-@query("q50_column_profile", oracle=_Q46_ORACLE, tags=("L10", "profiling"))
-def q50_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r145_column_profile", oracle=_Q46_ORACLE, tags=("L10", "profiling"))
+def r145_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass lineitem profile: rows/nulls/distincts/min/max per column.
 
     The DuckDB oracle is written as per-column UNION ALL for clarity;

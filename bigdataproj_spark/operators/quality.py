@@ -9,7 +9,7 @@ declares only coarse text analytics (reference README.md:58-63); these
 extend the same surface with the filters any corpus consumer needs.
 
 Registered inside the driver's 50-query correctness window (r41/q15/
-r103/r58 plus packing q47 and decontamination r130) since the round-3
+q42/r58 plus packing r144 and decontamination r130) since the round-3
 window swap — see docs/QUERY_ROTATION.md for the mapping.
 
 Scale shapes:
@@ -296,8 +296,8 @@ ORDER BY c_custkey
 """
 
 
-@query("r103_pii_scrub", oracle=_Q_R03_ORACLE, tags=("L11", "quality", "cleaning"))
-def r103_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q42_pii_scrub", oracle=_Q_R03_ORACLE, tags=("L11", "quality", "cleaning"))
+def q42_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Email/phone redaction with per-row match counts (map-only).
 
     The redaction regexes run in one projection; at corpus scale this
@@ -457,7 +457,7 @@ def tape_offsets(spark: SparkSession, df: DataFrame, order_cols: list[str]) -> D
     totals, a partition-count-sized broadcast). Identical totals at
     any partition count; one narrow shuffle + one broadcast join at
     100 TB — never a single-partition corpus window. Shared by
-    q47_sequence_packing (doc_id order) and the r15 capstone
+    r144_sequence_packing (doc_id order) and the r15 capstone
     (training-hash order); adds ``start_offset`` to df's columns.
     """
     parts = df.repartitionByRange(
@@ -485,8 +485,8 @@ def tape_offsets(spark: SparkSession, df: DataFrame, order_cols: list[str]) -> D
     )
 
 
-@query("q47_sequence_packing", oracle=_Q_R06_ORACLE, tags=("L9", "quality"))
-def q47_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r144_sequence_packing", oracle=_Q_R06_ORACLE, tags=("L9", "quality"))
+def r144_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk packing: documents are laid out in doc_id
     order on a global token tape and cut into fixed-budget training
     sequences; each document reports its tape offset and first/last
@@ -688,7 +688,7 @@ def q32_training_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the q15 predicates) → exact dedup survivors (q18's min-doc_id
     rule) → weighted domain mix (r37's budgeted hash-order take) →
     epoch-stable training order (r40's hash) → sequence packing
-    (q47's tape offsets, laid out in TRAINING order rather than
+    (r144's tape offsets, laid out in TRAINING order rather than
     doc_id order).
 
     Plan shape at scale: the gate is map-only (``gate_filter`` — an

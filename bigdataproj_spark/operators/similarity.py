@@ -133,7 +133,7 @@ def q29_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break), so the full pair matrix is never materialized and the
     shuffle into the final re-rank carries batches x P x K rows. The
     probe fetch is a P-row collect (the "query vectors", like the IVF
-    centroid train step); r104 is the LSH-bucketed scale path.
+    centroid train step); q45 is the LSH-bucketed scale path.
     """
     import numpy as np
     import pandas as pd
@@ -211,12 +211,12 @@ def q69_embedding_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     between engines), summed as exact int64, divided back in double.
     """
     e = table(spark, sf_dir, "embeddings")
-    q12 = F.floor(F.col("v").cast("double") * 1048576).cast("long")
+    r138 = F.floor(F.col("v").cast("double") * 1048576).cast("long")
     return (
         e.select("label", F.posexplode("embedding").alias("pos", "v"))
         .groupBy("label", "pos")
         .agg(
-            (F.sum(q12).cast("double") / 1048576 / F.count(F.lit(1))).alias("avg_val")
+            (F.sum(r138).cast("double") / 1048576 / F.count(F.lit(1))).alias("avg_val")
         )
         .orderBy("label", "pos")
     )
@@ -322,8 +322,8 @@ ORDER BY probe_id, rank
 """
 
 
-@query("r104_ann_lsh", oracle=_Q20_ORACLE, tags=("L3", "similarity"))
-def r104_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q45_ann_lsh", oracle=_Q20_ORACLE, tags=("L3", "similarity"))
+def q45_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-3 neighbors via LSH bucket prefilter + exact
     cosine re-rank inside the bucket.
 
@@ -421,7 +421,7 @@ def q71_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup of a training corpus.
 
     This is the oracle-checked exact form; the 100 TB path is the
-    same computation gated by the r104 LSH bucket join (candidates
+    same computation gated by the q45 LSH bucket join (candidates
     only meet inside a bucket) — exact re-rank inside buckets means
     the two paths agree wherever the bucket recall allows.
     """
@@ -575,7 +575,7 @@ ORDER BY probe_id, rank
 def r128_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-3 neighbors via IVF cells + exact cosine re-rank.
 
-    Complements r104's LSH path with the other standard ANN index
+    Complements q45's LSH path with the other standard ANN index
     shape: a coarse quantizer partitions the corpus into K cells;
     probes search their _IVF_NPROBE nearest cells only. At 100 TB the
     assignment is a map-only scan (centroids are plan literals — no
@@ -683,8 +683,8 @@ ORDER BY vec_id
 """
 
 
-@query("r107_semantic_dedup", oracle=_Q_R05_ORACLE, tags=("L2", "L3", "similarity"))
-def r107_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q50_semantic_dedup", oracle=_Q_R05_ORACLE, tags=("L2", "L3", "similarity"))
+def q50_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic-duplicate clusters over embedding cosine >= 0.3 with
     min-id survivor selection — the SemDeDup recipe: embed, find
     near-neighbors, keep one representative per semantic cluster.
@@ -751,7 +751,7 @@ def r107_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # coarse quantizer: every vector maps to one of K cells (map-only,
 # centroids are plan literals), exact Q20 cosine scoring runs only
 # WITHIN a cell, and per-cell work is (N/K)² instead of N². This is
-# the 100 TB form the bounded r107 documents as its scale path: K grows
+# the 100 TB form the bounded q50 documents as its scale path: K grows
 # with the corpus so a cell stays worker-sized, and cross-cell
 # near-duplicates are the (recall-tested) approximation the prefilter
 # trades for tractability.
@@ -1315,11 +1315,11 @@ ORDER BY probe_id, rank
 """
 
 
-@query("q03_ann_pq", oracle=_Q_PQ_ORACLE, tags=("L3", "similarity"))
-def q03_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r137_ann_pq", oracle=_Q_PQ_ORACLE, tags=("L3", "similarity"))
+def r137_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 neighbors via PQ-ADC shortlist + exact re-rank.
 
-    The third ANN shape next to LSH (r104) and IVF (r128), and the one
+    The third ANN shape next to LSH (q45) and IVF (r128), and the one
     that changes the MEMORY story at 100 TB: after the map-only encode
     each vector is 8 small code ids (64 floats → 8 codes, a 32x
     compression), and the SHORTLIST stage never reads the raw

@@ -61,8 +61,8 @@ LIMIT 50
 """
 
 
-@query("q12_token_counts", oracle=_Q68_ORACLE, tags=("R5", "P4", "A1", "O3", "text"))
-def q12_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r138_token_counts", oracle=_Q68_ORACLE, tags=("R5", "P4", "A1", "O3", "text"))
+def r138_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 token frequency over the documents corpus.
 
     Scale: explode happens map-side; the single shuffle is on the token
@@ -239,7 +239,7 @@ ORDER BY d.doc_id
 
 def sentiment_scores(d: DataFrame) -> DataFrame:
     """(doc_id, s): summed lexicon weights per document — the R8
-    scoring core shared by q13 and the enriched-document sink
+    scoring core shared by r139 and the enriched-document sink
     (sources/sink.py). Explode → broadcast-join the 5-row lexicon →
     partial+final sum on doc_id; docs with no lexicon hit are absent
     (callers left-join and coalesce to 0)."""
@@ -256,8 +256,8 @@ def sentiment_scores(d: DataFrame) -> DataFrame:
     )
 
 
-@query("q13_sentiment", oracle=_Q71_ORACLE, tags=("L6", "R8", "text"))
-def q13_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r139_sentiment", oracle=_Q71_ORACLE, tags=("L6", "R8", "text"))
+def r139_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sentiment label per document (reference R8, README.md:61,87-88,
     re-expressed as a deterministic lexicon scorer per SURVEY.md §7).
 
@@ -587,8 +587,8 @@ ORDER BY doc_id, pos
 """
 
 
-@query("q17_token_embeddings", oracle=_Q76_ORACLE, tags=("R6", "L4", "text"))
-def q17_token_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r140_token_embeddings", oracle=_Q76_ORACLE, tags=("R6", "L4", "text"))
+def r140_token_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document embeddings via vocabulary broadcast-join + mean pool
     (reference R6: tokens → pretrained vectors → document vector).
 

@@ -173,8 +173,8 @@ ORDER BY p_partkey
 """
 
 
-@query("q37_scalar_udf", oracle=_Q29_ORACLE, tags=("U1", "udx"))
-def q37_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r141_scalar_udf", oracle=_Q29_ORACLE, tags=("U1", "udx"))
+def r141_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-at-a-time scalar UDF (U1). Kept off hot paths by design —
     see r83 for the Arrow-vectorized form."""
     reverse_chars = udf(_reverse_chars, "string")
@@ -207,8 +207,8 @@ ORDER BY doc_id, idx
 """
 
 
-@query("q42_udtf", oracle=_Q30_ORACLE, tags=("U5", "udx"))
-def q42_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r142_udtf", oracle=_Q30_ORACLE, tags=("U5", "udx"))
+def r142_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF exploding text into positional word rows via a
     LATERAL join."""
     split_words = udtf(SplitWords, returnType="idx int, word string")

@@ -346,11 +346,11 @@ _DDL_STATUS_FLAG_SELECT = _DDL_STATUS_FLAG + "ORDER BY o_orderstatus, l_linestat
 
 
 @query(
-    "r133_matview_ddl_sql",
+    "q12_matview_ddl_sql",
     oracle=_DDL_STATUS_FLAG_SELECT,
     tags=("E1c", "S16", "S13", "A1"),
 )
-def r133_matview_ddl_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q12_matview_ddl_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1c end-to-end (round-8, r7-VERDICT item 3): the user declares
     the view as SQL TEXT — ``CREATE MATERIALIZED VIEW ... AS SELECT``
     through Engine.sql — and from that statement on the identical
@@ -390,11 +390,11 @@ ORDER BY user_id, event_type
 
 
 @query(
-    "r134_corpus_user_view_sql",
+    "q13_corpus_user_view_sql",
     oracle=_CORPUS_USER_VIEW_SELECT,
     tags=("E1c", "S16", "S15", "A1"),
 )
-def r134_corpus_user_view_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q13_corpus_user_view_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S16 v3 end-to-end (round-8, r7-VERDICT item 4): a user-declared
     projection over a CORPUS table, declared as SQL DDL. The per-user
     spend profile (user_id, event_type) is exactly the shape the

@@ -579,8 +579,14 @@ def _open_pricing_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _open_order_revenue_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.retention import apply_tombstones
+
     roll_name, den_name = order_revenue_projection(spark, sf_dir)
     r, d = spark.table(roll_name), spark.table(den_name)
+    # S19 tombstones subtract on the denorm side (the inner join then
+    # drops the dead orders' rollup rows too); the rollup/denorm keep
+    # deleted orders' bytes until the scheduled OPTIMIZE rewrite.
+    d = apply_tombstones(spark, sf_dir, "orders", d)
     # Bucket-aligned join on the order key — zero exchanges on the
     # fact spine (same shape q39 plan-asserts in tests/test_plans.py).
     return r.join(d.hint("shuffle_hash"), r.l_orderkey == d.o_orderkey)
@@ -652,30 +658,17 @@ PROJECTIONS: tuple[Projection, ...] = (
         open=_open_segment_cube,
         chain=4,
     ),
-    # The rollup⋈denorm pair answers any FULL-chain star query over
-    # the attributes the denorm stores (region/nation names plus the
-    # order- and customer-level attributes, sources/bucketed.py
-    # DENORM_ATTRS) — including order-date time grains, since
-    # o_orderdate is stored at full resolution per order.
-    Projection(
-        name="order_revenue_star",
-        attrs=frozenset(
-            {"r_name", "n_name", "c_mktsegment", "o_orderstatus",
-             "o_orderpriority", "o_orderdate"}
-        ),
-        measures={"revenue": _StoredMeasure("rev_i", None)},
-        count_star_col="n_items",
-        open=_open_order_revenue_star,
-        chain=4,
-    ),
     # The star cube: every pricing measure (sums, counts, min/max
     # partials) keyed by (region, nation, returnflag, linestatus,
     # shipdate) — ~375k rows at ANY corpus scale. It answers the
-    # time-sliced star family, MIXED fact+dimension groupings, and
-    # star min/max/avg shapes the revenue-only rollup pair refuses.
-    # Listed AFTER the pair, so undated pure-star queries keep the
-    # pair's measured exchange-free plan; the cube claims only what
-    # the pair cannot.
+    # time-sliced star family, MIXED fact+dimension groupings, star
+    # min/max/avg shapes, and — round 8, A/B-remeasured — the UNDATED
+    # pure-star shapes too: re-aggregating ≤375k scale-invariant rows
+    # beats the rollup⋈denorm pair's order-grain join (0.195 s vs
+    # 0.671 s at sf5, 3.4x; the pair scales with |orders| while the
+    # cube is flat), so the cube now sits BEFORE the pair and claims
+    # every shape its key set covers. The round-5 ordering predated
+    # the cube carrying all five measures.
     Projection(
         name="star_date_cube",
         attrs=frozenset(
@@ -700,6 +693,25 @@ PROJECTIONS: tuple[Projection, ...] = (
         open=_open_star_date_cube,
         chain=4,
         sketches={"l_suppkey": "supp_hll", "l_partkey": "part_hll"},
+    ),
+    # The rollup⋈denorm pair answers any FULL-chain star query over
+    # the attributes the denorm stores (region/nation names plus the
+    # order- and customer-level attributes, sources/bucketed.py
+    # DENORM_ATTRS) — crucially including ORDER-DATE time grains
+    # (o_orderdate is stored at full per-order resolution), the family
+    # neither cube can serve. Shapes the star cube's key set covers
+    # are claimed above; the pair keeps the per-order-attribute +
+    # order-date mix (q04's segment-by-order-month family).
+    Projection(
+        name="order_revenue_star",
+        attrs=frozenset(
+            {"r_name", "n_name", "c_mktsegment", "o_orderstatus",
+             "o_orderpriority", "o_orderdate"}
+        ),
+        measures={"revenue": _StoredMeasure("rev_i", None)},
+        count_star_col="n_items",
+        open=_open_order_revenue_star,
+        chain=4,
     ),
 )
 
@@ -1338,14 +1350,17 @@ ORDER BY r_name, n_name
 )
 def q06_routed_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q26's star-revenue request in logical form, answered by
-    :func:`route`: the grouping attributes are star-reachable and the
-    aggregates re-derive from the order-revenue rollup, so the router
-    answers from the rollup ⋈ denormalized-orders pair — the
-    exchange-free bucketed spine — while the oracle joins the five raw
-    tables. The 5.5x-at-sf5 raw gap (docs/BENCHMARKS.md) becomes the
-    1.2x projection path without the caller naming any projection."""
+    :func:`route`: the grouping attributes are star-reachable and every
+    aggregate re-derives from stored partials, so the router answers
+    from the ~375k-row scale-invariant STAR CUBE (round 8 — the A/B
+    that closed the q06 variance: re-aggregating the cube measured
+    3.4x faster at sf5 than the rollup⋈denorm pair that previously
+    claimed this shape, and it scales flat while the pair scales with
+    |orders|) while the oracle joins the five raw tables. The
+    5.5x-at-sf5 raw gap (docs/BENCHMARKS.md) becomes a sub-DuckDB
+    cube path without the caller naming any projection."""
     df, chosen = route(spark, sf_dir, _ROUTED_STAR_SPEC)
-    assert chosen == "order_revenue_star", chosen
+    assert chosen == "star_date_cube", chosen
     return df
 
 

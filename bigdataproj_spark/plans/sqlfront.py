@@ -1879,11 +1879,11 @@ ORDER BY e_category, day
 
 
 @query(
-    "r132_sql_events_category_rollup",
+    "q03_sql_events_category_rollup",
     oracle=f"WITH event_types AS (\n{_EVENT_TYPES_DIM_SQL}\n)\n{_SQL_EVENTS_CATEGORY}",
     tags=("S15", "E1", "J4", "ST1"),
 )
-def r132_sql_events_category_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q03_sql_events_category_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The EVENTS star's registry arm — the second CORPUS_DIMS
     instance, proving the dim machinery is table-generic: daily value
     by event CATEGORY (an engine-maintained taxonomy over event_type)

@@ -450,11 +450,11 @@ ORDER BY lang, source
 
 
 @query(
-    "r135_delete_documents_sql",
+    "q17_delete_documents_sql",
     oracle=_DELETE_DOCS_ORACLE,
     tags=("S19", "S15", "A1"),
 )
-def r135_delete_documents_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q17_delete_documents_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S19 end-to-end (round-8, r7-VERDICT item 5): opt-out removal.
     A copy of the corpus deploys the doc-stats cube, then
     ``delete_documents`` tombstones every doc_id ≡ 3 (mod 17); the
@@ -499,11 +499,11 @@ ORDER BY l_returnflag, l_linestatus
 
 
 @query(
-    "r136_delete_orders_sql",
+    "q37_delete_orders_sql",
     oracle=_DELETE_ORDERS_ORACLE,
     tags=("S19", "S13", "A1"),
 )
-def r136_delete_orders_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q37_delete_orders_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S19's cascading form: ``delete_orders`` tombstones every order
     ≡ 7 (mod 23) AND their lineitems; the pricing cube's affected
     (flag, status, day) groups rebuild from surviving rows, and the

@@ -36,7 +36,7 @@ def query_index(spark: SparkSession, path: str) -> DataFrame:
 
 def _enriched_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Documents + sentiment label (the L6 lexicon scorer, shared
-    with q13 via text.sentiment_scores) — the engine's analog of the
+    with r139 via text.sentiment_scores) — the engine's analog of the
     reference's enriched-tweet record."""
     d = table(spark, sf_dir, "documents")
     scores = sentiment_scores(d)

@@ -41,7 +41,7 @@ EXTRA = {
     "r40_training_order",
     "r119_incremental_dedup",
     "r126_chunk_dedup",
-    "q47_sequence_packing",
+    "r144_sequence_packing",
     "r130_decontamination",
     "q32_training_mix_pipeline",
     "r53_dsir_resample",

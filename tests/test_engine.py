@@ -213,7 +213,7 @@ def test_concurrent_queries_on_shared_session(spark, sf_dir):
     qs = load_all()
     names = [
         "q01_pricing_summary",
-        "q12_token_counts",
+        "r138_token_counts",
         "r31_semi_join",
         "r33_rank_functions",
         "r35_union_all",

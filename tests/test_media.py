@@ -4,7 +4,7 @@ These pin the codec layer below the oracle-checked queries: exact
 pixel arrays through encode→decode round trips, known-answer resamples,
 header parses of handcrafted (non-engine-generated) containers, and
 loud failure on garbage. The distributed pipeline on top is checked by
-the q45/r127/r106 oracle rows."""
+the r143/r127/q47 oracle rows."""
 
 from __future__ import annotations
 

@@ -164,9 +164,9 @@ def test_hash_split_is_shuffle_free(spark, sf_dir):
 
 
 def test_profile_is_single_scan(spark, sf_dir):
-    """q50 must profile all five columns in ONE pass: exactly one
+    """r145 must profile all five columns in ONE pass: exactly one
     parquet scan in the plan, however many statistics are computed."""
-    df = load_all()["q50_column_profile"].build(spark, sf_dir)
+    df = load_all()["r145_column_profile"].build(spark, sf_dir)
     plan = plan_of(df)
     assert plan.count("Scan parquet") == 1, plan
 

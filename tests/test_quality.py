@@ -17,7 +17,7 @@ from bigdataproj_spark.operators.quality import (
     _PHONE_RE,
     r41_repetition_stats,
     q15_quality_gate,
-    r103_pii_scrub,
+    q42_pii_scrub,
 )
 from bigdataproj_spark.plans import physical_plan as plan_of
 
@@ -55,7 +55,7 @@ def test_quality_gate_keep_is_conjunction(spark, sf_dir):
 def test_pii_scrub_leaves_no_matches(spark, sf_dir):
     """After redaction the scrubbed text contains zero email/phone
     matches, and the audit counts equal the redaction placeholders."""
-    pdf = r103_pii_scrub(spark, sf_dir).toPandas()
+    pdf = q42_pii_scrub(spark, sf_dir).toPandas()
     assert len(pdf) > 0
     assert (pdf["n_emails"] >= 1).all()  # synthetic contact always has one
     assert (pdf["n_phones"] >= 1).all()
@@ -72,7 +72,7 @@ def test_quality_gate_and_scrub_are_map_only(spark, sf_dir):
     """The r02/r03 docstrings claim zero data shuffles: the only
     exchange allowed in either plan is the final ORDER BY's range
     exchange over the raw scan."""
-    for build in (q15_quality_gate, r103_pii_scrub):
+    for build in (q15_quality_gate, q42_pii_scrub):
         plan = plan_of(build(spark, sf_dir))
         exchanges = [
             line for line in plan.splitlines() if re.search(r"\bExchange\b", line)
@@ -105,10 +105,10 @@ def test_sequence_packing_tape_is_contiguous(spark, sf_dir):
     span is consistent with its offset and the fixed budget."""
     from bigdataproj_spark.operators.quality import (
         _SEQ_BUDGET,
-        q47_sequence_packing,
+        r144_sequence_packing,
     )
 
-    pdf = q47_sequence_packing(spark, sf_dir).toPandas()
+    pdf = r144_sequence_packing(spark, sf_dir).toPandas()
     assert len(pdf) > 0
     assert pdf["start_offset"].iloc[0] == 0
     expected = (pdf["start_offset"] + pdf["n_tokens"]).shift(1).fillna(0)

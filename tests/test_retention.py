@@ -304,6 +304,19 @@ class TestDeleteOrders:
         dft2, _ct2 = route(spark, truth, spine_spec)
         assert cw2 == "bucketed_spine"
         assert dfw2.toPandas().equals(dft2.toPandas())
+        # the rollup⋈denorm PAIR path (order-grain layouts, not
+        # rebuilt — they subtract via tombstones at read)
+        pair_spec = AggQuery(
+            filters=(),
+            group_by=("c_mktsegment", "om"),
+            aggs=(AggCall("sum", "revenue", "rev"),),
+            truncs=(("om", "month", "o_orderdate"),),
+            chain=4,
+        )
+        dfw3, cw3 = route(spark, work, pair_spec)
+        dft3, _ = route(spark, truth, pair_spec)
+        assert cw3 == "order_revenue_star"
+        assert dfw3.toPandas().equals(dft3.toPandas())
         # re-delete no-op
         assert delete_orders(spark, work, keys) == {}
 

@@ -53,13 +53,33 @@ def test_pricing_shape_routes_to_cube_and_skips_raw_scan(spark, sf_dir):
     assert "lineitem.parquet" not in plan, plan
 
 
-def test_star_shape_routes_to_projection_pair(spark, sf_dir):
+def test_star_shape_routes_to_star_cube(spark, sf_dir):
+    """Round 8: the undated pure-star shape is claimed by the
+    scale-invariant star cube (A/B: 3.4x faster than the rollup pair
+    at sf5 and flat over corpus size)."""
     df, chosen = route(spark, sf_dir, STAR)
+    assert chosen == "star_date_cube"
+    plan = plan_of(df)
+    assert "star_date" in plan, plan  # scan paths truncate in the plan string
+    for raw in ("lineitem.parquet", "orders.parquet", "customer.parquet"):
+        assert raw not in plan, plan
+
+
+def test_order_date_star_shape_keeps_projection_pair(spark, sf_dir):
+    """The per-order-attribute + ORDER-DATE family neither cube can
+    serve stays on the exchange-free rollup⋈denorm pair."""
+    spec = AggQuery(
+        filters=(),
+        group_by=("c_mktsegment", "om"),
+        aggs=(AggCall("sum", "revenue", "revenue"),),
+        truncs=(("om", "month", "o_orderdate"),),
+        chain=4,  # the declared full chain (q04's SQL family)
+    )
+    df, chosen = route(spark, sf_dir, spec)
     assert chosen == "order_revenue_star"
     plan = plan_of(df)
     assert "lineitem_rollup" in plan and "orders_denorm" in plan, plan
-    for raw in ("lineitem.parquet", "orders.parquet", "customer.parquet"):
-        assert raw not in plan, plan
+    assert df.toPandas().equals(_raw_plan(spark, sf_dir, spec).toPandas())
 
 
 def test_routed_results_equal_raw_plan(spark, sf_dir):
@@ -125,7 +145,7 @@ def test_star_filter_routes_and_matches_raw(spark, sf_dir):
         ),
     )
     routed, chosen = route(spark, sf_dir, spec)
-    assert chosen == "order_revenue_star"
+    assert chosen == "star_date_cube"
     assert routed.toPandas().equals(_raw_plan(spark, sf_dir, spec).toPandas())
 
 
@@ -318,9 +338,10 @@ def test_dated_star_routes_to_date_cube_and_matches_raw(spark, sf_dir):
     assert "lineitem.parquet" not in plan and "customer.parquet" not in plan, plan
     raw = _raw_plan(spark, sf_dir, _ROUTED_STAR_DATE_SPEC)
     assert routed.toPandas().equals(raw.toPandas())
-    # undated star still prefers the rollup pair
+    # the undated star ALSO folds onto the cube (round 8: it claims
+    # every shape its key set covers; the pair keeps o_orderdate mixes)
     _, undated_choice = route(spark, sf_dir, STAR)
-    assert undated_choice == "order_revenue_star"
+    assert undated_choice == "star_date_cube"
 
 
 def test_approx_distinct_folds_on_star_sketch_partials(spark, sf_dir):

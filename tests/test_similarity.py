@@ -1,7 +1,7 @@
 """Semantic tests for similarity search (L3): ANN-vs-exact recall and
 the numeric kernel.
 
-r104 (LSH-bucketed ANN) has no SQL oracle; its contract is recall
+q45 (LSH-bucketed ANN) has no SQL oracle; its contract is recall
 against q29's exact brute-force answer (SURVEY.md §2.3 L3).
 """
 
@@ -34,7 +34,7 @@ def test_ann_results_are_subset_of_exact_topk(spark, sf_dir):
     exact (re-ranked), so it must appear in the exact top-20 of its
     probe (ANN searches a subset of candidates)."""
     exact = load_all()["q29_cosine_topk"].build(spark, sf_dir).collect()
-    ann = load_all()["r104_ann_lsh"].build(spark, sf_dir).collect()
+    ann = load_all()["q45_ann_lsh"].build(spark, sf_dir).collect()
     assert ann, "ANN should return candidates on the fixture"
     exact_cos = {
         (r["probe_id"], r["cand_id"]): r["cos_sim"] for r in exact
@@ -197,11 +197,11 @@ def test_bounded_collect_guard_fires_on_oversized_fixture(spark, tmp_path):
     )
     pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
     with pytest.raises(AssertionError, match="documented bound is 400"):
-        load_all()["r107_semantic_dedup"].build(spark, str(tmp_path))
+        load_all()["q50_semantic_dedup"].build(spark, str(tmp_path))
 
 
 def test_pq_adc_rerank_recall_vs_exact(spark, sf_dir):
-    """q03's two-stage PQ (ADC shortlist -> exact re-rank) must keep
+    """r137's two-stage PQ (ADC shortlist -> exact re-rank) must keep
     most of the true top-3 (recall pinned at each fixture scale:
     measured 0.73-0.87; threshold leaves host-variance margin). The
     exact ground truth replays the engine's own Q20 squared-L2."""
@@ -215,7 +215,7 @@ def test_pq_adc_rerank_recall_vs_exact(spark, sf_dir):
     Q = np.floor(
         np.stack(e["embedding"].to_numpy()).astype(np.float64) * _Q
     ).astype(np.int64)
-    got = load_all()["q03_ann_pq"].build(spark, sf_dir).toPandas()
+    got = load_all()["r137_ann_pq"].build(spark, sf_dir).toPandas()
     rec = []
     for pid in range(5):
         p = Q[ids == pid][0]

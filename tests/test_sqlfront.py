@@ -211,7 +211,7 @@ def test_unsupported_family_raises(bad):
     "sql,want_chosen",
     [
         (PRICING_SQL, "pricing_cube"),
-        (STAR_SQL, "order_revenue_star"),
+        (STAR_SQL, "star_date_cube"),
         (SCAN_SQL, "zorder_lineitem"),
     ],
 )
@@ -354,14 +354,16 @@ def test_routed_sql_matches_duckdb(spark, sf_dir, oracle, sql, want_chosen):
             " JOIN nation ON c_nationkey = n_nationkey"
             " JOIN region ON n_regionkey = r_regionkey"
             " ORDER BY r_name",
-            "order_revenue_star",
+            "star_date_cube",
         ),
-        # PREFIX chain (lineitem⋈orders only): no projection stores
-        # chain 1, so the generalized raw plan answers it
+        # PREFIX chain (lineitem⋈orders only): no projection stores a
+        # chain-1 o_orderdate grain (registry user views claim the
+        # status/priority chain-1 shapes since q20/q12 deploy them),
+        # so the generalized raw plan answers it
         (
-            "SELECT o_orderstatus, count(*) AS n FROM lineitem"
-            " JOIN orders ON l_orderkey = o_orderkey"
-            " GROUP BY o_orderstatus ORDER BY o_orderstatus",
+            "SELECT date_trunc('month', o_orderdate) AS om, count(*) AS n"
+            " FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+            " GROUP BY om ORDER BY om",
             "raw",
         ),
         # mixed local+star grouping: the widened star cube stores both
@@ -553,11 +555,12 @@ def test_engine_sql_falls_back_outside_family(spark, sf_dir, oracle):
             "pricing_cube",
         ),
         # flipped join-condition order: the edge SET comparison is
-        # orientation-free
+        # orientation-free (chain-1 o_orderdate grain: raw — the
+        # status/priority chain-1 shapes belong to registry user views)
         (
-            "SELECT o_orderstatus, COUNT(*) AS n FROM lineitem"
-            " JOIN orders ON o_orderkey = l_orderkey"
-            " GROUP BY o_orderstatus ORDER BY o_orderstatus",
+            "SELECT date_trunc('month', o_orderdate) AS om, COUNT(*) AS n"
+            " FROM lineitem JOIN orders ON o_orderkey = l_orderkey"
+            " GROUP BY om ORDER BY om",
             "raw",
         ),
         # reversed BETWEEN bounds: an empty fold must produce the
