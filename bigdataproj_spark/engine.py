@@ -268,7 +268,9 @@ class Engine:
             df, _ = route_scan(self.spark, self.sf_dir, spec)
         return df
 
-    def deploy_projection(self, name: str, keys, measures=None, table="lineitem"):
+    def deploy_projection(
+        self, name: str, keys, measures=None, table="lineitem", time_key=None
+    ):
         """S16: materialize a user-declared aggregate projection and
         register it with the router — from this call on, matching
         specs AND matching SQL through :meth:`sql` are answered from
@@ -277,8 +279,10 @@ class Engine:
         measures — the view then claims exactly the statements
         declaring those joins. v3: ``table`` may name a CORPUS fact
         table (documents/events) — keys then mix fact columns and S17
-        dim attributes (sources/corpus_user_projections.py). The same
-        views are declarable as SQL text:
+        dim attributes, and ``time_key=(alias, ts_col)`` declares the
+        optional HOUR-grain time key
+        (sources/corpus_user_projections.py). The same views are
+        declarable as SQL text:
         ``CREATE MATERIALIZED VIEW name AS SELECT ...`` through
         :meth:`sql` (plans/ddl.py)."""
         from .plans.corpus_routing import CORPUS_TABLES
@@ -291,6 +295,12 @@ class Engine:
             return deploy_corpus_projection(
                 self.spark, self.sf_dir, name, table, tuple(keys),
                 tuple(measures) if measures else None,
+                tuple(time_key) if time_key else None,
+            )
+        if time_key is not None:
+            raise ValueError(
+                "time_key applies to corpus-table projections only "
+                "(the lineitem star folds date grains from the cubes)"
             )
         from .sources.user_projections import _ALL_MEASURES, deploy_projection
 

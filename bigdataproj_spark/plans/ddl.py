@@ -72,8 +72,8 @@ _SHOW_RE = re.compile(
 
 _STATUS_SCHEMA = "view string, status string"
 _SHOW_SCHEMA = (
-    "name string, keys string, measures string, chain int, "
-    "part boolean, supp boolean"
+    "name string, table_name string, keys string, measures string, "
+    "chain int, part boolean, supp boolean, time_key string"
 )
 
 
@@ -212,23 +212,24 @@ def _create(
                 f"materialized view {name!r} already exists "
                 "(use OR REPLACE or IF NOT EXISTS)"
             )
-        # OR REPLACE over a name in EITHER catalog: deregister the old
-        # entry first, so a redefinition that moves the view between
-        # the lineitem and corpus families never leaves a stale twin
-        from ..sources.corpus_user_projections import drop_corpus_projection
-        from ..sources.user_projections import drop_projection
-
-        drop_projection(spark, sf_dir, name)
-        drop_corpus_projection(spark, sf_dir, name)
+    # Parse + validate the NEW definition before touching the old
+    # entry: a refused OR REPLACE redefinition must leave the serving
+    # view exactly as it was (deploy replaces its own catalog's entry
+    # atomically; only the OTHER family's stale twin is dropped, and
+    # only after the new view is live).
     try:
         parsed = parse_sql(select)
     except UnsupportedSQL as e:
         raise ValueError(
             f"the view definition is not a declarable aggregate: {e}"
         ) from e
+    from ..sources.corpus_user_projections import drop_corpus_projection
+    from ..sources.user_projections import drop_projection
+
     if isinstance(parsed.spec, AggQuery):
         keys, measures = _lower_lineitem_create(parsed)
         deploy_projection(spark, sf_dir, name, keys, measures)
+        drop_corpus_projection(spark, sf_dir, name)
     else:
         from .corpus_routing import TableAggQuery
 
@@ -241,6 +242,7 @@ def _create(
             deploy_corpus_projection(
                 spark, sf_dir, name, table_name, keys, measures, time_key
             )
+            drop_projection(spark, sf_dir, name)
         else:
             raise ValueError(
                 "only grouped aggregates (over the lineitem star or a "
@@ -305,8 +307,9 @@ def _show(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rows = [
         (
-            u["name"], ",".join(u["keys"]), ",".join(u["measures"]),
-            u["chain"], u["part"], u["supp"],
+            u["name"], "lineitem", ",".join(u["keys"]),
+            ",".join(u["measures"]), u["chain"], u["part"], u["supp"],
+            None,
         )
         for u in list_projections(spark, sf_dir)
     ]
@@ -314,8 +317,10 @@ def _show(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rows += [
         (
-            u["name"], ",".join(u["keys"]), ",".join(u["measures"]),
-            0, False, False,
+            u["name"], u["table"], ",".join(u["keys"]),
+            ",".join(u["measures"]), None, None, None,
+            f"{u['time_key'][0]}=hour({u['time_key'][1]})"
+            if u["time_key"] else None,
         )
         for u in list_corpus_projections(spark, sf_dir)
     ]

@@ -106,6 +106,21 @@ def _refresh_warehouse_body(
     ):
         if delta is not None:
             ingested.add((sf_dir, tname))
+    # S19: a TOMBSTONED key stays deleted — delta rows carrying one are
+    # dropped from the batch BEFORE any layout sees them. Without this,
+    # the cube delta-merges would count a re-ingested dead key while
+    # every row-level read path still subtracts it (tombstones are
+    # retained against the immutable fixture, docs/DECISIONS.md), and
+    # routed vs raw answers would disagree forever. Restoring deleted
+    # content requires a NEW key — the standard erasure semantics.
+    from .retention import apply_tombstones
+
+    if lineitem is not None:
+        lineitem = apply_tombstones(spark, sf_dir, "orders", lineitem, "l_orderkey")
+    if orders is not None:
+        orders = apply_tombstones(spark, sf_dir, "orders", orders)
+    if documents is not None:
+        documents = apply_tombstones(spark, sf_dir, "documents", documents)
     # 1. Dimension side first: the star cube's delta joins the stored
     #    denorm, so new orders must be visible there before any
     #    lineitem-driven cube refresh runs.

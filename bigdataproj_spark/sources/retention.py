@@ -146,6 +146,20 @@ def _splice_groups(
     return kept.unionByName(recomputed)
 
 
+def _publish_user_version(spark: SparkSession, u, merged: DataFrame) -> str:
+    """Publish a rebuilt USER-projection cube as a new version and
+    swing the catalog entry's path — the one publish discipline for
+    both user catalogs (lineitem star + corpus), shared with their
+    refresh paths' version keying."""
+    versions: dict = spark.__dict__.setdefault("_bdp_projection_versions", {})
+    v = versions.get(u.base_path, 0) + 1
+    versions[u.base_path] = v
+    new_path = f"{u.base_path}_v{v}"
+    merged.write.mode("overwrite").parquet(new_path)
+    u.path = new_path
+    return new_path
+
+
 def _publish_cube(
     spark: SparkSession, memo_key: tuple, stored_path: str, merged: DataFrame
 ) -> str:
@@ -236,13 +250,7 @@ def delete_documents(spark: SparkSession, sf_dir: str, doc_ids) -> dict[str, str
             merged = _splice_groups(
                 spark, stored, group_cols, affected, remaining_cube
             )
-            versions: dict = sd.setdefault("_bdp_projection_versions", {})
-            v = versions.get(u.base_path, 0) + 1
-            versions[u.base_path] = v
-            new_path = f"{u.base_path}_v{v}"
-            merged.write.mode("overwrite").parquet(new_path)
-            u.path = new_path
-            done[f"user:{name}"] = new_path
+            done[f"user:{name}"] = _publish_user_version(spark, u, merged)
 
         # verbatim views must re-point at the (now tombstone-aware)
         # current relation
@@ -335,7 +343,6 @@ def delete_orders(spark: SparkSession, sf_dir: str, order_keys) -> dict[str, str
         # user lineitem projections: per-view affected-group recompute
         from .user_projections import _build_cube as _user_build
         from .user_projections import _catalog as _user_catalog
-        from .user_projections import _merge_cols, _partial_aggs  # noqa: F401
 
         for name, u in list(_user_catalog(spark, sf_dir).items()):
             dead_cube_keys = (
@@ -354,13 +361,7 @@ def delete_orders(spark: SparkSession, sf_dir: str, order_keys) -> dict[str, str
             merged = _splice_groups(
                 spark, stored, list(u.keys), dead_cube_keys, live_cube
             )
-            versions: dict = sd.setdefault("_bdp_projection_versions", {})
-            v = versions.get(u.base_path, 0) + 1
-            versions[u.base_path] = v
-            new_path = f"{u.base_path}_v{v}"
-            merged.write.mode("overwrite").parquet(new_path)
-            u.path = new_path
-            done[f"user:{name}"] = new_path
+            done[f"user:{name}"] = _publish_user_version(spark, u, merged)
 
         ingested: set = sd.setdefault("_bdp_ingested", set())
         ingested.add((sf_dir, "lineitem"))

@@ -380,3 +380,75 @@ class TestCorpusUserProjections:
         total_n = df.agg(F.sum("n").alias("n")).collect()[0]["n"]
         assert total_n == events.count()
         drop_corpus_projection(spark, sf_base, "t_wh")
+
+
+class TestReviewRegressions:
+    def test_or_replace_with_invalid_definition_keeps_old_view(
+        self, eng, spark, sf_dir
+    ):
+        """A refused OR REPLACE redefinition must leave the serving
+        view untouched (round-8 review: the old code dropped the entry
+        before validating the new definition)."""
+        eng.sql(
+            "CREATE OR REPLACE MATERIALIZED VIEW t_keepme AS "
+            "SELECT o_orderstatus, l_returnflag, COUNT(*) AS n "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "GROUP BY o_orderstatus, l_returnflag"
+        )
+        with pytest.raises(ValueError, match="WHERE clause"):
+            eng.sql(
+                "CREATE OR REPLACE MATERIALIZED VIEW t_keepme AS "
+                "SELECT l_linestatus, COUNT(*) AS n FROM lineitem "
+                "WHERE l_discount < 0.05 GROUP BY l_linestatus"
+            )
+        rows = [
+            r
+            for r in eng.sql("SHOW MATERIALIZED VIEWS").collect()
+            if r["name"] == "t_keepme"
+        ]
+        assert len(rows) == 1 and rows[0]["keys"] == "o_orderstatus,l_returnflag"
+        sel = (
+            "SELECT o_orderstatus, l_returnflag, COUNT(*) AS n "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "GROUP BY o_orderstatus, l_returnflag "
+            "ORDER BY o_orderstatus, l_returnflag"
+        )
+        _df, chosen = route_sql(spark, sf_dir, sel)
+        assert chosen == "user:t_keepme"
+        eng.sql("DROP MATERIALIZED VIEW t_keepme")
+
+    def test_show_carries_corpus_metadata(self, eng):
+        eng.sql(
+            "CREATE OR REPLACE MATERIALIZED VIEW t_show_meta AS "
+            "SELECT user_id, date_trunc('hour', ts) AS h, COUNT(*) AS n "
+            "FROM events GROUP BY user_id, date_trunc('hour', ts)"
+        )
+        row = next(
+            r
+            for r in eng.sql("SHOW MATERIALIZED VIEWS").collect()
+            if r["name"] == "t_show_meta"
+        )
+        assert row["table_name"] == "events"
+        assert row["time_key"] == "h=hour(ts)"
+        eng.sql("DROP MATERIALIZED VIEW t_show_meta")
+
+    def test_engine_facade_accepts_corpus_time_key(self, eng, spark, sf_dir):
+        eng.deploy_projection(
+            "t_facade_hour", ("user_id",), ("value",),
+            table="events", time_key=("u_hour", "ts"),
+        )
+        from bigdataproj_spark.sources.corpus_user_projections import (
+            list_corpus_projections,
+        )
+
+        u = next(
+            p
+            for p in list_corpus_projections(spark, sf_dir)
+            if p["name"] == "t_facade_hour"
+        )
+        assert u["time_key"] == ("u_hour", "ts")
+        drop_corpus_projection(spark, sf_dir, "t_facade_hour")
+        with pytest.raises(ValueError, match="corpus-table projections only"):
+            eng.deploy_projection(
+                "t_bad", ("l_returnflag",), time_key=("x", "l_shipdate")
+            )

@@ -494,3 +494,54 @@ def test_delete_from_dedup_index(spark, tmp_path):
     assert n == 2
     left = {r["doc_id"] for r in spark.read.parquet(idx).collect()}
     assert left == {1, 3}
+
+
+def test_reingesting_deleted_keys_stays_deleted_everywhere(
+    spark, sf_dir, tmp_path
+):
+    """Round-8 review: a tombstoned key stays deleted — a redelivered
+    batch carrying it is filtered before ANY layout sees it, so the
+    cube-routed, raw, and verbatim answers keep agreeing (the old code
+    let the cube delta-merge count the re-ingested rows while every
+    row-level path still subtracted them)."""
+    from bigdataproj_spark.engine import Engine
+    from bigdataproj_spark.sources.bucketed import pricing_cube_table
+    from bigdataproj_spark.sources.maintenance import refresh_warehouse
+
+    tables = (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    )
+    work = _copy(spark, sf_dir, tmp_path / "w", tables)
+    truth = _reduced(
+        spark, sf_dir, tmp_path / "t",
+        {
+            **{t: None for t in tables},
+            "orders": F.col("o_orderkey") % 47 != 11,
+            "lineitem": F.col("l_orderkey") % 47 != 11,
+        },
+    )
+    pricing_cube_table(spark, work)
+    dead_orders = table(spark, work, "orders").filter(
+        F.col("o_orderkey") % 47 == 11
+    )
+    dead_li = table(spark, work, "lineitem").filter(
+        F.col("l_orderkey") % 47 == 11
+    )
+    delete_orders(spark, work, dead_orders.select("o_orderkey"))
+    # redeliver the deleted rows as an ingest batch
+    refresh_warehouse(spark, work, lineitem=dead_li, orders=dead_orders)
+
+    spec = AggQuery(
+        filters=(),
+        group_by=("l_returnflag", "l_linestatus"),
+        aggs=(AggCall("sum", "quantity", "q"), AggCall("count_star", None, "n")),
+    )
+    routed, chosen = route(spark, work, spec)
+    assert chosen == "pricing_cube"
+    want, _ = route(spark, truth, spec)
+    assert routed.toPandas().equals(want.toPandas())
+    # verbatim agrees too
+    eng = Engine(spark, work)
+    n = eng.sql("SELECT count(*) AS n FROM lineitem").collect()[0]["n"]
+    assert n == table(spark, truth, "lineitem").count()
