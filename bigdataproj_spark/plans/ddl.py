@@ -69,6 +69,21 @@ _DROP_RE = re.compile(
 _SHOW_RE = re.compile(
     r"^\s*SHOW\s+MATERIALIZED\s+VIEWS\s*;?\s*$", re.IGNORECASE
 )
+# S19's DML spelling: targeted key-list deletes. Deliberately strict —
+# the erasure op takes an explicit key list (opt-out/GDPR requests
+# arrive as id lists); a general predicate describes a retention
+# POLICY, which callers express by selecting the ids first (any query)
+# and passing them to the API. Spark has no DELETE on parquet paths,
+# so like the MATERIALIZED VIEW forms this never collides with the
+# verbatim fallback.
+_DELETE_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+(?P<table>documents|orders)\s+"
+    r"WHERE\s+(?P<key>[A-Za-z_][A-Za-z0-9_]*)\s+"
+    r"(?:IN\s*\(\s*(?P<ids>\d+(?:\s*,\s*\d+)*)\s*\)|=\s*(?P<one>\d+))"
+    r"\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DELETE_ANY_RE = re.compile(r"^\s*DELETE\s+FROM\b", re.IGNORECASE)
 
 _STATUS_SCHEMA = "view string, status string"
 _SHOW_SCHEMA = (
@@ -156,6 +171,8 @@ def try_ddl(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame | None:
     undeclarable DDL raises ValueError with the reason."""
     if _SHOW_RE.match(sql):
         return _show(spark, sf_dir)
+    if _DELETE_ANY_RE.match(sql):
+        return _delete(spark, sf_dir, sql)
     if not _DDL_RE.match(sql):
         return None
     m = _CREATE_RE.match(sql)
@@ -418,3 +435,43 @@ def q13_corpus_user_view_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     df, chosen = route_sql(spark, sf_dir, _CORPUS_USER_VIEW_SELECT)
     assert chosen == "user:user_spend_profile", chosen
     return df
+
+
+def _delete(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    """S19's DML surface: ``DELETE FROM documents|orders WHERE <key>
+    IN (ids)`` (or ``= id``) lowers onto delete_documents /
+    delete_orders — the full tombstone + affected-group propagation,
+    all-or-nothing under WarehouseTxn. Order deletes cascade to
+    lineitems, exactly like the API. Any other DELETE form is refused
+    with the reason (predicates are retention policies: select the
+    ids, pass them to the API)."""
+    from ..sources.retention import TOMBSTONE_KEYS, delete_documents, delete_orders
+
+    m = _DELETE_RE.match(sql)
+    if m is None:
+        raise ValueError(
+            "unsupported DELETE form; the engine's erasure op is "
+            "DELETE FROM documents|orders WHERE <key> IN (id, ...) — "
+            "for predicate-driven retention, select the ids and call "
+            "delete_documents/delete_orders with them"
+        )
+    table_name = m.group("table").lower()
+    key = m.group("key").lower()
+    want_key = TOMBSTONE_KEYS[table_name]
+    if key != want_key:
+        raise ValueError(
+            f"DELETE FROM {table_name} must key on {want_key!r}, not {key!r}"
+        )
+    ids = (
+        [int(m.group("one"))]
+        if m.group("one")
+        else [int(x) for x in m.group("ids").split(",")]
+    )
+    if table_name == "documents":
+        done = delete_documents(spark, sf_dir, ids)
+    else:
+        done = delete_orders(spark, sf_dir, ids)
+    return spark.createDataFrame(
+        [(table_name, len(ids), len(done))],
+        "table_name string, n_keys int, layouts_republished int",
+    )

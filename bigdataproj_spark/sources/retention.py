@@ -422,11 +422,18 @@ _DEMO_ROOT = os.path.join(tempfile.gettempdir(), "bigdataproj_retention_demo")
 
 def _demo_corpus(spark: SparkSession, sf_dir: str, tables: tuple[str, ...]) -> str:
     """A session-scoped mutable copy of selected fixture tables (the
-    delete demos' sandbox; memoized per (sf_dir, tables))."""
+    delete demos' sandbox; memoized per (sf_dir, tables)). Each
+    (sf_dir, tables) key gets its OWN directory — tombstones are
+    keyed by corpus path, so two delete demos sharing a directory
+    would see each other's deletions and drift from their oracles
+    (found by the driver running all demos in one session)."""
+    import hashlib
+
     from .bucketed import _layout_paths
 
     tag, _wh = _layout_paths(sf_dir)
-    root = os.path.join(pid_scratch(_DEMO_ROOT), tag)
+    sub = hashlib.md5(",".join(tables).encode()).hexdigest()[:8]
+    root = os.path.join(pid_scratch(_DEMO_ROOT), f"{tag}_{sub}")
     memo: dict = spark.__dict__.setdefault("_bdp_retention_demo", {})
     key = (sf_dir, tables)
     if key in memo:
@@ -531,4 +538,61 @@ def q37_delete_orders_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df, chosen = route_sql(spark, demo, sql)
     assert chosen == "pricing_cube", chosen
+    return df
+
+
+_DML_DELETE_ORACLE = """
+SELECT lang,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+  COUNT(*) AS n
+FROM documents
+WHERE doc_id % 19 <> 6
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@query(
+    "r146_sql_delete_dml",
+    oracle=_DML_DELETE_ORACLE,
+    tags=("S19", "E1", "A1"),
+)
+def r146_sql_delete_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S19's DML spelling end to end: the erasure request arrives as
+    SQL text — ``DELETE FROM documents WHERE doc_id IN (…)`` through
+    Engine.sql (plans/ddl.py) — and the subsequent profile statement,
+    still answered from the doc-stats cube, matches DuckDB over the
+    raw table with the deleted keys predicated out. The id list is
+    derived from the corpus (doc_id ≡ 6 mod 19), chunked through the
+    strict IN-list grammar exactly as an opt-out batch would arrive."""
+    from ..catalog import TABLES
+    from ..engine import Engine
+    from .corpus_cubes import docs_stats_cube_table
+
+    # Engine.sql registers EVERY fixture view, so this demo corpus
+    # copies the full table set (unlike r135/r136, which drive the
+    # routers directly)
+    demo = _demo_corpus(spark, sf_dir, TABLES)
+    docs_stats_cube_table(spark, demo)
+    ids = [
+        r["doc_id"]
+        for r in table(spark, demo, "documents")
+        .filter(F.col("doc_id") % 19 == 6)
+        .select("doc_id")
+        .collect()
+    ]
+    eng = Engine(spark, demo)
+    eng.sql(
+        "DELETE FROM documents WHERE doc_id IN ("
+        + ", ".join(str(i) for i in ids)
+        + ")"
+    )
+    sql = (
+        "SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS total_chars, "
+        "COUNT(*) AS n FROM documents GROUP BY lang ORDER BY lang"
+    )
+    from ..plans.sqlfront import route_sql
+
+    df, chosen = route_sql(spark, demo, sql)
+    assert chosen == "docs_stats_cube", chosen
     return df

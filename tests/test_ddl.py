@@ -452,3 +452,39 @@ class TestReviewRegressions:
             eng.deploy_projection(
                 "t_bad", ("l_returnflag",), time_key=("x", "l_shipdate")
             )
+
+
+class TestDeleteDML:
+    def test_delete_statement_propagates(self, spark, sf_dir, tmp_path):
+        from bigdataproj_spark.catalog import table as _table
+
+        work = tmp_path / "w"
+        work.mkdir()
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "documents", "embeddings"):
+            _table(spark, sf_dir, t).write.parquet(str(work / f"{t}.parquet"))
+        e = Engine(spark, str(work))
+        n0 = e.sql("SELECT count(*) AS n FROM documents").collect()[0]["n"]
+        out = e.sql("DELETE FROM documents WHERE doc_id IN (3, 4, 5)")
+        row = out.collect()[0]
+        assert row["table_name"] == "documents" and row["n_keys"] == 3
+        n1 = e.sql("SELECT count(*) AS n FROM documents").collect()[0]["n"]
+        assert n1 == n0 - 3
+        # single-key form, orders (cascades)
+        li0 = e.sql("SELECT count(*) AS n FROM lineitem").collect()[0]["n"]
+        dead_li = (
+            _table(spark, str(work), "lineitem")
+            .filter(F.col("l_orderkey") == 11)
+            .count()
+        )
+        e.sql("DELETE FROM orders WHERE o_orderkey = 11")
+        li1 = e.sql("SELECT count(*) AS n FROM lineitem").collect()[0]["n"]
+        assert li1 == li0 - dead_li
+
+    def test_delete_refusals(self, eng):
+        with pytest.raises(ValueError, match="unsupported DELETE form"):
+            eng.sql("DELETE FROM documents WHERE lang = 'en'")
+        with pytest.raises(ValueError, match="unsupported DELETE form"):
+            eng.sql("DELETE FROM lineitem WHERE l_orderkey = 1")
+        with pytest.raises(ValueError, match="must key on"):
+            eng.sql("DELETE FROM orders WHERE o_custkey IN (1, 2)")
