@@ -340,6 +340,29 @@ class Engine:
 
         return optimize_warehouse(self.spark, self.sf_dir)
 
+    def delete(self, table: str, keys) -> dict[str, str]:
+        """S19: targeted delete — tombstones + eager affected-group
+        cube rebuilds, all-or-nothing (sources/retention.py). Order
+        deletes cascade to lineitems. Also reachable as SQL text:
+        ``DELETE FROM documents|orders WHERE <key> IN (...)``."""
+        from .sources.retention import delete_documents, delete_orders
+
+        if table == "documents":
+            return delete_documents(self.spark, self.sf_dir, keys)
+        if table == "orders":
+            return delete_orders(self.spark, self.sf_dir, keys)
+        raise ValueError(f"no delete path for table {table!r}")
+
+    def expire_events(self, before_ts: str) -> dict[str, str]:
+        """S19b: TTL retention on the event log — expire everything
+        before an hour-boundary cutoff (sources/retention.py
+        expire_events): watermark on every row-level read path
+        (directory pruning on the day-partitioned layout), exact
+        stored-key drops on the hour-grain cubes."""
+        from .sources.retention import expire_events
+
+        return expire_events(self.spark, self.sf_dir, before_ts)
+
     def drop_projection(self, name: str) -> bool:
         """S16 lifecycle: deregister a user projection — the router
         stops consulting it on the next statement. Returns False when

@@ -230,12 +230,19 @@ def current_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def current_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CURRENT events relation — maintained day-partitioned layout
     if deployed this session, else the fixture (same contract as
-    :func:`current_documents`)."""
+    :func:`current_documents`). The S19b retention WATERMARK
+    subtracts expired rows (sources/retention.py expire_events) — on
+    the day-partitioned layout the row predicate also prunes whole
+    expired-day directories."""
+    from ..sources.retention import apply_event_watermark
+
     memo = spark.__dict__.get("_bdp_dated_events_memo", {})
     path = memo.get(sf_dir)
     if path:
-        return spark.read.parquet(path).select(*_EVENT_COLS)
-    return table(spark, sf_dir, "events")
+        df = spark.read.parquet(path).select(*_EVENT_COLS)
+    else:
+        df = table(spark, sf_dir, "events")
+    return apply_event_watermark(spark, sf_dir, df)
 
 
 def current_corpus_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -764,6 +771,16 @@ def route_corpus_scan(
         days = day_bounds_filter(q.filters)
         if days is not None:
             df = df.filter(days)
+        # S19b watermark: expired rows subtract, and the derived
+        # day-partition conjunct prunes whole expired directories
+        from ..sources.retention import event_watermark
+
+        wm = event_watermark(spark, sf_dir)
+        if wm is not None:
+            df = df.filter(
+                (F.col("event_day_p") >= wm[:10])
+                & (F.col("ts") >= F.lit(wm).cast("timestamp"))
+            )
         chosen = "dated_events"
     elif has_docs_cluster_key:
         # lang is a REAL hive partition column on this layout, so the

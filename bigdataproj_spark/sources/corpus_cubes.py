@@ -353,7 +353,12 @@ def events_hourly_cube_table(spark: SparkSession, sf_dir: str) -> str:
     grain and every hour-boundary predicate)."""
 
     def build() -> DataFrame:
-        e = table(spark, sf_dir, "events")
+        # current_events is watermark-aware (S19b) and reads the
+        # maintained layout when deployed — a deploy after an expiry
+        # or an ingest describes the CURRENT corpus either way
+        from ..plans.corpus_routing import current_events
+
+        e = current_events(spark, sf_dir)
         return (
             e.withColumn("event_hour", F.date_trunc("hour", F.col("ts")))
             .groupBy(*EVENTS_CUBE_KEYS)

@@ -113,7 +113,7 @@ def _refresh_warehouse_body(
     # retained against the immutable fixture, docs/DECISIONS.md), and
     # routed vs raw answers would disagree forever. Restoring deleted
     # content requires a NEW key — the standard erasure semantics.
-    from .retention import apply_tombstones
+    from .retention import apply_event_watermark, apply_tombstones
 
     if lineitem is not None:
         lineitem = apply_tombstones(spark, sf_dir, "orders", lineitem, "l_orderkey")
@@ -121,6 +121,11 @@ def _refresh_warehouse_body(
         orders = apply_tombstones(spark, sf_dir, "orders", orders)
     if documents is not None:
         documents = apply_tombstones(spark, sf_dir, "documents", documents)
+    if events is not None:
+        # S19b twin of the rule above: late events older than the
+        # retention watermark are dropped from the batch — the cube
+        # must never count rows the row-level paths subtract
+        events = apply_event_watermark(spark, sf_dir, events)
     # 1. Dimension side first: the star cube's delta joins the stored
     #    denorm, so new orders must be visible there before any
     #    lineitem-driven cube refresh runs.
@@ -331,10 +336,17 @@ def optimize_warehouse(spark: SparkSession, sf_dir: str) -> dict[str, str]:
         done["dated_lineitem"] = new_d
 
     if sf_dir in sd.get("_bdp_dated_events_memo", {}):
+        from .retention import apply_event_watermark
+
         ep = dated_events(spark, sf_dir)
         ebase = os.path.join(wh, f"events_dated_{tag}")
         new_e = f"{ebase}_opt{_next_version(spark, ebase)}"
-        write_dated_events(spark.read.parquet(ep).drop("event_day_p"), new_e)
+        write_dated_events(
+            apply_event_watermark(
+                spark, sf_dir, spark.read.parquet(ep).drop("event_day_p")
+            ),
+            new_e,
+        )
         sd["_bdp_dated_events_memo"][sf_dir] = new_e
         done["dated_events"] = new_e
 

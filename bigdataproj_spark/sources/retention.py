@@ -58,6 +58,7 @@ scheduled pass.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -595,4 +596,154 @@ def r146_sql_delete_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     df, chosen = route_sql(spark, demo, sql)
     assert chosen == "docs_stats_cube", chosen
+    return df
+
+
+# ---------------------------------------------------------------------------
+# S19b: TIME-BASED retention (TTL) for the event log. Key-list
+# tombstones are the wrong tool for "expire everything before T" —
+# the dead-key set is unbounded — so expiry is a WATERMARK: one
+# timestamp per (corpus, table), applied as a plain ``ts >= T``
+# predicate on every row-level read path (which the day-partitioned
+# layout turns into directory pruning — expired days are never
+# opened), with the hour-grain cubes REBUILT-BY-FILTER exactly
+# (the cutoff is required to sit on an hour boundary, so dropping
+# stored hour groups < T is a row-set equivalence — the same
+# grain-boundary argument plans/corpus_routing.py makes for time
+# predicates). The scheduled OPTIMIZE rewrite physically drops the
+# expired rows (whole day directories on the dated layout).
+# ---------------------------------------------------------------------------
+
+_WATERMARK_BOUNDARY = re.compile(r"^\d{4}-\d{2}-\d{2}( \d{2}:00:00)?$")
+
+
+def _wm_memo(spark: SparkSession) -> dict:
+    return spark.__dict__.setdefault("_bdp_retention_watermarks", {})
+
+
+def event_watermark(spark: SparkSession, sf_dir: str) -> str | None:
+    """The current events expiry cutoff ('YYYY-MM-DD HH:00:00'), or
+    None when nothing has been expired."""
+    return _wm_memo(spark).get((sf_dir, "events"))
+
+
+def apply_event_watermark(
+    spark: SparkSession, sf_dir: str, df: DataFrame, ts_col: str = "ts"
+) -> DataFrame:
+    """Subtract expired rows (``ts >= watermark``). No-op — zero plan
+    nodes — before any expiry. On the day-partitioned layout the
+    derived ``event_day_p >= day(watermark)`` conjunct (added by the
+    layout readers) prunes whole directories; this row predicate is
+    the exactness guarantee either way."""
+    wm = event_watermark(spark, sf_dir)
+    if wm is None:
+        return df
+    return df.filter(F.col(ts_col) >= F.lit(wm).cast("timestamp"))
+
+
+def expire_events(spark: SparkSession, sf_dir: str, before_ts: str) -> dict[str, str]:
+    """Expire every event with ``ts < before_ts`` (an HOUR-BOUNDARY
+    literal — 'YYYY-MM-DD' or 'YYYY-MM-DD HH:00:00'; anything finer is
+    refused, because the stored hour groups could not express the
+    cutoff exactly). Monotone: a cutoff older than the current
+    watermark is a no-op. The hourly cube (and every hour-keyed user
+    view) drops its expired groups by an exact stored-key filter;
+    non-time-keyed user event views rebuild whole from the surviving
+    rows (every group may have lost rows — documented cost, on the
+    retention cadence, never per query). All-or-nothing under
+    WarehouseTxn."""
+    from ..plans.corpus_routing import CORPUS_TABLES, current_events
+    from .txn import WarehouseTxn
+
+    if not _WATERMARK_BOUNDARY.match(before_ts.strip()):
+        raise ValueError(
+            "expire_events takes an hour-boundary cutoff "
+            "('YYYY-MM-DD' or 'YYYY-MM-DD HH:00:00'); sub-hour cutoffs "
+            "cannot drop whole stored hour groups exactly"
+        )
+    cutoff = before_ts.strip()
+    if len(cutoff) == 10:
+        cutoff = f"{cutoff} 00:00:00"
+    with WarehouseTxn(spark, sf_dir):
+        wm = _wm_memo(spark)
+        current = wm.get((sf_dir, "events"))
+        if current is not None and current >= cutoff:
+            return {}
+        wm[(sf_dir, "events")] = cutoff
+        done: dict[str, str] = {}
+        sd = spark.__dict__
+        memo: dict = sd.get("_bdp_projection_memo", {})
+
+        # hourly cube: stored-key filter == rebuild (hour boundary)
+        if ("events_hourly_cube", sf_dir) in memo:
+            stored = spark.read.parquet(memo[("events_hourly_cube", sf_dir)])
+            kept = stored.filter(
+                F.col("event_hour") >= F.lit(cutoff).cast("timestamp")
+            )
+            done["events_hourly_cube"] = _publish_cube(
+                spark, ("events_hourly_cube", sf_dir),
+                memo[("events_hourly_cube", sf_dir)], kept,
+            )
+
+        # user event views: hour-keyed drop groups exactly; others
+        # rebuild whole from the (now watermarked) current relation
+        from .corpus_user_projections import _build_cube, _catalog
+
+        for name, u in list(_catalog(spark, sf_dir).items()):
+            if u.table != "events":
+                continue
+            if u.time_key is not None:
+                stored = spark.read.parquet(u.path)
+                merged = stored.filter(
+                    F.col(u.time_key[0]) >= F.lit(cutoff).cast("timestamp")
+                )
+            else:
+                merged = _build_cube(
+                    spark, sf_dir, current_events(spark, sf_dir),
+                    CORPUS_TABLES["events"], u.keys, u.measures,
+                    u.time_key, u.dims,
+                )
+            done[f"user:{name}"] = _publish_user_version(spark, u, merged)
+
+        sd.setdefault("_bdp_ingested", set()).add((sf_dir, "events"))
+        return done
+
+
+_EXPIRE_ORACLE = """
+SELECT event_type,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+  COUNT(*) AS n
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query(
+    "r147_sql_expire_events",
+    oracle=_EXPIRE_ORACLE,
+    tags=("S19", "S15", "A1", "ST1"),
+)
+def r147_sql_expire_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S19b end to end: TTL retention on the event log. The demo
+    corpus expires everything before 2024-01-10 (a day boundary); the
+    hourly cube drops its expired groups by an exact stored-key
+    filter, and the per-type rollup — still cube-routed — matches
+    DuckDB computing over the raw table with the cutoff predicated.
+    Re-expiring an older cutoff is a no-op (monotone watermark)."""
+    from ..plans.sqlfront import route_sql
+    from .corpus_cubes import events_hourly_cube_table
+
+    demo = _demo_corpus(spark, sf_dir, ("events",))
+    events_hourly_cube_table(spark, demo)
+    expire_events(spark, demo, "2024-01-10")
+    expire_events(spark, demo, "2024-01-05")  # older cutoff: no-op
+    sql = (
+        "SELECT event_type, "
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value, "
+        "COUNT(*) AS n FROM events GROUP BY event_type ORDER BY event_type"
+    )
+    df, chosen = route_sql(spark, demo, sql)
+    assert chosen == "events_hourly_cube", chosen
     return df

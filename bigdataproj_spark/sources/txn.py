@@ -77,6 +77,7 @@ _STATE_KEYS = (
     "_bdp_dim_views",
     "_bdp_fact_views",
     "_bdp_tombstones",
+    "_bdp_retention_watermarks",
 )
 
 

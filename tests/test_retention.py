@@ -545,3 +545,180 @@ def test_reingesting_deleted_keys_stays_deleted_everywhere(
     eng = Engine(spark, work)
     n = eng.sql("SELECT count(*) AS n FROM lineitem").collect()[0]["n"]
     assert n == table(spark, truth, "lineitem").count()
+
+
+class TestExpireEvents:
+    CUT = "2024-01-10 00:00:00"
+
+    def _setup(self, spark, sf_dir, tmp_path):
+        work = _copy(spark, sf_dir, tmp_path / "w", ("events",))
+        truth = _reduced(
+            spark, sf_dir, tmp_path / "t",
+            {"events": F.col("ts") >= self.CUT},
+        )
+        return work, truth
+
+    def test_cube_and_raw_equal_reduced_corpus(self, spark, sf_dir, tmp_path):
+        from bigdataproj_spark.sources.corpus_cubes import (
+            EVENTS_CUBE_KEYS,
+            events_hourly_cube_table,
+        )
+        from bigdataproj_spark.sources.retention import expire_events
+
+        work, truth = self._setup(spark, sf_dir, tmp_path)
+        events_hourly_cube_table(spark, work)
+        done = expire_events(spark, work, "2024-01-10")
+        assert "events_hourly_cube" in done
+        # monotone: an older cutoff is a no-op
+        assert expire_events(spark, work, "2024-01-05") == {}
+
+        est = lambda df: df.withColumn(  # noqa: E731
+            "users_hll", F.hll_sketch_estimate("users_hll")
+        )
+        got = (
+            est(spark.read.parquet(events_hourly_cube_table(spark, work)))
+            .orderBy(*EVENTS_CUBE_KEYS)
+            .toPandas()
+        )
+        want = (
+            est(spark.read.parquet(events_hourly_cube_table(spark, truth)))
+            .orderBy(*EVENTS_CUBE_KEYS)
+            .toPandas()
+        )
+        assert got.equals(want[got.columns.tolist()])
+        # cube-routed and raw answers agree with the reduced twin
+        spec = TableAggQuery(
+            "events", (), ("event_type",),
+            (AggCall("sum", "value", "total"), AggCall("count_star", None, "n")),
+        )
+        dfw, cw = route_corpus(spark, work, spec)
+        dft, _ = route_corpus(spark, truth, spec)
+        assert cw == "events_hourly_cube"
+        assert dfw.toPandas().equals(dft.toPandas())
+        raw_spec = TableAggQuery(
+            "events", (), ("user_id",),
+            (AggCall("count_star", None, "n"),),
+        )
+        dfr, _cr = route_corpus(spark, work, raw_spec)
+        dfrt, _ = route_corpus(spark, truth, raw_spec)
+        assert dfr.toPandas().equals(dfrt.toPandas())
+
+    def test_dated_scan_subtracts_and_late_ingest_is_dropped(
+        self, spark, sf_dir, tmp_path
+    ):
+        from bigdataproj_spark.sources.corpus_cubes import (
+            events_hourly_cube_table,
+        )
+        from bigdataproj_spark.sources.dated import dated_events
+        from bigdataproj_spark.sources.maintenance import refresh_warehouse
+        from bigdataproj_spark.sources.retention import expire_events
+
+        ev = table(spark, sf_dir, "events")
+        held = ev.filter(F.col("event_id") % 6 == 0)
+        work = tmp_path / "w"
+        work.mkdir()
+        ev.filter(F.col("event_id") % 6 != 0).write.parquet(
+            str(work / "events.parquet")
+        )
+        work = str(work)
+        dated_events(spark, work)
+        events_hourly_cube_table(spark, work)
+        expire_events(spark, work, "2024-01-10")
+        # ingest a batch straddling the watermark: the pre-cutoff rows
+        # are dropped everywhere, consistently
+        refresh_warehouse(spark, work, events=held)
+        truth = _reduced(
+            spark, sf_dir, tmp_path / "t",
+            {"events": F.col("ts") >= self.CUT},
+        )
+        spec = TableAggQuery(
+            "events", (), ("event_type",),
+            (AggCall("sum", "value", "total"), AggCall("count_star", None, "n")),
+        )
+        dfw, cw = route_corpus(spark, work, spec)
+        assert cw == "events_hourly_cube"
+        dft, _ = route_corpus(spark, truth, spec)
+        assert dfw.toPandas().equals(dft.toPandas())
+        # day-partitioned scan subtracts too
+        sdf, schosen = route_corpus_scan(
+            spark, work,
+            TableScanQuery(
+                "events", ("event_id", "ts"),
+                (Pred("ts", ">=", "2024-01-01 00:00:00", cast="timestamp"),),
+            ),
+        )
+        assert schosen == "dated_events"
+        want = (
+            table(spark, truth, "events")
+            .select("event_id", "ts")
+            .orderBy("event_id")
+            .toPandas()
+        )
+        assert sdf.orderBy("event_id").toPandas().equals(want)
+
+    def test_user_views_and_refusals(self, spark, sf_dir, tmp_path):
+        from bigdataproj_spark.sources.corpus_user_projections import (
+            deploy_corpus_projection,
+            drop_corpus_projection,
+            list_corpus_projections,
+        )
+        from bigdataproj_spark.sources.retention import expire_events
+
+        work, truth = self._setup(spark, sf_dir, tmp_path)
+        deploy_corpus_projection(
+            spark, work, "t_exp_hour", "events", ("event_type",),
+            ("value",), time_key=("h", "ts"),
+        )
+        deploy_corpus_projection(
+            spark, work, "t_exp_flat", "events", ("user_id",), ("value",)
+        )
+        done = expire_events(spark, work, "2024-01-10")
+        assert {"user:t_exp_hour", "user:t_exp_flat"} <= set(done)
+        deploy_corpus_projection(
+            spark, truth, "t_exp_truth", "events", ("user_id",), ("value",)
+        )
+        paths = {
+            p["name"]: p["path"]
+            for d in (work, truth)
+            for p in list_corpus_projections(spark, d)
+        }
+        got = (
+            spark.read.parquet(paths["t_exp_flat"])
+            .orderBy("user_id")
+            .toPandas()
+        )
+        want = (
+            spark.read.parquet(paths["t_exp_truth"])
+            .orderBy("user_id")
+            .toPandas()
+        )
+        assert got.equals(want[got.columns.tolist()])
+        for n in ("t_exp_hour", "t_exp_flat"):
+            drop_corpus_projection(spark, work, n)
+        drop_corpus_projection(spark, truth, "t_exp_truth")
+        with pytest.raises(ValueError, match="hour-boundary"):
+            expire_events(spark, work, "2024-01-10 12:30:00")
+
+    def test_optimize_physically_drops_expired_days(
+        self, spark, sf_dir, tmp_path
+    ):
+        import glob
+
+        from bigdataproj_spark.sources.dated import dated_events
+        from bigdataproj_spark.sources.maintenance import optimize_warehouse
+        from bigdataproj_spark.sources.retention import expire_events
+
+        work, truth = self._setup(spark, sf_dir, tmp_path)
+        dated_events(spark, work)
+        expire_events(spark, work, "2024-01-10")
+        done = optimize_warehouse(spark, work)
+        new_path = done["dated_events"]
+        days = {
+            d.split("event_day_p=")[-1]
+            for d in glob.glob(new_path + "/event_day_p=*")
+        }
+        assert days and min(days) >= "2024-01-10", sorted(days)[:3]
+        assert (
+            spark.read.parquet(new_path).count()
+            == table(spark, truth, "events").count()
+        )
