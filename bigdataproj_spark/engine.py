@@ -340,6 +340,16 @@ class Engine:
 
         return optimize_warehouse(self.spark, self.sf_dir)
 
+    def gc(self) -> dict[str, int]:
+        """Run the scheduled VACUUM: delete every superseded layout
+        version no serving memo references (sources/maintenance.py
+        gc_warehouse). Run at a quiet point on the OPTIMIZE cadence —
+        a DataFrame planned against a superseded version errors after
+        GC, exactly the Delta/Iceberg VACUUM caveat."""
+        from .sources.maintenance import gc_warehouse
+
+        return gc_warehouse(self.spark, self.sf_dir)
+
     def delete(self, table: str, keys) -> dict[str, str]:
         """S19: targeted delete — tombstones + eager affected-group
         cube rebuilds, all-or-nothing (sources/retention.py). Order

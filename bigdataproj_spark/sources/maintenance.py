@@ -368,3 +368,84 @@ def optimize_warehouse(spark: SparkSession, sf_dir: str) -> dict[str, str]:
         sd["_bdp_docstore_memo"][sf_dir] = new_c
         done["clustered_documents"] = new_c
     return done
+
+
+def gc_warehouse(spark: SparkSession, sf_dir: str) -> dict[str, int]:
+    """The scheduled VACUUM — the third maintenance verb next to
+    refresh (ingest) and optimize (rewrite). Every refresh publishes a
+    NEW version and swings its serving memo, deliberately leaving the
+    superseded files on disk ("a reader planned before the swing may
+    still be scanning them"); this pass deletes every top-level
+    warehouse entry no serving memo references. Run it at a quiet
+    point on the OPTIMIZE cadence — exactly Delta/Iceberg's VACUUM
+    posture, with the same caveat: a DataFrame handle planned against
+    a superseded version errors after GC (the memo-routed paths never
+    do; they only reference live versions).
+
+    Returns {"removed": n_entries, "bytes": total_bytes_freed}.
+
+    The LIVE set is assembled from the serving state itself, so a new
+    layout kind cannot be forgotten here silently as long as it serves
+    through the standard memos: projection memo paths (and the
+    rollup/denorm TABLE-NAME pairs), the bucketed table names, the
+    zorder/dated/docstore paths, both user-projection catalogs'
+    current paths, and the tombstone sets."""
+    import os
+    import shutil
+
+    from .bucketed import _N_BUCKETS, _layout_paths
+
+    _tag, wh = _layout_paths(sf_dir)
+    if not os.path.isdir(wh):
+        return {"removed": 0, "bytes": 0}
+    sd = spark.__dict__
+    live: set[str] = set()
+
+    def _keep(entry) -> None:
+        if isinstance(entry, str):
+            # a path (basename lives directly under wh) or a table
+            # name (its external location is wh/<name> by the
+            # write_bucketed construction)
+            live.add(os.path.basename(os.path.normpath(entry)))
+        elif isinstance(entry, (tuple, list)):
+            for e in entry:
+                _keep(e)
+
+    for memo_key in (
+        "_bdp_projection_memo",
+        "_bdp_zorder_memo",
+        "_bdp_dated_memo",
+        "_bdp_dated_events_memo",
+        "_bdp_docstore_memo",
+    ):
+        for k, v in (sd.get(memo_key) or {}).items():
+            # projection memo is keyed (name, sf_dir); the layout
+            # memos by sf_dir — filter to THIS fixture either way
+            key_dir = k[1] if isinstance(k, tuple) else k
+            if key_dir == sf_dir:
+                _keep(v)
+    names = (sd.get("_bdp_bucketed_memo") or {}).get((sf_dir, _N_BUCKETS))
+    if names:
+        _keep(names)
+    for root_key in ("_bdp_user_projections", "_bdp_corpus_user_projections"):
+        for u in (sd.get(root_key) or {}).get(sf_dir, {}).values():
+            _keep(u.path)
+    for (d, _t), path in (sd.get("_bdp_tombstones") or {}).items():
+        if d == sf_dir:
+            _keep(path)
+
+    removed = 0
+    freed = 0
+    for entry in sorted(os.listdir(wh)):
+        if entry in live:
+            continue
+        full = os.path.join(wh, entry)
+        for dirpath, _dirs, files in os.walk(full):
+            for f in files:
+                try:
+                    freed += os.path.getsize(os.path.join(dirpath, f))
+                except OSError:
+                    pass
+        shutil.rmtree(full, ignore_errors=True)
+        removed += 1
+    return {"removed": removed, "bytes": freed}

@@ -529,3 +529,72 @@ def test_refresh_warehouse_failure_rolls_back_every_layout(
         eng.sql("SELECT count(*) AS n FROM lineitem").collect()[0]["n"]
         == table(spark, sf_dir, "lineitem").count()
     )
+
+
+def test_gc_warehouse_removes_only_superseded_versions(
+    spark, sf_dir, tmp_path
+):
+    """The VACUUM verb: after two refresh batches (each publishing new
+    cube/denorm versions) plus a delete (tombstone versions), GC
+    removes the superseded entries, keeps every SERVING version —
+    routed answers are bit-identical before and after — and a second
+    GC finds nothing."""
+    import os
+
+    from bigdataproj_spark.plans.routing import AggCall, AggQuery, route
+    from bigdataproj_spark.sources.bucketed import _layout_paths
+    from bigdataproj_spark.sources.maintenance import gc_warehouse
+    from bigdataproj_spark.sources.retention import delete_orders
+
+    base_dir = tmp_path / "base"
+    splits = {
+        "orders": F.col("o_orderkey") % 13 <= 1,
+        "lineitem": F.col("l_orderkey") % 13 <= 1,
+    }
+    deltas = _copy_tables(spark, sf_dir, base_dir, splits)
+    sf_base = str(base_dir)
+    for rem in (0, 1):
+        refresh_warehouse(
+            spark, sf_base,
+            lineitem=deltas["lineitem"].filter(F.col("l_orderkey") % 13 == rem),
+            orders=deltas["orders"].filter(F.col("o_orderkey") % 13 == rem),
+        )
+    delete_orders(
+        spark, sf_base,
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 101 == 3)
+        .select("o_orderkey"),
+    )
+    spec = AggQuery(
+        filters=(),
+        group_by=("l_returnflag", "l_linestatus"),
+        aggs=(AggCall("sum", "revenue", "rev"), AggCall("count_star", None, "n")),
+    )
+    before, chosen = route(spark, sf_base, spec)
+    before = before.toPandas()
+    wh = _layout_paths(sf_base)[1]
+    n_before = len(os.listdir(wh))
+
+    out = gc_warehouse(spark, sf_base)
+    assert out["removed"] > 0 and out["bytes"] > 0
+    assert len(os.listdir(wh)) == n_before - out["removed"]
+
+    after, chosen2 = route(spark, sf_base, spec)
+    assert chosen2 == chosen
+    assert after.toPandas().equals(before)
+    # every serving path still opens (spine + scans + verbatim view)
+    from bigdataproj_spark.engine import Engine
+    from bigdataproj_spark.plans.routing import Pred, ScanQuery, route_scan
+
+    sdf, _ = route_scan(
+        spark, sf_base,
+        ScanQuery(("l_orderkey", "l_partkey"), (Pred("l_partkey", "<=", 40),)),
+    )
+    sdf.count()
+    for t in ("supplier", "part", "embeddings"):
+        p = base_dir / f"{t}.parquet"
+        if not p.exists():
+            table(spark, sf_dir, t).write.parquet(str(p))
+    Engine(spark, sf_base).sql("SELECT count(*) AS n FROM lineitem").collect()
+    # idempotent
+    assert gc_warehouse(spark, sf_base)["removed"] == 0
