@@ -234,12 +234,19 @@ def current_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     subtracts expired rows (sources/retention.py expire_events) — on
     the day-partitioned layout the row predicate also prunes whole
     expired-day directories."""
-    from ..sources.retention import apply_event_watermark
+    from ..sources.retention import apply_event_watermark, event_watermark
 
     memo = spark.__dict__.get("_bdp_dated_events_memo", {})
     path = memo.get(sf_dir)
     if path:
-        df = spark.read.parquet(path).select(*_EVENT_COLS)
+        df = spark.read.parquet(path)
+        wm = event_watermark(spark, sf_dir)
+        if wm is not None:
+            # the derived day-partition conjunct must apply BEFORE the
+            # projection drops event_day_p — Spark prunes hive
+            # directories from partition-column predicates only
+            df = df.filter(F.col("event_day_p") >= wm[:10])
+        df = df.select(*_EVENT_COLS)
     else:
         df = table(spark, sf_dir, "events")
     return apply_event_watermark(spark, sf_dir, df)

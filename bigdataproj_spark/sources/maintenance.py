@@ -393,7 +393,7 @@ def gc_warehouse(spark: SparkSession, sf_dir: str) -> dict[str, int]:
     import os
     import shutil
 
-    from .bucketed import _N_BUCKETS, _layout_paths
+    from .bucketed import _layout_paths
 
     _tag, wh = _layout_paths(sf_dir)
     if not os.path.isdir(wh):
@@ -424,9 +424,11 @@ def gc_warehouse(spark: SparkSession, sf_dir: str) -> dict[str, int]:
             key_dir = k[1] if isinstance(k, tuple) else k
             if key_dir == sf_dir:
                 _keep(v)
-    names = (sd.get("_bdp_bucketed_memo") or {}).get((sf_dir, _N_BUCKETS))
-    if names:
-        _keep(names)
+    # every bucket-count layout of THIS fixture (the bucket count is a
+    # public parameter and layouts of different counts coexist)
+    for (d, _n), names in (sd.get("_bdp_bucketed_memo") or {}).items():
+        if d == sf_dir:
+            _keep(names)
     for root_key in ("_bdp_user_projections", "_bdp_corpus_user_projections"):
         for u in (sd.get(root_key) or {}).get(sf_dir, {}).values():
             _keep(u.path)

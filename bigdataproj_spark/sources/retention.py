@@ -655,21 +655,32 @@ def expire_events(spark: SparkSession, sf_dir: str, before_ts: str) -> dict[str,
     from ..plans.corpus_routing import CORPUS_TABLES, current_events
     from .txn import WarehouseTxn
 
-    if not _WATERMARK_BOUNDARY.match(before_ts.strip()):
+    raw = before_ts.strip()
+    if not _WATERMARK_BOUNDARY.match(raw):
         raise ValueError(
             "expire_events takes an hour-boundary cutoff "
             "('YYYY-MM-DD' or 'YYYY-MM-DD HH:00:00'); sub-hour cutoffs "
             "cannot drop whole stored hour groups exactly"
         )
-    cutoff = before_ts.strip()
-    if len(cutoff) == 10:
-        cutoff = f"{cutoff} 00:00:00"
+    cutoff = raw if len(raw) > 10 else f"{raw} 00:00:00"
+    # the regex checks SHAPE only; a calendar-invalid literal
+    # ('2024-02-30', hour 24) would commit a watermark every later
+    # events read casts — ANSI mode then errors the whole event log —
+    # so validate by actually parsing (the round-6 date-literal lesson,
+    # sources/dated.py)
+    import datetime as _dt
+
+    try:
+        _dt.datetime.strptime(cutoff, "%Y-%m-%d %H:%M:%S")
+    except ValueError as e:
+        raise ValueError(f"not a valid timestamp: {raw!r} ({e})") from e
+    # monotone no-op check OUTSIDE the txn: a scheduled retention job
+    # re-issuing an unchanged cutoff must not pay the txn's snapshot
+    current = _wm_memo(spark).get((sf_dir, "events"))
+    if current is not None and current >= cutoff:
+        return {}
     with WarehouseTxn(spark, sf_dir):
-        wm = _wm_memo(spark)
-        current = wm.get((sf_dir, "events"))
-        if current is not None and current >= cutoff:
-            return {}
-        wm[(sf_dir, "events")] = cutoff
+        _wm_memo(spark)[(sf_dir, "events")] = cutoff
         done: dict[str, str] = {}
         sd = spark.__dict__
         memo: dict = sd.get("_bdp_projection_memo", {})

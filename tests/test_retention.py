@@ -722,3 +722,14 @@ class TestExpireEvents:
             spark.read.parquet(new_path).count()
             == table(spark, truth, "events").count()
         )
+
+
+def test_expire_events_rejects_calendar_invalid_cutoffs(spark, sf_dir):
+    """Shape-valid but calendar-invalid literals must refuse at the
+    door — a committed unparseable watermark would error (ANSI) or
+    silently empty (non-ANSI) every later events read."""
+    from bigdataproj_spark.sources.retention import expire_events
+
+    for bad in ("2024-02-30", "2024-13-01", "2024-01-10 24:00:00"):
+        with pytest.raises(ValueError, match="not a valid timestamp"):
+            expire_events(spark, sf_dir, bad)
