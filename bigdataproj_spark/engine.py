@@ -66,8 +66,14 @@ class Engine:
             # createOrReplaceTempView after this point takes the name
             # over and is never clobbered, same contract as dims)
             ours: dict = self.spark.__dict__.setdefault("_bdp_fact_views", {})
+            ids: dict = self.spark.__dict__.setdefault("_bdp_fact_view_ids", {})
             for name in ("lineitem", "orders", "documents", "events"):
                 ours[name] = self.sf_dir
+                # plan identity of OUR registration (canonicalized, so
+                # stable across lookups) — the takeover test compares
+                # against this, not column shape, so a user view with
+                # the fixture's exact columns is still detected
+                ids[name] = self.spark.table(name).semanticHash()
         if routed:
             from .plans.ddl import try_ddl
             from .plans.sqlfront import UnsupportedSQL, route_sql
@@ -104,8 +110,14 @@ class Engine:
         that only ran routed queries keeps its routed=False A/B
         baselines on the fixture parquet; (2) the fact-view names have
         the same ownership ledger as dims (_bdp_fact_views): a user's
-        own temp view under one of these names always wins, detected
-        by the same column-shape takeover test."""
+        own temp view under one of these names always wins. Takeover is
+        detected by PLAN IDENTITY (round-8 ADVICE item 3): the engine
+        records the semanticHash of every view it registers
+        (_bdp_fact_view_ids), and a view whose current plan no longer
+        matches — even one with the fixture's exact column set, e.g. a
+        filtered copy — is ceded, never clobbered. Canonicalized plan
+        hashes are stable across lookups, so an untouched engine view
+        always matches its own record."""
         from .plans.corpus_routing import current_documents, current_events
         from .plans.routing import current_lineitem, current_orders
         from .schemas import FIXTURE_SCHEMAS
@@ -127,20 +139,32 @@ class Engine:
             "documents": lambda: current_documents(self.spark, self.sf_dir),
             "events": lambda: current_events(self.spark, self.sf_dir),
         }
+        ids: dict = sd.setdefault("_bdp_fact_view_ids", {})
         for name, open_current in sources.items():
             if (self.sf_dir, name) not in ingested:
                 continue
             if self.spark.catalog.tableExists(name):
                 if name not in ours:
                     continue  # user-owned from the start: theirs wins
-                expected = tuple(FIXTURE_SCHEMAS[name].fieldNames())
-                if tuple(self.spark.table(name).columns) != expected:
-                    # a user view TOOK OVER the name (different shape):
-                    # cede ownership, never re-assert
+                registered_id = ids.get(name)
+                taken_over = (
+                    self.spark.table(name).semanticHash() != registered_id
+                    if registered_id is not None
+                    # no identity record (view predates the ledger):
+                    # fall back to the column-shape test
+                    else tuple(self.spark.table(name).columns)
+                    != tuple(FIXTURE_SCHEMAS[name].fieldNames())
+                )
+                if taken_over:
+                    # a user view TOOK OVER the name (its plan is no
+                    # longer the one we registered — even with the
+                    # fixture's exact columns): cede, never re-assert
                     ours.pop(name, None)
+                    ids.pop(name, None)
                     continue
             open_current().createOrReplaceTempView(name)
             ours[name] = self.sf_dir
+            ids[name] = self.spark.table(name).semanticHash()
 
     def _ensure_dim_views(self, query: str) -> None:
         """Register any engine-maintained CORPUS DIM a statement

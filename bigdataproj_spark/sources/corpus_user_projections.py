@@ -115,10 +115,17 @@ def _build_cube(
     measures: tuple[str, ...],
     time_key: tuple[str, str] | None,
     dims: tuple[str, ...],
+    group_filter: DataFrame | None = None,
 ) -> DataFrame:
     """Deploy/refresh cube build: fact ⋈ declared registry dims
     (broadcast — registry-sized at any corpus scale), hour-grain time
-    key materialized, one grouped partial aggregation."""
+    key materialized, one grouped partial aggregation.
+
+    ``group_filter`` (a DataFrame of group-key tuples) semi-filters the
+    ROWS — after the key columns exist, BEFORE the groupBy — so an
+    affected-group recompute (sources/retention.py) aggregates only the
+    surviving rows of the touched groups, never the corpus. The filter
+    set is delete-sized, so the semi broadcasts."""
     df = fact
     for name in dims:
         d = CORPUS_DIMS[name]
@@ -129,6 +136,8 @@ def _build_cube(
         alias, src = time_key
         df = df.withColumn(alias, F.date_trunc("hour", F.col(src)))
         group_cols.append(alias)
+    if group_filter is not None:
+        df = df.join(F.broadcast(group_filter), group_cols, "semi")
     return df.groupBy(*group_cols).agg(*_partial_aggs(t, measures))
 
 

@@ -242,11 +242,15 @@ def delete_documents(spark: SparkSession, sf_dir: str, doc_ids) -> dict[str, str
                 .select(*group_cols)
                 .distinct()
             )
+            # group_filter semi-filters ROWS before the groupBy (not the
+            # cube after), keeping the recompute O(rows in affected
+            # groups) — the documented bound (round-8 ADVICE item 2)
             remaining_cube = _build_cube(
                 spark, sf_dir,
                 current_documents(spark, sf_dir),
                 t, u.keys, u.measures, u.time_key, u.dims,
-            ).join(affected, group_cols, "semi")
+                group_filter=affected,
+            )
             stored = spark.read.parquet(u.path)
             merged = _splice_groups(
                 spark, stored, group_cols, affected, remaining_cube
@@ -354,10 +358,13 @@ def delete_orders(spark: SparkSession, sf_dir: str, order_keys) -> dict[str, str
                 .select(*u.keys)
                 .distinct()
             )
+            # rows semi-filtered BEFORE the groupBy via group_filter —
+            # O(rows in affected groups), never the corpus
             live_cube = _user_build(
                 spark, sf_dir, current_lineitem(spark, sf_dir),
                 u.keys, u.measures, u.chain, u.part, u.supp,
-            ).join(dead_cube_keys, list(u.keys), "semi")
+                group_filter=dead_cube_keys,
+            )
             stored = spark.read.parquet(u.path)
             merged = _splice_groups(
                 spark, stored, list(u.keys), dead_cube_keys, live_cube

@@ -52,6 +52,19 @@ on an object store you would delete the uncommitted files by listing
 the batch's write paths (all version- or batch-suffixed, so they are
 enumerable without a full tree walk); the memo/ledger restore — the
 part that makes answers consistent — is O(#layouts) either way.
+
+CONTRACT FOR NEW LAYOUTS — no in-place writes. Rollback restores the
+pre-batch epoch only because every layout in this package either
+publishes a NEW versioned directory (aggregate projections, user
+projections, dim snapshots) or APPENDS new files (bucketed/dated/
+clustered row stores, tombstone sets): a pre-batch file is never
+overwritten or truncated, so "delete files not in the entry listing +
+restore memos" is a complete undo. A layout that rewrote a file in
+place would silently break rollback — the entry listing has the path,
+so the mutated bytes would survive. tests/test_maintenance.py pins
+this mechanically: after a full ingest batch, every pre-batch file is
+byte-identical. If a future layout genuinely needs rewrite semantics,
+it must write a new version and swing a memo, like everything else.
 """
 
 from __future__ import annotations
@@ -76,6 +89,7 @@ _STATE_KEYS = (
     "_bdp_ingested",
     "_bdp_dim_views",
     "_bdp_fact_views",
+    "_bdp_fact_view_ids",
     "_bdp_tombstones",
     "_bdp_retention_watermarks",
 )
@@ -113,8 +127,10 @@ class WarehouseTxn:
         sd = self.spark.__dict__
         if sd.get("_bdp_txn_active"):
             return self  # inner context: outermost txn owns the snapshot
-        sd["_bdp_txn_active"] = True
-        self._outer = True
+        # Take the snapshot BEFORE claiming the active flag: if any part
+        # of it raises (deepcopy, layout-path resolution, the warehouse
+        # walk), the session must not be left with a dangling flag that
+        # turns every later txn into a rollback-less inner context.
         for k in _STATE_KEYS:
             self._snap[k] = copy.deepcopy(sd.get(k))
         # user-projection catalogs (lineitem star + corpus): entries are
@@ -129,6 +145,8 @@ class WarehouseTxn:
 
         _tag, self._wh = _layout_paths(self.sf_dir)
         self._files = _walk_files(self._wh) if os.path.isdir(self._wh) else set()
+        sd["_bdp_txn_active"] = True
+        self._outer = True
         return self
 
     def __exit__(self, exc_type, exc, tb) -> bool:

@@ -184,11 +184,18 @@ def _build_cube(
     chain: int,
     part: bool = False,
     supp: bool = False,
+    group_filter: DataFrame | None = None,
 ) -> DataFrame:
     """The deploy/refresh cube build: fact ⋈ declared arms, arm-home
     measure ints materialized post-join, one grouped partial
     aggregation. Each arm carries only its group keys plus the source
-    columns of its home measures."""
+    columns of its home measures.
+
+    ``group_filter`` (a DataFrame of group-key tuples) semi-filters the
+    ROWS — after the arm joins make every key column available, BEFORE
+    the groupBy — so an affected-group recompute aggregates only the
+    surviving rows of the touched groups (delete-sized set, broadcast
+    semi), never the corpus (sources/retention.py)."""
 
     def _srcs(home: str) -> set[str]:
         return {
@@ -216,6 +223,8 @@ def _build_cube(
     for m in measures:
         if MEASURES[m].home != "lineitem":
             li = li.withColumn(_int_src(m), MEASURES[m].raw_int())
+    if group_filter is not None:
+        li = li.join(F.broadcast(group_filter), list(keys), "semi")
     return li.groupBy(*keys).agg(*_partial_aggs(measures))
 
 

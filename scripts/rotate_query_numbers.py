@@ -178,18 +178,64 @@ SKIP_PREFIXES = ("CORRECTNESS_r", "BENCH_r")
 TOKEN = re.compile(r"\b([qrz])(\d{2,3})(?=\b|_)")
 
 
+def _map_token(prefix: str, num: int, tables: dict[str, dict]) -> str | None:
+    """New token for a qNN/rNNN/zNN token, or None when unmapped."""
+    if prefix == "z":
+        return tables.get("z", {}).get(f"z{num:02d}")
+    table = tables["q"] if prefix == "q" else tables["r"]
+    new = table.get(num)
+    if new is None:
+        return None
+    return new if isinstance(new, str) else f"q{new:02d}"
+
+
 def rewrite(text: str, tables: dict[str, dict]) -> str:
+    """Token-level rewrite — .md prose only (no identifiers there)."""
+
     def sub(m: re.Match) -> str:
-        prefix, num = m.group(1), int(m.group(2))
-        if prefix == "z":
-            return tables.get("z", {}).get(f"z{num:02d}", m.group(0))
-        table = tables["q"] if prefix == "q" else tables["r"]
-        new = table.get(num)
-        if new is None:
-            return m.group(0)
-        return new if isinstance(new, str) else f"q{new:02d}"
+        return _map_token(m.group(1), int(m.group(2)), tables) or m.group(0)
 
     return TOKEN.sub(sub, text)
+
+
+# -- .py files: rename REGISTERED query names only (round-8 ADVICE
+# item 4: the token pass renamed an unrelated local variable `q12`
+# inside a function body — harmless that time, but a bare-identifier
+# rewrite could silently rename a meaningful symbol). A .py rewrite
+# therefore touches only full registered names (`q12_matview_ddl_sql`
+# and every string/def/test reference to it), collected from the
+# @query registrations in the tree.
+
+_REGISTERED = re.compile(r"@query\(\s*[\"']([qrz]\d{2,3}_\w+)[\"']")
+
+
+def registered_names(py_files: list[Path]) -> set[str]:
+    names: set[str] = set()
+    for path in py_files:
+        for m in _REGISTERED.finditer(path.read_text()):
+            names.add(m.group(1))
+    return names
+
+
+def full_name_map(names: set[str], tables: dict[str, dict]) -> dict[str, str]:
+    out: dict[str, str] = {}
+    for name in names:
+        token, _, rest = name.partition("_")
+        new = _map_token(token[0], int(token[1:]), tables)
+        if new is not None:
+            out[name] = f"{new}_{rest}"
+    return out
+
+
+def rewrite_py(text: str, name_map: dict[str, str]) -> str:
+    if not name_map:
+        return text
+    # one simultaneous pass over full names: suffixes are unique and
+    # target tokens unused, so a rewritten name can never re-match
+    pat = re.compile(
+        r"\b(?:" + "|".join(re.escape(n) for n in sorted(name_map, key=len, reverse=True)) + r")\b"
+    )
+    return pat.sub(lambda m: name_map[m.group(0)], text)
 
 
 def main() -> None:
@@ -210,6 +256,7 @@ def main() -> None:
         )
     tables = ROTATIONS[name]
     changed = []
+    paths = []
     for path in sorted(REPO.rglob("*")):
         if path.suffix not in {".py", ".md"} or not path.is_file():
             continue
@@ -217,8 +264,20 @@ def main() -> None:
             continue
         if path.name.startswith(SKIP_PREFIXES):
             continue
+        paths.append(path)
+    name_map = full_name_map(
+        registered_names([p for p in paths if p.suffix == ".py"]), tables
+    )
+    unmatched = {
+        f"{p}{n:02d}" if p == "q" else f"{p}{n}"
+        for p, t in (("q", tables["q"]), ("r", tables["r"]))
+        for n in t
+    } - {k.split("_", 1)[0] for k in name_map}
+    if unmatched:
+        sys.exit(f"mapping entries match no registered query: {sorted(unmatched)}")
+    for path in paths:
         old = path.read_text()
-        new = rewrite(old, tables)
+        new = rewrite_py(old, name_map) if path.suffix == ".py" else rewrite(old, tables)
         if new != old:
             path.write_text(new)
             changed.append(str(path.relative_to(REPO)))

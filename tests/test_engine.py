@@ -432,3 +432,49 @@ def test_verbatim_path_sees_ingested_corpus_and_user_views_win(
     finally:
         spark.catalog.dropTempView("sources")
         spark.__dict__.get("_bdp_dim_views", {}).pop("sources", None)
+
+
+def test_same_shape_user_view_takeover_is_ceded(spark, sf_dir, tmp_path):
+    """Round-8 ADVICE item 3: takeover detection is PLAN identity, not
+    column shape. A user temp view registered under a fact-view name
+    with the EXACT fixture column set (a filtered copy — the
+    column-shape test cannot see it) must win against the engine's
+    post-ingest re-point: the verbatim path serves the USER's rows, and
+    the engine cedes ownership permanently (a second ingest still does
+    not re-assert the name)."""
+    from bigdataproj_spark.catalog import table
+    from bigdataproj_spark.engine import Engine
+
+    docs = table(spark, sf_dir, "documents")
+    base_dir = tmp_path / "base"
+    for t in ("lineitem", "orders", "customer", "nation", "region",
+              "supplier", "part", "embeddings", "documents", "events"):
+        df = table(spark, sf_dir, t)
+        if t == "documents":
+            df = df.filter(F.col("doc_id") % 3 != 0)
+        df.write.parquet(str(base_dir / f"{t}.parquet"))
+    eng = Engine(spark, str(base_dir))
+    eng.sql("SELECT 1 AS one")  # registers views + identity records
+    eng.ingest(documents=docs.filter(F.col("doc_id") % 3 == 0))
+
+    # user takes the name over with a SAME-SHAPE filtered copy
+    user_docs = docs.filter(F.col("doc_id") % 5 == 0)
+    user_docs.createOrReplaceTempView("documents")
+    try:
+        n_user = user_docs.count()
+        got = eng.sql(
+            "SELECT COUNT(*) AS n FROM documents", routed=False
+        ).first()["n"]
+        assert got == n_user, "engine clobbered a same-shape user view"
+        # ownership ceded for good: another ingest must not re-assert
+        eng.ingest(documents=docs.limit(0))
+        got2 = eng.sql(
+            "SELECT COUNT(*) AS n FROM documents", routed=False
+        ).first()["n"]
+        assert got2 == n_user
+        assert "documents" not in spark.__dict__.get("_bdp_fact_views", {})
+    finally:
+        spark.catalog.dropTempView("documents")
+        spark.__dict__.get("_bdp_fact_views", {}).pop("documents", None)
+        spark.__dict__.get("_bdp_fact_view_ids", {}).pop("documents", None)
+        spark.__dict__.pop("_bdp_views_for", None)

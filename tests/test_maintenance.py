@@ -598,3 +598,64 @@ def test_gc_warehouse_removes_only_superseded_versions(
     Engine(spark, sf_base).sql("SELECT count(*) AS n FROM lineitem").collect()
     # idempotent
     assert gc_warehouse(spark, sf_base)["removed"] == 0
+
+
+def test_ingest_batch_never_rewrites_pre_batch_files(spark, sf_dir, tmp_path):
+    """The load-bearing invariant WarehouseTxn's rollback depends on
+    (sources/txn.py module docstring, pinned here per round-8 VERDICT):
+    no layout ever overwrites a file in place — every refresh publishes
+    a NEW versioned directory or APPENDS new files. A full mixed ingest
+    batch over a fully-deployed warehouse must leave every pre-batch
+    file byte-identical; a layout that rewrote in place would make
+    'delete files not in the entry listing + restore memos' an
+    incomplete undo."""
+    import hashlib
+    import os
+
+    from bigdataproj_spark.sources.bucketed import (
+        _layout_paths,
+        bucketed_fact_tables,
+        pricing_cube_table,
+    )
+    from bigdataproj_spark.sources.corpus_cubes import docs_stats_cube_table
+    from bigdataproj_spark.sources.txn import _walk_files
+
+    base_dir = tmp_path / "base"
+    deltas = _copy_tables(
+        spark, sf_dir, base_dir,
+        {
+            "orders": F.col("o_orderkey") % 7 == 0,
+            "lineitem": F.col("l_orderkey") % 7 == 0,
+            "documents": F.col("doc_id") % 9 == 0,
+        },
+    )
+    sf_base = str(base_dir)
+    # deploy a representative layout set (row-append + cube + corpus)
+    bucketed_fact_tables(spark, sf_base)
+    pricing_cube_table(spark, sf_base)
+    docs_stats_cube_table(spark, sf_base)
+
+    _tag, wh = _layout_paths(sf_base)
+
+    def digest(files):
+        out = {}
+        for f in files:
+            h = hashlib.md5()
+            with open(f, "rb") as fh:
+                for chunk in iter(lambda: fh.read(1 << 20), b""):
+                    h.update(chunk)
+            out[f] = (os.path.getsize(f), h.hexdigest())
+        return out
+
+    pre = digest(_walk_files(wh))
+    refresh_warehouse(
+        spark, sf_base,
+        lineitem=deltas["lineitem"], orders=deltas["orders"],
+        documents=deltas["documents"],
+    )
+    post_files = _walk_files(wh)
+    missing = set(pre) - post_files
+    assert not missing, f"pre-batch files deleted by ingest: {sorted(missing)[:5]}"
+    post = digest(set(pre))
+    changed = {f for f in pre if pre[f] != post[f]}
+    assert not changed, f"pre-batch files rewritten in place: {sorted(changed)[:5]}"
