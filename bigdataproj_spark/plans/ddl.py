@@ -33,6 +33,12 @@ Dialect (matched case-insensitively, names are SQL identifiers):
 - ``DROP MATERIALIZED VIEW [IF EXISTS] name`` — errors on an unknown
   name unless IF EXISTS.
 - ``SHOW MATERIALIZED VIEWS`` — the session catalog as a DataFrame.
+- DML (round 9 — the trio's remaining verbs):
+  ``INSERT INTO <fact table> [(cols)] VALUES ... | SELECT ...`` lowers
+  onto refresh_warehouse (E1d, below);
+  ``DELETE FROM documents|orders WHERE <key> IN (...)`` plus the two
+  lowerable predicate forms (``<col> <op> <literal>``;
+  ``events WHERE ts < 'T'`` → expire_events) onto the S19 machinery.
 
 DDL statements return small status DataFrames (the JDBC-shaped
 contract: every statement yields a result set). Spark itself has no
@@ -69,13 +75,16 @@ _DROP_RE = re.compile(
 _SHOW_RE = re.compile(
     r"^\s*SHOW\s+MATERIALIZED\s+VIEWS\s*;?\s*$", re.IGNORECASE
 )
-# S19's DML spelling: targeted key-list deletes. Deliberately strict —
-# the erasure op takes an explicit key list (opt-out/GDPR requests
-# arrive as id lists); a general predicate describes a retention
-# POLICY, which callers express by selecting the ids first (any query)
-# and passing them to the API. Spark has no DELETE on parquet paths,
-# so like the MATERIALIZED VIEW forms this never collides with the
-# verbatim fallback.
+# S19's DML spelling: targeted key-list deletes, plus (round 9) the
+# two lowerable predicate forms — ``ts < 'T'`` on events lowers onto
+# expire_events (S19b's watermark), and a single simple comparison on
+# a documents/orders column derives its key set with one scan and
+# rides the S19 machinery. Anything more general still describes a
+# retention POLICY the caller expresses by selecting the ids first
+# (any query) and passing them to the API — refused with that pointer,
+# never half-lowered. Spark has no DELETE on parquet paths, so like
+# the MATERIALIZED VIEW forms these never collide with the verbatim
+# fallback.
 _DELETE_RE = re.compile(
     r"^\s*DELETE\s+FROM\s+(?P<table>documents|orders)\s+"
     r"WHERE\s+(?P<key>[A-Za-z_][A-Za-z0-9_]*)\s+"
@@ -84,6 +93,34 @@ _DELETE_RE = re.compile(
     re.IGNORECASE,
 )
 _DELETE_ANY_RE = re.compile(r"^\s*DELETE\s+FROM\b", re.IGNORECASE)
+_LITERAL = r"(?:-?\d+(?:\.\d+)?|'(?:[^']|'')*')"
+_DELETE_EXPIRE_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+events\s+WHERE\s+ts\s*<\s*"
+    r"(?:TIMESTAMP\s+)?'(?P<cutoff>[^']+)'\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DELETE_PRED_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+(?P<table>documents|orders)\s+"
+    r"WHERE\s+(?P<col>[A-Za-z_][A-Za-z0-9_]*)\s*"
+    r"(?P<op><=|>=|<>|!=|=|<|>)\s*(?P<lit>" + _LITERAL + r")\s*;?\s*$",
+    re.IGNORECASE,
+)
+# E1d: INSERT — the DML trio's write verb. Only the four maintained
+# fact tables are claimed; an INSERT INTO any other name falls through
+# to the verbatim path (a user's own Spark catalog table keeps its
+# native INSERT semantics).
+_INSERT_TABLES = ("lineitem", "orders", "documents", "events")
+_INSERT_ANY_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+(?:lineitem|orders|documents|events)\b",
+    re.IGNORECASE,
+)
+_INSERT_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+(?P<table>lineitem|orders|documents|events)\s*"
+    r"(?:\(\s*(?P<cols>[A-Za-z_][A-Za-z0-9_]*"
+    r"(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*)*)\s*\)\s*)?"
+    r"(?P<body>(?:VALUES|SELECT)\b.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
 
 _STATUS_SCHEMA = "view string, status string"
 _SHOW_SCHEMA = (
@@ -173,6 +210,8 @@ def try_ddl(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame | None:
         return _show(spark, sf_dir)
     if _DELETE_ANY_RE.match(sql):
         return _delete(spark, sf_dir, sql)
+    if _INSERT_ANY_RE.match(sql):
+        return _insert(spark, sf_dir, sql)
     if not _DDL_RE.match(sql):
         return None
     m = _CREATE_RE.match(sql)
@@ -437,41 +476,278 @@ def q13_corpus_user_view_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+_DELETE_STATUS_SCHEMA = (
+    "table_name string, n_keys int, layouts_republished int"
+)
+
+
+def _parse_literal(text: str):
+    if text.startswith("'"):
+        return text[1:-1].replace("''", "'")
+    return float(text) if "." in text else int(text)
+
+
+_INSERT_ORACLE = """
+SELECT lang, source,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+  COUNT(*) AS n
+FROM (
+  SELECT lang, source, n_chars FROM documents
+  UNION ALL
+  SELECT lang, 'src97' AS source, n_chars
+  FROM documents WHERE doc_id % 40 = 0
+  UNION ALL
+  SELECT lang, source, n_chars FROM (
+    VALUES ('en', 'src98', 11), ('fr', 'src99', 7)
+  ) v(lang, source, n_chars)
+)
+GROUP BY lang, source
+ORDER BY lang, source
+"""
+
+
+@query(
+    "r148_sql_insert_dml",
+    oracle=_INSERT_ORACLE,
+    tags=("E1d", "S19", "S15", "A1"),
+)
+def r148_sql_insert_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1d end to end (round-9, r8-VERDICT item 2): ingest arrives as
+    SQL text. On a sandbox copy of the corpus with the doc-stats cube
+    deployed, one ``INSERT INTO documents SELECT`` (a derived mirror
+    batch — the SELECT reads the engine's own maintained relation) and
+    one ``INSERT INTO documents (cols) VALUES`` (two literal rows,
+    column list in non-schema order to prove by-name alignment) lower
+    onto refresh_warehouse — new sources follow the registry's srcNN
+    convention, so the sources dim absorbs them on refresh. The
+    profile statement — still answered
+    FROM THE CUBE — matches DuckDB over base + both deltas."""
+    from ..catalog import TABLES
+    from ..engine import Engine
+    from ..sources.corpus_cubes import docs_stats_cube_table
+    from ..sources.retention import _demo_corpus
+
+    demo = _demo_corpus(spark, sf_dir, TABLES, demo="insert_dml")
+    docs_stats_cube_table(spark, demo)
+    eng = Engine(spark, demo)
+    eng.sql(
+        "INSERT INTO documents "
+        "SELECT doc_id + 10000000 AS doc_id, text, lang, "
+        "'src97' AS source, n_chars FROM documents WHERE doc_id % 40 = 0"
+    )
+    eng.sql(
+        "INSERT INTO documents (text, lang, source, n_chars, doc_id) VALUES "
+        "('hello world', 'en', 'src98', 11, 900000001), "
+        "('bonjour', 'fr', 'src99', 7, 900000002)"
+    )
+    sql = (
+        "SELECT lang, source, CAST(SUM(n_chars) AS BIGINT) AS total_chars, "
+        "COUNT(*) AS n FROM documents GROUP BY lang, source "
+        "ORDER BY lang, source"
+    )
+    df, chosen = route_sql(spark, demo, sql)
+    assert chosen == "docs_stats_cube", chosen
+    return df
+
+
 def _delete(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
-    """S19's DML surface: ``DELETE FROM documents|orders WHERE <key>
-    IN (ids)`` (or ``= id``) lowers onto delete_documents /
-    delete_orders — the full tombstone + affected-group propagation,
-    all-or-nothing under WarehouseTxn. Order deletes cascade to
-    lineitems, exactly like the API. Any other DELETE form is refused
-    with the reason (predicates are retention policies: select the
-    ids, pass them to the API)."""
+    """S19's DML surface, three lowerable forms:
+
+    - ``DELETE FROM documents|orders WHERE <key> IN (ids)`` (or
+      ``= id``) lowers onto delete_documents / delete_orders — the
+      full tombstone + affected-group propagation, all-or-nothing
+      under WarehouseTxn; order deletes cascade to lineitems.
+    - ``DELETE FROM events WHERE ts < 'T'`` lowers onto expire_events
+      (S19b): the retention watermark, directory pruning on the dated
+      layout, exact stored-group drops on the hour cubes. T must be an
+      hour boundary (expire_events' own contract enforces it).
+    - ``DELETE FROM documents|orders WHERE <col> <op> <literal>`` (one
+      simple comparison on a fixture column) derives its key set with
+      ONE scan of the current relation and rides the same S19
+      machinery — the scan's DataFrame is consumed inside
+      delete_documents/delete_orders' transaction.
+
+    Any other DELETE form is refused with the reason (general
+    predicates are retention policies: select the ids, pass them to
+    the API)."""
+    from ..schemas import FIXTURE_SCHEMAS
     from ..sources.retention import TOMBSTONE_KEYS, delete_documents, delete_orders
 
     m = _DELETE_RE.match(sql)
+    if m is not None:
+        table_name = m.group("table").lower()
+        key = m.group("key").lower()
+        want_key = TOMBSTONE_KEYS[table_name]
+        if key != want_key and m.group("one") is not None:
+            # single equality on a NON-key column ('o_custkey = 1') is
+            # the predicate form, not a malformed key list
+            m = None
+        elif key != want_key:
+            raise ValueError(
+                f"DELETE FROM {table_name} must key on {want_key!r}, not {key!r}"
+            )
+        else:
+            ids = (
+                [int(m.group("one"))]
+                if m.group("one")
+                else [int(x) for x in m.group("ids").split(",")]
+            )
+            delete = (
+                delete_documents if table_name == "documents" else delete_orders
+            )
+            done = delete(spark, sf_dir, ids)
+            return spark.createDataFrame(
+                [(table_name, len(ids), len(done))], _DELETE_STATUS_SCHEMA
+            )
+
+    m = _DELETE_EXPIRE_RE.match(sql)
+    if m is not None:
+        from ..sources.retention import expire_events
+
+        done = expire_events(spark, sf_dir, m.group("cutoff"))
+        return spark.createDataFrame(
+            [("events", None, len(done))], _DELETE_STATUS_SCHEMA
+        )
+
+    m = _DELETE_PRED_RE.match(sql)
+    if m is not None:
+        from pyspark.sql import functions as F
+
+        table_name = m.group("table").lower()
+        col = m.group("col").lower()
+        schema = FIXTURE_SCHEMAS[table_name]
+        if col not in schema.fieldNames():
+            raise ValueError(
+                f"unknown column {col!r} on {table_name!r} "
+                f"(columns: {schema.fieldNames()})"
+            )
+        lit = _parse_literal(m.group("lit"))
+        dtype = schema[col].dataType
+        ops = {
+            "=": "__eq__", "<": "__lt__", "<=": "__le__",
+            ">": "__gt__", ">=": "__ge__", "<>": "__ne__", "!=": "__ne__",
+        }
+        pred = getattr(F.col(col), ops[m.group("op")])(F.lit(lit).cast(dtype))
+        if table_name == "documents":
+            from .corpus_routing import current_documents
+
+            ids = current_documents(spark, sf_dir).filter(pred).select("doc_id")
+            done = delete_documents(spark, sf_dir, ids)
+        else:
+            from .routing import current_orders
+
+            ids = current_orders(spark, sf_dir).filter(pred).select("o_orderkey")
+            done = delete_orders(spark, sf_dir, ids)
+        return spark.createDataFrame(
+            [(table_name, None, len(done))], _DELETE_STATUS_SCHEMA
+        )
+
+    if re.match(r"^\s*DELETE\s+FROM\s+events\b", sql, re.IGNORECASE):
+        raise ValueError(
+            "events retention is time-based: the lowerable form is "
+            "DELETE FROM events WHERE ts < '<hour boundary>' "
+            "(expire_events); key-list deletes apply to documents/orders"
+        )
+    raise ValueError(
+        "unsupported DELETE form; lowerable: DELETE FROM documents|orders "
+        "WHERE <key> IN (id, ...), DELETE FROM documents|orders WHERE "
+        "<col> <op> <literal> (one simple comparison), DELETE FROM events "
+        "WHERE ts < '<hour boundary>' — for anything more general, select "
+        "the ids and call delete_documents/delete_orders with them"
+    )
+
+
+# ---------------------------------------------------------------------------
+# E1d: INSERT INTO — the DML trio's write verb (round-9; r8-VERDICT
+# item 2). The reference's posture is ingest-then-query (reference
+# README.md:52-54,105-107): a batch arrives, the index absorbs it,
+# every later query describes base + delta. Engine.ingest is that
+# batch API; this front door lets the batch arrive as a STATEMENT and
+# lowers it onto the same refresh_warehouse sequence — one-table
+# batch, all-or-nothing under WarehouseTxn, tombstone-filtered (an
+# erased key can never resurrect through INSERT), every deployed
+# layout delta-merged in dependency order.
+# ---------------------------------------------------------------------------
+
+
+def _insert(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    """Lower ``INSERT INTO <fact table> [(cols)] VALUES (...), ...``
+    or ``INSERT INTO <fact table> [(cols)] SELECT ...`` onto
+    :func:`~..sources.maintenance.refresh_warehouse`.
+
+    The VALUES row set is parsed by Spark's own grammar (``SELECT *
+    FROM VALUES ...``) — every literal form Spark accepts works here,
+    no second literal dialect. The SELECT form runs through the
+    engine's own read path (Engine.sql), so it sees the MAINTAINED
+    corpus — base plus every prior ingest/delete — not the immutable
+    fixture. Either way the batch must supply the table's FULL column
+    set (a partial insert would fabricate NULL keys/measures the
+    layouts then serve forever — refused, not defaulted), and each
+    column is cast to the fixture type by NAME, so column order is
+    free."""
+    from ..schemas import FIXTURE_SCHEMAS
+
+    m = _INSERT_RE.match(sql)
     if m is None:
         raise ValueError(
-            "unsupported DELETE form; the engine's erasure op is "
-            "DELETE FROM documents|orders WHERE <key> IN (id, ...) — "
-            "for predicate-driven retention, select the ids and call "
-            "delete_documents/delete_orders with them"
+            "malformed INSERT; expected INSERT INTO "
+            "lineitem|orders|documents|events [(col, ...)] "
+            "VALUES (...), ... or ... SELECT ..."
         )
     table_name = m.group("table").lower()
-    key = m.group("key").lower()
-    want_key = TOMBSTONE_KEYS[table_name]
-    if key != want_key:
-        raise ValueError(
-            f"DELETE FROM {table_name} must key on {want_key!r}, not {key!r}"
-        )
-    ids = (
-        [int(m.group("one"))]
-        if m.group("one")
-        else [int(x) for x in m.group("ids").split(",")]
+    schema = FIXTURE_SCHEMAS[table_name]
+    want = list(schema.fieldNames())
+    cols = (
+        [c.strip().lower() for c in m.group("cols").split(",")]
+        if m.group("cols")
+        else want
     )
-    if table_name == "documents":
-        done = delete_documents(spark, sf_dir, ids)
+    unknown = [c for c in cols if c not in want]
+    if unknown:
+        raise ValueError(
+            f"unknown column(s) {unknown} on {table_name!r} "
+            f"(columns: {want})"
+        )
+    missing = [c for c in want if c not in cols]
+    if missing:
+        raise ValueError(
+            f"INSERT INTO {table_name} must supply every column; "
+            f"missing: {missing} (a partial insert would fabricate "
+            "NULL keys/measures the layouts then serve)"
+        )
+    if len(cols) != len(set(cols)):
+        raise ValueError("duplicate column in INSERT column list")
+
+    body = m.group("body").rstrip().rstrip(";")
+    if re.match(r"^VALUES\b", body, re.IGNORECASE):
+        batch = spark.sql(
+            f"SELECT * FROM ({body}) AS _ins({', '.join(cols)})"
+        )
     else:
-        done = delete_orders(spark, sf_dir, ids)
+        from ..engine import Engine
+
+        batch = Engine(spark, sf_dir).sql(body)
+        got = [c.lower() for c in batch.columns]
+        if sorted(got) != sorted(cols):
+            raise ValueError(
+                f"INSERT ... SELECT produces columns {got}, "
+                f"expected {sorted(cols)}"
+            )
+    from pyspark.sql import functions as F
+
+    # pin the batch BEFORE any memo swings: a self-referential
+    # INSERT INTO t SELECT ... FROM t must read the pre-insert
+    # snapshot, not observe the refresh re-pointing t mid-batch (the
+    # same eager-checkpoint discipline as the engine's other
+    # self-referential rewrites)
+    aligned = batch.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+    ).localCheckpoint(eager=True)
+    from ..sources.maintenance import refresh_warehouse
+
+    n = aligned.count()
+    done = refresh_warehouse(spark, sf_dir, **{table_name: aligned})
     return spark.createDataFrame(
-        [(table_name, len(ids), len(done))],
-        "table_name string, n_keys int, layouts_republished int",
+        [(table_name, n, len(done))],
+        "table_name string, n_rows bigint, layouts_refreshed int",
     )

@@ -428,22 +428,25 @@ from ..registry import query  # noqa: E402
 _DEMO_ROOT = os.path.join(tempfile.gettempdir(), "bigdataproj_retention_demo")
 
 
-def _demo_corpus(spark: SparkSession, sf_dir: str, tables: tuple[str, ...]) -> str:
+def _demo_corpus(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...], demo: str = ""
+) -> str:
     """A session-scoped mutable copy of selected fixture tables (the
-    delete demos' sandbox; memoized per (sf_dir, tables)). Each
-    (sf_dir, tables) key gets its OWN directory — tombstones are
-    keyed by corpus path, so two delete demos sharing a directory
+    delete/DML demos' sandbox; memoized per (sf_dir, tables, demo)).
+    Each key gets its OWN directory — tombstones and watermarks are
+    keyed by corpus path, so two mutation demos sharing a directory
     would see each other's deletions and drift from their oracles
-    (found by the driver running all demos in one session)."""
+    (found by the driver running all demos in one session). ``demo``
+    separates demos that need the same table set."""
     import hashlib
 
     from .bucketed import _layout_paths
 
     tag, _wh = _layout_paths(sf_dir)
-    sub = hashlib.md5(",".join(tables).encode()).hexdigest()[:8]
+    sub = hashlib.md5(",".join(tables).encode() + demo.encode()).hexdigest()[:8]
     root = os.path.join(pid_scratch(_DEMO_ROOT), f"{tag}_{sub}")
     memo: dict = spark.__dict__.setdefault("_bdp_retention_demo", {})
-    key = (sf_dir, tables)
+    key = (sf_dir, tables, demo)
     if key in memo:
         return memo[key]
     for t in tables:
@@ -757,6 +760,94 @@ def r147_sql_expire_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     events_hourly_cube_table(spark, demo)
     expire_events(spark, demo, "2024-01-10")
     expire_events(spark, demo, "2024-01-05")  # older cutoff: no-op
+    sql = (
+        "SELECT event_type, "
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value, "
+        "COUNT(*) AS n FROM events GROUP BY event_type ORDER BY event_type"
+    )
+    df, chosen = route_sql(spark, demo, sql)
+    assert chosen == "events_hourly_cube", chosen
+    return df
+
+
+_PRED_DELETE_ORACLE = """
+SELECT lang, source,
+  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+  COUNT(*) AS n
+FROM documents
+WHERE NOT (n_chars < 120)
+GROUP BY lang, source
+ORDER BY lang, source
+"""
+
+
+@query(
+    "r149_sql_delete_predicate",
+    oracle=_PRED_DELETE_ORACLE,
+    tags=("S19", "E1", "A1"),
+)
+def r149_sql_delete_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate DELETE lowering (round-9, r8-VERDICT item 3): the
+    retention policy arrives as SQL text — ``DELETE FROM documents
+    WHERE n_chars < 120`` — and the front door derives the key set
+    with ONE scan of the current relation, then rides the full S19
+    tombstone + affected-group machinery; the profile statement, still
+    cube-routed, matches DuckDB over the raw table with the predicate
+    negated. Re-issuing the same DELETE is a no-op (the derived keys
+    are already tombstoned)."""
+    from ..catalog import TABLES
+    from ..engine import Engine
+    from ..plans.sqlfront import route_sql
+    from .corpus_cubes import docs_stats_cube_table
+
+    demo = _demo_corpus(spark, sf_dir, TABLES, demo="pred_delete")
+    docs_stats_cube_table(spark, demo)
+    eng = Engine(spark, demo)
+    eng.sql("DELETE FROM documents WHERE n_chars < 120")
+    eng.sql("DELETE FROM documents WHERE n_chars < 120")  # idempotent
+    sql = (
+        "SELECT lang, source, CAST(SUM(n_chars) AS BIGINT) AS total_chars, "
+        "COUNT(*) AS n FROM documents GROUP BY lang, source "
+        "ORDER BY lang, source"
+    )
+    df, chosen = route_sql(spark, demo, sql)
+    assert chosen == "docs_stats_cube", chosen
+    return df
+
+
+_EXPIRE_DML_ORACLE = """
+SELECT event_type,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+  COUNT(*) AS n
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-12 00:00:00'
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query(
+    "r150_sql_expire_dml",
+    oracle=_EXPIRE_DML_ORACLE,
+    tags=("S19", "E1", "S15", "A1"),
+)
+def r150_sql_expire_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S19b's DML spelling (round-9, r8-VERDICT item 3): ``DELETE FROM
+    events WHERE ts < '2024-01-12'`` through Engine.sql lowers onto
+    expire_events — the watermark commits, the hourly cube drops its
+    expired stored groups exactly, and the per-type rollup (still
+    cube-routed) matches DuckDB with the cutoff predicated. The
+    sub-hour refusal and monotonicity live in expire_events itself and
+    are pinned by tests/test_ddl.py."""
+    from ..catalog import TABLES
+    from ..engine import Engine
+    from ..plans.sqlfront import route_sql
+    from .corpus_cubes import events_hourly_cube_table
+
+    demo = _demo_corpus(spark, sf_dir, TABLES, demo="expire_dml")
+    events_hourly_cube_table(spark, demo)
+    eng = Engine(spark, demo)
+    eng.sql("DELETE FROM events WHERE ts < '2024-01-12'")
     sql = (
         "SELECT event_type, "
         "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value, "

@@ -482,9 +482,172 @@ class TestDeleteDML:
         assert li1 == li0 - dead_li
 
     def test_delete_refusals(self, eng):
+        # a conjunction is beyond the lowerable single-comparison form
         with pytest.raises(ValueError, match="unsupported DELETE form"):
-            eng.sql("DELETE FROM documents WHERE lang = 'en'")
+            eng.sql(
+                "DELETE FROM documents WHERE lang = 'en' AND n_chars < 10"
+            )
+        # lineitem rows are deleted by their order (cascade), never
+        # directly
         with pytest.raises(ValueError, match="unsupported DELETE form"):
             eng.sql("DELETE FROM lineitem WHERE l_orderkey = 1")
+        # IN lists are the tombstone-key grammar; a non-key IN is not a
+        # lowerable predicate either
         with pytest.raises(ValueError, match="must key on"):
             eng.sql("DELETE FROM orders WHERE o_custkey IN (1, 2)")
+        # events are retained by TIME, not key lists
+        with pytest.raises(ValueError, match="time-based"):
+            eng.sql("DELETE FROM events WHERE event_id IN (1, 2)")
+        # sub-hour cutoffs propagate expire_events' own refusal
+        with pytest.raises(ValueError, match="hour-boundary"):
+            eng.sql("DELETE FROM events WHERE ts < '2024-01-10 00:30:00'")
+        # unknown column on a predicate delete
+        with pytest.raises(ValueError, match="unknown column"):
+            eng.sql("DELETE FROM documents WHERE nchars < 10")
+
+
+class TestDMLRound9:
+    """E1d INSERT + the predicate DELETE lowerings (r8-VERDICT items
+    2-3): the DML trio through Engine.sql, each form lowered onto the
+    existing maintenance machinery, undeliverable forms refused."""
+
+    def _sandbox(self, spark, sf_dir, tmp_path):
+        from bigdataproj_spark.catalog import table as _table
+
+        work = tmp_path / "w"
+        work.mkdir()
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "documents", "embeddings"):
+            _table(spark, sf_dir, t).write.parquet(str(work / f"{t}.parquet"))
+        return Engine(spark, str(work))
+
+    def test_insert_values_and_select_append_everywhere(
+        self, spark, sf_dir, tmp_path
+    ):
+        """Both INSERT forms land in one refresh_warehouse batch each:
+        the routed path, the verbatim view, and a scan all describe
+        base + both deltas afterwards."""
+        e = self._sandbox(spark, sf_dir, tmp_path)
+        n0 = e.sql("SELECT count(*) AS n FROM documents").collect()[0]["n"]
+        out = e.sql(
+            "INSERT INTO documents (doc_id, text, lang, source, n_chars) "
+            "VALUES (900000001, 'abc', 'en', 'src91', 3), "
+            "(900000002, 'defg', 'fr', 'src92', 4)"
+        ).collect()[0]
+        assert out["n_rows"] == 2 and out["layouts_refreshed"] > 0
+        e.sql(
+            "INSERT INTO documents SELECT doc_id + 5000000 AS doc_id, text, "
+            "lang, 'src93' AS source, n_chars FROM documents "
+            "WHERE doc_id % 100 = 0 AND doc_id < 1000000"
+        )
+        mirrored = (
+            e.table("documents")
+            .filter((F.col("doc_id") % 100 == 0) & (F.col("doc_id") < 1000000))
+            .count()
+        )
+        n1 = e.sql("SELECT count(*) AS n FROM documents").collect()[0]["n"]
+        assert n1 == n0 + 2 + mirrored
+        # routed aggregate agrees with the verbatim path over base+delta
+        routed = e.sql(
+            "SELECT lang, COUNT(*) AS n FROM documents "
+            "GROUP BY lang ORDER BY lang"
+        ).toPandas()
+        verbatim = e.sql(
+            "SELECT lang, COUNT(*) AS n FROM documents "
+            "GROUP BY lang ORDER BY lang",
+            routed=False,
+        ).toPandas()
+        assert routed.equals(verbatim)
+        # the literal rows are really there, typed per the fixture
+        got = e.sql(
+            "SELECT doc_id, lang, n_chars FROM documents "
+            "WHERE doc_id = 900000002", routed=False
+        ).collect()
+        assert [(r.doc_id, r.lang, r.n_chars) for r in got] == [
+            (900000002, "fr", 4)
+        ]
+
+    def test_insert_column_order_free_but_full_set_required(
+        self, spark, sf_dir, tmp_path
+    ):
+        e = self._sandbox(spark, sf_dir, tmp_path)
+        # permuted column list binds by name
+        e.sql(
+            "INSERT INTO documents (n_chars, source, lang, text, doc_id) "
+            "VALUES (5, 'src94', 'de', 'hallo', 900000003)"
+        )
+        got = e.sql(
+            "SELECT text, n_chars FROM documents WHERE doc_id = 900000003",
+            routed=False,
+        ).collect()
+        assert [(r.text, r.n_chars) for r in got] == [("hallo", 5)]
+
+    def test_insert_refusals(self, eng):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="unknown column"):
+            eng.sql(
+                "INSERT INTO documents (doc_id, wrong_col, lang, source, "
+                "n_chars) VALUES (1, 'x', 'en', 'src1', 1)"
+            )
+        with _pytest.raises(ValueError, match="missing"):
+            eng.sql("INSERT INTO documents (doc_id) VALUES (1)")
+        with _pytest.raises(ValueError, match="duplicate column"):
+            eng.sql(
+                "INSERT INTO documents (doc_id, doc_id, text, lang, source, "
+                "n_chars) VALUES (1, 1, 'x', 'en', 'src1', 1)"
+            )
+        with _pytest.raises(ValueError, match="expected"):
+            eng.sql("INSERT INTO documents SELECT doc_id FROM documents")
+        # a non-fact table is NOT claimed: the statement falls through
+        # to the verbatim path (Spark then errors its own way on a
+        # temp view, or serves a user catalog table's native INSERT)
+        from bigdataproj_spark.plans.ddl import try_ddl
+
+        assert try_ddl(eng.spark, eng.sf_dir,
+                       "INSERT INTO customer VALUES (1)") is None
+
+    def test_predicate_delete_lowers_and_is_idempotent(
+        self, spark, sf_dir, tmp_path
+    ):
+        e = self._sandbox(spark, sf_dir, tmp_path)
+        want_alive = (
+            e.table("documents").filter(~(F.col("n_chars") > 4000)).count()
+        )
+        e.sql("DELETE FROM documents WHERE n_chars > 4000")
+        n1 = e.sql("SELECT count(*) AS n FROM documents").collect()[0]["n"]
+        assert n1 == want_alive
+        e.sql("DELETE FROM documents WHERE n_chars > 4000")  # no-op
+        n2 = e.sql("SELECT count(*) AS n FROM documents").collect()[0]["n"]
+        assert n2 == want_alive
+
+    def test_predicate_delete_on_orders_cascades(self, spark, sf_dir, tmp_path):
+        e = self._sandbox(spark, sf_dir, tmp_path)
+        dead_orders = e.table("orders").filter(F.col("o_custkey") == 1)
+        dead_li = (
+            e.table("lineitem")
+            .join(dead_orders.select("o_orderkey"),
+                  F.col("l_orderkey") == F.col("o_orderkey"), "semi")
+            .count()
+        )
+        li0 = e.sql("SELECT count(*) AS n FROM lineitem").collect()[0]["n"]
+        e.sql("DELETE FROM orders WHERE o_custkey = 1")
+        li1 = e.sql("SELECT count(*) AS n FROM lineitem").collect()[0]["n"]
+        assert li1 == li0 - dead_li
+
+    def test_expire_dml_lowers_onto_watermark(self, spark, sf_dir, tmp_path):
+        from bigdataproj_spark.sources.retention import event_watermark
+
+        e = self._sandbox(spark, sf_dir, tmp_path)
+        want = (
+            e.table("events")
+            .filter(F.col("ts") >= F.lit("2024-01-08 00:00:00").cast("timestamp"))
+            .count()
+        )
+        e.sql("DELETE FROM events WHERE ts < '2024-01-08'")
+        assert event_watermark(spark, e.sf_dir) == "2024-01-08 00:00:00"
+        n = e.sql("SELECT count(*) AS n FROM events").collect()[0]["n"]
+        assert n == want
+        # TIMESTAMP-keyword spelling and monotone no-op
+        e.sql("DELETE FROM events WHERE ts < TIMESTAMP '2024-01-05 00:00:00'")
+        assert event_watermark(spark, e.sf_dir) == "2024-01-08 00:00:00"
