@@ -364,15 +364,18 @@ class Engine:
 
         return optimize_warehouse(self.spark, self.sf_dir)
 
-    def gc(self) -> dict[str, int]:
+    def gc(self, retain_seconds: float = 0.0) -> dict[str, int]:
         """Run the scheduled VACUUM: delete every superseded layout
         version no serving memo references (sources/maintenance.py
         gc_warehouse). Run at a quiet point on the OPTIMIZE cadence —
         a DataFrame planned against a superseded version errors after
-        GC, exactly the Delta/Iceberg VACUUM caveat."""
+        GC, exactly the Delta/Iceberg VACUUM caveat. ``retain_seconds``
+        is the VACUUM RETAIN guard: superseded versions younger than
+        the window survive until a later pass (pass your longest query
+        duration when other sessions may hold plans)."""
         from .sources.maintenance import gc_warehouse
 
-        return gc_warehouse(self.spark, self.sf_dir)
+        return gc_warehouse(self.spark, self.sf_dir, retain_seconds)
 
     def delete(self, table: str, keys) -> dict[str, str]:
         """S19: targeted delete — tombstones + eager affected-group

@@ -43,10 +43,14 @@ def q18_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sharing its content fingerprint (survivor), flagged if duplicate.
 
     One shuffle on the 128-bit fingerprint; group sizes are tiny by
-    construction, so no skew risk at 100 TB.
+    construction, so no skew risk at 100 TB. The shuffle key is the
+    md5 UNHEXED to 16 binary bytes (round 9): the fingerprint never
+    appears in the output, so any bijection of it groups identically,
+    and halving the key bytes halves the dominant shuffle's payload —
+    the A/B and the variance attribution live in BENCHMARKS.md.
     """
     d = table(spark, sf_dir, "documents")
-    fp = d.select("doc_id", fingerprint("text").alias("f"))
+    fp = d.select("doc_id", F.unhex(fingerprint("text")).alias("f"))
     w = Window.partitionBy("f")
     return fp.select(
         "doc_id",

@@ -370,7 +370,9 @@ def optimize_warehouse(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     return done
 
 
-def gc_warehouse(spark: SparkSession, sf_dir: str) -> dict[str, int]:
+def gc_warehouse(
+    spark: SparkSession, sf_dir: str, retain_seconds: float = 0.0
+) -> dict[str, int]:
     """The scheduled VACUUM — the third maintenance verb next to
     refresh (ingest) and optimize (rewrite). Every refresh publishes a
     NEW version and swings its serving memo, deliberately leaving the
@@ -381,6 +383,18 @@ def gc_warehouse(spark: SparkSession, sf_dir: str) -> dict[str, int]:
     posture, with the same caveat: a DataFrame handle planned against
     a superseded version errors after GC (the memo-routed paths never
     do; they only reference live versions).
+
+    ``retain_seconds`` is the Delta ``VACUUM ... RETAIN n HOURS``
+    guard (round-9, r8-VERDICT item 4): a superseded entry whose
+    newest file is younger than the window SURVIVES this pass, so a
+    long-planned reader still scanning it cannot lose files mid-query;
+    it is collected on a later pass once it ages out. The default is
+    0 — delete superseded versions immediately — which is safe in the
+    engine's single-session serving model (every live plan resolves
+    through the memos, which only ever reference current versions); a
+    deployment where other sessions may hold plans against older
+    versions should pass a window covering its longest-running query,
+    e.g. ``retain_seconds=7*24*3600`` for Delta's 7-day posture.
 
     Returns {"removed": n_entries, "bytes": total_bytes_freed}.
 
@@ -436,18 +450,29 @@ def gc_warehouse(spark: SparkSession, sf_dir: str) -> dict[str, int]:
         if d == sf_dir:
             _keep(path)
 
+    import time
+
+    now = time.time()
     removed = 0
     freed = 0
     for entry in sorted(os.listdir(wh)):
         if entry in live:
             continue
         full = os.path.join(wh, entry)
+        size = 0
+        newest = os.path.getmtime(full)
         for dirpath, _dirs, files in os.walk(full):
             for f in files:
                 try:
-                    freed += os.path.getsize(os.path.join(dirpath, f))
+                    p = os.path.join(dirpath, f)
+                    size += os.path.getsize(p)
+                    newest = max(newest, os.path.getmtime(p))
                 except OSError:
                     pass
+        if retain_seconds > 0 and now - newest < retain_seconds:
+            continue  # inside the retention window: a planned reader
+            # may still be scanning it — collect on a later pass
         shutil.rmtree(full, ignore_errors=True)
         removed += 1
+        freed += size
     return {"removed": removed, "bytes": freed}

@@ -659,3 +659,61 @@ def test_ingest_batch_never_rewrites_pre_batch_files(spark, sf_dir, tmp_path):
     post = digest(set(pre))
     changed = {f for f in pre if pre[f] != post[f]}
     assert not changed, f"pre-batch files rewritten in place: {sorted(changed)[:5]}"
+
+
+def test_gc_retention_window_keeps_young_superseded_versions(
+    spark, sf_dir, tmp_path
+):
+    """The VACUUM RETAIN guard (round-9, r8-VERDICT item 4): with a
+    retention window, a superseded version younger than the window
+    SURVIVES the pass (a long-planned reader may still be scanning
+    it), while a superseded version older than the window goes. A
+    later windowless pass collects the survivor."""
+    import os
+    import time
+
+    from bigdataproj_spark.sources.bucketed import (
+        _layout_paths,
+        pricing_cube_table,
+    )
+    from bigdataproj_spark.sources.maintenance import gc_warehouse
+
+    base_dir = tmp_path / "base"
+    splits = {
+        "orders": F.col("o_orderkey") % 13 <= 1,
+        "lineitem": F.col("l_orderkey") % 13 <= 1,
+    }
+    deltas = _copy_tables(spark, sf_dir, base_dir, splits)
+    sf_base = str(base_dir)
+    pricing_cube_table(spark, sf_base)
+    v1 = pricing_cube_table(spark, sf_base)  # memoized: still v-initial
+    for rem in (0, 1):
+        refresh_warehouse(
+            spark, sf_base,
+            lineitem=deltas["lineitem"].filter(F.col("l_orderkey") % 13 == rem),
+            orders=deltas["orders"].filter(F.col("o_orderkey") % 13 == rem),
+        )
+    v3 = pricing_cube_table(spark, sf_base)
+    assert v3 != v1  # v1 and the middle version are superseded
+
+    # backdate ONE superseded entry beyond the window; the other
+    # superseded entries stay young
+    old = time.time() - 7200
+    for dirpath, _dirs, files in os.walk(v1):
+        os.utime(dirpath, (old, old))
+        for f in files:
+            os.utime(os.path.join(dirpath, f), (old, old))
+    wh = _layout_paths(sf_base)[1]
+    n0 = len(os.listdir(wh))
+
+    out = gc_warehouse(spark, sf_base, retain_seconds=3600)
+    # exactly the aged-out entries went; v1 is among them
+    assert out["removed"] >= 1
+    assert not os.path.exists(v1)
+    assert len(os.listdir(wh)) == n0 - out["removed"]
+    # young superseded versions survived the windowed pass...
+    survivors = gc_warehouse(spark, sf_base)  # windowless
+    assert survivors["removed"] > 0
+    # ...and the serving version is still there after both passes
+    assert os.path.exists(v3)
+    assert spark.read.parquet(v3).count() > 0

@@ -643,3 +643,89 @@ def test_foreach_batch_upsert_crash_before_publish_preserves_old_snapshot(
     # and a second redelivery of batch 1 is a pure no-op
     apply(b1, 1)
     assert _os.readlink(current) == "v_crashtest_1"
+
+
+def test_streamed_warehouse_ingest_respects_retention_watermark(
+    spark, sf_dir, tmp_path
+):
+    """ST10 ∘ S19b (round-9, r8-VERDICT item 9): the streamed proof of
+    the batch-side watermark drop. A continuous warehouse-ingest loop
+    (foreachBatch → refresh_warehouse, one micro-batch per trigger)
+    runs AFTER a retention watermark was committed; micro-batches —
+    and individual rows — arriving below the watermark are dropped
+    INSIDE foreachBatch, so the hourly cube and every row-level read
+    describe exactly the surviving events: streamed replay == one-shot
+    build over the post-TTL corpus."""
+    from bigdataproj_spark.plans.corpus_routing import (
+        AggCall,
+        TableAggQuery,
+        current_events,
+        route_corpus,
+    )
+    from bigdataproj_spark.sources.corpus_cubes import events_hourly_cube_table
+    from bigdataproj_spark.sources.maintenance import refresh_warehouse
+    from bigdataproj_spark.sources.retention import expire_events
+    from bigdataproj_spark.streaming.replay import EVENTS_DDL, _drive_stream
+
+    base_dir = tmp_path / "base"
+    base_dir.mkdir()
+    events = table(spark, sf_dir, "events")
+    base = events.filter(F.col("event_id") % 2 == 0)
+    delta = events.filter(F.col("event_id") % 2 == 1)
+    base.write.parquet(str(base_dir / "events.parquet"))
+    for t in ("documents",):
+        table(spark, sf_dir, t).write.parquet(str(base_dir / f"{t}.parquet"))
+    sf_base = str(base_dir)
+
+    events_hourly_cube_table(spark, sf_base)
+    cutoff = "2024-01-10"
+    expire_events(spark, sf_base, cutoff)
+
+    # stage the delta as 4 ts-ordered micro-batches: the earliest ones
+    # sit (partly or wholly) below the committed watermark
+    pdf = delta.toPandas().sort_values(["ts", "event_id"])
+    size = (len(pdf) + 3) // 4
+    paths = []
+    for b in range(4):
+        part = pdf.iloc[b * size : (b + 1) * size]
+        p = str(tmp_path / f"ev_{b:03d}.parquet")
+        part.to_parquet(
+            p, index=False, coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
+        paths.append(p)
+
+    def attach(stream, ckpt):
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda batch_df, _id: refresh_warehouse(
+                    spark, sf_base, events=batch_df
+                )
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        return q, lambda: None
+
+    _drive_stream(spark, paths, EVENTS_DDL, attach)
+
+    # expected: (base ∪ delta) with ts >= watermark — late rows never
+    # entered any layout
+    wm = F.lit(f"{cutoff} 00:00:00").cast("timestamp")
+    want_rows = events.filter(F.col("ts") >= wm)
+    assert current_events(spark, sf_base).count() == want_rows.count()
+    spec = TableAggQuery(
+        table="events", filters=(), group_by=("event_type",),
+        aggs=(AggCall("count_star", None, "n"),),
+    )
+    df, chosen = route_corpus(spark, sf_base, spec)
+    assert chosen == "events_hourly_cube", chosen
+    got = {r["event_type"]: r["n"] for r in df.collect()}
+    want = {
+        r["event_type"]: r["n"]
+        for r in want_rows.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
