@@ -862,3 +862,116 @@ def r59_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# L24 (round 9, r8-VERDICT item 8): deterministic LINEAR quality
+# classifier — the CCNet/fastText-style hashed bag-of-words scorer,
+# the one standard corpus-pipeline stage L13's rule gates don't
+# cover. Pipeline shape is the real thing: tokens → salted md5 bucket
+# into a fixed hashed feature space → per-doc feature counts → one
+# broadcast weight-table join → DECIMAL-accumulated dot product →
+# logistic threshold. The WEIGHTS are a fixed deterministic table (a
+# pretrained model's weights arrive as exactly such a table; this
+# container has no labeled data to fit one, so a seeded formula stands
+# in — the same stand-in policy as the multimodal codecs), which is
+# what keeps the whole stage oracle-expressible: DuckDB derives the
+# identical table from range({buckets}).
+#
+# At 100 TB: one tokenize pass (corpus-linear), the feature matrix is
+# ≤{buckets} rows per doc, the weight table is {buckets} rows
+# (broadcast forever), scoring is map-side after one (doc_id, b)
+# partial-agg shuffle — and the trained-model deployment twin is a
+# pure map (weights embed as a plan literal, the dsir_scorer pattern).
+# ---------------------------------------------------------------------------
+
+_CLF_BUCKETS = 64
+_CLF_SALT = "qclf-v1:"          # version the feature space with the model
+_CLF_BIAS = 0.0
+_CLF_HASH_SQL = hash60_sql("token", _CLF_SALT)
+# fixed "pretrained" weight for bucket b, in [-1, 1], quantized to
+# decimal(18,6) so the per-doc fold is order-independent cross-engine
+_CLF_WEIGHT_SQL = (
+    "CAST(round(((b * 37 + 11) % 21 - 10) / 10.0, 6) AS DECIMAL(18,6))"
+)
+
+
+def classifier_weights(spark: SparkSession) -> DataFrame:
+    """The L24 weight table: (b, w) for b in [0, buckets) — THE
+    definition both the Spark plan and the DuckDB oracle derive
+    (kept in lockstep with _CLF_WEIGHT_SQL)."""
+    b = F.col("id").cast("int")
+    return spark.range(_CLF_BUCKETS).select(
+        b.alias("b"),
+        F.round(((b * 37 + 11) % 21 - 10) / 10.0, 6)
+        .cast("decimal(18,6)")
+        .alias("w"),
+    )
+
+
+def classify_quality(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Score documents with the linear classifier: per-doc hashed-BoW
+    features ⋈ broadcast weights → mean bucket weight + bias →
+    logistic probability, keep at p >= 0.5. Returns (doc_id, n_toks,
+    prob, keep), empty-token documents dropped (no features to score —
+    the upstream L13 length gate owns those)."""
+    tb = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("token")
+    ).select(
+        "doc_id",
+        (hash60(F.col("token"), _CLF_SALT) % _CLF_BUCKETS)
+        .cast("int")
+        .alias("b"),
+    )
+    tbc = tb.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("n"))
+    dw = tbc.join(F.broadcast(classifier_weights(spark)), "b").groupBy(
+        "doc_id"
+    ).agg(
+        F.sum(F.col("w") * F.col("n")).alias("z_dec"),
+        F.sum("n").alias("n_toks"),
+    )
+    z = F.lit(_CLF_BIAS) + F.col("z_dec").cast("double") / F.col("n_toks")
+    prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return dw.select(
+        "doc_id",
+        F.col("n_toks").cast("long").alias("n_toks"),
+        prob.alias("prob"),
+        (prob >= 0.5).alias("keep"),
+    ).orderBy("doc_id")
+
+
+_Q_CLF_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOKENS_SQL}) AS token FROM documents
+),
+tb AS (
+  SELECT doc_id,
+    CAST({_CLF_HASH_SQL} % {_CLF_BUCKETS} AS INTEGER) AS b
+  FROM tok
+),
+tbc AS (SELECT doc_id, b, COUNT(*) AS n FROM tb GROUP BY doc_id, b),
+w AS (SELECT CAST(b AS INTEGER) AS b, {_CLF_WEIGHT_SQL} AS w
+      FROM range({_CLF_BUCKETS}) t(b)),
+dw AS (
+  SELECT doc_id, SUM(w * n) AS z_dec, SUM(n) AS n_toks
+  FROM tbc JOIN w USING (b) GROUP BY doc_id
+),
+scored AS (
+  SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+    round(1.0 / (1.0 + exp(-({_CLF_BIAS} + CAST(z_dec AS DOUBLE) / n_toks))), 6)
+      AS prob
+  FROM dw
+)
+SELECT doc_id, n_toks, prob, prob >= 0.5 AS keep
+FROM scored
+ORDER BY doc_id
+"""
+
+
+@query("r151_quality_classifier", oracle=_Q_CLF_ORACLE, tags=("L24", "quality"))
+def r151_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L24 end to end over the documents fixture — hashed-BoW linear
+    quality scoring with a logistic threshold, differentially checked
+    against DuckDB deriving the same weight table, buckets, and
+    decimal fold."""
+    return classify_quality(spark, table(spark, sf_dir, "documents"))

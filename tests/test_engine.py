@@ -154,9 +154,9 @@ def test_registry_covers_every_survey_row_tag():
         "U1", "U2", "U3", "U4", "U5",
         # LLM-pipeline rows
         "L1", "L2", "L3", "L4", "L5", "L6", "L7", "L8", "L9",
-        "L10", "L11",
+        "L10", "L11", "L24",
         # engine extensions
-        "S7", "S8", "G1",
+        "S7", "S8", "G1", "E1d",
     }
     have = {t for q in load_all().values() for t in q.tags}
     missing = required - have

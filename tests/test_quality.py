@@ -174,3 +174,44 @@ def test_drift_monitor_near_zero_on_random_split(spark, sf_dir):
     assert 0 < kl < 0.05, kl
     mags = pdf["contrib"].abs()
     assert mags.is_monotonic_decreasing
+
+
+class TestQualityClassifier:
+    """L24 (round 9): the linear hashed-BoW quality classifier."""
+
+    def test_order_and_partitioning_independent(self, spark, sf_dir):
+        """The decimal-accumulated fold makes the score independent of
+        row order and parallelism — rerunning over a repartitioned,
+        reshuffled corpus is bit-identical."""
+        from bigdataproj_spark.catalog import table
+        from bigdataproj_spark.operators.quality import classify_quality
+
+        docs = table(spark, sf_dir, "documents")
+        a = classify_quality(spark, docs).toPandas()
+        b = classify_quality(
+            spark, docs.repartition(17, "lang")
+        ).toPandas()
+        assert a.equals(b)
+
+    def test_score_contract(self, spark, sf_dir):
+        from bigdataproj_spark.catalog import table
+        from bigdataproj_spark.operators.quality import classify_quality
+
+        got = classify_quality(
+            spark, table(spark, sf_dir, "documents")
+        ).toPandas()
+        assert ((got["prob"] >= 0.0) & (got["prob"] <= 1.0)).all()
+        assert (got["keep"] == (got["prob"] >= 0.5)).all()
+        assert (got["n_toks"] > 0).all()
+        # the filter genuinely discriminates on this corpus
+        assert 0.0 < got["keep"].mean() < 1.0
+
+    def test_weight_table_is_bounded_and_versioned(self, spark):
+        from bigdataproj_spark.operators.quality import (
+            _CLF_BUCKETS,
+            classifier_weights,
+        )
+
+        w = classifier_weights(spark).toPandas()
+        assert len(w) == _CLF_BUCKETS
+        assert w["w"].astype(float).between(-1.0, 1.0).all()
