@@ -241,8 +241,8 @@ def gate_filter(d: DataFrame) -> DataFrame:
     return t.filter(_gate_keep())
 
 
-@query("q15_quality_gate", oracle=_Q_R02_ORACLE, tags=("L5", "L11", "quality"))
-def q15_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r153_quality_gate", oracle=_Q_R02_ORACLE, tags=("L5", "L11", "quality"))
+def r153_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style keep/drop gate, entirely map-only.
 
     Every predicate reads off the token array with higher-order
@@ -681,8 +681,8 @@ ORDER BY doc_id
 """
 
 
-@query("q32_training_mix_pipeline", oracle=_Q_R15_ORACLE, tags=("L9", "quality", "capstone"))
-def q32_training_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r156_training_mix_pipeline", oracle=_Q_R15_ORACLE, tags=("L9", "quality", "capstone"))
+def r156_training_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The complete modern pretraining-data build, composed from the
     round's operators and oracle-checked as ONE query: quality gate
     (the q15 predicates) → exact dedup survivors (q18's min-doc_id
@@ -968,8 +968,8 @@ ORDER BY doc_id
 """
 
 
-@query("r151_quality_classifier", oracle=_Q_CLF_ORACLE, tags=("L24", "quality"))
-def r151_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("q35_quality_classifier", oracle=_Q_CLF_ORACLE, tags=("L24", "quality"))
+def q35_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L24 end to end over the documents fixture — hashed-BoW linear
     quality scoring with a logistic threshold, differentially checked
     against DuckDB deriving the same weight table, buckets, and

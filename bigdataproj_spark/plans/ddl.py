@@ -507,11 +507,11 @@ ORDER BY lang, source
 
 
 @query(
-    "r148_sql_insert_dml",
+    "q16_sql_insert_dml",
     oracle=_INSERT_ORACLE,
     tags=("E1d", "S19", "S15", "A1"),
 )
-def r148_sql_insert_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q16_sql_insert_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1d end to end (round-9, r8-VERDICT item 2): ingest arrives as
     SQL text. On a sandbox copy of the corpus with the doc-stats cube
     deployed, one ``INSERT INTO documents SELECT`` (a derived mirror

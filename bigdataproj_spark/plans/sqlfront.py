@@ -1407,8 +1407,8 @@ ORDER BY c_mktsegment
 """
 
 
-@query("q35_sql_arm_measures", oracle=_SQL_ARM_MEASURES, tags=("S13", "E1", "A1", "J1"))
-def q35_sql_arm_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r157_sql_arm_measures", oracle=_SQL_ARM_MEASURES, tags=("S13", "E1", "A1", "J1"))
+def r157_sql_arm_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arm-home MEASURES through the front door: order- and customer-
     level money columns aggregated over the declared chain-2 join,
     alongside a lineitem measure. The sums weight by lineitem
@@ -1490,8 +1490,8 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
-@query("q09_sql_distinct_keys", oracle=_SQL_DISTINCT, tags=("S13", "E1", "A2"))
-def q09_sql_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r152_sql_distinct_keys", oracle=_SQL_DISTINCT, tags=("S13", "E1", "A2"))
+def r152_sql_distinct_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SELECT DISTINCT through the front door, with a disjunctive
     predicate. The distinct key combinations of the raw fact are a
     projection of the cube's stored group keys (every raw row maps to
@@ -1640,8 +1640,8 @@ ORDER BY event_id
 """
 
 
-@query("q16_sql_events_scan", oracle=_SQL_EVENTS_SCAN, tags=("S15", "S14", "E1", "P2"))
-def q16_sql_events_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r154_sql_events_scan", oracle=_SQL_EVENTS_SCAN, tags=("S15", "S14", "E1", "P2"))
+def r154_sql_events_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level time-slice scan over the event log through the front
     door: the ts range selects the day-partitioned events layout
     (sources/dated.py dated_events), the router derives the day bounds
@@ -1699,9 +1699,9 @@ ORDER BY o_orderpriority, l_returnflag
 
 
 @query(
-    "q20_user_projection_sql", oracle=_SQL_USER_PROJ, tags=("S16", "S13", "E1", "A1")
+    "r155_user_projection_sql", oracle=_SQL_USER_PROJ, tags=("S16", "S13", "E1", "A1")
 )
-def q20_user_projection_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+def r155_user_projection_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S16 end-to-end: the user DECLARES a projection — keys
     (o_orderpriority, l_returnflag), a chain-1 mixed grouping no
     built-in stores (the star cube is chain-4; per-order priorities

@@ -564,11 +564,11 @@ ORDER BY lang
 
 
 @query(
-    "r146_sql_delete_dml",
+    "q09_sql_delete_dml",
     oracle=_DML_DELETE_ORACLE,
     tags=("S19", "E1", "A1"),
 )
-def r146_sql_delete_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q09_sql_delete_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S19's DML spelling end to end: the erasure request arrives as
     SQL text — ``DELETE FROM documents WHERE doc_id IN (…)`` through
     Engine.sql (plans/ddl.py) — and the subsequent profile statement,
@@ -742,11 +742,11 @@ ORDER BY event_type
 
 
 @query(
-    "r147_sql_expire_events",
+    "q15_sql_expire_events",
     oracle=_EXPIRE_ORACLE,
     tags=("S19", "S15", "A1", "ST1"),
 )
-def r147_sql_expire_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q15_sql_expire_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S19b end to end: TTL retention on the event log. The demo
     corpus expires everything before 2024-01-10 (a day boundary); the
     hourly cube drops its expired groups by an exact stored-key
@@ -782,11 +782,11 @@ ORDER BY lang, source
 
 
 @query(
-    "r149_sql_delete_predicate",
+    "q20_sql_delete_predicate",
     oracle=_PRED_DELETE_ORACLE,
     tags=("S19", "E1", "A1"),
 )
-def r149_sql_delete_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q20_sql_delete_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Predicate DELETE lowering (round-9, r8-VERDICT item 3): the
     retention policy arrives as SQL text — ``DELETE FROM documents
     WHERE n_chars < 120`` — and the front door derives the key set
@@ -827,11 +827,11 @@ ORDER BY event_type
 
 
 @query(
-    "r150_sql_expire_dml",
+    "q32_sql_expire_dml",
     oracle=_EXPIRE_DML_ORACLE,
     tags=("S19", "E1", "S15", "A1"),
 )
-def r150_sql_expire_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q32_sql_expire_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S19b's DML spelling (round-9, r8-VERDICT item 3): ``DELETE FROM
     events WHERE ts < '2024-01-12'`` through Engine.sql lowers onto
     expire_events — the watermark commits, the hourly cube drops its

@@ -43,7 +43,7 @@ EXTRA = {
     "r126_chunk_dedup",
     "r144_sequence_packing",
     "r130_decontamination",
-    "q32_training_mix_pipeline",
+    "r156_training_mix_pipeline",
     "r53_dsir_resample",
     "r120_bigram_lm",
     "q08_skipgram_pairs",

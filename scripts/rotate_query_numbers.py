@@ -161,6 +161,29 @@ ROTATIONS: dict[str, dict[str, dict]] = {
             107: "q50",  # semantic_dedup (churn return)
         },
     },
+    # Round 9: the two round-8 late stems (S19 DML spellings) and the
+    # four round-9 feature stems (INSERT DML, the two predicate DELETE
+    # lowerings, the L24 classifier) enter. Evictees are r8-green, none
+    # bench-tagged, every family keeps an in-window sibling (detail in
+    # docs/QUERY_ROTATION.md).
+    "r9": {
+        "q": {
+            9: "r152",   # q09_sql_distinct_keys (E1b: q11/q04 cover)
+            15: "r153",  # q15_quality_gate (L13: q42 + entering L24)
+            16: "r154",  # q16_sql_events_scan (scan routing: q28/q36; S15: q40/q43)
+            20: "r155",  # q20_user_projection_sql (S16: q12/q13/q34)
+            32: "r156",  # q32_training_mix_pipeline (L20: q25)
+            35: "r157",  # q35_sql_arm_measures (arms: q33/q34/q14)
+        },
+        "r": {
+            146: "q09",  # sql_delete_dml (S19 DML, r8 late)
+            147: "q15",  # sql_expire_events (S19b TTL, r8 late)
+            148: "q16",  # sql_insert_dml (E1d)
+            149: "q20",  # sql_delete_predicate (S19 predicate lowering)
+            150: "q32",  # sql_expire_dml (S19b DML lowering)
+            151: "q35",  # quality_classifier (L24)
+        },
+    },
 }
 
 SKIP = {

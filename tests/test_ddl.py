@@ -651,3 +651,44 @@ class TestDMLRound9:
         # TIMESTAMP-keyword spelling and monotone no-op
         e.sql("DELETE FROM events WHERE ts < TIMESTAMP '2024-01-05 00:00:00'")
         assert event_watermark(spark, e.sf_dir) == "2024-01-08 00:00:00"
+
+
+class TestPredicateDeleteDifferential:
+    """Differential check of the predicate-DELETE lowering across
+    literal types and operators: engine delete through SQL text, then
+    the routed profile must equal recomputing over the fixture with
+    the predicate negated (never-had-those-rows equivalence)."""
+
+    @pytest.mark.parametrize(
+        "pred,col,op,lit",
+        [
+            ("lang = 'de'", "lang", "==", "de"),
+            ("n_chars <= 200", "n_chars", "<=", 200),
+            ("doc_id > 400", "doc_id", ">", 400),
+            ("source <> 'src3'", "source", "!=", "src3"),
+        ],
+    )
+    def test_predicate_forms(self, spark, sf_dir, tmp_path, pred, col, op, lit):
+        from bigdataproj_spark.catalog import table as _table
+
+        work = tmp_path / "w"
+        work.mkdir()
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "documents", "embeddings"):
+            _table(spark, sf_dir, t).write.parquet(str(work / f"{t}.parquet"))
+        e = Engine(spark, str(work))
+        e.sql(f"DELETE FROM documents WHERE {pred}")
+        got = e.sql(
+            "SELECT lang, COUNT(*) AS n FROM documents "
+            "GROUP BY lang ORDER BY lang"
+        ).toPandas()
+        import operator as _op
+
+        ops = {"==": _op.eq, "<=": _op.le, ">": _op.gt, "!=": _op.ne}
+        want = (
+            _table(spark, sf_dir, "documents")
+            .filter(~ops[op](F.col(col), F.lit(lit)))
+            .groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("lang").toPandas()
+        )
+        assert got.equals(want), f"mismatch for {pred}"

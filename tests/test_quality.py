@@ -16,7 +16,7 @@ from bigdataproj_spark.operators.quality import (
     _EMAIL_RE,
     _PHONE_RE,
     r41_repetition_stats,
-    q15_quality_gate,
+    r153_quality_gate,
     q42_pii_scrub,
 )
 from bigdataproj_spark.plans import physical_plan as plan_of
@@ -36,7 +36,7 @@ def test_repetition_fractions_bounded(spark, sf_dir):
 
 def test_quality_gate_keep_is_conjunction(spark, sf_dir):
     """`keep` must equal the AND of the five component predicates."""
-    pdf = q15_quality_gate(spark, sf_dir).toPandas()
+    pdf = r153_quality_gate(spark, sf_dir).toPandas()
     assert len(pdf) > 0
     comp = (
         pdf["len_ok"]
@@ -72,7 +72,7 @@ def test_quality_gate_and_scrub_are_map_only(spark, sf_dir):
     """The r02/r03 docstrings claim zero data shuffles: the only
     exchange allowed in either plan is the final ORDER BY's range
     exchange over the raw scan."""
-    for build in (q15_quality_gate, q42_pii_scrub):
+    for build in (r153_quality_gate, q42_pii_scrub):
         plan = plan_of(build(spark, sf_dir))
         exchanges = [
             line for line in plan.splitlines() if re.search(r"\bExchange\b", line)
@@ -142,10 +142,10 @@ def test_training_mix_capstone_tape_is_contiguous(spark, sf_dir):
     passed the gate, and no two docs share a fingerprint."""
     from bigdataproj_spark.operators.quality import (
         quality_flags,
-        q32_training_mix_pipeline,
+        r156_training_mix_pipeline,
     )
 
-    pdf = q32_training_mix_pipeline(spark, sf_dir).toPandas()
+    pdf = r156_training_mix_pipeline(spark, sf_dir).toPandas()
     assert len(pdf) > 0
     tape = pdf.sort_values("start_offset")
     ends = tape["start_offset"] + tape["n_tokens"]
