@@ -692,3 +692,88 @@ class TestPredicateDeleteDifferential:
             .orderBy("lang").toPandas()
         )
         assert got.equals(want), f"mismatch for {pred}"
+
+
+class TestInsertOtherFactTables:
+    """E1d across the remaining fact tables: events (the TIMESTAMP
+    literal path — the fixture's nanos quirk must not leak into the
+    statement surface) and a NEW ORDER arriving as the natural
+    two-statement sequence (orders first, then its lineitems — the
+    same dimension-first ordering refresh_warehouse encodes)."""
+
+    def _sandbox(self, spark, sf_dir, tmp_path):
+        from bigdataproj_spark.catalog import table as _table
+
+        work = tmp_path / "w"
+        work.mkdir()
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "documents", "embeddings"):
+            _table(spark, sf_dir, t).write.parquet(str(work / f"{t}.parquet"))
+        return Engine(spark, str(work))
+
+    def test_insert_events_timestamp_literal(self, spark, sf_dir, tmp_path):
+        e = self._sandbox(spark, sf_dir, tmp_path)
+        n0 = e.sql("SELECT count(*) AS n FROM events").collect()[0]["n"]
+        e.sql(
+            "INSERT INTO events (event_id, ts, user_id, event_type, value, "
+            "props) VALUES "
+            "(900000001, TIMESTAMP '2024-02-01 10:30:00', 7, 'click', 1.5, "
+            "'{}'), "
+            "(900000002, TIMESTAMP '2024-02-01 11:00:00', 7, 'purchase', "
+            "99.25, '{}')"
+        )
+        n1 = e.sql("SELECT count(*) AS n FROM events").collect()[0]["n"]
+        assert n1 == n0 + 2
+        got = e.sql(
+            "SELECT event_id, ts, value FROM events "
+            "WHERE event_id = 900000002", routed=False
+        ).collect()[0]
+        assert str(got.ts) == "2024-02-01 11:00:00"
+        assert got.value == 99.25
+        # the routed hourly path counts them too
+        hourly = e.sql(
+            "SELECT COUNT(*) AS n FROM events"
+        ).collect()[0]["n"]
+        assert hourly == n1
+
+    def test_new_order_as_two_insert_statements(self, spark, sf_dir, tmp_path):
+        e = self._sandbox(spark, sf_dir, tmp_path)
+        rev0 = e.sql(
+            "SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) "
+            "* (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) "
+            "AS DOUBLE) AS rev FROM lineitem"
+        ).collect()[0]["rev"]
+        e.sql(
+            "INSERT INTO orders VALUES (900000001, 1, 'O', 3000.0, "
+            "TIMESTAMP '1996-06-15 00:00:00', '1-URGENT')"
+        )
+        e.sql(
+            "INSERT INTO lineitem VALUES "
+            "(900000001, 1, 1, 1, 10.0, 1000.0, 0.0, 0.05, 'N', 'O', "
+            "TIMESTAMP '1996-06-20 00:00:00'), "
+            "(900000001, 2, 2, 2, 20.0, 2000.0, 0.10, 0.02, 'N', 'O', "
+            "TIMESTAMP '1996-06-25 00:00:00')"
+        )
+        rev1 = e.sql(
+            "SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) "
+            "* (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) "
+            "AS DOUBLE) AS rev FROM lineitem"
+        ).collect()[0]["rev"]
+        assert abs(rev1 - (rev0 + 1000.0 + 1800.0)) < 1e-6
+        # the new order joins through the maintained star: routed and
+        # verbatim agree on a per-status rollup including it
+        sql = (
+            "SELECT o_orderstatus, COUNT(*) AS n FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "GROUP BY o_orderstatus ORDER BY o_orderstatus"
+        )
+        assert e.sql(sql).toPandas().equals(
+            e.sql(sql, routed=False).toPandas()
+        )
+        # and a later DELETE of that order cascades both lineitems away
+        e.sql("DELETE FROM orders WHERE o_orderkey = 900000001")
+        n = e.sql(
+            "SELECT count(*) AS n FROM lineitem WHERE l_orderkey = 900000001",
+            routed=False,
+        ).collect()[0]["n"]
+        assert n == 0
