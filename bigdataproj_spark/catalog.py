@@ -140,3 +140,16 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view (for spark.sql paths)."""
     for name in TABLES:
         table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def bump_mutation_epoch(spark: SparkSession, sf_dir: str, *tables: str) -> None:
+    """Advance the per-(corpus, table) mutation epoch. Every write
+    path that changes what a fact table's CURRENT relation returns —
+    ingest (refresh_warehouse), delete, TTL expiry — bumps it; the
+    engine's verbatim-path view maintenance re-registers a fact view
+    only when its epoch moved, so the steady state pays zero catalog
+    traffic per statement (round-9 review finding). Rolled back with
+    the rest of the serving state by WarehouseTxn."""
+    ep: dict = spark.__dict__.setdefault("_bdp_mutation_epoch", {})
+    for t in tables:
+        ep[(sf_dir, t)] = ep.get((sf_dir, t), 0) + 1

@@ -140,8 +140,20 @@ class Engine:
             "events": lambda: current_events(self.spark, self.sf_dir),
         }
         ids: dict = sd.setdefault("_bdp_fact_view_ids", {})
+        epochs: dict = sd.get("_bdp_mutation_epoch", {})
+        seen: dict = sd.setdefault("_bdp_fact_view_epoch", {})
         for name, open_current in sources.items():
             if (self.sf_dir, name) not in ingested:
+                continue
+            # epoch gate (round-9 review finding): re-register — and
+            # pay the plan-identity check — only when a mutation
+            # actually moved the table's epoch since OUR last
+            # registration. Steady-state statements cost zero catalog
+            # traffic; if a user took the name over meanwhile, we were
+            # not going to touch it anyway, and the next mutation's
+            # check cedes it properly.
+            cur_epoch = epochs.get((self.sf_dir, name), 0)
+            if name in ours and seen.get(name) == (self.sf_dir, cur_epoch):
                 continue
             if self.spark.catalog.tableExists(name):
                 if name not in ours:
@@ -161,10 +173,12 @@ class Engine:
                     # fixture's exact columns): cede, never re-assert
                     ours.pop(name, None)
                     ids.pop(name, None)
+                    seen.pop(name, None)
                     continue
             open_current().createOrReplaceTempView(name)
             ours[name] = self.sf_dir
             ids[name] = self.spark.table(name).semanticHash()
+            seen[name] = (self.sf_dir, cur_epoch)
 
     def _ensure_dim_views(self, query: str) -> None:
         """Register any engine-maintained CORPUS DIM a statement

@@ -213,11 +213,16 @@ def r142_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     LATERAL join."""
     split_words = udtf(SplitWords, returnType="idx int, word string")
     spark.udtf.register("split_words", split_words)
-    table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    # NOT "documents": the maintained fact-view names are reserved for
+    # the engine's serving layer (engine.py's ownership ledger) — a
+    # package-internal demo squatting one would read as a user takeover
+    # to the plan-identity test and permanently cede the engine's view
+    # (round-9 review finding)
+    table(spark, sf_dir, "documents").createOrReplaceTempView("udtf_docs")
     return spark.sql(
         """
         SELECT d.doc_id, s.idx, s.word
-        FROM documents d, LATERAL split_words(d.text) s
+        FROM udtf_docs d, LATERAL split_words(d.text) s
         WHERE d.doc_id < 20
         ORDER BY d.doc_id, s.idx
         """

@@ -564,8 +564,9 @@ def _delete(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
     - ``DELETE FROM documents|orders WHERE <col> <op> <literal>`` (one
       simple comparison on a fixture column) derives its key set with
       ONE scan of the current relation and rides the same S19
-      machinery — the scan's DataFrame is consumed inside
-      delete_documents/delete_orders' transaction.
+      machinery — the derived keys are pinned before the transaction
+      opens, and a re-issued DELETE whose keys are all tombstoned
+      already no-ops without paying the txn snapshot.
 
     Any other DELETE form is refused with the reason (general
     predicates are retention policies: select the ids, pass them to
@@ -735,14 +736,30 @@ def _insert(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
             )
     from pyspark.sql import functions as F
 
-    # pin the batch BEFORE any memo swings: a self-referential
-    # INSERT INTO t SELECT ... FROM t must read the pre-insert
-    # snapshot, not observe the refresh re-pointing t mid-batch (the
-    # same eager-checkpoint discipline as the engine's other
-    # self-referential rewrites)
     aligned = batch.select(
         *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
-    ).localCheckpoint(eager=True)
+    )
+    # Subtract erased keys / expired rows BEFORE counting, so the
+    # status row's n_rows is what actually ENTERED the warehouse — an
+    # INSERT re-supplying tombstoned ids or sub-watermark events must
+    # not report them as inserted (refresh_warehouse applies the same
+    # filters; doing it here too just makes its pass a no-op). Then pin
+    # the batch BEFORE any memo swings: a self-referential INSERT INTO
+    # t SELECT ... FROM t must read the pre-insert snapshot, not
+    # observe the refresh re-pointing t mid-batch (the same
+    # eager-checkpoint discipline as the engine's other
+    # self-referential rewrites).
+    from ..sources.retention import apply_event_watermark, apply_tombstones
+
+    if table_name in ("documents", "orders"):
+        aligned = apply_tombstones(spark, sf_dir, table_name, aligned)
+    elif table_name == "lineitem":
+        aligned = apply_tombstones(
+            spark, sf_dir, "orders", aligned, "l_orderkey"
+        )
+    elif table_name == "events":
+        aligned = apply_event_watermark(spark, sf_dir, aligned)
+    aligned = aligned.localCheckpoint(eager=True)
     from ..sources.maintenance import refresh_warehouse
 
     n = aligned.count()

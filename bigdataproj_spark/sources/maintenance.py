@@ -99,6 +99,8 @@ def _refresh_warehouse_body(
     # verbatim fact-view re-pointing on this (never on mere layout
     # deployment — round-7 ADVICE), so routed=False A/B baselines keep
     # reading fixture parquet until an ingest genuinely changes data.
+    from ..catalog import bump_mutation_epoch
+
     ingested: set = spark.__dict__.setdefault("_bdp_ingested", set())
     for tname, delta in (
         ("lineitem", lineitem), ("orders", orders),
@@ -106,6 +108,7 @@ def _refresh_warehouse_body(
     ):
         if delta is not None:
             ingested.add((sf_dir, tname))
+            bump_mutation_epoch(spark, sf_dir, tname)
     # S19: a TOMBSTONED key stays deleted — delta rows carrying one are
     # dropped from the batch BEFORE any layout sees them. Without this,
     # the cube delta-merges would count a re-ingested dead key while
@@ -460,7 +463,10 @@ def gc_warehouse(
             continue
         full = os.path.join(wh, entry)
         size = 0
-        newest = os.path.getmtime(full)
+        try:
+            newest = os.path.getmtime(full)
+        except OSError:
+            continue  # vanished under a concurrent pass: nothing to do
         for dirpath, _dirs, files in os.walk(full):
             for f in files:
                 try:

@@ -108,19 +108,28 @@ def _normalize_ids(spark: SparkSession, ids, key: str) -> DataFrame:
     ).distinct()
 
 
-def _record_tombstones(
+def _fresh_keys(
     spark: SparkSession, sf_dir: str, table_name: str, ids: DataFrame
 ) -> DataFrame:
-    """Union the new keys into the stored tombstone set and publish a
-    new version the memo swings to. Returns the NEW keys only (already
-    tombstoned keys are dropped — a re-delete is a no-op and must not
-    re-trigger group rebuilds)."""
+    """The NEW keys of a delete request: the requested ids minus the
+    already-tombstoned set, pinned eagerly. Computed OUTSIDE the
+    transaction (round-9 review finding) so a re-issued delete — the
+    documented-idempotent scheduled-retention case — discovers it is a
+    no-op before paying WarehouseTxn's snapshot (deepcopy + warehouse
+    file walk). A re-delete must not re-trigger group rebuilds."""
     key = TOMBSTONE_KEYS[table_name]
     stored = tombstone_df(spark, sf_dir, table_name)
     fresh = ids if stored is None else ids.join(stored, key, "left_anti")
-    fresh = fresh.localCheckpoint(eager=True)  # pin before the memo swing
-    if not fresh.take(1):
-        return fresh
+    return fresh.localCheckpoint(eager=True)  # pin before any memo swing
+
+
+def _publish_tombstones(
+    spark: SparkSession, sf_dir: str, table_name: str, fresh: DataFrame
+) -> None:
+    """Union the (non-empty) fresh keys into the stored tombstone set
+    and publish a new version the memo swings to. In-txn half of the
+    old _record_tombstones."""
+    stored = tombstone_df(spark, sf_dir, table_name)
     merged = fresh if stored is None else stored.unionByName(fresh)
     tag, wh = _layout_paths(sf_dir)
     base = os.path.join(wh, f"tombstones_{table_name}_{tag}")
@@ -130,7 +139,6 @@ def _record_tombstones(
     new_path = f"{base}_v{v}"
     merged.write.mode("overwrite").parquet(new_path)
     _memo(spark)[(sf_dir, table_name)] = new_path
-    return fresh
 
 
 def _splice_groups(
@@ -185,20 +193,26 @@ def delete_documents(spark: SparkSession, sf_dir: str, doc_ids) -> dict[str, str
     built-in and user-declared — and mark the corpus changed so
     verbatim views re-point. Returns {layout: new path} for the
     layouts that were republished. All-or-nothing under WarehouseTxn."""
+    from ..catalog import bump_mutation_epoch
     from ..plans.corpus_routing import current_documents
     from .txn import WarehouseTxn
 
     ids = _normalize_ids(spark, doc_ids, "doc_id")
+    # no-op check OUTSIDE the txn: a re-issued delete must not pay the
+    # snapshot (round-9 review finding)
+    fresh = _fresh_keys(spark, sf_dir, "documents", ids)
+    if not fresh.take(1):
+        return {}
     with WarehouseTxn(spark, sf_dir):
         # the rows being deleted, captured against the PRE-delete
         # corpus (they drive the affected-group computation)
-        deleted = current_documents(spark, sf_dir).join(ids, "doc_id", "semi")
-        fresh = _record_tombstones(spark, sf_dir, "documents", ids)
-        if not fresh.take(1):
-            return {}
-        deleted = deleted.join(fresh, "doc_id", "semi").localCheckpoint(
-            eager=True
+        deleted = (
+            current_documents(spark, sf_dir)
+            .join(fresh, "doc_id", "semi")
+            .localCheckpoint(eager=True)
         )
+        _publish_tombstones(spark, sf_dir, "documents", fresh)
+        bump_mutation_epoch(spark, sf_dir, "documents")
         done: dict[str, str] = {}
         sd = spark.__dict__
         memo: dict = sd.get("_bdp_projection_memo", {})
@@ -277,23 +291,27 @@ def delete_orders(spark: SparkSession, sf_dir: str, order_keys) -> dict[str, str
     lineitems touched — including the star cube's HLL sketch partials,
     which are re-derived from surviving rows because sketches cannot
     subtract. All-or-nothing under WarehouseTxn."""
+    from ..catalog import bump_mutation_epoch
     from ..plans.routing import current_lineitem
     from .txn import WarehouseTxn
 
     ids = _normalize_ids(spark, order_keys, "o_orderkey")
+    # no-op check OUTSIDE the txn (round-9 review finding)
+    fresh = _fresh_keys(spark, sf_dir, "orders", ids)
+    if not fresh.take(1):
+        return {}
     with WarehouseTxn(spark, sf_dir):
-        li_keys = ids.withColumnRenamed("o_orderkey", "l_orderkey")
-        deleted_li = current_lineitem(spark, sf_dir).join(
-            li_keys, "l_orderkey", "semi"
+        deleted_li = (
+            current_lineitem(spark, sf_dir)
+            .join(
+                fresh.withColumnRenamed("o_orderkey", "l_orderkey"),
+                "l_orderkey",
+                "semi",
+            )
+            .localCheckpoint(eager=True)
         )
-        fresh = _record_tombstones(spark, sf_dir, "orders", ids)
-        if not fresh.take(1):
-            return {}
-        deleted_li = deleted_li.join(
-            fresh.withColumnRenamed("o_orderkey", "l_orderkey"),
-            "l_orderkey",
-            "semi",
-        ).localCheckpoint(eager=True)
+        _publish_tombstones(spark, sf_dir, "orders", fresh)
+        bump_mutation_epoch(spark, sf_dir, "orders", "lineitem")
         done: dict[str, str] = {}
         sd = spark.__dict__
         memo: dict = sd.get("_bdp_projection_memo", {})
@@ -690,7 +708,10 @@ def expire_events(spark: SparkSession, sf_dir: str, before_ts: str) -> dict[str,
     if current is not None and current >= cutoff:
         return {}
     with WarehouseTxn(spark, sf_dir):
+        from ..catalog import bump_mutation_epoch
+
         _wm_memo(spark)[(sf_dir, "events")] = cutoff
+        bump_mutation_epoch(spark, sf_dir, "events")
         done: dict[str, str] = {}
         sd = spark.__dict__
         memo: dict = sd.get("_bdp_projection_memo", {})

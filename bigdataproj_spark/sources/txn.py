@@ -90,6 +90,8 @@ _STATE_KEYS = (
     "_bdp_dim_views",
     "_bdp_fact_views",
     "_bdp_fact_view_ids",
+    "_bdp_fact_view_epoch",
+    "_bdp_mutation_epoch",
     "_bdp_tombstones",
     "_bdp_retention_watermarks",
 )
