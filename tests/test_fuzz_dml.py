@@ -1,0 +1,180 @@
+"""Differential fuzz over DML SEQUENCES: random interleavings of
+INSERT / key-list DELETE / predicate DELETE / TTL expiry applied as
+IDENTICAL statement text to the engine (Engine.sql, all layouts
+deployed and routed) and to a mutable DuckDB database — after every
+statement, the routed profile answers must match the model exactly.
+
+This is the composition gate for the round-9 DML trio: each verb is
+oracle-checked individually by the registry rows; what a single-verb
+oracle cannot catch is state carried BETWEEN verbs (a delete's
+tombstones corrupting a later insert's cube merge, an expiry watermark
+mis-filtering a later batch, affected-group rebuilds drifting after
+many splices). Sequences are drawn deterministically from a seeded
+RNG — no flaky reruns.
+
+Two deliberate semantic asymmetries are modeled explicitly, because
+the engine's retention semantics are STRONGER than plain SQL DELETE:
+
+- a tombstoned key stays deleted (re-inserting it is dropped), so the
+  fuzzer draws monotonically fresh doc_ids for inserts;
+- event rows below the committed watermark are dropped at ingest, so
+  the model-side INSERT excludes them (the engine-side statement keeps
+  them, proving the drop).
+"""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from bigdataproj_spark.catalog import TABLES, table
+from bigdataproj_spark.engine import Engine
+
+_LANGS = ("en", "fr", "de", "es")
+_PROFILE = (
+    "SELECT lang, source, CAST(SUM(n_chars) AS BIGINT) AS total_chars, "
+    "COUNT(*) AS n FROM documents GROUP BY lang, source "
+    "ORDER BY lang, source"
+)
+_EVENTS_ROLLUP = (
+    "SELECT event_type, COUNT(*) AS n FROM events "
+    "GROUP BY event_type ORDER BY event_type"
+)
+
+
+def _setup(spark, sf_dir, tmp_path):
+    work = tmp_path / "w"
+    work.mkdir()
+    for t in TABLES:
+        table(spark, sf_dir, t).write.parquet(str(work / f"{t}.parquet"))
+    eng = Engine(spark, str(work))
+    # deploy the routed layouts so every profile check exercises the
+    # cube maintenance the DML rides on
+    from bigdataproj_spark.sources.corpus_cubes import (
+        docs_stats_cube_table,
+        events_hourly_cube_table,
+    )
+
+    docs_stats_cube_table(spark, str(work))
+    events_hourly_cube_table(spark, str(work))
+
+    con = duckdb.connect()
+    for t in ("documents", "events"):
+        con.execute(
+            f"CREATE TABLE {t} AS SELECT * FROM "
+            f"read_parquet('{work}/{t}.parquet/*.parquet', "
+            "hive_partitioning=false)"
+        )
+    return eng, con
+
+
+def _check(eng, con, routed_sql, label):
+    from bigdataproj_spark.testing import compare_frames
+
+    got = eng.sql(routed_sql).toPandas()
+    want = con.execute(routed_sql).fetchdf()
+    compare_frames(got, want, label)
+
+
+@pytest.mark.parametrize("seed", [7, 23])
+def test_dml_sequence_matches_duckdb_model(spark, sf_dir, tmp_path, seed):
+    rng = random.Random(seed)
+    eng, con = _setup(spark, sf_dir, tmp_path)
+    next_doc_id = 900_000_000
+    watermark = None  # committed events expiry cutoff (day string)
+    days = [f"2024-01-{d:02d}" for d in range(5, 15)]
+
+    def both(stmt):
+        eng.sql(stmt)
+        con.execute(stmt)
+
+    for step in range(8):
+        op = rng.choice(
+            ["insert_docs", "delete_keys", "delete_pred", "expire",
+             "insert_events"]
+        )
+        if op == "insert_docs":
+            k = rng.randint(1, 5)
+            rows = []
+            for _ in range(k):
+                rows.append(
+                    f"({next_doc_id}, 'fuzz doc {next_doc_id}', "
+                    f"'{rng.choice(_LANGS)}', 'src{rng.randint(1, 30)}', "
+                    f"{rng.randint(1, 500)})"
+                )
+                next_doc_id += 1
+            stmt = (
+                "INSERT INTO documents (doc_id, text, lang, source, "
+                "n_chars) VALUES " + ", ".join(rows)
+            )
+            both(stmt)
+        elif op == "delete_keys":
+            ids = [
+                r[0]
+                for r in con.execute(
+                    "SELECT doc_id FROM documents "
+                    f"WHERE doc_id % {rng.randint(37, 53)} = 1 LIMIT 20"
+                ).fetchall()
+            ]
+            if not ids:
+                continue
+            both(
+                "DELETE FROM documents WHERE doc_id IN ("
+                + ", ".join(str(i) for i in ids)
+                + ")"
+            )
+        elif op == "delete_pred":
+            col, lit = rng.choice(
+                [
+                    ("n_chars", str(rng.randint(50, 400))),
+                    ("doc_id", str(rng.randint(100, 400))),
+                    ("lang", f"'{rng.choice(_LANGS)}'"),
+                ]
+            )
+            opr = rng.choice(["<", "<=", "=", ">"]) if col != "lang" else "="
+            both(f"DELETE FROM documents WHERE {col} {opr} {lit}")
+        elif op == "expire":
+            day = rng.choice(days)
+            # monotone on both sides: an older cutoff deletes nothing
+            # in the model and no-ops in the engine
+            both(f"DELETE FROM events WHERE ts < TIMESTAMP '{day} 00:00:00'")
+            if watermark is None or day > watermark:
+                watermark = day
+        else:  # insert_events
+            k = rng.randint(1, 3)
+            eng_rows, model_rows = [], []
+            for i in range(k):
+                day = rng.choice(days)
+                row = (
+                    f"({next_doc_id + i}, TIMESTAMP '{day} "
+                    f"{rng.randint(0, 23):02d}:15:00', "
+                    f"{rng.randint(1, 50)}, "
+                    f"'{rng.choice(('click', 'view', 'purchase'))}', "
+                    f"{rng.randint(1, 100)}.5, '{{}}')"
+                )
+                eng_rows.append(row)
+                # the engine drops sub-watermark rows at ingest; the
+                # model must exclude them for the states to agree
+                if watermark is None or day >= watermark:
+                    model_rows.append(row)
+            next_doc_id += k
+            cols = "(event_id, ts, user_id, event_type, value, props)"
+            eng.sql(
+                f"INSERT INTO events {cols} VALUES " + ", ".join(eng_rows)
+            )
+            if model_rows:
+                con.execute(
+                    f"INSERT INTO events {cols} VALUES "
+                    + ", ".join(model_rows)
+                )
+        _check(eng, con, _PROFILE, f"seed={seed} step={step} op={op} docs")
+        _check(
+            eng, con, _EVENTS_ROLLUP, f"seed={seed} step={step} op={op} events"
+        )
+    # end state: the verbatim path agrees with the routed path too
+    routed = eng.sql(_PROFILE).toPandas()
+    verbatim = eng.sql(_PROFILE, routed=False).toPandas()
+    assert routed.equals(verbatim)
