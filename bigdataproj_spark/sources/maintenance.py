@@ -133,6 +133,26 @@ def _refresh_warehouse_body(
     #    denorm, so new orders must be visible there before any
     #    lineitem-driven cube refresh runs.
     if orders is not None:
+        # S21 (round 9): detect UPDATES — delta keys already stored —
+        # BEFORE the upsert, capturing their pre-update rows; rows
+        # byte-identical to stored ones are redeliveries, not updates
+        # (exceptAll drops them, so redelivering a batch stays free).
+        # Without the reattribution below, a cube that aggregated an
+        # updated order's EXISTING lineitems under the old attributes
+        # (segment/star/user views) would diverge from the raw paths,
+        # which see the upserted denorm immediately.
+        from ..schemas import FIXTURE_SCHEMAS
+        from .bucketed import bucketed_fact_tables
+
+        ocols = list(FIXTURE_SCHEMAS["orders"].fieldNames())
+        _li_name, od_name = bucketed_fact_tables(spark, sf_dir)
+        old_conflicts = (
+            spark.table(od_name)
+            .select(*ocols)
+            .join(orders.select("o_orderkey").distinct(), "o_orderkey", "semi")
+            .exceptAll(orders.select(*ocols))
+            .localCheckpoint(eager=True)
+        )
         _roll, den = refresh_orders_denorm(spark, sf_dir, orders)
         done["orders_denorm"] = den
         # the bucketed orders table is the MAINTAINED orders relation
@@ -140,6 +160,20 @@ def _refresh_warehouse_body(
         # other order-side consumer must see the new orders before the
         # lineitem-driven refreshes below run
         done["bucketed_orders"] = append_bucketed_orders(spark, sf_dir, orders)
+        if old_conflicts.take(1):
+            from .retention import reattribute_order_updates
+
+            new_rows = (
+                orders.select(*ocols)
+                .join(
+                    old_conflicts.select("o_orderkey"), "o_orderkey", "semi"
+                )
+                .localCheckpoint(eager=True)
+            )
+            for k, v in reattribute_order_updates(
+                spark, sf_dir, old_conflicts, new_rows
+            ).items():
+                done[k] = v
     # 2. Fact side: aggregate projections (delta-merge), then the
     #    row-level layouts (clustered/partitioned appends).
     if lineitem is not None:

@@ -396,6 +396,145 @@ def delete_orders(spark: SparkSession, sf_dir: str, order_keys) -> dict[str, str
 
 
 # ---------------------------------------------------------------------------
+# S21 (round 9): order-UPDATE reattribution. Re-ingesting an EXISTING
+# o_orderkey upserts the bucketed orders row and the denorm (so the
+# spine, the rollup⋈denorm pair, and every raw path serve the new
+# attributes immediately) — but a cube that aggregated the order's
+# EXISTING lineitems under the old attributes (segment/star built-ins,
+# chain>=1 user views) kept serving the old attribution, diverging
+# routed from raw (found by direct experiment this round). The fix is
+# the S19 affected-group machinery applied to updates: the groups the
+# conflicting orders' lineitems belonged to under the OLD attributes
+# and the groups they belong to under the NEW attributes both
+# recompute from the post-update relations. O(conflict lineitems +
+# rows in affected groups), never the corpus; a pure-append orders
+# batch skips all of this on one emptiness probe.
+# ---------------------------------------------------------------------------
+
+
+def reattribute_order_updates(
+    spark: SparkSession,
+    sf_dir: str,
+    old_orders: DataFrame,
+    new_orders: DataFrame,
+) -> dict[str, str]:
+    """Rebuild the affected groups of every order-attributed cube
+    after an order UPDATE batch. ``old_orders`` are the PRE-upsert
+    stored rows of the conflicting keys (captured by refresh_warehouse
+    before the upsert, pinned); ``new_orders`` the delta's rows for
+    the same keys. Runs inside the caller's WarehouseTxn."""
+    from ..plans.routing import current_lineitem
+    from .bucketed import (
+        _SEGMENT_CUBE_KEYS,
+        _STAR_CUBE_KEYS,
+        _pricing_cube_aggs,
+        _star_cube_aggs,
+        order_revenue_projection,
+    )
+
+    sd = spark.__dict__
+    memo: dict = sd.get("_bdp_projection_memo", {})
+    keys = old_orders.select("o_orderkey")
+    li = (
+        current_lineitem(spark, sf_dir)
+        .join(
+            keys.withColumnRenamed("o_orderkey", "l_orderkey"),
+            "l_orderkey",
+            "semi",
+        )
+        .localCheckpoint(eager=True)
+    )
+    done: dict[str, str] = {}
+    if not li.take(1):
+        return done  # childless orders: no cube row derives from them
+
+    def _denorm_attrs(orders_df: DataFrame) -> DataFrame:
+        """Denormalize an orders frame through the (static) customer
+        chain — the same broadcast joins refresh_orders_denorm uses."""
+        from ..catalog import table as _t
+        from .bucketed import DENORM_ATTRS
+
+        c = _t(spark, sf_dir, "customer")
+        n = _t(spark, sf_dir, "nation")
+        r = _t(spark, sf_dir, "region")
+        return (
+            orders_df.join(F.broadcast(c), orders_df.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .select("o_orderkey", *DENORM_ATTRS)
+        )
+
+    old_den = _denorm_attrs(old_orders)
+    new_den = _denorm_attrs(new_orders)
+
+    def _rebuild(memo_key: str, cube_keys: tuple[str, ...], aggs):
+        if (memo_key, sf_dir) not in memo:
+            return
+        stored = spark.read.parquet(memo[(memo_key, sf_dir)])
+        affected = (
+            li.join(old_den, li.l_orderkey == old_den.o_orderkey)
+            .select(*cube_keys)
+            .unionByName(
+                li.join(new_den, li.l_orderkey == new_den.o_orderkey)
+                .select(*cube_keys)
+            )
+            .distinct()
+        )
+        _roll, den_name = order_revenue_projection(spark, sf_dir)
+        den = spark.table(den_name)  # post-upsert: NEW attribution
+        live = current_lineitem(spark, sf_dir)
+        recomputed = (
+            live.join(den, live.l_orderkey == den.o_orderkey)
+            .join(F.broadcast(affected), list(cube_keys), "semi")
+            .groupBy(*cube_keys)
+            .agg(*aggs())
+        )
+        merged = _splice_groups(
+            spark, stored, list(cube_keys), affected, recomputed
+        )
+        done[memo_key] = _publish_cube(
+            spark, (memo_key, sf_dir), memo[(memo_key, sf_dir)], merged
+        )
+
+    _rebuild("star_date_cube", _STAR_CUBE_KEYS, _star_cube_aggs)
+    _rebuild("segment_cube", _SEGMENT_CUBE_KEYS, _pricing_cube_aggs)
+
+    # user lineitem projections touching the order chain (dim-attr
+    # keys or order-home measures both force chain >= 1)
+    from .user_projections import _build_cube as _user_build
+    from .user_projections import _catalog as _user_catalog
+
+    for name, u in list(_user_catalog(spark, sf_dir).items()):
+        if u.chain < 1:
+            continue
+        affected = (
+            _user_build(
+                spark, sf_dir, li, u.keys, (), u.chain, u.part, u.supp,
+                orders_override=old_orders,
+            )
+            .select(*u.keys)
+            .unionByName(
+                _user_build(
+                    spark, sf_dir, li, u.keys, (), u.chain, u.part, u.supp,
+                    orders_override=new_orders,
+                ).select(*u.keys)
+            )
+            .distinct()
+        )
+        live_cube = _user_build(
+            spark, sf_dir, current_lineitem(spark, sf_dir),
+            u.keys, u.measures, u.chain, u.part, u.supp,
+            group_filter=affected,
+        )
+        stored = spark.read.parquet(u.path)
+        merged = _splice_groups(
+            spark, stored, list(u.keys), affected, live_cube
+        )
+        done[f"user:{name}"] = _publish_user_version(spark, u, merged)
+    return done
+
+
+# ---------------------------------------------------------------------------
 # Dedup-index propagation + physical rewrite hooks.
 # ---------------------------------------------------------------------------
 

@@ -145,7 +145,11 @@ def _merge_cols(measures: tuple[str, ...]):
 
 
 def _dim_side(
-    spark: SparkSession, sf_dir: str, chain: int, attrs: list[str]
+    spark: SparkSession,
+    sf_dir: str,
+    chain: int,
+    attrs: list[str],
+    orders_df: DataFrame | None = None,
 ) -> DataFrame:
     """The dimension side of a user projection's build/refresh: the
     MAINTAINED bucketed orders table (refresh_warehouse appends ingest
@@ -160,9 +164,17 @@ def _dim_side(
     cascade, so a surviving lineitem's order is always alive — while
     the DELETE path needs this side to still resolve the DELETED
     rows' dimension attributes when computing which groups to
-    rebuild (sources/retention.py delete_orders)."""
-    _, od_name = bucketed_fact_tables(spark, sf_dir)
-    dims = spark.table(od_name)
+    rebuild (sources/retention.py delete_orders).
+
+    ``orders_df`` overrides the orders side: the order-UPDATE
+    reattribution (sources/retention.py reattribute_order_updates)
+    passes the PRE-update rows of the conflicting orders so the OLD
+    group attribution can still be computed after the upsert."""
+    if orders_df is not None:
+        dims = orders_df
+    else:
+        _, od_name = bucketed_fact_tables(spark, sf_dir)
+        dims = spark.table(od_name)
     if chain >= 2:
         c = table(spark, sf_dir, "customer")
         dims = dims.join(F.broadcast(c), dims.o_custkey == c.c_custkey)
@@ -185,6 +197,7 @@ def _build_cube(
     part: bool = False,
     supp: bool = False,
     group_filter: DataFrame | None = None,
+    orders_override: DataFrame | None = None,
 ) -> DataFrame:
     """The deploy/refresh cube build: fact ⋈ declared arms, arm-home
     measure ints materialized post-join, one grouped partial
@@ -212,7 +225,7 @@ def _build_cube(
         # hash relation cannot spill and OOMs at scale (measured on
         # the segment cube at sf20 — sources/bucketed.py); sort-merge
         # over the bucket-aligned orders side spills gracefully
-        dims = _dim_side(spark, sf_dir, chain, dim_attrs)
+        dims = _dim_side(spark, sf_dir, chain, dim_attrs, orders_override)
         li = li.join(dims, li.l_orderkey == dims.o_orderkey)
     if part:
         pa = table(spark, sf_dir, "part").select("p_partkey", *part_attrs)

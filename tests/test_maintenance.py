@@ -717,3 +717,184 @@ def test_gc_retention_window_keeps_young_superseded_versions(
     # ...and the serving version is still there after both passes
     assert os.path.exists(v3)
     assert spark.read.parquet(v3).count() > 0
+
+
+class TestOrderUpdateReattribution:
+    """S21 (round 9): re-ingesting an EXISTING order key with changed
+    attributes must reattribute its existing lineitems in every
+    order-keyed cube — found as a routed-vs-raw divergence on the
+    segment cube (the denorm upserts immediately; the cubes did not)."""
+
+    def _sandbox(self, spark, sf_dir, tmp_path):
+        base_dir = tmp_path / "base"
+        _copy_tables(spark, sf_dir, base_dir, {})
+        for t in ("supplier", "part", "embeddings"):
+            table(spark, sf_dir, t).write.parquet(str(base_dir / f"{t}.parquet"))
+        return str(base_dir)
+
+    def _segment_sql(self):
+        return (
+            "SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "GROUP BY c_mktsegment, o_orderpriority "
+            "ORDER BY c_mktsegment, o_orderpriority"
+        )
+
+    def test_attribute_update_reaches_segment_and_star_cubes(
+        self, spark, sf_dir, tmp_path
+    ):
+        from bigdataproj_spark.engine import Engine
+        from bigdataproj_spark.plans.sqlfront import route_sql
+        from bigdataproj_spark.sources.bucketed import (
+            segment_cube_table,
+            star_date_cube_table,
+        )
+
+        sf_base = self._sandbox(spark, sf_dir, tmp_path)
+        eng = Engine(spark, sf_base)
+        segment_cube_table(spark, sf_base)
+        star_date_cube_table(spark, sf_base)
+        orders = table(spark, sf_base, "orders")
+        upd = (
+            orders.filter(F.col("o_orderkey") % 97 == 1)
+            .withColumn("o_orderpriority", F.lit("9-UPDATED"))
+        )
+        done = eng.ingest(orders=upd)
+        assert {"segment_cube", "star_date_cube"} <= set(done)
+        df, chosen = route_sql(spark, sf_base, self._segment_sql())
+        assert chosen == "segment_cube", chosen
+        routed = df.toPandas()
+        verbatim = eng.sql(self._segment_sql(), routed=False).toPandas()
+        assert routed.equals(verbatim)
+        assert (routed["o_orderpriority"] == "9-UPDATED").any()
+
+    def test_custkey_update_reattributes_star_regions(
+        self, spark, sf_dir, tmp_path
+    ):
+        """Moving an order to a customer in another nation/region must
+        move its lineitems between the star cube's (r_name, n_name)
+        groups."""
+        from bigdataproj_spark.engine import Engine
+        from bigdataproj_spark.plans.sqlfront import route_sql
+        from bigdataproj_spark.sources.bucketed import star_date_cube_table
+
+        sf_base = self._sandbox(spark, sf_dir, tmp_path)
+        eng = Engine(spark, sf_base)
+        star_date_cube_table(spark, sf_base)
+        # pick a replacement customer deterministically
+        c0 = (
+            table(spark, sf_base, "customer")
+            .orderBy("c_custkey")
+            .first()["c_custkey"]
+        )
+        orders = table(spark, sf_base, "orders")
+        upd = orders.filter(F.col("o_orderkey") % 131 == 1).withColumn(
+            "o_custkey", F.lit(c0)
+        )
+        eng.ingest(orders=upd)
+        sql = (
+            "SELECT r_name, n_name, COUNT(*) AS n "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "GROUP BY r_name, n_name ORDER BY r_name, n_name"
+        )
+        df, chosen = route_sql(spark, sf_base, sql)
+        assert chosen == "star_date_cube", chosen
+        assert df.toPandas().equals(
+            eng.sql(sql, routed=False).toPandas()
+        )
+
+    def test_update_reaches_user_projection_order_measures(
+        self, spark, sf_dir, tmp_path
+    ):
+        """A user view keyed on an order attribute and storing the
+        order-home money measure must reflect BOTH the moved group
+        keys and the changed o_totalprice sums."""
+        from bigdataproj_spark.engine import Engine
+        from bigdataproj_spark.plans.sqlfront import SUM_SQL, route_sql
+        from bigdataproj_spark.sources.user_projections import deploy_projection
+
+        sf_base = self._sandbox(spark, sf_dir, tmp_path)
+        eng = Engine(spark, sf_base)
+        deploy_projection(
+            spark, sf_base, "upd_prio_total",
+            ("o_orderpriority",), ("order_total",),
+        )
+        orders = table(spark, sf_base, "orders")
+        upd = (
+            orders.filter(F.col("o_orderkey") % 113 == 1)
+            .withColumn("o_orderpriority", F.lit("9-UPDATED"))
+            .withColumn("o_totalprice", F.col("o_totalprice") + 1000.0)
+        )
+        done = eng.ingest(orders=upd)
+        assert "user:upd_prio_total" in done
+        sql = (
+            f"SELECT o_orderpriority, {SUM_SQL['order_total']} AS total, "
+            "COUNT(*) AS n FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+        )
+        df, chosen = route_sql(spark, sf_base, sql)
+        assert chosen == "user:upd_prio_total", chosen
+        assert df.toPandas().equals(eng.sql(sql, routed=False).toPandas())
+
+    def test_mixed_update_plus_new_lineitems_single_batch(
+        self, spark, sf_dir, tmp_path
+    ):
+        """One batch carrying an order UPDATE and NEW lineitems for
+        that same order: reattribution covers the existing rows, the
+        delta merge adds the new ones under the new attributes."""
+        from bigdataproj_spark.engine import Engine
+        from bigdataproj_spark.plans.sqlfront import route_sql
+        from bigdataproj_spark.sources.bucketed import segment_cube_table
+
+        sf_base = self._sandbox(spark, sf_dir, tmp_path)
+        eng = Engine(spark, sf_base)
+        segment_cube_table(spark, sf_base)
+        orders = table(spark, sf_base, "orders")
+        key = orders.orderBy("o_orderkey").first()["o_orderkey"]
+        upd = orders.filter(F.col("o_orderkey") == key).withColumn(
+            "o_orderpriority", F.lit("9-UPDATED")
+        )
+        li = table(spark, sf_base, "lineitem")
+        new_li = (
+            li.filter(F.col("l_orderkey") == key)
+            .limit(1)
+            .withColumn("l_linenumber", F.lit(99))
+        )
+        eng.ingest(orders=upd, lineitem=new_li)
+        df, chosen = route_sql(spark, sf_base, self._segment_sql())
+        assert chosen == "segment_cube", chosen
+        assert df.toPandas().equals(
+            eng.sql(self._segment_sql(), routed=False).toPandas()
+        )
+
+    def test_redelivery_and_pure_append_skip_reattribution(
+        self, spark, sf_dir, tmp_path
+    ):
+        from bigdataproj_spark.engine import Engine
+        from bigdataproj_spark.sources.bucketed import segment_cube_table
+
+        sf_base = self._sandbox(spark, sf_dir, tmp_path)
+        eng = Engine(spark, sf_base)
+        segment_cube_table(spark, sf_base)
+        orders = table(spark, sf_base, "orders")
+        upd = orders.filter(F.col("o_orderkey") % 97 == 1).withColumn(
+            "o_orderpriority", F.lit("9-UPDATED")
+        )
+        done1 = eng.ingest(orders=upd)
+        assert "segment_cube" in done1
+        # byte-identical redelivery: no conflict rows survive exceptAll
+        done2 = eng.ingest(orders=upd)
+        assert "segment_cube" not in done2
+        # genuinely new orders: pure append, no reattribution
+        new = orders.limit(2).withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(10**9)
+        )
+        done3 = eng.ingest(orders=new)
+        assert "segment_cube" not in done3
