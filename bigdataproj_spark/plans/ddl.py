@@ -33,9 +33,13 @@ Dialect (matched case-insensitively, names are SQL identifiers):
 - ``DROP MATERIALIZED VIEW [IF EXISTS] name`` — errors on an unknown
   name unless IF EXISTS.
 - ``SHOW MATERIALIZED VIEWS`` — the session catalog as a DataFrame.
-- DML (round 9 — the trio's remaining verbs):
+- DML (round 9 — the full triad):
   ``INSERT INTO <fact table> [(cols)] VALUES ... | SELECT ...`` lowers
   onto refresh_warehouse (E1d, below);
+  ``UPDATE orders SET col = lit[, ...] WHERE <key list | simple
+  comparison>`` re-ingests the modified rows (E1e — safe because S21
+  reattributes the cubes; documents/events refuse with their semantic
+  reasons);
   ``DELETE FROM documents|orders WHERE <key> IN (...)`` plus the two
   lowerable predicate forms (``<col> <op> <literal>``;
   ``events WHERE ts < 'T'`` → expire_events) onto the S19 machinery.
@@ -120,6 +124,37 @@ _INSERT_RE = re.compile(
     r"(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*)*)\s*\)\s*)?"
     r"(?P<body>(?:VALUES|SELECT)\b.+)$",
     re.IGNORECASE | re.DOTALL,
+)
+# E1e (round 9): UPDATE — the triad's third verb, orders only. An
+# order update is a warehouse-native operation because the S21
+# reattribution machinery keeps every order-keyed cube consistent
+# with the upserted denorm; documents are immutable-by-key under the
+# erasure semantics (a tombstoned key stays deleted, so update-as-
+# delete+reinsert cannot exist — replace content under a NEW doc_id),
+# and events are an append-only log. Both refuse with those reasons.
+_UPDATE_ANY_RE = re.compile(
+    r"^\s*UPDATE\s+(?:lineitem|orders|documents|events)\b", re.IGNORECASE
+)
+_UPDATE_RE = re.compile(
+    r"^\s*UPDATE\s+orders\s+SET\s+(?P<sets>[A-Za-z_][A-Za-z0-9_]*\s*=\s*"
+    + _LITERAL
+    + r"(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*\s*=\s*"
+    + _LITERAL
+    + r")*)\s+WHERE\s+(?P<where>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_SET_ITEM_RE = re.compile(
+    r"([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(" + _LITERAL + r")"
+)
+_WHERE_KEYLIST_RE = re.compile(
+    r"^o_orderkey\s+IN\s*\(\s*(?P<ids>\d+(?:\s*,\s*\d+)*)\s*\)$"
+    r"|^o_orderkey\s*=\s*(?P<one>\d+)$",
+    re.IGNORECASE,
+)
+_WHERE_PRED_RE = re.compile(
+    r"^(?P<col>[A-Za-z_][A-Za-z0-9_]*)\s*"
+    r"(?P<op><=|>=|<>|!=|=|<|>)\s*(?P<lit>" + _LITERAL + r")$",
+    re.IGNORECASE,
 )
 
 _STATUS_SCHEMA = "view string, status string"
@@ -212,6 +247,8 @@ def try_ddl(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame | None:
         return _delete(spark, sf_dir, sql)
     if _INSERT_ANY_RE.match(sql):
         return _insert(spark, sf_dir, sql)
+    if _UPDATE_ANY_RE.match(sql):
+        return _update(spark, sf_dir, sql)
     if not _DDL_RE.match(sql):
         return None
     m = _CREATE_RE.match(sql)
@@ -481,6 +518,114 @@ _DELETE_STATUS_SCHEMA = (
 )
 
 
+def _update(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    """E1e: ``UPDATE orders SET <col> = <literal>[, ...] WHERE
+    o_orderkey IN (...) | <col> <op> <literal>`` lowered onto
+    refresh_warehouse — select the current rows, apply the SETs (cast
+    to the fixture types), re-ingest them as an orders batch. The
+    upsert replaces the stored rows, the denorm follows, and the S21
+    reattribution rebuilds exactly the cube groups the updated orders'
+    lineitems move between — routed and raw stay bit-identical, all
+    inside one WarehouseTxn. Re-issuing the same UPDATE is free past
+    the row scan (the re-ingested rows are byte-identical, so the
+    conflict detector drops them). Documents and events refuse with
+    their semantic reasons (immutable-by-key erasure contract;
+    append-only log)."""
+    from ..schemas import FIXTURE_SCHEMAS
+
+    if re.match(r"^\s*UPDATE\s+documents\b", sql, re.IGNORECASE):
+        raise ValueError(
+            "documents are immutable by key (the S19 erasure contract: "
+            "a tombstoned key stays deleted, so update-as-delete+"
+            "reinsert cannot exist); publish the new content under a "
+            "NEW doc_id and DELETE the old one"
+        )
+    if re.match(r"^\s*UPDATE\s+(events|lineitem)\b", sql, re.IGNORECASE):
+        raise ValueError(
+            "events are an append-only log and lineitems change only "
+            "through their order (INSERT new rows, DELETE by order "
+            "key, or expire by time); UPDATE applies to orders"
+        )
+    m = _UPDATE_RE.match(sql)
+    if m is None:
+        raise ValueError(
+            "malformed UPDATE; expected UPDATE orders SET <col> = "
+            "<literal>[, ...] WHERE o_orderkey IN (id, ...) | "
+            "<col> <op> <literal>"
+        )
+    from pyspark.sql import functions as F
+
+    schema = FIXTURE_SCHEMAS["orders"]
+    sets: list[tuple[str, object]] = []
+    for col, lit in _SET_ITEM_RE.findall(m.group("sets")):
+        col = col.lower()
+        if col == "o_orderkey":
+            raise ValueError(
+                "the order key is the identity — to move rows to a new "
+                "key, INSERT under the new key and DELETE the old one"
+            )
+        if col not in schema.fieldNames():
+            raise ValueError(
+                f"unknown column {col!r} on 'orders' "
+                f"(columns: {schema.fieldNames()})"
+            )
+        sets.append((col, _parse_literal(lit)))
+
+    where = m.group("where").strip()
+    from .routing import current_orders
+
+    cur = current_orders(spark, sf_dir)
+    km = _WHERE_KEYLIST_RE.match(where)
+    if km is not None:
+        ids = (
+            [int(km.group("one"))]
+            if km.group("one")
+            else [int(x) for x in km.group("ids").split(",")]
+        )
+        rows = cur.filter(F.col("o_orderkey").isin(ids))
+    else:
+        pm = _WHERE_PRED_RE.match(where)
+        if pm is None:
+            raise ValueError(
+                "unsupported UPDATE predicate; lowerable: o_orderkey "
+                "IN (id, ...) or one simple comparison on an orders "
+                "column — for anything more general, select the rows "
+                "and re-ingest them through Engine.ingest"
+            )
+        col = pm.group("col").lower()
+        if col not in schema.fieldNames():
+            raise ValueError(
+                f"unknown column {col!r} on 'orders' "
+                f"(columns: {schema.fieldNames()})"
+            )
+        ops = {
+            "=": "__eq__", "<": "__lt__", "<=": "__le__",
+            ">": "__gt__", ">=": "__ge__", "<>": "__ne__", "!=": "__ne__",
+        }
+        lit = _parse_literal(pm.group("lit"))
+        rows = cur.filter(
+            getattr(F.col(col), ops[pm.group("op")])(
+                F.lit(lit).cast(schema[col].dataType)
+            )
+        )
+    for col, lit in sets:
+        rows = rows.withColumn(col, F.lit(lit).cast(schema[col].dataType))
+    rows = rows.select(*schema.fieldNames()).localCheckpoint(eager=True)
+    n = rows.count()
+    if n == 0:
+        return spark.createDataFrame(
+            [("orders", 0, 0)],
+            "table_name string, n_rows bigint, layouts_refreshed int",
+        )
+    from ..sources.maintenance import refresh_warehouse
+
+    done = refresh_warehouse(spark, sf_dir, orders=rows)
+    return spark.createDataFrame(
+        [("orders", n, len(done))],
+        "table_name string, n_rows bigint, layouts_refreshed int",
+    )
+
+
 def _parse_literal(text: str):
     if text.startswith("'"):
         return text[1:-1].replace("''", "'")
@@ -547,6 +692,69 @@ def q16_sql_insert_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df, chosen = route_sql(spark, demo, sql)
     assert chosen == "docs_stats_cube", chosen
+    return df
+
+
+_UPDATE_ORACLE = f"""
+WITH orders_u AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+    CASE WHEN o_totalprice > 200000 THEN '9-BULK'
+         ELSE o_orderpriority END AS o_orderpriority
+  FROM orders
+)
+SELECT c_mktsegment, o_orderpriority,
+  {SUM_SQL['revenue']} AS revenue,
+  COUNT(*) AS n
+FROM lineitem
+JOIN orders_u ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY c_mktsegment, o_orderpriority
+ORDER BY c_mktsegment, o_orderpriority
+"""
+
+
+@query(
+    "r158_sql_update_dml",
+    oracle=_UPDATE_ORACLE,
+    tags=("E1e", "S21", "S13", "A1"),
+)
+def r158_sql_update_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1e end to end (round 9): the warehouse UPDATE verb. On a
+    sandbox corpus with the segment cube deployed, ``UPDATE orders SET
+    o_orderpriority = '9-BULK' WHERE o_totalprice > 200000`` through
+    Engine.sql re-ingests the modified rows; the S21 reattribution
+    moves those orders' existing lineitems between the cube's
+    (segment, priority) groups, and the chain-4 profile — still
+    answered FROM THE CUBE — matches DuckDB computing over CASE-
+    modified orders. Re-issuing the UPDATE finds no matching rows
+    changed (the re-ingested rows are byte-identical) and republishes
+    nothing."""
+    from ..catalog import TABLES
+    from ..engine import Engine
+    from ..sources.bucketed import segment_cube_table
+    from ..sources.retention import _demo_corpus
+
+    demo = _demo_corpus(spark, sf_dir, TABLES, demo="update_dml")
+    segment_cube_table(spark, demo)
+    eng = Engine(spark, demo)
+    eng.sql(
+        "UPDATE orders SET o_orderpriority = '9-BULK' "
+        "WHERE o_totalprice > 200000"
+    )
+    sel = (
+        "SELECT c_mktsegment, o_orderpriority, "
+        f"{SUM_SQL['revenue']} AS revenue, COUNT(*) AS n "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "GROUP BY c_mktsegment, o_orderpriority "
+        "ORDER BY c_mktsegment, o_orderpriority"
+    )
+    df, chosen = route_sql(spark, demo, sel)
+    assert chosen == "segment_cube", chosen
     return df
 
 

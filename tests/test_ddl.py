@@ -777,3 +777,53 @@ class TestInsertOtherFactTables:
             routed=False,
         ).collect()[0]["n"]
         assert n == 0
+
+
+class TestUpdateDML:
+    """E1e: UPDATE orders through the SQL front door (S21 underneath)."""
+
+    def test_update_keylist_and_predicate_forms(self, spark, sf_dir, tmp_path):
+        from bigdataproj_spark.catalog import table as _table
+
+        work = tmp_path / "w"
+        work.mkdir()
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "documents", "embeddings"):
+            _table(spark, sf_dir, t).write.parquet(str(work / f"{t}.parquet"))
+        e = Engine(spark, str(work))
+        out = e.sql(
+            "UPDATE orders SET o_orderpriority = '9-X', o_orderstatus = 'X' "
+            "WHERE o_orderkey IN (1, 2, 3)"
+        ).collect()[0]
+        assert out["n_rows"] >= 1 and out["layouts_refreshed"] > 0
+        got = e.sql(
+            "SELECT o_orderpriority, o_orderstatus FROM orders "
+            "WHERE o_orderkey = 1", routed=False
+        ).collect()[0]
+        assert (got.o_orderpriority, got.o_orderstatus) == ("9-X", "X")
+        # predicate form + idempotent re-issue (no rows still match)
+        n1 = e.sql(
+            "UPDATE orders SET o_orderstatus = 'Y' WHERE o_orderstatus = 'X'"
+        ).collect()[0]["n_rows"]
+        assert n1 == 3
+        n2 = e.sql(
+            "UPDATE orders SET o_orderstatus = 'Y' WHERE o_orderstatus = 'X'"
+        ).collect()[0]["n_rows"]
+        assert n2 == 0
+
+    def test_update_refusals(self, eng):
+        with pytest.raises(ValueError, match="immutable by key"):
+            eng.sql("UPDATE documents SET lang = 'en' WHERE doc_id = 1")
+        with pytest.raises(ValueError, match="append-only"):
+            eng.sql("UPDATE events SET value = 1 WHERE event_id = 1")
+        with pytest.raises(ValueError, match="append-only|through their order"):
+            eng.sql("UPDATE lineitem SET l_discount = 0 WHERE l_orderkey = 1")
+        with pytest.raises(ValueError, match="identity"):
+            eng.sql("UPDATE orders SET o_orderkey = 5 WHERE o_orderkey = 1")
+        with pytest.raises(ValueError, match="unknown column"):
+            eng.sql("UPDATE orders SET o_nope = 1 WHERE o_orderkey = 1")
+        with pytest.raises(ValueError, match="unsupported UPDATE predicate"):
+            eng.sql(
+                "UPDATE orders SET o_orderstatus = 'X' "
+                "WHERE o_orderstatus = 'O' AND o_totalprice > 10"
+            )
