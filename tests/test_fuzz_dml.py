@@ -178,3 +178,100 @@ def test_dml_sequence_matches_duckdb_model(spark, sf_dir, tmp_path, seed):
     routed = eng.sql(_PROFILE).toPandas()
     verbatim = eng.sql(_PROFILE, routed=False).toPandas()
     assert routed.equals(verbatim)
+
+
+_SEGMENT_PROFILE = (
+    "SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN customer ON o_custkey = c_custkey "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "JOIN region ON n_regionkey = r_regionkey "
+    "GROUP BY c_mktsegment, o_orderpriority "
+    "ORDER BY c_mktsegment, o_orderpriority"
+)
+
+
+@pytest.mark.parametrize("seed", [11])
+def test_orders_update_delete_sequence_matches_duckdb(
+    spark, sf_dir, tmp_path, seed
+):
+    """The S21/E1e composition gate: random interleavings of order
+    UPDATEs (key-list and predicate forms) and cascading order DELETEs,
+    applied as identical statement text to the engine and to a mutable
+    DuckDB model, with the SEGMENT-CUBE-ROUTED chain-4 profile compared
+    after every statement. This drives the reattribution machinery
+    through states no single-statement oracle reaches: update a group,
+    delete part of it, update it again, verify the spliced cube still
+    equals a from-scratch computation."""
+    rng = random.Random(seed)
+    work = tmp_path / "w"
+    work.mkdir()
+    for t in TABLES:
+        table(spark, sf_dir, t).write.parquet(str(work / f"{t}.parquet"))
+    eng = Engine(spark, str(work))
+    from bigdataproj_spark.sources.bucketed import segment_cube_table
+
+    segment_cube_table(spark, str(work))
+
+    con = duckdb.connect()
+    for t in ("orders", "lineitem", "customer", "nation", "region"):
+        con.execute(
+            f"CREATE TABLE {t} AS SELECT * FROM "
+            f"read_parquet('{work}/{t}.parquet/*.parquet', "
+            "hive_partitioning=false)"
+        )
+
+    def both(stmt):
+        eng.sql(stmt)
+        con.execute(stmt)
+
+    from bigdataproj_spark.plans.sqlfront import route_sql
+    from bigdataproj_spark.testing import compare_frames
+
+    for step in range(6):
+        op = rng.choice(["update_keys", "update_pred", "delete_keys"])
+        if op == "update_keys":
+            keys = [
+                r[0]
+                for r in con.execute(
+                    "SELECT o_orderkey FROM orders "
+                    f"WHERE o_orderkey % {rng.randint(41, 59)} = 2 LIMIT 15"
+                ).fetchall()
+            ]
+            if not keys:
+                continue
+            prio = rng.choice(("9-FUZZ-A", "9-FUZZ-B", "1-URGENT"))
+            both(
+                f"UPDATE orders SET o_orderpriority = '{prio}' "
+                "WHERE o_orderkey IN ("
+                + ", ".join(str(k) for k in keys)
+                + ")"
+            )
+        elif op == "update_pred":
+            cut = rng.randint(150_000, 350_000)
+            both(
+                "UPDATE orders SET o_orderstatus = "
+                f"'{rng.choice(('X', 'Y'))}' WHERE o_totalprice > {cut}"
+            )
+        else:
+            keys = [
+                r[0]
+                for r in con.execute(
+                    "SELECT o_orderkey FROM orders "
+                    f"WHERE o_orderkey % {rng.randint(61, 97)} = 3 LIMIT 10"
+                ).fetchall()
+            ]
+            if not keys:
+                continue
+            ks = ", ".join(str(k) for k in keys)
+            # the engine cascades to lineitems; mirror it in the model
+            eng.sql(f"DELETE FROM orders WHERE o_orderkey IN ({ks})")
+            con.execute(f"DELETE FROM lineitem WHERE l_orderkey IN ({ks})")
+            con.execute(f"DELETE FROM orders WHERE o_orderkey IN ({ks})")
+        df, chosen = route_sql(spark, str(work), _SEGMENT_PROFILE)
+        assert chosen == "segment_cube", chosen
+        compare_frames(
+            df.toPandas(),
+            con.execute(_SEGMENT_PROFILE).fetchdf(),
+            f"seed={seed} step={step} op={op}",
+        )
