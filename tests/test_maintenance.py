@@ -898,3 +898,49 @@ class TestOrderUpdateReattribution:
         )
         done3 = eng.ingest(orders=new)
         assert "segment_cube" not in done3
+
+
+def test_update_optimize_gc_lifecycle_stays_consistent(
+    spark, sf_dir, tmp_path
+):
+    """S21 ∘ OPTIMIZE ∘ VACUUM: after an order UPDATE, the scheduled
+    rewrite and GC must preserve the updated attribution — routed and
+    verbatim answers stay identical through the whole maintenance
+    lifecycle, and GC removes the superseded pre-update versions."""
+    from bigdataproj_spark.engine import Engine
+    from bigdataproj_spark.plans.sqlfront import route_sql
+    from bigdataproj_spark.sources.bucketed import segment_cube_table
+    from bigdataproj_spark.sources.maintenance import gc_warehouse
+
+    base_dir = tmp_path / "base"
+    _copy_tables(spark, sf_dir, base_dir, {})
+    for t in ("supplier", "part", "embeddings"):
+        table(spark, sf_dir, t).write.parquet(str(base_dir / f"{t}.parquet"))
+    sf_base = str(base_dir)
+    eng = Engine(spark, sf_base)
+    segment_cube_table(spark, sf_base)
+    eng.sql(
+        "UPDATE orders SET o_orderpriority = '9-LIFECYCLE' "
+        "WHERE o_totalprice > 250000"
+    )
+    sql = (
+        "SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "GROUP BY c_mktsegment, o_orderpriority "
+        "ORDER BY c_mktsegment, o_orderpriority"
+    )
+    df, chosen = route_sql(spark, sf_base, sql)
+    assert chosen == "segment_cube", chosen
+    want = df.toPandas()
+    assert (want["o_orderpriority"] == "9-LIFECYCLE").any()
+
+    eng.optimize()
+    out = gc_warehouse(spark, sf_base)
+    assert out["removed"] > 0  # superseded pre-update versions go
+    df2, chosen2 = route_sql(spark, sf_base, sql)
+    assert chosen2 == "segment_cube"
+    assert df2.toPandas().equals(want)
+    assert eng.sql(sql, routed=False).toPandas().equals(want)
