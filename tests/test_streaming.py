@@ -729,3 +729,85 @@ def test_streamed_warehouse_ingest_respects_retention_watermark(
         .collect()
     }
     assert got == want
+
+
+def test_streamed_erasure_requests_equal_one_shot_delete(
+    spark, sf_dir, tmp_path
+):
+    """The GDPR-feed composition: opt-out requests arriving as a
+    STREAM of id batches (foreachBatch → delete_documents per
+    micro-batch) must leave the warehouse identical to one batch
+    delete of the union — tombstone sets, cube groups, and routed
+    answers all converge, and redelivered id batches no-op (the
+    tombstone set already covers them)."""
+    from bigdataproj_spark.plans.corpus_routing import current_documents
+    from bigdataproj_spark.sources.corpus_cubes import docs_stats_cube_table
+    from bigdataproj_spark.sources.retention import delete_documents
+    from bigdataproj_spark.streaming.replay import _drive_stream
+
+    # two sandbox corpora over the same base: one takes the stream,
+    # one the one-shot batch
+    dirs = {}
+    for name in ("streamed", "oneshot"):
+        d = tmp_path / name
+        d.mkdir()
+        table(spark, sf_dir, "documents").write.parquet(
+            str(d / "documents.parquet")
+        )
+        docs_stats_cube_table(spark, str(d))
+        dirs[name] = str(d)
+
+    all_ids = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 11 == 4)
+        .select("doc_id")
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    # three request batches, the middle one redelivered
+    thirds = [all_ids.iloc[i::3] for i in range(3)]
+    paths = []
+    for i, part in enumerate([thirds[0], thirds[1], thirds[1], thirds[2]]):
+        p = str(tmp_path / f"optout_{i}.parquet")
+        part.to_parquet(p, index=False)
+        paths.append(p)
+
+    def attach(stream, ckpt):
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda batch_df, _id: delete_documents(
+                    spark, dirs["streamed"], batch_df
+                )
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        return q, lambda: None
+
+    _drive_stream(spark, paths, "doc_id long", attach)
+    delete_documents(
+        spark, dirs["oneshot"],
+        spark.createDataFrame(all_ids, "doc_id long"),
+    )
+
+    from bigdataproj_spark.plans.corpus_routing import (
+        AggCall,
+        TableAggQuery,
+        route_corpus,
+    )
+
+    spec = TableAggQuery(
+        table="documents", filters=(), group_by=("lang", "source"),
+        aggs=(AggCall("sum", "chars", "total_chars"),
+              AggCall("count_star", None, "n")),
+    )
+    frames = {}
+    for name, d in dirs.items():
+        df, chosen = route_corpus(spark, d, spec)
+        assert chosen == "docs_stats_cube", (name, chosen)
+        frames[name] = df.orderBy("lang", "source").toPandas()
+        assert current_documents(spark, d).count() == (
+            table(spark, sf_dir, "documents").count() - len(all_ids)
+        )
+    assert frames["streamed"].equals(frames["oneshot"])
