@@ -97,7 +97,10 @@ _DELETE_RE = re.compile(
     re.IGNORECASE,
 )
 _DELETE_ANY_RE = re.compile(r"^\s*DELETE\s+FROM\b", re.IGNORECASE)
-_LITERAL = r"(?:-?\d+(?:\.\d+)?|'(?:[^']|'')*')"
+# literals: numbers, quoted strings, and the typed TIMESTAMP/DATE
+# spellings (the keyword is stripped at parse; the engine casts the
+# value to the column's fixture type either way)
+_LITERAL = r"(?:(?:TIMESTAMP|DATE)\s+)?(?:-?\d+(?:\.\d+)?|'(?:[^']|'')*')"
 _DELETE_EXPIRE_RE = re.compile(
     r"^\s*DELETE\s+FROM\s+events\s+WHERE\s+ts\s*<\s*"
     r"(?:TIMESTAMP\s+)?'(?P<cutoff>[^']+)'\s*;?\s*$",
@@ -113,7 +116,6 @@ _DELETE_PRED_RE = re.compile(
 # fact tables are claimed; an INSERT INTO any other name falls through
 # to the verbatim path (a user's own Spark catalog table keeps its
 # native INSERT semantics).
-_INSERT_TABLES = ("lineitem", "orders", "documents", "events")
 _INSERT_ANY_RE = re.compile(
     r"^\s*INSERT\s+INTO\s+(?:lineitem|orders|documents|events)\b",
     re.IGNORECASE,
@@ -526,9 +528,11 @@ def _update(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
     upsert replaces the stored rows, the denorm follows, and the S21
     reattribution rebuilds exactly the cube groups the updated orders'
     lineitems move between — routed and raw stay bit-identical, all
-    inside one WarehouseTxn. Re-issuing the same UPDATE is free past
-    the row scan (the re-ingested rows are byte-identical, so the
-    conflict detector drops them). Documents and events refuse with
+    inside one WarehouseTxn. Re-issuing the same UPDATE skips the
+    cube reattribution entirely (the re-ingested rows are
+    byte-identical, so the conflict detector drops them); the
+    row-store upsert still publishes one version — measured costs in
+    docs/BENCHMARKS.md. Documents and events refuse with
     their semantic reasons (immutable-by-key erasure contract;
     append-only log)."""
     from ..schemas import FIXTURE_SCHEMAS
@@ -627,6 +631,7 @@ def _update(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
 
 
 def _parse_literal(text: str):
+    text = re.sub(r"^(?:TIMESTAMP|DATE)\s+", "", text.strip(), flags=re.IGNORECASE)
     if text.startswith("'"):
         return text[1:-1].replace("''", "'")
     return float(text) if "." in text else int(text)
