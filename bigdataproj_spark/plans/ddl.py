@@ -544,11 +544,16 @@ def _update(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
             "reinsert cannot exist); publish the new content under a "
             "NEW doc_id and DELETE the old one"
         )
-    if re.match(r"^\s*UPDATE\s+(events|lineitem)\b", sql, re.IGNORECASE):
+    if re.match(r"^\s*UPDATE\s+events\b", sql, re.IGNORECASE):
         raise ValueError(
-            "events are an append-only log and lineitems change only "
-            "through their order (INSERT new rows, DELETE by order "
-            "key, or expire by time); UPDATE applies to orders"
+            "events are an append-only log — corrections are new "
+            "events, retention is time-based (DELETE ... WHERE ts < "
+            "'T'); UPDATE applies to orders"
+        )
+    if re.match(r"^\s*UPDATE\s+lineitem\b", sql, re.IGNORECASE):
+        raise ValueError(
+            "lineitems change only through their order (INSERT new "
+            "rows, DELETE by order key); UPDATE applies to orders"
         )
     m = _UPDATE_RE.match(sql)
     if m is None:

@@ -112,7 +112,10 @@ def append_bucketed_lineitem(
 
 
 def append_bucketed_orders(
-    spark: SparkSession, sf_dir: str, delta_orders: DataFrame
+    spark: SparkSession,
+    sf_dir: str,
+    delta_orders: DataFrame,
+    has_update: bool | None = None,
 ) -> str:
     """UPSERT an ingest batch of ORDERS into the bucketed orders table
     — the maintained dimension spine. The raw fixture parquet is
@@ -142,11 +145,15 @@ def append_bucketed_orders(
     # bucketed on o_orderkey, so the planner's sort-merge semi/anti
     # join is exchange-light on that side anyway, and AQE still
     # broadcasts genuinely small deltas on its own.
-    has_update = bool(
-        stored.join(delta_keys, "o_orderkey", "left_semi")
-        .limit(1)
-        .take(1)
-    )
+    if has_update is None:
+        # standalone callers probe; refresh_warehouse already knows
+        # (its conflict detection ran the same probe — round-9 review
+        # finding: don't scan the stored relation twice per batch)
+        has_update = bool(
+            stored.join(delta_keys, "o_orderkey", "left_semi")
+            .limit(1)
+            .take(1)
+        )
     if not has_update:
         (
             delta_orders.write.bucketBy(_N_BUCKETS, "o_orderkey")
@@ -254,6 +261,28 @@ DENORM_ATTRS = (
 )
 
 
+def denorm_join(spark: SparkSession, sf_dir: str, orders_df: DataFrame) -> DataFrame:
+    """THE denorm derivation: an orders frame joined through the
+    broadcast customer→nation→region chain, projected to
+    (o_orderkey, *DENORM_ATTRS). The deploy build, the incremental
+    refresh, and the S21 reattribution all call this one definition —
+    three hand-maintained copies had accumulated (round-9 review
+    finding), and a drift between them would silently desynchronize
+    the reattribution's old/new attribution from the stored denorm.
+    INNER joins throughout: an order whose o_custkey resolves to no
+    customer contributes no denorm row, matching the raw star join's
+    orphan-drop semantics."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        orders_df.join(F.broadcast(c), orders_df.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("o_orderkey", *DENORM_ATTRS)
+    )
+
+
 def order_revenue_projection(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Deploy the star-join PROJECTIONS (memoized): a per-order
     aggregate rollup of lineitem and a dimension-denormalized orders
@@ -294,15 +323,7 @@ def order_revenue_projection(spark: SparkSession, sf_dir: str) -> tuple[str, str
     )
     write_bucketed(roll, roll_name, os.path.join(wh, roll_name), "l_orderkey")
     o = apply_tombstones(spark, sf_dir, "orders", spark.table(od_name))
-    c = table(spark, sf_dir, "customer")
-    n = table(spark, sf_dir, "nation")
-    r = table(spark, sf_dir, "region")
-    denorm = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .select("o_orderkey", *DENORM_ATTRS)
-    )
+    denorm = denorm_join(spark, sf_dir, o)
     write_bucketed(denorm, den_name, os.path.join(wh, den_name), "o_orderkey")
     memo[key] = (roll_name, den_name)
     return memo[key]
@@ -373,18 +394,17 @@ def refresh_orders_denorm(
     from-scratch rebuild in tests/test_bucketing.py."""
     tag, wh = _layout_paths(sf_dir)
     roll_name, den_name = order_revenue_projection(spark, sf_dir)
-    c = table(spark, sf_dir, "customer")
-    n = table(spark, sf_dir, "nation")
-    r = table(spark, sf_dir, "region")
-    delta_denorm = (
-        delta_orders.join(F.broadcast(c), delta_orders.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .select("o_orderkey", *DENORM_ATTRS)
-    )
+    delta_denorm = denorm_join(spark, sf_dir, delta_orders)
     stored = spark.table(den_name)
+    # anti-join on the DELTA's keys, not delta_denorm's (round-9
+    # review finding): an update that orphans an order out of the
+    # customer chain (no matching c_custkey) produces NO delta_denorm
+    # row, and keying the subtraction on the survivors would leave the
+    # STALE pre-update denorm row serving the old attribution forever
+    # — the orphaned key's row must be REMOVED, matching the raw
+    # join's orphan-drop semantics
     kept = stored.join(
-        delta_denorm.select("o_orderkey"), "o_orderkey", "left_anti"
+        delta_orders.select("o_orderkey").distinct(), "o_orderkey", "left_anti"
     )
     merged = kept.unionByName(delta_denorm)
     versions: dict = spark.__dict__.setdefault("_bdp_projection_versions", {})

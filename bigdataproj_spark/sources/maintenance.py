@@ -144,22 +144,40 @@ def _refresh_warehouse_body(
         from ..schemas import FIXTURE_SCHEMAS
         from .bucketed import bucketed_fact_tables
 
+        # pin the delta ONCE (round-9 review finding): it feeds four
+        # consumers below (conflict probe, denorm refresh, bucketed
+        # upsert, reattribution), and a nondeterministic plan — a
+        # limit() without order, a sample — re-evaluated per consumer
+        # could make the conflict pre-images disagree with what the
+        # upsert actually stores
+        orders = orders.localCheckpoint(eager=True)
         ocols = list(FIXTURE_SCHEMAS["orders"].fieldNames())
         _li_name, od_name = bucketed_fact_tables(spark, sf_dir)
-        old_conflicts = (
+        # ONE probe of the stored relation answers both questions:
+        # the pre-image rows of every conflicting key (an identical
+        # redelivered row is still a KEY conflict — the bucketed
+        # upsert must replace, not append it), and — after exceptAll
+        # subtracts byte-identical rows — which conflicts are genuine
+        # UPDATES needing cube reattribution
+        conflict_rows = (
             spark.table(od_name)
             .select(*ocols)
             .join(orders.select("o_orderkey").distinct(), "o_orderkey", "semi")
-            .exceptAll(orders.select(*ocols))
             .localCheckpoint(eager=True)
         )
+        has_key_conflict = bool(conflict_rows.take(1))
+        old_conflicts = conflict_rows.exceptAll(
+            orders.select(*ocols)
+        ).localCheckpoint(eager=True)
         _roll, den = refresh_orders_denorm(spark, sf_dir, orders)
         done["orders_denorm"] = den
         # the bucketed orders table is the MAINTAINED orders relation
         # (raw fixture parquet is immutable): user projections and any
         # other order-side consumer must see the new orders before the
         # lineitem-driven refreshes below run
-        done["bucketed_orders"] = append_bucketed_orders(spark, sf_dir, orders)
+        done["bucketed_orders"] = append_bucketed_orders(
+            spark, sf_dir, orders, has_update=has_key_conflict
+        )
         if old_conflicts.take(1):
             from .retention import reattribute_order_updates
 

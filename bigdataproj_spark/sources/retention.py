@@ -448,24 +448,10 @@ def reattribute_order_updates(
     if not li.take(1):
         return done  # childless orders: no cube row derives from them
 
-    def _denorm_attrs(orders_df: DataFrame) -> DataFrame:
-        """Denormalize an orders frame through the (static) customer
-        chain — the same broadcast joins refresh_orders_denorm uses."""
-        from ..catalog import table as _t
-        from .bucketed import DENORM_ATTRS
+    from .bucketed import denorm_join
 
-        c = _t(spark, sf_dir, "customer")
-        n = _t(spark, sf_dir, "nation")
-        r = _t(spark, sf_dir, "region")
-        return (
-            orders_df.join(F.broadcast(c), orders_df.o_custkey == c.c_custkey)
-            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-            .select("o_orderkey", *DENORM_ATTRS)
-        )
-
-    old_den = _denorm_attrs(old_orders)
-    new_den = _denorm_attrs(new_orders)
+    old_den = denorm_join(spark, sf_dir, old_orders)
+    new_den = denorm_join(spark, sf_dir, new_orders)
 
     def _rebuild(memo_key: str, cube_keys: tuple[str, ...], aggs):
         if (memo_key, sf_dir) not in memo:

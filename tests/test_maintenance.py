@@ -944,3 +944,61 @@ def test_update_optimize_gc_lifecycle_stays_consistent(
     assert chosen2 == "segment_cube"
     assert df2.toPandas().equals(want)
     assert eng.sql(sql, routed=False).toPandas().equals(want)
+
+
+def test_orphaning_custkey_update_drops_order_everywhere(
+    spark, sf_dir, tmp_path
+):
+    """Round-9 review finding (the second pass): an UPDATE pointing
+    o_custkey at a customer that does not exist must REMOVE the
+    order's denorm row — the raw star join drops the orphan (inner-join
+    semantics), so every routed path must too. Before the fix, the
+    stale pre-update denorm row survived the upsert's anti-join (keyed
+    on the inner-join survivors, which the orphan had vanished from)
+    and the segment cube kept the old attribution forever."""
+    from bigdataproj_spark.engine import Engine
+    from bigdataproj_spark.plans.sqlfront import route_sql
+    from bigdataproj_spark.sources.bucketed import segment_cube_table
+
+    base_dir = tmp_path / "base"
+    _copy_tables(spark, sf_dir, base_dir, {})
+    for t in ("supplier", "part", "embeddings"):
+        table(spark, sf_dir, t).write.parquet(str(base_dir / f"{t}.parquet"))
+    sf_base = str(base_dir)
+    eng = Engine(spark, sf_base)
+    segment_cube_table(spark, sf_base)
+    key = (
+        table(spark, sf_base, "orders").orderBy("o_orderkey").first()["o_orderkey"]
+    )
+    eng.sql(
+        f"UPDATE orders SET o_custkey = 999999999 WHERE o_orderkey = {key}"
+    )
+    sql = (
+        "SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "GROUP BY c_mktsegment, o_orderpriority "
+        "ORDER BY c_mktsegment, o_orderpriority"
+    )
+    df, chosen = route_sql(spark, sf_base, sql)
+    assert chosen == "segment_cube", chosen
+    assert df.toPandas().equals(eng.sql(sql, routed=False).toPandas())
+    # the orphaned order's lineitems left the chain-joined counts
+    n_li = (
+        table(spark, sf_base, "lineitem")
+        .filter(F.col("l_orderkey") == key)
+        .count()
+    )
+    assert n_li > 0  # the scenario is real: this order has lineitems
+    total_routed = int(df.toPandas()["n"].sum())
+    full = (
+        table(spark, sf_base, "lineitem")
+        .join(
+            table(spark, sf_base, "orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .count()
+    )
+    assert total_routed == full - n_li
