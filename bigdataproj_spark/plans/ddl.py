@@ -42,7 +42,12 @@ Dialect (matched case-insensitively, names are SQL identifiers):
   reasons);
   ``DELETE FROM documents|orders WHERE <key> IN (...)`` plus the two
   lowerable predicate forms (``<col> <op> <literal>``;
-  ``events WHERE ts < 'T'`` → expire_events) onto the S19 machinery.
+  ``events WHERE ts < 'T'`` → expire_events) onto the S19 machinery;
+  ``MERGE INTO orders|documents USING (...) s ON <key> = <key> WHEN
+  MATCHED THEN UPDATE SET ... WHEN NOT MATCHED THEN INSERT *`` (E1f)
+  reconciles a source batch by identity key — the CDC upsert verb —
+  riding the same refresh_warehouse path (documents: insert-if-absent
+  only, per the erasure contract).
 
 DDL statements return small status DataFrames (the JDBC-shaped
 contract: every statement yields a result set). Spark itself has no
@@ -159,6 +164,51 @@ _WHERE_PRED_RE = re.compile(
     re.IGNORECASE,
 )
 
+# E1f (round 9): MERGE — the set-oriented upsert verb that completes
+# the DML surface (INSERT appends, UPDATE mutates in place by
+# predicate, DELETE tombstones; MERGE reconciles a SOURCE BATCH
+# against the stored table by key in one statement — the CDC/ETL
+# shape every warehouse dialect spells this way). Only orders (full
+# upsert: the S21 reattribution keeps the cubes consistent under
+# matched-row replacement) and documents (insert-if-absent ONLY:
+# immutable-by-key under the S19 erasure contract) are mergeable;
+# events (append-only log: there is nothing to match — INSERT
+# appends) and lineitem (changes only through its order) refuse.
+_MERGE_ANY_RE = re.compile(
+    r"^\s*MERGE\s+INTO\s+(?:lineitem|orders|documents|events)\b",
+    re.IGNORECASE,
+)
+_MERGE_RE = re.compile(
+    r"^\s*MERGE\s+INTO\s+(?P<table>[A-Za-z_][A-Za-z0-9_]*)"
+    r"(?:\s+AS)?(?:\s+(?P<talias>[A-Za-z_][A-Za-z0-9_]*))?\s+"
+    r"USING\s+\((?P<src>.+)\)\s*"
+    r"(?:AS\s+)?(?P<salias>[A-Za-z_][A-Za-z0-9_]*)\s*"
+    r"(?:\(\s*(?P<scols>[A-Za-z_][A-Za-z0-9_]*"
+    r"(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*)*)\s*\)\s*)?"
+    r"\s+ON\s+(?P<on>.+?)"
+    r"\s+(?P<clauses>WHEN\s+.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_MERGE_ON_RE = re.compile(
+    r"^(?:(?P<lq>[A-Za-z_][A-Za-z0-9_]*)\s*\.\s*)?(?P<lc>[A-Za-z_][A-Za-z0-9_]*)"
+    r"\s*=\s*"
+    r"(?:(?P<rq>[A-Za-z_][A-Za-z0-9_]*)\s*\.\s*)?(?P<rc>[A-Za-z_][A-Za-z0-9_]*)$"
+)
+_MERGE_MATCHED_RE = re.compile(
+    r"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(?P<sets>\*|.+?)\s*"
+    r"(?=WHEN\s+NOT\s+MATCHED|$)",
+    re.IGNORECASE | re.DOTALL,
+)
+_MERGE_NOTMATCHED_RE = re.compile(
+    r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+(?P<star>\*)\s*"
+    r"(?=WHEN\s+MATCHED|$)",
+    re.IGNORECASE,
+)
+_MERGE_SET_ITEM_RE = re.compile(
+    r"^([A-Za-z_][A-Za-z0-9_]*)\s*=\s*"
+    r"([A-Za-z_][A-Za-z0-9_]*)\s*\.\s*([A-Za-z_][A-Za-z0-9_]*)$"
+)
+
 _STATUS_SCHEMA = "view string, status string"
 _SHOW_SCHEMA = (
     "name string, table_name string, keys string, measures string, "
@@ -251,6 +301,8 @@ def try_ddl(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame | None:
         return _insert(spark, sf_dir, sql)
     if _UPDATE_ANY_RE.match(sql):
         return _update(spark, sf_dir, sql)
+    if _MERGE_ANY_RE.match(sql):
+        return _merge(spark, sf_dir, sql)
     if not _DDL_RE.match(sql):
         return None
     m = _CREATE_RE.match(sql)
@@ -642,6 +694,364 @@ def _parse_literal(text: str):
     return float(text) if "." in text else int(text)
 
 
+def _merge(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    """E1f: ``MERGE INTO orders|documents [AS t] USING (<select> |
+    VALUES ...) [AS] s [(cols)] ON <key> = <key> WHEN MATCHED THEN
+    UPDATE SET * | col = s.col[, ...] WHEN NOT MATCHED THEN INSERT *``
+    lowered onto :func:`~..sources.maintenance.refresh_warehouse` —
+    the same single write path every other verb rides, so the S21
+    reattribution, tombstone subtraction, watermark filters, and
+    WarehouseTxn atomicity all apply for free.
+
+    Semantics and their lowering, per table:
+
+    - **orders**: full upsert. ``UPDATE SET *`` replaces each matched
+      stored row with its source row; ``SET col = s.col`` keeps the
+      stored row and overrides the named columns from the source
+      (constant right-hand sides are the UPDATE verb's job — refused
+      here with that pointer). ``INSERT *`` appends the unmatched
+      source rows. Either clause may stand alone (update-only /
+      insert-if-absent merges).
+    - **documents**: insert-if-absent ONLY — a MATCHED clause is
+      refused (immutable by key under the S19 erasure contract), so
+      ``MERGE ... WHEN NOT MATCHED THEN INSERT *`` is the idempotent
+      corpus-loading statement: redelivering a batch inserts each
+      doc_id at most once, and a TOMBSTONED id stays deleted (the
+      anti-join routes it to the insert side, where refresh's
+      tombstone filter drops it — erased keys can never resurrect
+      through MERGE either).
+    - **events** / **lineitem**: refused (append-only log — INSERT
+      appends, there is nothing to match; lineitems change only
+      through their order).
+
+    The join key must be the table's identity key (doc_id /
+    o_orderkey) — MERGE reconciles rows, and rows are identified by
+    exactly the key the tombstone machinery tracks. A source with
+    duplicate keys is refused (ambiguous: two source rows contend for
+    one stored row — the standard warehouse MERGE error, detected
+    eagerly here). Conditional clauses (``WHEN MATCHED AND ...``) and
+    ``WHEN MATCHED THEN DELETE`` are refused: the former needs a
+    general predicate engine on the match set (filter the source
+    instead), the latter is a retention decision that belongs to
+    ``DELETE FROM`` where the S19 contract is explicit.
+
+    Scale posture: the source is a BATCH (bounded by construction);
+    every join against the stored table broadcasts the batch side —
+    one scan of the stored keys intersected against the broadcast
+    source derives the matched-key set (≤ batch rows), and the
+    update/insert split then joins the source against THAT. O(one
+    stored-key scan + batch), never a corpus shuffle."""
+    from pyspark.sql import functions as F
+
+    from ..schemas import FIXTURE_SCHEMAS
+    from ..sources.retention import TOMBSTONE_KEYS
+
+    if re.match(r"^\s*MERGE\s+INTO\s+events\b", sql, re.IGNORECASE):
+        raise ValueError(
+            "events are an append-only log — there is nothing to "
+            "match; INSERT INTO events appends, retention is "
+            "time-based (DELETE ... WHERE ts < 'T')"
+        )
+    if re.match(r"^\s*MERGE\s+INTO\s+lineitem\b", sql, re.IGNORECASE):
+        raise ValueError(
+            "lineitems change only through their order (MERGE the "
+            "orders, INSERT new lines, DELETE by order key); MERGE "
+            "applies to orders and documents"
+        )
+    m = _MERGE_RE.match(sql)
+    if m is None:
+        raise ValueError(
+            "malformed MERGE; expected MERGE INTO orders|documents "
+            "[AS t] USING (<select> | VALUES ...) [AS] s [(col, ...)] "
+            "ON <key> = <key> WHEN MATCHED THEN UPDATE SET * | "
+            "col = s.col[, ...] WHEN NOT MATCHED THEN INSERT *"
+        )
+    table_name = m.group("table").lower()
+    schema = FIXTURE_SCHEMAS[table_name]
+    want = list(schema.fieldNames())
+    key = TOMBSTONE_KEYS[table_name]
+    talias = (m.group("talias") or table_name).lower()
+    salias = m.group("salias").lower()
+    if talias == salias:
+        raise ValueError(
+            f"target and source aliases are both {salias!r}; "
+            "alias the source differently"
+        )
+
+    # -- clause set -------------------------------------------------------
+    clauses = m.group("clauses")
+    if re.search(r"WHEN\s+(?:NOT\s+)?MATCHED\s+AND\b", clauses, re.IGNORECASE):
+        raise ValueError(
+            "conditional MERGE clauses (WHEN [NOT] MATCHED AND ...) "
+            "are not lowerable; filter the source SELECT instead"
+        )
+    if re.search(r"WHEN\s+MATCHED\s+THEN\s+DELETE\b", clauses, re.IGNORECASE):
+        raise ValueError(
+            "a MERGE delete is a retention decision — use DELETE FROM "
+            "with an explicit key set or predicate (the S19 contract)"
+        )
+    if re.search(r"NOT\s+MATCHED\s+BY\s+SOURCE\b", clauses, re.IGNORECASE):
+        raise ValueError(
+            "WHEN NOT MATCHED BY SOURCE is not lowerable (it turns "
+            "the merge into a full-table diff); express deletions "
+            "through DELETE FROM"
+        )
+    mm = _MERGE_MATCHED_RE.search(clauses)
+    nm = _MERGE_NOTMATCHED_RE.search(clauses)
+    leftover = clauses
+    for hit in (mm, nm):
+        if hit is not None:
+            leftover = leftover.replace(hit.group(0), " ", 1)
+    if leftover.strip():
+        raise ValueError(
+            f"unsupported MERGE clause text {leftover.strip()!r}; "
+            "lowerable clauses: WHEN MATCHED THEN UPDATE SET * | "
+            "col = s.col[, ...] and WHEN NOT MATCHED THEN INSERT *"
+        )
+    if mm is None and nm is None:
+        raise ValueError("MERGE needs at least one WHEN clause")
+    if mm is not None and table_name == "documents":
+        raise ValueError(
+            "documents are immutable by key (the S19 erasure "
+            "contract); MERGE INTO documents supports WHEN NOT "
+            "MATCHED THEN INSERT * only — publish changed content "
+            "under a NEW doc_id and DELETE the old one"
+        )
+    set_items: list[tuple[str, str]] | None = None  # (target col, source col)
+    set_star = False
+    if mm is not None:
+        sets = mm.group("sets").strip()
+        if sets == "*":
+            set_star = True
+        else:
+            set_items = []
+            seen_targets: set[str] = set()
+            for item in sets.split(","):
+                im = _MERGE_SET_ITEM_RE.match(item.strip())
+                if im is None:
+                    raise ValueError(
+                        f"unsupported SET item {item.strip()!r}; MERGE "
+                        "SET values come from the source (col = "
+                        f"{salias}.col) — constant right-hand sides "
+                        "are the UPDATE verb"
+                    )
+                tcol, q, scol = (
+                    im.group(1).lower(), im.group(2).lower(),
+                    im.group(3).lower(),
+                )
+                if q != salias:
+                    raise ValueError(
+                        f"SET {tcol} = {q}.{scol}: the right-hand "
+                        f"qualifier must be the source alias {salias!r}"
+                    )
+                if tcol == key:
+                    raise ValueError(
+                        f"the {table_name} key {key!r} is the row's "
+                        "identity — it is the MERGE join key, not a "
+                        "settable column"
+                    )
+                if tcol not in want:
+                    raise ValueError(
+                        f"unknown column {tcol!r} on {table_name!r} "
+                        f"(columns: {want})"
+                    )
+                if tcol in seen_targets:
+                    raise ValueError(f"duplicate SET target {tcol!r}")
+                seen_targets.add(tcol)
+                set_items.append((tcol, scol))
+
+    # -- ON clause: the identity-key equality -----------------------------
+    # The TARGET side must be the table's identity key (MERGE
+    # reconciles rows, and rows are identified by exactly the key the
+    # tombstone machinery tracks); the SOURCE side may carry that key
+    # under any column name (``ON o_orderkey = s.k``).
+    om = _MERGE_ON_RE.match(m.group("on").strip())
+    if om is None:
+        raise ValueError(
+            "unsupported MERGE ON clause; expected the identity-key "
+            f"equality {talias}.{key} = {salias}.<key column>"
+        )
+
+    def _on_side(q: str | None, c: str) -> tuple[str, str]:
+        c = c.lower()
+        if q is None:
+            return ("target" if c == key else "source", c)
+        q = q.lower()
+        if q in (talias, table_name):
+            return ("target", c)
+        if q == salias:
+            return ("source", c)
+        raise ValueError(
+            f"unknown qualifier {q!r} in the MERGE ON clause "
+            f"(aliases in scope: {talias!r}, {salias!r})"
+        )
+
+    sides = dict(
+        (_on_side(om.group("lq"), om.group("lc")),
+         _on_side(om.group("rq"), om.group("rc")))
+    )
+    if set(sides) != {"target", "source"} or sides["target"] != key:
+        raise ValueError(
+            f"MERGE reconciles rows by the table's identity key; the "
+            f"ON clause must equate {talias}.{key} with a source column"
+        )
+    skey = sides["source"]
+
+    # -- source batch ------------------------------------------------------
+    body = m.group("src").strip()
+    scols = (
+        [c.strip().lower() for c in m.group("scols").split(",")]
+        if m.group("scols")
+        else None
+    )
+    if re.match(r"^VALUES\b", body, re.IGNORECASE):
+        if scols is None:
+            raise ValueError(
+                "a VALUES source needs a column list: "
+                f"USING (VALUES ...) AS {salias}(col, ...)"
+            )
+        src = spark.sql(f"SELECT * FROM ({body}) AS _mrg({', '.join(scols)})")
+    else:
+        from ..engine import Engine
+
+        src = Engine(spark, sf_dir).sql(body)
+        if scols is not None:
+            if len(scols) != len(src.columns):
+                raise ValueError(
+                    f"the source column list names {len(scols)} "
+                    f"column(s) but the SELECT produces "
+                    f"{len(src.columns)}"
+                )
+            src = src.toDF(*scols)
+    src = src.toDF(*[c.lower() for c in src.columns])
+    got = set(src.columns)
+    if skey not in got:
+        raise ValueError(
+            f"the MERGE source must carry the join key {skey!r} "
+            f"(source columns: {sorted(got)})"
+        )
+    if skey != key:
+        if key in got:
+            raise ValueError(
+                f"the source already carries a {key!r} column — join "
+                f"on it, not on {skey!r} (two key columns per source "
+                "row are ambiguous)"
+            )
+        src = src.withColumnRenamed(skey, key)
+        got = set(src.columns)
+    needs_full = set_star or nm is not None
+    if needs_full:
+        missing = [c for c in want if c not in got]
+        if missing:
+            raise ValueError(
+                f"this MERGE replaces/inserts FULL rows, so the source "
+                f"must supply every {table_name} column; missing: "
+                f"{missing} (a partial row would fabricate NULL "
+                "keys/measures the layouts then serve)"
+            )
+    if set_items:
+        missing = [sc for _tc, sc in set_items if sc not in got]
+        if missing:
+            raise ValueError(
+                f"SET references source column(s) {missing} the "
+                f"source does not produce (source columns: "
+                f"{sorted(got)})"
+            )
+    # Pin the source BEFORE any reads of the stored table: a
+    # self-referential MERGE (USING (SELECT ... FROM orders ...))
+    # must read the pre-merge snapshot, and the matched/unmatched
+    # split below must agree with the batch that lands — the same
+    # eager-checkpoint discipline as INSERT/UPDATE.
+    src = src.withColumn(
+        key, F.col(key).cast(schema[key].dataType)
+    ).localCheckpoint(eager=True)
+    n_src = src.count()
+    if src.select(key).distinct().count() != n_src:
+        raise ValueError(
+            "the MERGE source has duplicate join keys — two source "
+            "rows contend for one stored row; de-duplicate the source "
+            "(e.g. pick the latest row per key) before merging"
+        )
+
+    # -- matched / unmatched split (batch-broadcast joins only) -----------
+    if table_name == "orders":
+        from .routing import current_orders
+
+        cur = current_orders(spark, sf_dir)
+    else:
+        from .corpus_routing import current_documents
+
+        cur = current_documents(spark, sf_dir)
+    # one stored-KEY scan intersected against the broadcast batch:
+    # ≤ batch rows come back, and every later join broadcasts those
+    matched_keys = (
+        cur.select(key)
+        .join(F.broadcast(src.select(key)), key, "left_semi")
+        .localCheckpoint(eager=True)
+    )
+
+    def _aligned(df: DataFrame) -> DataFrame:
+        return df.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ]
+        )
+
+    parts: list[DataFrame] = []
+    n_matched = 0
+    if set_star:
+        upd = src.join(F.broadcast(matched_keys), key, "left_semi")
+        n_matched = upd.count()
+        if n_matched:
+            parts.append(_aligned(upd))
+    elif set_items is not None:
+        overrides = src.select(
+            key,
+            *[
+                F.col(sc).cast(schema[tc].dataType).alias(f"__mrg_{tc}")
+                for tc, sc in set_items
+            ],
+        )
+        upd = cur.join(F.broadcast(overrides), key, "inner")
+        for tc, _sc in set_items:
+            upd = upd.withColumn(tc, F.col(f"__mrg_{tc}"))
+        n_matched = upd.count()
+        if n_matched:
+            parts.append(_aligned(upd))
+    n_inserted = 0
+    if nm is not None:
+        ins = src.join(F.broadcast(matched_keys), key, "left_anti")
+        # report what actually ENTERS the warehouse: tombstoned ids
+        # and (for completeness) sub-watermark rows are dropped by
+        # refresh's own filters — subtract them before counting, the
+        # same contract as INSERT's status row
+        from ..sources.retention import apply_tombstones
+
+        ins = apply_tombstones(spark, sf_dir, table_name, ins)
+        n_inserted = ins.count()
+        if n_inserted:
+            parts.append(_aligned(ins))
+    schema_str = (
+        "table_name string, n_matched bigint, n_inserted bigint, "
+        "layouts_refreshed int"
+    )
+    if not parts:
+        return spark.createDataFrame(
+            [(table_name, n_matched, n_inserted, 0)], schema_str
+        )
+    batch = parts[0]
+    for p in parts[1:]:
+        batch = batch.unionByName(p)
+    batch = batch.localCheckpoint(eager=True)
+    from ..sources.maintenance import refresh_warehouse
+
+    done = refresh_warehouse(spark, sf_dir, **{table_name: batch})
+    return spark.createDataFrame(
+        [(table_name, n_matched, n_inserted, len(done))], schema_str
+    )
+
+
 _INSERT_ORACLE = """
 SELECT lang, source,
   CAST(SUM(n_chars) AS BIGINT) AS total_chars,
@@ -752,6 +1162,94 @@ def r158_sql_update_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng.sql(
         "UPDATE orders SET o_orderpriority = '9-BULK' "
         "WHERE o_totalprice > 200000"
+    )
+    sel = (
+        "SELECT c_mktsegment, o_orderpriority, "
+        f"{SUM_SQL['revenue']} AS revenue, COUNT(*) AS n "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "GROUP BY c_mktsegment, o_orderpriority "
+        "ORDER BY c_mktsegment, o_orderpriority"
+    )
+    df, chosen = route_sql(spark, demo, sel)
+    assert chosen == "segment_cube", chosen
+    return df
+
+
+_MERGE_ORACLE = f"""
+WITH orders_m AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+    CASE WHEN o_totalprice > 250000 THEN '9-MERGED'
+         ELSE o_orderpriority END AS o_orderpriority
+  FROM orders
+  UNION ALL
+  SELECT 900000001, 1, 'O', 55000.0,
+    TIMESTAMP '1996-01-02 00:00:00', '9-MERGED'
+), lineitem_m AS (
+  SELECT l_orderkey, l_extendedprice, l_discount FROM lineitem
+  UNION ALL SELECT 900000001, 30000.0, 0.05
+  UNION ALL SELECT 900000001, 25000.0, 0.0
+)
+SELECT c_mktsegment, o_orderpriority,
+  {SUM_SQL['revenue']} AS revenue,
+  COUNT(*) AS n
+FROM lineitem_m JOIN orders_m ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY c_mktsegment, o_orderpriority
+ORDER BY c_mktsegment, o_orderpriority
+"""
+
+
+@query(
+    "r159_sql_merge_dml",
+    oracle=_MERGE_ORACLE,
+    tags=("E1f", "S21", "S13", "A1"),
+)
+def r159_sql_merge_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1f end to end (round 9): the MERGE verb — one statement
+    reconciling a CDC-shaped source batch against the stored orders by
+    key. On a sandbox corpus with the segment cube deployed, the MERGE
+    (a) replaces every order above the price threshold with a
+    '9-MERGED'-priority copy (WHEN MATCHED — the S21 reattribution
+    moves those orders' existing lineitems between cube groups) and
+    (b) inserts one NEW order (WHEN NOT MATCHED); a follow-up INSERT
+    adds the new order's two lineitems, so the new rows flow through
+    the full star. The chain-4 profile — still answered FROM THE CUBE
+    — matches DuckDB computing over CASE-modified + unioned base
+    tables. Redelivering the same MERGE is cube-idempotent: the
+    matched rows are byte-identical on the second pass, so the
+    conflict detector drops them and no group recomputes."""
+    from ..catalog import TABLES
+    from ..engine import Engine
+    from ..sources.bucketed import segment_cube_table
+    from ..sources.retention import _demo_corpus
+
+    demo = _demo_corpus(spark, sf_dir, TABLES, demo="merge_dml")
+    segment_cube_table(spark, demo)
+    eng = Engine(spark, demo)
+    eng.sql(
+        "MERGE INTO orders AS t USING ("
+        "  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,"
+        "    o_orderdate, '9-MERGED' AS o_orderpriority"
+        "  FROM orders WHERE o_totalprice > 250000"
+        "  UNION ALL"
+        "  SELECT CAST(900000001 AS BIGINT), CAST(1 AS BIGINT), 'O',"
+        "    CAST(55000.0 AS DOUBLE), TIMESTAMP '1996-01-02 00:00:00',"
+        "    '9-MERGED'"
+        ") AS s ON t.o_orderkey = s.o_orderkey "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    eng.sql(
+        "INSERT INTO lineitem VALUES "
+        "(900000001, 1, 1, 1, 10.0, 30000.0, 0.05, 0.02, 'N', 'O', "
+        "TIMESTAMP '1996-01-05 00:00:00'), "
+        "(900000001, 2, 2, 2, 5.0, 25000.0, 0.0, 0.01, 'N', 'O', "
+        "TIMESTAMP '1996-01-06 00:00:00')"
     )
     sel = (
         "SELECT c_mktsegment, o_orderpriority, "

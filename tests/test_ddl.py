@@ -827,3 +827,187 @@ class TestUpdateDML:
                 "UPDATE orders SET o_orderstatus = 'X' "
                 "WHERE o_orderstatus = 'O' AND o_totalprice > 10"
             )
+
+
+class TestMergeDML:
+    """E1f: MERGE INTO through the SQL front door — the CDC upsert
+    verb, lowered onto refresh_warehouse (S21 reattribution under
+    matched-row replacement; S19 tombstones under the insert side)."""
+
+    def _sandbox(self, spark, sf_dir, tmp_path):
+        from bigdataproj_spark.catalog import table as _table
+
+        work = tmp_path / "w"
+        work.mkdir()
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "documents", "embeddings"):
+            _table(spark, sf_dir, t).write.parquet(str(work / f"{t}.parquet"))
+        return Engine(spark, str(work))
+
+    def test_upsert_both_clauses_and_cube_consistency(
+        self, spark, sf_dir, tmp_path
+    ):
+        from bigdataproj_spark.sources.bucketed import segment_cube_table
+
+        e = self._sandbox(spark, sf_dir, tmp_path)
+        segment_cube_table(spark, e.sf_dir)
+        out = e.sql(
+            "MERGE INTO orders AS t USING ("
+            "  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,"
+            "    o_orderdate, '9-M' AS o_orderpriority"
+            "  FROM orders WHERE o_orderkey IN (1, 2, 3)"
+            "  UNION ALL"
+            "  SELECT CAST(900000001 AS BIGINT), CAST(1 AS BIGINT), 'O',"
+            "    CAST(50.0 AS DOUBLE), TIMESTAMP '1996-01-02 00:00:00', '9-M'"
+            ") AS s ON t.o_orderkey = s.o_orderkey "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *"
+        ).collect()[0]
+        assert (out.n_matched, out.n_inserted, out.table_name) == (
+            3, 1, "orders",
+        )
+        got = e.sql(
+            "SELECT o_orderpriority FROM orders WHERE o_orderkey IN "
+            "(1, 900000001)", routed=False,
+        ).collect()
+        assert {r.o_orderpriority for r in got} == {"9-M"}
+        # routed (cube) and verbatim agree after the matched-row
+        # replacement moved lineitems between priority groups
+        sql = (
+            "SELECT c_mktsegment, o_orderpriority, "
+            f"{SUM_SQL['revenue']} AS rev, COUNT(*) AS n "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "GROUP BY c_mktsegment, o_orderpriority "
+            "ORDER BY c_mktsegment, o_orderpriority"
+        )
+        df, chosen = route_sql(spark, e.sf_dir, sql)
+        assert chosen == "segment_cube"
+        assert df.toPandas().equals(e.sql(sql, routed=False).toPandas())
+
+    def test_update_only_and_insert_only_forms(self, spark, sf_dir, tmp_path):
+        e = self._sandbox(spark, sf_dir, tmp_path)
+        # update-only merge, column-level SET, differently-named
+        # source key, VALUES source
+        out = e.sql(
+            "MERGE INTO orders USING (VALUES "
+            "(CAST(1 AS BIGINT), 'X'), (CAST(999999999 AS BIGINT), 'X')"
+            ") AS s(k, st) ON o_orderkey = s.k "
+            "WHEN MATCHED THEN UPDATE SET o_orderstatus = s.st"
+        ).collect()[0]
+        assert (out.n_matched, out.n_inserted) == (1, 0)
+        r = e.sql(
+            "SELECT o_orderstatus, o_orderpriority FROM orders "
+            "WHERE o_orderkey = 1", routed=False,
+        ).collect()[0]
+        assert r.o_orderstatus == "X"
+        # the untouched columns survived a column-level SET
+        assert r.o_orderpriority is not None
+        # insert-only merge on orders: matched source rows do nothing
+        out2 = e.sql(
+            "MERGE INTO orders USING ("
+            "  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,"
+            "    o_orderdate, o_orderpriority FROM orders"
+            "  WHERE o_orderkey IN (1, 2)"
+            ") s ON o_orderkey = s.o_orderkey "
+            "WHEN NOT MATCHED THEN INSERT *"
+        ).collect()[0]
+        assert (out2.n_matched, out2.n_inserted) == (0, 0)
+
+    def test_documents_insert_if_absent_and_no_resurrection(
+        self, spark, sf_dir, tmp_path
+    ):
+        e = self._sandbox(spark, sf_dir, tmp_path)
+        e.sql("DELETE FROM documents WHERE doc_id IN (7)")
+        out = e.sql(
+            "MERGE INTO documents USING ("
+            "  SELECT CAST(7 AS BIGINT) AS doc_id, 'zombie' AS text,"
+            "    'en' AS lang, 'src1' AS source, CAST(6 AS BIGINT) AS n_chars"
+            "  UNION ALL"
+            "  SELECT CAST(900000002 AS BIGINT), 'fresh', 'en', 'src1',"
+            "    CAST(5 AS BIGINT)"
+            ") s ON doc_id = s.doc_id "
+            "WHEN NOT MATCHED THEN INSERT *"
+        ).collect()[0]
+        # the tombstoned id is NOT counted as inserted and stays dead
+        assert (out.n_matched, out.n_inserted) == (0, 1)
+        n = e.sql(
+            "SELECT COUNT(*) AS n FROM documents WHERE doc_id IN (7)",
+            routed=False,
+        ).collect()[0].n
+        assert n == 0
+        # redelivering the batch is idempotent
+        out2 = e.sql(
+            "MERGE INTO documents USING ("
+            "  SELECT CAST(900000002 AS BIGINT) AS doc_id, 'fresh' AS text,"
+            "    'en' AS lang, 'src1' AS source, CAST(5 AS BIGINT) AS n_chars"
+            ") s ON doc_id = s.doc_id "
+            "WHEN NOT MATCHED THEN INSERT *"
+        ).collect()[0]
+        assert (out2.n_matched, out2.n_inserted) == (0, 0)
+
+    def test_merge_refusals(self, eng):
+        with pytest.raises(ValueError, match="append-only"):
+            eng.sql(
+                "MERGE INTO events USING (SELECT 1 AS event_id) s "
+                "ON event_id = s.event_id WHEN NOT MATCHED THEN INSERT *"
+            )
+        with pytest.raises(ValueError, match="through their order"):
+            eng.sql(
+                "MERGE INTO lineitem USING (SELECT 1 AS l_orderkey) s "
+                "ON l_orderkey = s.l_orderkey "
+                "WHEN NOT MATCHED THEN INSERT *"
+            )
+        with pytest.raises(ValueError, match="immutable by key"):
+            eng.sql(
+                "MERGE INTO documents USING (SELECT 1 AS doc_id) s "
+                "ON doc_id = s.doc_id "
+                "WHEN MATCHED THEN UPDATE SET *"
+            )
+        with pytest.raises(ValueError, match="conditional MERGE"):
+            eng.sql(
+                "MERGE INTO orders USING (SELECT 1 AS o_orderkey) s "
+                "ON o_orderkey = s.o_orderkey "
+                "WHEN MATCHED AND s.o_orderkey > 0 THEN UPDATE SET *"
+            )
+        with pytest.raises(ValueError, match="retention decision"):
+            eng.sql(
+                "MERGE INTO orders USING (SELECT 1 AS o_orderkey) s "
+                "ON o_orderkey = s.o_orderkey WHEN MATCHED THEN DELETE"
+            )
+        with pytest.raises(ValueError, match="identity key"):
+            eng.sql(
+                "MERGE INTO orders USING (SELECT 1 AS o_custkey) s "
+                "ON o_custkey = s.o_custkey "
+                "WHEN MATCHED THEN UPDATE SET *"
+            )
+        with pytest.raises(ValueError, match="UPDATE verb"):
+            eng.sql(
+                "MERGE INTO orders USING (SELECT 1 AS o_orderkey) s "
+                "ON o_orderkey = s.o_orderkey "
+                "WHEN MATCHED THEN UPDATE SET o_orderstatus = 'X'"
+            )
+        with pytest.raises(ValueError, match="every orders column"):
+            eng.sql(
+                "MERGE INTO orders USING (SELECT 1 AS o_orderkey) s "
+                "ON o_orderkey = s.o_orderkey "
+                "WHEN NOT MATCHED THEN INSERT *"
+            )
+        with pytest.raises(ValueError, match="column list"):
+            eng.sql(
+                "MERGE INTO orders USING (VALUES (1)) AS s "
+                "ON o_orderkey = s.k "
+                "WHEN MATCHED THEN UPDATE SET *"
+            )
+
+    def test_merge_duplicate_source_keys_refused(self, spark, sf_dir, tmp_path):
+        e = self._sandbox(spark, sf_dir, tmp_path)
+        with pytest.raises(ValueError, match="duplicate join keys"):
+            e.sql(
+                "MERGE INTO orders USING (VALUES "
+                "(CAST(1 AS BIGINT), 'X'), (CAST(1 AS BIGINT), 'Y')"
+                ") AS s(k, st) ON o_orderkey = s.k "
+                "WHEN MATCHED THEN UPDATE SET o_orderstatus = s.st"
+            )

@@ -228,9 +228,48 @@ def test_orders_update_delete_sequence_matches_duckdb(
     from bigdataproj_spark.plans.sqlfront import route_sql
     from bigdataproj_spark.testing import compare_frames
 
+    next_ok = 900_000_100  # fresh keys for MERGE's insert side
     for step in range(6):
-        op = rng.choice(["update_keys", "update_pred", "delete_keys"])
-        if op == "update_keys":
+        op = rng.choice(
+            ["update_keys", "update_pred", "delete_keys", "merge_upsert"]
+        )
+        if op == "merge_upsert":
+            # the engine runs ONE MERGE; the model (DuckDB 1.0 has no
+            # MERGE) applies the equivalent UPDATE + INSERT — the
+            # exact decomposition E1f's lowering claims
+            keys = [
+                r[0]
+                for r in con.execute(
+                    "SELECT o_orderkey FROM orders "
+                    f"WHERE o_orderkey % {rng.randint(43, 71)} = 4 LIMIT 10"
+                ).fetchall()
+            ]
+            if not keys:
+                continue
+            ks = ", ".join(str(k) for k in keys)
+            prio = rng.choice(("9-MRG-A", "9-MRG-B", "1-URGENT"))
+            eng.sql(
+                "MERGE INTO orders USING ("
+                "SELECT o_orderkey, o_custkey, o_orderstatus, "
+                f"o_totalprice, o_orderdate, '{prio}' AS o_orderpriority "
+                f"FROM orders WHERE o_orderkey IN ({ks}) "
+                f"UNION ALL SELECT CAST({next_ok} AS BIGINT), "
+                "CAST(1 AS BIGINT), 'O', CAST(99.0 AS DOUBLE), "
+                f"TIMESTAMP '1996-03-03 00:00:00', '{prio}'"
+                ") s ON o_orderkey = s.o_orderkey "
+                "WHEN MATCHED THEN UPDATE SET * "
+                "WHEN NOT MATCHED THEN INSERT *"
+            )
+            con.execute(
+                f"UPDATE orders SET o_orderpriority = '{prio}' "
+                f"WHERE o_orderkey IN ({ks})"
+            )
+            con.execute(
+                f"INSERT INTO orders VALUES ({next_ok}, 1, 'O', 99.0, "
+                f"TIMESTAMP '1996-03-03 00:00:00', '{prio}')"
+            )
+            next_ok += 1
+        elif op == "update_keys":
             keys = [
                 r[0]
                 for r in con.execute(
