@@ -25,6 +25,12 @@ from .registry import load_all
 from .schemas import TWEET
 from .session import get_spark
 
+import re as _re
+
+_ASOF_RE = _re.compile(
+    r"\bFOR\s+SYSTEM_VERSION\s+AS\s+OF\s+(\d+)\b", _re.IGNORECASE
+)
+
 
 class Engine:
     """Thin facade over SparkSession + the operator library. The "IR"
@@ -41,7 +47,9 @@ class Engine:
         return cls(get_spark(app_name), sf_dir)
 
     # -- E1: SQL ---------------------------------------------------------
-    def sql(self, query: str, routed: bool = True) -> DataFrame:
+    def sql(
+        self, query: str, routed: bool = True, as_of: int | None = None
+    ) -> DataFrame:
         """Run SQL with all fixture tables registered as views.
 
         With ``routed`` (the default), the statement is first offered
@@ -74,6 +82,36 @@ class Engine:
                 # against this, not column shape, so a user view with
                 # the fixture's exact columns is still detected
                 ids[name] = self.spark.table(name).semanticHash()
+        # S22: snapshot reads. ``FOR SYSTEM_VERSION AS OF n`` (the
+        # Delta/Iceberg spelling) pins the WHOLE statement to one
+        # committed warehouse version — this engine's snapshots are
+        # warehouse-wide, so a multi-table statement reads one
+        # consistent commit; clauses naming different versions refuse.
+        # The result is pinned eagerly because exiting the snapshot
+        # context re-points the verbatim path's temp views; for large
+        # historical row-level scans use Engine.as_of() and consume
+        # the DataFrame inside the block (routed/scan relations
+        # resolve their file paths at plan time and stay valid).
+        if as_of is None:
+            hits = _ASOF_RE.findall(query)
+            if hits:
+                versions = {int(v) for v in hits}
+                if len(versions) > 1:
+                    raise ValueError(
+                        "one snapshot version per statement — the "
+                        "engine's snapshots are warehouse-wide, so "
+                        f"AS OF versions {sorted(versions)} cannot "
+                        "both hold"
+                    )
+                as_of = versions.pop()
+                query = _ASOF_RE.sub(" ", query)
+        if as_of is not None:
+            from .sources.snapshots import as_of as _as_of
+
+            with _as_of(self.spark, self.sf_dir, as_of):
+                return self.sql(query, routed=routed).localCheckpoint(
+                    eager=True
+                )
         if routed:
             from .plans.ddl import try_ddl
             from .plans.sqlfront import UnsupportedSQL, route_sql
@@ -239,6 +277,22 @@ class Engine:
     @property
     def tables(self) -> tuple[str, ...]:
         return TABLES
+
+    # -- S22: snapshot reads (time travel) ---------------------------------
+    def history(self) -> DataFrame:
+        """The reachable committed versions (``DESCRIBE HISTORY``'s
+        result set): one row per warehouse mutation, oldest first."""
+        from .sources.snapshots import history_df
+
+        return history_df(self.spark, self.sf_dir)
+
+    def as_of(self, version: int):
+        """Context manager pinning every read inside the block to the
+        given committed version — the lazy-friendly twin of the
+        ``FOR SYSTEM_VERSION AS OF n`` SQL spelling (see sql())."""
+        from .sources.snapshots import as_of
+
+        return as_of(self.spark, self.sf_dir, version)
 
     # -- Registry queries --------------------------------------------------
     def query(self, name: str) -> DataFrame:

@@ -84,6 +84,11 @@ _DROP_RE = re.compile(
 _SHOW_RE = re.compile(
     r"^\s*SHOW\s+MATERIALIZED\s+VIEWS\s*;?\s*$", re.IGNORECASE
 )
+# S22: the Delta-style history listing (warehouse-wide — one commit
+# sequence across all tables, matching the warehouse-wide snapshots)
+_DESCRIBE_HISTORY_RE = re.compile(
+    r"^\s*DESCRIBE\s+HISTORY\s*;?\s*$", re.IGNORECASE
+)
 # S19's DML spelling: targeted key-list deletes, plus (round 9) the
 # two lowerable predicate forms — ``ts < 'T'`` on events lowers onto
 # expire_events (S19b's watermark), and a single simple comparison on
@@ -295,6 +300,10 @@ def try_ddl(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame | None:
     undeclarable DDL raises ValueError with the reason."""
     if _SHOW_RE.match(sql):
         return _show(spark, sf_dir)
+    if _DESCRIBE_HISTORY_RE.match(sql):
+        from ..sources.snapshots import history_df
+
+        return history_df(spark, sf_dir)
     if _DELETE_ANY_RE.match(sql):
         return _delete(spark, sf_dir, sql)
     if _INSERT_ANY_RE.match(sql):

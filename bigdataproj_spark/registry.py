@@ -68,6 +68,7 @@ _QUERY_MODULES = (
     "bigdataproj_spark.plans.sqlfront",
     "bigdataproj_spark.plans.ddl",
     "bigdataproj_spark.sources.retention",
+    "bigdataproj_spark.sources.snapshots",
 )
 
 

@@ -76,7 +76,13 @@ def refresh_warehouse(
     contract."""
     from .txn import WarehouseTxn
 
-    with WarehouseTxn(spark, sf_dir):
+    touched = ",".join(
+        t for t, d in (
+            ("lineitem", lineitem), ("orders", orders),
+            ("documents", documents), ("events", events),
+        ) if d is not None
+    )
+    with WarehouseTxn(spark, sf_dir, note=f"ingest {touched or 'nothing'}"):
         return _refresh_warehouse_body(
             spark, sf_dir,
             lineitem=lineitem, orders=orders,
@@ -301,7 +307,14 @@ def optimize_warehouse(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     )
     from .dated import write_dated, write_dated_events
     from .retention import apply_tombstones, tombstone_df
+    from .snapshots import ensure_base, record_commit
     from .zorder import write_zordered
+
+    if spark.__dict__.get("_bdp_as_of_active"):
+        raise ValueError(
+            "the warehouse is read-only inside an AS OF snapshot read"
+        )
+    ensure_base(spark, sf_dir)
 
     tag, wh = _layout_paths(sf_dir)
     done: dict[str, str] = {}
@@ -422,6 +435,9 @@ def optimize_warehouse(spark: SparkSession, sf_dir: str) -> dict[str, str]:
         )
         sd["_bdp_docstore_memo"][sf_dir] = new_c
         done["clustered_documents"] = new_c
+    # S22: optimize swings memos outside a txn; record its post-state
+    # so time travel across the rewrite resolves the new versions
+    record_commit(spark, sf_dir, "optimize")
     return done
 
 
@@ -463,7 +479,12 @@ def gc_warehouse(
     import shutil
 
     from .bucketed import _layout_paths
+    from .snapshots import prune_ledger, snapshot_live_entries
 
+    if spark.__dict__.get("_bdp_as_of_active"):
+        raise ValueError(
+            "the warehouse is read-only inside an AS OF snapshot read"
+        )
     _tag, wh = _layout_paths(sf_dir)
     if not os.path.isdir(wh):
         return {"removed": 0, "bytes": 0}
@@ -479,6 +500,16 @@ def gc_warehouse(
         elif isinstance(entry, (tuple, list)):
             for e in entry:
                 _keep(e)
+
+    # S22 (time travel ⟷ VACUUM retention, Delta's contract): first
+    # expire snapshot versions older than the window, then everything
+    # a SURVIVING version references joins the live set — a reachable
+    # AS OF version can never lose its files to this pass. With the
+    # default window of 0 the ledger clears and only the serving
+    # state keeps files, exactly the eager-GC behavior.
+    prune_ledger(spark, sf_dir, retain_seconds)
+    for snap_entry in snapshot_live_entries(spark, sf_dir):
+        _keep(snap_entry)
 
     for memo_key in (
         "_bdp_projection_memo",

@@ -203,7 +203,7 @@ def delete_documents(spark: SparkSession, sf_dir: str, doc_ids) -> dict[str, str
     fresh = _fresh_keys(spark, sf_dir, "documents", ids)
     if not fresh.take(1):
         return {}
-    with WarehouseTxn(spark, sf_dir):
+    with WarehouseTxn(spark, sf_dir, note="delete documents"):
         # the rows being deleted, captured against the PRE-delete
         # corpus (they drive the affected-group computation)
         deleted = (
@@ -300,7 +300,7 @@ def delete_orders(spark: SparkSession, sf_dir: str, order_keys) -> dict[str, str
     fresh = _fresh_keys(spark, sf_dir, "orders", ids)
     if not fresh.take(1):
         return {}
-    with WarehouseTxn(spark, sf_dir):
+    with WarehouseTxn(spark, sf_dir, note="delete orders"):
         deleted_li = (
             current_lineitem(spark, sf_dir)
             .join(
@@ -832,7 +832,7 @@ def expire_events(spark: SparkSession, sf_dir: str, before_ts: str) -> dict[str,
     current = _wm_memo(spark).get((sf_dir, "events"))
     if current is not None and current >= cutoff:
         return {}
-    with WarehouseTxn(spark, sf_dir):
+    with WarehouseTxn(spark, sf_dir, note="expire events"):
         from ..catalog import bump_mutation_epoch
 
         _wm_memo(spark)[(sf_dir, "events")] = cutoff

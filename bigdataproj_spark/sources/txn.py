@@ -115,9 +115,10 @@ class WarehouseTxn:
     the outermost txn owns the snapshot.
     """
 
-    def __init__(self, spark: SparkSession, sf_dir: str):
+    def __init__(self, spark: SparkSession, sf_dir: str, note: str = "batch"):
         self.spark = spark
         self.sf_dir = sf_dir
+        self.note = note
         self._outer = False
         self._snap: dict[str, Any] = {}
         self._files: set[str] | None = None
@@ -127,8 +128,18 @@ class WarehouseTxn:
     # -- lifecycle --------------------------------------------------------
     def __enter__(self) -> "WarehouseTxn":
         sd = self.spark.__dict__
+        if sd.get("_bdp_as_of_active"):
+            raise ValueError(
+                "the warehouse is read-only inside an AS OF snapshot "
+                "read — run mutations outside the as_of block"
+            )
         if sd.get("_bdp_txn_active"):
             return self  # inner context: outermost txn owns the snapshot
+        # S22: the first mutation against a warehouse records version 0
+        # (the pre-any-mutation base) so time travel can reach it
+        from .snapshots import ensure_base
+
+        ensure_base(self.spark, self.sf_dir)
         # Take the snapshot BEFORE claiming the active flag: if any part
         # of it raises (deepcopy, layout-path resolution, the warehouse
         # walk), the session must not be left with a dangling flag that
@@ -157,6 +168,12 @@ class WarehouseTxn:
         self.spark.__dict__["_bdp_txn_active"] = False
         if exc_type is not None:
             self._rollback()
+        else:
+            # S22: a committed batch is a numbered, time-travelable
+            # version; a rolled-back one leaves no ledger entry
+            from .snapshots import record_commit
+
+            record_commit(self.spark, self.sf_dir, self.note)
         return False  # always propagate
 
     # -- rollback ---------------------------------------------------------

@@ -703,6 +703,16 @@ def test_gc_retention_window_keeps_young_superseded_versions(
         os.utime(dirpath, (old, old))
         for f in files:
             os.utime(os.path.join(dirpath, f), (old, old))
+    # S22: the commit ledger also references v1 (it was the serving
+    # version at the early commits), and a version reachable by time
+    # travel keeps its files ALIVE regardless of file age — the
+    # stronger Delta-style contract. This test simulates the passage
+    # of time, so the simulated age must apply to the commit history
+    # too, not just the bytes.
+    from bigdataproj_spark.sources.snapshots import _ledger
+
+    for entry in _ledger(spark, sf_base):
+        entry["wall"] = min(entry["wall"], old)
     wh = _layout_paths(sf_base)[1]
     n0 = len(os.listdir(wh))
 

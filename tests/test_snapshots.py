@@ -1,0 +1,255 @@
+"""S22: snapshot reads (time travel) — the commit ledger, the as_of
+context, the SQL spellings, and the VACUUM-retention contract."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdataproj_spark.catalog import TABLES, table
+from bigdataproj_spark.engine import Engine
+
+_PROFILE = (
+    "SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS total_chars, "
+    "COUNT(*) AS n FROM documents GROUP BY lang ORDER BY lang"
+)
+
+
+def _sandbox(spark, sf_dir, tmp_path) -> Engine:
+    work = tmp_path / "w"
+    work.mkdir()
+    for t in TABLES:
+        table(spark, sf_dir, t).write.parquet(str(work / f"{t}.parquet"))
+    return Engine(spark, str(work))
+
+
+class TestCommitLedger:
+    def test_every_verb_records_a_version(self, spark, sf_dir, tmp_path):
+        e = _sandbox(spark, sf_dir, tmp_path)
+        e.sql(
+            "INSERT INTO documents VALUES "
+            "(900000001, 'hello', 'en', 'src1', 5)"
+        )
+        e.sql("DELETE FROM documents WHERE doc_id IN (3)")
+        e.sql(
+            "UPDATE orders SET o_orderstatus = 'X' WHERE o_orderkey IN (1)"
+        )
+        e.sql(
+            "MERGE INTO orders USING (VALUES (CAST(2 AS BIGINT), 'Y')) "
+            "AS s(k, st) ON o_orderkey = s.k "
+            "WHEN MATCHED THEN UPDATE SET o_orderstatus = s.st"
+        )
+        e.sql("DELETE FROM events WHERE ts < TIMESTAMP '2024-01-03 00:00:00'")
+        hist = {r.version: r.note for r in e.sql("DESCRIBE HISTORY").collect()}
+        assert hist[0] == "base"
+        assert hist[1] == "ingest documents"
+        assert hist[2] == "delete documents"
+        assert hist[3] == "ingest orders"  # UPDATE rides refresh
+        assert hist[4] == "ingest orders"  # MERGE rides refresh
+        assert hist[5] == "expire events"
+
+    def test_rolled_back_batch_leaves_no_version(
+        self, spark, sf_dir, tmp_path
+    ):
+        from bigdataproj_spark.sources.txn import WarehouseTxn
+
+        e = _sandbox(spark, sf_dir, tmp_path)
+        e.sql(
+            "INSERT INTO documents VALUES "
+            "(900000001, 'hello', 'en', 'src1', 5)"
+        )
+        before = e.history().collect()
+        with pytest.raises(RuntimeError, match="mid-batch"):
+            with WarehouseTxn(spark, e.sf_dir, note="doomed"):
+                raise RuntimeError("mid-batch failure")
+        after = e.history().collect()
+        assert [tuple(r) for r in before] == [tuple(r) for r in after]
+
+    def test_optimize_records_a_version(self, spark, sf_dir, tmp_path):
+        from bigdataproj_spark.sources.maintenance import optimize_warehouse
+
+        e = _sandbox(spark, sf_dir, tmp_path)
+        e.sql("DELETE FROM documents WHERE doc_id IN (5)")
+        optimize_warehouse(spark, e.sf_dir)
+        notes = [r.note for r in e.history().collect()]
+        assert notes[-1] == "optimize"
+
+
+class TestAsOfReads:
+    def test_versions_replay_exactly(self, spark, sf_dir, tmp_path):
+        e = _sandbox(spark, sf_dir, tmp_path)
+        base = e.sql(_PROFILE).toPandas()
+        e.sql(
+            "INSERT INTO documents VALUES "
+            "(900000001, 'hello world', 'en', 'src1', 11)"
+        )
+        v1 = e.sql(_PROFILE).toPandas()
+        e.sql("DELETE FROM documents WHERE doc_id <= 50")
+        v2 = e.sql(_PROFILE).toPandas()
+        assert e.sql(
+            _PROFILE + " FOR SYSTEM_VERSION AS OF 0"
+        ).toPandas().equals(base)
+        assert e.sql(
+            _PROFILE + " FOR SYSTEM_VERSION AS OF 1"
+        ).toPandas().equals(v1)
+        # the live state is untouched by the snapshot reads
+        assert e.sql(_PROFILE).toPandas().equals(v2)
+        assert not v2.equals(v1)
+
+    def test_routed_answer_comes_from_snapshot_cube(
+        self, spark, sf_dir, tmp_path
+    ):
+        from bigdataproj_spark.plans.sqlfront import route_sql
+        from bigdataproj_spark.sources.corpus_cubes import (
+            docs_stats_cube_table,
+        )
+
+        e = _sandbox(spark, sf_dir, tmp_path)
+        docs_stats_cube_table(spark, e.sf_dir)
+        e.sql(
+            "INSERT INTO documents VALUES "
+            "(900000001, 'hello world', 'en', 'src1', 11)"
+        )
+        v1 = e.sql(_PROFILE).toPandas()
+        e.sql("DELETE FROM documents WHERE doc_id <= 50")
+        with e.as_of(1):
+            df, chosen = route_sql(spark, e.sf_dir, _PROFILE)
+            assert chosen == "docs_stats_cube"
+            got = df.toPandas()
+        assert got.equals(v1)
+
+    def test_verbatim_views_repoint_both_directions(
+        self, spark, sf_dir, tmp_path
+    ):
+        e = _sandbox(spark, sf_dir, tmp_path)
+        e.sql(
+            "INSERT INTO documents VALUES "
+            "(900000001, 'hello world', 'en', 'src1', 11)"
+        )
+        v1 = e.sql(_PROFILE, routed=False).toPandas()
+        e.sql("DELETE FROM documents WHERE doc_id <= 50")
+        v2 = e.sql(_PROFILE, routed=False).toPandas()
+        with e.as_of(1):
+            assert e.sql(_PROFILE, routed=False).toPandas().equals(v1)
+        assert e.sql(_PROFILE, routed=False).toPandas().equals(v2)
+
+    def test_user_projection_reads_its_snapshot_version(
+        self, spark, sf_dir, tmp_path
+    ):
+        from bigdataproj_spark.plans.sqlfront import route_sql
+
+        e = _sandbox(spark, sf_dir, tmp_path)
+        # a per-user events profile — the shape the BUILT-IN hourly
+        # cube refuses (user_id is not stored), so routing must come
+        # from the user view at both versions
+        sel = (
+            "SELECT user_id, event_type, "
+            "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS tv, "
+            "COUNT(*) AS n FROM events GROUP BY user_id, event_type "
+            "ORDER BY user_id, event_type"
+        )
+        e.sql(
+            "CREATE MATERIALIZED VIEW snap_user_spend AS "
+            "SELECT user_id, event_type, "
+            "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS tv, "
+            "COUNT(*) AS n FROM events GROUP BY user_id, event_type"
+        )
+        before = e.sql(sel).toPandas()
+        e.sql(
+            "INSERT INTO events VALUES "
+            "(900000001, TIMESTAMP '2024-01-09 10:15:00', 1, 'click', "
+            "42.5, '{}')"
+        )
+        hist = e.history().collect()
+        v_pre_insert = hist[-2].version
+        after = e.sql(sel).toPandas()
+        assert not after.equals(before)
+        with e.as_of(v_pre_insert):
+            df, chosen = route_sql(spark, e.sf_dir, sel)
+            assert chosen == "user:snap_user_spend"
+            got = df.toPandas()
+        assert got.equals(before)
+        # the live view still serves the post-insert refresh
+        df2, chosen2 = route_sql(spark, e.sf_dir, sel)
+        assert chosen2 == "user:snap_user_spend"
+        assert df2.toPandas().equals(after)
+
+    def test_refusals(self, spark, sf_dir, tmp_path):
+        e = _sandbox(spark, sf_dir, tmp_path)
+        e.sql("DELETE FROM documents WHERE doc_id IN (9)")
+        with pytest.raises(ValueError, match="read-only inside"):
+            with e.as_of(0):
+                e.sql("DELETE FROM documents WHERE doc_id IN (10)")
+        with pytest.raises(ValueError, match="no reachable snapshot"):
+            e.sql(_PROFILE + " FOR SYSTEM_VERSION AS OF 99")
+        with pytest.raises(ValueError, match="one snapshot version"):
+            e.sql(
+                "SELECT * FROM documents FOR SYSTEM_VERSION AS OF 0 "
+                "JOIN events FOR SYSTEM_VERSION AS OF 1 ON doc_id = event_id"
+            )
+        with pytest.raises(ValueError, match="do not nest"):
+            with e.as_of(0):
+                with e.as_of(1):
+                    pass
+        from bigdataproj_spark.sources.maintenance import (
+            gc_warehouse,
+            optimize_warehouse,
+        )
+
+        with pytest.raises(ValueError, match="read-only inside"):
+            with e.as_of(0):
+                optimize_warehouse(spark, e.sf_dir)
+        with pytest.raises(ValueError, match="read-only inside"):
+            with e.as_of(0):
+                gc_warehouse(spark, e.sf_dir)
+
+    def test_same_version_twice_in_statement_is_fine(
+        self, spark, sf_dir, tmp_path
+    ):
+        e = _sandbox(spark, sf_dir, tmp_path)
+        e.sql("DELETE FROM documents WHERE doc_id IN (9)")
+        n = e.sql(
+            "SELECT COUNT(*) AS n FROM documents FOR SYSTEM_VERSION AS OF 0"
+            " WHERE doc_id IN (SELECT doc_id FROM documents "
+            "FOR SYSTEM_VERSION AS OF 0 WHERE doc_id = 9)"
+        ).collect()[0].n
+        assert n == 1
+
+
+class TestVacuumRetention:
+    def test_retained_snapshot_keeps_its_files(self, spark, sf_dir, tmp_path):
+        from bigdataproj_spark.sources.corpus_cubes import (
+            docs_stats_cube_table,
+        )
+        from bigdataproj_spark.sources.maintenance import gc_warehouse
+
+        e = _sandbox(spark, sf_dir, tmp_path)
+        docs_stats_cube_table(spark, e.sf_dir)
+        e.sql(
+            "INSERT INTO documents VALUES "
+            "(900000001, 'hello world', 'en', 'src1', 11)"
+        )
+        v1 = e.sql(_PROFILE).toPandas()
+        # the delete publishes a NEW cube version; version 1's cube
+        # files become superseded — exactly what eager GC would eat
+        e.sql("DELETE FROM documents WHERE doc_id <= 50")
+        gc_warehouse(spark, e.sf_dir, retain_seconds=3600)
+        got = e.sql(_PROFILE + " FOR SYSTEM_VERSION AS OF 1").toPandas()
+        assert got.equals(v1)
+
+    def test_eager_gc_expires_time_travel(self, spark, sf_dir, tmp_path):
+        from bigdataproj_spark.sources.maintenance import gc_warehouse
+
+        e = _sandbox(spark, sf_dir, tmp_path)
+        e.sql(
+            "INSERT INTO documents VALUES "
+            "(900000001, 'hello world', 'en', 'src1', 11)"
+        )
+        e.sql("DELETE FROM documents WHERE doc_id <= 50")
+        live = e.sql(_PROFILE).toPandas()
+        gc_warehouse(spark, e.sf_dir, retain_seconds=0)
+        with pytest.raises(ValueError, match="VACUUM retention"):
+            e.sql(_PROFILE + " FOR SYSTEM_VERSION AS OF 1")
+        assert e.sql("DESCRIBE HISTORY").count() == 0
+        # the live state is untouched by the expiry
+        assert e.sql(_PROFILE).toPandas().equals(live)
