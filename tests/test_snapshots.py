@@ -253,3 +253,53 @@ class TestVacuumRetention:
         assert e.sql("DESCRIBE HISTORY").count() == 0
         # the live state is untouched by the expiry
         assert e.sql(_PROFILE).toPandas().equals(live)
+
+
+class TestStreamingComposition:
+    def test_streamed_ingest_versions_replay(self, spark, sf_dir, tmp_path):
+        """ST10 × S22: a foreachBatch ingest loop calling
+        refresh_warehouse per micro-batch produces one commit per
+        batch, and every intermediate corpus state stays reachable —
+        AS OF k answers exactly what the warehouse answered right
+        after the k-th micro-batch landed."""
+        from bigdataproj_spark.sources.maintenance import refresh_warehouse
+        from bigdataproj_spark.streaming.replay import (
+            DOCUMENTS_DDL,
+            _drive_stream,
+            stage_document_batches,
+        )
+
+        e = _sandbox(spark, sf_dir, tmp_path)
+        work = e.sf_dir
+        bdir = tmp_path / "batches"
+        bdir.mkdir()
+        paths = stage_document_batches(spark, sf_dir, str(bdir), n_batches=3)
+        expected = []  # the live profile right after each commit
+
+        def attach(stream, ckpt):
+            def apply(batch_df, batch_id):
+                delta = batch_df.select(
+                    (F.col("doc_id") + 10_000_000).cast("long").alias(
+                        "doc_id"
+                    ),
+                    "text", "lang", "source", "n_chars",
+                ).localCheckpoint(eager=True)
+                refresh_warehouse(spark, work, documents=delta)
+                expected.append(e.sql(_PROFILE).toPandas())
+
+            q = (
+                stream.writeStream.foreachBatch(apply)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            return q, lambda: None
+
+        _drive_stream(spark, paths, DOCUMENTS_DDL, attach)
+        hist = e.sql("DESCRIBE HISTORY").collect()
+        assert [r.note for r in hist] == ["base"] + ["ingest documents"] * 3
+        for k, prof in enumerate(expected, start=1):
+            got = e.sql(
+                _PROFILE + f" FOR SYSTEM_VERSION AS OF {k}"
+            ).toPandas()
+            assert got.equals(prof), f"AS OF {k} drifted from commit {k}"
