@@ -218,10 +218,16 @@ def current_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     every raw plan the moment the delete commits."""
     from ..sources.retention import apply_tombstones
 
+    from ..sources.snapshots import pinned_parquet
+
     memo = spark.__dict__.get("_bdp_docstore_memo", {})
     path = memo.get(sf_dir)
     if path:
-        df = spark.read.parquet(path).select(*_DOC_COLS)
+        # S22: inside a snapshot read, scan only the pinned commit's
+        # files (document batches APPEND into this directory)
+        df = (pinned_parquet(spark, path) or spark.read.parquet(path)).select(
+            *_DOC_COLS
+        )
     else:
         df = table(spark, sf_dir, "documents")
     return apply_tombstones(spark, sf_dir, "documents", df)
@@ -236,10 +242,12 @@ def current_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     expired-day directories."""
     from ..sources.retention import apply_event_watermark, event_watermark
 
+    from ..sources.snapshots import pinned_parquet
+
     memo = spark.__dict__.get("_bdp_dated_events_memo", {})
     path = memo.get(sf_dir)
     if path:
-        df = spark.read.parquet(path)
+        df = pinned_parquet(spark, path) or spark.read.parquet(path)
         wm = event_watermark(spark, sf_dir)
         if wm is not None:
             # the derived day-partition conjunct must apply BEFORE the
@@ -771,10 +779,13 @@ def route_corpus_scan(
     )
     from ..sources.retention import apply_tombstones
 
+    from ..sources.snapshots import pinned_parquet
+
     if has_ts_range:
         from ..sources.dated import dated_events, day_bounds_filter
 
-        df = spark.read.parquet(dated_events(spark, sf_dir))
+        dep = dated_events(spark, sf_dir)
+        df = pinned_parquet(spark, dep) or spark.read.parquet(dep)
         days = day_bounds_filter(q.filters)
         if days is not None:
             df = df.filter(days)
@@ -796,7 +807,8 @@ def route_corpus_scan(
         # skip via the in-partition range sort's min-max stats.
         from ..sources.docstore import clustered_documents
 
-        df = spark.read.parquet(clustered_documents(spark, sf_dir))
+        cdp = clustered_documents(spark, sf_dir)
+        df = pinned_parquet(spark, cdp) or spark.read.parquet(cdp)
         # S19: deleted docs stay in the clustered bytes until the
         # scheduled OPTIMIZE rewrite; reads subtract
         df = apply_tombstones(spark, sf_dir, "documents", df)

@@ -49,6 +49,11 @@ Dialect (matched case-insensitively, names are SQL identifiers):
   riding the same refresh_warehouse path (documents: insert-if-absent
   only, per the erasure contract).
 
+- S22 (round 9): ``DESCRIBE HISTORY``, ``RESTORE TO VERSION AS OF n``,
+  and ``EXPLAIN <select>`` (the ROUTED explanation — which layout
+  answers and the physical plan; Spark's own EXPLAIN never shows
+  routing. Queries only: EXPLAIN of DML refuses rather than half-runs).
+
 DDL statements return small status DataFrames (the JDBC-shaped
 contract: every statement yields a result set). Spark itself has no
 MATERIALIZED VIEW syntax, so these statements never collide with the
@@ -89,6 +94,25 @@ _SHOW_RE = re.compile(
 _DESCRIBE_HISTORY_RE = re.compile(
     r"^\s*DESCRIBE\s+HISTORY\s*;?\s*$", re.IGNORECASE
 )
+# S22: the rollback verb — warehouse-wide like the snapshots
+# (semantics and the deliberate divergence from Delta's keep-forward
+# RESTORE: sources/snapshots.py restore_warehouse)
+_RESTORE_RE = re.compile(
+    r"^\s*RESTORE(?:\s+WAREHOUSE)?\s+TO\s+VERSION\s+AS\s+OF\s+"
+    r"(?P<version>\d+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+# EXPLAIN through the front door: the ROUTED explanation (which
+# layout answers, and the physical plan that will run) — Spark's own
+# EXPLAIN would describe the verbatim plan and never show routing.
+# Queries only: an EXPLAINed DML statement is refused rather than
+# half-run (deriving a DML plan without executing would need a dry-run
+# mode of every verb's lowering).
+_EXPLAIN_RE = re.compile(
+    r"^\s*EXPLAIN\s+(?P<stmt>(?:SELECT|WITH)\b.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_EXPLAIN_ANY_RE = re.compile(r"^\s*EXPLAIN\b", re.IGNORECASE)
 # S19's DML spelling: targeted key-list deletes, plus (round 9) the
 # two lowerable predicate forms — ``ts < 'T'`` on events lowers onto
 # expire_events (S19b's watermark), and a single simple comparison on
@@ -304,6 +328,30 @@ def try_ddl(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame | None:
         from ..sources.snapshots import history_df
 
         return history_df(spark, sf_dir)
+    rm = _RESTORE_RE.match(sql)
+    if rm is not None:
+        from ..sources.snapshots import restore_warehouse
+
+        v = int(rm.group("version"))
+        restore_warehouse(spark, sf_dir, v)
+        return spark.createDataFrame(
+            [(f"version {v}", "restored")], _STATUS_SCHEMA
+        )
+    if _EXPLAIN_ANY_RE.match(sql):
+        em = _EXPLAIN_RE.match(sql)
+        if em is None:
+            raise ValueError(
+                "EXPLAIN covers queries (SELECT/WITH); DML and DDL "
+                "statements execute directly through Engine.sql"
+            )
+        from ..engine import Engine
+
+        chosen, plan = Engine(spark, sf_dir).explain_sql(
+            em.group("stmt").rstrip().rstrip(";")
+        )
+        return spark.createDataFrame(
+            [(chosen, plan)], "chosen string, physical_plan string"
+        )
     if _DELETE_ANY_RE.match(sql):
         return _delete(spark, sf_dir, sql)
     if _INSERT_ANY_RE.match(sql):

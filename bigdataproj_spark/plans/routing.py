@@ -89,9 +89,16 @@ def current_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     happened."""
     from ..sources.retention import apply_tombstones
 
+    from ..sources.snapshots import pinned_table
+
     memo = spark.__dict__.get("_bdp_bucketed_memo", {})
     names = memo.get((sf_dir, _N_BUCKETS))
-    df = spark.table(names[0]) if names else table(spark, sf_dir, "lineitem")
+    if names:
+        # inside a snapshot read, scan only the pinned commit's files
+        # (the bucketed fact APPENDS batches into one directory)
+        df = pinned_table(spark, sf_dir, names[0]) or spark.table(names[0])
+    else:
+        df = table(spark, sf_dir, "lineitem")
     return apply_tombstones(spark, sf_dir, "orders", df, "l_orderkey")
 
 
@@ -101,9 +108,14 @@ def current_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     rationale as :func:`current_lineitem`, tombstones included)."""
     from ..sources.retention import apply_tombstones
 
+    from ..sources.snapshots import pinned_table
+
     memo = spark.__dict__.get("_bdp_bucketed_memo", {})
     names = memo.get((sf_dir, _N_BUCKETS))
-    df = spark.table(names[1]) if names else table(spark, sf_dir, "orders")
+    if names:
+        df = pinned_table(spark, sf_dir, names[1]) or spark.table(names[1])
+    else:
+        df = table(spark, sf_dir, "orders")
     return apply_tombstones(spark, sf_dir, "orders", df)
 
 # ---------------------------------------------------------------------------
@@ -1173,12 +1185,18 @@ def _spine_plan(spark: SparkSession, sf_dir: str, q: AggQuery) -> DataFrame | No
     # (sources/bucketed.py segment/star cube, user projections).
     from ..sources.retention import apply_tombstones
 
+    from ..sources.snapshots import pinned_table
+
     li_name, _ = bucketed_fact_tables(spark, sf_dir)
     _, den_name = order_revenue_projection(spark, sf_dir)
     # S19 tombstones subtract on BOTH spine sides (the rollup/denorm
-    # keep deleted orders' bytes until the scheduled OPTIMIZE rewrite)
+    # keep deleted orders' bytes until the scheduled OPTIMIZE rewrite);
+    # S22 pins the append-layout scan inside a snapshot read (the
+    # denorm is versioned per refresh — its memo path needs no pin)
     li = apply_tombstones(
-        spark, sf_dir, "orders", spark.table(li_name), "l_orderkey"
+        spark, sf_dir, "orders",
+        pinned_table(spark, sf_dir, li_name) or spark.table(li_name),
+        "l_orderkey",
     )
     for p in local_filters:
         li = li.filter(p.column())
@@ -1475,11 +1493,15 @@ def route_scan(
     )
     from ..sources.retention import apply_tombstones
 
+    from ..sources.snapshots import pinned_parquet
+
     if used <= _ZORDER_COLUMNS and has_key_range:
-        df = spark.read.parquet(zordered_lineitem(spark, sf_dir))
+        zp = zordered_lineitem(spark, sf_dir)
+        df = pinned_parquet(spark, zp) or spark.read.parquet(zp)
         chosen = "zorder_lineitem"
     elif used <= LINEITEM_COLS and has_date_range:
-        df = spark.read.parquet(dated_lineitem(spark, sf_dir))
+        dp = dated_lineitem(spark, sf_dir)
+        df = pinned_parquet(spark, dp) or spark.read.parquet(dp)
         months = month_bounds_filter(q.filters)
         if months is not None:
             # superset constraint on the partition column — prunes

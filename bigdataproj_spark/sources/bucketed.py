@@ -225,6 +225,16 @@ def bucketed_fact_tables(
     key = (sf_dir, n_buckets)
     if key in memo:
         return memo[key]
+    if spark.__dict__.get("_bdp_as_of_active"):
+        # S22: a lazy deploy INSIDE a snapshot read must never write
+        # the live table names — saveAsTable overwrite would destroy
+        # the live layout's appended batches (sources/zorder.py has
+        # the probe note). The twin names land in the SWAPPED memo
+        # (discarded at exit; files are VACUUM orphans); content is
+        # epoch-correct because a missing memo means these facts were
+        # never ingested by that epoch.
+        li_name += "_asof"
+        od_name += "_asof"
     write_bucketed(
         _lineitem_with_derived(table(spark, sf_dir, "lineitem")),
         li_name,

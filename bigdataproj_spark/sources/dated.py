@@ -105,6 +105,16 @@ def dated_lineitem(spark: SparkSession, sf_dir: str) -> str:
     if sf_dir in memo:
         return memo[sf_dir]
     path = os.path.join(wh, f"lineitem_dated_{tag}")
+    if spark.__dict__.get("_bdp_as_of_active"):
+        # S22: a lazy deploy INSIDE a snapshot read must never write
+        # the live layout path — overwrite mode would destroy the live
+        # layout's appended batches (found by direct probe: an
+        # as_of(0) scan wiped a post-ingest Z-order row). The twin
+        # path lands in the SWAPPED memo (discarded at exit; files are
+        # VACUUM orphans). Content is epoch-correct: a missing memo
+        # means this table was never ingested by that epoch, so the
+        # fixture IS the epoch's relation.
+        path += "_asof"
     write_dated(table(spark, sf_dir, "lineitem"), path)
     memo[sf_dir] = path
     return path
@@ -248,6 +258,16 @@ def dated_events(spark: SparkSession, sf_dir: str) -> str:
     if sf_dir in memo:
         return memo[sf_dir]
     path = os.path.join(wh, f"events_dated_{tag}")
+    if spark.__dict__.get("_bdp_as_of_active"):
+        # S22: a lazy deploy INSIDE a snapshot read must never write
+        # the live layout path — overwrite mode would destroy the live
+        # layout's appended batches (found by direct probe: an
+        # as_of(0) scan wiped a post-ingest Z-order row). The twin
+        # path lands in the SWAPPED memo (discarded at exit; files are
+        # VACUUM orphans). Content is epoch-correct: a missing memo
+        # means this table was never ingested by that epoch, so the
+        # fixture IS the epoch's relation.
+        path += "_asof"
     write_dated_events(table(spark, sf_dir, "events"), path)
     memo[sf_dir] = path
     return path

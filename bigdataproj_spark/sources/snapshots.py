@@ -14,18 +14,32 @@ memos as they stood at that commit and (b) the files they referenced
   (ingest / MERGE / UPDATE / DELETE / TTL expiry / OPTIMIZE),
   :class:`~.txn.WarehouseTxn` appends a numbered snapshot of the
   serving state — the SAME capture its rollback machinery already
-  takes on entry, so a "commit" here is one more O(#layouts)
-  deepcopy, no file I/O and no data-path cost;
+  takes on entry, plus the warehouse file LISTING (the metadata walk
+  the txn already pays once per batch) — O(#layouts + #files)
+  bookkeeping, no data I/O and no data-path cost;
 - an **``as_of`` read context**: swaps the session's serving state to
   a ledger entry, re-points the engine-owned temp views, and restores
   everything on exit — every read issued inside (routed, scan,
-  verbatim SQL) answers from the warehouse AS OF that commit;
-- the **SQL spelling** ``... FOR SYSTEM_VERSION AS OF <n>`` and
-  ``DESCRIBE HISTORY`` on the front door (engine.py), following the
-  Delta/Iceberg convention users already know — with one deliberate
-  strengthening: this engine's snapshots are WAREHOUSE-WIDE, so a
-  multi-table statement reads ONE consistent commit across all its
-  tables (per-table ``AS OF`` versions that disagree are refused).
+  verbatim SQL) answers from the warehouse AS OF that commit. The
+  APPEND-style row stores (bucketed facts, clustered documents,
+  dated events/lineitem, Z-order) share directories across commits,
+  so their scans inside the block are restricted to the commit's
+  pinned file listing (:func:`pinned_parquet` / :func:`pinned_table`
+  — found as a real leak by direct probe: a row-level ``AS OF 1``
+  read served batch 2's appended rows while the cube-routed twin was
+  correct); the versioned layouts (cubes, rollup/denorm, user views,
+  tombstone sets) resolve through their memo paths alone;
+- the **SQL spellings** ``... FOR SYSTEM_VERSION AS OF <n>``,
+  ``DESCRIBE HISTORY``, and ``RESTORE TO VERSION AS OF <n>`` on the
+  front door (engine.py / plans/ddl.py), following the Delta/Iceberg
+  convention users already know — with one deliberate strengthening:
+  this engine's snapshots are WAREHOUSE-WIDE, so a multi-table
+  statement reads ONE consistent commit across all its tables
+  (per-table ``AS OF`` versions that disagree are refused) — and one
+  deliberate divergence: RESTORE is the ROLLBACK verb (undone
+  commits' files are removed, history truncates in the original
+  numbering), because Delta's keep-forward restore would need a
+  file-granular manifest on every live scan (docs/DECISIONS.md).
 
 Time travel reaches exactly as far back as VACUUM retention allows —
 Delta's documented contract. ``gc_warehouse(retain_seconds=w)`` prunes
@@ -80,14 +94,79 @@ def _capture(spark: SparkSession, sf_dir: str) -> dict[str, Any]:
     ENTRY OBJECTS by reference plus their current path — the router's
     open() closures capture the per-fixture catalog dict by identity,
     so as_of must splice the original objects back into that SAME
-    dict (txn rollback's discipline), not install copies."""
+    dict (txn rollback's discipline), not install copies.
+
+    ``files`` is the warehouse's file listing at the commit: the
+    APPEND-style row stores (bucketed facts, clustered documents,
+    day-partitioned events/lineitem, Z-order) share their directories
+    across commits, so the memos alone do not pin their CONTENT — a
+    snapshot read restricts those scans to exactly this listing
+    (:func:`pinned_parquet`). The versioned layouts (cubes, rollup/
+    denorm, user views, tombstone sets) never need it — their memo
+    paths are immutable once written. At 100 TB the listing is the
+    batch's manifest, enumerable from version-/batch-suffixed write
+    paths without a tree walk — the same note as WarehouseTxn's
+    rollback listing."""
+    import os
+
+    from .bucketed import _layout_paths
+
     sd = spark.__dict__
     state = {k: copy.deepcopy(sd.get(k)) for k in _STATE_KEYS}
     user_proj: dict[str, dict[str, tuple[Any, str]]] = {}
     for root_key in _USER_PROJ_ROOTS:
         cat = (sd.get(root_key) or {}).get(sf_dir, {})
         user_proj[root_key] = {n: (u, u.path) for n, u in cat.items()}
-    return {"state": state, "user_proj": user_proj}
+    from .txn import _walk_files
+
+    _tag, wh = _layout_paths(sf_dir)
+    files = frozenset(_walk_files(wh)) if os.path.isdir(wh) else frozenset()
+    return {"state": state, "user_proj": user_proj, "files": files}
+
+
+def pinned_files(spark: SparkSession) -> frozenset[str] | None:
+    """The active snapshot read's warehouse file listing, or None
+    outside an as_of block — ONE dict probe on the hot path."""
+    return spark.__dict__.get("_bdp_as_of_files")
+
+
+def pinned_parquet(spark: SparkSession, path: str) -> DataFrame | None:
+    """Inside a snapshot read, a scan of ``path`` restricted to the
+    files that existed at the pinned commit (``basePath`` preserves
+    hive partition columns); None outside an as_of block, or when the
+    pinned listing has no files under ``path`` (a layout the block
+    itself lazily deployed reads its own fresh directory normally).
+    Callers write ``pinned_parquet(spark, p) or spark.read.parquet(p)``."""
+    import os
+
+    fs = pinned_files(spark)
+    if fs is None:
+        return None
+    root = os.path.normpath(path) + os.sep
+    files = sorted(f for f in fs if f.startswith(root) and not
+                   os.path.basename(f).startswith(("_", ".")))
+    if not files:
+        return None
+    return spark.read.option("basePath", path).parquet(*files)
+
+
+def pinned_table(
+    spark: SparkSession, sf_dir: str, name: str
+) -> DataFrame | None:
+    """The catalog-table twin of :func:`pinned_parquet` for the
+    bucketed facts (external location = <warehouse>/<name> by the
+    write_bucketed construction). The pinned scan is a plain parquet
+    read — bucket co-location metadata is lost INSIDE a snapshot
+    read (correctness over join locality for historical queries);
+    live reads keep the bucketed table untouched."""
+    import os
+
+    if pinned_files(spark) is None:
+        return None
+    from .bucketed import _layout_paths
+
+    _tag, wh = _layout_paths(sf_dir)
+    return pinned_parquet(spark, os.path.join(wh, name))
 
 
 def ensure_base(spark: SparkSession, sf_dir: str) -> None:
@@ -304,6 +383,7 @@ def as_of(spark: SparkSession, sf_dir: str, version: int):
         cat = (sd.get(root_key) or {}).get(sf_dir, {})
         live_proj[root_key] = {n: (u, u.path) for n, u in cat.items()}
     sd[_ACTIVE_KEY] = True
+    sd["_bdp_as_of_files"] = entry["files"]
     try:
         for k in _STATE_KEYS:
             snap = entry["state"].get(k)
@@ -331,12 +411,117 @@ def as_of(spark: SparkSession, sf_dir: str, version: int):
             for name, (obj, path) in live_proj[root_key].items():
                 obj.path = path
                 cat[name] = obj
+        # unpin BEFORE the exit re-point: the restored live views must
+        # scan the full directories again, not the snapshot listing
+        sd.pop("_bdp_as_of_files", None)
         _repoint_views(spark, sf_dir, fact_names)
         if live_views_for is None:
             sd.pop("_bdp_views_for", None)
         else:
             sd["_bdp_views_for"] = live_views_for
         sd[_ACTIVE_KEY] = False
+
+def restore_warehouse(spark: SparkSession, sf_dir: str, version: int) -> None:
+    """RESTORE — roll the LIVE warehouse back to a past committed
+    version (the statement spelling is ``RESTORE TO VERSION AS OF
+    n``). The serving memos, tombstone sets, watermarks, ingest
+    ledger, and user-projection catalogs all return to that commit,
+    the engine-owned temp views re-point, every file the undone
+    commits wrote is removed, and history TRUNCATES to the restored
+    version plus one new commit recording the restore.
+
+    DELIBERATE divergence from Delta's RESTORE (which keeps the
+    undone versions restorable-forward): this engine's append-style
+    row stores share directories across commits, so keeping undone
+    appends on disk would require a file-granular manifest on every
+    LIVE read path. Inside the bounded ``as_of`` context that cost is
+    paid willingly (pinned listings); paying it on every live scan
+    forever is the wrong trade — so RESTORE here is the transactional
+    rollback verb (git reset --hard), with the file cleanup of
+    WarehouseTxn applied at commit granularity. Version numbers stay
+    monotone across restores (the restore commit continues the old
+    sequence), so a gap in DESCRIBE HISTORY reads as "undone or
+    vacuumed", never as renumbering.
+
+    Erasure interplay (docs/DECISIONS.md): restoring to a pre-delete
+    version brings deleted rows back — the verb's purpose is undoing
+    an erroneous mutation. An erasure becomes FINAL once the
+    pre-delete versions are gone — run VACUUM past the window (or
+    with the default eager window) after a compliance delete."""
+    import os
+
+    from .bucketed import _layout_paths
+    from .txn import _walk_files
+
+    sd = spark.__dict__
+    if sd.get("_bdp_txn_active"):
+        raise ValueError("cannot RESTORE inside a warehouse transaction")
+    if sd.get(_ACTIVE_KEY):
+        raise ValueError(
+            "the warehouse is read-only inside an AS OF snapshot read"
+        )
+    led = _ledger(spark, sf_dir)
+    entry = next((e for e in led if e["version"] == version), None)
+    if entry is None:
+        have = [e["version"] for e in led]
+        raise ValueError(
+            f"no reachable snapshot version {version} to restore "
+            f"(reachable: {have or 'none'}; versions expire with "
+            "VACUUM retention)"
+        )
+    next_version = led[-1]["version"] + 1
+    fact_names = _fact_view_names(spark, sf_dir)
+    # 1. serving state back to the commit
+    for k in _STATE_KEYS:
+        snap = entry["state"].get(k)
+        if snap is None:
+            sd.pop(k, None)
+        else:
+            sd[k] = copy.deepcopy(snap)
+    for root_key in _USER_PROJ_ROOTS:
+        cat = sd.setdefault(root_key, {}).setdefault(sf_dir, {})
+        cat.clear()
+        for name, (obj, path) in entry["user_proj"][root_key].items():
+            obj.path = path
+            cat[name] = obj
+    # 2. remove every file the undone commits wrote (appends into
+    #    shared row-store dirs AND newer versioned dirs alike), then
+    #    drop now-empty dirs — WarehouseTxn._rollback's cleanup at
+    #    commit granularity
+    _tag, wh = _layout_paths(sf_dir)
+    if os.path.isdir(wh):
+        for f in _walk_files(wh) - set(entry["files"]):
+            try:
+                os.remove(f)
+            except OSError:
+                pass
+        for dirpath, dirs, files in os.walk(wh, topdown=False):
+            if not dirs and not files and dirpath != wh:
+                try:
+                    os.rmdir(dirpath)
+                except OSError:
+                    pass
+    # 3. invalidate cached file listings of the restored bucketed
+    #    tables so reads re-list post-cleanup
+    for names in (sd.get("_bdp_bucketed_memo") or {}).values():
+        for name in names:
+            try:
+                spark.catalog.refreshTable(name)
+            except Exception:
+                pass
+    _repoint_views(spark, sf_dir, fact_names)
+    # 4. history truncates to the restored version; the restore itself
+    #    is the next commit in the ORIGINAL numbering
+    led[:] = [e for e in led if e["version"] <= version]
+    led.append(
+        {
+            "version": next_version,
+            "note": f"restore to {version}",
+            "wall": time.time(),
+            **_capture(spark, sf_dir),
+        }
+    )
+
 
 # ---------------------------------------------------------------------------
 # Driver query: time travel in, the pre-delete state out. The oracle
@@ -398,3 +583,48 @@ def r160_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         _df, chosen = route_sql(spark, demo, _TT_PROFILE)
         assert chosen == "docs_stats_cube", chosen
     return eng.sql(f"{_TT_PROFILE} FOR SYSTEM_VERSION AS OF {v}")
+
+
+_RESTORE_ORACLE = """
+SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS total_chars, COUNT(*) AS n
+FROM (
+  SELECT lang, n_chars FROM documents
+  UNION ALL SELECT 'de', 13
+)
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@query(
+    "r161_sql_restore",
+    oracle=_RESTORE_ORACLE,
+    tags=("S22", "S19", "S15", "A1"),
+)
+def r161_sql_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S22's rollback verb end to end (round 9): INSERT commits v,
+    an (erroneous) predicate DELETE commits v+1, and ``RESTORE TO
+    VERSION AS OF v`` rolls the LIVE warehouse back — deleted rows
+    return, the undone commit's files are removed, history truncates.
+    The post-restore profile — answered from the restored cube state
+    by the normal LIVE read path, no as_of context — matches DuckDB
+    computing base + the insert, as if the delete never happened."""
+    from ..catalog import TABLES
+    from ..engine import Engine
+    from ..plans.sqlfront import route_sql
+    from .corpus_cubes import docs_stats_cube_table
+    from .retention import _demo_corpus
+
+    demo = _demo_corpus(spark, sf_dir, TABLES, demo="restore")
+    docs_stats_cube_table(spark, demo)
+    eng = Engine(spark, demo)
+    eng.sql(
+        "INSERT INTO documents VALUES "
+        "(900000003, 'dreizehn char', 'de', 'src97', 13)"
+    )
+    v = eng.history().collect()[-1].version
+    eng.sql("DELETE FROM documents WHERE doc_id <= 200")
+    eng.sql(f"RESTORE TO VERSION AS OF {v}")
+    df, chosen = route_sql(spark, demo, _TT_PROFILE)
+    assert chosen == "docs_stats_cube", chosen
+    return df

@@ -1011,3 +1011,30 @@ class TestMergeDML:
                 ") AS s(k, st) ON o_orderkey = s.k "
                 "WHEN MATCHED THEN UPDATE SET o_orderstatus = s.st"
             )
+
+
+class TestExplainSQL:
+    def test_explain_shows_routing_choice(self, eng):
+        from bigdataproj_spark.plans.sqlfront import SUM_SQL as _S
+
+        row = eng.sql(
+            "EXPLAIN SELECT l_returnflag, l_linestatus, "
+            f"{_S['revenue']} AS revenue, COUNT(*) AS n "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus "
+            "ORDER BY l_returnflag, l_linestatus"
+        ).collect()[0]
+        assert row.chosen == "pricing_cube"
+        assert "Scan" in row.physical_plan
+        # unroutable statements explain too, with the refusal reason
+        row2 = eng.sql(
+            "EXPLAIN SELECT l_orderkey, "
+            "ROW_NUMBER() OVER (ORDER BY l_orderkey) AS rn "
+            "FROM lineitem LIMIT 5"
+        ).collect()[0]
+        assert row2.chosen.startswith("spark.sql:")
+
+    def test_explain_dml_refused(self, eng):
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="EXPLAIN covers queries"):
+            eng.sql("EXPLAIN DELETE FROM documents WHERE doc_id = 1")

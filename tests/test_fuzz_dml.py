@@ -314,3 +314,130 @@ def test_orders_update_delete_sequence_matches_duckdb(
             con.execute(_SEGMENT_PROFILE).fetchdf(),
             f"seed={seed} step={step} op={op}",
         )
+
+
+_TT_PROFILE = (
+    "SELECT lang, source, CAST(SUM(n_chars) AS BIGINT) AS total_chars, "
+    "COUNT(*) AS n FROM {T} GROUP BY lang, source ORDER BY lang, source"
+)
+
+
+@pytest.mark.parametrize("seed", [17])
+def test_time_travel_matches_versioned_duckdb_model(
+    spark, sf_dir, tmp_path, seed
+):
+    """The S22 composition gate: random documents DML (INSERT /
+    key-list DELETE / predicate DELETE) interleaved with RESTORE and
+    AS OF probes, run against the engine and a VERSIONED DuckDB model
+    (one snapshot table per committed version). After every step, a
+    randomly chosen reachable version's profile must match the model's
+    snapshot of that version exactly — and RESTORE must leave the
+    LIVE state equal to the restored snapshot with later versions
+    unreachable on both sides."""
+    from bigdataproj_spark.sources.snapshots import _ledger
+    from bigdataproj_spark.testing import compare_frames
+
+    rng = random.Random(seed)
+    eng, con = _setup(spark, sf_dir, tmp_path)
+    live_profile = _TT_PROFILE.format(T="documents")
+    next_doc_id = 910_000_000
+
+    def versions():
+        return [e["version"] for e in _ledger(spark, eng.sf_dir)]
+
+    def snap_model():
+        # version 0 (the base, recorded by the engine at the FIRST
+        # mutation whatever its verb) snapshots from the immutable
+        # staged parquet, exactly once
+        if not con.execute(
+            "SELECT 1 FROM information_schema.tables "
+            "WHERE table_name = 'documents_v0'"
+        ).fetchall():
+            con.execute(
+                "CREATE TABLE documents_v0 AS SELECT * FROM "
+                f"read_parquet('{eng.sf_dir}/documents.parquet/"
+                "*.parquet', hive_partitioning=false)"
+            )
+        v = versions()[-1]
+        con.execute(
+            f"CREATE TABLE documents_v{v} AS SELECT * FROM documents"
+        )
+
+    for step in range(8):
+        op = rng.choice(["insert", "delete_keys", "delete_pred", "restore"])
+        if op == "restore" and len(versions()) < 2:
+            op = "insert"
+        if op == "insert":
+            k = rng.randint(1, 4)
+            rows = ", ".join(
+                f"({next_doc_id + i}, 'tt doc {next_doc_id + i}', "
+                f"'{rng.choice(_LANGS)}', 'src{rng.randint(1, 30)}', "
+                f"{rng.randint(1, 500)})"
+                for i in range(k)
+            )
+            next_doc_id += k
+            stmt = (
+                "INSERT INTO documents (doc_id, text, lang, source, "
+                "n_chars) VALUES " + rows
+            )
+            eng.sql(stmt)
+            con.execute(stmt)
+            snap_model()
+        elif op == "delete_keys":
+            ids = [
+                r[0]
+                for r in con.execute(
+                    "SELECT doc_id FROM documents "
+                    f"WHERE doc_id % {rng.randint(37, 53)} = 1 LIMIT 15"
+                ).fetchall()
+            ]
+            if not ids:
+                continue
+            stmt = "DELETE FROM documents WHERE doc_id IN (" + ", ".join(
+                str(i) for i in ids
+            ) + ")"
+            eng.sql(stmt)
+            con.execute(stmt)
+            snap_model()
+        elif op == "delete_pred":
+            col, opr, lit = rng.choice(
+                [
+                    ("n_chars", "<", str(rng.randint(30, 120))),
+                    ("doc_id", "<=", str(rng.randint(50, 300))),
+                    ("lang", "=", f"'{rng.choice(_LANGS)}'"),
+                ]
+            )
+            stmt = f"DELETE FROM documents WHERE {col} {opr} {lit}"
+            eng.sql(stmt)
+            con.execute(stmt)
+            snap_model()
+        else:  # restore
+            target = rng.choice(versions())
+            eng.sql(f"RESTORE TO VERSION AS OF {target}")
+            con.execute("DELETE FROM documents")
+            con.execute(
+                f"INSERT INTO documents SELECT * FROM documents_v{target}"
+            )
+            # later model snapshots become unreachable, like the ledger
+            for r in con.execute("SHOW TABLES").fetchall():
+                name = r[0]
+                if name.startswith("documents_v") and int(
+                    name.split("_v")[1]
+                ) > target:
+                    con.execute(f"DROP TABLE {name}")
+            snap_model()  # the restore commit itself
+        # live states agree
+        compare_frames(
+            eng.sql(live_profile).toPandas(),
+            con.execute(live_profile).fetchdf(),
+            f"seed={seed} step={step} op={op} live",
+        )
+        # a random reachable version replays exactly
+        v = rng.choice(versions())
+        got = eng.sql(
+            live_profile + f" FOR SYSTEM_VERSION AS OF {v}"
+        ).toPandas()
+        want = con.execute(
+            _TT_PROFILE.format(T=f"documents_v{v}")
+        ).fetchdf()
+        compare_frames(got, want, f"seed={seed} step={step} as_of={v}")

@@ -303,3 +303,184 @@ class TestStreamingComposition:
                 _PROFILE + f" FOR SYSTEM_VERSION AS OF {k}"
             ).toPandas()
             assert got.equals(prof), f"AS OF {k} drifted from commit {k}"
+
+
+class TestRestore:
+    def test_restore_undoes_delete_and_truncates_history(
+        self, spark, sf_dir, tmp_path
+    ):
+        e = _sandbox(spark, sf_dir, tmp_path)
+        e.sql(
+            "INSERT INTO documents VALUES "
+            "(900000001, 'hello world', 'en', 'src1', 11)"
+        )
+        v1 = e.sql(_PROFILE).toPandas()
+        e.sql("DELETE FROM documents WHERE doc_id IN (7, 8)")
+        assert not e.sql(_PROFILE).toPandas().equals(v1)
+        e.sql("RESTORE TO VERSION AS OF 1")
+        # the live state IS version 1 again, rows back
+        assert e.sql(_PROFILE).toPandas().equals(v1)
+        n = e.sql(
+            "SELECT COUNT(*) AS n FROM documents WHERE doc_id IN (7, 8)",
+            routed=False,
+        ).collect()[0].n
+        assert n == 2
+        # history truncated to the restored version + the restore
+        # commit, in the ORIGINAL numbering (2 is gone, 3 records it)
+        hist = [(r.version, r.note) for r in e.sql("DESCRIBE HISTORY").collect()]
+        assert hist == [
+            (0, "base"), (1, "ingest documents"), (3, "restore to 1"),
+        ]
+        # the undone version is no longer reachable
+        with pytest.raises(ValueError, match="no reachable snapshot"):
+            e.sql(_PROFILE + " FOR SYSTEM_VERSION AS OF 2")
+        # the erasure was undone, so the key is insertable again —
+        # and a NEW delete works on the restored state
+        e.sql("DELETE FROM documents WHERE doc_id IN (7)")
+        n = e.sql(
+            "SELECT COUNT(*) AS n FROM documents WHERE doc_id IN (7, 8)",
+            routed=False,
+        ).collect()[0].n
+        assert n == 1
+
+    def test_restore_removes_undone_files(self, spark, sf_dir, tmp_path):
+        import os
+
+        from bigdataproj_spark.sources.bucketed import _layout_paths
+        from bigdataproj_spark.sources.snapshots import _ledger
+        from bigdataproj_spark.sources.txn import _walk_files
+
+        e = _sandbox(spark, sf_dir, tmp_path)
+        e.sql(
+            "INSERT INTO documents VALUES "
+            "(900000001, 'hello world', 'en', 'src1', 11)"
+        )
+        entry = _ledger(spark, e.sf_dir)[-1]
+        e.sql(
+            "INSERT INTO documents VALUES "
+            "(900000002, 'zwei', 'de', 'src1', 4)"
+        )
+        wh = _layout_paths(e.sf_dir)[1]
+        assert _walk_files(wh) - set(entry["files"])  # the appends exist
+        e.sql(f"RESTORE TO VERSION AS OF {entry['version']}")
+        # byte-level rollback: exactly the undone commits' files went
+        assert _walk_files(wh) == set(entry["files"])
+        rows = e.sql(
+            "SELECT doc_id FROM documents WHERE doc_id >= 900000000",
+            routed=False,
+        ).collect()
+        assert [r.doc_id for r in rows] == [900000001]
+
+    def test_restore_refusals(self, spark, sf_dir, tmp_path):
+        from bigdataproj_spark.sources.txn import WarehouseTxn
+
+        e = _sandbox(spark, sf_dir, tmp_path)
+        e.sql("DELETE FROM documents WHERE doc_id IN (9)")
+        with pytest.raises(ValueError, match="no reachable snapshot"):
+            e.sql("RESTORE TO VERSION AS OF 42")
+        with pytest.raises(ValueError, match="read-only inside"):
+            with e.as_of(0):
+                e.sql("RESTORE TO VERSION AS OF 0")
+        with pytest.raises(ValueError, match="inside a warehouse"):
+            with WarehouseTxn(spark, e.sf_dir):
+                e.sql("RESTORE TO VERSION AS OF 0")
+
+
+class TestAppendLayoutPinning:
+    def test_row_level_as_of_excludes_later_appends(
+        self, spark, sf_dir, tmp_path
+    ):
+        """The append-style row stores share directories across
+        commits, so snapshot reads must scan only the pinned commit's
+        files — found as a real leak by direct probe (a row-level
+        AS OF 1 read served batch 2's appended rows; the cube-routed
+        twin was correct, which is why aggregate checks missed it).
+        One insert pair per fact table: the first batch's row is
+        visible at its commit, the second batch's is not."""
+        e = _sandbox(spark, sf_dir, tmp_path)
+        e.sql(
+            "INSERT INTO documents VALUES "
+            "(900000001, 'batch one', 'en', 'src1', 9)"
+        )  # v1
+        e.sql(
+            "INSERT INTO documents VALUES "
+            "(900000002, 'batch two', 'en', 'src1', 9)"
+        )  # v2
+        e.sql(
+            "INSERT INTO orders VALUES (900000011, 1, 'O', 10.0, "
+            "TIMESTAMP '1996-01-01 00:00:00', '1-URGENT')"
+        )  # v3
+        e.sql(
+            "INSERT INTO orders VALUES (900000012, 1, 'O', 10.0, "
+            "TIMESTAMP '1996-01-01 00:00:00', '1-URGENT')"
+        )  # v4
+        e.sql(
+            "INSERT INTO lineitem VALUES (900000011, 1, 1, 1, 1.0, "
+            "100.0, 0.0, 0.0, 'N', 'O', TIMESTAMP '1996-01-02 00:00:00')"
+        )  # v5
+        e.sql(
+            "INSERT INTO lineitem VALUES (900000012, 1, 1, 1, 1.0, "
+            "100.0, 0.0, 0.0, 'N', 'O', TIMESTAMP '1996-01-02 00:00:00')"
+        )  # v6
+        e.sql(
+            "INSERT INTO events VALUES (900000021, "
+            "TIMESTAMP '2024-01-09 10:15:00', 1, 'click', 1.5, '{}')"
+        )  # v7
+        e.sql(
+            "INSERT INTO events VALUES (900000022, "
+            "TIMESTAMP '2024-01-09 11:15:00', 1, 'click', 1.5, '{}')"
+        )  # v8
+        probes = [
+            ("doc_id", "documents", 1, 900000001),
+            ("o_orderkey", "orders", 3, 900000011),
+            ("l_orderkey", "lineitem", 5, 900000011),
+            ("event_id", "events", 7, 900000021),
+        ]
+        for col, t, v, want in probes:
+            rows = e.sql(
+                f"SELECT {col} FROM {t} FOR SYSTEM_VERSION AS OF {v} "
+                f"WHERE {col} >= 900000000 ORDER BY {col}"
+            ).collect()
+            assert [r[col] for r in rows] == [want], (t, v, rows)
+        # routed and verbatim agree at a pinned version
+        n_asof = e.sql(
+            "SELECT COUNT(*) AS n FROM lineitem FOR SYSTEM_VERSION AS OF 5"
+        ).collect()[0].n
+        with e.as_of(5):
+            n_vb = e.sql(
+                "SELECT COUNT(*) AS n FROM lineitem", routed=False
+            ).collect()[0].n
+        assert n_asof == n_vb
+
+
+class TestInBlockDeploys:
+    def test_lazy_deploy_inside_as_of_never_writes_live_paths(
+        self, spark, sf_dir, tmp_path
+    ):
+        """Found by direct probe: an as_of(0) scan whose layout was
+        missing from the snapshot memos lazily deployed it with
+        mode("overwrite") onto the LIVE layout path — wiping the live
+        layout's appended batches. In-block deploys now write
+        _asof-suffixed twins (discarded memo, VACUUM-orphan files);
+        this pins that the live layouts survive and both epochs
+        answer correctly."""
+        from bigdataproj_spark.plans.sqlfront import route_sql
+
+        e = _sandbox(spark, sf_dir, tmp_path)
+        e.sql(
+            "INSERT INTO lineitem VALUES (900000011, 1, 1, 1, 1.0, "
+            "100.0, 0.0, 0.0, 'N', 'O', TIMESTAMP '1996-01-02 00:00:00')"
+        )
+        sql = (
+            "SELECT l_orderkey, l_partkey FROM lineitem "
+            "WHERE l_partkey >= 1 AND l_partkey <= 2 "
+            "AND l_orderkey >= 900000000"
+        )
+        live1, _ = route_sql(spark, e.sf_dir, sql)
+        assert live1.count() == 1
+        with e.as_of(0):
+            df0, chosen0 = route_sql(spark, e.sf_dir, sql)
+            assert chosen0 == "zorder_lineitem"
+            assert df0.count() == 0  # pre-ingest epoch
+        live2, _ = route_sql(spark, e.sf_dir, sql)
+        assert live2.count() == 1  # the live layout survived
