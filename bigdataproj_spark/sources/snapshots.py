@@ -293,8 +293,6 @@ def _repoint_views(
     Engine._ensure_current_views' relation choices and WarehouseTxn's
     dim re-pointing, minus the takeover checks (the caller resolved
     ownership against the live ledgers already)."""
-    from pyspark.sql import functions as F  # noqa: F401
-
     from ..catalog import table
     from ..plans.corpus_routing import (
         CORPUS_DIMS,
@@ -372,6 +370,17 @@ def as_of(spark: SparkSession, sf_dir: str, version: int):
         )
     fact_names = _fact_view_names(spark, sf_dir)
     live_state = {k: sd.get(k) for k in _STATE_KEYS}
+    # repoint only the views whose relation actually DIFFERS between
+    # the two states: a table ingested in NEITHER state reads the
+    # immutable fixture on both sides, and rebuilding its relation +
+    # plan identity twice per block is the dominant as_of cost at
+    # scale (measured 7.9 s/block at sf5 before this skip)
+    live_ing = live_state.get("_bdp_ingested") or set()
+    snap_ing = entry["state"].get("_bdp_ingested") or set()
+    fact_names = [
+        n for n in fact_names
+        if (sf_dir, n) in live_ing or (sf_dir, n) in snap_ing
+    ]
     # if the engine's view registration first happens INSIDE the
     # block, its ownership records land in the swapped (discarded)
     # ledgers while the temp views themselves survive — restoring
@@ -471,6 +480,12 @@ def restore_warehouse(spark: SparkSession, sf_dir: str, version: int) -> None:
         )
     next_version = led[-1]["version"] + 1
     fact_names = _fact_view_names(spark, sf_dir)
+    live_ing = sd.get("_bdp_ingested") or set()
+    snap_ing = entry["state"].get("_bdp_ingested") or set()
+    fact_names = [
+        n for n in fact_names
+        if (sf_dir, n) in live_ing or (sf_dir, n) in snap_ing
+    ]
     # 1. serving state back to the commit
     for k in _STATE_KEYS:
         snap = entry["state"].get(k)
