@@ -169,15 +169,34 @@ def pinned_table(
     return pinned_parquet(spark, os.path.join(wh, name))
 
 
+def _next_seq(spark: SparkSession, sf_dir: str) -> int:
+    """Version numbers are drawn from a per-warehouse MONOTONE
+    sequence that survives ledger pruning: after a VACUUM clears the
+    ledger, new commits must NOT reuse old numbers — a remembered
+    "version 3" must either resolve to the state it always meant or
+    error, never silently mean a different state. Gaps in DESCRIBE
+    HISTORY therefore read as "undone by RESTORE or vacuumed" —
+    renumbering would read as nothing. (The counter is deliberately
+    NOT in WarehouseTxn's rollback set; rolled-back batches never
+    reach record_commit, so rollback needs nothing restored here.)"""
+    d: dict = spark.__dict__.setdefault("_bdp_snapshot_seq", {})
+    v = d.get(sf_dir, 0)
+    d[sf_dir] = v + 1
+    return v
+
+
 def ensure_base(spark: SparkSession, sf_dir: str) -> None:
-    """Record version 0 — the pre-any-mutation base state — the first
-    time a mutation is about to touch this warehouse."""
+    """Record the pre-batch state the first time a mutation is about
+    to touch this warehouse (version 0 = the pristine base) — and
+    again after a VACUUM emptied the ledger (a "checkpoint": the
+    state accumulated so far, under a FRESH number)."""
     led = _ledger(spark, sf_dir)
     if not led:
+        v = _next_seq(spark, sf_dir)
         led.append(
             {
-                "version": 0,
-                "note": "base",
+                "version": v,
+                "note": "base" if v == 0 else "checkpoint",
                 "wall": time.time(),
                 **_capture(spark, sf_dir),
             }
@@ -192,7 +211,7 @@ def record_commit(spark: SparkSession, sf_dir: str, note: str) -> None:
     led = _ledger(spark, sf_dir)
     led.append(
         {
-            "version": (led[-1]["version"] + 1) if led else 0,
+            "version": _next_seq(spark, sf_dir),
             "note": note,
             "wall": time.time(),
             **_capture(spark, sf_dir),
@@ -478,7 +497,7 @@ def restore_warehouse(spark: SparkSession, sf_dir: str, version: int) -> None:
             f"(reachable: {have or 'none'}; versions expire with "
             "VACUUM retention)"
         )
-    next_version = led[-1]["version"] + 1
+    next_version = _next_seq(spark, sf_dir)
     fact_names = _fact_view_names(spark, sf_dir)
     live_ing = sd.get("_bdp_ingested") or set()
     snap_ing = entry["state"].get("_bdp_ingested") or set()

@@ -484,3 +484,31 @@ class TestInBlockDeploys:
             assert df0.count() == 0  # pre-ingest epoch
         live2, _ = route_sql(spark, e.sf_dir, sql)
         assert live2.count() == 1  # the live layout survived
+
+
+class TestVersionMonotonicity:
+    def test_numbers_never_reuse_after_vacuum(self, spark, sf_dir, tmp_path):
+        """A remembered version number must resolve to the state it
+        always meant or ERROR — never silently mean a different state.
+        After VACUUM clears the ledger, new commits continue the
+        monotone sequence (the post-prune pre-batch state re-enters
+        as a fresh-numbered 'checkpoint')."""
+        from bigdataproj_spark.sources.maintenance import gc_warehouse
+
+        e = _sandbox(spark, sf_dir, tmp_path)
+        e.sql("DELETE FROM documents WHERE doc_id IN (5)")   # 0 base, 1
+        e.sql("DELETE FROM documents WHERE doc_id IN (6)")   # 2
+        gc_warehouse(spark, e.sf_dir)  # eager: ledger cleared
+        assert e.sql("DESCRIBE HISTORY").count() == 0
+        e.sql("DELETE FROM documents WHERE doc_id IN (7)")
+        hist = [(r.version, r.note) for r in e.sql("DESCRIBE HISTORY").collect()]
+        assert hist == [(3, "checkpoint"), (4, "delete documents")]
+        # the checkpoint carries the accumulated state, not the base
+        n = e.sql(
+            "SELECT COUNT(*) AS n FROM documents "
+            "FOR SYSTEM_VERSION AS OF 3 WHERE doc_id IN (5, 6, 7)"
+        ).collect()[0].n
+        assert n == 1  # 5 and 6 already deleted at the checkpoint
+        # and the vacuumed numbers stay errors forever
+        with pytest.raises(ValueError, match="no reachable snapshot"):
+            e.sql("SELECT COUNT(*) FROM documents FOR SYSTEM_VERSION AS OF 1")
