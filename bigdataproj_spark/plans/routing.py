@@ -593,8 +593,13 @@ def _open_pricing_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _open_order_revenue_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.retention import apply_tombstones
 
+    from ..sources.snapshots import pinned_table
+
     roll_name, den_name = order_revenue_projection(spark, sf_dir)
-    r, d = spark.table(roll_name), spark.table(den_name)
+    # S22: pure-append refreshes make rollup/denorm APPEND layouts
+    # (round 9) — inside a snapshot read, scan only the pinned files
+    r = pinned_table(spark, sf_dir, roll_name) or spark.table(roll_name)
+    d = pinned_table(spark, sf_dir, den_name) or spark.table(den_name)
     # S19 tombstones subtract on the denorm side (the inner join then
     # drops the dead orders' rollup rows too); the rollup/denorm keep
     # deleted orders' bytes until the scheduled OPTIMIZE rewrite.
@@ -1202,7 +1207,8 @@ def _spine_plan(spark: SparkSession, sf_dir: str, q: AggQuery) -> DataFrame | No
         li = li.filter(p.column())
     li = apply_truncs(li, q, LINEITEM_COLS)
     den = apply_tombstones(
-        spark, sf_dir, "orders", spark.table(den_name)
+        spark, sf_dir, "orders",
+        pinned_table(spark, sf_dir, den_name) or spark.table(den_name),
     ).select("o_orderkey", *dim_attrs)
 
     if not q.aggs:

@@ -175,7 +175,9 @@ def _refresh_warehouse_body(
         old_conflicts = conflict_rows.exceptAll(
             orders.select(*ocols)
         ).localCheckpoint(eager=True)
-        _roll, den = refresh_orders_denorm(spark, sf_dir, orders)
+        _roll, den = refresh_orders_denorm(
+            spark, sf_dir, orders, has_update=has_key_conflict
+        )
         done["orders_denorm"] = den
         # the bucketed orders table is the MAINTAINED orders relation
         # (raw fixture parquet is immutable): user projections and any

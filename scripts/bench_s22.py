@@ -71,7 +71,7 @@ def main() -> None:
     ).collect()[0].n
 
     rows = ", ".join(
-        f"({990000000 + i}, 1, 'O', 99.0, TIMESTAMP '1996-01-01 00:00:00', "
+        f"({9900000000 + i}, 1, 'O', 99.0, TIMESTAMP '1996-01-01 00:00:00', "
         "'1-URGENT')"
         for i in range(1000)
     )
@@ -87,7 +87,7 @@ def main() -> None:
         "    o_orderdate, '9-MRG' AS o_orderpriority"
         "  FROM orders WHERE o_orderkey % 97 = 0"
         "  UNION ALL"
-        "  SELECT CAST(995000001 AS BIGINT), CAST(1 AS BIGINT), 'O',"
+        "  SELECT CAST(9905000001 AS BIGINT), CAST(1 AS BIGINT), 'O',"
         "    CAST(55.0 AS DOUBLE), TIMESTAMP '1996-01-02 00:00:00', '9-MRG'"
         ") AS s ON t.o_orderkey = s.o_orderkey "
         "WHEN MATCHED THEN UPDATE SET * "

@@ -512,3 +512,60 @@ class TestVersionMonotonicity:
         # and the vacuumed numbers stay errors forever
         with pytest.raises(ValueError, match="no reachable snapshot"):
             e.sql("SELECT COUNT(*) FROM documents FOR SYSTEM_VERSION AS OF 1")
+
+
+class TestPairAppendPinning:
+    def test_rollup_denorm_pure_appends_pin_and_stay_unversioned(
+        self, spark, sf_dir, tmp_path
+    ):
+        """Round 9 made pure-new-key refreshes of the rollup/denorm
+        pair bucket-preserving APPENDS (the unconditional merge-
+        rewrite was the ingest path's one O(|orders|) term — 121 s
+        for a 1000-row insert at sf20). Appends share the table name
+        across commits, so the pair's reads must pin inside as_of
+        like every other append layout — and the fast path must be
+        REAL: the serving names stay unversioned across the inserts."""
+        from bigdataproj_spark.plans.routing import (
+            _open_order_revenue_star,
+        )
+        from bigdataproj_spark.sources.bucketed import (
+            order_revenue_projection,
+        )
+
+        e = _sandbox(spark, sf_dir, tmp_path)
+        names0 = order_revenue_projection(spark, e.sf_dir)
+        e.sql(
+            "INSERT INTO orders VALUES (900000021, 1, 'O', 10.0, "
+            "TIMESTAMP '1996-01-01 00:00:00', '1-URGENT')"
+        )  # v1
+        e.sql(
+            "INSERT INTO lineitem VALUES (900000021, 1, 1, 1, 1.0, "
+            "500.0, 0.0, 0.0, 'N', 'O', TIMESTAMP '1996-01-02 00:00:00')"
+        )  # v2
+        e.sql(
+            "INSERT INTO orders VALUES (900000022, 1, 'O', 10.0, "
+            "TIMESTAMP '1996-01-01 00:00:00', '1-URGENT')"
+        )  # v3
+        e.sql(
+            "INSERT INTO lineitem VALUES (900000022, 1, 1, 1, 1.0, "
+            "500.0, 0.0, 0.0, 'N', 'O', TIMESTAMP '1996-01-02 00:00:00')"
+        )  # v4
+        # the fast path was taken: same serving names, no new version
+        assert order_revenue_projection(spark, e.sf_dir) == names0
+        with e.as_of(2):
+            star = _open_order_revenue_star(spark, e.sf_dir)
+            keys = sorted(
+                r.l_orderkey
+                for r in star.filter(
+                    F.col("l_orderkey") >= 900000000
+                ).select("l_orderkey").collect()
+            )
+        assert keys == [900000021]  # order B's append is invisible at v2
+        star_live = _open_order_revenue_star(spark, e.sf_dir)
+        keys_live = sorted(
+            r.l_orderkey
+            for r in star_live.filter(
+                F.col("l_orderkey") >= 900000000
+            ).select("l_orderkey").collect()
+        )
+        assert keys_live == [900000021, 900000022]
