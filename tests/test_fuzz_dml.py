@@ -441,3 +441,158 @@ def test_time_travel_matches_versioned_duckdb_model(
             _TT_PROFILE.format(T=f"documents_v{v}")
         ).fetchdf()
         compare_frames(got, want, f"seed={seed} step={step} as_of={v}")
+
+
+@pytest.mark.parametrize("seed", [29])
+def test_orders_time_travel_matches_versioned_duckdb(
+    spark, sf_dir, tmp_path, seed
+):
+    """S21 × S22 composition: random order UPDATEs / MERGEs /
+    cascading DELETEs interleaved with RESTORE, against a VERSIONED
+    DuckDB model (orders+lineitem snapshot per commit). After every
+    step the SEGMENT-CUBE-ROUTED chain-4 profile must match the model
+    both LIVE and AS OF a random reachable version — driving the cube
+    reattribution machinery through restore/travel states no
+    single-verb oracle reaches."""
+    from bigdataproj_spark.plans.sqlfront import route_sql
+    from bigdataproj_spark.sources.snapshots import _ledger
+    from bigdataproj_spark.testing import compare_frames
+
+    rng = random.Random(seed)
+    work = tmp_path / "w"
+    work.mkdir()
+    for t in TABLES:
+        table(spark, sf_dir, t).write.parquet(str(work / f"{t}.parquet"))
+    eng = Engine(spark, str(work))
+    from bigdataproj_spark.sources.bucketed import segment_cube_table
+
+    segment_cube_table(spark, str(work))
+    con = duckdb.connect()
+    for t in ("orders", "lineitem", "customer", "nation", "region"):
+        con.execute(
+            f"CREATE TABLE {t} AS SELECT * FROM "
+            f"read_parquet('{work}/{t}.parquet/*.parquet', "
+            "hive_partitioning=false)"
+        )
+
+    def versions():
+        return [e["version"] for e in _ledger(spark, eng.sf_dir)]
+
+    def snap_model():
+        if not con.execute(
+            "SELECT 1 FROM information_schema.tables "
+            "WHERE table_name = 'orders_v0'"
+        ).fetchall():
+            for t in ("orders", "lineitem"):
+                con.execute(
+                    f"CREATE TABLE {t}_v0 AS SELECT * FROM read_parquet("
+                    f"'{work}/{t}.parquet/*.parquet', "
+                    "hive_partitioning=false)"
+                )
+        v = versions()[-1]
+        for t in ("orders", "lineitem"):
+            con.execute(f"CREATE TABLE {t}_v{v} AS SELECT * FROM {t}")
+
+    def model_profile(suffix=""):
+        return con.execute(
+            _SEGMENT_PROFILE.replace(
+                "FROM lineitem JOIN orders",
+                f"FROM lineitem{suffix} JOIN orders{suffix}",
+            )
+        ).fetchdf()
+
+    next_ok = 920_000_000
+    for step in range(6):
+        op = rng.choice(["update_pred", "merge", "delete_keys", "restore"])
+        if op == "restore" and len(versions()) < 2:
+            op = "update_pred"
+        if op == "update_pred":
+            cut = rng.randint(150_000, 350_000)
+            prio = rng.choice(("9-TTA", "9-TTB"))
+            stmt = (
+                f"UPDATE orders SET o_orderpriority = '{prio}' "
+                f"WHERE o_totalprice > {cut}"
+            )
+            eng.sql(stmt)
+            con.execute(stmt)
+            snap_model()
+        elif op == "merge":
+            keys = [
+                r[0]
+                for r in con.execute(
+                    "SELECT o_orderkey FROM orders "
+                    f"WHERE o_orderkey % {rng.randint(43, 71)} = 4 LIMIT 10"
+                ).fetchall()
+            ]
+            if not keys:
+                continue
+            ks = ", ".join(str(k) for k in keys)
+            prio = rng.choice(("9-TTM", "2-HIGH"))
+            eng.sql(
+                "MERGE INTO orders USING ("
+                "SELECT o_orderkey, o_custkey, o_orderstatus, "
+                f"o_totalprice, o_orderdate, '{prio}' AS o_orderpriority "
+                f"FROM orders WHERE o_orderkey IN ({ks}) "
+                f"UNION ALL SELECT CAST({next_ok} AS BIGINT), "
+                "CAST(1 AS BIGINT), 'O', CAST(42.0 AS DOUBLE), "
+                f"TIMESTAMP '1996-04-04 00:00:00', '{prio}'"
+                ") s ON o_orderkey = s.o_orderkey "
+                "WHEN MATCHED THEN UPDATE SET * "
+                "WHEN NOT MATCHED THEN INSERT *"
+            )
+            con.execute(
+                f"UPDATE orders SET o_orderpriority = '{prio}' "
+                f"WHERE o_orderkey IN ({ks})"
+            )
+            con.execute(
+                f"INSERT INTO orders VALUES ({next_ok}, 1, 'O', 42.0, "
+                f"TIMESTAMP '1996-04-04 00:00:00', '{prio}')"
+            )
+            next_ok += 1
+            snap_model()
+        elif op == "delete_keys":
+            keys = [
+                r[0]
+                for r in con.execute(
+                    "SELECT o_orderkey FROM orders "
+                    f"WHERE o_orderkey % {rng.randint(61, 97)} = 3 LIMIT 8"
+                ).fetchall()
+            ]
+            if not keys:
+                continue
+            ks = ", ".join(str(k) for k in keys)
+            eng.sql(f"DELETE FROM orders WHERE o_orderkey IN ({ks})")
+            con.execute(f"DELETE FROM lineitem WHERE l_orderkey IN ({ks})")
+            con.execute(f"DELETE FROM orders WHERE o_orderkey IN ({ks})")
+            snap_model()
+        else:  # restore
+            target = rng.choice(versions())
+            eng.sql(f"RESTORE TO VERSION AS OF {target}")
+            for t in ("orders", "lineitem"):
+                con.execute(f"DELETE FROM {t}")
+                con.execute(
+                    f"INSERT INTO {t} SELECT * FROM {t}_v{target}"
+                )
+                for r in con.execute("SHOW TABLES").fetchall():
+                    name = r[0]
+                    if name.startswith(f"{t}_v") and int(
+                        name.split("_v")[1]
+                    ) > target:
+                        con.execute(f"DROP TABLE {name}")
+            snap_model()
+        # live: the segment-cube-routed profile vs the mutable model
+        df, chosen = route_sql(spark, str(work), _SEGMENT_PROFILE)
+        assert chosen == "segment_cube", chosen
+        compare_frames(
+            df.toPandas(), model_profile(),
+            f"seed={seed} step={step} op={op} live",
+        )
+        # a random reachable version replays exactly (routed, AS OF)
+        v = rng.choice(versions())
+        got = eng.sql(
+            _SEGMENT_PROFILE + f" FOR SYSTEM_VERSION AS OF {v}"
+        ).toPandas()
+        compare_frames(
+            got, model_profile(f"_v{v}"),
+            f"seed={seed} step={step} as_of={v}",
+        )
