@@ -113,6 +113,21 @@ _EXPLAIN_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _EXPLAIN_ANY_RE = re.compile(r"^\s*EXPLAIN\b", re.IGNORECASE)
+# UPDATE/DELETE/MERGE against a DIMENSION/fixture table refuses with
+# the engine's reason instead of falling through to Spark's confusing
+# "not supported" analysis error: the TPC-H-shaped reference tables
+# are immutable inputs here (every maintained layout derives from
+# them plus the FACT deltas; a mutable dimension would need SCD
+# machinery on every denormalized layout — out of contract). INSERT
+# deliberately stays UNCLAIMED on these names: Spark has no native
+# UPDATE/DELETE/MERGE for v1 catalog tables (the refusal strictly
+# improves that error), but INSERT INTO a user's OWN table named e.g.
+# `customer` is legal Spark — same claim rule as the fact-table INSERT.
+_DML_DIM_RE = re.compile(
+    r"^\s*(?:UPDATE|DELETE\s+FROM|MERGE\s+INTO)\s+"
+    r"(?P<table>region|nation|customer|supplier|part|embeddings)\b",
+    re.IGNORECASE,
+)
 # S19's DML spelling: targeted key-list deletes, plus (round 9) the
 # two lowerable predicate forms — ``ts < 'T'`` on events lowers onto
 # expire_events (S19b's watermark), and a single simple comparison on
@@ -324,6 +339,15 @@ def try_ddl(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame | None:
     undeclarable DDL raises ValueError with the reason."""
     if _SHOW_RE.match(sql):
         return _show(spark, sf_dir)
+    dm = _DML_DIM_RE.match(sql)
+    if dm is not None:
+        raise ValueError(
+            f"{dm.group('table').lower()!r} is a dimension/fixture "
+            "table — immutable reference data in this engine (every "
+            "maintained layout derives from it plus the fact deltas); "
+            "DML applies to the fact tables: lineitem, orders, "
+            "documents, events"
+        )
     if _DESCRIBE_HISTORY_RE.match(sql):
         from ..sources.snapshots import history_df
 

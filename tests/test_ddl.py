@@ -1038,3 +1038,22 @@ class TestExplainSQL:
 
         with _pt.raises(ValueError, match="EXPLAIN covers queries"):
             eng.sql("EXPLAIN DELETE FROM documents WHERE doc_id = 1")
+
+
+class TestDimTableDML:
+    def test_dimension_dml_refuses_with_reason(self, eng):
+        for stmt in (
+            "UPDATE customer SET c_mktsegment = 'X' WHERE c_custkey = 1",
+            "DELETE FROM nation WHERE n_nationkey = 1",
+            "MERGE INTO supplier USING (SELECT 1 AS s_suppkey) s "
+            "ON s_suppkey = s.s_suppkey WHEN MATCHED THEN UPDATE SET *",
+            "DELETE FROM embeddings WHERE doc_id = 1",
+        ):
+            with pytest.raises(ValueError, match="dimension/fixture"):
+                eng.sql(stmt)
+        # INSERT is deliberately unclaimed on dim names (a user's OWN
+        # catalog table named `customer` keeps Spark's native INSERT);
+        # against the engine's view it surfaces Spark's error, not ours
+        with pytest.raises(Exception) as exc:
+            eng.sql("INSERT INTO region VALUES (99, 'NOWHERE')")
+        assert "dimension/fixture" not in str(exc.value)
