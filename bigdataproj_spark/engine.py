@@ -32,6 +32,58 @@ _ASOF_RE = _re.compile(
 )
 
 
+def _split_script(script: str) -> list[str]:
+    """Split a SQL script on statement-separating semicolons, honoring
+    single-quoted strings (with ``''`` escapes — a quote inside a
+    string never closes it) and double-quoted identifiers. Line
+    comments (``-- ...``) are honored too: a semicolon inside one does
+    not split. Empty fragments (trailing semicolon, blank lines
+    between statements) are dropped."""
+    stmts: list[str] = []
+    buf: list[str] = []
+    i, n = 0, len(script)
+    in_sq = in_dq = in_comment = False
+    while i < n:
+        c = script[i]
+        if in_comment:
+            buf.append(c)
+            if c == "\n":
+                in_comment = False
+        elif in_sq:
+            buf.append(c)
+            if c == "'":
+                if i + 1 < n and script[i + 1] == "'":
+                    buf.append("'")
+                    i += 1
+                else:
+                    in_sq = False
+        elif in_dq:
+            buf.append(c)
+            if c == '"':
+                in_dq = False
+        elif c == "'":
+            in_sq = True
+            buf.append(c)
+        elif c == '"':
+            in_dq = True
+            buf.append(c)
+        elif c == "-" and i + 1 < n and script[i + 1] == "-":
+            in_comment = True
+            buf.append(c)
+        elif c == ";":
+            stmt = "".join(buf).strip()
+            if stmt:
+                stmts.append(stmt)
+            buf = []
+        else:
+            buf.append(c)
+        i += 1
+    tail = "".join(buf).strip()
+    if tail:
+        stmts.append(tail)
+    return stmts
+
+
 class Engine:
     """Thin facade over SparkSession + the operator library. The "IR"
     is deliberately Catalyst's own logical plan (SURVEY.md §3.2) — this
@@ -277,6 +329,37 @@ class Engine:
     @property
     def tables(self) -> tuple[str, ...]:
         return TABLES
+
+    def execute(self, script: str) -> DataFrame:
+        """Run a multi-statement SQL SCRIPT: statements split on
+        semicolons OUTSIDE string/identifier quoting (single quotes
+        with ``''`` escapes, double-quoted identifiers), executed in
+        order through :meth:`sql`, last statement's result returned —
+        the psql-shaped contract a CDC script expects::
+
+            eng.execute(\"\"\"
+                INSERT INTO orders VALUES (...);
+                MERGE INTO orders USING (...) s ON ... ;
+                DELETE FROM orders WHERE o_orderkey IN (...);
+                SELECT ... FROM lineitem JOIN orders ...;
+            \"\"\")
+
+        Each DML statement keeps its own WarehouseTxn atomicity and
+        its own commit — a failed statement stops the script with the
+        prior statements COMMITTED (the warehouse-wide ledger makes
+        recovery explicit: DESCRIBE HISTORY shows exactly how far the
+        script got, and RESTORE rolls back to any earlier commit).
+        An all-or-nothing script is therefore spelled
+        ``v = history()[-1]; try execute() except: restore(v)`` — the
+        engine does not guess which semantics a script wants."""
+        stmts = _split_script(script)
+        if not stmts:
+            raise ValueError("empty script (no statements)")
+        out: DataFrame | None = None
+        for stmt in stmts:
+            out = self.sql(stmt)
+        assert out is not None
+        return out
 
     # -- S22: snapshot reads (time travel) ---------------------------------
     def history(self) -> DataFrame:

@@ -478,3 +478,54 @@ def test_same_shape_user_view_takeover_is_ceded(spark, sf_dir, tmp_path):
         spark.__dict__.get("_bdp_fact_views", {}).pop("documents", None)
         spark.__dict__.get("_bdp_fact_view_ids", {}).pop("documents", None)
         spark.__dict__.pop("_bdp_views_for", None)
+
+
+class TestExecuteScript:
+    def test_split_honors_quotes_and_comments(self):
+        from bigdataproj_spark.engine import _split_script
+
+        stmts = _split_script(
+            "SELECT 'a;b' AS x; -- trailing; comment\n"
+            "SELECT \"odd;name\" FROM t;\n"
+            "SELECT 'it''s; fine';\n"
+            ";;\n"
+            "SELECT 1"
+        )
+        assert stmts == [
+            "SELECT 'a;b' AS x",
+            "-- trailing; comment\nSELECT \"odd;name\" FROM t",
+            "SELECT 'it''s; fine'",
+            "SELECT 1",
+        ]
+
+    def test_cdc_script_runs_in_order(self, spark, sf_dir, tmp_path):
+        from bigdataproj_spark.catalog import TABLES, table as _table
+        from bigdataproj_spark.engine import Engine
+
+        work = tmp_path / "w"
+        work.mkdir()
+        for t in TABLES:
+            _table(spark, sf_dir, t).write.parquet(str(work / f"{t}.parquet"))
+        e = Engine(spark, str(work))
+        out = e.execute(
+            """
+            INSERT INTO orders VALUES (900000031, 1, 'O', 10.0,
+              TIMESTAMP '1996-01-01 00:00:00', '1-URGENT');
+            MERGE INTO orders USING (
+              VALUES (CAST(900000031 AS BIGINT), '5-LOW')
+            ) AS s(k, prio) ON o_orderkey = s.k
+            WHEN MATCHED THEN UPDATE SET o_orderpriority = s.prio;
+            DELETE FROM orders WHERE o_orderkey = 900000031;
+            SELECT COUNT(*) AS n FROM orders WHERE o_orderkey = 900000031;
+            """
+        )
+        assert out.collect()[0].n == 0
+        # every DML statement committed its own version, in order
+        notes = [r.note for r in e.sql("DESCRIBE HISTORY").collect()]
+        assert notes == [
+            "base", "ingest orders", "ingest orders", "delete orders",
+        ]
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="empty script"):
+            e.execute("  ;;  ")
