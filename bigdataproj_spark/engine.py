@@ -32,52 +32,84 @@ _ASOF_RE = _re.compile(
 )
 
 
-def _split_script(script: str) -> list[str]:
-    """Split a SQL script on statement-separating semicolons, honoring
-    single-quoted strings (with ``''`` escapes — a quote inside a
-    string never closes it) and double-quoted identifiers. Line
-    comments (``-- ...``) are honored too: a semicolon inside one does
-    not split. Empty fragments (trailing semicolon, blank lines
-    between statements) are dropped."""
-    stmts: list[str] = []
-    buf: list[str] = []
+def _scan_code(script: str):
+    """Yield ``(i, char, in_code)`` over a SQL text: ``in_code`` is
+    False inside single-quoted strings (with ``''`` escapes — a quote
+    inside a string never closes it), double-quoted identifiers,
+    ``--`` line comments, and ``/* */`` block comments. The opening
+    and closing delimiters themselves are reported as non-code, so a
+    semicolon or keyword inside ANY of these regions never acts as
+    syntax. One state machine serves both the script splitter and the
+    AS OF clause scanner (round-9 ADVICE items 2 and 5)."""
     i, n = 0, len(script)
-    in_sq = in_dq = in_comment = False
+    in_sq = in_dq = in_line = in_block = False
     while i < n:
         c = script[i]
-        if in_comment:
-            buf.append(c)
+        if in_line:
+            yield i, c, False
             if c == "\n":
-                in_comment = False
+                in_line = False
+        elif in_block:
+            if c == "*" and i + 1 < n and script[i + 1] == "/":
+                yield i, c, False
+                yield i + 1, "/", False
+                i += 1
+                in_block = False
+            else:
+                yield i, c, False
         elif in_sq:
-            buf.append(c)
+            yield i, c, False
             if c == "'":
                 if i + 1 < n and script[i + 1] == "'":
-                    buf.append("'")
+                    yield i + 1, "'", False
                     i += 1
                 else:
                     in_sq = False
         elif in_dq:
-            buf.append(c)
+            yield i, c, False
             if c == '"':
                 in_dq = False
         elif c == "'":
             in_sq = True
-            buf.append(c)
+            yield i, c, False
         elif c == '"':
             in_dq = True
-            buf.append(c)
+            yield i, c, False
         elif c == "-" and i + 1 < n and script[i + 1] == "-":
-            in_comment = True
-            buf.append(c)
-        elif c == ";":
+            in_line = True
+            yield i, c, False
+        elif c == "/" and i + 1 < n and script[i + 1] == "*":
+            in_block = True
+            yield i, c, False
+        else:
+            yield i, c, True
+        i += 1
+
+
+def _mask_noncode(script: str) -> str:
+    """The script with every non-code character (string/identifier
+    contents, comments) blanked to a space — same length, so regex
+    match spans over the mask are valid spans into the original."""
+    return "".join(c if code else " " for _i, c, code in _scan_code(script))
+
+
+def _split_script(script: str) -> list[str]:
+    """Split a SQL script on statement-separating semicolons, honoring
+    single-quoted strings (with ``''`` escapes — a quote inside a
+    string never closes it), double-quoted identifiers, ``--`` line
+    comments, and ``/* */`` block comments: a semicolon inside any of
+    these does not split. Empty fragments (trailing semicolon, blank
+    lines between statements) are dropped."""
+    stmts: list[str] = []
+    buf: list[str] = []
+    for _i, c, code in _scan_code(script):
+        if code and c == ";":
             stmt = "".join(buf).strip()
             if stmt:
                 stmts.append(stmt)
             buf = []
         else:
             buf.append(c)
-        i += 1
     tail = "".join(buf).strip()
     if tail:
         stmts.append(tail)
@@ -145,9 +177,14 @@ class Engine:
         # the DataFrame inside the block (routed/scan relations
         # resolve their file paths at plan time and stay valid).
         if as_of is None:
-            hits = _ASOF_RE.findall(query)
+            # scan for the clause in CODE regions only (round-9 ADVICE
+            # item 2): the masked text blanks string literals and
+            # comments, so 'FOR SYSTEM_VERSION AS OF 3' inside a
+            # quoted value or a comment is data, never a pin; mask
+            # spans are valid spans into the original (same length)
+            hits = list(_ASOF_RE.finditer(_mask_noncode(query)))
             if hits:
-                versions = {int(v) for v in hits}
+                versions = {int(m.group(1)) for m in hits}
                 if len(versions) > 1:
                     raise ValueError(
                         "one snapshot version per statement — the "
@@ -156,7 +193,13 @@ class Engine:
                         "both hold"
                     )
                 as_of = versions.pop()
-                query = _ASOF_RE.sub(" ", query)
+                out, last = [], 0
+                for h in hits:
+                    out.append(query[last:h.start()])
+                    out.append(" ")
+                    last = h.end()
+                out.append(query[last:])
+                query = "".join(out)
         if as_of is not None:
             from .sources.snapshots import as_of as _as_of
 

@@ -772,7 +772,13 @@ def _parse_literal(text: str):
     text = re.sub(r"^(?:TIMESTAMP|DATE)\s+", "", text.strip(), flags=re.IGNORECASE)
     if text.startswith("'"):
         return text[1:-1].replace("''", "'")
-    return float(text) if "." in text else int(text)
+    try:
+        return float(text) if "." in text else int(text)
+    except ValueError:
+        raise ValueError(
+            f"unparseable literal {text!r} in a DML statement; "
+            "expected a number or a single-quoted string"
+        ) from None
 
 
 def _merge(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
@@ -1047,6 +1053,20 @@ def _merge(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
         key, F.col(key).cast(schema[key].dataType)
     ).localCheckpoint(eager=True)
     n_src = src.count()
+    # NULL join keys are refused BEFORE the duplicate check (round-9
+    # ADVICE item 4): a NULL key can never match a stored row — it
+    # would flow to the INSERT side and land a NULL-identity row
+    # (exactly the fabricated key the full-row check guards against);
+    # two NULLs would also be misread as duplicates by the
+    # distinct-count below. (Malformed key STRINGS fail the ANSI cast
+    # loudly already; this guards keys that are genuinely NULL.)
+    n_null = src.filter(F.col(key).isNull()).count()
+    if n_null:
+        raise ValueError(
+            f"{n_null} MERGE source row(s) carry a NULL join key — a "
+            f"NULL {key} identifies no stored row and would land as a "
+            "NULL-identity insert; fix the source"
+        )
     if src.select(key).distinct().count() != n_src:
         raise ValueError(
             "the MERGE source has duplicate join keys — two source "

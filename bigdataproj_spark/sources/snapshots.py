@@ -143,9 +143,18 @@ def pinned_parquet(spark: SparkSession, path: str) -> DataFrame | None:
     if fs is None:
         return None
     root = os.path.normpath(path) + os.sep
-    files = sorted(f for f in fs if f.startswith(root) and not
+    under = [f for f in fs if f.startswith(root)]
+    files = sorted(f for f in under if not
                    os.path.basename(f).startswith(("_", ".")))
     if not files:
+        if under:
+            # the path EXISTED at the pinned commit but held no data
+            # files (marker-only, e.g. after an empty rewrite): the
+            # snapshot's answer is an EMPTY relation — falling back to
+            # the live scan would serve post-commit rows (round-9
+            # ADVICE item 3). Schema comes from the live directory
+            # (layout schemas are append-stable by contract).
+            return spark.read.option("basePath", path).parquet(path).limit(0)
         return None
     return spark.read.option("basePath", path).parquet(*files)
 
@@ -428,26 +437,34 @@ def as_of(spark: SparkSession, sf_dir: str, version: int):
         _repoint_views(spark, sf_dir, fact_names)
         yield
     finally:
-        for k in _STATE_KEYS:
-            if live_state.get(k) is None:
-                sd.pop(k, None)
+        # the unpin + active-flag reset MUST survive any failure in
+        # the exit restore (round-9 ADVICE item 1): if the view
+        # re-point raises, a still-True flag would make every future
+        # mutation in the session refuse as "read-only inside an
+        # AS OF snapshot read" — the session would be stuck forever
+        try:
+            for k in _STATE_KEYS:
+                if live_state.get(k) is None:
+                    sd.pop(k, None)
+                else:
+                    sd[k] = live_state[k]
+            for root_key in _USER_PROJ_ROOTS:
+                cat = sd.setdefault(root_key, {}).setdefault(sf_dir, {})
+                cat.clear()
+                for name, (obj, path) in live_proj[root_key].items():
+                    obj.path = path
+                    cat[name] = obj
+            # unpin BEFORE the exit re-point: the restored live views
+            # must scan the full directories, not the snapshot listing
+            sd.pop("_bdp_as_of_files", None)
+            _repoint_views(spark, sf_dir, fact_names)
+            if live_views_for is None:
+                sd.pop("_bdp_views_for", None)
             else:
-                sd[k] = live_state[k]
-        for root_key in _USER_PROJ_ROOTS:
-            cat = sd.setdefault(root_key, {}).setdefault(sf_dir, {})
-            cat.clear()
-            for name, (obj, path) in live_proj[root_key].items():
-                obj.path = path
-                cat[name] = obj
-        # unpin BEFORE the exit re-point: the restored live views must
-        # scan the full directories again, not the snapshot listing
-        sd.pop("_bdp_as_of_files", None)
-        _repoint_views(spark, sf_dir, fact_names)
-        if live_views_for is None:
-            sd.pop("_bdp_views_for", None)
-        else:
-            sd["_bdp_views_for"] = live_views_for
-        sd[_ACTIVE_KEY] = False
+                sd["_bdp_views_for"] = live_views_for
+        finally:
+            sd.pop("_bdp_as_of_files", None)
+            sd[_ACTIVE_KEY] = False
 
 def restore_warehouse(spark: SparkSession, sf_dir: str, version: int) -> None:
     """RESTORE — roll the LIVE warehouse back to a past committed

@@ -1002,6 +1002,20 @@ class TestMergeDML:
                 "WHEN MATCHED THEN UPDATE SET *"
             )
 
+    def test_merge_null_source_key_refused(self, eng):
+        """Round-9 ADVICE item 4: a NULL join key matches nothing and
+        would land a NULL-identity row through the INSERT side —
+        refused eagerly with a worded reason. (Malformed key strings
+        fail the ANSI cast loudly already; this guards genuine NULLs,
+        which the cast preserves silently.)"""
+        with pytest.raises(ValueError, match="NULL join key"):
+            eng.sql(
+                "MERGE INTO orders USING (VALUES "
+                "(CAST(NULL AS BIGINT), 'X'), (CAST(2 AS BIGINT), 'Y')"
+                ") AS s(k, st) ON o_orderkey = s.k "
+                "WHEN MATCHED THEN UPDATE SET o_orderstatus = s.st"
+            )
+
     def test_merge_duplicate_source_keys_refused(self, spark, sf_dir, tmp_path):
         e = self._sandbox(spark, sf_dir, tmp_path)
         with pytest.raises(ValueError, match="duplicate join keys"):

@@ -498,6 +498,41 @@ class TestExecuteScript:
             "SELECT 1",
         ]
 
+    def test_split_honors_block_comments(self):
+        from bigdataproj_spark.engine import _split_script
+
+        stmts = _split_script(
+            "SELECT 1 /* mid; block */ AS x;\n"
+            "/* leading; block\n   over lines; */ SELECT 2;\n"
+            "SELECT '/*' AS not_a_comment"
+        )
+        assert stmts == [
+            "SELECT 1 /* mid; block */ AS x",
+            "/* leading; block\n   over lines; */ SELECT 2",
+            "SELECT '/*' AS not_a_comment",
+        ]
+
+    def test_asof_clause_in_literal_or_comment_is_data(self, spark, sf_dir):
+        """The AS OF scan is quote/comment-aware (round-9 ADVICE item
+        2): the clause inside a string literal or a comment is data —
+        the statement must run verbatim, not pin to a (nonexistent)
+        version 3."""
+        from bigdataproj_spark.engine import Engine
+
+        e = Engine(spark, sf_dir)
+        got = e.sql(
+            "SELECT 'FOR SYSTEM_VERSION AS OF 3' AS x"
+        ).collect()[0]["x"]
+        assert got == "FOR SYSTEM_VERSION AS OF 3"
+        got = e.sql(
+            "SELECT 1 AS one /* FOR SYSTEM_VERSION AS OF 3 */"
+        ).collect()[0]["one"]
+        assert got == 1
+        got = e.sql(
+            "SELECT 2 AS two -- FOR SYSTEM_VERSION AS OF 3"
+        ).collect()[0]["two"]
+        assert got == 2
+
     def test_cdc_script_runs_in_order(self, spark, sf_dir, tmp_path):
         from bigdataproj_spark.catalog import TABLES, table as _table
         from bigdataproj_spark.engine import Engine

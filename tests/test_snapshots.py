@@ -203,6 +203,43 @@ class TestAsOfReads:
             with e.as_of(0):
                 gc_warehouse(spark, e.sf_dir)
 
+    def test_exit_repoint_failure_never_wedges_session(
+        self, spark, sf_dir, tmp_path
+    ):
+        """Round-9 ADVICE item 1: if the EXIT re-point raises, the
+        active flag and the pinned listing must still clear — a
+        wedged flag would make every future mutation refuse as
+        'read-only inside an AS OF snapshot read' forever."""
+        import bigdataproj_spark.sources.snapshots as snap
+
+        e = _sandbox(spark, sf_dir, tmp_path)
+        e.sql(
+            "INSERT INTO documents VALUES "
+            "(900000011, 'hello', 'en', 'src1', 5)"
+        )
+        real = snap._repoint_views
+        calls = {"n": 0}
+
+        def flaky(sp, sfd, names):
+            calls["n"] += 1
+            if calls["n"] == 2:  # the exit re-point
+                raise RuntimeError("injected exit re-point failure")
+            return real(sp, sfd, names)
+
+        snap._repoint_views = flaky
+        try:
+            with pytest.raises(RuntimeError, match="injected exit"):
+                with e.as_of(0):
+                    e.sql(_PROFILE).collect()
+        finally:
+            snap._repoint_views = real
+        sd = spark.__dict__
+        assert not sd.get("_bdp_as_of_active")
+        assert "_bdp_as_of_files" not in sd
+        # the session is NOT stuck: mutations still work
+        out = e.sql("DELETE FROM documents WHERE doc_id IN (900000011)")
+        assert out.collect()[0]["n_keys"] == 1
+
     def test_same_version_twice_in_statement_is_fine(
         self, spark, sf_dir, tmp_path
     ):
@@ -387,6 +424,34 @@ class TestRestore:
 
 
 class TestAppendLayoutPinning:
+    def test_pinned_marker_only_directory_reads_empty_not_live(
+        self, spark, tmp_path
+    ):
+        """Round-9 ADVICE item 3: a path PRESENT in the pinned listing
+        but with no data files (marker-only commit) must read as an
+        EMPTY relation at that version — falling back to the live scan
+        would serve post-commit rows. A path absent from the listing
+        entirely (deployed inside the block) still reads live (None)."""
+        from bigdataproj_spark.sources.snapshots import pinned_parquet
+
+        p = tmp_path / "layout"
+        spark.range(5).selectExpr("id AS k").write.parquet(str(p))
+        sd = spark.__dict__
+        try:
+            # marker-only under the pinned listing → empty, live schema
+            sd["_bdp_as_of_files"] = frozenset({str(p / "_SUCCESS")})
+            df = pinned_parquet(spark, str(p))
+            assert df is not None
+            assert df.columns == ["k"]
+            assert df.count() == 0
+            # path absent from the listing → live read (None sentinel)
+            sd["_bdp_as_of_files"] = frozenset(
+                {str(tmp_path / "elsewhere" / "part-0.parquet")}
+            )
+            assert pinned_parquet(spark, str(p)) is None
+        finally:
+            sd.pop("_bdp_as_of_files", None)
+
     def test_row_level_as_of_excludes_later_appends(
         self, spark, sf_dir, tmp_path
     ):
