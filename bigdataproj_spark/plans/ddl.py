@@ -1237,11 +1237,11 @@ ORDER BY c_mktsegment, o_orderpriority
 
 
 @query(
-    "r158_sql_update_dml",
+    "q23_sql_update_dml",
     oracle=_UPDATE_ORACLE,
     tags=("E1e", "S21", "S13", "A1"),
 )
-def r158_sql_update_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q23_sql_update_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1e end to end (round 9): the warehouse UPDATE verb. On a
     sandbox corpus with the segment cube deployed, ``UPDATE orders SET
     o_orderpriority = '9-BULK' WHERE o_totalprice > 200000`` through
@@ -1306,11 +1306,11 @@ ORDER BY c_mktsegment, o_orderpriority
 
 
 @query(
-    "r159_sql_merge_dml",
+    "q33_sql_merge_dml",
     oracle=_MERGE_ORACLE,
     tags=("E1f", "S21", "S13", "A1"),
 )
-def r159_sql_merge_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q33_sql_merge_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1f end to end (round 9): the MERGE verb — one statement
     reconciling a CDC-shaped source batch against the stored orders by
     key. On a sandbox corpus with the segment cube deployed, the MERGE

@@ -1378,8 +1378,8 @@ ORDER BY o_orderstatus, p_brand
 """
 
 
-@query("q33_sql_triple_arm", oracle=_SQL_TRIPLE_ARM, tags=("S13", "E1", "J1", "A1"))
-def q33_sql_triple_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r163_sql_triple_arm", oracle=_SQL_TRIPLE_ARM, tags=("S13", "E1", "J1", "A1"))
+def r163_sql_triple_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All three dimension arms in one statement: the order chain
     (depth 1), the part arm with a part-side filter, and the supplier
     arm feeding a COUNT(DISTINCT). The raw plan partial-aggregates the
@@ -1584,8 +1584,8 @@ ORDER BY lang, source
 """
 
 
-@query("q40_sql_docs_profile", oracle=_SQL_DOCS_PROFILE, tags=("S15", "E1", "A1", "text"))
-def q40_sql_docs_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r164_sql_docs_profile", oracle=_SQL_DOCS_PROFILE, tags=("S15", "E1", "A1", "text"))
+def r164_sql_docs_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus router's flagship (S15): a text-profile statement
     whose token-count aggregates spell out the engine's whitespace
     tokenizer — a full-corpus regex pass if run raw — answered from
@@ -1613,8 +1613,8 @@ ORDER BY event_day, event_type
 """
 
 
-@query("q43_sql_events_rollup", oracle=_SQL_EVENTS_ROLLUP, tags=("S15", "E1", "A1", "ST1"))
-def q43_sql_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r165_sql_events_rollup", oracle=_SQL_EVENTS_ROLLUP, tags=("S15", "E1", "A1", "ST1"))
+def r165_sql_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series SQL through the corpus router (S15): a per-day
     per-type event rollup with a GRAIN-BOUNDARY time-range predicate,
     answered from the (event_type, hour) cube — the day grouping
@@ -1669,9 +1669,9 @@ ORDER BY lang
 
 
 @query(
-    "q23_sql_stopword_profile", oracle=_SQL_STOPWORDS, tags=("S15", "E1", "L5", "text")
+    "r162_sql_stopword_profile", oracle=_SQL_STOPWORDS, tags=("S15", "E1", "L5", "text")
 )
-def q23_sql_stopword_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+def r162_sql_stopword_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus stopword ratios per language from the doc-stats cube: the
     per-doc stopword-token counts (a second deploy-time regex+filter
     pass, like the token counts) are stored as exact integer partials,

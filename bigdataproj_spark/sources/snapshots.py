@@ -601,11 +601,11 @@ _TT_PROFILE = (
 
 
 @query(
-    "r160_sql_time_travel",
+    "q40_sql_time_travel",
     oracle=_TIME_TRAVEL_ORACLE,
     tags=("S22", "S19", "S15", "A1"),
 )
-def r160_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q40_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S22 end to end (round 9): on a sandbox corpus with the docs
     cube deployed, an INSERT commits version v, a predicate DELETE
     commits v+1 — and ``FOR SYSTEM_VERSION AS OF v`` answers the
@@ -648,11 +648,11 @@ ORDER BY lang
 
 
 @query(
-    "r161_sql_restore",
+    "q43_sql_restore",
     oracle=_RESTORE_ORACLE,
     tags=("S22", "S19", "S15", "A1"),
 )
-def r161_sql_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q43_sql_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S22's rollback verb end to end (round 9): INSERT commits v,
     an (erroneous) predicate DELETE commits v+1, and ``RESTORE TO
     VERSION AS OF v`` rolls the LIVE warehouse back — deleted rows

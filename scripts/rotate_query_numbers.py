@@ -184,6 +184,26 @@ ROTATIONS: dict[str, dict[str, dict]] = {
             151: "q35",  # quality_classifier (L24)
         },
     },
+    # Round 10: the four round-9 late stems — the round-9 flagship
+    # features (E1e UPDATE, E1f MERGE, S22 time travel + RESTORE),
+    # which landed after the r9 rotation commit and therefore have no
+    # driver row yet — enter the window (r9-VERDICT item 1). Evictees
+    # are r9-green, none bench-tagged, every family keeps an in-window
+    # sibling (detail in docs/QUERY_ROTATION.md).
+    "r10": {
+        "q": {
+            23: "r162",  # q23_sql_stopword_profile (S15: q24/q30/q36/q40/q43 family; L5: q19)
+            33: "r163",  # q33_sql_triple_arm (S13 arms: q14/q34 + q04..q12 SQL rows)
+            40: "r164",  # q40_sql_docs_profile (S15 docs: q17/q36 + q13 corpus view)
+            43: "r165",  # q43_sql_events_rollup (S15 events: q03/q15/q32)
+        },
+        "r": {
+            158: "q23",  # sql_update_dml (E1e over S21)
+            159: "q33",  # sql_merge_dml (E1f, both clauses)
+            160: "q40",  # sql_time_travel (S22 snapshot read)
+            161: "q43",  # sql_restore (S22 rollback verb)
+        },
+    },
 }
 
 SKIP = {
