@@ -31,7 +31,14 @@ def sf_of(sf_dir: str) -> float:
     return float(m.group(1)) if m else 0.0
 
 
-REPS = 3
+# min-of-2 warm (plus one untimed warm-up): the round-9 driver run
+# read 54% slow vs two same-day clean runs — a shared-host burst over
+# the whole driver window. Min-of-N can't defeat window-long
+# contention, but the explicit protocol tag in the JSON makes every
+# round's number self-describing, and 2 reps keeps the driver's wall
+# budget: the timed work is 3 executions per query total.
+REPS = 2
+PROTOCOL = f"min{REPS}-warm"
 
 
 def run_query(q, spark, sf_dir: str) -> float:
@@ -70,6 +77,7 @@ def main() -> None:
                 "metric": "bench_total_wall",
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
+                "protocol": PROTOCOL,
                 "queries": times,
                 "sf": sf_of(sf_dir),
             }
