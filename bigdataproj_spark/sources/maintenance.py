@@ -566,4 +566,13 @@ def gc_warehouse(
         shutil.rmtree(full, ignore_errors=True)
         removed += 1
         freed += size
+    # the pass records itself in DESCRIBE HISTORY (Delta logs VACUUM
+    # in the transaction log too): one "vacuum" commit capturing the
+    # post-GC state, so the warehouse's maintenance trail is readable
+    # from history alone and the post-vacuum state is immediately
+    # reachable to AS OF — the lazy "checkpoint" entry the next
+    # mutation would otherwise write becomes this eager one.
+    from .snapshots import record_commit
+
+    record_commit(spark, sf_dir, "vacuum")
     return {"removed": removed, "bytes": freed}

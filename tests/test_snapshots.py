@@ -287,9 +287,81 @@ class TestVacuumRetention:
         gc_warehouse(spark, e.sf_dir, retain_seconds=0)
         with pytest.raises(ValueError, match="VACUUM retention"):
             e.sql(_PROFILE + " FOR SYSTEM_VERSION AS OF 1")
-        assert e.sql("DESCRIBE HISTORY").count() == 0
+        # the pruned versions are gone; the pass's own "vacuum" commit
+        # is the one reachable entry
+        hist = [(r.version, r.note) for r in e.sql("DESCRIBE HISTORY").collect()]
+        assert hist == [(3, "vacuum")]
         # the live state is untouched by the expiry
         assert e.sql(_PROFILE).toPandas().equals(live)
+
+
+class TestMaintenanceSQL:
+    """Round 10: OPTIMIZE / VACUUM statement spellings — the last two
+    API-only maintenance verbs, lowered onto optimize_warehouse /
+    gc_warehouse with the guards those already have."""
+
+    def test_optimize_statement_compacts_and_records_history(
+        self, spark, sf_dir, tmp_path
+    ):
+        from bigdataproj_spark.sources.bucketed import (
+            bucketed_fact_tables,
+        )
+
+        e = _sandbox(spark, sf_dir, tmp_path)
+        bucketed_fact_tables(spark, e.sf_dir)  # deploy a row layout
+        e.sql(
+            "INSERT INTO orders VALUES (900000051, 1, 'O', 10.0, "
+            "TIMESTAMP '1996-01-01 00:00:00', '1-URGENT')"
+        )
+        out = e.sql("OPTIMIZE WAREHOUSE").collect()
+        assert "bucketed_lineitem" in {r.layout for r in out}
+        notes = [r.note for r in e.sql("DESCRIBE HISTORY").collect()]
+        assert notes[-1] == "optimize"
+
+    def test_vacuum_statement_prunes_and_records_history(
+        self, spark, sf_dir, tmp_path
+    ):
+        e = _sandbox(spark, sf_dir, tmp_path)
+        e.sql("DELETE FROM documents WHERE doc_id IN (5)")
+        e.sql("DELETE FROM documents WHERE doc_id IN (6)")
+        # a retention window long enough that nothing is collectable
+        kept = e.sql("VACUUM RETAIN 24 HOURS").collect()[0]
+        assert kept.removed == 0
+        assert kept.retain_seconds == 24 * 3600.0
+        # versions survive a windowed pass
+        assert e.sql(
+            "SELECT COUNT(*) AS n FROM documents FOR SYSTEM_VERSION "
+            "AS OF 1"
+        ).count() == 1
+        # eager pass: versions expire, the pass records itself
+        e.sql("VACUUM")
+        notes = [r.note for r in e.sql("DESCRIBE HISTORY").collect()]
+        assert notes[-1] == "vacuum"
+        with pytest.raises(ValueError, match="no reachable snapshot"):
+            e.sql(_PROFILE + " FOR SYSTEM_VERSION AS OF 1")
+
+    def test_maintenance_statements_refuse_inside_as_of(
+        self, spark, sf_dir, tmp_path
+    ):
+        e = _sandbox(spark, sf_dir, tmp_path)
+        e.sql("DELETE FROM documents WHERE doc_id IN (9)")
+        with pytest.raises(ValueError, match="read-only inside"):
+            with e.as_of(0):
+                e.sql("OPTIMIZE")
+        with pytest.raises(ValueError, match="read-only inside"):
+            with e.as_of(0):
+                e.sql("VACUUM RETAIN 1 HOURS")
+
+    def test_malformed_spellings_refuse_with_reason(
+        self, spark, sf_dir, tmp_path
+    ):
+        e = _sandbox(spark, sf_dir, tmp_path)
+        with pytest.raises(ValueError, match="warehouse-wide"):
+            e.sql("OPTIMIZE lineitem")
+        with pytest.raises(ValueError, match="malformed VACUUM"):
+            e.sql("VACUUM documents RETAIN 1 HOURS")
+        with pytest.raises(ValueError, match="malformed VACUUM"):
+            e.sql("VACUUM RETAIN soon")
 
 
 class TestStreamingComposition:
@@ -555,25 +627,24 @@ class TestVersionMonotonicity:
     def test_numbers_never_reuse_after_vacuum(self, spark, sf_dir, tmp_path):
         """A remembered version number must resolve to the state it
         always meant or ERROR — never silently mean a different state.
-        After VACUUM clears the ledger, new commits continue the
-        monotone sequence (the post-prune pre-batch state re-enters
-        as a fresh-numbered 'checkpoint')."""
+        After VACUUM prunes the ledger, new commits continue the
+        monotone sequence (the post-prune state re-enters as the
+        fresh-numbered 'vacuum' commit the pass itself records)."""
         from bigdataproj_spark.sources.maintenance import gc_warehouse
 
         e = _sandbox(spark, sf_dir, tmp_path)
         e.sql("DELETE FROM documents WHERE doc_id IN (5)")   # 0 base, 1
         e.sql("DELETE FROM documents WHERE doc_id IN (6)")   # 2
-        gc_warehouse(spark, e.sf_dir)  # eager: ledger cleared
-        assert e.sql("DESCRIBE HISTORY").count() == 0
+        gc_warehouse(spark, e.sf_dir)  # eager: prior versions expire
         e.sql("DELETE FROM documents WHERE doc_id IN (7)")
         hist = [(r.version, r.note) for r in e.sql("DESCRIBE HISTORY").collect()]
-        assert hist == [(3, "checkpoint"), (4, "delete documents")]
-        # the checkpoint carries the accumulated state, not the base
+        assert hist == [(3, "vacuum"), (4, "delete documents")]
+        # the vacuum commit carries the accumulated state, not the base
         n = e.sql(
             "SELECT COUNT(*) AS n FROM documents "
             "FOR SYSTEM_VERSION AS OF 3 WHERE doc_id IN (5, 6, 7)"
         ).collect()[0].n
-        assert n == 1  # 5 and 6 already deleted at the checkpoint
+        assert n == 1  # 5 and 6 already deleted at the vacuum commit
         # and the vacuumed numbers stay errors forever
         with pytest.raises(ValueError, match="no reachable snapshot"):
             e.sql("SELECT COUNT(*) FROM documents FOR SYSTEM_VERSION AS OF 1")
