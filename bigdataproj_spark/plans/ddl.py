@@ -155,11 +155,13 @@ _DELETE_EXPIRE_RE = re.compile(
     r"(?:TIMESTAMP\s+)?'(?P<cutoff>[^']+)'\s*;?\s*$",
     re.IGNORECASE,
 )
+# predicate DELETE: the WHERE clause is handed to _parse_where —
+# a flat AND-conjunction of simple comparisons (round 10 widened it
+# from one comparison, r9-VERDICT item 4)
 _DELETE_PRED_RE = re.compile(
     r"^\s*DELETE\s+FROM\s+(?P<table>documents|orders)\s+"
-    r"WHERE\s+(?P<col>[A-Za-z_][A-Za-z0-9_]*)\s*"
-    r"(?P<op><=|>=|<>|!=|=|<|>)\s*(?P<lit>" + _LITERAL + r")\s*;?\s*$",
-    re.IGNORECASE,
+    r"WHERE\s+(?P<where>.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
 )
 # E1d: INSERT — the DML trio's write verb. Only the four maintained
 # fact tables are claimed; an INSERT INTO any other name falls through
@@ -186,28 +188,11 @@ _INSERT_RE = re.compile(
 _UPDATE_ANY_RE = re.compile(
     r"^\s*UPDATE\s+(?:lineitem|orders|documents|events)\b", re.IGNORECASE
 )
-_UPDATE_RE = re.compile(
-    r"^\s*UPDATE\s+orders\s+SET\s+(?P<sets>[A-Za-z_][A-Za-z0-9_]*\s*=\s*"
-    + _LITERAL
-    + r"(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*\s*=\s*"
-    + _LITERAL
-    + r")*)\s+WHERE\s+(?P<where>.+?)\s*;?\s*$",
-    re.IGNORECASE | re.DOTALL,
-)
-_SET_ITEM_RE = re.compile(
-    r"([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(" + _LITERAL + r")"
-)
 _WHERE_KEYLIST_RE = re.compile(
     r"^o_orderkey\s+IN\s*\(\s*(?P<ids>\d+(?:\s*,\s*\d+)*)\s*\)$"
     r"|^o_orderkey\s*=\s*(?P<one>\d+)$",
     re.IGNORECASE,
 )
-_WHERE_PRED_RE = re.compile(
-    r"^(?P<col>[A-Za-z_][A-Za-z0-9_]*)\s*"
-    r"(?P<op><=|>=|<>|!=|=|<|>)\s*(?P<lit>" + _LITERAL + r")$",
-    re.IGNORECASE,
-)
-
 # E1f (round 9): MERGE — the set-oriented upsert verb that completes
 # the DML surface (INSERT appends, UPDATE mutates in place by
 # predicate, DELETE tombstones; MERGE reconciles a SOURCE BATCH
@@ -744,19 +729,42 @@ def _update(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
             "lineitems change only through their order (INSERT new "
             "rows, DELETE by order key); UPDATE applies to orders"
         )
-    m = _UPDATE_RE.match(sql)
+    m = re.match(
+        r"^\s*UPDATE\s+orders\s+SET\s+(?P<rest>.+)$", sql,
+        re.IGNORECASE | re.DOTALL,
+    )
     if m is None:
         raise ValueError(
             "malformed UPDATE; expected UPDATE orders SET <col> = "
-            "<literal>[, ...] WHERE o_orderkey IN (id, ...) | "
-            "<col> <op> <literal>"
+            "<literal | + - * / arithmetic over orders columns>[, ...] "
+            "WHERE o_orderkey IN (id, ...) | <col> <op> <literal> "
+            "[AND ...]"
         )
     from pyspark.sql import functions as F
 
     schema = FIXTURE_SCHEMAS["orders"]
-    sets: list[tuple[str, object]] = []
-    for col, lit in _SET_ITEM_RE.findall(m.group("sets")):
-        col = col.lower()
+    rest = m.group("rest").rstrip().rstrip(";")
+    # locate WHERE outside string literals (a value containing the
+    # word never splits the statement)
+    wh = re.search(r"\bWHERE\b", _mask_quotes(rest), re.IGNORECASE)
+    if wh is None:
+        raise ValueError(
+            "UPDATE without WHERE is a full-table rewrite — refused; "
+            "state the predicate explicitly"
+        )
+    sets_text = rest[: wh.start()].strip()
+    where = rest[wh.end():].strip()
+    set_cols: dict[str, object] = {}
+    for item in _split_outside_quotes(sets_text, r","):
+        im = re.match(
+            r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+?)\s*$", item, re.DOTALL
+        )
+        if im is None:
+            raise ValueError(
+                f"malformed SET item {item.strip()!r}; expected "
+                "<col> = <literal | arithmetic over orders columns>"
+            )
+        col = im.group(1).lower()
         if col == "o_orderkey":
             raise ValueError(
                 "the order key is the identity — to move rows to a new "
@@ -767,9 +775,10 @@ def _update(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
                 f"unknown column {col!r} on 'orders' "
                 f"(columns: {schema.fieldNames()})"
             )
-        sets.append((col, _parse_literal(lit)))
+        if col in set_cols:
+            raise ValueError(f"duplicate SET target {col!r}")
+        set_cols[col] = _set_value_column(im.group(2), schema, col, "orders")
 
-    where = m.group("where").strip()
     from .routing import current_orders
 
     cur = current_orders(spark, sf_dir)
@@ -782,33 +791,17 @@ def _update(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
         )
         rows = cur.filter(F.col("o_orderkey").isin(ids))
     else:
-        pm = _WHERE_PRED_RE.match(where)
-        if pm is None:
-            raise ValueError(
-                "unsupported UPDATE predicate; lowerable: o_orderkey "
-                "IN (id, ...) or one simple comparison on an orders "
-                "column — for anything more general, select the rows "
-                "and re-ingest them through Engine.ingest"
-            )
-        col = pm.group("col").lower()
-        if col not in schema.fieldNames():
-            raise ValueError(
-                f"unknown column {col!r} on 'orders' "
-                f"(columns: {schema.fieldNames()})"
-            )
-        ops = {
-            "=": "__eq__", "<": "__lt__", "<=": "__le__",
-            ">": "__gt__", ">=": "__ge__", "<>": "__ne__", "!=": "__ne__",
-        }
-        lit = _parse_literal(pm.group("lit"))
-        rows = cur.filter(
-            getattr(F.col(col), ops[pm.group("op")])(
-                F.lit(lit).cast(schema[col].dataType)
-            )
-        )
-    for col, lit in sets:
-        rows = rows.withColumn(col, F.lit(lit).cast(schema[col].dataType))
-    rows = rows.select(*schema.fieldNames()).localCheckpoint(eager=True)
+        rows = cur.filter(_parse_where(where, schema, "orders"))
+    # ONE select applies every SET against the pre-update row
+    # (simultaneous-assignment semantics, the SQL standard's) and
+    # realigns to the fixture schema
+    rows = rows.select(
+        *[
+            (set_cols[f.name] if f.name in set_cols else F.col(f.name))
+            .cast(f.dataType).alias(f.name)
+            for f in schema.fields
+        ]
+    ).localCheckpoint(eager=True)
     n = rows.count()
     if n == 0:
         return spark.createDataFrame(
@@ -835,6 +828,141 @@ def _parse_literal(text: str):
             f"unparseable literal {text!r} in a DML statement; "
             "expected a number or a single-quoted string"
         ) from None
+
+
+def _mask_quotes(text: str) -> str:
+    """``text`` with single-quoted string contents (and the quotes)
+    blanked to spaces — keyword/comma/operator scans over the mask can
+    never match inside a literal, and mask spans are valid spans into
+    the original (same length)."""
+    out: list[str] = []
+    in_sq = False
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if in_sq:
+            out.append(" ")
+            if c == "'":
+                if i + 1 < n and text[i + 1] == "'":
+                    out.append(" ")
+                    i += 1
+                else:
+                    in_sq = False
+        elif c == "'":
+            in_sq = True
+            out.append(" ")
+        else:
+            out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _split_outside_quotes(text: str, sep_re: str) -> list[str]:
+    """Split ``text`` on a separator regex matched OUTSIDE quoted
+    string literals (a comma or AND inside a value never splits)."""
+    masked = _mask_quotes(text)
+    parts, last = [], 0
+    for m in re.finditer(sep_re, masked, re.IGNORECASE):
+        parts.append(text[last:m.start()])
+        last = m.end()
+    parts.append(text[last:])
+    return parts
+
+
+_CMP_OPS = {
+    "=": "__eq__", "<": "__lt__", "<=": "__le__",
+    ">": "__gt__", ">=": "__ge__", "<>": "__ne__", "!=": "__ne__",
+}
+_CMP_RE = re.compile(
+    r"^\s*(?P<col>[A-Za-z_][A-Za-z0-9_]*)\s*"
+    r"(?P<op><=|>=|<>|!=|=|<|>)\s*(?P<lit>" + _LITERAL + r")\s*$",
+    re.IGNORECASE,
+)
+
+
+def _parse_where(where: str, schema, table_name: str):
+    """Round 10 (r9-VERDICT item 4): an UPDATE/DELETE WHERE clause as
+    a flat AND-conjunction of simple comparisons (``col <op>
+    literal``), returned as one pyspark Column. Everything beyond the
+    declared grammar — OR, NOT, BETWEEN, parentheses, IN on a non-key
+    column — refuses with a pointer; the refusal discipline stays."""
+    from pyspark.sql import functions as F
+
+    masked = _mask_quotes(where)
+    for kw, hint in (
+        ("OR", "an OR predicate is two statements — run one per "
+               "branch, or select the keys and use the key-list form"),
+        ("NOT", "negate the comparison instead (<> for NOT =)"),
+        ("BETWEEN", "spell it as two AND-ed comparisons "
+                    "(col >= lo AND col <= hi)"),
+    ):
+        if re.search(rf"\b{kw}\b", masked, re.IGNORECASE):
+            raise ValueError(
+                f"unsupported {kw} in the WHERE clause; lowerable: "
+                f"AND-conjunctions of simple comparisons — {hint}"
+            )
+    if "(" in masked or ")" in masked:
+        raise ValueError(
+            "parenthesized predicates are not lowerable; the grammar "
+            "is a flat AND-conjunction of simple comparisons "
+            "(col <op> literal)"
+        )
+    pred = None
+    for part in _split_outside_quotes(where, r"\bAND\b"):
+        m = _CMP_RE.match(part)
+        if m is None:
+            raise ValueError(
+                f"unsupported predicate {part.strip()!r}; lowerable: "
+                "col <op> literal with <op> one of = < <= > >= <> != , "
+                "AND-conjoined"
+            )
+        col = m.group("col").lower()
+        if col not in schema.fieldNames():
+            raise ValueError(
+                f"unknown column {col!r} on {table_name!r} "
+                f"(columns: {schema.fieldNames()})"
+            )
+        lit = _parse_literal(m.group("lit"))
+        c = getattr(F.col(col), _CMP_OPS[m.group("op")])(
+            F.lit(lit).cast(schema[col].dataType)
+        )
+        pred = c if pred is None else (pred & c)
+    return pred
+
+
+_ARITH_TOKEN_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*|\d+\.\d+|\d+|[-+*/()]")
+
+
+def _set_value_column(rhs: str, schema, target_col: str, table_name: str):
+    """A SET item's right-hand side as a pyspark Column evaluated
+    against the PRE-UPDATE row (standard UPDATE semantics — the caller
+    applies every SET in ONE select, so chained items never see each
+    other's results). Two lowerable forms (round 10, r9-VERDICT item
+    4): a literal, or ``+ - * / ( )`` arithmetic over the table's own
+    columns and numeric literals (``o_totalprice = o_totalprice *
+    1.1``). Function calls, CASE, and subqueries refuse with a
+    pointer — compute such a batch yourself and MERGE it."""
+    from pyspark.sql import functions as F
+
+    rhs = rhs.strip()
+    if re.fullmatch(_LITERAL, rhs, re.IGNORECASE):
+        return F.lit(_parse_literal(rhs)).cast(schema[target_col].dataType)
+    toks = _ARITH_TOKEN_RE.findall(rhs)
+    if re.sub(r"\s+", "", rhs) != "".join(toks):
+        raise ValueError(
+            f"unsupported SET expression {rhs!r}; lowerable right-hand "
+            "sides: a literal, or + - * / arithmetic over "
+            f"{table_name} columns and numeric literals"
+        )
+    for t in toks:
+        if (t[0].isalpha() or t[0] == "_") and t.lower() not in schema.fieldNames():
+            raise ValueError(
+                f"unknown column {t!r} in a SET expression on "
+                f"{table_name!r} (columns: {schema.fieldNames()}; "
+                "function calls are not lowerable — compute the batch "
+                "and MERGE it instead)"
+            )
+    return F.expr(rhs).cast(schema[target_col].dataType)
 
 
 def _merge(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
@@ -1335,6 +1463,119 @@ def q23_sql_update_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+_UPDATE_CONJ_ORACLE = f"""
+WITH orders_u AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+    CASE WHEN o_orderstatus = 'O' AND o_totalprice >= 100000
+              AND o_totalprice < 200000
+         THEN '9-CONJ' ELSE o_orderpriority END AS o_orderpriority
+  FROM orders
+)
+SELECT c_mktsegment, o_orderpriority,
+  {SUM_SQL['revenue']} AS revenue,
+  COUNT(*) AS n
+FROM lineitem
+JOIN orders_u ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY c_mktsegment, o_orderpriority
+ORDER BY c_mktsegment, o_orderpriority
+"""
+
+
+@query(
+    "r166_sql_update_conjunction",
+    oracle=_UPDATE_CONJ_ORACLE,
+    tags=("E1e", "S21", "S13", "A1"),
+)
+def r166_sql_update_conjunction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 10 (r9-VERDICT item 4): the widened UPDATE WHERE grammar
+    — a flat AND-conjunction of simple comparisons, the first shape a
+    real user hits past one comparison. The statement narrows the
+    match set with three AND-ed predicates; the S21 reattribution
+    moves exactly those orders' lineitems between the segment cube's
+    (segment, priority) groups, and the chain-4 profile — answered
+    FROM THE CUBE — matches DuckDB computing over CASE-modified
+    orders with the same conjunction."""
+    from ..catalog import TABLES
+    from ..engine import Engine
+    from ..sources.bucketed import segment_cube_table
+    from ..sources.retention import _demo_corpus
+
+    demo = _demo_corpus(spark, sf_dir, TABLES, demo="update_conj")
+    segment_cube_table(spark, demo)
+    eng = Engine(spark, demo)
+    eng.sql(
+        "UPDATE orders SET o_orderpriority = '9-CONJ' "
+        "WHERE o_orderstatus = 'O' AND o_totalprice >= 100000 "
+        "AND o_totalprice < 200000"
+    )
+    sel = (
+        "SELECT c_mktsegment, o_orderpriority, "
+        f"{SUM_SQL['revenue']} AS revenue, COUNT(*) AS n "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "GROUP BY c_mktsegment, o_orderpriority "
+        "ORDER BY c_mktsegment, o_orderpriority"
+    )
+    df, chosen = route_sql(spark, demo, sel)
+    assert chosen == "segment_cube", chosen
+    return df
+
+
+_UPDATE_ARITH_ORACLE = """
+WITH orders_u AS (
+  SELECT o_orderkey,
+    CASE WHEN o_orderstatus = 'F' AND o_totalprice > 150000
+         THEN o_totalprice * 1.1 + 5 ELSE o_totalprice
+         END AS o_totalprice,
+    CASE WHEN o_orderstatus = 'F' AND o_totalprice > 150000
+         THEN '9-ARITH' ELSE o_orderpriority END AS o_orderpriority,
+    o_orderstatus
+  FROM orders
+)
+SELECT o_orderkey, o_totalprice, o_orderpriority, o_orderstatus
+FROM orders_u
+ORDER BY o_orderkey
+LIMIT 500
+"""
+
+
+@query(
+    "r167_sql_update_arithmetic",
+    oracle=_UPDATE_ARITH_ORACLE,
+    tags=("E1e", "S21", "S13", "A1"),
+)
+def r167_sql_update_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round 10 (r9-VERDICT item 4): SET with row-column arithmetic —
+    ``o_totalprice = o_totalprice * 1.1 + 5`` evaluated against the
+    PRE-update row, alongside a literal SET in the same statement.
+    The check is ROW-LEVEL on purpose: the same IEEE double
+    expression over the same input double is bit-identical in Spark
+    and DuckDB, so each updated o_totalprice compares exactly —
+    whereas a decimal-cast SUM would stack the two engines' different
+    double→DECIMAL rounding of arbitrary post-arithmetic doubles
+    (measured: 0.88 drift over ~4k rows at sf0.01)."""
+    from ..catalog import TABLES
+    from ..engine import Engine
+    from ..sources.retention import _demo_corpus
+
+    demo = _demo_corpus(spark, sf_dir, TABLES, demo="update_arith")
+    eng = Engine(spark, demo)
+    eng.sql(
+        "UPDATE orders SET o_totalprice = o_totalprice * 1.1 + 5, "
+        "o_orderpriority = '9-ARITH' "
+        "WHERE o_orderstatus = 'F' AND o_totalprice > 150000"
+    )
+    return eng.sql(
+        "SELECT o_orderkey, o_totalprice, o_orderpriority, "
+        "o_orderstatus FROM orders ORDER BY o_orderkey LIMIT 500"
+    )
+
+
 _MERGE_ORACLE = f"""
 WITH orders_m AS (
   SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
@@ -1485,23 +1726,9 @@ def _delete(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
 
     m = _DELETE_PRED_RE.match(sql)
     if m is not None:
-        from pyspark.sql import functions as F
-
         table_name = m.group("table").lower()
-        col = m.group("col").lower()
         schema = FIXTURE_SCHEMAS[table_name]
-        if col not in schema.fieldNames():
-            raise ValueError(
-                f"unknown column {col!r} on {table_name!r} "
-                f"(columns: {schema.fieldNames()})"
-            )
-        lit = _parse_literal(m.group("lit"))
-        dtype = schema[col].dataType
-        ops = {
-            "=": "__eq__", "<": "__lt__", "<=": "__le__",
-            ">": "__gt__", ">=": "__ge__", "<>": "__ne__", "!=": "__ne__",
-        }
-        pred = getattr(F.col(col), ops[m.group("op")])(F.lit(lit).cast(dtype))
+        pred = _parse_where(m.group("where"), schema, table_name)
         if table_name == "documents":
             from .corpus_routing import current_documents
 

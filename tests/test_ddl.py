@@ -811,6 +811,66 @@ class TestUpdateDML:
         ).collect()[0]["n_rows"]
         assert n2 == 0
 
+    def test_conjunction_where_and_arithmetic_set(
+        self, spark, sf_dir, tmp_path
+    ):
+        """Round 10 (r9-VERDICT item 4): AND-conjunction predicates
+        and row-column-arithmetic SETs, with simultaneous-assignment
+        semantics — every SET right-hand side sees the PRE-update row,
+        even when one item sets a column another item reads."""
+        from bigdataproj_spark.catalog import TABLES, table as _table
+
+        work = tmp_path / "w"
+        work.mkdir()
+        for t in TABLES:
+            _table(spark, sf_dir, t).write.parquet(str(work / f"{t}.parquet"))
+        e = Engine(spark, str(work))
+        before = {
+            r.o_orderkey: (r.o_custkey, r.o_totalprice)
+            for r in e.sql(
+                "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+                "WHERE o_orderkey <= 10 AND o_orderkey >= 1", routed=False
+            ).collect()
+        }
+        n = e.sql(
+            "UPDATE orders SET o_custkey = o_custkey + 1, "
+            "o_totalprice = o_totalprice + o_custkey "
+            "WHERE o_orderkey <= 10 AND o_orderkey >= 1 "
+            "AND o_orderstatus <> 'zzz'"
+        ).collect()[0]["n_rows"]
+        assert n == len(before)
+        after = {
+            r.o_orderkey: (r.o_custkey, r.o_totalprice)
+            for r in e.sql(
+                "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+                "WHERE o_orderkey <= 10 AND o_orderkey >= 1", routed=False
+            ).collect()
+        }
+        for k, (ck, tp) in before.items():
+            # o_totalprice used the OLD o_custkey (simultaneous
+            # assignment), not the incremented one
+            assert after[k] == (ck + 1, tp + ck), k
+
+    def test_conjunction_predicate_delete(self, spark, sf_dir, tmp_path):
+        from bigdataproj_spark.catalog import TABLES, table as _table
+
+        work = tmp_path / "w"
+        work.mkdir()
+        for t in TABLES:
+            _table(spark, sf_dir, t).write.parquet(str(work / f"{t}.parquet"))
+        e = Engine(spark, str(work))
+        expect = e.sql(
+            "SELECT COUNT(*) AS n FROM documents "
+            "WHERE NOT (lang = 'en' AND n_chars < 400)", routed=False
+        ).collect()[0].n
+        e.sql("DELETE FROM documents WHERE lang = 'en' AND n_chars < 400")
+        got = e.sql(
+            "SELECT COUNT(*) AS n FROM documents", routed=False
+        ).collect()[0].n
+        assert got == expect
+        with pytest.raises(ValueError, match="unsupported OR"):
+            e.sql("DELETE FROM documents WHERE lang = 'en' OR lang = 'fr'")
+
     def test_update_refusals(self, eng):
         with pytest.raises(ValueError, match="immutable by key"):
             eng.sql("UPDATE documents SET lang = 'en' WHERE doc_id = 1")
@@ -822,10 +882,34 @@ class TestUpdateDML:
             eng.sql("UPDATE orders SET o_orderkey = 5 WHERE o_orderkey = 1")
         with pytest.raises(ValueError, match="unknown column"):
             eng.sql("UPDATE orders SET o_nope = 1 WHERE o_orderkey = 1")
-        with pytest.raises(ValueError, match="unsupported UPDATE predicate"):
+        # round 10: the grammar widened to AND-conjunctions and
+        # arithmetic SETs; the refusal line moved with it
+        with pytest.raises(ValueError, match="unsupported OR"):
             eng.sql(
                 "UPDATE orders SET o_orderstatus = 'X' "
-                "WHERE o_orderstatus = 'O' AND o_totalprice > 10"
+                "WHERE o_orderstatus = 'O' OR o_totalprice > 10"
+            )
+        with pytest.raises(ValueError, match="BETWEEN"):
+            eng.sql(
+                "UPDATE orders SET o_orderstatus = 'X' "
+                "WHERE o_totalprice BETWEEN 10 AND 20"
+            )
+        with pytest.raises(ValueError, match="parenthesized"):
+            eng.sql(
+                "UPDATE orders SET o_orderstatus = 'X' "
+                "WHERE (o_orderstatus = 'O') AND (o_totalprice > 10)"
+            )
+        with pytest.raises(ValueError, match="function calls are not"):
+            eng.sql(
+                "UPDATE orders SET o_totalprice = round(o_totalprice) "
+                "WHERE o_orderkey = 1"
+            )
+        with pytest.raises(ValueError, match="without WHERE"):
+            eng.sql("UPDATE orders SET o_orderstatus = 'X'")
+        with pytest.raises(ValueError, match="duplicate SET target"):
+            eng.sql(
+                "UPDATE orders SET o_orderstatus = 'X', "
+                "o_orderstatus = 'Y' WHERE o_orderkey = 1"
             )
 
 

@@ -191,7 +191,7 @@ _SEGMENT_PROFILE = (
 )
 
 
-@pytest.mark.parametrize("seed", [11])
+@pytest.mark.parametrize("seed", [11, 19])
 def test_orders_update_delete_sequence_matches_duckdb(
     spark, sf_dir, tmp_path, seed
 ):
@@ -231,7 +231,8 @@ def test_orders_update_delete_sequence_matches_duckdb(
     next_ok = 900_000_100  # fresh keys for MERGE's insert side
     for step in range(6):
         op = rng.choice(
-            ["update_keys", "update_pred", "delete_keys", "merge_upsert"]
+            ["update_keys", "update_pred", "delete_keys", "merge_upsert",
+             "update_conj", "update_arith"]
         )
         if op == "merge_upsert":
             # the engine runs ONE MERGE; the model (DuckDB 1.0 has no
@@ -291,6 +292,41 @@ def test_orders_update_delete_sequence_matches_duckdb(
             both(
                 "UPDATE orders SET o_orderstatus = "
                 f"'{rng.choice(('X', 'Y'))}' WHERE o_totalprice > {cut}"
+            )
+        elif op == "update_conj":
+            # round 10: AND-conjunction predicate — identical text on
+            # both sides (DuckDB evaluates the conjunction natively)
+            lo = rng.randint(80_000, 180_000)
+            hi = lo + rng.randint(20_000, 120_000)
+            prio = rng.choice(("9-CONJ-A", "9-CONJ-B"))
+            both(
+                f"UPDATE orders SET o_orderpriority = '{prio}' "
+                f"WHERE o_totalprice >= {lo} AND o_totalprice < {hi} "
+                f"AND o_orderpriority <> '{prio}'"
+            )
+        elif op == "update_arith":
+            # round 10: row-column-arithmetic SET. The cube profile
+            # validates the priority move; the totalprice arithmetic
+            # itself is checked ROW-LEVEL below (IEEE doubles are
+            # bit-identical per row; a decimal-cast SUM would stack
+            # the engines' different double→DECIMAL rounding)
+            lo = rng.randint(60_000, 120_000)
+            both(
+                "UPDATE orders SET o_totalprice = o_totalprice * 1.01 "
+                f"+ {rng.randint(1, 9)}, o_orderpriority = '9-ARITH' "
+                f"WHERE o_totalprice >= {lo} "
+                f"AND o_totalprice < {lo + rng.randint(5_000, 20_000)}"
+            )
+            compare_frames(
+                eng.sql(
+                    "SELECT o_orderkey, o_totalprice FROM orders "
+                    "ORDER BY o_orderkey LIMIT 300", routed=False
+                ).toPandas(),
+                con.execute(
+                    "SELECT o_orderkey, o_totalprice FROM orders "
+                    "ORDER BY o_orderkey LIMIT 300"
+                ).fetchdf(),
+                f"seed={seed} step={step} arith row-level",
             )
         else:
             keys = [
