@@ -373,12 +373,12 @@ class Engine:
     def tables(self) -> tuple[str, ...]:
         return TABLES
 
-    def execute(self, script: str) -> DataFrame:
+    def execute(self, script: str, atomic: bool = False) -> DataFrame:
         """Run a multi-statement SQL SCRIPT: statements split on
         semicolons OUTSIDE string/identifier quoting (single quotes
-        with ``''`` escapes, double-quoted identifiers), executed in
-        order through :meth:`sql`, last statement's result returned —
-        the psql-shaped contract a CDC script expects::
+        with ``''`` escapes, double-quoted identifiers) and comments,
+        executed in order through :meth:`sql`, last statement's result
+        returned — the psql-shaped contract a CDC script expects::
 
             eng.execute(\"\"\"
                 INSERT INTO orders VALUES (...);
@@ -388,19 +388,52 @@ class Engine:
             \"\"\")
 
         Each DML statement keeps its own WarehouseTxn atomicity and
-        its own commit — a failed statement stops the script with the
-        prior statements COMMITTED (the warehouse-wide ledger makes
-        recovery explicit: DESCRIBE HISTORY shows exactly how far the
-        script got, and RESTORE rolls back to any earlier commit).
-        An all-or-nothing script is therefore spelled
-        ``v = history()[-1]; try execute() except: restore(v)`` — the
-        engine does not guess which semantics a script wants."""
+        its own commit — by default a failed statement stops the
+        script with the prior statements COMMITTED (the warehouse-wide
+        ledger makes recovery explicit: DESCRIBE HISTORY shows exactly
+        how far the script got, and RESTORE rolls back to any earlier
+        commit).
+
+        ``atomic=True`` (round 10, r9-VERDICT item 5) makes that
+        recovery automatic: the pre-script version is recorded, and a
+        failure anywhere in the script RESTOREs the warehouse to it —
+        committed earlier statements are undone (their files removed,
+        history truncated to the pre-script version plus one restore
+        commit) and the original error re-raises. A script whose
+        failure preceded any commit restores nothing. The one
+        un-undoable verb is VACUUM: a script that vacuums past the
+        pre-script version destroys its own rollback point, and the
+        failure then raises with BOTH errors named."""
         stmts = _split_script(script)
         if not stmts:
             raise ValueError("empty script (no statements)")
+        pre: int | None = None
+        if atomic:
+            from .sources.snapshots import _ledger, ensure_base
+
+            ensure_base(self.spark, self.sf_dir)
+            pre = _ledger(self.spark, self.sf_dir)[-1]["version"]
         out: DataFrame | None = None
-        for stmt in stmts:
-            out = self.sql(stmt)
+        try:
+            for stmt in stmts:
+                out = self.sql(stmt)
+        except BaseException as err:
+            if atomic:
+                from .sources.snapshots import _ledger, restore_warehouse
+
+                led = _ledger(self.spark, self.sf_dir)
+                if led and led[-1]["version"] != pre:
+                    try:
+                        restore_warehouse(self.spark, self.sf_dir, pre)
+                    except Exception as rec:
+                        raise RuntimeError(
+                            "atomic script failed AND the rollback to "
+                            f"pre-script version {pre} failed: {rec} "
+                            "(the script's committed statements "
+                            "remain; DESCRIBE HISTORY shows how far "
+                            "it got)"
+                        ) from err
+            raise
         assert out is not None
         return out
 
@@ -419,6 +452,16 @@ class Engine:
         from .sources.snapshots import as_of
 
         return as_of(self.spark, self.sf_dir, version)
+
+    def table_changes(self, table: str, v1: int, v2: int) -> DataFrame:
+        """S23: the change data feed — every row ``table`` gained or
+        lost in each commit of ``(v1, v2]``, tagged with
+        ``_change_type`` / ``_commit_version`` / ``_commit_note``
+        (Delta's ``table_changes`` shape). SQL spelling:
+        ``SELECT * FROM table_changes('orders', 1, 3)``."""
+        from .sources.snapshots import table_changes
+
+        return table_changes(self.spark, self.sf_dir, table, v1, v2)
 
     # -- Registry queries --------------------------------------------------
     def query(self, name: str) -> DataFrame:

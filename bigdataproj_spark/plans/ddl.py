@@ -245,6 +245,16 @@ _MERGE_SET_ITEM_RE = re.compile(
 # row-level layout; one GC pass over every superseded version), so the
 # statements take no table name — Delta's per-table spelling would
 # suggest a granularity this engine deliberately does not have.
+# S23 (round 10): the change-feed read verb. One canonical statement
+# shape; richer reads compose on Engine.table_changes' DataFrame.
+_TABLE_CHANGES_ANY_RE = re.compile(r"\btable_changes\s*\(", re.IGNORECASE)
+_TABLE_CHANGES_RE = re.compile(
+    r"^\s*SELECT\s+\*\s+FROM\s+table_changes\s*\(\s*"
+    r"'(?P<t>[A-Za-z_][A-Za-z0-9_]*)'\s*,\s*(?P<v1>\d+)\s*,\s*"
+    r"(?P<v2>\d+)\s*\)\s*;?\s*$",
+    re.IGNORECASE,
+)
+
 _OPTIMIZE_ANY_RE = re.compile(r"^\s*OPTIMIZE\b", re.IGNORECASE)
 _OPTIMIZE_RE = re.compile(
     r"^\s*OPTIMIZE(?:\s+WAREHOUSE)?\s*;?\s*$", re.IGNORECASE
@@ -391,6 +401,21 @@ def try_ddl(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame | None:
         return _update(spark, sf_dir, sql)
     if _MERGE_ANY_RE.match(sql):
         return _merge(spark, sf_dir, sql)
+    if _TABLE_CHANGES_ANY_RE.search(_mask_quotes(sql)):
+        tm = _TABLE_CHANGES_RE.match(sql)
+        if tm is None:
+            raise ValueError(
+                "the change-feed spelling is SELECT * FROM "
+                "table_changes('<table>', v1, v2) — for projections, "
+                "filters, or joins over the feed, read it through "
+                "Engine.table_changes and compose on the DataFrame"
+            )
+        from ..sources.snapshots import table_changes
+
+        return table_changes(
+            spark, sf_dir, tm.group("t").lower(),
+            int(tm.group("v1")), int(tm.group("v2")),
+        )
     if _OPTIMIZE_ANY_RE.match(sql):
         if _OPTIMIZE_RE.match(sql) is None:
             raise ValueError(

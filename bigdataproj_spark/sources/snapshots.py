@@ -679,3 +679,227 @@ def q43_sql_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     df, chosen = route_sql(spark, demo, _TT_PROFILE)
     assert chosen == "docs_stats_cube", chosen
     return df
+
+
+# ---------------------------------------------------------------------------
+# S23 (round 10, r9-VERDICT item 2): change data feed — the ledger's
+# missing READ verb. DESCRIBE HISTORY lists the commits; table_changes
+# says what each one DID, as rows.
+# ---------------------------------------------------------------------------
+
+_CDF_NOOP_NOTES = ("base", "checkpoint", "optimize", "vacuum")
+
+
+def _commit_touches(note: str, table_name: str) -> bool:
+    """Whether a ledger note can have changed ``table_name``'s logical
+    content. OPTIMIZE/VACUUM rewrite or remove FILES but are
+    row-identical by contract; ingest/delete notes name their table;
+    TTL expiry touches events; RESTORE (and any unknown verb) is
+    conservative — diff it."""
+    if note in _CDF_NOOP_NOTES:
+        return False
+    for verb in ("ingest ", "delete "):
+        if note.startswith(verb):
+            return note[len(verb):] == table_name
+    if note.startswith("expire"):
+        return table_name == "events"
+    return True
+
+
+def table_changes(
+    spark: SparkSession, sf_dir: str, table_name: str, v1: int, v2: int
+) -> DataFrame:
+    """Delta-CDF-shaped change rows for a maintained fact table
+    between two reachable committed versions: every row the table
+    gained or lost in each commit of ``(v1, v2]``, tagged with
+    ``_change_type`` (``insert`` / ``delete`` — and for the keyed
+    mutable tables, ``update_preimage`` / ``update_postimage`` when a
+    commit replaced a key's row), ``_commit_version``, and
+    ``_commit_note``. Per-commit granularity: a row inserted at one
+    commit and deleted at a later one appears twice, exactly Delta's
+    ``table_changes`` semantics. SQL spelling:
+    ``SELECT * FROM table_changes('orders', 1, 3)``.
+
+    Lowering: the commit ledger already holds everything needed — the
+    serving state and pinned file listing of every reachable version —
+    so each side of a commit's diff is the table AS OF that version
+    (the same pinned read the ``as_of`` context serves), and the diff
+    is ``exceptAll`` both ways (bag semantics: duplicate rows count).
+    Commits whose note cannot have touched the table (the other
+    tables' ingests/deletes, OPTIMIZE, VACUUM) are skipped without a
+    scan; each remaining version's state is materialized ONCE and
+    reused as the next diff's left side — k relevant commits cost k+1
+    pinned reads.
+
+    Scale posture: a diff pair is O(|state|) scan + one full-row
+    shuffle per side — an AUDIT verb, priced like Delta's CDF-less
+    fallback (diffing two snapshots), not a per-commit tax: live reads
+    and commits pay nothing for this existing. A production deployment
+    that wants O(|changes|) CDF would persist each commit's batch
+    delta (refresh_warehouse already has it in hand) next to the
+    ledger entry; the read verb's contract here is the same either
+    way, so that is a storage swap, not an API change."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import IntegerType, StringType, StructField
+
+    from ..plans.corpus_routing import current_documents, current_events
+    from ..plans.routing import current_lineitem, current_orders
+    from ..schemas import FIXTURE_SCHEMAS
+    from .retention import TOMBSTONE_KEYS
+
+    openers = {
+        "documents": current_documents,
+        "orders": current_orders,
+        "events": current_events,
+        "lineitem": current_lineitem,
+    }
+    if table_name not in openers:
+        raise ValueError(
+            "table_changes covers the maintained fact tables "
+            f"{sorted(openers)}; got {table_name!r} (dimension/fixture "
+            "tables are immutable — they have no changes to feed)"
+        )
+    if spark.__dict__.get(_ACTIVE_KEY):
+        raise ValueError(
+            "table_changes cannot run inside an AS OF snapshot read "
+            "(it pins versions itself)"
+        )
+    if v2 < v1:
+        raise ValueError(f"table_changes wants v1 <= v2; got ({v1}, {v2})")
+    led = _ledger(spark, sf_dir)
+    have = [e["version"] for e in led]
+    for v in (v1, v2):
+        if v not in have:
+            raise ValueError(
+                f"no reachable snapshot version {v} (reachable: "
+                f"{have or 'none'}; versions expire with VACUUM "
+                "retention — gc_warehouse(retain_seconds=...) controls "
+                "how far back the change feed reaches)"
+            )
+    schema = FIXTURE_SCHEMAS[table_name]
+    cols = schema.fieldNames()
+    key = TOMBSTONE_KEYS.get(table_name)
+
+    def state_at(v: int) -> DataFrame:
+        with as_of(spark, sf_dir, v):
+            return (
+                openers[table_name](spark, sf_dir)
+                .select(*cols)
+                .localCheckpoint(eager=True)
+            )
+
+    out_schema = type(schema)(
+        list(schema.fields)
+        + [
+            StructField("_change_type", StringType()),
+            StructField("_commit_version", IntegerType()),
+            StructField("_commit_note", StringType()),
+        ]
+    )
+    parts: list[DataFrame] = []
+    prev: DataFrame | None = None
+    for e in led:
+        v = e["version"]
+        if v <= v1 or v > v2:
+            continue
+        if not _commit_touches(e["note"], table_name):
+            continue  # state unchanged for this table: prev stays valid
+        if prev is None:
+            # left side of the FIRST relevant diff: the table as of
+            # the newest reachable version at or before this commit —
+            # by construction the state this commit changed
+            before = max(x["version"] for x in led if x["version"] < v)
+            prev = state_at(before)
+        cur = state_at(v)
+        ins = cur.exceptAll(prev)
+        dels = prev.exceptAll(cur)
+        if key is not None:
+            upd = (
+                ins.select(key).intersect(dels.select(key))
+                .withColumn("_upd", F.lit(True))
+            )
+            ins = (
+                ins.join(upd, key, "left")
+                .withColumn(
+                    "_change_type",
+                    F.when(F.col("_upd"), F.lit("update_postimage"))
+                    .otherwise(F.lit("insert")),
+                )
+                .drop("_upd")
+            )
+            dels = (
+                dels.join(upd, key, "left")
+                .withColumn(
+                    "_change_type",
+                    F.when(F.col("_upd"), F.lit("update_preimage"))
+                    .otherwise(F.lit("delete")),
+                )
+                .drop("_upd")
+            )
+        else:
+            ins = ins.withColumn("_change_type", F.lit("insert"))
+            dels = dels.withColumn("_change_type", F.lit("delete"))
+        step = ins.unionByName(dels).withColumns(
+            {
+                "_commit_version": F.lit(v).cast("int"),
+                "_commit_note": F.lit(e["note"]),
+            }
+        )
+        parts.append(step.localCheckpoint(eager=True))
+        prev = cur
+    if not parts:
+        return spark.createDataFrame([], out_schema)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    order_keys = [key] if key is not None else cols
+    return out.select(*[f.name for f in out_schema.fields]).orderBy(
+        "_commit_version", "_change_type", *order_keys
+    )
+
+
+_CDF_ORACLE = """
+SELECT doc_id, text, lang, source, n_chars,
+  _change_type, _commit_version, _commit_note
+FROM (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, text, lang, source,
+    CAST(n_chars AS BIGINT) AS n_chars,
+    'insert' AS _change_type, CAST(1 AS INTEGER) AS _commit_version,
+    'ingest documents' AS _commit_note
+  FROM (VALUES (900000001, 'neu doc eins', 'de', 'src97', 12),
+               (900000002, 'neu doc zwei', 'de', 'src97', 12))
+       v(doc_id, text, lang, source, n_chars)
+  UNION ALL
+  SELECT doc_id, text, lang, source, n_chars,
+    'delete', CAST(2 AS INTEGER), 'delete documents'
+  FROM documents WHERE doc_id < 8
+)
+ORDER BY _commit_version, _change_type, doc_id
+"""
+
+
+@query(
+    "r168_table_changes",
+    oracle=_CDF_ORACLE,
+    tags=("S23", "S22", "S19", "E1"),
+)
+def r168_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S23 end to end (round 10, r9-VERDICT item 2): the change data
+    feed. On a sandbox corpus, an INSERT commits v1 and a predicate
+    DELETE commits v2; ``SELECT * FROM table_changes('documents', 0,
+    2)`` returns exactly the two inserted rows tagged (insert, 1) and
+    the deleted rows tagged (delete, 2) — recomputable in DuckDB as
+    the inserted literals UNION the rows the predicate removed."""
+    from ..catalog import TABLES
+    from ..engine import Engine
+    from .retention import _demo_corpus
+
+    demo = _demo_corpus(spark, sf_dir, TABLES, demo="cdf")
+    eng = Engine(spark, demo)
+    eng.sql(
+        "INSERT INTO documents VALUES "
+        "(900000001, 'neu doc eins', 'de', 'src97', 12), "
+        "(900000002, 'neu doc zwei', 'de', 'src97', 12)"
+    )
+    eng.sql("DELETE FROM documents WHERE doc_id < 8")
+    return eng.sql("SELECT * FROM table_changes('documents', 0, 2)")

@@ -477,6 +477,39 @@ def test_time_travel_matches_versioned_duckdb_model(
             _TT_PROFILE.format(T=f"documents_v{v}")
         ).fetchdf()
         compare_frames(got, want, f"seed={seed} step={step} as_of={v}")
+        # S23: the change feed between two random reachable versions
+        # matches the model's per-commit snapshot diffs (documents are
+        # immutable by key, so every change is an insert or a delete)
+        vs_all = versions()
+        lo, hi = sorted((rng.choice(vs_all), rng.choice(vs_all)))
+        got_cdf = (
+            eng.table_changes("documents", lo, hi)
+            .drop("_commit_note")
+            .toPandas()
+        )
+        vs_rng = [x for x in vs_all if lo <= x <= hi]
+        parts = []
+        for a, b in zip(vs_rng, vs_rng[1:]):
+            for ctype, left, right in (
+                ("insert", b, a), ("delete", a, b),
+            ):
+                parts.append(
+                    f"SELECT *, '{ctype}' AS _change_type, "
+                    f"CAST({b} AS INTEGER) AS _commit_version FROM "
+                    f"(SELECT * FROM documents_v{left} EXCEPT ALL "
+                    f"SELECT * FROM documents_v{right})"
+                )
+        if parts:
+            want_cdf = con.execute(
+                "SELECT * FROM (" + " UNION ALL ".join(parts) + ") "
+                "ORDER BY _commit_version, _change_type, doc_id"
+            ).fetchdf()
+            compare_frames(
+                got_cdf, want_cdf,
+                f"seed={seed} step={step} cdf {lo}->{hi}",
+            )
+        else:
+            assert got_cdf.empty
 
 
 @pytest.mark.parametrize("seed", [29])

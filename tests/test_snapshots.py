@@ -623,6 +623,91 @@ class TestInBlockDeploys:
         assert live2.count() == 1  # the live layout survived
 
 
+class TestTableChanges:
+    """S23 (round 10): the change data feed over the commit ledger."""
+
+    def test_per_commit_rows_and_update_classification(
+        self, spark, sf_dir, tmp_path
+    ):
+        e = _sandbox(spark, sf_dir, tmp_path)
+        e.sql(
+            "INSERT INTO orders VALUES (900000061, 1, 'O', 10.0, "
+            "TIMESTAMP '1996-01-01 00:00:00', '1-URGENT')"
+        )  # v1
+        e.sql(
+            "UPDATE orders SET o_orderpriority = '5-LOW' "
+            "WHERE o_orderkey IN (900000061)"
+        )  # v2
+        e.sql("DELETE FROM orders WHERE o_orderkey IN (900000061)")  # v3
+        rows = [
+            (r._commit_version, r._change_type, r.o_orderpriority)
+            for r in e.table_changes("orders", 0, 3).collect()
+        ]
+        # the SAME key appears in every commit that touched it —
+        # per-commit granularity, Delta's table_changes semantics
+        assert rows == [
+            (1, "insert", "1-URGENT"),
+            (2, "update_postimage", "5-LOW"),
+            (2, "update_preimage", "1-URGENT"),
+            (3, "delete", "5-LOW"),
+        ]
+        # a sub-range sees only its commits
+        sub = [
+            (r._commit_version, r._change_type)
+            for r in e.table_changes("orders", 1, 2).collect()
+        ]
+        assert sub == [(2, "update_postimage"), (2, "update_preimage")]
+
+    def test_untouched_commits_are_skipped_without_changes(
+        self, spark, sf_dir, tmp_path
+    ):
+        e = _sandbox(spark, sf_dir, tmp_path)
+        e.sql(
+            "INSERT INTO documents VALUES "
+            "(900000071, 'hello', 'en', 'src1', 5)"
+        )  # v1 docs
+        e.sql(
+            "INSERT INTO orders VALUES (900000071, 1, 'O', 10.0, "
+            "TIMESTAMP '1996-01-01 00:00:00', '1-URGENT')"
+        )  # v2 orders
+        docs = e.table_changes("documents", 0, 2).collect()
+        assert [(r._commit_version, r._change_type) for r in docs] == [
+            (1, "insert")
+        ]
+        orders = e.table_changes("orders", 0, 2).collect()
+        assert [(r._commit_version, r._change_type) for r in orders] == [
+            (2, "insert")
+        ]
+        # an empty range (no relevant commits) is an empty feed with
+        # the full schema
+        empty = e.sql("SELECT * FROM table_changes('events', 0, 2)")
+        assert empty.count() == 0
+        assert empty.columns[-3:] == [
+            "_change_type", "_commit_version", "_commit_note",
+        ]
+
+    def test_refusals(self, spark, sf_dir, tmp_path):
+        e = _sandbox(spark, sf_dir, tmp_path)
+        e.sql("DELETE FROM documents WHERE doc_id IN (3)")
+        with pytest.raises(ValueError, match="maintained fact tables"):
+            e.table_changes("customer", 0, 1)
+        with pytest.raises(ValueError, match="v1 <= v2"):
+            e.table_changes("documents", 1, 0)
+        with pytest.raises(ValueError, match="no reachable snapshot"):
+            e.table_changes("documents", 0, 99)
+        with pytest.raises(ValueError, match="inside an AS OF"):
+            with e.as_of(0):
+                e.table_changes("documents", 0, 1)
+        with pytest.raises(ValueError, match="change-feed spelling"):
+            e.sql(
+                "SELECT doc_id FROM table_changes('documents', 0, 1) "
+                "WHERE lang = 'en'"
+            )
+        # the name inside a string literal is data, not the verb
+        got = e.sql("SELECT 'table_changes(x)' AS s").collect()[0].s
+        assert got == "table_changes(x)"
+
+
 class TestVersionMonotonicity:
     def test_numbers_never_reuse_after_vacuum(self, spark, sf_dir, tmp_path):
         """A remembered version number must resolve to the state it
