@@ -498,6 +498,70 @@ class TestExecuteScript:
             "SELECT 1",
         ]
 
+    def test_atomic_script_rolls_back_on_mid_script_failure(
+        self, spark, sf_dir, tmp_path
+    ):
+        """Round 10 (r9-VERDICT item 5): execute(atomic=True) records
+        the pre-script version and auto-RESTOREs on failure — the
+        committed prefix is undone, the warehouse is BYTE-identical to
+        the pre-script state, and history shows the pre-script commits
+        plus exactly one restore commit."""
+        import hashlib
+        import os
+
+        import pytest
+
+        from bigdataproj_spark.catalog import TABLES, table as _table
+        from bigdataproj_spark.engine import Engine
+        from bigdataproj_spark.sources.bucketed import _layout_paths
+        from bigdataproj_spark.sources.txn import _walk_files
+
+        work = tmp_path / "w"
+        work.mkdir()
+        for t in TABLES:
+            _table(spark, sf_dir, t).write.parquet(str(work / f"{t}.parquet"))
+        e = Engine(spark, str(work))
+        e.sql(
+            "INSERT INTO documents VALUES "
+            "(900000041, 'pre-script', 'en', 'src1', 10)"
+        )  # v1: pre-script state includes a real commit
+
+        def wh_bytes() -> dict[str, str]:
+            _tag, wh = _layout_paths(str(work))
+            out = {}
+            for f in sorted(_walk_files(wh)) if os.path.isdir(wh) else []:
+                with open(f, "rb") as fh:
+                    out[f] = hashlib.md5(fh.read()).hexdigest()
+            return out
+
+        profile = (
+            "SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS c, "
+            "COUNT(*) AS n FROM documents GROUP BY lang ORDER BY lang"
+        )
+        before_bytes = wh_bytes()
+        before_rows = e.sql(profile, routed=False).collect()
+        before_hist = [tuple(r) for r in e.history().collect()]
+        with pytest.raises(Exception, match="syntax|PARSE|nope"):
+            e.execute(
+                """
+                INSERT INTO documents VALUES
+                  (900000042, 'doomed one', 'en', 'src1', 10);
+                DELETE FROM documents WHERE doc_id < 5;
+                SELECT nonsense syntax error from;
+                """,
+                atomic=True,
+            )
+        assert wh_bytes() == before_bytes
+        assert e.sql(profile, routed=False).collect() == before_rows
+        hist = [tuple(r) for r in e.history().collect()]
+        assert hist[:-1] == before_hist
+        assert hist[-1][1] == "restore to 1"
+        # a failure BEFORE any commit restores nothing: history is
+        # untouched (no spurious restore commit)
+        with pytest.raises(Exception):
+            e.execute("SELECT nonsense syntax error from;", atomic=True)
+        assert [tuple(r) for r in e.history().collect()] == hist
+
     def test_split_honors_block_comments(self):
         from bigdataproj_spark.engine import _split_script
 
