@@ -1421,3 +1421,216 @@ def r137_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("probe_id", "cand_id", F.col("rank").cast("long").alias("rank"), "dist")
         .orderBy("probe_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# L25 (round 10, r9-VERDICT item 7): hybrid retrieval fusion — the
+# standard RAG/retrieval stage that combines a LEXICAL ranking (q48's
+# BM25) with a DENSE ranking (q29's exact cosine) by reciprocal-rank
+# fusion: rrf(d) = sum over rankings r of 1/(K + rank_r(d)), K = 60
+# (Cormack/Clarke/Buettcher's constant). Two bounded top-k legs + one
+# k-row join — the fusion itself is O(k), whatever the corpus size.
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_TOP = 20       # per-leg depth
+_RRF_PROBE = 0      # the dense leg's query vector: embeddings.vec_id 0
+
+
+def rrf_fuse(
+    lex: DataFrame, dense: DataFrame, k: int = _RRF_K
+) -> DataFrame:
+    """Reciprocal-rank fusion of two (doc_id, <leg>_rank) rankings.
+    A document missing from one leg contributes 0 from it (rank 0 =
+    absent in the output, never NULL — keeps the column integer on
+    both engines). The fused score is two scalar IEEE divisions and
+    one add per row — bit-identical in any engine given identical
+    integer ranks, so the fusion is exactly oracle-expressible."""
+    fused = lex.join(dense, "doc_id", "full_outer")
+    lex_r = F.coalesce(F.col("lex_rank"), F.lit(0)).cast("long")
+    den_r = F.coalesce(F.col("dense_rank"), F.lit(0)).cast("long")
+    rrf = (
+        F.when(lex_r == 0, F.lit(0.0))
+        .otherwise(F.lit(1.0) / (F.lit(float(k)) + lex_r.cast("double")))
+        + F.when(den_r == 0, F.lit(0.0))
+        .otherwise(F.lit(1.0) / (F.lit(float(k)) + den_r.cast("double")))
+    )
+    w = Window.orderBy(F.col("rrf").desc(), "doc_id")
+    return (
+        fused.select(
+            "doc_id",
+            lex_r.alias("lex_rank"),
+            den_r.alias("dense_rank"),
+            rrf.alias("rrf"),
+        )
+        .withColumn("fused_rank", F.row_number().over(w))
+        .orderBy("fused_rank")
+    )
+
+
+_Q_RRF_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest({TOKENS_SQL}) AS term FROM documents
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n_docs, COUNT(*) AS sumdl
+  FROM toks
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+  WHERE term IN {TERMS}
+  GROUP BY doc_id, term
+),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+bm AS (
+  SELECT t.doc_id,
+    CAST(floor(
+      CAST(CAST(floor(
+        ln(CAST(2*s.n_docs + 2 AS DOUBLE) / CAST(2*d.df + 1 AS DOUBLE))
+        * 1048576) AS BIGINT) AS DOUBLE)
+      * (CAST(CAST(22 AS HUGEINT)*s.sumdl*t.tf AS DOUBLE)
+         / CAST(CAST(10 AS HUGEINT)*s.sumdl*t.tf + CAST(3 AS HUGEINT)*s.sumdl
+                + CAST(9 AS HUGEINT)*l.dl*s.n_docs AS DOUBLE))
+    ) AS BIGINT) AS term_score_q20
+  FROM tf t
+  JOIN dl l USING (doc_id)
+  JOIN df d USING (term)
+  CROSS JOIN stats s
+),
+lex AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY sq DESC, doc_id) AS lex_rank
+  FROM (
+    SELECT doc_id, CAST(SUM(term_score_q20) AS BIGINT) AS sq
+    FROM bm GROUP BY doc_id
+  )
+  QUALIFY lex_rank <= {TOP}
+),
+el AS (
+  SELECT vec_id, i,
+    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT) AS vq
+  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) idx
+),
+norms AS (
+  SELECT vec_id, CAST(SUM(vq * vq) AS BIGINT) AS nsq
+  FROM el GROUP BY vec_id
+),
+dots AS (
+  SELECT b.vec_id AS cand_id, CAST(SUM(a.vq * b.vq) AS BIGINT) AS dot
+  FROM el a
+  JOIN el b ON a.i = b.i AND b.vec_id <> a.vec_id
+  WHERE a.vec_id = {PROBE}
+  GROUP BY 1
+),
+dense AS (
+  SELECT cand_id AS doc_id,
+    ROW_NUMBER() OVER (ORDER BY cos DESC, cand_id) AS dense_rank
+  FROM (
+    SELECT d.cand_id,
+      CAST(d.dot AS DOUBLE)
+        / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))) AS cos
+    FROM dots d
+    JOIN norms na ON na.vec_id = {PROBE}
+    JOIN norms nb ON d.cand_id = nb.vec_id
+  )
+  QUALIFY dense_rank <= {TOP}
+)
+SELECT doc_id, lex_rank, dense_rank, rrf,
+  ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS fused_rank
+FROM (
+  SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+    COALESCE(l.lex_rank, 0) AS lex_rank,
+    COALESCE(d.dense_rank, 0) AS dense_rank,
+    (CASE WHEN l.lex_rank IS NULL THEN 0.0
+          ELSE 1.0 / ({K} + CAST(l.lex_rank AS DOUBLE)) END
+     + CASE WHEN d.dense_rank IS NULL THEN 0.0
+            ELSE 1.0 / ({K} + CAST(d.dense_rank AS DOUBLE)) END) AS rrf
+  FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id
+)
+ORDER BY fused_rank
+"""
+
+
+def _rrf_oracle() -> str:
+    from .text import _FT_TERMS, TOKENS_SQL
+
+    return _Q_RRF_ORACLE.format(
+        TOKENS_SQL=TOKENS_SQL, TERMS=repr(_FT_TERMS), TOP=_RRF_TOP,
+        PROBE=_RRF_PROBE, K=_RRF_K,
+    )
+
+
+@query(
+    "r169_hybrid_rrf",
+    oracle=_rrf_oracle(),
+    tags=("L25", "L3", "R13", "similarity", "text"),
+)
+def r169_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L25 end to end: hybrid retrieval — BM25 top-20 for the 3-term
+    lexical query fused with exact-cosine top-20 for probe vector 0
+    (embeddings.vec_id = doc_id by the corpus construction) by
+    reciprocal-rank fusion with K=60.
+
+    Plan shape: the lexical leg is q48's scoring pipeline
+    (one (doc, term) shuffle + broadcast stats) cut to top-20 via
+    TakeOrderedAndProject; the dense leg is one Arrow-batched numpy
+    matmul pass emitting per-batch top-20s (the q29 kernel with a
+    single probe row); the fusion is a 40-row full-outer join + two
+    scalar IEEE divisions per row — O(k) whatever the corpus size.
+    Both legs' ranks are exact integers, so the fused scores are
+    bit-identical to DuckDB recomputing the same two rankings."""
+    import numpy as np
+    import pandas as pd
+
+    from .text import _FT_TERMS, bm25_doc_scores
+
+    lex = (
+        bm25_doc_scores(spark, sf_dir, _FT_TERMS)
+        .orderBy(F.col("sq").desc(), "doc_id")
+        .limit(_RRF_TOP)
+        .withColumn(
+            "lex_rank",
+            F.row_number().over(Window.orderBy(F.col("sq").desc(), "doc_id")),
+        )
+        .select("doc_id", "lex_rank")
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    probe_rows = e.filter(F.col("vec_id") == _RRF_PROBE).select(
+        "vec_id", "embedding"
+    ).collect()
+    assert_bounded_model(probe_rows, 1, "RRF dense-leg probe fetch")
+    p = np.floor(
+        np.array(probe_rows[0].embedding, dtype=np.float64) * _Q
+    ).astype(np.int64)
+    p_norm = float(np.sqrt((p * p).sum()))
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            C = np.floor(
+                np.stack(pdf["embedding"].to_numpy()).astype(np.float64) * _Q
+            ).astype(np.int64)
+            c_norm = np.sqrt((C * C).sum(axis=1).astype(np.float64))
+            cos = (C @ p).astype(np.float64) / (c_norm * p_norm)
+            mask = ids != _RRF_PROBE
+            cj, ij = cos[mask], ids[mask]
+            order = np.lexsort((ij, -cj))[:_RRF_TOP]
+            yield pd.DataFrame({"cand_id": ij[order], "cos": cj[order]})
+
+    dense = (
+        e.select("vec_id", "embedding")
+        .mapInPandas(score, "cand_id long, cos double")
+        .orderBy(F.col("cos").desc(), "cand_id")
+        .limit(_RRF_TOP)
+        .withColumn(
+            "dense_rank",
+            F.row_number().over(
+                Window.orderBy(F.col("cos").desc(), "cand_id")
+            ),
+        )
+        .select(F.col("cand_id").alias("doc_id"), "dense_rank")
+    )
+    return rrf_fuse(lex, dense, _RRF_K)

@@ -798,6 +798,55 @@ ORDER BY rank
 """
 
 
+def bm25_doc_scores(spark: SparkSession, sf_dir: str, terms) -> DataFrame:
+    """The BM25 per-document aggregate (doc_id, n_terms, sq) for an
+    OR query over ``terms`` — q48's scoring pipeline up to (but not
+    including) the top-k, factored out so the L25 hybrid-retrieval
+    fusion ranks the SAME exact-integer scores q48 ranks (one scoring
+    implementation, two consumers). See q48's docstring for the
+    quantization/exactness story."""
+    d = table(spark, sf_dir, "documents")
+    tk = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    dl = tk.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = (
+        tk.agg(F.count(F.lit(1)).alias("sumdl"))
+        .crossJoin(d.agg(F.count(F.lit(1)).alias("n_docs")))
+    )
+    tf = (
+        tk.filter(F.col("term").isin(*terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf_q20 = F.floor(
+        F.log(
+            (2 * F.col("n_docs") + 2).cast("double")
+            / (2 * F.col("df") + 1).cast("double")
+        )
+        * 1048576
+    ).cast("long")
+    big = "decimal(38,0)"
+    num = (
+        F.lit(22).cast(big) * F.col("sumdl").cast(big) * F.col("tf").cast(big)
+    ).cast("double")
+    den = (
+        F.lit(10).cast(big) * F.col("sumdl").cast(big) * F.col("tf").cast(big)
+        + F.lit(3).cast(big) * F.col("sumdl").cast(big)
+        + F.lit(9).cast(big) * F.col("dl").cast(big) * F.col("n_docs").cast(big)
+    ).cast("double")
+    term_score = F.floor(idf_q20.cast("double") * (num / den)).cast("long")
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", term_score.alias("term_score_q20"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum("term_score_q20").alias("sq"),
+    )
+
+
 @query("q48_fulltext_bm25", oracle=_Q45_ORACLE, tags=("R13", "L5", "text"))
 def q48_fulltext_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-15 documents for a 3-term OR query (k1=1.2, b=0.75).
@@ -825,48 +874,7 @@ def q48_fulltext_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge of k rows per partition); row_number then runs over the
     15 survivors only, never the full per-doc aggregate.
     """
-    d = table(spark, sf_dir, "documents")
-    tk = d.select("doc_id", F.explode(tokens("text")).alias("term"))
-    dl = tk.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = (
-        tk.agg(F.count(F.lit(1)).alias("sumdl"))
-        .crossJoin(d.agg(F.count(F.lit(1)).alias("n_docs")))
-    )
-    tf = (
-        tk.filter(F.col("term").isin(*_FT_TERMS))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-
-    idf_q20 = F.floor(
-        F.log(
-            (2 * F.col("n_docs") + 2).cast("double")
-            / (2 * F.col("df") + 1).cast("double")
-        )
-        * 1048576
-    ).cast("long")
-    big = "decimal(38,0)"
-    num = (
-        F.lit(22).cast(big) * F.col("sumdl").cast(big) * F.col("tf").cast(big)
-    ).cast("double")
-    den = (
-        F.lit(10).cast(big) * F.col("sumdl").cast(big) * F.col("tf").cast(big)
-        + F.lit(3).cast(big) * F.col("sumdl").cast(big)
-        + F.lit(9).cast(big) * F.col("dl").cast(big) * F.col("n_docs").cast(big)
-    ).cast("double")
-    term_score = F.floor(idf_q20.cast("double") * (num / den)).cast("long")
-
-    scored = (
-        tf.join(dl, "doc_id")
-        .join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(stats))
-        .select("doc_id", term_score.alias("term_score_q20"))
-    )
-    agg = scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_terms"),
-        F.sum("term_score_q20").alias("sq"),
-    )
+    agg = bm25_doc_scores(spark, sf_dir, _FT_TERMS)
     top = agg.orderBy(F.col("sq").desc(), "doc_id").limit(_FT_TOP)
     w = Window.orderBy(F.col("sq").desc(), "doc_id")
     return (

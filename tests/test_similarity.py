@@ -228,3 +228,23 @@ def test_pq_adc_rerank_recall_vs_exact(spark, sf_dir):
             assert row["dist"] == int(d[ids == row["cand_id"]][0])
         rec.append(len(set(exact) & set(approx)) / 3)
     assert sum(rec) / len(rec) >= 0.6, rec
+
+
+def test_rrf_fuse_semantics(spark):
+    """L25 unit: a doc in both legs sums both reciprocal ranks; a doc
+    in one leg scores only that leg's term with rank 0 (never NULL)
+    recorded for the missing one; the fused order ties on doc_id."""
+    from bigdataproj_spark.operators.similarity import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "doc_id long, lex_rank int"
+    )
+    dense = spark.createDataFrame(
+        [(20, 1), (40, 2)], "doc_id long, dense_rank int"
+    )
+    rows = {r.doc_id: r for r in rrf_fuse(lex, dense, k=60).collect()}
+    assert rows[20].rrf == 1.0 / 62 + 1.0 / 61
+    assert rows[10].rrf == 1.0 / 61 and rows[10].dense_rank == 0
+    assert rows[40].rrf == 1.0 / 62 and rows[40].lex_rank == 0
+    # both-legs doc outranks either single-leg doc
+    assert [r.doc_id for r in sorted(rows.values(), key=lambda r: r.fused_rank)][0] == 20
