@@ -136,12 +136,29 @@ def pinned_parquet(spark: SparkSession, path: str) -> DataFrame | None:
     hive partition columns); None outside an as_of block, or when the
     pinned listing has no files under ``path`` (a layout the block
     itself lazily deployed reads its own fresh directory normally).
-    Callers write ``pinned_parquet(spark, p) or spark.read.parquet(p)``."""
+    Callers write ``pinned_parquet(spark, p) or spark.read.parquet(p)``.
+
+    The built scan is MEMOIZED per (path, pinned file set) — round 10,
+    r9-VERDICT item 6: attribution showed ~80-90% of an as_of swap was
+    this DataFrameReader construction, which is driver-side per-file
+    status at ~1.6 ms/file (passing an explicit schema does NOT help —
+    it is not footer reads). A pinned file set is immutable by
+    construction (the commit is frozen, and a version whose files
+    VACUUM could remove is no longer reachable, so its key is never
+    probed again), which makes the memo safe forever; repeat swaps to
+    the same version — the table_changes loop, repeated audit reads —
+    pay one dict probe instead of the O(#files) stat pass. The FIRST
+    swap per (version, layout) keeps the attributed O(#files) bound."""
     import os
 
     fs = pinned_files(spark)
     if fs is None:
         return None
+    memo: dict = spark.__dict__.setdefault("_bdp_pinned_scan_memo", {})
+    key = (path, fs)
+    hit = memo.get(key)
+    if hit is not None:
+        return hit
     root = os.path.normpath(path) + os.sep
     under = [f for f in fs if f.startswith(root)]
     files = sorted(f for f in under if not
@@ -154,9 +171,13 @@ def pinned_parquet(spark: SparkSession, path: str) -> DataFrame | None:
             # the live scan would serve post-commit rows (round-9
             # ADVICE item 3). Schema comes from the live directory
             # (layout schemas are append-stable by contract).
-            return spark.read.option("basePath", path).parquet(path).limit(0)
+            df = spark.read.option("basePath", path).parquet(path).limit(0)
+            memo[key] = df
+            return df
         return None
-    return spark.read.option("basePath", path).parquet(*files)
+    df = spark.read.option("basePath", path).parquet(*files)
+    memo[key] = df
+    return df
 
 
 def pinned_table(
