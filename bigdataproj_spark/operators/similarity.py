@@ -833,11 +833,11 @@ ORDER BY vec_id
 
 
 @query(
-    "q41_semantic_dedup_ivf",
+    "r173_semantic_dedup_ivf",
     oracle=_Q_SD_IVF_ORACLE,
     tags=("L18", "L3", "similarity"),
 )
-def q41_semantic_dedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def r173_semantic_dedup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the FULL embedding corpus, pair generation gated
     by the IVF coarse quantizer (no ``_NEAR_DUP_MAX_ID`` bound).
 
@@ -883,7 +883,7 @@ def ivf_semantic_edges(
     spark: SparkSession, sf_dir: str, threshold: float = _SEMDEDUP_COS
 ) -> DataFrame:
     """(src < dst, cos) edges at ``cos >= threshold``, mined per IVF
-    cell (see q41_semantic_dedup_ivf). Exposed separately so the
+    cell (see r173_semantic_dedup_ivf). Exposed separately so the
     recall test can compare against the exact all-pairs q71 edges."""
     import numpy as np
     import pandas as pd
@@ -1561,11 +1561,11 @@ def _rrf_oracle() -> str:
 
 
 @query(
-    "r169_hybrid_rrf",
+    "q41_hybrid_rrf",
     oracle=_rrf_oracle(),
     tags=("L25", "L3", "R13", "similarity", "text"),
 )
-def r169_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q41_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L25 end to end: hybrid retrieval — BM25 top-20 for the 3-term
     lexical query fused with exact-cosine top-20 for probe vector 0
     (embeddings.vec_id = doc_id by the corpus construction) by

@@ -1510,11 +1510,11 @@ ORDER BY c_mktsegment, o_orderpriority
 
 
 @query(
-    "r166_sql_update_conjunction",
+    "q24_sql_update_conjunction",
     oracle=_UPDATE_CONJ_ORACLE,
     tags=("E1e", "S21", "S13", "A1"),
 )
-def r166_sql_update_conjunction(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q24_sql_update_conjunction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 10 (r9-VERDICT item 4): the widened UPDATE WHERE grammar
     — a flat AND-conjunction of simple comparisons, the first shape a
     real user hits past one comparison. The statement narrows the
@@ -1570,11 +1570,11 @@ LIMIT 500
 
 
 @query(
-    "r167_sql_update_arithmetic",
+    "q30_sql_update_arithmetic",
     oracle=_UPDATE_ARITH_ORACLE,
     tags=("E1e", "S21", "S13", "A1"),
 )
-def r167_sql_update_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q30_sql_update_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round 10 (r9-VERDICT item 4): SET with row-column arithmetic —
     ``o_totalprice = o_totalprice * 1.1 + 5`` evaluated against the
     PRE-update row, alongside a literal SET in the same statement.

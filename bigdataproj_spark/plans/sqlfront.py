@@ -1748,11 +1748,11 @@ ORDER BY s_kind, lang
 
 
 @query(
-    "q24_sql_sources_dim_cube",
+    "r170_sql_sources_dim_cube",
     oracle=f"WITH sources AS (\n{_SOURCES_DIM_SQL}\n)\n{_SQL_SOURCES_KIND}",
     tags=("S15", "E1", "J4", "L5"),
 )
-def q24_sql_sources_dim_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+def r170_sql_sources_dim_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus star through the front door: documents joined to the
     SOURCES registry dim, grouped by a dim attribute, filtered on
     another. The statement folds onto the doc-stats cube — the cube
@@ -1781,11 +1781,11 @@ ORDER BY s_tier
 
 
 @query(
-    "q30_sql_sources_dim_raw",
+    "r171_sql_sources_dim_raw",
     oracle=f"WITH sources AS (\n{_SOURCES_DIM_SQL}\n)\n{_SQL_SOURCES_TIER_RAW}",
     tags=("S15", "E1", "J4", "A1"),
 )
-def q30_sql_sources_dim_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+def r171_sql_sources_dim_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dim arm's REFUSE side: the row-level n_chars filter is no
     cube group key, so the cube correctly declines and the router
     answers with the raw plan — documents broadcast-joined to the
@@ -1837,11 +1837,11 @@ ORDER BY p_brand, l_returnflag
 
 
 @query(
-    "q34_user_arm_projection_sql",
+    "r172_user_arm_projection_sql",
     oracle=_SQL_USER_ARM_PROJ,
     tags=("S16", "S13", "E1", "J1", "A1"),
 )
-def q34_user_arm_projection_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+def r172_user_arm_projection_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S16 v2 end-to-end: the user declares a projection over the PART
     ARM — keys (p_brand, l_returnflag), measures including the
     arm-home p_retailprice sum — and the identical part-join SQL

@@ -900,11 +900,11 @@ ORDER BY _commit_version, _change_type, doc_id
 
 
 @query(
-    "r168_table_changes",
+    "q34_table_changes",
     oracle=_CDF_ORACLE,
     tags=("S23", "S22", "S19", "E1"),
 )
-def r168_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q34_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S23 end to end (round 10, r9-VERDICT item 2): the change data
     feed. On a sandbox corpus, an INSERT commits v1 and a predicate
     DELETE commits v2; ``SELECT * FROM table_changes('documents', 0,

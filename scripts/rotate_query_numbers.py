@@ -204,6 +204,27 @@ ROTATIONS: dict[str, dict[str, dict]] = {
             161: "q43",  # sql_restore (S22 rollback verb)
         },
     },
+    # Round 10, second pass (the round's OWN feature stems, rotated in
+    # the same round they landed — closing the "landed after the
+    # rotation commit" gap pattern r9-VERDICT item 1 called out):
+    # the widened-DML rows (E1e conjunction/arithmetic), the S23
+    # change feed, and the L25 hybrid-retrieval fusion enter. Evictees
+    # are r9-green, none bench-tagged, families keep in-window
+    # siblings (detail in docs/QUERY_ROTATION.md).
+    "r10b": {
+        "q": {
+            24: "r170",  # q24_sql_sources_dim_cube (S17 arms: q03 stays)
+            30: "r171",  # q30_sql_sources_dim_raw (S17 arms: q03 stays)
+            34: "r172",  # q34_user_arm_projection_sql (S16: q12/q13)
+            41: "r173",  # q41_semantic_dedup_ivf (L18: q50; L3: q29/q45)
+        },
+        "r": {
+            166: "q24",  # sql_update_conjunction (E1e widened WHERE)
+            167: "q30",  # sql_update_arithmetic (E1e arithmetic SET)
+            168: "q34",  # table_changes (S23 change feed)
+            169: "q41",  # hybrid_rrf (L25 fusion)
+        },
+    },
 }
 
 SKIP = {
