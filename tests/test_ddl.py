@@ -482,10 +482,10 @@ class TestDeleteDML:
         assert li1 == li0 - dead_li
 
     def test_delete_refusals(self, eng):
-        # a conjunction is beyond the lowerable single-comparison form
-        with pytest.raises(ValueError, match="unsupported DELETE form"):
+        # round 10 widened WHERE to AND-conjunctions; OR stays refused
+        with pytest.raises(ValueError, match="unsupported OR"):
             eng.sql(
-                "DELETE FROM documents WHERE lang = 'en' AND n_chars < 10"
+                "DELETE FROM documents WHERE lang = 'en' OR n_chars < 10"
             )
         # lineitem rows are deleted by their order (cascade), never
         # directly
