@@ -871,6 +871,42 @@ class TestUpdateDML:
         with pytest.raises(ValueError, match="unsupported OR"):
             e.sql("DELETE FROM documents WHERE lang = 'en' OR lang = 'fr'")
 
+    def test_quoted_keywords_never_missplit(self, spark, sf_dir, tmp_path):
+        """String literals containing WHERE / AND / commas / escaped
+        quotes are DATA to the quote-aware SET/WHERE scanners — the
+        statement parses and the exact bytes land."""
+        from bigdataproj_spark.catalog import TABLES, table as _table
+
+        work = tmp_path / "w"
+        work.mkdir()
+        for t in TABLES:
+            _table(spark, sf_dir, t).write.parquet(str(work / f"{t}.parquet"))
+        e = Engine(spark, str(work))
+        tricky = "A AND B, WHERE 'x' OR ;"
+        n = e.sql(
+            "UPDATE orders SET o_orderpriority = "
+            "'A AND B, WHERE ''x'' OR ;', o_orderstatus = 'K' "
+            "WHERE o_orderkey IN (1)"
+        ).collect()[0]["n_rows"]
+        assert n == 1
+        got = e.sql(
+            "SELECT o_orderpriority, o_orderstatus FROM orders "
+            "WHERE o_orderkey = 1", routed=False
+        ).collect()[0]
+        assert (got.o_orderpriority, got.o_orderstatus) == (tricky, "K")
+        # a conjunction whose literals contain AND still splits right
+        n2 = e.sql(
+            "UPDATE orders SET o_orderstatus = 'L' "
+            "WHERE o_orderpriority = 'A AND B, WHERE ''x'' OR ;' "
+            "AND o_orderkey <= 1"
+        ).collect()[0]["n_rows"]
+        assert n2 == 1
+        # predicate DELETE: a literal containing AND is one comparison
+        out = e.sql(
+            "DELETE FROM documents WHERE source = 'no AND such'"
+        ).collect()[0]
+        assert out["table_name"] == "documents"
+
     def test_update_refusals(self, eng):
         with pytest.raises(ValueError, match="immutable by key"):
             eng.sql("UPDATE documents SET lang = 'en' WHERE doc_id = 1")
