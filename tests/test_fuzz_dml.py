@@ -665,3 +665,47 @@ def test_orders_time_travel_matches_versioned_duckdb(
             got, model_profile(f"_v{v}"),
             f"seed={seed} step={step} as_of={v}",
         )
+        # S23 on the KEYED mutable table: the change feed's
+        # update_preimage/update_postimage classification matches the
+        # model's per-commit snapshot diffs through UPDATE / MERGE /
+        # cascade-DELETE / RESTORE states
+        vs_all = versions()
+        lo, hi = sorted((rng.choice(vs_all), rng.choice(vs_all)))
+        got_cdf = (
+            eng.table_changes("orders", lo, hi)
+            .drop("_commit_note")
+            .toPandas()
+        )
+        vs_rng = [x for x in vs_all if lo <= x <= hi]
+        parts = []
+        for a, b in zip(vs_rng, vs_rng[1:]):
+            parts.append(f"""
+              WITH ins AS (SELECT * FROM orders_v{b} EXCEPT ALL
+                           SELECT * FROM orders_v{a}),
+                   del AS (SELECT * FROM orders_v{a} EXCEPT ALL
+                           SELECT * FROM orders_v{b}),
+                   upd AS (SELECT o_orderkey FROM ins
+                           INTERSECT SELECT o_orderkey FROM del)
+              SELECT i.*, CASE WHEN u.o_orderkey IS NOT NULL
+                    THEN 'update_postimage' ELSE 'insert' END
+                  AS _change_type,
+                CAST({b} AS INTEGER) AS _commit_version
+              FROM ins i LEFT JOIN upd u USING (o_orderkey)
+              UNION ALL
+              SELECT d.*, CASE WHEN u.o_orderkey IS NOT NULL
+                    THEN 'update_preimage' ELSE 'delete' END,
+                CAST({b} AS INTEGER)
+              FROM del d LEFT JOIN upd u USING (o_orderkey)
+            """)
+        if parts:
+            want_cdf = con.execute(
+                "SELECT * FROM ("
+                + " UNION ALL ".join(f"({p})" for p in parts)
+                + ") ORDER BY _commit_version, _change_type, o_orderkey"
+            ).fetchdf()
+            compare_frames(
+                got_cdf, want_cdf,
+                f"seed={seed} step={step} orders cdf {lo}->{hi}",
+            )
+        else:
+            assert got_cdf.empty
