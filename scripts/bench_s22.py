@@ -114,6 +114,13 @@ def main() -> None:
             pass
 
     timed("asof_swap", swap_only)
+    # S23 (round 10): the change feed over the insert+merge commits —
+    # two pinned-state diffs (exceptAll both ways per commit), the
+    # audit-verb price of CDF-from-snapshots
+    v_latest = eng.history().collect()[-1].version
+    timed("cdf_orders", lambda: eng.table_changes(
+        "orders", 0, v_latest
+    ).count())
     timed("restore", lambda: eng.sql(
         f"RESTORE TO VERSION AS OF {v_pre_merge}"
     ).collect())
