@@ -686,6 +686,28 @@ class TestTableChanges:
             "_change_type", "_commit_version", "_commit_note",
         ]
 
+    def test_keyless_tables_feed_inserts_and_expiry_deletes(
+        self, spark, sf_dir, tmp_path
+    ):
+        """events have no mutable identity key: the feed classifies
+        only insert (appends) and delete (TTL expiry) — never update
+        images."""
+        e = _sandbox(spark, sf_dir, tmp_path)
+        e.sql(
+            "INSERT INTO events VALUES (900000081, "
+            "TIMESTAMP '2024-01-09 10:15:00', 1, 'click', 1.5, '{}')"
+        )  # v1
+        e.sql(
+            "DELETE FROM events WHERE ts < TIMESTAMP '2024-01-03 00:00:00'"
+        )  # v2
+        rows = e.table_changes("events", 0, 2).collect()
+        by_commit = {}
+        for r in rows:
+            by_commit.setdefault(r._commit_version, set()).add(r._change_type)
+        assert by_commit[1] == {"insert"}
+        assert by_commit[2] == {"delete"}
+        assert {r._change_type for r in rows} <= {"insert", "delete"}
+
     def test_refusals(self, spark, sf_dir, tmp_path):
         e = _sandbox(spark, sf_dir, tmp_path)
         e.sql("DELETE FROM documents WHERE doc_id IN (3)")
