@@ -709,3 +709,115 @@ def test_orders_time_travel_matches_versioned_duckdb(
             )
         else:
             assert got_cdf.empty
+
+
+@pytest.mark.parametrize("seed", [41, 43])
+def test_update_grammar_fuzz_matches_duckdb(spark, sf_dir, tmp_path, seed):
+    """Round 10 grammar fuzz: random AND-conjunction predicates
+    (1-3 comparisons over numeric / string / timestamp columns) and
+    random SET lists (literals — some containing AND / commas /
+    escaped quotes — and row-column arithmetic), applied as IDENTICAL
+    statement text to the engine and to a mutable DuckDB orders
+    table. After every statement the states must agree row-level (the
+    arithmetic check: per-row IEEE doubles are bit-identical) and on
+    exact-integer global profiles (the conjunction check: no row
+    matched or missed that the model didn't)."""
+    from bigdataproj_spark.testing import compare_frames
+
+    rng = random.Random(seed)
+    work = tmp_path / "w"
+    work.mkdir()
+    for t in TABLES:
+        table(spark, sf_dir, t).write.parquet(str(work / f"{t}.parquet"))
+    eng = Engine(spark, str(work))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE orders AS SELECT * FROM "
+        f"read_parquet('{work}/orders.parquet/*.parquet', "
+        "hive_partitioning=false)"
+    )
+
+    def draw_pred() -> str:
+        kind = rng.choice(["price", "cust", "status", "prio", "date"])
+        if kind == "price":
+            return (
+                f"o_totalprice {rng.choice(('<', '<=', '>', '>='))} "
+                f"{rng.randint(50_000, 350_000)}"
+            )
+        if kind == "cust":
+            return (
+                f"o_custkey {rng.choice(('<', '>', '<=', '>='))} "
+                f"{rng.randint(10, 1400)}"
+            )
+        if kind == "status":
+            return f"o_orderstatus {rng.choice(('=', '<>'))} " \
+                f"'{rng.choice(('O', 'F', 'P', 'Z1'))}'"
+        if kind == "prio":
+            tricky = ("1-URGENT", "x AND y, z", "it''s")
+            return f"o_orderpriority <> '{rng.choice(tricky)}'"
+        return (
+            "o_orderdate "
+            f"{rng.choice(('<', '>='))} "
+            f"TIMESTAMP '199{rng.randint(5, 7)}-0{rng.randint(1, 9)}-01 "
+            "00:00:00'"
+        )
+
+    def draw_set() -> str:
+        kind = rng.choice(["prio_lit", "status_lit", "price_arith",
+                           "cust_arith", "price_lit"])
+        if kind == "prio_lit":
+            vals = ("9-FZ", "a AND b, c", "q''q", "9 WHERE 9")
+            return f"o_orderpriority = '{rng.choice(vals)}'"
+        if kind == "status_lit":
+            return f"o_orderstatus = '{rng.choice(('X', 'Y', 'Z'))}'"
+        if kind == "price_arith":
+            return rng.choice(
+                [
+                    f"o_totalprice = o_totalprice * 1.0{rng.randint(1, 9)} "
+                    f"+ {rng.randint(1, 9)}",
+                    "o_totalprice = o_totalprice + o_custkey",
+                    f"o_totalprice = (o_totalprice + {rng.randint(2, 8)}) "
+                    f"/ {rng.choice((2, 4))}",
+                ]
+            )
+        if kind == "cust_arith":
+            return f"o_custkey = o_custkey + {rng.randint(1, 5)}"
+        return f"o_totalprice = {rng.randint(100, 900)}.25"
+
+    profile = (
+        "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, "
+        "CAST(SUM(o_custkey) AS BIGINT) AS ck "
+        "FROM orders GROUP BY o_orderstatus, o_orderpriority "
+        "ORDER BY o_orderstatus, o_orderpriority"
+    )
+    rows = (
+        "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, "
+        "o_orderpriority FROM orders ORDER BY o_orderkey LIMIT 400"
+    )
+    for step in range(8):
+        set_items = []
+        seen_targets: set[str] = set()
+        while len(set_items) < rng.randint(1, 2):
+            item = draw_set()
+            target = item.split(" =")[0]
+            if target in seen_targets:
+                continue
+            seen_targets.add(target)
+            set_items.append(item)
+        preds = [draw_pred() for _ in range(rng.randint(1, 3))]
+        stmt = (
+            "UPDATE orders SET " + ", ".join(set_items)
+            + " WHERE " + " AND ".join(preds)
+        )
+        eng.sql(stmt)
+        con.execute(stmt)
+        compare_frames(
+            eng.sql(profile, routed=False).toPandas(),
+            con.execute(profile).fetchdf(),
+            f"seed={seed} step={step} profile :: {stmt}",
+        )
+        compare_frames(
+            eng.sql(rows, routed=False).toPandas(),
+            con.execute(rows).fetchdf(),
+            f"seed={seed} step={step} rows :: {stmt}",
+        )
