@@ -322,8 +322,8 @@ ORDER BY probe_id, rank
 """
 
 
-@query("q45_ann_lsh", oracle=_Q20_ORACLE, tags=("L3", "similarity"))
-def q45_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("r177_ann_lsh", oracle=_Q20_ORACLE, tags=("L3", "similarity"))
+def r177_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-3 neighbors via LSH bucket prefilter + exact
     cosine re-rank inside the bucket.
 

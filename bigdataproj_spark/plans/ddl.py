@@ -223,15 +223,29 @@ _MERGE_ON_RE = re.compile(
     r"\s*=\s*"
     r"(?:(?P<rq>[A-Za-z_][A-Za-z0-9_]*)\s*\.\s*)?(?P<rc>[A-Za-z_][A-Za-z0-9_]*)$"
 )
-_MERGE_MATCHED_RE = re.compile(
-    r"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(?P<sets>\*|.+?)\s*"
-    r"(?=WHEN\s+NOT\s+MATCHED|$)",
+# Round 11 (r10-VERDICT item 2): the clause grammar widened to the
+# conditional forms — each WHEN fragment parses against exactly one of
+# these four shapes (ordered list, first-true-wins per matched row;
+# predicates are the round-10 _parse_where grammar with optional
+# target/source qualifiers).
+_MERGE_M_UPD_RE = re.compile(
+    r"^\s*MATCHED\s*(?:AND\s+(?P<pred>.+?)\s+)?THEN\s+UPDATE\s+SET\s+"
+    r"(?P<sets>\*|.+?)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
-_MERGE_NOTMATCHED_RE = re.compile(
-    r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+(?P<star>\*)\s*"
-    r"(?=WHEN\s+MATCHED|$)",
-    re.IGNORECASE,
+_MERGE_M_DEL_RE = re.compile(
+    r"^\s*MATCHED\s*(?:AND\s+(?P<pred>.+?)\s+)?THEN\s+DELETE\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_MERGE_NM_INS_RE = re.compile(
+    r"^\s*NOT\s+MATCHED(?:\s+BY\s+TARGET)?\s*"
+    r"(?:AND\s+(?P<pred>.+?)\s+)?THEN\s+INSERT\s+\*\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_MERGE_NMBS_DEL_RE = re.compile(
+    r"^\s*NOT\s+MATCHED\s+BY\s+SOURCE\s*"
+    r"(?:AND\s+(?P<pred>.+?)\s+)?THEN\s+DELETE\s*$",
+    re.IGNORECASE | re.DOTALL,
 )
 _MERGE_SET_ITEM_RE = re.compile(
     r"^([A-Za-z_][A-Za-z0-9_]*)\s*=\s*"
@@ -252,6 +266,17 @@ _TABLE_CHANGES_RE = re.compile(
     r"^\s*SELECT\s+\*\s+FROM\s+table_changes\s*\(\s*"
     r"'(?P<t>[A-Za-z_][A-Za-z0-9_]*)'\s*,\s*(?P<v1>\d+)\s*,\s*"
     r"(?P<v2>\d+)\s*\)\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+# Round 11 (r10-VERDICT item 7): ALTER TABLE on the engine's tables
+# refuses with the written-down reason (docs/DECISIONS.md) instead of
+# falling through to Spark's confusing temp-view/parquet analysis
+# error. Only the engine's OWN tables are claimed — ALTER on a user's
+# catalog table stays unclaimed (native Spark semantics).
+_ALTER_ANY_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<table>lineitem|orders|documents|events|"
+    r"region|nation|customer|supplier|part|embeddings)\b",
     re.IGNORECASE,
 )
 
@@ -392,6 +417,23 @@ def try_ddl(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame | None:
         )
         return spark.createDataFrame(
             [(chosen, plan)], "chosen string, physical_plan string"
+        )
+    am = _ALTER_ANY_RE.match(sql)
+    if am is not None:
+        # Round 11 (r10-VERDICT item 7): the decision is written down
+        # in docs/DECISIONS.md — the engine's tables have FIXTURE
+        # schemas by contract (every layout, cube key set, oracle, and
+        # the tombstone/watermark machinery is derived from them), so
+        # write-side schema evolution is out of scope; the refusal
+        # names the lakehouse-native alternatives.
+        raise ValueError(
+            f"ALTER TABLE is not supported: {am.group('table').lower()!r} "
+            "has a fixture schema by contract (docs/DECISIONS.md — "
+            "every maintained layout, cube key set, and oracle derives "
+            "from FIXTURE_SCHEMAS, and S8 already covers mergeSchema "
+            "READS of evolved files); model new attributes as a "
+            "separate keyed table and JOIN, or as a JSON props column "
+            "(events ships one — F-J1 functions query it)"
         )
     if _DELETE_ANY_RE.match(sql):
         return _delete(spark, sf_dir, sql)
@@ -736,6 +778,7 @@ def _update(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
     append-only log)."""
     from ..schemas import FIXTURE_SCHEMAS
 
+    sql = _strip_comments(sql)
     if re.match(r"^\s*UPDATE\s+documents\b", sql, re.IGNORECASE):
         raise ValueError(
             "documents are immutable by key (the S19 erasure contract: "
@@ -856,28 +899,58 @@ def _parse_literal(text: str):
 
 
 def _mask_quotes(text: str) -> str:
-    """``text`` with single-quoted string contents (and the quotes)
-    blanked to spaces — keyword/comma/operator scans over the mask can
-    never match inside a literal, and mask spans are valid spans into
-    the original (same length)."""
-    out: list[str] = []
-    in_sq = False
+    """``text`` with string-literal contents, quoted identifiers, and
+    ``--`` / ``/* */`` comments blanked to spaces — keyword/comma/
+    operator scans over the mask can never match inside a literal OR a
+    comment, and mask spans are valid spans into the original (same
+    length). Round 11 (round-10 ADVICE item 4): delegates to the
+    engine's ``_mask_noncode`` state machine — the quote-only mask let
+    a ``--`` comment containing WHERE/AND split an UPDATE/DELETE at
+    the commented keyword."""
+    from ..engine import _mask_noncode
+
+    return _mask_noncode(text)
+
+
+def _strip_comments(text: str) -> str:
+    """``text`` with ``--`` and ``/* */`` comment spans blanked to
+    spaces, string literals PRESERVED — length-preserving, so spans
+    computed on it remain valid in the original. The DML parsers run
+    on this (round-10 ADVICE item 4): masking alone stops a commented
+    WHERE/AND from splitting the statement, but comment TEXT landing
+    inside a sliced SET item or predicate would still fail the value
+    grammar; a comment is non-code either way, so it is removed
+    before any slicing."""
+    out = list(text)
     i, n = 0, len(text)
+    in_sq = False
     while i < n:
         c = text[i]
         if in_sq:
-            out.append(" ")
             if c == "'":
                 if i + 1 < n and text[i + 1] == "'":
-                    out.append(" ")
                     i += 1
                 else:
                     in_sq = False
         elif c == "'":
             in_sq = True
-            out.append(" ")
-        else:
-            out.append(c)
+        elif c == "-" and i + 1 < n and text[i + 1] == "-":
+            while i < n and text[i] != "\n":
+                out[i] = " "
+                i += 1
+            continue
+        elif c == "/" and i + 1 < n and text[i + 1] == "*":
+            while i < n and not (
+                text[i] == "*" and i + 1 < n and text[i + 1] == "/"
+            ):
+                out[i] = " "
+                i += 1
+            if i < n:
+                out[i] = " "
+                if i + 1 < n:
+                    out[i + 1] = " "
+                i += 2
+            continue
         i += 1
     return "".join(out)
 
@@ -990,6 +1063,117 @@ def _set_value_column(rhs: str, schema, target_col: str, table_name: str):
     return F.expr(rhs).cast(schema[target_col].dataType)
 
 
+_QCMP_RE = re.compile(
+    r"^\s*(?:(?P<q>[A-Za-z_][A-Za-z0-9_]*)\s*\.\s*)?"
+    r"(?P<col>[A-Za-z_][A-Za-z0-9_]*)\s*"
+    r"(?P<op><=|>=|<>|!=|=|<|>)\s*(?P<lit>" + _LITERAL + r")\s*$",
+    re.IGNORECASE,
+)
+
+
+def _merge_clause_pred(
+    pred_text: str,
+    schema,
+    table_name: str,
+    talias: str,
+    salias: str,
+    src_cols,
+    tmap,
+    smap,
+):
+    """Round 11 (r10-VERDICT item 2): a MERGE clause predicate as one
+    pyspark Column — the ``_parse_where`` grammar (flat
+    AND-conjunction of ``col <op> literal``) extended with optional
+    target/source qualifiers, because the canonical CDC merge tests
+    the SOURCE's operation column (``WHEN MATCHED AND s.op = 'D' THEN
+    DELETE``). ``tmap``/``smap`` map a column name to its column in
+    the frame the clause filters (the matched pair frame prefixes
+    both sides); ``None`` means that side is out of scope for the
+    clause — a row NOT MATCHED BY SOURCE has no source columns, an
+    unmatched source row has no stored columns — and referencing it
+    refuses with that reason. Unqualified names resolve to the
+    TARGET (qualify with the source alias to test the source).
+    Everything beyond the grammar refuses with a pointer, the
+    standing discipline."""
+    from pyspark.sql import functions as F
+
+    masked = _mask_quotes(pred_text)
+    for kw, hint in (
+        ("OR", "an OR predicate is two MERGE statements — or filter "
+               "the source SELECT"),
+        ("NOT", "negate the comparison instead (<> for NOT =)"),
+        ("BETWEEN", "spell it as two AND-ed comparisons "
+                    "(col >= lo AND col <= hi)"),
+    ):
+        if re.search(rf"\b{kw}\b", masked, re.IGNORECASE):
+            raise ValueError(
+                f"unsupported {kw} in a MERGE clause predicate; "
+                f"lowerable: AND-conjunctions of simple comparisons — "
+                f"{hint}"
+            )
+    if "(" in masked or ")" in masked:
+        raise ValueError(
+            "parenthesized MERGE clause predicates are not lowerable; "
+            "the grammar is a flat AND-conjunction of simple "
+            "comparisons ([alias.]col <op> literal)"
+        )
+    pred = None
+    for part in _split_outside_quotes(pred_text, r"\bAND\b"):
+        qm = _QCMP_RE.match(part)
+        if qm is None:
+            raise ValueError(
+                f"unsupported MERGE clause predicate {part.strip()!r}; "
+                "lowerable: [alias.]col <op> literal with <op> one of "
+                "= < <= > >= <> != , AND-conjoined"
+            )
+        q = (qm.group("q") or "").lower() or None
+        col = qm.group("col").lower()
+        if q is None or q in (talias, table_name):
+            if tmap is None:
+                raise ValueError(
+                    f"the predicate term {part.strip()!r} references "
+                    "the target, but an unmatched SOURCE row has no "
+                    f"stored columns — qualify with the source alias "
+                    f"{salias!r}"
+                )
+            if col not in schema.fieldNames():
+                raise ValueError(
+                    f"unknown column {col!r} on {table_name!r} "
+                    f"(columns: {schema.fieldNames()})"
+                )
+            c, cast_t = F.col(tmap(col)), schema[col].dataType
+        elif q == salias:
+            if smap is None:
+                raise ValueError(
+                    f"the predicate term {part.strip()!r} references "
+                    "the source, but a row NOT MATCHED BY SOURCE has "
+                    "no source columns — the predicate may test the "
+                    "stored row only"
+                )
+            if col not in src_cols:
+                raise ValueError(
+                    f"unknown source column {col!r} in a MERGE clause "
+                    f"predicate (source columns: {sorted(src_cols)})"
+                )
+            c = F.col(smap(col))
+            cast_t = (
+                schema[col].dataType
+                if col in schema.fieldNames()
+                else None
+            )
+        else:
+            raise ValueError(
+                f"unknown qualifier {q!r} in a MERGE clause predicate "
+                f"(aliases in scope: {talias!r}, {salias!r})"
+            )
+        lit = F.lit(_parse_literal(qm.group("lit")))
+        if cast_t is not None:
+            lit = lit.cast(cast_t)
+        cmp_ = getattr(c, _CMP_OPS[qm.group("op")])(lit)
+        pred = cmp_ if pred is None else (pred & cmp_)
+    return pred
+
+
 def _merge(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
     """E1f: ``MERGE INTO orders|documents [AS t] USING (<select> |
     VALUES ...) [AS] s [(cols)] ON <key> = <key> WHEN MATCHED THEN
@@ -1008,40 +1192,66 @@ def _merge(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
       here with that pointer). ``INSERT *`` appends the unmatched
       source rows. Either clause may stand alone (update-only /
       insert-if-absent merges).
-    - **documents**: insert-if-absent ONLY — a MATCHED clause is
-      refused (immutable by key under the S19 erasure contract), so
-      ``MERGE ... WHEN NOT MATCHED THEN INSERT *`` is the idempotent
-      corpus-loading statement: redelivering a batch inserts each
-      doc_id at most once, and a TOMBSTONED id stays deleted (the
-      anti-join routes it to the insert side, where refresh's
-      tombstone filter drops it — erased keys can never resurrect
-      through MERGE either).
+    - **documents**: insert-if-absent plus the DELETE clauses — a
+      MATCHED UPDATE is refused (immutable by key under the S19
+      erasure contract), so ``MERGE ... WHEN NOT MATCHED THEN INSERT
+      *`` is the idempotent corpus-loading statement: redelivering a
+      batch inserts each doc_id at most once, and a TOMBSTONED id
+      stays deleted (the anti-join routes it to the insert side,
+      where refresh's tombstone filter drops it — erased keys can
+      never resurrect through MERGE either).
     - **events** / **lineitem**: refused (append-only log — INSERT
       appends, there is nothing to match; lineitems change only
       through their order).
+
+    **Conditional clauses (round 11, r10-VERDICT item 2)** — the
+    clause list is ORDERED and first-true-wins per matched row (the
+    SQL standard's rule; with two MATCHED clauses the first must
+    carry a predicate, or the second is unreachable — refused):
+
+    - ``WHEN MATCHED [AND <pred>] THEN UPDATE SET ...``
+    - ``WHEN MATCHED [AND <pred>] THEN DELETE`` — the CDC delete
+      verb (``... AND s.op = 'D' THEN DELETE`` applies a changelog's
+      deletions); rides the S19 delete machinery, so the erasure
+      contract applies: a MERGE-deleted key stays deleted, and order
+      deletes cascade to their lineitems.
+    - ``WHEN NOT MATCHED [BY TARGET] [AND <pred>] THEN INSERT *``
+    - ``WHEN NOT MATCHED BY SOURCE [AND <pred>] THEN DELETE`` — the
+      prune-to-source verb (stored keys the batch does not carry).
+
+    Predicates are the round-10 ``_parse_where`` grammar (flat
+    AND-conjunction of ``col <op> literal``) with optional
+    target/source qualifiers; unqualified names resolve to the
+    TARGET. A MATCHED predicate may test either side of the pair; a
+    NOT MATCHED (insert) predicate only the source row; a BY SOURCE
+    predicate only the stored row — the other side does not exist,
+    and referencing it refuses with that reason. The whole statement
+    commits as ONE version (``merge <table>`` in DESCRIBE HISTORY):
+    deletes and the upsert batch run inside one WarehouseTxn, deletes
+    first (the routed key sets are disjoint).
 
     The join key must be the table's identity key (doc_id /
     o_orderkey) — MERGE reconciles rows, and rows are identified by
     exactly the key the tombstone machinery tracks. A source with
     duplicate keys is refused (ambiguous: two source rows contend for
     one stored row — the standard warehouse MERGE error, detected
-    eagerly here). Conditional clauses (``WHEN MATCHED AND ...``) and
-    ``WHEN MATCHED THEN DELETE`` are refused: the former needs a
-    general predicate engine on the match set (filter the source
-    instead), the latter is a retention decision that belongs to
-    ``DELETE FROM`` where the S19 contract is explicit.
+    eagerly here).
 
     Scale posture: the source is a BATCH (bounded by construction);
     every join against the stored table broadcasts the batch side —
     one scan of the stored keys intersected against the broadcast
-    source derives the matched-key set (≤ batch rows), and the
-    update/insert split then joins the source against THAT. O(one
-    stored-key scan + batch), never a corpus shuffle."""
+    source derives the matched-key set (≤ batch rows), the matched
+    pair frame joins the source against THAT, and the two delete-side
+    scans (matched routing, by-source anti-join) are the same
+    one-stored-scan shape. O(stored-key scans + batch), never a
+    corpus shuffle; the by-source delete itself is O(pruned keys)
+    through the S19 affected-group machinery."""
     from pyspark.sql import functions as F
 
     from ..schemas import FIXTURE_SCHEMAS
     from ..sources.retention import TOMBSTONE_KEYS
 
+    sql = _strip_comments(sql)
     if re.match(r"^\s*MERGE\s+INTO\s+events\b", sql, re.IGNORECASE):
         raise ValueError(
             "events are an append-only log — there is nothing to "
@@ -1059,8 +1269,11 @@ def _merge(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
         raise ValueError(
             "malformed MERGE; expected MERGE INTO orders|documents "
             "[AS t] USING (<select> | VALUES ...) [AS] s [(col, ...)] "
-            "ON <key> = <key> WHEN MATCHED THEN UPDATE SET * | "
-            "col = s.col[, ...] WHEN NOT MATCHED THEN INSERT *"
+            "ON <key> = <key> followed by WHEN clauses: "
+            "WHEN MATCHED [AND <pred>] THEN UPDATE SET * | "
+            "col = s.col[, ...] | WHEN MATCHED [AND <pred>] THEN "
+            "DELETE | WHEN NOT MATCHED [AND <pred>] THEN INSERT * | "
+            "WHEN NOT MATCHED BY SOURCE [AND <pred>] THEN DELETE"
         )
     table_name = m.group("table").lower()
     schema = FIXTURE_SCHEMAS[table_name]
@@ -1074,49 +1287,92 @@ def _merge(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
             "alias the source differently"
         )
 
-    # -- clause set -------------------------------------------------------
+    # -- clause set: an ORDERED list, first-true-wins per matched row
+    # (the SQL standard's evaluation rule) — round 11 widened the
+    # grammar to the conditional forms (r10-VERDICT item 2) ----------------
     clauses = m.group("clauses")
-    if re.search(r"WHEN\s+(?:NOT\s+)?MATCHED\s+AND\b", clauses, re.IGNORECASE):
+    frags = _split_outside_quotes(clauses, r"\bWHEN\b")
+    if frags and not frags[0].strip():
+        frags = frags[1:]
+    matched_clauses: list[tuple[str | None, str]] = []  # (pred, action)
+    sets: str | None = None
+    insert_pred: str | None = None
+    by_source_pred: str | None = None
+    have_insert = have_by_source = have_m_upd = have_m_del = False
+    for frag in frags:
+        fm = _MERGE_M_UPD_RE.match(frag)
+        if fm is not None:
+            if have_m_upd:
+                raise ValueError(
+                    "at most one WHEN MATCHED ... UPDATE clause is "
+                    "lowerable (two SET lists contending for one "
+                    "matched row)"
+                )
+            have_m_upd = True
+            sets = fm.group("sets").strip()
+            matched_clauses.append((fm.group("pred"), "update"))
+            continue
+        fm = _MERGE_M_DEL_RE.match(frag)
+        if fm is not None:
+            if have_m_del:
+                raise ValueError(
+                    "at most one WHEN MATCHED ... DELETE clause is "
+                    "lowerable (AND-conjoin the predicates instead)"
+                )
+            have_m_del = True
+            matched_clauses.append((fm.group("pred"), "delete"))
+            continue
+        fm = _MERGE_NM_INS_RE.match(frag)
+        if fm is not None:
+            if have_insert:
+                raise ValueError(
+                    "at most one WHEN NOT MATCHED ... INSERT clause "
+                    "is lowerable"
+                )
+            have_insert = True
+            insert_pred = fm.group("pred")
+            continue
+        fm = _MERGE_NMBS_DEL_RE.match(frag)
+        if fm is not None:
+            if have_by_source:
+                raise ValueError(
+                    "at most one WHEN NOT MATCHED BY SOURCE clause is "
+                    "lowerable"
+                )
+            have_by_source = True
+            by_source_pred = fm.group("pred")
+            continue
         raise ValueError(
-            "conditional MERGE clauses (WHEN [NOT] MATCHED AND ...) "
-            "are not lowerable; filter the source SELECT instead"
+            f"unsupported MERGE clause 'WHEN {frag.strip()}'; "
+            "lowerable clauses: WHEN MATCHED [AND <pred>] THEN UPDATE "
+            "SET * | col = s.col[, ...], WHEN MATCHED [AND <pred>] "
+            "THEN DELETE, WHEN NOT MATCHED [AND <pred>] THEN INSERT "
+            "*, WHEN NOT MATCHED BY SOURCE [AND <pred>] THEN DELETE "
+            "(predicates: flat AND-conjunctions of [alias.]col <op> "
+            "literal)"
         )
-    if re.search(r"WHEN\s+MATCHED\s+THEN\s+DELETE\b", clauses, re.IGNORECASE):
-        raise ValueError(
-            "a MERGE delete is a retention decision — use DELETE FROM "
-            "with an explicit key set or predicate (the S19 contract)"
-        )
-    if re.search(r"NOT\s+MATCHED\s+BY\s+SOURCE\b", clauses, re.IGNORECASE):
-        raise ValueError(
-            "WHEN NOT MATCHED BY SOURCE is not lowerable (it turns "
-            "the merge into a full-table diff); express deletions "
-            "through DELETE FROM"
-        )
-    mm = _MERGE_MATCHED_RE.search(clauses)
-    nm = _MERGE_NOTMATCHED_RE.search(clauses)
-    leftover = clauses
-    for hit in (mm, nm):
-        if hit is not None:
-            leftover = leftover.replace(hit.group(0), " ", 1)
-    if leftover.strip():
-        raise ValueError(
-            f"unsupported MERGE clause text {leftover.strip()!r}; "
-            "lowerable clauses: WHEN MATCHED THEN UPDATE SET * | "
-            "col = s.col[, ...] and WHEN NOT MATCHED THEN INSERT *"
-        )
-    if mm is None and nm is None:
+    if not (matched_clauses or have_insert or have_by_source):
         raise ValueError("MERGE needs at least one WHEN clause")
-    if mm is not None and table_name == "documents":
+    # two matched clauses: the FIRST must carry a predicate, or the
+    # second can never fire (the standard's only-last-unconditional
+    # rule, stated here as a refusal instead of a silent dead clause)
+    if len(matched_clauses) == 2 and matched_clauses[0][0] is None:
+        raise ValueError(
+            "unreachable MERGE clause: with two WHEN MATCHED clauses, "
+            "every one but the LAST needs AND <predicate> — an "
+            "unconditional first clause consumes every matched row"
+        )
+    if have_m_upd and table_name == "documents":
         raise ValueError(
             "documents are immutable by key (the S19 erasure "
             "contract); MERGE INTO documents supports WHEN NOT "
-            "MATCHED THEN INSERT * only — publish changed content "
-            "under a NEW doc_id and DELETE the old one"
+            "MATCHED THEN INSERT * and the DELETE clauses — publish "
+            "changed content under a NEW doc_id and DELETE the old one"
         )
     set_items: list[tuple[str, str]] | None = None  # (target col, source col)
     set_star = False
-    if mm is not None:
-        sets = mm.group("sets").strip()
+    if have_m_upd:
+        assert sets is not None
         if sets == "*":
             set_star = True
         else:
@@ -1235,7 +1491,7 @@ def _merge(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
             )
         src = src.withColumnRenamed(skey, key)
         got = set(src.columns)
-    needs_full = set_star or nm is not None
+    needs_full = set_star or have_insert
     if needs_full:
         missing = [c for c in want if c not in got]
         if missing:
@@ -1308,30 +1564,95 @@ def _merge(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
             ]
         )
 
+    # -- route the MATCHED rows through the ordered clauses ----------------
+    # One (stored ⋈ source) PAIR frame serves every matched clause —
+    # both sides prefixed so predicates can test either (the source
+    # keys are distinct, so pairs are 1:1 by key); the batch side
+    # broadcasts, so this is still the one stored scan. A predicate
+    # that evaluates NULL neither fires its clause nor blocks later
+    # ones (coalesce to false on BOTH branches — SQL's rule).
     parts: list[DataFrame] = []
-    n_matched = 0
-    if set_star:
-        upd = src.join(F.broadcast(matched_keys), key, "left_semi")
-        n_matched = upd.count()
-        if n_matched:
-            parts.append(_aligned(upd))
-    elif set_items is not None:
-        overrides = src.select(
-            key,
-            *[
-                F.col(sc).cast(schema[tc].dataType).alias(f"__mrg_{tc}")
-                for tc, sc in set_items
-            ],
+    del_key_parts: list[DataFrame] = []
+    upd = None
+    if matched_clauses:
+        stored_m = cur.join(F.broadcast(matched_keys), key, "left_semi")
+        pair = stored_m.select(
+            *[F.col(c).alias(f"__t_{c}") for c in want]
+        ).join(
+            F.broadcast(
+                src.select(
+                    *[F.col(c).alias(f"__s_{c}") for c in src.columns]
+                )
+            ),
+            F.col(f"__t_{key}") == F.col(f"__s_{key}"),
         )
-        upd = cur.join(F.broadcast(overrides), key, "inner")
-        for tc, _sc in set_items:
-            upd = upd.withColumn(tc, F.col(f"__mrg_{tc}"))
+        remaining = pair
+        for pred_text, action in matched_clauses:
+            if pred_text is None:
+                take, remaining = remaining, remaining.filter(F.lit(False))
+            else:
+                p = F.coalesce(
+                    _merge_clause_pred(
+                        pred_text, schema, table_name, talias, salias,
+                        set(src.columns),
+                        lambda c: f"__t_{c}", lambda c: f"__s_{c}",
+                    ),
+                    F.lit(False),
+                )
+                take, remaining = remaining.filter(p), remaining.filter(~p)
+            if action == "update":
+                over = dict(set_items or [])
+                upd = take.select(
+                    *[
+                        (
+                            F.col(f"__s_{f.name if set_star else over[f.name]}")
+                            if set_star or f.name in over
+                            else F.col(f"__t_{f.name}")
+                        ).cast(f.dataType).alias(f.name)
+                        for f in schema.fields
+                    ]
+                )
+            else:
+                del_key_parts.append(
+                    take.select(F.col(f"__t_{key}").alias(key))
+                )
+    if have_by_source:
+        # stored keys the source does NOT carry (one stored scan,
+        # anti-joined against the broadcast batch), pred over the
+        # stored row only
+        unmatched_stored = cur.join(
+            F.broadcast(src.select(key)), key, "left_anti"
+        )
+        if by_source_pred is not None:
+            unmatched_stored = unmatched_stored.filter(
+                F.coalesce(
+                    _merge_clause_pred(
+                        by_source_pred, schema, table_name, talias,
+                        salias, set(src.columns), lambda c: c, None,
+                    ),
+                    F.lit(False),
+                )
+            )
+        del_key_parts.append(unmatched_stored.select(key))
+    n_matched = 0
+    if upd is not None:
         n_matched = upd.count()
         if n_matched:
             parts.append(_aligned(upd))
     n_inserted = 0
-    if nm is not None:
+    if have_insert:
         ins = src.join(F.broadcast(matched_keys), key, "left_anti")
+        if insert_pred is not None:
+            # pred over the SOURCE row — there is no stored side here
+            ins = ins.filter(
+                F.coalesce(
+                    _merge_clause_pred(
+                        insert_pred, schema, table_name, talias,
+                        salias, set(src.columns), None, lambda c: c,
+                    ),
+                    F.lit(False),
+                )
+            )
         # report what actually ENTERS the warehouse: tombstoned ids
         # and (for completeness) sub-watermark rows are dropped by
         # refresh's own filters — subtract them before counting, the
@@ -1342,23 +1663,62 @@ def _merge(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
         n_inserted = ins.count()
         if n_inserted:
             parts.append(_aligned(ins))
+    # Pin the delete keys and the upsert batch BEFORE any mutation:
+    # both derive from the live stored relation, and the delete's
+    # tombstone swing would otherwise change what a lazy plan reads.
+    n_deleted = 0
+    del_keys = None
+    if del_key_parts:
+        del_keys = del_key_parts[0]
+        for p in del_key_parts[1:]:
+            del_keys = del_keys.unionByName(p)
+        del_keys = del_keys.localCheckpoint(eager=True)
+        n_deleted = del_keys.count()
+    batch = None
+    if parts:
+        batch = parts[0]
+        for p in parts[1:]:
+            batch = batch.unionByName(p)
+        batch = batch.localCheckpoint(eager=True)
     schema_str = (
         "table_name string, n_matched bigint, n_inserted bigint, "
-        "layouts_refreshed int"
+        "n_deleted bigint, layouts_refreshed int"
     )
-    if not parts:
+    if batch is None and not n_deleted:
+        # a no-op merge records no version (same as before round 11)
         return spark.createDataFrame(
-            [(table_name, n_matched, n_inserted, 0)], schema_str
+            [(table_name, n_matched, n_inserted, 0, 0)], schema_str
         )
-    batch = parts[0]
-    for p in parts[1:]:
-        batch = batch.unionByName(p)
-    batch = batch.localCheckpoint(eager=True)
+    # ONE commit for the whole statement (Delta's MERGE semantics):
+    # the delete side rides the S19 machinery — tombstones, cascaded
+    # lineitems, affected-group cube rebuilds, and the erasure
+    # contract (a MERGE-deleted key stays deleted) — and the
+    # update/insert batch rides refresh_warehouse, both inside one
+    # outer WarehouseTxn, so a failure anywhere rolls back everything
+    # and history gains exactly one 'merge <table>' version. Delete
+    # FIRST: the key sets are disjoint (first-true-wins routing), so
+    # the upsert never resurrects a just-deleted key, and the staged
+    # S23b deltas accumulate into the one commit's change set.
     from ..sources.maintenance import refresh_warehouse
+    from ..sources.retention import delete_documents, delete_orders
+    from ..sources.txn import WarehouseTxn
 
-    done = refresh_warehouse(spark, sf_dir, **{table_name: batch})
+    done: dict[str, str] = {}
+    with WarehouseTxn(spark, sf_dir, note=f"merge {table_name}"):
+        if n_deleted:
+            delete = (
+                delete_documents
+                if table_name == "documents"
+                else delete_orders
+            )
+            done.update(delete(spark, sf_dir, del_keys))
+        if batch is not None:
+            done.update(
+                refresh_warehouse(spark, sf_dir, **{table_name: batch})
+            )
     return spark.createDataFrame(
-        [(table_name, n_matched, n_inserted, len(done))], schema_str
+        [(table_name, n_matched, n_inserted, n_deleted, len(done))],
+        schema_str,
     )
 
 
@@ -1689,6 +2049,118 @@ def q33_sql_merge_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+_MERGE_CDC_ORACLE = """
+WITH post AS (
+  SELECT o_orderkey,
+    CASE WHEN o_orderkey % 151 = 1 THEN '9-CDC'
+         ELSE o_orderpriority END AS o_orderpriority,
+    o_totalprice
+  FROM orders WHERE o_orderkey % 151 <> 0
+  UNION ALL SELECT 900000001, '9-CDC', 77000.0
+)
+SELECT o_orderpriority, COUNT(*) AS n,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM post GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+@query(
+    "q11_sql_merge_cdc",
+    oracle=_MERGE_CDC_ORACLE,
+    tags=("E1f", "S21", "S19", "S23", "A1"),
+)
+def q11_sql_merge_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1f conditional clauses end to end (round 11, r10-VERDICT item
+    2): ONE MERGE statement applies a CDC changelog — deletes (``WHEN
+    MATCHED AND s.op = 'D' THEN DELETE``, riding the S19 machinery
+    with its lineitem cascade), updates (the unconditional MATCHED
+    clause catches what the delete clause passed over —
+    first-true-wins), and inserts (``NOT MATCHED AND s.op <> 'D'``,
+    so an absent-key delete is the changelog no-op it should be) —
+    committed as ONE ``merge orders`` version. The post-state
+    priority profile matches DuckDB recomputing it read-only:
+    modulo-151 keys deleted, modulo-151-remainder-1 keys repointed to
+    '9-CDC', one new order added. Re-running the statement is
+    idempotent (redelivered rows are byte-identical; the deleted keys
+    are no longer in the source's FROM)."""
+    from ..catalog import TABLES
+    from ..engine import Engine
+    from ..sources.retention import _demo_corpus
+
+    demo = _demo_corpus(spark, sf_dir, TABLES, demo="merge_cdc")
+    eng = Engine(spark, demo)
+    eng.sql(
+        "MERGE INTO orders AS t USING ("
+        "  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,"
+        "    o_orderdate, o_orderpriority, 'D' AS op"
+        "  FROM orders WHERE o_orderkey % 151 = 0"
+        "  UNION ALL"
+        "  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,"
+        "    o_orderdate, '9-CDC', 'U'"
+        "  FROM orders WHERE o_orderkey % 151 = 1"
+        "  UNION ALL"
+        "  SELECT CAST(900000001 AS BIGINT), CAST(1 AS BIGINT), 'O',"
+        "    CAST(77000.0 AS DOUBLE), TIMESTAMP '1996-01-02 00:00:00',"
+        "    '9-CDC', 'I'"
+        ") AS s ON t.o_orderkey = s.o_orderkey "
+        "WHEN MATCHED AND s.op = 'D' THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT *"
+    )
+    return eng.sql(
+        "SELECT o_orderpriority, COUNT(*) AS n, "
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) "
+        "AS total_price "
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    )
+
+
+_MERGE_PRUNE_ORACLE = """
+SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS total_chars, COUNT(*) AS n
+FROM documents WHERE doc_id % 7 <> 0
+GROUP BY lang ORDER BY lang
+"""
+
+
+@query(
+    "q45_sql_merge_prune",
+    oracle=_MERGE_PRUNE_ORACLE,
+    tags=("E1f", "S19", "S15", "A1"),
+)
+def q45_sql_merge_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1f's prune-to-source clause end to end (round 11): ``WHEN NOT
+    MATCHED BY SOURCE THEN DELETE`` retains exactly the batch's keys —
+    the standard full-load reconciliation (the source IS the truth;
+    stored keys it lacks are stale). Stored docs whose id the source
+    does not carry are tombstone-deleted through the S19 machinery,
+    the docs cube rebuilds its affected groups, and the post-prune
+    language profile — still answered FROM THE CUBE — matches DuckDB
+    filtering the base corpus read-only. Re-running is a no-op (the
+    second source equals the stored state, so nothing is unmatched)."""
+    from ..catalog import TABLES
+    from ..engine import Engine
+    from ..sources.corpus_cubes import docs_stats_cube_table
+    from ..sources.retention import _demo_corpus
+
+    demo = _demo_corpus(spark, sf_dir, TABLES, demo="merge_prune")
+    docs_stats_cube_table(spark, demo)
+    eng = Engine(spark, demo)
+    eng.sql(
+        "MERGE INTO documents USING ("
+        "  SELECT doc_id, text, lang, source, n_chars FROM documents"
+        "  WHERE doc_id % 7 <> 0"
+        ") s ON doc_id = s.doc_id "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE"
+    )
+    sel = (
+        "SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS total_chars, "
+        "COUNT(*) AS n FROM documents GROUP BY lang ORDER BY lang"
+    )
+    df, chosen = route_sql(spark, demo, sel)
+    assert chosen == "docs_stats_cube", chosen
+    return df
+
+
 def _delete(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
     """S19's DML surface, three lowerable forms:
 
@@ -1700,9 +2172,10 @@ def _delete(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
       (S19b): the retention watermark, directory pruning on the dated
       layout, exact stored-group drops on the hour cubes. T must be an
       hour boundary (expire_events' own contract enforces it).
-    - ``DELETE FROM documents|orders WHERE <col> <op> <literal>`` (one
-      simple comparison on a fixture column) derives its key set with
-      ONE scan of the current relation and rides the same S19
+    - ``DELETE FROM documents|orders WHERE <col> <op> <literal> [AND
+      ...]`` (a flat AND-conjunction of simple comparisons on fixture
+      columns — the round-10 ``_parse_where`` grammar) derives its key
+      set with ONE scan of the current relation and rides the same S19
       machinery — the derived keys are pinned before the transaction
       opens, and a re-issued DELETE whose keys are all tombstoned
       already no-ops without paying the txn snapshot.
@@ -1713,6 +2186,7 @@ def _delete(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
     from ..schemas import FIXTURE_SCHEMAS
     from ..sources.retention import TOMBSTONE_KEYS, delete_documents, delete_orders
 
+    sql = _strip_comments(sql)
     m = _DELETE_RE.match(sql)
     if m is not None:
         table_name = m.group("table").lower()
@@ -1777,9 +2251,10 @@ def _delete(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
     raise ValueError(
         "unsupported DELETE form; lowerable: DELETE FROM documents|orders "
         "WHERE <key> IN (id, ...), DELETE FROM documents|orders WHERE "
-        "<col> <op> <literal> (one simple comparison), DELETE FROM events "
-        "WHERE ts < '<hour boundary>' — for anything more general, select "
-        "the ids and call delete_documents/delete_orders with them"
+        "<col> <op> <literal> [AND ...] (a flat AND-conjunction of simple "
+        "comparisons), DELETE FROM events WHERE ts < '<hour boundary>' — "
+        "for anything more general, select the ids and call "
+        "delete_documents/delete_orders with them"
     )
 
 

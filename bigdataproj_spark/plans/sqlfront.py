@@ -1316,9 +1316,9 @@ ORDER BY r_name
 
 
 @query(
-    "q11_sql_count_distinct", oracle=_SQL_COUNT_DISTINCT, tags=("S13", "E1", "A2")
+    "r176_sql_count_distinct", oracle=_SQL_COUNT_DISTINCT, tags=("S13", "E1", "A2")
 )
-def q11_sql_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+def r176_sql_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COUNT(DISTINCT) through the front door, mixing a dimension-side
     target (n_name) with a fact-side one (l_suppkey) over the full
     chain. No cube stores the supplier-key value set, so the router

@@ -135,6 +135,27 @@ def _refresh_warehouse_body(
         # retention watermark are dropped from the batch — the cube
         # must never count rows the row-level paths subtract
         events = apply_event_watermark(spark, sf_dir, events)
+    # S23b (round 11): stage the commit's change rows beside the
+    # ledger entry — the POST-FILTER deltas are exactly the rows every
+    # layout will absorb. For the append-only tables the staged write
+    # doubles as the delta's MATERIALIZATION: the (possibly lazy,
+    # possibly expensive) delta plan evaluates once into the stored
+    # delta, and the ~6 downstream layout refreshes read that parquet
+    # instead of re-evaluating the plan each. Orders stage below in
+    # step 1, where the S21 conflict split classifies them.
+    from ..schemas import FIXTURE_SCHEMAS as _FS
+    from .snapshots import mark_cdf_staged, stage_changes
+
+    mark_cdf_staged(spark, sf_dir)
+    if lineitem is not None:
+        p = stage_changes(spark, sf_dir, "lineitem", lineitem, "insert")
+        lineitem = spark.read.schema(_FS["lineitem"]).parquet(p)
+    if documents is not None:
+        p = stage_changes(spark, sf_dir, "documents", documents, "insert")
+        documents = spark.read.schema(_FS["documents"]).parquet(p)
+    if events is not None:
+        p = stage_changes(spark, sf_dir, "events", events, "insert")
+        events = spark.read.schema(_FS["events"]).parquet(p)
     # 1. Dimension side first: the star cube's delta joins the stored
     #    denorm, so new orders must be visible there before any
     #    lineitem-driven cube refresh runs.
@@ -175,6 +196,19 @@ def _refresh_warehouse_body(
         old_conflicts = conflict_rows.exceptAll(
             orders.select(*ocols)
         ).localCheckpoint(eager=True)
+        # S23b: classify the batch for the stored delta — non-conflict
+        # keys are inserts; genuine updates stage pre/post images
+        # below once new_rows is derived (identical redeliveries are
+        # NO logical change: excluded from both sides, exactly what
+        # the state diff would conclude)
+        stage_changes(
+            spark, sf_dir, "orders",
+            orders.select(*ocols).join(
+                conflict_rows.select("o_orderkey").distinct(),
+                "o_orderkey", "anti",
+            ),
+            "insert",
+        )
         _roll, den = refresh_orders_denorm(
             spark, sf_dir, orders, has_update=has_key_conflict
         )
@@ -195,6 +229,12 @@ def _refresh_warehouse_body(
                     old_conflicts.select("o_orderkey"), "o_orderkey", "semi"
                 )
                 .localCheckpoint(eager=True)
+            )
+            stage_changes(
+                spark, sf_dir, "orders", old_conflicts, "update_preimage"
+            )
+            stage_changes(
+                spark, sf_dir, "orders", new_rows, "update_postimage"
             )
             for k, v in reattribute_order_updates(
                 spark, sf_dir, old_conflicts, new_rows
@@ -572,7 +612,11 @@ def gc_warehouse(
     # from history alone and the post-vacuum state is immediately
     # reachable to AS OF — the lazy "checkpoint" entry the next
     # mutation would otherwise write becomes this eager one.
-    from .snapshots import record_commit
+    from .snapshots import evict_pinned_memo, record_commit
 
     record_commit(spark, sf_dir, "vacuum")
+    # pruned versions' pinned-scan plans can never be probed again
+    # (round-10 VERDICT item 6): a long audit session stays bounded
+    # by the REACHABLE versions, not by every version it ever read
+    evict_pinned_memo(spark)
     return {"removed": removed, "bytes": freed}

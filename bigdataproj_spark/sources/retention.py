@@ -211,6 +211,10 @@ def delete_documents(spark: SparkSession, sf_dir: str, doc_ids) -> dict[str, str
             .join(fresh, "doc_id", "semi")
             .localCheckpoint(eager=True)
         )
+        # S23b: the deleted rows ARE the commit's change set
+        from .snapshots import stage_changes
+
+        stage_changes(spark, sf_dir, "documents", deleted, "delete")
         _publish_tombstones(spark, sf_dir, "documents", fresh)
         bump_mutation_epoch(spark, sf_dir, "documents")
         done: dict[str, str] = {}
@@ -310,6 +314,18 @@ def delete_orders(spark: SparkSession, sf_dir: str, order_keys) -> dict[str, str
             )
             .localCheckpoint(eager=True)
         )
+        # S23b: stage BOTH sides of the cascade before the tombstone
+        # swing hides them from the current relations — the orders
+        # rows die, and their lineitems go with them
+        from ..plans.routing import current_orders
+        from .snapshots import stage_changes
+
+        stage_changes(
+            spark, sf_dir, "orders",
+            current_orders(spark, sf_dir).join(fresh, "o_orderkey", "semi"),
+            "delete",
+        )
+        stage_changes(spark, sf_dir, "lineitem", deleted_li, "delete")
         _publish_tombstones(spark, sf_dir, "orders", fresh)
         bump_mutation_epoch(spark, sf_dir, "orders", "lineitem")
         done: dict[str, str] = {}
@@ -835,6 +851,19 @@ def expire_events(spark: SparkSession, sf_dir: str, before_ts: str) -> dict[str,
     with WarehouseTxn(spark, sf_dir, note="expire events"):
         from ..catalog import bump_mutation_epoch
 
+        # S23b: capture the newly-expired rows BEFORE the watermark
+        # swing subtracts them from the current relation — the dated
+        # layout's day-partition pruning keeps this scan O(expired
+        # days), not O(event log)
+        from .snapshots import stage_changes
+
+        stage_changes(
+            spark, sf_dir, "events",
+            current_events(spark, sf_dir).filter(
+                F.col("ts") < F.lit(cutoff).cast("timestamp")
+            ),
+            "delete",
+        )
         _wm_memo(spark)[(sf_dir, "events")] = cutoff
         bump_mutation_epoch(spark, sf_dir, "events")
         done: dict[str, str] = {}

@@ -179,6 +179,10 @@ class WarehouseTxn:
     # -- rollback ---------------------------------------------------------
     def _rollback(self) -> None:
         sd = self.spark.__dict__
+        # S23b: a failed batch's staged change deltas must not leak
+        # into the NEXT commit's ledger entry (their files go with the
+        # file cleanup below)
+        (sd.get("_bdp_cdf_pending") or {}).pop(self.sf_dir, None)
         for k in _STATE_KEYS:
             if self._snap.get(k) is None:
                 sd.pop(k, None)

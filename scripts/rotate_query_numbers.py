@@ -225,6 +225,23 @@ ROTATIONS: dict[str, dict[str, dict]] = {
             169: "q41",  # hybrid_rrf (L25 fusion)
         },
     },
+    # Round 11: the round's OWN feature stems enter in the round they
+    # landed (the r10/r10b two-pass discipline) — the conditional-
+    # MERGE rows (E1f-b: the CDC changelog apply and the
+    # prune-to-source clause). Evictees are r10-green, neither
+    # bench-tagged, families keep in-window siblings; every row over
+    # round-11-touched code (the DML front door, snapshots/staging,
+    # delete paths) stays in-window (detail in docs/QUERY_ROTATION.md).
+    "r11": {
+        "q": {
+            11: "r176",  # q11_sql_count_distinct (E1b/S13: q04/q10/q14 + q05..q07; A2 exact-distinct stays local)
+            45: "r177",  # q45_ann_lsh (L3: q29 exact cosine in-window + q41's dense leg; PQ local r137)
+        },
+        "r": {
+            174: "q11",  # sql_merge_cdc (E1f-b: one-statement changelog apply)
+            175: "q45",  # sql_merge_prune (E1f-b: NOT MATCHED BY SOURCE delete)
+        },
+    },
 }
 
 SKIP = {

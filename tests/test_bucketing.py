@@ -374,7 +374,15 @@ def test_stream_ingest_maintains_pricing_cube(spark, sf_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # a False return means the stream did NOT drain in time: fail as
+    # TIMEOUT, not as a confusing row-count mismatch from reading a
+    # half-maintained cube (round-10 VERDICT item 5 — this test flaked
+    # exactly that way under host load)
+    assert q.awaitTermination(120), (
+        "TIMEOUT: the availableNow stream did not drain within 120 s "
+        "(slow host?); the cube comparison below would read a "
+        "partially-maintained state"
+    )
 
     keys = ["l_returnflag", "l_linestatus", "l_shipdate"]
     got = (

@@ -232,9 +232,62 @@ def test_orders_update_delete_sequence_matches_duckdb(
     for step in range(6):
         op = rng.choice(
             ["update_keys", "update_pred", "delete_keys", "merge_upsert",
-             "update_conj", "update_arith"]
+             "update_conj", "update_arith", "merge_cdc"]
         )
-        if op == "merge_upsert":
+        if op == "merge_cdc":
+            # round 11: conditional MERGE clauses — ONE statement
+            # applies a changelog slice (matched DELETE by the source's
+            # op column, unconditional UPDATE for the rest, predicated
+            # INSERT); the model applies the equivalent
+            # DELETE+UPDATE+INSERT decomposition
+            mod = rng.randint(101, 149)
+            d_keys = [
+                r[0]
+                for r in con.execute(
+                    "SELECT o_orderkey FROM orders "
+                    f"WHERE o_orderkey % {mod} = 5 LIMIT 8"
+                ).fetchall()
+            ]
+            u_keys = [
+                r[0]
+                for r in con.execute(
+                    "SELECT o_orderkey FROM orders "
+                    f"WHERE o_orderkey % {mod} = 6 LIMIT 8"
+                ).fetchall()
+            ]
+            if not d_keys or not u_keys:
+                continue
+            dks = ", ".join(str(k) for k in d_keys)
+            uks = ", ".join(str(k) for k in u_keys)
+            prio = rng.choice(("9-CDC-A", "9-CDC-B"))
+            eng.sql(
+                "MERGE INTO orders USING ("
+                "SELECT o_orderkey, o_custkey, o_orderstatus, "
+                "o_totalprice, o_orderdate, o_orderpriority, 'D' AS op "
+                f"FROM orders WHERE o_orderkey IN ({dks}) "
+                "UNION ALL SELECT o_orderkey, o_custkey, o_orderstatus, "
+                f"o_totalprice, o_orderdate, '{prio}', 'U' "
+                f"FROM orders WHERE o_orderkey IN ({uks}) "
+                f"UNION ALL SELECT CAST({next_ok} AS BIGINT), "
+                "CAST(1 AS BIGINT), 'O', CAST(88.0 AS DOUBLE), "
+                f"TIMESTAMP '1996-04-04 00:00:00', '{prio}', 'I'"
+                ") s ON o_orderkey = s.o_orderkey "
+                "WHEN MATCHED AND s.op = 'D' THEN DELETE "
+                "WHEN MATCHED THEN UPDATE SET * "
+                "WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT *"
+            )
+            con.execute(f"DELETE FROM lineitem WHERE l_orderkey IN ({dks})")
+            con.execute(f"DELETE FROM orders WHERE o_orderkey IN ({dks})")
+            con.execute(
+                f"UPDATE orders SET o_orderpriority = '{prio}' "
+                f"WHERE o_orderkey IN ({uks})"
+            )
+            con.execute(
+                f"INSERT INTO orders VALUES ({next_ok}, 1, 'O', 88.0, "
+                f"TIMESTAMP '1996-04-04 00:00:00', '{prio}')"
+            )
+            next_ok += 1
+        elif op == "merge_upsert":
             # the engine runs ONE MERGE; the model (DuckDB 1.0 has no
             # MERGE) applies the equivalent UPDATE + INSERT — the
             # exact decomposition E1f's lowering claims

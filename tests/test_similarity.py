@@ -34,7 +34,7 @@ def test_ann_results_are_subset_of_exact_topk(spark, sf_dir):
     exact (re-ranked), so it must appear in the exact top-20 of its
     probe (ANN searches a subset of candidates)."""
     exact = load_all()["q29_cosine_topk"].build(spark, sf_dir).collect()
-    ann = load_all()["q45_ann_lsh"].build(spark, sf_dir).collect()
+    ann = load_all()["r177_ann_lsh"].build(spark, sf_dir).collect()
     assert ann, "ANN should return candidates on the fixture"
     exact_cos = {
         (r["probe_id"], r["cand_id"]): r["cos_sim"] for r in exact

@@ -45,7 +45,7 @@ class TestCommitLedger:
         assert hist[1] == "ingest documents"
         assert hist[2] == "delete documents"
         assert hist[3] == "ingest orders"  # UPDATE rides refresh
-        assert hist[4] == "ingest orders"  # MERGE rides refresh
+        assert hist[4] == "merge orders"   # MERGE: one outer commit (r11)
         assert hist[5] == "expire events"
 
     def test_rolled_back_batch_leaves_no_version(
@@ -708,6 +708,131 @@ class TestTableChanges:
         assert by_commit[2] == {"delete"}
         assert {r._change_type for r in rows} <= {"insert", "delete"}
 
+    def test_mixed_batch_ingest_feeds_every_named_table(
+        self, spark, sf_dir, tmp_path
+    ):
+        """A MIXED ingest batch writes a comma-joined ledger note
+        ('ingest lineitem,orders' — refresh_warehouse's construction);
+        each named table's feed must carry its rows. Round-10 ADVICE
+        high #1: the single-name match classified such a commit as
+        touching NO table, silently dropping its rows from the feed."""
+        import datetime as dt
+
+        from bigdataproj_spark.schemas import FIXTURE_SCHEMAS
+
+        e = _sandbox(spark, sf_dir, tmp_path)
+        d = dt.datetime(1996, 1, 2)
+        li = spark.createDataFrame(
+            [(900000091, 1, 1, 1, 1.0, 100.0, 0.0, 0.0, "N", "O", d)],
+            FIXTURE_SCHEMAS["lineitem"],
+        )
+        od = spark.createDataFrame(
+            [(900000091, 1, "O", 10.0, d, "1-URGENT")],
+            FIXTURE_SCHEMAS["orders"],
+        )
+        e.ingest(lineitem=li, orders=od)  # ONE commit
+        hist = e.history().collect()
+        assert hist[-1].note == "ingest lineitem,orders"
+        v = hist[-1].version
+        li_rows = e.table_changes("lineitem", 0, v).collect()
+        assert [
+            (r._commit_version, r._change_type, r.l_orderkey)
+            for r in li_rows
+        ] == [(v, "insert", 900000091)]
+        od_rows = e.table_changes("orders", 0, v).collect()
+        assert [
+            (r._commit_version, r._change_type, r.o_orderkey)
+            for r in od_rows
+        ] == [(v, "insert", 900000091)]
+
+    def test_delete_orders_cascade_appears_in_lineitem_feed(
+        self, spark, sf_dir, tmp_path
+    ):
+        """'delete orders' CASCADES — the deleted orders' lineitem
+        rows go too (sources/retention.py delete_orders) — so the
+        LINEITEM feed must carry the cascaded deletions. Round-10
+        ADVICE high #2: _commit_touches('delete orders', 'lineitem')
+        returned False and the feed silently omitted them."""
+        e = _sandbox(spark, sf_dir, tmp_path)
+        k = table(spark, sf_dir, "lineitem").first().l_orderkey
+        n_li = (
+            table(spark, sf_dir, "lineitem")
+            .filter(F.col("l_orderkey") == k)
+            .count()
+        )
+        assert n_li >= 1
+        e.sql(f"DELETE FROM orders WHERE o_orderkey IN ({k})")
+        v = e.history().collect()[-1].version
+        li_rows = e.table_changes("lineitem", 0, v).collect()
+        assert len(li_rows) == n_li
+        assert {
+            (r._commit_version, r._change_type, r._commit_note, r.l_orderkey)
+            for r in li_rows
+        } == {(v, "delete", "delete orders", k)}
+        od_rows = e.table_changes("orders", 0, v).collect()
+        assert [
+            (r._change_type, r.o_orderkey) for r in od_rows
+        ] == [("delete", k)]
+
+    def test_stored_deltas_match_state_diff_fallback(
+        self, spark, sf_dir, tmp_path
+    ):
+        """S23b (round 11, r10-VERDICT item 1): every mutation verb
+        stages its change rows beside the commit, and table_changes
+        reads them O(|changes|). Stripping the stored deltas — forcing
+        the round-10 state-diff path — must yield the IDENTICAL feed
+        for every table: the storage swap changes cost, not content."""
+        e = _sandbox(spark, sf_dir, tmp_path)
+        e.sql(
+            "INSERT INTO orders VALUES (900000097, 1, 'O', 10.0, "
+            "TIMESTAMP '1996-01-01 00:00:00', '1-URGENT')"
+        )
+        e.sql(
+            "UPDATE orders SET o_totalprice = o_totalprice * 2 "
+            "WHERE o_orderkey = 900000097"
+        )
+        e.sql(
+            "INSERT INTO documents VALUES "
+            "(900000098, 'hallo welt', 'de', 'src97', 10)"
+        )
+        e.sql(
+            "INSERT INTO events VALUES (900000098, "
+            "TIMESTAMP '2024-01-09 10:15:00', 1, 'click', 1.5, '{}')"
+        )
+        e.sql("DELETE FROM orders WHERE o_orderkey IN (900000097)")
+        e.sql("DELETE FROM documents WHERE doc_id IN (900000098, 5)")
+        e.sql(
+            "DELETE FROM events WHERE ts < TIMESTAMP '2024-01-03 00:00:00'"
+        )
+        led = spark.__dict__["_bdp_snapshots"][e.sf_dir]
+        # every mutation commit carries its staged delta
+        assert all(
+            "cdf" in en
+            for en in led
+            if en["note"].startswith(("ingest", "delete", "expire"))
+        )
+        v = led[-1]["version"]
+
+        def feeds():
+            return {
+                t: sorted(
+                    tuple(r) for r in e.table_changes(t, 0, v).collect()
+                )
+                for t in ("orders", "documents", "events", "lineitem")
+            }
+
+        fast = feeds()
+        assert fast["orders"]  # sanity: the feed is not vacuously equal
+        stripped = {
+            en["version"]: en.pop("cdf") for en in led if "cdf" in en
+        }
+        try:
+            assert feeds() == fast
+        finally:
+            for en in led:
+                if en["version"] in stripped:
+                    en["cdf"] = stripped[en["version"]]
+
     def test_refusals(self, spark, sf_dir, tmp_path):
         e = _sandbox(spark, sf_dir, tmp_path)
         e.sql("DELETE FROM documents WHERE doc_id IN (3)")
@@ -755,6 +880,46 @@ class TestVersionMonotonicity:
         # and the vacuumed numbers stay errors forever
         with pytest.raises(ValueError, match="no reachable snapshot"):
             e.sql("SELECT COUNT(*) FROM documents FOR SYSTEM_VERSION AS OF 1")
+
+    def test_pinned_memo_stays_bounded_by_reachable_versions(
+        self, spark, sf_dir, tmp_path
+    ):
+        """Round-10 VERDICT item 6 / ADVICE item 5: the pinned-scan
+        memo used to grow for the session's lifetime, holding plans
+        for versions VACUUM/RESTORE had made unreachable (keys that
+        can never be probed again). After either verb, every surviving
+        memo key must match a file set some REACHABLE ledger entry
+        (any fixture's — the memo is session-global) still pins."""
+        from bigdataproj_spark.sources.maintenance import gc_warehouse
+
+        e = _sandbox(spark, sf_dir, tmp_path)
+        e.sql(
+            "INSERT INTO documents VALUES "
+            "(900000095, 'hello', 'en', 'src1', 5)"
+        )  # v1
+        e.sql("DELETE FROM documents WHERE doc_id IN (3)")  # v2
+        # row-level snapshot reads populate the pinned-scan memo
+        for v in (1, 2):
+            with e.as_of(v):
+                e.sql(
+                    "SELECT COUNT(*) AS n FROM documents "
+                    "WHERE doc_id >= 900000000"
+                ).collect()
+        sd = spark.__dict__
+
+        def _dangling() -> list:
+            memo = sd.get("_bdp_pinned_scan_memo") or {}
+            reachable = {
+                en["files"]
+                for led in (sd.get("_bdp_snapshots") or {}).values()
+                for en in led
+            }
+            return [k for k in memo if k[1] not in reachable]
+
+        e.sql("RESTORE TO VERSION AS OF 1")  # v2's plans unreachable
+        assert _dangling() == []
+        gc_warehouse(spark, e.sf_dir)  # ledger cleared: all old keys go
+        assert _dangling() == []
 
 
 class TestPairAppendPinning:

@@ -811,3 +811,74 @@ def test_streamed_erasure_requests_equal_one_shot_delete(
             table(spark, sf_dir, "documents").count() - len(all_ids)
         )
     assert frames["streamed"].equals(frames["oneshot"])
+
+
+def test_cdc_consumer_replay_equals_one_shot(spark, sf_dir, tmp_path):
+    """ST11 (round 11, r10-VERDICT item 3): the CDC → derived-table
+    pattern. A consumer bootstraps from the initial snapshot, then
+    tails table_changes after every commit, folding each increment
+    into a per-language profile — through inserts (new groups),
+    predicate deletes (bulk subtraction), a whole-group death, and a
+    MERGE prune-to-source. Golden: k-batch replay == one catch-up poll
+    over all commits == one-shot recompute from the final state, and a
+    caught-up consumer's re-poll is a no-op."""
+    from bigdataproj_spark.catalog import TABLES
+    from bigdataproj_spark.engine import Engine
+    from bigdataproj_spark.plans.corpus_routing import current_documents
+    from bigdataproj_spark.streaming.cdc import (
+        CdcConsumer,
+        bootstrap,
+        profile_from_state,
+    )
+
+    work = tmp_path / "w"
+    work.mkdir()
+    for t in TABLES:
+        table(spark, sf_dir, t).write.parquet(str(work / f"{t}.parquet"))
+    e = Engine(spark, str(work))
+    base_docs = current_documents(spark, str(work))
+    per = CdcConsumer(spark, str(work), str(tmp_path / "per_batch"))
+    lazy = CdcConsumer(spark, str(work), str(tmp_path / "lazy"))
+    for c in (per, lazy):
+        bootstrap(spark, c.table_dir, base_docs)
+
+    steps = (
+        # new docs incl. a NEW language group
+        "INSERT INTO documents VALUES "
+        "(900000301, 'aaa', 'en', 'src1', 3), "
+        "(900000302, 'bbbb', 'zz', 'src1', 4)",
+        # bulk predicate delete
+        "DELETE FROM documents WHERE doc_id <= 50",
+        # the zz group dies entirely (derived row must DROP)
+        "DELETE FROM documents WHERE lang = 'zz'",
+        # MERGE prune-to-source: one 'merge documents' commit
+        "MERGE INTO documents USING ("
+        "  SELECT doc_id, text, lang, source, n_chars FROM documents"
+        "  WHERE doc_id % 11 <> 0"
+        ") s ON doc_id = s.doc_id "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE",
+        "INSERT INTO documents VALUES "
+        "(900000303, 'ccccc', 'en', 'src2', 5)",
+    )
+    for stmt in steps:
+        e.sql(stmt)
+        assert per.poll() > 0  # every step fed the consumer
+    assert per.poll() == 0  # caught up: re-poll is a no-op
+    assert lazy.poll() > 0  # ONE catch-up poll over all five commits
+
+    def norm(pdf):
+        return (
+            pdf.sort_values("lang").reset_index(drop=True)[
+                ["lang", "total_chars", "n"]
+            ]
+        )
+
+    want = norm(
+        profile_from_state(
+            current_documents(spark, str(work))
+        ).toPandas()
+    )
+    assert norm(per.derived().toPandas()).equals(want)
+    assert norm(lazy.derived().toPandas()).equals(want)
+    # the dead group really dropped (matching the from-scratch build)
+    assert "zz" not in set(want["lang"])
