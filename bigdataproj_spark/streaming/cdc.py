@@ -39,31 +39,40 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# the derived table maintained here: the per-language corpus profile
-# (the docs cube's own shape — chosen so the golden test can compare
-# against a one-shot recompute with no modeling gap)
-_PROFILE_COLS = ("lang", "total_chars", "n")
+# The derived table maintained here is a grouped (SUM, COUNT)
+# aggregate — the shape of every cube in this engine — parameterized
+# by group/measure column so any fact table's feed can drive one
+# (documents per-language profile is the default and the golden
+# test's instance). Output schema: (<group_col>, total long, n long).
+# The measure must be INTEGRAL: the incremental fold is exact only
+# under exact arithmetic (the engine's standing determinism rule —
+# docs/DETERMINISM.md); a double measure (events.value) would need a
+# DECIMAL-cast fold to keep replay == one-shot bit-identical.
 
 
-def profile_from_state(docs: DataFrame) -> DataFrame:
-    """The one-shot build of the derived table from a documents
-    relation — the golden test's 'recompute from the final state'."""
-    return docs.groupBy("lang").agg(
-        F.sum("n_chars").cast("long").alias("total_chars"),
+def profile_from_state(
+    df: DataFrame, group_col: str = "lang", sum_col: str = "n_chars"
+) -> DataFrame:
+    """The one-shot build of the derived table from a base relation —
+    the golden test's 'recompute from the final state'."""
+    return df.groupBy(group_col).agg(
+        F.sum(sum_col).cast("long").alias("total"),
         F.count(F.lit(1)).alias("n"),
     )
 
 
-def _increment(changes: DataFrame) -> DataFrame:
-    """One feed window's change rows folded into signed per-language
+def _increment(
+    changes: DataFrame, group_col: str, sum_col: str
+) -> DataFrame:
+    """One feed window's change rows folded into signed per-group
     deltas: inserts and update postimages add, deletes and update
-    preimages subtract — so an update that moved a doc between
-    languages (or changed its length) nets out exactly."""
+    preimages subtract — so an update that moved a row between groups
+    (or changed its measure) nets out exactly."""
     sign = F.when(
         F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
     ).otherwise(F.lit(-1))
-    return changes.groupBy("lang").agg(
-        F.sum(sign * F.col("n_chars")).cast("long").alias("d_chars"),
+    return changes.groupBy(group_col).agg(
+        F.sum(sign * F.col(sum_col)).cast("long").alias("d_total"),
         F.sum(sign).cast("long").alias("d_n"),
     )
 
@@ -78,55 +87,70 @@ def _latest_version_dir(table_dir: str) -> tuple[int, str | None]:
     return best, (os.path.join(table_dir, f"v{best}") if best else None)
 
 
-def read_derived(spark: SparkSession, table_dir: str) -> DataFrame:
-    """The derived table's CURRENT version (empty before the first
-    apply)."""
+def read_derived(
+    spark: SparkSession, table_dir: str, group_col: str = "lang"
+) -> DataFrame | None:
+    """The derived table's CURRENT version, or None before the first
+    bootstrap/apply (the group column's type is whatever the bootstrap
+    wrote — no schema is assumed here)."""
     _v, path = _latest_version_dir(table_dir)
     if path is None:
-        return spark.createDataFrame(
-            [], "lang string, total_chars long, n long"
-        )
-    return spark.read.parquet(path).select(*_PROFILE_COLS)
+        return None
+    return spark.read.parquet(path).select(group_col, "total", "n")
 
 
 def apply_increment(
-    spark: SparkSession, table_dir: str, changes: DataFrame
+    spark: SparkSession,
+    table_dir: str,
+    changes: DataFrame,
+    group_col: str = "lang",
+    sum_col: str = "n_chars",
 ) -> str:
     """Merge one feed window's increments into the derived table:
     full-outer join of the stored aggregate with the signed deltas,
     coalesced sums, groups whose count reaches zero DROPPED (matching
     a from-scratch build, where a dead group simply has no row).
     Publishes a new version dir and returns its path."""
-    inc = _increment(changes)
-    stored = read_derived(spark, table_dir)
-    merged = (
-        stored.join(inc, "lang", "full_outer")
-        .select(
-            "lang",
+    inc = _increment(changes, group_col, sum_col)
+    stored = read_derived(spark, table_dir, group_col)
+    if stored is None:
+        merged = inc.select(
+            group_col,
+            F.col("d_total").alias("total"),
+            F.col("d_n").alias("n"),
+        )
+    else:
+        merged = stored.join(inc, group_col, "full_outer").select(
+            group_col,
             (
-                F.coalesce(F.col("total_chars"), F.lit(0))
-                + F.coalesce(F.col("d_chars"), F.lit(0))
-            ).cast("long").alias("total_chars"),
+                F.coalesce(F.col("total"), F.lit(0))
+                + F.coalesce(F.col("d_total"), F.lit(0))
+            ).cast("long").alias("total"),
             (
                 F.coalesce(F.col("n"), F.lit(0))
                 + F.coalesce(F.col("d_n"), F.lit(0))
             ).cast("long").alias("n"),
         )
-        .filter(F.col("n") > 0)
-    )
+    merged = merged.filter(F.col("n") > 0)
     v, _path = _latest_version_dir(table_dir)
     new_path = os.path.join(table_dir, f"v{v + 1}")
     merged.write.parquet(new_path)
     return new_path
 
 
-def bootstrap(spark: SparkSession, table_dir: str, docs: DataFrame) -> str:
+def bootstrap(
+    spark: SparkSession,
+    table_dir: str,
+    df: DataFrame,
+    group_col: str = "lang",
+    sum_col: str = "n_chars",
+) -> str:
     """Seed the derived table from the initial snapshot — the standard
     CDC bootstrap (snapshot once, then tail the feed from the version
     that snapshot saw). Publishes the profile as the first version."""
     v, _path = _latest_version_dir(table_dir)
     new_path = os.path.join(table_dir, f"v{v + 1}")
-    profile_from_state(docs).select(*_PROFILE_COLS).write.parquet(new_path)
+    profile_from_state(df, group_col, sum_col).write.parquet(new_path)
     return new_path
 
 
@@ -150,6 +174,8 @@ class CdcConsumer:
         table_dir: str,
         table: str = "documents",
         from_version: int | None = 0,
+        group_col: str = "lang",
+        sum_col: str = "n_chars",
     ):
         from ..sources.snapshots import _ledger
 
@@ -157,6 +183,8 @@ class CdcConsumer:
         self.sf_dir = sf_dir
         self.table_dir = table_dir
         self.table = table
+        self.group_col = group_col
+        self.sum_col = sum_col
         if from_version is None:
             led = _ledger(spark, sf_dir)
             from_version = led[-1]["version"] if led else 0
@@ -181,9 +209,18 @@ class CdcConsumer:
         ).localCheckpoint(eager=True)
         n = changes.count()
         if n:
-            apply_increment(self.spark, self.table_dir, changes)
+            apply_increment(
+                self.spark, self.table_dir, changes,
+                self.group_col, self.sum_col,
+            )
         self.consumed = head
         return n
 
     def derived(self) -> DataFrame:
-        return read_derived(self.spark, self.table_dir)
+        df = read_derived(self.spark, self.table_dir, self.group_col)
+        if df is None:
+            raise ValueError(
+                "the derived table has no version yet — bootstrap() it "
+                "from the initial snapshot (or poll() past a commit)"
+            )
+        return df

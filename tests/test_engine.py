@@ -622,8 +622,8 @@ class TestExecuteScript:
         # every DML statement committed its own version, in order
         notes = [r.note for r in e.sql("DESCRIBE HISTORY").collect()]
         assert notes == [
-            "base", "ingest orders", "ingest orders", "delete orders",
-        ]
+            "base", "ingest orders", "merge orders", "delete orders",
+        ]  # round 11: MERGE commits under its own note (one outer txn)
         import pytest as _pt
 
         with _pt.raises(ValueError, match="empty script"):

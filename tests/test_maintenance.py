@@ -494,11 +494,27 @@ def test_refresh_warehouse_failure_rolls_back_every_layout(
     # the failed batch's staged files are gone (uncommitted-file GC)
     leftover = _walk_files(wh) - wh_files
     assert not leftover, sorted(leftover)[:5]
+    # S23b: the failed batch's staged change deltas must not leak into
+    # the NEXT commit — pending cleared on rollback
+    assert sf_base not in (spark.__dict__.get("_bdp_cdf_pending") or {})
 
     # redelivery applies exactly once: every cube equals the same cube
     # deployed from scratch over the FULL corpus
     monkeypatch.undo()
     refresh_warehouse(spark, sf_base, **b2)
+    # ...and the redelivered commit's stored delta describes exactly
+    # the b2 batch: the feed's insert counts per table equal the batch
+    led = spark.__dict__["_bdp_snapshots"][sf_base]
+    assert set(led[-1].get("cdf", {})) == set(b2)
+    v_last = led[-1]["version"]
+    from bigdataproj_spark.sources.snapshots import table_changes
+
+    for t, delta in b2.items():
+        feed = table_changes(spark, sf_base, t, v_last - 1, v_last)
+        assert feed.count() == delta.count(), t
+        assert (
+            feed.filter(F.col("_change_type") != "insert").count() == 0
+        ), t
 
     def frames_equal(a, b, keys):
         pa = a.orderBy(*keys).toPandas()

@@ -869,7 +869,7 @@ def test_cdc_consumer_replay_equals_one_shot(spark, sf_dir, tmp_path):
     def norm(pdf):
         return (
             pdf.sort_values("lang").reset_index(drop=True)[
-                ["lang", "total_chars", "n"]
+                ["lang", "total", "n"]
             ]
         )
 
