@@ -923,7 +923,7 @@ def _strip_comments(text: str) -> str:
     before any slicing."""
     out = list(text)
     i, n = 0, len(text)
-    in_sq = False
+    in_sq = in_dq = False
     while i < n:
         c = text[i]
         if in_sq:
@@ -932,8 +932,17 @@ def _strip_comments(text: str) -> str:
                     i += 1
                 else:
                     in_sq = False
+        elif in_dq:
+            # double-quoted identifiers are code regions to the
+            # engine's _scan_code mask — a "--" inside one must not
+            # read as a comment here either, or the two scanners
+            # would disagree on the same span
+            if c == '"':
+                in_dq = False
         elif c == "'":
             in_sq = True
+        elif c == '"':
+            in_dq = True
         elif c == "-" and i + 1 < n and text[i + 1] == "-":
             while i < n and text[i] != "\n":
                 out[i] = " "
@@ -978,6 +987,31 @@ _CMP_RE = re.compile(
 )
 
 
+def _refuse_beyond_conjunction(where: str, ctx: str, or_hint: str) -> None:
+    """The shared grammar fence of every lowerable predicate (UPDATE/
+    DELETE WHERE and the MERGE clause predicates — one definition, so
+    the two grammars cannot drift): everything beyond a flat
+    AND-conjunction of simple comparisons refuses with a pointer."""
+    masked = _mask_quotes(where)
+    for kw, hint in (
+        ("OR", or_hint),
+        ("NOT", "negate the comparison instead (<> for NOT =)"),
+        ("BETWEEN", "spell it as two AND-ed comparisons "
+                    "(col >= lo AND col <= hi)"),
+    ):
+        if re.search(rf"\b{kw}\b", masked, re.IGNORECASE):
+            raise ValueError(
+                f"unsupported {kw} in {ctx}; lowerable: "
+                f"AND-conjunctions of simple comparisons — {hint}"
+            )
+    if "(" in masked or ")" in masked:
+        raise ValueError(
+            f"parenthesized predicates are not lowerable in {ctx}; "
+            "the grammar is a flat AND-conjunction of simple "
+            "comparisons (col <op> literal)"
+        )
+
+
 def _parse_where(where: str, schema, table_name: str):
     """Round 10 (r9-VERDICT item 4): an UPDATE/DELETE WHERE clause as
     a flat AND-conjunction of simple comparisons (``col <op>
@@ -986,25 +1020,11 @@ def _parse_where(where: str, schema, table_name: str):
     column — refuses with a pointer; the refusal discipline stays."""
     from pyspark.sql import functions as F
 
-    masked = _mask_quotes(where)
-    for kw, hint in (
-        ("OR", "an OR predicate is two statements — run one per "
-               "branch, or select the keys and use the key-list form"),
-        ("NOT", "negate the comparison instead (<> for NOT =)"),
-        ("BETWEEN", "spell it as two AND-ed comparisons "
-                    "(col >= lo AND col <= hi)"),
-    ):
-        if re.search(rf"\b{kw}\b", masked, re.IGNORECASE):
-            raise ValueError(
-                f"unsupported {kw} in the WHERE clause; lowerable: "
-                f"AND-conjunctions of simple comparisons — {hint}"
-            )
-    if "(" in masked or ")" in masked:
-        raise ValueError(
-            "parenthesized predicates are not lowerable; the grammar "
-            "is a flat AND-conjunction of simple comparisons "
-            "(col <op> literal)"
-        )
+    _refuse_beyond_conjunction(
+        where, "the WHERE clause",
+        "an OR predicate is two statements — run one per branch, or "
+        "select the keys and use the key-list form",
+    )
     pred = None
     for part in _split_outside_quotes(where, r"\bAND\b"):
         m = _CMP_RE.match(part)
@@ -1097,26 +1117,11 @@ def _merge_clause_pred(
     standing discipline."""
     from pyspark.sql import functions as F
 
-    masked = _mask_quotes(pred_text)
-    for kw, hint in (
-        ("OR", "an OR predicate is two MERGE statements — or filter "
-               "the source SELECT"),
-        ("NOT", "negate the comparison instead (<> for NOT =)"),
-        ("BETWEEN", "spell it as two AND-ed comparisons "
-                    "(col >= lo AND col <= hi)"),
-    ):
-        if re.search(rf"\b{kw}\b", masked, re.IGNORECASE):
-            raise ValueError(
-                f"unsupported {kw} in a MERGE clause predicate; "
-                f"lowerable: AND-conjunctions of simple comparisons — "
-                f"{hint}"
-            )
-    if "(" in masked or ")" in masked:
-        raise ValueError(
-            "parenthesized MERGE clause predicates are not lowerable; "
-            "the grammar is a flat AND-conjunction of simple "
-            "comparisons ([alias.]col <op> literal)"
-        )
+    _refuse_beyond_conjunction(
+        pred_text, "a MERGE clause predicate",
+        "an OR predicate is two MERGE statements — or filter the "
+        "source SELECT",
+    )
     pred = None
     for part in _split_outside_quotes(pred_text, r"\bAND\b"):
         qm = _QCMP_RE.match(part)

@@ -69,6 +69,7 @@ _QUERY_MODULES = (
     "bigdataproj_spark.plans.ddl",
     "bigdataproj_spark.sources.retention",
     "bigdataproj_spark.sources.snapshots",
+    "bigdataproj_spark.streaming.cdc",
 )
 
 

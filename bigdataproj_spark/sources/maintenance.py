@@ -31,6 +31,7 @@ individual layouts.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .bucketed import (
     append_bucketed_lineitem,
@@ -143,19 +144,40 @@ def _refresh_warehouse_body(
     # delta, and the ~6 downstream layout refreshes read that parquet
     # instead of re-evaluating the plan each. Orders stage below in
     # step 1, where the S21 conflict split classifies them.
+    from pyspark.sql.types import StringType, StructField, StructType
+
     from ..schemas import FIXTURE_SCHEMAS as _FS
     from .snapshots import mark_cdf_staged, stage_changes
+
+    def _staged_inserts(path: str, tname: str) -> DataFrame:
+        # Read back ONLY the insert rows just staged: inside a MERGE's
+        # outer txn the same (commit, table) delta dir may already
+        # hold the statement's DELETE rows (delete clauses run first),
+        # and a whole-dir read would re-ingest the just-deleted rows
+        # into every layout (found by round-11 self-review — the
+        # delete+insert documents MERGE is the standard full-load
+        # sync). The _change_type filter keeps the read-back exactly
+        # the frame this staging call wrote.
+        schema = StructType(
+            list(_FS[tname].fields)
+            + [StructField("_change_type", StringType())]
+        )
+        return (
+            spark.read.schema(schema).parquet(path)
+            .filter(F.col("_change_type") == "insert")
+            .select(*_FS[tname].fieldNames())
+        )
 
     mark_cdf_staged(spark, sf_dir)
     if lineitem is not None:
         p = stage_changes(spark, sf_dir, "lineitem", lineitem, "insert")
-        lineitem = spark.read.schema(_FS["lineitem"]).parquet(p)
+        lineitem = _staged_inserts(p, "lineitem")
     if documents is not None:
         p = stage_changes(spark, sf_dir, "documents", documents, "insert")
-        documents = spark.read.schema(_FS["documents"]).parquet(p)
+        documents = _staged_inserts(p, "documents")
     if events is not None:
         p = stage_changes(spark, sf_dir, "events", events, "insert")
-        events = spark.read.schema(_FS["events"]).parquet(p)
+        events = _staged_inserts(p, "events")
     # 1. Dimension side first: the star cube's delta joins the stored
     #    denorm, so new orders must be visible there before any
     #    lineitem-driven cube refresh runs.

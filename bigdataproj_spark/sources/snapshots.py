@@ -178,6 +178,11 @@ def pinned_parquet(
             # marker-only when the emptying rewrite is still the
             # latest state, so that infer failure gets a worded error
             # instead of Spark's "unable to infer schema".
+            if callable(schema):
+                # resolved ONLY here: the common (files-exist) path
+                # must stay one memo probe, not a catalog lookup per
+                # pinned read (round-11 self-review)
+                schema = schema()
             if schema is not None:
                 df = spark.createDataFrame([], schema)
             else:
@@ -241,12 +246,14 @@ def pinned_table(
         return None
     from .bucketed import _layout_paths
 
-    try:
-        declared = spark.table(name).schema
-    except Exception:
-        declared = None
+    def _declared():
+        try:
+            return spark.table(name).schema
+        except Exception:
+            return None
+
     _tag, wh = _layout_paths(sf_dir)
-    return pinned_parquet(spark, os.path.join(wh, name), schema=declared)
+    return pinned_parquet(spark, os.path.join(wh, name), schema=_declared)
 
 
 def _next_seq(spark: SparkSession, sf_dir: str) -> int:
@@ -1050,12 +1057,27 @@ def table_changes(
         # measured 50 s for a 3-commit feed over 7.5M orders at sf5.
         a_cnt = prev.groupBy(*cols).agg(F.count(F.lit(1)).alias("_a"))
         b_cnt = cur.groupBy(*cols).agg(F.count(F.lit(1)).alias("_b"))
+        # eqNullSafe per column, not a USING join: groupBy folds NULL
+        # values into ONE group on each side, so the join must pair
+        # those groups too — a plain full_outer never matches NULL
+        # keys and would report an unchanged NULL-bearing row as a
+        # phantom delete+insert pair at every diffed commit (round-11
+        # self-review, confirmed by live experiment; this is what the
+        # 'NULLs compare equal' bag semantics in the docstring MEANS)
+        a, b = a_cnt.alias("a"), b_cnt.alias("b")
+        cond = None
+        for c in cols:
+            eq = F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}"))
+            cond = eq if cond is None else (cond & eq)
         changed = (
-            a_cnt.join(b_cnt, cols, "full_outer")
+            a.join(b, cond, "full_outer")
             .select(
-                *cols,
-                F.coalesce(F.col("_a"), F.lit(0)).alias("_a"),
-                F.coalesce(F.col("_b"), F.lit(0)).alias("_b"),
+                *[
+                    F.coalesce(F.col(f"a.{c}"), F.col(f"b.{c}")).alias(c)
+                    for c in cols
+                ],
+                F.coalesce(F.col("a._a"), F.lit(0)).alias("_a"),
+                F.coalesce(F.col("b._b"), F.lit(0)).alias("_b"),
             )
             .filter(F.col("_a") != F.col("_b"))
             .localCheckpoint(eager=True)

@@ -120,15 +120,28 @@ def apply_increment(
             F.col("d_n").alias("n"),
         )
     else:
-        merged = stored.join(inc, group_col, "full_outer").select(
-            group_col,
+        # eqNullSafe, not a USING join: a NULL group value is one
+        # group to groupBy (profile_from_state folds it into one row),
+        # so the merge must match it too — a plain full_outer never
+        # matches NULL keys and would split the NULL group into
+        # duplicate stored/increment rows (round-11 self-review,
+        # confirmed by live experiment)
+        s, i = stored.alias("s"), inc.alias("i")
+        merged = s.join(
+            i,
+            F.col(f"s.{group_col}").eqNullSafe(F.col(f"i.{group_col}")),
+            "full_outer",
+        ).select(
+            F.coalesce(
+                F.col(f"s.{group_col}"), F.col(f"i.{group_col}")
+            ).alias(group_col),
             (
-                F.coalesce(F.col("total"), F.lit(0))
-                + F.coalesce(F.col("d_total"), F.lit(0))
+                F.coalesce(F.col("s.total"), F.lit(0))
+                + F.coalesce(F.col("i.d_total"), F.lit(0))
             ).cast("long").alias("total"),
             (
-                F.coalesce(F.col("n"), F.lit(0))
-                + F.coalesce(F.col("d_n"), F.lit(0))
+                F.coalesce(F.col("s.n"), F.lit(0))
+                + F.coalesce(F.col("i.d_n"), F.lit(0))
             ).cast("long").alias("n"),
         )
     merged = merged.filter(F.col("n") > 0)
@@ -162,10 +175,13 @@ class CdcConsumer:
     consumed version to the current head (the S23b stored deltas make
     this O(|changes since last poll|)), apply the increment, advance
     the watermark. Safe to call when nothing changed (no new commits
-    → no read, no write). A consumer created over an already-mutated
-    warehouse starts at the CURRENT head by default (from_version=None)
-    — maintaining history it never saw is the one-shot build's job —
-    or at an explicit version for replay-from-scratch."""
+    → no read, no write). The DEFAULT start is the current head
+    (``from_version=None``): a consumer created over an
+    already-mutated warehouse must bootstrap from the CURRENT
+    snapshot, and replaying commits that snapshot already contains
+    would double-count every group — pass an explicit version only
+    when bootstrapping from that version's state
+    (replay-from-scratch)."""
 
     def __init__(
         self,
@@ -173,7 +189,7 @@ class CdcConsumer:
         sf_dir: str,
         table_dir: str,
         table: str = "documents",
-        from_version: int | None = 0,
+        from_version: int | None = None,
         group_col: str = "lang",
         sum_col: str = "n_chars",
     ):
@@ -224,3 +240,61 @@ class CdcConsumer:
                 "from the initial snapshot (or poll() past a commit)"
             )
         return df
+
+
+# ---------------------------------------------------------------------------
+# Driver query: the consumer's maintained table vs DuckDB recomputing
+# the FINAL state read-only — "the increments fold to exactly what a
+# from-scratch build of the post-mutation corpus says".
+# ---------------------------------------------------------------------------
+
+from ..registry import query  # noqa: E402
+
+_CDC_CONSUMER_ORACLE = """
+SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS total, COUNT(*) AS n
+FROM (
+  SELECT lang, n_chars FROM documents WHERE doc_id > 40
+  UNION ALL SELECT 'en', 7
+)
+GROUP BY lang ORDER BY lang
+"""
+
+
+@query(
+    "r178_cdc_consumer_profile",
+    oracle=_CDC_CONSUMER_ORACLE,
+    tags=("ST11", "S23", "S19", "A1"),
+)
+def r178_cdc_consumer_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST11 end to end (round 11, r10-VERDICT item 3): a CDC consumer
+    bootstraps the per-language profile from the pristine corpus, then
+    polls the change feed after each of three commits — an INSERT
+    (including a brand-new 'zz' language group), a bulk predicate
+    DELETE, and a whole-group DELETE that kills 'zz' again — folding
+    each increment into the maintained table. The returned DERIVED
+    table (never rebuilt from the base) matches DuckDB recomputing the
+    final state read-only: base docs above the deleted id range plus
+    the surviving insert."""
+    import os
+
+    from ..catalog import TABLES
+    from ..engine import Engine
+    from ..plans.corpus_routing import current_documents
+    from ..sources.retention import _demo_corpus
+
+    demo = _demo_corpus(spark, sf_dir, TABLES, demo="cdc_consumer")
+    eng = Engine(spark, demo)
+    consumer = CdcConsumer(
+        spark, demo, os.path.join(demo, "cdc_derived")
+    )
+    bootstrap(spark, consumer.table_dir, current_documents(spark, demo))
+    for stmt in (
+        "INSERT INTO documents VALUES "
+        "(900000501, 'sieben7', 'en', 'src97', 7), "
+        "(900000502, 'vier', 'zz', 'src97', 4)",
+        "DELETE FROM documents WHERE doc_id <= 40",
+        "DELETE FROM documents WHERE lang = 'zz'",
+    ):
+        eng.sql(stmt)
+        consumer.poll()
+    return consumer.derived().orderBy("lang")

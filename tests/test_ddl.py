@@ -1234,6 +1234,63 @@ class TestMergeDML:
         ).collect()[0].n
         assert n11 == 0
 
+    def test_full_load_sync_delete_plus_insert_one_statement(
+        self, spark, sf_dir, tmp_path
+    ):
+        """Round-11 self-review regression (the high finding): within
+        one MERGE's commit, the (commit, table) delta dir holds the
+        DELETE rows before the insert staging appends — the ingest
+        read-back must take ONLY the insert rows, or the just-deleted
+        docs re-enter every layout and the cube silently overcounts
+        against the raw paths. The standard full-load sync is exactly
+        this shape: BY SOURCE DELETE + NOT MATCHED INSERT."""
+        from bigdataproj_spark.sources.corpus_cubes import (
+            docs_stats_cube_table,
+        )
+
+        e = self._sandbox(spark, sf_dir, tmp_path)
+        docs_stats_cube_table(spark, e.sf_dir)
+        n0 = e.sql(
+            "SELECT COUNT(*) AS n FROM documents", routed=False
+        ).collect()[0].n
+        n_low = e.sql(
+            "SELECT COUNT(*) AS n FROM documents WHERE doc_id <= 30",
+            routed=False,
+        ).collect()[0].n
+        assert n_low >= 1
+        out = e.sql(
+            "MERGE INTO documents USING ("
+            "  SELECT doc_id, text, lang, source, n_chars"
+            "  FROM documents WHERE doc_id > 30"
+            "  UNION ALL"
+            "  SELECT CAST(900000021 AS BIGINT), 'neu', 'en', 'src1',"
+            "    CAST(3 AS BIGINT)"
+            ") s ON doc_id = s.doc_id "
+            "WHEN NOT MATCHED BY SOURCE THEN DELETE "
+            "WHEN NOT MATCHED THEN INSERT *"
+        ).collect()[0]
+        assert (out.n_deleted, out.n_inserted) == (n_low, 1)
+        n_after = e.sql(
+            "SELECT COUNT(*) AS n FROM documents", routed=False
+        ).collect()[0].n
+        assert n_after == n0 - n_low + 1
+        # the deleted docs are gone from EVERY path and the cube
+        # agrees with raw bit-for-bit (no re-ingested delete rows)
+        sql = (
+            "SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS total_chars, "
+            "COUNT(*) AS n FROM documents GROUP BY lang ORDER BY lang"
+        )
+        df, chosen = route_sql(spark, e.sf_dir, sql)
+        assert chosen == "docs_stats_cube", chosen
+        assert df.toPandas().equals(e.sql(sql, routed=False).toPandas())
+        # and the one commit's feed shows exactly deletes + the insert
+        v = e.history().collect()[-1].version
+        feed = e.table_changes("documents", v - 1, v).collect()
+        kinds = {}
+        for r in feed:
+            kinds[r._change_type] = kinds.get(r._change_type, 0) + 1
+        assert kinds == {"delete": n_low, "insert": 1}
+
     def test_merge_refusals(self, eng):
         with pytest.raises(ValueError, match="append-only"):
             eng.sql(

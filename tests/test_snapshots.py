@@ -833,6 +833,38 @@ class TestTableChanges:
                 if en["version"] in stripped:
                     en["cdf"] = stripped[en["version"]]
 
+    def test_null_fields_never_phantom_in_fallback_diff(
+        self, spark, sf_dir, tmp_path
+    ):
+        """Round-11 self-review regression: the fallback state diff's
+        count join must pair NULL-bearing rows (groupBy folds NULLs
+        into one group per side — eqNullSafe, not a USING join), or an
+        UNCHANGED row with a NULL field phantom-reports as an
+        update_preimage/postimage pair at every diffed commit."""
+        e = _sandbox(spark, sf_dir, tmp_path)
+        e.sql(
+            "INSERT INTO documents VALUES "
+            "(900000411, NULL, 'en', 'src1', 0)"
+        )  # v1: a NULL text field
+        e.sql(
+            "INSERT INTO documents VALUES "
+            "(900000412, 'x', 'en', 'src1', 1)"
+        )  # v2: unrelated commit — must NOT re-report 900000411
+        led = spark.__dict__["_bdp_snapshots"][e.sf_dir]
+        v = led[-1]["version"]
+        stripped = {
+            en["version"]: en.pop("cdf") for en in led if "cdf" in en
+        }
+        try:
+            rows = e.table_changes("documents", 0, v).collect()
+        finally:
+            for en in led:
+                if en["version"] in stripped:
+                    en["cdf"] = stripped[en["version"]]
+        assert [
+            (r._commit_version, r._change_type, r.doc_id) for r in rows
+        ] == [(1, "insert", 900000411), (2, "insert", 900000412)]
+
     def test_refusals(self, spark, sf_dir, tmp_path):
         e = _sandbox(spark, sf_dir, tmp_path)
         e.sql("DELETE FROM documents WHERE doc_id IN (3)")

@@ -882,3 +882,30 @@ def test_cdc_consumer_replay_equals_one_shot(spark, sf_dir, tmp_path):
     assert norm(lazy.derived().toPandas()).equals(want)
     # the dead group really dropped (matching the from-scratch build)
     assert "zz" not in set(want["lang"])
+
+
+def test_cdc_fold_null_group_merges_into_one_row(spark, tmp_path):
+    """Round-11 self-review regression: the increment merge must be
+    NULL-safe on the group key — groupBy folds NULL group values into
+    ONE group, so the stored/increment join must pair them too (a
+    plain full_outer never matches NULL keys and would split the NULL
+    group into duplicate rows, compounding every poll)."""
+    from bigdataproj_spark.streaming.cdc import apply_increment, read_derived
+
+    tdir = str(tmp_path / "d")
+    ddl = "lang string, n_chars long, _change_type string"
+    apply_increment(
+        spark, tdir,
+        spark.createDataFrame(
+            [(None, 5, "insert"), ("en", 3, "insert")], ddl
+        ),
+    )
+    apply_increment(
+        spark, tdir,
+        spark.createDataFrame([(None, 2, "insert")], ddl),
+    )
+    rows = {
+        r.lang: (r.total, r.n)
+        for r in read_derived(spark, tdir).collect()
+    }
+    assert rows == {None: (7, 2), "en": (3, 1)}
