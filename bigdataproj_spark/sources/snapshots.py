@@ -862,6 +862,16 @@ def stage_changes(
         c = seqs.get(sf_dir, 0) + 1
         seqs[sf_dir] = c
         path = os.path.join(wh, f"cdf_{table_name}_{tag}_c{c}")
+        # the counter is SESSION-scoped: a new session over the same
+        # warehouse (crash before VACUUM collected the old session's
+        # dirs) restarts at c1, and appending into a stale dir would
+        # report the old session's rows as this commit's change set
+        # (round 12, r11-ADVICE item 2) — the first staging of a
+        # (commit, table) owns its dir outright
+        if os.path.isdir(path):
+            import shutil
+
+            shutil.rmtree(path)
         pend[table_name] = path
     df.write.mode("append").parquet(path)
     return path

@@ -38,8 +38,17 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
 
 from bigdataproj_spark.testing import compare_frames
 
+# optional subset: DRIVE_ONLY=q34_table_changes,r178_... (iteration aid;
+# the round gate is always the full run)
+import os
+
+only = {s for s in os.environ.get("DRIVE_ONLY", "").split(",") if s}
+if only:
+    missing = only - set(qs)
+    assert not missing, f"DRIVE_ONLY names not in registry: {missing}"
+
 fails = []
-for name in sorted(qs):
+for name in sorted(only or qs):
     t0 = time.time()
     try:
         spd = qs[name](spark, SF).toPandas()

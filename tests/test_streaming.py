@@ -884,6 +884,113 @@ def test_cdc_consumer_replay_equals_one_shot(spark, sf_dir, tmp_path):
     assert "zz" not in set(want["lang"])
 
 
+def test_cdc_watermark_resume_atomic_publish_and_stale_dir(
+    spark, sf_dir, tmp_path
+):
+    """Round 12 (r11-ADVICE items 1-3): the CDC consumer's durability
+    contract. (a) A stale ``cdf_*`` dir left by a prior session's
+    crash (the session counter restarts at c1) is removed on first
+    staging, so the feed reports only THIS commit's rows. (b) Each
+    publish is staged-then-swing with the consumed watermark inside
+    the renamed dir: junk tmp leftovers are never served and are
+    cleaned by the next publish. (c) A RECONSTRUCTED consumer with
+    the default from_version resumes from the recorded watermark —
+    commits between the last poll and reconstruction are replayed,
+    never skipped."""
+    import os
+
+    from bigdataproj_spark.catalog import TABLES
+    from bigdataproj_spark.engine import Engine
+    from bigdataproj_spark.plans.corpus_routing import current_documents
+    from bigdataproj_spark.sources.bucketed import _layout_paths
+    from bigdataproj_spark.streaming.cdc import (
+        CdcConsumer,
+        _latest_version_dir,
+        profile_from_state,
+        read_derived,
+        recorded_watermark,
+    )
+
+    work = tmp_path / "w"
+    work.mkdir()
+    for t in TABLES:
+        table(spark, sf_dir, t).write.parquet(str(work / f"{t}.parquet"))
+    e = Engine(spark, str(work))
+
+    # (a) stale delta dir at the path the FIRST staging will use
+    tag, wh = _layout_paths(str(work))
+    os.makedirs(wh, exist_ok=True)
+    c_next = spark.__dict__.get("_bdp_cdf_seq", {}).get(str(work), 0) + 1
+    stale = os.path.join(wh, f"cdf_documents_{tag}_c{c_next}")
+    spark.createDataFrame(
+        [(123456789, "junk from prior session", "xx", "src0", 23, "insert")],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long, _change_type string",
+    ).write.parquet(stale)
+
+    tdir = str(tmp_path / "derived")
+    con = CdcConsumer(spark, str(work), tdir)
+    con.bootstrap()
+    assert recorded_watermark(tdir) == con.consumed
+    e.sql(
+        "INSERT INTO documents VALUES (900000701, 'abc', 'en', 'src1', 3)"
+    )
+    head1 = e.history().collect()[-1].version
+    feed = e.table_changes("documents", 0, head1).collect()
+    assert [(r.doc_id, r._change_type) for r in feed] == [
+        (900000701, "insert")
+    ]  # the stale dir's junk row is gone
+    assert con.poll() == 1
+    assert recorded_watermark(tdir) == head1
+
+    # (b) a crashed publish's tmp leftovers are never served
+    v, cur = _latest_version_dir(tdir)
+    junk_tmp = os.path.join(tdir, f"_tmp_v{v + 1}")
+    os.makedirs(junk_tmp)
+    with open(os.path.join(junk_tmp, "part-junk.parquet"), "w") as fh:
+        fh.write("not parquet")
+    assert _latest_version_dir(tdir) == (v, cur)
+    assert read_derived(spark, tdir) is not None
+
+    # (c) reconstruction resumes from the recorded watermark
+    e.sql("DELETE FROM documents WHERE doc_id = 900000701")
+    head2 = e.history().collect()[-1].version
+    con2 = CdcConsumer(spark, str(work), tdir)
+    assert con2.consumed == head1
+    assert con2.poll() == 1  # exactly the one commit since the watermark
+    assert recorded_watermark(tdir) == head2
+    assert not os.path.isdir(junk_tmp)  # retried publish cleaned it
+
+    def norm(pdf):
+        return (
+            pdf.sort_values("lang").reset_index(drop=True)[
+                ["lang", "total", "n"]
+            ]
+        )
+
+    want = norm(
+        profile_from_state(current_documents(spark, str(work))).toPandas()
+    )
+    assert norm(con2.derived().toPandas()).equals(want)
+
+
+def test_cdc_consumer_refuses_unwatermarked_table(spark, sf_dir, tmp_path):
+    """A derived table with versions but NO recorded watermark (it
+    predates sidecars) must refuse the default resume: nothing records
+    what it has folded in, and a guessed start could double-count."""
+    import pytest
+
+    from bigdataproj_spark.streaming.cdc import CdcConsumer, bootstrap
+
+    tdir = str(tmp_path / "legacy")
+    bootstrap(
+        spark, tdir,
+        spark.createDataFrame([("en", 3)], "lang string, n_chars long"),
+    )  # no consumed= → no sidecar, the pre-round-12 shape
+    with pytest.raises(ValueError, match="no recorded watermark"):
+        CdcConsumer(spark, sf_dir, tdir)
+
+
 def test_cdc_fold_null_group_merges_into_one_row(spark, tmp_path):
     """Round-11 self-review regression: the increment merge must be
     NULL-safe on the group key — groupBy folds NULL group values into
