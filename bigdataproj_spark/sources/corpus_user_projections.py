@@ -58,7 +58,18 @@ from .corpus_cubes import merge_partial_frames
 class _CorpusUserProjection:
     """Catalog entry: the router-facing CorpusProjection plus refresh
     metadata (the declaration, the dims the build joins, and the
-    current stored path, swung atomically on refresh)."""
+    current stored path, swung atomically on refresh).
+
+    ``maintained_by`` (round 12): ``"refresh"`` entries are kept
+    current SYNCHRONOUSLY by the mutation paths (refresh_warehouse
+    delta-merges ingests, the S19 delete/expiry paths rebuild
+    affected groups) and are therefore always servable; ``"cdc"``
+    entries are maintained ASYNCHRONOUSLY by a change-feed consumer
+    (streaming/cdc.py CdcProjectionConsumer) — the mutation hooks
+    must SKIP them (the next poll applies the same commits; a hook
+    rebuild would make the poll double-apply), and the router serves
+    them only while FRESH (no unconsumed commit touches their
+    table)."""
 
     name: str
     table: str
@@ -69,6 +80,7 @@ class _CorpusUserProjection:
     path: str
     base_path: str
     projection: CorpusProjection
+    maintained_by: str = "refresh"
 
 
 def _catalog(spark: SparkSession, sf_dir: str) -> dict[str, _CorpusUserProjection]:
@@ -80,8 +92,23 @@ def corpus_user_projections(
     spark: SparkSession, sf_dir: str
 ) -> list[CorpusProjection]:
     """The session's deployed corpus user projections, in deployment
-    order — consulted by route_corpus after the built-in cubes."""
-    return [u.projection for u in _catalog(spark, sf_dir).values()]
+    order — consulted by route_corpus after the built-in cubes.
+
+    CDC-maintained entries are offered only while FRESH: a commit
+    their consumer has not yet polled past that touches their table
+    makes the stored cube stale, and routing must never change an
+    answer — the router falls to the built-ins/raw until the next
+    poll catches up (streaming/cdc.py). Refresh-maintained entries
+    are synchronously current by construction and always offered."""
+    out = []
+    for u in _catalog(spark, sf_dir).values():
+        if u.maintained_by == "cdc":
+            from ..streaming.cdc import cdc_view_fresh
+
+            if not cdc_view_fresh(spark, sf_dir, u.table, u.path):
+                continue
+        out.append(u.projection)
+    return out
 
 
 def _partial_aggs(t: CorpusTable, measures: tuple[str, ...]) -> list:
@@ -295,5 +322,8 @@ def refresh_corpus_projections_for(
     return {
         name: refresh_corpus_projection(spark, sf_dir, name, delta)
         for name, u in list(_catalog(spark, sf_dir).items())
-        if u.table == table_name
+        # CDC-maintained views are fed by their consumer's poll, which
+        # will read this very commit from the feed — a hook refresh
+        # here would make that poll double-apply the delta
+        if u.table == table_name and u.maintained_by != "cdc"
     }

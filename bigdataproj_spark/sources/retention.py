@@ -247,7 +247,10 @@ def delete_documents(spark: SparkSession, sf_dir: str, doc_ids) -> dict[str, str
         from .corpus_user_projections import _build_cube, _catalog
 
         for name, u in list(_catalog(spark, sf_dir).items()):
-            if u.table != "documents":
+            if u.table != "documents" or u.maintained_by == "cdc":
+                # CDC-maintained views fold this delete from the
+                # change feed on their next poll (streaming/cdc.py) —
+                # rebuilding here would make that poll double-apply
                 continue
             from ..plans.corpus_routing import CORPUS_TABLES
 
@@ -886,7 +889,9 @@ def expire_events(spark: SparkSession, sf_dir: str, before_ts: str) -> dict[str,
         from .corpus_user_projections import _build_cube, _catalog
 
         for name, u in list(_catalog(spark, sf_dir).items()):
-            if u.table != "events":
+            if u.table != "events" or u.maintained_by == "cdc":
+                # CDC-maintained views consume the expiry from the
+                # feed on their next poll — same skip as documents
                 continue
             if u.time_key is not None:
                 stored = spark.read.parquet(u.path)

@@ -513,6 +513,11 @@ def as_of(spark: SparkSession, sf_dir: str, version: int):
         live_proj[root_key] = {n: (u, u.path) for n, u in cat.items()}
     sd[_ACTIVE_KEY] = True
     sd["_bdp_as_of_files"] = entry["files"]
+    # the pinned version NUMBER rides along for consumers that need
+    # "head as of this read" (the CDC-view freshness gate checks
+    # whether any commit up to the pinned version is unconsumed —
+    # streaming/cdc.py cdc_view_fresh)
+    sd["_bdp_as_of_version"] = version
     try:
         for k in _STATE_KEYS:
             snap = entry["state"].get(k)
@@ -549,6 +554,7 @@ def as_of(spark: SparkSession, sf_dir: str, version: int):
             # unpin BEFORE the exit re-point: the restored live views
             # must scan the full directories, not the snapshot listing
             sd.pop("_bdp_as_of_files", None)
+            sd.pop("_bdp_as_of_version", None)
             _repoint_views(spark, sf_dir, fact_names)
             if live_views_for is None:
                 sd.pop("_bdp_views_for", None)
@@ -556,6 +562,7 @@ def as_of(spark: SparkSession, sf_dir: str, version: int):
                 sd["_bdp_views_for"] = live_views_for
         finally:
             sd.pop("_bdp_as_of_files", None)
+            sd.pop("_bdp_as_of_version", None)
             sd[_ACTIVE_KEY] = False
 
 def restore_warehouse(spark: SparkSession, sf_dir: str, version: int) -> None:

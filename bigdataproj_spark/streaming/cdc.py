@@ -126,6 +126,16 @@ def _publish(
     return new_path
 
 
+def _version_watermark(version_dir: str) -> int | None:
+    """The consumed-through ledger version a SPECIFIC published
+    version dir records, or None (pre-sidecar dir)."""
+    try:
+        with open(os.path.join(version_dir, _WATERMARK_FILE)) as fh:
+            return int(fh.read().strip())
+    except (OSError, ValueError):
+        return None
+
+
 def recorded_watermark(table_dir: str) -> int | None:
     """The ledger version the CURRENT derived version has consumed
     through (the sidecar the atomic publish carries), or None when no
@@ -133,11 +143,61 @@ def recorded_watermark(table_dir: str) -> int | None:
     _v, path = _latest_version_dir(table_dir)
     if path is None:
         return None
-    try:
-        with open(os.path.join(path, _WATERMARK_FILE)) as fh:
-            return int(fh.read().strip())
-    except (OSError, ValueError):
-        return None
+    return _version_watermark(path)
+
+
+def _resolve_start(
+    spark: SparkSession, sf_dir: str, table_dir: str,
+    from_version: int | None,
+) -> int:
+    """The consumer-start resolution both consumer classes share —
+    see CdcConsumer's docstring for the (a)/(b)/(c) contract."""
+    from ..sources.snapshots import _ledger
+
+    if from_version is None:
+        from_version = recorded_watermark(table_dir)
+    if from_version is None:
+        if _latest_version_dir(table_dir)[1] is not None:
+            raise ValueError(
+                f"derived table {table_dir!r} has versions but no "
+                "recorded watermark (it predates watermark "
+                "sidecars) — nothing records which commits it has "
+                "folded in, so a default resume could double- or "
+                "under-count; pass from_version explicitly or "
+                "re-bootstrap into a fresh table_dir"
+            )
+        led = _ledger(spark, sf_dir)
+        from_version = led[-1]["version"] if led else 0
+    return from_version
+
+
+def cdc_view_fresh(
+    spark: SparkSession, sf_dir: str, table: str, version_dir: str
+) -> bool:
+    """Whether a CDC-maintained view version is CURRENT for reads:
+    its recorded watermark covers every table-touching commit up to
+    the read's head — the live ledger head normally, the pinned
+    version inside an ``as_of`` block (where the catalog path has
+    been spliced to that commit's published version). Commits the
+    consumer has not polled past that verifiably did not touch the
+    view's table (other tables' ingests, OPTIMIZE, VACUUM) do not
+    stale it. A pre-sidecar dir is never fresh (nothing records what
+    it folded in). O(#reachable commits) dict work — no I/O beyond
+    one small sidecar read."""
+    from ..sources.snapshots import _commit_touches, _ledger
+
+    w = _version_watermark(version_dir)
+    if w is None:
+        return False
+    led = _ledger(spark, sf_dir)
+    if not led:
+        return True
+    pin = spark.__dict__.get("_bdp_as_of_version")
+    head = pin if pin is not None else led[-1]["version"]
+    return not any(
+        w < e["version"] <= head and _commit_touches(e["note"], table)
+        for e in led
+    )
 
 
 def read_derived(
@@ -253,29 +313,13 @@ class CdcConsumer:
         group_col: str = "lang",
         sum_col: str = "n_chars",
     ):
-        from ..sources.snapshots import _ledger
-
         self.spark = spark
         self.sf_dir = sf_dir
         self.table_dir = table_dir
         self.table = table
         self.group_col = group_col
         self.sum_col = sum_col
-        if from_version is None:
-            from_version = recorded_watermark(table_dir)
-        if from_version is None:
-            if _latest_version_dir(table_dir)[1] is not None:
-                raise ValueError(
-                    f"derived table {table_dir!r} has versions but no "
-                    "recorded watermark (it predates watermark "
-                    "sidecars) — nothing records which commits it has "
-                    "folded in, so a default resume could double- or "
-                    "under-count; pass from_version explicitly or "
-                    "re-bootstrap into a fresh table_dir"
-                )
-            led = _ledger(spark, sf_dir)
-            from_version = led[-1]["version"] if led else 0
-        self.consumed = from_version
+        self.consumed = _resolve_start(spark, sf_dir, table_dir, from_version)
 
     def _head(self) -> int | None:
         from ..sources.snapshots import _ledger
@@ -285,9 +329,11 @@ class CdcConsumer:
 
     def bootstrap(self, df: DataFrame | None = None) -> str:
         """Seed the derived table from the CURRENT snapshot (or an
-        explicit ``df`` of it) and record this consumer's watermark in
-        the published version — the resume point a reconstructed
-        consumer picks up."""
+        explicit ``df`` of it), watermarked at the current ledger head
+        — the resume point a reconstructed consumer picks up."""
+        head = self._head()
+        if head is not None:
+            self.consumed = head
         if df is None:
             from ..plans.corpus_routing import current_corpus_table
 
@@ -330,6 +376,284 @@ class CdcConsumer:
         return df
 
 
+class CdcProjectionConsumer:
+    """ST11b (round 12, r11-VERDICT items 1+3): a change-feed consumer
+    maintaining a FIRST-CLASS engine object — a corpus user projection
+    in the S16 catalog, stored in the engine's standard partial-state
+    contract (exact int64 sums, per-measure non-null counts, min/max
+    partials, COUNT(*) — the same columns every built-in cube stores),
+    so ``route_corpus``/``Engine.sql`` answer matching statements from
+    it exactly as from any deployed materialized view. This is "a user
+    view maintained BY the feed": refresh-maintained views pay their
+    delta merge inside every mutation; this one decouples — mutations
+    commit at full speed, the consumer folds the accumulated changes
+    on ITS schedule, and the router serves the view only while FRESH
+    (no unconsumed table-touching commit — :func:`cdc_view_fresh`;
+    stale windows fall to the built-ins/raw, so routing never changes
+    an answer).
+
+    The fold family is wider than :class:`CdcConsumer`'s signed
+    SUM/COUNT (r11-VERDICT item 3): MIN/MAX (and AVG via sum+count)
+    are NON-invertible — a poll whose window deleted a group's max
+    row cannot derive the new max from the change rows. Per poll the
+    groups are split: groups touched ONLY by inserts take the
+    commutative-monoid merge (min/max are monotone under insert-only
+    — O(|changes|)); groups with any delete/update_preimage row are
+    RECOMPUTED from the head state restricted to exactly those groups
+    (the S19 affected-group pattern: broadcast semi on the drop-sized
+    group set — O(|rows of drop-touched groups|), never the corpus).
+    Replay == one-shot holds bit-exactly for every stored column; the
+    golden tests include a poll that deletes a group's max row.
+
+    Durability is :class:`CdcConsumer`'s contract verbatim: atomic
+    staged-then-swing publishes carrying the consumed watermark, and
+    default-start resume from the recorded watermark. Keys are the
+    fact table's OWN columns (dimension-attribute keys need the
+    registry join at fold time — declare a refresh-maintained view
+    via deploy_corpus_projection for those). A consumer whose
+    consumed version was undone by RESTORE cannot continue (its folds
+    include undone commits — ``table_changes`` refuses the
+    unreachable version); re-bootstrap into a fresh table_dir."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        sf_dir: str,
+        table_dir: str,
+        name: str,
+        table: str = "documents",
+        keys: tuple[str, ...] = ("lang",),
+        measures: tuple[str, ...] | None = None,
+        from_version: int | None = None,
+    ):
+        from ..plans.corpus_routing import CORPUS_TABLES
+
+        t = CORPUS_TABLES.get(table)
+        if t is None:
+            raise ValueError(
+                f"unknown corpus table {table!r} "
+                f"(CDC-maintained views cover {sorted(CORPUS_TABLES)})"
+            )
+        if not keys:
+            raise ValueError("a CDC-maintained view needs a group key")
+        for k in keys:
+            if k not in t.columns:
+                raise ValueError(
+                    f"CDC-maintained views group by the fact table's own "
+                    f"columns; {k!r} is not a column of {table!r} — a "
+                    "dimension-attribute key needs the registry join at "
+                    "fold time; declare a refresh-maintained view instead "
+                    "(deploy_corpus_projection)"
+                )
+        measures = (
+            tuple(measures) if measures is not None else tuple(t.measures)
+        )
+        for m in measures:
+            if m not in t.measures:
+                raise ValueError(
+                    f"unknown measure {m!r} on {table!r} "
+                    f"(deployable: {sorted(t.measures)})"
+                )
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self.table_dir = table_dir
+        self.name = name
+        self.table = table
+        self.keys = tuple(keys)
+        self.measures = measures
+        self.consumed = _resolve_start(spark, sf_dir, table_dir, from_version)
+        # a RESUMED consumer re-registers the existing derived table
+        # (a fresh session's catalog starts empty)
+        _v, path = _latest_version_dir(table_dir)
+        if path is not None:
+            self._register(path)
+
+    # -- catalog ----------------------------------------------------------
+    def _register(self, path: str) -> None:
+        from ..plans.corpus_routing import CorpusProjection, _StoredM
+        from ..sources.corpus_user_projections import (
+            _catalog,
+            _CorpusUserProjection,
+        )
+
+        cat = _catalog(self.spark, self.sf_dir)
+        name = self.name
+
+        def _open(s: SparkSession, d: str) -> DataFrame:
+            return s.read.parquet(cat[name].path)  # current version
+
+        proj = CorpusProjection(
+            name=f"user:{name}",
+            table=self.table,
+            attrs=frozenset(self.keys),
+            measures={
+                m: _StoredM(f"{m}_i", f"cnt_{m}", f"min_{m}_i", f"max_{m}_i")
+                for m in self.measures
+            },
+            count_star_col="cnt",
+            open=_open,
+        )
+        cat[name] = _CorpusUserProjection(
+            name, self.table, self.keys, self.measures, None, (),
+            path, self.table_dir, proj, maintained_by="cdc",
+        )
+
+    def _swing(self, new_path: str) -> None:
+        from ..sources.corpus_user_projections import _catalog
+
+        u = _catalog(self.spark, self.sf_dir).get(self.name)
+        if u is not None and u.maintained_by == "cdc":
+            u.path = new_path
+        # a DROPped view stays dropped — the files keep versioning for
+        # a consumer that re-registers later
+
+    # -- build ------------------------------------------------------------
+    def _partials(self, df: DataFrame) -> DataFrame:
+        from ..plans.corpus_routing import CORPUS_TABLES
+        from ..sources.corpus_user_projections import _partial_aggs
+
+        t = CORPUS_TABLES[self.table]
+        return df.groupBy(*self.keys).agg(*_partial_aggs(t, self.measures))
+
+    def _ns(self, lft: str, rgt: str):
+        """Null-safe equi condition on the group keys between two
+        aliased frames — groupBy folds NULL key values into one group,
+        so every key join here must pair them too (the round-11
+        eqNullSafe discipline)."""
+        cond = None
+        for k in self.keys:
+            eq = F.col(f"{lft}.{k}").eqNullSafe(F.col(f"{rgt}.{k}"))
+            cond = eq if cond is None else (cond & eq)
+        return cond
+
+    def bootstrap(self) -> str:
+        """Seed the view from the CURRENT state, watermarked at the
+        current ledger head, and register it in the S16 catalog."""
+        from ..plans.corpus_routing import current_corpus_table
+
+        head = self._head()
+        if head is not None:
+            self.consumed = head
+        path = _publish(
+            self._partials(
+                current_corpus_table(self.spark, self.sf_dir, self.table)
+            ),
+            self.table_dir,
+            consumed=self.consumed,
+        )
+        self._register(path)
+        return path
+
+    def _head(self) -> int | None:
+        from ..sources.snapshots import _ledger
+
+        led = _ledger(self.spark, self.sf_dir)
+        return led[-1]["version"] if led else None
+
+    def _read_stored(self) -> DataFrame:
+        _v, path = _latest_version_dir(self.table_dir)
+        if path is None:
+            raise ValueError(
+                "the derived view has no version yet — bootstrap() it "
+                "before polling"
+            )
+        return self.spark.read.parquet(path)
+
+    def derived(self) -> DataFrame:
+        """The stored partial-state cube (the bytes the router
+        serves); finalized values come from routed queries over it."""
+        return self._read_stored()
+
+    # -- the micro-batch --------------------------------------------------
+    def poll(self) -> int:
+        """Consume every commit since the last poll into the
+        maintained view; returns how many feed rows were applied."""
+        from ..sources.snapshots import table_changes
+
+        head = self._head()
+        if head is None or head <= self.consumed:
+            return 0
+        changes = table_changes(
+            self.spark, self.sf_dir, self.table, self.consumed, head
+        ).localCheckpoint(eager=True)
+        n = changes.count()
+        if n:
+            self._apply(changes, head)
+        self.consumed = head
+        return n
+
+    def _apply(self, changes: DataFrame, head: int) -> None:
+        from ..plans.corpus_routing import current_corpus_table
+        from ..sources.bucketed import merge_partial_frames
+        from ..sources.corpus_user_projections import _merge_cols
+
+        keys = list(self.keys)
+        stored = self._read_stored()
+        is_add = F.col("_change_type").isin("insert", "update_postimage")
+        adds = changes.filter(is_add)
+        # drop-touched groups: non-invertible partials (min/max) and
+        # dead-group detection need the head state for exactly these
+        affected = (
+            changes.filter(~is_add).select(*keys).distinct()
+            .localCheckpoint(eager=True)
+        )
+        have_affected = bool(affected.head(1))
+        if have_affected:
+            # adds landing in a drop-touched group are covered by that
+            # group's recompute — folding them too would double-count
+            adds = adds.alias("a").join(
+                F.broadcast(affected.alias("r")), self._ns("a", "r"),
+                "left_anti",
+            )
+        delta = self._partials(adds)
+        add_cols, min_cols, max_cols = _merge_cols(self.measures)
+        merged = merge_partial_frames(
+            stored, delta, self.keys, add_cols, min_cols, max_cols
+        )
+        if have_affected:
+            fact = current_corpus_table(self.spark, self.sf_dir, self.table)
+            recomputed = self._partials(
+                fact.alias("f").join(
+                    F.broadcast(affected.alias("r")), self._ns("f", "r"),
+                    "semi",
+                )
+            )
+            # splice: drop-touched groups replaced wholesale (a group
+            # with no surviving rows simply has no recomputed row —
+            # matching a from-scratch build)
+            merged = (
+                merged.alias("m")
+                .join(
+                    F.broadcast(affected.alias("r")), self._ns("m", "r"),
+                    "left_anti",
+                )
+                .unionByName(recomputed)
+            )
+        new_path = _publish(merged, self.table_dir, consumed=head)
+        self._swing(new_path)
+
+    def gc_versions(self, keep_last: int = 2) -> int:
+        """Remove superseded version dirs beyond the newest
+        ``keep_last`` (a reader planned against the previous version
+        may still be scanning it — same grace rationale as the
+        warehouse's VACUUM). Returns how many were removed."""
+        import shutil
+
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        if not os.path.isdir(self.table_dir):
+            return 0
+        versions = sorted(
+            int(e[1:])
+            for e in os.listdir(self.table_dir)
+            if e.startswith("v") and e[1:].isdigit()
+        )
+        doomed = versions[:-keep_last]
+        for v in doomed:
+            shutil.rmtree(os.path.join(self.table_dir, f"v{v}"))
+        return len(doomed)
+
+
 # ---------------------------------------------------------------------------
 # Driver query: the consumer's maintained table vs DuckDB recomputing
 # the FINAL state read-only — "the increments fold to exactly what a
@@ -346,6 +670,83 @@ FROM (
 )
 GROUP BY lang ORDER BY lang
 """
+
+
+_CDC_VIEW_ORACLE = """
+SELECT event_type, user_id,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+  CAST(MIN(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS min_value,
+  CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_value,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value)
+    AS avg_value,
+  COUNT(*) AS n
+FROM (
+  SELECT user_id, event_type, value FROM events
+  WHERE ts >= TIMESTAMP '2024-01-12 00:00:00'
+  UNION ALL SELECT 42, 'click', 999999.99
+  UNION ALL SELECT 900000042, 'click', 1.23
+)
+GROUP BY event_type, user_id
+ORDER BY event_type, user_id
+"""
+
+
+@query(
+    "r179_cdc_view_routed",
+    oracle=_CDC_VIEW_ORACLE,
+    tags=("ST11", "S16", "S23", "S19", "A1"),
+)
+def r179_cdc_view_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST11b end to end (round 12, r11-VERDICT items 1+3): a
+    CDC-maintained view is a first-class engine object. A
+    CdcProjectionConsumer bootstraps a per-(event_type, user_id)
+    activity profile — full partial contract: exact fixed-point sums,
+    counts, min/max — registers it in the S16 catalog, then polls the
+    feed after an INSERT (a new max for one group plus a brand-new
+    user group; pure monoid fold) and a TTL expiry (drop-touched
+    groups recomputed from the head state — min/max are
+    non-invertible). The final SELECT goes through the SQL front door
+    and is ANSWERED FROM THE VIEW (the built-in hourly cube cannot
+    fold a user_id grouping); DuckDB recomputes the final state
+    read-only."""
+    import os
+
+    from ..catalog import TABLES
+    from ..engine import Engine
+    from ..plans.sqlfront import route_sql
+    from ..sources.retention import _demo_corpus
+
+    demo = _demo_corpus(spark, sf_dir, TABLES, demo="cdc_view")
+    eng = Engine(spark, demo)
+    consumer = CdcProjectionConsumer(
+        spark, demo, os.path.join(demo, "cdc_user_activity"),
+        name="user_activity", table="events",
+        keys=("event_type", "user_id"), measures=("value",),
+    )
+    consumer.bootstrap()
+    for stmt in (
+        "INSERT INTO events VALUES "
+        "(900000001, TIMESTAMP '2024-01-28 12:00:00', 42, 'click', "
+        "999999.99, '{}'), "
+        "(900000002, TIMESTAMP '2024-01-28 12:30:00', 900000042, "
+        "'click', 1.23, '{}')",
+        "DELETE FROM events WHERE ts < '2024-01-12'",
+    ):
+        eng.sql(stmt)
+        consumer.poll()
+    sql = (
+        "SELECT event_type, user_id, "
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value, "
+        "CAST(MIN(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS min_value, "
+        "CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_value, "
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value) "
+        "AS avg_value, "
+        "COUNT(*) AS n FROM events GROUP BY event_type, user_id "
+        "ORDER BY event_type, user_id"
+    )
+    df, chosen = route_sql(spark, demo, sql)
+    assert chosen == "user:user_activity", chosen
+    return df
 
 
 @query(

@@ -991,6 +991,127 @@ def test_cdc_consumer_refuses_unwatermarked_table(spark, sf_dir, tmp_path):
         CdcConsumer(spark, sf_dir, tdir)
 
 
+def test_cdc_projection_consumer_replay_equals_one_shot(
+    spark, sf_dir, tmp_path
+):
+    """ST11b golden (round 12, r11-VERDICT items 1+3): the
+    projection-grade consumer's full partial contract — exact sums,
+    counts, AND the non-invertible min/max — replays to exactly the
+    one-shot build, through an insert that raises a group's max
+    (monoid path), a predicate delete that kills group MAX rows
+    (affected-group recompute path), a whole-group death, and a MERGE
+    prune. Per-batch polling == one catch-up poll == one-shot, on a
+    (lang, source) documents profile. Also pins the first-class-object
+    contract: the catalog entry is served only while FRESH, and the
+    synchronous mutation hooks leave the CDC-maintained view alone
+    (its path moves only when the consumer polls)."""
+    from bigdataproj_spark.catalog import TABLES
+    from bigdataproj_spark.engine import Engine
+    from bigdataproj_spark.plans.corpus_routing import current_documents
+    from bigdataproj_spark.sources.corpus_user_projections import (
+        _catalog,
+        corpus_user_projections,
+    )
+    from bigdataproj_spark.streaming.cdc import CdcProjectionConsumer
+
+    work = tmp_path / "w"
+    work.mkdir()
+    for t in TABLES:
+        table(spark, sf_dir, t).write.parquet(str(work / f"{t}.parquet"))
+    e = Engine(spark, str(work))
+    per = CdcProjectionConsumer(
+        spark, str(work), str(tmp_path / "per"), name="doc_profile",
+        keys=("lang", "source"), measures=("chars",),
+    )
+    lazy = CdcProjectionConsumer(
+        spark, str(work), str(tmp_path / "lazy"), name="doc_profile_lazy",
+        keys=("lang", "source"), measures=("chars",),
+    )
+    per.bootstrap()
+    lazy.bootstrap()
+
+    def served():
+        return {
+            p.name for p in corpus_user_projections(spark, str(work))
+        }
+
+    assert {"user:doc_profile", "user:doc_profile_lazy"} <= served()
+
+    steps = (
+        # a new max for (en, src1) + a brand-new zz group: monoid fold
+        "INSERT INTO documents VALUES "
+        "(900000401, 'x' , 'en', 'src1', 9999), "
+        "(900000402, 'bbbb', 'zz', 'src1', 4)",
+        # kills every group's largest rows: min/max must RECOMPUTE
+        "DELETE FROM documents WHERE n_chars >= 300",
+        # the zz group dies entirely (derived row must DROP)
+        "DELETE FROM documents WHERE lang = 'zz'",
+        # MERGE prune-to-source: a mixed 'merge documents' commit
+        "MERGE INTO documents USING ("
+        "  SELECT doc_id, text, lang, source, n_chars FROM documents"
+        "  WHERE doc_id % 11 <> 0"
+        ") s ON doc_id = s.doc_id "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE",
+    )
+    cat = _catalog(spark, str(work))
+    for stmt in steps:
+        path_before = cat["doc_profile"].path
+        e.sql(stmt)
+        # the synchronous hooks (refresh/delete/merge) skipped the
+        # CDC-maintained entry, and the router stops serving it until
+        # the consumer catches up
+        assert cat["doc_profile"].path == path_before
+        assert "user:doc_profile" not in served()
+        assert per.poll() > 0
+        assert cat["doc_profile"].path != path_before
+        assert "user:doc_profile" in served()
+    assert per.poll() == 0
+    assert lazy.poll() > 0  # one catch-up poll over all four commits
+
+    one_shot = per._partials(current_documents(spark, str(work)))
+
+    def norm(df):
+        pdf = df.toPandas()
+        cols = sorted(pdf.columns)
+        return (
+            pdf[cols]
+            .sort_values(["lang", "source"])
+            .reset_index(drop=True)
+        )
+
+    want = norm(one_shot)
+    assert norm(per.derived()).equals(want)
+    assert norm(lazy.derived()).equals(want)
+    # the killed maxes really shrank and the dead group really dropped
+    assert want["max_chars_i"].max() < 9999
+    assert "zz" not in set(want["lang"])
+
+
+def test_cdc_projection_consumer_refusals(spark, sf_dir, tmp_path):
+    """Declaration guards: dim-attribute keys, unknown measures, and
+    unknown tables refuse with worded reasons (a dim key needs the
+    registry join at fold time — that is deploy_corpus_projection's
+    territory)."""
+    import pytest
+
+    from bigdataproj_spark.streaming.cdc import CdcProjectionConsumer
+
+    with pytest.raises(ValueError, match="fact table's own columns"):
+        CdcProjectionConsumer(
+            spark, sf_dir, str(tmp_path / "a"), name="x",
+            keys=("source_category",),
+        )
+    with pytest.raises(ValueError, match="unknown measure"):
+        CdcProjectionConsumer(
+            spark, sf_dir, str(tmp_path / "b"), name="x",
+            keys=("lang",), measures=("no_such",),
+        )
+    with pytest.raises(ValueError, match="unknown corpus table"):
+        CdcProjectionConsumer(
+            spark, sf_dir, str(tmp_path / "c"), name="x", table="orders",
+        )
+
+
 def test_cdc_fold_null_group_merges_into_one_row(spark, tmp_path):
     """Round-11 self-review regression: the increment merge must be
     NULL-safe on the group key — groupBy folds NULL group values into
