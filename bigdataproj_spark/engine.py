@@ -30,6 +30,43 @@ import re as _re
 _ASOF_RE = _re.compile(
     r"\bFOR\s+SYSTEM_VERSION\s+AS\s+OF\s+(\d+)\b", _re.IGNORECASE
 )
+# S22b (round 12): the timestamp spelling. The keyword is matched on
+# the MASKED text (so the phrase inside a string literal is data); the
+# quoted timestamp itself is masked there, so it is read back from the
+# ORIGINAL text at the match end (_read_quoted).
+_ASOF_TS_RE = _re.compile(
+    r"\bFOR\s+SYSTEM_TIMESTAMP\s+AS\s+OF\b", _re.IGNORECASE
+)
+
+
+def _read_quoted(text: str, pos: int) -> tuple[str, int]:
+    """Read a single-quoted SQL literal (with ``''`` escapes) starting
+    at/after ``pos``; returns (value, end index just past the closing
+    quote). Raises with the expected-form hint otherwise."""
+    i, n = pos, len(text)
+    while i < n and text[i].isspace():
+        i += 1
+    if i >= n or text[i] != "'":
+        raise ValueError(
+            "FOR SYSTEM_TIMESTAMP AS OF expects a quoted timestamp "
+            "literal, e.g. FOR SYSTEM_TIMESTAMP AS OF "
+            "'2026-08-17 12:00:00'"
+        )
+    i += 1
+    out: list[str] = []
+    while i < n:
+        c = text[i]
+        if c == "'":
+            if i + 1 < n and text[i + 1] == "'":
+                out.append("'")
+                i += 2
+                continue
+            return "".join(out), i + 1
+        out.append(c)
+        i += 1
+    raise ValueError(
+        "unterminated timestamp literal after FOR SYSTEM_TIMESTAMP AS OF"
+    )
 
 
 def _scan_code(script: str):
@@ -132,7 +169,10 @@ class Engine:
 
     # -- E1: SQL ---------------------------------------------------------
     def sql(
-        self, query: str, routed: bool = True, as_of: int | None = None
+        self,
+        query: str,
+        routed: bool = True,
+        as_of: int | str | None = None,
     ) -> DataFrame:
         """Run SQL with all fixture tables registered as views.
 
@@ -182,9 +222,35 @@ class Engine:
             # comments, so 'FOR SYSTEM_VERSION AS OF 3' inside a
             # quoted value or a comment is data, never a pin; mask
             # spans are valid spans into the original (same length)
-            hits = list(_ASOF_RE.finditer(_mask_noncode(query)))
-            if hits:
+            masked = _mask_noncode(query)
+            hits = list(_ASOF_RE.finditer(masked))
+            ts_hits = list(_ASOF_TS_RE.finditer(masked))
+            if hits and ts_hits:
+                raise ValueError(
+                    "one snapshot pin per statement — FOR "
+                    "SYSTEM_VERSION and FOR SYSTEM_TIMESTAMP clauses "
+                    "cannot mix (the engine's snapshots are "
+                    "warehouse-wide)"
+                )
+            spans: list[tuple[int, int]] = []
+            versions: set[int] = set()
+            if ts_hits:
+                # S22b: each timestamp resolves against the ledger's
+                # per-commit wall clocks (sources/snapshots.py
+                # resolve_timestamp — latest commit with wall <= ts,
+                # pre-history refuses with the earliest-reachable hint)
+                from .sources.snapshots import resolve_timestamp
+
+                for h in ts_hits:
+                    val, end = _read_quoted(query, h.end())
+                    versions.add(
+                        resolve_timestamp(self.spark, self.sf_dir, val)
+                    )
+                    spans.append((h.start(), end))
+            elif hits:
                 versions = {int(m.group(1)) for m in hits}
+                spans = [(h.start(), h.end()) for h in hits]
+            if spans:
                 if len(versions) > 1:
                     raise ValueError(
                         "one snapshot version per statement — the "
@@ -194,15 +260,19 @@ class Engine:
                     )
                 as_of = versions.pop()
                 out, last = [], 0
-                for h in hits:
-                    out.append(query[last:h.start()])
+                for start, end in spans:
+                    out.append(query[last:start])
                     out.append(" ")
-                    last = h.end()
+                    last = end
                 out.append(query[last:])
                 query = "".join(out)
         if as_of is not None:
             from .sources.snapshots import as_of as _as_of
 
+            if isinstance(as_of, str):
+                from .sources.snapshots import resolve_timestamp
+
+                as_of = resolve_timestamp(self.spark, self.sf_dir, as_of)
             with _as_of(self.spark, self.sf_dir, as_of):
                 return self.sql(query, routed=routed).localCheckpoint(
                     eager=True
@@ -445,20 +515,34 @@ class Engine:
 
         return history_df(self.spark, self.sf_dir)
 
-    def as_of(self, version: int):
+    def as_of(self, version: int | None = None, timestamp: str | None = None):
         """Context manager pinning every read inside the block to the
         given committed version — the lazy-friendly twin of the
-        ``FOR SYSTEM_VERSION AS OF n`` SQL spelling (see sql())."""
-        from .sources.snapshots import as_of
+        ``FOR SYSTEM_VERSION AS OF n`` SQL spelling (see sql()).
+        S22b: ``timestamp=`` pins to the version that was current at
+        that wall-clock moment instead (``FOR SYSTEM_TIMESTAMP AS OF
+        '<ts>'``'s twin; resolution rules in
+        sources/snapshots.py resolve_timestamp)."""
+        from .sources.snapshots import as_of, resolve_timestamp
 
+        if (version is None) == (timestamp is None):
+            raise ValueError(
+                "as_of takes exactly one of version= or timestamp="
+            )
+        if timestamp is not None:
+            version = resolve_timestamp(self.spark, self.sf_dir, timestamp)
         return as_of(self.spark, self.sf_dir, version)
 
-    def table_changes(self, table: str, v1: int, v2: int) -> DataFrame:
+    def table_changes(
+        self, table: str, v1: int | str, v2: int | str
+    ) -> DataFrame:
         """S23: the change data feed — every row ``table`` gained or
         lost in each commit of ``(v1, v2]``, tagged with
         ``_change_type`` / ``_commit_version`` / ``_commit_note``
         (Delta's ``table_changes`` shape). SQL spelling:
-        ``SELECT * FROM table_changes('orders', 1, 3)``."""
+        ``SELECT * FROM table_changes('orders', 1, 3)``. S22b: either
+        bound may be a timestamp string — the window is then "changes
+        committed in ``(ts1, ts2]``"."""
         from .sources.snapshots import table_changes
 
         return table_changes(self.spark, self.sf_dir, table, v1, v2)

@@ -262,12 +262,19 @@ _MERGE_SET_ITEM_RE = re.compile(
 # S23 (round 10): the change-feed read verb. One canonical statement
 # shape; richer reads compose on Engine.table_changes' DataFrame.
 _TABLE_CHANGES_ANY_RE = re.compile(r"\btable_changes\s*\(", re.IGNORECASE)
+# each bound is a version number or (S22b, round 12) a quoted
+# timestamp — resolved by sources/snapshots.py resolve_timestamp
 _TABLE_CHANGES_RE = re.compile(
     r"^\s*SELECT\s+\*\s+FROM\s+table_changes\s*\(\s*"
-    r"'(?P<t>[A-Za-z_][A-Za-z0-9_]*)'\s*,\s*(?P<v1>\d+)\s*,\s*"
-    r"(?P<v2>\d+)\s*\)\s*;?\s*$",
+    r"'(?P<t>[A-Za-z_][A-Za-z0-9_]*)'\s*,\s*"
+    r"(?P<v1>\d+|'[^']*')\s*,\s*"
+    r"(?P<v2>\d+|'[^']*')\s*\)\s*;?\s*$",
     re.IGNORECASE,
 )
+
+
+def _cdf_bound(raw: str) -> int | str:
+    return raw[1:-1] if raw.startswith("'") else int(raw)
 
 # Round 11 (r10-VERDICT item 7): ALTER TABLE on the engine's tables
 # refuses with the written-down reason (docs/DECISIONS.md) instead of
@@ -448,15 +455,17 @@ def try_ddl(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame | None:
         if tm is None:
             raise ValueError(
                 "the change-feed spelling is SELECT * FROM "
-                "table_changes('<table>', v1, v2) — for projections, "
-                "filters, or joins over the feed, read it through "
-                "Engine.table_changes and compose on the DataFrame"
+                "table_changes('<table>', v1, v2) — each bound a "
+                "version number or a quoted timestamp; for "
+                "projections, filters, or joins over the feed, read "
+                "it through Engine.table_changes and compose on the "
+                "DataFrame"
             )
         from ..sources.snapshots import table_changes
 
         return table_changes(
             spark, sf_dir, tm.group("t").lower(),
-            int(tm.group("v1")), int(tm.group("v2")),
+            _cdf_bound(tm.group("v1")), _cdf_bound(tm.group("v2")),
         )
     if _OPTIMIZE_ANY_RE.match(sql):
         if _OPTIMIZE_RE.match(sql) is None:

@@ -316,6 +316,56 @@ def record_commit(spark: SparkSession, sf_dir: str, note: str) -> None:
     led.append(entry)
 
 
+def resolve_timestamp(spark: SparkSession, sf_dir: str, ts: str) -> int:
+    """S22b (round 12, r11-VERDICT item 2): resolve a wall-clock
+    timestamp to the committed version that was CURRENT at that
+    moment — the latest reachable commit with ``wall <= ts`` (Delta's
+    ``TIMESTAMP AS OF`` rule), against the per-commit wall clocks the
+    ledger has recorded since round 9. A timestamp BEFORE the earliest
+    reachable commit refuses with the earliest-reachable hint (there
+    is no state to serve — reachability is VACUUM-retention-bounded,
+    same contract as version numbers); a timestamp after the newest
+    commit answers the newest (the warehouse simply has not changed
+    since). Accepts ISO-8601 (``YYYY-MM-DD [HH:MM:SS[.ffffff]]``,
+    ``T`` separator and timezone offsets included); a NAIVE timestamp
+    is the session's local clock — the same clock ``time.time()``
+    stamps commits with."""
+    from datetime import datetime
+
+    try:
+        epoch = datetime.fromisoformat(ts.strip()).timestamp()
+    except ValueError:
+        raise ValueError(
+            f"unparseable timestamp {ts!r} — expected ISO-8601, e.g. "
+            "'2026-08-17 12:00:00' (fractional seconds and timezone "
+            "offsets accepted)"
+        ) from None
+    led = _ledger(spark, sf_dir)
+    if not led:
+        raise ValueError(
+            "no reachable snapshot versions (versions are recorded per "
+            "committed mutation and expire with VACUUM retention)"
+        )
+    best: int | None = None
+    for e in led:
+        if e["wall"] <= epoch:
+            best = e["version"]
+    if best is None:
+        first = led[0]
+        earliest = datetime.fromtimestamp(first["wall"]).isoformat(
+            sep=" ", timespec="microseconds"
+        )
+        raise ValueError(
+            f"timestamp {ts!r} predates the earliest reachable commit "
+            f"(version {first['version']}, committed {earliest}) — "
+            "earlier state is unreachable (expired with VACUUM "
+            "retention, or the warehouse did not exist yet); use "
+            f"'{earliest}' or later, or AS OF version "
+            f"{first['version']}"
+        )
+    return best
+
+
 def history(spark: SparkSession, sf_dir: str) -> list[dict[str, Any]]:
     """The reachable commits, oldest first: [{version, note, wall}]."""
     return [
@@ -737,6 +787,58 @@ def q40_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eng.sql(f"{_TT_PROFILE} FOR SYSTEM_VERSION AS OF {v}")
 
 
+_TT_TS_ORACLE = """
+SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS total_chars, COUNT(*) AS n
+FROM (
+  SELECT lang, n_chars FROM documents
+  UNION ALL SELECT 'en', 9
+  UNION ALL SELECT 'de', 6
+)
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@query(
+    "r180_sql_time_travel_ts",
+    oracle=_TT_TS_ORACLE,
+    tags=("S22", "S19", "S15", "A1"),
+)
+def r180_sql_time_travel_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S22b end to end (round 12, r11-VERDICT item 2): TIMESTAMP-based
+    time travel. An INSERT commits at wall w1, a predicate DELETE at
+    wall w2; ``FOR SYSTEM_TIMESTAMP AS OF`` a moment BETWEEN the two
+    resolves — against the ledger's per-commit wall clocks — to the
+    insert's version, and answers the profile as the warehouse
+    answered it then (delete invisible), still from the cube. The
+    oracle recomputes that historical state read-only."""
+    from datetime import datetime
+
+    from ..catalog import TABLES
+    from ..engine import Engine
+    from .corpus_cubes import docs_stats_cube_table
+    from .retention import _demo_corpus
+
+    demo = _demo_corpus(spark, sf_dir, TABLES, demo="time_travel_ts")
+    docs_stats_cube_table(spark, demo)
+    eng = Engine(spark, demo)
+    eng.sql(
+        "INSERT INTO documents VALUES "
+        "(900000011, 'neun char!', 'en', 'src97', 9), "
+        "(900000012, 'sechse', 'de', 'src98', 6)"
+    )
+    led = _ledger(spark, demo)
+    w1 = led[-1]["wall"]
+    eng.sql("DELETE FROM documents WHERE doc_id <= 100")
+    w2 = led[-1]["wall"]
+    between = datetime.fromtimestamp((w1 + w2) / 2).isoformat(
+        sep=" ", timespec="microseconds"
+    )
+    return eng.sql(
+        f"{_TT_PROFILE} FOR SYSTEM_TIMESTAMP AS OF '{between}'"
+    )
+
+
 _RESTORE_ORACLE = """
 SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS total_chars, COUNT(*) AS n
 FROM (
@@ -919,7 +1021,11 @@ def _commit_touches(note: str, table_name: str) -> bool:
 
 
 def table_changes(
-    spark: SparkSession, sf_dir: str, table_name: str, v1: int, v2: int
+    spark: SparkSession,
+    sf_dir: str,
+    table_name: str,
+    v1: int | str,
+    v2: int | str,
 ) -> DataFrame:
     """Delta-CDF-shaped change rows for a maintained fact table
     between two reachable committed versions: every row the table
@@ -931,6 +1037,13 @@ def table_changes(
     commit and deleted at a later one appears twice, exactly Delta's
     ``table_changes`` semantics. SQL spelling:
     ``SELECT * FROM table_changes('orders', 1, 3)``.
+
+    S22b (round 12): either bound may be a TIMESTAMP string instead
+    of a version — resolved by :func:`resolve_timestamp` (the version
+    current at that wall-clock moment), so the window reads "every
+    change committed in ``(ts1, ts2]``". SQL spelling:
+    ``table_changes('orders', '2026-08-17 12:00:00', '2026-08-18
+    12:00:00')`` (bounds may mix forms).
 
     Lowering: the commit ledger already holds everything needed — the
     serving state and pinned file listing of every reachable version —
@@ -985,6 +1098,10 @@ def table_changes(
             "table_changes cannot run inside an AS OF snapshot read "
             "(it pins versions itself)"
         )
+    if isinstance(v1, str):
+        v1 = resolve_timestamp(spark, sf_dir, v1)
+    if isinstance(v2, str):
+        v2 = resolve_timestamp(spark, sf_dir, v2)
     if v2 < v1:
         raise ValueError(f"table_changes wants v1 <= v2; got ({v1}, {v2})")
     led = _ledger(spark, sf_dir)

@@ -530,6 +530,23 @@ def test_time_travel_matches_versioned_duckdb_model(
             _TT_PROFILE.format(T=f"documents_v{v}")
         ).fetchdf()
         compare_frames(got, want, f"seed={seed} step={step} as_of={v}")
+        # S22b: the TIMESTAMP spelling resolves to the same version —
+        # probe a wall-clock moment strictly inside v's validity
+        # window (after v's commit, before the next commit's wall)
+        from datetime import datetime as _dt
+
+        walls = {x["version"]: x["wall"] for x in _ledger(spark, eng.sf_dir)}
+        later = [w for x, w in walls.items() if x > v]
+        hi_w = min(later) if later else walls[v] + 7200
+        ts = _dt.fromtimestamp(
+            walls[v] + (hi_w - walls[v]) * rng.uniform(0.1, 0.9)
+        ).isoformat(sep=" ", timespec="microseconds")
+        got_ts = eng.sql(
+            live_profile + f" FOR SYSTEM_TIMESTAMP AS OF '{ts}'"
+        ).toPandas()
+        compare_frames(
+            got_ts, want, f"seed={seed} step={step} ts_as_of={v}"
+        )
         # S23: the change feed between two random reachable versions
         # matches the model's per-commit snapshot diffs (documents are
         # immutable by key, so every change is an insert or a delete)

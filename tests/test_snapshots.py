@@ -253,6 +253,121 @@ class TestAsOfReads:
         assert n == 1
 
 
+class TestTimestampTravel:
+    """S22b (round 12, r11-VERDICT item 2): timestamp-based time
+    travel over the ledger's per-commit wall clocks."""
+
+    def _commits(self, spark, sf_dir, tmp_path):
+        from bigdataproj_spark.sources.snapshots import _ledger
+
+        e = _sandbox(spark, sf_dir, tmp_path)
+        e.sql(
+            "INSERT INTO documents VALUES "
+            "(900000001, 'hello', 'en', 'src1', 5)"
+        )
+        e.sql("DELETE FROM documents WHERE doc_id <= 50")
+        led = _ledger(spark, e.sf_dir)
+        return e, {x["version"]: x["wall"] for x in led}
+
+    @staticmethod
+    def _fmt(epoch):
+        from datetime import datetime
+
+        return datetime.fromtimestamp(epoch).isoformat(
+            sep=" ", timespec="microseconds"
+        )
+
+    def test_resolution_rules(self, spark, sf_dir, tmp_path):
+        from bigdataproj_spark.sources.snapshots import resolve_timestamp
+
+        e, walls = self._commits(spark, sf_dir, tmp_path)
+        versions = sorted(walls)
+        v_ins, v_del = versions[-2], versions[-1]
+        between = (walls[v_ins] + walls[v_del]) / 2
+        # between two commits → the older; exactly at a commit's wall
+        # → that commit; after the newest → the newest
+        assert resolve_timestamp(spark, e.sf_dir, self._fmt(between)) == v_ins
+        # just past a commit's wall (the wall itself truncates at
+        # microsecond formatting) → that commit
+        assert (
+            resolve_timestamp(
+                spark, e.sf_dir, self._fmt(walls[v_del] + 0.01)
+            )
+            == v_del
+        )
+        assert (
+            resolve_timestamp(
+                spark, e.sf_dir, self._fmt(walls[v_del] + 3600)
+            )
+            == v_del
+        )
+        # pre-history refuses with the earliest-reachable hint
+        with pytest.raises(ValueError, match="earliest reachable commit"):
+            resolve_timestamp(
+                spark, e.sf_dir, self._fmt(walls[versions[0]] - 3600)
+            )
+        with pytest.raises(ValueError, match="unparseable timestamp"):
+            resolve_timestamp(spark, e.sf_dir, "not-a-time")
+
+    def test_sql_spelling_matches_version_pin(self, spark, sf_dir, tmp_path):
+        e, walls = self._commits(spark, sf_dir, tmp_path)
+        versions = sorted(walls)
+        v_ins, v_del = versions[-2], versions[-1]
+        between = self._fmt((walls[v_ins] + walls[v_del]) / 2)
+        by_ts = e.sql(
+            f"{_PROFILE} FOR SYSTEM_TIMESTAMP AS OF '{between}'"
+        ).collect()
+        by_v = e.sql(f"{_PROFILE} FOR SYSTEM_VERSION AS OF {v_ins}").collect()
+        assert by_ts == by_v
+        # the context-manager twin and the as_of= kwarg agree
+        with e.as_of(timestamp=between):
+            in_block = e.sql(_PROFILE, routed=False).collect()
+        assert in_block == by_v
+        assert e.sql(_PROFILE, as_of=between).collect() == by_v
+        # mixing the two clause families refuses
+        with pytest.raises(ValueError, match="cannot mix"):
+            e.sql(
+                f"{_PROFILE} FOR SYSTEM_VERSION AS OF {v_ins} "
+                f"FOR SYSTEM_TIMESTAMP AS OF '{between}'"
+            )
+        # the phrase inside a string literal is data, never a pin
+        live = e.sql(
+            "SELECT COUNT(*) AS n FROM documents "
+            "WHERE text <> 'FOR SYSTEM_TIMESTAMP AS OF ''2026-01-01'''"
+        ).collect()[0].n
+        assert (
+            live
+            == e.sql("SELECT COUNT(*) AS n FROM documents").collect()[0].n
+        )
+        with pytest.raises(ValueError, match="exactly one of"):
+            e.as_of()
+        with pytest.raises(ValueError, match="exactly one of"):
+            e.as_of(v_ins, between)
+
+    def test_table_changes_timestamp_bounds(self, spark, sf_dir, tmp_path):
+        e, walls = self._commits(spark, sf_dir, tmp_path)
+        versions = sorted(walls)
+        v0, v_del = versions[0], versions[-1]
+        # just past each wall: the wall itself truncates at
+        # microsecond formatting (commits are far more than 10ms apart)
+        ts0 = self._fmt(walls[v0] + 0.01)
+        ts2 = self._fmt(walls[v_del] + 0.01)
+        by_v = e.table_changes("documents", v0, v_del).collect()
+        by_ts = e.table_changes("documents", ts0, ts2).collect()
+        assert by_ts == by_v
+        # mixed bounds + the SQL spelling with quoted timestamps
+        assert e.table_changes("documents", v0, ts2).collect() == by_v
+        sql_rows = e.sql(
+            "SELECT * FROM table_changes('documents', "
+            f"'{ts0}', '{ts2}')"
+        ).collect()
+        assert sql_rows == by_v
+        with pytest.raises(ValueError, match="earliest reachable commit"):
+            e.table_changes(
+                "documents", self._fmt(walls[v0] - 3600), ts2
+            )
+
+
 class TestVacuumRetention:
     def test_retained_snapshot_keeps_its_files(self, spark, sf_dir, tmp_path):
         from bigdataproj_spark.sources.corpus_cubes import (
