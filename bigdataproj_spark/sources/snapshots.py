@@ -300,9 +300,11 @@ def record_commit(spark: SparkSession, sf_dir: str, note: str) -> None:
     rows (:func:`stage_changes`), the entry carries ``cdf``:
     {table: stored-delta path} — the commit's complete change set,
     and ``table_changes`` reads it instead of diffing pinned states.
-    An entry WITHOUT the key (pre-existing commits, RESTORE, any
-    path that does not stage) falls back to the state diff — the
-    conservative-correct posture."""
+    An entry WITHOUT the key (pre-existing commits, any path that
+    does not stage) falls back to the state diff — the
+    conservative-correct posture. RESTORE commits stage the EMPTY
+    set since round 12 — correct by construction under truncating
+    restore (see restore_warehouse)."""
     led = _ledger(spark, sf_dir)
     pending = (spark.__dict__.get(_CDF_PENDING_KEY) or {}).pop(sf_dir, None)
     entry = {
@@ -718,6 +720,24 @@ def restore_warehouse(spark: SparkSession, sf_dir: str, version: int) -> None:
             "version": next_version,
             "note": f"restore to {version}",
             "wall": time.time(),
+            # S23c (round 12, r11-VERDICT item 4 — resolved by
+            # analysis, not by the suggested mechanism): under this
+            # engine's TRUNCATING restore, the restore commit's state
+            # is byte-identical to its reachable predecessor's (the
+            # restore target — the undone versions leave the ledger),
+            # so per the feed's adjacent-reachable-version semantics
+            # its change set is EMPTY by construction. The suggested
+            # sign-flipped inverse deltas describe Delta's
+            # KEEP-FORWARD restore (pre-restore state still
+            # reachable); staging them here was implemented, and the
+            # fallback-equivalence gate correctly rejected it (the
+            # state diff vs the reachable predecessor is ∅; the
+            # versioned-DuckDB fuzzer model pins the same). Staging
+            # the empty set IS the change-sized read: O(1) per
+            # restore commit, replacing a full O(|state|) diff that
+            # always produced zero rows. docs/DECISIONS.md records
+            # the reasoning.
+            "cdf": {},
             **_capture(spark, sf_dir),
         }
     )
@@ -1065,10 +1085,15 @@ def table_changes(
     delta post-filters, S21 conflict pre/post images, captured
     delete/expiry rows), so a commit with a stored delta reads
     O(|changes|), no state scan at all — change-sized parquet reads,
-    scale-flat in |state|. The state diff below remains the FALLBACK
-    for entries without staged deltas (commits predating S23b,
-    RESTORE commits, any unknown verb): one full-row count join per
-    such commit, O(|state|) — the audit-verb price of
+    scale-flat in |state|. RESTORE commits carry the EMPTY staged
+    set (round 12, S23c): a truncating restore's state is
+    byte-identical to its reachable predecessor's, so its per-commit
+    change set is ∅ by construction — O(1), replacing a full-state
+    diff that always produced zero rows (restore_warehouse documents
+    the analysis). The state diff below remains the FALLBACK for
+    entries without staged deltas (commits predating S23b, any
+    unknown verb): one full-row count join per such commit,
+    O(|state|) — the audit-verb price of
     CDF-from-snapshots (measured 30 s for a 3-commit orders feed over
     7.5M orders at sf5; the first cut's two exceptAlls + an intersect
     cost 50 s). Live reads and commits pay nothing for the feed

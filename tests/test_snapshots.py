@@ -595,6 +595,60 @@ class TestRestore:
         ).collect()
         assert [r.doc_id for r in rows] == [900000001]
 
+    def test_restore_commit_is_change_free_and_staged_empty(
+        self, spark, sf_dir, tmp_path
+    ):
+        """S23c (round 12, r11-VERDICT item 4): a feed spanning a
+        RESTORE commit reads change-sized — the restore entry stages
+        the EMPTY change set, which is correct BY CONSTRUCTION under
+        truncating restore: its state is byte-identical to its
+        reachable predecessor's (the restore target), so the
+        per-commit diff is ∅ — and this replaces an O(|state|)
+        full-row diff that always produced zero rows. Equivalence
+        with that fallback is asserted by stripping the staged
+        record; the feed as a whole still folds base → head exactly
+        (only the REACHABLE commits' changes appear — undone commits
+        left the ledger, Delta-divergence documented in
+        docs/DECISIONS.md)."""
+        from bigdataproj_spark.sources.snapshots import _ledger
+        from bigdataproj_spark.testing import compare_frames
+
+        e = _sandbox(spark, sf_dir, tmp_path)
+        e.sql(
+            "INSERT INTO documents VALUES "
+            "(900000001, 'aaa', 'en', 'src1', 3), "
+            "(900000002, 'bbbb', 'de', 'src1', 4)"
+        )
+        v_ins = _ledger(spark, e.sf_dir)[-1]["version"]
+        e.sql("DELETE FROM documents WHERE doc_id <= 20")
+        e.sql(f"RESTORE TO VERSION AS OF {v_ins}")
+        entry = _ledger(spark, e.sf_dir)[-1]
+        head = entry["version"]
+        assert entry["note"] == f"restore to {v_ins}"
+        assert entry["cdf"] == {}  # staged empty: O(1), no state diff
+        fast = e.table_changes("documents", 0, head).toPandas()
+        # the whole-window feed holds exactly the REACHABLE commits'
+        # changes: the insert's two rows, nothing from the undone
+        # delete, nothing from the restore commit itself
+        assert set(fast._commit_version) == {v_ins}
+        assert sorted(fast[fast._change_type == "insert"].doc_id) == [
+            900000001, 900000002,
+        ]
+        # byte-identical to the diff fallback for the restore commit
+        del entry["cdf"]
+        try:
+            slow = e.table_changes("documents", 0, head).toPandas()
+        finally:
+            entry["cdf"] = {}
+        compare_frames(fast, slow, "restore-empty-cdf-vs-fallback")
+        # a consumer folding the feed from base lands on the head
+        # state: base rows + the restored insert, delete undone
+        n_live = e.sql(
+            "SELECT COUNT(*) AS n FROM documents", routed=False
+        ).collect()[0].n
+        n_base = table(spark, sf_dir, "documents").count()
+        assert n_live == n_base + 2
+
     def test_restore_refusals(self, spark, sf_dir, tmp_path):
         from bigdataproj_spark.sources.txn import WarehouseTxn
 
