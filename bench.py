@@ -41,15 +41,45 @@ REPS = 2
 PROTOCOL = f"min{REPS}-warm"
 
 
+def run_canary(spark) -> float:
+    """Fixed-work host-contention canary (round 12, r11-VERDICT item
+    5): a single-task, data-independent job (20M xxhash64 folds in one
+    partition) timed with the same min-of-REPS-after-warmup protocol.
+    Its clean value is committed in docs/BENCHMARKS.md (~0.12 s on
+    this container); a driver artifact whose canary reads ≥3x that
+    marks the WHOLE window as host-contended — the r10/r11 bench
+    inflations (12.4 s / 22.9 s vs ~7 s clean) become readable off the
+    JSON line itself. One partition on purpose: the value must not
+    change with $SPARK_GRAFT_CPUS, only with contention."""
+    from pyspark.sql import functions as F
+
+    def one() -> float:
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 20_000_000, 1, 1)
+            .select(F.xxhash64("id").alias("h"))
+            .agg(F.sum("h"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        return time.perf_counter() - t0
+
+    one()  # warm-up, untimed (codegen compile)
+    return min(one() for _ in range(REPS))
+
+
 def run_query(q, spark, sf_dir: str) -> float:
     """Min of REPS full plan-build + execution passes — the standard
     warm-steady-state measurement (each pass still plans and executes
     the query end-to-end; min discards scheduler/GC noise)."""
+    spark.sparkContext.setJobDescription(f"bench:{q.name}")
     times = []
     for _ in range(REPS):
         t0 = time.perf_counter()
         q.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
         times.append(time.perf_counter() - t0)
+    spark.sparkContext.setJobDescription(None)
     return min(times)
 
 
@@ -71,6 +101,8 @@ def main() -> None:
     for name, q in bench.items():
         times[name] = round(run_query(q, spark, sf_dir), 3)
 
+    canary = round(run_canary(spark), 3)
+
     print(
         json.dumps(
             {
@@ -78,6 +110,7 @@ def main() -> None:
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
                 "protocol": PROTOCOL,
+                "canary_s": canary,
                 "queries": times,
                 "sf": sf_of(sf_dir),
             }

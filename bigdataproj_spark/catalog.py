@@ -84,6 +84,14 @@ def _ensure_session_conf(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    # See session.py: past 32 partition dirs Spark launches a
+    # distributed LISTING JOB per open — ~180 ms of scheduling to list
+    # 83 local month dirs (round 12). Driver-side listing wins far
+    # beyond this container's layouts.
+    spark.conf.set(
+        "spark.sql.sources.parallelPartitionDiscovery.threshold",
+        os.environ.get("SPARK_GRAFT_PARALLEL_DISCOVERY", "10000"),
+    )
     # An untuned session shuffles tiny test tables into 200 partitions;
     # only lower it if the caller left the stock default.
     if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":

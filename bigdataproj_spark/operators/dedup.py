@@ -352,7 +352,15 @@ def minhash_signatures(tokenized: DataFrame) -> DataFrame:
                 continue
             h = np.array(all_h, dtype=np.int64) % _MH_P
             v = (a * h[None, :] + b) % _MH_P  # (N_HASHES, total)
-            sigs = np.minimum.reduceat(v, np.array(offsets[:-1]), axis=1)
+            # int32 at rest: every value is mod (2^31 - 1), so the
+            # narrow type is exact. sig is the DOMINANT payload of the
+            # LSH bucket shuffle (N_HASHES values per (doc, band) row
+            # — 4 copies of the signature per doc), so halving the
+            # element width halves the bucket exchange's bytes and the
+            # Arrow boundary (guide §2.3 "narrower types").
+            sigs = np.minimum.reduceat(
+                v, np.array(offsets[:-1]), axis=1
+            ).astype(np.int32)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].iloc[keep].to_numpy(),
@@ -361,7 +369,7 @@ def minhash_signatures(tokenized: DataFrame) -> DataFrame:
             )
 
     return tokenized.select("doc_id", "toks").mapInPandas(
-        sig_kernel, "doc_id long, sig array<long>"
+        sig_kernel, "doc_id long, sig array<int>"
     )
 
 
@@ -563,11 +571,11 @@ def incremental_minhash_lsh(
     delta_bands = lsh_bands(docs_to_signatures(fan_out(delta_docs)))
     try:
         stored = spark.read.schema(
-            "doc_id bigint, sig array<bigint>, band int, bh string"
+            "doc_id bigint, sig array<int>, band int, bh string"
         ).parquet(index_path)
     except Exception:  # first batch: no index yet
         stored = spark.createDataFrame(
-            [], "doc_id bigint, sig array<bigint>, band int, bh string"
+            [], "doc_id bigint, sig array<int>, band int, bh string"
         )
     delta_keys = delta_bands.select("band", "bh").distinct()
     relevant = stored.join(F.broadcast(delta_keys), ["band", "bh"], "semi")

@@ -1003,6 +1003,14 @@ def q08_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("center", "context", "dist")
         .agg(F.sum("nf").alias("nf"))
+        # Materialize ONCE before the symmetric self-join: the two join
+        # branches (fwd + swapped) are not canonicalized into a reused
+        # exchange, so without this cut the whole corpus scan +
+        # tokenize + enumeration kernel ran TWICE (plan audit round 12:
+        # two MapInPandas nodes). fwd is vocabulary²-bounded — the
+        # one-shot multi-consumer localCheckpoint case (session.py) —
+        # so the cut is tiny while the saved recompute is corpus-sized.
+        .localCheckpoint(eager=True)
     )
     swapped = fwd.select(
         F.col("context").alias("center"),

@@ -164,14 +164,16 @@ class CorpusDim:
 
 def _open_sources_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.corpus_cubes import sources_dim_table
+    from ..sources.snapshots import versioned_parquet
 
-    return spark.read.parquet(sources_dim_table(spark, sf_dir))
+    return versioned_parquet(spark, sources_dim_table(spark, sf_dir))
 
 
 def _open_event_types_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.corpus_cubes import event_types_dim_table
+    from ..sources.snapshots import versioned_parquet
 
-    return spark.read.parquet(event_types_dim_table(spark, sf_dir))
+    return versioned_parquet(spark, event_types_dim_table(spark, sf_dir))
 
 
 CORPUS_DIMS: dict[str, CorpusDim] = {
@@ -225,7 +227,9 @@ def current_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     if path:
         # S22: inside a snapshot read, scan only the pinned commit's
         # files (document batches APPEND into this directory)
-        df = (pinned_parquet(spark, path) or spark.read.parquet(path)).select(
+        from ..sources.snapshots import layout_parquet
+
+        df = (pinned_parquet(spark, path) or layout_parquet(spark, path)).select(
             *_DOC_COLS
         )
     else:
@@ -247,7 +251,9 @@ def current_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     memo = spark.__dict__.get("_bdp_dated_events_memo", {})
     path = memo.get(sf_dir)
     if path:
-        df = pinned_parquet(spark, path) or spark.read.parquet(path)
+        from ..sources.snapshots import layout_parquet
+
+        df = pinned_parquet(spark, path) or layout_parquet(spark, path)
         wm = event_watermark(spark, sf_dir)
         if wm is not None:
             # the derived day-partition conjunct must apply BEFORE the
@@ -608,14 +614,16 @@ class CorpusProjection:
 
 def _open_docs_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.corpus_cubes import docs_stats_cube_table
+    from ..sources.snapshots import versioned_parquet
 
-    return spark.read.parquet(docs_stats_cube_table(spark, sf_dir))
+    return versioned_parquet(spark, docs_stats_cube_table(spark, sf_dir))
 
 
 def _open_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.corpus_cubes import events_hourly_cube_table
+    from ..sources.snapshots import versioned_parquet
 
-    return spark.read.parquet(events_hourly_cube_table(spark, sf_dir))
+    return versioned_parquet(spark, events_hourly_cube_table(spark, sf_dir))
 
 
 CORPUS_PROJECTIONS: tuple[CorpusProjection, ...] = (
@@ -784,8 +792,10 @@ def route_corpus_scan(
     if has_ts_range:
         from ..sources.dated import dated_events, day_bounds_filter
 
+        from ..sources.snapshots import layout_parquet
+
         dep = dated_events(spark, sf_dir)
-        df = pinned_parquet(spark, dep) or spark.read.parquet(dep)
+        df = pinned_parquet(spark, dep) or layout_parquet(spark, dep)
         days = day_bounds_filter(q.filters)
         if days is not None:
             df = df.filter(days)
@@ -807,8 +817,10 @@ def route_corpus_scan(
         # skip via the in-partition range sort's min-max stats.
         from ..sources.docstore import clustered_documents
 
+        from ..sources.snapshots import layout_parquet
+
         cdp = clustered_documents(spark, sf_dir)
-        df = pinned_parquet(spark, cdp) or spark.read.parquet(cdp)
+        df = pinned_parquet(spark, cdp) or layout_parquet(spark, cdp)
         # S19: deleted docs stay in the clustered bytes until the
         # scheduled OPTIMIZE rewrite; reads subtract
         df = apply_tombstones(spark, sf_dir, "documents", df)

@@ -229,24 +229,54 @@ _MERGE_ON_RE = re.compile(
 # predicates are the round-10 _parse_where grammar with optional
 # target/source qualifiers).
 _MERGE_M_UPD_RE = re.compile(
-    r"^\s*MATCHED\s*(?:AND\s+(?P<pred>.+?)\s+)?THEN\s+UPDATE\s+SET\s+"
+    r"^\s*MATCHED\s*(?:AND\s+(?P<pred>.+?)\s+)?(?P<then>THEN)\s+UPDATE\s+SET\s+"
     r"(?P<sets>\*|.+?)\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _MERGE_M_DEL_RE = re.compile(
-    r"^\s*MATCHED\s*(?:AND\s+(?P<pred>.+?)\s+)?THEN\s+DELETE\s*$",
+    r"^\s*MATCHED\s*(?:AND\s+(?P<pred>.+?)\s+)?(?P<then>THEN)\s+DELETE\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _MERGE_NM_INS_RE = re.compile(
     r"^\s*NOT\s+MATCHED(?:\s+BY\s+TARGET)?\s*"
-    r"(?:AND\s+(?P<pred>.+?)\s+)?THEN\s+INSERT\s+\*\s*$",
+    r"(?:AND\s+(?P<pred>.+?)\s+)?(?P<then>THEN)\s+INSERT\s+\*\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _MERGE_NMBS_DEL_RE = re.compile(
     r"^\s*NOT\s+MATCHED\s+BY\s+SOURCE\s*"
-    r"(?:AND\s+(?P<pred>.+?)\s+)?THEN\s+DELETE\s*$",
+    r"(?:AND\s+(?P<pred>.+?)\s+)?(?P<then>THEN)\s+DELETE\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+def _masked_match(rx: re.Pattern, frag: str) -> dict[str, str | None] | None:
+    """Match a MERGE clause regex against the quote/comment-MASKED
+    fragment, then slice each named group out of the RAW fragment by
+    span (the mask is length-preserving). Matching the raw text let a
+    string literal containing the word THEN (``... AND c = 'DO THEN
+    X' THEN DELETE``) truncate the lazy ``.+?\\s+THEN`` predicate span
+    at the literal's THEN and fail with a confusing grammar error
+    (round-11 ADVICE item 4); the masked scan sees only real
+    keywords, exactly like the SET/WHERE scans."""
+    m = rx.match(_mask_quotes(frag))
+    if m is None:
+        return None
+    out: dict[str, str | None] = {}
+    for g in rx.groupindex:
+        if m.start(g) == -1:
+            out[g] = None
+        elif g == "pred":
+            # A literal at the END of the predicate is blanked to
+            # spaces in the mask, so the lazy group's own span stops
+            # short of it (the \s+ before THEN eats the blanks).
+            # Slice the raw text up to the real THEN keyword instead.
+            out[g] = frag[m.start(g) : m.start("then")].strip()
+        elif g == "sets":
+            # Same trailing-literal hazard at end-of-fragment.
+            out[g] = frag[m.start(g) :].strip()
+        else:
+            out[g] = frag[m.start(g) : m.end(g)]
+    return out
+
+
 _MERGE_SET_ITEM_RE = re.compile(
     r"^([A-Za-z_][A-Za-z0-9_]*)\s*=\s*"
     r"([A-Za-z_][A-Za-z0-9_]*)\s*\.\s*([A-Za-z_][A-Za-z0-9_]*)$"
@@ -1314,7 +1344,7 @@ def _merge(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
     by_source_pred: str | None = None
     have_insert = have_by_source = have_m_upd = have_m_del = False
     for frag in frags:
-        fm = _MERGE_M_UPD_RE.match(frag)
+        fm = _masked_match(_MERGE_M_UPD_RE, frag)
         if fm is not None:
             if have_m_upd:
                 raise ValueError(
@@ -1323,10 +1353,10 @@ def _merge(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
                     "matched row)"
                 )
             have_m_upd = True
-            sets = fm.group("sets").strip()
-            matched_clauses.append((fm.group("pred"), "update"))
+            sets = fm["sets"].strip()
+            matched_clauses.append((fm["pred"], "update"))
             continue
-        fm = _MERGE_M_DEL_RE.match(frag)
+        fm = _masked_match(_MERGE_M_DEL_RE, frag)
         if fm is not None:
             if have_m_del:
                 raise ValueError(
@@ -1334,9 +1364,9 @@ def _merge(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
                     "lowerable (AND-conjoin the predicates instead)"
                 )
             have_m_del = True
-            matched_clauses.append((fm.group("pred"), "delete"))
+            matched_clauses.append((fm["pred"], "delete"))
             continue
-        fm = _MERGE_NM_INS_RE.match(frag)
+        fm = _masked_match(_MERGE_NM_INS_RE, frag)
         if fm is not None:
             if have_insert:
                 raise ValueError(
@@ -1344,9 +1374,9 @@ def _merge(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
                     "is lowerable"
                 )
             have_insert = True
-            insert_pred = fm.group("pred")
+            insert_pred = fm["pred"]
             continue
-        fm = _MERGE_NMBS_DEL_RE.match(frag)
+        fm = _masked_match(_MERGE_NMBS_DEL_RE, frag)
         if fm is not None:
             if have_by_source:
                 raise ValueError(
@@ -1354,7 +1384,7 @@ def _merge(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
                     "lowerable"
                 )
             have_by_source = True
-            by_source_pred = fm.group("pred")
+            by_source_pred = fm["pred"]
             continue
         raise ValueError(
             f"unsupported MERGE clause 'WHEN {frag.strip()}'; "
@@ -1531,7 +1561,19 @@ def _merge(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
     src = src.withColumn(
         key, F.col(key).cast(schema[key].dataType)
     ).localCheckpoint(eager=True)
-    n_src = src.count()
+    # ONE aggregation pass computes all three validation stats (row
+    # count, NULL-key count, distinct-key count) — this used to be
+    # three separate eager actions (count / filter.count /
+    # distinct.count), i.e. three Spark jobs over the checkpointed
+    # source where one suffices (r11 verdict hygiene item; guide §1.2
+    # per-task work). count(key) skips NULLs, so n_null falls out of
+    # the same pass.
+    _stats = src.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(key).alias("n_key"),
+        F.countDistinct(key).alias("n_dist"),
+    ).collect()[0]
+    n_src = _stats["n"]
     # NULL join keys are refused BEFORE the duplicate check (round-9
     # ADVICE item 4): a NULL key can never match a stored row — it
     # would flow to the INSERT side and land a NULL-identity row
@@ -1539,14 +1581,14 @@ def _merge(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
     # two NULLs would also be misread as duplicates by the
     # distinct-count below. (Malformed key STRINGS fail the ANSI cast
     # loudly already; this guards keys that are genuinely NULL.)
-    n_null = src.filter(F.col(key).isNull()).count()
+    n_null = n_src - _stats["n_key"]
     if n_null:
         raise ValueError(
             f"{n_null} MERGE source row(s) carry a NULL join key — a "
             f"NULL {key} identifies no stored row and would land as a "
             "NULL-identity insert; fix the source"
         )
-    if src.select(key).distinct().count() != n_src:
+    if _stats["n_dist"] != n_src:
         raise ValueError(
             "the MERGE source has duplicate join keys — two source "
             "rows contend for one stored row; de-duplicate the source "

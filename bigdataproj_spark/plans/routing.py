@@ -587,7 +587,9 @@ class Projection:
 
 
 def _open_pricing_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(pricing_cube_table(spark, sf_dir))
+    from ..sources.snapshots import versioned_parquet
+
+    return versioned_parquet(spark, pricing_cube_table(spark, sf_dir))
 
 
 def _open_order_revenue_star(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -611,14 +613,16 @@ def _open_order_revenue_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _open_star_date_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.bucketed import star_date_cube_table
+    from ..sources.snapshots import versioned_parquet
 
-    return spark.read.parquet(star_date_cube_table(spark, sf_dir))
+    return versioned_parquet(spark, star_date_cube_table(spark, sf_dir))
 
 
 def _open_segment_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.bucketed import segment_cube_table
+    from ..sources.snapshots import versioned_parquet
 
-    return spark.read.parquet(segment_cube_table(spark, sf_dir))
+    return versioned_parquet(spark, segment_cube_table(spark, sf_dir))
 
 
 PROJECTIONS: tuple[Projection, ...] = (
@@ -1501,13 +1505,15 @@ def route_scan(
 
     from ..sources.snapshots import pinned_parquet
 
+    from ..sources.snapshots import layout_parquet
+
     if used <= _ZORDER_COLUMNS and has_key_range:
         zp = zordered_lineitem(spark, sf_dir)
-        df = pinned_parquet(spark, zp) or spark.read.parquet(zp)
+        df = pinned_parquet(spark, zp) or layout_parquet(spark, zp)
         chosen = "zorder_lineitem"
     elif used <= LINEITEM_COLS and has_date_range:
         dp = dated_lineitem(spark, sf_dir)
-        df = pinned_parquet(spark, dp) or spark.read.parquet(dp)
+        df = pinned_parquet(spark, dp) or layout_parquet(spark, dp)
         months = month_bounds_filter(q.filters)
         if months is not None:
             # superset constraint on the partition column — prunes

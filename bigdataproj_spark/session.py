@@ -130,6 +130,18 @@ def get_spark(
         # default 3s locality wait only delays task launch there. On a
         # cluster the Spark default stands (deployments override).
         **({"spark.locality.wait": "0"} if resolved_master.startswith("local") else {}),
+        # Partition discovery: Spark's default threshold (32 dirs)
+        # launches a DISTRIBUTED listing job for any hive layout
+        # bigger than ~3 years of months — on a local master that job
+        # costs ~180 ms of pure scheduling to list 83 local
+        # directories (measured round 12: dated-lineitem open 204 ms →
+        # 25 ms). Driver-side listing is the right call into the tens
+        # of thousands of dirs even on clusters (the job only pays off
+        # against slow object-store listings at large dir counts);
+        # deployments can lower it via SPARK_GRAFT_PARALLEL_DISCOVERY.
+        "spark.sql.sources.parallelPartitionDiscovery.threshold": os.environ.get(
+            "SPARK_GRAFT_PARALLEL_DISCOVERY", "10000"
+        ),
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         # Data-volume-adaptive shuffle width, the Spark-idiomatic way:
         # a HIGH pre-coalesce width that AQE merges down to the

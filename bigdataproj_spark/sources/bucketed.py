@@ -927,8 +927,10 @@ def q46_bucketed_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     NOT pay here), cube 0.22 s vs DuckDB 0.27 s. The general-predicate
     fallback remains q01 over the base table.
     """
+    from .snapshots import versioned_parquet
+
     cube_path = pricing_cube_table(spark, sf_dir)
-    pre = spark.read.parquet(cube_path).filter(
+    pre = versioned_parquet(spark, cube_path).filter(
         F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp")
     )
     return (

@@ -236,11 +236,16 @@ def deploy_corpus_projection(
     )
     path = os.path.join(wh, f"user_cproj_{name}_{tag}")
     cube.write.mode("overwrite").parquet(path)
+    from .snapshots import evict_versioned_scan
+
+    evict_versioned_scan(spark, path)  # redeploy overwrites the base path
 
     cat = _catalog(spark, sf_dir)
 
     def _open(s: SparkSession, d: str) -> DataFrame:
-        return s.read.parquet(cat[name].path)  # current version
+        from .snapshots import versioned_parquet
+
+        return versioned_parquet(s, cat[name].path)  # current version (immutable path)
 
     proj = CorpusProjection(
         name=f"user:{name}",

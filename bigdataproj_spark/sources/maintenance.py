@@ -641,4 +641,10 @@ def gc_warehouse(
     # (round-10 VERDICT item 6): a long audit session stays bounded
     # by the REACHABLE versions, not by every version it ever read
     evict_pinned_memo(spark)
+    # Round 12: VACUUM removes superseded version DIRECTORIES; live
+    # versioned-scan memo entries (snapshots.versioned_parquet) for
+    # current paths stay valid (never pruned while reachable), but the
+    # clear is cheap insurance against any path-reuse interaction with
+    # restore/rollback counter resets — one re-listing per live path.
+    spark.__dict__.pop("_bdp_versioned_scan_memo", None)
     return {"removed": removed, "bytes": freed}

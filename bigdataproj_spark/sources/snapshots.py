@@ -207,6 +207,58 @@ def pinned_parquet(
     return df
 
 
+def versioned_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """LIVE scan of an immutable VERSIONED layout path (cubes, dims,
+    rollup/denorm, user projections, tombstone sets), memoized per
+    (session, path) — round 12, guide §6 (file listing) + §1.2: every
+    refresh of these layouts publishes a NEW ``_v{n}`` directory and
+    swings the projection memo, so a given path's contents never
+    change once written; yet each plan build re-ran file listing +
+    parquet schema inference (30–80 ms per layout through Py4J) to
+    re-derive a constant. Routed/SQL queries read 1–3 such layouts
+    per build, so this was the dominant fixed cost of sub-second
+    queries. Staleness cannot occur: a superseded or VACUUM-pruned
+    path is never probed again (path resolution goes through the
+    projection memos, which WarehouseTxn rolls back as a unit), and
+    append-style row stores (shared directories) must NOT use this —
+    they take :func:`layout_parquet`, which memoizes only the schema."""
+    memo: dict = spark.__dict__.setdefault("_bdp_versioned_scan_memo", {})
+    hit = memo.get(path)
+    if hit is None:
+        hit = spark.read.parquet(path)
+        memo[path] = hit
+    return hit
+
+
+def evict_versioned_scan(spark: SparkSession, path: str) -> None:
+    """Drop one :func:`versioned_parquet` memo entry. Needed exactly
+    where a BASE path is legitimately overwritten in-session: a user
+    projection redeploy (``deploy_projection`` with an existing name
+    writes the same ``user_proj_<name>_<tag>`` base path). WarehouseTxn
+    rollback clears the whole memo instead (txn.py)."""
+    (spark.__dict__.get("_bdp_versioned_scan_memo") or {}).pop(path, None)
+
+
+def layout_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """LIVE scan of an APPEND-STYLE layout directory (day-partitioned
+    events/lineitem, Z-order, clustered documents, bucketed dirs) with
+    the SCHEMA memoized per (session, path). Layout schemas are
+    append-stable by contract (the same contract pinned_parquet's
+    empty-dir fallback relies on), so per-build schema inference
+    (parquet footer reads — measured 58 of the 77 ms a 124-file dated
+    layout read cost) re-derives a constant. The FILE LISTING is still
+    taken fresh on every build: appends, OPTIMIZE rewrites and RESTORE
+    change the file set, and memoizing the DataFrame here would serve
+    stale (or deleted) files — that is exactly why these directories
+    are excluded from :func:`versioned_parquet`."""
+    memo: dict = spark.__dict__.setdefault("_bdp_layout_schema_memo", {})
+    s = memo.get(path)
+    if s is None:
+        s = spark.read.parquet(path).schema
+        memo[path] = s
+    return spark.read.schema(s).parquet(path)
+
+
 def evict_pinned_memo(spark: SparkSession) -> int:
     """Drop pinned-scan memo entries whose file set no longer matches
     any reachable ledger entry — called after VACUUM prunes and after
@@ -743,6 +795,13 @@ def restore_warehouse(spark: SparkSession, sf_dir: str, version: int) -> None:
     )
     # the undone commits' pinned-scan plans can never be probed again
     evict_pinned_memo(spark)
+    # Round 12: RESTORE rolls _bdp_projection_versions back with the
+    # rest of the serving state, so a LATER mutation can re-publish a
+    # version PATH whose undone files the restore just removed — a
+    # live versioned-scan memo entry for that path would serve the
+    # dead listing (caught by TestRestore during this round's memo
+    # work). Same hazard class as WarehouseTxn rollback; same fix.
+    spark.__dict__.pop("_bdp_versioned_scan_memo", None)
 
 
 # ---------------------------------------------------------------------------

@@ -199,6 +199,14 @@ class WarehouseTxn:
                         del cat[name]
                     else:
                         cat[name].path = self._user_paths[(root_key, d, name)]
+        # Round 12: the live versioned-scan memo (snapshots.py
+        # versioned_parquet) keys on paths; rolling back
+        # _bdp_projection_versions means a later refresh can REUSE a
+        # version path whose files the cleanup below removes — a memo
+        # entry for such a path would serve the dead listing. Clearing
+        # the whole memo is cheap (it rebuilds lazily, one listing per
+        # live path) and removes the hazard class outright.
+        sd.pop("_bdp_versioned_scan_memo", None)
         # delete every file the failed batch wrote under the warehouse
         # (staged versions, half-applied appends, committer temp dirs)
         if self._wh and os.path.isdir(self._wh):

@@ -1188,6 +1188,33 @@ class TestMergeDML:
         assert rows[1] == rows[2] == "9-PRED"
         assert rows[3] != "9-PRED"
 
+    def test_matched_predicate_literal_containing_then(
+        self, spark, sf_dir, tmp_path
+    ):
+        """A clause predicate ENDING in a string literal that contains
+        the word THEN must not be truncated at the literal (round-11
+        ADVICE item 4): the clause regexes scan the quote-masked text
+        for the real THEN keyword and slice the raw predicate span."""
+        e = self._sandbox(spark, sf_dir, tmp_path)
+        out = e.sql(
+            "MERGE INTO orders USING ("
+            "  SELECT o_orderkey, o_custkey, o_orderstatus,"
+            "    o_totalprice, o_orderdate, 'X THEN Y' AS o_orderpriority"
+            "  FROM orders WHERE o_orderkey IN (1, 2)"
+            ") s ON o_orderkey = s.o_orderkey "
+            "WHEN MATCHED AND s.o_orderpriority = 'X THEN Y' "
+            "THEN UPDATE SET *"
+        ).collect()[0]
+        assert (out.n_matched, out.n_deleted) == (2, 0)
+        rows = {
+            r.o_orderkey: r.o_orderpriority
+            for r in e.sql(
+                "SELECT o_orderkey, o_orderpriority FROM orders "
+                "WHERE o_orderkey IN (1, 2)", routed=False,
+            ).collect()
+        }
+        assert rows[1] == rows[2] == "X THEN Y"
+
     def test_by_source_prune_and_documents_matched_delete(
         self, spark, sf_dir, tmp_path
     ):
