@@ -57,7 +57,9 @@ def run_canary(spark) -> float:
         t0 = time.perf_counter()
         (
             spark.range(0, 20_000_000, 1, 1)
-            .select(F.xxhash64("id").alias("h"))
+            # modulo before the sum: 2e7 * 1e6 stays far inside int64
+            # (a raw xxhash64 sum overflows under ANSI mode)
+            .select((F.xxhash64("id") % 1_000_003).alias("h"))
             .agg(F.sum("h"))
             .write.format("noop")
             .mode("overwrite")

@@ -257,7 +257,7 @@ def _bucket(qvec: Column | str) -> Column:
         dot = _int_fold(
             F.zip_with(
                 qvec,
-                F.array(*[F.lit(c).cast("long") for c in plane]),
+                F.lit([int(c) for c in plane]),  # one array literal, not 64
                 lambda x, c: x * c,
             )
         )
@@ -500,7 +500,7 @@ def _cell_struct_array(cents) -> Column:
         dot = _int_fold(
             F.zip_with(
                 F.col("qe"),
-                F.array(*[F.lit(int(q)).cast("long") for q in qvec]),
+                F.lit([int(q) for q in qvec]),  # one array literal, not 64
                 lambda x, c: x * c,
             )
         )
@@ -1222,39 +1222,43 @@ def _pq_codebook(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[int]]
     return [(r["vec_id"], list(r["qe"])) for r in sorted(rows, key=lambda r: r.vec_id)]
 
 
-def _pq_subdist(m: int, qsub: list[int]) -> Column:
-    """Exact int64 squared-L2 between a row's m-th Q20 subvector and a
-    literal codebook subvector."""
-    return _int_fold(
-        F.zip_with(
-            F.slice("qe", m * _PQ_SUB + 1, _PQ_SUB),
-            F.array(*[F.lit(int(c)).cast("long") for c in qsub]),
-            lambda x, c: (x - c) * (x - c),
-        )
-    )
-
-
 def pq_encode(df: DataFrame, codebook) -> DataFrame:
-    """(vec_id, qe) → (vec_id, c0..c{M-1}) PQ codes, map-only.
+    """(vec_id, qe) → (vec_id, c0..c{M-1}) PQ codes, map-only Arrow
+    numpy kernel (round 12). Still no join, no shuffle — the kernel
+    inherits the scan's partitioning like the IVF assignment above.
 
-    Per subspace the nearest code (squared-L2 ASC, code id ASC — the
-    array_min struct comparison realizes exactly the oracle's
-    ROW_NUMBER tie-break) is selected from literal expressions: no
-    join against a codebook table, no shuffle, inherits the scan's
-    partitioning like the IVF assignment above."""
-    cols = [df["vec_id"]]
-    for m in range(_PQ_M):
-        cands = F.array(
-            *[
-                F.struct(
-                    _pq_subdist(m, qvec[m * _PQ_SUB : (m + 1) * _PQ_SUB]).alias("d"),
-                    F.lit(k).cast("int").alias("k"),
-                )
-                for k, qvec in codebook
-            ]
-        )
-        cols.append(F.array_min(cands).getField("k").alias(f"c{m}"))
-    return df.select(*cols)
+    Formulation history: the round-8 form selected each subspace's
+    nearest code with M×K nested ``zip_with``/``array_min`` LITERAL
+    expressions — higher-order array lambdas run in the JVM expression
+    INTERPRETER (no codegen), and the 8×32 tree measured ~8 ms/row
+    (the encode pass was 16 s of r137's 17.9 s at sf0.1). The kernel
+    does the same arithmetic as one (N,1,SUB)−(1,K,SUB) int64
+    broadcast per subspace — bit-identical because every step is
+    exact: Q20 values are ≤ ~2^21, squared diffs ≤ 2^44, the SUB-dim
+    sum ≤ 2^47, all inside int64; and ``np.argmin`` returns the FIRST
+    minimum, which over code-id-ascending codebook rows (sorted in
+    :func:`_pq_codebook`) realizes exactly the oracle's
+    (d ASC, k ASC) ROW_NUMBER tie-break."""
+    import numpy as np
+    import pandas as pd
+
+    code_ids = np.array([k for k, _ in codebook], dtype=np.int32)
+    cb = np.array([qvec for _, qvec in codebook], dtype=np.int64)  # (K, dims)
+
+    def encode_kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.stack(pdf["qe"].to_numpy()).astype(np.int64)  # (N, dims)
+            out = {"vec_id": pdf["vec_id"].to_numpy()}
+            for m in range(_PQ_M):
+                lo, hi = m * _PQ_SUB, (m + 1) * _PQ_SUB
+                d = ((q[:, None, lo:hi] - cb[None, :, lo:hi]) ** 2).sum(axis=2)
+                out[f"c{m}"] = code_ids[np.argmin(d, axis=1)]
+            yield pd.DataFrame(out)
+
+    schema = "vec_id long, " + ", ".join(f"c{m} int" for m in range(_PQ_M))
+    return df.select("vec_id", "qe").mapInPandas(encode_kernel, schema)
 
 
 _Q_PQ_ORACLE = f"""
@@ -1361,6 +1365,11 @@ def r137_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             for m in range(_PQ_M)
         ]
     encoded = pq_encode(e, cb)
+    # One F.lit per (probe, subspace) ARRAY (round 12): the element-
+    # wise form built P×M×K literal Columns — ~1,280 Py4J round trips
+    # per plan build, which made BUILD (4.6 s) dwarf execution
+    # (1.2 s). A list passed to F.lit is a single array<bigint>
+    # literal; the folded expression is unchanged.
     per_probe = F.explode(
         F.array(
             *[
@@ -1368,7 +1377,7 @@ def r137_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit(pid).cast("long").alias("probe_id"),
                     sum(
                         F.element_at(
-                            F.array(*[F.lit(d).cast("long") for d in lut[pid][m]]),
+                            F.lit([int(d) for d in lut[pid][m]]),
                             F.col(f"c{m}") - _PQ_CODE_LO + 1,
                         )
                         for m in range(_PQ_M)
@@ -1400,7 +1409,7 @@ def r137_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         d = _int_fold(
             F.zip_with(
                 F.col("qe"),
-                F.array(*[F.lit(int(v)).cast("long") for v in probe_q[pid]]),
+                F.lit([int(v) for v in probe_q[pid]]),  # one array literal
                 lambda x, p: (x - p) * (x - p),
             )
         )

@@ -78,9 +78,20 @@ def write_bucketed(
     an exchange nor a sort. Spark records the bucket spec in the
     session catalog; readers must go through ``spark.table(name)``
     (a plain ``read.parquet`` of the directory would lose the spec).
-    """
+
+    The write repartitions by the bucket key into ``n_buckets``
+    partitions first (round 12, guide §2.4 "two operations keyed the
+    same way share one exchange"): repartition's HashPartitioning is
+    the SAME murmur3-pmod assignment bucketBy uses, so each task then
+    holds exactly one bucket — without it, every INPUT task sorts and
+    writes a file for every bucket it touches (input_tasks × buckets
+    file explosion at scale; locally a 3-task input serialized the
+    whole sort behind 3 tasks — measured 5.7 s → 1.9 s for the sf0.1
+    lineitem deploy), and the per-task multi-bucket sort is replaced
+    by n_buckets parallel single-bucket sorts."""
     (
-        df.write.bucketBy(n_buckets, bucket_key)
+        df.repartition(n_buckets, F.col(bucket_key))
+        .write.bucketBy(n_buckets, bucket_key)
         .sortBy(bucket_key)
         .option("path", path)
         .mode("overwrite")

@@ -163,12 +163,18 @@ def test_hash_split_is_shuffle_free(spark, sf_dir):
     assert "Exchange" not in plan, plan
 
 
-def test_profile_is_single_scan(spark, sf_dir):
-    """r145 must profile all five columns in ONE pass: exactly one
-    parquet scan in the plan, however many statistics are computed."""
+def test_profile_is_two_scans(spark, sf_dir):
+    """r145 profiles all five columns in TWO passes, not one (round
+    12): a single agg mixing five countDistinct with the plain
+    aggregates made Catalyst EXPAND every row (N+1)-ways and drag the
+    plain aggregates through the widened stream (measured 5.9 s vs
+    1.5 s at sf0.1). The plan must show exactly two parquet scans —
+    one distinct pass (whose own Expand is inherent to multi-column
+    countDistinct and carries only the five key columns), one plain
+    pass, broadcast-recombined."""
     df = load_all()["r145_column_profile"].build(spark, sf_dir)
     plan = plan_of(df)
-    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Scan parquet") == 2, plan
 
 
 def test_no_query_plans_a_cartesian_product(spark, sf_dir):
@@ -311,13 +317,19 @@ def test_pricing_summary_single_exchange(spark, sf_dir):
     assert has_pushed_filter(df, "LessThanOrEqual(l_shipdate"), plan
 
 
-def test_skipgram_uses_arrow_kernel(spark, sf_dir):
-    """q08's round-4 form enumerates pairs in a mapInPandas kernel
-    emitting vocabulary-bounded partial counts; the round-3 slice+zip
-    struct explode (interpreted array lambdas) must not come back."""
+def test_skipgram_kernel_runs_once(spark, sf_dir):
+    """q08's enumeration kernel (the round-4 mapInPandas Arrow form)
+    runs exactly ONCE: round 12 localCheckpoints the vocabulary-bounded
+    forward aggregate before the symmetric self-join, because the two
+    join branches are not exchange-canonicalized and the whole corpus
+    scan + kernel ran TWICE (two MapInPandas nodes in the round-11
+    plan). The final plan therefore joins two scans of the SAME
+    materialized relation — no kernel node, and the round-3
+    interpreted slice+zip struct explode must not come back either."""
     df = load_all()["q08_skipgram_pairs"].build(spark, sf_dir)
     plan = plan_of(df)
-    assert "MapInPandas" in plan, plan
+    assert "MapInPandas" not in plan, plan  # cut by the checkpoint
+    assert plan.count("Scan ExistingRDD") == 2, plan  # one relation, 2 scans
     assert "Generate explode" not in plan, plan
 
 
