@@ -71,6 +71,36 @@ def run_canary(spark) -> float:
     return min(one() for _ in range(REPS))
 
 
+def run_canary_parallel(spark) -> float:
+    """ALL-CORES contention canary: the same fixed fold, 20M rows PER
+    CORE in one partition per core — so the clean value is
+    core-count-invariant (constant work per lane) while hypervisor
+    steal shows up directly. Added after observing a window where the
+    host's load average read idle, the single-task canary read near
+    clean (0.15 s), and the 32-core bench still inflated ~40%: steal
+    throttles many-lane throughput first. Read the pair together —
+    canary_s high ⇒ even single-lane contention; canary_par_s high
+    with canary_s clean ⇒ multi-lane steal."""
+    from pyspark.sql import functions as F
+
+    lanes = spark.sparkContext.defaultParallelism
+
+    def one() -> float:
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 20_000_000 * lanes, 1, lanes)
+            .select((F.xxhash64("id") % 1_000_003).alias("h"))
+            .agg(F.sum("h"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        return time.perf_counter() - t0
+
+    one()
+    return min(one() for _ in range(REPS))
+
+
 def run_query(q, spark, sf_dir: str) -> float:
     """Min of REPS full plan-build + execution passes — the standard
     warm-steady-state measurement (each pass still plans and executes
@@ -104,6 +134,7 @@ def main() -> None:
         times[name] = round(run_query(q, spark, sf_dir), 3)
 
     canary = round(run_canary(spark), 3)
+    canary_par = round(run_canary_parallel(spark), 3)
 
     print(
         json.dumps(
@@ -113,6 +144,7 @@ def main() -> None:
                 "unit": "sec",
                 "protocol": PROTOCOL,
                 "canary_s": canary,
+                "canary_par_s": canary_par,
                 "queries": times,
                 "sf": sf_of(sf_dir),
             }
