@@ -47,6 +47,7 @@ def scratch_tag(sf_dir: str) -> str:
 
 
 _PID_SCRATCH_REGISTERED: set[str] = set()
+_PID_SCRATCH_LOCK = __import__("threading").Lock()
 
 
 def pid_scratch(root: str) -> str:
@@ -57,15 +58,22 @@ def pid_scratch(root: str) -> str:
     atexit cleanup every process run would leak a pid tree under
     /tmp. Registration is keyed on a process-local set (NOT directory
     existence): a recycled pid can find a stale dir left by a killed
-    process — that dir is wiped and cleanup still registers."""
+    process — that dir is wiped and cleanup still registers. The
+    check-wipe-register sequence is locked (round 12): the parallel
+    refresh legs call this from worker THREADS, and two first-touch
+    callers racing past the membership check would let one wipe a
+    tree the other just started writing (unreachable today — staging
+    registers the root before any pool runs — but the invariant
+    should not rest on call order)."""
     import atexit
     import shutil
 
     d = os.path.join(root, f"pid{os.getpid()}")
-    if d not in _PID_SCRATCH_REGISTERED:
-        _PID_SCRATCH_REGISTERED.add(d)
-        shutil.rmtree(d, ignore_errors=True)  # stale tree from a recycled pid
-        atexit.register(shutil.rmtree, d, ignore_errors=True)
+    with _PID_SCRATCH_LOCK:
+        if d not in _PID_SCRATCH_REGISTERED:
+            _PID_SCRATCH_REGISTERED.add(d)
+            shutil.rmtree(d, ignore_errors=True)  # stale tree from a recycled pid
+            atexit.register(shutil.rmtree, d, ignore_errors=True)
     os.makedirs(d, exist_ok=True)
     return d
 
