@@ -570,6 +570,15 @@ def incremental_minhash_lsh(
     """
     delta_bands = lsh_bands(docs_to_signatures(fan_out(delta_docs)))
     try:
+        # ON-DISK FORMAT NOTE (round 13, r12-ADVICE): the index stores
+        # ``sig`` as array<int> since round 12 (signature values are
+        # mod 2^31-1, so int32 is exact). An index written by a
+        # pre-round-12 build stored array<bigint>; reading one with
+        # this forced schema fails at runtime (parquet int64 vs
+        # requested int32). All in-repo callers build a fresh temp
+        # index per run, so nothing migrates today — a deployment
+        # holding a legacy index must rewrite it once (read with
+        # array<bigint>, cast, write) before polling through this.
         stored = spark.read.schema(
             "doc_id bigint, sig array<int>, band int, bh string"
         ).parquet(index_path)

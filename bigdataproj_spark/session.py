@@ -50,6 +50,38 @@ def _default_shuffle_partitions(master: str) -> str:
     return "200"  # Spark's own cluster default; deployments override
 
 
+def run_parallel(*thunks) -> list:
+    """Run independent Spark actions from a small thread pool (guide
+    §2.6: a later job's tasks back-fill executors freed by an earlier
+    job's tail; locally the fixed per-job latencies overlap). THE
+    engine-wide discipline for maintenance-side parallelism (round 13,
+    factored out of the round-12 refresh pool):
+
+    - callers only submit thunks whose reads are SETTLED state and
+      whose writes are disjoint outputs/memo keys;
+    - every thunk is AWAITED before any exception re-raises, so a
+      surrounding WarehouseTxn rollback can never race a still-running
+      writer's files;
+    - job descriptions are thread-local, so thunks may label their own
+      jobs; the caller resets the main thread's label afterwards.
+
+    Returns the thunks' results in order.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        # .exception() BLOCKS until the thunk finishes — all of them
+        # settle before any raise below
+        errs = [f.exception() for f in futures]
+    for e in errs:
+        if e is not None:
+            raise e
+    return [f.result() for f in futures]
+
+
 def iter_checkpoint(df: DataFrame) -> DataFrame:
     """Durability-aware lineage cut for iterative loops (CC pointer
     doubling, PageRank, k-means Lloyd iterations).

@@ -155,7 +155,12 @@ def refresh_sources_dim(
     a missing source would silently drop that source's rows from
     every dim-arm answer."""
     stored_path = sources_dim_table(spark, sf_dir)
-    stored = spark.read.parquet(stored_path)
+    # versioned_parquet (round 13): dim versions are immutable once
+    # published and the routed read path memoizes these same paths —
+    # per-refresh listing + schema inference was pure fixed cost
+    from .snapshots import versioned_parquet
+
+    stored = versioned_parquet(spark, stored_path)
     fresh = sources_dim_frame(delta_docs).join(
         F.broadcast(stored.select("src_id")), "src_id", "left_anti"
     )
@@ -253,7 +258,9 @@ def refresh_event_types_dim(
     """Keep the taxonomy COMPLETE under ingest — same contract and
     no-op-on-redelivery shape as :func:`refresh_sources_dim`."""
     stored_path = event_types_dim_table(spark, sf_dir)
-    stored = spark.read.parquet(stored_path)
+    from .snapshots import versioned_parquet
+
+    stored = versioned_parquet(spark, stored_path)
     fresh = event_types_dim_frame(delta_events).join(
         F.broadcast(stored.select("et_id")), "et_id", "left_anti"
     )
@@ -386,8 +393,10 @@ def _refresh_cube(
     VERSION the memo swings to atomically (readers through the memo
     see the old version until the new one is fully written — the same
     pattern as every other projection refresh)."""
+    from .snapshots import versioned_parquet
+
     merged = merge_partial_frames(
-        spark.read.parquet(stored_path), delta_cube, keys,
+        versioned_parquet(spark, stored_path), delta_cube, keys,
         add_cols, min_cols, max_cols, sketch_cols,
     )
     versions: dict = spark.__dict__.setdefault("_bdp_projection_versions", {})

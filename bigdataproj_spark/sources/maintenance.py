@@ -231,17 +231,40 @@ def _refresh_warehouse_body(
             ),
             "insert",
         )
-        _roll, den = refresh_orders_denorm(
-            spark, sf_dir, orders, has_update=has_key_conflict
-        )
-        done["orders_denorm"] = den
-        # the bucketed orders table is the MAINTAINED orders relation
-        # (raw fixture parquet is immutable): user projections and any
-        # other order-side consumer must see the new orders before the
-        # lineitem-driven refreshes below run
-        done["bucketed_orders"] = append_bucketed_orders(
-            spark, sf_dir, orders, has_update=has_key_conflict
-        )
+        # Round 13 (guide §2.6): the denorm refresh and the bucketed
+        # orders upsert read settled stored state + the pinned delta
+        # and write DISJOINT tables/memo keys — overlap them (each is
+        # a full bucketed rewrite on the update path, the orders verb's
+        # two biggest serial steps). Same await-all + label-reset
+        # discipline as the lineitem pool below. The rollup/denorm
+        # deploy must SETTLE first: a lazy deploy inside the denorm leg
+        # scans the orders table the other leg is rewriting.
+        from ..session import run_parallel
+        from .bucketed import order_revenue_projection
+
+        order_revenue_projection(spark, sf_dir)
+
+        def _leg_denorm() -> None:
+            spark.sparkContext.setJobDescription("refresh: orders denorm")
+            _roll, den = refresh_orders_denorm(
+                spark, sf_dir, orders, has_update=has_key_conflict
+            )
+            done["orders_denorm"] = den
+
+        def _leg_orders() -> None:
+            # the bucketed orders table is the MAINTAINED orders
+            # relation (raw fixture parquet is immutable): user
+            # projections and any other order-side consumer must see
+            # the new orders before the lineitem-driven refreshes run
+            spark.sparkContext.setJobDescription("refresh: bucketed orders")
+            done["bucketed_orders"] = append_bucketed_orders(
+                spark, sf_dir, orders, has_update=has_key_conflict
+            )
+
+        try:
+            run_parallel(_leg_denorm, _leg_orders)
+        finally:
+            spark.sparkContext.setJobDescription(None)
         if old_conflicts.take(1):
             from .retention import reattribute_order_updates
 
@@ -265,101 +288,210 @@ def _refresh_warehouse_body(
     # 2. Fact side: aggregate projections (delta-merge), then the
     #    row-level layouts (clustered/partitioned appends).
     if lineitem is not None:
-        roll, _den = refresh_order_revenue_rollup(spark, sf_dir, lineitem)
-        done["order_revenue_rollup"] = roll
-
-        # Round 12 (guide §2.6, overlap independent jobs): once the
-        # rollup/denorm refresh has settled the dimension side, the
-        # three cube delta-merges and the three row-store appends are
-        # mutually independent — each reads only SETTLED state (the
-        # staged delta parquet, stored cube versions, the denorm) and
-        # writes a disjoint output dir + memo key, so they overlap
-        # from a small thread pool instead of queueing their fixed
-        # job costs serially (profiled: ~4.7 s of ~5.2 s steady-state
-        # 1-row INSERT was this serial chain; the parallel form costs
-        # ~the slowest leg). Spark schedules concurrent jobs FIFO with
-        # back-fill; session-dict memo writes are GIL-atomic on
-        # distinct keys. User projections stay AFTER the pool: a
-        # chain>=1 view may read the bucketed/clustered layouts a
-        # pool leg is appending to. Failure semantics: every leg is
-        # awaited BEFORE any exception re-raises, so WarehouseTxn's
-        # rollback never races a still-running writer's files.
-        from concurrent.futures import ThreadPoolExecutor
-
-        def _leg_pricing() -> None:
-            spark.sparkContext.setJobDescription("refresh: pricing cube")
-            done["pricing_cube"] = refresh_pricing_cube(spark, sf_dir, lineitem)
-
-        def _leg_star() -> None:
-            spark.sparkContext.setJobDescription("refresh: star date cube")
-            done["star_date_cube"] = refresh_star_date_cube(
-                spark, sf_dir, lineitem
-            )
-
-        def _leg_segment() -> None:
-            spark.sparkContext.setJobDescription("refresh: segment cube")
-            done["segment_cube"] = refresh_segment_cube(spark, sf_dir, lineitem)
-
-        def _leg_bucketed() -> None:
-            spark.sparkContext.setJobDescription("refresh: bucketed append")
-            done["bucketed_lineitem"] = append_bucketed_lineitem(
-                spark, sf_dir, lineitem
-            )
-
-        def _leg_zorder() -> None:
-            spark.sparkContext.setJobDescription("refresh: zorder append")
-            zp = zordered_lineitem(spark, sf_dir)
-            append_zordered(
-                lineitem.select(*_ZORDER_COLS), zp, "l_partkey", "l_suppkey"
-            )
-            done["zorder_lineitem"] = zp
-
-        def _leg_dated() -> None:
-            spark.sparkContext.setJobDescription("refresh: dated append")
-            dp = dated_lineitem(spark, sf_dir)
-            append_dated(lineitem, dp)
-            done["dated_lineitem"] = dp
-
-        legs = (
-            _leg_star, _leg_pricing, _leg_segment,
-            _leg_bucketed, _leg_zorder, _leg_dated,
+        # Round 12 introduced the overlapped refresh pool (guide §2.6);
+        # round 13 restructures it (r12-VERDICT item 1):
+        #
+        # 2a. SETTLE every lazy deploy BEFORE any append leg runs. The
+        #     cube deploys scan the LIVE bucketed fact table; in the
+        #     round-12 pool they ran lazily INSIDE the refresh legs,
+        #     racing the bucketed-append leg's file commit — a deploy
+        #     whose scan listed files after the append landed would
+        #     fold the batch into the deployed cube AND delta-merge it
+        #     on top (double count). Deploys are mutually independent
+        #     read-only scans of settled tables, so they still overlap
+        #     — with each other, never with writers.
+        # 2b. Compute the batch⋈denorm delta frame ONCE and
+        #     localCheckpoint it: before, every cube leg re-ran the
+        #     staged scan + derived columns (+ its own denorm join for
+        #     star/segment) — the legs now read one materialized RDD.
+        # 2c. Run all seven refresh legs (rollup merge joined the pool
+        #     this round — it reads/writes state disjoint from every
+        #     other leg) from the pool. Each leg reads only SETTLED
+        #     state and writes a disjoint output dir + memo key;
+        #     session-dict memo writes are GIL-atomic on distinct
+        #     keys. User projections stay AFTER the pool: a chain>=1
+        #     view may read the bucketed/clustered layouts a pool leg
+        #     is appending to. Failure semantics: run_parallel awaits
+        #     every leg BEFORE any exception re-raises, so
+        #     WarehouseTxn's rollback never races a still-running
+        #     writer's files; the job-description reset is in a
+        #     finally (r12-ADVICE: a failing leg must not leave its
+        #     label on later jobs).
+        from ..session import run_parallel
+        from .bucketed import (
+            build_delta_frame,
+            pricing_cube_table,
+            segment_cube_table,
+            star_date_cube_table,
         )
-        with ThreadPoolExecutor(max_workers=len(legs)) as pool:
-            futures = [pool.submit(leg) for leg in legs]
-            errs = [
-                f.exception() for f in futures
-            ]  # .exception() BLOCKS until the leg finishes — all legs
-            # settle before any raise (rollback must not race writers)
-        for e in errs:
-            if e is not None:
-                raise e
-        spark.sparkContext.setJobDescription(None)
+
+        sd = spark.__dict__
+
+        def _labeled(label: str, fn):
+            def leg():
+                spark.sparkContext.setJobDescription(label)
+                return fn()
+
+            return leg
+
+        pmemo = sd.get("_bdp_projection_memo", {})
+        deploys = []
+        for memo_key, deploy in (
+            ("pricing_cube", pricing_cube_table),
+            ("star_date_cube", star_date_cube_table),
+            ("segment_cube", segment_cube_table),
+        ):
+            if (memo_key, sf_dir) not in pmemo:
+                deploys.append(_labeled(f"deploy: {memo_key}", lambda d=deploy: d(spark, sf_dir)))
+        if sf_dir not in sd.get("_bdp_zorder_memo", {}):
+            deploys.append(_labeled("deploy: zorder", lambda: zordered_lineitem(spark, sf_dir)))
+        if sf_dir not in sd.get("_bdp_dated_memo", {}):
+            deploys.append(_labeled("deploy: dated", lambda: dated_lineitem(spark, sf_dir)))
+        try:
+            if deploys:
+                # order_revenue_projection (and through it the bucketed
+                # facts) must settle first — the cube deploys read both
+                from .bucketed import order_revenue_projection
+
+                order_revenue_projection(spark, sf_dir)
+                run_parallel(*deploys)
+
+            shared = build_delta_frame(
+                spark, sf_dir, lineitem
+            ).localCheckpoint(eager=True)
+
+            def _leg_rollup() -> None:
+                roll, _den = refresh_order_revenue_rollup(
+                    spark, sf_dir, lineitem, prejoined=shared
+                )
+                done["order_revenue_rollup"] = roll
+
+            def _leg_pricing() -> None:
+                done["pricing_cube"] = refresh_pricing_cube(
+                    spark, sf_dir, lineitem, prejoined=shared
+                )
+
+            def _leg_star() -> None:
+                done["star_date_cube"] = refresh_star_date_cube(
+                    spark, sf_dir, lineitem, prejoined=shared
+                )
+
+            def _leg_segment() -> None:
+                done["segment_cube"] = refresh_segment_cube(
+                    spark, sf_dir, lineitem, prejoined=shared
+                )
+
+            def _leg_bucketed() -> None:
+                done["bucketed_lineitem"] = append_bucketed_lineitem(
+                    spark, sf_dir, lineitem, prejoined=shared
+                )
+
+            def _leg_zorder() -> None:
+                zp = zordered_lineitem(spark, sf_dir)
+                append_zordered(
+                    shared.select(*_ZORDER_COLS), zp, "l_partkey", "l_suppkey"
+                )
+                done["zorder_lineitem"] = zp
+
+            def _leg_dated() -> None:
+                from ..schemas import FIXTURE_SCHEMAS
+
+                dp = dated_lineitem(spark, sf_dir)
+                append_dated(
+                    shared.select(*FIXTURE_SCHEMAS["lineitem"].fieldNames()), dp
+                )
+                done["dated_lineitem"] = dp
+
+            run_parallel(
+                _labeled("refresh: star date cube", _leg_star),
+                _labeled("refresh: pricing cube", _leg_pricing),
+                _labeled("refresh: segment cube", _leg_segment),
+                _labeled("refresh: order rollup", _leg_rollup),
+                _labeled("refresh: bucketed append", _leg_bucketed),
+                _labeled("refresh: zorder append", _leg_zorder),
+                _labeled("refresh: dated append", _leg_dated),
+            )
+        finally:
+            spark.sparkContext.setJobDescription(None)
         from .user_projections import refresh_all_projections
 
         for name, path in refresh_all_projections(spark, sf_dir, lineitem).items():
             done[f"user:{name}"] = path
-    # 3. Corpus tables: dims BEFORE their fact-driven cubes (the
-    #    sources registry must stay COMPLETE — the routed dim arm
-    #    inner-joins it, so a batch introducing a new source must land
-    #    in the registry before any query joins through it).
+    # 3. Corpus tables: dims BEFORE their fact-driven cubes only in
+    #    the PUBLISH-visibility sense (the routed dim arm inner-joins
+    #    the registry at query time; inside the txn all publishes are
+    #    all-or-nothing) — the dim refresh, the cube delta-merge and
+    #    the row-store append of one table read disjoint settled
+    #    inputs and write disjoint outputs, so they overlap from the
+    #    same §2.6 pool the lineitem legs use (round 13). Lazy cube
+    #    deploys SETTLE first, same double-count-race rationale as
+    #    step 2a: the docs/events cube deploys read current_* (the
+    #    maintained row store when deployed), which an append leg is
+    #    writing to.
     if documents is not None:
-        from .corpus_cubes import refresh_sources_dim
-
-        done["sources_dim"] = refresh_sources_dim(spark, sf_dir, documents)
-        done["docs_stats_cube"] = refresh_docs_cube(spark, sf_dir, documents)
+        from ..session import run_parallel
+        from .corpus_cubes import docs_stats_cube_table, refresh_sources_dim
         from .docstore import append_clustered_docs, clustered_documents
 
-        cp = clustered_documents(spark, sf_dir)
-        append_clustered_docs(documents, cp)
-        done["clustered_documents"] = cp
-    if events is not None:
-        from .corpus_cubes import refresh_event_types_dim
+        sd = spark.__dict__
+        if ("docs_stats_cube", sf_dir) not in sd.get("_bdp_projection_memo", {}):
+            docs_stats_cube_table(spark, sf_dir)
 
-        done["event_types_dim"] = refresh_event_types_dim(spark, sf_dir, events)
-        done["events_hourly_cube"] = refresh_events_cube(spark, sf_dir, events)
-        ep = dated_events(spark, sf_dir)
-        append_dated_events(events, ep)
-        done["dated_events"] = ep
+        def _leg_sources_dim() -> None:
+            spark.sparkContext.setJobDescription("refresh: sources dim")
+            done["sources_dim"] = refresh_sources_dim(spark, sf_dir, documents)
+
+        def _leg_docs_cube() -> None:
+            spark.sparkContext.setJobDescription("refresh: docs cube")
+            done["docs_stats_cube"] = refresh_docs_cube(
+                spark, sf_dir, documents
+            )
+
+        def _leg_docstore() -> None:
+            spark.sparkContext.setJobDescription("refresh: clustered docs")
+            cp = clustered_documents(spark, sf_dir)
+            append_clustered_docs(documents, cp)
+            done["clustered_documents"] = cp
+
+        try:
+            run_parallel(_leg_sources_dim, _leg_docs_cube, _leg_docstore)
+        finally:
+            spark.sparkContext.setJobDescription(None)
+    if events is not None:
+        from ..session import run_parallel
+        from .corpus_cubes import (
+            events_hourly_cube_table,
+            refresh_event_types_dim,
+        )
+
+        sd = spark.__dict__
+        if ("events_hourly_cube", sf_dir) not in sd.get(
+            "_bdp_projection_memo", {}
+        ):
+            events_hourly_cube_table(spark, sf_dir)
+
+        def _leg_events_dim() -> None:
+            spark.sparkContext.setJobDescription("refresh: event types dim")
+            done["event_types_dim"] = refresh_event_types_dim(
+                spark, sf_dir, events
+            )
+
+        def _leg_events_cube() -> None:
+            spark.sparkContext.setJobDescription("refresh: events cube")
+            done["events_hourly_cube"] = refresh_events_cube(
+                spark, sf_dir, events
+            )
+
+        def _leg_dated_events() -> None:
+            spark.sparkContext.setJobDescription("refresh: dated events")
+            ep = dated_events(spark, sf_dir)
+            append_dated_events(events, ep)
+            done["dated_events"] = ep
+
+        try:
+            run_parallel(_leg_events_dim, _leg_events_cube, _leg_dated_events)
+        finally:
+            spark.sparkContext.setJobDescription(None)
     # user-declared CORPUS views refresh after the dims and built-in
     # cubes of their table (same dimension-first ordering as above: a
     # batch introducing a new source must land in the registry before

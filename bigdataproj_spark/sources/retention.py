@@ -482,7 +482,12 @@ def reattribute_order_updates(
     def _rebuild(memo_key: str, cube_keys: tuple[str, ...], aggs):
         if (memo_key, sf_dir) not in memo:
             return
-        stored = spark.read.parquet(memo[(memo_key, sf_dir)])
+        from .snapshots import versioned_parquet
+
+        spark.sparkContext.setJobDescription(f"reattribute: {memo_key}")
+        # versioned_parquet: the stored cube path is immutable once
+        # published and already memoized by the routed read path
+        stored = versioned_parquet(spark, memo[(memo_key, sf_dir)])
         affected = (
             li.join(old_den, li.l_orderkey == old_den.o_orderkey)
             .select(*cube_keys)
@@ -508,8 +513,21 @@ def reattribute_order_updates(
             spark, (memo_key, sf_dir), memo[(memo_key, sf_dir)], merged
         )
 
-    _rebuild("star_date_cube", _STAR_CUBE_KEYS, _star_cube_aggs)
-    _rebuild("segment_cube", _SEGMENT_CUBE_KEYS, _pricing_cube_aggs)
+    # Round 13 (guide §2.6): the two cube rebuilds read only settled
+    # state (the checkpointed affected lineitems, the post-upsert
+    # denorm, their own stored cube versions) and publish disjoint
+    # cubes — overlap them; run_parallel awaits both before any raise.
+    from ..session import run_parallel
+
+    try:
+        run_parallel(
+            lambda: _rebuild("star_date_cube", _STAR_CUBE_KEYS, _star_cube_aggs),
+            lambda: _rebuild(
+                "segment_cube", _SEGMENT_CUBE_KEYS, _pricing_cube_aggs
+            ),
+        )
+    finally:
+        spark.sparkContext.setJobDescription(None)
 
     # user lineitem projections touching the order chain (dim-attr
     # keys or order-home measures both force chain >= 1)
@@ -633,8 +651,16 @@ def _demo_corpus(
     for t in tables:
         src = os.path.join(sf_dir, f"{t}.parquet")
         dst = os.path.join(root, f"{t}.parquet")
+        # REPLACE, never merge (round-13, r12-ADVICE medium): the memo
+        # is per-SparkSession but the pid-scratch dir outlives it, so a
+        # second session in one process re-initializes a sandbox an
+        # earlier session's DML mutated — leftover mutated part-files
+        # (different names than the fixture's) would otherwise mix with
+        # the re-copied fixture bytes and double-count rows. rmtree
+        # restores the old Spark write's mode('overwrite') truncation.
+        shutil.rmtree(dst, ignore_errors=True)
         if os.path.isdir(src):
-            shutil.copytree(src, dst, dirs_exist_ok=True)
+            shutil.copytree(src, dst)
         else:
             shutil.copyfile(src, dst)
     memo[key] = root

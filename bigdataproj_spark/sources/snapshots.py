@@ -802,6 +802,12 @@ def restore_warehouse(spark: SparkSession, sf_dir: str, version: int) -> None:
     # dead listing (caught by TestRestore during this round's memo
     # work). Same hazard class as WarehouseTxn rollback; same fix.
     spark.__dict__.pop("_bdp_versioned_scan_memo", None)
+    # Round 13 (r12-ADVICE low): drop the append-layout SCHEMA memo
+    # too — cheap insurance in case a restore ever reverts to a
+    # differently-shaped layout (a contract violation today, but the
+    # un-memoized read would fail loudly where a stale schema would
+    # silently project).
+    spark.__dict__.pop("_bdp_layout_schema_memo", None)
 
 
 # ---------------------------------------------------------------------------

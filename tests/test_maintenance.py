@@ -1028,3 +1028,64 @@ def test_orphaning_custkey_update_drops_order_everywhere(
         .count()
     )
     assert total_routed == full - n_li
+
+
+def test_shared_delta_frame_matches_per_leg_formulations(spark, sf_dir):
+    """Round 13: refresh_warehouse computes ONE batch⋈denorm delta
+    frame shared by every lineitem refresh leg. This pins the
+    equivalence that makes the sharing legal, on the exact edge that
+    distinguishes the formulations — a delta lineitem whose order is
+    ABSENT from the denorm: the LEFT-joined frame (denorm columns
+    dropped) is row-identical to ``_lineitem_with_derived`` for the
+    pricing/rollup/append consumers, and its denorm-matched rows are
+    row-identical to the star/segment legs' old INNER join (which
+    drops the orphan on both paths)."""
+    from bigdataproj_spark.sources.bucketed import (
+        _DELTA_DENORM_COLS,
+        _SEGMENT_CUBE_KEYS,
+        _lineitem_with_derived,
+        _pricing_cube_aggs,
+        build_delta_frame,
+        order_revenue_projection,
+    )
+
+    _roll, den_name = order_revenue_projection(spark, sf_dir)
+    li = table(spark, sf_dir, "lineitem")
+    delta = li.filter(F.col("l_orderkey") % 1999 == 1).unionByName(
+        # an orphan: no such order exists in the denorm
+        li.limit(1).withColumn("l_orderkey", F.lit(999_999_999))
+    )
+    assert delta.count() > 1
+
+    shared = build_delta_frame(spark, sf_dir, delta).localCheckpoint(
+        eager=True
+    )
+
+    # pricing/rollup/append view: every delta row, derived cols intact
+    a = shared.drop(*_DELTA_DENORM_COLS)
+    b = _lineitem_with_derived(delta)
+    assert a.columns == b.columns
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    # star/segment view: denorm-matched rows == the old INNER join
+    den = spark.table(den_name).select(
+        "o_orderkey", "c_mktsegment", "o_orderpriority", "o_orderstatus"
+    )
+    lid = _lineitem_with_derived(delta)
+    inner = (
+        lid.join(den, lid.l_orderkey == den.o_orderkey)
+        .groupBy(*_SEGMENT_CUBE_KEYS)
+        .agg(*_pricing_cube_aggs())
+    )
+    via_shared = (
+        shared.filter(F.col("o_orderkey").isNotNull())
+        .groupBy(*_SEGMENT_CUBE_KEYS)
+        .agg(*_pricing_cube_aggs())
+    )
+    assert via_shared.exceptAll(inner).count() == 0
+    assert inner.exceptAll(via_shared).count() == 0
+
+    # the orphan row is visible to pricing and invisible to star/segment
+    orphan = shared.filter(F.col("l_orderkey") == 999_999_999)
+    assert orphan.count() == 1
+    assert orphan.filter(F.col("o_orderkey").isNotNull()).count() == 0
