@@ -122,14 +122,22 @@ def r43_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = iter_checkpoint(
         edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     )
-    nn = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    # ONE scalar to the driver (round 13, r12-VERDICT item 3): n_nodes
+    # fed every iteration through a crossJoin(broadcast(1-row agg)) —
+    # a broadcast-exchange build per round for one number. Python and
+    # the JVM divide the same IEEE binary64 operands identically, so
+    # folding the division into a literal is bit-identical to the
+    # oracle's (SELECT n_nodes FROM n) scalar subquery.
+    n_nodes = deg.count()
 
     ranks = iter_checkpoint(
-        deg.crossJoin(F.broadcast(nn)).select(
-            F.col("src").alias("node"), (F.lit(1.0) / F.col("n_nodes")).alias("r")
+        deg.select(
+            F.col("src").alias("node"), F.lit(1.0 / n_nodes).alias("r")
         )
     )
-    ed = edges.join(deg, "src")  # (src, dst, outdeg), reused every iteration
+    # (src, dst, outdeg), reused every iteration — checkpointed once
+    # (round 13): the edges⋈deg join used to re-run per round.
+    ed = iter_checkpoint(edges.join(deg, "src"))
     for _ in range(_PR_ITERS):
         contrib = ed.join(ranks, ed.src == ranks.node).select(
             "dst",
@@ -139,14 +147,18 @@ def r43_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("decimal(26,14)")
             .alias("cq"),
         )
+        # NOTE (round 13): checkpointing every SECOND round was built
+        # and measured — 3.52 s → 4.37 s warm at sf0.1 (the fused
+        # two-round job pays the same exchanges in one longer
+        # scheduling chain, saving only a cheap materialization) —
+        # and reverted; the per-round cut stands.
         ranks = iter_checkpoint(
             contrib.groupBy("dst")
             .agg(F.sum("cq").alias("sq"))
-            .crossJoin(F.broadcast(nn))
             .select(
                 F.col("dst").alias("node"),
                 (
-                    F.lit(1.0 - _PR_DAMP) / F.col("n_nodes")
+                    F.lit((1.0 - _PR_DAMP) / n_nodes)
                     + F.lit(_PR_DAMP) * F.col("sq").cast("double")
                 ).alias("r"),
             )
