@@ -501,6 +501,17 @@ def q27_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     The scan fans out first: shingling + md5 per shingle is the
     per-row-CPU-dominated shape where the rebalance shuffle pays for
     itself (2x at sf0.1).
+
+    FORMULATION HISTORY (round 13, r12-VERDICT item 4, closing the
+    "fan-out carries raw text" question with bytes): tokenizing BEFORE
+    the rebalance and shuffling (doc_id, toks) instead of (doc_id,
+    text) was built and measured — total shuffle bytes ROSE 3.0 MB →
+    4.3 MB at sf0.1 (the token array out-weighs the raw text it is
+    cut from; every other stage is byte-identical) with identical
+    results. The text-carrying exchange shuffles the fewest bytes this
+    contract admits (the md5-per-shingle work must happen somewhere
+    after a narrow scan; only text or its tokenization can cross), so
+    it stands.
     """
     d = fan_out(table(spark, sf_dir, "documents"))
     bands = lsh_bands(docs_to_signatures(d))
