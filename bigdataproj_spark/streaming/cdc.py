@@ -205,11 +205,16 @@ def read_derived(
 ) -> DataFrame | None:
     """The derived table's CURRENT version, or None before the first
     bootstrap/apply (the group column's type is whatever the bootstrap
-    wrote — no schema is assumed here)."""
+    wrote — no schema is assumed here). The read goes through the
+    versioned-scan memo (round 13): a published ``v{n}`` dir is
+    immutable by the rename-commit construction, so re-listing +
+    schema inference per read re-derives a constant (guide §6)."""
+    from ..sources.snapshots import versioned_parquet
+
     _v, path = _latest_version_dir(table_dir)
     if path is None:
         return None
-    return spark.read.parquet(path).select(group_col, "total", "n")
+    return versioned_parquet(spark, path).select(group_col, "total", "n")
 
 
 def apply_increment(
@@ -480,7 +485,9 @@ class CdcProjectionConsumer:
         name = self.name
 
         def _open(s: SparkSession, d: str) -> DataFrame:
-            return s.read.parquet(cat[name].path)  # current version
+            from ..sources.snapshots import versioned_parquet
+
+            return versioned_parquet(s, cat[name].path)  # current version
 
         proj = CorpusProjection(
             name=f"user:{name}",
@@ -551,13 +558,16 @@ class CdcProjectionConsumer:
         return led[-1]["version"] if led else None
 
     def _read_stored(self) -> DataFrame:
+        from ..sources.snapshots import versioned_parquet
+
         _v, path = _latest_version_dir(self.table_dir)
         if path is None:
             raise ValueError(
                 "the derived view has no version yet — bootstrap() it "
                 "before polling"
             )
-        return self.spark.read.parquet(path)
+        # immutable published version dir → memoized scan (round 13)
+        return versioned_parquet(self.spark, path)
 
     def derived(self) -> DataFrame:
         """The stored partial-state cube (the bytes the router
@@ -592,13 +602,17 @@ class CdcProjectionConsumer:
         is_add = F.col("_change_type").isin("insert", "update_postimage")
         adds = changes.filter(is_add)
         # drop-touched groups: non-invertible partials (min/max) and
-        # dead-group detection need the head state for exactly these
-        affected = (
-            changes.filter(~is_add).select(*keys).distinct()
-            .localCheckpoint(eager=True)
-        )
-        have_affected = bool(affected.head(1))
+        # dead-group detection need the head state for exactly these.
+        # Probe for ANY drop row first (a narrow scan of the already
+        # locally-checkpointed changes, ~ms) so the common insert-only
+        # poll never pays the distinct's shuffle + checkpoint job
+        # (round 13, guide §1.2: fewer eager jobs per poll).
+        have_affected = bool(changes.filter(~is_add).head(1))
         if have_affected:
+            affected = (
+                changes.filter(~is_add).select(*keys).distinct()
+                .localCheckpoint(eager=True)
+            )
             # adds landing in a drop-touched group are covered by that
             # group's recompute — folding them too would double-count
             adds = adds.alias("a").join(
@@ -648,9 +662,16 @@ class CdcProjectionConsumer:
             for e in os.listdir(self.table_dir)
             if e.startswith("v") and e[1:].isdigit()
         )
+        from ..sources.snapshots import evict_versioned_scan
+
         doomed = versions[:-keep_last]
         for v in doomed:
-            shutil.rmtree(os.path.join(self.table_dir, f"v{v}"))
+            path = os.path.join(self.table_dir, f"v{v}")
+            shutil.rmtree(path)
+            # hygiene: a pruned dir can never be probed again (reads
+            # only ever resolve the LATEST version), so its memo entry
+            # is a dead-path leak, not a staleness hazard
+            evict_versioned_scan(self.spark, path)
         return len(doomed)
 
 
