@@ -891,3 +891,136 @@ def test_update_grammar_fuzz_matches_duckdb(spark, sf_dir, tmp_path, seed):
             con.execute(rows).fetchdf(),
             f"seed={seed} step={step} rows :: {stmt}",
         )
+
+
+_SCAN_MEMO_KEYS = (
+    "_bdp_versioned_scan_memo",
+    "_bdp_layout_schema_memo",
+    "_bdp_pinned_scan_memo",
+)
+
+
+@pytest.mark.parametrize("seed", [37, 41])
+def test_scan_memo_never_serves_stale(
+    spark, sf_dir, tmp_path, seed, monkeypatch
+):
+    """The scan-memo staleness invariant (round 13, r12-VERDICT item
+    6): the versioned-scan / layout-schema / pinned-scan memos are pure
+    fixed-cost caches — a memoized routed answer must ALWAYS equal the
+    answer a memo-disabled session computes. The fuzzer interleaves
+    every memo-touching mutation class (INSERT / DELETE / UPDATE /
+    MERGE, RESTORE, VACUUM, OPTIMIZE, and an injected mid-refresh crash
+    whose WarehouseTxn rollback must clear the memos) with routed
+    reads; after every step each routed profile is computed twice in
+    the same session — memos ACTIVE (the default), then with every scan
+    memo dropped (forcing fresh listings + inference) — and the two
+    answers must match exactly. A memo entry surviving a mutation it
+    should not survive shows up as the first pair that differs."""
+    import pytest as _pytest
+
+    from bigdataproj_spark.sources import maintenance as maint_mod
+    from bigdataproj_spark.testing import compare_frames
+
+    rng = random.Random(seed)
+    eng, con = _setup(spark, sf_dir, tmp_path)
+    con.close()  # self-differential: no model needed
+    from bigdataproj_spark.sources.bucketed import segment_cube_table
+    from bigdataproj_spark.sources.snapshots import _ledger
+
+    segment_cube_table(spark, eng.sf_dir)
+    profiles = (_PROFILE, _EVENTS_ROLLUP, _SEGMENT_PROFILE)
+    next_doc_id = 930_000_000
+    next_event_id = 930_000_000
+    next_ok = 930_000_000
+
+    def versions():
+        return [e["version"] for e in _ledger(spark, eng.sf_dir)]
+
+    def check(label):
+        memoized = [eng.sql(p).toPandas() for p in profiles]
+        for k in _SCAN_MEMO_KEYS:
+            spark.__dict__.pop(k, None)
+        for i, p in enumerate(profiles):
+            fresh = eng.sql(p).toPandas()
+            compare_frames(memoized[i], fresh, f"{label} profile#{i}")
+
+    for step in range(7):
+        op = rng.choice(
+            ["insert_docs", "delete_docs", "update_orders", "merge",
+             "restore", "vacuum", "optimize", "crash"]
+        )
+        if op == "restore" and len(versions()) < 2:
+            op = "insert_docs"
+        if op == "insert_docs":
+            eng.sql(
+                "INSERT INTO documents (doc_id, text, lang, source, "
+                f"n_chars) VALUES ({next_doc_id}, 'memo fuzz', "
+                f"'{rng.choice(_LANGS)}', 'src{rng.randint(1, 30)}', "
+                f"{rng.randint(1, 500)})"
+            )
+            next_doc_id += 1
+        elif op == "delete_docs":
+            col, opr, lit = rng.choice(
+                [
+                    ("n_chars", "<", str(rng.randint(30, 120))),
+                    ("doc_id", "<=", str(rng.randint(50, 300))),
+                    ("lang", "=", f"'{rng.choice(_LANGS)}'"),
+                ]
+            )
+            eng.sql(f"DELETE FROM documents WHERE {col} {opr} {lit}")
+        elif op == "update_orders":
+            eng.sql(
+                "UPDATE orders SET o_orderpriority = "
+                f"'9-MEMO-{step}' WHERE o_totalprice > "
+                f"{rng.randint(150_000, 350_000)}"
+            )
+        elif op == "merge":
+            eng.sql(
+                "MERGE INTO orders USING ("
+                f"SELECT CAST({next_ok} AS BIGINT) AS o_orderkey, "
+                "CAST(1 AS BIGINT) AS o_custkey, 'O' AS o_orderstatus, "
+                "CAST(55.0 AS DOUBLE) AS o_totalprice, "
+                "TIMESTAMP '1996-05-05 00:00:00' AS o_orderdate, "
+                "'9-MEMO' AS o_orderpriority"
+                ") s ON o_orderkey = s.o_orderkey "
+                "WHEN MATCHED THEN UPDATE SET * "
+                "WHEN NOT MATCHED THEN INSERT *"
+            )
+            next_ok += 1
+        elif op == "restore":
+            eng.sql(
+                f"RESTORE TO VERSION AS OF {rng.choice(versions())}"
+            )
+        elif op == "vacuum":
+            eng.sql("VACUUM")
+        elif op == "optimize":
+            eng.sql("OPTIMIZE WAREHOUSE").collect()
+        else:  # crash: injected mid-refresh failure -> full rollback.
+            # The boom fires AFTER the events-cube leg completed and
+            # after a reader in the same session planned against the
+            # just-swung version — exactly the entry whose survival
+            # across rollback would serve deleted files once the
+            # redelivery below REUSES the rolled-back version path
+            # (the round-12 path-reuse hazard, reproduced on purpose:
+            # neutering txn.py's memo clear makes this op fail).
+            real_refresh = maint_mod.refresh_events_cube
+
+            def boom(*a, **kw):
+                out = real_refresh(*a, **kw)
+                eng.sql(_EVENTS_ROLLUP).toPandas()
+                raise RuntimeError("injected memo-fuzz crash")
+                return out
+
+            stmt = (
+                "INSERT INTO events (event_id, ts, user_id, "
+                "event_type, value, props) VALUES "
+                f"({next_event_id}, TIMESTAMP '2024-01-13 12:00:00', "
+                "7, 'click', 1.5, '{}')"
+            )
+            next_event_id += 1
+            monkeypatch.setattr(maint_mod, "refresh_events_cube", boom)
+            with _pytest.raises(RuntimeError, match="memo-fuzz crash"):
+                eng.sql(stmt)
+            monkeypatch.undo()
+            eng.sql(stmt)  # redelivery recreates the rolled-back path
+        check(f"seed={seed} step={step} op={op}")
