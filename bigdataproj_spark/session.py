@@ -145,6 +145,10 @@ def get_spark(
     :func:`iter_checkpoint`.
     """
     resolved_master = master or default_master()
+    _codec = os.environ.get(
+        "SPARK_GRAFT_COMPRESSION",
+        "off" if resolved_master.startswith("local") else "zstd",
+    ).lower()
     builder = SparkSession.builder.appName(app_name).master(resolved_master)
     # Scan-split sizing: the 128m default is right at every scale. The
     # fixture files are single parquet row groups, and a row group is
@@ -201,6 +205,27 @@ def get_spark(
         "spark.cleaner.referenceTracking.cleanCheckpoints": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # Compression posture (guide §2.3/§6, round 13): zstd for
+        # shuffle/checkpoint blocks and parquet output — materially
+        # smaller bytes-on-the-wire and on-disk than lz4/snappy at
+        # comparable CPU on modern cores, which pays at cluster scale
+        # (shuffle-heavy joins, multi-TB layout writes). Default ONLY
+        # on non-local masters: the sf0.1 local bench is wall-bound on
+        # write jobs inside timed regions, and two interleaved A/B
+        # pairs measured zstd 3-7% slower there (5.35/5.73 s vs
+        # 5.20/5.31 s, canaries clean at 0.106-0.108) — a pure tax at
+        # local scale, so local masters keep Spark's own defaults
+        # (lz4 shuffle / snappy parquet). SPARK_GRAFT_COMPRESSION
+        # overrides either way: a codec name forces it on (e.g. a
+        # local run validating cluster posture), "off" forces it off.
+        **(
+            {
+                "spark.io.compression.codec": _codec,
+                "spark.sql.parquet.compression.codec": _codec,
+            }
+            if _codec != "off"
+            else {}
+        ),
         # Dimension tables (region/nation/customer/supplier/part at test
         # scale; anything < threshold at cluster scale) broadcast.
         "spark.sql.autoBroadcastJoinThreshold": str(32 * 1024 * 1024),
